@@ -1,0 +1,158 @@
+"""The change-event IR and its stream transforms.
+
+Parity: the reference's universal event dict
+``{table, schema, action, values, event_unixtime, action_seq}``
+(/root/reference/synch/reader/mysql.py:180-220,
+/root/reference/synch/reader/postgres.py:87-126). Here it is a fixed
+StructType carried in a DataFrame; ``values`` is a JSON object string
+(schema-flexible across tables on one stream, parsed per-table with an
+explicit schema at apply time — no inference in the hot path).
+
+Transforms implemented (SURVEY §2.2):
+- T1 update-split: UPDATE -> delete(before) + insert(after) via a
+  2-element array + explode (flatMap 1->2), sharing event_unixtime with
+  action_seq 1 then 2 (/root/reference/synch/reader/mysql.py:189-208).
+- T2 DML filter: skip_dmls / skip_delete_tables / skip_update_tables
+  (/root/reference/synch/reader/mysql.py:190-212).
+- T3 table/schema filter (only_schemas/only_tables,
+  /root/reference/synch/reader/mysql.py:107-120).
+- T6 sign annotation for collapsing engines
+  (/root/reference/synch/writer/collapsing_merge_tree.py:47-56).
+
+All are pure Column expressions — whole-stage-codegen'd, streamable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# action_seq mirrors the reference: 0=query(DDL), 1=delete, 2=insert —
+# ordering key is (event_unixtime, action_seq) so an update's delete
+# precedes its insert at the same microsecond.
+ACTION_SEQ = {"query": 0, "delete": 1, "insert": 2}
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("schema", T.StringType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("action", T.StringType(), False),  # insert|delete|query
+        T.StructField("values", T.StringType(), False),  # JSON object col->val
+        T.StructField("event_unixtime", T.LongType(), False),  # microseconds
+        T.StructField("action_seq", T.IntegerType(), False),
+    ]
+)
+
+# Raw pre-split form: updates arrive whole with before/after images.
+RAW_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("schema", T.StringType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("action", T.StringType(), False),  # insert|update|delete|query
+        T.StructField("before", T.StringType(), True),  # JSON row image
+        T.StructField("after", T.StringType(), True),
+        T.StructField("event_unixtime", T.LongType(), False),
+    ]
+)
+
+
+def split_updates(raw: DataFrame) -> DataFrame:
+    """T1: flatMap each raw event into 1 or 2 normalized events.
+
+    update -> [delete(before), insert(after)] with action_seq 1,2 at the
+    same event_unixtime; insert/delete/query pass through with their
+    canonical action_seq. Expressed as array(struct)+explode so Catalyst
+    codegens it (no Python in the loop).
+    """
+    ev = lambda action, values, seq: F.struct(  # noqa: E731
+        action.alias("action"), values.alias("values"), seq.cast("int").alias("action_seq")
+    )
+    pieces = (
+        F.when(
+            F.col("action") == "update",
+            F.array(
+                ev(F.lit("delete"), F.coalesce(F.col("before"), F.col("after")), F.lit(1)),
+                ev(F.lit("insert"), F.col("after"), F.lit(2)),
+            ),
+        )
+        .when(F.col("action") == "insert", F.array(ev(F.lit("insert"), F.col("after"), F.lit(2))))
+        .when(
+            F.col("action") == "delete",
+            F.array(ev(F.lit("delete"), F.coalesce(F.col("before"), F.col("after")), F.lit(1))),
+        )
+        .otherwise(F.array(ev(F.col("action"), F.col("after"), F.lit(0))))
+    )
+    return (
+        raw.withColumn("_e", F.explode(pieces))
+        .select(
+            "schema",
+            "table",
+            F.col("_e.action").alias("action"),
+            F.col("_e.values").alias("values"),
+            "event_unixtime",
+            F.col("_e.action_seq").alias("action_seq"),
+        )
+    )
+
+
+def filter_dml(
+    events: DataFrame,
+    skip_dmls: tuple[str, ...] = (),
+    skip_delete_tables: tuple[str, ...] = (),
+    skip_update_tables: tuple[str, ...] = (),
+) -> DataFrame:
+    """T2: drop delete events per config.
+
+    Matches the reference's semantics: a skipped *update* suppresses the
+    whole update (both halves); a skipped *delete* suppresses standalone
+    deletes only. Update-halves are distinguishable: delete with
+    action_seq=1 is always the first half of an update.
+    """
+    qual = F.concat_ws(".", F.col("schema"), F.col("table"))
+    cond = F.lit(True)
+    if "delete" in skip_dmls:
+        cond = cond & ~((F.col("action") == "delete") & (F.col("action_seq") != 1))
+    if "update" in skip_dmls:
+        cond = cond & (F.col("action_seq").isin(1, 2) == False)  # noqa: E712
+    if skip_delete_tables:
+        cond = cond & ~(
+            (F.col("action") == "delete")
+            & (F.col("action_seq") != 1)
+            & qual.isin(*skip_delete_tables)
+        )
+    if skip_update_tables:
+        cond = cond & ~(F.col("action_seq").isin(1, 2) & qual.isin(*skip_update_tables))
+    return events.filter(cond)
+
+
+def filter_tables(
+    events: DataFrame,
+    only_schemas: tuple[str, ...] = (),
+    only_tables: tuple[str, ...] = (),
+) -> DataFrame:
+    """T3: schema/table allow-list (source-side filter in the reference)."""
+    out = events
+    if only_schemas:
+        out = out.filter(F.col("schema").isin(*only_schemas))
+    if only_tables:
+        out = out.filter(F.col("table").isin(*only_tables))
+    return out
+
+
+def annotate_sign(events: DataFrame, sign_column: str = "sign") -> DataFrame:
+    """T6: collapsing engines carry sign=+1 (insert) / -1 (delete)."""
+    return events.withColumn(
+        sign_column, F.when(F.col("action") == "delete", F.lit(-1)).otherwise(F.lit(1)).cast("int")
+    )
+
+
+def parse_values(events: DataFrame, value_schema: T.StructType) -> DataFrame:
+    """Expand the JSON ``values`` payload into typed columns for one table.
+
+    The explicit schema keeps parsing JVM-side (from_json, codegen) and is
+    the Spark-native analog of the reference's tagged-JSON codec
+    (/root/reference/synch/common.py:16-36) — types are carried by schema,
+    not by value tags.
+    """
+    return events.withColumn("_row", F.from_json("values", value_schema)).select(
+        "schema", "table", "action", "event_unixtime", "action_seq", "_row.*"
+    )

@@ -1,0 +1,141 @@
+"""CDC apply: compact a micro-batch of change events and merge into the target.
+
+This is the Spark-native rewrite of the reference's consumer flush
+(/root/reference/synch/replication/continuous.py:102-154) and the
+engine-specific ``handle_event`` accumulators:
+
+- W3 in-batch last-wins dedup: the reference keeps a dict keyed by pk so
+  a later event for the same pk overwrites an earlier one
+  (/root/reference/synch/writer/merge_tree.py:63-85). Here: window over
+  pk ordered by (event_unixtime desc, action_seq desc), row_number()=1 —
+  a single pk-partitioned exchange, map-side combinable, skew-safe
+  under AQE.
+- W5 delete-before-insert: the reference issues ALTER DELETE for all
+  deleted pks before the batch insert
+  (/root/reference/synch/replication/continuous.py:122-135). Compaction
+  makes this order-free: each pk resolves to ONE net action (the
+  latest), so delete+reinsert in one batch nets to insert, and
+  insert+delete nets to delete. Equivalent final state, one pass.
+- The merge itself is MERGE emulation without Delta: target rows whose
+  pk appears in the batch are dropped (left_anti), then net-inserts are
+  unioned in (SCD0 upsert). At scale this is copy-on-write; with
+  ``partition_by`` only affected partitions rewrite.
+- W6 collapsing engines never merge: they append sign-annotated rows
+  (/root/reference/synch/writer/collapsing_merge_tree.py:37-58); state
+  is recovered at read time by engines.collapsing_view.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from synch_spark.config import Engine, TableSpec
+from synch_spark.operators import engines
+from synch_spark.sources.table import ParquetTable
+
+
+def compact_batch(events: DataFrame, pk: tuple[str, ...]) -> DataFrame:
+    """W3: reduce a batch to one net event per pk (last-wins).
+
+    ``events`` must already have typed row columns (events.parse_values)
+    including the pk columns, plus action/event_unixtime/action_seq.
+    """
+    w = W.partitionBy(*pk).orderBy(
+        F.col("event_unixtime").desc(), F.col("action_seq").desc()
+    )
+    return events.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def apply_cdc_batch(
+    table: ParquetTable,
+    events: DataFrame,
+    spec: TableSpec,
+    value_columns: list[str] | None = None,
+) -> None:
+    """Merge one micro-batch of typed change events into ``table``.
+
+    Dispatches on engine: MergeTree/Replacing do compaction + upsert
+    merge; Collapsing engines do the append-only sign write.
+    """
+    if spec.engine in (Engine.COLLAPSING_MERGE_TREE, Engine.VERSIONED_COLLAPSING_MERGE_TREE):
+        _apply_collapsing(table, events, spec, value_columns)
+    else:
+        _apply_merging(table, events, spec, value_columns)
+
+
+def _row_cols(events: DataFrame, value_columns: list[str] | None) -> list[str]:
+    meta = {"schema", "table", "action", "event_unixtime", "action_seq"}
+    return value_columns or [c for c in events.columns if c not in meta]
+
+
+def _apply_merging(
+    table: ParquetTable,
+    events: DataFrame,
+    spec: TableSpec,
+    value_columns: list[str] | None,
+) -> None:
+    if not spec.has_pk:
+        # no pk: reference skips delete/update and appends inserts only
+        # (/root/reference/synch/replication/etl.py:33-35 analog)
+        cols = _row_cols(events, value_columns)
+        table.append(events.filter(F.col("action") == "insert").select(*cols),
+                     spec.partition_by)
+        return
+
+    pk = spec.pk
+    cols = _row_cols(events, value_columns)
+    net = compact_batch(events, pk).select("action", *cols)
+    # one cache: net is used for both the anti-join keys and the inserts
+    net = net.persist()
+    try:
+        upserts = net.filter(F.col("action") != "delete").drop("action")
+        if not table.exists:
+            table.overwrite(upserts, spec.partition_by)
+            return
+        current = table.read()
+        changed_keys = net.select(*pk)
+        # MERGE: drop every target row whose pk is touched, add net inserts.
+        # changed_keys is one row per pk in the batch — micro-batch sized,
+        # so Catalyst broadcasts it; the big side never shuffles.
+        kept = current.join(F.broadcast(changed_keys), list(pk), "left_anti")
+        table.overwrite(kept.unionByName(upserts.select(*current.columns)),
+                        spec.partition_by)
+    finally:
+        net.unpersist()
+
+
+def _apply_collapsing(
+    table: ParquetTable,
+    events: DataFrame,
+    spec: TableSpec,
+    value_columns: list[str] | None,
+) -> None:
+    """W6: append-only write with sign = +1 insert / -1 delete.
+
+    No compaction, no merge — the fastest write path; read-time
+    collapsing_view recovers the current state. For the reference's
+    exact arrival-order cancellation semantics the event time rides
+    along as a hidden ordering column.
+    """
+    cols = _row_cols(events, value_columns)
+    signed = events.withColumn(
+        spec.sign_column,
+        F.when(F.col("action") == "delete", F.lit(-1)).otherwise(F.lit(1)).cast("int"),
+    )
+    out = signed.select(*cols, spec.sign_column,
+                        F.col("event_unixtime").alias("_event_unixtime"))
+    table.append(out, spec.partition_by)
+
+
+def read_current_state(table: ParquetTable, spec: TableSpec) -> DataFrame:
+    """Read the table through its engine-semantics view (SURVEY §2.7)."""
+    df = table.read()
+    if spec.engine in (Engine.COLLAPSING_MERGE_TREE, Engine.VERSIONED_COLLAPSING_MERGE_TREE):
+        version = spec.version_column if spec.version_column in df.columns else None
+        if spec.engine == Engine.COLLAPSING_MERGE_TREE:
+            version = None
+        out = engines.collapsing_view(
+            df, spec.pk, spec.sign_column, version, order_column="_event_unixtime"
+        )
+        return out.drop(spec.sign_column, "_event_unixtime")
+    return engines.engine_view(df, spec)

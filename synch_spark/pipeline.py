@@ -1,0 +1,129 @@
+"""Full-snapshot ETL driver + count/checksum verification.
+
+Parity: EP1 `synch etl` (/root/reference/synch/replication/etl.py:9-72)
+— ensure database, per table skip-if-no-pk / auto_full_etl=false,
+optional --renew drop, create-from-source-schema, bulk insert — and the
+`synch check` count-parity verifier (/root/reference/synch/cli.py:94-110).
+
+Spark-first: the snapshot is a distributed read (partitioned JDBC in
+production, parquet in tests) written straight to the managed table; the
+reference's server-side `INSERT INTO ... SELECT FROM mysql()` trick
+(/root/reference/synch/writer/merge_tree.py:60-61) becomes "executors
+pull partitioned ranges in parallel", which is strictly more scalable —
+1000 executors each read a key-range slice.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from synch_spark.config import SyncConfig, TableSpec
+from synch_spark.sources.table import ParquetTable
+
+
+def snapshot_jdbc(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options,
+) -> DataFrame:
+    """S1/S2 partitioned snapshot scan of a JDBC source.
+
+    partition_column (usually the pk) splits the scan into
+    ``num_partitions`` server-side range queries executed by different
+    executors — the scale path for 100 TB snapshots.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def etl_full(
+    source_df: DataFrame,
+    table: ParquetTable,
+    spec: TableSpec,
+    renew: bool = False,
+) -> bool:
+    """E1/E2: snapshot one table into the managed target.
+
+    Returns False when skipped (no pk / auto_full_etl off and table
+    exists), mirroring /root/reference/synch/replication/etl.py:33-35.
+    """
+    if not spec.has_pk:
+        return False
+    if table.exists and not renew and not spec.auto_full_etl:
+        return False
+    df = source_df
+    if spec.partition_by:
+        df = df.repartition(F.col(spec.partition_by))
+    table.overwrite(df, spec.partition_by)
+    return True
+
+
+@dataclass
+class CheckResult:
+    source_count: int
+    target_count: int
+    source_checksum: int | None = None
+    target_checksum: int | None = None
+
+    @property
+    def ok(self) -> bool:
+        counts = self.source_count == self.target_count
+        if self.source_checksum is None:
+            return counts
+        return counts and self.source_checksum == self.target_checksum
+
+
+def _checksum(df: DataFrame) -> int:
+    """Order-insensitive content checksum: sum of per-row xxhash64.
+
+    Upgrade over the reference's count-only check (E3) — detects value
+    drift, not just cardinality drift. Distributed: one partial agg.
+    """
+    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in sorted(df.columns)])
+    return df.select(F.sum(row_hash).alias("h")).collect()[0][0] or 0
+
+
+def check(source_df: DataFrame, table: ParquetTable, checksum: bool = False) -> CheckResult:
+    """E3 count parity, optionally extended with a content checksum."""
+    target_df = table.read()
+    res = CheckResult(source_count=source_df.count(), target_count=target_df.count())
+    if checksum:
+        cols = sorted(set(source_df.columns) & set(target_df.columns))
+        res.source_checksum = _checksum(source_df.select(*cols))
+        res.target_checksum = _checksum(target_df.select(*cols))
+    return res
+
+
+def etl_all(
+    spark: SparkSession,
+    cfg: SyncConfig,
+    source_frames: dict[str, DataFrame],
+    warehouse: str,
+    renew: bool = False,
+) -> dict[str, bool]:
+    """Snapshot every configured table (EP1 loop over cfg.tables)."""
+    results = {}
+    for name, spec in cfg.tables.items():
+        src = source_frames.get(name)
+        if src is None:
+            results[name] = False
+            continue
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
+        results[name] = etl_full(src, table, spec, renew=renew)
+    return results
