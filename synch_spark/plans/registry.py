@@ -1,0 +1,15 @@
+"""Master query registry: name -> (spark_fn, oracle_sql | None)."""
+
+from __future__ import annotations
+
+from synch_spark.plans.relational import RELATIONAL_QUERIES
+
+ALL_QUERIES: dict = {}
+ALL_QUERIES.update(RELATIONAL_QUERIES)
+
+try:  # text/dedup/similarity operators land incrementally
+    from synch_spark.plans.dataops import DATAOPS_QUERIES
+
+    ALL_QUERIES.update(DATAOPS_QUERIES)
+except ImportError:
+    pass

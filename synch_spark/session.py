@@ -35,10 +35,30 @@ def get_spark(app_name: str = "sparksynch", cpus: int | None = None) -> SparkSes
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # driver fixtures store events.ts as TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp — read as long and convert in read_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver fixture table, normalizing nanosecond timestamps.
+
+    With nanosAsLong, TIMESTAMP(NANOS) columns surface as LongType nanos;
+    the fixture's values are microsecond-precision, so truncating to
+    micros is lossless (and matches DuckDB's own ns->us truncation).
+    """
+    from pyspark.sql import functions as F, types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        for field in df.schema.fields:
+            if field.name == "ts" and isinstance(field.dataType, T.LongType):
+                df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
@@ -59,7 +79,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = read_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
