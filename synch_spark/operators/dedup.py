@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline extensions (north star), all designed scale-first:
+
+- exact dedup is a hash-groupBy: one shuffle on the 16-byte digest, not
+  the document text; map-side combine applies.
+- n-gram Jaccard uses an inverted-index join (explode shingles, equi-join
+  on shingle) — never a cross join; candidate generation cost is
+  sum_t(n_t_probe * n_t) per shingle, the standard similarity-join plan.
+- MinHash+LSH: shingle -> k min-hashes -> band buckets -> bucket
+  equi-join. Hash function is min(md5(seed || ':' || shingle)) over the
+  *string* ordering — deliberately portable (identical in DuckDB for the
+  oracle) while keeping the uniformity MinHash needs.
+- SimHash: 16-bit signature from per-token md5 prefixes, bit-majority
+  aggregated with sums — one groupBy, no UDF.
+
+Everything is Column algebra (codegen); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from synch_spark.operators.text import normalize_text, tokens
+
+
+# --- exact --------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized) content.
+
+    groupBy on the md5 digest: the shuffle key is 32 hex chars regardless
+    of document size — at 100 TB the shuffle moves ~rows*48B, not text.
+    """
+    key = F.md5(normalize_text(text_col)).alias("_k")
+    reps = df.select(key, F.col(id_col)).groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return df.join(reps, id_col, "left_semi")
+
+
+def duplicate_stats(df: DataFrame, text_col: str) -> DataFrame:
+    return df.select(F.md5(normalize_text(text_col)).alias("_k")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_k").alias("n_unique"),
+    )
+
+
+# --- shingling ----------------------------------------------------------
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams per document."""
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle")).distinct()
+
+
+# --- n-gram Jaccard similarity join ------------------------------------
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    n: int = 1,
+    probe_filter=None,
+) -> DataFrame:
+    """Similarity join: pairs (a, b), a<b, with Jaccard(token-set) >= t.
+
+    Inverted-index plan: explode distinct n-grams, self-equi-join on the
+    gram, count intersections, derive union from per-doc set sizes.
+    ``probe_filter`` (Column predicate on the left id) bounds the
+    candidate set for top-down exploration at scale.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    left = sh.withColumnRenamed("id", "a")
+    if probe_filter is not None:
+        left = left.filter(probe_filter(F.col("a")))
+    right = sh.withColumnRenamed("id", "b")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+# --- MinHash + LSH ------------------------------------------------------
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """(id, seed, h): h = min over shingles of md5(seed ':' shingle).
+
+    min() over the hex-string ordering is a valid MinHash family (md5 is
+    uniform; prefixing the seed yields k independent permutations) and is
+    bit-identical in any engine with md5 — the portability trick that
+    lets DuckDB oracle-check a sketch algorithm.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select("id", "shingle", seeds)
+        .withColumn("hv", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
+        .groupBy("id", "seed")
+        .agg(F.min("hv").alias("h"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidates: docs sharing any LSH band bucket (a<b, distinct).
+
+    rows_per_band = num_hashes // bands; bucket key is the concatenation
+    of the band's min-hashes in seed order. Only bucket-mates join —
+    the shuffle is on (band, bucket), never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(shingles(df, text_col, id_col, shingle_n), num_hashes)
+    buckets = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "h"))), lambda x: x["h"]
+                ),
+            ).alias("bucket")
+        )
+    )
+    a = buckets.select(F.col("id").alias("a"), "band", "bucket")
+    b = buckets.select(F.col("id").alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# --- SimHash ------------------------------------------------------------
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash per document from distinct-token md5 prefixes.
+
+    Token weight vector: for bit j, sum(+1 if bit set else -1) over
+    tokens; signature bit j = (sum >= 0). The 4-hex-char prefix of
+    md5(token) supplies the 16 bits via arithmetic only (strpos on a hex
+    alphabet), keeping the whole operator portable SQL.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
+        .filter(F.col("t") != "")
+        .distinct()
+        .withColumn("hx", F.substring(F.md5("t"), 1, 4))
+    )
+    # hex prefix -> 16-bit int (conv is JVM-side; the DuckDB oracle uses
+    # strpos-on-alphabet arithmetic — same value)
+    tok = tok.withColumn("v", F.conv("hx", 16, 10).cast("long"))
+    agg = [
+        F.sum(
+            F.when((F.floor(F.col("v") / (2**j)) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    sums = tok.groupBy("id").agg(*agg)
+    sig = None
+    for j in range(16):
+        bit = F.when(F.col(f"b{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sums.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Scale plan: block on signature bytes (two 8-bit halves — any pair
+    within hamming<=3 of a 16-bit sig shares at least one exact half,
+    pigeonhole), equi-join per block, then exact popcount filter.
+    """
+    sig = simhash16(df, text_col, id_col)
+    halves = sig.select(
+        "id",
+        "simhash",
+        (F.col("simhash") % 256).alias("lo"),
+        F.floor(F.col("simhash") / 256).cast("long").alias("hi"),
+    )
+    lo_a = halves.select(F.col("id").alias("a"), F.col("simhash").alias("sa"), F.col("lo").alias("k"))
+    lo_b = halves.select(F.col("id").alias("b"), F.col("simhash").alias("sb"), F.col("lo").alias("k"))
+    hi_a = halves.select(F.col("id").alias("a"), F.col("simhash").alias("sa"), F.col("hi").alias("k"))
+    hi_b = halves.select(F.col("id").alias("b"), F.col("simhash").alias("sb"), F.col("hi").alias("k"))
+    cand = (
+        lo_a.join(lo_b, "k").select("a", "b", "sa", "sb")
+        .unionByName(hi_a.join(hi_b, "k").select("a", "b", "sa", "sb"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    xor = F.expr("int(sa) ^ int(sb)")
+    ham = sum(F.floor(xor / (2**j)) % 2 for j in range(16))
+    return cand.withColumn("hamming", ham.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("a", "b", "hamming")

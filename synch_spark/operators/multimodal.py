@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+North-star extension. The container has no image/audio codecs, so the
+*decode* kernels are stubbed (deterministic fake or NotImplementedError),
+but everything Spark-side is real and tested: the schema convention, the
+Arrow-batched mapInPandas pipeline shape, partition sizing, and the
+feature-extraction contract.
+
+Schema convention for a media column ``m``:
+    m:        binary            (opaque payload)
+    m_meta:   struct<format:string, width:int, height:int,
+                     duration_ms:int, codec:string>
+
+At 100 TB the payloads dominate: keep them in their own parquet column
+chunk (columnar pruning means metadata-only queries never touch bytes),
+size partitions by `spark.sql.files.maxPartitionBytes`, and run decode
+as mapInPandas so each Arrow batch amortizes Python crossing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, payload_col: str = "text") -> DataFrame:
+    """Deterministic fake media: payload = utf-8 bytes of a text column,
+    metadata derived from its length. Stands in for real image bytes so
+    the plumbing (binary column + typed meta) is exercised end-to-end."""
+    payload = F.encode(F.col(payload_col), "utf-8")
+    meta = F.struct(
+        F.lit("fake/raw").alias("format"),
+        (F.length(payload_col) % 640 + 1).cast("int").alias("width"),
+        (F.length(payload_col) % 480 + 1).cast("int").alias("height"),
+        F.lit(0).cast("int").alias("duration_ms"),
+        F.lit("none").alias("codec"),
+    )
+    return df.withColumn("media", payload).withColumn("media_meta", meta)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decode kernel — unavailable in this container (no PIL/ffmpeg).
+
+    STUB: raises. extract_features below uses the deterministic fake
+    path; swap this in when codecs exist.
+    """
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+FEATURE_SCHEMA = "id long, n_bytes long, checksum long, aspect double"
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over (media, media_meta).
+
+    The features here are deterministic byte statistics (length, additive
+    checksum, aspect ratio) — a stand-in with the exact pipeline shape of
+    a real embed/resize kernel: mapInPandas over columnar batches, one
+    output row per input row, schema declared up front.
+    """
+    cols = df.select(
+        F.col(id_col).alias("id"), "media", F.col("media_meta.width").alias("w"),
+        F.col("media_meta.height").alias("h"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["media"]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(lambda b: sum(b) % (1 << 31)).astype("int64"),
+                    "aspect": (pdf["w"] / pdf["h"]).astype("float64"),
+                }
+            )
+
+    return cols.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video payloads: one output row per sampled
+    frame timestamp. Decode is stubbed; the explode-by-timestamp plumbing
+    (row multiplication before the expensive kernel) is the real pattern."""
+    stamps = F.sequence(
+        F.lit(0), F.greatest(F.col("media_meta.duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+    )
+    return df.withColumn("frame_ms", F.explode(stamps))

@@ -1,0 +1,209 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension: approximate-nearest-neighbor over embeddings.
+
+- Brute-force cosine top-k (the correctness baseline): broadcast the
+  probe set, score every row with JVM-side array algebra
+  (zip_with + aggregate fold — no Python, no UDF), window top-k.
+  At 100 TB this is one scan of the corpus per probe batch; the probe
+  side is broadcast so the corpus never shuffles.
+- LSH-bucketed variant (the scale path): random-hyperplane signatures
+  via deterministic hash-derived planes; candidates = bucket mates,
+  then exact re-scoring of candidates only. Probing multiple signature
+  permutations trades recall for cost.
+
+Numeric policy: dot/norm products are folded into DECIMAL(38,12) so the
+result is associativity-free and bit-identical to the DuckDB oracle;
+the final cosine is a double division of exact decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+# element type (25,12): addition yields (26,12) — no precision overflow, so
+# Spark never reduces the scale and the fold stays exact at 12 decimals,
+# matching DuckDB's SUM(DECIMAL(38,12)) bit-for-bit after the final cast.
+DEC = "decimal(25,12)"
+
+
+def _dot_dec(a, b):
+    """Exact decimal fold of an elementwise product — order-independent."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
+    return F.aggregate(prods, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC))
+
+
+def _norm2_dec(a):
+    return _dot_dec(a, a)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm2", _norm2_dec(F.col(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe (excluding self-matches).
+
+    probes: (id_col, vec_col) — small; broadcast. Output:
+    (probe_id, neighbor_id, rank, cosine).
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    ).withColumn("_pnorm2", _norm2_dec(F.col("_pv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cnorm2", _norm2_dec(F.col("_cv")))
+    scored = (
+        c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("_dot", _dot_dec(F.col("_pv"), F.col("_cv")))
+        .withColumn(
+            "cosine",
+            F.col("_dot").cast("double")
+            / F.sqrt(F.col("_pnorm2").cast("double") * F.col("_cnorm2").cast("double")),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame, vec_col: str, num_planes: int = 8, num_tables: int = 1
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH signatures (SimHash for vectors).
+
+    Emits one row per (input row, table) with the table's ``num_planes``-
+    bit signature in ``_sig`` and the table index in ``_tbl``. Plane
+    (t, p)'s normal has component j = xxhash64(t*4096+p, j) mapped to
+    {-1,+1} — deterministic, no driver-side randomness to ship. Multiple
+    independent tables are the standard recall lever: a pair collides if
+    it agrees in ANY table.
+    """
+    dim = F.size(F.col(vec_col))
+    tables = F.explode(F.sequence(F.lit(0), F.lit(num_tables - 1))).alias("_tbl")
+    out = df.select("*", tables)
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), dim - 1),
+                lambda x, j: F.when(
+                    F.xxhash64(F.col("_tbl") * 4096 + p, j) % 2 == 0, x.cast("double")
+                ).otherwise(-x.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    bits = F.transform(planes, lambda s: F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
+    # big-endian fold: acc*2 + bit (shiftleft needs a literal shift amount)
+    sig = F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b.cast("long")
+    )
+    return out.withColumn("_sig", sig)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 4,
+    num_tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k: exact scoring restricted to LSH bucket mates.
+
+    A pair is a candidate if its signatures agree in ANY of the
+    ``num_tables`` tables (union via distinct on the joined pairs). The
+    bucket equi-join replaces the corpus-wide scan; planes/tables trade
+    candidate-set size against recall (tested vs cosine_topk in
+    tests/test_dataops.py). At 100 TB: more planes -> smaller buckets;
+    more tables -> recall back — the corpus-side explode is linear in
+    num_tables, the join stays bucket-local.
+    """
+    c = hyperplane_signature(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv",
+        num_planes,
+        num_tables,
+    )
+    p = hyperplane_signature(
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")),
+        "_pv",
+        num_planes,
+        num_tables,
+    )
+    cand = (
+        c.join(F.broadcast(p), ["_tbl", "_sig"])
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", "_pv", "_cv")
+        .distinct()
+    )
+    scored = (
+        cand.withColumn("_dot", _dot_dec(F.col("_pv"), F.col("_cv")))
+        .withColumn("_pn", _norm2_dec(F.col("_pv")))
+        .withColumn("_cn", _norm2_dec(F.col("_cv")))
+        .withColumn(
+            "cosine",
+            F.col("_dot").cast("double")
+            / F.sqrt(F.col("_pn").cast("double") * F.col("_cn").cast("double")),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, LSH-blocked.
+
+    High-cosine pairs agree on almost every hyperplane, so even one
+    8-plane table catches most of them; the extra tables close the gap.
+    """
+    sig = hyperplane_signature(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+        num_planes,
+        num_tables,
+    )
+    a = sig.select(F.col("id").alias("a"), F.col("v").alias("va"), "_tbl", "_sig")
+    b = sig.select(F.col("id").alias("b"), F.col("v").alias("vb"), "_tbl", "_sig")
+    cand = (
+        a.join(b, ["_tbl", "_sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("_dot", _dot_dec(F.col("va"), F.col("vb")))
+        .withColumn("_na", _norm2_dec(F.col("va")))
+        .withColumn("_nb", _norm2_dec(F.col("vb")))
+        .withColumn(
+            "cosine",
+            F.col("_dot").cast("double")
+            / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's surface (north-star extension): language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+All pure Column expressions — JVM-side, whole-stage-codegen'd, no UDFs —
+so they run at scan speed on 100 TB.
+
+Portability contract: every function here has an equivalent DuckDB SQL
+formulation (see plans/dataops.py oracles); tokenization is regex
+whitespace-split, hashes are md5 hex (identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+TOKEN_RE = r"\s+"
+
+# whitespace-split tokens; data-independent, matches string_split_regex in DuckDB
+def tokens(col: Column | str) -> Column:
+    return F.split(F.col(col) if isinstance(col, str) else col, TOKEN_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the BPE-ish proxy for doc length budgeting)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(col).cast("long")
+
+
+# minimal function-word list present in the fixtures' vocabulary; the
+# quality heuristic is stopword density (real pipelines plug in a fuller list)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def stopword_count(col: Column | str) -> Column:
+    toks = tokens(col)
+    arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    return stopword_count(col).cast("double") / token_count(col).cast("double")
+
+
+def mean_token_len(col: Column | str) -> Column:
+    """Average token length — a cheap gibberish / boilerplate signal."""
+    toks = tokens(col)
+    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: penalize very short docs and
+    abnormal stopword density. Deterministic arithmetic only."""
+    n = token_count(col).cast("double")
+    length_term = F.least(n / F.lit(32.0), F.lit(1.0))
+    stop = stopword_ratio(col)
+    stop_term = F.lit(1.0) - F.abs(stop - F.lit(0.12))
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), (length_term + stop_term) / F.lit(2.0)))
+
+
+def lang_guess(col: Column | str) -> Column:
+    """N-gram-free language heuristic: function-word hit rate.
+
+    With a realistic per-language stopword table this is the classic
+    stopword-profile classifier; the fixture corpus is synthetic
+    English-ish for every lang label, so the heuristic's output is a
+    deterministic function of the text (what the oracle checks), not a
+    recovery of the metadata label.
+    """
+    ratio = stopword_ratio(col)
+    return (
+        F.when(ratio >= F.lit(0.08), F.lit("en"))
+        .when(ratio >= F.lit(0.04), F.lit("en_low"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse non-alnum."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text (stable across
+    whitespace/punctuation variants — the exact-dedup key)."""
+    return F.md5(normalize_text(col))

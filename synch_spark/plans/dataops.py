@@ -1,0 +1,272 @@
+"""Training-data-pipeline query surface: dedup, text analysis, similarity.
+
+North-star extensions beyond the reference (SURVEY §2 scope extension).
+Same dual form as relational.py: idiomatic DataFrame program + DuckDB
+oracle SQL. Portability choices that make sketch algorithms
+oracle-checkable:
+
+- hashes are md5 hex strings (identical in both engines); MinHash uses
+  min() over the hex-string ordering;
+- regexp_replace carries the 'g' flag in DuckDB (Spark replaces all by
+  default);
+- dot products / norms fold into DECIMAL(38,12) — exact, associativity-
+  free, so SUM order doesn't matter and both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from synch_spark.operators import dedup, similarity, text
+from synch_spark.plans.relational import _t
+
+TOK_SQL = r"string_split_regex(text, '\s+')"
+NORM_SQL = r"trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+STOP_IN = "(" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + ")"
+
+
+# --- exact dedup ---------------------------------------------------------
+def q16_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_stats(docs, "text")
+
+
+Q16_SQL = f"""
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5({NORM_SQL})) AS n_unique
+FROM documents
+"""
+
+
+# --- text stats ----------------------------------------------------------
+def q17_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.char_count("text").alias("n_chars_m"),
+        text.stopword_count("text").alias("n_stop"),
+        text.fingerprint("text").alias("fp"),
+    ).orderBy("doc_id")
+
+
+Q17_SQL = f"""
+SELECT doc_id,
+       CAST(len({TOK_SQL}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(len(list_filter({TOK_SQL}, t -> t IN {STOP_IN})) AS BIGINT) AS n_stop,
+       md5({NORM_SQL}) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- quality + language heuristic ---------------------------------------
+def q18_quality_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.stopword_ratio("text").alias("stop_ratio"),
+        text.quality_score("text").alias("quality"),
+        text.lang_guess("text").alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+Q18_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_filter({TOK_SQL}, t -> t IN {STOP_IN})) AS DOUBLE)
+           / CAST(len({TOK_SQL}) AS DOUBLE) AS stop_ratio,
+         CAST(len({TOK_SQL}) AS DOUBLE) AS n
+  FROM documents)
+SELECT doc_id, stop_ratio,
+       greatest(0.0, least(1.0,
+         (least(n / 32.0, 1.0) + (1.0 - abs(stop_ratio - 0.12))) / 2.0)) AS quality,
+       CASE WHEN stop_ratio >= 0.08 THEN 'en'
+            WHEN stop_ratio >= 0.04 THEN 'en_low'
+            ELSE 'unknown' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
+# --- distributed wordcount top-k ----------------------------------------
+def q19_token_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+Q19_SQL = f"""
+SELECT t AS token, COUNT(*) AS cnt
+FROM documents, UNNEST({TOK_SQL}) AS u(t)
+GROUP BY t ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
+# --- n-gram Jaccard similarity join -------------------------------------
+JACCARD_T = 0.8
+
+
+def q20_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.jaccard_pairs(
+            docs, "text", "doc_id", threshold=JACCARD_T, n=1,
+            probe_filter=lambda a: a % 10 == 0,
+        )
+        .orderBy("a", "b")
+    )
+
+
+Q20_SQL = f"""
+WITH tok AS (SELECT DISTINCT doc_id, t FROM documents, UNNEST({TOK_SQL}) AS u(t)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM tok x JOIN tok y ON x.t = y.t
+  WHERE x.doc_id < y.doc_id AND x.doc_id % 10 = 0
+  GROUP BY x.doc_id, y.doc_id)
+SELECT a, b, CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {JACCARD_T}
+ORDER BY a, b
+"""
+
+
+# --- MinHash + LSH near-dup candidates ----------------------------------
+def q21_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
+    ).orderBy("a", "b")
+
+
+Q21_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+  WHERE len(w) >= 3),
+mh AS (
+  SELECT doc_id, seed, MIN(md5(seed || ':' || s)) AS h
+  FROM sh, (SELECT UNNEST(generate_series(0, 7)) AS seed) seeds
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, STRING_AGG(h, '|' ORDER BY seed) AS bucket
+  FROM mh GROUP BY doc_id, seed // 2)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+WHERE x.doc_id < y.doc_id
+ORDER BY a, b
+"""
+
+
+# --- SimHash signatures --------------------------------------------------
+def q22_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash16(docs, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    ).orderBy("doc_id")
+
+
+def _simhash_oracle() -> str:
+    hexv = (
+        "((strpos('0123456789abcdef', substr(hx,1,1))-1)*4096"
+        " + (strpos('0123456789abcdef', substr(hx,2,1))-1)*256"
+        " + (strpos('0123456789abcdef', substr(hx,3,1))-1)*16"
+        " + (strpos('0123456789abcdef', substr(hx,4,1))-1))"
+    )
+    bits = ", ".join(
+        f"SUM(CASE WHEN (v // {2**j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    sig = " + ".join(f"(CASE WHEN b{j} >= 0 THEN {2**j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH tok AS (SELECT DISTINCT doc_id, t FROM documents, UNNEST({TOK_SQL}) AS u(t)
+             WHERE t <> ''),
+h AS (SELECT doc_id, substr(md5(t), 1, 4) AS hx FROM tok),
+v AS (SELECT doc_id, {hexv} AS v FROM h),
+s AS (SELECT doc_id, {bits} FROM v GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM s ORDER BY doc_id
+"""
+
+
+Q22_SQL = _simhash_oracle()
+
+
+# --- embedding brute-force cosine top-k ---------------------------------
+def q23_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, probes, k=5).orderBy("probe_id", "rank")
+
+
+Q23_SQL = """
+WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT pid AS probe_id, cid AS neighbor_id,
+    (SELECT SUM(CAST(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE) AS DECIMAL(38,12)))
+     FROM (SELECT UNNEST(pe) AS x, UNNEST(ce) AS y) z) AS dot,
+    (SELECT SUM(CAST(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE) AS DECIMAL(38,12)))
+     FROM (SELECT UNNEST(pe) AS x) z) AS pn,
+    (SELECT SUM(CAST(CAST(z.y AS DOUBLE) * CAST(z.y AS DOUBLE) AS DECIMAL(38,12)))
+     FROM (SELECT UNNEST(ce) AS y) z) AS cn
+  FROM p, c WHERE cid <> pid),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(pn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(pn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+                    neighbor_id) AS rank
+  FROM scored)
+SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank
+"""
+
+
+# --- ANN (LSH) + multimodal plumbing: rows-only (no SQL-expressible oracle)
+def q24_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_lsh(emb, probes, k=5, num_planes=4, num_tables=8).orderBy(
+        "probe_id", "rank"
+    )
+
+
+def q25_multimodal_features(spark, sf_dir):
+    from synch_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs, "text")
+    return multimodal.extract_features(media, "doc_id").orderBy("id")
+
+
+# checksum/bytes are deterministic functions of the utf-8 payload, so the
+# fake-media pipeline does have an oracle:
+Q25_SQL = """
+SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST((SELECT SUM(code_point) % 2147483648
+             FROM (SELECT UNNEST(string_split(text,'')) ch) s,
+                  LATERAL (SELECT unicode(ch) AS code_point) u) AS BIGINT) AS checksum,
+       CAST((length(text) % 640 + 1) AS DOUBLE) / (length(text) % 480 + 1) AS aspect
+FROM documents ORDER BY id
+"""
+
+
+DATAOPS_QUERIES = {
+    "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
+    "q17_text_stats": (q17_text_stats, Q17_SQL),
+    "q18_quality_langid": (q18_quality_langid, Q18_SQL),
+    "q19_token_topk": (q19_token_topk, Q19_SQL),
+    "q20_jaccard_pairs": (q20_jaccard_pairs, Q20_SQL),
+    "q21_minhash_lsh": (q21_minhash_lsh, Q21_SQL),
+    "q22_simhash": (q22_simhash, Q22_SQL),
+    "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
+    "q24_ann_lsh": (q24_ann_lsh, None),
+    "q25_multimodal_features": (q25_multimodal_features, Q25_SQL),
+}

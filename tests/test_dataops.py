@@ -1,0 +1,109 @@
+"""Unit tests for dedup / text / similarity / multimodal operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from synch_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "a"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    kept = dedup.exact_dedup(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 3, 4, 5}  # 2 is the exact dup, rep is min id
+
+
+def test_duplicate_stats(spark, docs):
+    row = dedup.duplicate_stats(docs, "text").collect()[0]
+    assert row["n_docs"] == 5 and row["n_unique"] == 4
+
+
+def test_jaccard_near_dup(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.7, n=1).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_lsh_finds_exact_dup(spark, docs):
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", 8, 4, 3).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in got  # identical docs share every band
+    assert (1, 4) not in got
+
+
+def test_simhash_near_dup(spark, docs):
+    sig = {r["id"]: r["simhash"] for r in dedup.simhash16(docs, "text", "doc_id").collect()}
+    assert sig[1] == sig[2]
+    ham13 = bin(sig[1] ^ sig[3]).count("1")
+    ham14 = bin(sig[1] ^ sig[4]).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated
+
+
+def test_shingles_short_doc(spark, docs):
+    sh = dedup.shingles(docs.filter(F.col("doc_id") == 5), "text", "doc_id", n=3)
+    assert sh.count() == 0  # 1-token doc yields no 3-grams, no error
+
+
+def test_text_stats(spark, docs):
+    row = (
+        docs.filter(F.col("doc_id") == 1)
+        .select(
+            text.token_count("text").alias("n"),
+            text.stopword_count("text").alias("st"),
+        )
+        .collect()[0]
+    )
+    assert row["n"] == 9 and row["st"] == 2  # 'the' twice
+
+
+def test_ann_recall_vs_bruteforce(spark, tables):
+    """LSH ANN must recover most of the exact top-k (the scale path is
+    allowed to be approximate, but not useless)."""
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, probes, k=5)
+    approx = similarity.ann_topk_lsh(emb, probes, k=5, num_planes=4, num_tables=8)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+
+
+def test_cosine_topk_self_excluded(spark, tables):
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(emb, probes, k=3).collect()
+    assert all(r["probe_id"] != r["neighbor_id"] for r in out)
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in out)
+    per_probe = {}
+    for r in out:
+        per_probe.setdefault(r["probe_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_probe.values())
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.attach_fake_media(docs, "text")
+    feats = multimodal.extract_features(media, "doc_id").collect()
+    assert len(feats) == 5
+    byid = {r["id"]: r for r in feats}
+    assert byid[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert byid[1]["checksum"] == sum(b"the quick brown fox jumps over the lazy dog")
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
