@@ -1,0 +1,126 @@
+"""CLI: `python -m synch_spark.cli --config synch.yaml <command>`.
+
+Parity with the reference's Click CLI (/root/reference/synch/cli.py):
+  etl      one-shot full snapshot of configured tables (EP1)
+  consume  continuous CDC from an event stream (EP3)
+  check    source/target count(+checksum) parity  (E3)
+The YAML config keeps the reference's synch.yaml shape (source_dbs /
+databases / tables with clickhouse_engine etc.); Spark-specific keys
+live under `spark:` (warehouse, checkpoint_dir, events_dir).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import yaml
+
+from synch_spark.config import config_from_dict
+from synch_spark.pipeline import check, etl_full
+from synch_spark.session import get_spark
+from synch_spark.sources.table import ParquetTable
+
+
+def _load(config_path: str):
+    with open(config_path) as f:
+        return yaml.safe_load(f)
+
+
+def cmd_etl(args) -> int:
+    raw = _load(args.config)
+    cfg = config_from_dict(raw)
+    spark = get_spark("synch-etl")
+    warehouse = raw["spark"]["warehouse"]
+    results = {}
+    for name, spec in cfg.tables.items():
+        if args.schema and spec.schema != args.schema:
+            continue
+        if args.table and spec.table != args.table:
+            continue
+        src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
+            raw["spark"]["sources"][name]
+        )
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
+        results[name] = etl_full(src, table, spec, renew=args.renew)
+    print(json.dumps({"etl": results}))
+    return 0
+
+
+def cmd_consume(args) -> int:
+    raw = _load(args.config)
+    cfg = config_from_dict(raw)
+    spark = get_spark("synch-consume")
+    from pyspark.sql import types as T
+
+    from synch_spark.streaming.pipeline import CdcPipeline
+
+    schemas = {
+        name: T.StructType.fromJson(js)
+        for name, js in raw["spark"].get("value_schemas", {}).items()
+    }
+    pipe = CdcPipeline(
+        spark=spark,
+        cfg=cfg,
+        warehouse=raw["spark"]["warehouse"],
+        checkpoint_dir=raw["spark"]["checkpoint_dir"],
+        value_schemas=schemas,
+    )
+    if raw["spark"].get("kafka"):
+        q = pipe.start_kafka_stream(
+            raw["spark"]["kafka"]["bootstrap_servers"], raw["spark"]["kafka"]["topic"]
+        )
+    else:
+        q = pipe.start_file_stream(
+            raw["spark"]["events_dir"],
+            available_now=args.available_now,
+            processing_interval=f"{cfg.insert_interval_s} seconds",
+        )
+    q.awaitTermination()
+    return 0
+
+
+def cmd_check(args) -> int:
+    raw = _load(args.config)
+    cfg = config_from_dict(raw)
+    spark = get_spark("synch-check")
+    warehouse = raw["spark"]["warehouse"]
+    out, ok = {}, True
+    for name, spec in cfg.tables.items():
+        src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
+            raw["spark"]["sources"][name]
+        )
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
+        res = check(src, table, checksum=args.checksum)
+        out[name] = {
+            "source": res.source_count,
+            "target": res.target_count,
+            "ok": res.ok,
+        }
+        ok = ok and res.ok
+    print(json.dumps({"check": out, "ok": ok}))
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="synch-spark")
+    p.add_argument("--config", required=True)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    e = sub.add_parser("etl", help="one-shot full snapshot")
+    e.add_argument("--schema")
+    e.add_argument("--table")
+    e.add_argument("--renew", action="store_true")
+    e.set_defaults(fn=cmd_etl)
+    c = sub.add_parser("consume", help="continuous CDC")
+    c.add_argument("--available-now", action="store_true")
+    c.set_defaults(fn=cmd_consume)
+    k = sub.add_parser("check", help="count/checksum parity")
+    k.add_argument("--checksum", action="store_true")
+    k.set_defaults(fn=cmd_check)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

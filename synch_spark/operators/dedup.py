@@ -46,7 +46,12 @@ def duplicate_stats(df: DataFrame, text_col: str) -> DataFrame:
 # --- shingling ----------------------------------------------------------
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) pairs: distinct word n-grams per document."""
-    toks = tokens(text_col)
+    # materialize the token array behind a projection boundary so the
+    # split() runs once per row — referencing the tokens *expression*
+    # inside the transform lambda re-evaluates it per element_at call,
+    # which is quadratic in document length
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -54,7 +59,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle")).distinct()
+    return base.select("id", F.explode(grams).alias("shingle")).distinct()
 
 
 # --- n-gram Jaccard similarity join ------------------------------------
@@ -147,14 +152,28 @@ def lsh_candidate_pairs(
             ).alias("bucket")
         )
     )
-    a = buckets.select(F.col("id").alias("a"), "band", "bucket")
-    b = buckets.select(F.col("id").alias("b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    # pair generation as ONE pass: group bucket members, emit combinations
+    # in-expression (no self-join -> the whole shingle/minhash pipeline
+    # executes once, and the shuffle key is (band, bucket))
+    members = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
 
 
 # --- SimHash ------------------------------------------------------------

@@ -90,13 +90,16 @@ class CheckResult:
 
 
 def _checksum(df: DataFrame) -> int:
-    """Order-insensitive content checksum: sum of per-row xxhash64.
+    """Order-insensitive content checksum: XOR of per-row xxhash64.
 
     Upgrade over the reference's count-only check (E3) — detects value
-    drift, not just cardinality drift. Distributed: one partial agg.
+    drift, not just cardinality drift. XOR is commutative and can't
+    overflow (sum of hashes trips ANSI long overflow). Distributed: one
+    partial agg.
     """
     row_hash = F.xxhash64(*[F.col(c).cast("string") for c in sorted(df.columns)])
-    return df.select(F.sum(row_hash).alias("h")).collect()[0][0] or 0
+    out = df.select(row_hash.alias("h")).agg(F.expr("bit_xor(h)")).collect()[0][0]
+    return out or 0
 
 
 def check(source_df: DataFrame, table: ParquetTable, checksum: bool = False) -> CheckResult:

@@ -107,14 +107,18 @@ GROUP BY t ORDER BY cnt DESC, token LIMIT 20
 
 
 # --- n-gram Jaccard similarity join -------------------------------------
-JACCARD_T = 0.8
+# 3-gram sets: the fixture vocabulary is tiny (~31 words), so unigram
+# Jaccard is dense-by-construction (hundreds of thousands of "near-dup"
+# pairs); word 3-grams make similarity selective and the inverted-index
+# join sparse — the same reason real pipelines shingle before Jaccard.
+JACCARD_T = 0.6
 
 
 def q20_jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
         dedup.jaccard_pairs(
-            docs, "text", "doc_id", threshold=JACCARD_T, n=1,
+            docs, "text", "doc_id", threshold=JACCARD_T, n=3,
             probe_filter=lambda a: a % 10 == 0,
         )
         .orderBy("a", "b")
@@ -122,7 +126,11 @@ def q20_jaccard_pairs(spark, sf_dir):
 
 
 Q20_SQL = f"""
-WITH tok AS (SELECT DISTINCT doc_id, t FROM documents, UNNEST({TOK_SQL}) AS u(t)),
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+  WHERE len(w) >= 3),
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
