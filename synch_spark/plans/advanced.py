@@ -1,0 +1,251 @@
+"""Advanced operator families beyond the DQ suite: as-of join,
+sessionization, pivot, rollup, exact percentile, and a *real*
+Structured Streaming windowed aggregation checked against a batch SQL
+oracle. Same dual Spark/DuckDB form as relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from synch_spark.plans.relational import DEC, _t
+
+
+# --- as-of join ----------------------------------------------------------
+# Spark has no native ASOF JOIN (DuckDB does — the oracle uses it). The
+# scalable Spark plan is the union trick: tag both streams, sort within
+# (key, time) once, and carry the latest right-side attributes forward
+# with last_value(ignorenulls) — one shuffle on the key, no per-key loop,
+# no range cross-join. This is the standard big-data as-of strategy.
+def q26_asof_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    events = _t(spark, sf_dir, "events")
+    left = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.col("o_orderkey"),
+        F.lit(1).alias("_is_order"),
+        F.lit(None).cast("string").alias("_etype"),
+        F.lit(None).cast("timestamp").alias("_ets"),
+    )
+    right = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(0).alias("_is_order"),
+        F.col("event_type").alias("_etype"),
+        F.col("ts").alias("_ets"),
+    )
+    # events sort before orders at equal t (_is_order asc) => ts <= o_orderdate
+    w = W.partitionBy("k").orderBy("t", "_is_order").rowsBetween(W.unboundedPreceding, 0)
+    merged = left.unionByName(right).withColumn(
+        "last_event_type", F.last("_etype", ignorenulls=True).over(w)
+    ).withColumn("last_event_ts", F.last("_ets", ignorenulls=True).over(w))
+    return (
+        merged.filter(F.col("_is_order") == 1)
+        .select(
+            F.col("k").alias("o_custkey"),
+            "o_orderkey",
+            "last_event_type",
+            "last_event_ts",
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q26_SQL = """
+SELECT o_custkey, o_orderkey,
+       e.event_type AS last_event_type, e.ts AS last_event_ts
+FROM (SELECT * FROM orders WHERE o_custkey <= 50) o
+ASOF LEFT JOIN events e
+  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- sessionization ------------------------------------------------------
+SESSION_GAP_S = 3600
+
+
+def q27_sessionize(spark, sf_dir):
+    """Classic gap-based sessionization: new session when the gap from the
+    previous event of the same user exceeds 1 h; output per-user session
+    count and longest session length (events)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > SESSION_GAP_S),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    per_session = sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.max("n").cast("bigint").alias("longest"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q27_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                   > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g),
+ps AS (SELECT user_id, sess_id, COUNT(*) AS n FROM s GROUP BY user_id, sess_id)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions, CAST(MAX(n) AS BIGINT) AS longest
+FROM ps GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- pivot ---------------------------------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q28_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+    return out.select(
+        "d", *[F.col(t).cast("bigint").alias(t) for t in EVENT_TYPES]
+    ).orderBy("d")
+
+
+Q28_SQL = """
+SELECT CAST(ts AS DATE) AS d,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY CAST(ts AS DATE) ORDER BY d
+"""
+
+
+# --- rollup --------------------------------------------------------------
+def q29_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+Q29_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls
+"""
+
+
+# --- exact percentiles ---------------------------------------------------
+def q30_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+    ).orderBy("l_returnflag")
+
+
+Q30_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- Structured Streaming windowed aggregation ---------------------------
+def q31_streaming_tumbling(spark, sf_dir):
+    """A REAL streaming query: the events fixture replayed through
+    readStream -> watermark -> 1-day tumbling window -> complete-mode
+    memory sink; the returned DataFrame is the final result table. The
+    oracle is the equivalent batch SQL — exact equality is the
+    batch/stream consistency guarantee Structured Streaming makes."""
+    import os
+    import uuid
+
+    from pyspark.sql import types as T
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the fixture is a single file; the file stream source wants a
+    # directory listing, so stream the sf dir with a glob filter
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong fixture quirk
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        )
+    )
+    name = f"q31_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("w.start").cast("date").alias("d"), "event_type", "n", "s"
+    ).orderBy("d", "event_type")
+
+
+Q31_SQL = """
+SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+FROM events GROUP BY CAST(ts AS DATE), event_type ORDER BY d, event_type
+"""
+
+
+ADVANCED_QUERIES = {
+    "q26_asof_join": (q26_asof_join, Q26_SQL),
+    "q27_sessionize": (q27_sessionize, Q27_SQL),
+    "q28_pivot": (q28_pivot, Q28_SQL),
+    "q29_rollup": (q29_rollup, Q29_SQL),
+    "q30_percentiles": (q30_percentiles, Q30_SQL),
+    "q31_streaming_tumbling": (q31_streaming_tumbling, Q31_SQL),
+}

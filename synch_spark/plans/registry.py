@@ -13,3 +13,10 @@ try:  # text/dedup/similarity operators land incrementally
     ALL_QUERIES.update(DATAOPS_QUERIES)
 except ImportError:
     pass
+
+try:
+    from synch_spark.plans.advanced import ADVANCED_QUERIES
+
+    ALL_QUERIES.update(ADVANCED_QUERIES)
+except ImportError:
+    pass
