@@ -127,6 +127,39 @@ def _apply_collapsing(
     table.append(out, spec.partition_by)
 
 
+def compact_table(table: ParquetTable, spec: TableSpec) -> None:
+    """Eagerly apply the engine view and rewrite the table — the analog of
+    ClickHouse `OPTIMIZE TABLE ... FINAL` (the background merge the
+    reference relies on, /root/reference/synch/writer/*.py engine DDL).
+
+    For collapsing engines this folds the accumulated ±1 rows down to the
+    surviving state (keeping sign=+1 rows so subsequent appends keep
+    cancelling correctly); for Replacing it drops superseded versions.
+    At scale this is the periodic maintenance job that keeps read-time
+    window/aggregate cost bounded; with ``partition_by`` set it can run
+    per-partition.
+    """
+    state = read_current_state(table, spec)
+    if spec.engine in (Engine.COLLAPSING_MERGE_TREE, Engine.VERSIONED_COLLAPSING_MERGE_TREE):
+        cols = table.read().columns
+        state = (
+            state.withColumn(spec.sign_column, F.lit(1).cast("int"))
+            .withColumn("_event_unixtime", F.lit(0).cast("long"))
+            .select(*cols)
+        )
+    table.overwrite(state, spec.partition_by)
+
+
+def register_final_view(spark, table: ParquetTable, spec: TableSpec, name: str | None = None):
+    """Expose `SELECT * FROM <table>_final` — the FINAL-read convenience
+    the reference gets from ClickHouse; here a temp view over the engine
+    semantics so downstream SQL needs no knowledge of signs/versions."""
+    df = read_current_state(table, spec)
+    view = name or f"{spec.table}_final"
+    df.createOrReplaceTempView(view)
+    return df
+
+
 def read_current_state(table: ParquetTable, spec: TableSpec) -> DataFrame:
     """Read the table through its engine-semantics view (SURVEY §2.7)."""
     df = table.read()

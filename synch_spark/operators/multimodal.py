@@ -76,13 +76,18 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads = pdf["media"]
+            checksums = payloads.map(
+                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64)) % (1 << 31)
+            )
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "checksum": payloads.map(lambda b: sum(b) % (1 << 31)).astype("int64"),
+                    "checksum": checksums.astype("int64"),
                     "aspect": (pdf["w"] / pdf["h"]).astype("float64"),
                 }
             )

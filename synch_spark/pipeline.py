@@ -52,6 +52,47 @@ def snapshot_jdbc(
     return reader.load()
 
 
+def snapshot_jdbc_auto(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    partition_column: str,
+    num_partitions: int = 32,
+    **options,
+) -> DataFrame:
+    """S1 scale path with automatic range discovery: probe min/max of the
+    partition column server-side (one tiny query), then issue
+    ``num_partitions`` parallel range scans. This is how a 100 TB
+    snapshot actually runs: per-executor key-range pulls, no single
+    connection bottleneck, no data through the driver.
+    """
+    probe = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option(
+            "dbtable",
+            f"(select min({partition_column}) lo, max({partition_column}) hi "
+            f"from {dbtable}) b",
+        )
+    )
+    for k, v in options.items():
+        probe = probe.option(k, v)
+    row = probe.load().collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return snapshot_jdbc(spark, url, dbtable, **options)
+    return snapshot_jdbc(
+        spark,
+        url,
+        dbtable,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        **options,
+    )
+
+
 def etl_full(
     source_df: DataFrame,
     table: ParquetTable,

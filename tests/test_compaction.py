@@ -1,0 +1,99 @@
+"""Compaction (OPTIMIZE FINAL analog) + partitioned CDC writes + final views."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F, types as T
+
+from synch_spark.config import Engine, TableSpec
+from synch_spark.events import RAW_EVENT_SCHEMA, parse_values, split_updates
+from synch_spark.operators.cdc_apply import (
+    apply_cdc_batch,
+    compact_table,
+    read_current_state,
+    register_final_view,
+)
+from synch_spark.sources.table import ParquetTable
+
+VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("day", T.StringType()),
+    ]
+)
+
+
+def _typed(spark, rows):
+    data = [
+        ("db", "t", a, json.dumps(b) if b else None, json.dumps(af) if af else None, us)
+        for (a, b, af, us) in rows
+    ]
+    raw = spark.createDataFrame(data, RAW_EVENT_SCHEMA)
+    return parse_values(split_updates(raw), VALUE_SCHEMA)
+
+
+def test_collapsing_compaction_preserves_state(spark, tmp_path):
+    spec = TableSpec(
+        schema="db", table="t", pk=("id",), engine=Engine.COLLAPSING_MERGE_TREE
+    )
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    apply_cdc_batch(t, _typed(spark, [
+        ("insert", None, {"id": 1, "amount": 1.0, "day": "d1"}, 100),
+        ("update", {"id": 1, "amount": 1.0, "day": "d1"}, {"id": 1, "amount": 2.0, "day": "d1"}, 200),
+        ("insert", None, {"id": 2, "amount": 5.0, "day": "d2"}, 300),
+        ("delete", {"id": 2, "amount": 5.0, "day": "d2"}, None, 400),
+    ]), spec)
+    before = read_current_state(t, spec).collect()
+    assert t.read().count() == 5  # signed rows accumulated
+    compact_table(t, spec)
+    assert t.read().count() == 1  # folded to surviving state
+    after = read_current_state(t, spec).collect()
+    assert {(r["id"], r["amount"]) for r in before} == {(r["id"], r["amount"]) for r in after}
+    # post-compaction CDC keeps working (delete cancels the +1 row)
+    apply_cdc_batch(t, _typed(spark, [
+        ("delete", {"id": 1, "amount": 2.0, "day": "d1"}, None, 500),
+    ]), spec)
+    assert read_current_state(t, spec).count() == 0
+
+
+def test_replacing_compaction(spark, tmp_path):
+    spec = TableSpec(schema="db", table="t", pk=("id",))
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    apply_cdc_batch(t, _typed(spark, [
+        ("insert", None, {"id": 1, "amount": 1.0, "day": "d1"}, 100),
+        ("insert", None, {"id": 2, "amount": 2.0, "day": "d1"}, 100),
+    ]), spec)
+    compact_table(t, spec)
+    assert t.read().count() == 2
+
+
+def test_partitioned_cdc_apply(spark, tmp_path):
+    import os
+
+    spec = TableSpec(schema="db", table="t", pk=("id",), partition_by="day")
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    apply_cdc_batch(t, _typed(spark, [
+        ("insert", None, {"id": 1, "amount": 1.0, "day": "d1"}, 100),
+        ("insert", None, {"id": 2, "amount": 2.0, "day": "d2"}, 100),
+    ]), spec)
+    vdir = os.path.join(str(tmp_path / "t"), f"v={t.current_version()}")
+    assert sorted(d for d in os.listdir(vdir) if d.startswith("day=")) == ["day=d1", "day=d2"]
+    apply_cdc_batch(t, _typed(spark, [
+        ("update", {"id": 1, "amount": 1.0, "day": "d1"}, {"id": 1, "amount": 9.0, "day": "d1"}, 200),
+    ]), spec)
+    got = {r["id"]: r["amount"] for r in read_current_state(t, spec).collect()}
+    assert got == {1: 9.0, 2: 2.0}
+
+
+def test_register_final_view(spark, tmp_path):
+    spec = TableSpec(schema="db", table="tv", pk=("id",))
+    t = ParquetTable(spark, str(tmp_path / "tv"))
+    apply_cdc_batch(t, _typed(spark, [
+        ("insert", None, {"id": 1, "amount": 1.0, "day": "d1"}, 100),
+        ("update", {"id": 1, "amount": 1.0, "day": "d1"}, {"id": 1, "amount": 7.0, "day": "d1"}, 200),
+    ]), spec)
+    register_final_view(spark, t, spec)
+    out = spark.sql("SELECT id, amount FROM tv_final").collect()
+    assert [(r["id"], r["amount"]) for r in out] == [(1, 7.0)]
