@@ -209,9 +209,9 @@ def q31_streaming_tumbling(spark, sf_dir):
         .parquet(sf_dir)
     )
     if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong fixture quirk
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        from synch_spark.session import nanos_to_ts
+
+        stream = stream.withColumn("ts", nanos_to_ts("ts"))
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -241,6 +241,122 @@ FROM events GROUP BY CAST(ts AS DATE), event_type ORDER BY d, event_type
 """
 
 
+# --- range join ----------------------------------------------------------
+RANGE_GAP_S = 60
+
+
+def q32_range_join(spark, sf_dir):
+    """Event pairs of the same user within 60 s of each other (a<b) —
+    bucket-blocked interval join, never O(n^2)."""
+    from synch_spark.operators.rangejoin import time_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("a"), F.col("ts").alias("ta")
+    )
+    right = ev.select(
+        F.col("user_id").alias("u2"), F.col("event_id").alias("b"), F.col("ts").alias("tb")
+    )
+    out = time_range_join(
+        left,
+        right,
+        "ta",
+        "tb",
+        RANGE_GAP_S,
+        extra_cond=(F.col("u") == F.col("u2")) & (F.col("a") < F.col("b")),
+    )
+    return out.select("u", "a", "b").distinct().orderBy("u", "a", "b")
+
+
+Q32_SQL = f"""
+SELECT DISTINCT x.user_id AS u, x.event_id AS a, y.event_id AS b
+FROM events x JOIN events y
+  ON x.user_id = y.user_id AND x.event_id < y.event_id
+ AND abs(date_diff('second', y.ts, x.ts)) <= {RANGE_GAP_S}
+ORDER BY u, a, b
+"""
+
+
+# --- cube ---------------------------------------------------------------
+def q33_cube(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("et"),
+            F.coalesce(F.col("d").cast("string"), F.lit("ALL")).alias("d"),
+            "n",
+        )
+        .orderBy("et", "d")
+    )
+
+
+Q33_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS et,
+       COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS d,
+       COUNT(*) AS n
+FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE)) ORDER BY et, d
+"""
+
+
+# --- approximate sketches (rows-only: sketch outputs are engine-specific,
+# accuracy is regression-tested against exact values in pytest) ----------
+def q34_approx_sketches(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+    ).orderBy("l_returnflag")
+
+
+# --- custom stateful streaming: first event per user ---------------------
+def q35_streaming_first_per_key(spark, sf_dir):
+    """applyInPandasWithState keep-first dedup over the event stream; the
+    oracle is the batch window formulation — stream/batch equivalence for
+    a *custom* stateful operator."""
+    import os
+    import uuid
+
+    from synch_spark.streaming.stateful import streaming_first_per_key
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        from synch_spark.session import nanos_to_ts
+
+        stream = stream.withColumn("ts", nanos_to_ts("ts"))
+    out = streaming_first_per_key(
+        stream, "user_id", "ts", "user_id long, ts timestamp, event_type string"
+    )
+    name = f"q35_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select("user_id", F.col("ts").alias("first_ts"), "event_type")
+        .orderBy("user_id")
+    )
+
+
+Q35_SQL = """
+SELECT user_id, ts AS first_ts, event_type FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events) t
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
 ADVANCED_QUERIES = {
     "q26_asof_join": (q26_asof_join, Q26_SQL),
     "q27_sessionize": (q27_sessionize, Q27_SQL),
@@ -248,4 +364,8 @@ ADVANCED_QUERIES = {
     "q29_rollup": (q29_rollup, Q29_SQL),
     "q30_percentiles": (q30_percentiles, Q30_SQL),
     "q31_streaming_tumbling": (q31_streaming_tumbling, Q31_SQL),
+    "q32_range_join": (q32_range_join, Q32_SQL),
+    "q33_cube": (q33_cube, Q33_SQL),
+    "q34_approx_sketches": (q34_approx_sketches, None),
+    "q35_streaming_first_per_key": (q35_streaming_first_per_key, Q35_SQL),
 }

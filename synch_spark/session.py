@@ -51,14 +51,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     the fixture's values are microsecond-precision, so truncating to
     micros is lossless (and matches DuckDB's own ns->us truncation).
     """
-    from pyspark.sql import functions as F, types as T
+    from pyspark.sql import types as T
 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         for field in df.schema.fields:
             if field.name == "ts" and isinstance(field.dataType, T.LongType):
-                df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                df = df.withColumn("ts", nanos_to_ts("ts"))
     return df
+
+
+def nanos_to_ts(col: str):
+    """Epoch-nanos long -> microsecond timestamp. MUST be integer division:
+    float /1000 rounds at ~1e18 magnitudes and lands 1 microsecond off."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
