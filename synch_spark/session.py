@@ -44,6 +44,15 @@ def get_spark(app_name: str = "sparksynch", cpus: int | None = None) -> SparkSes
     return spark
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make an externally-created session (e.g. the driver's) safe for our
+    queries: nanos-timestamp fixtures readable, UTC timestamps (oracle
+    parity). Both confs are runtime-settable — verified on a vanilla
+    session."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver fixture table, normalizing nanosecond timestamps.
 
@@ -53,6 +62,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import types as T
 
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         for field in df.schema.fields:
