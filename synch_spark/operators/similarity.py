@@ -41,36 +41,68 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm2", _norm2_dec(F.col(vec_col)))
 
 
+def _dot_double(a, b):
+    """Fast JVM double fold (ranking prefilter; not oracle-exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _decimal_rescore(cand: DataFrame) -> DataFrame:
+    """Exact decimal cosine on (_pv, _cv) candidate rows -> `cosine`."""
+    return (
+        cand.withColumn("_dot", _dot_dec(F.col("_pv"), F.col("_cv")))
+        .withColumn("_pn", _norm2_dec(F.col("_pv")))
+        .withColumn("_cn", _norm2_dec(F.col("_cv")))
+        .withColumn(
+            "cosine",
+            F.col("_dot").cast("double")
+            / F.sqrt(F.col("_pn").cast("double") * F.col("_cn").cast("double")),
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    prefilter: int = 32,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per probe (excluding self-matches).
 
-    probes: (id_col, vec_col) — small; broadcast. Output:
+    Two-phase scoring: a cheap double-precision pass ranks everything
+    (one corpus scan, probe set broadcast), then only the top
+    ``prefilter`` candidates per probe are re-scored with the exact
+    decimal fold that defines the output (and matches the DuckDB oracle
+    bit-for-bit). With prefilter >> k the double/decimal rank disagreement
+    window (~1e-15) cannot affect the final top-k. Output:
     (probe_id, neighbor_id, rank, cosine).
     """
+    # norms computed once per side (n + m folds), not once per pair (n*m)
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
-    ).withColumn("_pnorm2", _norm2_dec(F.col("_pv")))
+    ).withColumn("_pn_d", F.sqrt(_dot_double(F.col("_pv"), F.col("_pv"))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("_cnorm2", _norm2_dec(F.col("_cv")))
-    scored = (
-        c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("_dot", _dot_dec(F.col("_pv"), F.col("_cv")))
-        .withColumn(
-            "cosine",
-            F.col("_dot").cast("double")
-            / F.sqrt(F.col("_pnorm2").cast("double") * F.col("_cnorm2").cast("double")),
-        )
+    ).withColumn("_cn_d", F.sqrt(_dot_double(F.col("_cv"), F.col("_cv"))))
+    rough = c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id")).withColumn(
+        "_s",
+        _dot_double(F.col("_pv"), F.col("_cv")) / (F.col("_pn_d") * F.col("_cn_d")),
+    )
+    wr = W.partitionBy("probe_id").orderBy(F.col("_s").desc(), F.col("neighbor_id"))
+    cand = (
+        rough.withColumn("_rr", F.row_number().over(wr))
+        .filter(F.col("_rr") <= max(prefilter, k))
+        .drop("_rr", "_s", "_pn_d", "_cn_d")
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        _decimal_rescore(cand)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "cosine")
     )
@@ -132,37 +164,41 @@ def ann_topk_lsh(
     more tables -> recall back — the corpus-side explode is linear in
     num_tables, the join stays bucket-local.
     """
+    # signature join carries IDs only — vectors never ride the shuffle;
+    # the (small) candidate-pair set is then broadcast back against the
+    # corpus and probe vectors for exact scoring
     c = hyperplane_signature(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
         "_cv",
         num_planes,
         num_tables,
-    )
+    ).select("neighbor_id", "_tbl", "_sig")
     p = hyperplane_signature(
         probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")),
         "_pv",
         num_planes,
         num_tables,
-    )
-    cand = (
+    ).select("probe_id", "_tbl", "_sig")
+    cand_ids = (
         c.join(F.broadcast(p), ["_tbl", "_sig"])
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .select("probe_id", "neighbor_id", "_pv", "_cv")
+        .select("probe_id", "neighbor_id")
         .distinct()
     )
-    scored = (
-        cand.withColumn("_dot", _dot_dec(F.col("_pv"), F.col("_cv")))
-        .withColumn("_pn", _norm2_dec(F.col("_pv")))
-        .withColumn("_cn", _norm2_dec(F.col("_cv")))
-        .withColumn(
-            "cosine",
-            F.col("_dot").cast("double")
-            / F.sqrt(F.col("_pn").cast("double") * F.col("_cn").cast("double")),
+    cand = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .join(F.broadcast(cand_ids), "neighbor_id")
+        .join(
+            F.broadcast(
+                probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"))
+            ),
+            "probe_id",
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        _decimal_rescore(cand)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "cosine")
     )
