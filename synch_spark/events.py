@@ -95,33 +95,30 @@ def split_updates(raw: DataFrame) -> DataFrame:
 
 
 def filter_dml(
-    events: DataFrame,
+    raw: DataFrame,
     skip_dmls: tuple[str, ...] = (),
     skip_delete_tables: tuple[str, ...] = (),
     skip_update_tables: tuple[str, ...] = (),
 ) -> DataFrame:
-    """T2: drop delete events per config.
-
-    Matches the reference's semantics: a skipped *update* suppresses the
-    whole update (both halves); a skipped *delete* suppresses standalone
-    deletes only. Update-halves are distinguishable: delete with
-    action_seq=1 is always the first half of an update.
+    """T2: drop update/delete events per config — applied to RAW events
+    (before update-split), exactly where the reference applies them
+    (/root/reference/synch/reader/mysql.py:190-212): a skipped *update*
+    suppresses the whole update (both future halves); a skipped *delete*
+    suppresses standalone deletes only. Post-split the two kinds are
+    indistinguishable by design (both carry action_seq=1), so ordering
+    matters: filter first, split second.
     """
     qual = F.concat_ws(".", F.col("schema"), F.col("table"))
     cond = F.lit(True)
     if "delete" in skip_dmls:
-        cond = cond & ~((F.col("action") == "delete") & (F.col("action_seq") != 1))
+        cond = cond & (F.col("action") != "delete")
     if "update" in skip_dmls:
-        cond = cond & (F.col("action_seq").isin(1, 2) == False)  # noqa: E712
+        cond = cond & (F.col("action") != "update")
     if skip_delete_tables:
-        cond = cond & ~(
-            (F.col("action") == "delete")
-            & (F.col("action_seq") != 1)
-            & qual.isin(*skip_delete_tables)
-        )
+        cond = cond & ~((F.col("action") == "delete") & qual.isin(*skip_delete_tables))
     if skip_update_tables:
-        cond = cond & ~(F.col("action_seq").isin(1, 2) & qual.isin(*skip_update_tables))
-    return events.filter(cond)
+        cond = cond & ~((F.col("action") == "update") & qual.isin(*skip_update_tables))
+    return raw.filter(cond)
 
 
 def filter_tables(

@@ -1,0 +1,29 @@
+"""Skew mitigation utilities for hot keys.
+
+AQE's skew-join splitting handles most cases at runtime; explicit
+salting is for the aggregations/windows AQE can't split (e.g. the CDC
+compaction window when one pk dominates a batch, or a groupBy on a
+power-law key). Pattern: two-phase aggregate over a salted key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_count(df: DataFrame, key_cols: list[str], salt_buckets: int = 16) -> DataFrame:
+    """groupBy(key).count() resilient to hot keys: phase 1 aggregates
+    (key, salt) partitions, phase 2 combines the (tiny) per-salt partials.
+    The heavy shuffle carries at most ``salt_buckets`` rows per hot key
+    per phase-1 reducer instead of all its rows on one reducer."""
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    phase1 = salted.groupBy(*key_cols, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    return phase1.groupBy(*key_cols).agg(F.sum("_c").cast("bigint").alias("n"))
+
+
+def salted_sum(
+    df: DataFrame, key_cols: list[str], value_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    phase1 = salted.groupBy(*key_cols, "_salt").agg(F.sum(value_col).alias("_s"))
+    return phase1.groupBy(*key_cols).agg(F.sum("_s").alias(f"sum_{value_col}"))

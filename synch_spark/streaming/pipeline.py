@@ -64,8 +64,26 @@ class CdcPipeline:
 
     # -- the batch applier (runs once per micro-batch on the driver) --------
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        batch = batch.persist()
+        raw = batch.persist()
+        batch = raw
         try:
+            # dead-letter capture (reference's --skip-error, continuous.py:120-152,
+            # upgraded from silent skip to an inspectable table): rows that
+            # didn't parse into a routable event land in _synch_dead_letter
+            bad = batch.filter(
+                F.col("action").isNull()
+                | F.col("schema").isNull()
+                | F.col("table").isNull()
+            )
+            if bad.limit(1).count() > 0:
+                ParquetTable(self.spark, f"{self.warehouse}/_synch_dead_letter").append(
+                    bad.withColumn("_epoch", F.lit(epoch_id))
+                )
+            batch = batch.filter(
+                F.col("action").isNotNull()
+                & F.col("schema").isNotNull()
+                & F.col("table").isNotNull()
+            )
             # DDL barrier: 'query' events are rare — pull them to the driver
             ddls = (
                 batch.filter(F.col("action") == "query")
@@ -73,11 +91,15 @@ class CdcPipeline:
                 .orderBy("event_unixtime")
                 .collect()
             )
-            data = filter_dml(
-                split_updates(batch.filter(F.col("action") != "query")),
-                self.cfg.skip_dmls,
-                self.cfg.skip_delete_tables,
-                self.cfg.skip_update_tables,
+            # filter raw events FIRST (skip semantics distinguish standalone
+            # deletes from update-halves), then split updates
+            data = split_updates(
+                filter_dml(
+                    batch.filter(F.col("action") != "query"),
+                    self.cfg.skip_dmls,
+                    self.cfg.skip_delete_tables,
+                    self.cfg.skip_update_tables,
+                )
             )
             boundaries = [r["event_unixtime"] for r in ddls] + [None]
             lo = None
@@ -92,7 +114,7 @@ class CdcPipeline:
                     self._apply_ddl(ddls[i])
                     lo = hi
         finally:
-            batch.unpersist()
+            raw.unpersist()
 
     def _apply_data_segment(self, seg: DataFrame) -> None:
         # one merge per table present in the segment; table list is tiny

@@ -1,0 +1,128 @@
+"""Event-stream filters (T2/T3), composite pks, skew utils, dead letters."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F, types as T
+
+from synch_spark.config import Engine, TableSpec
+from synch_spark.events import (
+    RAW_EVENT_SCHEMA,
+    filter_dml,
+    filter_tables,
+    parse_values,
+    split_updates,
+)
+from synch_spark.operators.cdc_apply import apply_cdc_batch, read_current_state
+from synch_spark.operators.skew import salted_count, salted_sum
+from synch_spark.sources.table import ParquetTable
+
+
+def _raw(spark, rows):
+    data = [
+        (sch, tbl, a, json.dumps(b) if b else None, json.dumps(af) if af else None, us)
+        for (sch, tbl, a, b, af, us) in rows
+    ]
+    return spark.createDataFrame(data, RAW_EVENT_SCHEMA)
+
+
+def test_filter_dml_skip_delete_tables(spark):
+    # filter on RAW events, then split — reference order (mysql.py:190-212)
+    raw = _raw(spark, [
+        ("db", "keep", "delete", {"id": 1}, None, 100),
+        ("db", "skip", "delete", {"id": 1}, None, 100),
+        ("db", "skip", "update", {"id": 1}, {"id": 1}, 100),
+        ("db", "skip", "insert", None, {"id": 2}, 100),
+    ])
+    out = split_updates(filter_dml(raw, skip_delete_tables=("db.skip",)))
+    kept = [(r["table"], r["action"], r["action_seq"]) for r in out.collect()]
+    assert ("keep", "delete", 1) in kept  # other table unaffected
+    # standalone delete on db.skip gone; its update's delete-half remains
+    assert kept.count(("skip", "delete", 1)) == 1
+    assert ("skip", "insert", 2) in kept
+
+
+def test_filter_dml_skip_update_tables(spark):
+    raw = _raw(spark, [
+        ("db", "skip", "update", {"id": 1, "v": "a"}, {"id": 1, "v": "b"}, 100),
+        ("db", "skip", "insert", None, {"id": 2}, 100),
+    ])
+    out = split_updates(filter_dml(raw, skip_update_tables=("db.skip",)))
+    kept = [(r["action"], r["action_seq"]) for r in out.collect()]
+    assert kept == [("insert", 2)]  # both update halves suppressed
+
+
+def test_filter_tables(spark):
+    ev = split_updates(_raw(spark, [
+        ("a", "t1", "insert", None, {"id": 1}, 100),
+        ("b", "t1", "insert", None, {"id": 1}, 100),
+        ("a", "t2", "insert", None, {"id": 1}, 100),
+    ]))
+    out = filter_tables(ev, only_schemas=("a",), only_tables=("t1",))
+    assert [(r["schema"], r["table"]) for r in out.collect()] == [("a", "t1")]
+
+
+COMPOSITE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("id2", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+
+def test_composite_pk_cdc(spark, tmp_path):
+    """F2 fixture shape: tuple pk (id, id2) — the reference's special-cased
+    composite-delete path (merge_tree.py:19-31) must fall out naturally."""
+    spec = TableSpec(schema="db", table="c", pk=("id", "id2"), engine=Engine.MERGE_TREE)
+    t = ParquetTable(spark, str(tmp_path / "c"))
+    mk = lambda a, b, af, us: ("db", "c", a, b, af, us)  # noqa: E731
+    ev1 = split_updates(_raw(spark, [
+        mk("insert", None, {"id": 1, "id2": "a", "amount": 1.0}, 100),
+        mk("insert", None, {"id": 1, "id2": "b", "amount": 2.0}, 100),
+        mk("insert", None, {"id": 2, "id2": "a", "amount": 3.0}, 100),
+    ]))
+    apply_cdc_batch(t, parse_values(ev1, COMPOSITE_SCHEMA), spec)
+    ev2 = split_updates(_raw(spark, [
+        mk("delete", {"id": 1, "id2": "a", "amount": 1.0}, None, 200),
+        mk("update", {"id": 1, "id2": "b", "amount": 2.0}, {"id": 1, "id2": "b", "amount": 9.0}, 200),
+    ]))
+    apply_cdc_batch(t, parse_values(ev2, COMPOSITE_SCHEMA), spec)
+    got = {(r["id"], r["id2"]): r["amount"] for r in read_current_state(t, spec).collect()}
+    assert got == {(1, "b"): 9.0, (2, "a"): 3.0}
+
+
+def test_salted_aggregates_match_plain(spark, tables):
+    ev = tables["events"]
+    plain = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n")).collect()}
+    salted = {r["user_id"]: r["n"] for r in salted_count(ev, ["user_id"]).collect()}
+    assert salted == plain
+    plain_s = {r["user_id"]: round(r["s"], 6) for r in ev.groupBy("user_id").agg(F.sum("value").alias("s")).collect()}
+    salted_s = {r["user_id"]: round(r["sum_value"], 6) for r in salted_sum(ev, ["user_id"], "value").collect()}
+    assert salted_s == plain_s
+
+
+def test_dead_letter_capture(spark, tmp_path):
+    from synch_spark.config import SyncConfig
+    from synch_spark.streaming.pipeline import CdcPipeline
+
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="t", pk=("id",)))
+    vs = T.StructType([T.StructField("id", T.LongType())])
+    pipe = CdcPipeline(
+        spark=spark, cfg=cfg, warehouse=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ck"), value_schemas={"db.t": vs},
+    )
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    with open(events_dir / "b.json", "w") as f:
+        f.write(json.dumps({"schema": "db", "table": "t", "action": "insert",
+                            "before": None, "after": json.dumps({"id": 1}),
+                            "event_unixtime": 1}) + "\n")
+        f.write('{"garbage: true\n')
+    q = pipe.start_file_stream(str(events_dir), available_now=True)
+    q.awaitTermination(120)
+    assert ParquetTable(spark, f"{pipe.warehouse}/db/t").read().count() == 1
+    dead = ParquetTable(spark, f"{pipe.warehouse}/_synch_dead_letter").read()
+    assert dead.count() == 1
