@@ -176,6 +176,71 @@ def lsh_candidate_pairs(
     return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
 
 
+# --- duplicate clustering (connected components) ------------------------
+def cluster_duplicates(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id).
+
+    cluster_id = min id reachable through the pair graph; dedup keeps one
+    representative per cluster. Iterative min-label propagation: each
+    round every node adopts the smallest label among itself and its
+    neighbors; converges in O(diameter) rounds (near-dup clusters are
+    tiny, so a handful). This is the standard large-graph CC pattern in
+    pure DataFrame ops — each iteration is one join + one aggregate, the
+    frame is (node, label) only, and `localCheckpoint` truncates the
+    lineage so plans don't grow with iterations.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        # materialize once: the pair-generation pipeline upstream (e.g.
+        # MinHash LSH) must not re-execute on every iteration's join
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.id)
+            .groupBy("x")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_by_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Drop all but the min-id representative of every near-dup cluster."""
+    clusters = cluster_duplicates(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # --- SimHash ------------------------------------------------------------
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash per document from distinct-token md5 prefixes.

@@ -266,6 +266,21 @@ FROM documents ORDER BY id
 """
 
 
+# --- duplicate clustering: LSH pairs -> connected components -> survivors
+def q39_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup dedup: MinHash-LSH candidates -> connected
+    components -> per-cluster stats. Iterative algorithm (rows-only
+    check; equivalence vs union-find tested in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", 8, 4, 3)
+    clusters = dedup.cluster_duplicates(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.col("size").desc(), "cluster_id")
+    )
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -277,4 +292,5 @@ DATAOPS_QUERIES = {
     "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
     "q24_ann_lsh": (q24_ann_lsh, None),
     "q25_multimodal_features": (q25_multimodal_features, Q25_SQL),
+    "q39_dedup_clusters": (q39_dedup_clusters, None),
 }

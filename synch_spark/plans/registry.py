@@ -20,3 +20,10 @@ try:
     ALL_QUERIES.update(ADVANCED_QUERIES)
 except ImportError:
     pass
+
+try:
+    from synch_spark.plans.tpch import TPCH_QUERIES
+
+    ALL_QUERIES.update(TPCH_QUERIES)
+except ImportError:
+    pass
