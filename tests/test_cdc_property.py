@@ -84,3 +84,69 @@ def test_cdc_apply_matches_sequential_replay(spark, tmp_path_factory, events, ba
     expected = sequential_replay(events)
     got = run_engine(spark, tmpdir, events, batch_splits)
     assert got == expected
+
+
+def make_valid(events):
+    """Constrain to OLTP-legal sequences: insert only when absent,
+    update/delete only when present (what a binlog actually emits — and
+    what CollapsingMergeTree's sign bookkeeping requires)."""
+    state, out = set(), []
+    for action, pk, amount in events:
+        if pk not in state:
+            out.append(("insert", pk, amount))
+            state.add(pk)
+        elif action == "delete":
+            out.append(("delete", pk, amount))
+            state.discard(pk)
+        else:
+            out.append(("update", pk, amount))
+    return out
+
+
+def run_engine_with(spark, tmpdir, engine, events, batch_splits):
+    spec = TableSpec(schema="db", table="p", pk=("id",), engine=engine)
+    table = ParquetTable(spark, tmpdir)
+    batches, prev = [], 0
+    for cut in sorted(batch_splits) + [len(events)]:
+        if cut > prev:
+            batches.append(events[prev:cut])
+            prev = cut
+    us = 0
+    for batch in batches:
+        rows = []
+        for action, pk, amount in batch:
+            us += 1
+            img = json.dumps({"id": pk, "amount": amount})
+            rows.append(("db", "p", action, img, img, us))
+        raw = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+        apply_cdc_batch(table, parse_values(split_updates(raw), VALUE_SCHEMA), spec)
+    out = read_current_state(table, spec).select("id", "amount").collect()
+    return {r["id"]: r["amount"] for r in out}
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=event_strategy,
+    batch_splits=st.lists(st.integers(min_value=1, max_value=29), max_size=2),
+)
+def test_all_engines_agree_on_valid_sequences(spark, tmp_path_factory, events, batch_splits):
+    """The SAME legal change stream through MergeTree (physical deletes),
+    Replacing (LWW dedup), and Collapsing (sign cancellation) must yield
+    the same table state — the §2.7 semantics are interchangeable views
+    of one history."""
+    valid = make_valid(events)
+    expected = sequential_replay(valid)
+    for engine in (
+        Engine.MERGE_TREE,
+        Engine.REPLACING_MERGE_TREE,
+        Engine.COLLAPSING_MERGE_TREE,
+        Engine.VERSIONED_COLLAPSING_MERGE_TREE,
+    ):
+        tmpdir = str(tmp_path_factory.mktemp(f"eng_{engine.value}"))
+        got = run_engine_with(spark, tmpdir, engine, valid, batch_splits)
+        assert got == expected, f"{engine} diverged"
