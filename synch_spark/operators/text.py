@@ -79,6 +79,60 @@ def lang_guess(col: Column | str) -> Column:
     )
 
 
+# GPT-2-style pretokenizer shape: word pieces, numbers, punctuation runs —
+# the cheap token-count proxy for LLM budget estimation when the real BPE
+# vocab isn't at hand. Portable: same regex class syntax in DuckDB.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0)
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col)).cast("long")
+
+
+def winnow_fingerprints(df, text_col: str, k: int = 8, window: int = 4):
+    """Winnowing (MOSS) document fingerprints: hash every k-gram of the
+    normalized text, keep the minimum hash of each sliding window of
+    ``window`` consecutive k-grams, dedupe. Robust local fingerprints —
+    two documents sharing any sufficiently long run share fingerprints.
+    Hash = md5 prefix (portable to the DuckDB oracle); all array algebra,
+    no UDF.
+
+    DataFrame-level on purpose: the normalized text and the gram array
+    are each materialized behind a projection before the next stage's
+    lambda touches them — referencing those expressions inside the
+    lambdas would re-evaluate them per element (quadratic; the
+    shingles() lesson). Adds column ``fps`` (sorted distinct array).
+    """
+    c = F.col("_winnow_norm")
+    n = F.length(c)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.substring(F.md5(F.substr(c, i, F.lit(k))), 1, 8),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = F.col("_winnow_grams")
+    mins = F.when(
+        F.size(g) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(g) - window),
+            lambda i: F.array_min(F.slice(g, i + 1, window)),
+        ),
+    ).otherwise(g)
+    return (
+        df.withColumn("_winnow_norm", normalize_text(text_col))
+        .withColumn("_winnow_grams", grams)
+        .withColumn("fps", F.array_sort(F.array_distinct(mins)))
+        .drop("_winnow_norm", "_winnow_grams")
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse non-alnum."""
     c = F.col(col) if isinstance(col, str) else col

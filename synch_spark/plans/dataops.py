@@ -266,6 +266,59 @@ FROM documents ORDER BY id
 """
 
 
+# --- BPE-ish tokenization ------------------------------------------------
+def q40_bpe_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.bpe_ish_token_count("text").alias("n_bpe"),
+        text.token_count("text").alias("n_ws"),
+    ).orderBy("doc_id")
+
+
+Q40_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{text.BPE_ISH_RE}')) AS BIGINT) AS n_bpe,
+       CAST(len({TOK_SQL}) AS BIGINT) AS n_ws
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- winnowing fingerprints ----------------------------------------------
+def q41_winnow_fingerprints(spark, sf_dir):
+    """MOSS-style winnowed fingerprint count + first fingerprint per doc
+    (full sets are verified via the sorted-set hash below)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = text.winnow_fingerprints(docs.select("doc_id", "text"), "text", k=8, window=4)
+    return fp.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fp"),
+        F.md5(F.concat_ws("|", "fps")).alias("fp_set_hash"),
+    ).orderBy("doc_id")
+
+
+Q41_SQL = f"""
+WITH normed AS (SELECT doc_id, {NORM_SQL} AS n FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN length(n) >= 8 THEN
+           [substr(md5(substr(n, i, 8)), 1, 8)
+            for i in generate_series(1, length(n) - 7)]
+         ELSE [] END AS g
+  FROM normed),
+mins AS (
+  SELECT doc_id,
+         CASE WHEN len(g) >= 4 THEN
+           [list_min(g[i:i+3]) for i in generate_series(1, len(g) - 3)]
+         ELSE g END AS m
+  FROM grams)
+SELECT doc_id,
+       CAST(len(list_sort(list_distinct(m))) AS BIGINT) AS n_fp,
+       md5(list_aggregate(list_sort(list_distinct(m)), 'string_agg', '|')) AS fp_set_hash
+FROM mins ORDER BY doc_id
+"""
+
+
 # --- duplicate clustering: LSH pairs -> connected components -> survivors
 def q39_dedup_clusters(spark, sf_dir):
     """End-to-end near-dup dedup: MinHash-LSH candidates -> connected
@@ -293,4 +346,6 @@ DATAOPS_QUERIES = {
     "q24_ann_lsh": (q24_ann_lsh, None),
     "q25_multimodal_features": (q25_multimodal_features, Q25_SQL),
     "q39_dedup_clusters": (q39_dedup_clusters, None),
+    "q40_bpe_tokens": (q40_bpe_tokens, Q40_SQL),
+    "q41_winnow_fingerprints": (q41_winnow_fingerprints, Q41_SQL),
 }

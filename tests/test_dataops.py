@@ -95,6 +95,28 @@ def test_cosine_topk_self_excluded(spark, tables):
     assert all(sorted(v) == [1, 2, 3] for v in per_probe.values())
 
 
+def test_winnow_shared_run_shares_fingerprints(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "XX alpha beta gamma delta epsilon zeta eta theta iota kappa YY"),  # same run
+        (3, "totally different words with no overlap whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = {r["doc_id"]: set(r["fps"]) for r in text.winnow_fingerprints(df, "text").collect()}
+    assert len(fp[1] & fp[2]) > 0  # shared long run -> shared fingerprints
+    assert len(fp[1] & fp[3]) == 0
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(1, "hello, world! x2 (ok)")], ["id", "text"])
+    row = df.select(
+        text.bpe_ish_token_count("text").alias("n"),
+        text.bpe_ish_tokens("text").alias("t"),
+    ).collect()[0]
+    assert row["t"] == ["hello", ",", "world", "!", "x", "2", "(", "ok", ")"]
+    assert row["n"] == 9
+
+
 def test_multimodal_plumbing(spark, docs):
     media = multimodal.attach_fake_media(docs, "text")
     feats = multimodal.extract_features(media, "doc_id").collect()
