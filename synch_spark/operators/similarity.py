@@ -204,6 +204,85 @@ def ann_topk_lsh(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (by cosine).
+
+    centroids: (cid, cvec) — tiny, broadcast. One corpus scan; adds
+    columns (_cid, _crank). nprobe>1 is the query-side recall lever.
+    """
+    c = centroids.select(F.col("cid"), F.col("cvec")).withColumn(
+        "_cn", F.sqrt(_dot_double(F.col("cvec"), F.col("cvec")))
+    )
+    v = df.withColumn("_vn", F.sqrt(_dot_double(F.col(vec_col), F.col(vec_col))))
+    scored = v.join(F.broadcast(c)).withColumn(
+        "_sim",
+        _dot_double(F.col(vec_col), F.col("cvec")) / (F.col("_vn") * F.col("_cn")),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= nprobe)
+        .select(*df.columns, F.col("cid").alias("_cid"), "_crank")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame, num_centroids: int = 16, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic sampled centroids (IVF-flat): every (n/k)-th vector
+    by id. K-means refinement is an optional upgrade; sampled centroids
+    already give balanced buckets on shuffled corpora and keep the whole
+    index build to one scan."""
+    n = corpus.count()
+    stride = max(n // num_centroids, 1)
+    return (
+        corpus.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < num_centroids))
+        .select((F.col(id_col) / stride).cast("int").alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid (one
+    assignment pass — at scale this is the persisted index); each probe
+    searches only its ``nprobe`` nearest centroid buckets. Cost per probe
+    ~ corpus * nprobe / num_centroids. Output matches cosine_topk's
+    schema; recall regression-tested against the exact operator."""
+    cents = ivf_centroids(corpus, num_centroids, vec_col, id_col)
+    corpus_b = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        cents, "_cv", "neighbor_id", nprobe=1,
+    ).select("neighbor_id", "_cv", "_cid")
+    probes_b = ivf_assign(
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")),
+        cents, "_pv", "probe_id", nprobe=nprobe,
+    ).select("probe_id", "_pv", "_cid")
+    cand = corpus_b.join(F.broadcast(probes_b), "_cid").filter(
+        F.col("neighbor_id") != F.col("probe_id")
+    ).drop("_cid").distinct()
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        _decimal_rescore(cand)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

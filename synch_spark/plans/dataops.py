@@ -245,6 +245,14 @@ def q24_ann_lsh(spark, sf_dir):
     )
 
 
+def q42_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_ivf(
+        emb, probes, k=5, num_centroids=16, nprobe=4
+    ).orderBy("probe_id", "rank")
+
+
 def q25_multimodal_features(spark, sf_dir):
     from synch_spark.operators import multimodal
 
@@ -346,6 +354,7 @@ DATAOPS_QUERIES = {
     "q24_ann_lsh": (q24_ann_lsh, None),
     "q25_multimodal_features": (q25_multimodal_features, Q25_SQL),
     "q39_dedup_clusters": (q39_dedup_clusters, None),
+    "q42_ann_ivf": (q42_ann_ivf, None),
     "q40_bpe_tokens": (q40_bpe_tokens, Q40_SQL),
     "q41_winnow_fingerprints": (q41_winnow_fingerprints, Q41_SQL),
 }

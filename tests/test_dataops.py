@@ -83,6 +83,17 @@ def test_ann_recall_vs_bruteforce(spark, tables):
     assert recall >= 0.5, f"LSH recall collapsed: {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, tables):
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, probes, k=5)
+    approx = similarity.ann_topk_ivf(emb, probes, k=5, num_centroids=16, nprobe=4)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
 def test_cosine_topk_self_excluded(spark, tables):
     emb = tables["embeddings"]
     probes = emb.filter(F.col("vec_id") < 3)
