@@ -11,7 +11,14 @@ the registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# robust against being imported by file path from a different cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -1,0 +1,76 @@
+"""Snapshot-diff CDC source: derive change events by diffing table states.
+
+The no-binlog fallback the reference cannot offer: when a source exposes
+no change log, periodically snapshot it and diff against the previous
+snapshot to synthesize insert/update/delete events that feed the SAME
+downstream apply pipeline. At scale the diff is a single full-outer join
+on the pk with row-hash comparison — one shuffle, no row-by-row Python.
+
+This also powers backfill repair: diff the replicated table against a
+fresh source snapshot and apply the correction events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from synch_spark.events import RAW_EVENT_SCHEMA  # noqa: F401  (shape contract)
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    pk: tuple[str, ...],
+    schema_name: str,
+    table_name: str,
+    event_unixtime: int,
+) -> DataFrame:
+    """Emit raw change events transforming ``old`` into ``new``.
+
+    - pk only in new           -> insert(after=new row)
+    - pk only in old           -> delete(before=old row)
+    - pk in both, row changed  -> update(before=old, after=new)
+    Row change detection = xxhash64 over all non-pk columns (column order
+    canonicalized). Output matches RAW_EVENT_SCHEMA.
+    """
+    cols = new.columns
+    value_cols = [c for c in cols if c not in pk]
+    row_hash = lambda df: F.xxhash64(  # noqa: E731
+        *[F.col(c).cast("string") for c in sorted(value_cols)]
+    )
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+        *[F.col(c).alias(c) for c in pk],
+        row_hash(old).alias("_o_h"),
+    ).drop(*[f"_o_{c}" for c in pk])
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+        *[F.col(c).alias(c) for c in pk],
+        row_hash(new).alias("_n_h"),
+    ).drop(*[f"_n_{c}" for c in pk])
+    joined = o.join(n, list(pk), "full_outer")
+
+    old_row = F.to_json(
+        F.struct(*[F.col(c) for c in pk], *[F.col(f"_o_{c}").alias(c) for c in value_cols])
+    )
+    new_row = F.to_json(
+        F.struct(*[F.col(c) for c in pk], *[F.col(f"_n_{c}").alias(c) for c in value_cols])
+    )
+    action = (
+        F.when(F.col("_o_h").isNull(), F.lit("insert"))
+        .when(F.col("_n_h").isNull(), F.lit("delete"))
+        .when(F.col("_o_h") != F.col("_n_h"), F.lit("update"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        joined.withColumn("_action", action)
+        .filter(F.col("_action").isNotNull())
+        .select(
+            F.lit(schema_name).alias("schema"),
+            F.lit(table_name).alias("table"),
+            F.col("_action").alias("action"),
+            F.when(F.col("_o_h").isNotNull(), old_row).alias("before"),
+            F.when(F.col("_n_h").isNotNull(), new_row).alias("after"),
+            F.lit(event_unixtime).alias("event_unixtime"),
+        )
+    )
