@@ -79,6 +79,42 @@ def lang_guess(col: Column | str) -> Column:
     )
 
 
+# Character-n-gram language profiles: the classic n-gram langid heuristic
+# with tiny built-in profiles (top function-word fragments per language).
+# Score = fraction of profile grams appearing as substrings; argmax wins.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the ", " and ", " of ", "ing ", " is ", " a "),
+    "de": (" der ", " die ", " und ", "sch", " ein ", " ist "),
+    "fr": (" le ", " les ", " des ", " est ", " une ", " et "),
+    "es": (" el ", " los ", " una ", " es ", " que ", " y "),
+    "zh": ("的", "是", "了", "在", "我", "不"),
+}
+
+
+def ngram_lang_scores(col: Column | str):
+    """One score column per language: fraction of profile grams present."""
+    c = F.concat(F.lit(" "), F.lower(F.col(col) if isinstance(col, str) else col), F.lit(" "))
+    out = {}
+    for lang, grams in LANG_PROFILES.items():
+        hits = sum(F.when(c.contains(g), 1).otherwise(0) for g in grams)
+        out[lang] = (hits / F.lit(len(grams))).cast("double")
+    return out
+
+
+def ngram_lang_pred(col: Column | str) -> Column:
+    """argmax over profile scores; ties broken by language-name order;
+    all-zero -> 'unknown'. Flat greatest()+first-match form — a nested
+    strictly-greater CASE chain doubles the expression tree per language
+    (measured 2.5 s of plan time alone)."""
+    scores = ngram_lang_scores(col)
+    langs = sorted(scores)
+    max_s = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.coalesce(
+        *[F.when(scores[lang] == max_s, F.lit(lang)) for lang in langs]
+    )
+    return F.when(max_s > 0, pred).otherwise(F.lit("unknown"))
+
+
 # GPT-2-style pretokenizer shape: word pieces, numbers, punctuation runs —
 # the cheap token-count proxy for LLM budget estimation when the real BPE
 # vocab isn't at hand. Portable: same regex class syntax in DuckDB.

@@ -327,6 +327,74 @@ FROM mins ORDER BY doc_id
 """
 
 
+# --- n-gram profile language-ID ------------------------------------------
+def q43_ngram_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scores = text.ngram_lang_scores("text")
+    langs = sorted(text.LANG_PROFILES)
+    # two-stage: materialize score columns, then argmax over the ATTRIBUTES
+    # (inlining the contains-sums into greatest()/when() multiplies the
+    # expression tree ~3x per language — codegen compile dominated runtime)
+    scored = docs.select(
+        "doc_id", *[scores[lang].alias(f"s_{lang}") for lang in langs]
+    )
+    max_s = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"s_{lang}") == max_s, F.lit(lang)) for lang in langs]
+    )
+    return scored.select(
+        "doc_id",
+        F.when(max_s > 0, pred).otherwise(F.lit("unknown")).alias("lang_pred"),
+        *[f"s_{lang}" for lang in langs],
+    ).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    score_exprs, case_lines = [], []
+    langs = sorted(text.LANG_PROFILES)
+    for lang in langs:
+        grams = text.LANG_PROFILES[lang]
+        hits = " + ".join(
+            f"(CASE WHEN contains(' ' || lower(text) || ' ', '{g}') THEN 1 ELSE 0 END)"
+            for g in grams
+        )
+        score_exprs.append(f"CAST(({hits}) AS DOUBLE) / {len(grams)} AS s_{lang}")
+    # flat argmax: greatest() + first score equal to it (name-order ties)
+    max_s = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    first_match = "COALESCE(" + ", ".join(
+        f"CASE WHEN s_{lang} = {max_s} THEN '{lang}' END" for lang in langs
+    ) + ")"
+    case_lines.append(
+        f"CASE WHEN {max_s} > 0 THEN {first_match} ELSE 'unknown' END AS lang_pred"
+    )
+    cols = ",\n       ".join(case_lines + [f"s_{lang}" for lang in langs])
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(score_exprs)} FROM documents)
+SELECT doc_id, {cols} FROM s ORDER BY doc_id
+"""
+
+
+Q43_SQL = _langid_oracle()
+
+
+# --- shared-SQL surface: ONE ANSI string runs on both engines ------------
+SHARED_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
+FROM lineitem
+WHERE l_quantity > 10
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q44_shared_sql(spark, sf_dir):
+    """The SQL API surface: the oracle string itself executed by
+    spark.sql — dialect-shared ANSI, zero translation."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SHARED_SQL)
+
+
 # --- duplicate clustering: LSH pairs -> connected components -> survivors
 def q39_dedup_clusters(spark, sf_dir):
     """End-to-end near-dup dedup: MinHash-LSH candidates -> connected
@@ -357,4 +425,6 @@ DATAOPS_QUERIES = {
     "q42_ann_ivf": (q42_ann_ivf, None),
     "q40_bpe_tokens": (q40_bpe_tokens, Q40_SQL),
     "q41_winnow_fingerprints": (q41_winnow_fingerprints, Q41_SQL),
+    "q43_ngram_langid": (q43_ngram_langid, Q43_SQL),
+    "q44_shared_sql": (q44_shared_sql, SHARED_SQL),
 }
