@@ -154,6 +154,42 @@ def check(source_df: DataFrame, table: ParquetTable, checksum: bool = False) -> 
     return res
 
 
+def repair(
+    source_df: DataFrame,
+    table: ParquetTable,
+    spec: TableSpec,
+    value_schema=None,
+) -> int:
+    """Close the check() loop: when parity fails, synthesize the exact
+    correction events by diffing the replicated state against a fresh
+    source snapshot and apply them — surgical backfill instead of a full
+    re-ETL (the reference's only remedy was `etl --renew`). Returns the
+    number of correction events applied."""
+    from pyspark.sql import types as T
+
+    from synch_spark.events import parse_values, split_updates
+    from synch_spark.operators.cdc_apply import apply_cdc_batch, read_current_state
+    from synch_spark.sources.snapshot_diff import diff_snapshots
+
+    current = read_current_state(table, spec).select(*source_df.columns)
+    events = diff_snapshots(
+        current, source_df, spec.pk, spec.schema, spec.table, event_unixtime=2**62
+    ).persist()
+    try:
+        n = events.count()
+        if n == 0:
+            return 0
+        if value_schema is None:
+            value_schema = T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in source_df.schema.fields]
+            )
+        typed = parse_values(split_updates(events), value_schema)
+        apply_cdc_batch(table, typed, spec)
+        return n
+    finally:
+        events.unpersist()
+
+
 def etl_all(
     spark: SparkSession,
     cfg: SyncConfig,

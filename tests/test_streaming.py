@@ -100,6 +100,36 @@ def test_stream_resume_from_checkpoint(spark, tmp_path, pipeline):
     assert rows == {1: 5.0}
 
 
+def test_multi_table_single_stream(spark, tmp_path):
+    """Two tables interleaved on ONE stream route to their own targets —
+    the reference's consumer-per-schema model collapsed into one query."""
+    from synch_spark.config import SyncConfig
+
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="t1", pk=("id",)))
+    cfg.add_table(TableSpec(schema="db", table="t2", pk=("id",)))
+    pipe = CdcPipeline(
+        spark=spark, cfg=cfg, warehouse=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        value_schemas={"db.t1": VALUE_SCHEMA, "db.t2": VALUE_SCHEMA},
+    )
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    _write_events(events_dir / "b.json", [
+        ("db", "t1", "insert", None, {"id": 1, "amount": 1.0}, 100),
+        ("db", "t2", "insert", None, {"id": 1, "amount": 10.0}, 101),
+        ("db", "t1", "update", {"id": 1, "amount": 1.0}, {"id": 1, "amount": 2.0}, 102),
+        ("db", "t2", "delete", {"id": 1, "amount": 10.0}, None, 103),
+        ("db", "t2", "insert", None, {"id": 2, "amount": 20.0}, 104),
+    ])
+    q = pipe.start_file_stream(str(events_dir), available_now=True)
+    q.awaitTermination(120)
+    t1 = {r["id"]: r["amount"] for r in ParquetTable(spark, f"{pipe.warehouse}/db/t1").read().select("id", "amount").collect()}
+    t2 = {r["id"]: r["amount"] for r in ParquetTable(spark, f"{pipe.warehouse}/db/t2").read().select("id", "amount").collect()}
+    assert t1 == {1: 2.0}
+    assert t2 == {2: 20.0}
+
+
 def test_ddl_barrier_mid_stream(spark, tmp_path, pipeline):
     """Insert -> ALTER ADD COLUMN -> insert with the new column: the DDL
     splits the batch; post-DDL events parse with the evolved schema."""
