@@ -357,6 +357,84 @@ WHERE rn = 1 ORDER BY user_id
 """
 
 
+# --- window-function zoo -------------------------------------------------
+def q45_window_zoo(spark, sf_dir):
+    """lag/lead/rank/dense_rank/ntile/first/last over one window — the
+    breadth of the window surface in a single deterministic plan."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 30)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_ok"),
+            F.lead("o_orderkey").over(w).alias("next_ok"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.first("o_orderkey").over(wf).alias("first_ok"),
+            F.last("o_orderkey").over(wf).alias("last_ok"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q45_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey)  OVER w AS prev_ok,
+       lead(o_orderkey) OVER w AS next_ok,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile,
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ok,
+       last_value(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+FROM orders WHERE o_custkey <= 30
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- scalar / date / null-semantics zoo ----------------------------------
+def q46_scalar_zoo(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.upper(F.substring("l_returnflag", 1, 1)).alias("flag_u"),
+            F.concat_ws("-", "l_returnflag", "l_linestatus").alias("cat"),
+            F.length(F.trim(F.lit("  pad  "))).cast("bigint").alias("trimmed"),
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_m0"),
+            # null semantics: nullif + coalesce round-trip
+            F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("nn"),
+            (F.col("l_quantity") > 25).cast("boolean").alias("bigqty"),
+            F.abs(F.col("l_discount") - 0.05).cast("decimal(18,4)").cast("double").alias("disc_d"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q46_SQL = """
+SELECT l_orderkey, l_linenumber,
+       upper(substr(l_returnflag, 1, 1)) AS flag_u,
+       concat_ws('-', l_returnflag, l_linestatus) AS cat,
+       CAST(length(trim('  pad  ')) AS BIGINT) AS trimmed,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(month(l_shipdate) AS INT) AS ship_month,
+       CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_m0,
+       coalesce(nullif(l_returnflag, 'N'), 'none') AS nn,
+       l_quantity > 25 AS bigqty,
+       CAST(CAST(abs(l_discount - 0.05) AS DECIMAL(18,4)) AS DOUBLE) AS disc_d
+FROM lineitem WHERE l_orderkey <= 200
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 ADVANCED_QUERIES = {
     "q26_asof_join": (q26_asof_join, Q26_SQL),
     "q27_sessionize": (q27_sessionize, Q27_SQL),
@@ -368,4 +446,6 @@ ADVANCED_QUERIES = {
     "q33_cube": (q33_cube, Q33_SQL),
     "q34_approx_sketches": (q34_approx_sketches, None),
     "q35_streaming_first_per_key": (q35_streaming_first_per_key, Q35_SQL),
+    "q45_window_zoo": (q45_window_zoo, Q45_SQL),
+    "q46_scalar_zoo": (q46_scalar_zoo, Q46_SQL),
 }

@@ -36,6 +36,37 @@ def test_diff_classification(spark):
     assert ev.count() == 3  # unchanged row 1 emits nothing
 
 
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+table_strategy = st.dictionaries(
+    st.integers(min_value=1, max_value=12),  # pk space forces overlap
+    st.tuples(st.integers(0, 99), st.sampled_from(["a", "b", "c"])),
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old_map=table_strategy, new_map=table_strategy)
+def test_diff_apply_closure_property(spark, tmp_path_factory, old_map, new_map):
+    """For ARBITRARY old/new states: apply(diff(old,new)) over old == new."""
+    to_rows = lambda m: [(k, float(v[0]), v[1]) for k, v in m.items()]  # noqa: E731
+    old = spark.createDataFrame(to_rows(old_map) or [(0, 0.0, "z")], SCHEMA)
+    new = spark.createDataFrame(to_rows(new_map) or [(0, 0.0, "z")], SCHEMA)
+    table = ParquetTable(spark, str(tmp_path_factory.mktemp("sdp")))
+    table.overwrite(old)
+    spec = TableSpec(schema="db", table="t", pk=("id",), engine=Engine.REPLACING_MERGE_TREE)
+    ev = diff_snapshots(old, new, ("id",), "db", "t", 100)
+    if ev.limit(1).count() > 0:
+        apply_cdc_batch(table, parse_values(split_updates(ev), SCHEMA), spec)
+    got = {(r["id"], r["amount"], r["name"]) for r in read_current_state(table, spec).collect()}
+    want = {(r["id"], r["amount"], r["name"]) for r in new.collect()}
+    assert got == want
+
+
 def test_diff_then_apply_reproduces_target(spark, tmp_path):
     """The CDC closure property: apply(diff(old, new)) over old == new."""
     old = spark.createDataFrame(
