@@ -33,6 +33,8 @@ def get_spark(app_name: str = "sparksynch", cpus: int | None = None) -> SparkSes
         # Arrow for pandas UDF / toPandas paths
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # concurrent query submission (bench, multi-stream) shares cores fairly
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # driver fixtures store events.ts as TIMESTAMP(NANOS); Spark has no
