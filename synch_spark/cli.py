@@ -48,6 +48,66 @@ def cmd_etl(args) -> int:
     return 0
 
 
+def cmd_produce(args) -> int:
+    """EP2 analog without a binlog: poll each source table, diff against
+    the previous snapshot (kept in the warehouse under _producer_state),
+    and append the change events to the consume stream's events_dir.
+    The reference needs MySQL binlog / PG logical replication here
+    (/root/reference/synch/reader/mysql.py:81-126); snapshot-diff works
+    against ANY source Spark can read."""
+    import time as _time
+
+    from synch_spark.sources.snapshot_diff import diff_snapshots
+    from synch_spark.sources.table import ParquetTable as _PT
+
+    raw = _load(args.config)
+    cfg = config_from_dict(raw)
+    spark = get_spark("synch-produce")
+    warehouse = raw["spark"]["warehouse"]
+    events_dir = raw["spark"]["events_dir"]
+    import os
+
+    os.makedirs(events_dir, exist_ok=True)
+    rounds = 1 if args.once else args.rounds
+    interval = cfg.insert_interval_s
+    for i in range(rounds):
+        emitted = 0
+        for name, spec in cfg.tables.items():
+            src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
+                raw["spark"]["sources"][name]
+            )
+            state = _PT(spark, f"{warehouse}/_producer_state/{spec.schema}/{spec.table}")
+            now_us = int(_time.time() * 1_000_000)
+            if not state.exists:
+                # first poll: everything is an insert
+                from pyspark.sql import functions as F
+
+                events = src.select(
+                    F.lit(spec.schema).alias("schema"),
+                    F.lit(spec.table).alias("table"),
+                    F.lit("insert").alias("action"),
+                    F.lit(None).cast("string").alias("before"),
+                    F.to_json(F.struct(*src.columns)).alias("after"),
+                    F.lit(now_us).alias("event_unixtime"),
+                )
+            else:
+                events = diff_snapshots(
+                    state.read(), src, spec.pk, spec.schema, spec.table, now_us
+                )
+            n = events.count()
+            if n:
+                out = os.path.join(events_dir, f"{spec.schema}.{spec.table}.{now_us}.json")
+                pdf = events.toPandas()
+                with open(out, "w") as f:
+                    f.write(pdf.to_json(orient="records", lines=True))
+                emitted += n
+            state.overwrite(src)
+        print(json.dumps({"produce_round": i, "events": emitted}))
+        if i + 1 < rounds:
+            _time.sleep(interval)
+    return 0
+
+
 def cmd_consume(args) -> int:
     raw = _load(args.config)
     cfg = config_from_dict(raw)
@@ -56,10 +116,14 @@ def cmd_consume(args) -> int:
 
     from synch_spark.streaming.pipeline import CdcPipeline
 
-    schemas = {
-        name: T.StructType.fromJson(js)
-        for name, js in raw["spark"].get("value_schemas", {}).items()
-    }
+    schemas = {}
+    for name, js in (raw["spark"].get("value_schemas") or {}).items():
+        if not isinstance(js, dict) or "fields" not in js:
+            raise SystemExit(
+                f"config error: spark.value_schemas[{name!r}] must be a Spark "
+                f"StructType jsonValue() dict (got {type(js).__name__}: {js!r:.80})"
+            )
+        schemas[name] = T.StructType.fromJson(js)
     pipe = CdcPipeline(
         spark=spark,
         cfg=cfg,
@@ -115,6 +179,10 @@ def main(argv=None) -> int:
     c = sub.add_parser("consume", help="continuous CDC")
     c.add_argument("--available-now", action="store_true")
     c.set_defaults(fn=cmd_consume)
+    pr = sub.add_parser("produce", help="snapshot-diff polling CDC producer")
+    pr.add_argument("--once", action="store_true")
+    pr.add_argument("--rounds", type=int, default=1_000_000)
+    pr.set_defaults(fn=cmd_produce)
     k = sub.add_parser("check", help="count/checksum parity")
     k.add_argument("--checksum", action="store_true")
     k.set_defaults(fn=cmd_check)

@@ -203,14 +203,14 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    def propagate(lab):
         neighbor_min = (
-            edges.join(labels, edges.y == labels.id)
+            edges.join(lab, edges.y == lab.id)
             .groupBy("x")
             .agg(F.min("label").alias("nmin"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
+        return (
+            lab.join(neighbor_min, lab.id == neighbor_min.x, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
@@ -219,14 +219,20 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+    # two propagation steps per convergence check: the check is a driver
+    # round-trip (a full join + count), and label propagation is monotone,
+    # so checking at stride 2 halves the job count without overshooting
+    for _ in range(max_iters // 2):
+        stepped = propagate(propagate(labels))
         changed = (
-            updated.alias("u")
+            stepped.alias("u")
             .join(labels.alias("l"), "id")
             .filter(F.col("u.label") != F.col("l.label"))
             .limit(1)
             .count()
         )
-        labels = updated
+        labels = stepped
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -41,6 +41,54 @@ def _write_cfg(tmp_path, warehouse):
     return str(p)
 
 
+def test_cli_produce_consume_check_loop(tmp_path, capsys, spark):
+    """Full binlog-free CDC loop through the CLI: produce (snapshot-diff
+    poller) -> consume (stream apply) -> check parity; then mutate the
+    source view and loop again."""
+    from synch_spark.session import read_table
+
+    src_path = str(tmp_path / "src.parquet")
+    read_table(spark, "/root/testdata/sf0.001", "region").write.parquet(src_path)
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "region", "pk": ["r_regionkey"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "source_format": "parquet",
+            "sources": {"db.region": src_path},
+            "value_schemas": {
+                "db.region": spark.read.parquet(src_path).schema.jsonValue()
+            },
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    assert main(["--config", str(p), "check", "--checksum"]) == 0
+    capsys.readouterr()
+
+    # mutate the source: rename region 0, drop region 4
+    from pyspark.sql import functions as F
+
+    cur = spark.read.parquet(src_path)
+    mutated = cur.filter(F.col("r_regionkey") != 4).withColumn(
+        "r_name",
+        F.when(F.col("r_regionkey") == 0, F.lit("RENAMED")).otherwise(F.col("r_name")),
+    )
+    mutated.write.mode("overwrite").parquet(src_path + ".v2")
+    cfg["spark"]["sources"]["db.region"] = src_path + ".v2"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    assert main(["--config", str(p), "check", "--checksum"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is True and out["check"]["db.region"]["target"] == 4
+
+
 def test_cli_etl_then_check(tmp_path, capsys, spark):
     cfg = _write_cfg(tmp_path, str(tmp_path / "wh"))
     assert main(["--config", cfg, "etl"]) == 0
