@@ -73,9 +73,16 @@ def cmd_produce(args) -> int:
     for i in range(rounds):
         emitted = 0
         for name, spec in cfg.tables.items():
+            if not spec.has_pk:
+                continue  # diff-based CDC needs a pk (reference skips too)
             src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
                 raw["spark"]["sources"][name]
             )
+            # pin ONE snapshot: events, their count, and the saved state
+            # must all come from the same read — a live source mutating
+            # between lazy re-executions would otherwise let a change slip
+            # into _producer_state without ever being emitted
+            src = src.localCheckpoint(eager=True)
             state = _PT(spark, f"{warehouse}/_producer_state/{spec.schema}/{spec.table}")
             now_us = int(_time.time() * 1_000_000)
             if not state.exists:
@@ -156,7 +163,7 @@ def cmd_check(args) -> int:
             raw["spark"]["sources"][name]
         )
         table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
-        res = check(src, table, checksum=args.checksum)
+        res = check(src, table, checksum=args.checksum, spec=spec)
         out[name] = {
             "source": res.source_count,
             "target": res.target_count,

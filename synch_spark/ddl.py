@@ -86,10 +86,15 @@ def _parse_clause(schema: str | None, table: str, clause: str) -> AlterOp:
     if m := _ADD_RE.match(clause):
         rest = m.group("rest") or ""
         dm = _DEFAULT_RE.search(rest)
+        default = (dm.group(1) or dm.group(2)) if dm else None
+        # `DEFAULT NULL` (the form MySQL itself emits) means SQL NULL, not
+        # the 4-char string "null" — only the unquoted keyword qualifies
+        if dm and dm.group(1) is None and default and default.lower() == "null":
+            default = None
         return AlterOp(
             schema, table, "add_column", m.group(1), None, m.group(2).strip(),
             nullable="not null" not in rest.lower(),
-            default=(dm.group(1) or dm.group(2)) if dm else None,
+            default=default,
         )
     if m := _DROP_RE.match(clause):
         return AlterOp(schema, table, "drop_column", m.group(1))

@@ -76,7 +76,10 @@ def jaccard_pairs(
     Inverted-index plan: explode distinct n-grams, self-equi-join on the
     gram, count intersections, derive union from per-doc set sizes.
     ``probe_filter`` (Column predicate on the left id) bounds the
-    candidate set for top-down exploration at scale.
+    candidate set for top-down exploration at scale. Note the sampling
+    semantics: with a probe filter, only pairs whose SMALLER id passes
+    the filter are emitted (the a<b canonicalization happens after the
+    filter) — a probe-centric neighborhood needs the symmetric call.
     """
     sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -223,7 +226,7 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # two propagation steps per convergence check: the check is a driver
     # round-trip (a full join + count), and label propagation is monotone,
     # so checking at stride 2 halves the job count without overshooting
-    for _ in range(max_iters // 2):
+    for _ in range(max(1, max_iters // 2)):
         stepped = propagate(propagate(labels))
         changed = (
             stepped.alias("u")
@@ -284,25 +287,34 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Scale plan: block on signature bytes (two 8-bit halves — any pair
-    within hamming<=3 of a 16-bit sig shares at least one exact half,
-    pigeonhole), equi-join per block, then exact popcount filter.
+    Blocking: split the 16-bit signature into FOUR 4-bit nibbles — by
+    pigeonhole, any pair within hamming<=3 agrees exactly on at least one
+    nibble (3 differing bits can spoil at most 3 of 4 blocks). Equi-join
+    per (block index, nibble value), then exact popcount filter. Two
+    8-bit halves would only guarantee recall for hamming<=1.
     """
     sig = simhash16(df, text_col, id_col)
-    halves = sig.select(
+    blocks = sig.select(
         "id",
         "simhash",
-        (F.col("simhash") % 256).alias("lo"),
-        F.floor(F.col("simhash") / 256).cast("long").alias("hi"),
-    )
-    lo_a = halves.select(F.col("id").alias("a"), F.col("simhash").alias("sa"), F.col("lo").alias("k"))
-    lo_b = halves.select(F.col("id").alias("b"), F.col("simhash").alias("sb"), F.col("lo").alias("k"))
-    hi_a = halves.select(F.col("id").alias("a"), F.col("simhash").alias("sa"), F.col("hi").alias("k"))
-    hi_b = halves.select(F.col("id").alias("b"), F.col("simhash").alias("sb"), F.col("hi").alias("k"))
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"),
+                        (F.floor(F.col("simhash") / (16**j)) % 16).cast("int").alias("val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = blocks.select(F.col("id").alias("a"), F.col("simhash").alias("sa"), "blk", "val")
+    b = blocks.select(F.col("id").alias("b"), F.col("simhash").alias("sb"), "blk", "val")
     cand = (
-        lo_a.join(lo_b, "k").select("a", "b", "sa", "sb")
-        .unionByName(hi_a.join(hi_b, "k").select("a", "b", "sa", "sb"))
+        a.join(b, ["blk", "val"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
         .distinct()
     )
     xor = F.expr("int(sa) ^ int(sb)")

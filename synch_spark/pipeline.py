@@ -131,21 +131,49 @@ class CheckResult:
 
 
 def _checksum(df: DataFrame) -> int:
-    """Order-insensitive content checksum: XOR of per-row xxhash64.
+    """Order-insensitive content checksum: SUM of per-row xxhash64 in
+    DECIMAL(38,0).
 
     Upgrade over the reference's count-only check (E3) — detects value
-    drift, not just cardinality drift. XOR is commutative and can't
-    overflow (sum of hashes trips ANSI long overflow). Distributed: one
-    partial agg.
+    drift, not just cardinality drift. Sum (not XOR: h^h=0 makes any
+    even-multiplicity corruption invisible) in a wide decimal (a plain
+    long sum trips ANSI overflow). Nulls are encoded with an explicit
+    sentinel because Spark hash functions skip null inputs, which would
+    make null-position swaps hash-equal. Distributed: one partial agg.
     """
-    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in sorted(df.columns)])
-    out = df.select(row_hash.alias("h")).agg(F.expr("bit_xor(h)")).collect()[0][0]
-    return out or 0
+    if not df.columns:
+        return 0
+    encoded = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+        for c in sorted(df.columns)
+    ]
+    row_hash = F.xxhash64(F.concat_ws("\x01", *encoded))
+    out = (
+        df.select(row_hash.cast("decimal(38,0)").alias("h"))
+        .agg(F.sum("h"))
+        .collect()[0][0]
+    )
+    return int(out) if out is not None else 0
 
 
-def check(source_df: DataFrame, table: ParquetTable, checksum: bool = False) -> CheckResult:
-    """E3 count parity, optionally extended with a content checksum."""
-    target_df = table.read()
+def check(
+    source_df: DataFrame,
+    table: ParquetTable,
+    checksum: bool = False,
+    spec: TableSpec | None = None,
+) -> CheckResult:
+    """E3 count parity, optionally extended with a content checksum.
+
+    Pass ``spec`` for engine-aware comparison: a collapsing-engine table
+    physically holds the ±1 sign history, so raw counts are meaningless —
+    the comparison must go through the engine's current-state view.
+    """
+    if spec is not None:
+        from synch_spark.operators.cdc_apply import read_current_state
+
+        target_df = read_current_state(table, spec)
+    else:
+        target_df = table.read()
     res = CheckResult(source_count=source_df.count(), target_count=target_df.count())
     if checksum:
         cols = sorted(set(source_df.columns) & set(target_df.columns))
@@ -171,9 +199,15 @@ def repair(
     from synch_spark.operators.cdc_apply import apply_cdc_batch, read_current_state
     from synch_spark.sources.snapshot_diff import diff_snapshots
 
+    import time
+
     current = read_current_state(table, spec).select(*source_df.columns)
+    # wall-clock stamp: correction events must sort after history but NOT
+    # after all future events — a far-future constant (e.g. 2**62) would
+    # permanently shadow later real updates in collapsing-engine views
     events = diff_snapshots(
-        current, source_df, spec.pk, spec.schema, spec.table, event_unixtime=2**62
+        current, source_df, spec.pk, spec.schema, spec.table,
+        event_unixtime=int(time.time() * 1_000_000),
     ).persist()
     try:
         n = events.count()

@@ -35,9 +35,19 @@ def diff_snapshots(
     """
     cols = new.columns
     value_cols = [c for c in cols if c not in pk]
-    row_hash = lambda df: F.xxhash64(  # noqa: E731
-        *[F.col(c).cast("string") for c in sorted(value_cols)]
-    )
+
+    def row_hash(df):
+        # Spark hash functions SKIP null inputs (xxhash64(NULL,'x') ==
+        # xxhash64('x',NULL)), which would make null-position swaps
+        # invisible. Encode each column with an explicit null sentinel and
+        # a field separator so position and null-ness both contribute.
+        if not value_cols:  # pk-only table: no payload to change
+            return F.lit(0).cast("bigint")
+        encoded = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+            for c in sorted(value_cols)
+        ]
+        return F.xxhash64(F.concat_ws("\x01", *encoded))
     o = old.select(
         *[F.col(c).alias(f"_o_{c}") for c in cols],
         *[F.col(c).alias(c) for c in pk],

@@ -125,11 +125,19 @@ class CdcPipeline:
         for schema, tbl in present:
             spec = self.cfg.tables.get(f"{schema}.{tbl}")
             if spec is None:
-                continue
+                continue  # unconfigured table: intentionally ignored
+            tevents = seg.filter((F.col("schema") == schema) & (F.col("table") == tbl))
             vschema = self.value_schemas.get(spec.qualified_name)
             if vschema is None:
+                # configured table with no declared schema is a config bug,
+                # not ignorable noise: dead-letter the events (checkpoint
+                # advances, but the data stays inspectable/replayable)
+                ParquetTable(
+                    self.spark, f"{self.warehouse}/_synch_dead_letter_events"
+                ).append(
+                    tevents.withColumn("_reason", F.lit("missing value_schema"))
+                )
                 continue
-            tevents = seg.filter((F.col("schema") == schema) & (F.col("table") == tbl))
             typed = parse_values(tevents, vschema)
             apply_cdc_batch(self.table_for(spec), typed, spec)
             if self.monitor:

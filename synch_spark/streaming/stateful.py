@@ -21,11 +21,14 @@ def streaming_first_per_key(
     ts_col: str,
     out_schema: str,
 ) -> DataFrame:
-    """Emit exactly one row per key: the earliest-`ts` row ever seen.
+    """Emit exactly one row per key: the earliest-`ts` row of the FIRST
+    micro-batch that delivers the key; everything after is dropped.
 
-    State per key = the emitted flag + its ts; later arrivals (and late
-    duplicates across micro-batches) are dropped. Classic streaming
-    ingest dedup: state is O(keys), not O(events).
+    Append-mode streams cannot retract, so once a key has emitted, a
+    late-arriving row with an even earlier ts must be discarded too —
+    keep-first means first-emitted, not global-min-ts (the global min is
+    only guaranteed when all rows for a key share a batch, as in
+    availableNow replays). State per key = one emitted flag: O(keys).
 
     out_schema must list the grouped columns, e.g.
     "user_id long, ts timestamp, event_type string".
@@ -35,14 +38,11 @@ def streaming_first_per_key(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return iter(())  # key already emitted; append mode can't retract
         batch = pd.concat(list(pdfs), ignore_index=True)
         first = batch.sort_values(ts_col, kind="mergesort").head(1)  # keeps dtypes
-        first_ts = float(first[ts_col].iloc[0].timestamp())
-        if state.exists:
-            (seen_ts,) = state.get
-            if first_ts >= seen_ts:
-                return iter(())  # already emitted an earlier row
-        state.update((first_ts,))
+        state.update((1,))
         yield first[cols]
 
     return (
@@ -50,7 +50,7 @@ def streaming_first_per_key(
         .applyInPandasWithState(
             fn,
             outputStructType=out_schema,
-            stateStructType="seen_ts double",
+            stateStructType="emitted int",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
