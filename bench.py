@@ -40,11 +40,16 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
 
+    errors: dict[str, str] = {}
+
     def run_one(item):
         name, fn = item
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001 — one bad query must not kill the run
+            errors[name] = str(e).splitlines()[0][:200]
 
     # longest-processing-time-first: start the known-heavy queries (iterative
     # clustering, fingerprinting, streaming, python-boundary ops) before the
@@ -66,17 +71,16 @@ def main() -> None:
             list(pool.map(run_one, items))
     total = round(time.perf_counter() - t_start, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": dict(sorted(timings.items())),
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(sorted(timings.items())),
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
