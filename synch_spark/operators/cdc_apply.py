@@ -94,14 +94,55 @@ def _apply_merging(
             return
         current = table.read()
         changed_keys = net.select(*pk)
-        # MERGE: drop every target row whose pk is touched, add net inserts.
-        # changed_keys is one row per pk in the batch — micro-batch sized,
-        # so Catalyst broadcasts it; the big side never shuffles.
-        kept = current.join(F.broadcast(changed_keys), list(pk), "left_anti")
-        table.overwrite(kept.unionByName(upserts.select(*current.columns)),
-                        spec.partition_by)
+        if spec.partition_by and spec.partition_by in current.columns:
+            _merge_cow(table, current, changed_keys, upserts, spec)
+        else:
+            # MERGE: drop every target row whose pk is touched, add net
+            # inserts. changed_keys is one row per pk in the batch —
+            # micro-batch sized, so Catalyst broadcasts it; the big side
+            # never shuffles.
+            kept = current.join(F.broadcast(changed_keys), list(pk), "left_anti")
+            table.overwrite(kept.unionByName(upserts.select(*current.columns)),
+                            spec.partition_by)
     finally:
         net.unpersist()
+
+
+def _merge_cow(
+    table: ParquetTable,
+    current: DataFrame,
+    changed_keys: DataFrame,
+    upserts: DataFrame,
+    spec: TableSpec,
+) -> None:
+    """Partition-scoped MERGE (copy-on-write).
+
+    Touched partitions = partitions holding a target row whose pk is in
+    the batch (the pk may have *moved* partitions, so the target side is
+    probed too, not just the new rows) ∪ partitions the upserts land in.
+    Only those partitions are anti-joined and rewritten;
+    ``ParquetTable.overwrite_cow`` hard-links the rest. The probe scan
+    reads only (partition, pk) columns — column-pruned — and at scale is
+    the one piece file-level min/max stats would further cut (PERF.md).
+    """
+    part, pk = spec.partition_by, spec.pk
+    touched_rows = (
+        current.select(part, *pk)
+        .join(F.broadcast(changed_keys), list(pk), "left_semi")
+        .select(part)
+        .unionByName(upserts.select(part))
+        .distinct()
+        .collect()
+    )
+    vals = [r[0] for r in touched_rows]
+    if not vals:
+        return
+    cond = F.col(part).isin([v for v in vals if v is not None])
+    if any(v is None for v in vals):
+        cond = cond | F.col(part).isNull()
+    affected = current.filter(cond)  # partition-pruned scan
+    kept = affected.join(F.broadcast(changed_keys), list(pk), "left_anti")
+    table.overwrite_cow(kept.unionByName(upserts.select(*current.columns)), part, vals)
 
 
 def _apply_collapsing(

@@ -106,6 +106,97 @@ def test_collapsing_append_and_view(spark, tmp_path):
     assert rows == {1: "5"}
 
 
+PART_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.StringType()),
+        T.StructField("day", T.StringType()),
+    ]
+)
+
+
+def _typed_part(spark, rows):
+    return parse_values(split_updates(_raw(spark, rows)), PART_VALUE_SCHEMA)
+
+
+def _part_spec():
+    return TableSpec(
+        schema="db", table="sync_test", pk=("id",),
+        engine=Engine.MERGE_TREE, partition_by="day",
+    )
+
+
+def _inodes(version_dir, part):
+    d = f"{version_dir}/day={part}"
+    import os
+    return {n: os.stat(os.path.join(d, n)).st_ino
+            for n in os.listdir(d) if n.endswith(".parquet")}
+
+
+def test_cow_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partitioned merge: untouched partitions carry over as hard links
+    (same inode), touched partitions get fresh files, emptied partitions
+    disappear, and a pk that moves partitions leaves no ghost behind."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    s = _part_spec()
+    apply_cdc_batch(t, _typed_part(spark, [
+        ("insert", None, {"id": 1, "amount": "1", "day": "a"}, 100),
+        ("insert", None, {"id": 2, "amount": "2", "day": "b"}, 100),
+        ("insert", None, {"id": 3, "amount": "3", "day": "c"}, 100),
+        ("insert", None, {"id": 4, "amount": "4", "day": "d"}, 100),
+    ]), s)
+    v0 = t._version_dir(t.current_version())
+    a_before, d_before = _inodes(v0, "a"), _inodes(v0, "d")
+    # batch: update in b; pk 3 moves c -> a; pk 4's partition d emptied
+    apply_cdc_batch(t, _typed_part(spark, [
+        ("update", {"id": 2, "amount": "2", "day": "b"},
+         {"id": 2, "amount": "9", "day": "b"}, 200),
+        ("update", {"id": 3, "amount": "3", "day": "c"},
+         {"id": 3, "amount": "3", "day": "a"}, 200),
+        ("delete", {"id": 4, "amount": "4", "day": "d"}, None, 200),
+    ]), s)
+    rows = {r["id"]: (r["amount"], r["day"])
+            for r in read_current_state(t, s).collect()}
+    assert rows == {1: ("1", "a"), 2: ("9", "b"), 3: ("3", "a")}
+    v1 = t._version_dir(t.current_version())
+    assert v1 != v0
+    # a was touched (pk 3 moved in) -> rewritten, no linked files survive
+    assert not (set(_inodes(v1, "a").values()) & set(a_before.values()))
+    # d emptied by the delete -> gone
+    import os
+    assert not os.path.exists(f"{v1}/day=d")
+    # an untouched partition in a wider table is linked, not copied:
+    apply_cdc_batch(t, _typed_part(spark, [
+        ("insert", None, {"id": 5, "amount": "5", "day": "b"}, 300),
+    ]), s)
+    v2 = t._version_dir(t.current_version())
+    assert _inodes(v2, "a") == _inodes(v1, "a")  # same names, same inodes
+
+
+def test_cow_matches_full_rewrite_state(spark, tmp_path):
+    """CoW merge and unpartitioned merge agree on final state."""
+    cow = ParquetTable(spark, str(tmp_path / "cow"))
+    flat = ParquetTable(spark, str(tmp_path / "flat"))
+    s_cow = _part_spec()
+    s_flat = TableSpec(schema="db", table="sync_test", pk=("id",),
+                       engine=Engine.MERGE_TREE)
+    batches = [
+        [("insert", None, {"id": i, "amount": str(i), "day": "ab"[i % 2]}, 100)
+         for i in range(1, 7)],
+        [("delete", {"id": 2, "amount": "2", "day": "a"}, None, 200),
+         ("update", {"id": 3, "amount": "3", "day": "b"},
+          {"id": 3, "amount": "33", "day": "a"}, 200),
+         ("insert", None, {"id": 7, "amount": "7", "day": "b"}, 200)],
+    ]
+    for b in batches:
+        apply_cdc_batch(cow, _typed_part(spark, b), s_cow)
+        apply_cdc_batch(flat, _typed_part(spark, b), s_flat)
+    got = sorted(map(tuple, read_current_state(cow, s_cow).collect()))
+    want = sorted(map(tuple, read_current_state(flat, s_flat)
+                      .select("id", "amount", "day").collect()))
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_no_pk_appends_inserts_only(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "t"))
     s = TableSpec(schema="db", table="sync_test", pk=(), engine=Engine.MERGE_TREE)
