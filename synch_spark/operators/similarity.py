@@ -283,6 +283,69 @@ def ann_topk_ivf(
     )
 
 
+def embedding_near_dups_exact(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    salt: int = 32,
+) -> DataFrame:
+    """EXACT near-duplicate pairs by cosine >= threshold: (a, b, cosine).
+
+    The deterministic baseline the LSH variant's recall is judged
+    against. ``block_col`` bounds the quadratic pair space to equal-key
+    blocks (the dedup-within-shard pattern); without it the self-join is
+    all-pairs — fine for a probe set, not for a 100 TB corpus (use
+    ``embedding_near_dups`` there). Two-phase scoring as in cosine_topk:
+    double prefilter at threshold - 1e-6, exact decimal rescore defines
+    the output.
+
+    Block keys are typically few (shards, languages, labels), so the
+    blocked self-join is salted: the left side hashes ids into ``salt``
+    sub-keys, the right side replicates across all of them — pair set
+    unchanged, scoring parallelism = blocks x salt instead of blocks.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    base = df.select(*cols).withColumn(
+        "_n_d", F.sqrt(_dot_double(F.col("v"), F.col("v")))
+    )
+    a = base.select(
+        F.col("id").alias("a"), F.col("v").alias("_pv"), F.col("_n_d").alias("_na"),
+        *([F.col("_blk").alias("_ba")] if block_col else []),
+    )
+    b = base.select(
+        F.col("id").alias("b"), F.col("v").alias("_cv"), F.col("_n_d").alias("_nb"),
+        *([F.col("_blk").alias("_bb")] if block_col else []),
+    )
+    cond = F.col("a") < F.col("b")
+    if block_col:
+        cond = cond & (F.col("_ba") == F.col("_bb"))
+        if salt > 1:
+            a = a.withColumn("_salt", F.pmod(F.xxhash64("a"), F.lit(salt)).cast("int"))
+            b = b.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+            cond = cond & (a["_salt"] == b["_salt"])
+            # a small corpus arrives as one file -> one partition; under a
+            # broadcast join the probe side's partitioning IS the scoring
+            # parallelism, so spread it before the O(pairs) dot products
+            a = a.repartition(salt, "_salt")
+    cand = (
+        a.join(b, cond)
+        .drop("_salt")
+        .withColumn(
+            "_s", _dot_double(F.col("_pv"), F.col("_cv")) / (F.col("_na") * F.col("_nb"))
+        )
+        .filter(F.col("_s") >= threshold - 1e-6)
+    )
+    return (
+        _decimal_rescore(cand)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

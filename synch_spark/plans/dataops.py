@@ -410,6 +410,35 @@ def q39_dedup_clusters(spark, sf_dir):
     )
 
 
+# --- exact embedding near-dup pairs (label-blocked) ----------------------
+def q47_embedding_near_dups(spark, sf_dir):
+    """Exact cosine near-dup pairs within label blocks — the deterministic
+    baseline for the LSH near-dup path (dedup-within-shard pattern)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups_exact(
+        emb, threshold=0.35, block_col="label"
+    ).orderBy("a", "b")
+
+
+Q47_SQL = """
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+pairs AS (
+  SELECT ea.vec_id AS a, eb.vec_id AS b,
+    (SELECT SUM(CAST(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE) AS DECIMAL(38,12)))
+     FROM (SELECT UNNEST(ea.embedding) AS x, UNNEST(eb.embedding) AS y) z) AS dot,
+    (SELECT SUM(CAST(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE) AS DECIMAL(38,12)))
+     FROM (SELECT UNNEST(ea.embedding) AS x) z) AS na,
+    (SELECT SUM(CAST(CAST(z.y AS DOUBLE) * CAST(z.y AS DOUBLE) AS DECIMAL(38,12)))
+     FROM (SELECT UNNEST(eb.embedding) AS y) z) AS nb
+  FROM e ea JOIN e eb ON ea.label = eb.label AND ea.vec_id < eb.vec_id)
+SELECT a, b,
+       CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+FROM pairs
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.35
+ORDER BY a, b
+"""
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -427,4 +456,5 @@ DATAOPS_QUERIES = {
     "q41_winnow_fingerprints": (q41_winnow_fingerprints, Q41_SQL),
     "q43_ngram_langid": (q43_ngram_langid, Q43_SQL),
     "q44_shared_sql": (q44_shared_sql, SHARED_SQL),
+    "q47_embedding_near_dups": (q47_embedding_near_dups, Q47_SQL),
 }
