@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from synch_spark.config import Engine, TableSpec
 from synch_spark.operators import engines
-from synch_spark.sources.table import ParquetTable
+from synch_spark.sources.table import ParquetTable, file_key_range
 
 
 def compact_batch(events: DataFrame, pk: tuple[str, ...]) -> DataFrame:
@@ -137,12 +137,62 @@ def _merge_cow(
     vals = [r[0] for r in touched_rows]
     if not vals:
         return
-    cond = F.col(part).isin([v for v in vals if v is not None])
-    if any(v is None for v in vals):
-        cond = cond | F.col(part).isNull()
-    affected = current.filter(cond)  # partition-pruned scan
+    candidates, links = _prune_files(table, changed_keys, part, pk, vals)
+    if candidates is not None:
+        spark = current.sparkSession
+        base = table._version_dir(table.current_version())
+        affected = (
+            spark.read.option("basePath", base).parquet(*candidates)
+            if candidates
+            else current.limit(0)
+        )
+    else:  # stats unusable -> whole-partition rewrite
+        links = {}
+        cond = F.col(part).isin([v for v in vals if v is not None])
+        if any(v is None for v in vals):
+            cond = cond | F.col(part).isNull()
+        affected = current.filter(cond)  # partition-pruned scan
     kept = affected.join(F.broadcast(changed_keys), list(pk), "left_anti")
-    table.overwrite_cow(kept.unionByName(upserts.select(*current.columns)), part, vals)
+    table.overwrite_cow(
+        kept.unionByName(upserts.select(*current.columns)), part, vals, file_links=links
+    )
+
+
+def _prune_files(table, changed_keys, part, pk, vals):
+    """File-level data skipping for the merge: split the touched
+    partitions' data files into rewrite candidates (pk footer min/max
+    range intersects some batch key) and provably untouched files to
+    hard-link. Mirrors Delta's stats-based file pruning: the batch key
+    set is micro-batch sized, so collecting it to the driver is the same
+    O(batch) cost as the broadcast we already do. Pruning keys on the
+    leading pk column only is conservative and therefore safe for
+    composite pks. Returns (candidates, links), or (None, {}) when stats
+    can't prove anything (null keys, missing/odd-typed stats).
+    """
+    import bisect
+
+    key_col = pk[0]
+    keys = [r[0] for r in changed_keys.select(key_col).distinct().collect()]
+    if not keys or any(k is None for k in keys):
+        return None, {}
+    sk = sorted(keys)
+    candidates: list[str] = []
+    links: dict[str, list[str]] = {}
+    try:
+        for dirname, files in table.partition_files(part, vals).items():
+            for f in files:
+                rng = file_key_range(f, key_col)
+                hit = True
+                if rng is not None:
+                    i = bisect.bisect_left(sk, rng[0])
+                    hit = i < len(sk) and sk[i] <= rng[1]
+                if hit:
+                    candidates.append(f)
+                else:
+                    links.setdefault(dirname, []).append(f)
+    except TypeError:  # stats type doesn't order against key values
+        return None, {}
+    return candidates, links
 
 
 def _apply_collapsing(

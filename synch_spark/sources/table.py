@@ -53,6 +53,27 @@ def _partition_dir_value(dirname: str) -> str | None:
     return None if raw == _HIVE_NULL else unquote(raw)
 
 
+def file_key_range(path: str, column: str):
+    """(min, max) of ``column`` across the parquet file's row groups from
+    footer statistics only — no data pages read. None when stats are
+    absent (then the file must be treated as a rewrite candidate)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    try:
+        idx = md.schema.names.index(column)
+    except ValueError:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
 class ParquetTable:
     """A named, versioned parquet table rooted at ``root``."""
 
@@ -94,16 +115,54 @@ class ParquetTable:
             raise FileNotFoundError(f"table {self.root} has no committed version")
         return self.spark.read.parquet(self._version_dir(v))
 
-    def overwrite(self, df: DataFrame, partition_by: str | None = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: str | None = None,
+        cluster_by: tuple[str, ...] | None = None,
+    ) -> None:
+        """``cluster_by`` range-partitions + sorts rows on the given key
+        before writing, so every data file covers a narrow, mostly
+        disjoint pk range — that is what makes footer min/max stats
+        selective and file-level merge pruning effective (Z-order-lite;
+        use it for initial loads and compaction)."""
         v = self.current_version() + 1
+        if cluster_by:
+            cols = ([partition_by] if partition_by else []) + list(cluster_by)
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(self._version_dir(v))
         self._commit(v)
 
+    def partition_files(self, partition_by: str, values: list) -> dict[str, list[str]]:
+        """Data files of the current version for the given partition
+        values: {partition_dirname: [absolute file paths]}."""
+        v = self.current_version()
+        if v < 0:
+            return {}
+        vdir = self._version_dir(v)
+        wanted = {None if x is None else str(x) for x in values}
+        out: dict[str, list[str]] = {}
+        prefix = f"{partition_by}="
+        for name in sorted(os.listdir(vdir)):
+            if not name.startswith(prefix) or _partition_dir_value(name) not in wanted:
+                continue
+            d = os.path.join(vdir, name)
+            out[name] = [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+        return out
+
     def overwrite_cow(
-        self, df: DataFrame, partition_by: str, touched_values: list
+        self,
+        df: DataFrame,
+        partition_by: str,
+        touched_values: list,
+        file_links: dict[str, list[str]] | None = None,
     ) -> None:
         """Partition-level copy-on-write commit.
 
@@ -115,9 +174,16 @@ class ParquetTable:
         rows is naturally dropped (not written, not linked) — that is
         how a partition emptied by deletes disappears.
 
+        ``file_links`` ({partition_dirname: [old file paths]}) carries
+        file-level data skipping one step further: inside a *touched*
+        partition, files whose pk min/max stats prove they hold no
+        touched key are hard-linked unchanged next to the freshly
+        written files (names are uuid-unique, no collisions). ``df``
+        must then contain only the rewritten remainder of the partition.
+
         This is the Delta/Hudi CoW strategy the reference outsources to
         ClickHouse background merges: at 100 TB a micro-batch touching k
-        of N date partitions rewrites O(k) data, never O(N).
+        of N date partitions rewrites O(k files) of data, never O(N).
         """
         v_old = self.current_version()
         if v_old < 0:
@@ -135,6 +201,14 @@ class ParquetTable:
             if _partition_dir_value(name) in touched:
                 continue
             _link_tree(os.path.join(old_dir, name), os.path.join(new_dir, name))
+        for dirname, files in (file_links or {}).items():
+            dst = os.path.join(new_dir, dirname)
+            os.makedirs(dst, exist_ok=True)
+            for f in files:
+                try:
+                    os.link(f, os.path.join(dst, os.path.basename(f)))
+                except OSError:
+                    shutil.copy2(f, os.path.join(dst, os.path.basename(f)))
         self._commit(v_new)
 
     def append(self, df: DataFrame, partition_by: str | None = None) -> None:

@@ -160,8 +160,10 @@ def test_cow_merge_rewrites_only_touched_partitions(spark, tmp_path):
     assert rows == {1: ("1", "a"), 2: ("9", "b"), 3: ("3", "a")}
     v1 = t._version_dir(t.current_version())
     assert v1 != v0
-    # a was touched (pk 3 moved in) -> rewritten, no linked files survive
-    assert not (set(_inodes(v1, "a").values()) & set(a_before.values()))
+    # a was touched (pk 3 moved in): fresh file(s) written; pk 1's file
+    # holds no batch key so file-level pruning links it through unchanged
+    a_after = set(_inodes(v1, "a").values())
+    assert a_after - set(a_before.values())  # new data file present
     # d emptied by the delete -> gone
     import os
     assert not os.path.exists(f"{v1}/day=d")
@@ -171,6 +173,35 @@ def test_cow_merge_rewrites_only_touched_partitions(spark, tmp_path):
     ]), s)
     v2 = t._version_dir(t.current_version())
     assert _inodes(v2, "a") == _inodes(v1, "a")  # same names, same inodes
+
+
+def test_cow_file_level_pruning(spark, tmp_path):
+    """Within a touched partition, files whose pk footer range excludes
+    every batch key are hard-linked, not rewritten; state stays exact."""
+    import os
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    s = _part_spec()
+    init = spark.createDataFrame(
+        [(i, str(i), "a") for i in range(1, 101)], "id long, amount string, day string"
+    )
+    # 4 files with disjoint id ranges inside partition day=a
+    t.overwrite(
+        init.repartitionByRange(4, "id").sortWithinPartitions("id"), partition_by="day"
+    )
+    v0 = t._version_dir(t.current_version())
+    before = _inodes(v0, "a")
+    assert len(before) == 4
+    # touch a single pk: only the file covering id=5 may be rewritten
+    apply_cdc_batch(t, _typed_part(spark, [
+        ("update", {"id": 5, "amount": "5", "day": "a"},
+         {"id": 5, "amount": "x", "day": "a"}, 100),
+    ]), s)
+    v1 = t._version_dir(t.current_version())
+    after = _inodes(v1, "a")
+    shared = set(before.values()) & set(after.values())
+    assert len(shared) == 3  # three untouched files linked through
+    got = {r["id"]: r["amount"] for r in read_current_state(t, s).collect()}
+    assert got == {i: ("x" if i == 5 else str(i)) for i in range(1, 101)}
 
 
 def test_cow_matches_full_rewrite_state(spark, tmp_path):
