@@ -238,7 +238,9 @@ def compact_table(table: ParquetTable, spec: TableSpec) -> None:
             .withColumn("_event_unixtime", F.lit(0).cast("long"))
             .select(*cols)
         )
-    table.overwrite(state, spec.partition_by)
+    # re-cluster on pk so post-compaction files have tight, disjoint pk
+    # ranges — restores file-level merge pruning degraded by appends
+    table.overwrite(state, spec.partition_by, cluster_by=spec.pk or None)
 
 
 def register_final_view(spark, table: ParquetTable, spec: TableSpec, name: str | None = None):

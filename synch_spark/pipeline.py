@@ -108,10 +108,10 @@ def etl_full(
         return False
     if table.exists and not renew and not spec.auto_full_etl:
         return False
-    df = source_df
-    if spec.partition_by:
-        df = df.repartition(F.col(spec.partition_by))
-    table.overwrite(df, spec.partition_by)
+    # cluster on pk (range-partition + in-file sort): every data file
+    # covers a narrow pk range, which is what makes footer min/max stats
+    # selective for the merge path's file-level pruning (table.py)
+    table.overwrite(source_df, spec.partition_by, cluster_by=spec.pk)
     return True
 
 
