@@ -20,6 +20,23 @@ from pyspark.sql import functions as F
 from synch_spark.operators import dedup, similarity, text
 from synch_spark.plans.relational import _t
 
+
+def _docs(spark, sf_dir):
+    """documents, spread across cores before CPU-heavy per-doc work.
+
+    A small corpus arrives as one parquet file -> one scan partition, and
+    every downstream hash/shingle stage would run on a single core. The
+    same applies at scale when upstream files are few and large relative
+    to the cluster: an explicit round-robin repartition ahead of
+    md5/shingle pipelines is a cheap shuffle of raw text that buys full
+    map parallelism. Skipped when the scan already has enough splits.
+    """
+    df = _t(spark, sf_dir, "documents")
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
+    return df
+
 TOK_SQL = r"string_split_regex(text, '\s+')"
 NORM_SQL = r"trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 STOP_IN = "(" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + ")"
@@ -27,7 +44,7 @@ STOP_IN = "(" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + ")"
 
 # --- exact dedup ---------------------------------------------------------
 def q16_exact_dedup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.duplicate_stats(docs, "text")
 
 
@@ -39,7 +56,7 @@ FROM documents
 
 # --- text stats ----------------------------------------------------------
 def q17_text_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),
@@ -61,7 +78,7 @@ FROM documents ORDER BY doc_id
 
 # --- quality + language heuristic ---------------------------------------
 def q18_quality_langid(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         text.stopword_ratio("text").alias("stop_ratio"),
@@ -89,7 +106,7 @@ FROM s ORDER BY doc_id
 
 # --- distributed wordcount top-k ----------------------------------------
 def q19_token_topk(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select(F.explode(text.tokens("text")).alias("token"))
         .groupBy("token")
@@ -115,7 +132,7 @@ JACCARD_T = 0.6
 
 
 def q20_jaccard_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         dedup.jaccard_pairs(
             docs, "text", "doc_id", threshold=JACCARD_T, n=3,
@@ -146,7 +163,7 @@ ORDER BY a, b
 
 # --- MinHash + LSH near-dup candidates ----------------------------------
 def q21_minhash_lsh(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.lsh_candidate_pairs(
         docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
     ).orderBy("a", "b")
@@ -174,7 +191,7 @@ ORDER BY a, b
 
 # --- SimHash signatures --------------------------------------------------
 def q22_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.simhash16(docs, "text", "doc_id").withColumnRenamed(
         "id", "doc_id"
     ).orderBy("doc_id")
@@ -256,7 +273,7 @@ def q42_ann_ivf(spark, sf_dir):
 def q25_multimodal_features(spark, sf_dir):
     from synch_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     media = multimodal.attach_fake_media(docs, "text")
     return multimodal.extract_features(media, "doc_id").orderBy("id")
 
@@ -276,7 +293,7 @@ FROM documents ORDER BY id
 
 # --- BPE-ish tokenization ------------------------------------------------
 def q40_bpe_tokens(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         text.bpe_ish_token_count("text").alias("n_bpe"),
@@ -296,7 +313,7 @@ FROM documents ORDER BY doc_id
 def q41_winnow_fingerprints(spark, sf_dir):
     """MOSS-style winnowed fingerprint count + first fingerprint per doc
     (full sets are verified via the sorted-set hash below)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     fp = text.winnow_fingerprints(docs.select("doc_id", "text"), "text", k=8, window=4)
     return fp.select(
         "doc_id",
@@ -329,7 +346,7 @@ FROM mins ORDER BY doc_id
 
 # --- n-gram profile language-ID ------------------------------------------
 def q43_ngram_langid(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     scores = text.ngram_lang_scores("text")
     langs = sorted(text.LANG_PROFILES)
     # two-stage: materialize score columns, then argmax over the ATTRIBUTES
@@ -400,7 +417,7 @@ def q39_dedup_clusters(spark, sf_dir):
     """End-to-end near-dup dedup: MinHash-LSH candidates -> connected
     components -> per-cluster stats. Iterative algorithm (rows-only
     check; equivalence vs union-find tested in pytest)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", 8, 4, 3)
     clusters = dedup.cluster_duplicates(pairs)
     return (
