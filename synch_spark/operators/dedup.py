@@ -180,17 +180,25 @@ def lsh_candidate_pairs(
 
 
 # --- duplicate clustering (connected components) ------------------------
-def cluster_duplicates(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def cluster_duplicates(
+    pairs: DataFrame, max_iters: int = 20, local_threshold: int = 2_000_000
+) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id).
 
     cluster_id = min id reachable through the pair graph; dedup keeps one
-    representative per cluster. Iterative min-label propagation: each
-    round every node adopts the smallest label among itself and its
-    neighbors; converges in O(diameter) rounds (near-dup clusters are
-    tiny, so a handful). This is the standard large-graph CC pattern in
-    pure DataFrame ops — each iteration is one join + one aggregate, the
-    frame is (node, label) only, and `localCheckpoint` truncates the
-    lineage so plans don't grow with iterations.
+    representative per cluster.
+
+    Size-adaptive: the candidate-pair graph is orders of magnitude
+    smaller than the corpus (LSH already reduced 100 TB of text to
+    near-dup *pairs*), so when the materialized edge list fits the
+    driver (<= ``local_threshold`` edges) a union-find finishes it in
+    one pass — O(E α(E)) locally beats O(diameter) rounds of tiny
+    distributed jobs. Above the threshold, iterative min-label
+    propagation: each round every node adopts the smallest label among
+    itself and its neighbors; converges in O(diameter) rounds (near-dup
+    clusters are tiny, so a handful). Each iteration is one join + one
+    aggregate on a (node, label) frame, and `localCheckpoint` truncates
+    the lineage so plans don't grow with iterations.
     """
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
@@ -200,6 +208,8 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # MinHash LSH) must not re-execute on every iteration's join
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= local_threshold:
+        return _cluster_local(edges)
     labels = (
         edges.select(F.col("x").alias("id"))
         .distinct()
@@ -239,6 +249,34 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def _cluster_local(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a materialized (x, y) edge frame.
+    Exact same contract as the distributed loop: every node labeled with
+    the min id of its component."""
+    from pyspark.sql import types as T
+
+    id_type = edges.schema["x"].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
+    )
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(n):
+        parent.setdefault(n, n)
+        while parent[n] != n:
+            parent[n] = parent[parent[n]]
+            n = parent[n]
+        return n
+
+    for r in edges.toLocalIterator():
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in list(parent)]
+    return spark.createDataFrame(rows, schema)
 
 
 def dedup_by_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:

@@ -228,6 +228,30 @@ def test_cow_matches_full_rewrite_state(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_cow_null_partition_value(spark, tmp_path):
+    """Rows with a NULL partition value live in the Hive default
+    partition; the CoW merge must touch and rewrite it like any other."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    s = _part_spec()
+    apply_cdc_batch(t, _typed_part(spark, [
+        ("insert", None, {"id": 1, "amount": "1", "day": None}, 100),
+        ("insert", None, {"id": 2, "amount": "2", "day": "b"}, 100),
+    ]), s)
+    apply_cdc_batch(t, _typed_part(spark, [
+        ("update", {"id": 1, "amount": "1", "day": None},
+         {"id": 1, "amount": "9", "day": None}, 200),
+    ]), s)
+    rows = {r["id"]: (r["amount"], r["day"])
+            for r in read_current_state(t, s).collect()}
+    assert rows == {1: ("9", None), 2: ("2", "b")}
+    # untouched partition b survived as links; null partition rewritten
+    apply_cdc_batch(t, _typed_part(spark, [
+        ("delete", {"id": 1, "amount": "9", "day": None}, None, 300),
+    ]), s)
+    rows = {r["id"]: r["amount"] for r in read_current_state(t, s).collect()}
+    assert rows == {2: "2"}
+
+
 def test_no_pk_appends_inserts_only(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "t"))
     s = TableSpec(schema="db", table="sync_test", pk=(), engine=Engine.MERGE_TREE)

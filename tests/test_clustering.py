@@ -31,9 +31,16 @@ def test_cluster_duplicates_matches_union_find(spark):
         (30, 40), (40, 50), (50, 60), (60, 70),  # long chain (diameter test)
     ]
     df = spark.createDataFrame(pairs, ["a", "b"])
-    got = {r["id"]: r["cluster_id"] for r in cluster_duplicates(df).collect()}
     expected = _union_find(pairs)
+    # small graph -> local union-find path
+    got = {r["id"]: r["cluster_id"] for r in cluster_duplicates(df).collect()}
     assert got == expected
+    # threshold 0 forces the distributed label-propagation path
+    got_dist = {
+        r["id"]: r["cluster_id"]
+        for r in cluster_duplicates(df, local_threshold=0).collect()
+    }
+    assert got_dist == expected
 
 
 def test_dedup_by_clusters_keeps_representatives(spark):
