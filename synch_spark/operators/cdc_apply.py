@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from synch_spark.config import Engine, TableSpec
 from synch_spark.operators import engines
-from synch_spark.sources.table import ParquetTable, file_key_range
+from synch_spark.sources.table import ParquetTable, _partition_dir_value, file_key_range
 
 
 def compact_batch(events: DataFrame, pk: tuple[str, ...]) -> DataFrame:
@@ -126,6 +126,83 @@ def _merge_cow(
     the one piece file-level min/max stats would further cut (PERF.md).
     """
     part, pk = spec.partition_by, spec.pk
+    pruned = _classify_files(table, changed_keys, upserts, part, pk)
+    if pruned is None:
+        _merge_cow_probe(table, current, changed_keys, upserts, spec)
+        return
+    candidates, links, vals = pruned
+    if not vals:
+        return
+    spark = current.sparkSession
+    base = table._version_dir(table.current_version())
+    affected = (
+        spark.read.option("basePath", base).parquet(*candidates)
+        if candidates
+        else current.limit(0)
+    )
+    kept = affected.join(F.broadcast(changed_keys), list(pk), "left_anti")
+    table.overwrite_cow(
+        kept.unionByName(upserts.select(*current.columns)), part, vals, file_links=links
+    )
+
+
+def _classify_files(table, changed_keys, upserts, part, pk):
+    """Metadata-only discovery of the merge's write set.
+
+    Walks the table's partition directories and classifies every data
+    file by its leading-pk footer min/max against the batch key set
+    (Delta-style stats pruning; the batch is micro-batch sized so
+    collecting its keys is the same O(batch) cost as the broadcast we
+    already do). A partition is touched when it holds an intersecting
+    (candidate) file or receives upserts; candidate files get rewritten
+    through the anti-join, every other file hard-links into the new
+    version. No table scan happens at all — the 100 TB target's merge
+    cost is O(batch + intersecting files) plus a directory walk.
+
+    Leading-pk pruning is conservative (a first-column match without a
+    full composite match just means a needless rewrite candidate), so
+    correctness never depends on stats quality. Returns
+    (candidates, links, touched_values) or None when stats can't prove
+    anything (null keys, missing/unorderable stats) — caller falls back
+    to the scan-based probe.
+    """
+    import bisect
+
+    keys = [r[0] for r in changed_keys.select(pk[0]).distinct().collect()]
+    if not keys or any(k is None for k in keys):
+        return None
+    sk = sorted(keys)
+    upsert_vals = [r[0] for r in upserts.select(part).distinct().collect()]
+    upsert_strs = {None if v is None else str(v) for v in upsert_vals}
+    candidates: list[str] = []
+    links: dict[str, list[str]] = {}
+    touched: list = list(upsert_vals)
+    try:
+        for dirname, files in table.partition_files(part).items():
+            cand_here, link_here = [], []
+            for f in files:
+                rng = file_key_range(f, pk[0])
+                hit = True
+                if rng is not None:
+                    i = bisect.bisect_left(sk, rng[0])
+                    hit = i < len(sk) and sk[i] <= rng[1]
+                (cand_here if hit else link_here).append(f)
+            dval = _partition_dir_value(dirname)
+            if cand_here or dval in upsert_strs:
+                candidates.extend(cand_here)
+                if link_here:
+                    links[dirname] = link_here
+                if dval not in upsert_strs:
+                    touched.append(dval)
+    except TypeError:  # stats type doesn't order against key values
+        return None
+    return candidates, links, touched
+
+
+def _merge_cow_probe(table, current, changed_keys, upserts, spec):
+    """Scan-based fallback: find touched partitions with a column-pruned
+    (partition, pk) semi-join probe and rewrite them whole."""
+    part, pk = spec.partition_by, spec.pk
     touched_rows = (
         current.select(part, *pk)
         .join(F.broadcast(changed_keys), list(pk), "left_semi")
@@ -137,62 +214,12 @@ def _merge_cow(
     vals = [r[0] for r in touched_rows]
     if not vals:
         return
-    candidates, links = _prune_files(table, changed_keys, part, pk, vals)
-    if candidates is not None:
-        spark = current.sparkSession
-        base = table._version_dir(table.current_version())
-        affected = (
-            spark.read.option("basePath", base).parquet(*candidates)
-            if candidates
-            else current.limit(0)
-        )
-    else:  # stats unusable -> whole-partition rewrite
-        links = {}
-        cond = F.col(part).isin([v for v in vals if v is not None])
-        if any(v is None for v in vals):
-            cond = cond | F.col(part).isNull()
-        affected = current.filter(cond)  # partition-pruned scan
+    cond = F.col(part).isin([v for v in vals if v is not None])
+    if any(v is None for v in vals):
+        cond = cond | F.col(part).isNull()
+    affected = current.filter(cond)  # partition-pruned scan
     kept = affected.join(F.broadcast(changed_keys), list(pk), "left_anti")
-    table.overwrite_cow(
-        kept.unionByName(upserts.select(*current.columns)), part, vals, file_links=links
-    )
-
-
-def _prune_files(table, changed_keys, part, pk, vals):
-    """File-level data skipping for the merge: split the touched
-    partitions' data files into rewrite candidates (pk footer min/max
-    range intersects some batch key) and provably untouched files to
-    hard-link. Mirrors Delta's stats-based file pruning: the batch key
-    set is micro-batch sized, so collecting it to the driver is the same
-    O(batch) cost as the broadcast we already do. Pruning keys on the
-    leading pk column only is conservative and therefore safe for
-    composite pks. Returns (candidates, links), or (None, {}) when stats
-    can't prove anything (null keys, missing/odd-typed stats).
-    """
-    import bisect
-
-    key_col = pk[0]
-    keys = [r[0] for r in changed_keys.select(key_col).distinct().collect()]
-    if not keys or any(k is None for k in keys):
-        return None, {}
-    sk = sorted(keys)
-    candidates: list[str] = []
-    links: dict[str, list[str]] = {}
-    try:
-        for dirname, files in table.partition_files(part, vals).items():
-            for f in files:
-                rng = file_key_range(f, key_col)
-                hit = True
-                if rng is not None:
-                    i = bisect.bisect_left(sk, rng[0])
-                    hit = i < len(sk) and sk[i] <= rng[1]
-                if hit:
-                    candidates.append(f)
-                else:
-                    links.setdefault(dirname, []).append(f)
-    except TypeError:  # stats type doesn't order against key values
-        return None, {}
-    return candidates, links
+    table.overwrite_cow(kept.unionByName(upserts.select(*current.columns)), part, vals)
 
 
 def _apply_collapsing(

@@ -136,18 +136,25 @@ class ParquetTable:
         writer.parquet(self._version_dir(v))
         self._commit(v)
 
-    def partition_files(self, partition_by: str, values: list) -> dict[str, list[str]]:
+    def partition_files(
+        self, partition_by: str, values: list | None = None
+    ) -> dict[str, list[str]]:
         """Data files of the current version for the given partition
-        values: {partition_dirname: [absolute file paths]}."""
+        values (or every partition when ``values`` is None):
+        {partition_dirname: [absolute file paths]}."""
         v = self.current_version()
         if v < 0:
             return {}
         vdir = self._version_dir(v)
-        wanted = {None if x is None else str(x) for x in values}
+        wanted = (
+            None if values is None else {None if x is None else str(x) for x in values}
+        )
         out: dict[str, list[str]] = {}
         prefix = f"{partition_by}="
         for name in sorted(os.listdir(vdir)):
-            if not name.startswith(prefix) or _partition_dir_value(name) not in wanted:
+            if not name.startswith(prefix):
+                continue
+            if wanted is not None and _partition_dir_value(name) not in wanted:
                 continue
             d = os.path.join(vdir, name)
             out[name] = [
