@@ -1,0 +1,105 @@
+"""Persisted IVF similarity index for incremental ingest + fast search.
+
+The scale path for similarity search mirrors the dedup story
+(dedup_index.DedupIndex): you don't re-bucket 100 TB of embeddings per
+query — centroids are chosen once, every vector is assigned to its
+nearest centroid ONCE into an index table *partitioned by centroid id*,
+and each search touches only the ``nprobe`` nearest buckets per probe —
+a partition-pruned read of nprobe/num_centroids of the corpus, never a
+full scan. New batches append to their buckets without touching the
+rest (ParquetTable.append is additive).
+
+Index layout:
+- centroids table: (cid int, cvec array<float>) — tiny, broadcast.
+- assignments table: (id, v, _cid) partitioned by _cid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from synch_spark.operators.similarity import (
+    _decimal_rescore,
+    ivf_assign,
+    ivf_centroids,
+)
+from synch_spark.sources.table import ParquetTable
+
+
+class VectorIndex:
+    """IVF index over an embedding corpus, stored as ParquetTables."""
+
+    def __init__(self, spark: SparkSession, root: str, num_centroids: int = 16):
+        self.spark = spark
+        self.centroids = ParquetTable(spark, f"{root}/centroids")
+        self.assignments = ParquetTable(spark, f"{root}/assignments")
+        self.num_centroids = num_centroids
+
+    def build(
+        self, corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    ) -> None:
+        """(Re)build: sample centroids, assign every vector to its
+        nearest, persist partitioned by centroid id."""
+        cents = ivf_centroids(corpus, self.num_centroids, vec_col, id_col)
+        self.centroids.overwrite(cents)
+        self._append_assigned(corpus, vec_col, id_col, overwrite=True)
+
+    def add(
+        self, batch: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    ) -> None:
+        """Incremental ingest: assign the batch against the EXISTING
+        centroids and append to the affected buckets only. Centroid
+        drift is handled by periodic build() (the compaction analog)."""
+        self._append_assigned(batch, vec_col, id_col, overwrite=False)
+
+    def _append_assigned(self, df, vec_col, id_col, overwrite: bool) -> None:
+        cents = self.centroids.read()
+        assigned = ivf_assign(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            cents,
+            "v",
+            "id",
+            nprobe=1,
+        ).select("id", "v", "_cid")
+        if overwrite:
+            self.assignments.overwrite(assigned, partition_by="_cid")
+        else:
+            self.assignments.append(assigned, partition_by="_cid")
+
+    def search(self, probes: DataFrame, k: int = 5, nprobe: int = 4,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+        """Approximate top-k neighbors per probe from the persisted index:
+        (probe_id, neighbor_id, rank, cosine) — ann_topk_ivf's contract,
+        but the corpus side is a partition-pruned index read (only the
+        probed buckets' files are opened). Exact decimal rescore on the
+        candidates, so nprobe = num_centroids degenerates to the exact
+        brute-force answer."""
+        cents = self.centroids.read()
+        pb = ivf_assign(
+            probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")),
+            cents,
+            "_pv",
+            "probe_id",
+            nprobe=nprobe,
+        ).select("probe_id", "_pv", "_cid")
+        # the probed bucket set is tiny -> collect it so the index read
+        # prunes to those partitions at plan time
+        cids = [r[0] for r in pb.select("_cid").distinct().collect()]
+        cand = (
+            self.assignments.read()
+            .filter(F.col("_cid").isin(cids))
+            .withColumnRenamed("id", "neighbor_id")
+            .withColumnRenamed("v", "_cv")
+            .join(F.broadcast(pb), "_cid")
+            .filter(F.col("neighbor_id") != F.col("probe_id"))
+            .drop("_cid")
+        )
+        w = W.partitionBy("probe_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            _decimal_rescore(cand)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "rank", "cosine")
+        )
