@@ -174,6 +174,52 @@ def cmd_check(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_optimize(args) -> int:
+    """OPTIMIZE TABLE ... FINAL analog: eagerly fold engine history and
+    re-cluster files on pk (the maintenance job ClickHouse runs as
+    background merges; /root/reference/synch/writer/*.py engine DDL)."""
+    from synch_spark.operators.cdc_apply import compact_table
+
+    raw = _load(args.config)
+    cfg = config_from_dict(raw)
+    spark = get_spark("synch-optimize")
+    warehouse = raw["spark"]["warehouse"]
+    done = []
+    for name, spec in cfg.tables.items():
+        if args.table and spec.table != args.table:
+            continue
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
+        if table.exists:
+            compact_table(table, spec)
+            done.append(name)
+    print(json.dumps({"optimized": done}))
+    return 0
+
+
+def cmd_repair(args) -> int:
+    """check's closing half: diff replicated state against a fresh source
+    snapshot and apply surgical correction events (upgrade over the
+    reference's only remedy, `etl --renew`)."""
+    from synch_spark.pipeline import repair
+
+    raw = _load(args.config)
+    cfg = config_from_dict(raw)
+    spark = get_spark("synch-repair")
+    warehouse = raw["spark"]["warehouse"]
+    out = {}
+    for name, spec in cfg.tables.items():
+        if args.table and spec.table != args.table:
+            continue
+        src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
+            raw["spark"]["sources"][name]
+        )
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
+        if table.exists:
+            out[name] = repair(src, table, spec)
+    print(json.dumps({"repaired_events": out}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="synch-spark")
     p.add_argument("--config", required=True)
@@ -193,6 +239,12 @@ def main(argv=None) -> int:
     k = sub.add_parser("check", help="count/checksum parity")
     k.add_argument("--checksum", action="store_true")
     k.set_defaults(fn=cmd_check)
+    o = sub.add_parser("optimize", help="compact engine history (OPTIMIZE FINAL)")
+    o.add_argument("--table")
+    o.set_defaults(fn=cmd_optimize)
+    r = sub.add_parser("repair", help="snapshot-diff surgical backfill")
+    r.add_argument("--table")
+    r.set_defaults(fn=cmd_repair)
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -98,3 +98,46 @@ def test_cli_etl_then_check(tmp_path, capsys, spark):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["ok"] is True
     assert out["check"]["db.customer"]["source"] == out["check"]["db.customer"]["target"]
+
+
+def test_cli_optimize_and_repair(tmp_path, capsys, spark):
+    """optimize compacts without changing state; repair closes a forced
+    source/target divergence, verified by check --checksum."""
+    import shutil
+
+    src_copy = str(tmp_path / "customer_src")
+    shutil.copy("/root/testdata/sf0.001/customer.parquet", src_copy + ".parquet")
+    cfg = _write_cfg(tmp_path, str(tmp_path / "wh"))
+    assert main(["--config", cfg, "etl"]) == 0
+    assert main(["--config", cfg, "optimize"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["optimized"] == ["db.customer"]
+    assert main(["--config", cfg, "check", "--checksum"]) == 0
+    capsys.readouterr()
+
+    # force divergence: point the source at a mutated copy
+    import yaml as _yaml
+    from pyspark.sql import functions as F
+
+    raw = _yaml.safe_load(open(cfg))
+    mutated = (
+        spark.read.parquet(raw["spark"]["sources"]["db.customer"])
+        .filter(F.col("c_custkey") != 1)
+        .withColumn(
+            "c_name",
+            F.when(F.col("c_custkey") == 2, F.lit("REPAIRED")).otherwise(
+                F.col("c_name")
+            ),
+        )
+    )
+    mpath = str(tmp_path / "customer_mut.parquet")
+    mutated.write.parquet(mpath)
+    raw["spark"]["sources"]["db.customer"] = mpath
+    open(cfg, "w").write(_yaml.dump(raw))
+
+    assert main(["--config", cfg, "check", "--checksum"]) == 1  # diverged
+    capsys.readouterr()
+    assert main(["--config", cfg, "repair"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["repaired_events"]["db.customer"] > 0
+    assert main(["--config", cfg, "check", "--checksum"]) == 0  # healed
