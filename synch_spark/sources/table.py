@@ -53,10 +53,19 @@ def _partition_dir_value(dirname: str) -> str | None:
     return None if raw == _HIVE_NULL else unquote(raw)
 
 
+# physical types whose footer min/max are exact values. BYTE_ARRAY
+# (strings/binary) is excluded on purpose: parquet writers may TRUNCATE
+# string statistics, and a truncated max is a *prefix* that understates
+# the true max — pruning on it could skip a file that does contain a
+# batch key (lost update). Numeric/temporal stats are always exact.
+_EXACT_STAT_TYPES = {"INT32", "INT64", "INT96", "FLOAT", "DOUBLE", "BOOLEAN"}
+
+
 def file_key_range(path: str, column: str):
     """(min, max) of ``column`` across the parquet file's row groups from
     footer statistics only — no data pages read. None when stats are
-    absent (then the file must be treated as a rewrite candidate)."""
+    absent or not provably exact (then the file must be treated as a
+    rewrite candidate)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -66,8 +75,13 @@ def file_key_range(path: str, column: str):
         return None
     lo = hi = None
     for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
+        col = md.row_group(rg).column(idx)
+        st = col.statistics
+        if (
+            st is None
+            or not st.has_min_max
+            or col.physical_type not in _EXACT_STAT_TYPES
+        ):
             return None
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)

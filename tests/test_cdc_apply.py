@@ -228,6 +228,23 @@ def test_cow_matches_full_rewrite_state(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_file_key_range_refuses_string_stats(spark, tmp_path):
+    """String min/max may be truncated by parquet writers — pruning must
+    refuse them (return None) and keep the file a rewrite candidate."""
+    from synch_spark.sources.table import file_key_range
+    import os
+
+    p = str(tmp_path / "s")
+    spark.createDataFrame(
+        [("k" * 100, 1), ("z" * 100, 2)], "skey string, ikey long"
+    ).coalesce(1).write.parquet(p)
+    f = next(
+        os.path.join(p, n) for n in os.listdir(p) if n.endswith(".parquet")
+    )
+    assert file_key_range(f, "skey") is None  # no pruning on strings
+    assert file_key_range(f, "ikey") == (1, 2)  # exact numeric stats
+
+
 def test_cow_null_partition_value(spark, tmp_path):
     """Rows with a NULL partition value live in the Hive default
     partition; the CoW merge must touch and rewrite it like any other."""
