@@ -118,8 +118,88 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+# --- Q4-like: order priority with correlated EXISTS ----------------------
+def q48_order_priority(spark, sf_dir):
+    """Orders (in a date slice) with at least one late-shipping lineitem,
+    counted per priority — the TPC-H Q4 shape: a correlated EXISTS
+    planned as a left-semi join with a non-equi residual condition; the
+    fact table never duplicates rows regardless of lineitem fan-out."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > F.date_add(orders.o_orderdate, 30)
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q48_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- Q14-like: promo revenue share ---------------------------------------
+def q49_promo_revenue(spark, sf_dir):
+    """Conditional-aggregate ratio over a fact-dim join (TPC-H Q14):
+    promo share of revenue in one shipping year. Part is broadcast; the
+    numerator/denominator fold in exact decimals, the final ratio is one
+    double division (oracle-portable)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast(DEC)))
+        .alias("_promo"),
+        F.sum(disc).alias("_total"),
+    )
+    return agg.select(
+        (
+            F.lit(100).cast("double")
+            * F.col("_promo").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("promo_share")
+    )
+
+
+Q49_SQL = """
+WITH a AS (
+  SELECT
+    SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01')
+SELECT 100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_share
+FROM a
+"""
+
+
 TPCH_QUERIES = {
     "q36_shipping_priority": (q36_shipping_priority, Q36_SQL),
     "q37_local_supplier_volume": (q37_local_supplier_volume, Q37_SQL),
     "q38_returned_customers": (q38_returned_customers, Q38_SQL),
+    "q48_order_priority": (q48_order_priority, Q48_SQL),
+    "q49_promo_revenue": (q49_promo_revenue, Q49_SQL),
 }
