@@ -33,6 +33,10 @@ _CURRENT = "_CURRENT"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's read and commit."""
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Mirror ``src`` into ``dst`` using hard links (copy on EXDEV)."""
     os.makedirs(dst, exist_ok=True)
@@ -107,7 +111,35 @@ class ParquetTable:
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.root, f"v={v}")
 
-    def _commit(self, v: int) -> None:
+    def _staging_dir(self) -> str:
+        import uuid
+
+        return os.path.join(self.root, f".staging-{uuid.uuid4().hex[:12]}")
+
+    def _commit(self, v: int, staging: str | None = None) -> None:
+        """Optimistic-concurrency commit (Delta-style): the writer built
+        version ``v`` from base ``v - 1``. Writes are prepared in a
+        per-writer staging dir and promoted with an atomic rename — if a
+        competing writer already promoted ``v=<n>`` the rename fails, so
+        a lost-update race cannot happen silently; the loser's staging
+        dir is discarded and the caller re-reads and re-merges."""
+        base = self.current_version()
+        if base != v - 1:
+            if staging:
+                shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"table {self.root}: version {base} was committed while this "
+                f"writer prepared {v} from base {v - 1}; retry the merge"
+            )
+        if staging:
+            try:
+                os.rename(staging, self._version_dir(v))
+            except OSError as e:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"table {self.root}: version dir v={v} already promoted "
+                    f"by a concurrent writer; retry the merge"
+                ) from e
         ptr = os.path.join(self.root, _CURRENT)
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
@@ -147,8 +179,9 @@ class ParquetTable:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
-        writer.parquet(self._version_dir(v))
-        self._commit(v)
+        staging = self._staging_dir()
+        writer.parquet(staging)
+        self._commit(v, staging)
 
     def partition_files(
         self, partition_by: str, values: list | None = None
@@ -211,7 +244,7 @@ class ParquetTable:
             self.overwrite(df, partition_by)
             return
         v_new = v_old + 1
-        new_dir = self._version_dir(v_new)
+        new_dir = self._staging_dir()
         df.write.mode("overwrite").partitionBy(partition_by).parquet(new_dir)
         touched = {None if v is None else str(v) for v in touched_values}
         prefix = f"{partition_by}="
@@ -230,7 +263,7 @@ class ParquetTable:
                     os.link(f, os.path.join(dst, os.path.basename(f)))
                 except OSError:
                     shutil.copy2(f, os.path.join(dst, os.path.basename(f)))
-        self._commit(v_new)
+        self._commit(v_new, staging=new_dir)
 
     def append(self, df: DataFrame, partition_by: str | None = None) -> None:
         """Pure-insert fast path: append files into the current version dir.

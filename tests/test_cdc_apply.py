@@ -228,6 +228,27 @@ def test_cow_matches_full_rewrite_state(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_concurrent_commit_conflict(spark, tmp_path):
+    """Optimistic concurrency: a writer whose base version was overtaken
+    must fail loudly (no silent lost update) and leave the winner's
+    committed state intact."""
+    import pytest
+    from synch_spark.sources.table import ConcurrentWriteError
+
+    root = str(tmp_path / "t")
+    a, b = ParquetTable(spark, root), ParquetTable(spark, root)
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    a.overwrite(df)  # v0
+    # writer A prepares v1 from base 0...
+    staging = a._staging_dir()
+    spark.createDataFrame([(2, "a-losing")], "id long, v string").write.parquet(staging)
+    # ...but writer B commits v1 first
+    b.overwrite(spark.createDataFrame([(3, "b-wins")], "id long, v string"))
+    with pytest.raises(ConcurrentWriteError):
+        a._commit(1, staging)
+    assert [r["v"] for r in a.read().collect()] == ["b-wins"]
+
+
 def test_file_key_range_refuses_string_stats(spark, tmp_path):
     """String min/max may be truncated by parquet writers — pruning must
     refuse them (return None) and keep the file a rewrite candidate."""
