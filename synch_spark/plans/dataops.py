@@ -456,6 +456,58 @@ ORDER BY a, b
 """
 
 
+# --- TF-IDF-style top terms per document ---------------------------------
+def q50_tfidf_topterms(spark, sf_dir):
+    """Top-3 salient terms per document, score = tf/df (term frequency
+    over document frequency). Reciprocal-df weighting instead of ln-idf
+    on purpose: tf and df are small ints, and IEEE double division is
+    correctly rounded, so the score is bit-identical in any engine —
+    ln() is not. Distributed shape: one explode + two aggregations +
+    a broadcast df join; the corpus shuffles token ids, never text.
+    """
+    from synch_spark.operators import text as text_ops
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(text_ops.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df derived from tf (one row per (doc, term)), not a second explode
+    # pass over the corpus — the expensive tokenization runs once
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", F.col("rank").cast("int").alias("rank"), "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+Q50_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM documents, UNNEST({TOK_SQL}) AS u(t)
+  WHERE t <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+scored AS (
+  SELECT doc_id, tf.term, CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, CAST(rank AS INT) AS rank, score
+FROM ranked WHERE rank <= 3 AND doc_id < 100
+ORDER BY doc_id, rank
+"""
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -474,4 +526,5 @@ DATAOPS_QUERIES = {
     "q43_ngram_langid": (q43_ngram_langid, Q43_SQL),
     "q44_shared_sql": (q44_shared_sql, SHARED_SQL),
     "q47_embedding_near_dups": (q47_embedding_near_dups, Q47_SQL),
+    "q50_tfidf_topterms": (q50_tfidf_topterms, Q50_SQL),
 }
