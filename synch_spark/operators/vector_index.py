@@ -26,6 +26,46 @@ from synch_spark.operators.similarity import (
 from synch_spark.sources.table import ParquetTable
 
 
+def ivf_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd-style (spherical k-means) centroid refinement: assign every
+    vector to its nearest centroid, replace each centroid with the
+    elementwise mean of its members, repeat. Improves bucket balance and
+    within-bucket cohesion over raw sampled centroids, which raises
+    recall at a fixed nprobe. Each iteration is one corpus scan + one
+    (cid, position) aggregation — fully distributed, no driver math.
+    A centroid that loses all members drops out (fewer, denser buckets).
+    """
+    for _ in range(iters):
+        assigned = ivf_assign(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            centroids,
+            "v",
+            "id",
+            nprobe=1,
+        )
+        member_dims = assigned.select(
+            "_cid", F.posexplode("v").alias("pos", "x")
+        )
+        means = member_dims.groupBy("_cid", "pos").agg(F.avg("x").alias("m"))
+        centroids = (
+            means.groupBy("_cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("cvec")
+            )
+            .select(F.col("_cid").alias("cid"), "cvec")
+        )
+    return centroids
+
+
 class VectorIndex:
     """IVF index over an embedding corpus, stored as ParquetTables."""
 
@@ -36,11 +76,18 @@ class VectorIndex:
         self.num_centroids = num_centroids
 
     def build(
-        self, corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+        self,
+        corpus: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        refine_iters: int = 0,
     ) -> None:
-        """(Re)build: sample centroids, assign every vector to its
+        """(Re)build: sample centroids (optionally k-means-refined with
+        ``refine_iters`` Lloyd iterations), assign every vector to its
         nearest, persist partitioned by centroid id."""
         cents = ivf_centroids(corpus, self.num_centroids, vec_col, id_col)
+        if refine_iters > 0:
+            cents = ivf_refine(corpus, cents, vec_col, id_col, iters=refine_iters)
         self.centroids.overwrite(cents)
         self._append_assigned(corpus, vec_col, id_col, overwrite=True)
 

@@ -61,6 +61,29 @@ def test_incremental_add_is_searchable(spark, tmp_path):
     assert idx.assignments.count() == n_old + n_new
 
 
+def test_refined_build_full_probe_is_exact(spark, tmp_path):
+    """k-means refinement changes the bucketing, never the full-probe
+    answer: probing every bucket + exact rescore is bucket-agnostic."""
+    emb = _emb(spark)
+    idx = VectorIndex(spark, str(tmp_path / "ivf"), num_centroids=8)
+    idx.build(emb, refine_iters=2)
+    n_cents = idx.centroids.count()
+    assert 1 <= n_cents <= 8
+    # refined centroids keep the corpus dimensionality
+    dim = len(emb.select("embedding").first()[0])
+    cdim = idx.centroids.read().select(F.size("cvec").alias("d")).distinct().collect()
+    assert [r["d"] for r in cdim] == [dim]
+    # every vector is still indexed exactly once
+    assert idx.assignments.count() == emb.count()
+    probes = emb.filter(F.col("vec_id") < 5)
+    got = idx.search(probes, k=5, nprobe=n_cents)
+    want = cosine_topk(emb, probes, k=5)
+    as_set = lambda df: {
+        (r["probe_id"], r["neighbor_id"], r["rank"]) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+
 def test_search_reads_only_probed_buckets(spark, tmp_path):
     """The index read must partition-prune to the probed cids."""
     emb = _emb(spark)
