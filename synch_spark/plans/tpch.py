@@ -196,10 +196,134 @@ FROM a
 """
 
 
+# --- Q13-like: customer order-count distribution -------------------------
+def q51_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join so zero-order customers survive,
+    per-customer order count, then a second aggregation over the counts.
+    The outer join shuffles on custkey once; the distribution agg runs on
+    the tiny (count -> custdist) domain, so the second exchange is
+    negligible at any scale."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q51_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- Q18-like: large-volume customers ------------------------------------
+def q52_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18: orders whose total lineitem quantity exceeds 300.
+    The HAVING filter runs on the pre-aggregated per-order sums (partial
+    agg map-side), so the join back to orders/customer only sees the few
+    qualifying keys — broadcast-able at any corpus size because the
+    qualifier count is bounded by the threshold, not the table."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_qty"))
+        .filter(F.col("_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q52_SQL = """
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+       o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+# --- Q19-like: bracketed disjunctive-predicate revenue --------------------
+def q53_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19: an OR of three (brand, size-range, quantity-range)
+    brackets over a fact-dim equi-join. The equi-join key stays clean
+    (Catalyst plans a broadcast hash join on partkey) and the disjunction
+    is a residual filter — the shape that proves predicates don't break
+    join planning."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    return j.filter(b).agg(
+        rev.cast("double").alias("revenue"), F.count(F.lit(1)).alias("n")
+    )
+
+
+Q53_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 TPCH_QUERIES = {
     "q36_shipping_priority": (q36_shipping_priority, Q36_SQL),
     "q37_local_supplier_volume": (q37_local_supplier_volume, Q37_SQL),
     "q38_returned_customers": (q38_returned_customers, Q38_SQL),
     "q48_order_priority": (q48_order_priority, Q48_SQL),
     "q49_promo_revenue": (q49_promo_revenue, Q49_SQL),
+    "q51_custdist": (q51_custdist, Q51_SQL),
+    "q52_large_volume_customers": (q52_large_volume_customers, Q52_SQL),
+    "q53_bracket_revenue": (q53_bracket_revenue, Q53_SQL),
 }
