@@ -196,6 +196,154 @@ FROM a
 """
 
 
+# --- Q22-like: rich idle customers per nation -----------------------------
+def q54_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average (positive) account
+    balance and no orders since 2000-01-01, counted per nation. The
+    global-average scalar subquery is kept exact by comparing
+    ``bal * cnt > total`` instead of dividing (no float-boundary drift
+    between engines); the one-row aggregate cross-joins in as a
+    broadcast, and the no-recent-orders test is a left-anti join on
+    custkey against the date-pruned orders scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    nation = _t(spark, sf_dir, "nation")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("_total"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast(DEC) * F.col("_cnt") > F.col("_total")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q54_SQL = """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total, COUNT(*) AS cnt
+  FROM customer WHERE c_acctbal > 0)
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+CROSS JOIN pos
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# --- Q17-like: small-quantity-order revenue -------------------------------
+def q55_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue from lineitems whose quantity is under 20% of
+    the per-part average, for one brand. The correlated scalar subquery
+    becomes a pre-aggregated per-part (sum, cnt) joined back broadcast;
+    ``qty * 5 * cnt < sum`` keeps the 0.2*avg comparison exact. The
+    brand filter prunes part before either join, so the per-part
+    aggregate only runs over the brand's lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part = branded.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("_sq"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    small = branded.join(
+        F.broadcast(per_part), branded.p_partkey == F.col("_pk")
+    ).filter(F.col("l_quantity").cast(DEC) * 5 * F.col("_cnt") < F.col("_sq"))
+    return small.agg(
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q55_SQL = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'),
+per_part AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, COUNT(*) AS cnt
+  FROM branded GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n
+FROM branded JOIN per_part ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq
+"""
+
+
+# --- Q7-like: nation-pair shipping volume ---------------------------------
+def q56_nation_pair_volume(spark, sf_dir):
+    """TPC-H Q7: revenue shipped between two nations (either direction)
+    per year. Two independent nation lookups (supplier side, customer
+    side) broadcast; the pair disjunction is a residual filter on the
+    already-joined row, never a join-explosion. Year extraction stays
+    JVM-side (F.year == EXTRACT(YEAR ...))."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7") | (
+        F.col("supp_nation") == "NATION_7"
+    ) & (F.col("cust_nation") == "NATION_3")
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("_sk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("_ck"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(rev.cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q56_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 # --- Q13-like: customer order-count distribution -------------------------
 def q51_custdist(spark, sf_dir):
     """TPC-H Q13 shape: LEFT OUTER join so zero-order customers survive,
@@ -326,4 +474,7 @@ TPCH_QUERIES = {
     "q51_custdist": (q51_custdist, Q51_SQL),
     "q52_large_volume_customers": (q52_large_volume_customers, Q52_SQL),
     "q53_bracket_revenue": (q53_bracket_revenue, Q53_SQL),
+    "q54_idle_rich_customers": (q54_idle_rich_customers, Q54_SQL),
+    "q55_small_quantity_revenue": (q55_small_quantity_revenue, Q55_SQL),
+    "q56_nation_pair_volume": (q56_nation_pair_volume, Q56_SQL),
 }
