@@ -141,18 +141,11 @@ def _checksum(df: DataFrame) -> int:
     sentinel because Spark hash functions skip null inputs, which would
     make null-position swaps hash-equal. Distributed: one partial agg.
     """
+    from synch_spark.functions import checksum_agg
+
     if not df.columns:
         return 0
-    encoded = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
-        for c in sorted(df.columns)
-    ]
-    row_hash = F.xxhash64(F.concat_ws("\x01", *encoded))
-    out = (
-        df.select(row_hash.cast("decimal(38,0)").alias("h"))
-        .agg(F.sum("h"))
-        .collect()[0][0]
-    )
+    out = df.agg(checksum_agg(df.columns).alias("h")).collect()[0][0]
     return int(out) if out is not None else 0
 
 

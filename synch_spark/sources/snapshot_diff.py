@@ -37,17 +37,11 @@ def diff_snapshots(
     value_cols = [c for c in cols if c not in pk]
 
     def row_hash(df):
-        # Spark hash functions SKIP null inputs (xxhash64(NULL,'x') ==
-        # xxhash64('x',NULL)), which would make null-position swaps
-        # invisible. Encode each column with an explicit null sentinel and
-        # a field separator so position and null-ness both contribute.
-        if not value_cols:  # pk-only table: no payload to change
-            return F.lit(0).cast("bigint")
-        encoded = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
-            for c in sorted(value_cols)
-        ]
-        return F.xxhash64(F.concat_ws("\x01", *encoded))
+        # null-safe digest (see synch_spark.functions.null_safe_row_hash):
+        # an empty value_cols means a pk-only table — no payload to change.
+        from synch_spark.functions import null_safe_row_hash
+
+        return null_safe_row_hash(value_cols)
     o = old.select(
         *[F.col(c).alias(f"_o_{c}") for c in cols],
         *[F.col(c).alias(c) for c in pk],
