@@ -1,12 +1,21 @@
 """Persistent MinHash/LSH dedup index for incremental ingest.
 
 The 100 TB workflow: you don't re-shingle the corpus per batch — you
-materialize each document's LSH band buckets ONCE into an index table,
-then every incoming batch (a) checks itself against the index via a
-bucket equi-join and (b) appends its own buckets. Bucket keys are the
-shuffle/join key; the index is partitionable by band for pruning.
+materialize each document's MinHash signature and LSH band buckets ONCE
+into index tables, then every incoming batch (a) checks itself against
+the index via a bucket equi-join, (b) optionally refines candidates by
+signature agreement (estimated Jaccard) WITHOUT touching any document
+text, and (c) appends its own signatures+buckets. Bucket keys are the
+shuffle/join key; the bucket table is partitioned by band for pruning.
 
-Index schema: (id long, band int, bucket string).
+Layout under ``root``:
+- ``buckets/``     (id long, band int, bucket string)  partitioned by band
+- ``signatures/``  (id long, seed int, h string)
+
+The signature store is what amortizes the expensive part: shingling +
+k×md5 per shingle happens exactly once per document, at ingest; every
+later rescoring (candidate refinement, cluster audits) is a join on the
+16-bytes-per-row signature table (PERF.md "persisted signature" lever).
 """
 
 from __future__ import annotations
@@ -17,17 +26,24 @@ from synch_spark.operators.dedup import minhash_signatures, shingles
 from synch_spark.sources.table import ParquetTable
 
 
-def build_buckets(
+def build_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 8,
-    bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, band, bucket) rows for every document — the index payload."""
+    """(id, seed, h) MinHash signature rows — the once-per-document
+    computation everything else derives from."""
+    return minhash_signatures(shingles(df, text_col, id_col, shingle_n), num_hashes)
+
+
+def buckets_of_signatures(
+    sig: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """(id, band, bucket) LSH rows derived from signature rows — pure
+    column algebra, no text access."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(shingles(df, text_col, id_col, shingle_n), num_hashes)
     return (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("id", "band")
@@ -42,8 +58,21 @@ def build_buckets(
     )
 
 
+def build_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) rows straight from text (one-shot path)."""
+    sig = build_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    return buckets_of_signatures(sig, num_hashes, bands)
+
+
 class DedupIndex:
-    """LSH index over a document corpus, stored as a ParquetTable."""
+    """LSH index over a document corpus, stored as ParquetTables."""
 
     def __init__(
         self,
@@ -54,54 +83,106 @@ class DedupIndex:
         shingle_n: int = 3,
     ):
         self.spark = spark
-        self.table = ParquetTable(spark, root)
+        self.table = ParquetTable(spark, f"{root}/buckets")
+        self.signatures = ParquetTable(spark, f"{root}/signatures")
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
 
-    def _buckets(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-        return build_buckets(
-            df, text_col, id_col, self.num_hashes, self.bands, self.shingle_n
+    def _sig(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        return build_signatures(
+            df, text_col, id_col, self.num_hashes, self.shingle_n
         )
 
+    def _write(self, sig: DataFrame, overwrite: bool) -> None:
+        """Persist a batch's signatures and the buckets derived from them.
+        ``sig`` is cached for the duration so the shingle/md5 pipeline
+        runs exactly once per document (the two writes share one
+        computation), keeping both tables derivation-consistent."""
+        sig = sig.persist()
+        try:
+            buckets = buckets_of_signatures(sig, self.num_hashes, self.bands)
+            if overwrite:
+                self.signatures.overwrite(sig)
+                self.table.overwrite(buckets, partition_by="band")
+            else:
+                self.signatures.append(sig)
+                self.table.append(buckets, partition_by="band")
+        finally:
+            sig.unpersist()
+
     def build(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> None:
-        """(Re)build the index from a full corpus — partitioned by band so
-        per-band joins prune to 1/bands of the index."""
-        self.table.overwrite(self._buckets(df, text_col, id_col), partition_by="band")
+        """(Re)build the index from a full corpus — buckets partitioned by
+        band so per-band joins prune to 1/bands of the index."""
+        self._write(self._sig(df, text_col, id_col), overwrite=True)
 
     def add(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> None:
-        """Append a new batch's buckets (call after admitting the batch)."""
-        self.table.append(self._buckets(df, text_col, id_col), partition_by="band")
+        """Append a new batch's signatures+buckets (call after admitting)."""
+        self._write(self._sig(df, text_col, id_col), overwrite=False)
+
+    def estimate_jaccard(self, pairs: DataFrame, extra_sig: DataFrame | None = None) -> DataFrame:
+        """(new_id, dup_of, est_jaccard) from signature agreement: the
+        fraction of the k minhashes two documents share is an unbiased
+        estimate of their shingle-set Jaccard. Reads ONLY the signature
+        store (plus ``extra_sig`` rows for ids not yet indexed) — no
+        shingling, no text. One shuffle keyed on id."""
+        sig = self.signatures.read() if self.signatures.exists else None
+        if extra_sig is not None:
+            sig = extra_sig if sig is None else sig.unionByName(extra_sig).distinct()
+        a = sig.select(F.col("id").alias("new_id"), "seed", F.col("h").alias("_ha"))
+        b = sig.select(F.col("id").alias("dup_of"), "seed", F.col("h").alias("_hb"))
+        return (
+            pairs.join(a, "new_id")
+            .join(b, ["dup_of", "seed"])
+            .groupBy("new_id", "dup_of")
+            .agg(
+                F.avg((F.col("_ha") == F.col("_hb")).cast("double")).alias(
+                    "est_jaccard"
+                )
+            )
+        )
 
     def check(
-        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_est_jaccard: float | None = None,
     ) -> DataFrame:
         """Near-dup candidates of the incoming batch against the index AND
         within the batch itself: (new_id, dup_of). dup_of < new_id for
-        in-batch pairs; index matches return the indexed id."""
-        incoming = self._buckets(df, text_col, id_col).persist()
-        try:
-            index = self.table.read() if self.table.exists else None
-            vs_index = None
-            if index is not None:
-                vs_index = (
-                    incoming.join(
-                        index.withColumnRenamed("id", "dup_of"), ["band", "bucket"]
-                    )
-                    .filter(F.col("id") != F.col("dup_of"))
-                    .select(F.col("id").alias("new_id"), "dup_of")
+        in-batch pairs; index matches return the indexed id. With
+        ``min_est_jaccard`` set, LSH candidates are refined by signature
+        agreement and the output carries an ``est_jaccard`` column —
+        banding gives recall, the rescore restores precision."""
+        # eager checkpoint: the batch signature pipeline (shingle + k*md5)
+        # runs once, and every derived plan reads the materialized blocks
+        sig = self._sig(df, text_col, id_col).localCheckpoint(eager=True)
+        incoming = buckets_of_signatures(sig, self.num_hashes, self.bands)
+        index = self.table.read() if self.table.exists else None
+        vs_index = None
+        if index is not None:
+            vs_index = (
+                incoming.join(
+                    index.withColumnRenamed("id", "dup_of"), ["band", "bucket"]
                 )
-            a = incoming.select(F.col("id").alias("new_id"), "band", "bucket")
-            b = incoming.select(F.col("id").alias("dup_of"), "band", "bucket")
-            in_batch = (
-                a.join(b, ["band", "bucket"])
-                .filter(F.col("dup_of") < F.col("new_id"))
-                .select("new_id", "dup_of")
+                .filter(F.col("id") != F.col("dup_of"))
+                .select(F.col("id").alias("new_id"), "dup_of")
             )
-            out = in_batch if vs_index is None else in_batch.unionByName(vs_index)
-            return out.distinct()
-        finally:
-            incoming.unpersist()
+        a = incoming.select(F.col("id").alias("new_id"), "band", "bucket")
+        b = incoming.select(F.col("id").alias("dup_of"), "band", "bucket")
+        in_batch = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("dup_of") < F.col("new_id"))
+            .select("new_id", "dup_of")
+        )
+        out = in_batch if vs_index is None else in_batch.unionByName(vs_index)
+        out = out.distinct()
+        if min_est_jaccard is not None:
+            out = self.estimate_jaccard(out, extra_sig=sig).filter(
+                F.col("est_jaccard") >= min_est_jaccard
+            )
+        return out
 
     def ingest(
         self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -118,6 +199,10 @@ class DedupIndex:
         dups = self.check(fresh, text_col, id_col).select(
             F.col("new_id").alias(id_col)
         ).distinct()
-        admitted = fresh.join(dups, id_col, "left_anti")
+        # materialize BEFORE appending: the admitted plan reads the index
+        # tables that add() is about to mutate, and a lazy return would
+        # re-execute against the post-write state (read-after-write
+        # hazard — partial shuffle reuse can even mix both versions)
+        admitted = fresh.join(dups, id_col, "left_anti").localCheckpoint(eager=True)
         self.add(admitted, text_col, id_col)
         return admitted

@@ -40,6 +40,44 @@ def test_ingest_filters_and_indexes(spark, index):
     assert (20, 11) in dups2
 
 
+def test_signature_store_persists_and_rescoring_filters(spark, index):
+    corpus = spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_B), (3, DOC_C)], ["doc_id", "text"]
+    )
+    index.build(corpus)
+    # one signature row per (doc, seed)
+    assert index.signatures.count() == 3 * index.num_hashes
+    # rescore a known near-dup pair vs a known unrelated pair — only from
+    # stored signatures, no text access
+    pairs = spark.createDataFrame(
+        [(10, 1), (10, 2)], ["new_id", "dup_of"]
+    )
+    batch = spark.createDataFrame([(10, DOC_A2)], ["doc_id", "text"])
+    extra = __import__(
+        "synch_spark.operators.dedup_index", fromlist=["build_signatures"]
+    ).build_signatures(batch, "text", "doc_id")
+    est = {
+        (r["new_id"], r["dup_of"]): r["est_jaccard"]
+        for r in index.estimate_jaccard(pairs, extra_sig=extra).collect()
+    }
+    assert est[(10, 1)] > est[(10, 2)]
+    assert est[(10, 1)] >= 0.5
+    # threshold check keeps the near-dup, drops nothing real
+    refined = index.check(batch, min_est_jaccard=0.5)
+    got = {(r["new_id"], r["dup_of"]) for r in refined.collect()}
+    assert (10, 1) in got
+    assert all(r["est_jaccard"] >= 0.5 for r in refined.collect())
+
+
+def test_add_appends_both_tables(spark, index):
+    index.build(spark.createDataFrame([(1, DOC_A)], ["doc_id", "text"]))
+    index.add(spark.createDataFrame([(2, DOC_B)], ["doc_id", "text"]))
+    assert index.signatures.count() == 2 * index.num_hashes
+    sig_ids = {r["id"] for r in index.signatures.read().select("id").distinct().collect()}
+    bucket_ids = {r["id"] for r in index.table.read().select("id").distinct().collect()}
+    assert sig_ids == bucket_ids == {1, 2}
+
+
 def test_check_on_empty_index(spark, index):
     batch = spark.createDataFrame([(1, DOC_A), (2, DOC_A)], ["doc_id", "text"])
     dups = {(r["new_id"], r["dup_of"]) for r in index.check(batch).collect()}
