@@ -37,6 +37,36 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed between this writer's read and commit."""
 
 
+def commit_with_retry(txn, retries: int = 5, backoff_s: float = 0.05):
+    """Run a read-modify-write transaction with optimistic-concurrency
+    retry: ``txn`` must RE-READ the table(s) it merges into on every
+    attempt (read inside the callable, not captured outside), so a retry
+    merges against the winner's version instead of replaying a stale
+    plan. Exponential backoff with jitter de-synchronizes herds of
+    writers; after ``retries`` losses the last ConcurrentWriteError
+    propagates.
+
+    This is the multi-writer story: each host stages its own files
+    (``_staging_dir`` is per-writer), promotion is an atomic rename, and
+    losers rebuild from the new current version — serializable commits
+    without a lock service, the Delta/Hudi optimistic pattern. Assumes a
+    rename-coherent shared filesystem; an object-store backend would
+    swap the rename for a conditional put of ``_CURRENT``.
+    """
+    import random
+    import time
+
+    attempt = 0
+    while True:
+        try:
+            return txn()
+        except ConcurrentWriteError:
+            if attempt >= retries:
+                raise
+            time.sleep(backoff_s * (2**attempt) * (0.5 + random.random()))
+            attempt += 1
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Mirror ``src`` into ``dst`` using hard links (copy on EXDEV)."""
     os.makedirs(dst, exist_ok=True)
@@ -166,13 +196,22 @@ class ParquetTable:
         df: DataFrame,
         partition_by: str | None = None,
         cluster_by: tuple[str, ...] | None = None,
+        expected_base: int | None = None,
     ) -> None:
         """``cluster_by`` range-partitions + sorts rows on the given key
         before writing, so every data file covers a narrow, mostly
         disjoint pk range — that is what makes footer min/max stats
         selective and file-level merge pruning effective (Z-order-lite;
-        use it for initial loads and compaction)."""
-        v = self.current_version() + 1
+        use it for initial loads and compaction).
+
+        ``expected_base`` anchors a read-modify-write: pass the version
+        you READ, and the commit fails with ConcurrentWriteError if any
+        other writer has committed since — without it the version is
+        sampled here, so a competing commit between your read and this
+        call would be silently overwritten (lost update). Use with
+        ``commit_with_retry``."""
+        base = self.current_version() if expected_base is None else expected_base
+        v = base + 1
         if cluster_by:
             cols = ([partition_by] if partition_by else []) + list(cluster_by)
             df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)

@@ -249,6 +249,61 @@ def test_concurrent_commit_conflict(spark, tmp_path):
     assert [r["v"] for r in a.read().collect()] == ["b-wins"]
 
 
+def test_commit_with_retry_remerges_against_winner(spark, tmp_path):
+    """A losing writer wrapped in commit_with_retry re-reads the winner's
+    version and lands BOTH writes (serializable outcome, no lost
+    update). The competing commit is injected mid-transaction on the
+    first attempt only."""
+    from synch_spark.sources.table import commit_with_retry
+
+    root = str(tmp_path / "t")
+    a, b = ParquetTable(spark, root), ParquetTable(spark, root)
+    a.overwrite(spark.createDataFrame([(1, "base")], "id long, v string"))
+    attempts = []
+
+    def txn():
+        base = a.current_version()
+        merged = a.read().unionByName(
+            spark.createDataFrame([(2, "a")], "id long, v string")
+        )
+        attempts.append(1)
+        if len(attempts) == 1:  # B overtakes A between A's read and commit
+            b.overwrite(
+                b.read().unionByName(
+                    spark.createDataFrame([(3, "b")], "id long, v string")
+                )
+            )
+        a.overwrite(merged, expected_base=base)
+
+    commit_with_retry(txn, retries=3, backoff_s=0.01)
+    assert len(attempts) == 2  # lost once, won on re-merge
+    assert {(r["id"], r["v"]) for r in a.read().collect()} == {
+        (1, "base"),
+        (2, "a"),
+        (3, "b"),
+    }
+
+
+def test_commit_with_retry_exhaustion_raises(spark, tmp_path):
+    """When every attempt loses, the final ConcurrentWriteError
+    propagates — no silent success."""
+    import pytest
+    from synch_spark.sources.table import ConcurrentWriteError, commit_with_retry
+
+    root = str(tmp_path / "t")
+    a, b = ParquetTable(spark, root), ParquetTable(spark, root)
+    a.overwrite(spark.createDataFrame([(1, "base")], "id long, v string"))
+
+    def always_loses():
+        base = a.current_version()
+        merged = a.read()
+        b.overwrite(b.read())  # every attempt gets overtaken
+        a.overwrite(merged, expected_base=base)
+
+    with pytest.raises(ConcurrentWriteError):
+        commit_with_retry(always_loses, retries=2, backoff_s=0.01)
+
+
 def test_file_key_range_refuses_string_stats(spark, tmp_path):
     """String min/max may be truncated by parquet writers — pruning must
     refuse them (return None) and keep the file a rewrite candidate."""
