@@ -169,6 +169,64 @@ def winnow_fingerprints(df, text_col: str, k: int = 8, window: int = 4):
     )
 
 
+def gopher_stats(
+    df,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_distinct_ratio: float = 0.3,
+    max_top_ratio: float = 0.2,
+    max_symbol_ratio: float = 0.1,
+):
+    """Gopher-style repetition/quality gates per document.
+
+    The filters the Gopher/MassiveText pipeline applies before training:
+    token-count bounds, type-token ratio (distinct/total — low means
+    boilerplate repetition), top-token dominance (one token's share of
+    the doc), and symbol-to-char ratio. One explode + two aggregations —
+    a single tokenization pass, shuffled on (doc, token) then doc, so it
+    scales as a plain wordcount; no per-row Python, no HOF-over-distinct
+    quadratics.
+
+    Adds: n_tokens, distinct_tokens, top_token_cnt, distinct_ratio,
+    top_ratio, symbol_chars, symbol_ratio, gopher_pass. Ratios are
+    divisions of identically-derived integers — deterministic IEEE,
+    portable to the DuckDB oracle.
+    """
+    toks = df.select(F.col(id_col).alias("_gid"), F.explode(tokens(text_col)).alias("_t"))
+    per_tok = toks.groupBy("_gid", "_t").agg(F.count(F.lit(1)).alias("_cnt"))
+    agg = per_tok.groupBy("_gid").agg(
+        F.sum("_cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.max("_cnt").cast("long").alias("top_token_cnt"),
+    )
+    out = df.join(agg, F.col(id_col) == F.col("_gid")).drop("_gid")
+    distinct_ratio = F.col("distinct_tokens").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    top_ratio = F.col("top_token_cnt").cast("double") / F.col("n_tokens").cast("double")
+    symbol_chars = F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
+    ).cast("long")
+    out = (
+        out.withColumn("distinct_ratio", distinct_ratio)
+        .withColumn("top_ratio", top_ratio)
+        .withColumn("symbol_chars", symbol_chars)
+        .withColumn(
+            "symbol_ratio",
+            F.col("symbol_chars").cast("double") / char_count(text_col).cast("double"),
+        )
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+        & (F.col("top_ratio") <= max_top_ratio)
+        & (F.col("symbol_ratio") <= max_symbol_ratio),
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse non-alnum."""
     c = F.col(col) if isinstance(col, str) else col

@@ -508,6 +508,55 @@ ORDER BY doc_id, rank
 """
 
 
+# --- Gopher-style quality/repetition gates -------------------------------
+def q57_gopher_quality(spark, sf_dir):
+    """Per-document Gopher/MassiveText quality gates (token bounds,
+    type-token ratio, top-token dominance, symbol density) — the
+    pre-training corpus filter, as one explode + two aggregations."""
+    docs = _docs(spark, sf_dir)
+    stats = text.gopher_stats(docs, "text", "doc_id")
+    return (
+        stats.select(
+            "doc_id",
+            "n_tokens",
+            "distinct_tokens",
+            "top_token_cnt",
+            "distinct_ratio",
+            "top_ratio",
+            "symbol_chars",
+            "gopher_pass",
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+Q57_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t FROM documents, UNNEST({TOK_SQL}) AS u(t)),
+per_tok AS (
+  SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY doc_id, t),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         COUNT(*) AS distinct_tokens,
+         CAST(MAX(cnt) AS BIGINT) AS top_token_cnt
+  FROM per_tok GROUP BY doc_id)
+SELECT d.doc_id, n_tokens, distinct_tokens, top_token_cnt,
+       CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+       CAST(top_token_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_ratio,
+       CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT)
+         AS symbol_chars,
+       (n_tokens BETWEEN 10 AND 100000
+        AND CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.3
+        AND CAST(top_token_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
+        AND CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+            / CAST(LENGTH(text) AS DOUBLE) <= 0.1) AS gopher_pass
+FROM documents d JOIN agg USING (doc_id)
+ORDER BY doc_id LIMIT 200
+"""
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -527,4 +576,5 @@ DATAOPS_QUERIES = {
     "q44_shared_sql": (q44_shared_sql, SHARED_SQL),
     "q47_embedding_near_dups": (q47_embedding_near_dups, Q47_SQL),
     "q50_tfidf_topterms": (q50_tfidf_topterms, Q50_SQL),
+    "q57_gopher_quality": (q57_gopher_quality, Q57_SQL),
 }

@@ -70,6 +70,25 @@ def test_text_stats(spark, docs):
     assert row["n"] == 9 and row["st"] == 2  # 'the' twice
 
 
+def test_gopher_stats_gates(spark):
+    good = "the quick brown fox jumps over a lazy dog and then runs far away home"
+    repetitive = "spam " * 19 + "spam"  # one token dominates (top_ratio 1.0)
+    symbols = "@@ ## $$ %% ^^ && ** (( )) !! ?? ;; :: ~~ ++ == -- ## @@ %%"
+    df = spark.createDataFrame(
+        [(1, good), (2, repetitive.strip()), (3, symbols)], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in text.gopher_stats(df, "text", "doc_id").collect()
+    }
+    assert rows[1]["gopher_pass"] is True
+    assert rows[1]["n_tokens"] == 15 and rows[1]["distinct_tokens"] == 15
+    assert rows[2]["gopher_pass"] is False  # top-token dominance
+    assert rows[2]["top_ratio"] == 1.0
+    assert rows[3]["gopher_pass"] is False  # symbol density
+    assert rows[3]["symbol_ratio"] > 0.1
+
+
 def test_ann_recall_vs_bruteforce(spark, tables):
     """LSH ANN must recover most of the exact top-k (the scale path is
     allowed to be approximate, but not useless)."""
