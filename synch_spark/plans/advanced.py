@@ -350,6 +350,72 @@ def q35_streaming_first_per_key(spark, sf_dir):
     )
 
 
+# --- custom stateful streaming: gap sessionization -----------------------
+def q58_streaming_sessions(spark, sf_dir):
+    """applyInPandasWithState gap sessionization over the event stream:
+    emits provably-CLOSED sessions (a later event of the same user
+    arrived past the gap); the open tail session stays in state, so the
+    batch oracle is 'every session except each user's last' — stream/
+    batch equivalence for a custom stateful window operator."""
+    import os
+    import uuid
+
+    from synch_spark.streaming.stateful import streaming_sessionize
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        from synch_spark.session import nanos_to_ts
+
+        stream = stream.withColumn("ts", nanos_to_ts("ts"))
+    out = streaming_sessionize(
+        stream,
+        "user_id",
+        "ts",
+        SESSION_GAP_S,
+        "user_id long, session_start timestamp, session_end timestamp, n_events long",
+    )
+    name = f"q58_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+Q58_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                   > {{gap}}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g),
+ps AS (
+  SELECT user_id, sess_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sess_id)
+SELECT user_id, session_start, session_end, n_events
+FROM (SELECT *, MAX(sess_id) OVER (PARTITION BY user_id) AS m FROM ps)
+WHERE sess_id < m
+ORDER BY user_id, session_start
+""".replace("{gap}", str(SESSION_GAP_S))
+
+
 Q35_SQL = """
 SELECT user_id, ts AS first_ts, event_type FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events) t
@@ -446,6 +512,7 @@ ADVANCED_QUERIES = {
     "q33_cube": (q33_cube, Q33_SQL),
     "q34_approx_sketches": (q34_approx_sketches, None),
     "q35_streaming_first_per_key": (q35_streaming_first_per_key, Q35_SQL),
+    "q58_streaming_sessions": (q58_streaming_sessions, Q58_SQL),
     "q45_window_zoo": (q45_window_zoo, Q45_SQL),
     "q46_scalar_zoo": (q46_scalar_zoo, Q46_SQL),
 }

@@ -15,6 +15,95 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def streaming_sessionize(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_s: int,
+    out_schema: str,
+) -> DataFrame:
+    """Gap-based session windows with explicit grouped state: a session
+    CLOSES when a later event of the same key arrives more than
+    ``gap_s`` after the session's last event; closed sessions are
+    emitted as (key, session_start, session_end, n_events). The
+    still-open tail session is carried in state across micro-batches
+    (a session spanning a batch boundary is one session, not two) and
+    is never emitted — append-mode streams can't retract, so only
+    provably-closed windows leave the operator. State per key = one
+    (start, last, n) triple: O(keys), bounded.
+
+    This is the operator Spark's built-in ``session_window`` aggregation
+    provides for SUM/COUNT shapes; the explicit-state form exists for
+    custom per-session payloads and as the extension point for
+    session-scoped logic (dedup-within-session, feature extraction).
+
+    out_schema must be "<key> <type>, session_start timestamp,
+    session_end timestamp, n_events long".
+    """
+    import numpy as np
+
+    gap_us = int(gap_s) * 1_000_000
+    cols = [c.strip().split()[0] for c in out_schema.split(",")]
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(ts_col, kind="mergesort")
+        arr = (batch[ts_col].astype("int64") // 1000).to_numpy()  # µs
+        carried = state.get if state.exists else None
+        prev_last = carried[1] if carried else None
+        prev = np.concatenate(
+            ([prev_last if prev_last is not None else -(2**62)], arr[:-1])
+        )
+        new_flag = (arr - prev) > gap_us
+        if prev_last is None:
+            new_flag[0] = True
+        sid = np.cumsum(new_flag)  # 0 = continues the carried session
+        g = (
+            pd.DataFrame({"sid": sid, "t": arr})
+            .groupby("sid")["t"]
+            .agg(["min", "max", "count"])
+            .sort_index()
+        )
+        sessions = []  # (start_us, end_us, n)
+        if carried and 0 in g.index:
+            row = g.loc[0]
+            sessions.append(
+                (carried[0], int(row["max"]), carried[2] + int(row["count"]))
+            )
+        elif carried:
+            sessions.append(tuple(carried))
+        for s in g.index:
+            if s == 0:
+                continue
+            row = g.loc[s]
+            sessions.append((int(row["min"]), int(row["max"]), int(row["count"])))
+        closed, tail = sessions[:-1], sessions[-1]
+        state.update(tail)
+        if closed:
+            out = pd.DataFrame(
+                {
+                    cols[0]: [key[0]] * len(closed),
+                    cols[1]: pd.to_datetime([c[0] for c in closed], unit="us"),
+                    cols[2]: pd.to_datetime([c[1] for c in closed], unit="us"),
+                    cols[3]: [c[2] for c in closed],
+                }
+            )
+            yield out
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="start long, last long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_first_per_key(
     stream: DataFrame,
     key_col: str,

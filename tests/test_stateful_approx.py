@@ -23,6 +23,64 @@ def test_streaming_first_per_key_matches_batch(spark):
     assert got == expected
 
 
+def test_streaming_sessionize_spans_batches(spark, tmp_path):
+    """A session crossing a micro-batch boundary is ONE session (state
+    carries it), and only provably-closed sessions are emitted."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from synch_spark.streaming.stateful import streaming_sessionize
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    base = "2024-01-01 00:{m:02d}:00"
+    # batch 1: two events 10 min apart; batch 2: a continuation at +20min,
+    # then a far-future event that closes the session
+    b1 = [(1, base.format(m=0)), (1, base.format(m=10))]
+    b2 = [(1, base.format(m=20)), (1, "2024-01-01 09:00:00")]
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(
+            [(u, __import__("datetime").datetime.fromisoformat(t)) for u, t in rows],
+            schema,
+        ).coalesce(1).write.parquet(str(spool / f"b{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(spool / "b*"))
+    )
+    out = streaming_sessionize(
+        stream,
+        "user_id",
+        "ts",
+        3600,
+        "user_id long, session_start timestamp, session_end timestamp, n_events long",
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    # exactly one CLOSED session: 3 events spanning both batches; the
+    # 09:00 event's session is still open and must not be emitted
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 3
+    assert str(r["session_start"]) == "2024-01-01 00:00:00"
+    assert str(r["session_end"]) == "2024-01-01 00:20:00"
+
+
 def test_approx_sketches_within_bounds(spark):
     li = read_table(spark, "/root/testdata/sf0.01", "lineitem")
     approx = li.agg(
