@@ -350,6 +350,41 @@ def q35_streaming_first_per_key(spark, sf_dir):
     )
 
 
+# --- semi-structured JSON extraction --------------------------------------
+def q59_json_props(spark, sf_dir):
+    """JSON property extraction + aggregation over the event stream's
+    semi-structured ``props`` column (MySQL JSON columns arrive as JSON
+    strings in the reference's event dicts, reader/__init__.py:59-71 —
+    this is their analytics path). ``get_json_object`` is JVM-side
+    codegen; at scale prefer from_json with an explicit schema once the
+    shape is known, which this query also exercises."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    parsed = ev.select("event_type", k.alias("k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_null"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q59_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS BIGINT)
+         AS n_null
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --- custom stateful streaming: gap sessionization -----------------------
 def q58_streaming_sessions(spark, sf_dir):
     """applyInPandasWithState gap sessionization over the event stream:
@@ -513,6 +548,7 @@ ADVANCED_QUERIES = {
     "q34_approx_sketches": (q34_approx_sketches, None),
     "q35_streaming_first_per_key": (q35_streaming_first_per_key, Q35_SQL),
     "q58_streaming_sessions": (q58_streaming_sessions, Q58_SQL),
+    "q59_json_props": (q59_json_props, Q59_SQL),
     "q45_window_zoo": (q45_window_zoo, Q45_SQL),
     "q46_scalar_zoo": (q46_scalar_zoo, Q46_SQL),
 }
