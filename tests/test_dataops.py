@@ -113,6 +113,43 @@ def test_ivf_recall_vs_bruteforce(spark, tables):
     assert recall >= 0.4, f"IVF recall collapsed: {recall}"
 
 
+def test_quantized_topk_recall_and_exact_scores(spark, tables):
+    """int8-ranked top-k must recover nearly all of the exact top-k, and
+    every returned (probe, neighbor) pair must carry the SAME cosine as
+    the exact operator (rescore is full-precision)."""
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, probes, k=5)
+    quant = similarity.cosine_topk_quantized(emb, probes, k=5)
+    e = {(r["probe_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    q = {(r["probe_id"], r["neighbor_id"]): r["cosine"] for r in quant.collect()}
+    shared = set(e) & set(q)
+    assert len(shared) / len(e) >= 0.9  # candidate recall
+    assert all(e[pair] == q[pair] for pair in shared)  # identical rescored values
+
+
+def test_quantize_embeddings_roundtrip(spark, tables):
+    """Dequantized vectors are within one quantization step of the
+    original; qvec is genuinely int8-bounded."""
+    emb = tables["embeddings"].limit(50)
+    qd = similarity.quantize_embeddings(emb)
+    row = qd.select(
+        F.array_max(F.transform("qvec", lambda x: F.abs(x.cast("int")))).alias("amax"),
+        F.array_max(
+            F.zip_with(
+                "embedding",
+                F.transform("qvec", lambda x: x.cast("double") * F.col("qscale")),
+                lambda v, dq: F.abs(v.cast("double") - dq),
+            )
+        ).alias("err"),
+        (F.col("qscale") * F.lit(0.500001)).alias("half_step"),
+    )
+    bad = row.filter(
+        (F.col("amax") > 127) | (F.col("err") > F.col("half_step"))
+    ).count()
+    assert bad == 0
+
+
 def test_cosine_topk_self_excluded(spark, tables):
     emb = tables["embeddings"]
     probes = emb.filter(F.col("vec_id") < 3)
