@@ -465,6 +465,80 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
 """
 
 
+# --- Q6-like: forecast revenue change ------------------------------------
+def q60_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: a pure scan-side aggregate — every predicate pushes to
+    the parquet scan (shipdate range, discount bracket, quantity cap)
+    and the single partial+final agg carries one decimal. The query that
+    measures raw scan + pushdown efficiency; no joins, no shuffle of
+    data rows."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q60_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --- Q15-like: top supplier by period revenue -----------------------------
+def q61_top_supplier(spark, sf_dir):
+    """TPC-H Q15: per-supplier revenue for one quarter, then the
+    supplier(s) achieving the maximum — the scalar-subquery-on-aggregate
+    shape. The max is computed on the same exact-decimal totals the rows
+    carry, so the equality join is portable; the one-row max broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("_sk")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        ).alias("_total")
+    )
+    mx = rev.agg(F.max("_total").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_total") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("_sk") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("_total").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q61_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total = (SELECT MAX(total) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 TPCH_QUERIES = {
     "q36_shipping_priority": (q36_shipping_priority, Q36_SQL),
     "q37_local_supplier_volume": (q37_local_supplier_volume, Q37_SQL),
@@ -477,4 +551,6 @@ TPCH_QUERIES = {
     "q54_idle_rich_customers": (q54_idle_rich_customers, Q54_SQL),
     "q55_small_quantity_revenue": (q55_small_quantity_revenue, Q55_SQL),
     "q56_nation_pair_volume": (q56_nation_pair_volume, Q56_SQL),
+    "q60_forecast_revenue": (q60_forecast_revenue, Q60_SQL),
+    "q61_top_supplier": (q61_top_supplier, Q61_SQL),
 }
