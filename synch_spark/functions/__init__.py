@@ -83,7 +83,30 @@ def checksum_agg(cols: list[str]) -> Column:
     return F.sum(null_safe_row_hash(cols).cast("decimal(38,0)"))
 
 
-# --- numeric -------------------------------------------------------------
+# --- layout --------------------------------------------------------------
+def interleave_bits(cols: list[Column], bits: int = 8) -> Column:
+    """Morton/Z-order key: interleave the low ``bits`` bits of each
+    (already-normalized, non-negative) long column, most-significant
+    bits outermost, so sorting by the result groups rows that are close
+    in EVERY dimension. Pure integer arithmetic (literal shifts only —
+    Spark's shiftleft requires a literal), whole-stage-codegen'd.
+
+    Column j's bit i lands at position ``i*len(cols)+j``: the top bits
+    of the key alternate between the columns' top bits, which is what
+    makes file-range splits constrain every dimension at once (the
+    multi-column file-skipping property; see ``zorder_layout``).
+    """
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        v = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(v, i).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, i * n + j))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 def decimal_sum(col: Column | str, scale: str = "decimal(18,2)") -> Column:
     """Exact (associativity-free) sum: cast each element to a fixed
     decimal before folding, so the result is bit-identical across
@@ -126,6 +149,8 @@ __all__ = [
     "FIELD_SEP",
     "null_safe_row_hash",
     "checksum_agg",
+    # layout
+    "interleave_bits",
     # numeric
     "decimal_sum",
     "net_price",

@@ -122,6 +122,61 @@ def file_key_range(path: str, column: str):
     return None if lo is None else (lo, hi)
 
 
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Re-layout ``df`` along a Z-order (Morton) curve over ``cols`` so
+    parquet footer min/max stats become selective on EVERY listed column
+    at once — single-column ``cluster_by`` gives perfect skipping on one
+    key and none on the others; Z-order trades a little per-column
+    tightness for usable ranges on all of them (the Delta OPTIMIZE
+    ZORDER strategy).
+
+    Each column is linearly scaled to ``bits`` bits using its global
+    min/max (one tiny stats aggregate), the scaled values are
+    bit-interleaved (``functions.interleave_bits``), and rows are
+    range-partitioned + sorted by the key. The key column is dropped —
+    the layout, and the per-file stats it induces, are the product.
+    Linear scaling assumes roughly uniform keys; heavily skewed domains
+    would want a rank-based normalization (ntile) instead.
+    """
+    from pyspark.sql import functions as F
+
+    from synch_spark.functions import interleave_bits
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
+    ).collect()[0]
+    top = float(2**bits - 1)
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        span = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
+        scaled.append(
+            F.round((F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span) * top)
+            .cast("long")
+        )
+    # materialize scaled values as attributes before interleaving: each is
+    # referenced ``bits`` times, and attributes (unlike inline expression
+    # trees) are computed once per row
+    keyed = df
+    names = []
+    for i, expr in enumerate(scaled):
+        names.append(f"_zs_{i}")
+        keyed = keyed.withColumn(names[-1], expr)
+    keyed = keyed.withColumn(
+        "_z", interleave_bits([F.col(n) for n in names], bits)
+    ).drop(*names)
+    parts = [num_files] if num_files else []
+    return (
+        keyed.repartitionByRange(*parts, "_z").sortWithinPartitions("_z").drop("_z")
+    )
+
+
 class ParquetTable:
     """A named, versioned parquet table rooted at ``root``."""
 

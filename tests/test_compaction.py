@@ -97,3 +97,46 @@ def test_register_final_view(spark, tmp_path):
     register_final_view(spark, t, spec)
     out = spark.sql("SELECT id, amount FROM tv_final").collect()
     assert [(r["id"], r["amount"]) for r in out] == [(1, 7.0)]
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    """Z-order clustering yields files whose footer min/max ranges are
+    selective on BOTH interleaved columns; single-column clustering is
+    selective on its sort key only."""
+    import os
+
+    from synch_spark.session import read_table
+    from synch_spark.sources.table import file_key_range, zorder_layout
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+    def coverage(path, col, probes):
+        files = [
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+        ranges = [file_key_range(f, col) for f in files]
+        assert all(r is not None for r in ranges)
+        hits = [
+            sum(1 for lo, hi in ranges if lo <= p <= hi) / len(ranges)
+            for p in probes
+        ]
+        return sum(hits) / len(hits)
+
+    probes_ok = [r["l_orderkey"] for r in li.select("l_orderkey").distinct().limit(16).collect()]
+    probes_pk = [r["l_partkey"] for r in li.select("l_partkey").distinct().limit(16).collect()]
+
+    z = str(tmp_path / "z")
+    zorder_layout(li, ["l_orderkey", "l_partkey"], bits=8, num_files=8).write.parquet(z)
+    single = str(tmp_path / "s")
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(single)
+
+    # single-column layout: near-perfect on the sort key, useless on the other
+    assert coverage(single, "l_orderkey", probes_ok) <= 0.3
+    assert coverage(single, "l_partkey", probes_pk) >= 0.9
+    # z-order: selective on BOTH dimensions
+    assert coverage(z, "l_orderkey", probes_ok) <= 0.7
+    assert coverage(z, "l_partkey", probes_pk) <= 0.7
