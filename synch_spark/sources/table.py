@@ -240,10 +240,34 @@ class ParquetTable:
         return self.current_version() >= 0
 
     # -- IO ------------------------------------------------------------------
-    def read(self) -> DataFrame:
+    def versions(self) -> list[int]:
+        """Version numbers still on disk, ascending. The commit GC keeps
+        the previous version alongside the current one (for in-flight
+        readers), so this is typically ``[v-1, v]`` — a bounded
+        time-travel window, the Delta ``VERSION AS OF`` shape without
+        unbounded log retention."""
+        return sorted(
+            int(name[2:])
+            for name in os.listdir(self.root)
+            if name.startswith("v=") and os.path.isdir(os.path.join(self.root, name))
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read of the current version, or time-travel to a
+        retained earlier ``version`` (raises if already GC'd). Every
+        read pins one immutable version directory — readers never see a
+        torn write, and a concurrent commit doesn't change rows under a
+        running query."""
         v = self.current_version()
         if v < 0:
             raise FileNotFoundError(f"table {self.root} has no committed version")
+        if version is not None:
+            if version not in self.versions():
+                raise FileNotFoundError(
+                    f"table {self.root}: version {version} not retained "
+                    f"(have {self.versions()})"
+                )
+            v = version
         return self.spark.read.parquet(self._version_dir(v))
 
     def overwrite(

@@ -249,6 +249,21 @@ def test_concurrent_commit_conflict(spark, tmp_path):
     assert [r["v"] for r in a.read().collect()] == ["b-wins"]
 
 
+def test_time_travel_read_previous_version(spark, tmp_path):
+    """read(version=) pins the retained previous version; older versions
+    are GC'd and refuse loudly."""
+    import pytest
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    for i in range(3):  # v0, v1, v2
+        t.overwrite(spark.createDataFrame([(i,)], "x long"))
+    assert t.versions() == [1, 2]
+    assert t.read().first()["x"] == 2
+    assert t.read(version=1).first()["x"] == 1
+    with pytest.raises(FileNotFoundError):
+        t.read(version=0)  # GC'd
+
+
 def test_commit_with_retry_remerges_against_winner(spark, tmp_path):
     """A losing writer wrapped in commit_with_retry re-reads the winner's
     version and lands BOTH writes (serializable outcome, no lost
