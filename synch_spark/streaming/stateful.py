@@ -21,6 +21,7 @@ def streaming_sessionize(
     ts_col: str,
     gap_s: int,
     out_schema: str,
+    flush_after_s: int | None = None,
 ) -> DataFrame:
     """Gap-based session windows with explicit grouped state: a session
     CLOSES when a later event of the same key arrives more than
@@ -31,6 +32,13 @@ def streaming_sessionize(
     is never emitted — append-mode streams can't retract, so only
     provably-closed windows leave the operator. State per key = one
     (start, last, n) triple: O(keys), bounded.
+
+    ``flush_after_s`` arms a processing-time timeout per key: a key idle
+    that long has its tail session emitted and its state cleared (the
+    liveness valve — without it a key that stops sending never closes
+    its last session). Closure-by-timeout is a processing-time decision;
+    an event for the key arriving later starts a NEW session even if it
+    would have continued the flushed one — the standard trade-off.
 
     This is the operator Spark's built-in ``session_window`` aggregation
     provides for SUM/COUNT shapes; the explicit-state form exists for
@@ -45,9 +53,24 @@ def streaming_sessionize(
     gap_us = int(gap_s) * 1_000_000
     cols = [c.strip().split()[0] for c in out_schema.split(",")]
 
+    def emit(closed):
+        return pd.DataFrame(
+            {
+                cols[0]: [c[3] for c in closed],
+                cols[1]: pd.to_datetime([c[0] for c in closed], unit="us"),
+                cols[2]: pd.to_datetime([c[1] for c in closed], unit="us"),
+                cols[3]: [c[2] for c in closed],
+            }
+        )
+
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if flush_after_s is not None and state.hasTimedOut:
+            tail = state.get
+            state.remove()
+            yield emit([(tail[0], tail[1], tail[2], key[0])])
+            return
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(ts_col, kind="mergesort")
         arr = (batch[ts_col].astype("int64") // 1000).to_numpy()  # µs
@@ -81,16 +104,10 @@ def streaming_sessionize(
             sessions.append((int(row["min"]), int(row["max"]), int(row["count"])))
         closed, tail = sessions[:-1], sessions[-1]
         state.update(tail)
+        if flush_after_s is not None:
+            state.setTimeoutDuration(int(flush_after_s) * 1000)
         if closed:
-            out = pd.DataFrame(
-                {
-                    cols[0]: [key[0]] * len(closed),
-                    cols[1]: pd.to_datetime([c[0] for c in closed], unit="us"),
-                    cols[2]: pd.to_datetime([c[1] for c in closed], unit="us"),
-                    cols[3]: [c[2] for c in closed],
-                }
-            )
-            yield out
+            yield emit([(c[0], c[1], c[2], key[0]) for c in closed])
 
     return (
         stream.groupBy(key_col)
@@ -99,7 +116,11 @@ def streaming_sessionize(
             outputStructType=out_schema,
             stateStructType="start long, last long, n long",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if flush_after_s is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

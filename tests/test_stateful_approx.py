@@ -81,6 +81,80 @@ def test_streaming_sessionize_spans_batches(spark, tmp_path):
     assert str(r["session_end"]) == "2024-01-01 00:20:00"
 
 
+def test_streaming_sessionize_timeout_flushes_tail(spark, tmp_path):
+    """With flush_after_s set, an idle key's open tail session is emitted
+    by the processing-time timeout (fired by a later batch) and its
+    state cleared."""
+    import datetime
+    import time
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from synch_spark.streaming.stateful import streaming_sessionize
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    spool = tmp_path / "spool"
+    spool.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            [(u, datetime.datetime.fromisoformat(t)) for u, t in rows], schema
+        ).coalesce(1).write.parquet(str(spool / name))
+
+    drop("b0", [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:05:00")])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(spool / "b*"))
+    )
+    out = streaming_sessionize(
+        stream,
+        "user_id",
+        "ts",
+        3600,
+        "user_id long, session_start timestamp, session_end timestamp, n_events long",
+        flush_after_s=1,
+    )
+    name = f"sesst_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        dropped_second = False
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            if rows:
+                break
+            # after user 1's batch lands, keep feeding other-key batches:
+            # timeouts fire during batch processing, and an idle source
+            # stops producing batches
+            if not dropped_second:
+                time.sleep(2)  # let user 1's state age past flush_after_s
+                drop("b1", [(2, "2024-01-01 01:00:00")])
+                dropped_second = True
+            time.sleep(1)
+            drop(f"b{uuid.uuid4().hex[:4]}", [(2, "2024-01-01 01:30:00")])
+        assert rows, "timeout never flushed the tail session"
+        flushed = [r for r in rows if r["user_id"] == 1]
+        assert len(flushed) == 1
+        assert flushed[0]["n_events"] == 2
+        assert str(flushed[0]["session_end"]) == "2024-01-01 00:05:00"
+    finally:
+        q.stop()
+
+
 def test_approx_sketches_within_bounds(spark):
     li = read_table(spark, "/root/testdata/sf0.01", "lineitem")
     approx = li.agg(
