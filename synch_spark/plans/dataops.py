@@ -557,6 +557,67 @@ ORDER BY doc_id LIMIT 200
 """
 
 
+# --- duplicate-n-gram repetition (Gopher's rep filters) -------------------
+def q62_ngram_repetition(spark, sf_dir):
+    """Per-document duplicate-trigram fraction — the Gopher 'fraction of
+    duplicate n-grams' repetition gate. Computed entirely on per-doc
+    ARRAYS (no explode/shuffle): trigram list, its distinct size, one
+    projection — a scan-shaped operator that runs at parquet speed on a
+    100 TB corpus. Token array is materialized behind a projection
+    before the transform lambda touches it (HOF re-evaluation trap)."""
+    from synch_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", tokens("text").alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("doc_id", grams.alias("_g")).select(
+        "doc_id",
+        F.size("_g").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("_g")).cast("long").alias("distinct_trigrams"),
+    )
+    return (
+        g.filter(F.col("n_trigrams") > 0)
+        .withColumn(
+            "dup_ratio",
+            F.lit(1.0)
+            - F.col("distinct_trigrams").cast("double")
+            / F.col("n_trigrams").cast("double"),
+        )
+        .orderBy(F.col("dup_ratio").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+Q62_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
+tri AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+  WHERE len(w) >= 3),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS distinct_trigrams
+  FROM tri GROUP BY doc_id)
+SELECT doc_id, n_trigrams, distinct_trigrams,
+       1.0 - CAST(distinct_trigrams AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+         AS dup_ratio
+FROM agg WHERE n_trigrams > 0
+ORDER BY dup_ratio DESC, doc_id LIMIT 100
+"""
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -577,4 +638,5 @@ DATAOPS_QUERIES = {
     "q47_embedding_near_dups": (q47_embedding_near_dups, Q47_SQL),
     "q50_tfidf_topterms": (q50_tfidf_topterms, Q50_SQL),
     "q57_gopher_quality": (q57_gopher_quality, Q57_SQL),
+    "q62_ngram_repetition": (q62_ngram_repetition, Q62_SQL),
 }
