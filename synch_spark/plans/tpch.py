@@ -539,6 +539,45 @@ ORDER BY s_suppkey
 """
 
 
+# --- Q20-like: heavy shippers of a part family ----------------------------
+def q63_heavy_part_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers selected by an IN-subquery whose inner
+    query joins, filters by LIKE prefix + date slice, aggregates, and
+    thresholds (HAVING). Planned as supplier LEFT SEMI JOIN the
+    pre-aggregated qualifier set — the qualifier is bounded by the
+    threshold, so it broadcasts at any corpus scale; the LIKE prefix
+    pushes to the part scan as a StartsWith filter."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    qual = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_q"))
+        .filter(F.col("_q") > 200)
+    )
+    return (
+        supp.join(F.broadcast(qual), supp.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q63_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+ORDER BY s_suppkey
+"""
+
+
 TPCH_QUERIES = {
     "q36_shipping_priority": (q36_shipping_priority, Q36_SQL),
     "q37_local_supplier_volume": (q37_local_supplier_volume, Q37_SQL),
@@ -553,4 +592,5 @@ TPCH_QUERIES = {
     "q56_nation_pair_volume": (q56_nation_pair_volume, Q56_SQL),
     "q60_forecast_revenue": (q60_forecast_revenue, Q60_SQL),
     "q61_top_supplier": (q61_top_supplier, Q61_SQL),
+    "q63_heavy_part_shippers": (q63_heavy_part_shippers, Q63_SQL),
 }
