@@ -11,7 +11,11 @@ rest (ParquetTable.append is additive).
 
 Index layout:
 - centroids table: (cid int, cvec array<float>) — tiny, broadcast.
-- assignments table: (id, v, _cid) partitioned by _cid.
+- assignments table: (id, v, _q, _cid) partitioned by _cid; ``_q`` is
+  the int8 quantization of ``v`` (similarity.quantize_embeddings).
+  Parquet is columnar, so the quantized ranking pass reads only
+  (id, _q) — a quarter of the vector bytes — and the float column is
+  touched only for the per-probe finalists during exact rescoring.
 """
 
 from __future__ import annotations
@@ -20,8 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from synch_spark.operators.similarity import (
     _decimal_rescore,
+    _dot_int,
     ivf_assign,
     ivf_centroids,
+    quantize_embeddings,
 )
 from synch_spark.sources.table import ParquetTable
 
@@ -108,19 +114,28 @@ class VectorIndex:
             "id",
             nprobe=1,
         ).select("id", "v", "_cid")
+        assigned = quantize_embeddings(assigned, "v", "_q", "_qs").drop("_qs")
         if overwrite:
             self.assignments.overwrite(assigned, partition_by="_cid")
         else:
             self.assignments.append(assigned, partition_by="_cid")
 
     def search(self, probes: DataFrame, k: int = 5, nprobe: int = 4,
-               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               quantized: bool = False, prefilter: int = 32) -> DataFrame:
         """Approximate top-k neighbors per probe from the persisted index:
         (probe_id, neighbor_id, rank, cosine) — ann_topk_ivf's contract,
         but the corpus side is a partition-pruned index read (only the
         probed buckets' files are opened). Exact decimal rescore on the
         candidates, so nprobe = num_centroids degenerates to the exact
-        brute-force answer."""
+        brute-force answer.
+
+        ``quantized=True`` ranks bucket candidates from the stored int8
+        column only (per-vector scales cancel in the cosine) and touches
+        the float column just for the top ``prefilter`` finalists per
+        probe — the ranking scan reads a quarter of the vector bytes,
+        finalists rescore exactly, so returned cosines are identical to
+        the float path; only the finalist set is approximate."""
         cents = self.centroids.read()
         pb = ivf_assign(
             probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")),
@@ -132,18 +147,55 @@ class VectorIndex:
         # the probed bucket set is tiny -> collect it so the index read
         # prunes to those partitions at plan time
         cids = [r[0] for r in pb.select("_cid").distinct().collect()]
-        cand = (
-            self.assignments.read()
-            .filter(F.col("_cid").isin(cids))
-            .withColumnRenamed("id", "neighbor_id")
-            .withColumnRenamed("v", "_cv")
-            .join(F.broadcast(pb), "_cid")
-            .filter(F.col("neighbor_id") != F.col("probe_id"))
-            .drop("_cid")
-        )
+        idx = self.assignments.read().filter(F.col("_cid").isin(cids))
         w = W.partitionBy("probe_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
         )
+        if quantized and "_q" in idx.columns:
+            pq = quantize_embeddings(pb, "_pv", "_pq", "_pqs").drop("_pqs")
+            pq = pq.withColumn(
+                "_pn_q", F.sqrt(_dot_int(F.col("_pq"), F.col("_pq")).cast("double"))
+            )
+            ranked = (
+                idx.select("id", "_q", "_cid")  # float column NOT read here
+                .withColumn(
+                    "_cn_q", F.sqrt(_dot_int(F.col("_q"), F.col("_q")).cast("double"))
+                )
+                .join(F.broadcast(pq), "_cid")
+                .filter(F.col("id") != F.col("probe_id"))
+                .withColumn(
+                    "_s",
+                    _dot_int(F.col("_pq"), F.col("_q")).cast("double")
+                    / (F.col("_pn_q") * F.col("_cn_q")),
+                )
+            )
+            wr = W.partitionBy("probe_id").orderBy(F.col("_s").desc(), F.col("id"))
+            winners = (
+                ranked.withColumn("_rr", F.row_number().over(wr))
+                .filter(F.col("_rr") <= max(prefilter, k))
+                .select("probe_id", F.col("id").alias("neighbor_id"))
+            )
+            # second pass: float vectors for the finalists only
+            cand = (
+                F.broadcast(winners)
+                .join(
+                    self.assignments.read()
+                    .filter(F.col("_cid").isin(cids))
+                    .select(F.col("id").alias("neighbor_id"), F.col("v").alias("_cv")),
+                    "neighbor_id",
+                )
+                .join(
+                    F.broadcast(pb.select("probe_id", "_pv").distinct()), "probe_id"
+                )
+            )
+        else:
+            cand = (
+                idx.withColumnRenamed("id", "neighbor_id")
+                .withColumnRenamed("v", "_cv")
+                .join(F.broadcast(pb), "_cid")
+                .filter(F.col("neighbor_id") != F.col("probe_id"))
+                .drop("_cid", "_q")
+            )
         return (
             _decimal_rescore(cand)
             .withColumn("rank", F.row_number().over(w))

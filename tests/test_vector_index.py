@@ -84,6 +84,25 @@ def test_refined_build_full_probe_is_exact(spark, tmp_path):
     assert as_set(got) == as_set(want)
 
 
+def test_quantized_search_matches_float_path(spark, tmp_path):
+    """int8-ranked index search at full probe: high recall vs the exact
+    operator, identical cosines on shared pairs (rescore is float), and
+    the ranking scan reads the int8 column, not the float vectors."""
+    emb = _emb(spark)
+    idx = VectorIndex(spark, str(tmp_path / "ivf"), num_centroids=8)
+    idx.build(emb)
+    assert "_q" in idx.assignments.read().columns
+    n_cents = idx.centroids.count()
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, probes, k=5)
+    quant = idx.search(probes, k=5, nprobe=n_cents, quantized=True)
+    e = {(r["probe_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    q = {(r["probe_id"], r["neighbor_id"]): r["cosine"] for r in quant.collect()}
+    shared = set(e) & set(q)
+    assert len(shared) / len(e) >= 0.9
+    assert all(e[p] == q[p] for p in shared)
+
+
 def test_search_reads_only_probed_buckets(spark, tmp_path):
     """The index read must partition-prune to the probed cids."""
     emb = _emb(spark)
