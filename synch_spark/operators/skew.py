@@ -27,3 +27,33 @@ def salted_sum(
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     phase1 = salted.groupBy(*key_cols, "_salt").agg(F.sum(value_col).alias("_s"))
     return phase1.groupBy(*key_cols).agg(F.sum("_s").alias(f"sum_{value_col}"))
+
+
+def replicated_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys when the small side is too large
+    to broadcast and AQE's skew splitting doesn't apply (e.g. the skewed
+    side feeds a window, or the join is inside a cached subtree).
+
+    The big side gets a random salt in [0, salt_buckets); the small side
+    is REPLICATED once per salt value (explode of a literal range — rows
+    multiply by salt_buckets, which is why the small side must be the
+    small one); the join key becomes (key..., salt), so one hot key's
+    rows spread over ``salt_buckets`` reducers instead of one. Result
+    set is identical to the unsalted join.
+
+    Supports 'inner' and 'left' (left-outer preserves exactly one copy
+    of unmatched big rows because each big row carries ONE salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"replicated_skew_join supports inner/left, got {how}")
+    b = big.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return b.join(s, on + ["_salt"], how).drop("_salt")

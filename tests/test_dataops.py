@@ -196,3 +196,21 @@ def test_multimodal_plumbing(spark, docs):
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_replicated_skew_join_matches_plain_join(spark):
+    from synch_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(10)] + [(9, 0)],
+        ["k", "payload"],
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "attr"])
+    plain = big.join(small, ["k"]).collect()
+    salted = skew.replicated_skew_join(big, small, ["k"], salt_buckets=8).collect()
+    key = lambda rows: sorted((r["k"], r["payload"], r["attr"]) for r in rows)
+    assert key(plain) == key(salted)
+    # left join keeps unmatched big rows exactly once
+    left = skew.replicated_skew_join(big, small, ["k"], salt_buckets=8, how="left")
+    assert left.filter("k = 9").count() == 1
+    assert left.count() == big.count()  # every big row exactly once
