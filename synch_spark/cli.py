@@ -220,6 +220,51 @@ def cmd_repair(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    """Training-data quality pipeline over a documents source: Gopher
+    gates (token bounds, type-token ratio, top-token dominance, symbol
+    density), n-gram language ID, and content fingerprints, written as a
+    quality-annotated table next to the CDC tables. The batch-mode front
+    door for the north-star text operators — one scan-shaped pass, no
+    Python in the hot path."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.operators.text import fingerprint, gopher_stats, ngram_lang_pred
+
+    raw = _load(args.config)
+    spark = get_spark("synch-quality")
+    warehouse = raw["spark"]["warehouse"]
+    src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
+        args.source
+    )
+    annotated = gopher_stats(src, args.text_col, args.id_col).withColumns(
+        {
+            "lang_pred": ngram_lang_pred(args.text_col),
+            "fingerprint": fingerprint(args.text_col),
+        }
+    )
+    out = ParquetTable(spark, f"{warehouse}/_quality/{args.name}")
+    out.overwrite(annotated)
+    stats = annotated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gopher_pass").cast("int")).cast("bigint").alias("n_pass"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "quality": {
+                    "table": f"_quality/{args.name}",
+                    "n_docs": stats["n"],
+                    "n_pass": stats["n_pass"],
+                    "n_unique_fingerprints": stats["n_unique"],
+                }
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="synch-spark")
     p.add_argument("--config", required=True)
@@ -245,6 +290,12 @@ def main(argv=None) -> int:
     r = sub.add_parser("repair", help="snapshot-diff surgical backfill")
     r.add_argument("--table")
     r.set_defaults(fn=cmd_repair)
+    q = sub.add_parser("quality", help="document quality/langid/fingerprint pipeline")
+    q.add_argument("--source", required=True, help="documents parquet path")
+    q.add_argument("--name", default="documents")
+    q.add_argument("--text-col", default="text")
+    q.add_argument("--id-col", default="doc_id")
+    q.set_defaults(fn=cmd_quality)
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -141,3 +141,29 @@ def test_cli_optimize_and_repair(tmp_path, capsys, spark):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["repaired_events"]["db.customer"] > 0
     assert main(["--config", cfg, "check", "--checksum"]) == 0  # healed
+
+
+def test_cli_quality_pipeline(tmp_path, capsys, spark):
+    """quality command annotates a documents source and reports corpus
+    stats; the annotated table lands in the warehouse."""
+    from synch_spark.sources.table import ParquetTable
+
+    cfg = _write_cfg(tmp_path, str(tmp_path / "wh"))
+    rc = main(
+        [
+            "--config",
+            cfg,
+            "quality",
+            "--source",
+            "/root/testdata/sf0.001/documents.parquet",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["quality"]
+    assert out["n_docs"] > 0
+    assert 0 <= out["n_pass"] <= out["n_docs"]
+    assert 0 < out["n_unique_fingerprints"] <= out["n_docs"]
+    t = ParquetTable(spark, str(tmp_path / "wh" / "_quality" / "documents"))
+    cols = set(t.read().columns)
+    assert {"gopher_pass", "lang_pred", "fingerprint", "n_tokens"} <= cols
+    assert t.count() == out["n_docs"]
