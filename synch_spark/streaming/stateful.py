@@ -165,3 +165,23 @@ def streaming_first_per_key(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """At-least-once -> effectively-once key dedup with BOUNDED state:
+    Spark's dropDuplicatesWithinWatermark keeps a key's dedup state only
+    until the watermark passes it, so redeliveries inside the delay
+    window are suppressed and state is O(keys-per-window), not O(keys-
+    ever) — the right tool when duplicates come from retries/redelivery
+    (bounded lateness), while streaming_first_per_key is the unbounded-
+    horizon variant with O(all keys) state.
+
+    This is the stream-side guard for the CDC pipeline's at-least-once
+    broker semantics (reference commits offsets only post-flush,
+    continuous.py:120-163, so redelivery after a crash is expected)."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)

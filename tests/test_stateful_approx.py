@@ -192,3 +192,47 @@ def test_range_join_symmetric_window(spark):
     )
     pairs = {(r["a"], r["b"]) for r in out.select("a", "b").distinct().collect()}
     assert pairs == {(1, 2)}  # 60s inclusive; 61s excluded
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """A key redelivered in a later micro-batch (inside the watermark
+    delay) is suppressed; distinct keys all pass."""
+    import datetime
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from synch_spark.streaming.stateful import streaming_dedup_within_watermark
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    b1 = [(1, t0), (2, t0)]
+    b2 = [(1, t0), (3, t0 + datetime.timedelta(minutes=5))]  # 1 redelivered
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(spool / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(spool / "b*"))
+    )
+    out = streaming_dedup_within_watermark(stream, ["event_id"], "ts", "1 hour")
+    name = f"wmdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert got == [1, 2, 3]
