@@ -402,3 +402,36 @@ class ParquetTable:
 
     def count(self) -> int:
         return self.read().count()
+
+    def file_stats(self) -> dict:
+        """Current-version layout health from the filesystem only (no
+        data read): file count, total/min/max/median file bytes, and
+        partition count. The compaction trigger signal — many small
+        files mean task-scheduling and footer overhead dominate scans;
+        feed this into an 'optimize when median_bytes < target/4' policy
+        instead of compacting on a timer."""
+        import statistics
+
+        v = self.current_version()
+        if v < 0:
+            return {"files": 0, "partitions": 0, "total_bytes": 0}
+        vdir = self._version_dir(v)
+        sizes, partitions = [], 0
+        for dirpath, dirnames, filenames in os.walk(vdir):
+            if dirpath != vdir and any(f.endswith(".parquet") for f in filenames):
+                partitions += 1
+            sizes.extend(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in filenames
+                if f.endswith(".parquet")
+            )
+        if not sizes:
+            return {"files": 0, "partitions": partitions, "total_bytes": 0}
+        return {
+            "files": len(sizes),
+            "partitions": partitions,
+            "total_bytes": sum(sizes),
+            "min_bytes": min(sizes),
+            "max_bytes": max(sizes),
+            "median_bytes": int(statistics.median(sizes)),
+        }

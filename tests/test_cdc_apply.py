@@ -249,6 +249,17 @@ def test_concurrent_commit_conflict(spark, tmp_path):
     assert [r["v"] for r in a.read().collect()] == ["b-wins"]
 
 
+def test_file_stats_reports_layout(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    assert t.file_stats()["files"] == 0
+    df = spark.createDataFrame([(i, f"d{i%3}") for i in range(90)], "id long, day string")
+    t.overwrite(df.repartition(4), partition_by="day")
+    st = t.file_stats()
+    assert st["partitions"] == 3
+    assert st["files"] >= 3
+    assert st["total_bytes"] > 0 and st["min_bytes"] <= st["median_bytes"] <= st["max_bytes"]
+
+
 def test_time_travel_read_previous_version(spark, tmp_path):
     """read(version=) pins the retained previous version; older versions
     are GC'd and refuse loudly."""
