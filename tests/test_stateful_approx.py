@@ -236,3 +236,99 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["event_id"] for r in spark.table(name).collect())
     assert got == [1, 2, 3]
+
+
+import pytest as _pytest
+from hypothesis import HealthCheck as _HC, given as _given, settings as _settings, strategies as _st
+
+
+@_pytest.mark.slow
+@_settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    data=_st.lists(
+        _st.tuples(
+            _st.integers(min_value=1, max_value=3),      # user
+            _st.integers(min_value=0, max_value=3600),   # seconds offset
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+    split_at=_st.integers(min_value=1, max_value=29),
+)
+def test_streaming_sessionize_property(spark, tmp_path_factory, data, split_at):
+    """For ANY time-ordered event stream and ANY batch split point, the
+    emitted closed sessions equal the batch computation minus each key's
+    final session (which is still open in state)."""
+    import datetime
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from synch_spark.streaming.stateful import streaming_sessionize
+
+    GAP = 300
+    base = datetime.datetime(2024, 1, 1)
+    events = sorted(
+        ((u, base + datetime.timedelta(seconds=s)) for u, s in data),
+        key=lambda x: (x[1], x[0]),
+    )
+    # reference: per-user gap sessions, drop the last (still-open) one
+    per_user: dict[int, list[datetime.datetime]] = {}
+    for u, ts in events:
+        per_user.setdefault(u, []).append(ts)
+    expected = set()
+    for u, tss in per_user.items():
+        tss.sort()
+        sessions, cur = [], [tss[0]]
+        for ts in tss[1:]:
+            if (ts - cur[-1]).total_seconds() > GAP:
+                sessions.append(cur)
+                cur = [ts]
+            else:
+                cur.append(ts)
+        for s in sessions:  # cur (the tail) is intentionally excluded
+            expected.add((u, s[0], s[-1], len(s)))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    spool = tmp_path_factory.mktemp("sessprop")
+    batches = [events[:split_at], events[split_at:]]
+    for i, rows in enumerate(batches):
+        if rows:
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(spool / f"b{i}")
+            )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(spool / "b*"))
+    )
+    out = streaming_sessionize(
+        stream,
+        "user_id",
+        "ts",
+        GAP,
+        "user_id long, session_start timestamp, session_end timestamp, n_events long",
+    )
+    name = f"sp_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table(name).collect()
+    }
+    assert got == expected
