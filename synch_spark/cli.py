@@ -245,7 +245,11 @@ def cmd_quality(args) -> int:
     )
     out = ParquetTable(spark, f"{warehouse}/_quality/{args.name}")
     out.overwrite(annotated)
-    stats = annotated.agg(
+    # aggregate the WRITTEN table, not `annotated`: the lazy plan would
+    # re-run the whole tokenize/explode/agg/join lineage from the source
+    # a second time, doubling the command's runtime; the written columns
+    # are a cheap scan
+    stats = out.read().agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("gopher_pass").cast("int")).cast("bigint").alias("n_pass"),
         F.countDistinct("fingerprint").alias("n_unique"),

@@ -97,6 +97,13 @@ def interleave_bits(cols: list[Column], bits: int = 8) -> Column:
     multi-column file-skipping property; see ``zorder_layout``).
     """
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"interleave_bits: {n} cols x {bits} bits = {n * bits} bit positions "
+            "exceed a signed long's 63; Java shift semantics wrap shifts mod 64, "
+            "which would silently fold high columns onto low bit positions and "
+            "break multi-column skipping. Lower `bits` (e.g. 63 // n_cols)."
+        )
     terms = []
     for j, c in enumerate(cols):
         v = c.cast("long")

@@ -88,6 +88,18 @@ class DedupIndex:
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
+        # pre-signature-store indexes kept bucket rows directly under
+        # ``root``; silently ignoring one would re-admit every indexed
+        # duplicate (check() sees an empty index). It cannot be migrated
+        # in place — the old layout has no signature rows to carry over —
+        # so fail loudly and ask for a rebuild.
+        if not self.table.exists and ParquetTable(spark, root).exists:
+            raise ValueError(
+                f"DedupIndex at {root!r} uses the old single-table layout "
+                "(bucket versions directly under the root). Rebuild it with "
+                ".build(corpus) — the new layout adds a signature store the "
+                "old one never wrote, so an in-place migration isn't possible."
+            )
 
     def _sig(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         return build_signatures(
@@ -129,6 +141,13 @@ class DedupIndex:
         sig = self.signatures.read() if self.signatures.exists else None
         if extra_sig is not None:
             sig = extra_sig if sig is None else sig.unionByName(extra_sig).distinct()
+        if sig is None:
+            raise ValueError(
+                "estimate_jaccard: no signatures available — the index was "
+                "never built (signature store is empty) and no extra_sig "
+                "rows were passed; call build()/add() first or supply "
+                "extra_sig for the ids in `pairs`."
+            )
         a = sig.select(F.col("id").alias("new_id"), "seed", F.col("h").alias("_ha"))
         b = sig.select(F.col("id").alias("dup_of"), "seed", F.col("h").alias("_hb"))
         return (

@@ -50,16 +50,32 @@ def _dot_double(a, b):
     )
 
 
+def _safe_div(num, denom, otherwise):
+    """ANSI-safe score division. An all-zero vector has norm 0, so the
+    cosine denominator is 0: Spark's default ANSI mode raises
+    DIVIDE_BY_ZERO (killing the whole query), and with ANSI off the
+    0/0 = NaN sorts ABOVE every real score under a desc ordering,
+    making zero vectors rank-1 neighbors of everything. Guard the
+    division and pin such pairs to ``otherwise`` (below any real
+    cosine) so they rank last instead."""
+    return F.when(denom > F.lit(0.0), num / denom).otherwise(F.lit(otherwise))
+
+
 def _decimal_rescore(cand: DataFrame) -> DataFrame:
-    """Exact decimal cosine on (_pv, _cv) candidate rows -> `cosine`."""
+    """Exact decimal cosine on (_pv, _cv) candidate rows -> `cosine`.
+    Pairs involving a zero vector get cosine NULL (mathematically
+    undefined); NULL sorts last under Spark's desc ordering."""
     return (
         cand.withColumn("_dot", _dot_dec(F.col("_pv"), F.col("_cv")))
         .withColumn("_pn", _norm2_dec(F.col("_pv")))
         .withColumn("_cn", _norm2_dec(F.col("_cv")))
         .withColumn(
             "cosine",
-            F.col("_dot").cast("double")
-            / F.sqrt(F.col("_pn").cast("double") * F.col("_cn").cast("double")),
+            _safe_div(
+                F.col("_dot").cast("double"),
+                F.sqrt(F.col("_pn").cast("double") * F.col("_cn").cast("double")),
+                None,
+            ),
         )
     )
 
@@ -91,7 +107,11 @@ def cosine_topk(
     ).withColumn("_cn_d", F.sqrt(_dot_double(F.col("_cv"), F.col("_cv"))))
     rough = c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id")).withColumn(
         "_s",
-        _dot_double(F.col("_pv"), F.col("_cv")) / (F.col("_pn_d") * F.col("_cn_d")),
+        _safe_div(
+            _dot_double(F.col("_pv"), F.col("_cv")),
+            F.col("_pn_d") * F.col("_cn_d"),
+            -2.0,
+        ),
     )
     wr = W.partitionBy("probe_id").orderBy(F.col("_s").desc(), F.col("neighbor_id"))
     cand = (
@@ -222,7 +242,11 @@ def ivf_assign(
     v = df.withColumn("_vn", F.sqrt(_dot_double(F.col(vec_col), F.col(vec_col))))
     scored = v.join(F.broadcast(c)).withColumn(
         "_sim",
-        _dot_double(F.col(vec_col), F.col("cvec")) / (F.col("_vn") * F.col("_cn")),
+        _safe_div(
+            _dot_double(F.col(vec_col), F.col("cvec")),
+            F.col("_vn") * F.col("_cn"),
+            -2.0,
+        ),
     )
     w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cid"))
     return (
@@ -335,7 +359,12 @@ def embedding_near_dups_exact(
         a.join(b, cond)
         .drop("_salt")
         .withColumn(
-            "_s", _dot_double(F.col("_pv"), F.col("_cv")) / (F.col("_na") * F.col("_nb"))
+            "_s",
+            _safe_div(
+                _dot_double(F.col("_pv"), F.col("_cv")),
+                F.col("_na") * F.col("_nb"),
+                -2.0,
+            ),
         )
         .filter(F.col("_s") >= threshold - 1e-6)
     )
@@ -379,8 +408,11 @@ def embedding_near_dups(
         .withColumn("_nb", _norm2_dec(F.col("vb")))
         .withColumn(
             "cosine",
-            F.col("_dot").cast("double")
-            / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double")),
+            _safe_div(
+                F.col("_dot").cast("double"),
+                F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double")),
+                None,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
@@ -459,8 +491,11 @@ def cosine_topk_quantized(
     c = c.withColumn("_cn_q", F.sqrt(_dot_int(F.col("_cq"), F.col("_cq")).cast("double")))
     rough = c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id")).withColumn(
         "_s",
-        _dot_int(F.col("_pq"), F.col("_cq")).cast("double")
-        / (F.col("_pn_q") * F.col("_cn_q")),
+        _safe_div(
+            _dot_int(F.col("_pq"), F.col("_cq")).cast("double"),
+            F.col("_pn_q") * F.col("_cn_q"),
+            -2.0,
+        ),
     )
     wr = W.partitionBy("probe_id").orderBy(F.col("_s").desc(), F.col("neighbor_id"))
     cand = (

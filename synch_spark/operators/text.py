@@ -201,11 +201,29 @@ def gopher_stats(
         F.count(F.lit(1)).alias("distinct_tokens"),
         F.max("_cnt").cast("long").alias("top_token_cnt"),
     )
-    out = df.join(agg, F.col(id_col) == F.col("_gid")).drop("_gid")
-    distinct_ratio = F.col("distinct_tokens").cast("double") / F.col("n_tokens").cast(
-        "double"
+    # LEFT join + zero-fill: a NULL/empty/whitespace-only text produces no
+    # token rows, and an inner join would silently DROP the document from
+    # the output — a quality gate must FAIL such docs (n_tokens=0 <
+    # min_tokens), not lose them
+    out = df.join(agg, F.col(id_col) == F.col("_gid"), "left").drop("_gid")
+    zero = F.lit(0).cast("long")
+    out = out.withColumns(
+        {
+            "n_tokens": F.coalesce(F.col("n_tokens"), zero),
+            "distinct_tokens": F.coalesce(F.col("distinct_tokens"), zero),
+            "top_token_cnt": F.coalesce(F.col("top_token_cnt"), zero),
+        }
     )
-    top_ratio = F.col("top_token_cnt").cast("double") / F.col("n_tokens").cast("double")
+    # ratios guarded for n_tokens=0 / char_count=0: under ANSI mode a bare
+    # 0/0 raises DIVIDE_BY_ZERO; NULL ratios are fine because the
+    # n_tokens bound is already false, and false AND null = false
+    nt = F.col("n_tokens").cast("double")
+    distinct_ratio = F.when(
+        F.col("n_tokens") > 0, F.col("distinct_tokens").cast("double") / nt
+    )
+    top_ratio = F.when(
+        F.col("n_tokens") > 0, F.col("top_token_cnt").cast("double") / nt
+    )
     symbol_chars = F.length(
         F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
     ).cast("long")
@@ -215,7 +233,11 @@ def gopher_stats(
         .withColumn("symbol_chars", symbol_chars)
         .withColumn(
             "symbol_ratio",
-            F.col("symbol_chars").cast("double") / char_count(text_col).cast("double"),
+            F.when(
+                char_count(text_col) > 0,
+                F.col("symbol_chars").cast("double")
+                / char_count(text_col).cast("double"),
+            ),
         )
     )
     return out.withColumn(

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from synch_spark.operators.similarity import (
     _decimal_rescore,
     _dot_int,
+    _safe_div,
     ivf_assign,
     ivf_centroids,
     quantize_embeddings,
@@ -165,8 +166,11 @@ class VectorIndex:
                 .filter(F.col("id") != F.col("probe_id"))
                 .withColumn(
                     "_s",
-                    _dot_int(F.col("_pq"), F.col("_q")).cast("double")
-                    / (F.col("_pn_q") * F.col("_cn_q")),
+                    _safe_div(
+                        _dot_int(F.col("_pq"), F.col("_q")).cast("double"),
+                        F.col("_pn_q") * F.col("_cn_q"),
+                        -2.0,
+                    ),
                 )
             )
             wr = W.partitionBy("probe_id").orderBy(F.col("_s").desc(), F.col("id"))

@@ -359,8 +359,14 @@ def q59_json_props(spark, sf_dir):
     codegen; at scale prefer from_json with an explicit schema once the
     shape is known, which this query also exercises."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    parsed = ev.select("event_type", k.alias("k"))
+    raw = F.get_json_object("props", "$.k")
+    # try_cast, not cast: under ANSI mode a non-integer k ("1.5", "abc")
+    # would raise CAST_INVALID_INPUT and kill the query; and n_null counts
+    # the RAW extraction like the oracle does, so a malformed value that
+    # try_casts to null doesn't inflate the missing-key count
+    parsed = ev.select(
+        "event_type", raw.alias("_raw"), raw.try_cast("long").alias("k")
+    )
     return (
         parsed.groupBy("event_type")
         .agg(
@@ -368,7 +374,7 @@ def q59_json_props(spark, sf_dir):
             F.sum("k").alias("sum_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
-            F.count(F.when(F.col("k").isNull(), 1)).alias("n_null"),
+            F.count(F.when(F.col("_raw").isNull(), 1)).alias("n_null"),
         )
         .orderBy("event_type")
     )
@@ -391,7 +397,14 @@ def q58_streaming_sessions(spark, sf_dir):
     emits provably-CLOSED sessions (a later event of the same user
     arrived past the gap); the open tail session stays in state, so the
     batch oracle is 'every session except each user's last' — stream/
-    batch equivalence for a custom stateful window operator."""
+    batch equivalence for a custom stateful window operator.
+
+    Timestamps are truncated to whole seconds on BOTH sides: the
+    operator compares exact microsecond gaps while the oracle's
+    date_diff('second', ...) counts second-boundary crossings, so on
+    sub-second fixture timestamps a true gap of 3600.1s would split in
+    Spark but not in DuckDB (the q27 unix_timestamp lesson). Truncation
+    makes the two gap tests identical and the emitted bounds equal."""
     import os
     import uuid
 
@@ -408,6 +421,7 @@ def q58_streaming_sessions(spark, sf_dir):
         from synch_spark.session import nanos_to_ts
 
         stream = stream.withColumn("ts", nanos_to_ts("ts"))
+    stream = stream.withColumn("ts", F.date_trunc("second", F.col("ts")))
     out = streaming_sessionize(
         stream,
         "user_id",
@@ -428,13 +442,15 @@ def q58_streaming_sessions(spark, sf_dir):
 
 
 Q58_SQL = f"""
-WITH g AS (
+WITH e AS (
+  SELECT user_id, date_trunc('second', ts) AS ts FROM events),
+g AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                 OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
                    > {{gap}}
               THEN 1 ELSE 0 END AS new_sess
-  FROM events),
+  FROM e),
 s AS (
   SELECT user_id, ts,
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts

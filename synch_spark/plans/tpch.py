@@ -248,20 +248,23 @@ GROUP BY n_name ORDER BY n_name
 def q55_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17: revenue from lineitems whose quantity is under 20% of
     the per-part average, for one brand. The correlated scalar subquery
-    becomes a pre-aggregated per-part (sum, cnt) joined back broadcast;
-    ``qty * 5 * cnt < sum`` keeps the 0.2*avg comparison exact. The
-    brand filter prunes part before either join, so the per-part
-    aggregate only runs over the brand's lineitems."""
+    becomes per-part (sum, cnt) WINDOW aggregates over the branded rows
+    — one lineitem scan and one shuffle on p_partkey, instead of the
+    aggregate-then-rejoin shape that executes the scan+broadcast-join
+    subtree twice (the self-join-recompute trap). ``qty * 5 * cnt <
+    sum`` keeps the 0.2*avg comparison exact. The brand filter prunes
+    part before the join, so only the brand's lineitems shuffle."""
+    from pyspark.sql import Window as W
+
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    per_part = branded.groupBy(F.col("p_partkey").alias("_pk")).agg(
-        F.sum(F.col("l_quantity").cast(DEC)).alias("_sq"),
-        F.count(F.lit(1)).alias("_cnt"),
+    wp = W.partitionBy("p_partkey")
+    small = (
+        branded.withColumn("_sq", F.sum(F.col("l_quantity").cast(DEC)).over(wp))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wp))
+        .filter(F.col("l_quantity").cast(DEC) * 5 * F.col("_cnt") < F.col("_sq"))
     )
-    small = branded.join(
-        F.broadcast(per_part), branded.p_partkey == F.col("_pk")
-    ).filter(F.col("l_quantity").cast(DEC) * 5 * F.col("_cnt") < F.col("_sq"))
     return small.agg(
         (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0)).alias(
             "avg_yearly"
@@ -500,8 +503,13 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 def q61_top_supplier(spark, sf_dir):
     """TPC-H Q15: per-supplier revenue for one quarter, then the
     supplier(s) achieving the maximum — the scalar-subquery-on-aggregate
-    shape. The max is computed on the same exact-decimal totals the rows
-    carry, so the equality join is portable; the one-row max broadcasts."""
+    shape. The max is a GLOBAL WINDOW over the already-aggregated
+    per-supplier totals (tiny relative to lineitem), not a separate
+    agg + rejoin, which would execute the filtered lineitem scan twice
+    (the self-join-recompute trap). The max is computed on the same
+    exact-decimal totals the rows carry, so the equality is portable."""
+    from pyspark.sql import Window as W
+
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -512,9 +520,8 @@ def q61_top_supplier(spark, sf_dir):
             * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
         ).alias("_total")
     )
-    mx = rev.agg(F.max("_total").alias("_mx"))
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn("_mx", F.max("_total").over(W.partitionBy()))
         .filter(F.col("_total") == F.col("_mx"))
         .join(F.broadcast(supp), F.col("_sk") == supp.s_suppkey)
         .select(

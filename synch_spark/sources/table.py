@@ -147,6 +147,10 @@ def zorder_layout(
 
     from synch_spark.functions import interleave_bits
 
+    # the interleaved key must fit a signed long (interleave_bits raises
+    # past 63 bit positions) — clamp per-column resolution for wide column
+    # sets rather than fail; resolution loss only coarsens the curve
+    bits = min(bits, 63 // len(cols))
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],

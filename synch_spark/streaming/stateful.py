@@ -92,8 +92,15 @@ def streaming_sessionize(
         sessions = []  # (start_us, end_us, n)
         if carried and 0 in g.index:
             row = g.loc[0]
+            # max() with the carried end: a late (out-of-order) event that
+            # continues the session must not regress session_end below
+            # what the state has already seen
             sessions.append(
-                (carried[0], int(row["max"]), carried[2] + int(row["count"]))
+                (
+                    carried[0],
+                    max(carried[1], int(row["max"])),
+                    carried[2] + int(row["count"]),
+                )
             )
         elif carried:
             sessions.append(tuple(carried))

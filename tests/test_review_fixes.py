@@ -165,3 +165,99 @@ def test_missing_value_schema_dead_letters(spark, tmp_path):
     q.awaitTermination(120)
     dl = ParquetTable(spark, f"{pipe.warehouse}/_synch_dead_letter_events").read()
     assert dl.count() == 1 and dl.collect()[0]["_reason"] == "missing value_schema"
+
+
+# --- second review round -------------------------------------------------
+def test_zero_vector_neither_crashes_nor_wins(spark):
+    """An all-zero embedding has norm 0: unguarded cosine division either
+    raises DIVIDE_BY_ZERO (ANSI) or yields NaN that sorts above every
+    real score. It must rank last, not first, and not kill the query."""
+    from synch_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    rows = [(i, [float(i + j) for j in range(1, 5)]) for i in range(1, 6)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.filter(F.col("vec_id") <= 2)
+    for op in (cosine_topk, cosine_topk_quantized):
+        res = op(emb, probes, k=3).collect()
+        assert len(res) == 6  # 2 probes x k=3, no crash
+        assert all(r["neighbor_id"] != 99 for r in res), op.__name__
+    cents = ivf_centroids(emb.filter(F.col("vec_id") != 99), num_centroids=2)
+    assigned = ivf_assign(emb, cents, "embedding", "vec_id").collect()
+    assert len(assigned) == 6  # zero vector still lands in some bucket
+
+
+def test_gopher_stats_keeps_null_and_empty_text(spark):
+    """NULL/empty/whitespace-only docs must appear in the output with
+    gopher_pass=False — an inner join would silently drop them, and an
+    unguarded 0/0 ratio would raise under ANSI mode."""
+    from synch_spark.operators.text import gopher_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog and runs far away home"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in gopher_stats(df, "text", "doc_id").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["gopher_pass"] is True
+    # NULL text yields NO token rows (split of NULL is NULL): zero-filled
+    assert rows[2]["n_tokens"] == 0
+    # empty/whitespace text yields empty-string tokens (split semantics,
+    # shared with the DuckDB oracle) — few enough to fail the gate anyway
+    for d in (2, 3, 4):
+        assert rows[d]["n_tokens"] < 10
+        assert rows[d]["gopher_pass"] is False
+
+
+def test_interleave_bits_width_guard(spark):
+    """9 cols x 8 bits = 72 positions: Java shifts wrap mod 64, silently
+    folding high columns onto low bits — must raise, and zorder_layout
+    must instead clamp per-column resolution so wide column sets work."""
+    import pytest as _pytest
+
+    from synch_spark.functions import interleave_bits
+    from synch_spark.sources.table import zorder_layout
+
+    cols = [F.lit(i) for i in range(9)]
+    with _pytest.raises(ValueError, match="63"):
+        interleave_bits(cols, bits=8)
+    df = spark.range(100).select(
+        "id", *[(F.col("id") * (i + 1) % 50).alias(f"c{i}") for i in range(9)]
+    )
+    out = zorder_layout(df, [f"c{i}" for i in range(9)], bits=8, num_files=2)
+    assert out.count() == 100  # clamped to 7 bits/col, no raise
+
+
+def test_dedup_index_legacy_layout_detected(spark, tmp_path):
+    """A pre-signature-store index (bucket versions directly under root)
+    must fail loudly instead of being silently treated as empty."""
+    import pytest as _pytest
+
+    from synch_spark.operators.dedup_index import DedupIndex
+
+    root = tmp_path / "oldidx"
+    legacy = ParquetTable(spark, str(root))
+    legacy.overwrite(spark.createDataFrame([(1, 0, "x")], ["id", "band", "bucket"]))
+    with _pytest.raises(ValueError, match="old single-table layout"):
+        DedupIndex(spark, str(root))
+
+
+def test_estimate_jaccard_unbuilt_index_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from synch_spark.operators.dedup_index import DedupIndex
+
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    pairs = spark.createDataFrame([(2, 1)], ["new_id", "dup_of"])
+    with _pytest.raises(ValueError, match="no signatures"):
+        idx.estimate_jaccard(pairs)

@@ -81,6 +81,62 @@ def test_streaming_sessionize_spans_batches(spark, tmp_path):
     assert str(r["session_end"]) == "2024-01-01 00:20:00"
 
 
+def test_streaming_sessionize_late_event_keeps_end(spark, tmp_path):
+    """An out-of-order event arriving in a LATER micro-batch that falls
+    inside the carried session must not regress session_end below what
+    the state already saw (redelivery/late-arrival case)."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from synch_spark.streaming.stateful import streaming_sessionize
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    dt = __import__("datetime").datetime.fromisoformat
+    # batch 1 carries (start=00:00, last=00:30); batch 2 delivers a LATE
+    # event at 00:10 (inside the session) and a far event that closes it
+    b1 = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00")]
+    b2 = [(1, "2024-01-01 00:10:00"), (1, "2024-01-01 09:00:00")]
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(
+            [(u, dt(t)) for u, t in rows], schema
+        ).coalesce(1).write.parquet(str(spool / f"b{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(spool / "b*"))
+    )
+    out = streaming_sessionize(
+        stream,
+        "user_id",
+        "ts",
+        3600,
+        "user_id long, session_start timestamp, session_end timestamp, n_events long",
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 3
+    assert str(r["session_start"]) == "2024-01-01 00:00:00"
+    assert str(r["session_end"]) == "2024-01-01 00:30:00"  # NOT 00:10
+
+
 def test_streaming_sessionize_timeout_flushes_tail(spark, tmp_path):
     """With flush_after_s set, an idle key's open tail session is emitted
     by the processing-time timeout (fired by a later batch) and its
