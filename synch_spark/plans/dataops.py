@@ -564,32 +564,42 @@ def q62_ngram_repetition(spark, sf_dir):
     ARRAYS (no explode/shuffle): trigram list, its distinct size, one
     projection — a scan-shaped operator that runs at parquet speed on a
     100 TB corpus. Token array is materialized behind a projection
-    before the transform lambda touches it (HOF re-evaluation trap)."""
+    before the transform lambda touches it (HOF re-evaluation trap).
+
+    The local fixture is ONE parquet file = one scan partition, which
+    would serialize the trigram algebra onto a single core (the q47
+    lesson) — repartition spreads the heavy projection; on a real
+    multi-file corpus the scan is already parallel and the exchange is
+    just one extra row-count-preserving shuffle of (id, text)."""
     from synch_spark.operators.text import tokens
 
     docs = _docs(spark, sf_dir)
-    base = docs.select("doc_id", tokens("text").alias("_toks"))
+    # the >=3-token gate replaces a downstream `n_trigrams > 0` filter,
+    # which Catalyst would push below the exchange by SUBSTITUTING the
+    # whole trigram-transform expression into the Filter — re-running the
+    # entire heavy computation serially on the scan partition
+    base = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens("text").alias("_toks"))
+        .filter(F.size(F.col("_toks")) >= 3)
+    )
     toks = F.col("_toks")
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    )
     g = base.select("doc_id", grams.alias("_g")).select(
         "doc_id",
         F.size("_g").cast("long").alias("n_trigrams"),
         F.size(F.array_distinct("_g")).cast("long").alias("distinct_trigrams"),
     )
     return (
-        g.filter(F.col("n_trigrams") > 0)
-        .withColumn(
+        g.withColumn(
             "dup_ratio",
             F.lit(1.0)
             - F.col("distinct_trigrams").cast("double")
