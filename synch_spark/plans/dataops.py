@@ -628,6 +628,82 @@ ORDER BY dup_ratio DESC, doc_id LIMIT 100
 """
 
 
+# --- deterministic train/val split (content hash) -------------------------
+def q65_hash_split(spark, sf_dir):
+    """Deterministic content-hash train/val split — the training-data
+    primitive for leakage-free held-out sets: assignment depends only on
+    the document TEXT (first md5 hex digit, train when < 12 = 75%), so
+    it is stable under re-ingestion, re-partitioning, and id reassignment,
+    and exact duplicates always land in the same split (no train/val
+    leakage through dups). Pure projection + aggregate: scan-shaped,
+    no shuffle except the tiny (split, source) rollup."""
+    docs = _docs(spark, sf_dir)
+    d = F.conv(F.substring(F.md5("text"), 1, 1), 16, 10).cast("long")
+    out = docs.withColumn("split", F.when(d < 12, "train").otherwise("val"))
+    return (
+        out.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+Q65_SQL = """
+WITH s AS (
+  SELECT source, n_chars,
+         CASE WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 12
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents)
+SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split, source ORDER BY split, source
+"""
+
+
+# --- per-source sampling quota (mixture weighting) -------------------------
+SOURCE_CAP = 100
+
+
+def q66_source_budget(spark, sf_dir):
+    """Per-source document quota — the corpus-mixture primitive: cap each
+    source at N docs, selected by a deterministic pseudo-random order
+    (md5 of content, doc_id tiebreak for exact dups) so the sample is
+    reproducible across runs and machines without a seed exchange. One
+    window shuffle on source; at 100 TB the same shape holds because the
+    rank is computed per-source-partition and docs beyond the cap are
+    dropped before any downstream work."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    kept = docs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= SOURCE_CAP
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+            F.max("_rn").cast("bigint").alias("max_rank"),
+        )
+        .orderBy("source")
+    )
+
+
+Q66_SQL = f"""
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+       CAST(MAX(rn) AS BIGINT) AS max_rank
+FROM r WHERE rn <= {SOURCE_CAP} GROUP BY source ORDER BY source
+"""
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -649,4 +725,6 @@ DATAOPS_QUERIES = {
     "q50_tfidf_topterms": (q50_tfidf_topterms, Q50_SQL),
     "q57_gopher_quality": (q57_gopher_quality, Q57_SQL),
     "q62_ngram_repetition": (q62_ngram_repetition, Q62_SQL),
+    "q65_hash_split": (q65_hash_split, Q65_SQL),
+    "q66_source_budget": (q66_source_budget, Q66_SQL),
 }

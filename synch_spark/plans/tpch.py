@@ -572,6 +572,83 @@ def q63_heavy_part_shippers(spark, sf_dir):
     )
 
 
+# --- Q8-like: national market share ---------------------------------------
+def q64_market_share(spark, sf_dir):
+    """TPC-H Q8: one nation's share of a region's revenue for a part
+    type, per order year — the two-sided nation lookup (customer side
+    restricts the region, supplier side names the share nation) with a
+    conditional-aggregate ratio. All dimensions broadcast; lineitem is
+    scanned once; numerator/denominator fold in exact decimals and the
+    ratio is one double division (oracle-portable, the q49 recipe)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    # customer-side nations restricted to the target region
+    cnat = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+            "left_semi",
+        )
+        .select(F.col("n_nationkey").alias("_cnk"))
+    )
+    snat = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnat), cust.c_nationkey == F.col("_cnk"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snat), supp.s_nationkey == F.col("_snk"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                F.lit(0).cast(DEC)
+            )
+        ).alias("_nat"),
+        F.sum(vol).alias("_tot"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("_nat").cast("double") / F.col("_tot").cast("double")).alias(
+            "mkt_share"
+        ),
+    ).orderBy("o_year")
+
+
+Q64_SQL = """
+WITH base AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA')
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM base GROUP BY o_year ORDER BY o_year
+"""
+
+
 Q63_SQL = """
 SELECT s_suppkey, s_name
 FROM supplier
@@ -600,4 +677,5 @@ TPCH_QUERIES = {
     "q60_forecast_revenue": (q60_forecast_revenue, Q60_SQL),
     "q61_top_supplier": (q61_top_supplier, Q61_SQL),
     "q63_heavy_part_shippers": (q63_heavy_part_shippers, Q63_SQL),
+    "q64_market_share": (q64_market_share, Q64_SQL),
 }
