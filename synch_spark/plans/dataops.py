@@ -37,6 +37,18 @@ def _docs(spark, sf_dir):
         df = df.repartition(want)
     return df
 
+def _emb(spark, sf_dir):
+    """embeddings, spread across cores before per-vector CPU work
+    (signatures, dot products) — same single-file-scan rationale as
+    ``_docs``; the shuffle moves (id, vector) rows once and buys full
+    map parallelism for every downstream scoring stage."""
+    df = _t(spark, sf_dir, "embeddings")
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
+    return df
+
+
 TOK_SQL = r"string_split_regex(text, '\s+')"
 NORM_SQL = r"trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 STOP_IN = "(" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + ")"
@@ -224,7 +236,7 @@ Q22_SQL = _simhash_oracle()
 
 # --- embedding brute-force cosine top-k ---------------------------------
 def q23_embedding_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk(emb, probes, k=5).orderBy("probe_id", "rank")
 
@@ -255,7 +267,7 @@ FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank
 
 # --- ANN (LSH) + multimodal plumbing: rows-only (no SQL-expressible oracle)
 def q24_ann_lsh(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10)
     return similarity.ann_topk_lsh(emb, probes, k=5, num_planes=4, num_tables=8).orderBy(
         "probe_id", "rank"
@@ -263,7 +275,7 @@ def q24_ann_lsh(spark, sf_dir):
 
 
 def q42_ann_ivf(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10)
     return similarity.ann_topk_ivf(
         emb, probes, k=5, num_centroids=16, nprobe=4
@@ -431,7 +443,7 @@ def q39_dedup_clusters(spark, sf_dir):
 def q47_embedding_near_dups(spark, sf_dir):
     """Exact cosine near-dup pairs within label blocks — the deterministic
     baseline for the LSH near-dup path (dedup-within-shard pattern)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return similarity.embedding_near_dups_exact(
         emb, threshold=0.35, block_col="label"
     ).orderBy("a", "b")
