@@ -249,6 +249,40 @@ def gopher_stats(
     )
 
 
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_patterns(
+    df,
+    text_col: str,
+    out_col: str | None = None,
+    patterns: dict[str, str] | None = None,
+    token: str = "[REDACTED]",
+):
+    """PII / pattern redaction — the scrubbing pass a training corpus gets
+    before anything else sees it. Adds one ``n_<name>`` match-count
+    column per pattern (regexp_count, for audit metrics/sampling) and a
+    redacted text column with every match replaced by ``token``.
+    All JVM-side regex (regexp_count/regexp_replace inside
+    WholeStageCodegen): scan-shaped, no shuffle, no Python in the loop —
+    the only acceptable cost profile for a pass that must touch every
+    byte of a 100 TB corpus. Patterns apply in dict order; the default
+    set covers emails, phone numbers, and IPv4 addresses."""
+    pats = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    out = df
+    for name, p in pats.items():
+        out = out.withColumn(f"n_{name}", F.regexp_count(c, F.lit(p)).cast("long"))
+    red = c
+    for p in pats.values():
+        red = F.regexp_replace(red, p, token)
+    return out.withColumn(out_col or f"{text_col}_redacted", red)
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse non-alnum."""
     c = F.col(col) if isinstance(col, str) else col

@@ -716,6 +716,98 @@ FROM r WHERE rn <= {SOURCE_CAP} GROUP BY source ORDER BY source
 """
 
 
+# --- corpus length profile --------------------------------------------------
+def q67_length_histogram(spark, sf_dir):
+    """Fixed-width histogram of document lengths (100-char buckets,
+    capped at bucket 19) — the corpus profile that drives truncation and
+    packing decisions in a token-budgeted pipeline. Pure projection +
+    one tiny aggregate on a <=20-row group domain; the scan reads only
+    the n_chars column (column pruning)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.least(F.floor(F.col("n_chars") / 100), F.lit(19)).cast("bigint")
+    return (
+        docs.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q67_SQL = """
+SELECT CAST(LEAST(FLOOR(n_chars / 100), 19) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY bucket ORDER BY bucket
+"""
+
+
+# --- benchmark decontamination ----------------------------------------------
+CONTAM_N = 8
+
+
+def q68_contamination(spark, sf_dir):
+    """Benchmark decontamination: which training documents share any
+    8-token n-gram with a held-out benchmark set (doc_id % 97 == 0
+    stands in for the eval suite)? The canonical pre-training hygiene
+    check. Plan: distinct per-doc n-grams on both sides (one tokenize
+    pass each), benchmark grams broadcast into a LEFT SEMI join — the
+    train side never carries text through the shuffle, only (id, gram);
+    at 100 TB the benchmark gram set stays small (eval suites are
+    fixed-size) so the semi-join is map-side."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bgrams = (
+        dedup.shingles(bench, "text", "doc_id", CONTAM_N)
+        .select(F.col("shingle").alias("_bs"))
+        .distinct()
+    )
+    tgrams = dedup.shingles(train, "text", "doc_id", CONTAM_N)
+    contam = (
+        tgrams.join(F.broadcast(bgrams), tgrams.shingle == F.col("_bs"), "left_semi")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    return (
+        train.join(contam, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.count("_c").cast("bigint").alias("n_contaminated"),
+            (
+                F.count("_c").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("contam_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+Q68_SQL = f"""
+WITH toks AS (SELECT doc_id, source, {TOK_SQL} AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - {CONTAM_N - 1})) AS u(i)
+  WHERE len(w) >= {CONTAM_N}),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+contam AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(c.doc_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contam_ratio
+FROM documents d LEFT JOIN contam c USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+GROUP BY source ORDER BY source
+"""
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -739,4 +831,6 @@ DATAOPS_QUERIES = {
     "q62_ngram_repetition": (q62_ngram_repetition, Q62_SQL),
     "q65_hash_split": (q65_hash_split, Q65_SQL),
     "q66_source_budget": (q66_source_budget, Q66_SQL),
+    "q67_length_histogram": (q67_length_histogram, Q67_SQL),
+    "q68_contamination": (q68_contamination, Q68_SQL),
 }

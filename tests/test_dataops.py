@@ -89,6 +89,27 @@ def test_gopher_stats_gates(spark):
     assert rows[3]["symbol_ratio"] > 0.1
 
 
+def test_redact_patterns_scrubs_and_counts(spark):
+    """PII redaction: emails/phones/IPs replaced and counted per doc;
+    clean docs untouched with zero counts."""
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or +1 (555) 123-4567 now"),
+            (2, "server at 10.0.42.7 responded"),
+            (3, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.redact_patterns(df, "text").collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    red1 = rows[1]["text_redacted"]
+    assert "bob@example.com" not in red1 and "555" not in red1
+    assert red1.count("[REDACTED]") == 2
+    assert rows[2]["n_ipv4"] == 1 and "10.0.42.7" not in rows[2]["text_redacted"]
+    assert rows[3]["text_redacted"] == "no pii here at all"
+    assert rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_ipv4"] == 0
+
+
 def test_ann_recall_vs_bruteforce(spark, tables):
     """LSH ANN must recover most of the exact top-k (the scale path is
     allowed to be approximate, but not useless)."""
