@@ -552,6 +552,42 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+# --- sliding (hopping) time windows ---------------------------------------
+def q70_sliding_window(spark, sf_dir):
+    """Sliding-window aggregation — ``F.window(ts, '2 days', '1 day')``,
+    the hopping-window surface the tumbling query (q12) doesn't touch:
+    every event lands in size/slide = 2 overlapping windows. Spark's
+    window() generator expands each row into its containing windows
+    before a plain partial+final aggregate; the DuckDB oracle states the
+    same semantics explicitly as a union of the two day-shifted window
+    starts. Streaming form is identical modulo readStream + watermark
+    (q31 covers the streaming-equivalence claim for grouped time
+    windows)."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", "2 days", "1 day")
+    return (
+        ev.groupBy(win.alias("_w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        )
+        .select(F.col("_w.start").cast("date").alias("ws"), "n", "s")
+        .orderBy("ws")
+    )
+
+
+Q70_SQL = """
+WITH hops AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS ws, value FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS DATE) AS ws, value
+  FROM events)
+SELECT ws, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+FROM hops GROUP BY ws ORDER BY ws
+"""
+
+
 ADVANCED_QUERIES = {
     "q26_asof_join": (q26_asof_join, Q26_SQL),
     "q27_sessionize": (q27_sessionize, Q27_SQL),
@@ -567,4 +603,5 @@ ADVANCED_QUERIES = {
     "q59_json_props": (q59_json_props, Q59_SQL),
     "q45_window_zoo": (q45_window_zoo, Q45_SQL),
     "q46_scalar_zoo": (q46_scalar_zoo, Q46_SQL),
+    "q70_sliding_window": (q70_sliding_window, Q70_SQL),
 }

@@ -808,6 +808,56 @@ GROUP BY source ORDER BY source
 """
 
 
+# --- sequence packing (concat-then-chunk) -----------------------------------
+PACK_BUDGET = 512
+
+
+def q69_sequence_packing(spark, sf_dir):
+    """Deterministic sequence packing: stream each source's documents in
+    doc_id order into fixed ``PACK_BUDGET``-token bins (bin = exclusive
+    prefix-sum of token counts div budget) — the concat-then-chunk
+    packing a pretraining pipeline uses to fill context windows. One
+    window pass per source partition, no driver loop, no Python; the
+    bin assignment is reproducible across runs/machines because it
+    depends only on (source, doc_id) order and token counts."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", "source", text.token_count("text").alias("_nt")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = base.withColumn(
+        "_before", F.coalesce(F.sum("_nt").over(w), F.lit(0))
+    ).withColumn("bin", F.floor(F.col("_before") / PACK_BUDGET).cast("bigint"))
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+Q69_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({{tok}}) AS BIGINT) AS nt FROM documents),
+c AS (
+  SELECT doc_id, source, nt,
+         COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t)
+SELECT source, CAST(FLOOR(before / {PACK_BUDGET}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS tokens
+FROM c GROUP BY source, bin ORDER BY source, bin
+""".replace("{tok}", TOK_SQL)
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -833,4 +883,5 @@ DATAOPS_QUERIES = {
     "q66_source_budget": (q66_source_budget, Q66_SQL),
     "q67_length_histogram": (q67_length_histogram, Q67_SQL),
     "q68_contamination": (q68_contamination, Q68_SQL),
+    "q69_sequence_packing": (q69_sequence_packing, Q69_SQL),
 }
