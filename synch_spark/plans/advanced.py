@@ -588,6 +588,76 @@ FROM hops GROUP BY ws ORDER BY ws
 """
 
 
+# --- stream-stream join (attribution) --------------------------------------
+def q71_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks — the attribution shape:
+    purchases joined to the same user's clicks within [click, click+1d].
+    Both sides are event-time-bounded (watermark + time-range join
+    condition), which is exactly what lets Spark expire join state at
+    scale: a click older than the watermark minus the range can never
+    match again and is dropped. Run availableNow and aggregated to
+    per-user pair counts; the batch oracle states the identical join.
+    Timestamps are second-truncated on both sides (q58/q32 parity
+    lesson) so the range boundary agrees with DuckDB exactly."""
+    import os
+    import uuid
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        from synch_spark.session import nanos_to_ts
+
+        stream = stream.withColumn("ts", nanos_to_ts("ts"))
+    stream = stream.withColumn("ts", F.date_trunc("second", F.col("ts")))
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_uid"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_uid") == F.col("p_uid"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY")),
+    )
+    name = f"q71_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(F.col("c_uid").alias("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+Q71_SQL = """
+WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts FROM events)
+SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT user_id, ts FROM e WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM e WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 DAY
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
 ADVANCED_QUERIES = {
     "q26_asof_join": (q26_asof_join, Q26_SQL),
     "q27_sessionize": (q27_sessionize, Q27_SQL),
@@ -604,4 +674,5 @@ ADVANCED_QUERIES = {
     "q45_window_zoo": (q45_window_zoo, Q45_SQL),
     "q46_scalar_zoo": (q46_scalar_zoo, Q46_SQL),
     "q70_sliding_window": (q70_sliding_window, Q70_SQL),
+    "q71_stream_stream_join": (q71_stream_stream_join, Q71_SQL),
 }
