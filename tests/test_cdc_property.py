@@ -150,3 +150,75 @@ def test_all_engines_agree_on_valid_sequences(spark, tmp_path_factory, events, b
         tmpdir = str(tmp_path_factory.mktemp(f"eng_{engine.value}"))
         got = run_engine_with(spark, tmpdir, engine, valid, batch_splits)
         assert got == expected, f"{engine} diverged"
+
+
+# --- composite-pk property --------------------------------------------------
+COMPOSITE_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("id2", T.StringType()),
+        T.StructField("amount", T.LongType()),
+    ]
+)
+
+# small (id, id2) space forces collisions on BOTH key parts — the paths
+# SURVEY §7 calls out as hard (tuple pk in dedup window, delete netting,
+# merge key equality) must treat the tuple atomically, never id alone
+composite_event_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(min_value=1, max_value=3),  # id
+        st.sampled_from(["a", "b"]),  # id2
+        st.integers(min_value=0, max_value=999),  # amount
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def sequential_replay_composite(events):
+    state = {}
+    for action, pk1, pk2, amount in events:
+        if action == "delete":
+            state.pop((pk1, pk2), None)
+        else:
+            state[(pk1, pk2)] = amount
+    return state
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=composite_event_strategy,
+    batch_splits=st.lists(st.integers(min_value=1, max_value=29), max_size=3),
+)
+def test_composite_pk_matches_sequential_replay(
+    spark, tmp_path_factory, events, batch_splits
+):
+    tmpdir = str(tmp_path_factory.mktemp("cdccomp"))
+    spec = TableSpec(
+        schema="db", table="p", pk=("id", "id2"), engine=Engine.REPLACING_MERGE_TREE
+    )
+    table = ParquetTable(spark, tmpdir)
+    batches, prev = [], 0
+    for cut in sorted(batch_splits) + [len(events)]:
+        if cut > prev:
+            batches.append(events[prev:cut])
+            prev = cut
+    us = 0
+    for batch in batches:
+        rows = []
+        for action, pk1, pk2, amount in batch:
+            us += 1
+            img = json.dumps({"id": pk1, "id2": pk2, "amount": amount})
+            rows.append(("db", "p", action, img, img, us))
+        raw = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+        typed = parse_values(split_updates(raw), COMPOSITE_VALUE_SCHEMA)
+        apply_cdc_batch(table, typed, spec)
+    out = read_current_state(table, spec).select("id", "id2", "amount").collect()
+    got = {(r["id"], r["id2"]): r["amount"] for r in out}
+    assert got == sequential_replay_composite(events)
