@@ -675,7 +675,7 @@ FROM s GROUP BY split, source ORDER BY split, source
 
 
 # --- per-source sampling quota (mixture weighting) -------------------------
-SOURCE_CAP = 100
+SOURCE_CAP = 10  # binds at sf0.01 (25 docs/source) so the gate tests the filter
 
 
 def q66_source_budget(spark, sf_dir):
