@@ -249,10 +249,16 @@ def gopher_stats(
     )
 
 
+# ipv4 before phone: replacement applies in dict order, so address-shaped
+# strings are consumed by their own pattern first. The phone pattern is
+# structured (optional country code, 3-3-4 grouping with separators), NOT a
+# loose digit-run: '2024-01-02', 'order id 123456789', and '10.0.42.7' must
+# survive a scrub — an overmatching phone regex silently destroys non-PII
+# content and corrupts the audit counts.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?\d[\d\s().-]{7,}\d",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"(?:\+\d{1,3}[\s.-]?)?\(?\d{3}\)?[\s.-]?\d{3}[\s.-]\d{4}\b",
 }
 
 
@@ -270,8 +276,14 @@ def redact_patterns(
     All JVM-side regex (regexp_count/regexp_replace inside
     WholeStageCodegen): scan-shaped, no shuffle, no Python in the loop —
     the only acceptable cost profile for a pass that must touch every
-    byte of a 100 TB corpus. Patterns apply in dict order; the default
-    set covers emails, phone numbers, and IPv4 addresses."""
+    byte of a 100 TB corpus. Replacement applies in dict order; the
+    ``n_<name>`` counts are each computed on the ORIGINAL text, so a
+    span matched by two patterns is counted by both (the audit answers
+    "what would this pattern alone flag", not "who won the replace").
+    Default set: emails, IPv4 addresses, structured phone numbers
+    (separator required in the final group — a bare 10-digit run is
+    more likely an id than a phone, and precision beats recall when
+    the failure mode is destroying non-PII training text)."""
     pats = patterns or PII_PATTERNS
     c = F.col(text_col)
     out = df

@@ -558,9 +558,10 @@ def q70_sliding_window(spark, sf_dir):
     the hopping-window surface the tumbling query (q12) doesn't touch:
     every event lands in size/slide = 2 overlapping windows. Spark's
     window() generator expands each row into its containing windows
-    before a plain partial+final aggregate; the DuckDB oracle states the
+    before a plain partial+final aggregate — and DROPS null-timestamp
+    rows (containment evaluates NULL); the DuckDB oracle states the
     same semantics explicitly as a union of the two day-shifted window
-    starts. Streaming form is identical modulo readStream + watermark
+    starts with the same null filter. Streaming form is identical modulo readStream + watermark
     (q31 covers the streaming-equivalence claim for grouped time
     windows)."""
     ev = _t(spark, sf_dir, "events")
@@ -578,10 +579,11 @@ def q70_sliding_window(spark, sf_dir):
 
 Q70_SQL = """
 WITH hops AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS ws, value FROM events
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS ws, value
+  FROM events WHERE ts IS NOT NULL
   UNION ALL
   SELECT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS DATE) AS ws, value
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT ws, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
 FROM hops GROUP BY ws ORDER BY ws

@@ -21,32 +21,31 @@ from synch_spark.operators import dedup, similarity, text
 from synch_spark.plans.relational import _t
 
 
-def _docs(spark, sf_dir):
-    """documents, spread across cores before CPU-heavy per-doc work.
+def _spread(spark, sf_dir, name):
+    """A table spread across cores before CPU-heavy per-row work
+    (md5/shingle pipelines for documents, signature/dot-product stages
+    for embeddings).
 
     A small corpus arrives as one parquet file -> one scan partition, and
-    every downstream hash/shingle stage would run on a single core. The
-    same applies at scale when upstream files are few and large relative
-    to the cluster: an explicit round-robin repartition ahead of
-    md5/shingle pipelines is a cheap shuffle of raw text that buys full
-    map parallelism. Skipped when the scan already has enough splits.
+    every downstream stage would run on a single core. The same applies
+    at scale when upstream files are few and large relative to the
+    cluster: an explicit round-robin repartition is a cheap one-time
+    shuffle of the raw rows that buys full map parallelism. Skipped when
+    the scan already has enough splits.
     """
-    df = _t(spark, sf_dir, "documents")
+    df = _t(spark, sf_dir, name)
     want = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < want:
         df = df.repartition(want)
     return df
 
+
+def _docs(spark, sf_dir):
+    return _spread(spark, sf_dir, "documents")
+
+
 def _emb(spark, sf_dir):
-    """embeddings, spread across cores before per-vector CPU work
-    (signatures, dot products) — same single-file-scan rationale as
-    ``_docs``; the shuffle moves (id, vector) rows once and buys full
-    map parallelism for every downstream scoring stage."""
-    df = _t(spark, sf_dir, "embeddings")
-    want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        df = df.repartition(want)
-    return df
+    return _spread(spark, sf_dir, "embeddings")
 
 
 TOK_SQL = r"string_split_regex(text, '\s+')"
@@ -578,11 +577,10 @@ def q62_ngram_repetition(spark, sf_dir):
     100 TB corpus. Token array is materialized behind a projection
     before the transform lambda touches it (HOF re-evaluation trap).
 
-    The local fixture is ONE parquet file = one scan partition, which
-    would serialize the trigram algebra onto a single core (the q47
-    lesson) — repartition spreads the heavy projection; on a real
-    multi-file corpus the scan is already parallel and the exchange is
-    just one extra row-count-preserving shuffle of (id, text)."""
+    ``_docs`` spreads the single-file scan so the trigram algebra runs
+    on all cores (the q47 lesson; no second repartition here — _docs
+    already did it, and an unconditional one would re-shuffle a corpus
+    whose scan is already parallel)."""
     from synch_spark.operators.text import tokens
 
     docs = _docs(spark, sf_dir)
@@ -590,10 +588,8 @@ def q62_ngram_repetition(spark, sf_dir):
     # which Catalyst would push below the exchange by SUBSTITUTING the
     # whole trigram-transform expression into the Filter — re-running the
     # entire heavy computation serially on the scan partition
-    base = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", tokens("text").alias("_toks"))
-        .filter(F.size(F.col("_toks")) >= 3)
+    base = docs.select("doc_id", tokens("text").alias("_toks")).filter(
+        F.size(F.col("_toks")) >= 3
     )
     toks = F.col("_toks")
     grams = F.transform(

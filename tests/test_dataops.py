@@ -110,6 +110,27 @@ def test_redact_patterns_scrubs_and_counts(spark):
     assert rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_ipv4"] == 0
 
 
+def test_redact_patterns_preserves_non_pii_digits(spark):
+    """Precision guard: dates, numeric ids, and bare digit runs must
+    SURVIVE a scrub (an overmatching phone pattern silently destroys
+    training text), and an IPv4 must be claimed by ipv4, not phone."""
+    df = spark.createDataFrame(
+        [
+            (1, "released on 2024-01-02 at noon"),
+            (2, "order id 123456789 shipped"),
+            (3, "server at 10.0.42.7 responded"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.redact_patterns(df, "text").collect()}
+    assert rows[1]["text_redacted"] == "released on 2024-01-02 at noon"
+    assert rows[1]["n_phone"] == 0
+    assert rows[2]["text_redacted"] == "order id 123456789 shipped"
+    assert rows[2]["n_phone"] == 0
+    assert rows[3]["n_ipv4"] == 1 and rows[3]["n_phone"] == 0
+    assert rows[3]["text_redacted"] == "server at [REDACTED] responded"
+
+
 def test_ann_recall_vs_bruteforce(spark, tables):
     """LSH ANN must recover most of the exact top-k (the scale path is
     allowed to be approximate, but not useless)."""
