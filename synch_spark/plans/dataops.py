@@ -854,6 +854,55 @@ FROM c GROUP BY source, bin ORDER BY source, bin
 """.replace("{tok}", TOK_SQL)
 
 
+# --- overlapping token-window chunking --------------------------------------
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def q72_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (size 32, stride 24) — the
+    preprocessing step an embedding/RAG pipeline applies before
+    vectorizing: stable (doc_id, chunk_idx) identity, 8-token overlap so
+    no phrase is split across an un-shared boundary. One tokenize pass,
+    sequence+posexplode+slice — all JVM array algebra, chunk count per
+    doc is ceil(n/stride), and the fingerprint is md5 of the re-joined
+    window (portable; identical chunks dedup downstream by fp)."""
+    from synch_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", tokens("text").alias("_toks"))
+    n = F.size("_toks")
+    starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
+    ex = base.select(
+        "doc_id", "_toks", F.posexplode(starts).alias("chunk_idx", "_st")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_st"), CHUNK_TOKENS)
+    return (
+        ex.select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+Q72_SQL = f"""
+WITH t AS (SELECT doc_id, {{tok}} AS w FROM documents),
+s AS (
+  SELECT doc_id, w, UNNEST(generate_series(1, len(w), {CHUNK_STRIDE})) AS st
+  FROM t WHERE len(w) > 0)
+SELECT doc_id,
+       CAST((st - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(w, st, st + {CHUNK_TOKENS - 1})) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(w, st, st + {CHUNK_TOKENS - 1}), ' '))
+         AS chunk_fp
+FROM s ORDER BY doc_id, chunk_idx
+""".replace("{tok}", TOK_SQL)
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -880,4 +929,5 @@ DATAOPS_QUERIES = {
     "q67_length_histogram": (q67_length_histogram, Q67_SQL),
     "q68_contamination": (q68_contamination, Q68_SQL),
     "q69_sequence_packing": (q69_sequence_packing, Q69_SQL),
+    "q72_chunking": (q72_chunking, Q72_SQL),
 }
