@@ -903,6 +903,58 @@ FROM s ORDER BY doc_id, chunk_idx
 """.replace("{tok}", TOK_SQL)
 
 
+# --- table profiling (ANALYZE-style column stats) ---------------------------
+PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+
+
+def q73_profile(spark, sf_dir):
+    """ANALYZE-style numeric column profile of lineitem — per column:
+    non-null count, null count, exact distinct count, min, max. The
+    data-quality sweep a replication/ingest pipeline runs to validate a
+    landed table (the reference's count-check E3, widened to a stats
+    check). ONE pass: a single aggregate computes all 8x5 stats (exact
+    COUNT DISTINCT costs an Expand — at 100 TB swap for
+    approx_count_distinct, same plan shape), then an unpivot (stack)
+    reshapes the single stats row into one row per column."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"cnt_{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).cast("bigint").alias(f"nul_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    row = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', cnt_{c}, nul_{c}, nd_{c}, mn_{c}, mx_{c}" for c in PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n, n_null, n_distinct, min_v, max_v)"
+    ).orderBy("col_name")
+
+
+Q73_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, CAST(COUNT({c}) AS BIGINT) AS n,
+       CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v
+FROM lineitem"""
+    for c in PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -930,4 +982,5 @@ DATAOPS_QUERIES = {
     "q68_contamination": (q68_contamination, Q68_SQL),
     "q69_sequence_packing": (q69_sequence_packing, Q69_SQL),
     "q72_chunking": (q72_chunking, Q72_SQL),
+    "q73_profile": (q73_profile, Q73_SQL),
 }
