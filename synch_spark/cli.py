@@ -220,6 +220,30 @@ def cmd_repair(args) -> int:
     return 0
 
 
+def cmd_backfill(args) -> int:
+    """Chunked fill-holes-only backfill per table: inserts source rows
+    whose pk is absent from the target, one pk-hash chunk per commit —
+    safe to run while the CDC consumer is live (see
+    pipeline.backfill_missing for the fencing argument)."""
+    from synch_spark.pipeline import backfill_missing
+
+    raw = _load(args.config)
+    cfg = config_from_dict(raw)
+    spark = get_spark("synch-backfill")
+    warehouse = raw["spark"]["warehouse"]
+    out = {}
+    for name, spec in cfg.tables.items():
+        if args.table and spec.table != args.table:
+            continue
+        src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
+            raw["spark"]["sources"][name]
+        )
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
+        out[name] = backfill_missing(src, table, spec, num_chunks=args.chunks)
+    print(json.dumps({"backfilled_rows": out}))
+    return 0
+
+
 def cmd_quality(args) -> int:
     """Training-data quality pipeline over a documents source: Gopher
     gates (token bounds, type-token ratio, top-token dominance, symbol
@@ -294,6 +318,12 @@ def main(argv=None) -> int:
     r = sub.add_parser("repair", help="snapshot-diff surgical backfill")
     r.add_argument("--table")
     r.set_defaults(fn=cmd_repair)
+    b = sub.add_parser(
+        "backfill", help="chunked fill-holes-only backfill (CDC-safe)"
+    )
+    b.add_argument("--table")
+    b.add_argument("--chunks", type=int, default=4)
+    b.set_defaults(fn=cmd_backfill)
     q = sub.add_parser("quality", help="document quality/langid/fingerprint pipeline")
     q.add_argument("--source", required=True, help="documents parquet path")
     q.add_argument("--name", default="documents")

@@ -217,6 +217,73 @@ def repair(
         events.unpersist()
 
 
+def backfill_missing(
+    source_df: DataFrame,
+    table: ParquetTable,
+    spec: TableSpec,
+    num_chunks: int = 4,
+) -> int:
+    """Chunked, resumable backfill that coexists with a live CDC stream:
+    insert only pk's ABSENT from the target ("fill holes, never
+    overwrite"), one pk-hash chunk per commit. Returns rows added.
+
+    Why each property matters at 100 TB:
+    - chunk-per-commit: the initial load is never one giant transaction;
+      a crash resumes by rerunning — finished chunks anti-join to
+      nothing (idempotent), only the interrupted chunk re-inserts.
+    - existence as the fence: a row the CDC stream already wrote may be
+      NEWER than the snapshot, and our merge applies batches in arrival
+      order — a snapshot *upsert* would clobber it. Inserting only
+      missing keys is the DBLog/Debezium incremental-snapshot guarantee
+      achieved with set semantics instead of watermark fencing.
+    - collapsing engines keep ±sign tombstones physically, so a key the
+      CDC stream DELETED still "exists" and is correctly skipped. For
+      merge-family engines a CDC delete leaves a true hole the snapshot
+      will re-fill if the source still has the row — run deletes after
+      backfill completes, or reconcile with repair() afterwards.
+    - chunking is pmod(xxhash64(pk), n): uniform without knowing the key
+      distribution. Each chunk filter re-scans the source; a JDBC
+      deployment should instead push pk-range predicates per chunk
+      (snapshot_jdbc's partitionColumn machinery) for server-side
+      chunking.
+    """
+    import time
+
+    from pyspark.sql import types as T
+
+    from synch_spark.events import parse_values, split_updates
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+    from synch_spark.sources.snapshot_diff import diff_snapshots
+
+    if not spec.has_pk:
+        raise ValueError("backfill_missing requires a pk'd TableSpec")
+    pk = list(spec.pk)
+    us = int(time.time() * 1_000_000)
+    value_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in source_df.schema.fields]
+    )
+    total = 0
+    for i in range(num_chunks):
+        chunk = source_df.filter(
+            F.pmod(F.xxhash64(*pk), F.lit(num_chunks)) == i
+        )
+        if table.exists:
+            existing = table.read().select(*pk).distinct()
+            chunk = chunk.join(existing, pk, "left_anti")
+        # materialize BEFORE the write: the anti-join plan reads the table
+        # this chunk's apply is about to version (read-after-write hazard)
+        chunk = chunk.localCheckpoint(eager=True)
+        if chunk.isEmpty():
+            continue
+        events = diff_snapshots(
+            chunk.limit(0), chunk, spec.pk, spec.schema, spec.table,
+            event_unixtime=us,
+        )
+        apply_cdc_batch(table, parse_values(split_updates(events), value_schema), spec)
+        total += chunk.count()
+    return total
+
+
 def etl_all(
     spark: SparkSession,
     cfg: SyncConfig,

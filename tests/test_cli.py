@@ -167,3 +167,27 @@ def test_cli_quality_pipeline(tmp_path, capsys, spark):
     cols = set(t.read().columns)
     assert {"gopher_pass", "lang_pred", "fingerprint", "n_tokens"} <= cols
     assert t.count() == out["n_docs"]
+
+
+def test_cli_backfill(tmp_path, capsys, spark):
+    """`backfill` fills only the holes in a partially-loaded table."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.config import TableSpec, config_from_dict
+    from synch_spark.pipeline import etl_full
+    from synch_spark.session import read_table
+    from synch_spark.sources.table import ParquetTable
+
+    wh = str(tmp_path / "wh")
+    cfg = _write_cfg(tmp_path, wh)
+    source = read_table(spark, "/root/testdata/sf0.001", "customer")
+    spec = TableSpec(schema="db", table="customer", pk=("c_custkey",))
+    table = ParquetTable(spark, f"{wh}/db/customer")
+    etl_full(source.filter(F.col("c_custkey") % 2 == 0), table, spec)
+
+    assert main(["--config", cfg, "backfill", "--chunks", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["backfilled_rows"]["db.customer"] == source.count() - source.filter(
+        F.col("c_custkey") % 2 == 0
+    ).count()
+    assert table.read().count() == source.count()
