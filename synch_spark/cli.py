@@ -190,7 +190,8 @@ def cmd_optimize(args) -> int:
             continue
         table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
         if table.exists:
-            compact_table(table, spec)
+            zcols = tuple(args.zorder.split(",")) if args.zorder else None
+            compact_table(table, spec, zorder=zcols)
             done.append(name)
     print(json.dumps({"optimized": done}))
     return 0
@@ -314,6 +315,10 @@ def main(argv=None) -> int:
     k.set_defaults(fn=cmd_check)
     o = sub.add_parser("optimize", help="compact engine history (OPTIMIZE FINAL)")
     o.add_argument("--table")
+    o.add_argument(
+        "--zorder",
+        help="comma-separated columns: Z-order file layout instead of pk clustering",
+    )
     o.set_defaults(fn=cmd_optimize)
     r = sub.add_parser("repair", help="snapshot-diff surgical backfill")
     r.add_argument("--table")

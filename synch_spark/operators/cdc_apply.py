@@ -245,7 +245,9 @@ def _apply_collapsing(
     table.append(out, spec.partition_by)
 
 
-def compact_table(table: ParquetTable, spec: TableSpec) -> None:
+def compact_table(
+    table: ParquetTable, spec: TableSpec, zorder: tuple[str, ...] | None = None
+) -> None:
     """Eagerly apply the engine view and rewrite the table — the analog of
     ClickHouse `OPTIMIZE TABLE ... FINAL` (the background merge the
     reference relies on, /root/reference/synch/writer/*.py engine DDL).
@@ -256,6 +258,12 @@ def compact_table(table: ParquetTable, spec: TableSpec) -> None:
     At scale this is the periodic maintenance job that keeps read-time
     window/aggregate cost bounded; with ``partition_by`` set it can run
     per-partition.
+
+    ``zorder``: lay the compacted files out along a Morton curve over the
+    given columns instead of pk-clustering — choose it when reads probe
+    MULTIPLE columns (pk clustering gives perfect skipping on pk and none
+    elsewhere; Z-order trades a little pk tightness for usable min/max
+    ranges on every listed column — the Delta OPTIMIZE ZORDER trade).
     """
     state = read_current_state(table, spec)
     if spec.engine in (Engine.COLLAPSING_MERGE_TREE, Engine.VERSIONED_COLLAPSING_MERGE_TREE):
@@ -265,6 +273,13 @@ def compact_table(table: ParquetTable, spec: TableSpec) -> None:
             .withColumn("_event_unixtime", F.lit(0).cast("long"))
             .select(*cols)
         )
+    if zorder:
+        from synch_spark.sources.table import zorder_layout
+
+        # zorder_layout range-partitions + sorts by the interleaved key;
+        # overwrite preserves that file layout (no cluster_by re-sort)
+        table.overwrite(zorder_layout(state, list(zorder)), spec.partition_by)
+        return
     # re-cluster on pk so post-compaction files have tight, disjoint pk
     # ranges — restores file-level merge pruning degraded by appends
     table.overwrite(state, spec.partition_by, cluster_by=spec.pk or None)

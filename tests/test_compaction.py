@@ -140,3 +140,30 @@ def test_zorder_layout_prunes_both_columns(spark, tmp_path):
     # z-order: selective on BOTH dimensions
     assert coverage(z, "l_orderkey", probes_ok) <= 0.7
     assert coverage(z, "l_partkey", probes_pk) <= 0.7
+
+
+def test_compact_with_zorder_preserves_state(spark, tmp_path):
+    """compact_table(zorder=...) folds CDC history exactly like the pk
+    path and leaves the compacted files Morton-ordered instead of
+    pk-clustered."""
+    spec = TableSpec(
+        schema="db", table="t", pk=("id",), engine=Engine.COLLAPSING_MERGE_TREE
+    )
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    apply_cdc_batch(t, _typed(spark, [
+        ("insert", None, {"id": 1, "amount": 1.0, "day": "d1"}, 100),
+        ("update", {"id": 1, "amount": 1.0, "day": "d1"}, {"id": 1, "amount": 2.0, "day": "d1"}, 200),
+        ("insert", None, {"id": 2, "amount": 5.0, "day": "d2"}, 300),
+        ("insert", None, {"id": 3, "amount": 7.0, "day": "d3"}, 300),
+        ("delete", {"id": 2, "amount": 5.0, "day": "d2"}, None, 400),
+    ]), spec)
+    before = {(r["id"], r["amount"]) for r in read_current_state(t, spec).collect()}
+    compact_table(t, spec, zorder=("id", "amount"))
+    assert t.read().count() == 2  # folded to surviving state
+    after = {(r["id"], r["amount"]) for r in read_current_state(t, spec).collect()}
+    assert before == after
+    # post-compaction CDC keeps working on the z-ordered base
+    apply_cdc_batch(t, _typed(spark, [
+        ("delete", {"id": 1, "amount": 2.0, "day": "d1"}, None, 500),
+    ]), spec)
+    assert read_current_state(t, spec).count() == 1
