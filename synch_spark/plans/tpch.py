@@ -662,6 +662,103 @@ ORDER BY s_suppkey
 """
 
 
+# --- Q12-like: shipping-speed vs order priority --------------------------
+# TPC-H Q12 (synch/tests run the ClickHouse side of such reports; the
+# fixture lacks l_shipmode/commitdate, so "mode" is adapted to a
+# ship-lag bucket: FAST < 30 days from order to ship, else SLOW).
+# Classic two-fact join + conditional aggregation; Catalyst keeps both
+# priority counts in one pass (no second scan per branch).
+def q74_shipmode_priority(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.when(lag < 30, "FAST").otherwise("SLOW").alias("ship_bucket"),
+            high.alias("_high"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(F.col("_high"), 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+Q74_SQL = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) < 30
+            THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY ship_bucket ORDER BY ship_bucket
+"""
+
+
+# --- Q21-like: suppliers who kept orders waiting --------------------------
+# TPC-H Q21's EXISTS / NOT-EXISTS self-join pair over lineitem, re-shaped
+# as ONE grouped pass per order: an order indicts a supplier iff it has
+# >1 distinct suppliers and exactly ONE distinct late supplier (late =
+# shipped >60 days after the order date; the fixture has no
+# commit/receipt dates). That is exactly "another supplier exists AND no
+# other late supplier exists". One shuffle on o_orderkey replaces the
+# reference plan's two correlated scans of the fact table — the shape
+# that matters at 100 TB.
+def q75_waiting_suppliers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    late = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("_late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_ns"),
+            F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_nl"),
+            F.min(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_the_supp"),
+        )
+        .filter((F.col("_ns") > 1) & (F.col("_nl") == 1))
+    )
+    return (
+        per_order.groupBy("_the_supp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(F.broadcast(supp), F.col("_the_supp") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+Q75_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS ns,
+         COUNT(DISTINCT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                            CAST(l_shipdate AS DATE)) > 60
+                             THEN l_suppkey END) AS nl,
+         MIN(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE)) > 60
+                  THEN l_suppkey END) AS the_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON the_supp = s_suppkey
+WHERE ns > 1 AND nl = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
 TPCH_QUERIES = {
     "q36_shipping_priority": (q36_shipping_priority, Q36_SQL),
     "q37_local_supplier_volume": (q37_local_supplier_volume, Q37_SQL),
@@ -678,4 +775,6 @@ TPCH_QUERIES = {
     "q61_top_supplier": (q61_top_supplier, Q61_SQL),
     "q63_heavy_part_shippers": (q63_heavy_part_shippers, Q63_SQL),
     "q64_market_share": (q64_market_share, Q64_SQL),
+    "q74_shipmode_priority": (q74_shipmode_priority, Q74_SQL),
+    "q75_waiting_suppliers": (q75_waiting_suppliers, Q75_SQL),
 }
