@@ -955,6 +955,252 @@ FROM lineitem"""
 ) + "\nORDER BY col_name"
 
 
+# --- sub-document segment dedup ---------------------------------------------
+SEG_TOKENS = 8  # non-overlapping 8-token segments
+
+
+def q76_segment_dedup(spark, sf_dir):
+    """Sub-document exact dedup: split every document into non-overlapping
+    8-token segments, pick ONE winner per distinct segment fingerprint
+    (first occurrence in (doc_id, seg_idx) order — deterministic, so
+    re-runs keep the same rows), and report per-source retention. This is
+    the paragraph/段落-level dedup pass training pipelines run between
+    whole-doc exact dedup (q16) and fuzzy MinHash (q21): boilerplate
+    repeated across documents dies here. One tokenize pass + one shuffle
+    on the segment fingerprint (the window's partition key); at 100 TB
+    the fp-space is uniform md5 so the shuffle has no skew by
+    construction."""
+    from synch_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", "source", tokens("text").alias("_toks"))
+    starts = F.sequence(F.lit(1), F.size("_toks"), F.lit(SEG_TOKENS))
+    ex = base.select(
+        "doc_id", "source", "_toks", F.posexplode(starts).alias("seg_idx", "_st")
+    )
+    seg = F.slice(F.col("_toks"), F.col("_st"), SEG_TOKENS)
+    segs = ex.select(
+        "doc_id", "source", F.col("seg_idx").cast("bigint").alias("seg_idx"),
+        F.md5(F.concat_ws(" ", seg)).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id", "seg_idx")
+    kept = F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+    return (
+        segs.select("source", kept.alias("_kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("_kept").cast("bigint").alias("n_kept"),
+            (F.sum("_kept").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+Q76_SQL = f"""
+WITH t AS (SELECT doc_id, source, {{tok}} AS w FROM documents),
+s AS (
+  SELECT doc_id, source,
+         CAST((st - 1) // {SEG_TOKENS} AS BIGINT) AS seg_idx,
+         md5(array_to_string(list_slice(w, st, st + {SEG_TOKENS - 1}), ' ')) AS fp
+  FROM t, UNNEST(generate_series(1, len(w), {SEG_TOKENS})) AS u(st)
+  WHERE len(w) > 0),
+k AS (
+  SELECT source,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, seg_idx) = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM s)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retention
+FROM k GROUP BY source ORDER BY source
+""".replace("{tok}", TOK_SQL)
+
+
+# --- deterministic training shuffle + batch manifest ------------------------
+SHUFFLE_BATCH = 64
+
+
+def q77_training_shuffle(spark, sf_dir):
+    """Deterministic global training shuffle: order the corpus by
+    md5(doc_id) — a seedless, engine-portable permutation that breaks
+    source/time locality — then cut fixed-size batches of 64 docs and
+    emit the per-batch manifest (doc count, total chars, distinct
+    sources) a trainer's data loader consumes. The batch manifest is the
+    interesting output: a well-shuffled corpus has near-uniform source
+    mix per batch. The global row_number is a total sort — Spark
+    range-partitions the sort so it scales; the hash key is uniform so
+    ranges are balanced at any scale."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.orderBy("_h", "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars", h.alias("_h"))
+        .select(
+            "source", "n_chars",
+            ((F.row_number().over(w) - 1) / F.lit(SHUFFLE_BATCH))
+            .cast("bigint").alias("batch_id"),
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+Q77_SQL = f"""
+WITH r AS (
+  SELECT source, n_chars,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               - 1) / {SHUFFLE_BATCH}) AS BIGINT) AS batch_id
+  FROM documents)
+SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM r GROUP BY batch_id ORDER BY batch_id
+"""
+
+
+# --- vocabulary construction with cumulative coverage -----------------------
+VOCAB_TOP = 50
+
+
+def q78_vocab_coverage(spark, sf_dir):
+    """Frequency-ranked vocabulary with cumulative corpus coverage — the
+    tokenizer-training precursor: for the top-50 terms by collection
+    frequency, report term frequency (total occurrences), document
+    frequency, and what fraction of ALL token occurrences the vocabulary
+    covers up to that rank. The coverage curve tells you where to cut a
+    vocab. One explode + one groupBy(token); the cumulative sum is a
+    window over the (tiny) ranked vocab, not the corpus."""
+    from pyspark.sql import Window
+
+    from synch_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+    )
+    total = tf.agg(F.sum("tf").cast("double").alias("_total"))
+    w = Window.orderBy(F.col("tf").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        tf.crossJoin(F.broadcast(total))
+        .select(
+            "token", "tf", "df",
+            (F.sum("tf").over(w).cast("double") / F.col("_total")).alias("cum_share"),
+        )
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(VOCAB_TOP)
+    )
+
+
+Q78_SQL = f"""
+WITH tok AS (SELECT doc_id, t AS token FROM documents, UNNEST({TOK_SQL}) AS u(t)),
+tf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token)
+SELECT token, tf, df,
+       CAST(SUM(tf) OVER (ORDER BY tf DESC, token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / (SELECT CAST(SUM(tf) AS DOUBLE) FROM tf) AS cum_share
+FROM tf ORDER BY tf DESC, token LIMIT {VOCAB_TOP}
+"""
+
+
+# --- embedding outliers vs label centroid (sign-quantized) ------------------
+OUTLIER_TOP = 5
+
+
+def q79_embedding_outliers(spark, sf_dir):
+    """Centroid-based embedding outlier detection, sign-quantized for
+    engine portability: per label, the centroid direction is the
+    element-wise exact-decimal SUM of member vectors (cosine is
+    scale-invariant, so the sum stands in for the mean with no division);
+    each vector's outlier score is the Hamming distance between its sign
+    pattern and the centroid's — the SimHash-space distance used by
+    binary-quantized vector stores. Top-5 most-disagreeing vectors per
+    label = mislabeled/outlier candidates. Centroids are label x dim
+    (tiny) -> broadcast back; the per-vector score is a zip_with fold,
+    JVM-side, no second shuffle of the big table."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    dim = emb.select(F.posexplode("embedding").alias("pos", "val"), "label")
+    sums = (
+        dim.groupBy("label", "pos")
+        .agg(F.sum(F.col("val").cast("double").cast("decimal(25,12)")).alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"] >= 0
+            ).alias("_csign")
+        )
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "_csign",
+            lambda v, cs: F.when(
+                (v.cast("double") >= 0) != cs, F.lit(1)
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("label").orderBy(F.col("hamming").desc(), "vec_id")
+    return (
+        emb.join(F.broadcast(sums), "label")
+        .select("label", "vec_id", ham.alias("hamming"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= OUTLIER_TOP)
+        .orderBy("label", "rank")
+        .select("label", "vec_id", "hamming", "rank")
+    )
+
+
+Q79_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         UNNEST(embedding) AS val,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings),
+c AS (
+  SELECT label, pos,
+         SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(25,12))) >= 0 AS csign
+  FROM e GROUP BY label, pos),
+h AS (
+  SELECT e.label, e.vec_id,
+         CAST(SUM(CASE WHEN (CAST(e.val AS DOUBLE) >= 0) <> c.csign
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+  GROUP BY e.label, e.vec_id),
+r AS (
+  SELECT label, vec_id, hamming,
+         CAST(ROW_NUMBER() OVER (PARTITION BY label
+                ORDER BY hamming DESC, vec_id) AS INT) AS rank
+  FROM h)
+SELECT label, vec_id, hamming, rank
+FROM r WHERE rank <= {OUTLIER_TOP} ORDER BY label, rank
+"""
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -983,4 +1229,8 @@ DATAOPS_QUERIES = {
     "q69_sequence_packing": (q69_sequence_packing, Q69_SQL),
     "q72_chunking": (q72_chunking, Q72_SQL),
     "q73_profile": (q73_profile, Q73_SQL),
+    "q76_segment_dedup": (q76_segment_dedup, Q76_SQL),
+    "q77_training_shuffle": (q77_training_shuffle, Q77_SQL),
+    "q78_vocab_coverage": (q78_vocab_coverage, Q78_SQL),
+    "q79_embedding_outliers": (q79_embedding_outliers, Q79_SQL),
 }
