@@ -1201,6 +1201,102 @@ FROM r WHERE rank <= {OUTLIER_TOP} ORDER BY label, rank
 """
 
 
+# --- curriculum binning by quality decile -----------------------------------
+CURRICULUM_BINS = 10
+
+
+def q80_curriculum_bins(spark, sf_dir):
+    """Curriculum-learning bin assignment: rank the corpus by the q18
+    quality score, cut it into 10 equal-count deciles with NTILE (ties
+    broken by doc_id so the assignment is deterministic and re-runnable),
+    and emit the per-bin manifest (count, quality min/max/avg) a staged
+    training schedule consumes — train on bin 1 first, anneal downward.
+    NTILE is one total sort of (score, id) pairs — a narrow two-column
+    sort, not a corpus shuffle; the avg goes through exact decimal so the
+    manifest is engine-portable."""
+    from synch_spark.operators.text import quality_score
+
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", quality_score("text").alias("q"))
+    w = Window.orderBy(F.col("q").desc(), "doc_id")
+    qd = F.col("q").cast("decimal(18,6)")
+    return (
+        scored.select("q", F.ntile(CURRICULUM_BINS).over(w).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("q").alias("q_min"),
+            F.max("q").alias("q_max"),
+            (F.sum(qd).cast("double") / F.count(F.lit(1))).alias("q_avg"),
+        )
+        .orderBy("bin")
+    )
+
+
+Q80_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         greatest(0.0, least(1.0,
+           (least(CAST(len({TOK_SQL}) AS DOUBLE) / 32.0, 1.0)
+            + (1.0 - abs(CAST(len(list_filter({TOK_SQL}, t -> t IN {STOP_IN})) AS DOUBLE)
+                         / CAST(len({TOK_SQL}) AS DOUBLE) - 0.12))) / 2.0)) AS q
+  FROM documents),
+b AS (
+  SELECT q, CAST(NTILE({CURRICULUM_BINS}) OVER (ORDER BY q DESC, doc_id) AS INT) AS bin
+  FROM s)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(q) AS q_min, MAX(q) AS q_max,
+       CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS q_avg
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+# --- incremental materialized-view maintenance under CDC --------------------
+MV_CHUNKS = 4
+
+
+def q81_incremental_mv(spark, sf_dir):
+    """Incremental aggregate-view maintenance: the events stream is
+    replayed in 4 chunks (split by event_id % 4 — signed count/sum
+    deltas commute, so any split must give the same state), each chunk
+    collapsed to signed per-user deltas (+1 insert / -1 delete) and
+    folded into the running view via operators.mv — the refresh cost is
+    O(delta), never a base-table rescan. The final view (net-count,
+    net-value-sum per surviving user) must equal the one-shot batch
+    aggregate, which is exactly what the DuckDB oracle computes — the
+    equivalence IS the correctness claim for the incremental path
+    (ClickHouse SummingMergeTree semantics, reference's engine family
+    `synch/enums.py:14-18`, done natively)."""
+    from synch_spark.operators import mv
+
+    ev = _t(spark, sf_dir, "events")
+    sign = F.when(F.col("event_type") == "delete", F.lit(-1)).otherwise(F.lit(1))
+    view = None
+    for i in range(MV_CHUNKS):
+        chunk = ev.filter(F.pmod("event_id", F.lit(MV_CHUNKS)) == i)
+        delta = mv.delta_aggregate(chunk, ["user_id"], ["value"], sign)
+        view = mv.merge_delta(view, delta, ["user_id"], ["value"])
+    return (
+        mv.read_view(view, ["value"])
+        .select("user_id", "n", F.col("value_sum").cast("double").alias("value_sum"))
+        .orderBy("user_id")
+    )
+
+
+Q81_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'delete' THEN -1 ELSE 1 END) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+                CASE WHEN event_type = 'delete' THEN -1 ELSE 1 END) AS DOUBLE)
+         AS value_sum
+FROM events GROUP BY user_id
+HAVING SUM(CASE WHEN event_type = 'delete' THEN -1 ELSE 1 END) <> 0
+ORDER BY user_id
+"""
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -1233,4 +1329,6 @@ DATAOPS_QUERIES = {
     "q77_training_shuffle": (q77_training_shuffle, Q77_SQL),
     "q78_vocab_coverage": (q78_vocab_coverage, Q78_SQL),
     "q79_embedding_outliers": (q79_embedding_outliers, Q79_SQL),
+    "q80_curriculum_bins": (q80_curriculum_bins, Q80_SQL),
+    "q81_incremental_mv": (q81_incremental_mv, Q81_SQL),
 }
