@@ -660,6 +660,155 @@ GROUP BY c.user_id ORDER BY c.user_id
 """
 
 
+# --- rolling 7-day revenue (RANGE frame over event time) --------------------
+def q82_rolling_revenue(spark, sf_dir):
+    """Per-customer rolling 7-day revenue: a RANGE frame over calendar
+    days (not ROWS — multiple orders on one day are frame peers and must
+    all see the same rolling total; a gap in days must shrink the frame).
+    The time axis is epoch-days so the numeric range frame is portable.
+    One shuffle on o_custkey; the frame scan is linear per partition."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    days = F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("_d"))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", days.alias("_d"),
+            F.col("o_totalprice").cast(DEC).alias("_p"),
+        )
+        .select(
+            "o_custkey", "o_orderkey", F.col("_d").cast("int").alias("epoch_day"),
+            F.sum("_p").over(w).cast("double").alias("rolling_7d"),
+        )
+        .orderBy("o_custkey", "epoch_day", "o_orderkey")
+    )
+
+
+Q82_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)
+         AS epoch_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              PARTITION BY o_custkey
+              ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+FROM orders WHERE o_custkey <= 50
+ORDER BY o_custkey, epoch_day, o_orderkey
+"""
+
+
+# --- funnel analysis (ordered-stage conversion) -----------------------------
+def q83_funnel(spark, sf_dir):
+    """Three-stage funnel over the event stream: users who viewed, then
+    clicked at-or-after their first view, then purchased at-or-after that
+    first qualifying click. Stage anchors are first-occurrence
+    timestamps, so each level is one aggregate over events joined to the
+    previous level's per-user anchor; events is scanned once per stage
+    with no self-join explosion. The anchors are user-cardinality — AQE
+    broadcasts them when they fit and falls back to a shuffle join when
+    the user space is too big to broadcast (the 100 TB case), so no
+    forced-broadcast OOM. Output is the single funnel
+    row a product-analytics dashboard renders."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("_vt")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("_vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("_ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase")))
+    )
+
+
+Q83_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS vt FROM events WHERE event_type = 'view'
+  GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS ct
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.vt
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS pt
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.ct
+  GROUP BY e.user_id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase
+"""
+
+
+# --- stream-static enrichment join ------------------------------------------
+def q84_stream_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment: the event stream joined per
+    micro-batch to a static customer dimension (user_id -> market
+    segment) and aggregated per segment. The dim side is broadcast into
+    every micro-batch — the canonical pattern for enriching a 100 TB/day
+    CDC stream against slowly-changing dimensions without shuffling the
+    stream. Oracle = the equivalent batch join; equality is Structured
+    Streaming's batch/stream consistency contract."""
+    import uuid
+
+    seg = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    path_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(path_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        from synch_spark.session import nanos_to_ts
+
+        stream = stream.withColumn("ts", nanos_to_ts("ts"))
+    agg = (
+        stream.join(F.broadcast(seg), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        )
+    )
+    name = f"q84_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("segment")
+
+
+Q84_SQL = """
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY segment
+"""
+
+
 ADVANCED_QUERIES = {
     "q26_asof_join": (q26_asof_join, Q26_SQL),
     "q27_sessionize": (q27_sessionize, Q27_SQL),
@@ -677,4 +826,7 @@ ADVANCED_QUERIES = {
     "q46_scalar_zoo": (q46_scalar_zoo, Q46_SQL),
     "q70_sliding_window": (q70_sliding_window, Q70_SQL),
     "q71_stream_stream_join": (q71_stream_stream_join, Q71_SQL),
+    "q82_rolling_revenue": (q82_rolling_revenue, Q82_SQL),
+    "q83_funnel": (q83_funnel, Q83_SQL),
+    "q84_stream_enrich": (q84_stream_enrich, Q84_SQL),
 }
