@@ -1297,6 +1297,124 @@ ORDER BY user_id
 """
 
 
+# --- positional-index phrase search -----------------------------------------
+PHRASE = ["stream", "table", "hash"]
+
+
+def q85_phrase_search(spark, sf_dir):
+    """Exact phrase search executed the inverted-index way: positional
+    postings (token -> (doc_id, pos)) filtered to the query terms, then
+    adjacency joins (pos2 = pos1+1, pos3 = pos2+1) intersect the postings
+    into phrase hits. The ORACLE is the naive scan (substring containment
+    over the raw text) — the index plan must return exactly the scan's
+    answer, which is the core invariant of any secondary index. At scale
+    the postings build is one explode + filter (the filter prunes to
+    query-term postings BEFORE any shuffle), and the joins key on doc_id
+    — co-partitioned, no fact-table scan at query time once postings are
+    materialized."""
+    from synch_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    postings = (
+        docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+        .filter(F.col("token").isin(PHRASE))
+    )
+    p = [
+        postings.filter(F.col("token") == t).select(
+            F.col("doc_id").alias(f"d{i}"), F.col("pos").alias(f"p{i}")
+        )
+        for i, t in enumerate(PHRASE)
+    ]
+    hits = p[0]
+    for i in range(1, len(PHRASE)):
+        hits = hits.join(
+            p[i],
+            (F.col("d0") == F.col(f"d{i}")) & (F.col(f"p{i}") == F.col(f"p{i-1}") + 1),
+        ).drop(f"d{i}")
+    return hits.select(F.col("d0").alias("doc_id")).distinct().orderBy("doc_id")
+
+
+Q85_SQL = f"""
+SELECT doc_id FROM documents
+WHERE strpos(' ' || text || ' ', ' {' '.join(PHRASE)} ') > 0
+ORDER BY doc_id
+"""
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+BM25_TERMS = ["table", "stream", "hash"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q86_bm25(spark, sf_dir):
+    """BM25 ranked retrieval for a 3-term query — the scoring function a
+    corpus search/retrieval layer runs over the same postings q85 built.
+    Engine-portability variant: the idf factor is the raw odds ratio
+    (N - df + 0.5)/(df + 0.5) WITHOUT the log — log(x) is libm-dependent
+    in the last ulp, while +,*,/ are IEEE-correctly-rounded everywhere,
+    so the identical expression tree yields bit-identical doubles in
+    Spark and DuckDB; the ranking is the same since log is monotone. The
+    3 per-term scores fold through exact decimal so summation order
+    can't matter. One explode pass builds tf and dl together; df/N/avgdl
+    are a tiny broadcast scalar row."""
+    from synch_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", tokens("text").alias("_toks"))
+    toks = base.select("doc_id", F.size("_toks").alias("dl"),
+                       F.explode("_toks").alias("token"))
+    tf = (
+        toks.filter(F.col("token").isin(BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum(F.size("_toks")).cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tfd, dld = F.col("tf").cast("double"), F.col("dl").cast("double")
+    idf = (F.col("_n").cast("double") - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    term_score = idf * (
+        (tfd * F.lit(BM25_K1 + 1.0))
+        / (tfd + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (dld / F.col("_avgdl"))))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.cast("decimal(25,12)").alias("_s"))
+        .groupBy("doc_id")
+        .agg(F.sum("_s").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+Q86_SQL = f"""
+WITH base AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
+toks AS (SELECT doc_id, len(w) AS dl, t AS token FROM base, UNNEST(w) AS u(t)),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM toks WHERE token IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, token),
+stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl FROM base),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+SELECT doc_id,
+       CAST(SUM(CAST(
+         ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
+            / (CAST(tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+               * (CAST(dl AS DOUBLE) / avgdl))))
+         AS DECIMAL(25,12))) AS DOUBLE) AS score
+FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
@@ -1331,4 +1449,6 @@ DATAOPS_QUERIES = {
     "q79_embedding_outliers": (q79_embedding_outliers, Q79_SQL),
     "q80_curriculum_bins": (q80_curriculum_bins, Q80_SQL),
     "q81_incremental_mv": (q81_incremental_mv, Q81_SQL),
+    "q85_phrase_search": (q85_phrase_search, Q85_SQL),
+    "q86_bm25": (q86_bm25, Q86_SQL),
 }
