@@ -63,6 +63,83 @@ def merge_delta(
     return merged.filter(F.col("n_delta") != 0)
 
 
+class MaterializedView:
+    """A persisted incremental aggregate view over one replicated table,
+    refreshed inside the same micro-batch that applies the CDC events
+    (CdcPipeline folds the typed batch into every view registered on the
+    source table, after the table merge).
+
+    Contract: the event stream is the engine's own IR — updates arrive
+    pre-split as delete(before)+insert(after) (T1, reference
+    `synch/reader/mysql.py:189-208`), so signed folding never
+    double-counts. State lives in a versioned ParquetTable: overwrite
+    commits a NEW immutable version dir, so the lazy read-fold-overwrite
+    cycle has no read-after-write hazard. State size is group-space
+    cardinality; when that itself is huge, pass cluster_by to keep the
+    state pk-clustered and swap overwrite for overwrite_cow keyed on the
+    group columns — refresh stays O(delta + affected files)."""
+
+    SPEC_FILE = "_mv_spec.json"
+
+    def __init__(self, spark, root: str, source: str,
+                 group_cols: list[str], sum_cols: list[str]):
+        from synch_spark.sources.table import ParquetTable
+
+        self.spark = spark
+        self.root = root
+        self.source = source
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.table = ParquetTable(spark, root)
+
+    @classmethod
+    def create(cls, spark, root, source, group_cols, sum_cols):
+        import json
+        import os
+
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, cls.SPEC_FILE), "w") as f:
+            json.dump(
+                {"source": source, "group_cols": list(group_cols),
+                 "sum_cols": list(sum_cols)},
+                f,
+            )
+        return cls(spark, root, source, group_cols, sum_cols)
+
+    @classmethod
+    def load(cls, spark, root):
+        import json
+        import os
+
+        with open(os.path.join(root, cls.SPEC_FILE)) as f:
+            spec = json.load(f)
+        return cls(spark, root, spec["source"], spec["group_cols"], spec["sum_cols"])
+
+    def _state(self) -> DataFrame | None:
+        return self.table.read() if self.table.exists else None
+
+    def refresh_from_batch(self, typed_events: DataFrame,
+                           action_col: str = "action") -> None:
+        """Fold one typed CDC batch (post update-split) into the state."""
+        sign = F.when(F.col(action_col) == "delete", F.lit(-1)).otherwise(F.lit(1))
+        delta = delta_aggregate(typed_events, self.group_cols, self.sum_cols, sign)
+        merged = merge_delta(self._state(), delta, self.group_cols, self.sum_cols)
+        self.table.overwrite(merged)
+
+    def full_build(self, base: DataFrame) -> None:
+        """Initial build from a table snapshot: every row is one +insert."""
+        delta = delta_aggregate(base, self.group_cols, self.sum_cols, F.lit(1))
+        self.table.overwrite(
+            merge_delta(None, delta, self.group_cols, self.sum_cols)
+        )
+
+    def read(self) -> DataFrame:
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"materialized view at {self.root} not built")
+        return read_view(state, self.sum_cols)
+
+
 def read_view(view: DataFrame, sum_cols: list[str]) -> DataFrame:
     """Read-time projection: expose count and sums under stable names
     (n, <c>_sum). Derived averages belong here, not in the state."""

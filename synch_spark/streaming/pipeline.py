@@ -58,6 +58,9 @@ class CdcPipeline:
     value_schemas: dict[str, T.StructType] = field(default_factory=dict)
     alias: str = "default"
     monitor: bool = True
+    # incremental materialized views, refreshed in the SAME micro-batch as
+    # the table apply (operators.mv); keyed implicitly by their .source
+    views: list = field(default_factory=list)
 
     def table_for(self, spec: TableSpec) -> ParquetTable:
         return ParquetTable(self.spark, f"{self.warehouse}/{spec.schema}/{spec.table}")
@@ -140,6 +143,9 @@ class CdcPipeline:
                 continue
             typed = parse_values(tevents, vschema)
             apply_cdc_batch(self.table_for(spec), typed, spec)
+            for view in self.views:
+                if view.source == spec.qualified_name:
+                    view.refresh_from_batch(typed)
             if self.monitor:
                 self._log(spec, tevents.count())
 

@@ -70,3 +70,74 @@ def test_update_as_delete_insert_pair(spark):
     upd = [("u", "delete", 100.0), ("u", "insert", 42.0)]
     got = _maintain(spark, base + upd, 2)
     assert got == {"u": (1, 42.0)}
+
+
+def test_mv_refreshes_inside_cdc_pipeline(spark, tmp_path):
+    """End-to-end: an MV registered on a replicated table is folded in the
+    same micro-batch as the CDC apply, and after the stream drains its
+    state equals a fresh aggregate over the final table — including the
+    update that MOVED a row between groups."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from synch_spark.config import Engine, SyncConfig, TableSpec
+    from synch_spark.operators.mv import MaterializedView
+    from synch_spark.sources.table import ParquetTable
+    from synch_spark.streaming.pipeline import CdcPipeline
+
+    vschema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cat", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    cfg = SyncConfig()
+    cfg.add_table(
+        TableSpec(schema="db", table="t", pk=("id",), engine=Engine.REPLACING_MERGE_TREE)
+    )
+    view = MaterializedView.create(
+        spark, str(tmp_path / "mv_cat"), "db.t", ["cat"], ["amount"]
+    )
+    pipe = CdcPipeline(
+        spark=spark,
+        cfg=cfg,
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        value_schemas={"db.t": vschema},
+        views=[view],
+        monitor=False,
+    )
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    rows = [
+        ("insert", None, {"id": 1, "cat": "a", "amount": 10.0}, 100),
+        ("insert", None, {"id": 2, "cat": "a", "amount": 5.0}, 101),
+        ("insert", None, {"id": 3, "cat": "b", "amount": 7.0}, 102),
+        # update moves id=2 from cat a to cat b: MV must shift 5.0 across
+        ("update", {"id": 2, "cat": "a", "amount": 5.0},
+         {"id": 2, "cat": "b", "amount": 5.0}, 103),
+        ("delete", {"id": 3, "cat": "b", "amount": 7.0}, None, 104),
+    ]
+    with open(events_dir / "b1.json", "w") as f:
+        for action, before, after, us in rows:
+            f.write(json.dumps({
+                "schema": "db", "table": "t", "action": action,
+                "before": json.dumps(before) if before else None,
+                "after": json.dumps(after) if after else None,
+                "event_unixtime": us,
+            }) + "\n")
+    q = pipe.start_file_stream(str(events_dir), available_now=True)
+    q.awaitTermination(120)
+
+    got = {r["cat"]: (r["n"], float(r["amount_sum"])) for r in view.read().collect()}
+    assert got == {"a": (1, 10.0), "b": (1, 5.0)}
+    # cross-check vs a fresh aggregate over the final replicated table
+    final = (
+        ParquetTable(spark, f"{pipe.warehouse}/db/t")
+        .read().groupBy("cat").agg(F.count(F.lit(1)).alias("n"),
+                                   F.sum("amount").alias("s"))
+    )
+    truth = {r["cat"]: (r["n"], float(r["s"])) for r in final.collect()}
+    assert got == truth
