@@ -294,6 +294,37 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def cmd_mv(args) -> int:
+    """Materialized-view lifecycle: `mv create` registers the spec and
+    builds the state from the current table snapshot; `mv refresh`
+    rebuilds from the snapshot (the consume loop keeps it incremental —
+    this is the manual anti-entropy path); `mv read` prints the state.
+    Views live under `<warehouse>/_mv/<name>` next to the CDC tables."""
+    from synch_spark.operators.mv import MaterializedView
+
+    raw = _load(args.config)
+    spark = get_spark("synch-mv")
+    warehouse = raw["spark"]["warehouse"]
+    root = f"{warehouse}/_mv/{args.name}"
+    if args.action == "create":
+        view = MaterializedView.create(
+            spark, root, args.source, args.group_by.split(","), args.sum.split(",")
+        )
+    else:
+        view = MaterializedView.load(spark, root)
+    if args.action in ("create", "refresh"):
+        schema, table = view.source.split(".", 1)
+        base = ParquetTable(spark, f"{warehouse}/{schema}/{table}")
+        if base.exists:
+            view.full_build(base.read())
+        elif args.action == "refresh":
+            print(f"source table {view.source} not found", file=sys.stderr)
+            return 1
+    out = [r.asDict() for r in view.read().orderBy(*view.group_cols).collect()]
+    print(json.dumps({"mv": {"name": args.name, "rows": out}}, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="synch-spark")
     p.add_argument("--config", required=True)
@@ -335,6 +366,13 @@ def main(argv=None) -> int:
     q.add_argument("--text-col", default="text")
     q.add_argument("--id-col", default="doc_id")
     q.set_defaults(fn=cmd_quality)
+    m = sub.add_parser("mv", help="incremental materialized view lifecycle")
+    m.add_argument("action", choices=["create", "refresh", "read"])
+    m.add_argument("--name", required=True)
+    m.add_argument("--source", help="schema.table (create only)")
+    m.add_argument("--group-by", help="comma-separated group columns (create only)")
+    m.add_argument("--sum", help="comma-separated sum columns (create only)")
+    m.set_defaults(fn=cmd_mv)
     args = p.parse_args(argv)
     return args.fn(args)
 

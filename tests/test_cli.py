@@ -191,3 +191,29 @@ def test_cli_backfill(tmp_path, capsys, spark):
         F.col("c_custkey") % 2 == 0
     ).count()
     assert table.read().count() == source.count()
+
+
+def test_cli_mv_create_and_read(tmp_path, capsys, spark):
+    """`mv create` builds the view state from the replicated table
+    snapshot; `mv read` prints it. The etl command lands the table
+    first, exactly as a user would sequence it."""
+    wh = str(tmp_path / "wh")
+    cfg_path = _write_cfg(tmp_path, wh)
+    assert main(["--config", cfg_path, "etl"]) == 0
+    capsys.readouterr()
+    rc = main([
+        "--config", cfg_path, "mv", "create", "--name", "cust_by_nation",
+        "--source", "db.customer", "--group-by", "c_nationkey", "--sum", "c_acctbal",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    rows = out["mv"]["rows"]
+    assert rows and all(r["n"] >= 1 for r in rows)
+    import duckdb
+
+    truth = duckdb.connect().execute(
+        "SELECT c_nationkey, COUNT(*) FROM "
+        "read_parquet('/root/testdata/sf0.001/customer.parquet') GROUP BY 1"
+    ).fetchall()
+    assert {r["c_nationkey"]: r["n"] for r in rows} == dict(truth)
+    assert main(["--config", cfg_path, "mv", "read", "--name", "cust_by_nation"]) == 0
