@@ -141,3 +141,95 @@ def test_mv_refreshes_inside_cdc_pipeline(spark, tmp_path):
     )
     truth = {r["cat"]: (r["n"], float(r["s"])) for r in final.collect()}
     assert got == truth
+
+
+# --- property: MV state equals replay aggregate for ANY legal stream -------
+import json as _json
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from synch_spark.events import RAW_EVENT_SCHEMA, parse_values, split_updates
+
+_MV_SCHEMA = "id bigint, cat string, amount bigint"
+
+mv_event_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(min_value=1, max_value=4),        # pk: heavy collision
+        st.sampled_from(["a", "b", "c"]),             # group (updates can move it)
+        st.integers(min_value=0, max_value=99),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _legalize_with_images(events):
+    """OLTP-legal stream with CORRECT before-images (the part that makes
+    signed folding subtract the right group): returns rows of
+    (action, before|None, after|None)."""
+    state, out = {}, []
+    for action, pk, cat, amount in events:
+        if pk not in state:
+            after = {"id": pk, "cat": cat, "amount": amount}
+            state[pk] = after
+            out.append(("insert", None, after))
+        elif action == "delete":
+            out.append(("delete", state.pop(pk), None))
+        else:
+            after = {"id": pk, "cat": cat, "amount": amount}
+            out.append(("update", state[pk], after))
+            state[pk] = after
+    return out, state
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=mv_event_strategy,
+    batch_splits=st.lists(st.integers(min_value=1, max_value=19), max_size=2),
+)
+def test_mv_matches_replay_aggregate(spark, tmp_path_factory, events, batch_splits):
+    from pyspark.sql import types as T
+
+    from synch_spark.operators.mv import MaterializedView
+
+    legal, final = _legalize_with_images(events)
+    truth = {}
+    for row in final.values():
+        n, s = truth.get(row["cat"], (0, 0))
+        truth[row["cat"]] = (n + 1, s + row["amount"])
+
+    view = MaterializedView.create(
+        spark, str(tmp_path_factory.mktemp("mvprop")), "db.t", ["cat"], ["amount"]
+    )
+    vschema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cat", T.StringType()),
+            T.StructField("amount", T.LongType()),
+        ]
+    )
+    cuts = sorted(set(c for c in batch_splits if c < len(legal)))
+    bounds = [0] + cuts + [len(legal)]
+    us = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        rows = []
+        for action, before, after in legal[lo:hi]:
+            us += 1
+            rows.append(
+                ("db", "t", action,
+                 _json.dumps(before) if before else None,
+                 _json.dumps(after) if after else None, us)
+            )
+        raw = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+        view.refresh_from_batch(parse_values(split_updates(raw), vschema))
+    got = {
+        r["cat"]: (r["n"], int(r["amount_sum"]))
+        for r in view.read().collect()
+    }
+    assert got == truth
