@@ -308,7 +308,8 @@ def cmd_mv(args) -> int:
     root = f"{warehouse}/_mv/{args.name}"
     if args.action == "create":
         view = MaterializedView.create(
-            spark, root, args.source, args.group_by.split(","), args.sum.split(",")
+            spark, root, args.source, args.group_by.split(","), args.sum.split(","),
+            args.minmax.split(",") if args.minmax else None,
         )
     else:
         view = MaterializedView.load(spark, root)
@@ -372,6 +373,7 @@ def main(argv=None) -> int:
     m.add_argument("--source", help="schema.table (create only)")
     m.add_argument("--group-by", help="comma-separated group columns (create only)")
     m.add_argument("--sum", help="comma-separated sum columns (create only)")
+    m.add_argument("--minmax", help="comma-separated min/max columns (create only)")
     m.set_defaults(fn=cmd_mv)
     args = p.parse_args(argv)
     return args.fn(args)

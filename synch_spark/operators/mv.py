@@ -13,9 +13,14 @@ aggregation and a shuffle proportional to |delta| + |affected groups|,
 not the base table size. At 100 TB of base data with a bounded group
 space this is the only affordable refresh strategy.
 
-Distributive aggregates only (count, sum — min/max are NOT incrementally
-maintainable under deletes without keeping per-group multisets; avg
-derives as sum/count at read time).
+count/sum are purely distributive and fold from deltas alone. min/max
+fold on the insert path but are NOT delta-maintainable under deletes
+(removing the current max says nothing about the runner-up), so
+MaterializedView supports them with the standard partial-recompute
+strategy: groups untouched by deletes fold, groups that saw a delete
+re-aggregate from the base table — but ONLY those groups (a semi-join
+prune), so refresh cost is O(delta + base rows of delete-affected
+groups), never a full rescan. avg derives as sum/count at read time.
 """
 
 from __future__ import annotations
@@ -82,7 +87,8 @@ class MaterializedView:
     SPEC_FILE = "_mv_spec.json"
 
     def __init__(self, spark, root: str, source: str,
-                 group_cols: list[str], sum_cols: list[str]):
+                 group_cols: list[str], sum_cols: list[str],
+                 minmax_cols: list[str] | None = None):
         from synch_spark.sources.table import ParquetTable
 
         self.spark = spark
@@ -90,10 +96,11 @@ class MaterializedView:
         self.source = source
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.minmax_cols = list(minmax_cols or [])
         self.table = ParquetTable(spark, root)
 
     @classmethod
-    def create(cls, spark, root, source, group_cols, sum_cols):
+    def create(cls, spark, root, source, group_cols, sum_cols, minmax_cols=None):
         import json
         import os
 
@@ -101,10 +108,11 @@ class MaterializedView:
         with open(os.path.join(root, cls.SPEC_FILE), "w") as f:
             json.dump(
                 {"source": source, "group_cols": list(group_cols),
-                 "sum_cols": list(sum_cols)},
+                 "sum_cols": list(sum_cols),
+                 "minmax_cols": list(minmax_cols or [])},
                 f,
             )
-        return cls(spark, root, source, group_cols, sum_cols)
+        return cls(spark, root, source, group_cols, sum_cols, minmax_cols)
 
     @classmethod
     def load(cls, spark, root):
@@ -113,25 +121,98 @@ class MaterializedView:
 
         with open(os.path.join(root, cls.SPEC_FILE)) as f:
             spec = json.load(f)
-        return cls(spark, root, spec["source"], spec["group_cols"], spec["sum_cols"])
+        return cls(spark, root, spec["source"], spec["group_cols"],
+                   spec["sum_cols"], spec.get("minmax_cols"))
 
     def _state(self) -> DataFrame | None:
         return self.table.read() if self.table.exists else None
 
+    def _mm_aggs(self, src_col):
+        aggs = []
+        for c in self.minmax_cols:
+            aggs.append(F.min(src_col(c)).alias(f"{c}_min"))
+            aggs.append(F.max(src_col(c)).alias(f"{c}_max"))
+        return aggs
+
     def refresh_from_batch(self, typed_events: DataFrame,
+                           base: DataFrame | None = None,
                            action_col: str = "action") -> None:
-        """Fold one typed CDC batch (post update-split) into the state."""
-        sign = F.when(F.col(action_col) == "delete", F.lit(-1)).otherwise(F.lit(1))
-        delta = delta_aggregate(typed_events, self.group_cols, self.sum_cols, sign)
-        merged = merge_delta(self._state(), delta, self.group_cols, self.sum_cols)
-        self.table.overwrite(merged)
+        """Fold one typed CDC batch (post update-split) into the state.
+
+        ``base`` is the CURRENT base table (read AFTER the batch was
+        applied to it); required only when minmax_cols is set and the
+        batch contains deletes — the delete-affected groups re-aggregate
+        their min/max from base, semi-join-pruned to just those groups.
+        """
+        is_del = F.col(action_col) == "delete"
+        sign = F.when(is_del, F.lit(-1)).otherwise(F.lit(1))
+        delta = typed_events.groupBy(*self.group_cols).agg(
+            F.sum(sign).cast("bigint").alias("n_delta"),
+            *[F.sum(F.col(c).cast(DEC) * sign.cast(DEC)).alias(f"{c}_delta")
+              for c in self.sum_cols],
+            # inserts fold into min/max; a delete only flags the group
+            *self._mm_aggs(lambda c: F.when(~is_del, F.col(c))),
+            F.max(is_del.cast("int")).alias("_had_del"),
+        )
+        state = self._state()
+        if state is not None:
+            delta = state.withColumn("_had_del", F.lit(0)).unionByName(delta)
+        merged = (
+            delta.groupBy(*self.group_cols)
+            .agg(
+                F.sum("n_delta").cast("bigint").alias("n_delta"),
+                *[F.sum(f"{c}_delta").alias(f"{c}_delta") for c in self.sum_cols],
+                *[a for c in self.minmax_cols for a in (
+                    F.min(f"{c}_min").alias(f"{c}_min"),
+                    F.max(f"{c}_max").alias(f"{c}_max"),
+                )],
+                F.max("_had_del").alias("_had_del"),
+            )
+            .filter(F.col("n_delta") != 0)
+        )
+        if self.minmax_cols:
+            has_deletes = (
+                typed_events.filter(is_del).limit(1).count() > 0
+            )
+            if has_deletes:
+                if base is None:
+                    raise ValueError(
+                        "minmax_cols set and batch contains deletes: "
+                        "refresh_from_batch needs the post-apply base table"
+                    )
+                affected = merged.filter(F.col("_had_del") == 1).select(
+                    *self.group_cols
+                )
+                recomp = (
+                    base.join(affected, self.group_cols, "left_semi")
+                    .groupBy(*self.group_cols)
+                    .agg(*self._mm_aggs(lambda c: F.col(c)))
+                )
+                ren = recomp.select(
+                    *self.group_cols,
+                    *[F.col(f"{c}_{k}").alias(f"_r_{c}_{k}")
+                      for c in self.minmax_cols for k in ("min", "max")],
+                )
+                keep = [
+                    F.when(F.col("_had_del") == 1, F.col(f"_r_{c}_{k}"))
+                    .otherwise(F.col(f"{c}_{k}")).alias(f"{c}_{k}")
+                    for c in self.minmax_cols for k in ("min", "max")
+                ]
+                merged = merged.join(ren, self.group_cols, "left").select(
+                    *self.group_cols, "n_delta",
+                    *[f"{c}_delta" for c in self.sum_cols],
+                    *keep, "_had_del",
+                )
+        self.table.overwrite(merged.drop("_had_del"))
 
     def full_build(self, base: DataFrame) -> None:
         """Initial build from a table snapshot: every row is one +insert."""
-        delta = delta_aggregate(base, self.group_cols, self.sum_cols, F.lit(1))
-        self.table.overwrite(
-            merge_delta(None, delta, self.group_cols, self.sum_cols)
+        built = base.groupBy(*self.group_cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_delta"),
+            *[F.sum(F.col(c).cast(DEC)).alias(f"{c}_delta") for c in self.sum_cols],
+            *self._mm_aggs(lambda c: F.col(c)),
         )
+        self.table.overwrite(built)
 
     def read(self) -> DataFrame:
         state = self._state()

@@ -142,10 +142,13 @@ class CdcPipeline:
                 )
                 continue
             typed = parse_values(tevents, vschema)
-            apply_cdc_batch(self.table_for(spec), typed, spec)
+            table = self.table_for(spec)
+            apply_cdc_batch(table, typed, spec)
             for view in self.views:
                 if view.source == spec.qualified_name:
-                    view.refresh_from_batch(typed)
+                    # base read AFTER apply: min/max partial recompute must
+                    # see the post-batch state of delete-affected groups
+                    view.refresh_from_batch(typed, base=table.read())
             if self.monitor:
                 self._log(spec, tevents.count())
 

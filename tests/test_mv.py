@@ -233,3 +233,54 @@ def test_mv_matches_replay_aggregate(spark, tmp_path_factory, events, batch_spli
         for r in view.read().collect()
     }
     assert got == truth
+
+
+# --- min/max maintenance with partial recompute ----------------------------
+def _typed(spark, rows):
+    # rows: (action, k, v)
+    return spark.createDataFrame(
+        [Row(action=a, k=k, v=float(v)) for a, k, v in rows],
+        "action string, k string, v double",
+    )
+
+
+def test_minmax_insert_only_folds_without_base(spark, tmp_path):
+    from synch_spark.operators.mv import MaterializedView
+
+    view = MaterializedView.create(
+        spark, str(tmp_path / "mm1"), "db.t", ["k"], ["v"], minmax_cols=["v"]
+    )
+    view.refresh_from_batch(_typed(spark, [("insert", "a", 3.0), ("insert", "a", 9.0)]))
+    view.refresh_from_batch(_typed(spark, [("insert", "a", 5.0)]))
+    r = view.read().collect()[0]
+    assert (r["v_min"], r["v_max"], r["n"]) == (3.0, 9.0, 3)
+
+
+def test_minmax_delete_of_max_recomputes_from_base(spark, tmp_path):
+    from synch_spark.operators.mv import MaterializedView
+
+    view = MaterializedView.create(
+        spark, str(tmp_path / "mm2"), "db.t", ["k"], ["v"], minmax_cols=["v"]
+    )
+    view.refresh_from_batch(
+        _typed(spark, [("insert", "a", 3.0), ("insert", "a", 9.0), ("insert", "b", 1.0)])
+    )
+    # base AFTER applying the delete of the max: only (a,3.0) and (b,1.0)
+    base = spark.createDataFrame(
+        [Row(k="a", v=3.0), Row(k="b", v=1.0)], "k string, v double"
+    )
+    view.refresh_from_batch(_typed(spark, [("delete", "a", 9.0)]), base=base)
+    got = {r["k"]: (r["n"], r["v_min"], r["v_max"]) for r in view.read().collect()}
+    # a's max fell back to the runner-up; b untouched (kept folded values)
+    assert got == {"a": (1, 3.0, 3.0), "b": (1, 1.0, 1.0)}
+
+
+def test_minmax_delete_without_base_raises(spark, tmp_path):
+    from synch_spark.operators.mv import MaterializedView
+
+    view = MaterializedView.create(
+        spark, str(tmp_path / "mm3"), "db.t", ["k"], ["v"], minmax_cols=["v"]
+    )
+    view.refresh_from_batch(_typed(spark, [("insert", "a", 3.0)]))
+    with pytest.raises(ValueError, match="post-apply base"):
+        view.refresh_from_batch(_typed(spark, [("delete", "a", 3.0)]))
