@@ -62,14 +62,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     the fixture's values are microsecond-precision, so truncating to
     micros is lossless (and matches DuckDB's own ns->us truncation).
     """
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         for field in df.schema.fields:
-            if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            if field.name != "ts":
+                continue
+            if isinstance(field.dataType, T.LongType):
                 df = df.withColumn("ts", nanos_to_ts("ts"))
+            elif isinstance(field.dataType, T.TimestampNTZType):
+                # fixtures written as TIMESTAMP(MICROS) surface as NTZ;
+                # session tz is UTC, so this cast is a type-tag change only
+                # (wall times preserved) and keeps downstream event-time /
+                # unix_micros consumers on plain TimestampType
+                df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
