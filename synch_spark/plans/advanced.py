@@ -208,10 +208,15 @@ def q31_streaming_tumbling(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong fixture quirk
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":  # nanosAsLong fixture quirk
         from synch_spark.session import nanos_to_ts
 
         stream = stream.withColumn("ts", nanos_to_ts("ts"))
+    elif ts_type == "timestamp_ntz":
+        # micros fixtures surface as NTZ; event-time/watermark requires
+        # TimestampType — session tz is UTC so the cast keeps wall times
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -809,6 +814,204 @@ GROUP BY c_mktsegment ORDER BY segment
 """
 
 
+# --- calendar gap-fill + forward-fill ------------------------------------
+def q91_gapfill_ffill(spark, sf_dir):
+    """Time-series gap-filling: densify each user's activity onto a
+    per-user daily calendar spine and forward-fill the last observed
+    value (the standard prep step for training on regularly-sampled
+    series). Spark has no generate_series table function at the SQL
+    surface; `sequence()` + explode builds the spine from each user's
+    own [min,max] range, so spine size is sum-of-user-spans, never
+    |users| x |global days| — at 100 TB the spine is generated
+    executor-side from the tiny bounds aggregate and never hits the
+    driver. The fill is last(ignorenulls) over (user, day): one shuffle
+    shared with the spine join. Daily value folds through DECIMAL so
+    MAX is exact; forward-fill copies values, introducing no float ops."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.max(F.col("value").cast(DEC)).alias("v"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("d"),
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .withColumn("v_fill", F.last("v", ignorenulls=True).over(w))
+        .select("user_id", "d", F.col("v_fill").cast("double").alias("v"))
+        .orderBy("user_id", "d")
+    )
+
+
+Q91_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         MAX(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds)
+SELECT s.user_id, s.d,
+       CAST(LAST_VALUE(dy.v IGNORE NULLS)
+              OVER (PARTITION BY s.user_id ORDER BY s.d) AS DOUBLE) AS v
+FROM spine s LEFT JOIN daily dy ON s.user_id = dy.user_id AND s.d = dy.d
+ORDER BY s.user_id, s.d
+"""
+
+
+# --- cohort retention ------------------------------------------------------
+def q92_cohort_retention(spark, sf_dir):
+    """Classic cohort-retention matrix: users bucketed by their first
+    activity day, retention counted as distinct active users per
+    (cohort, week-offset). The first-touch anchor is a per-user MIN
+    (map-side partial), re-joined to the distinct (user, day) activity
+    set; offset arithmetic is integer day-diff div 7, exact in both
+    engines. One shuffle for the anchor, one for the distinct-count —
+    both keyed on user_id, so AQE coalesces them into the same
+    exchange layout."""
+    ev = _t(spark, sf_dir, "events")
+    active = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    firsts = active.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        active.join(firsts, "user_id")
+        .withColumn(
+            "week_offset",
+            F.expr("CAST(datediff(d, cohort_day) DIV 7 AS INT)"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+Q92_SQL = """
+WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+firsts AS (SELECT user_id, MIN(d) AS cohort_day FROM active GROUP BY 1)
+SELECT cohort_day,
+       CAST((a.d - f.cohort_day) // 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY cohort_day, week_offset
+ORDER BY cohort_day, week_offset
+"""
+
+
+# --- event-sequence transition mining --------------------------------------
+def q93_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    sequence: lag(event_type) within (user ORDER BY ts, event_id),
+    then count + in-row probability per source state. Sequence mining
+    at scale is exactly this shape — one shuffle to order each user's
+    history, aggregates on top. The probability is a single division
+    of two exact BIGINTs cast to double, deterministic across engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return (
+        trans.withColumn(
+            "p",
+            F.col("n").cast("double") / F.sum("n").over(wp).cast("double"),
+        )
+        .select("prev_type", "next_type", "n", "p")
+        .orderBy("prev_type", "next_type")
+    )
+
+
+Q93_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+trans AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+         AS p
+FROM trans ORDER BY prev_type, next_type
+"""
+
+
+# --- distributed least-squares trend ---------------------------------------
+def q94_revenue_trend(spark, sf_dir):
+    """Per-nation revenue-over-time linear regression computed from
+    sufficient statistics: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2).
+    The five sums are a single groupBy pass (map-side partial agg — at
+    100 TB this is the only way to fit a regression without iterating),
+    folded exactly: x is epoch-day BIGINT, y folds as DECIMAL, x*y as
+    DECIMAL product. The closing arithmetic casts the exact sums to
+    double and combines them with IEEE mul/sub/div — identical inputs
+    and identical well-defined ops, so both engines produce the same
+    bits without any decimal-width gymnastics. regr_slope() would NOT
+    be portable: its internal accumulation order differs per engine."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    x = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    y = F.col("o_totalprice").cast("decimal(12,2)")
+    stats = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast("bigint")).alias("sx"),
+            F.sum(x.cast("bigint") * x.cast("bigint")).alias("sxx"),
+            F.sum(y).alias("sy"),
+            F.sum(x.cast("decimal(12,0)") * y).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return (
+        stats.select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_orders"),
+            slope.alias("slope"),
+        )
+        .orderBy("nation")
+    )
+
+
+Q94_SQL = """
+WITH stats AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS sx,
+         CAST(SUM(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) *
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT))
+              AS BIGINT) AS sxx,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sy,
+         SUM(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DECIMAL(12,0)) *
+             CAST(o_totalprice AS DECIMAL(12,2))) AS sxy
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name AS nation, n AS n_orders,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+FROM stats ORDER BY nation
+"""
+
+
 ADVANCED_QUERIES = {
     "q26_asof_join": (q26_asof_join, Q26_SQL),
     "q27_sessionize": (q27_sessionize, Q27_SQL),
@@ -829,4 +1032,8 @@ ADVANCED_QUERIES = {
     "q82_rolling_revenue": (q82_rolling_revenue, Q82_SQL),
     "q83_funnel": (q83_funnel, Q83_SQL),
     "q84_stream_enrich": (q84_stream_enrich, Q84_SQL),
+    "q91_gapfill_ffill": (q91_gapfill_ffill, Q91_SQL),
+    "q92_cohort_retention": (q92_cohort_retention, Q92_SQL),
+    "q93_transition_matrix": (q93_transition_matrix, Q93_SQL),
+    "q94_revenue_trend": (q94_revenue_trend, Q94_SQL),
 }

@@ -767,6 +767,220 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 """
 
 
+# --- Q2-like: minimum-cost supplier ---------------------------------------
+def q87_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in a
+    region offering it at the minimum cost (correlated MIN subquery).
+    The fixture has no partsupp, so the observed supply relation is
+    derived from lineitem: cost(part, supp) = MIN(l_extendedprice) —
+    pure MIN, no arithmetic, so it is bit-exact across engines.
+
+    Plan: one wide groupBy(l_partkey, l_suppkey) over the fact (map-side
+    partial MIN, single shuffle), then broadcast joins against the three
+    filtered dimensions, and a per-part window MIN to express the
+    correlated subquery without a second fact scan. At 100 TB the only
+    shuffle is the (part,supp) aggregate, whose cardinality is bounded
+    by |partsupp|, not |lineitem|; all dimension joins stay broadcast.
+    Ref parity: supplier-choice semantics of synch's source-of-truth
+    replication don't exist here — this is the Spark-native analytics
+    surface (SURVEY §2.8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25, 35, 45) & (F.col("p_type") == "STANDARD")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    eligible = (
+        cost.join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi"
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("_mc", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("_mc"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q87_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+  FROM lineitem GROUP BY 1, 2),
+eligible AS (
+  SELECT p_partkey, s_acctbal, s_name, n_name, cost
+  FROM cost
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_size IN (5, 15, 25, 35, 45) AND p_type = 'STANDARD'
+    AND r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey, cost
+FROM (SELECT *, MIN(cost) OVER (PARTITION BY p_partkey) AS mc FROM eligible) t
+WHERE cost = mc
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+# --- Q9-like: product-type profit by nation and year ----------------------
+def q88_product_profit(spark, sf_dir):
+    """TPC-H Q9: profit per supplier-nation per order-year over a
+    part-name LIKE slice. No partsupp, so supply cost is proxied as
+    0.7 * p_retailprice * l_quantity. Amounts fold in tightly-sized
+    decimals (every input has <=2 fractional digits, so the three-way
+    product is exact and engine-portable; the final cast to double is
+    one deterministic rounding).
+
+    Plan: fact scanned once; part/supplier/nation broadcast; orders is
+    the only co-shuffled join. The LIKE on p_name reaches the part scan
+    as a pushed Contains filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.lit(0.7).cast("decimal(2,1)") * F.col("p_retailprice").cast(
+        "decimal(10,2)"
+    ) * F.col("l_quantity").cast("decimal(4,1)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q88_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                - CAST(0.7 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(10,2))
+                  * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# --- Q11-like: important part stock value ---------------------------------
+def q89_important_stock(spark, sf_dir):
+    """TPC-H Q11: per-part shipped value from one nation's suppliers,
+    kept only when above a fraction of that nation's total (HAVING
+    against a scalar subquery). The scalar total is a one-row broadcast
+    cross-join, so the per-part aggregate shuffles once and the
+    threshold filter is applied map-side after the join — no second
+    scan, no driver collect. Value folds as DECIMAL(12,2)*DECIMAL(4,1)
+    (exact), threshold multiplies the exact total by an exact
+    DECIMAL(5,4) fraction — the > comparison is decimal-exact in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nsupp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi"
+    )
+    val = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(4,1)")
+    )
+    base = li.join(F.broadcast(nsupp), li.l_suppkey == nsupp.s_suppkey, "left_semi")
+    per_part = base.groupBy("l_partkey").agg(val.alias("_v"))
+    total = per_part.agg(
+        (F.sum("_v") * F.lit(0.001).cast("decimal(5,4)")).alias("_thr")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_v") > F.col("_thr"))
+        .select("l_partkey", F.col("_v").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+Q89_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             CAST(l_quantity AS DECIMAL(4,1))) AS v
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7')
+  GROUP BY l_partkey)
+SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+FROM per_part
+WHERE v > (SELECT SUM(v) * CAST(0.001 AS DECIMAL(5,4)) FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# --- Q16-like: supplier relationship count --------------------------------
+def q90_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16: how many distinct suppliers ship each qualifying
+    (brand, type, size) bucket, excluding blacklisted suppliers (the
+    reference query's 'Customer Complaints' NOT IN — proxied here as
+    negative account balance). The NOT IN compiles to a broadcast
+    LEFT ANTI join (keys are non-null on both sides, so anti-join ==
+    NOT IN); the distinct count is the only shuffle and its input is
+    pre-shrunk to distinct (part,supp) pairs so the Expand feeding
+    COUNT(DISTINCT) never sees raw fact rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 7, 14, 21, 28, 35, 42, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q90_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 TPCH_QUERIES = {
     "q36_shipping_priority": (q36_shipping_priority, Q36_SQL),
     "q37_local_supplier_volume": (q37_local_supplier_volume, Q37_SQL),
@@ -785,4 +999,8 @@ TPCH_QUERIES = {
     "q64_market_share": (q64_market_share, Q64_SQL),
     "q74_shipmode_priority": (q74_shipmode_priority, Q74_SQL),
     "q75_waiting_suppliers": (q75_waiting_suppliers, Q75_SQL),
+    "q87_min_cost_supplier": (q87_min_cost_supplier, Q87_SQL),
+    "q88_product_profit": (q88_product_profit, Q88_SQL),
+    "q89_important_stock": (q89_important_stock, Q89_SQL),
+    "q90_supplier_relationship": (q90_supplier_relationship, Q90_SQL),
 }
