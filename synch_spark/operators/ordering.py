@@ -1,0 +1,105 @@
+"""Scalable global ordering primitives.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY moves the
+entire input to ONE partition (Spark warns `No Partition Defined for
+Window operation`) — a non-starter at 100 TB. These helpers compute the
+same total ordering distributively:
+
+1. ``repartitionByRange`` on the sort keys — Spark samples the keys and
+   builds balanced range bounds, so the sort is spread over N partitions;
+2. ``sortWithinPartitions`` — partition-local sort, no further shuffle;
+3. ``monotonically_increasing_id()`` — encodes ``(partition_id << 33) +
+   local_row_index`` on the *sorted* rows, giving each row its exact
+   in-partition position with zero additional shuffle;
+4. one tiny per-partition-count aggregate (collected to the driver,
+   |partitions| rows) turns local positions into exact global ranks.
+
+The result is bit-identical to the single-partition window (the sort
+keys must totally order the rows — pass a tiebreaker column), with
+wall-clock bounded by the largest range bucket instead of |input|.
+
+Reference parity note: the reference system (synch) has no ordering
+operators at all — ordering there is ClickHouse's job (SURVEY §2.8);
+these exist for the Spark-native analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PARTITION_SHIFT = 33  # monotonically_increasing_id puts pid in bits 33+
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add exact 1-based global ``rn_col`` ordered by ``order_cols``.
+
+    ``order_cols`` must be a total order (include a unique tiebreaker);
+    otherwise ties land in sampled-range order, which is still *a*
+    row_number but not deterministic across runs.
+    """
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(nparts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_mid = ordered.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
+        "_pid", F.shiftright("_mid", _PARTITION_SHIFT)
+    )
+    # cache: the per-partition counts job and the main job must see the
+    # same partition layout (repartitionByRange samples -> nondeterministic
+    # bounds across recomputes)
+    with_mid = with_mid.persist()
+    counts = (
+        with_mid.groupBy("_pid").count().orderBy("_pid").collect()
+    )  # |partitions| rows — driver-safe at any data scale
+    rows, acc = [], 0
+    for row in counts:
+        rows.append((row["_pid"], acc))
+        acc += row["count"]
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(rows or [(0, 0)], "_pid bigint, _off bigint")
+    local_pos = F.col("_mid") - F.shiftleft("_pid", _PARTITION_SHIFT)
+    return (
+        with_mid.join(F.broadcast(offsets_df), "_pid", "left")
+        .withColumn(
+            rn_col,
+            (F.coalesce(F.col("_off"), F.lit(0)) + local_pos + F.lit(1)).cast("bigint"),
+        )
+        .drop("_mid", "_pid", "_off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    n: int,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY order_cols)`` without the
+    single-partition window: global_row_number + the closed-form NTILE
+    bucket function. NTILE semantics (SQL standard, matched by Spark and
+    DuckDB): with N rows, ``r = N mod n`` leading buckets get
+    ``ceil(N/n)`` rows, the rest get ``floor(N/n)``.
+    """
+    ranked = global_row_number(df, order_cols, rn_col="_gnt_rn", num_partitions=num_partitions)
+    total = ranked.count()  # ranked is persisted by global_row_number
+    q, r = divmod(total, n)
+    big = q + 1  # size of the first r buckets
+    cutoff = r * big  # rows 1..cutoff live in the big buckets
+    rn = F.col("_gnt_rn")
+    if q == 0:
+        # fewer rows than buckets: bucket == rn
+        bucket = rn
+    else:
+        # integer ceil-div (DIV): exact at any rn magnitude, no double rounding
+        bucket = F.when(
+            rn <= F.lit(cutoff),
+            F.expr(f"(_gnt_rn + {big - 1}) DIV {big}"),
+        ).otherwise(F.lit(r) + F.expr(f"(_gnt_rn - {cutoff} + {q - 1}) DIV {q}"))
+    return ranked.withColumn(bucket_col, bucket.cast("int")).drop("_gnt_rn")

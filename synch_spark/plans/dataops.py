@@ -1032,20 +1032,23 @@ def q77_training_shuffle(spark, sf_dir):
     emit the per-batch manifest (doc count, total chars, distinct
     sources) a trainer's data loader consumes. The batch manifest is the
     interesting output: a well-shuffled corpus has near-uniform source
-    mix per batch. The global row_number is a total sort — Spark
-    range-partitions the sort so it scales; the hash key is uniform so
-    ranges are balanced at any scale."""
-    docs = _docs(spark, sf_dir)
-    from pyspark.sql import Window
+    mix per batch. The global rank comes from operators.ordering
+    (range-repartition + in-partition positions + tiny offset join), NOT
+    a partition-less window — the md5 key is uniform so range buckets
+    are balanced at any scale and no single task ever sees the corpus."""
+    from synch_spark.operators.ordering import global_row_number
 
+    docs = _docs(spark, sf_dir)
     h = F.md5(F.col("doc_id").cast("string"))
-    w = Window.orderBy("_h", "doc_id")
+    ranked = global_row_number(
+        docs.select("doc_id", "source", "n_chars", h.alias("_h")),
+        ["_h", "doc_id"],
+        rn_col="_rn",
+    )
     return (
-        docs.select("doc_id", "source", "n_chars", h.alias("_h"))
-        .select(
+        ranked.select(
             "source", "n_chars",
-            ((F.row_number().over(w) - 1) / F.lit(SHUFFLE_BATCH))
-            .cast("bigint").alias("batch_id"),
+            ((F.col("_rn") - 1) / F.lit(SHUFFLE_BATCH)).cast("bigint").alias("batch_id"),
         )
         .groupBy("batch_id")
         .agg(
@@ -1096,17 +1099,20 @@ def q78_vocab_coverage(spark, sf_dir):
         )
     )
     total = tf.agg(F.sum("tf").cast("double").alias("_total"))
+    # top-k FIRST (distributed TakeOrdered), THEN the cumulative window —
+    # the partition-less window only ever sees VOCAB_TOP rows, never the
+    # full vocabulary, so it stays O(k) at any corpus scale
+    top = tf.orderBy(F.col("tf").desc(), "token").limit(VOCAB_TOP)
     w = Window.orderBy(F.col("tf").desc(), "token").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        tf.crossJoin(F.broadcast(total))
+        top.crossJoin(F.broadcast(total))
         .select(
             "token", "tf", "df",
             (F.sum("tf").over(w).cast("double") / F.col("_total")).alias("cum_share"),
         )
         .orderBy(F.col("tf").desc(), "token")
-        .limit(VOCAB_TOP)
     )
 
 
@@ -1211,19 +1217,22 @@ def q80_curriculum_bins(spark, sf_dir):
     broken by doc_id so the assignment is deterministic and re-runnable),
     and emit the per-bin manifest (count, quality min/max/avg) a staged
     training schedule consumes — train on bin 1 first, anneal downward.
-    NTILE is one total sort of (score, id) pairs — a narrow two-column
-    sort, not a corpus shuffle; the avg goes through exact decimal so the
-    manifest is engine-portable."""
+    The decile cut uses operators.ordering.global_ntile — a distributed
+    range-sort of the narrow (score, id) projection plus the closed-form
+    NTILE bucket function — never the partition-less NTILE window that
+    would drag the whole corpus onto one task; the avg goes through
+    exact decimal so the manifest is engine-portable."""
+    from synch_spark.operators.ordering import global_ntile
     from synch_spark.operators.text import quality_score
-
-    from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
     scored = docs.select("doc_id", quality_score("text").alias("q"))
-    w = Window.orderBy(F.col("q").desc(), "doc_id")
     qd = F.col("q").cast("decimal(18,6)")
+    binned = global_ntile(
+        scored, [F.col("q").desc(), "doc_id"], CURRICULUM_BINS, bucket_col="bin"
+    )
     return (
-        scored.select("q", F.ntile(CURRICULUM_BINS).over(w).cast("int").alias("bin"))
+        binned.select("q", F.col("bin").cast("int").alias("bin"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
