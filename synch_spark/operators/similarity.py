@@ -313,61 +313,56 @@ def embedding_near_dups_exact(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = None,
-    salt: int = 32,
 ) -> DataFrame:
     """EXACT near-duplicate pairs by cosine >= threshold: (a, b, cosine).
 
     The deterministic baseline the LSH variant's recall is judged
     against. ``block_col`` bounds the quadratic pair space to equal-key
-    blocks (the dedup-within-shard pattern); without it the self-join is
-    all-pairs — fine for a probe set, not for a 100 TB corpus (use
-    ``embedding_near_dups`` there). Two-phase scoring as in cosine_topk:
-    double prefilter at threshold - 1e-6, exact decimal rescore defines
-    the output.
+    blocks (the dedup-within-shard pattern); without it the whole input
+    is one block — fine for a probe set, not for a 100 TB corpus (use
+    ``embedding_near_dups`` there).
 
-    Block keys are typically few (shards, languages, labels), so the
-    blocked self-join is salted: the left side hashes ids into ``salt``
-    sub-keys, the right side replicates across all of them — pair set
-    unchanged, scoring parallelism = blocks x salt instead of blocks.
+    Candidate generation is a block-local BLAS matmul inside
+    ``applyInPandas``: each block's vectors become one normalized
+    float64 matrix, one GEMM scores every pair, and only the upper
+    triangle above ``threshold - 1e-6`` leaves the worker as (a, b)
+    id pairs — 10-100x the throughput of per-pair expression folds,
+    and the shuffle carries ids, never vectors. Survivors are re-scored
+    with the exact decimal fold that defines the output (and matches
+    the DuckDB oracle bit-for-bit); the 1e-6 prefilter margin dwarfs
+    float64 GEMM error (~1e-12), so no true pair is lost.
+
+    Memory bound: a block must fit one executor (n·d doubles + the n^2
+    score tile). Size blocks accordingly upstream, or switch to the LSH
+    variant past ~100k vectors per block; zero vectors have undefined
+    cosine (NULL, never >= threshold) and are dropped before the GEMM.
     """
+    import numpy as np
+    import pandas as pd
+
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
-    if block_col:
-        cols.append(F.col(block_col).alias("_blk"))
-    base = df.select(*cols).withColumn(
-        "_n_d", F.sqrt(_dot_double(F.col("v"), F.col("v")))
-    )
-    a = base.select(
-        F.col("id").alias("a"), F.col("v").alias("_pv"), F.col("_n_d").alias("_na"),
-        *([F.col("_blk").alias("_ba")] if block_col else []),
-    )
-    b = base.select(
-        F.col("id").alias("b"), F.col("v").alias("_cv"), F.col("_n_d").alias("_nb"),
-        *([F.col("_blk").alias("_bb")] if block_col else []),
-    )
-    cond = F.col("a") < F.col("b")
-    if block_col:
-        cond = cond & (F.col("_ba") == F.col("_bb"))
-        if salt > 1:
-            a = a.withColumn("_salt", F.pmod(F.xxhash64("a"), F.lit(salt)).cast("int"))
-            b = b.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-            cond = cond & (a["_salt"] == b["_salt"])
-            # a small corpus arrives as one file -> one partition; under a
-            # broadcast join the probe side's partitioning IS the scoring
-            # parallelism, so spread it before the O(pairs) dot products
-            a = a.repartition(salt, "_salt")
-    cand = (
-        a.join(b, cond)
-        .drop("_salt")
-        .withColumn(
-            "_s",
-            _safe_div(
-                _dot_double(F.col("_pv"), F.col("_cv")),
-                F.col("_na") * F.col("_nb"),
-                -2.0,
-            ),
-        )
-        .filter(F.col("_s") >= threshold - 1e-6)
-    )
+    blk = F.col(block_col) if block_col else F.lit(0)
+    base = df.select(*cols, blk.alias("_blk"))
+    thr_pre = threshold - 1e-6
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        keep = norms > 0.0
+        ids, V, norms = ids[keep], V[keep], norms[keep]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": np.array([], dtype=np.int64), "b": []})
+        order = np.argsort(ids, kind="stable")  # a < b canonical pairs
+        ids, V, norms = ids[order], V[order], norms[order]
+        S = (V / norms[:, None]) @ (V / norms[:, None]).T
+        i, j = np.nonzero(np.triu(S >= thr_pre, k=1))
+        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+    pairs = base.groupBy("_blk").applyInPandas(gen, "a long, b long")
+    av = base.select(F.col("id").alias("a"), F.col("v").alias("_pv"))
+    bv = base.select(F.col("id").alias("b"), F.col("v").alias("_cv"))
+    cand = pairs.join(av, "a").join(bv, "b")
     return (
         _decimal_rescore(cand)
         .filter(F.col("cosine") >= threshold)

@@ -336,6 +336,9 @@ def q35_streaming_first_per_key(spark, sf_dir):
         from synch_spark.session import nanos_to_ts
 
         stream = stream.withColumn("ts", nanos_to_ts("ts"))
+    # project BEFORE the stateful op: only these columns cross the
+    # Arrow boundary into the Python state workers (props/value stay JVM)
+    stream = stream.select("user_id", "ts", "event_type")
     out = streaming_first_per_key(
         stream, "user_id", "ts", "user_id long, ts timestamp, event_type string"
     )
@@ -427,6 +430,8 @@ def q58_streaming_sessions(spark, sf_dir):
 
         stream = stream.withColumn("ts", nanos_to_ts("ts"))
     stream = stream.withColumn("ts", F.date_trunc("second", F.col("ts")))
+    # narrow the Arrow transfer into the Python state workers to key+ts
+    stream = stream.select("user_id", "ts")
     out = streaming_sessionize(
         stream,
         "user_id",
