@@ -29,6 +29,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _PARTITION_SHIFT = 33  # monotonically_increasing_id puts pid in bits 33+
+_SMALL_INPUT_BYTES = 256 << 20  # <= 256MB: a one-task window sort is cheaper
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's planning-time sizeInBytes for the frame; 2^63-ish
+    (i.e. 'assume big') when statistics are unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — any py4j hiccup: take the safe path
+        return 1 << 62
 
 
 def global_row_number(
@@ -36,13 +46,29 @@ def global_row_number(
     order_cols: list[Column | str],
     rn_col: str = "rn",
     num_partitions: int | None = None,
+    small_bytes: int = _SMALL_INPUT_BYTES,
 ) -> DataFrame:
     """Add exact 1-based global ``rn_col`` ordered by ``order_cols``.
 
     ``order_cols`` must be a total order (include a unique tiebreaker);
     otherwise ties land in sampled-range order, which is still *a*
     row_number but not deterministic across runs.
+
+    Size-adaptive (the AQE-broadcast idea): when Catalyst's planning-time
+    size estimate says the input fits one task (<= ``_SMALL_INPUT_BYTES``),
+    the plain window wins — one stage instead of the distributed path's
+    four. The estimate is the optimizer statistic (file sizes for scans,
+    propagated through projections), so no extra job runs to decide;
+    if it's unavailable, assume big — the distributed path is always
+    correct, just slower on tiny inputs.
     """
+    if _estimated_bytes(df) <= small_bytes:
+        from pyspark.sql import Window
+
+        return df.withColumn(
+            rn_col,
+            F.row_number().over(Window.orderBy(*order_cols)).cast("bigint"),
+        )
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(nparts, *order_cols).sortWithinPartitions(
         *order_cols
@@ -80,6 +106,7 @@ def global_ntile(
     n: int,
     bucket_col: str = "bucket",
     num_partitions: int | None = None,
+    small_bytes: int = _SMALL_INPUT_BYTES,
 ) -> DataFrame:
     """Exact ``NTILE(n) OVER (ORDER BY order_cols)`` without the
     single-partition window: global_row_number + the closed-form NTILE
@@ -87,8 +114,16 @@ def global_ntile(
     DuckDB): with N rows, ``r = N mod n`` leading buckets get
     ``ceil(N/n)`` rows, the rest get ``floor(N/n)``.
     """
-    ranked = global_row_number(df, order_cols, rn_col="_gnt_rn", num_partitions=num_partitions)
-    total = ranked.count()  # ranked is persisted by global_row_number
+    ranked = global_row_number(
+        df,
+        order_cols,
+        rn_col="_gnt_rn",
+        num_partitions=num_partitions,
+        small_bytes=small_bytes,
+    )
+    # distributed path: ranked is persisted, so this count is a cache read;
+    # small-input path: a recompute of a one-task window — both cheap
+    total = ranked.count()
     q, r = divmod(total, n)
     big = q + 1  # size of the first r buckets
     cutoff = r * big  # rows 1..cutoff live in the big buckets

@@ -30,7 +30,7 @@ def test_global_row_number_matches_window(spark):
     df = _data(spark)
     got = {
         r["id"]: r["rn"]
-        for r in global_row_number(df, ["h", "id"]).select("id", "rn").collect()
+        for r in global_row_number(df, ["h", "id"], small_bytes=0).select("id", "rn").collect()
     }
     want = {
         r["id"]: r["rn"]
@@ -45,7 +45,7 @@ def test_global_row_number_desc_order(spark):
     df = _data(spark, 999)
     got = {
         r["id"]: r["rn"]
-        for r in global_row_number(df, [F.col("k").desc(), "id"])
+        for r in global_row_number(df, [F.col("k").desc(), "id"], small_bytes=0)
         .select("id", "rn")
         .collect()
     }
@@ -63,7 +63,7 @@ def test_global_ntile_matches_window(spark, n, buckets):
     df = _data(spark, n)
     got = {
         r["id"]: r["bucket"]
-        for r in global_ntile(df, ["h", "id"], buckets).select("id", "bucket").collect()
+        for r in global_ntile(df, ["h", "id"], buckets, small_bytes=0).select("id", "bucket").collect()
     }
     want = {
         r["id"]: r["b"]
@@ -75,8 +75,29 @@ def test_global_ntile_matches_window(spark, n, buckets):
 
 
 def test_no_single_partition_window_in_plan(spark):
-    """The point of the operator: the physical plan must not contain a
-    partition-less Window (which Spark executes on one task)."""
+    """The point of the operator: above the small-input cutoff, the
+    physical plan must not contain a partition-less Window (which Spark
+    executes on one task)."""
     df = _data(spark)
-    plan = global_row_number(df, ["h", "id"])._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        global_row_number(df, ["h", "id"], small_bytes=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "Window" not in plan
+
+
+def test_small_input_takes_window_path_and_matches(spark):
+    # default cutoff: a tiny input must take the one-stage window path
+    df = _data(spark, 500).repartition(1)
+    gdf = global_row_number(df, ["h", "id"])
+    assert "Window" in gdf._jdf.queryExecution().executedPlan().toString()
+    got = {r["id"]: r["rn"] for r in gdf.select("id", "rn").collect()}
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("h", "id"))
+        ).select("id", "rn").collect()
+    }
+    assert got == want
