@@ -1306,6 +1306,57 @@ ORDER BY user_id
 """
 
 
+# --- aggregate-over-join MV (join-aggregate decomposition) -------------------
+def q95_join_mv(spark, sf_dir):
+    """Incremental aggregate-over-join view: net event count/value per
+    customer MARKET SEGMENT, where the fact stream (events) carries only
+    the FK (user_id = c_custkey) and the segment lives in the customer
+    dimension. Maintained by join-aggregate decomposition
+    (operators.mv.JoinMaterializedView): the stream folds into per-FK
+    signed partials chunk by chunk with ZERO joins at refresh time; the
+    dim join + final regroup happen at read over FK-cardinality partials
+    — so a re-segmented customer needs no view maintenance at all, and
+    at 100 TB the fact is never rescanned nor joined per batch. The
+    DuckDB oracle states the one-shot join+aggregate; equality proves
+    the decomposition. Dangling FKs drop at read (inner join), matching
+    the oracle's JOIN."""
+    from synch_spark.operators import mv
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    sign = F.when(F.col("event_type") == "delete", F.lit(-1)).otherwise(F.lit(1))
+    partials = None
+    for i in range(MV_CHUNKS):
+        chunk = ev.filter(F.pmod("event_id", F.lit(MV_CHUNKS)) == i)
+        delta = mv.delta_aggregate(chunk, ["user_id"], ["value"], sign)
+        partials = mv.merge_delta(partials, delta, ["user_id"], ["value"])
+    return (
+        partials.join(cust, partials.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum("n_delta").cast("bigint").alias("n"),
+            F.sum("value_delta").cast("double").alias("value_sum"),
+        )
+        .orderBy("segment")
+    )
+
+
+Q95_SQL = """
+WITH partials AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'delete' THEN -1 ELSE 1 END) AS n,
+         SUM(CAST(value AS DECIMAL(18,2)) *
+             CASE WHEN event_type = 'delete' THEN -1 ELSE 1 END) AS sv
+  FROM events GROUP BY user_id
+  HAVING SUM(CASE WHEN event_type = 'delete' THEN -1 ELSE 1 END) <> 0)
+SELECT c_mktsegment AS segment,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(sv) AS DOUBLE) AS value_sum
+FROM partials JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY segment
+"""
+
+
 # --- positional-index phrase search -----------------------------------------
 PHRASE = ["stream", "table", "hash"]
 
@@ -1458,6 +1509,7 @@ DATAOPS_QUERIES = {
     "q79_embedding_outliers": (q79_embedding_outliers, Q79_SQL),
     "q80_curriculum_bins": (q80_curriculum_bins, Q80_SQL),
     "q81_incremental_mv": (q81_incremental_mv, Q81_SQL),
+    "q95_join_mv": (q95_join_mv, Q95_SQL),
     "q85_phrase_search": (q85_phrase_search, Q85_SQL),
     "q86_bm25": (q86_bm25, Q86_SQL),
 }

@@ -284,3 +284,83 @@ def test_minmax_delete_without_base_raises(spark, tmp_path):
     view.refresh_from_batch(_typed(spark, [("insert", "a", 3.0)]))
     with pytest.raises(ValueError, match="post-apply base"):
         view.refresh_from_batch(_typed(spark, [("delete", "a", 3.0)]))
+
+
+# --- join-MV: aggregate-over-join via join-aggregate decomposition ----------
+def _jmv_truth(fact_rows, dim_map, dim_group_of):
+    """Driver-side truth: net per-FK fold, then dim grouping."""
+    from collections import defaultdict
+
+    per_fk = defaultdict(lambda: [0, 0.0])
+    for k, a, v in fact_rows:
+        s = -1 if a == "delete" else 1
+        per_fk[k][0] += s
+        per_fk[k][1] += s * v
+    out = defaultdict(lambda: [0, 0.0])
+    for k, (n, sv) in per_fk.items():
+        if n == 0:
+            continue
+        if k not in dim_map:
+            continue  # inner-join read drops dangling FKs
+        g = dim_group_of(dim_map[k])
+        out[g][0] += n
+        out[g][1] += sv
+    return {g: (n, round(sv, 2)) for g, (n, sv) in out.items()}
+
+
+def test_join_mv_incremental_matches_truth_and_dim_change(spark, tmp_path):
+    from synch_spark.operators.mv import JoinMaterializedView
+
+    fact_rows = [
+        ("u1", "insert", 10.0), ("u2", "insert", 5.0), ("u3", "insert", 7.0),
+        ("u1", "delete", 10.0), ("u1", "insert", 12.0), ("u4", "insert", 2.0),
+        ("u2", "delete", 5.0),  # u2 fully deleted -> vanishes
+    ]
+    dim = {"u1": "gold", "u3": "silver", "u4": "gold"}  # u2 dangling anyway
+    jmv = JoinMaterializedView.create(
+        spark, str(tmp_path / "jmv"), "fact", ["k"], ["v"],
+        dim_source="dim", dim_key_cols=["dk"], dim_group_cols=["segment"],
+    )
+    for i in range(0, len(fact_rows), 3):  # arbitrary 3-row micro-batches
+        jmv.refresh_from_batch(_events(spark, fact_rows[i : i + 3]))
+    dim_df = spark.createDataFrame(
+        [Row(dk=k, segment=s) for k, s in dim.items()], "dk string, segment string"
+    )
+    got = {
+        r["segment"]: (r["n"], round(float(r["v_sum"]), 2))
+        for r in jmv.read(dim_df).collect()
+    }
+    assert got == _jmv_truth(fact_rows, dim, lambda s: s)
+    # dim change: u3 moves silver -> gold; NO refresh, next read reflects it
+    dim2 = dict(dim, u3="gold")
+    dim2_df = spark.createDataFrame(
+        [Row(dk=k, segment=s) for k, s in dim2.items()], "dk string, segment string"
+    )
+    got2 = {
+        r["segment"]: (r["n"], round(float(r["v_sum"]), 2))
+        for r in jmv.read(dim2_df).collect()
+    }
+    assert got2 == _jmv_truth(fact_rows, dim2, lambda s: s)
+
+
+def test_join_mv_persists_and_reloads(spark, tmp_path):
+    from synch_spark.operators.mv import JoinMaterializedView
+
+    root = str(tmp_path / "jmv2")
+    jmv = JoinMaterializedView.create(
+        spark, root, "fact", ["k"], ["v"],
+        dim_source="dim", dim_key_cols=["dk"], dim_group_cols=["segment"],
+    )
+    jmv.refresh_from_batch(_events(spark, [("a", "insert", 4.0)]))
+    re = JoinMaterializedView.load(spark, root)
+    dim_df = spark.createDataFrame([Row(dk="a", segment="s")])
+    assert [(r["segment"], r["n"], float(r["v_sum"])) for r in re.read(dim_df).collect()] == [
+        ("s", 1, 4.0)
+    ]
+    with pytest.raises(ValueError):
+        # a plain MV spec must not load as a join MV
+        from synch_spark.operators.mv import MaterializedView
+
+        plain = str(tmp_path / "plain")
+        MaterializedView.create(spark, plain, "t", ["k"], ["v"])
+        JoinMaterializedView.load(spark, plain)
