@@ -299,20 +299,36 @@ def cmd_mv(args) -> int:
     builds the state from the current table snapshot; `mv refresh`
     rebuilds from the snapshot (the consume loop keeps it incremental —
     this is the manual anti-entropy path); `mv read` prints the state.
-    Views live under `<warehouse>/_mv/<name>` next to the CDC tables."""
-    from synch_spark.operators.mv import MaterializedView
+    Views live under `<warehouse>/_mv/<name>` next to the CDC tables.
+    With `--dim-source/--dim-key/--dim-group`, `create` registers an
+    aggregate-over-join view (JoinMaterializedView): `--group-by` then
+    names the fact's FK columns, and `read` joins the replicated dim
+    table at read time."""
+    from synch_spark.operators.mv import (
+        JoinMaterializedView,
+        MaterializedView,
+        load_view,
+    )
 
     raw = _load(args.config)
     spark = get_spark("synch-mv")
     warehouse = raw["spark"]["warehouse"]
     root = f"{warehouse}/_mv/{args.name}"
     if args.action == "create":
-        view = MaterializedView.create(
-            spark, root, args.source, args.group_by.split(","), args.sum.split(","),
-            args.minmax.split(",") if args.minmax else None,
-        )
+        if args.dim_source:
+            view = JoinMaterializedView.create(
+                spark, root, args.source, args.group_by.split(","),
+                args.sum.split(","), args.dim_source,
+                args.dim_key.split(","), args.dim_group.split(","),
+            )
+        else:
+            view = MaterializedView.create(
+                spark, root, args.source, args.group_by.split(","),
+                args.sum.split(","),
+                args.minmax.split(",") if args.minmax else None,
+            )
     else:
-        view = MaterializedView.load(spark, root)
+        view = load_view(spark, root)
     if args.action in ("create", "refresh"):
         schema, table = view.source.split(".", 1)
         base = ParquetTable(spark, f"{warehouse}/{schema}/{table}")
@@ -321,7 +337,16 @@ def cmd_mv(args) -> int:
         elif args.action == "refresh":
             print(f"source table {view.source} not found", file=sys.stderr)
             return 1
-    out = [r.asDict() for r in view.read().orderBy(*view.group_cols).collect()]
+    if isinstance(view, JoinMaterializedView):
+        dschema, dtable = view.dim_source.split(".", 1)
+        dim = ParquetTable(spark, f"{warehouse}/{dschema}/{dtable}")
+        if not dim.exists:
+            print(f"dim table {view.dim_source} not found", file=sys.stderr)
+            return 1
+        result = view.read(dim.read()).orderBy(*view.dim_group_cols)
+    else:
+        result = view.read().orderBy(*view.group_cols)
+    out = [r.asDict() for r in result.collect()]
     print(json.dumps({"mv": {"name": args.name, "rows": out}}, default=str))
     return 0
 
@@ -374,6 +399,9 @@ def main(argv=None) -> int:
     m.add_argument("--group-by", help="comma-separated group columns (create only)")
     m.add_argument("--sum", help="comma-separated sum columns (create only)")
     m.add_argument("--minmax", help="comma-separated min/max columns (create only)")
+    m.add_argument("--dim-source", help="schema.table of the read-time dim (join MV)")
+    m.add_argument("--dim-key", help="comma-separated dim join-key columns (join MV)")
+    m.add_argument("--dim-group", help="comma-separated dim group columns (join MV)")
     m.set_defaults(fn=cmd_mv)
     args = p.parse_args(argv)
     return args.fn(args)

@@ -274,6 +274,7 @@ class JoinMaterializedView:
         self.inner = MaterializedView(spark, root, source, fk_cols, sum_cols)
         self.spark = spark
         self.root = root
+        self.source = source  # CdcPipeline routes batches by this
         self.fk_cols = list(fk_cols)
         self.sum_cols = list(sum_cols)
         self.dim_source = dim_source
@@ -312,8 +313,11 @@ class JoinMaterializedView:
                    spec["sum_cols"], spec["dim_source"],
                    spec["dim_key_cols"], spec["dim_group_cols"])
 
-    # refresh surface: identical to the inner per-FK view (no join!)
+    # refresh surface: identical to the inner per-FK view (no join!);
+    # ``base`` is accepted for CdcPipeline call-compatibility and unused —
+    # per-FK count/sum partials never need a base-table recompute
     def refresh_from_batch(self, typed_events: DataFrame,
+                           base: DataFrame | None = None,
                            action_col: str = "action") -> None:
         self.inner.refresh_from_batch(typed_events, action_col=action_col)
 
@@ -336,3 +340,17 @@ class JoinMaterializedView:
             F.sum("n_delta").cast("bigint").alias("n"),
             *[F.sum(f"{c}_delta").alias(f"{c}_sum") for c in self.sum_cols],
         )
+
+
+def load_view(spark, root):
+    """Polymorphic loader: dispatch on the persisted spec's ``kind`` so
+    callers (CLI, pipeline bootstrap) need not know which MV flavor was
+    registered at ``root``."""
+    import json
+    import os
+
+    with open(os.path.join(root, MaterializedView.SPEC_FILE)) as f:
+        spec = json.load(f)
+    if spec.get("kind") == JoinMaterializedView.SPEC_KIND:
+        return JoinMaterializedView.load(spark, root)
+    return MaterializedView.load(spark, root)
