@@ -364,3 +364,88 @@ def test_join_mv_persists_and_reloads(spark, tmp_path):
         plain = str(tmp_path / "plain")
         MaterializedView.create(spark, plain, "t", ["k"], ["v"])
         JoinMaterializedView.load(spark, plain)
+
+
+def test_join_mv_refreshes_inside_cdc_pipeline(spark, tmp_path):
+    """End-to-end: a JOIN-MV registered on the fact table folds per-FK
+    partials in the same micro-batch as the CDC apply; read joins a dim
+    and equals a fresh join+aggregate over the final fact table —
+    including after a dim re-label with NO further refresh."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from synch_spark.config import Engine, SyncConfig, TableSpec
+    from synch_spark.operators.mv import JoinMaterializedView
+    from synch_spark.sources.table import ParquetTable
+    from synch_spark.streaming.pipeline import CdcPipeline
+
+    vschema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    cfg = SyncConfig()
+    cfg.add_table(
+        TableSpec(schema="db", table="f", pk=("id",), engine=Engine.REPLACING_MERGE_TREE)
+    )
+    view = JoinMaterializedView.create(
+        spark, str(tmp_path / "jmv_seg"), "db.f", ["uid"], ["amount"],
+        dim_source="db.users", dim_key_cols=["uid"], dim_group_cols=["segment"],
+    )
+    pipe = CdcPipeline(
+        spark=spark,
+        cfg=cfg,
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        value_schemas={"db.f": vschema},
+        views=[view],
+        monitor=False,
+    )
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    rows = [
+        ("insert", None, {"id": 1, "uid": 10, "amount": 10.0}, 100),
+        ("insert", None, {"id": 2, "uid": 11, "amount": 5.0}, 101),
+        ("insert", None, {"id": 3, "uid": 10, "amount": 7.0}, 102),
+        ("update", {"id": 2, "uid": 11, "amount": 5.0},
+         {"id": 2, "uid": 12, "amount": 5.0}, 103),  # re-keyed FK
+        ("delete", {"id": 3, "uid": 10, "amount": 7.0}, None, 104),
+    ]
+    with open(events_dir / "b1.json", "w") as f:
+        for action, before, after, us in rows:
+            f.write(json.dumps({
+                "schema": "db", "table": "f", "action": action,
+                "before": json.dumps(before) if before else None,
+                "after": json.dumps(after) if after else None,
+                "event_unixtime": us,
+            }) + "\n")
+    q = pipe.start_file_stream(str(events_dir), available_now=True)
+    q.awaitTermination(120)
+
+    dim = spark.createDataFrame(
+        [(10, "gold"), (11, "gold"), (12, "silver")], "uid long, segment string"
+    )
+    got = {
+        r["segment"]: (r["n"], float(r["amount_sum"]))
+        for r in view.read(dim).collect()
+    }
+    fact = ParquetTable(spark, f"{pipe.warehouse}/db/f").read()
+    truth = {
+        r["segment"]: (r["n"], float(r["s"]))
+        for r in fact.join(dim, "uid").groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s"))
+        .collect()
+    }
+    assert got == truth == {"gold": (1, 10.0), "silver": (1, 5.0)}
+    # dim change, no refresh: uid 12 moves silver -> bronze
+    dim2 = spark.createDataFrame(
+        [(10, "gold"), (11, "gold"), (12, "bronze")], "uid long, segment string"
+    )
+    got2 = {
+        r["segment"]: (r["n"], float(r["amount_sum"]))
+        for r in view.read(dim2).collect()
+    }
+    assert got2 == {"gold": (1, 10.0), "bronze": (1, 5.0)}
