@@ -326,6 +326,7 @@ def cmd_mv(args) -> int:
                 spark, root, args.source, args.group_by.split(","),
                 args.sum.split(","),
                 args.minmax.split(",") if args.minmax else None,
+                args.hll.split(",") if args.hll else None,
             )
     else:
         view = load_view(spark, root)
@@ -399,6 +400,7 @@ def main(argv=None) -> int:
     m.add_argument("--group-by", help="comma-separated group columns (create only)")
     m.add_argument("--sum", help="comma-separated sum columns (create only)")
     m.add_argument("--minmax", help="comma-separated min/max columns (create only)")
+    m.add_argument("--hll", help="comma-separated HLL distinct-count columns (create only)")
     m.add_argument("--dim-source", help="schema.table of the read-time dim (join MV)")
     m.add_argument("--dim-key", help="comma-separated dim join-key columns (join MV)")
     m.add_argument("--dim-group", help="comma-separated dim group columns (join MV)")

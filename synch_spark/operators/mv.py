@@ -88,7 +88,8 @@ class MaterializedView:
 
     def __init__(self, spark, root: str, source: str,
                  group_cols: list[str], sum_cols: list[str],
-                 minmax_cols: list[str] | None = None):
+                 minmax_cols: list[str] | None = None,
+                 hll_cols: list[str] | None = None):
         from synch_spark.sources.table import ParquetTable
 
         self.spark = spark
@@ -97,10 +98,12 @@ class MaterializedView:
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
         self.minmax_cols = list(minmax_cols or [])
+        self.hll_cols = list(hll_cols or [])
         self.table = ParquetTable(spark, root)
 
     @classmethod
-    def create(cls, spark, root, source, group_cols, sum_cols, minmax_cols=None):
+    def create(cls, spark, root, source, group_cols, sum_cols,
+               minmax_cols=None, hll_cols=None):
         import json
         import os
 
@@ -109,10 +112,12 @@ class MaterializedView:
             json.dump(
                 {"source": source, "group_cols": list(group_cols),
                  "sum_cols": list(sum_cols),
-                 "minmax_cols": list(minmax_cols or [])},
+                 "minmax_cols": list(minmax_cols or []),
+                 "hll_cols": list(hll_cols or [])},
                 f,
             )
-        return cls(spark, root, source, group_cols, sum_cols, minmax_cols)
+        return cls(spark, root, source, group_cols, sum_cols, minmax_cols,
+                   hll_cols)
 
     @classmethod
     def load(cls, spark, root):
@@ -122,7 +127,8 @@ class MaterializedView:
         with open(os.path.join(root, cls.SPEC_FILE)) as f:
             spec = json.load(f)
         return cls(spark, root, spec["source"], spec["group_cols"],
-                   spec["sum_cols"], spec.get("minmax_cols"))
+                   spec["sum_cols"], spec.get("minmax_cols"),
+                   spec.get("hll_cols"))
 
     def _state(self) -> DataFrame | None:
         return self.table.read() if self.table.exists else None
@@ -134,15 +140,31 @@ class MaterializedView:
             aggs.append(F.max(src_col(c)).alias(f"{c}_max"))
         return aggs
 
+    def _hll_aggs(self, src_col):
+        """Per-group DataSketches HLL sketch of each distinct-count column.
+        Sketch union is commutative/associative, so insert batches fold in
+        any order; deletes cannot un-sketch (same class of problem as
+        min/max) and reuse the delete-affected-group recompute path."""
+        return [
+            F.hll_sketch_agg(src_col(c)).alias(f"{c}_hll") for c in self.hll_cols
+        ]
+
+    def _recompute_cols(self):
+        """(suffixed-name, family) pairs the delete path must rebuild."""
+        return [(f"{c}_{k}", "mm") for c in self.minmax_cols for k in ("min", "max")] + [
+            (f"{c}_hll", "hll") for c in self.hll_cols
+        ]
+
     def refresh_from_batch(self, typed_events: DataFrame,
                            base: DataFrame | None = None,
                            action_col: str = "action") -> None:
         """Fold one typed CDC batch (post update-split) into the state.
 
         ``base`` is the CURRENT base table (read AFTER the batch was
-        applied to it); required only when minmax_cols is set and the
-        batch contains deletes — the delete-affected groups re-aggregate
-        their min/max from base, semi-join-pruned to just those groups.
+        applied to it); required only when minmax_cols/hll_cols is set
+        and the batch contains deletes — the delete-affected groups
+        re-aggregate their min/max and re-sketch their HLL from base,
+        semi-join-pruned to just those groups.
         """
         is_del = F.col(action_col) == "delete"
         sign = F.when(is_del, F.lit(-1)).otherwise(F.lit(1))
@@ -150,8 +172,9 @@ class MaterializedView:
             F.sum(sign).cast("bigint").alias("n_delta"),
             *[F.sum(F.col(c).cast(DEC) * sign.cast(DEC)).alias(f"{c}_delta")
               for c in self.sum_cols],
-            # inserts fold into min/max; a delete only flags the group
+            # inserts fold into min/max + sketches; a delete only flags
             *self._mm_aggs(lambda c: F.when(~is_del, F.col(c))),
+            *self._hll_aggs(lambda c: F.when(~is_del, F.col(c))),
             F.max(is_del.cast("int")).alias("_had_del"),
         )
         state = self._state()
@@ -166,18 +189,21 @@ class MaterializedView:
                     F.min(f"{c}_min").alias(f"{c}_min"),
                     F.max(f"{c}_max").alias(f"{c}_max"),
                 )],
+                *[F.hll_union_agg(f"{c}_hll", allowDifferentLgConfigK=False)
+                  .alias(f"{c}_hll") for c in self.hll_cols],
                 F.max("_had_del").alias("_had_del"),
             )
             .filter(F.col("n_delta") != 0)
         )
-        if self.minmax_cols:
+        rebuild = self._recompute_cols()
+        if rebuild:
             has_deletes = (
                 typed_events.filter(is_del).limit(1).count() > 0
             )
             if has_deletes:
                 if base is None:
                     raise ValueError(
-                        "minmax_cols set and batch contains deletes: "
+                        "minmax_cols/hll_cols set and batch contains deletes: "
                         "refresh_from_batch needs the post-apply base table"
                     )
                 affected = merged.filter(F.col("_had_del") == 1).select(
@@ -186,17 +212,17 @@ class MaterializedView:
                 recomp = (
                     base.join(affected, self.group_cols, "left_semi")
                     .groupBy(*self.group_cols)
-                    .agg(*self._mm_aggs(lambda c: F.col(c)))
+                    .agg(*self._mm_aggs(lambda c: F.col(c)),
+                         *self._hll_aggs(lambda c: F.col(c)))
                 )
                 ren = recomp.select(
                     *self.group_cols,
-                    *[F.col(f"{c}_{k}").alias(f"_r_{c}_{k}")
-                      for c in self.minmax_cols for k in ("min", "max")],
+                    *[F.col(name).alias(f"_r_{name}") for name, _fam in rebuild],
                 )
                 keep = [
-                    F.when(F.col("_had_del") == 1, F.col(f"_r_{c}_{k}"))
-                    .otherwise(F.col(f"{c}_{k}")).alias(f"{c}_{k}")
-                    for c in self.minmax_cols for k in ("min", "max")
+                    F.when(F.col("_had_del") == 1, F.col(f"_r_{name}"))
+                    .otherwise(F.col(name)).alias(name)
+                    for name, _fam in rebuild
                 ]
                 merged = merged.join(ren, self.group_cols, "left").select(
                     *self.group_cols, "n_delta",
@@ -211,6 +237,7 @@ class MaterializedView:
             F.count(F.lit(1)).cast("bigint").alias("n_delta"),
             *[F.sum(F.col(c).cast(DEC)).alias(f"{c}_delta") for c in self.sum_cols],
             *self._mm_aggs(lambda c: F.col(c)),
+            *self._hll_aggs(lambda c: F.col(c)),
         )
         self.table.overwrite(built)
 
@@ -218,16 +245,22 @@ class MaterializedView:
         state = self._state()
         if state is None:
             raise FileNotFoundError(f"materialized view at {self.root} not built")
-        return read_view(state, self.sum_cols)
+        return read_view(state, self.sum_cols, self.hll_cols)
 
 
-def read_view(view: DataFrame, sum_cols: list[str]) -> DataFrame:
+def read_view(view: DataFrame, sum_cols: list[str],
+              hll_cols: list[str] | None = None) -> DataFrame:
     """Read-time projection: expose count and sums under stable names
-    (n, <c>_sum). Derived averages belong here, not in the state."""
+    (n, <c>_sum) and HLL sketches as estimates (<c>_ndv). Derived
+    averages belong here, not in the state."""
+    hll_cols = list(hll_cols or [])
+    hidden = {"n_delta"} | {f"{c}_hll" for c in hll_cols}
     return view.select(
-        *[c for c in view.columns if not (c == "n_delta" or c.endswith("_delta"))],
+        *[c for c in view.columns
+          if c not in hidden and not c.endswith("_delta")],
         F.col("n_delta").alias("n"),
         *[F.col(f"{c}_delta").alias(f"{c}_sum") for c in sum_cols],
+        *[F.hll_sketch_estimate(f"{c}_hll").alias(f"{c}_ndv") for c in hll_cols],
     )
 
 

@@ -449,3 +449,77 @@ def test_join_mv_refreshes_inside_cdc_pipeline(spark, tmp_path):
         for r in view.read(dim2).collect()
     }
     assert got2 == {"gold": (1, 10.0), "bronze": (1, 5.0)}
+
+
+# --- HLL distinct-count MV columns ------------------------------------------
+def _hev(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, action=a, v=float(v), u=u) for k, a, v, u in rows],
+        "k string, action string, v double, u string",
+    )
+
+
+def test_hll_insert_only_folds_exact_at_small_cardinality(spark, tmp_path):
+    from synch_spark.operators.mv import MaterializedView
+
+    view = MaterializedView.create(
+        spark, str(tmp_path / "hmv"), "t", ["k"], ["v"], hll_cols=["u"]
+    )
+    batches = [
+        [("a", "insert", 1.0, "u1"), ("a", "insert", 2.0, "u2")],
+        [("a", "insert", 3.0, "u1"), ("b", "insert", 4.0, "u9")],
+        [("a", "insert", 5.0, "u3")],
+    ]
+    for b in batches:
+        view.refresh_from_batch(_hev(spark, b))
+    got = {r["k"]: (r["n"], r["u_ndv"]) for r in view.read().collect()}
+    # HLL is exact at these cardinalities: a saw {u1,u2,u3}, b saw {u9}
+    assert got == {"a": (4, 3), "b": (1, 1)}
+
+
+def test_hll_delete_rescetches_affected_group_from_base(spark, tmp_path):
+    from synch_spark.operators.mv import MaterializedView
+
+    view = MaterializedView.create(
+        spark, str(tmp_path / "hmv2"), "t", ["k"], ["v"], hll_cols=["u"]
+    )
+    view.refresh_from_batch(_hev(spark, [
+        ("a", "insert", 1.0, "u1"), ("a", "insert", 2.0, "u2"),
+        ("b", "insert", 3.0, "u5"),
+    ]))
+    # delete the only u2 row of group a; base AFTER apply has a:{u1}, b:{u5}
+    base = _hev(spark, [("a", "insert", 1.0, "u1"), ("b", "insert", 3.0, "u5")]) \
+        .select("k", "v", "u")
+    view.refresh_from_batch(
+        _hev(spark, [("a", "delete", 2.0, "u2")]), base=base
+    )
+    got = {r["k"]: (r["n"], r["u_ndv"]) for r in view.read().collect()}
+    # group a re-sketched from base (ndv 2 -> 1); untouched b kept its fold
+    assert got == {"a": (1, 1), "b": (1, 1)}
+
+
+def test_hll_delete_without_base_raises(spark, tmp_path):
+    from synch_spark.operators.mv import MaterializedView
+
+    view = MaterializedView.create(
+        spark, str(tmp_path / "hmv3"), "t", ["k"], ["v"], hll_cols=["u"]
+    )
+    view.refresh_from_batch(_hev(spark, [("a", "insert", 1.0, "u1")]))
+    with pytest.raises(ValueError):
+        view.refresh_from_batch(_hev(spark, [("a", "delete", 1.0, "u1")]))
+
+
+def test_hll_full_build_and_reload(spark, tmp_path):
+    from synch_spark.operators.mv import MaterializedView
+
+    root = str(tmp_path / "hmv4")
+    view = MaterializedView.create(spark, root, "t", ["k"], ["v"], hll_cols=["u"])
+    base = _hev(spark, [
+        ("a", "insert", 1.0, "u1"), ("a", "insert", 2.0, "u2"),
+        ("a", "insert", 3.0, "u2"), ("b", "insert", 4.0, "u7"),
+    ]).select("k", "v", "u")
+    view.full_build(base)
+    re = MaterializedView.load(spark, root)
+    assert re.hll_cols == ["u"]
+    got = {r["k"]: (r["n"], r["u_ndv"]) for r in re.read().collect()}
+    assert got == {"a": (3, 2), "b": (1, 1)}
