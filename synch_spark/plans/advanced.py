@@ -200,6 +200,9 @@ def q31_streaming_tumbling(spark, sf_dir):
     from pyspark.sql import types as T
 
     path = os.path.join(sf_dir, "events.parquet")
+    from synch_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)  # vanilla driver session: UTC + nanos confs
     schema = spark.read.parquet(path).schema
     # the fixture is a single file; the file stream source wants a
     # directory listing, so stream the sf dir with a glob filter
@@ -326,6 +329,9 @@ def q35_streaming_first_per_key(spark, sf_dir):
     from synch_spark.streaming.stateful import streaming_first_per_key
 
     path = os.path.join(sf_dir, "events.parquet")
+    from synch_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)  # vanilla driver session: UTC + nanos confs
     schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
@@ -419,6 +425,9 @@ def q58_streaming_sessions(spark, sf_dir):
     from synch_spark.streaming.stateful import streaming_sessionize
 
     path = os.path.join(sf_dir, "events.parquet")
+    from synch_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)  # vanilla driver session: UTC + nanos confs
     schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
@@ -615,6 +624,9 @@ def q71_stream_stream_join(spark, sf_dir):
     import uuid
 
     path = os.path.join(sf_dir, "events.parquet")
+    from synch_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)  # vanilla driver session: UTC + nanos confs
     schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
@@ -781,6 +793,9 @@ def q84_stream_enrich(spark, sf_dir):
     seg = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
+    from synch_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)  # vanilla driver session: UTC + nanos confs
     path_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(path_schema)
