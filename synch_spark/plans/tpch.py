@@ -503,13 +503,17 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 def q61_top_supplier(spark, sf_dir):
     """TPC-H Q15: per-supplier revenue for one quarter, then the
     supplier(s) achieving the maximum — the scalar-subquery-on-aggregate
-    shape. The max is a GLOBAL WINDOW over the already-aggregated
-    per-supplier totals (tiny relative to lineitem), not a separate
-    agg + rejoin, which would execute the filtered lineitem scan twice
-    (the self-join-recompute trap). The max is computed on the same
-    exact-decimal totals the rows carry, so the equality is portable."""
-    from pyspark.sql import Window as W
-
+    shape. The scalar max is a one-row aggregate broadcast back onto the
+    per-supplier totals (the q89 threshold pattern), NOT a partition-less
+    window: a global window drags every per-supplier row onto one task,
+    which dies at 100 TB supplier cardinality, while the broadcast keeps
+    the filter map-side. The per-supplier aggregate is materialized ONCE
+    (eager localCheckpoint — distributed, |suppliers| rows) because AQE
+    does not prove exchange reuse across the broadcast-subquery boundary
+    here; both the scalar max and the equality filter read the
+    checkpointed partitions, so lineitem is scanned exactly once. The
+    max is computed on the same exact-decimal totals the rows carry, so
+    the equality is portable."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -519,9 +523,10 @@ def q61_top_supplier(spark, sf_dir):
             F.col("l_extendedprice").cast(DEC)
             * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
         ).alias("_total")
-    )
+    ).localCheckpoint(eager=True)
+    mx = rev.agg(F.max("_total").alias("_mx"))
     return (
-        rev.withColumn("_mx", F.max("_total").over(W.partitionBy()))
+        rev.join(F.broadcast(mx))
         .filter(F.col("_total") == F.col("_mx"))
         .join(F.broadcast(supp), F.col("_sk") == supp.s_suppkey)
         .select(
