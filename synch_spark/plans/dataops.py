@@ -1306,6 +1306,77 @@ ORDER BY user_id
 """
 
 
+# --- split-leakage audit: near-dup pairs straddling the train/val cut -------
+def q96_split_leakage(spark, sf_dir):
+    """Near-duplicate LEAKAGE audit of the q65 content-hash split: exact
+    duplicates can never straddle it (assignment hashes the text), but
+    near-duplicates — different bytes, high shingle overlap — can, and a
+    val doc whose near-twin sits in train silently inflates eval. The
+    audit joins the q20 inverted-index Jaccard similarity pairs (sampled
+    10% probe set, same sampling as q20) to each side's split and
+    reports pairs checked / pairs leaking / leak rate. This is the
+    measurement that motivates cluster-aware splitting (assign by dedup-
+    cluster representative, not per-doc) — the repair is one hash swap
+    in q65 once clusters exist. Plan shape: q20's shingle equi-join plus
+    two broadcast-able split lookups keyed on doc_id; the split column
+    derives map-side from the text already being scanned."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", threshold=JACCARD_T, n=3,
+        probe_filter=lambda a: a % 10 == 0,
+    )
+    d = F.conv(F.substring(F.md5("text"), 1, 1), 16, 10).cast("long")
+    splits = docs.select(
+        "doc_id", F.when(d < 12, "train").otherwise("val").alias("split")
+    )
+    sa = splits.select(F.col("doc_id").alias("a"), F.col("split").alias("_sa"))
+    sb = splits.select(F.col("doc_id").alias("b"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum((F.col("_sa") != F.col("_sb")).cast("int"))
+            .cast("bigint").alias("n_leaking"),
+        )
+        .select(
+            "n_pairs", "n_leaking",
+            (F.col("n_leaking").cast("double")
+             / F.greatest(F.col("n_pairs"), F.lit(1)).cast("double"))
+            .alias("leak_rate"),
+        )
+    )
+
+
+Q96_SQL = f"""
+WITH toks AS (SELECT doc_id, {{tok}} AS w FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+  WHERE len(w) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM tok x JOIN tok y ON x.t = y.t
+  WHERE x.doc_id < y.doc_id AND x.doc_id % 10 = 0
+  GROUP BY x.doc_id, y.doc_id),
+pairs AS (
+  SELECT a, b
+  FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {JACCARD_T}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 12
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN pa.split <> pb.split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaking,
+       CAST(SUM(CASE WHEN pa.split <> pb.split THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS leak_rate
+FROM pairs JOIN splits pa ON pa.doc_id = a JOIN splits pb ON pb.doc_id = b
+""".replace("{tok}", TOK_SQL)
+
+
 # --- aggregate-over-join MV (join-aggregate decomposition) -------------------
 def q95_join_mv(spark, sf_dir):
     """Incremental aggregate-over-join view: net event count/value per
@@ -1510,6 +1581,7 @@ DATAOPS_QUERIES = {
     "q80_curriculum_bins": (q80_curriculum_bins, Q80_SQL),
     "q81_incremental_mv": (q81_incremental_mv, Q81_SQL),
     "q95_join_mv": (q95_join_mv, Q95_SQL),
+    "q96_split_leakage": (q96_split_leakage, Q96_SQL),
     "q85_phrase_search": (q85_phrase_search, Q85_SQL),
     "q86_bm25": (q86_bm25, Q86_SQL),
 }
