@@ -360,3 +360,46 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", ham.cast("int")).filter(
         F.col("hamming") <= max_hamming
     ).select("a", "b", "hamming")
+
+
+# --- cluster-aware train/val split (leakage repair) ---------------------
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    train_frac_sixteenths: int = 12,
+) -> DataFrame:
+    """Assign train/val BY DUPLICATE CLUSTER, not by document: every
+    member of a near-dup cluster hashes through its cluster
+    representative, so no cluster — and therefore no near-dup pair the
+    clustering knows about — can straddle the split. This is the repair
+    for the leakage a per-document content-hash split exhibits on near
+    duplicates (different bytes, same content; measured by the
+    q96_split_leakage audit).
+
+    ``clusters`` is cluster_duplicates() output: (id, cluster_id) for
+    documents that HAVE near-dup partners; singletons (absent there)
+    hash through their own id — for them this degrades to the plain
+    per-doc split. The assignment key is md5(cluster representative id),
+    stable under re-ingestion order and re-partitioning; train gets
+    ``train_frac_sixteenths``/16 of hash space (12 = 75%, matching the
+    content-hash split's default).
+
+    Plan shape: one left join of the corpus against the (tiny relative
+    to corpus) cluster map, then a map-side hash — no shuffle beyond the
+    join, which broadcasts while the cluster map is small and degrades
+    to a key-partitioned join at scale.
+    """
+    cl = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster_id").alias("_cl")
+    )
+    key = F.coalesce(F.col("_cl"), F.col(id_col)).cast("string")
+    d = F.conv(F.substring(F.md5(key), 1, 1), 16, 10).cast("long")
+    return (
+        df.join(cl, id_col, "left")
+        .withColumn(
+            "split",
+            F.when(d < train_frac_sixteenths, "train").otherwise("val"),
+        )
+        .drop("_cl")
+    )

@@ -82,3 +82,33 @@ def test_check_on_empty_index(spark, index):
     batch = spark.createDataFrame([(1, DOC_A), (2, DOC_A)], ["doc_id", "text"])
     dups = {(r["new_id"], r["dup_of"]) for r in index.check(batch).collect()}
     assert dups == {(2, 1)}  # in-batch exact dup, no index yet
+
+
+def test_leakage_safe_split_repairs_pair_leakage(spark):
+    """After cluster-aware assignment, NO near-dup pair straddles the
+    split (the q96 audit's repair); singletons still split ~train_frac."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.operators import dedup
+
+    rows = [(i, f"unique text {i} " + "filler " * 5) for i in range(40)]
+    # two near-dup families the clustering will connect
+    rows += [(100, "a b c d e f g h"), (101, "a b c d e f g x"),
+             (102, "a b c d e f g y"), (200, "p q r s t u v w"),
+             (201, "p q r s t u v z")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.5, n=1)
+    clusters = dedup.cluster_duplicates(pairs)
+    out = dedup.leakage_safe_split(docs, clusters)
+    split = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split) == 45
+    leaking = [
+        (r["a"], r["b"]) for r in pairs.collect()
+        if split[r["a"]] != split[r["b"]]
+    ]
+    assert leaking == []
+    # family members share one assignment
+    assert len({split[i] for i in (100, 101, 102)}) == 1
+    assert len({split[i] for i in (200, 201)}) == 1
+    # both labels actually occur across the corpus
+    assert set(split.values()) == {"train", "val"}
