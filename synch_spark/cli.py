@@ -316,6 +316,19 @@ def cmd_mv(args) -> int:
     root = f"{warehouse}/_mv/{args.name}"
     if args.action == "create":
         if args.dim_source:
+            if not (args.dim_key and args.dim_group):
+                print(
+                    "mv create: --dim-source requires --dim-key and --dim-group",
+                    file=sys.stderr,
+                )
+                return 2
+            if args.minmax or args.hll:
+                print(
+                    "mv create: --minmax/--hll are not supported on join MVs "
+                    "(per-FK partials carry count/sum only)",
+                    file=sys.stderr,
+                )
+                return 2
             view = JoinMaterializedView.create(
                 spark, root, args.source, args.group_by.split(","),
                 args.sum.split(","), args.dim_source,

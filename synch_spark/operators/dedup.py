@@ -362,44 +362,65 @@ def simhash_near_pairs(
     ).select("a", "b", "hamming")
 
 
-# --- cluster-aware train/val split (leakage repair) ---------------------
+# --- content-hash train/val split + cluster-aware repair ----------------
+def content_split(
+    key,
+    train_frac_sixteenths: int = 12,
+):
+    """The canonical split assignment: first md5 nibble of ``key`` (a
+    Column), train when < ``train_frac_sixteenths`` (12 = 75%). ONE
+    definition shared by the per-doc split (q65), the leakage audit
+    (q96), and the cluster-aware repair below — de-synchronizing the
+    audit from the split it audits must be impossible."""
+    d = F.conv(F.substring(F.md5(key), 1, 1), 16, 10).cast("long")
+    return F.when(d < train_frac_sixteenths, F.lit("train")).otherwise(
+        F.lit("val")
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     clusters: DataFrame,
     id_col: str = "doc_id",
+    text_col: str = "text",
     train_frac_sixteenths: int = 12,
 ) -> DataFrame:
     """Assign train/val BY DUPLICATE CLUSTER, not by document: every
     member of a near-dup cluster hashes through its cluster
-    representative, so no cluster — and therefore no near-dup pair the
-    clustering knows about — can straddle the split. This is the repair
-    for the leakage a per-document content-hash split exhibits on near
-    duplicates (different bytes, same content; measured by the
-    q96_split_leakage audit).
+    REPRESENTATIVE'S TEXT, so no cluster — and therefore no near-dup
+    pair the clustering knows about — can straddle the split. This is
+    the repair for the leakage a per-document content-hash split
+    exhibits on near duplicates (different bytes, same content;
+    measured by the q96_split_leakage audit).
 
-    ``clusters`` is cluster_duplicates() output: (id, cluster_id) for
-    documents that HAVE near-dup partners; singletons (absent there)
-    hash through their own id — for them this degrades to the plain
-    per-doc split. The assignment key is md5(cluster representative id),
-    stable under re-ingestion order and re-partitioning; train gets
-    ``train_frac_sixteenths``/16 of hash space (12 = 75%, matching the
-    content-hash split's default).
+    ``clusters`` is cluster_duplicates() output: (id, cluster_id =
+    min member id) for documents that HAVE near-dup partners.
+    Singletons (absent there) hash their OWN text — bit-identical to
+    the plain content-hash split, so repairing leakage never reshuffles
+    untouched documents, and exact duplicates the cluster map missed
+    (e.g. built from sampled pairs) still co-locate because identical
+    text hashes identically.
 
-    Plan shape: one left join of the corpus against the (tiny relative
-    to corpus) cluster map, then a map-side hash — no shuffle beyond the
-    join, which broadcasts while the cluster map is small and degrades
-    to a key-partitioned join at scale.
+    Plan shape: the representative text lookup is a self-join of the
+    corpus pruned to one row per cluster (|clusters| rows — tiny
+    relative to the corpus), then one left join back and a map-side
+    hash; both joins broadcast while the cluster map is small and
+    degrade to key-partitioned joins at scale.
     """
-    cl = clusters.select(
-        F.col("id").alias(id_col), F.col("cluster_id").alias("_cl")
-    )
-    key = F.coalesce(F.col("_cl"), F.col(id_col)).cast("string")
-    d = F.conv(F.substring(F.md5(key), 1, 1), 16, 10).cast("long")
-    return (
-        df.join(cl, id_col, "left")
-        .withColumn(
-            "split",
-            F.when(d < train_frac_sixteenths, "train").otherwise("val"),
+    reps = (
+        clusters.select(F.col("cluster_id").alias(id_col)).distinct()
+        .join(df.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col).alias("_rep_id"),
+            F.col(text_col).alias("_rep_text"),
         )
-        .drop("_cl")
+    )
+    cl = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster_id").alias("_rep_id")
+    ).join(reps, "_rep_id")
+    key = F.coalesce(F.col("_rep_text"), F.col(text_col))
+    return (
+        df.join(cl.select(id_col, "_rep_text"), id_col, "left")
+        .withColumn("split", content_split(key, train_frac_sixteenths))
+        .drop("_rep_text")
     )

@@ -150,9 +150,9 @@ class MaterializedView:
         ]
 
     def _recompute_cols(self):
-        """(suffixed-name, family) pairs the delete path must rebuild."""
-        return [(f"{c}_{k}", "mm") for c in self.minmax_cols for k in ("min", "max")] + [
-            (f"{c}_hll", "hll") for c in self.hll_cols
+        """State column names the delete path must rebuild from base."""
+        return [f"{c}_{k}" for c in self.minmax_cols for k in ("min", "max")] + [
+            f"{c}_hll" for c in self.hll_cols
         ]
 
     def refresh_from_batch(self, typed_events: DataFrame,
@@ -217,12 +217,12 @@ class MaterializedView:
                 )
                 ren = recomp.select(
                     *self.group_cols,
-                    *[F.col(name).alias(f"_r_{name}") for name, _fam in rebuild],
+                    *[F.col(name).alias(f"_r_{name}") for name in rebuild],
                 )
                 keep = [
                     F.when(F.col("_had_del") == 1, F.col(f"_r_{name}"))
                     .otherwise(F.col(name)).alias(name)
-                    for name, _fam in rebuild
+                    for name in rebuild
                 ]
                 merged = merged.join(ren, self.group_cols, "left").select(
                     *self.group_cols, "n_delta",

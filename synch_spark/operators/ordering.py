@@ -76,10 +76,14 @@ def global_row_number(
     with_mid = ordered.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
         "_pid", F.shiftright("_mid", _PARTITION_SHIFT)
     )
-    # cache: the per-partition counts job and the main job must see the
-    # same partition layout (repartitionByRange samples -> nondeterministic
-    # bounds across recomputes)
-    with_mid = with_mid.persist()
+    # materialize ONCE (eager local checkpoint): the per-partition counts
+    # job and the main job must see the same partition layout
+    # (repartitionByRange samples -> nondeterministic bounds across
+    # recomputes). Checkpoint blocks are freed by the ContextCleaner when
+    # the returned frame is garbage collected — unlike session-held
+    # .persist() entries, which would pin a full input copy per call for
+    # the session's lifetime.
+    with_mid = with_mid.localCheckpoint(eager=True)
     counts = (
         with_mid.groupBy("_pid").count().orderBy("_pid").collect()
     )  # |partitions| rows — driver-safe at any data scale
@@ -121,9 +125,9 @@ def global_ntile(
         num_partitions=num_partitions,
         small_bytes=small_bytes,
     )
-    # distributed path: ranked is persisted, so this count is a cache read;
-    # small-input path: a recompute of a one-task window — both cheap
-    total = ranked.count()
+    # count the INPUT, not the ranked frame: identical row count, and it
+    # never executes the window/ordering machinery just to count
+    total = df.count()
     q, r = divmod(total, n)
     big = q + 1  # size of the first r buckets
     cutoff = r * big  # rows 1..cutoff live in the big buckets

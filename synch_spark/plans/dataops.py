@@ -646,8 +646,7 @@ def q65_hash_split(spark, sf_dir):
     leakage through dups). Pure projection + aggregate: scan-shaped,
     no shuffle except the tiny (split, source) rollup."""
     docs = _docs(spark, sf_dir)
-    d = F.conv(F.substring(F.md5("text"), 1, 1), 16, 10).cast("long")
-    out = docs.withColumn("split", F.when(d < 12, "train").otherwise("val"))
+    out = docs.withColumn("split", dedup.content_split(F.col("text")))
     return (
         out.groupBy("split", "source")
         .agg(
@@ -1325,9 +1324,8 @@ def q96_split_leakage(spark, sf_dir):
         docs, "text", "doc_id", threshold=JACCARD_T, n=3,
         probe_filter=lambda a: a % 10 == 0,
     )
-    d = F.conv(F.substring(F.md5("text"), 1, 1), 16, 10).cast("long")
     splits = docs.select(
-        "doc_id", F.when(d < 12, "train").otherwise("val").alias("split")
+        "doc_id", dedup.content_split(F.col("text")).alias("split")
     )
     sa = splits.select(F.col("doc_id").alias("a"), F.col("split").alias("_sa"))
     sb = splits.select(F.col("doc_id").alias("b"), F.col("split").alias("_sb"))

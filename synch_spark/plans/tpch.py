@@ -508,12 +508,13 @@ def q61_top_supplier(spark, sf_dir):
     window: a global window drags every per-supplier row onto one task,
     which dies at 100 TB supplier cardinality, while the broadcast keeps
     the filter map-side. The per-supplier aggregate is materialized ONCE
-    (eager localCheckpoint — distributed, |suppliers| rows) because AQE
-    does not prove exchange reuse across the broadcast-subquery boundary
-    here; both the scalar max and the equality filter read the
-    checkpointed partitions, so lineitem is scanned exactly once. The
-    max is computed on the same exact-decimal totals the rows carry, so
-    the equality is portable."""
+    (LAZY localCheckpoint — distributed, |suppliers| rows, computed on
+    first action so plan construction stays free) because AQE does not
+    prove exchange reuse across the broadcast-subquery boundary here;
+    both the scalar max and the equality filter read the checkpointed
+    partitions, so lineitem is scanned exactly once. The max is computed
+    on the same exact-decimal totals the rows carry, so the equality is
+    portable."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -523,7 +524,7 @@ def q61_top_supplier(spark, sf_dir):
             F.col("l_extendedprice").cast(DEC)
             * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
         ).alias("_total")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     mx = rev.agg(F.max("_total").alias("_mx"))
     return (
         rev.join(F.broadcast(mx))

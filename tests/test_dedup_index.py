@@ -91,7 +91,12 @@ def test_leakage_safe_split_repairs_pair_leakage(spark):
 
     from synch_spark.operators import dedup
 
-    rows = [(i, f"unique text {i} " + "filler " * 5) for i in range(40)]
+    # token-disjoint singletons: unigram Jaccard between any two is 0,
+    # so the clustering must leave them out of every cluster
+    rows = [
+        (i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h")
+        for i in range(40)
+    ]
     # two near-dup families the clustering will connect
     rows += [(100, "a b c d e f g h"), (101, "a b c d e f g x"),
              (102, "a b c d e f g y"), (200, "p q r s t u v w"),
@@ -112,3 +117,19 @@ def test_leakage_safe_split_repairs_pair_leakage(spark):
     assert len({split[i] for i in (200, 201)}) == 1
     # both labels actually occur across the corpus
     assert set(split.values()) == {"train", "val"}
+    # singletons must keep their per-doc CONTENT-hash assignment (the
+    # repair never reshuffles untouched documents), and cluster members
+    # must take their representative's content-hash assignment
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in docs.withColumn(
+            "split", dedup.content_split(F.col("text"))
+        ).collect()
+    }
+    clustered_ids = {r["id"] for r in clusters.collect()}
+    for i, s in split.items():
+        if i not in clustered_ids:
+            assert s == plain[i], f"singleton {i} moved"
+    rep = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    for i in clustered_ids:
+        assert split[i] == plain[rep[i]], f"member {i} != its representative"
