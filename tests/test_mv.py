@@ -523,3 +523,72 @@ def test_hll_full_build_and_reload(spark, tmp_path):
     assert re.hll_cols == ["u"]
     got = {r["k"]: (r["n"], r["u_ndv"]) for r in re.read().collect()}
     assert got == {"a": (3, 2), "b": (1, 1)}
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=mv_event_strategy,
+    batch_splits=st.lists(st.integers(min_value=1, max_value=19), max_size=2),
+)
+def test_join_mv_matches_replay_join_aggregate(
+    spark, tmp_path_factory, events, batch_splits
+):
+    """Property: chunked join-MV maintenance (per-FK partials, read-time
+    dim join) equals the one-shot join+aggregate over the final table
+    state, for ANY legal CDC stream (correct before-images, update-split)
+    and ANY batch split. The 'cat' field doubles as the FK; the dim maps
+    it to a segment — including one FK the dim lacks (dangling, dropped
+    by the inner-join read)."""
+    from pyspark.sql import types as T
+
+    from synch_spark.operators.mv import JoinMaterializedView
+
+    dim = {"a": "hot", "b": "cold"}  # "c" is dangling on purpose
+    legal, final = _legalize_with_images(events)
+    truth = {}
+    for row in final.values():
+        if row["cat"] not in dim:
+            continue
+        seg = dim[row["cat"]]
+        n, s = truth.get(seg, (0, 0))
+        truth[seg] = (n + 1, s + row["amount"])
+
+    jmv = JoinMaterializedView.create(
+        spark, str(tmp_path_factory.mktemp("jmvprop")), "db.t", ["cat"],
+        ["amount"], dim_source="db.d", dim_key_cols=["dk"],
+        dim_group_cols=["segment"],
+    )
+    vschema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cat", T.StringType()),
+            T.StructField("amount", T.LongType()),
+        ]
+    )
+    cuts = sorted(set(c for c in batch_splits if c < len(legal)))
+    bounds = [0] + cuts + [len(legal)]
+    us = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        rows = []
+        for action, before, after in legal[lo:hi]:
+            us += 1
+            rows.append(
+                ("db", "t", action,
+                 _json.dumps(before) if before else None,
+                 _json.dumps(after) if after else None, us)
+            )
+        raw = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+        jmv.refresh_from_batch(parse_values(split_updates(raw), vschema))
+    dim_df = spark.createDataFrame(
+        [Row(dk=k, segment=s) for k, s in dim.items()], "dk string, segment string"
+    )
+    got = {
+        r["segment"]: (r["n"], int(r["amount_sum"]))
+        for r in jmv.read(dim_df).collect()
+    }
+    assert got == truth
