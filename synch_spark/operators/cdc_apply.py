@@ -27,6 +27,8 @@ engine-specific ``handle_event`` accumulators:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from synch_spark.config import Engine, TableSpec
@@ -161,12 +163,20 @@ def _classify_files(table, changed_keys, upserts, part, pk):
 
     Leading-pk pruning is conservative (a first-column match without a
     full composite match just means a needless rewrite candidate), so
-    correctness never depends on stats quality. Returns
+    correctness never depends on stats quality. When a file carries a
+    Bloom sidecar (sources.bloom, built by optimize/compaction), a
+    min/max range hit is refined by probing the bloom with just the
+    batch keys inside the file's range — interleaved-key files whose
+    ranges overlap everything stop being rewrite candidates unless a
+    key (almost certainly) lives there; no false negatives, so a bloom
+    can only ever turn a needless rewrite into a link. Returns
     (candidates, links, touched_values) or None when stats can't prove
     anything (null keys, missing/unorderable stats) — caller falls back
     to the scan-based probe.
     """
     import bisect
+
+    from synch_spark.sources import bloom as bloom_idx
 
     keys = [r[0] for r in changed_keys.select(pk[0]).distinct().collect()]
     if not keys or any(k is None for k in keys):
@@ -185,7 +195,14 @@ def _classify_files(table, changed_keys, upserts, part, pk):
                 hit = True
                 if rng is not None:
                     i = bisect.bisect_left(sk, rng[0])
-                    hit = i < len(sk) and sk[i] <= rng[1]
+                    j = bisect.bisect_right(sk, rng[1])
+                    hit = j > i
+                    if hit:
+                        bl = bloom_idx.load_bloom(
+                            table.root, os.path.basename(f), pk[0]
+                        )
+                        if bl is not None:
+                            hit = bloom_idx.might_contain_any(bl, sk[i:j])
                 (cand_here if hit else link_here).append(f)
             dval = _partition_dir_value(dirname)
             if cand_here or dval in upsert_strs:
@@ -279,10 +296,22 @@ def compact_table(
         # zorder_layout range-partitions + sorts by the interleaved key;
         # overwrite preserves that file layout (no cluster_by re-sort)
         table.overwrite(zorder_layout(state, list(zorder)), spec.partition_by)
+        _refresh_blooms(table, spec)
         return
     # re-cluster on pk so post-compaction files have tight, disjoint pk
     # ranges — restores file-level merge pruning degraded by appends
     table.overwrite(state, spec.partition_by, cluster_by=spec.pk or None)
+    _refresh_blooms(table, spec)
+
+
+def _refresh_blooms(table: ParquetTable, spec: TableSpec) -> None:
+    """Maintenance hook: (re)build per-file Bloom sidecars on the leading
+    pk after compaction rewrote the file set — merge pruning then has
+    both tight min/max ranges AND membership filters."""
+    if spec.has_pk:
+        from synch_spark.sources.bloom import build_file_blooms
+
+        build_file_blooms(table, spec.pk[0])
 
 
 def register_final_view(spark, table: ParquetTable, spec: TableSpec, name: str | None = None):

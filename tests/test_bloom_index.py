@@ -1,0 +1,140 @@
+"""Per-file Bloom index: membership pruning beyond footer min/max."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from synch_spark.config import Engine, TableSpec
+from synch_spark.operators.cdc_apply import apply_cdc_batch, compact_table
+from synch_spark.sources import bloom
+from synch_spark.sources.table import ParquetTable
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from synch_spark.session import get_spark
+
+    return get_spark("test-bloom", cpus=8)
+
+
+def test_bloom_membership_no_false_negatives(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(1000).select(F.col("id").alias("k"),
+                                         (F.col("id") * 2).alias("v")))
+    assert bloom.build_file_blooms(t, "k") >= 1
+    vdir = t._version_dir(t.current_version())
+    files = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+    hits = misses = 0
+    for name in files:
+        bl = bloom.load_bloom(t.root, name, "k")
+        assert bl is not None
+        import pyarrow.parquet as pq
+
+        present = pq.read_table(os.path.join(vdir, name), columns=["k"])
+        present = present.column(0).to_pylist()
+        # every present key must probe True (no false negatives)
+        assert bloom.might_contain_any(bl, [present[0]])
+        assert bloom.might_contain_any(bl, [present[-1]])
+        # absent keys: mostly False (fpp ~1%; 50 probes, allow a few)
+        for probe in range(5000, 5050):
+            if bloom.might_contain_any(bl, [probe]):
+                hits += 1
+            else:
+                misses += 1
+    assert misses > hits * 5  # overwhelmingly pruned
+
+
+def test_bloom_wrong_column_and_missing_sidecar(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t2"))
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    assert bloom.load_bloom(t.root, "nonexistent.parquet", "k") is None
+    bloom.build_file_blooms(t, "k")
+    vdir = t._version_dir(t.current_version())
+    name = [f for f in os.listdir(vdir) if f.endswith(".parquet")][0]
+    assert bloom.load_bloom(t.root, name, "other_col") is None
+
+
+def _events(spark, rows):
+    # (action, k, part, v, us)
+    return spark.createDataFrame(
+        rows, "action string, k long, p string, v double, event_unixtime long"
+    ).withColumn("action_seq", F.lit(0)).withColumn("schema", F.lit("db")) \
+     .withColumn("table", F.lit("t"))
+
+
+def test_interleaved_files_pruned_by_bloom_not_minmax(spark, tmp_path):
+    """Two files in one partition with fully OVERLAPPING key ranges
+    (evens vs odds): min/max cannot prune either, but the bloom proves
+    the odd file holds no touched (even) key — after the merge the odd
+    file must be HARD-LINKED (same inode), not rewritten, and the table
+    content must be exactly the merged state."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
+    t = ParquetTable(spark, str(tmp_path / "t3"))
+    evens = [(k, "a", float(k)) for k in range(0, 200, 2)]
+    odds = [(k, "a", float(k)) for k in range(1, 200, 2)]
+    df_e = spark.createDataFrame(evens, "k long, p string, v double").coalesce(1)
+    df_o = spark.createDataFrame(odds, "k long, p string, v double").coalesce(1)
+    t.overwrite(df_e, "p")
+    t.append(df_o, "p")
+    bloom.build_file_blooms(t, "k")
+    vdir = t._version_dir(t.current_version())
+    pdir = os.path.join(vdir, "p=a")
+    before = {
+        f: os.stat(os.path.join(pdir, f)).st_ino
+        for f in os.listdir(pdir) if f.endswith(".parquet")
+    }
+    assert len(before) == 2
+    # touch two EVEN keys only
+    batch = _events(spark, [("insert", 0, "a", 100.0, 10),
+                            ("delete", 2, "a", 2.0, 11)])
+    apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
+    vdir2 = t._version_dir(t.current_version())
+    pdir2 = os.path.join(vdir2, "p=a")
+    after = {
+        f: os.stat(os.path.join(pdir2, f)).st_ino
+        for f in os.listdir(pdir2) if f.endswith(".parquet")
+    }
+    linked = set(before) & set(after)
+    assert linked, "odd-keys file should survive by hard link"
+    for f in linked:
+        assert before[f] == after[f], "linked file must be the same inode"
+    # and the merged content is right
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[0] == 100.0 and 2 not in got and got[3] == 3.0
+    assert len(got) == 199  # 100 evens - 1 delete + 100 odds... minus?
+    # 100 evens (k=0..198) + 100 odds (k=1..199) = 200; delete k=2 -> 199
+
+
+def test_merge_without_blooms_unchanged(spark, tmp_path):
+    """No sidecars: behavior identical to pure min/max classification."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
+    t = ParquetTable(spark, str(tmp_path / "t4"))
+    t.overwrite(spark.createDataFrame(
+        [(k, "a", float(k)) for k in range(50)], "k long, p string, v double"
+    ), "p")
+    batch = _events(spark, [("insert", 7, "a", 70.0, 10)])
+    apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[7] == 70.0 and len(got) == 50
+
+
+def test_compact_table_builds_blooms(spark, tmp_path):
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    t = ParquetTable(spark, str(tmp_path / "t5"))
+    t.overwrite(spark.createDataFrame(
+        [(k, float(k), 1, 0) for k in range(20)],
+        "k long, v double, _version long, _event_unixtime long",
+    ))
+    compact_table(t, spec)
+    vdir = t._version_dir(t.current_version())
+    names = []
+    for dirpath, _d, files in os.walk(vdir):
+        names += [f for f in files if f.endswith(".parquet")]
+    assert names
+    assert all(bloom.load_bloom(t.root, n, "k") is not None for n in names)
