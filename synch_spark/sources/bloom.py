@@ -128,3 +128,71 @@ def might_contain_any(bloom, keys) -> bool:
         else:
             return True
     return False
+
+
+def prune_files(table, column: str, keys) -> list[str] | None:
+    """Current-version data files that might hold any of ``keys`` in
+    ``column``, by footer min/max refined with Bloom sidecars — no data
+    pages read. None when pruning can't prove anything for some file
+    (missing/unorderable stats AND no bloom): callers must then scan
+    normally. An empty list is a proof that NO file holds any key."""
+    import bisect
+
+    from synch_spark.sources.table import file_key_range
+
+    sk = sorted(keys)
+    if not sk or any(k is None for k in sk):
+        return None
+    out: list[str] = []
+    vdir = table._version_dir(table.current_version())
+    for dirpath, _dirs, files in os.walk(vdir):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(dirpath, name)
+            bl = load_bloom(table.root, name, column)
+            try:
+                rng = file_key_range(path, column)
+            except Exception:  # unreadable footer: treat as statless
+                rng = None
+            if rng is None:
+                if bl is None:
+                    return None  # this file is unprovable either way
+                if might_contain_any(bl, sk):
+                    out.append(path)
+                continue
+            try:
+                i = bisect.bisect_left(sk, rng[0])
+                j = bisect.bisect_right(sk, rng[1])
+            except TypeError:
+                return None  # stats don't order against the key type
+            if j <= i:
+                continue  # outside every key: range alone proves absence
+            if bl is not None and not might_contain_any(bl, sk[i:j]):
+                continue  # bloom proves absence despite range overlap
+            out.append(path)
+    return out
+
+
+def point_lookup(table, column: str, keys) -> "object":
+    """Read only the files that might contain ``keys`` (stats+bloom
+    pruned), then apply the exact filter. The 100 TB needle path: a
+    pk-clustered + bloomed table answers a handful-of-keys lookup by
+    opening a handful of files instead of scanning the table. Falls
+    back to a full-scan filter when pruning can't prove coverage."""
+    from pyspark.sql import functions as F
+
+    current = table.read()
+    files = prune_files(table, column, list(keys))
+    flt = F.col(column).isin(list(keys))
+    if files is None:
+        return current.filter(flt)
+    if not files:
+        return current.limit(0)
+    vdir = table._version_dir(table.current_version())
+    spark = current.sparkSession
+    return (
+        spark.read.option("basePath", vdir).parquet(*files)
+        .select(*current.columns)
+        .filter(flt)
+    )

@@ -138,3 +138,52 @@ def test_compact_table_builds_blooms(spark, tmp_path):
         names += [f for f in files if f.endswith(".parquet")]
     assert names
     assert all(bloom.load_bloom(t.root, n, "k") is not None for n in names)
+
+
+def test_point_lookup_prunes_and_matches(spark, tmp_path):
+    """Pruned lookup returns exactly the full-scan filter's rows while
+    provably opening fewer files; keys absent everywhere prune to an
+    empty (schema-stable) result."""
+    from synch_spark.sources.bloom import point_lookup, prune_files
+
+    t = ParquetTable(spark, str(tmp_path / "t6"))
+    # 4 range-disjoint files (explicit repartition: AQE would coalesce
+    # a write this tiny into one file, defeating the pruning assertion)
+    df = (
+        spark.range(400)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    t.overwrite(df)
+    bloom.build_file_blooms(t, "k")
+    vdir = t._version_dir(t.current_version())
+    n_files = sum(
+        1 for _, _, fs in os.walk(vdir) for f in fs if f.endswith(".parquet")
+    )
+    keys = [5, 7]
+    files = prune_files(t, "k", keys)
+    assert files is not None and 0 < len(files) < n_files
+    got = {r["k"]: r["v"] for r in point_lookup(t, "k", keys).collect()}
+    want = {r["k"]: r["v"] for r in t.read().filter(F.col("k").isin(keys)).collect()}
+    assert got == want == {5: 15, 7: 21}
+    # absent keys: empty proof, schema preserved
+    empty = point_lookup(t, "k", [100000, 100001])
+    assert empty.columns == t.read().columns
+    assert empty.count() == 0
+
+
+def test_point_lookup_falls_back_without_proof(spark, tmp_path):
+    """String-keyed table without blooms still answers correctly via the
+    full-scan fallback path (and after blooms exist, prunes)."""
+    from synch_spark.sources.bloom import point_lookup
+
+    t = ParquetTable(spark, str(tmp_path / "t7"))
+    t.overwrite(spark.createDataFrame(
+        [(f"k{i}", i) for i in range(50)], "k string, v long"
+    ))
+    got = {r["k"]: r["v"] for r in point_lookup(t, "k", ["k7", "k9"]).collect()}
+    assert got == {"k7": 7, "k9": 9}
+    bloom.build_file_blooms(t, "k")
+    got2 = {r["k"]: r["v"] for r in point_lookup(t, "k", ["k7", "k9"]).collect()}
+    assert got2 == got
