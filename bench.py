@@ -26,6 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # The driver parses stdout as JSON; Spark's JVM (a subprocess that inherits
+    # fd 1) and py4j both write progress chatter there.  Save the real stdout,
+    # then point fd 1 at stderr BEFORE the JVM launches so every byte of
+    # chatter lands on stderr; the JSON line is written to the saved fd last.
+    real_stdout_fd = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(2), "w")  # python-level prints → stderr too
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     serial = os.environ.get("SPARK_GRAFT_BENCH_SERIAL") == "1"
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -80,7 +89,17 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    # stop the session first so the JVM can't emit shutdown chatter after
+    # (or interleaved with) the JSON line
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 — teardown noise must not eat the payload
+        pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+    with os.fdopen(real_stdout_fd, "w") as out:
+        out.write(json.dumps(payload) + "\n")
+        out.flush()
 
 
 if __name__ == "__main__":
