@@ -135,10 +135,11 @@ def _merge_cow(
     candidates, links, vals = pruned
     if not vals:
         return
-    spark = current.sparkSession
-    base = table._version_dir(table.current_version())
+    # read_files applies the same schema reconciliation as table.read(),
+    # so candidate files written before a metadata-only DDL still surface
+    # the current logical columns
     affected = (
-        spark.read.option("basePath", base).parquet(*candidates)
+        table.read_files(candidates)
         if candidates
         else current.limit(0)
     )

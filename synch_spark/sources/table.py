@@ -27,7 +27,9 @@ import os
 import shutil
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from synch_spark.sources import schema_evolution as se
 
 _CURRENT = "_CURRENT"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -256,12 +258,7 @@ class ParquetTable:
             if name.startswith("v=") and os.path.isdir(os.path.join(self.root, name))
         )
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read of the current version, or time-travel to a
-        retained earlier ``version`` (raises if already GC'd). Every
-        read pins one immutable version directory — readers never see a
-        torn write, and a concurrent commit doesn't change rows under a
-        running query."""
+    def _resolve_version(self, version: int | None) -> int:
         v = self.current_version()
         if v < 0:
             raise FileNotFoundError(f"table {self.root} has no committed version")
@@ -272,7 +269,68 @@ class ParquetTable:
                     f"(have {self.versions()})"
                 )
             v = version
-        return self.spark.read.parquet(self._version_dir(v))
+        return v
+
+    def schema_spec(self, version: int | None = None) -> "se.TableSchema | None":
+        """The logical-schema document committed with the given (default
+        current) version, or None when the version's physical schema IS
+        the logical schema (no metadata-only DDL in its lineage)."""
+        if self.current_version() < 0:
+            return None
+        return se.load_schema(self._version_dir(self._resolve_version(version)))
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read of the current version, or time-travel to a
+        retained earlier ``version`` (raises if already GC'd). Every
+        read pins one immutable version directory — readers never see a
+        torn write, and a concurrent commit doesn't change rows under a
+        running query.
+
+        When the version carries a schema document (metadata-only DDL,
+        sources.schema_evolution) the read reconciles heterogeneous
+        physical files against it — renamed/added/dropped columns
+        resolve without any file having been rewritten."""
+        v = self._resolve_version(version)
+        vdir = self._version_dir(v)
+        spec = se.load_schema(vdir)
+        if spec is None:
+            return self.spark.read.parquet(vdir)
+        return spec.reconciled_read(self.spark, vdir)
+
+    def read_files(self, paths: list[str], version: int | None = None) -> DataFrame:
+        """Read a subset of the given version's data files (merge-pruning
+        path) with the SAME logical schema as ``read()`` — including
+        partition-dir columns (basePath) and schema reconciliation."""
+        v = self._resolve_version(version)
+        vdir = self._version_dir(v)
+        spec = se.load_schema(vdir)
+        if spec is None:
+            return self.spark.read.option("basePath", vdir).parquet(*paths)
+        return spec.reconciled_read(self.spark, paths, base_path=vdir)
+
+    def commit_schema(self, ts: "se.TableSchema") -> None:
+        """Metadata-only DDL commit: a new version whose data files are
+        hard links to every current file, plus the evolved schema
+        document. O(files) metadata, zero bytes of data rewritten —
+        the ClickHouse/Delta ALTER cost model (ref synch/convert.py:
+        123-130 translates ALTERs; ClickHouse applies them as metadata
+        mutations)."""
+        v_old = self.current_version()
+        if v_old < 0:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        staging = self._staging_dir()
+        _link_tree(self._version_dir(v_old), staging)
+        # the link tree carried the OLD schema doc; replace (or drop) it
+        se.save_schema(staging, ts)
+        self._commit(v_old + 1, staging)
+
+    def _stamp_gen(self, df: DataFrame, spec: "se.TableSchema | None") -> DataFrame:
+        """Writes into a schema-carrying version stamp the hidden _sgen
+        generation column so default-bearing ADDs stay row-exact (a
+        post-DDL explicit NULL is distinguishable from a pre-DDL row)."""
+        if spec is not None and spec.needs_gen:
+            return df.withColumn(se.GEN_COL, F.lit(spec.gen).cast("long"))
+        return df
 
     def overwrite(
         self,
@@ -367,7 +425,12 @@ class ParquetTable:
             return
         v_new = v_old + 1
         new_dir = self._staging_dir()
+        # hard-linked files keep their (possibly pre-DDL) physical schema,
+        # so the schema document must ride into the new version too
+        spec = se.load_schema(self._version_dir(v_old))
+        df = self._stamp_gen(df, spec)
         df.write.mode("overwrite").partitionBy(partition_by).parquet(new_dir)
+        se.save_schema(new_dir, spec)
         touched = {None if v is None else str(v) for v in touched_values}
         prefix = f"{partition_by}="
         old_dir = self._version_dir(v_old)
@@ -399,6 +462,7 @@ class ParquetTable:
         if v < 0:
             self.overwrite(df, partition_by)
             return
+        df = self._stamp_gen(df, se.load_schema(self._version_dir(v)))
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(partition_by)

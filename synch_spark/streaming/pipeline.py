@@ -33,6 +33,7 @@ from synch_spark.config import SyncConfig, TableSpec
 from synch_spark.ddl import apply_alter, parse_alter
 from synch_spark.events import RAW_EVENT_SCHEMA, filter_dml, parse_values, split_updates
 from synch_spark.operators.cdc_apply import apply_cdc_batch
+from synch_spark.sources.schema_evolution import TableSchema, evolve_schema
 from synch_spark.sources.table import ParquetTable
 
 MONITOR_SCHEMA = T.StructType(
@@ -153,7 +154,17 @@ class CdcPipeline:
                 self._log(spec, tevents.count())
 
     def _apply_ddl(self, row) -> None:
-        """W7: ALTER arrives as values={"query": "<sql>"} on the stream."""
+        """W7: ALTER arrives as values={"query": "<sql>"} on the stream.
+
+        The apply is METADATA-ONLY whenever possible (sources.
+        schema_evolution): a new table version of hard links plus an
+        evolved schema document — ADD/RENAME/DROP on a 100 TB table
+        costs O(files) metadata while the DDL barrier holds, not a
+        full-table rewrite. Data files rewrite only when the reader
+        cannot reconcile them (MODIFY narrowing, name reuse after a
+        drop) or when the op touches the pk / partition column (the
+        merge's stats pruning and partition layout key on their
+        physical names)."""
         spec = self.cfg.tables.get(f"{row['schema']}.{row['table']}")
         if spec is None:
             return
@@ -161,7 +172,20 @@ class CdcPipeline:
         ops = parse_alter(sql)
         table = self.table_for(spec)
         if table.exists:
-            table.overwrite(apply_alter(table.read(), ops), spec.partition_by)
+            ts = table.schema_spec() or TableSchema.from_struct(table.read().schema)
+            evolved, reasons = evolve_schema(ts, ops)
+            layout_cols = set(spec.pk) | (
+                {spec.partition_by} if spec.partition_by else set()
+            )
+            touches_layout = any(
+                op.column in layout_cols or (op.new_column or "") in layout_cols
+                for op in ops
+            )
+            if reasons or touches_layout:
+                # plan is built against the OLD version before overwrite
+                table.overwrite(apply_alter(table.read(), ops), spec.partition_by)
+            else:
+                table.commit_schema(evolved)
         # evolve the declared value schema so subsequent events parse
         vschema = self.value_schemas.get(spec.qualified_name)
         if vschema is not None:
