@@ -1,0 +1,115 @@
+"""Broker boundary: producers that move change events out of the engine.
+
+Parity targets (B1/B3): the reference's Kafka broker produces each
+event to topic ``{queue_prefix}.{schema}`` keyed by the schema name
+(/root/reference/synch/broker/kafka.py:21-33), and its Redis broker
+LPUSHes the same payload (/root/reference/synch/broker/redis.py:15-23).
+Here both sides are Spark jobs:
+
+- ``kafka_writer`` configures a distributed ``format("kafka")`` batch
+  write of an event frame — every executor produces its partition of
+  events directly to the brokers; the driver never materializes a row.
+  The builder is separated from ``.save()`` so environments without the
+  spark-sql-kafka connector jar (this container) can still contract-test
+  the exact options/columns, and ``cli produce --sink kafka`` fails with
+  an actionable message instead of a stack.
+- ``write_event_spool`` is the file form the test/e2e consumer reads:
+  a distributed partitioned JSON write into a ``_``-prefixed staging dir
+  (invisible to Spark file listings), then O(#files) driver renames into
+  the consumer's events_dir. Replaces the round-1 ``toPandas()`` spool,
+  which streamed the entire first-round snapshot through driver memory.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, functions as F
+
+#: columns every producer payload carries (events.RAW_EVENT_SCHEMA order)
+EVENT_COLUMNS = ["schema", "table", "action", "before", "after", "event_unixtime"]
+
+
+def kafka_payload(events: DataFrame, queue_prefix: str = "synch") -> DataFrame:
+    """The (key, value, topic) frame a Kafka batch write produces.
+
+    Topic/key parity with the reference broker: one topic per source
+    schema (``{queue_prefix}.{schema}``), messages keyed by the schema
+    name so a consumer group partitions by source database. ``value`` is
+    the full event JSON — exactly what RAW_EVENT_SCHEMA parses back.
+    Split out from the writer so the mapping is testable without the
+    connector jar.
+    """
+    return events.select(
+        F.col("schema").cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in EVENT_COLUMNS])).alias("value"),
+        F.concat(F.lit(queue_prefix + "."), F.col("schema")).alias("topic"),
+    )
+
+
+def kafka_writer(
+    events: DataFrame,
+    bootstrap_servers: str,
+    queue_prefix: str = "synch",
+):
+    """Configured (not yet executed) Kafka batch writer for an event
+    frame. Call ``.save()`` to produce; requires the
+    spark-sql-kafka-0-10 connector on the classpath."""
+    return (
+        kafka_payload(events, queue_prefix)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+    )
+
+
+def produce_to_kafka(
+    events: DataFrame, bootstrap_servers: str, queue_prefix: str = "synch"
+) -> None:
+    """Execute the Kafka produce; raise a clear error when the connector
+    jar is absent (the baked-in pyspark ships without it)."""
+    try:
+        kafka_writer(events, bootstrap_servers, queue_prefix).save()
+    except Exception as e:  # noqa: BLE001 — translate the classpath failure
+        if "kafka" in str(e).lower() and (
+            "Failed to find" in str(e) or "ClassNotFound" in str(e)
+        ):
+            raise RuntimeError(
+                "spark-sql-kafka connector not on the classpath; launch with "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+                "or use the file spool sink"
+            ) from e
+        raise
+
+
+def write_event_spool(
+    events: DataFrame, events_dir: str, basename: str
+) -> int:
+    """Distributed newline-JSON spool write for the file-stream consumer.
+
+    Executors write part files into ``events_dir/_staging.<basename>``
+    (``_`` prefix: Spark file listings — including the consumer's
+    readStream — ignore it), then the driver renames each part into
+    ``events_dir`` as ``<basename>.<i>.json``. Renames are atomic, so
+    the consumer sees only whole files; driver cost is O(#part files)
+    metadata, never O(rows).
+
+    Returns the number of spool files created (0 for an empty frame).
+    """
+    os.makedirs(events_dir, exist_ok=True)
+    staging = os.path.join(events_dir, f"_staging.{basename}")
+    events.select(*EVENT_COLUMNS).write.mode("overwrite").json(staging)
+    i = 0
+    try:
+        for f in sorted(os.listdir(staging)):
+            if f.startswith("part-") and ".json" in f and os.path.getsize(
+                os.path.join(staging, f)
+            ):
+                os.replace(
+                    os.path.join(staging, f),
+                    os.path.join(events_dir, f"{basename}.{i}.json"),
+                )
+                i += 1
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return i

@@ -51,12 +51,18 @@ def cmd_etl(args) -> int:
 def cmd_produce(args) -> int:
     """EP2 analog without a binlog: poll each source table, diff against
     the previous snapshot (kept in the warehouse under _producer_state),
-    and append the change events to the consume stream's events_dir.
-    The reference needs MySQL binlog / PG logical replication here
+    and push the change events to the broker boundary — the consume
+    stream's events_dir (distributed spool write, broker.py) or Kafka
+    (`--sink kafka`, topic-per-schema parity with
+    /root/reference/synch/broker/kafka.py:21-33). The reference needs
+    MySQL binlog / PG logical replication here
     (/root/reference/synch/reader/mysql.py:81-126); snapshot-diff works
-    against ANY source Spark can read."""
+    against ANY source Spark can read. `--driver-spool` keeps the
+    round-1 single-file driver write for tests that want exactly one
+    spool file."""
     import time as _time
 
+    from synch_spark.broker import produce_to_kafka, write_event_spool
     from synch_spark.sources.snapshot_diff import diff_snapshots
     from synch_spark.sources.table import ParquetTable as _PT
 
@@ -101,13 +107,31 @@ def cmd_produce(args) -> int:
                 events = diff_snapshots(
                     state.read(), src, spec.pk, spec.schema, spec.table, now_us
                 )
-            n = events.count()
-            if n:
-                out = os.path.join(events_dir, f"{spec.schema}.{spec.table}.{now_us}.json")
-                pdf = events.toPandas()
-                with open(out, "w") as f:
-                    f.write(pdf.to_json(orient="records", lines=True))
-                emitted += n
+            # one materialization feeds both the count and the sink write
+            events = events.persist()
+            try:
+                n = events.count()
+                if n:
+                    basename = f"{spec.schema}.{spec.table}.{now_us}"
+                    if args.sink == "kafka":
+                        produce_to_kafka(
+                            events,
+                            raw["spark"]["kafka"]["bootstrap_servers"],
+                            raw["spark"]["kafka"].get("queue_prefix", "synch"),
+                        )
+                    elif args.driver_spool:
+                        out = os.path.join(events_dir, basename + ".json")
+                        with open(out, "w") as f:
+                            f.write(
+                                events.toPandas().to_json(
+                                    orient="records", lines=True
+                                )
+                            )
+                    else:
+                        write_event_spool(events, events_dir, basename)
+                    emitted += n
+            finally:
+                events.unpersist()
             state.overwrite(src)
         print(json.dumps({"produce_round": i, "events": emitted}))
         if i + 1 < rounds:
@@ -380,6 +404,14 @@ def main(argv=None) -> int:
     pr = sub.add_parser("produce", help="snapshot-diff polling CDC producer")
     pr.add_argument("--once", action="store_true")
     pr.add_argument("--rounds", type=int, default=1_000_000)
+    pr.add_argument(
+        "--sink", choices=["spool", "kafka"], default="spool",
+        help="spool: distributed JSON into events_dir; kafka: topic-per-schema",
+    )
+    pr.add_argument(
+        "--driver-spool", action="store_true",
+        help="single-file driver-side spool (test form; O(rows) driver memory)",
+    )
     pr.set_defaults(fn=cmd_produce)
     k = sub.add_parser("check", help="count/checksum parity")
     k.add_argument("--checksum", action="store_true")
