@@ -28,10 +28,29 @@ def _load(config_path: str):
         return yaml.safe_load(f)
 
 
+def _resolve_pks(raw, cfg, spark) -> None:
+    """S7: when a `spark.jdbc` block is configured, fill every TableSpec
+    lacking an explicit pk from the source catalog (information_schema /
+    pg_index; sources.catalog). Config-declared pks always win."""
+    j = (raw.get("spark") or {}).get("jdbc")
+    if not j:
+        return
+    from synch_spark.sources.catalog import discover_pk, resolve_pks
+
+    resolve_pks(
+        cfg,
+        lambda s, t: discover_pk(
+            spark, j["url"], j.get("dialect", "mysql"), s, t,
+            **(j.get("options") or {}),
+        ),
+    )
+
+
 def cmd_etl(args) -> int:
     raw = _load(args.config)
     cfg = config_from_dict(raw)
     spark = get_spark("synch-etl")
+    _resolve_pks(raw, cfg, spark)
     warehouse = raw["spark"]["warehouse"]
     results = {}
     for name, spec in cfg.tables.items():
@@ -69,6 +88,7 @@ def cmd_produce(args) -> int:
     raw = _load(args.config)
     cfg = config_from_dict(raw)
     spark = get_spark("synch-produce")
+    _resolve_pks(raw, cfg, spark)
     warehouse = raw["spark"]["warehouse"]
     events_dir = raw["spark"]["events_dir"]
     import os
@@ -143,6 +163,7 @@ def cmd_consume(args) -> int:
     raw = _load(args.config)
     cfg = config_from_dict(raw)
     spark = get_spark("synch-consume")
+    _resolve_pks(raw, cfg, spark)
     from pyspark.sql import types as T
 
     from synch_spark.streaming.pipeline import CdcPipeline
