@@ -139,10 +139,17 @@ def hyperplane_signature(
     {-1,+1} — deterministic, no driver-side randomness to ship. Multiple
     independent tables are the standard recall lever: a pair collides if
     it agrees in ANY table.
+
+    ``num_planes=0`` is the degenerate exhaustive setting: every row
+    gets signature 0 (one bucket — candidate pruning off). Spark's
+    ``sequence(0, -1)`` DESCENDS rather than being empty, so the case
+    must short-circuit instead of falling through the fold.
     """
     dim = F.size(F.col(vec_col))
     tables = F.explode(F.sequence(F.lit(0), F.lit(num_tables - 1))).alias("_tbl")
     out = df.select("*", tables)
+    if num_planes == 0:
+        return out.withColumn("_sig", F.lit(0).cast("long"))
     planes = F.transform(
         F.sequence(F.lit(0), F.lit(num_planes - 1)),
         lambda p: F.aggregate(
@@ -260,15 +267,39 @@ def ivf_centroids(
     corpus: DataFrame, num_centroids: int = 16, vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Deterministic sampled centroids (IVF-flat): every (n/k)-th vector
-    by id. K-means refinement is an optional upgrade; sampled centroids
-    already give balanced buckets on shuffled corpora and keep the whole
-    index build to one scan."""
-    n = corpus.count()
-    stride = max(n // num_centroids, 1)
-    return (
-        corpus.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < num_centroids))
-        .select((F.col(id_col) / stride).cast("int").alias("cid"), F.col(vec_col).alias("cvec"))
+    """Deterministic hash-rank sampled centroids (IVF-flat): the
+    ``num_centroids`` vectors with the smallest ``xxhash64(id)`` — a
+    uniform draw over ANY id domain (sparse, negative, string), unlike
+    the earlier ``id % stride`` scheme, which skewed or truncated the
+    centroid set whenever ids weren't dense integers starting at 0.
+
+    ``orderBy(hash).limit(k)`` executes as TakeOrdered (per-partition
+    top-k, merged on the driver — no global sort shuffle); the k
+    surviving rows are a bounded O(k) driver hop, the same size as the
+    broadcast ``ivf_assign`` does with them anyway. K-means refinement
+    (vector_index.ivf_refine) is the optional upgrade; hash-sampled
+    centroids already give balanced buckets and keep the index build to
+    one scan."""
+    sample = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("cvec"),
+            F.xxhash64(F.col(id_col)).alias("_h"),
+        )
+        .orderBy("_h", "_id")
+        .limit(num_centroids)
+    )
+    rows = sample.collect()  # bounded: exactly num_centroids rows
+    rows.sort(key=lambda r: (r["_h"], r["_id"]))
+    spark = corpus.sparkSession
+    from pyspark.sql import types as T
+
+    vec_type = sample.schema["cvec"].dataType
+    schema = T.StructType(
+        [T.StructField("cid", T.IntegerType()), T.StructField("cvec", vec_type)]
+    )
+    return spark.createDataFrame(
+        [(i, r["cvec"]) for i, r in enumerate(rows)], schema
     )
 
 
@@ -280,13 +311,24 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     num_centroids: int = 16,
     nprobe: int = 4,
+    refine_iters: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed by nearest centroid (one
     assignment pass — at scale this is the persisted index); each probe
     searches only its ``nprobe`` nearest centroid buckets. Cost per probe
     ~ corpus * nprobe / num_centroids. Output matches cosine_topk's
-    schema; recall regression-tested against the exact operator."""
+    schema; recall regression-tested against the exact operator.
+
+    ``refine_iters`` Lloyd iterations (vector_index.ivf_refine) tighten
+    the hash-sampled centroids before bucketing — each iteration is one
+    extra corpus scan, bought back as recall at fixed nprobe. For
+    repeated queries build a VectorIndex instead (centroid + assignment
+    cost paid once)."""
     cents = ivf_centroids(corpus, num_centroids, vec_col, id_col)
+    if refine_iters > 0:
+        from synch_spark.operators.vector_index import ivf_refine
+
+        cents = ivf_refine(corpus, cents, vec_col, id_col, iters=refine_iters)
     corpus_b = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
         cents, "_cv", "neighbor_id", nprobe=1,

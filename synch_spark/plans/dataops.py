@@ -264,6 +264,28 @@ FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank
 """
 
 
+# --- ANN exhaustive-parameter gates: with the candidate pruning turned
+# off (zero hyperplanes / probe-all-centroids), the approximate
+# operators are DEFINED to equal the exact scan — so the exact-operator
+# oracle (Q23_SQL) hash-gates their whole scoring/ranking machinery.
+# The pruned variants (q24/q42) then differ only in candidate
+# generation, which the pytest recall tests cover.
+def q98_ann_lsh_exhaustive(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_lsh(
+        emb, probes, k=5, num_planes=0, num_tables=1
+    ).orderBy("probe_id", "rank")
+
+
+def q99_ann_ivf_exhaustive(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_ivf(
+        emb, probes, k=5, num_centroids=4, nprobe=4
+    ).orderBy("probe_id", "rank")
+
+
 # --- ANN (LSH) + multimodal plumbing: rows-only (no SQL-expressible oracle)
 def q24_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
@@ -436,6 +458,87 @@ def q39_dedup_clusters(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("size"))
         .orderBy(F.col("size").desc(), "cluster_id")
     )
+
+
+# --- connected components, oracle-gated ----------------------------------
+def q100_dedup_cc_chains(spark, sf_dir):
+    """cluster_duplicates gated by a hash-matchable oracle: the edge set
+    is SQL-expressible (two chain systems over the documents table —
+    consecutive doc_ids within (source, lang) and within
+    (source, n_chars%5) — whose union merges multi-hop components inside
+    each source), so DuckDB can label the same components by recursive
+    transitive closure. Gates the full CC operator (min-label contract,
+    size-adaptive path) end-to-end; q39 keeps exercising it on real
+    MinHash-LSH pairs (rows-only, pair generation isn't SQL-portable)."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    w1 = W.partitionBy("source", "lang").orderBy("doc_id")
+    w2 = W.partitionBy("source", (F.col("n_chars") % 5)).orderBy("doc_id")
+    e1 = docs.select(
+        F.lag("doc_id").over(w1).alias("a"), F.col("doc_id").alias("b")
+    ).filter(F.col("a").isNotNull())
+    e2 = docs.select(
+        F.lag("doc_id").over(w2).alias("a"), F.col("doc_id").alias("b")
+    ).filter(F.col("a").isNotNull())
+    pairs = e1.unionByName(e2).distinct()
+    return dedup.cluster_duplicates(pairs).orderBy("id")
+
+
+Q100_SQL = """
+WITH RECURSIVE
+e1 AS (SELECT LAG(doc_id) OVER (PARTITION BY source, lang ORDER BY doc_id) AS a,
+              doc_id AS b FROM documents),
+e2 AS (SELECT LAG(doc_id) OVER (PARTITION BY source, n_chars % 5 ORDER BY doc_id) AS a,
+              doc_id AS b FROM documents),
+edges AS (SELECT a, b FROM e1 WHERE a IS NOT NULL
+          UNION SELECT a, b FROM e2 WHERE a IS NOT NULL),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(s, n) AS (
+  SELECT DISTINCT a AS s, a AS n FROM und
+  UNION
+  SELECT r.s, u.b FROM reach r JOIN und u ON r.n = u.a
+)
+SELECT s AS id, MIN(n) AS cluster_id FROM reach GROUP BY s ORDER BY id
+"""
+
+
+# --- sketch accuracy gate -------------------------------------------------
+def q101_sketch_bounds(spark, sf_dir):
+    """q34's sketches made hash-checkable: exact columns are computed in
+    both engines; the approximate values fold into BOOLEAN bound checks
+    (|approx-exact|/exact within tolerance) that the oracle asserts as
+    literal TRUE — a hash mismatch means the sketch left its accuracy
+    envelope. HLL rsd default is 5% (tolerance 15%); percentile_approx
+    at default accuracy is near-exact at these group sizes (5%)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").alias(
+            "exact_median"
+        ),
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.percentile_approx(F.col("l_extendedprice").cast("double"), 0.5).alias("_am"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_median",
+        (F.abs(F.col("_ap") - F.col("exact_parts")) / F.col("exact_parts") <= 0.15)
+        .alias("parts_ok"),
+        (F.abs(F.col("_am") - F.col("exact_median")) / F.col("exact_median") <= 0.05)
+        .alias("median_ok"),
+    ).orderBy("l_returnflag")
+
+
+Q101_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       MEDIAN(CAST(l_extendedprice AS DOUBLE)) AS exact_median,
+       TRUE AS parts_ok,
+       TRUE AS median_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 # --- exact embedding near-dup pairs (label-blocked) ----------------------
@@ -1557,6 +1660,10 @@ DATAOPS_QUERIES = {
     "q25_multimodal_features": (q25_multimodal_features, Q25_SQL),
     "q39_dedup_clusters": (q39_dedup_clusters, None),
     "q42_ann_ivf": (q42_ann_ivf, None),
+    "q98_ann_lsh_exhaustive": (q98_ann_lsh_exhaustive, Q23_SQL),
+    "q99_ann_ivf_exhaustive": (q99_ann_ivf_exhaustive, Q23_SQL),
+    "q100_dedup_cc_chains": (q100_dedup_cc_chains, Q100_SQL),
+    "q101_sketch_bounds": (q101_sketch_bounds, Q101_SQL),
     "q40_bpe_tokens": (q40_bpe_tokens, Q40_SQL),
     "q41_winnow_fingerprints": (q41_winnow_fingerprints, Q41_SQL),
     "q43_ngram_langid": (q43_ngram_langid, Q43_SQL),

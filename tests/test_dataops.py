@@ -256,3 +256,33 @@ def test_replicated_skew_join_matches_plain_join(spark):
     left = skew.replicated_skew_join(big, small, ["k"], salt_buckets=8, how="left")
     assert left.filter("k = 9").count() == 1
     assert left.count() == big.count()  # every big row exactly once
+
+
+def test_ivf_centroids_sparse_and_string_ids(spark, tables):
+    """The round-1 `id % stride` sampler assumed dense integer ids from 0;
+    hash-rank sampling must yield exactly num_centroids centroids with
+    contiguous cids on sparse-integer AND string id domains, and the
+    full IVF search must still work end-to-end on them."""
+    emb = tables["embeddings"]
+    sparse = emb.withColumn("vec_id", F.col("vec_id") * 1000 + 7_000_000)
+    cents = similarity.ivf_centroids(sparse, num_centroids=8)
+    rows = cents.collect()
+    assert sorted(r["cid"] for r in rows) == list(range(8))
+    assert all(r["cvec"] is not None for r in rows)
+
+    stringy = emb.withColumn("vec_id", F.concat(F.lit("doc-"), F.col("vec_id")))
+    cents_s = similarity.ivf_centroids(stringy, num_centroids=8)
+    assert sorted(r["cid"] for r in cents_s.collect()) == list(range(8))
+
+    probes = stringy.limit(5)
+    out = similarity.ann_topk_ivf(stringy, probes, k=3, num_centroids=8, nprobe=8)
+    got = out.collect()
+    assert len(got) == 15  # 5 probes x k=3, exhaustive nprobe
+    assert all(isinstance(r["probe_id"], str) for r in got)
+
+
+def test_ivf_centroids_deterministic(spark, tables):
+    emb = tables["embeddings"]
+    a = similarity.ivf_centroids(emb, num_centroids=8).collect()
+    b = similarity.ivf_centroids(emb, num_centroids=8).collect()
+    assert [(r["cid"], r["cvec"]) for r in a] == [(r["cid"], r["cvec"]) for r in b]
