@@ -310,8 +310,9 @@ def _refresh_blooms(table: ParquetTable, spec: TableSpec) -> None:
     pk after compaction rewrote the file set — merge pruning then has
     both tight min/max ranges AND membership filters."""
     if spec.has_pk:
-        from synch_spark.sources.bloom import build_file_blooms
+        from synch_spark.sources.bloom import build_file_blooms, gc_blooms
 
+        gc_blooms(table)  # drop sidecars orphaned by the rewrite
         build_file_blooms(table, spec.pk[0])
 
 

@@ -386,38 +386,54 @@ def leakage_safe_split(
     train_frac_sixteenths: int = 12,
 ) -> DataFrame:
     """Assign train/val BY DUPLICATE CLUSTER, not by document: every
-    member of a near-dup cluster hashes through its cluster
-    REPRESENTATIVE'S TEXT, so no cluster — and therefore no near-dup
-    pair the clustering knows about — can straddle the split. This is
-    the repair for the leakage a per-document content-hash split
-    exhibits on near duplicates (different bytes, same content;
-    measured by the q96_split_leakage audit).
+    member of a near-dup cluster hashes through ONE shared text — the
+    member text with the smallest md5 (a CONTENT-level representative)
+    — so no cluster, and therefore no near-dup pair the clustering
+    knows about, can straddle the split. This is the repair for the
+    leakage a per-document content-hash split exhibits on near
+    duplicates (different bytes, same content; measured by the
+    q96_split_leakage audit).
 
-    ``clusters`` is cluster_duplicates() output: (id, cluster_id =
-    min member id) for documents that HAVE near-dup partners.
-    Singletons (absent there) hash their OWN text — bit-identical to
-    the plain content-hash split, so repairing leakage never reshuffles
-    untouched documents, and exact duplicates the cluster map missed
-    (e.g. built from sampled pairs) still co-locate because identical
-    text hashes identically.
+    ``clusters`` is cluster_duplicates() output: (id, cluster_id) for
+    documents that HAVE near-dup partners. Singletons (absent there)
+    hash their OWN text — bit-identical to the plain content-hash
+    split, so repairing leakage never reshuffles untouched documents.
 
-    Plan shape: the representative text lookup is a self-join of the
-    corpus pruned to one row per cluster (|clusters| rows — tiny
-    relative to the corpus), then one left join back and a map-side
-    hash; both joins broadcast while the cluster map is small and
-    degrade to key-partitioned joins at scale.
+    Why a content-level key rather than the min-ID member's text: the
+    key exists as long as ANY member's text is in ``df`` (an id-keyed
+    representative silently degraded every member to per-doc hashing
+    when the representative row was absent), and an exact duplicate of
+    the min-md5 member that the cluster map missed still co-locates
+    (identical text, identical key). RESIDUAL LEAK, by construction:
+    with an incomplete cluster map (e.g. sampled pairs), an unmapped
+    exact/near duplicate of a NON-minimal member hashes its own text
+    while the member hashes the cluster key — such a pair can still
+    straddle the split. Complete maps (exact dups always LSH-collide)
+    don't exhibit it.
+
+    Plan shape: the cluster-key build is one join of the (tiny relative
+    to the corpus) cluster map against the corpus plus a per-cluster
+    min; then one left join back and a map-side hash; the joins
+    broadcast while the cluster map is small and degrade to
+    key-partitioned joins at scale.
     """
-    reps = (
-        clusters.select(F.col("cluster_id").alias(id_col)).distinct()
-        .join(df.select(id_col, text_col), id_col)
-        .select(
-            F.col(id_col).alias("_rep_id"),
-            F.col(text_col).alias("_rep_text"),
+    member_texts = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster_id")
+    ).join(df.select(id_col, text_col), id_col)
+    ckeys = (
+        member_texts.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.md5(F.col(text_col)).alias("h"), F.col(text_col).alias("t")
+                )
+            ).alias("_m")
         )
+        .select("cluster_id", F.col("_m.t").alias("_rep_text"))
     )
-    cl = clusters.select(
-        F.col("id").alias(id_col), F.col("cluster_id").alias("_rep_id")
-    ).join(reps, "_rep_id")
+    cl = clusters.select(F.col("id").alias(id_col), "cluster_id").join(
+        ckeys, "cluster_id"
+    )
     key = F.coalesce(F.col("_rep_text"), F.col(text_col))
     return (
         df.join(cl.select(id_col, "_rep_text"), id_col, "left")

@@ -117,6 +117,14 @@ def global_ntile(
     bucket function. NTILE semantics (SQL standard, matched by Spark and
     DuckDB): with N rows, ``r = N mod n`` leading buckets get
     ``ceil(N/n)`` rows, the rest get ``floor(N/n)``.
+
+    Like the tiebreaker requirement on ``order_cols``, the input plan
+    must be DETERMINISTIC on the small-input (plain window) path: the
+    bucket boundaries come from a count of the ranked frame, and a
+    later consumer re-executes that same lazy plan — sampling / LIMIT /
+    non-deterministic filters can disagree between the two runs. On the
+    distributed path the ranked frame is checkpoint-materialized, so the
+    count is pinned to the exact rows the ranks were computed from.
     """
     ranked = global_row_number(
         df,
@@ -125,9 +133,11 @@ def global_ntile(
         num_partitions=num_partitions,
         small_bytes=small_bytes,
     )
-    # count the INPUT, not the ranked frame: identical row count, and it
-    # never executes the window/ordering machinery just to count
-    total = df.count()
+    # count the RANKED frame, not the input: on the distributed path it
+    # is localCheckpoint-materialized, so this count is guaranteed
+    # consistent with the ranks (a separate df.count() would re-execute
+    # the input plan — wrong boundaries if that plan is non-deterministic)
+    total = ranked.count()
     q, r = divmod(total, n)
     big = q + 1  # size of the first r buckets
     cutoff = r * big  # rows 1..cutoff live in the big buckets

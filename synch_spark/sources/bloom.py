@@ -17,8 +17,10 @@ Design constraints that make it cheap:
   one flat `<root>/_bloom/` dir — no version bookkeeping, links carry
   their bloom for free, and a sidecar is write-once like its file.
 - Missing sidecar = no pruning claim (falls back to min/max semantics);
-  stale sidecars for deleted files are inert garbage removed with old
-  versions.
+  stale sidecars for files no longer in the current version are inert
+  garbage until ``gc_blooms`` (run by compaction) unlinks them — the
+  flat ``_bloom/`` dir is OUTSIDE the version dirs, so version GC alone
+  never removes them.
 - Double hashing (Kirsch-Mitzenmacher): bit_i = (h1 + i*h2) mod m with
   h1/h2 from one blake2b digest — k probes from one hash evaluation.
 
@@ -39,6 +41,19 @@ import numpy as np
 
 FPP_BITS_PER_KEY = 10  # ~1% false-positive rate at k=7
 NUM_HASHES = 7
+
+
+def bloom_safe_key(value) -> bool:
+    """Key types whose build-side (pyarrow ``to_pylist``) and probe-side
+    (Spark ``collect``) python representations are IDENTICAL — the
+    no-false-negative invariant is only type-enforceable for these.
+    Timestamps (tz-aware vs naive), decimals, and floats (float32
+    widening) can stringify differently across the two paths, and a
+    divergence would be a silent false negative — in the CoW merge that
+    reclassifies a file holding a changed key from rewrite to hard link,
+    i.e. a lost update. Mirrors what _EXACT_STAT_TYPES does for min/max
+    stats."""
+    return isinstance(value, (int, str, bytes)) and not isinstance(value, bool)
 
 
 def _hashes(value) -> tuple[int, int]:
@@ -66,6 +81,7 @@ def build_file_blooms(table, column: str) -> int:
     """Create sidecars for every current-version data file that lacks
     one. Returns the number of sidecars written. Idempotent; safe to run
     after every commit or only from maintenance (optimize)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(_bloom_dir(table.root), exist_ok=True)
@@ -79,6 +95,21 @@ def build_file_blooms(table, column: str) -> int:
             if os.path.exists(out):
                 continue
             path = os.path.join(dirpath, name)
+            schema = pq.ParquetFile(path).schema_arrow
+            if column not in schema.names:
+                continue  # partition column / pre-DDL file: no data pages
+            typ = schema.field(column).type
+            if not (
+                pa.types.is_integer(typ)
+                or pa.types.is_string(typ)
+                or pa.types.is_large_string(typ)
+                or pa.types.is_binary(typ)
+                or pa.types.is_large_binary(typ)
+            ):
+                # bloom_safe_key rationale: only int/str/bytes keys have
+                # type-stable build/probe representations — everything
+                # else stays on min/max-stat semantics
+                continue
             col = pq.read_table(path, columns=[column]).column(0)
             values = [v for v in col.to_pylist() if v is not None]
             n = max(len(values), 1)
@@ -101,6 +132,28 @@ def build_file_blooms(table, column: str) -> int:
     return built
 
 
+def gc_blooms(table) -> int:
+    """Unlink sidecars whose data file is no longer in the current
+    version. Without this, every compaction (fresh uuid file set)
+    orphans the previous sidecars and ``_bloom/`` grows without bound on
+    write-heavy tables. Returns the number of sidecars removed. Safe
+    against in-flight readers of the retained previous version: a
+    missing sidecar only weakens pruning, never correctness."""
+    bdir = _bloom_dir(table.root)
+    if not os.path.isdir(bdir):
+        return 0
+    live: set[str] = set()
+    vdir = table._version_dir(table.current_version())
+    for _dirpath, _dirs, files in os.walk(vdir):
+        live.update(n for n in files if n.endswith(".parquet"))
+    removed = 0
+    for name in os.listdir(bdir):
+        if name.endswith(".bloom.json") and name[: -len(".bloom.json")] not in live:
+            os.remove(os.path.join(bdir, name))
+            removed += 1
+    return removed
+
+
 def load_bloom(root: str, basename: str, column: str):
     """(m, k, bits ndarray) or None when absent/for a different column."""
     path = _sidecar(root, basename)
@@ -117,8 +170,11 @@ def load_bloom(root: str, basename: str, column: str):
 def might_contain_any(bloom, keys) -> bool:
     """True unless the bloom PROVES none of ``keys`` is in the file.
     No false negatives: a True may be spurious (~FPP per key), a False
-    is definitive."""
+    is definitive. Keys outside the type-enforced domain (bloom_safe_key)
+    make no claim at all — True, never a spurious proof of absence."""
     m, k, bits = bloom
+    if any(not bloom_safe_key(v) for v in keys):
+        return True
     for v in keys:
         h1, h2 = _hashes(v)
         for i in range(k):

@@ -187,3 +187,71 @@ def test_point_lookup_falls_back_without_proof(spark, tmp_path):
     bloom.build_file_blooms(t, "k")
     got2 = {r["k"]: r["v"] for r in point_lookup(t, "k", ["k7", "k9"]).collect()}
     assert got2 == got
+
+
+def test_bloom_type_gating(spark, tmp_path):
+    """Blooms are type-enforced to int/str/bytes keys: unsafe key types
+    (timestamp/decimal/float) get NO sidecar at build time, and a probe
+    with an unsafe key makes no absence claim — the tz-aware-vs-naive
+    datetime divergence can therefore never turn into a silent false
+    negative (= lost update in the CoW merge)."""
+    t = ParquetTable(spark, str(tmp_path / "tt"))
+    t.overwrite(
+        spark.range(20).select(
+            F.col("id").alias("k"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+            (F.col("id") / 2.0).alias("f"),
+            F.col("id").cast("decimal(10,2)").alias("d"),
+        )
+    )
+    vdir = t._version_dir(t.current_version())
+    name = [f for f in os.listdir(vdir) if f.endswith(".parquet")][0]
+    # unsafe columns: no sidecar built
+    for col in ("ts", "f", "d"):
+        assert bloom.build_file_blooms(t, col) == 0
+        assert bloom.load_bloom(t.root, name, col) is None
+    # safe column builds; an unsafe PROBE key disables the absence claim
+    assert bloom.build_file_blooms(t, "k") >= 1
+    bl = bloom.load_bloom(t.root, name, "k")
+    import datetime
+
+    assert bloom.might_contain_any(bl, [datetime.datetime(2020, 1, 1)])
+    assert bloom.might_contain_any(bl, [1.5])
+    assert not bloom.might_contain_any(bl, [999999])  # safe key still prunes
+    assert not bloom.bloom_safe_key(True)  # bools stringify as True/False
+
+
+def test_bloom_skips_partition_column(spark, tmp_path):
+    """A leading pk that is ALSO the partition column is absent from the
+    data files; the builder must skip those files instead of crashing
+    compact_table (pq.read_table would raise)."""
+    t = ParquetTable(spark, str(tmp_path / "tp"))
+    t.overwrite(
+        spark.range(20).select(F.col("id").alias("p"), F.col("id").alias("v")),
+        partition_by="p",
+    )
+    assert bloom.build_file_blooms(t, "p") == 0  # no crash, no sidecars
+    spec = TableSpec(schema="db", table="t", pk=("p",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
+    compact_table(t, spec)  # full path incl. _refresh_blooms: must not raise
+    assert t.read().count() == 20
+
+
+def test_bloom_sidecar_gc(spark, tmp_path):
+    """Compaction rewrites the file set (fresh uuids); orphaned sidecars
+    must be unlinked, live ones kept."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    t = ParquetTable(spark, str(tmp_path / "tg"))
+    t.overwrite(spark.range(100).select(F.col("k").alias("k") if False else F.col("id").alias("k"),
+                                        (F.col("id") * 2).alias("v")))
+    bloom.build_file_blooms(t, "k")
+    bdir = os.path.join(t.root, "_bloom")
+    before = set(os.listdir(bdir))
+    assert before
+    compact_table(t, spec)  # rewrites files; gc + rebuild sidecars
+    after = set(os.listdir(bdir))
+    vdir = t._version_dir(t.current_version())
+    live = {f for f in os.listdir(vdir) if f.endswith(".parquet")}
+    assert {n[: -len(".bloom.json")] for n in after} == live
+    assert not (before & after), "old-generation sidecars must be gone"

@@ -130,6 +130,41 @@ def test_leakage_safe_split_repairs_pair_leakage(spark):
     for i, s in split.items():
         if i not in clustered_ids:
             assert s == plain[i], f"singleton {i} moved"
-    rep = {r["id"]: r["cluster_id"] for r in clusters.collect()}
-    for i in clustered_ids:
-        assert split[i] == plain[rep[i]], f"member {i} != its representative"
+    # members take the CONTENT-level representative's assignment: the
+    # member text with the smallest md5 within the cluster
+    import hashlib
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    cluster_of = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    members_by_cluster: dict = {}
+    for i, c in cluster_of.items():
+        members_by_cluster.setdefault(c, []).append(i)
+    for c, members in members_by_cluster.items():
+        key_text = min(
+            (texts[i] for i in members),
+            key=lambda t: hashlib.md5(t.encode()).hexdigest(),
+        )
+        for i in members:
+            assert split[i] == plain[
+                [j for j in members if texts[j] == key_text][0]
+            ], f"member {i} != its content representative"
+
+
+def test_leakage_safe_split_survives_missing_representative(spark):
+    """An id-keyed representative lookup silently degraded every member
+    to per-doc hashing when the min-id member's row was absent from df;
+    the content-level key must keep the remaining members co-located."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.operators import dedup
+
+    rows = [(100, "a b c d e f g h"), (101, "a b c d e f g x"),
+            (102, "a b c d e f g y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.5, n=1)
+    clusters = dedup.cluster_duplicates(pairs)
+    assert {r["cluster_id"] for r in clusters.collect()} == {100}
+    # drop the min-id representative's row from the corpus being split
+    out = dedup.leakage_safe_split(docs.filter(F.col("doc_id") != 100), clusters)
+    split = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len({split[101], split[102]}) == 1, "members must still co-locate"
