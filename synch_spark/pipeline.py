@@ -77,8 +77,10 @@ def snapshot_jdbc_auto(
     )
     for k, v in options.items():
         probe = probe.option(k, v)
+    # positional access: uppercase-folding engines (Derby/Oracle/DB2)
+    # return the aliases as LO/HI, so row["lo"] would miss
     row = probe.load().collect()[0]
-    lo, hi = row["lo"], row["hi"]
+    lo, hi = row[0], row[1]
     if lo is None:
         return snapshot_jdbc(spark, url, dbtable, **options)
     return snapshot_jdbc(

@@ -1,0 +1,82 @@
+"""LIVE JDBC path smoke (S1/S2 + the S7 plumbing): embedded Derby ships
+on Spark's classpath, so the real JDBC code paths — table create+insert
+via DataFrameWriter, plain and partitioned snapshot reads, and the
+``query``-option round-trip pk discovery rides on — run against an
+actual database engine instead of parquet stand-ins. MySQL/PG differ
+only in url/driver/dialect strings (documented in README)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from synch_spark.pipeline import snapshot_jdbc, snapshot_jdbc_auto
+from synch_spark.sources.catalog import pk_from_catalog
+
+DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def _url(tmp_path):
+    return f"jdbc:derby:{tmp_path}/derbydb;create=true"
+
+
+def _seed(spark, url):
+    src = spark.range(200).select(
+        F.col("id").alias("PK"),
+        (F.col("id") % 7).alias("GRP"),
+        (F.col("id") * 1.5).alias("VAL"),
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "APP.ORDERS")
+        .mode("overwrite")
+        .save()
+    )
+    return src
+
+
+def test_jdbc_live_roundtrip_and_partitioned_scan(spark, tmp_path):
+    url = _url(tmp_path)
+    try:
+        src = _seed(spark, url)
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"embedded Derby unavailable: {str(e).splitlines()[0]}")
+
+    # S1 plain snapshot
+    back = snapshot_jdbc(spark, url, "APP.ORDERS")
+    assert back.count() == 200
+    assert {r["PK"] for r in back.collect()} == set(range(200))
+
+    # S1 scale path: automatic range discovery -> parallel range scans
+    auto = snapshot_jdbc_auto(spark, url, "APP.ORDERS", partition_column="PK",
+                              num_partitions=4)
+    assert auto.rdd.getNumPartitions() == 4
+    assert auto.count() == 200
+    got = {r["PK"]: r["VAL"] for r in auto.collect()}
+    want = {r["PK"]: r["VAL"] for r in src.collect()}
+    assert got == want
+
+
+def test_jdbc_query_option_feeds_pk_extraction(spark, tmp_path):
+    """The exact JDBC shape discover_pk uses — a pushed-down catalog
+    ``query`` whose result feeds pk_from_catalog. Derby's pk catalog
+    schema differs from MySQL/PG, so the dialect SQL itself is covered
+    by the fixture tests; here the live wire format is what's proven."""
+    url = _url(tmp_path)
+    try:
+        _seed(spark, url)
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"embedded Derby unavailable: {str(e).splitlines()[0]}")
+    q = (
+        "SELECT CAST('GRP' AS VARCHAR(10)) AS column_name, 2 AS ordinal_position FROM SYSIBM.SYSDUMMY1 "
+        "UNION ALL "
+        "SELECT CAST('PK' AS VARCHAR(10)) AS column_name, 1 AS ordinal_position FROM SYSIBM.SYSDUMMY1"
+    )
+    cat = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", q)
+        .load()
+    )
+    assert pk_from_catalog(cat) == ("PK", "GRP")
