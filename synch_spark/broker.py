@@ -82,6 +82,40 @@ def produce_to_kafka(
         raise
 
 
+def ensure_topic(
+    bootstrap_servers: str,
+    topic: str,
+    num_partitions: int = 1,
+    replication_factor: int = 1,
+) -> bool:
+    """B5: idempotent topic provisioning (ref synch/broker/kafka.py:66-73
+    — KafkaAdminClient.create_topics, TopicAlreadyExists swallowed).
+    Spark has no admin API, so this uses kafka-python when available;
+    without it the caller gets an actionable error instead of a stack.
+    Returns True when the topic was created, False when it already
+    existed."""
+    try:
+        from kafka.admin import KafkaAdminClient, NewTopic
+        from kafka.errors import TopicAlreadyExistsError
+    except ImportError as e:
+        raise RuntimeError(
+            "topic provisioning needs kafka-python (pip install kafka-python) "
+            "or pre-created topics; the consume/produce paths themselves only "
+            "need the spark-sql-kafka connector"
+        ) from e
+    client = KafkaAdminClient(bootstrap_servers=bootstrap_servers)
+    try:
+        client.create_topics(
+            [NewTopic(topic, num_partitions=num_partitions,
+                      replication_factor=replication_factor)]
+        )
+        return True
+    except TopicAlreadyExistsError:
+        return False
+    finally:
+        client.close()
+
+
 def write_event_spool(
     events: DataFrame, events_dir: str, basename: str
 ) -> int:

@@ -164,6 +164,9 @@ def cmd_consume(args) -> int:
     cfg = config_from_dict(raw)
     spark = get_spark("synch-consume")
     _resolve_pks(raw, cfg, spark)
+    from synch_spark.alerts import configure_alerts
+
+    configure_alerts(raw.get("mail"))  # E6: SMTP error channel, opt-in
     from pyspark.sql import types as T
 
     from synch_spark.streaming.pipeline import CdcPipeline

@@ -68,6 +68,20 @@ class CdcPipeline:
 
     # -- the batch applier (runs once per micro-batch on the driver) --------
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        try:
+            self._apply_batch(batch, epoch_id)
+        except Exception:
+            # E6 channel: the record reaches whatever alerts.configure_alerts
+            # attached (SMTP at ERROR, rate-limited) before the stream dies;
+            # re-raise so the checkpoint does NOT advance past the failure
+            import logging
+
+            logging.getLogger("synch_spark").exception(
+                "micro-batch %s failed for pipeline %s", epoch_id, self.alias
+            )
+            raise
+
+    def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         raw = batch.persist()
         batch = raw
         try:

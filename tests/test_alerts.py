@@ -1,0 +1,106 @@
+"""E6 error alerting (alerts.py) + B5 topic provisioning contract."""
+
+from __future__ import annotations
+
+import logging
+import logging.handlers
+
+import pytest
+
+from synch_spark.alerts import RateLimitingFilter, build_smtp_handler, configure_alerts
+from synch_spark.broker import ensure_topic
+
+
+def _record(msg="boom"):
+    return logging.LogRecord("synch_spark", logging.ERROR, __file__, 1, msg, (), None)
+
+
+def test_rate_limiter_passes_first_and_counts_suppressed(monkeypatch):
+    f = RateLimitingFilter(per=60)
+    clock = [1000.0]
+    monkeypatch.setattr("synch_spark.alerts.time.monotonic", lambda: clock[0])
+    assert f.filter(_record("a"))
+    for _ in range(3):
+        assert not f.filter(_record("spam"))
+    clock[0] += 61
+    r = _record("b")
+    assert f.filter(r)
+    assert r.msg.startswith("[3 suppressed] ")
+    # counter reset after reporting
+    clock[0] += 61
+    r2 = _record("c")
+    assert f.filter(r2) and r2.msg == "c"
+
+
+def test_smtp_handler_contract():
+    mail = {
+        "mailhost": ("smtp.example.com", 587),
+        "fromaddr": "synch@example.com",
+        "toaddrs": ["ops@example.com"],
+        "subject": "synch error",
+        "user": "u",
+        "password": "p",
+        "rate_limit_s": 30,
+    }
+    h = build_smtp_handler(mail)
+    assert isinstance(h, logging.handlers.SMTPHandler)
+    assert h.level == logging.ERROR
+    assert h.fromaddr == "synch@example.com" and h.toaddrs == ["ops@example.com"]
+    assert h.username == "u"
+    assert any(isinstance(f, RateLimitingFilter) for f in h.filters)
+
+
+def test_configure_alerts_idempotent_and_optin():
+    log = logging.getLogger("synch_spark_test_alerts")
+    configure_alerts(None, log)
+    assert not [h for h in log.handlers
+                if isinstance(h, logging.handlers.SMTPHandler)]
+    mail = {"mailhost": "mx", "fromaddr": "a@b", "toaddrs": ["c@d"]}
+    configure_alerts(mail, log)
+    configure_alerts(mail, log)  # replaced, not duplicated
+    smtp = [h for h in log.handlers if isinstance(h, logging.handlers.SMTPHandler)]
+    assert len(smtp) == 1
+
+
+def test_failed_batch_reaches_alert_logger(spark, tmp_path):
+    """A micro-batch failure must emit one ERROR record on the
+    synch_spark logger (the SMTP channel's feed) and still re-raise so
+    the checkpoint never advances past it."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.config import Engine, SyncConfig, TableSpec
+    from synch_spark.streaming.pipeline import CdcPipeline
+
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="t", pk=("id",),
+                            engine=Engine.REPLACING_MERGE_TREE))
+    pipe = CdcPipeline(spark=spark, cfg=cfg, warehouse=str(tmp_path / "wh"),
+                       checkpoint_dir=str(tmp_path / "ck"), value_schemas={})
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    log = logging.getLogger("synch_spark")
+    cap = Capture(level=logging.ERROR)
+    log.addHandler(cap)
+    try:
+        bad = spark.createDataFrame([(1,)], "x int")  # missing event columns
+        with pytest.raises(Exception):
+            pipe.apply_batch(bad, epoch_id=7)
+    finally:
+        log.removeHandler(cap)
+    assert any("micro-batch 7" in r.getMessage() for r in records)
+
+
+def test_ensure_topic_reports_missing_lib():
+    try:
+        import kafka  # noqa: F401
+
+        pytest.skip("kafka-python unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="kafka-python"):
+        ensure_topic("localhost:9092", "synch.db")
