@@ -225,23 +225,34 @@ def cmd_check(args) -> int:
 def cmd_optimize(args) -> int:
     """OPTIMIZE TABLE ... FINAL analog: eagerly fold engine history and
     re-cluster files on pk (the maintenance job ClickHouse runs as
-    background merges; /root/reference/synch/writer/*.py engine DDL)."""
-    from synch_spark.operators.cdc_apply import compact_table
+    background merges; /root/reference/synch/writer/*.py engine DDL).
+    `--auto` compacts only tables whose file layout needs it (median
+    file size under target/4 — the file_stats policy), so a cron'd
+    `optimize --auto` is cheap on healthy tables."""
+    from synch_spark.operators.cdc_apply import compact_table, maybe_compact
 
     raw = _load(args.config)
     cfg = config_from_dict(raw)
     spark = get_spark("synch-optimize")
     warehouse = raw["spark"]["warehouse"]
-    done = []
+    done, skipped = [], []
     for name, spec in cfg.tables.items():
         if args.table and spec.table != args.table:
             continue
         table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
         if table.exists:
             zcols = tuple(args.zorder.split(",")) if args.zorder else None
-            compact_table(table, spec, zorder=zcols)
-            done.append(name)
-    print(json.dumps({"optimized": done}))
+            if args.auto:
+                (done if maybe_compact(table, spec, zorder=zcols) else skipped).append(
+                    name
+                )
+            else:
+                compact_table(table, spec, zorder=zcols)
+                done.append(name)
+    out = {"optimized": done}
+    if args.auto:
+        out["skipped_healthy"] = skipped
+    print(json.dumps(out))
     return 0
 
 
@@ -445,6 +456,10 @@ def main(argv=None) -> int:
     o.add_argument(
         "--zorder",
         help="comma-separated columns: Z-order file layout instead of pk clustering",
+    )
+    o.add_argument(
+        "--auto", action="store_true",
+        help="compact only tables whose small-file layout needs it",
     )
     o.set_defaults(fn=cmd_optimize)
     r = sub.add_parser("repair", help="snapshot-diff surgical backfill")

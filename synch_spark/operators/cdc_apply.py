@@ -316,6 +316,38 @@ def _refresh_blooms(table: ParquetTable, spec: TableSpec) -> None:
         build_file_blooms(table, spec.pk[0])
 
 
+def should_compact(
+    table: ParquetTable,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 8,
+) -> bool:
+    """Layout-driven compaction trigger (the file_stats policy): compact
+    when the current version holds at least ``min_files`` data files and
+    their MEDIAN size is under ``target_bytes/4`` — many small files mean
+    task-scheduling and footer overhead dominate scans. A signal, not a
+    timer: steady-state tables with healthy files never rewrite."""
+    st = table.file_stats()
+    return st["files"] >= min_files and st.get("median_bytes", 0) < target_bytes // 4
+
+
+def maybe_compact(
+    table: ParquetTable,
+    spec: TableSpec,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 8,
+    zorder: tuple[str, ...] | None = None,
+) -> bool:
+    """Run compact_table iff should_compact says the layout needs it.
+    Returns whether a compaction ran. The maintenance loop ClickHouse
+    gives the reference for free as background merges, here as an
+    explicit idempotent call sites can run after every N batches or from
+    `cli optimize --auto`."""
+    if not table.exists or not should_compact(table, target_bytes, min_files):
+        return False
+    compact_table(table, spec, zorder=zorder)
+    return True
+
+
 def register_final_view(spark, table: ParquetTable, spec: TableSpec, name: str | None = None):
     """Expose `SELECT * FROM <table>_final` — the FINAL-read convenience
     the reference gets from ClickHouse; here a temp view over the engine

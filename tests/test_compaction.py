@@ -167,3 +167,25 @@ def test_compact_with_zorder_preserves_state(spark, tmp_path):
         ("delete", {"id": 1, "amount": 2.0, "day": "d1"}, None, 500),
     ]), spec)
     assert read_current_state(t, spec).count() == 1
+
+
+def test_should_compact_policy(spark, tmp_path):
+    """Trigger on many tiny files, stay quiet on a healthy layout."""
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import maybe_compact, should_compact
+    from synch_spark.sources.table import ParquetTable
+
+    spec = TableSpec(schema="db", table="t", pk=("id",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    # 16 tiny files (one row each)
+    t.overwrite(spark.range(16).repartition(16))
+    assert should_compact(t, target_bytes=128 * 1024 * 1024, min_files=8)
+    assert maybe_compact(t, spec)  # compacts: pk-clustered rewrite
+    # post-compaction: few files -> below min_files -> healthy
+    assert not should_compact(t, target_bytes=128 * 1024 * 1024, min_files=8)
+    assert not maybe_compact(t, spec)
+    assert t.read().count() == 16
+    # nonexistent table: quiet no-op
+    t2 = ParquetTable(spark, str(tmp_path / "nope"))
+    assert not maybe_compact(t2, spec)
