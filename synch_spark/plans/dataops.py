@@ -281,8 +281,11 @@ def q98_ann_lsh_exhaustive(spark, sf_dir):
 def q99_ann_ivf_exhaustive(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10)
+    # refine_iters=0: with nprobe == num_centroids every bucket is
+    # searched, so centroid quality cannot change the output — skip the
+    # Lloyd scans the production path spends on recall
     return similarity.ann_topk_ivf(
-        emb, probes, k=5, num_centroids=4, nprobe=4
+        emb, probes, k=5, num_centroids=4, nprobe=4, refine_iters=0
     ).orderBy("probe_id", "rank")
 
 
@@ -512,14 +515,21 @@ def q101_sketch_bounds(spark, sf_dir):
     envelope. HLL rsd default is 5% (tolerance 15%); percentile_approx
     at default accuracy is near-exact at these group sizes (5%)."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # two passes joined on the tiny group key, NOT one agg: combining the
+    # Expand-based countDistinct with the object aggregates (percentile,
+    # HLL) in a single GroupBy drops the whole plan to a sort-aggregate
+    # over expanded rows (~4x the cost of the passes separately)
+    counts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+    )
+    quants = li.groupBy("l_returnflag").agg(
         F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").alias(
             "exact_median"
         ),
-        F.approx_count_distinct("l_partkey").alias("_ap"),
         F.percentile_approx(F.col("l_extendedprice").cast("double"), 0.5).alias("_am"),
     )
+    agg = counts.join(quants, "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_parts",
