@@ -486,6 +486,59 @@ ORDER BY user_id, session_start
 """.replace("{gap}", str(SESSION_GAP_S))
 
 
+def q102_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup via the BUILT-IN stateful operator
+    (dropDuplicatesWithinWatermark): state holds one entry per key and
+    expires with the watermark — the Spark-native form of a streaming
+    dedup at 100 TB/day (bounded state, no custom Python state worker,
+    unlike the applyInPandasWithState ops in q35/q58 which exist for
+    semantics Spark lacks). Output projects to the KEY ONLY, so the
+    result is deterministic regardless of which physical row won the
+    race inside a batch — that projection is what makes a streaming
+    dedup oracle-checkable at all."""
+    import os
+    import uuid
+
+    from pyspark.sql import types as T
+
+    path = os.path.join(sf_dir, "events.parquet")
+    from synch_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        from synch_spark.session import nanos_to_ts
+
+        stream = stream.withColumn("ts", nanos_to_ts("ts"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    deduped = (
+        stream.select("user_id", "ts")
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+    name = f"q102_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id")
+
+
+Q102_SQL = "SELECT DISTINCT user_id FROM events ORDER BY user_id"
+
+
 Q35_SQL = """
 SELECT user_id, ts AS first_ts, event_type FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events) t
@@ -1044,6 +1097,7 @@ ADVANCED_QUERIES = {
     "q34_approx_sketches": (q34_approx_sketches, None),
     "q35_streaming_first_per_key": (q35_streaming_first_per_key, Q35_SQL),
     "q58_streaming_sessions": (q58_streaming_sessions, Q58_SQL),
+    "q102_streaming_dedup": (q102_streaming_dedup, Q102_SQL),
     "q59_json_props": (q59_json_props, Q59_SQL),
     "q45_window_zoo": (q45_window_zoo, Q45_SQL),
     "q46_scalar_zoo": (q46_scalar_zoo, Q46_SQL),
