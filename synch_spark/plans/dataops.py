@@ -1033,21 +1033,25 @@ def q73_profile(spark, sf_dir):
     non-null count, null count, exact distinct count, min, max. The
     data-quality sweep a replication/ingest pipeline runs to validate a
     landed table (the reference's count-check E3, widened to a stats
-    check). ONE pass: a single aggregate computes all 8x5 stats (exact
-    COUNT DISTINCT costs an Expand — at 100 TB swap for
-    approx_count_distinct, same plan shape), then an unpivot (stack)
-    reshapes the single stats row into one row per column."""
+    check). TWO single-row aggregates joined, then an unpivot (stack)
+    reshapes the stats row into one row per column. The split matters:
+    the 8-column exact COUNT DISTINCT costs an 8-way Expand, and
+    keeping the plain count/null/min/max in the SAME agg makes them
+    ride over the expanded rows too (~1.6x slower measured at sf0.1);
+    separated, the basic stats stay a plain one-scan hash aggregate.
+    At 100 TB swap countDistinct for approx_count_distinct (no Expand
+    at all) and the split becomes unnecessary."""
     li = _t(spark, sf_dir, "lineitem")
-    aggs = []
+    nd_aggs, basic_aggs = [], []
     for c in PROFILE_COLS:
-        aggs += [
+        nd_aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
+        basic_aggs += [
             F.count(c).cast("bigint").alias(f"cnt_{c}"),
             F.count(F.when(F.col(c).isNull(), 1)).cast("bigint").alias(f"nul_{c}"),
-            F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
             F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
             F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
         ]
-    row = li.agg(*aggs)
+    row = li.agg(*nd_aggs).join(li.agg(*basic_aggs))  # 1-row x 1-row
     stack_args = ", ".join(
         f"'{c}', cnt_{c}, nul_{c}, nd_{c}, mn_{c}, mx_{c}" for c in PROFILE_COLS
     )
