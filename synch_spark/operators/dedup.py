@@ -107,6 +107,50 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n: int = 1,
+    probe_filter=None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup relation: ordered pairs (a, b), a != b, with
+    containment C(a in b) = |A∩B| / |A| >= threshold over distinct
+    token n-gram sets.
+
+    Jaccard misses subset duplication — a short document quoted whole
+    inside a long one scores low Jaccard (union is large) but
+    containment 1.0. Training-data pipelines use this for quote /
+    excerpt / boilerplate-inclusion detection where symmetric
+    similarity under-fires. Same inverted-index plan as jaccard_pairs
+    (explode distinct grams, self-equi-join, count intersections) —
+    the shuffle is on the gram, never all-pairs — with the left doc's
+    set size as the normalizer. ``probe_filter`` bounds the left side
+    (the "is this doc contained elsewhere?" probe) at scale.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    left = sh.withColumnRenamed("id", "a")
+    if probe_filter is not None:
+        left = left.filter(probe_filter(F.col("a")))
+    right = sh.withColumnRenamed("id", "b")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .withColumn(
+            "containment", F.col("inter").cast("double") / F.col("sza").cast("double")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )
+
+
 # --- MinHash + LSH ------------------------------------------------------
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 8

@@ -463,6 +463,84 @@ def q39_dedup_clusters(spark, sf_dir):
     )
 
 
+# --- unigram LM surprisal scoring ----------------------------------------
+def q103_unigram_surprisal(spark, sf_dir):
+    """Per-document average unigram surprisal (bits/token) against the
+    corpus unigram LM — the classic cheap perplexity proxy for quality
+    filtering (wildly improbable token streams score high). Plan: one
+    token explode feeds both the LM (token -> count) and the scoring
+    join; the corpus total folds from the LM (no driver scalar). The
+    per-token -log2 p terms fold into DECIMAL(25,12) so the sum is
+    order-free and the DuckDB oracle matches bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("w"))
+    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("total"))
+    bits = -F.log2(F.col("cnt").cast("double") / F.col("total"))
+    return (
+        toks.join(tf, "w")
+        .join(total)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum(bits.cast("decimal(25,12)")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            (F.col("_s").cast("double") / F.col("n_toks")).alias("avg_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q103_SQL = rf"""
+WITH toks AS (SELECT doc_id, UNNEST({TOK_SQL}) AS w FROM documents),
+tf AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+tot AS (SELECT SUM(cnt) AS total FROM tf)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(SUM(CAST(-log2(CAST(cnt AS DOUBLE) / total) AS DECIMAL(25,12)))
+            AS DOUBLE) / COUNT(*) AS avg_bits
+FROM toks JOIN tf USING (w) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- asymmetric containment near-dups ------------------------------------
+CONTAIN_T = 0.3
+
+
+def q104_containment(spark, sf_dir):
+    """Subset-duplication detection: ordered pairs where >=30% of doc
+    a's distinct 3-gram shingles appear in doc b (containment |A∩B|/|A|
+    — catches excerpts/quotes that symmetric Jaccard under-scores).
+    Probe side bounded to doc_id % 10 == 0 like q20."""
+    docs = _docs(spark, sf_dir)
+    return dedup.containment_pairs(
+        docs, "text", "doc_id", threshold=CONTAIN_T, n=3,
+        probe_filter=lambda a: a % 10 == 0,
+    ).orderBy("a", "b")
+
+
+Q104_SQL = rf"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+  WHERE len(w) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM tok x JOIN tok y ON x.t = y.t
+  WHERE x.doc_id <> y.doc_id AND x.doc_id % 10 = 0
+  GROUP BY x.doc_id, y.doc_id)
+SELECT a, b, CAST(i AS DOUBLE) / sa.sz AS containment
+FROM inter JOIN sz sa ON sa.doc_id = a
+WHERE CAST(i AS DOUBLE) / sa.sz >= {CONTAIN_T}
+ORDER BY a, b
+"""
+
+
 # --- connected components, oracle-gated ----------------------------------
 def q100_dedup_cc_chains(spark, sf_dir):
     """cluster_duplicates gated by a hash-matchable oracle: the edge set
@@ -1678,6 +1756,8 @@ DATAOPS_QUERIES = {
     "q99_ann_ivf_exhaustive": (q99_ann_ivf_exhaustive, Q23_SQL),
     "q100_dedup_cc_chains": (q100_dedup_cc_chains, Q100_SQL),
     "q101_sketch_bounds": (q101_sketch_bounds, Q101_SQL),
+    "q103_unigram_surprisal": (q103_unigram_surprisal, Q103_SQL),
+    "q104_containment": (q104_containment, Q104_SQL),
     "q40_bpe_tokens": (q40_bpe_tokens, Q40_SQL),
     "q41_winnow_fingerprints": (q41_winnow_fingerprints, Q41_SQL),
     "q43_ngram_langid": (q43_ngram_langid, Q43_SQL),

@@ -286,3 +286,25 @@ def test_ivf_centroids_deterministic(spark, tables):
     a = similarity.ivf_centroids(emb, num_centroids=8).collect()
     b = similarity.ivf_centroids(emb, num_centroids=8).collect()
     assert [(r["cid"], r["cvec"]) for r in a] == [(r["cid"], r["cvec"]) for r in b]
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """A short doc fully quoted inside a long one: containment(a in b)
+    = 1.0 while Jaccard stays low — the case the symmetric relation
+    under-fires on."""
+    from synch_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here entirely")],
+        "doc_id long, text string",
+    )
+    cont = dedup.containment_pairs(docs, "text", "doc_id", threshold=0.9, n=3)
+    rows = {(r["a"], r["b"]): r["containment"] for r in cont.collect()}
+    assert rows[(1, 2)] == 1.0
+    assert (2, 1) not in rows  # asymmetric: the long doc is NOT contained
+    assert (3, 1) not in rows and (3, 2) not in rows
+    jac = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.5, n=3)
+    assert not [r for r in jac.collect() if {r["a"], r["b"]} == {1, 2}], \
+        "Jaccard must miss the subset pair at the same confidence"
