@@ -95,6 +95,91 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return cols.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+HISTO_SCHEMA = "id long, bucket int, n long"
+
+
+def char_histogram(df: DataFrame, id_col: str = "doc_id", buckets: int = 16) -> DataFrame:
+    """Decode + featurize with a FULL correctness gate: the payload is
+    utf-8-decoded inside the Arrow kernel and bucketed by code point
+    (``unicode % buckets``) — one output row per (doc, non-empty
+    bucket). Character-level (not byte-level) on purpose: multibyte
+    scripts (the zh docs) would diverge from any SQL oracle at byte
+    granularity, while code points are computable in both engines, so
+    this kernel's output hash-matches DuckDB exactly (q105) — the one
+    multimodal path whose PYTHON side is oracle-checked, not just
+    shape-tested."""
+    cols = df.select(F.col(id_col).alias("id"), "media")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, bks, ns = [], [], []
+            for i, payload in zip(pdf["id"], pdf["media"]):
+                cps = np.fromiter(
+                    (ord(c) for c in bytes(payload).decode("utf-8")), dtype=np.int64
+                )
+                counts = np.bincount(cps % buckets, minlength=buckets)
+                nz = np.nonzero(counts)[0]
+                ids.extend([i] * len(nz))
+                bks.extend(nz.tolist())
+                ns.extend(counts[nz].tolist())
+            yield pd.DataFrame(
+                {"id": pd.array(ids, dtype="int64"),
+                 "bucket": pd.array(bks, dtype="int32"),
+                 "n": pd.array(ns, dtype="int64")}
+            )
+
+    return cols.mapInPandas(kernel, HISTO_SCHEMA)
+
+
+def resize_media(df: DataFrame, target: int, id_col: str = "doc_id") -> DataFrame:
+    """Resize-kernel plumbing: nearest-neighbor subsample of the payload
+    to ``target`` elements (the 1-D stand-in for an image thumbnail),
+    emitted as a new binary column with updated metadata. Deterministic:
+    element j of the output is input element floor(j*n/target). The
+    real pattern is all here — binary in, binary out, meta rewrite,
+    Arrow batching — only the pixel math is fake (no codecs in this
+    container; swap the kernel body when PIL/ffmpeg exist)."""
+    cols = df.select(F.col(id_col).alias("id"), "media", "media_meta")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_TYPE),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            outs = []
+            for payload in pdf["media"]:
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(buf) == 0:
+                    outs.append(b"")
+                    continue
+                idx = (np.arange(target, dtype=np.int64) * len(buf)) // target
+                outs.append(buf[idx].tobytes())
+            meta = pd.DataFrame(
+                {
+                    "format": ["fake/resized"] * len(pdf),
+                    "width": pd.array([target] * len(pdf), dtype="int32"),
+                    "height": pd.array([1] * len(pdf), dtype="int32"),
+                    "duration_ms": pd.array([0] * len(pdf), dtype="int32"),
+                    "codec": ["none"] * len(pdf),
+                }
+            )
+            yield pd.DataFrame(
+                {"id": pdf["id"], "media": outs,
+                 "media_meta": meta.to_dict("records")}
+            )
+
+    return cols.mapInPandas(kernel, out_schema)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video payloads: one output row per sampled
     frame timestamp. Decode is stubbed; the explode-by-timestamp plumbing

@@ -463,6 +463,29 @@ def q39_dedup_clusters(spark, sf_dir):
     )
 
 
+# --- multimodal kernel with a full oracle --------------------------------
+def q105_media_char_histogram(spark, sf_dir):
+    """The multimodal decode+featurize kernel (mapInPandas, Arrow
+    batches, utf-8 decode inside Python) hash-gated end-to-end: code-
+    point bucketing is computable in DuckDB, so the PYTHON kernel's
+    output — not just its schema — is oracle-checked."""
+    from synch_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir)
+    media = multimodal.attach_fake_media(docs, "text")
+    return multimodal.char_histogram(media, "doc_id", buckets=16).orderBy(
+        "id", "bucket"
+    )
+
+
+Q105_SQL = """
+SELECT doc_id AS id, CAST(unicode(ch) % 16 AS INT) AS bucket,
+       COUNT(*) AS n
+FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents)
+GROUP BY doc_id, bucket ORDER BY id, bucket
+"""
+
+
 # --- unigram LM surprisal scoring ----------------------------------------
 def q103_unigram_surprisal(spark, sf_dir):
     """Per-document average unigram surprisal (bits/token) against the
@@ -1757,6 +1780,7 @@ DATAOPS_QUERIES = {
     "q100_dedup_cc_chains": (q100_dedup_cc_chains, Q100_SQL),
     "q101_sketch_bounds": (q101_sketch_bounds, Q101_SQL),
     "q103_unigram_surprisal": (q103_unigram_surprisal, Q103_SQL),
+    "q105_media_char_histogram": (q105_media_char_histogram, Q105_SQL),
     "q104_containment": (q104_containment, Q104_SQL),
     "q40_bpe_tokens": (q40_bpe_tokens, Q40_SQL),
     "q41_winnow_fingerprints": (q41_winnow_fingerprints, Q41_SQL),

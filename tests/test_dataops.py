@@ -308,3 +308,47 @@ def test_containment_vs_jaccard_asymmetry(spark):
     jac = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.5, n=3)
     assert not [r for r in jac.collect() if {r["a"], r["b"]} == {1, 2}], \
         "Jaccard must miss the subset pair at the same confidence"
+
+
+def test_resize_media_plumbing(spark):
+    """Binary-in/binary-out resize kernel: deterministic nearest-neighbor
+    subsample to the target length, metadata rewritten, empty payload
+    survives."""
+    from synch_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 10), (2, "xy"), (3, "")],
+        "doc_id long, text string",
+    )
+    media = multimodal.attach_fake_media(docs, "text")
+    out = multimodal.resize_media(media, target=16)
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows[1]["media"]) == 16
+    assert rows[1]["media_meta"]["width"] == 16
+    assert rows[1]["media_meta"]["format"] == "fake/resized"
+    # nearest-neighbor: element j = input[floor(j*n/target)]
+    src = ("abcdefghij" * 10).encode()
+    want = bytes(src[(j * len(src)) // 16] for j in range(16))
+    assert bytes(rows[1]["media"]) == want
+    assert len(rows[2]["media"]) == 16  # upsample repeats elements
+    assert bytes(rows[3]["media"]) == b""
+    # determinism
+    again = {r["id"]: bytes(r["media"]) for r in
+             multimodal.resize_media(media, target=16).collect()}
+    assert {k: bytes(v["media"]) for k, v in rows.items()} == again
+
+
+def test_char_histogram_multibyte(spark):
+    """Code-point (not byte) bucketing: a multibyte script doc must
+    bucket by unicode code points — the byte-level formulation would
+    count utf-8 continuation bytes."""
+    from synch_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1, "中文AB")], "doc_id long, text string")
+    media = multimodal.attach_fake_media(docs, "text")
+    out = multimodal.char_histogram(media, "doc_id", buckets=16).collect()
+    got = {(r["bucket"]): r["n"] for r in out}
+    import collections
+    want = collections.Counter(ord(c) % 16 for c in "中文AB")
+    assert got == dict(want)
+    assert sum(got.values()) == 4  # 4 code points, not 8 utf-8 bytes
