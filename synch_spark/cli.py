@@ -171,6 +171,13 @@ def cmd_consume(args) -> int:
 
     from synch_spark.streaming.pipeline import CdcPipeline
 
+    if args.schema:
+        # reference parity: `consume --schema` runs one database's tables
+        # (ref cli.py:58-60); unconfigured events are ignored anyway, so
+        # filtering the spec map is the whole behavior
+        cfg.tables = {
+            k: v for k, v in cfg.tables.items() if v.schema == args.schema
+        }
     schemas = {}
     for name, js in (raw["spark"].get("value_schemas") or {}).items():
         if not isinstance(js, dict) or "fields" not in js:
@@ -185,6 +192,7 @@ def cmd_consume(args) -> int:
         warehouse=raw["spark"]["warehouse"],
         checkpoint_dir=raw["spark"]["checkpoint_dir"],
         value_schemas=schemas,
+        alias=args.alias or "default",
     )
     if raw["spark"].get("kafka"):
         q = pipe.start_kafka_stream(
@@ -207,6 +215,10 @@ def cmd_check(args) -> int:
     warehouse = raw["spark"]["warehouse"]
     out, ok = {}, True
     for name, spec in cfg.tables.items():
+        if args.schema and spec.schema != args.schema:
+            continue
+        if args.table and spec.table != args.table:
+            continue
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
             raw["spark"]["sources"][name]
         )
@@ -427,6 +439,11 @@ def cmd_mv(args) -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="synch-spark")
     p.add_argument("--config", required=True)
+    p.add_argument(
+        "--alias", default=None,
+        help="pipeline alias recorded in the _synch_log monitor table "
+             "(reference parity: synch --alias)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
     e = sub.add_parser("etl", help="one-shot full snapshot")
     e.add_argument("--schema")
@@ -435,6 +452,13 @@ def main(argv=None) -> int:
     e.set_defaults(fn=cmd_etl)
     c = sub.add_parser("consume", help="continuous CDC")
     c.add_argument("--available-now", action="store_true")
+    c.add_argument("--schema", help="consume only this source database")
+    c.add_argument(
+        "--skip-error", action="store_true",
+        help="reference-parity flag: unparseable events never kill the "
+             "stream here — they land in _synch_dead_letter either way "
+             "(an inspectable upgrade over the reference's silent skip)",
+    )
     c.set_defaults(fn=cmd_consume)
     pr = sub.add_parser("produce", help="snapshot-diff polling CDC producer")
     pr.add_argument("--once", action="store_true")
@@ -450,6 +474,8 @@ def main(argv=None) -> int:
     pr.set_defaults(fn=cmd_produce)
     k = sub.add_parser("check", help="count/checksum parity")
     k.add_argument("--checksum", action="store_true")
+    k.add_argument("--schema", help="check only this source database")
+    k.add_argument("--table", help="check only this table")
     k.set_defaults(fn=cmd_check)
     o = sub.add_parser("optimize", help="compact engine history (OPTIMIZE FINAL)")
     o.add_argument("--table")
