@@ -263,7 +263,12 @@ def evolve_schema(ts: TableSchema, ops) -> tuple[TableSchema, list[str]]:
                     f"a live or retired physical column"
                 )
             spec.name = op.new_column
-            spec.physical = [op.new_column] + spec.physical
+            # dedupe the lineage (rename a->b then b->a would otherwise
+            # yield [a, b, a] — a duplicate field in the explicit read
+            # schema); first occurrence wins, order preserved
+            spec.physical = [op.new_column] + [
+                p for p in spec.physical if p != op.new_column
+            ]
             by_name[op.new_column] = spec
             if op.type_str:
                 new_t = op.spark_type.simpleString()

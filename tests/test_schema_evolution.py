@@ -245,3 +245,26 @@ def test_rewrite_path_still_correct_for_narrowing(spark, tmp_path):
     t.overwrite(apply_alter(t.read(), ops))
     assert dict(t.read().dtypes)["id"] == "int"
     assert t.schema_spec() is None
+
+
+def test_rename_roundtrip_dedupes_lineage(spark, tmp_path):
+    """rename a->b then b->a must not produce a duplicate physical name
+    in the read schema ([a, b, a]); files from every generation still
+    reconcile."""
+    t = _mk_table(spark, tmp_path / "t")
+    ts0 = TableSchema.from_struct(t.read().schema)
+    ts1, r1 = evolve_schema(ts0, parse_alter("alter table db.t change name title varchar(32)"))
+    assert r1 == []
+    t.commit_schema(ts1)
+    # a file written under the intermediate name
+    t.append(spark.createDataFrame(
+        [(600, "mid", 0.0, "a")], "id long, title string, v double, p string"))
+    ts2, r2 = evolve_schema(ts1, parse_alter("alter table db.t change title name varchar(32)"))
+    assert r2 == []
+    by = {c.name: c for c in ts2.columns}
+    assert by["name"].physical == ["name", "title"], "lineage must dedupe"
+    t.commit_schema(ts2)
+    rows = {r["id"]: r["name"] for r in t.read().collect()}
+    assert rows[3] == "n3"      # original-generation file
+    assert rows[600] == "mid"   # intermediate-generation file
+    assert len(rows) == 101
