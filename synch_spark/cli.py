@@ -134,10 +134,16 @@ def cmd_produce(args) -> int:
                 if n:
                     basename = f"{spec.schema}.{spec.table}.{now_us}"
                     if args.sink == "kafka":
+                        kconf = raw["spark"].get("kafka")
+                        if not kconf or "bootstrap_servers" not in kconf:
+                            raise SystemExit(
+                                "produce --sink kafka needs a spark.kafka config "
+                                "block with bootstrap_servers"
+                            )
                         produce_to_kafka(
                             events,
-                            raw["spark"]["kafka"]["bootstrap_servers"],
-                            raw["spark"]["kafka"].get("queue_prefix", "synch"),
+                            kconf["bootstrap_servers"],
+                            kconf.get("queue_prefix", "synch"),
                         )
                     elif args.driver_spool:
                         out = os.path.join(events_dir, basename + ".json")
@@ -163,6 +169,15 @@ def cmd_consume(args) -> int:
     raw = _load(args.config)
     cfg = config_from_dict(raw)
     spark = get_spark("synch-consume")
+    if args.schema:
+        # reference parity: `consume --schema` runs one database's tables
+        # (ref cli.py:58-60); unconfigured events are ignored anyway, so
+        # filtering the spec map is the whole behavior. Filter BEFORE pk
+        # discovery: an unreachable source for an unrelated schema must
+        # not block (or issue catalog queries for) the requested one.
+        cfg.tables = {
+            k: v for k, v in cfg.tables.items() if v.schema == args.schema
+        }
     _resolve_pks(raw, cfg, spark)
     from synch_spark.alerts import configure_alerts
 
@@ -171,13 +186,6 @@ def cmd_consume(args) -> int:
 
     from synch_spark.streaming.pipeline import CdcPipeline
 
-    if args.schema:
-        # reference parity: `consume --schema` runs one database's tables
-        # (ref cli.py:58-60); unconfigured events are ignored anyway, so
-        # filtering the spec map is the whole behavior
-        cfg.tables = {
-            k: v for k, v in cfg.tables.items() if v.schema == args.schema
-        }
     schemas = {}
     for name, js in (raw["spark"].get("value_schemas") or {}).items():
         if not isinstance(js, dict) or "fields" not in js:
@@ -212,6 +220,7 @@ def cmd_check(args) -> int:
     raw = _load(args.config)
     cfg = config_from_dict(raw)
     spark = get_spark("synch-check")
+    _resolve_pks(raw, cfg, spark)
     warehouse = raw["spark"]["warehouse"]
     out, ok = {}, True
     for name, spec in cfg.tables.items():
@@ -246,6 +255,7 @@ def cmd_optimize(args) -> int:
     raw = _load(args.config)
     cfg = config_from_dict(raw)
     spark = get_spark("synch-optimize")
+    _resolve_pks(raw, cfg, spark)
     warehouse = raw["spark"]["warehouse"]
     done, skipped = [], []
     for name, spec in cfg.tables.items():
@@ -277,6 +287,7 @@ def cmd_repair(args) -> int:
     raw = _load(args.config)
     cfg = config_from_dict(raw)
     spark = get_spark("synch-repair")
+    _resolve_pks(raw, cfg, spark)
     warehouse = raw["spark"]["warehouse"]
     out = {}
     for name, spec in cfg.tables.items():
@@ -302,6 +313,7 @@ def cmd_backfill(args) -> int:
     raw = _load(args.config)
     cfg = config_from_dict(raw)
     spark = get_spark("synch-backfill")
+    _resolve_pks(raw, cfg, spark)
     warehouse = raw["spark"]["warehouse"]
     out = {}
     for name, spec in cfg.tables.items():

@@ -200,7 +200,8 @@ def _classify_files(table, changed_keys, upserts, part, pk):
                     hit = j > i
                     if hit:
                         bl = bloom_idx.load_bloom(
-                            table.root, os.path.basename(f), pk[0]
+                            table.root, os.path.join(dirname, os.path.basename(f)),
+                            pk[0],
                         )
                         if bl is not None:
                             hit = bloom_idx.might_contain_any(bl, sk[i:j])

@@ -81,17 +81,8 @@ def jaccard_pairs(
     the filter are emitted (the a<b canonicalization happens after the
     filter) — a probe-centric neighborhood needs the symmetric call.
     """
-    sh = shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    left = sh.withColumnRenamed("id", "a")
-    if probe_filter is not None:
-        left = left.filter(probe_filter(F.col("a")))
-    right = sh.withColumnRenamed("id", "b")
-    inter = (
-        left.join(right, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sizes, inter = _gram_overlap(
+        df, text_col, id_col, n, probe_filter, lambda a, b: a < b
     )
     out = (
         inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
@@ -105,6 +96,28 @@ def jaccard_pairs(
         .select("a", "b", "jaccard")
     )
     return out
+
+
+def _gram_overlap(df, text_col, id_col, n, probe_filter, pair_pred):
+    """Shared inverted-index candidate plan for the gram-set relations:
+    (sizes, inter) where sizes = |distinct n-grams| per doc and inter =
+    per-(a, b) intersection counts for pairs passing ``pair_pred``
+    (a < b for symmetric Jaccard, a != b for asymmetric containment).
+    The shuffle is on the gram, never all-pairs; ``probe_filter`` bounds
+    the left side."""
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    left = sh.withColumnRenamed("id", "a")
+    if probe_filter is not None:
+        left = left.filter(probe_filter(F.col("a")))
+    right = sh.withColumnRenamed("id", "b")
+    inter = (
+        left.join(right, "shingle")
+        .filter(pair_pred(F.col("a"), F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return sizes, inter
 
 
 def containment_pairs(
@@ -129,17 +142,8 @@ def containment_pairs(
     set size as the normalizer. ``probe_filter`` bounds the left side
     (the "is this doc contained elsewhere?" probe) at scale.
     """
-    sh = shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    left = sh.withColumnRenamed("id", "a")
-    if probe_filter is not None:
-        left = left.filter(probe_filter(F.col("a")))
-    right = sh.withColumnRenamed("id", "b")
-    inter = (
-        left.join(right, "shingle")
-        .filter(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sizes, inter = _gram_overlap(
+        df, text_col, id_col, n, probe_filter, lambda a, b: a != b
     )
     return (
         inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")

@@ -12,10 +12,16 @@ idea, rebuilt on the same sidecar-file principle.
 
 Design constraints that make it cheap:
 
-- Data files are uuid-named and IMMUTABLE; hard-linked copies keep the
-  basename across versions. Sidecars are therefore keyed by basename in
-  one flat `<root>/_bloom/` dir — no version bookkeeping, links carry
-  their bloom for free, and a sidecar is write-once like its file.
+- Data files are IMMUTABLE; hard-linked copies keep their
+  version-relative path (partition dirname + basename) across
+  versions. Sidecars are keyed by that RELATIVE PATH (escaped into one
+  flat `<root>/_bloom/` dir) — basenames alone are NOT unique: one
+  task writing a partitioned table emits the same
+  `part-00000-<uuid>` basename into every partition directory, and a
+  basename-keyed sidecar would let partition A's bloom prove false
+  absence for partition B's file (a lost update in the merge). No
+  version bookkeeping; links carry their bloom for free; a sidecar is
+  write-once like its file.
 - Missing sidecar = no pruning claim (falls back to min/max semantics);
   stale sidecars for files no longer in the current version are inert
   garbage until ``gc_blooms`` (run by compaction) unlinks them — the
@@ -73,8 +79,9 @@ def _bloom_dir(root: str) -> str:
     return os.path.join(root, "_bloom")
 
 
-def _sidecar(root: str, basename: str) -> str:
-    return os.path.join(_bloom_dir(root), basename + ".bloom.json")
+def _sidecar(root: str, relkey: str) -> str:
+    # version-relative path, "/" escaped so the flat dir stays flat
+    return os.path.join(_bloom_dir(root), relkey.replace(os.sep, "%2F") + ".bloom.json")
 
 
 def build_file_blooms(table, column: str) -> int:
@@ -91,10 +98,10 @@ def build_file_blooms(table, column: str) -> int:
         for name in files:
             if not name.endswith(".parquet"):
                 continue
-            out = _sidecar(table.root, name)
+            path = os.path.join(dirpath, name)
+            out = _sidecar(table.root, os.path.relpath(path, vdir))
             if os.path.exists(out):
                 continue
-            path = os.path.join(dirpath, name)
             schema = pq.ParquetFile(path).schema_arrow
             if column not in schema.names:
                 continue  # partition column / pre-DDL file: no data pages
@@ -144,8 +151,11 @@ def gc_blooms(table) -> int:
         return 0
     live: set[str] = set()
     vdir = table._version_dir(table.current_version())
-    for _dirpath, _dirs, files in os.walk(vdir):
-        live.update(n for n in files if n.endswith(".parquet"))
+    for dirpath, _dirs, files in os.walk(vdir):
+        for n in files:
+            if n.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, n), vdir)
+                live.add(rel.replace(os.sep, "%2F"))
     removed = 0
     for name in os.listdir(bdir):
         if name.endswith(".bloom.json") and name[: -len(".bloom.json")] not in live:
@@ -154,9 +164,12 @@ def gc_blooms(table) -> int:
     return removed
 
 
-def load_bloom(root: str, basename: str, column: str):
-    """(m, k, bits ndarray) or None when absent/for a different column."""
-    path = _sidecar(root, basename)
+def load_bloom(root: str, relkey: str, column: str):
+    """(m, k, bits ndarray) or None when absent/for a different column.
+    ``relkey`` is the file's version-relative path (e.g.
+    ``p=a/part-00000-<uuid>.parquet``; bare basename for unpartitioned
+    tables)."""
+    path = _sidecar(root, relkey)
     if not os.path.exists(path):
         return None
     with open(path) as f:
@@ -206,7 +219,7 @@ def prune_files(table, column: str, keys) -> list[str] | None:
             if not name.endswith(".parquet"):
                 continue
             path = os.path.join(dirpath, name)
-            bl = load_bloom(table.root, name, column)
+            bl = load_bloom(table.root, os.path.relpath(path, vdir), column)
             try:
                 rng = file_key_range(path, column)
             except Exception:  # unreadable footer: treat as statless

@@ -255,3 +255,32 @@ def test_bloom_sidecar_gc(spark, tmp_path):
     live = {f for f in os.listdir(vdir) if f.endswith(".parquet")}
     assert {n[: -len(".bloom.json")] for n in after} == live
     assert not (before & after), "old-generation sidecars must be gone"
+
+
+def test_bloom_keys_are_partition_scoped(spark, tmp_path):
+    """One task writing a partitioned table emits the SAME part-file
+    basename into every partition dir. Basename-keyed sidecars would let
+    partition a's bloom prove false absence for partition b's file and
+    hard-link away a genuinely-changed file (lost update). With
+    partition-scoped keys, a delete of a key that lives only in p=b must
+    actually remove the row."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(k, "a", float(k)) for k in range(100)]
+        + [(k, "b", float(k)) for k in range(100, 200)],
+        "k long, p string, v double",
+    ).repartition(1)  # one task -> identical basenames across partitions
+    t.overwrite(df, "p")
+    vdir = t._version_dir(t.current_version())
+    names_a = {f for f in os.listdir(os.path.join(vdir, "p=a")) if f.endswith(".parquet")}
+    names_b = {f for f in os.listdir(os.path.join(vdir, "p=b")) if f.endswith(".parquet")}
+    assert names_a == names_b, "precondition: basenames collide across partitions"
+    assert bloom.build_file_blooms(t, "k") == 2, "one sidecar PER FILE, not per basename"
+    # delete a key that exists ONLY in p=b
+    batch = _events(spark, [("delete", 150, "b", 150.0, 10)])
+    apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
+    got = {r["k"] for r in t.read().collect()}
+    assert 150 not in got, "lost update: stale row survived a basename-collided bloom"
+    assert len(got) == 199
