@@ -314,7 +314,9 @@ def _refresh_blooms(table: ParquetTable, spec: TableSpec) -> None:
         from synch_spark.sources.bloom import build_file_blooms, gc_blooms
 
         gc_blooms(table)  # drop sidecars orphaned by the rewrite
-        build_file_blooms(table, spec.pk[0])
+        # executor-side fan-out: one task per fresh file, so the rebuild
+        # scales with the cluster instead of serializing on the driver
+        build_file_blooms(table, spec.pk[0], spark=table.spark)
 
 
 def should_compact(

@@ -84,59 +84,83 @@ def _sidecar(root: str, relkey: str) -> str:
     return os.path.join(_bloom_dir(root), relkey.replace(os.sep, "%2F") + ".bloom.json")
 
 
-def build_file_blooms(table, column: str) -> int:
-    """Create sidecars for every current-version data file that lacks
-    one. Returns the number of sidecars written. Idempotent; safe to run
-    after every commit or only from maintenance (optimize)."""
+def _build_one_bloom(path: str, out: str, column: str) -> int:
+    """Build one sidecar from one data file (pure function of its
+    arguments — runs on the driver for small tables, inside an executor
+    task for the distributed build). Returns 1 when a sidecar was
+    written, 0 when the file is skipped (column absent or key type not
+    bloom-safe)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    schema = pq.ParquetFile(path).schema_arrow
+    if column not in schema.names:
+        return 0  # partition column / pre-DDL file: no data pages
+    typ = schema.field(column).type
+    if not (
+        pa.types.is_integer(typ)
+        or pa.types.is_string(typ)
+        or pa.types.is_large_string(typ)
+        or pa.types.is_binary(typ)
+        or pa.types.is_large_binary(typ)
+    ):
+        # bloom_safe_key rationale: only int/str/bytes keys have
+        # type-stable build/probe representations — everything else
+        # stays on min/max-stat semantics
+        return 0
+    col = pq.read_table(path, columns=[column]).column(0)
+    values = [v for v in col.to_pylist() if v is not None]
+    n = max(len(values), 1)
+    m = int(n * FPP_BITS_PER_KEY) + 8
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for v in values:
+        h1, h2 = _hashes(v)
+        for i in range(NUM_HASHES):
+            b = (h1 + i * h2) % m
+            bits[b >> 3] |= 1 << (b & 7)
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"column": column, "m": m, "k": NUM_HASHES,
+             "bits": base64.b64encode(bits.tobytes()).decode()},
+            f,
+        )
+    os.replace(tmp, out)
+    return 1
+
+
+def build_file_blooms(table, column: str, spark=None) -> int:
+    """Create sidecars for every current-version data file that lacks
+    one. Returns the number of sidecars written. Idempotent; safe to run
+    after every commit or only from maintenance (optimize).
+
+    With ``spark`` given, the per-file builds fan out as one executor
+    task per file (the production shape: reading every key of every
+    file through the driver serializes the maintenance job; executors
+    write sidecars to the shared filesystem directly, and the pid-
+    suffixed temp + atomic rename keeps concurrent builders safe).
+    Driver-side otherwise."""
     os.makedirs(_bloom_dir(table.root), exist_ok=True)
-    built = 0
     vdir = table._version_dir(table.current_version())
+    todo: list[tuple[str, str]] = []
     for dirpath, _dirs, files in os.walk(vdir):
         for name in files:
             if not name.endswith(".parquet"):
                 continue
             path = os.path.join(dirpath, name)
             out = _sidecar(table.root, os.path.relpath(path, vdir))
-            if os.path.exists(out):
-                continue
-            schema = pq.ParquetFile(path).schema_arrow
-            if column not in schema.names:
-                continue  # partition column / pre-DDL file: no data pages
-            typ = schema.field(column).type
-            if not (
-                pa.types.is_integer(typ)
-                or pa.types.is_string(typ)
-                or pa.types.is_large_string(typ)
-                or pa.types.is_binary(typ)
-                or pa.types.is_large_binary(typ)
-            ):
-                # bloom_safe_key rationale: only int/str/bytes keys have
-                # type-stable build/probe representations — everything
-                # else stays on min/max-stat semantics
-                continue
-            col = pq.read_table(path, columns=[column]).column(0)
-            values = [v for v in col.to_pylist() if v is not None]
-            n = max(len(values), 1)
-            m = int(n * FPP_BITS_PER_KEY) + 8
-            bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-            for v in values:
-                h1, h2 = _hashes(v)
-                for i in range(NUM_HASHES):
-                    b = (h1 + i * h2) % m
-                    bits[b >> 3] |= 1 << (b & 7)
-            tmp = out + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(
-                    {"column": column, "m": m, "k": NUM_HASHES,
-                     "bits": base64.b64encode(bits.tobytes()).decode()},
-                    f,
-                )
-            os.replace(tmp, out)
-            built += 1
-    return built
+            if not os.path.exists(out):
+                todo.append((path, out))
+    if not todo:
+        return 0
+    if spark is not None and len(todo) > 1:
+        sc = spark.sparkContext
+        return sum(
+            sc.parallelize(todo, len(todo)).map(
+                lambda po: _build_one_bloom(po[0], po[1], column)
+            ).collect()
+        )
+    return sum(_build_one_bloom(path, out, column) for path, out in todo)
 
 
 def gc_blooms(table) -> int:

@@ -284,3 +284,37 @@ def test_bloom_keys_are_partition_scoped(spark, tmp_path):
     got = {r["k"] for r in t.read().collect()}
     assert 150 not in got, "lost update: stale row survived a basename-collided bloom"
     assert len(got) == 199
+
+
+def test_distributed_bloom_build_matches_driver_build(spark, tmp_path):
+    """Executor-side fan-out build writes byte-identical sidecars to the
+    driver-side loop (same pure function), and pruning behaves the same."""
+    t1 = ParquetTable(spark, str(tmp_path / "d1"))
+    t2 = ParquetTable(spark, str(tmp_path / "d2"))
+    df = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t1.overwrite(df.repartition(6))
+    t2.overwrite(df.repartition(6))
+    n1 = bloom.build_file_blooms(t1, "k")
+    n2 = bloom.build_file_blooms(t2, "k", spark=spark)
+    assert n1 == n2 == 6
+    import json as _json
+
+    def _load_all(t):
+        bdir = os.path.join(t.root, "_bloom")
+        return sorted(
+            _json.load(open(os.path.join(bdir, f)))["m"] for f in os.listdir(bdir)
+        )
+
+    # same file layout (same repartition of same data) -> same bloom sizes
+    assert _load_all(t1) == _load_all(t2)
+    # probe parity on a sample of present/absent keys
+    v1 = t1._version_dir(t1.current_version())
+    v2 = t2._version_dir(t2.current_version())
+    f1 = sorted(f for f in os.listdir(v1) if f.endswith(".parquet"))
+    f2 = sorted(f for f in os.listdir(v2) if f.endswith(".parquet"))
+    for a, b in zip(f1, f2):
+        bl1 = bloom.load_bloom(t1.root, a, "k")
+        bl2 = bloom.load_bloom(t2.root, b, "k")
+        for probe in (0, 999, 1999, 5000, 12345):
+            assert bloom.might_contain_any(bl1, [probe]) == \
+                   bloom.might_contain_any(bl2, [probe])
