@@ -59,6 +59,14 @@ class CdcPipeline:
     value_schemas: dict[str, T.StructType] = field(default_factory=dict)
     alias: str = "default"
     monitor: bool = True
+    # keep Bloom sidecars current for the files each merge writes: without
+    # this, post-merge files carry no membership filter and stay rewrite
+    # candidates in EVERY later batch whose keys overlap their (wide,
+    # unclustered) min/max range — rewrite amplification that compounds
+    # until the next compaction. The per-batch cost is reading the pk
+    # column of just the NEW files (build is idempotent per relpath;
+    # hard-linked files keep their sidecars).
+    maintain_blooms: bool = True
     # incremental materialized views, refreshed in the SAME micro-batch as
     # the table apply (operators.mv); keyed implicitly by their .source
     views: list = field(default_factory=list)
@@ -159,6 +167,10 @@ class CdcPipeline:
             typed = parse_values(tevents, vschema)
             table = self.table_for(spec)
             apply_cdc_batch(table, typed, spec)
+            if self.maintain_blooms and spec.has_pk and spec.partition_by:
+                from synch_spark.sources.bloom import build_file_blooms
+
+                build_file_blooms(table, spec.pk[0], spark=self.spark)
             for view in self.views:
                 if view.source == spec.qualified_name:
                     # base read AFTER apply: min/max partial recompute must

@@ -151,3 +151,42 @@ def test_ddl_barrier_mid_stream(spark, tmp_path, pipeline):
     table = ParquetTable(spark, f"{pipeline.warehouse}/db/t")
     out = {r["id"]: r["note"] for r in table.read().select("id", "note").collect()}
     assert out == {1: "x", 2: "hi"}
+
+
+def test_pipeline_maintains_blooms_for_partitioned_tables(spark, tmp_path):
+    """Every micro-batch leaves the new merge files bloom-indexed, so
+    later batches can prune them instead of rewriting on every range
+    overlap (rewrite amplification until compaction)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from synch_spark.config import Engine, SyncConfig, TableSpec
+
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="pt", pk=("id",),
+                            engine=Engine.REPLACING_MERGE_TREE, partition_by="part"))
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("part", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    pipe = CdcPipeline(spark=spark, cfg=cfg, warehouse=str(tmp_path / "wh"),
+                       checkpoint_dir=str(tmp_path / "ck"),
+                       value_schemas={"db.pt": schema})
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    _write_events(events_dir / "e1.json", [
+        ("db", "pt", "insert", None, {"id": i, "part": "a" if i % 2 else "b",
+                                      "amount": float(i)}, 100 + i)
+        for i in range(50)
+    ])
+    q = pipe.start_file_stream(str(events_dir), available_now=True)
+    q.awaitTermination(120)
+    table = pipe.table_for(cfg.tables["db.pt"])
+    bdir = os.path.join(table.root, "_bloom")
+    assert os.path.isdir(bdir) and os.listdir(bdir), "merge files must be bloomed"
+    vdir = table._version_dir(table.current_version())
+    nfiles = sum(1 for _, _, fs in os.walk(vdir) for f in fs if f.endswith(".parquet"))
+    assert len([f for f in os.listdir(bdir) if f.endswith(".bloom.json")]) == nfiles
+    assert table.read().count() == 50
