@@ -379,3 +379,46 @@ def test_no_pk_appends_inserts_only(spark, tmp_path):
         ("delete", {"id": 1, "amount": "1"}, None, 200),
     ]), s)
     assert t.read().count() == 1  # delete skipped without a pk
+
+
+def test_concurrent_writers_threaded_stress(spark, tmp_path):
+    """Four writer threads racing disjoint upserts through
+    commit_with_retry: every write must land exactly once (serializable
+    history — version count == number of commits + initial, final state
+    == union of all writers' rows)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from synch_spark.sources.table import ParquetTable, commit_with_retry
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).select(F.col("id").alias("k"),
+                                       F.lit("base").alias("who")))
+    errors = []
+
+    def writer(wid: int):
+        try:
+            def txn():
+                base_v = t.current_version()
+                cur = t.read()
+                mine = spark.range(100 + wid * 10, 110 + wid * 10).select(
+                    F.col("id").alias("k"), F.lit(f"w{wid}").alias("who")
+                )
+                merged = cur.join(mine, "k", "left_anti").unionByName(mine)
+                t.overwrite(merged, expected_base=base_v)
+
+            commit_with_retry(txn, retries=20, backoff_s=0.02)
+        except Exception as e:  # noqa: BLE001
+            errors.append((wid, e))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    rows = {r["k"]: r["who"] for r in t.read().collect()}
+    assert len(rows) == 10 + 40
+    for wid in range(4):
+        assert all(rows[k] == f"w{wid}" for k in range(100 + wid * 10, 110 + wid * 10))
