@@ -193,18 +193,24 @@ def _classify_files(table, changed_keys, upserts, part, pk):
             cand_here, link_here = [], []
             for f in files:
                 rng = file_key_range(f, pk[0])
-                hit = True
                 if rng is not None:
                     i = bisect.bisect_left(sk, rng[0])
                     j = bisect.bisect_right(sk, rng[1])
                     hit = j > i
-                    if hit:
-                        bl = bloom_idx.load_bloom(
-                            table.root, os.path.join(dirname, os.path.basename(f)),
-                            pk[0],
-                        )
-                        if bl is not None:
-                            hit = bloom_idx.might_contain_any(bl, sk[i:j])
+                    probe = sk[i:j]
+                else:
+                    # no exact range stats (string pks: BYTE_ARRAY stats
+                    # may be truncated) — the bloom is then the ONLY
+                    # pruning lever, probed with the full batch key set
+                    hit = True
+                    probe = sk
+                if hit:
+                    bl = bloom_idx.load_bloom(
+                        table.root, os.path.join(dirname, os.path.basename(f)),
+                        pk[0],
+                    )
+                    if bl is not None:
+                        hit = bloom_idx.might_contain_any(bl, probe)
                 (cand_here if hit else link_here).append(f)
             dval = _partition_dir_value(dirname)
             if cand_here or dval in upsert_strs:

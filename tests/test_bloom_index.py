@@ -318,3 +318,35 @@ def test_distributed_bloom_build_matches_driver_build(spark, tmp_path):
         for probe in (0, 999, 1999, 5000, 12345):
             assert bloom.might_contain_any(bl1, [probe]) == \
                    bloom.might_contain_any(bl2, [probe])
+
+
+def test_string_pk_files_pruned_by_bloom_alone(spark, tmp_path):
+    """String pks have no exact min/max stats (BYTE_ARRAY may truncate),
+    so the bloom is the only pruning lever — a merge touching keys in
+    one file must hard-link the other file instead of rewriting both."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
+    t = ParquetTable(spark, str(tmp_path / "ts"))
+    g1 = [(f"key_a{i:04d}", "a", float(i)) for i in range(100)]
+    g2 = [(f"key_b{i:04d}", "a", float(i)) for i in range(100)]
+    t.overwrite(spark.createDataFrame(g1, "k string, p string, v double").coalesce(1), "p")
+    t.append(spark.createDataFrame(g2, "k string, p string, v double").coalesce(1), "p")
+    bloom.build_file_blooms(t, "k")
+    vdir = t._version_dir(t.current_version())
+    pdir = os.path.join(vdir, "p=a")
+    before = {f: os.stat(os.path.join(pdir, f)).st_ino
+              for f in os.listdir(pdir) if f.endswith(".parquet")}
+    assert len(before) == 2
+    batch = spark.createDataFrame(
+        [("insert", "key_a0001", "a", 99.0, 10)],
+        "action string, k string, p string, v double, event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)).withColumn("schema", F.lit("db")) \
+     .withColumn("table", F.lit("t"))
+    apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
+    pdir2 = os.path.join(t._version_dir(t.current_version()), "p=a")
+    after = {f: os.stat(os.path.join(pdir2, f)).st_ino
+             for f in os.listdir(pdir2) if f.endswith(".parquet")}
+    linked = {f for f in before if f in after and before[f] == after[f]}
+    assert linked, "the untouched key_b file must survive by hard link"
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got["key_a0001"] == 99.0 and len(got) == 200
