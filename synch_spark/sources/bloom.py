@@ -282,10 +282,7 @@ def point_lookup(table, column: str, keys) -> "object":
         return current.filter(flt)
     if not files:
         return current.limit(0)
-    vdir = table._version_dir(table.current_version())
-    spark = current.sparkSession
-    return (
-        spark.read.option("basePath", vdir).parquet(*files)
-        .select(*current.columns)
-        .filter(flt)
-    )
+    # read_files applies the table's schema reconciliation (metadata-only
+    # DDL): a raw parquet read of pre-rename files would surface physical
+    # names and the logical-column select/filter would fail
+    return table.read_files(files).select(*current.columns).filter(flt)

@@ -268,3 +268,20 @@ def test_rename_roundtrip_dedupes_lineage(spark, tmp_path):
     assert rows[3] == "n3"      # original-generation file
     assert rows[600] == "mid"   # intermediate-generation file
     assert len(rows) == 101
+
+
+def test_point_lookup_after_metadata_rename(spark, tmp_path):
+    """Stats+bloom pruned point lookups must reconcile pre-rename files
+    (the raw candidate read would surface physical names and fail)."""
+    from synch_spark.sources import bloom
+
+    t = _mk_table(spark, tmp_path / "t")
+    bloom.build_file_blooms(t, "id")
+    ts, reasons = evolve_schema(
+        TableSchema.from_struct(t.read().schema),
+        parse_alter("alter table db.t change column name title varchar(32)"),
+    )
+    assert reasons == []
+    t.commit_schema(ts)
+    got = bloom.point_lookup(t, "id", [7, 13]).collect()
+    assert {r["id"]: r["title"] for r in got} == {7: "n7", 13: "n13"}
