@@ -468,6 +468,32 @@ class ParquetTable:
             writer = writer.partitionBy(partition_by)
         writer.parquet(self._version_dir(v))
 
+    def vacuum(self, staging_ttl_s: float = 3600.0) -> int:
+        """Remove crash debris: ``.staging-*`` dirs older than the TTL
+        (a writer that died mid-prepare leaves its staging dir behind —
+        invisible to readers via the dot prefix, but disk it holds is
+        never reclaimed otherwise) and any version dir older than the
+        retained previous one that a partial GC left behind. Returns the
+        number of directories removed. Safe concurrently with writers:
+        live writers' staging dirs are younger than any sane TTL, and
+        the version cutoff mirrors _commit's own GC rule."""
+        import time
+
+        removed = 0
+        cutoff = time.time() - staging_ttl_s
+        current = self.current_version()
+        for name in os.listdir(self.root):
+            path = os.path.join(self.root, name)
+            if name.startswith(".staging-") and os.path.isdir(path):
+                if os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed += 1
+            elif name.startswith("v=") and os.path.isdir(path):
+                if current >= 0 and int(name[2:]) < current - 1:
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed += 1
+        return removed
+
     def count(self) -> int:
         return self.read().count()
 

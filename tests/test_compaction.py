@@ -189,3 +189,27 @@ def test_should_compact_policy(spark, tmp_path):
     # nonexistent table: quiet no-op
     t2 = ParquetTable(spark, str(tmp_path / "nope"))
     assert not maybe_compact(t2, spec)
+
+
+def test_vacuum_removes_crash_debris(spark, tmp_path):
+    """A writer killed mid-prepare leaves .staging-*; vacuum reclaims it
+    after the TTL but never touches a fresh (in-flight) staging dir,
+    the retained previous version, or the current one."""
+    import os
+    import time
+
+    from synch_spark.sources.table import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(5))
+    t.overwrite(spark.range(6))  # v0 retained, v1 current
+    old = os.path.join(t.root, ".staging-deadbeef0001")
+    os.makedirs(old)
+    os.utime(old, (time.time() - 7200, time.time() - 7200))
+    fresh = os.path.join(t.root, ".staging-cafecafe0002")
+    os.makedirs(fresh)
+    removed = t.vacuum(staging_ttl_s=3600)
+    assert removed == 1
+    assert not os.path.exists(old) and os.path.exists(fresh)
+    assert t.versions() == [0, 1]
+    assert t.read().count() == 6
