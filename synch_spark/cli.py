@@ -194,6 +194,15 @@ def cmd_consume(args) -> int:
                 f"StructType jsonValue() dict (got {type(js).__name__}: {js!r:.80})"
             )
         schemas[name] = T.StructType.fromJson(js)
+    jdbc_sinks = {}
+    for name, sk in (raw["spark"].get("jdbc_sinks") or {}).items():
+        # per-table JDBC targets (ClickHouse deployment shape): route this
+        # table's batches to DELETE+INSERT over JDBC instead of parquet
+        from synch_spark.sinks.jdbc_sink import JdbcSink
+
+        jdbc_sinks[name] = JdbcSink(
+            spark, sk["url"], sk["table"], sk.get("properties") or {}
+        )
     pipe = CdcPipeline(
         spark=spark,
         cfg=cfg,
@@ -201,6 +210,7 @@ def cmd_consume(args) -> int:
         checkpoint_dir=raw["spark"]["checkpoint_dir"],
         value_schemas=schemas,
         alias=args.alias or "default",
+        jdbc_sinks=jdbc_sinks,
     )
     if raw["spark"].get("kafka"):
         q = pipe.start_kafka_stream(

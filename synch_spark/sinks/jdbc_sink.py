@@ -1,0 +1,136 @@
+"""JDBC sink: the reference's ClickHouse write strategy over any JDBC target.
+
+The reference flushes each micro-batch as ALTER DELETE for every
+touched pk followed by a bulk INSERT
+(/root/reference/synch/replication/continuous.py:122-154,
+/root/reference/synch/writer/merge_tree.py:28-61). This sink reproduces
+that exact two-step shape Spark-side:
+
+1. the batch compacts to one net action per pk (cdc_apply.compact_batch
+   — W3), so delete-then-insert is order-free within the batch;
+2. DELETE .. WHERE pk IN (...) runs on the driver over a plain JDBC
+   connection (the key set is micro-batch sized — the same bound the
+   broadcast merge already relies on — chunked into bounded IN-lists;
+   composite pks use the reference's OR-of-conjunctions form,
+   writer/__init__.py delete_events);
+3. the net inserts stream through Spark's distributed JDBC writer —
+   every executor writes its partition directly to the target, no rows
+   through the driver.
+
+The JDBC connection comes from the JVM's DriverManager via py4j, so any
+driver on the Spark classpath works: embedded Derby (live-tested here),
+clickhouse-jdbc / MySQL / Postgres in production — this is the
+"Structured Streaming with ClickHouse JDBC sink" deployment shape; the
+versioned parquet store remains the default (analytics-queryable) target.
+
+Failure contract: the DELETE+INSERT pair is not transactional across
+the two statements. A crash between them redelivers the batch on
+restart (checkpoint not advanced); both steps are idempotent under
+replay (DELETE of absent keys is a no-op; re-INSERT after the paired
+DELETE restores the same rows) — at-least-once delivery converging to
+the exactly-once final state, the reference's own guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from synch_spark.config import TableSpec
+from synch_spark.operators.cdc_apply import compact_batch
+
+IN_CHUNK = 1000  # keys per DELETE statement
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def delete_statements(
+    table: str, pk: tuple[str, ...], keys: list[tuple], chunk: int = IN_CHUNK
+) -> list[str]:
+    """DELETE statements for the touched keys (ref delete_events,
+    /root/reference/synch/writer/__init__.py): single-column pks use a
+    chunked IN-list, composite pks the OR-of-conjunctions form."""
+    out = []
+    for i in range(0, len(keys), chunk):
+        part = keys[i : i + chunk]
+        if len(pk) == 1:
+            vals = ", ".join(_sql_literal(k[0]) for k in part)
+            out.append(f"DELETE FROM {table} WHERE {pk[0]} IN ({vals})")
+        else:
+            conj = " OR ".join(
+                "(" + " AND ".join(
+                    f"{c} = {_sql_literal(v)}" for c, v in zip(pk, k)
+                ) + ")"
+                for k in part
+            )
+            out.append(f"DELETE FROM {table} WHERE {conj}")
+    return out
+
+
+class JdbcSink:
+    """foreachBatch-compatible applier writing to a JDBC table."""
+
+    def __init__(self, spark, url: str, target_table: str,
+                 properties: dict | None = None):
+        self.spark = spark
+        self.url = url
+        self.target_table = target_table
+        self.properties = properties or {}
+
+    def _execute(self, statements: list[str]) -> None:
+        jvm = self.spark.sparkContext._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            st = conn.createStatement()
+            try:
+                for sql in statements:
+                    st.executeUpdate(sql)
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    def apply_batch(
+        self,
+        events: DataFrame,
+        spec: TableSpec,
+        value_columns: list[str] | None = None,
+    ) -> None:
+        """One micro-batch: compact -> driver-side chunked DELETE of the
+        touched pks -> distributed INSERT of the net upserts."""
+        from synch_spark.operators.cdc_apply import _row_cols
+
+        cols = _row_cols(events, value_columns)
+        if not spec.has_pk:
+            inserts = events.filter(F.col("action") == "insert").select(*cols)
+            self._write(inserts)
+            return
+        net = compact_batch(events, spec.pk).select("action", *cols).persist()
+        try:
+            keys = [
+                tuple(r[c] for c in spec.pk)
+                for r in net.select(*spec.pk).collect()  # micro-batch sized
+            ]
+            if keys:
+                self._execute(
+                    delete_statements(self.target_table, spec.pk, keys)
+                )
+            self._write(net.filter(F.col("action") != "delete").drop("action"))
+        finally:
+            net.unpersist()
+
+    def _write(self, df: DataFrame) -> None:
+        writer = df.write.mode("append")
+        for k, v in self.properties.items():
+            writer = writer.option(k, v)
+        writer.jdbc(self.url, self.target_table, properties=self.properties)

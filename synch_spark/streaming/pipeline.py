@@ -70,6 +70,10 @@ class CdcPipeline:
     # incremental materialized views, refreshed in the SAME micro-batch as
     # the table apply (operators.mv); keyed implicitly by their .source
     views: list = field(default_factory=list)
+    # optional JDBC sinks keyed by qualified table name: route a table's
+    # micro-batches to a JDBC target (sinks.jdbc_sink — the reference's
+    # ClickHouse delete+insert flush) INSTEAD of the parquet store
+    jdbc_sinks: dict = field(default_factory=dict)
 
     def table_for(self, spec: TableSpec) -> ParquetTable:
         return ParquetTable(self.spark, f"{self.warehouse}/{spec.schema}/{spec.table}")
@@ -165,6 +169,12 @@ class CdcPipeline:
                 )
                 continue
             typed = parse_values(tevents, vschema)
+            sink = self.jdbc_sinks.get(spec.qualified_name)
+            if sink is not None:
+                sink.apply_batch(typed, spec)
+                if self.monitor:
+                    self._log(spec, tevents.count())
+                continue
             table = self.table_for(spec)
             apply_cdc_batch(table, typed, spec)
             if self.maintain_blooms and spec.has_pk and spec.partition_by:
