@@ -41,36 +41,34 @@ from synch_spark.operators.cdc_apply import compact_batch
 IN_CHUNK = 1000  # keys per DELETE statement
 
 
-def _sql_literal(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
-        return str(v)
-    return "'" + str(v).replace("'", "''") + "'"
-
-
 def delete_statements(
     table: str, pk: tuple[str, ...], keys: list[tuple], chunk: int = IN_CHUNK
-) -> list[str]:
-    """DELETE statements for the touched keys (ref delete_events,
-    /root/reference/synch/writer/__init__.py): single-column pks use a
-    chunked IN-list, composite pks the OR-of-conjunctions form."""
+) -> list[tuple[str, list]]:
+    """PARAMETERIZED delete statements for the touched keys (ref
+    delete_events, /root/reference/synch/writer/__init__.py): single-
+    column pks use a chunked IN-list of placeholders, composite pks the
+    OR-of-conjunctions form. Returns (sql_with_placeholders, params)
+    pairs for PreparedStatement execution — key VALUES never enter the
+    SQL text, so a hostile string pk cannot break out regardless of the
+    target dialect's escaping rules (MySQL treats backslash as an
+    escape; quote-doubling alone would not be safe there)."""
     out = []
     for i in range(0, len(keys), chunk):
         part = keys[i : i + chunk]
         if len(pk) == 1:
-            vals = ", ".join(_sql_literal(k[0]) for k in part)
-            out.append(f"DELETE FROM {table} WHERE {pk[0]} IN ({vals})")
+            marks = ", ".join("?" for _ in part)
+            out.append(
+                (f"DELETE FROM {table} WHERE {pk[0]} IN ({marks})",
+                 [k[0] for k in part])
+            )
         else:
             conj = " OR ".join(
-                "(" + " AND ".join(
-                    f"{c} = {_sql_literal(v)}" for c, v in zip(pk, k)
-                ) + ")"
-                for k in part
+                "(" + " AND ".join(f"{c} = ?" for c in pk) + ")" for _ in part
             )
-            out.append(f"DELETE FROM {table} WHERE {conj}")
+            out.append(
+                (f"DELETE FROM {table} WHERE {conj}",
+                 [v for k in part for v in k])
+            )
     return out
 
 
@@ -84,19 +82,21 @@ class JdbcSink:
         self.target_table = target_table
         self.properties = properties or {}
 
-    def _execute(self, statements: list[str]) -> None:
+    def _execute(self, statements: list[tuple[str, list]]) -> None:
         jvm = self.spark.sparkContext._jvm
         props = jvm.java.util.Properties()
         for k, v in self.properties.items():
             props.setProperty(k, v)
         conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
         try:
-            st = conn.createStatement()
-            try:
-                for sql in statements:
-                    st.executeUpdate(sql)
-            finally:
-                st.close()
+            for sql, params in statements:
+                ps = conn.prepareStatement(sql)
+                try:
+                    for i, v in enumerate(params, start=1):
+                        ps.setObject(i, v)
+                    ps.executeUpdate()
+                finally:
+                    ps.close()
         finally:
             conn.close()
 

@@ -11,15 +11,19 @@ from synch_spark.sinks.jdbc_sink import JdbcSink, delete_statements
 
 
 def test_delete_statements_shapes():
-    one = delete_statements("db.t", ("id",), [(1,), (2,), (None,)], chunk=2)
+    one = delete_statements("db.t", ("id",), [(1,), (2,), (3,)], chunk=2)
     assert one == [
-        "DELETE FROM db.t WHERE id IN (1, 2)",
-        "DELETE FROM db.t WHERE id IN (NULL)",
+        ("DELETE FROM db.t WHERE id IN (?, ?)", [1, 2]),
+        ("DELETE FROM db.t WHERE id IN (?)", [3]),
     ]
     comp = delete_statements("db.t", ("a", "b"), [(1, "x"), (2, "y'z")])
     assert comp == [
-        "DELETE FROM db.t WHERE (a = 1 AND b = 'x') OR (a = 2 AND b = 'y''z')"
+        ("DELETE FROM db.t WHERE (a = ? AND b = ?) OR (a = ? AND b = ?)",
+         [1, "x", 2, "y'z"]),
     ]
+    # values never enter the SQL text (dialect-proof against hostile keys)
+    sql, params = delete_statements("db.t", ("id",), [("x'; DROP TABLE t --",)])[0]
+    assert "DROP" not in sql and params == ["x'; DROP TABLE t --"]
 
 
 def _events(spark, rows):
