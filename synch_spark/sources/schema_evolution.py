@@ -119,15 +119,15 @@ class TableSchema:
     # -- properties ----------------------------------------------------------
     @property
     def is_trivial(self) -> bool:
-        """True when reconciliation would be the identity — every column
-        reads its own single physical name with no default fill."""
-        return (
-            not self.retired
-            and not self.widened
-            and all(
-                c.physical == [c.name] and c.default is None for c in self.columns
-            )
-        )
+        """True only for a never-evolved schema (from_struct, gen 0) —
+        reconciliation is then the identity by construction. An EVOLVED
+        schema must always persist, even when its columns look plain:
+        lineage/defaults/widening are visible in the spec, but a bare
+        ADD (no default) leaves physical == [name] and default None
+        while the column is still ABSENT from every pre-DDL file — only
+        the document makes reads null-fill it. (Caught by the
+        metadata-vs-rewrite property test.)"""
+        return self.gen == 0 and not self.retired and not self.widened
 
     @property
     def needs_gen(self) -> bool:

@@ -285,3 +285,20 @@ def test_point_lookup_after_metadata_rename(spark, tmp_path):
     t.commit_schema(ts)
     got = bloom.point_lookup(t, "id", [7, 13]).collect()
     assert {r["id"]: r["title"] for r in got} == {7: "n7", 13: "n13"}
+
+
+def test_bare_add_column_is_visible_after_metadata_commit(spark, tmp_path):
+    """Regression (property-test catch): an ADD with no default looks
+    'plain' (physical == [name], no default) but pre-DDL files lack the
+    column — the schema doc must persist or the column vanishes."""
+    t = _mk_table(spark, tmp_path / "t")
+    ts, reasons = evolve_schema(
+        TableSchema.from_struct(t.read().schema),
+        parse_alter("alter table db.t add column extra varchar(8)"),
+    )
+    assert reasons == []
+    t.commit_schema(ts)
+    assert t.schema_spec() is not None, "evolved doc must persist"
+    df = t.read()
+    assert "extra" in df.columns
+    assert df.filter(F.col("extra").isNull()).count() == 100
