@@ -46,7 +46,7 @@ def _base_df(spark, start, n=20):
 
 @pytest.mark.slow
 @settings(
-    max_examples=10,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
