@@ -40,6 +40,45 @@ from synch_spark.operators.cdc_apply import compact_batch
 
 IN_CHUNK = 1000  # keys per DELETE statement
 
+#: Spark simpleString -> portable SQL column type for ALTER ADD/MODIFY
+_SQL_TYPES = {
+    "tinyint": "SMALLINT", "smallint": "SMALLINT", "int": "INTEGER",
+    "bigint": "BIGINT", "float": "REAL", "double": "DOUBLE",
+    "boolean": "BOOLEAN", "date": "DATE", "timestamp": "TIMESTAMP",
+    "string": "VARCHAR(1024)",
+}
+
+
+def _sql_type(spark_type) -> str:
+    simple = spark_type.simpleString()
+    if simple.startswith("decimal"):
+        return simple.upper()
+    return _SQL_TYPES.get(simple, "VARCHAR(1024)")
+
+
+def alter_statements(table: str, ops) -> list[str]:
+    """ANSI ALTER statements for parsed ddl.AlterOps (ref convert.py:
+    94-121 emits the ClickHouse forms; these are the portable ones —
+    swap RENAME syntax per dialect if the target needs it)."""
+    out = []
+    for op in ops:
+        if op.action == "add_column":
+            out.append(
+                f"ALTER TABLE {table} ADD COLUMN {op.column} {_sql_type(op.spark_type)}"
+            )
+        elif op.action == "drop_column":
+            out.append(f"ALTER TABLE {table} DROP COLUMN {op.column}")
+        elif op.action == "rename_column":
+            out.append(
+                f"RENAME COLUMN {table}.{op.column} TO {op.new_column}"
+            )
+        elif op.action == "modify_column":
+            out.append(
+                f"ALTER TABLE {table} ALTER COLUMN {op.column} "
+                f"SET DATA TYPE {_sql_type(op.spark_type)}"
+            )
+    return out
+
 
 def delete_statements(
     table: str, pk: tuple[str, ...], keys: list[tuple], chunk: int = IN_CHUNK
@@ -128,6 +167,15 @@ class JdbcSink:
             self._write(net.filter(F.col("action") != "delete").drop("action"))
         finally:
             net.unpersist()
+
+    def apply_ddl(self, ops) -> None:
+        """DDL channel for a JDBC-sunk table: translate the parsed
+        AlterOps to ANSI ALTER statements and execute them on the
+        target — the reference's SqlConvert.to_clickhouse + execute
+        (/root/reference/synch/convert.py:123-131) generalized to any
+        JDBC dialect. Runs under the stream's DDL barrier, so data
+        batches on either side see a consistent target schema."""
+        self._execute([(sql, []) for sql in alter_statements(self.target_table, ops)])
 
     def _write(self, df: DataFrame) -> None:
         writer = df.write.mode("append")

@@ -206,6 +206,16 @@ class CdcPipeline:
             return
         sql = json.loads(row["after"])["query"]
         ops = parse_alter(sql)
+        sink = self.jdbc_sinks.get(spec.qualified_name)
+        if sink is not None:
+            # JDBC-sunk table: the ALTER goes to the JDBC target (the
+            # reference's to_clickhouse + execute), plus the value-schema
+            # evolution below so subsequent events parse
+            sink.apply_ddl(ops)
+            vschema = self.value_schemas.get(spec.qualified_name)
+            if vschema is not None:
+                self.value_schemas[spec.qualified_name] = _evolve_schema(vschema, ops)
+            return
         table = self.table_for(spec)
         if table.exists:
             ts = table.schema_spec() or TableSchema.from_struct(table.read().schema)

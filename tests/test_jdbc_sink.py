@@ -168,3 +168,42 @@ def test_stream_to_jdbc_sink_end_to_end(spark, tmp_path):
         .option("dbtable", "APP.T").load().collect()
     }
     assert len(back) == 19 and 5 not in back and back[6] == 66.0
+
+
+def test_jdbc_sink_ddl_channel(spark, tmp_path):
+    """ALTER for a JDBC-sunk table executes on the target (the
+    reference's to_clickhouse + execute) — live on Derby: ADD, widening
+    MODIFY, DROP, and the statement forms themselves."""
+    from synch_spark.ddl import parse_alter
+    from synch_spark.sinks.jdbc_sink import alter_statements
+
+    ops = parse_alter(
+        "alter table db.t add column tag varchar(8), drop column old, "
+        "modify column v bigint"
+    )
+    stmts = alter_statements("APP.D", ops)
+    assert stmts == [
+        "ALTER TABLE APP.D ADD COLUMN tag VARCHAR(1024)",
+        "ALTER TABLE APP.D DROP COLUMN old",
+        "ALTER TABLE APP.D ALTER COLUMN v SET DATA TYPE BIGINT",
+    ]
+
+    url = f"jdbc:derby:{tmp_path}/ddldb;create=true"
+    try:
+        spark.range(3).select(
+            F.col("id").alias("ID"), F.col("id").cast("int").alias("V")
+        ).write.format("jdbc").option("url", url).option(
+            "dbtable", "APP.D"
+        ).mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"embedded Derby unavailable: {str(e).splitlines()[0]}")
+    sink = JdbcSink(spark, url, "APP.D")
+    # Derby accepts ADD/DROP live; it forbids column TYPE changes
+    # entirely (a dialect limitation — ClickHouse/MySQL support MODIFY),
+    # so the MODIFY form is covered by the statement assertion above
+    sink.apply_ddl(parse_alter("alter table db.t add column TAG varchar(8)"))
+    sink.apply_ddl(parse_alter("alter table db.t drop column V"))
+    back = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", "APP.D").load()
+    assert "TAG" in back.columns and "V" not in back.columns
+    assert back.count() == 3
