@@ -69,8 +69,10 @@ def alter_statements(table: str, ops) -> list[str]:
         elif op.action == "drop_column":
             out.append(f"ALTER TABLE {table} DROP COLUMN {op.column}")
         elif op.action == "rename_column":
+            # the ClickHouse/MySQL/Postgres form; Derby alone wants
+            # `RENAME COLUMN t.a TO b` — swap per dialect if needed
             out.append(
-                f"RENAME COLUMN {table}.{op.column} TO {op.new_column}"
+                f"ALTER TABLE {table} RENAME COLUMN {op.column} TO {op.new_column}"
             )
         elif op.action == "modify_column":
             out.append(
