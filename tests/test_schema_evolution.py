@@ -302,3 +302,34 @@ def test_bare_add_column_is_visible_after_metadata_commit(spark, tmp_path):
     df = t.read()
     assert "extra" in df.columns
     assert df.filter(F.col("extra").isNull()).count() == 100
+
+
+def test_schema_commit_races_data_commit(spark, tmp_path):
+    """A metadata-only DDL commit bumps the version like any write: a
+    data writer that prepared against the pre-DDL base must lose with
+    ConcurrentWriteError, and its commit_with_retry re-merge must see
+    the evolved schema."""
+    from synch_spark.sources.table import ConcurrentWriteError, commit_with_retry
+
+    t = _mk_table(spark, tmp_path / "t")
+    base_v = t.current_version()
+    ts, _ = evolve_schema(
+        TableSchema.from_struct(t.read().schema),
+        parse_alter("alter table db.t change column name title varchar(32)"),
+    )
+    t.commit_schema(ts)  # wins the race
+
+    with pytest.raises(ConcurrentWriteError):
+        t.overwrite(t.read().limit(1), expected_base=base_v)
+
+    seen_cols = []
+
+    def txn():
+        v = t.current_version()
+        cur = t.read()
+        seen_cols.append(list(cur.columns))
+        t.overwrite(cur.filter(F.col("id") < 50), expected_base=v)
+
+    commit_with_retry(txn)
+    assert "title" in seen_cols[-1], "retry must merge against the evolved schema"
+    assert t.read().count() == 50
