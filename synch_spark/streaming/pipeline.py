@@ -284,20 +284,30 @@ class CdcPipeline:
         classpath (not present in the test container; covered by the file
         stream path which shares all downstream code).
         """
-        raw = (
-            self.spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", topic)
-            .option(
-                "maxOffsetsPerTrigger",
-                str(max_offsets_per_trigger or self.cfg.insert_num),
+        try:
+            loaded = (
+                self.spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", bootstrap_servers)
+                .option("subscribe", topic)
+                .option(
+                    "maxOffsetsPerTrigger",
+                    str(max_offsets_per_trigger or self.cfg.insert_num),
+                )
+                .load()
             )
-            .load()
-            .select(
-                F.from_json(F.col("value").cast("string"), RAW_EVENT_SCHEMA).alias("e")
-            )
-            .select("e.*")
-        )
+        except Exception as e:  # noqa: BLE001 — translate the classpath failure
+            if "kafka" in str(e).lower() and (
+                "Failed to find" in str(e) or "ClassNotFound" in str(e)
+            ):
+                raise RuntimeError(
+                    "spark-sql-kafka connector not on the classpath; launch "
+                    "with --packages org.apache.spark:spark-sql-kafka-0-10_"
+                    "2.13:<spark-version> or use the file-spool stream"
+                ) from e
+            raise
+        raw = loaded.select(
+            F.from_json(F.col("value").cast("string"), RAW_EVENT_SCHEMA).alias("e")
+        ).select("e.*")
         writer = raw.writeStream.foreachBatch(self.apply_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )

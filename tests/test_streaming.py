@@ -190,3 +190,15 @@ def test_pipeline_maintains_blooms_for_partitioned_tables(spark, tmp_path):
     nfiles = sum(1 for _, _, fs in os.walk(vdir) for f in fs if f.endswith(".parquet"))
     assert len([f for f in os.listdir(bdir) if f.endswith(".bloom.json")]) == nfiles
     assert table.read().count() == 50
+
+
+def test_kafka_stream_reports_missing_connector(spark, tmp_path):
+    """No kafka connector jar in this container: the consumer must fail
+    with an actionable message (mirror of the producer-side contract)."""
+    from synch_spark.config import SyncConfig
+
+    pipe = CdcPipeline(spark=spark, cfg=SyncConfig(),
+                       warehouse=str(tmp_path / "wh"),
+                       checkpoint_dir=str(tmp_path / "ck"), value_schemas={})
+    with pytest.raises(RuntimeError, match="spark-sql-kafka connector"):
+        pipe.start_kafka_stream("localhost:9092", "synch.db")
