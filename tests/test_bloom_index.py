@@ -350,3 +350,51 @@ def test_string_pk_files_pruned_by_bloom_alone(spark, tmp_path):
     assert linked, "the untouched key_b file must survive by hard link"
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got["key_a0001"] == 99.0 and len(got) == 200
+
+
+def test_consecutive_merges_bounded_rewrites(spark, tmp_path):
+    """Five consecutive micro-batches, each touching 2 keys in a narrow
+    range of a pk-clustered + bloomed table: every merge must rewrite a
+    BOUNDED number of files (the touched candidates + the batch's new
+    file), never re-rewrite the whole accumulated file set — the
+    rewrite-amplification guarantee the per-batch bloom maintenance
+    exists for."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(k, "a", float(k)) for k in range(4000)], "k long, p string, v double"
+    )
+    t.overwrite(df, "p", cluster_by=("k",))
+    bloom.build_file_blooms(t, "k")
+
+    def inodes():
+        vdir = t._version_dir(t.current_version())
+        out = {}
+        for dirpath, _d, files in os.walk(vdir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out[os.path.join(os.path.basename(dirpath), f)] = os.stat(
+                        os.path.join(dirpath, f)
+                    ).st_ino
+        return out
+
+    for b in range(5):
+        before = inodes()
+        lo = b * 700
+        batch = _events(spark, [("insert", lo, "a", -1.0, 100 + b),
+                                ("insert", lo + 1, "a", -2.0, 100 + b)])
+        apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
+        # per-batch maintenance (what CdcPipeline does for partitioned specs)
+        bloom.build_file_blooms(t, "k")
+        after = inodes()
+        fresh = {f for f, ino in after.items()
+                 if f not in before or before[f] != ino}
+        # bound: the touched candidate file(s) get rewritten and the
+        # merge writes its own new file(s) — but the untouched bulk of
+        # an ever-growing file set must hard-link through
+        assert len(fresh) <= 4, f"batch {b}: rewrote {len(fresh)} files: {sorted(fresh)}"
+        linked = sum(1 for f, ino in after.items() if before.get(f) == ino)
+        assert linked >= len(before) - 2, f"batch {b}: too few links"
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 4000 and got[0] == -1.0 and got[2801] == -2.0
