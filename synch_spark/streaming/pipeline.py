@@ -72,7 +72,10 @@ class CdcPipeline:
     views: list = field(default_factory=list)
     # optional JDBC sinks keyed by qualified table name: route a table's
     # micro-batches to a JDBC target (sinks.jdbc_sink — the reference's
-    # ClickHouse delete+insert flush) INSTEAD of the parquet store
+    # ClickHouse delete+insert flush) INSTEAD of the parquet store.
+    # Incremental MATERIALIZED VIEWS are parquet-store-based and are NOT
+    # refreshed for sunk tables (the JDBC target owns downstream reads);
+    # DDL for sunk tables executes on the target (sink.apply_ddl)
     jdbc_sinks: dict = field(default_factory=dict)
 
     def table_for(self, spec: TableSpec) -> ParquetTable:
