@@ -200,8 +200,14 @@ def cmd_consume(args) -> int:
         # table's batches to DELETE+INSERT over JDBC instead of parquet
         from synch_spark.sinks.jdbc_sink import JdbcSink
 
+        if not isinstance(sk, dict) or "url" not in sk or "table" not in sk:
+            raise SystemExit(
+                f"config error: spark.jdbc_sinks[{name!r}] needs url and "
+                f"table keys (got {sk!r:.80})"
+            )
         jdbc_sinks[name] = JdbcSink(
-            spark, sk["url"], sk["table"], sk.get("properties") or {}
+            spark, sk["url"], sk["table"], sk.get("properties") or {},
+            dialect=sk.get("dialect", "ansi"),
         )
     pipe = CdcPipeline(
         spark=spark,
@@ -273,6 +279,8 @@ def cmd_optimize(args) -> int:
             continue
         table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
         if table.exists:
+            if args.vacuum:
+                table.vacuum()
             zcols = tuple(args.zorder.split(",")) if args.zorder else None
             if args.auto:
                 (done if maybe_compact(table, spec, zorder=zcols) else skipped).append(
@@ -508,6 +516,12 @@ def main(argv=None) -> int:
     o.add_argument(
         "--auto", action="store_true",
         help="compact only tables whose small-file layout needs it",
+    )
+    o.add_argument(
+        "--vacuum", action="store_true",
+        help="also reclaim crash-orphaned staging dirs and stale versions "
+             "(explicit because the TTL heuristic must not race a live "
+             "long-running writer's staging dir)",
     )
     o.set_defaults(fn=cmd_optimize)
     r = sub.add_parser("repair", help="snapshot-diff surgical backfill")

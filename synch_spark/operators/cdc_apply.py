@@ -319,7 +319,6 @@ def _refresh_blooms(table: ParquetTable, spec: TableSpec) -> None:
     if spec.has_pk:
         from synch_spark.sources.bloom import build_file_blooms, gc_blooms
 
-        table.vacuum()  # crash-orphaned staging dirs + stale versions
         gc_blooms(table)  # drop sidecars orphaned by the rewrite
         # executor-side fan-out: one task per fresh file, so the rebuild
         # scales with the cluster instead of serializing on the driver

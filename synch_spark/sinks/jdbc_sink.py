@@ -40,32 +40,67 @@ from synch_spark.operators.cdc_apply import compact_batch
 
 IN_CHUNK = 1000  # keys per DELETE statement
 
-#: Spark simpleString -> portable SQL column type for ALTER ADD/MODIFY
+#: Spark simpleString -> SQL column type per dialect. "ansi" covers
+#: Derby/Postgres-style targets; "clickhouse" mirrors the reference's
+#: own type table (/root/reference/synch/convert.py:28-46); "mysql"
+#: round-trips the source types.
 _SQL_TYPES = {
-    "tinyint": "SMALLINT", "smallint": "SMALLINT", "int": "INTEGER",
-    "bigint": "BIGINT", "float": "REAL", "double": "DOUBLE",
-    "boolean": "BOOLEAN", "date": "DATE", "timestamp": "TIMESTAMP",
-    "string": "VARCHAR(1024)",
+    "ansi": {
+        "tinyint": "SMALLINT", "smallint": "SMALLINT", "int": "INTEGER",
+        "bigint": "BIGINT", "float": "REAL", "double": "DOUBLE",
+        "boolean": "BOOLEAN", "date": "DATE", "timestamp": "TIMESTAMP",
+        "string": "VARCHAR(1024)",
+    },
+    "clickhouse": {
+        "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+        "bigint": "Int64", "float": "Float32", "double": "Float64",
+        "boolean": "UInt8", "date": "Date", "timestamp": "DateTime",
+        "string": "String",
+    },
+    "mysql": {
+        "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
+        "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+        "boolean": "BOOLEAN", "date": "DATE", "timestamp": "DATETIME",
+        "string": "VARCHAR(1024)",
+    },
 }
 
 
-def _sql_type(spark_type) -> str:
+def _sql_type(spark_type, dialect: str = "ansi") -> str:
     simple = spark_type.simpleString()
     if simple.startswith("decimal"):
+        if dialect == "clickhouse":
+            return "Decimal" + simple[len("decimal"):]
         return simple.upper()
-    return _SQL_TYPES.get(simple, "VARCHAR(1024)")
+    table = _SQL_TYPES.get(dialect, _SQL_TYPES["ansi"])
+    return table.get(simple, table["string"])
 
 
-def alter_statements(table: str, ops) -> list[str]:
-    """ANSI ALTER statements for parsed ddl.AlterOps (ref convert.py:
-    94-121 emits the ClickHouse forms; these are the portable ones —
-    swap RENAME syntax per dialect if the target needs it)."""
+def _default_literal(default: str) -> str:
+    """DDL DEFAULT literal (DDL can't be parameterized). The value comes
+    from the source's own admin-authored ALTER statement, not row data;
+    quotes are doubled and backslashes stripped for the backslash-
+    escaping dialects."""
+    return "'" + default.replace("\\", "").replace("'", "''") + "'"
+
+
+def alter_statements(table: str, ops, dialect: str = "ansi") -> list[str]:
+    """Dialect ALTER statements for parsed ddl.AlterOps (ref convert.py:
+    94-121 emits the ClickHouse forms). ADD COLUMN keeps the source's
+    DEFAULT so the target backfills pre-DDL rows exactly like the source
+    did — dropping it would silently diverge every existing row. MODIFY
+    uses the dialect form (ANSI SET DATA TYPE / MySQL MODIFY /
+    ClickHouse MODIFY COLUMN)."""
     out = []
     for op in ops:
         if op.action == "add_column":
-            out.append(
-                f"ALTER TABLE {table} ADD COLUMN {op.column} {_sql_type(op.spark_type)}"
+            stmt = (
+                f"ALTER TABLE {table} ADD COLUMN {op.column} "
+                f"{_sql_type(op.spark_type, dialect)}"
             )
+            if op.default is not None:
+                stmt += f" DEFAULT {_default_literal(op.default)}"
+            out.append(stmt)
         elif op.action == "drop_column":
             out.append(f"ALTER TABLE {table} DROP COLUMN {op.column}")
         elif op.action == "rename_column":
@@ -75,11 +110,27 @@ def alter_statements(table: str, ops) -> list[str]:
                 f"ALTER TABLE {table} RENAME COLUMN {op.column} TO {op.new_column}"
             )
         elif op.action == "modify_column":
-            out.append(
-                f"ALTER TABLE {table} ALTER COLUMN {op.column} "
-                f"SET DATA TYPE {_sql_type(op.spark_type)}"
-            )
+            t = _sql_type(op.spark_type, dialect)
+            if dialect == "mysql":
+                out.append(f"ALTER TABLE {table} MODIFY {op.column} {t}")
+            elif dialect == "clickhouse":
+                out.append(f"ALTER TABLE {table} MODIFY COLUMN {op.column} {t}")
+            else:
+                out.append(
+                    f"ALTER TABLE {table} ALTER COLUMN {op.column} "
+                    f"SET DATA TYPE {t}"
+                )
     return out
+
+
+#: substrings that mark a DDL statement as ALREADY APPLIED on the target
+#: (replayed after a crash before the checkpoint advanced) — per action,
+#: lowercase-matched against the driver's error message
+_IDEMPOTENT_DDL_MARKERS = (
+    "already exists", "duplicate column", "already has a column",
+    "does not exist", "no such column", "not found", "is not a column",
+    "unknown column",
+)
 
 
 def delete_statements(
@@ -114,14 +165,18 @@ def delete_statements(
 
 
 class JdbcSink:
-    """foreachBatch-compatible applier writing to a JDBC table."""
+    """foreachBatch-compatible applier writing to a JDBC table.
+
+    ``dialect`` ("ansi" | "mysql" | "clickhouse") picks the DDL type
+    names and MODIFY form for apply_ddl."""
 
     def __init__(self, spark, url: str, target_table: str,
-                 properties: dict | None = None):
+                 properties: dict | None = None, dialect: str = "ansi"):
         self.spark = spark
         self.url = url
         self.target_table = target_table
         self.properties = properties or {}
+        self.dialect = dialect
 
     def _execute(self, statements: list[tuple[str, list]]) -> None:
         jvm = self.spark.sparkContext._jvm
@@ -148,10 +203,24 @@ class JdbcSink:
         value_columns: list[str] | None = None,
     ) -> None:
         """One micro-batch: compact -> driver-side chunked DELETE of the
-        touched pks -> distributed INSERT of the net upserts."""
+        touched pks -> distributed INSERT of the net upserts. Collapsing
+        engines instead take the reference's append-only signed-insert
+        path (writer/collapsing_merge_tree.py:37-58): +1/-1 rows, no
+        deletes — the target (e.g. an actual CollapsingMergeTree)
+        collapses them itself."""
+        from synch_spark.config import Engine
         from synch_spark.operators.cdc_apply import _row_cols
 
         cols = _row_cols(events, value_columns)
+        if spec.engine in (Engine.COLLAPSING_MERGE_TREE,
+                           Engine.VERSIONED_COLLAPSING_MERGE_TREE):
+            signed = events.withColumn(
+                spec.sign_column,
+                F.when(F.col("action") == "delete", F.lit(-1))
+                .otherwise(F.lit(1)).cast("int"),
+            )
+            self._write(signed.select(*cols, spec.sign_column))
+            return
         if not spec.has_pk:
             inserts = events.filter(F.col("action") == "insert").select(*cols)
             self._write(inserts)
@@ -172,15 +241,34 @@ class JdbcSink:
 
     def apply_ddl(self, ops) -> None:
         """DDL channel for a JDBC-sunk table: translate the parsed
-        AlterOps to ANSI ALTER statements and execute them on the
+        AlterOps to dialect ALTER statements and execute them on the
         target — the reference's SqlConvert.to_clickhouse + execute
-        (/root/reference/synch/convert.py:123-131) generalized to any
-        JDBC dialect. Runs under the stream's DDL barrier, so data
-        batches on either side see a consistent target schema."""
-        self._execute([(sql, []) for sql in alter_statements(self.target_table, ops)])
+        (/root/reference/synch/convert.py:123-131). Runs under the
+        stream's DDL barrier, so data batches on either side see a
+        consistent target schema.
+
+        IDEMPOTENT under at-least-once replay: a crash after the ALTER
+        but before the checkpoint commit replays the batch and re-runs
+        the DDL; 'already applied' dialect errors (duplicate column,
+        missing column on a re-DROP/re-RENAME) are swallowed so the
+        stream converges instead of crash-looping at the same offset.
+        Genuine DDL failures (permissions, syntax) still raise."""
+        import logging
+
+        for sql in alter_statements(self.target_table, ops, self.dialect):
+            try:
+                self._execute([(sql, [])])
+            except Exception as e:  # noqa: BLE001 — classify, then re-raise
+                msg = str(e).lower()
+                if any(m in msg for m in _IDEMPOTENT_DDL_MARKERS):
+                    logging.getLogger("synch_spark").warning(
+                        "DDL already applied on %s (replay?): %s",
+                        self.target_table, sql,
+                    )
+                    continue
+                raise
 
     def _write(self, df: DataFrame) -> None:
-        writer = df.write.mode("append")
-        for k, v in self.properties.items():
-            writer = writer.option(k, v)
-        writer.jdbc(self.url, self.target_table, properties=self.properties)
+        df.write.mode("append").jdbc(
+            self.url, self.target_table, properties=self.properties
+        )

@@ -118,7 +118,9 @@ def _build_one_bloom(path: str, out: str, column: str) -> int:
         for i in range(NUM_HASHES):
             b = (h1 + i * h2) % m
             bits[b >> 3] |= 1 << (b & 7)
-    tmp = out + f".tmp{os.getpid()}"
+    import uuid
+
+    tmp = out + f".tmp-{uuid.uuid4().hex[:12]}"  # pid can collide across hosts
     with open(tmp, "w") as f:
         json.dump(
             {"column": column, "m": m, "k": NUM_HASHES,
@@ -137,7 +139,7 @@ def build_file_blooms(table, column: str, spark=None) -> int:
     With ``spark`` given, the per-file builds fan out as one executor
     task per file (the production shape: reading every key of every
     file through the driver serializes the maintenance job; executors
-    write sidecars to the shared filesystem directly, and the pid-
+    write sidecars to the shared filesystem directly, and the uuid-
     suffixed temp + atomic rename keeps concurrent builders safe).
     Driver-side otherwise."""
     os.makedirs(_bloom_dir(table.root), exist_ok=True)
@@ -180,10 +182,19 @@ def gc_blooms(table) -> int:
             if n.endswith(".parquet"):
                 rel = os.path.relpath(os.path.join(dirpath, n), vdir)
                 live.add(rel.replace(os.sep, "%2F"))
+    import time
+
     removed = 0
+    stale_tmp = time.time() - 3600
     for name in os.listdir(bdir):
+        path = os.path.join(bdir, name)
         if name.endswith(".bloom.json") and name[: -len(".bloom.json")] not in live:
-            os.remove(os.path.join(bdir, name))
+            os.remove(path)
+            removed += 1
+        elif ".bloom.json.tmp-" in name and os.path.getmtime(path) < stale_tmp:
+            # a builder killed between open() and os.replace() leaves its
+            # temp behind; reclaim after a safety window
+            os.remove(path)
             removed += 1
     return removed
 

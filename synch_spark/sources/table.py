@@ -474,9 +474,14 @@ class ParquetTable:
         invisible to readers via the dot prefix, but disk it holds is
         never reclaimed otherwise) and any version dir older than the
         retained previous one that a partial GC left behind. Returns the
-        number of directories removed. Safe concurrently with writers:
-        live writers' staging dirs are younger than any sane TTL, and
-        the version cutoff mirrors _commit's own GC rule."""
+        number of directories removed.
+
+        NOT wired into automatic maintenance on purpose: liveness is
+        judged by the staging dir's mtime, and a prepare that outlasts
+        the TTL (a very large initial load) would be reclaimed from
+        under the live writer. Run it explicitly (cli `optimize
+        --vacuum`) in windows without long-running loads, or raise the
+        TTL above the longest expected prepare."""
         import time
 
         removed = 0

@@ -180,9 +180,24 @@ class CdcPipeline:
                 continue
             table = self.table_for(spec)
             apply_cdc_batch(table, typed, spec)
-            if self.maintain_blooms and spec.has_pk and spec.partition_by:
-                from synch_spark.sources.bloom import build_file_blooms
+            from synch_spark.config import Engine as _E
 
+            if (
+                self.maintain_blooms
+                and spec.has_pk
+                and spec.partition_by
+                # collapsing engines append-only and never consult blooms
+                # (_apply_collapsing has no merge pruning) — building
+                # them would be pure wasted I/O per batch
+                and spec.engine
+                not in (_E.COLLAPSING_MERGE_TREE, _E.VERSIONED_COLLAPSING_MERGE_TREE)
+            ):
+                from synch_spark.sources.bloom import build_file_blooms, gc_blooms
+
+                # gc first: each merge orphans its rewritten files'
+                # sidecars; without this the flat _bloom/ dir grows by
+                # O(rewritten files) per micro-batch forever
+                gc_blooms(table)
                 build_file_blooms(table, spec.pk[0], spark=self.spark)
             for view in self.views:
                 if view.source == spec.qualified_name:

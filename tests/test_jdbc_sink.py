@@ -207,3 +207,73 @@ def test_jdbc_sink_ddl_channel(spark, tmp_path):
         "dbtable", "APP.D").load()
     assert "TAG" in back.columns and "V" not in back.columns
     assert back.count() == 3
+
+
+def test_alter_statements_dialects_and_default():
+    from synch_spark.ddl import parse_alter
+    from synch_spark.sinks.jdbc_sink import alter_statements
+
+    ops = parse_alter("alter table db.t add column c int default '7'")
+    assert alter_statements("T", ops) == [
+        "ALTER TABLE T ADD COLUMN c INTEGER DEFAULT '7'"
+    ]
+    mod = parse_alter("alter table db.t modify column v bigint")
+    assert alter_statements("T", mod, "mysql") == ["ALTER TABLE T MODIFY v BIGINT"]
+    assert alter_statements("T", mod, "clickhouse") == [
+        "ALTER TABLE T MODIFY COLUMN v Int64"
+    ]
+    assert alter_statements("T", mod) == [
+        "ALTER TABLE T ALTER COLUMN v SET DATA TYPE BIGINT"
+    ]
+    dec = parse_alter("alter table db.t modify column d decimal(10,2)")
+    assert alter_statements("T", dec, "clickhouse") == [
+        "ALTER TABLE T MODIFY COLUMN d Decimal(10,2)"
+    ]
+
+
+def test_apply_ddl_is_replay_idempotent(spark, tmp_path):
+    """A crash between the ALTER and the checkpoint commit replays the
+    DDL; the 'already applied' dialect error must be swallowed so the
+    stream converges instead of crash-looping."""
+    from synch_spark.ddl import parse_alter
+
+    url = f"jdbc:derby:{tmp_path}/replaydb;create=true"
+    try:
+        spark.range(2).select(F.col("id").alias("ID")).write.format("jdbc") \
+            .option("url", url).option("dbtable", "APP.R").mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"embedded Derby unavailable: {str(e).splitlines()[0]}")
+    sink = JdbcSink(spark, url, "APP.R")
+    ops = parse_alter("alter table db.t add column TAG varchar(8)")
+    sink.apply_ddl(ops)
+    sink.apply_ddl(ops)  # replay: duplicate-column error swallowed
+    drops = parse_alter("alter table db.t drop column TAG")
+    sink.apply_ddl(drops)
+    sink.apply_ddl(drops)  # replay: missing-column error swallowed
+    back = spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", "APP.R").load()
+    assert back.columns == ["ID"] and back.count() == 2
+
+
+def test_jdbc_sink_collapsing_engine_signed_append(spark, tmp_path):
+    """Collapsing-engine tables append sign-annotated rows (the
+    reference's CollapsingMergeTree insert), never delete+insert."""
+    url = f"jdbc:derby:{tmp_path}/colldb;create=true"
+    spec = TableSpec(schema="db", table="t", pk=("K",),
+                     engine=Engine.COLLAPSING_MERGE_TREE)
+    try:
+        spark.range(0).select(
+            F.col("id").alias("K"), F.lit(0.0).alias("V"),
+            F.lit(0).cast("int").alias("sign"),
+        ).write.format("jdbc").option("url", url) \
+            .option("dbtable", "APP.C").mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"embedded Derby unavailable: {str(e).splitlines()[0]}")
+    sink = JdbcSink(spark, url, "APP.C")
+    batch = _events(spark, [("insert", 1, 1.0, 10), ("delete", 1, 1.0, 11),
+                            ("insert", 2, 2.0, 12)])
+    sink.apply_batch(batch, spec, value_columns=["K", "V"])
+    rows = [(r["K"], r["sign"]) for r in
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "APP.C").load().collect()]
+    assert sorted(rows) == [(1, -1), (1, 1), (2, 1)]  # all three, signed
