@@ -277,3 +277,83 @@ def test_jdbc_sink_collapsing_engine_signed_append(spark, tmp_path):
             spark.read.format("jdbc").option("url", url)
             .option("dbtable", "APP.C").load().collect()]
     assert sorted(rows) == [(1, -1), (1, 1), (2, 1)]  # all three, signed
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_event_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=0, max_value=999),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _sequential_replay(events):
+    state = {}
+    for action, pk, amount in events:
+        if action == "delete":
+            state.pop(pk, None)
+        else:
+            state[pk] = amount
+    return state
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_event_strategy,
+       batch_splits=st.lists(st.integers(min_value=1, max_value=24), max_size=2))
+def test_jdbc_sink_matches_sequential_replay(spark, tmp_path_factory, events,
+                                             batch_splits):
+    """Arbitrary event sequences through the JDBC sink (live Derby) must
+    land the same final state as the reference's single-threaded replay
+    — the same gate the parquet engine carries, for the sink path."""
+    import json as _json
+
+    from synch_spark.events import RAW_EVENT_SCHEMA, parse_values, split_updates
+
+    tmp = tmp_path_factory.mktemp("jsink")
+    url = f"jdbc:derby:{tmp}/propdb;create=true"
+    spec = TableSpec(schema="db", table="p", pk=("ID",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    try:
+        spark.range(0).select(
+            F.col("id").alias("ID"), F.lit(0).cast("long").alias("AMOUNT")
+        ).write.format("jdbc").option("url", url) \
+            .option("dbtable", "APP.P").mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"embedded Derby unavailable: {str(e).splitlines()[0]}")
+
+    from pyspark.sql import types as T
+
+    vschema = T.StructType([T.StructField("ID", T.LongType()),
+                            T.StructField("AMOUNT", T.LongType())])
+    sink = JdbcSink(spark, url, "APP.P")
+    batches, prev = [], 0
+    for cut in sorted(batch_splits) + [len(events)]:
+        if cut > prev:
+            batches.append(events[prev:cut])
+            prev = cut
+    us = 0
+    for batch in batches:
+        rows = []
+        for action, pk, amount in batch:
+            us += 1
+            img = _json.dumps({"ID": pk, "AMOUNT": amount})
+            rows.append(("db", "p", action, img, img, us))
+        raw = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+        typed = parse_values(split_updates(raw), vschema)
+        sink.apply_batch(typed, spec, value_columns=["ID", "AMOUNT"])
+    got = {
+        r["ID"]: r["AMOUNT"]
+        for r in spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "APP.P").load().collect()
+    }
+    assert got == _sequential_replay(events)
