@@ -178,11 +178,18 @@ def _classify_files(table, changed_keys, upserts, part, pk):
     import bisect
 
     from synch_spark.sources import bloom as bloom_idx
+    from synch_spark.sources.manifest import load_manifest
 
     keys = [r[0] for r in changed_keys.select(pk[0]).distinct().collect()]
     if not keys or any(k is None for k in keys):
         return None
     sk = sorted(keys)
+    # stats manifest: one JSON read replaces the per-file parquet-footer
+    # storm (files are immutable, ranges carried across versions); any
+    # file missing from it falls back to its footer
+    manifest = load_manifest(
+        table._version_dir(table.current_version()), pk[0]
+    )
     upsert_vals = [r[0] for r in upserts.select(part).distinct().collect()]
     upsert_strs = {None if v is None else str(v) for v in upsert_vals}
     candidates: list[str] = []
@@ -192,7 +199,11 @@ def _classify_files(table, changed_keys, upserts, part, pk):
         for dirname, files in table.partition_files(part).items():
             cand_here, link_here = [], []
             for f in files:
-                rng = file_key_range(f, pk[0])
+                rel = os.path.join(dirname, os.path.basename(f))
+                if manifest is not None and rel in manifest:
+                    rng = manifest[rel]
+                else:
+                    rng = file_key_range(f, pk[0])
                 if rng is not None:
                     i = bisect.bisect_left(sk, rng[0])
                     j = bisect.bisect_right(sk, rng[1])
@@ -323,6 +334,9 @@ def _refresh_blooms(table: ParquetTable, spec: TableSpec) -> None:
         # executor-side fan-out: one task per fresh file, so the rebuild
         # scales with the cluster instead of serializing on the driver
         build_file_blooms(table, spec.pk[0], spark=table.spark)
+        from synch_spark.sources.manifest import refresh_manifest
+
+        refresh_manifest(table, spec.pk[0])
 
 
 def should_compact(

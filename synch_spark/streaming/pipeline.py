@@ -193,12 +193,17 @@ class CdcPipeline:
                 not in (_E.COLLAPSING_MERGE_TREE, _E.VERSIONED_COLLAPSING_MERGE_TREE)
             ):
                 from synch_spark.sources.bloom import build_file_blooms, gc_blooms
+                from synch_spark.sources.manifest import refresh_manifest
 
                 # gc first: each merge orphans its rewritten files'
                 # sidecars; without this the flat _bloom/ dir grows by
                 # O(rewritten files) per micro-batch forever
                 gc_blooms(table)
                 build_file_blooms(table, spec.pk[0], spark=self.spark)
+                # stats manifest: footer-reads only this batch's new
+                # files; the NEXT merge then opens one JSON, not O(files)
+                # parquet footers
+                refresh_manifest(table, spec.pk[0])
             for view in self.views:
                 if view.source == spec.qualified_name:
                     # base read AFTER apply: min/max partial recompute must

@@ -1,0 +1,121 @@
+"""Per-version stats manifest (sources.manifest): one JSON read per
+merge instead of an O(files) footer storm; entries carried across
+versions for immutable files."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from synch_spark.config import Engine, TableSpec
+from synch_spark.operators.cdc_apply import apply_cdc_batch
+from synch_spark.sources import bloom
+from synch_spark.sources.manifest import load_manifest, refresh_manifest
+from synch_spark.sources.table import ParquetTable
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "action string, k long, p string, v double, event_unixtime long"
+    ).withColumn("action_seq", F.lit(0)).withColumn("schema", F.lit("db")) \
+     .withColumn("table", F.lit("t"))
+
+
+def test_refresh_reads_only_new_files(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(100).select(F.col("id").alias("k"),
+                                        (F.col("id") % 2).cast("string").alias("p"),
+                                        F.lit(1.0).alias("v")).repartition(4), "p")
+    n1 = refresh_manifest(t, "k")
+    assert n1 >= 4  # every file footer-read once
+    assert refresh_manifest(t, "k") == 0  # idempotent: nothing new
+    man = load_manifest(t._version_dir(t.current_version()), "k")
+    assert man is not None and len(man) == n1
+    for rng in man.values():
+        assert rng is not None and rng[0] <= rng[1]
+
+    # append one file: only it is fresh
+    t.append(spark.createDataFrame([(500, "0", 2.0)],
+                                   "k long, p string, v double").coalesce(1), "p")
+    assert refresh_manifest(t, "k") == 1
+
+
+def test_manifest_carries_across_cow_versions(spark, tmp_path):
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame(
+        [(k, "a" if k % 2 else "b", float(k)) for k in range(200)],
+        "k long, p string, v double").repartition(4), "p")
+    refresh_manifest(t, "k")
+    before = load_manifest(t._version_dir(t.current_version()), "k")
+    batch = _events(spark, [("insert", 3, "a", 99.0, 10)])
+    apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
+    fresh = refresh_manifest(t, "k")
+    after = load_manifest(t._version_dir(t.current_version()), "k")
+    carried = set(before) & set(after)
+    assert carried, "hard-linked files must carry their manifest entries"
+    for rel in carried:
+        assert before[rel] == after[rel]
+    # only the merge's new files needed footer reads
+    assert fresh == len(after) - len(carried)
+
+
+def test_classify_uses_manifest_same_result(spark, tmp_path):
+    """Merge outcomes (content + hard-link set) are identical with and
+    without a manifest; with a WRONG/corrupt manifest the loader returns
+    None and footers take over."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
+
+    def run(root, with_manifest, corrupt=False):
+        t = ParquetTable(spark, str(root))
+        evens = [(k, "a", float(k)) for k in range(0, 100, 2)]
+        odds = [(k, "a", float(k)) for k in range(1, 100, 2)]
+        t.overwrite(spark.createDataFrame(evens, "k long, p string, v double").coalesce(1), "p")
+        t.append(spark.createDataFrame(odds, "k long, p string, v double").coalesce(1), "p")
+        if with_manifest:
+            refresh_manifest(t, "k")
+            if corrupt:
+                mp = os.path.join(t._version_dir(t.current_version()),
+                                  "_manifest.json")
+                with open(mp, "w") as f:
+                    f.write("{not json")
+        batch = _events(spark, [("delete", 2, "a", 2.0, 11)])
+        apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
+        vdir = t._version_dir(t.current_version())
+        pdir = os.path.join(vdir, "p=a")
+        inodes = sorted(os.stat(os.path.join(pdir, f)).st_ino
+                        for f in os.listdir(pdir) if f.endswith(".parquet"))
+        rows = {r["k"]: r["v"] for r in t.read().collect()}
+        return rows, len(inodes)
+
+    r1, n1 = run(tmp_path / "plain", with_manifest=False)
+    r2, n2 = run(tmp_path / "man", with_manifest=True)
+    r3, n3 = run(tmp_path / "bad", with_manifest=True, corrupt=True)
+    assert r1 == r2 == r3
+    assert 2 not in r1 and len(r1) == 99  # 50 evens + 50 odds - 1 delete
+    assert n1 == n2 == n3
+
+
+def test_manifest_wrong_column_ignored(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    refresh_manifest(t, "k")
+    vdir = t._version_dir(t.current_version())
+    assert load_manifest(vdir, "k") is not None
+    assert load_manifest(vdir, "other") is None
+
+
+def test_string_pk_manifest_records_null_ranges(spark, tmp_path):
+    """String pks have no exact stats: the manifest records null — same
+    conservative semantics as the footer path (bloom is the lever)."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")))
+    refresh_manifest(t, "k")
+    man = load_manifest(t._version_dir(t.current_version()), "k")
+    assert man and all(v is None for v in man.values())
