@@ -242,6 +242,7 @@ def prune_files(table, column: str, keys) -> list[str] | None:
     normally. An empty list is a proof that NO file holds any key."""
     import bisect
 
+    from synch_spark.sources.manifest import load_manifest
     from synch_spark.sources.table import file_key_range
 
     sk = sorted(keys)
@@ -249,16 +250,21 @@ def prune_files(table, column: str, keys) -> list[str] | None:
         return None
     out: list[str] = []
     vdir = table._version_dir(table.current_version())
+    manifest = load_manifest(vdir, column)
     for dirpath, _dirs, files in os.walk(vdir):
         for name in files:
             if not name.endswith(".parquet"):
                 continue
             path = os.path.join(dirpath, name)
-            bl = load_bloom(table.root, os.path.relpath(path, vdir), column)
-            try:
-                rng = file_key_range(path, column)
-            except Exception:  # unreadable footer: treat as statless
-                rng = None
+            rel = os.path.relpath(path, vdir)
+            bl = load_bloom(table.root, rel, column)
+            if manifest is not None and rel in manifest:
+                rng = manifest[rel]
+            else:
+                try:
+                    rng = file_key_range(path, column)
+                except Exception:  # unreadable footer: treat as statless
+                    rng = None
             if rng is None:
                 if bl is None:
                     return None  # this file is unprovable either way
