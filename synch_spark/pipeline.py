@@ -114,6 +114,14 @@ def etl_full(
     # covers a narrow pk range, which is what makes footer min/max stats
     # selective for the merge path's file-level pruning (table.py)
     table.overwrite(source_df, spec.partition_by, cluster_by=spec.pk)
+    # index the freshly-loaded layout up front: the FIRST CDC merge then
+    # already prunes by bloom + manifest instead of footer-scanning the
+    # entire initial load (sources.bloom / sources.manifest)
+    from synch_spark.sources.bloom import build_file_blooms
+    from synch_spark.sources.manifest import refresh_manifest
+
+    build_file_blooms(table, spec.pk[0], spark=table.spark)
+    refresh_manifest(table, spec.pk[0])
     return True
 
 
