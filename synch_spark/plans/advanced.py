@@ -1085,6 +1085,76 @@ FROM stats ORDER BY nation
 """
 
 
+
+
+def q106_salted_hot_key(spark, sf_dir):
+    """The skew-mitigation aggregates (operators.skew) on the graded
+    surface: two-phase salted count+sum over a power-law-ish key. The
+    salt is internal — phase 2 folds it away, so the result equals the
+    plain GROUP BY bit-for-bit (sums fold in DECIMAL for order-freedom)
+    while one hot key's rows spread over salt_buckets reducers instead
+    of one."""
+    from synch_spark.operators.skew import salted_count, salted_sum
+
+    ev = _t(spark, sf_dir, "events")
+    cnt = salted_count(ev, ["user_id"], salt_buckets=16)
+    # decimal-fold inside the salted two-phase sum: cast value up front
+    sums = salted_sum(
+        ev.withColumn("value", F.col("value").cast(DEC)), ["user_id"], "value",
+        salt_buckets=16,
+    )
+    return (
+        cnt.join(sums, "user_id")
+        .select(
+            "user_id", "n", F.col("sum_value").cast("double").alias("sum_value")
+        )
+        .orderBy("user_id")
+    )
+
+
+Q106_SQL = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q107_skew_join_enrich(spark, sf_dir):
+    """replicated_skew_join on the graded surface: enrich every event
+    with its user's first-seen timestamp via a salted equi-join (big
+    side salted, small side replicated per salt — one hot user's events
+    spread over salt_buckets reducers). Result must equal the plain
+    join exactly."""
+    from synch_spark.operators.skew import replicated_skew_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = replicated_skew_join(
+        ev.select("user_id", "event_type", "ts"), dim, ["user_id"],
+        salt_buckets=8,
+    )
+    return (
+        joined.groupBy("user_id", "first_ts")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("ts") == F.col("first_ts")).cast("int"))
+            .cast("bigint").alias("n_at_first"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q107_SQL = """
+WITH dim AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+SELECT e.user_id, d.first_ts,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN e.ts = d.first_ts THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_first
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.user_id, d.first_ts ORDER BY e.user_id
+"""
+
+
 ADVANCED_QUERIES = {
     "q26_asof_join": (q26_asof_join, Q26_SQL),
     "q27_sessionize": (q27_sessionize, Q27_SQL),
@@ -1098,6 +1168,8 @@ ADVANCED_QUERIES = {
     "q35_streaming_first_per_key": (q35_streaming_first_per_key, Q35_SQL),
     "q58_streaming_sessions": (q58_streaming_sessions, Q58_SQL),
     "q102_streaming_dedup": (q102_streaming_dedup, Q102_SQL),
+    "q106_salted_hot_key": (q106_salted_hot_key, Q106_SQL),
+    "q107_skew_join_enrich": (q107_skew_join_enrich, Q107_SQL),
     "q59_json_props": (q59_json_props, Q59_SQL),
     "q45_window_zoo": (q45_window_zoo, Q45_SQL),
     "q46_scalar_zoo": (q46_scalar_zoo, Q46_SQL),
