@@ -156,6 +156,20 @@ def cmd_produce(args) -> int:
                     else:
                         write_event_spool(events, events_dir, basename)
                     emitted += n
+                    # producer-side monitor row (type=1): the reference
+                    # logs every produced chunk the same way
+                    # (/root/reference/synch/reader/__init__.py:84)
+                    from pyspark.sql import functions as F
+
+                    from synch_spark.streaming.pipeline import MONITOR_SCHEMA
+
+                    _PT(spark, f"{warehouse}/_synch_log").append(
+                        spark.createDataFrame(
+                            [(args.alias or "default", spec.schema,
+                              spec.table, n, 1)],
+                            MONITOR_SCHEMA[:5],
+                        ).withColumn("created_at", F.current_timestamp())
+                    )
             finally:
                 events.unpersist()
             state.overwrite(src)

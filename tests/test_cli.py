@@ -88,6 +88,14 @@ def test_cli_produce_consume_check_loop(tmp_path, capsys, spark):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["ok"] is True and out["check"]["db.region"]["target"] == 4
 
+    # monitor log carries BOTH sides: producer rows (type=1, ref
+    # reader/__init__.py:84) and consumer rows (type=2, continuous.py:154)
+    log = spark.read.parquet(str(tmp_path / "wh" / "_synch_log" / "v=0"))
+    types = {r["type"] for r in log.select("type").distinct().collect()}
+    assert types == {1, 2}
+    produced = sum(r["num"] for r in log.filter("type = 1").collect())
+    assert produced >= 5 + 2  # first snapshot + the two-change diff
+
 
 def test_cli_etl_then_check(tmp_path, capsys, spark):
     cfg = _write_cfg(tmp_path, str(tmp_path / "wh"))
