@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": sf}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"sf": sf, "n_queries": N, "n_errors": E, "queries": {10 slowest}}.
+The FULL per-query timing map is written to BENCH_QUERIES.json (the
+driver's stdout capture keeps only the last ~2000 chars, so the stdout
+line must stay small).
 
 Each query is forced with a full collect() (plan + execute + materialize
 to the driver). Queries are submitted CONCURRENTLY under the FAIR
@@ -91,15 +94,33 @@ def main() -> None:
             list(pool.map(run_one, items))
     total = round(time.perf_counter() - t_start, 4)
 
+    # The driver captures only the LAST ~2000 chars of stdout; a payload with
+    # all per-query timings inline (~3.4 KB at 107 queries) gets front-truncated
+    # mid-JSON and fails to parse.  Keep the stdout line compact (< ~1.5 KB):
+    # totals + the top-10 slowest queries inline, the full per-query map in a
+    # sidecar file next to this script.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": dict(sorted(timings.items())),
         "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": slowest,
     }
-    if errors:
-        payload["errors"] = errors
+    if errors:  # names only on stdout, full messages in the sidecar
+        payload["error_queries"] = sorted(errors)[:5]
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_QUERIES.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump({"metric": "headline_queries_total", "value": total,
+                       "unit": "sec", "sf": sf, "serial": serial,
+                       "queries": dict(sorted(timings.items())),
+                       "errors": errors}, f, indent=1)
+    except OSError:
+        pass  # sidecar is informational; the stdout line is the contract
     # stop the session first so the JVM can't emit shutdown chatter after
     # (or interleaved with) the JSON line
     try:
