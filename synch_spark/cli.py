@@ -159,17 +159,11 @@ def cmd_produce(args) -> int:
                     # producer-side monitor row (type=1): the reference
                     # logs every produced chunk the same way
                     # (/root/reference/synch/reader/__init__.py:84)
-                    from pyspark.sql import functions as F
+                    from synch_spark.streaming.pipeline import log_monitor_row
 
-                    from synch_spark.streaming.pipeline import MONITOR_SCHEMA
-
-                    _PT(spark, f"{warehouse}/_synch_log").append(
-                        spark.createDataFrame(
-                            [(args.alias or "default", spec.schema,
-                              spec.table, n, 1)],
-                            MONITOR_SCHEMA[:5],
-                        ).withColumn("created_at", F.current_timestamp())
-                    )
+                    log_monitor_row(spark, warehouse,
+                                    args.alias or "default", spec.schema,
+                                    spec.table, n, 1)
             finally:
                 events.unpersist()
             state.overwrite(src)

@@ -184,12 +184,10 @@ def _classify_files(table, changed_keys, upserts, part, pk):
     if not keys or any(k is None for k in keys):
         return None
     sk = sorted(keys)
-    # stats manifest: one JSON read replaces the per-file parquet-footer
-    # storm (files are immutable, ranges carried across versions); any
-    # file missing from it falls back to its footer
-    manifest = load_manifest(
-        table._version_dir(table.current_version()), pk[0]
-    )
+    # stats from the manifest log replace the per-file parquet-footer
+    # storm (files are immutable, ranges ride in the log entry that
+    # added them); any file missing from it falls back to its footer
+    manifest = load_manifest(table, pk[0]) or {}
     upsert_vals = [r[0] for r in upserts.select(part).distinct().collect()]
     upsert_strs = {None if v is None else str(v) for v in upsert_vals}
     candidates: list[str] = []
@@ -199,8 +197,8 @@ def _classify_files(table, changed_keys, upserts, part, pk):
         for dirname, files in table.partition_files(part).items():
             cand_here, link_here = [], []
             for f in files:
-                rel = os.path.join(dirname, os.path.basename(f))
-                if manifest is not None and rel in manifest:
+                rel = f"{dirname}/{os.path.basename(f)}"
+                if rel in manifest:
                     rng = manifest[rel]
                 else:
                     rng = file_key_range(f, pk[0])

@@ -76,12 +76,17 @@ def _sql_type(spark_type, dialect: str = "ansi") -> str:
     return table.get(simple, table["string"])
 
 
-def _default_literal(default: str) -> str:
+def _default_literal(default: str, dialect: str = "ansi") -> str:
     """DDL DEFAULT literal (DDL can't be parameterized). The value comes
-    from the source's own admin-authored ALTER statement, not row data;
-    quotes are doubled and backslashes stripped for the backslash-
-    escaping dialects."""
-    return "'" + default.replace("\\", "").replace("'", "''") + "'"
+    from the source's own admin-authored ALTER statement, not row data.
+    Quotes are doubled everywhere; backslashes are DOUBLED (not stripped)
+    for the backslash-escaping dialects (MySQL, ClickHouse) and left
+    intact for ANSI targets — stripping would silently corrupt a
+    legitimate default like a path or escape pattern."""
+    v = default.replace("'", "''")
+    if dialect in ("mysql", "clickhouse"):
+        v = default.replace("\\", "\\\\").replace("'", "''")
+    return "'" + v + "'"
 
 
 def alter_statements(table: str, ops, dialect: str = "ansi") -> list[str]:
@@ -99,16 +104,20 @@ def alter_statements(table: str, ops, dialect: str = "ansi") -> list[str]:
                 f"{_sql_type(op.spark_type, dialect)}"
             )
             if op.default is not None:
-                stmt += f" DEFAULT {_default_literal(op.default)}"
+                stmt += f" DEFAULT {_default_literal(op.default, dialect)}"
             out.append(stmt)
         elif op.action == "drop_column":
             out.append(f"ALTER TABLE {table} DROP COLUMN {op.column}")
         elif op.action == "rename_column":
-            # the ClickHouse/MySQL/Postgres form; Derby alone wants
-            # `RENAME COLUMN t.a TO b` — swap per dialect if needed
-            out.append(
-                f"ALTER TABLE {table} RENAME COLUMN {op.column} TO {op.new_column}"
-            )
+            if dialect == "derby":
+                # Derby's own statement form: RENAME COLUMN t.a TO b
+                out.append(
+                    f"RENAME COLUMN {table}.{op.column} TO {op.new_column}"
+                )
+            else:  # the ClickHouse/MySQL/Postgres form
+                out.append(
+                    f"ALTER TABLE {table} RENAME COLUMN {op.column} TO {op.new_column}"
+                )
         elif op.action == "modify_column":
             t = _sql_type(op.spark_type, dialect)
             if dialect == "mysql":
@@ -124,12 +133,17 @@ def alter_statements(table: str, ops, dialect: str = "ansi") -> list[str]:
 
 
 #: substrings that mark a DDL statement as ALREADY APPLIED on the target
-#: (replayed after a crash before the checkpoint advanced) — per action,
-#: lowercase-matched against the driver's error message
+#: (replayed after a crash before the checkpoint advanced) — COLUMN-scoped
+#: messages only, lowercase-matched against the driver's error message.
+#: Table-level failures ("table X does not exist") must NOT match: a
+#: mistyped target_table would otherwise silently downgrade every ALTER
+#: to a warning and let the target schema diverge. apply_ddl additionally
+#: probes that the target table exists before classifying an error as a
+#: replay.
 _IDEMPOTENT_DDL_MARKERS = (
     "already exists", "duplicate column", "already has a column",
-    "does not exist", "no such column", "not found", "is not a column",
-    "unknown column",
+    "no such column", "is not a column", "unknown column",
+    "column not found", "not found in any table", "invalid column",
 )
 
 
@@ -143,8 +157,14 @@ def delete_statements(
     pairs for PreparedStatement execution — key VALUES never enter the
     SQL text, so a hostile string pk cannot break out regardless of the
     target dialect's escaping rules (MySQL treats backslash as an
-    escape; quote-doubling alone would not be safe there)."""
+    escape; quote-doubling alone would not be safe there).
+
+    ``chunk`` is a PARAMETER budget, not a key budget: composite pks of
+    c columns bind c params per key, and JDBC targets cap bind params
+    per statement (SQL Server ~2100, Postgres 65535) — so keys per
+    statement = chunk // len(pk)."""
     out = []
+    chunk = max(1, chunk // max(len(pk), 1))
     for i in range(0, len(keys), chunk):
         part = keys[i : i + chunk]
         if len(pk) == 1:
@@ -260,13 +280,38 @@ class JdbcSink:
                 self._execute([(sql, [])])
             except Exception as e:  # noqa: BLE001 — classify, then re-raise
                 msg = str(e).lower()
-                if any(m in msg for m in _IDEMPOTENT_DDL_MARKERS):
+                if (any(m in msg for m in _IDEMPOTENT_DDL_MARKERS)
+                        and self._table_exists()):
                     logging.getLogger("synch_spark").warning(
                         "DDL already applied on %s (replay?): %s",
                         self.target_table, sql,
                     )
                     continue
                 raise
+
+    def _table_exists(self) -> bool:
+        """Probe the target with a zero-row SELECT — a missing or
+        mistyped target_table must surface as a hard DDL failure, never
+        be misread as an idempotent replay."""
+        jvm = self.spark.sparkContext._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, v)
+        try:
+            conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+            try:
+                ps = conn.prepareStatement(
+                    f"SELECT * FROM {self.target_table} WHERE 1=0"
+                )
+                try:
+                    ps.execute()  # not executeUpdate: SELECTs return a ResultSet
+                finally:
+                    ps.close()
+                return True
+            finally:
+                conn.close()
+        except Exception:  # noqa: BLE001 — probe failure = table missing
+            return False
 
     def _write(self, df: DataFrame) -> None:
         df.write.mode("append").jdbc(

@@ -12,16 +12,16 @@ idea, rebuilt on the same sidecar-file principle.
 
 Design constraints that make it cheap:
 
-- Data files are IMMUTABLE; hard-linked copies keep their
-  version-relative path (partition dirname + basename) across
-  versions. Sidecars are keyed by that RELATIVE PATH (escaped into one
-  flat `<root>/_bloom/` dir) — basenames alone are NOT unique: one
-  task writing a partitioned table emits the same
-  `part-00000-<uuid>` basename into every partition directory, and a
-  basename-keyed sidecar would let partition A's bloom prove false
-  absence for partition B's file (a lost update in the merge). No
-  version bookkeeping; links carry their bloom for free; a sidecar is
-  write-once like its file.
+- Data files are IMMUTABLE pool files (`<root>/data/`); a file keeps
+  its pool-relative path (partition dirname + basename) for life,
+  across every version that references it. Sidecars are keyed by that
+  RELATIVE PATH (escaped into one flat `<root>/_bloom/` dir) —
+  basenames alone are NOT unique: one task writing a partitioned table
+  emits the same `part-00000-<uuid>` basename into every partition
+  directory, and a basename-keyed sidecar would let partition A's
+  bloom prove false absence for partition B's file (a lost update in
+  the merge). No version bookkeeping; carried files keep their bloom
+  for free; a sidecar is write-once like its file.
 - Missing sidecar = no pruning claim (falls back to min/max semantics);
   stale sidecars for files no longer in the current version are inert
   garbage until ``gc_blooms`` (run by compaction) unlinks them — the
@@ -84,17 +84,40 @@ def _sidecar(root: str, relkey: str) -> str:
     return os.path.join(_bloom_dir(root), relkey.replace(os.sep, "%2F") + ".bloom.json")
 
 
+def _sidecar_column(path: str) -> str | None:
+    """The column a sidecar (bloom or tombstone) was built for, or None
+    when absent/corrupt."""
+    try:
+        with open(path) as f:
+            return json.load(f).get("column")
+    except (OSError, json.JSONDecodeError, ValueError):
+        return None
+
+
+def _write_sidecar(out: str, doc: dict) -> None:
+    import uuid
+
+    tmp = out + f".tmp-{uuid.uuid4().hex[:12]}"  # pid can collide across hosts
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, out)
+
+
 def _build_one_bloom(path: str, out: str, column: str) -> int:
     """Build one sidecar from one data file (pure function of its
     arguments — runs on the driver for small tables, inside an executor
-    task for the distributed build). Returns 1 when a sidecar was
-    written, 0 when the file is skipped (column absent or key type not
-    bloom-safe)."""
+    task for the distributed build). Returns 1 when a bloom was written,
+    0 when the file is unbuildable (column absent or key type not
+    bloom-safe) — then a tiny {"skip": true} TOMBSTONE sidecar is
+    written instead, so build_file_blooms never re-lists the file: a
+    table with a non-bloom-safe pk would otherwise re-open every footer
+    (and re-schedule executor tasks) on every micro-batch forever."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     schema = pq.ParquetFile(path).schema_arrow
     if column not in schema.names:
+        _write_sidecar(out, {"column": column, "skip": True})
         return 0  # partition column / pre-DDL file: no data pages
     typ = schema.field(column).type
     if not (
@@ -107,6 +130,7 @@ def _build_one_bloom(path: str, out: str, column: str) -> int:
         # bloom_safe_key rationale: only int/str/bytes keys have
         # type-stable build/probe representations — everything else
         # stays on min/max-stat semantics
+        _write_sidecar(out, {"column": column, "skip": True})
         return 0
     col = pq.read_table(path, columns=[column]).column(0)
     values = [v for v in col.to_pylist() if v is not None]
@@ -118,16 +142,11 @@ def _build_one_bloom(path: str, out: str, column: str) -> int:
         for i in range(NUM_HASHES):
             b = (h1 + i * h2) % m
             bits[b >> 3] |= 1 << (b & 7)
-    import uuid
-
-    tmp = out + f".tmp-{uuid.uuid4().hex[:12]}"  # pid can collide across hosts
-    with open(tmp, "w") as f:
-        json.dump(
-            {"column": column, "m": m, "k": NUM_HASHES,
-             "bits": base64.b64encode(bits.tobytes()).decode()},
-            f,
-        )
-    os.replace(tmp, out)
+    _write_sidecar(
+        out,
+        {"column": column, "m": m, "k": NUM_HASHES,
+         "bits": base64.b64encode(bits.tobytes()).decode()},
+    )
     return 1
 
 
@@ -143,16 +162,15 @@ def build_file_blooms(table, column: str, spark=None) -> int:
     suffixed temp + atomic rename keeps concurrent builders safe).
     Driver-side otherwise."""
     os.makedirs(_bloom_dir(table.root), exist_ok=True)
-    vdir = table._version_dir(table.current_version())
     todo: list[tuple[str, str]] = []
-    for dirpath, _dirs, files in os.walk(vdir):
-        for name in files:
-            if not name.endswith(".parquet"):
-                continue
-            path = os.path.join(dirpath, name)
-            out = _sidecar(table.root, os.path.relpath(path, vdir))
-            if not os.path.exists(out):
-                todo.append((path, out))
+    for rel in table.snapshot().files:
+        out = _sidecar(table.root, rel)
+        if _sidecar_column(out) != column:
+            # absent, corrupt, or built for a different column — a
+            # {"skip": true} tombstone for THIS column counts as built,
+            # so unbuildable files (non-bloom-safe pk types) are never
+            # re-listed batch after batch
+            todo.append((table._abs(rel), out))
     if not todo:
         return 0
     if spark is not None and len(todo) > 1:
@@ -176,12 +194,9 @@ def gc_blooms(table) -> int:
     if not os.path.isdir(bdir):
         return 0
     live: set[str] = set()
-    vdir = table._version_dir(table.current_version())
-    for dirpath, _dirs, files in os.walk(vdir):
-        for n in files:
-            if n.endswith(".parquet"):
-                rel = os.path.relpath(os.path.join(dirpath, n), vdir)
-                live.add(rel.replace(os.sep, "%2F"))
+    for v in table.versions():
+        for rel in table.snapshot(v).files:
+            live.add(rel.replace("/", "%2F"))
     import time
 
     removed = 0
@@ -209,8 +224,8 @@ def load_bloom(root: str, relkey: str, column: str):
         return None
     with open(path) as f:
         spec = json.load(f)
-    if spec.get("column") != column:
-        return None
+    if spec.get("column") != column or spec.get("skip"):
+        return None  # different column, or an unbuildable-file tombstone
     bits = np.frombuffer(base64.b64decode(spec["bits"]), dtype=np.uint8)
     return spec["m"], spec["k"], bits
 
@@ -249,38 +264,33 @@ def prune_files(table, column: str, keys) -> list[str] | None:
     if not sk or any(k is None for k in sk):
         return None
     out: list[str] = []
-    vdir = table._version_dir(table.current_version())
-    manifest = load_manifest(vdir, column)
-    for dirpath, _dirs, files in os.walk(vdir):
-        for name in files:
-            if not name.endswith(".parquet"):
-                continue
-            path = os.path.join(dirpath, name)
-            rel = os.path.relpath(path, vdir)
-            bl = load_bloom(table.root, rel, column)
-            if manifest is not None and rel in manifest:
-                rng = manifest[rel]
-            else:
-                try:
-                    rng = file_key_range(path, column)
-                except Exception:  # unreadable footer: treat as statless
-                    rng = None
-            if rng is None:
-                if bl is None:
-                    return None  # this file is unprovable either way
-                if might_contain_any(bl, sk):
-                    out.append(path)
-                continue
+    manifest = load_manifest(table, column) or {}
+    for rel in table.snapshot().files:
+        path = table._abs(rel)
+        bl = load_bloom(table.root, rel, column)
+        if rel in manifest:
+            rng = manifest[rel]
+        else:
             try:
-                i = bisect.bisect_left(sk, rng[0])
-                j = bisect.bisect_right(sk, rng[1])
-            except TypeError:
-                return None  # stats don't order against the key type
-            if j <= i:
-                continue  # outside every key: range alone proves absence
-            if bl is not None and not might_contain_any(bl, sk[i:j]):
-                continue  # bloom proves absence despite range overlap
-            out.append(path)
+                rng = file_key_range(path, column)
+            except Exception:  # unreadable footer: treat as statless
+                rng = None
+        if rng is None:
+            if bl is None:
+                return None  # this file is unprovable either way
+            if might_contain_any(bl, sk):
+                out.append(path)
+            continue
+        try:
+            i = bisect.bisect_left(sk, rng[0])
+            j = bisect.bisect_right(sk, rng[1])
+        except TypeError:
+            return None  # stats don't order against the key type
+        if j <= i:
+            continue  # outside every key: range alone proves absence
+        if bl is not None and not might_contain_any(bl, sk[i:j]):
+            continue  # bloom proves absence despite range overlap
+        out.append(path)
     return out
 
 

@@ -1,25 +1,26 @@
-"""Per-version stats manifest: one JSON read per merge instead of an
-O(files) parquet-footer storm.
+"""Per-file stats riding in the manifest log: one snapshot replay per
+merge instead of an O(files) parquet-footer storm.
 
 ``_classify_files`` (the merge's metadata-only write-set discovery)
 needs the leading-pk min/max of EVERY current file on EVERY micro-batch.
 Reading each file's footer is fine at test scale but at 100 TB it is
 thousands of small opens per batch — the dominant driver-side cost of a
-merge. File ranges are IMMUTABLE (files never change, hard links keep
-the relpath), so they belong in a manifest carried forward across
-versions, exactly like Delta's per-file stats in the transaction log:
+merge. File ranges are IMMUTABLE (pool files never change), so they
+belong NEXT TO THE FILE ENTRY in the table's manifest log, exactly like
+Delta's per-file stats in the transaction log:
 
-- ``v=N/_manifest.json`` maps version-relative path -> {"lo", "hi"}
-  (``null`` when the file has no provably-exact stats — string pks,
-  statless writers; the merge then treats it by bloom/conservative
-  rules, same as a footer miss).
-- ``refresh_manifest`` carries the previous manifest's entries for
-  files still present and footer-reads ONLY the new files (whose
-  footers are page-cache-hot right after the write). Run where bloom
-  maintenance already runs: per micro-batch and at compaction.
-- Readers fall back to the footer for any file missing from the
-  manifest, so a stale/absent manifest only costs speed, never
-  correctness.
+- each log entry's file map carries ``{rel: {column: [lo, hi] | null}}``
+  (``null`` = computed but not provably exact — string pks, statless
+  writers; the merge then treats the file by bloom/conservative rules,
+  same as a footer miss). A column KEY that is absent means "not yet
+  computed" — readers fall back to the footer, so a stale manifest only
+  costs speed, never correctness.
+- ``refresh_manifest`` footer-reads ONLY files whose entry lacks the
+  column (page-cache-hot right after the write) and patches the owning
+  log entries in place (``ParquetTable.patch_entry_stats`` — atomic
+  replace, convergent). Run where bloom maintenance already runs: per
+  micro-batch and at compaction. O(new files) footer reads + O(chain)
+  small JSON rewrites per refresh.
 
 JSON-safety: exact-stat types (_EXACT_STAT_TYPES) are numeric/boolean
 only, so lo/hi round-trip losslessly (ints stay ints; floats are
@@ -28,80 +29,41 @@ binary64 either side).
 
 from __future__ import annotations
 
-import json
-import os
 
-MANIFEST_FILE = "_manifest.json"
-
-
-def _manifest_path(version_dir: str) -> str:
-    return os.path.join(version_dir, MANIFEST_FILE)
-
-
-def load_manifest(version_dir: str, column: str) -> dict | None:
-    """{relpath: (lo, hi) | None} for the given stats column, or None
-    when absent / built for a different column."""
-    p = _manifest_path(version_dir)
-    if not os.path.exists(p):
+def load_manifest(table, column: str) -> dict | None:
+    """{relpath: (lo, hi) | None} for the given stats column from the
+    current version's log entries. Files whose stats for ``column`` are
+    not yet computed are OMITTED (callers footer-fallback per file);
+    returns None only when the table has no committed version."""
+    if table.current_version() < 0:
         return None
-    try:
-        with open(p) as f:
-            doc = json.load(f)
-    except (json.JSONDecodeError, OSError):
-        return None  # torn write: fall back to footers
-    if doc.get("column") != column:
-        return None
-    return {
-        rel: (None if rng is None else (rng[0], rng[1]))
-        for rel, rng in doc["files"].items()
-    }
+    out: dict = {}
+    for rel, stats in table.snapshot().files.items():
+        if column in stats:
+            rng = stats[column]
+            out[rel] = None if rng is None else (rng[0], rng[1])
+    return out
 
 
 def refresh_manifest(table, column: str) -> int:
-    """(Re)build the current version's manifest, reusing the retained
-    previous version's entries for files that persist (immutable, keyed
-    by relpath) and footer-reading only the new ones. Returns the number
-    of files that needed a footer read. Written atomically; concurrent
-    refreshes converge (same inputs, same output)."""
+    """Compute ``column`` min/max for every current-version file whose
+    log entry lacks it and patch the owning entries. Returns the number
+    of files that needed a footer read. Idempotent; concurrent refreshes
+    converge (same immutable inputs, same output)."""
     from synch_spark.sources.table import file_key_range
 
-    v = table.current_version()
-    if v < 0:
+    if table.current_version() < 0:
         return 0
-    vdir = table._version_dir(v)
-    prev: dict = {}
-    for pv in table.versions():
-        if pv < v:
-            prev.update(load_manifest(table._version_dir(pv), column) or {})
-    prev.update(load_manifest(vdir, column) or {})  # idempotent re-run
-
-    files: dict[str, tuple | None] = {}
-    fresh = 0
-    for dirpath, _dirs, names in os.walk(vdir):
-        for name in names:
-            if not name.endswith(".parquet"):
-                continue
-            path = os.path.join(dirpath, name)
-            rel = os.path.relpath(path, vdir)
-            if rel in prev:
-                files[rel] = prev[rel]
-                continue
-            try:
-                files[rel] = file_key_range(path, column)
-            except Exception:  # noqa: BLE001 — unreadable footer: statless
-                files[rel] = None
-            fresh += 1
-    tmp = _manifest_path(vdir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {
-                "column": column,
-                "files": {
-                    rel: (None if rng is None else [rng[0], rng[1]])
-                    for rel, rng in files.items()
-                },
-            },
-            f,
-        )
-    os.replace(tmp, _manifest_path(vdir))
-    return fresh
+    snap = table.snapshot()
+    patch: dict[str, dict] = {}
+    for rel, stats in snap.files.items():
+        if column in stats:
+            continue
+        try:
+            rng = file_key_range(table._abs(rel), column)
+        except Exception:  # noqa: BLE001 — unreadable footer: statless
+            rng = None
+        patch[rel] = {column: None if rng is None else [rng[0], rng[1]]}
+    if patch:
+        table.patch_entry_stats(patch)
+    return len(patch)

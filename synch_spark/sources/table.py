@@ -2,37 +2,62 @@
 
 The reference writes into ClickHouse over TCP
 (/root/reference/synch/writer/__init__.py:21-53). Our target is a
-lakehouse-style parquet table with atomic version swap: each commit
-writes a new ``v=<n>`` directory and flips a tiny ``_CURRENT`` pointer
-file. That gives us what MERGE needs without Delta jars:
+lakehouse-style parquet table with a MANIFEST LOG (the Delta/Iceberg
+commit model): data files live in one immutable shared pool
+(``data/``), and each version is a tiny JSON log entry under ``_v/``
+naming the files it adds/removes. Committing a version touches O(files
+changed) paths — never O(table):
 
-- readers never see partial writes (they resolve _CURRENT first);
-- read-modify-write (anti-join + union overwrite) never clobbers the
-  data it is reading (new version dir != old);
-- append mode reuses the current dir (pure-insert fast path).
+- a commit writes its staged data files into the pool (one rename per
+  new file), then publishes ``_v/v=<n>.json`` with an atomic
+  exclusive-create (hard link of a temp file). Two writers racing to
+  the same version: exactly one create succeeds, the loser gets
+  ConcurrentWriteError and re-merges — optimistic concurrency without
+  a lock service. On object storage the exclusive create maps to a
+  conditional put (if-none-match) of the same small object; no POSIX
+  hard links or directory renames are needed anywhere on the commit
+  path.
+- most entries are DELTAS ({add, remove} against the previous
+  version); every CKPT_EVERY-th commit (and every full overwrite)
+  writes a CHECKPOINT entry carrying the complete file list, so a
+  reader materializes any version from one checkpoint plus at most
+  CKPT_EVERY - 1 deltas.
+- readers resolve the newest log entry and read exactly the listed
+  files — they never see partial writes, and a concurrent commit never
+  changes rows under a running query (files are immutable; GC spares
+  the previous version for in-flight readers).
+- per-file column stats (min/max of the merge key) ride inside the log
+  entries next to the file they describe (``sources.manifest``
+  maintains them), and the schema-evolution document rides in the
+  entry too — schema, membership, and stats commit atomically as one
+  JSON object.
 
-Scale notes: at 100 TB the overwrite path must not rewrite the full
-table per micro-batch — ``overwrite_cow`` scopes rewrites to affected
-partitions only (copy-on-write per partition, the Delta/Hudi CoW
-strategy): the new version directory receives freshly-written files for
-touched partitions and *hard links* to every untouched partition's
-files, so an N-partition table with k touched partitions pays O(k)
-write + O(N) metadata, not O(N) data rewrite. File-level (sub-partition)
-min/max key pruning is the remaining lever, noted in PERF.md.
+Scale notes: at 100 TB a micro-batch merge touching k of N files pays
+O(k) file writes + O(k) log bytes; the previous design hard-linked all
+N untouched files into every new version dir (a million link() calls
+per commit at 10^6 files, impossible on object storage). Version GC is
+also O(touched): the files freed by expiring version v-2 are exactly
+the previous entry's remove-list.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from synch_spark.sources import schema_evolution as se
 
-_CURRENT = "_CURRENT"
+_CURRENT = "_CURRENT"  # informational pointer (the log is the truth)
+_MDIR = "_v"
+_DATA = "data"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+CKPT_EVERY = 10
+_UNSET = object()
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -49,11 +74,10 @@ def commit_with_retry(txn, retries: int = 5, backoff_s: float = 0.05):
     propagates.
 
     This is the multi-writer story: each host stages its own files
-    (``_staging_dir`` is per-writer), promotion is an atomic rename, and
-    losers rebuild from the new current version — serializable commits
-    without a lock service, the Delta/Hudi optimistic pattern. Assumes a
-    rename-coherent shared filesystem; an object-store backend would
-    swap the rename for a conditional put of ``_CURRENT``.
+    (``_staging_dir`` is per-writer), publication is an atomic
+    exclusive-create of the version's log entry, and losers rebuild
+    from the new current version — serializable commits without a lock
+    service, the Delta/Hudi optimistic pattern.
     """
     import random
     import time
@@ -67,20 +91,6 @@ def commit_with_retry(txn, retries: int = 5, backoff_s: float = 0.05):
                 raise
             time.sleep(backoff_s * (2**attempt) * (0.5 + random.random()))
             attempt += 1
-
-
-def _link_tree(src: str, dst: str) -> None:
-    """Mirror ``src`` into ``dst`` using hard links (copy on EXDEV)."""
-    os.makedirs(dst, exist_ok=True)
-    for entry in os.scandir(src):
-        d = os.path.join(dst, entry.name)
-        if entry.is_dir():
-            _link_tree(entry.path, d)
-        else:
-            try:
-                os.link(entry.path, d)
-            except OSError:
-                shutil.copy2(entry.path, d)
 
 
 def _partition_dir_value(dirname: str) -> str | None:
@@ -183,63 +193,254 @@ def zorder_layout(
     )
 
 
+class Snapshot:
+    """Materialized view of one committed version: file membership (with
+    per-file stats), the schema-evolution document, and the logical
+    Spark schema captured at the last full write (for zero-file reads)."""
+
+    __slots__ = ("version", "files", "schema_raw", "sschema")
+
+    def __init__(self, version: int, files: dict, schema_raw: str | None,
+                 sschema: str | None):
+        self.version = version
+        self.files = files  # rel path -> {stats_col: [lo, hi] | None}
+        self.schema_raw = schema_raw
+        self.sschema = sschema
+
+    @property
+    def schema_doc(self) -> "se.TableSchema | None":
+        return se.TableSchema.loads(self.schema_raw) if self.schema_raw else None
+
+
 class ParquetTable:
     """A named, versioned parquet table rooted at ``root``."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._mdir = os.path.join(root, _MDIR)
+        self._data = os.path.join(root, _DATA)
         os.makedirs(root, exist_ok=True)
 
     # -- version bookkeeping -------------------------------------------------
     def current_version(self) -> int:
-        ptr = os.path.join(self.root, _CURRENT)
-        if not os.path.exists(ptr):
+        """Newest committed version = the largest log entry. The log is
+        the single source of truth; ``_CURRENT`` is written as an
+        observability hint only (a crash between entry-publish and hint
+        cannot lose or fork a commit)."""
+        if not os.path.isdir(self._mdir):
             return -1
-        with open(ptr) as f:
-            return int(f.read().strip())
+        best = -1
+        for name in os.listdir(self._mdir):
+            if name.startswith("v=") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[2:-5]))
+                except ValueError:
+                    continue
+        return best
 
-    def _version_dir(self, v: int) -> str:
-        return os.path.join(self.root, f"v={v}")
+    def _manifest_path(self, v: int) -> str:
+        return os.path.join(self._mdir, f"v={v}.json")
+
+    def _entry(self, v: int) -> dict:
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        """Materialize a version: nearest checkpoint entry + its delta
+        chain applied forward (≤ CKPT_EVERY - 1 small JSON reads)."""
+        v = self._resolve_version(version)
+        chain = []
+        cur = v
+        while True:
+            e = self._entry(cur)
+            chain.append(e)
+            if e["type"] == "ckpt":
+                break
+            cur = e["base"]
+        chain.reverse()
+        files = dict(chain[0]["files"])
+        schema_raw = chain[0].get("schema")
+        sschema = chain[0].get("sschema")
+        for e in chain[1:]:
+            for rel in e.get("remove", ()):
+                files.pop(rel, None)
+            files.update(e.get("add", {}))
+            if "schema" in e:
+                schema_raw = e["schema"]
+            if e.get("sschema"):
+                sschema = e["sschema"]
+        return Snapshot(v, files, schema_raw, sschema)
 
     def _staging_dir(self) -> str:
-        import uuid
-
         return os.path.join(self.root, f".staging-{uuid.uuid4().hex[:12]}")
 
-    def _commit(self, v: int, staging: str | None = None) -> None:
-        """Optimistic-concurrency commit (Delta-style): the writer built
-        version ``v`` from base ``v - 1``. Writes are prepared in a
-        per-writer staging dir and promoted with an atomic rename — if a
-        competing writer already promoted ``v=<n>`` the rename fails, so
-        a lost-update race cannot happen silently; the loser's staging
-        dir is discarded and the caller re-reads and re-merges."""
-        base = self.current_version()
-        if base != v - 1:
-            if staging:
-                shutil.rmtree(staging, ignore_errors=True)
-            raise ConcurrentWriteError(
-                f"table {self.root}: version {base} was committed while this "
-                f"writer prepared {v} from base {v - 1}; retry the merge"
+    def _promote_files(self, staging: str) -> list[str]:
+        """Move staged parquet files into the shared ``data/`` pool,
+        keeping partition subdirs. Returns the pool-relative paths.
+        O(new files) renames; Spark part filenames embed a per-job UUID
+        so names are collision-free across commits (a uuid prefix is
+        added in the impossible case)."""
+        rels: list[str] = []
+        for dirpath, _dirs, names in os.walk(staging):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue  # _SUCCESS / .crc sidecars are dropped
+                src = os.path.join(dirpath, name)
+                rel = os.path.relpath(src, staging)
+                dst = os.path.join(self._data, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if os.path.exists(dst):
+                    rel = os.path.join(
+                        os.path.dirname(rel),
+                        f"{uuid.uuid4().hex[:12]}-{name}",
+                    )
+                    dst = os.path.join(self._data, rel)
+                os.rename(src, dst)
+                rels.append(rel.replace(os.sep, "/"))
+        shutil.rmtree(staging, ignore_errors=True)
+        return rels
+
+    def _make_entry(
+        self,
+        v: int,
+        add: dict,
+        remove: list[str],
+        snap: Snapshot | None,
+        schema_change=_UNSET,
+        sschema: str | None = None,
+        force_ckpt: bool = False,
+    ) -> dict:
+        if force_ckpt or snap is None or v % CKPT_EVERY == 0:
+            gone = set(remove)
+            files = (
+                {} if snap is None
+                else {r: s for r, s in snap.files.items() if r not in gone}
             )
-        if staging:
-            try:
-                os.rename(staging, self._version_dir(v))
-            except OSError as e:
-                shutil.rmtree(staging, ignore_errors=True)
-                raise ConcurrentWriteError(
-                    f"table {self.root}: version dir v={v} already promoted "
-                    f"by a concurrent writer; retry the merge"
-                ) from e
-        ptr = os.path.join(self.root, _CURRENT)
-        tmp = ptr + ".tmp"
+            files.update(add)
+            schema_raw = (
+                schema_change if schema_change is not _UNSET
+                else (snap.schema_raw if snap else None)
+            )
+            return {
+                "v": v, "type": "ckpt", "files": files,
+                "remove": sorted(remove),
+                "schema": schema_raw,
+                "sschema": sschema or (snap.sschema if snap else None),
+            }
+        e: dict = {"v": v, "type": "delta", "base": v - 1,
+                   "add": add, "remove": sorted(remove)}
+        if schema_change is not _UNSET:
+            e["schema"] = schema_change
+        if sschema:
+            e["sschema"] = sschema
+        return e
+
+    def _write_entry(self, entry: dict, cleanup_rels: list[str] | None = None) -> None:
+        """Publish a log entry with atomic exclusive-create: write a temp
+        file, hard-link it to the final name (fails if the version was
+        already committed — the commit race detector), unlink the temp.
+        On object storage this maps to a conditional put. A lost race
+        unlinks this writer's already-pooled data files (uniquely named,
+        referenced by nothing) and raises ConcurrentWriteError."""
+        v = entry["v"]
+        os.makedirs(self._mdir, exist_ok=True)
+        tmp = os.path.join(self._mdir, f".tmp-{uuid.uuid4().hex[:12]}.json")
         with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, ptr)  # atomic on POSIX
-        # GC all but the previous version (kept for in-flight readers)
-        for name in os.listdir(self.root):
-            if name.startswith("v=") and int(name[2:]) < v - 1:
-                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+            json.dump(entry, f)
+        try:
+            os.link(tmp, self._manifest_path(v))
+        except FileExistsError:
+            os.remove(tmp)
+            for rel in cleanup_rels or ():
+                try:
+                    os.remove(os.path.join(self._data, rel))
+                except OSError:
+                    pass
+            raise ConcurrentWriteError(
+                f"table {self.root}: version {v} was committed by a "
+                f"concurrent writer; retry the merge"
+            ) from None
+        os.remove(tmp)
+        self._post_commit(v)
+
+    def _post_commit(self, v: int) -> None:
+        """O(touched) housekeeping after publishing version v: refresh
+        the informational pointer, free the data files that expired with
+        version v-2 (exactly entry(v-1)'s remove-list), and drop log
+        entries older than the retained window's checkpoint floor."""
+        ptr = os.path.join(self.root, _CURRENT)
+        try:
+            tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, ptr)
+        except OSError:
+            pass  # the hint is best-effort; the log already committed
+        floor = v
+        if v >= 1:
+            try:
+                prev = self._entry(v - 1)
+            except (OSError, json.JSONDecodeError):
+                prev = None
+            if prev is not None:
+                for rel in prev.get("remove", ()):
+                    try:
+                        os.remove(os.path.join(self._data, rel))
+                    except OSError:
+                        pass
+                floor = v - 1
+                e = prev
+                while e["type"] != "ckpt":
+                    floor = e["base"]
+                    try:
+                        e = self._entry(floor)
+                    except (OSError, json.JSONDecodeError):
+                        break
+        for name in os.listdir(self._mdir):
+            if name.startswith("v=") and name.endswith(".json"):
+                try:
+                    ver = int(name[2:-5])
+                except ValueError:
+                    continue
+                if ver < floor:
+                    try:
+                        os.remove(os.path.join(self._mdir, name))
+                    except OSError:
+                        pass
+
+    def patch_entry_stats(self, rels_stats: dict[str, dict]) -> None:
+        """Fold freshly computed per-file stats into the log entries that
+        own the given files (sources.manifest's refresh path). Entries
+        are rewritten in place via atomic replace — convergent (stats are
+        a pure function of the immutable file), so concurrent refreshes
+        and the exclusive-create commit protocol don't conflict."""
+        v = self.current_version()
+        if v < 0 or not rels_stats:
+            return
+        cur = v
+        pending = dict(rels_stats)
+        while pending:
+            try:
+                e = self._entry(cur)
+            except (OSError, json.JSONDecodeError):
+                return
+            bucket = e["files"] if e["type"] == "ckpt" else e["add"]
+            hit = False
+            for rel in list(pending):
+                if rel in bucket:
+                    bucket[rel] = {**bucket[rel], **pending.pop(rel)}
+                    hit = True
+            if hit:
+                tmp = os.path.join(
+                    self._mdir, f".tmp-{uuid.uuid4().hex[:12]}.json"
+                )
+                with open(tmp, "w") as f:
+                    json.dump(e, f)
+                os.replace(tmp, self._manifest_path(cur))
+            if e["type"] == "ckpt":
+                return
+            cur = e["base"]
 
     @property
     def exists(self) -> bool:
@@ -247,16 +448,17 @@ class ParquetTable:
 
     # -- IO ------------------------------------------------------------------
     def versions(self) -> list[int]:
-        """Version numbers still on disk, ascending. The commit GC keeps
-        the previous version alongside the current one (for in-flight
-        readers), so this is typically ``[v-1, v]`` — a bounded
-        time-travel window, the Delta ``VERSION AS OF`` shape without
-        unbounded log retention."""
-        return sorted(
-            int(name[2:])
-            for name in os.listdir(self.root)
-            if name.startswith("v=") and os.path.isdir(os.path.join(self.root, name))
-        )
+        """Readable version numbers, ascending. Data-file GC spares only
+        the previous version (for in-flight readers), so this is
+        ``[v-1, v]`` — a bounded time-travel window, the Delta
+        ``VERSION AS OF`` shape without unbounded log retention."""
+        v = self.current_version()
+        if v < 0:
+            return []
+        return [
+            x for x in (v - 1, v)
+            if x >= 0 and os.path.exists(self._manifest_path(x))
+        ]
 
     def _resolve_version(self, version: int | None) -> int:
         v = self.current_version()
@@ -277,52 +479,70 @@ class ParquetTable:
         the logical schema (no metadata-only DDL in its lineage)."""
         if self.current_version() < 0:
             return None
-        return se.load_schema(self._version_dir(self._resolve_version(version)))
+        return self.snapshot(version).schema_doc
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self._data, rel)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read of the current version, or time-travel to a
         retained earlier ``version`` (raises if already GC'd). Every
-        read pins one immutable version directory — readers never see a
-        torn write, and a concurrent commit doesn't change rows under a
+        read pins one immutable file set — readers never see a torn
+        write, and a concurrent commit doesn't change rows under a
         running query.
 
         When the version carries a schema document (metadata-only DDL,
         sources.schema_evolution) the read reconciles heterogeneous
         physical files against it — renamed/added/dropped columns
         resolve without any file having been rewritten."""
-        v = self._resolve_version(version)
-        vdir = self._version_dir(v)
-        spec = se.load_schema(vdir)
+        snap = self.snapshot(version)
+        paths = [self._abs(r) for r in sorted(snap.files)]
+        if not paths:
+            return self._empty_df(snap)
+        spec = snap.schema_doc
         if spec is None:
-            return self.spark.read.parquet(vdir)
-        return spec.reconciled_read(self.spark, vdir)
+            return self.spark.read.option("basePath", self._data).parquet(*paths)
+        return spec.reconciled_read(self.spark, paths, base_path=self._data)
+
+    def _empty_df(self, snap: Snapshot) -> DataFrame:
+        spec = snap.schema_doc
+        if spec is not None:
+            ddl = ", ".join(f"`{c.name}` {c.type}" for c in spec.columns)
+            return self.spark.createDataFrame([], ddl)
+        if snap.sschema:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(snap.sschema))
+            )
+        raise FileNotFoundError(
+            f"table {self.root}: version {snap.version} has no files and "
+            f"no recorded schema"
+        )
 
     def read_files(self, paths: list[str], version: int | None = None) -> DataFrame:
         """Read a subset of the given version's data files (merge-pruning
         path) with the SAME logical schema as ``read()`` — including
         partition-dir columns (basePath) and schema reconciliation."""
-        v = self._resolve_version(version)
-        vdir = self._version_dir(v)
-        spec = se.load_schema(vdir)
+        snap = self.snapshot(version)
+        spec = snap.schema_doc
         if spec is None:
-            return self.spark.read.option("basePath", vdir).parquet(*paths)
-        return spec.reconciled_read(self.spark, paths, base_path=vdir)
+            return self.spark.read.option("basePath", self._data).parquet(*paths)
+        return spec.reconciled_read(self.spark, paths, base_path=self._data)
 
-    def commit_schema(self, ts: "se.TableSchema") -> None:
-        """Metadata-only DDL commit: a new version whose data files are
-        hard links to every current file, plus the evolved schema
-        document. O(files) metadata, zero bytes of data rewritten —
-        the ClickHouse/Delta ALTER cost model (ref synch/convert.py:
-        123-130 translates ALTERs; ClickHouse applies them as metadata
-        mutations)."""
+    def commit_schema(self, ts: "se.TableSchema | None") -> None:
+        """Metadata-only DDL commit: a new log entry carrying the evolved
+        schema document and NO file changes — O(1) metadata, zero bytes
+        of data touched (the ClickHouse/Delta ALTER cost model; ref
+        synch/convert.py:123-130 translates ALTERs, ClickHouse applies
+        them as metadata mutations)."""
         v_old = self.current_version()
         if v_old < 0:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        staging = self._staging_dir()
-        _link_tree(self._version_dir(v_old), staging)
-        # the link tree carried the OLD schema doc; replace (or drop) it
-        se.save_schema(staging, ts)
-        self._commit(v_old + 1, staging)
+        snap = self.snapshot(v_old)
+        raw = None if ts is None or ts.is_trivial else ts.dumps()
+        entry = self._make_entry(v_old + 1, {}, [], snap, schema_change=raw)
+        self._write_entry(entry)
 
     def _stamp_gen(self, df: DataFrame, spec: "se.TableSchema | None") -> DataFrame:
         """Writes into a schema-carrying version stamp the hidden _sgen
@@ -350,45 +570,61 @@ class ParquetTable:
         other writer has committed since — without it the version is
         sampled here, so a competing commit between your read and this
         call would be silently overwritten (lost update). Use with
-        ``commit_with_retry``."""
+        ``commit_with_retry``. Always writes a checkpoint entry (the
+        file list is exactly the fresh write)."""
         base = self.current_version() if expected_base is None else expected_base
-        v = base + 1
+        try:
+            snap = self.snapshot(base) if base >= 0 else None
+        except FileNotFoundError as e:
+            # expected_base already fell out of the retention window:
+            # ≥2 commits landed since this writer's read
+            raise ConcurrentWriteError(
+                f"table {self.root}: base version {base} no longer retained; "
+                f"retry the merge"
+            ) from e
         if cluster_by:
             cols = ([partition_by] if partition_by else []) + list(cluster_by)
             df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        sschema = df.schema.json()
+        staging = self._staging_dir()
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
-        staging = self._staging_dir()
         writer.parquet(staging)
-        self._commit(v, staging)
+        rels = self._promote_files(staging)
+        entry = self._make_entry(
+            base + 1,
+            {r: {} for r in rels},
+            sorted(snap.files) if snap else [],
+            snap,
+            schema_change=None,  # a full rewrite materializes the logical schema
+            sschema=sschema,
+            force_ckpt=True,
+        )
+        self._write_entry(entry, cleanup_rels=rels)
 
     def partition_files(
         self, partition_by: str, values: list | None = None
     ) -> dict[str, list[str]]:
         """Data files of the current version for the given partition
         values (or every partition when ``values`` is None):
-        {partition_dirname: [absolute file paths]}."""
-        v = self.current_version()
-        if v < 0:
+        {partition_dirname: [absolute file paths]}. Pure log-entry
+        lookup — no directory walk."""
+        if self.current_version() < 0:
             return {}
-        vdir = self._version_dir(v)
+        snap = self.snapshot()
         wanted = (
             None if values is None else {None if x is None else str(x) for x in values}
         )
-        out: dict[str, list[str]] = {}
         prefix = f"{partition_by}="
-        for name in sorted(os.listdir(vdir)):
-            if not name.startswith(prefix):
+        out: dict[str, list[str]] = {}
+        for rel in sorted(snap.files):
+            dirname, _, base = rel.rpartition("/")
+            if not dirname.startswith(prefix):
                 continue
-            if wanted is not None and _partition_dir_value(name) not in wanted:
+            if wanted is not None and _partition_dir_value(dirname) not in wanted:
                 continue
-            d = os.path.join(vdir, name)
-            out[name] = [
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            ]
+            out.setdefault(dirname, []).append(self._abs(rel))
         return out
 
     def overwrite_cow(
@@ -402,108 +638,147 @@ class ParquetTable:
 
         ``df`` holds the complete new content of the *touched* partitions
         only (``touched_values`` — raw values, ``None`` for the Hive null
-        partition). It is written as version v+1; every current-version
-        partition directory whose value is NOT touched is hard-linked
-        into v+1 unchanged. A touched partition that ends up with zero
-        rows is naturally dropped (not written, not linked) — that is
-        how a partition emptied by deletes disappears.
+        partition). It is written as version v+1 via a DELTA log entry:
+        add = the freshly written files, remove = the touched partitions'
+        old files. Untouched partitions appear in NEITHER list — carrying
+        them costs zero file operations (the hard-link mirror this
+        replaces paid O(all files) per commit). A touched partition that
+        ends up with zero rows is naturally dropped.
 
         ``file_links`` ({partition_dirname: [old file paths]}) carries
         file-level data skipping one step further: inside a *touched*
-        partition, files whose pk min/max stats prove they hold no
-        touched key are hard-linked unchanged next to the freshly
-        written files (names are uuid-unique, no collisions). ``df``
-        must then contain only the rewritten remainder of the partition.
+        partition, files whose pk min/max/bloom stats prove they hold no
+        touched key are simply kept out of the remove-list (zero IO).
+        ``df`` must then contain only the rewritten remainder of the
+        partition.
 
         This is the Delta/Hudi CoW strategy the reference outsources to
         ClickHouse background merges: at 100 TB a micro-batch touching k
-        of N date partitions rewrites O(k files) of data, never O(N).
+        of N files pays O(k) data writes + O(k) log bytes, never O(N)
+        anything.
         """
         v_old = self.current_version()
         if v_old < 0:
             self.overwrite(df, partition_by)
             return
-        v_new = v_old + 1
-        new_dir = self._staging_dir()
-        # hard-linked files keep their (possibly pre-DDL) physical schema,
-        # so the schema document must ride into the new version too
-        spec = se.load_schema(self._version_dir(v_old))
-        df = self._stamp_gen(df, spec)
-        df.write.mode("overwrite").partitionBy(partition_by).parquet(new_dir)
-        se.save_schema(new_dir, spec)
+        snap = self.snapshot(v_old)
+        df = self._stamp_gen(df, snap.schema_doc)
+        staging = self._staging_dir()
+        df.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
+        rels = self._promote_files(staging)
+        keep = {
+            os.path.relpath(p, self._data).replace(os.sep, "/")
+            for files in (file_links or {}).values()
+            for p in files
+        }
         touched = {None if v is None else str(v) for v in touched_values}
         prefix = f"{partition_by}="
-        old_dir = self._version_dir(v_old)
-        for name in os.listdir(old_dir):
-            if not name.startswith(prefix):
-                continue
-            if _partition_dir_value(name) in touched:
-                continue
-            _link_tree(os.path.join(old_dir, name), os.path.join(new_dir, name))
-        for dirname, files in (file_links or {}).items():
-            dst = os.path.join(new_dir, dirname)
-            os.makedirs(dst, exist_ok=True)
-            for f in files:
-                try:
-                    os.link(f, os.path.join(dst, os.path.basename(f)))
-                except OSError:
-                    shutil.copy2(f, os.path.join(dst, os.path.basename(f)))
-        self._commit(v_new, staging=new_dir)
+        remove = []
+        for rel in snap.files:
+            dirname = rel.rpartition("/")[0]
+            if (
+                dirname.startswith(prefix)
+                and _partition_dir_value(dirname) in touched
+                and rel not in keep
+            ):
+                remove.append(rel)
+        entry = self._make_entry(
+            v_old + 1, {r: {} for r in rels}, remove, snap
+        )
+        self._write_entry(entry, cleanup_rels=rels)
 
     def append(self, df: DataFrame, partition_by: str | None = None) -> None:
-        """Pure-insert fast path: append files into the current version dir.
+        """Pure-insert fast path: pool the new files and publish a delta
+        entry that only ADDS them. Safe under concurrency by
+        construction — an add-only commit conflicts with nothing, so a
+        lost version race is retried against the new head without
+        restaging (the pooled files are reused). Used by the collapsing
+        engines' append-only write strategy
+        (/root/reference/synch/writer/collapsing_merge_tree.py:37-58 —
+        never deletes, only appends) and the monitor log."""
+        import random
+        import time
 
-        Parquet appends are additive files — safe for concurrent readers
-        of the same version. Used by the collapsing engines' append-only
-        write strategy (/root/reference/synch/writer/
-        collapsing_merge_tree.py:37-58 — never deletes, only appends).
-        """
         v = self.current_version()
         if v < 0:
             self.overwrite(df, partition_by)
             return
-        df = self._stamp_gen(df, se.load_schema(self._version_dir(v)))
-        writer = df.write.mode("append")
+        df = self._stamp_gen(df, self.snapshot(v).schema_doc)
+        staging = self._staging_dir()
+        writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
-        writer.parquet(self._version_dir(v))
+        writer.parquet(staging)
+        rels = self._promote_files(staging)
+        add = {r: {} for r in rels}
+        for attempt in range(8):
+            base = self.current_version()
+            snap = self.snapshot(base) if base >= 0 else None
+            entry = self._make_entry(base + 1, add, [], snap)
+            try:
+                self._write_entry(entry)  # no cleanup: rels are reusable
+                return
+            except ConcurrentWriteError:
+                time.sleep(0.02 * (2**attempt) * (0.5 + random.random()))
+        for r in rels:
+            try:
+                os.remove(self._abs(r))
+            except OSError:
+                pass
+        raise ConcurrentWriteError(
+            f"table {self.root}: append lost the commit race 8 times"
+        )
 
     def vacuum(self, staging_ttl_s: float = 3600.0) -> int:
-        """Remove crash debris: ``.staging-*`` dirs older than the TTL
-        (a writer that died mid-prepare leaves its staging dir behind —
-        invisible to readers via the dot prefix, but disk it holds is
-        never reclaimed otherwise) and any version dir older than the
-        retained previous one that a partial GC left behind. Returns the
-        number of directories removed.
+        """Remove crash debris: ``.staging-*`` dirs and ``_v/.tmp-*``
+        files older than the TTL (a writer that died mid-prepare leaves
+        them behind — invisible to readers, but disk is never reclaimed
+        otherwise), plus pool files REFERENCED BY NO retained version
+        and older than the TTL (a writer that died between pooling its
+        files and publishing its entry). Returns the number of paths
+        removed.
 
         NOT wired into automatic maintenance on purpose: liveness is
-        judged by the staging dir's mtime, and a prepare that outlasts
-        the TTL (a very large initial load) would be reclaimed from
-        under the live writer. Run it explicitly (cli `optimize
-        --vacuum`) in windows without long-running loads, or raise the
-        TTL above the longest expected prepare."""
+        judged by mtime, and a prepare that outlasts the TTL (a very
+        large initial load) would be reclaimed from under the live
+        writer. Run it explicitly (cli `optimize --vacuum`) in windows
+        without long-running loads, or raise the TTL above the longest
+        expected prepare."""
         import time
 
         removed = 0
         cutoff = time.time() - staging_ttl_s
-        current = self.current_version()
         for name in os.listdir(self.root):
             path = os.path.join(self.root, name)
             if name.startswith(".staging-") and os.path.isdir(path):
                 if os.path.getmtime(path) < cutoff:
                     shutil.rmtree(path, ignore_errors=True)
                     removed += 1
-            elif name.startswith("v=") and os.path.isdir(path):
-                if current >= 0 and int(name[2:]) < current - 1:
-                    shutil.rmtree(path, ignore_errors=True)
-                    removed += 1
+        if os.path.isdir(self._mdir):
+            for name in os.listdir(self._mdir):
+                if name.startswith(".tmp-"):
+                    path = os.path.join(self._mdir, name)
+                    if os.path.getmtime(path) < cutoff:
+                        os.remove(path)
+                        removed += 1
+        if self.current_version() >= 0 and os.path.isdir(self._data):
+            live: set[str] = set()
+            for v in self.versions():
+                live.update(self.snapshot(v).files)
+            for dirpath, _dirs, names in os.walk(self._data):
+                for n in names:
+                    path = os.path.join(dirpath, n)
+                    rel = os.path.relpath(path, self._data).replace(os.sep, "/")
+                    if rel not in live and os.path.getmtime(path) < cutoff:
+                        os.remove(path)
+                        removed += 1
         return removed
 
     def count(self) -> int:
         return self.read().count()
 
     def file_stats(self) -> dict:
-        """Current-version layout health from the filesystem only (no
+        """Current-version layout health from the log + file sizes (no
         data read): file count, total/min/max/median file bytes, and
         partition count. The compaction trigger signal — many small
         files mean task-scheduling and footer overhead dominate scans;
@@ -511,24 +786,23 @@ class ParquetTable:
         instead of compacting on a timer."""
         import statistics
 
-        v = self.current_version()
-        if v < 0:
+        if self.current_version() < 0:
             return {"files": 0, "partitions": 0, "total_bytes": 0}
-        vdir = self._version_dir(v)
-        sizes, partitions = [], 0
-        for dirpath, dirnames, filenames in os.walk(vdir):
-            if dirpath != vdir and any(f.endswith(".parquet") for f in filenames):
-                partitions += 1
-            sizes.extend(
-                os.path.getsize(os.path.join(dirpath, f))
-                for f in filenames
-                if f.endswith(".parquet")
-            )
+        snap = self.snapshot()
+        sizes, parts = [], set()
+        for rel in snap.files:
+            dirname = rel.rpartition("/")[0]
+            if dirname:
+                parts.add(dirname)
+            try:
+                sizes.append(os.path.getsize(self._abs(rel)))
+            except OSError:
+                continue
         if not sizes:
-            return {"files": 0, "partitions": partitions, "total_bytes": 0}
+            return {"files": 0, "partitions": len(parts), "total_bytes": 0}
         return {
             "files": len(sizes),
-            "partitions": partitions,
+            "partitions": len(parts),
             "total_bytes": sum(sizes),
             "min_bytes": min(sizes),
             "max_bytes": max(sizes),

@@ -48,6 +48,29 @@ MONITOR_SCHEMA = T.StructType(
 )
 
 
+def log_monitor_row(spark, warehouse: str, alias: str, schema: str,
+                    table: str, num: int, row_type: int) -> None:
+    """BEST-EFFORT monitor row into ``<warehouse>/_synch_log`` (the
+    reference's synch_log table, factory.py:129-151). Producer (type=1)
+    and consumer (type=2) run as SEPARATE Spark applications appending
+    concurrently; ParquetTable.append is commit-race-safe (add-only
+    delta entries retried against the new head), and any residual
+    failure is logged and swallowed — a monitoring row must never kill
+    a produce round or a micro-batch."""
+    import logging
+
+    try:
+        row = spark.createDataFrame(
+            [(alias, schema, table, num, row_type)], MONITOR_SCHEMA[:5]
+        ).withColumn("created_at", F.current_timestamp())
+        ParquetTable(spark, f"{warehouse}/_synch_log").append(row)
+    except Exception as e:  # noqa: BLE001 — monitoring is best-effort
+        logging.getLogger("synch_spark").warning(
+            "monitor row dropped for %s.%s (type=%s): %s",
+            schema, table, row_type, e,
+        )
+
+
 @dataclass
 class CdcPipeline:
     """One continuous consumer: event stream -> managed tables."""
@@ -261,11 +284,8 @@ class CdcPipeline:
             self.value_schemas[spec.qualified_name] = _evolve_schema(vschema, ops)
 
     def _log(self, spec: TableSpec, num: int) -> None:
-        row = self.spark.createDataFrame(
-            [(self.alias, spec.schema, spec.table, num, 2)],
-            MONITOR_SCHEMA[:5],
-        ).withColumn("created_at", F.current_timestamp())
-        ParquetTable(self.spark, f"{self.warehouse}/_synch_log").append(row)
+        log_monitor_row(self.spark, self.warehouse, self.alias,
+                        spec.schema, spec.table, num, 2)
 
     # -- stream wiring -------------------------------------------------------
     def start_file_stream(

@@ -20,20 +20,28 @@ def spark():
     return get_spark("test-bloom", cpus=8)
 
 
+def _rels(t, part=None):
+    """Pool-relative data files of the current version (optionally one
+    partition). Pool files are immutable and never move: path identity
+    IS file identity across versions."""
+    return sorted(
+        r for r in t.snapshot().files
+        if part is None or r.startswith(f"{part}/")
+    )
+
+
 def test_bloom_membership_no_false_negatives(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "t"))
     t.overwrite(spark.range(1000).select(F.col("id").alias("k"),
                                          (F.col("id") * 2).alias("v")))
     assert bloom.build_file_blooms(t, "k") >= 1
-    vdir = t._version_dir(t.current_version())
-    files = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
     hits = misses = 0
-    for name in files:
-        bl = bloom.load_bloom(t.root, name, "k")
+    for rel in _rels(t):
+        bl = bloom.load_bloom(t.root, rel, "k")
         assert bl is not None
         import pyarrow.parquet as pq
 
-        present = pq.read_table(os.path.join(vdir, name), columns=["k"])
+        present = pq.read_table(t._abs(rel), columns=["k"])
         present = present.column(0).to_pylist()
         # every present key must probe True (no false negatives)
         assert bloom.might_contain_any(bl, [present[0]])
@@ -52,8 +60,7 @@ def test_bloom_wrong_column_and_missing_sidecar(spark, tmp_path):
     t.overwrite(spark.range(10).select(F.col("id").alias("k")))
     assert bloom.load_bloom(t.root, "nonexistent.parquet", "k") is None
     bloom.build_file_blooms(t, "k")
-    vdir = t._version_dir(t.current_version())
-    name = [f for f in os.listdir(vdir) if f.endswith(".parquet")][0]
+    name = _rels(t)[0]
     assert bloom.load_bloom(t.root, name, "other_col") is None
 
 
@@ -69,8 +76,8 @@ def test_interleaved_files_pruned_by_bloom_not_minmax(spark, tmp_path):
     """Two files in one partition with fully OVERLAPPING key ranges
     (evens vs odds): min/max cannot prune either, but the bloom proves
     the odd file holds no touched (even) key — after the merge the odd
-    file must be HARD-LINKED (same inode), not rewritten, and the table
-    content must be exactly the merged state."""
+    file must be CARRIED in the manifest (same pool file), not
+    rewritten, and the table content must be exactly the merged state."""
     spec = TableSpec(schema="db", table="t", pk=("k",),
                      engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
     t = ParquetTable(spark, str(tmp_path / "t3"))
@@ -81,32 +88,19 @@ def test_interleaved_files_pruned_by_bloom_not_minmax(spark, tmp_path):
     t.overwrite(df_e, "p")
     t.append(df_o, "p")
     bloom.build_file_blooms(t, "k")
-    vdir = t._version_dir(t.current_version())
-    pdir = os.path.join(vdir, "p=a")
-    before = {
-        f: os.stat(os.path.join(pdir, f)).st_ino
-        for f in os.listdir(pdir) if f.endswith(".parquet")
-    }
+    before = _rels(t, "p=a")
     assert len(before) == 2
     # touch two EVEN keys only
     batch = _events(spark, [("insert", 0, "a", 100.0, 10),
                             ("delete", 2, "a", 2.0, 11)])
     apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
-    vdir2 = t._version_dir(t.current_version())
-    pdir2 = os.path.join(vdir2, "p=a")
-    after = {
-        f: os.stat(os.path.join(pdir2, f)).st_ino
-        for f in os.listdir(pdir2) if f.endswith(".parquet")
-    }
-    linked = set(before) & set(after)
-    assert linked, "odd-keys file should survive by hard link"
-    for f in linked:
-        assert before[f] == after[f], "linked file must be the same inode"
+    after = _rels(t, "p=a")
+    carried = set(before) & set(after)
+    assert carried, "odd-keys file should be carried, not rewritten"
     # and the merged content is right
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got[0] == 100.0 and 2 not in got and got[3] == 3.0
-    assert len(got) == 199  # 100 evens - 1 delete + 100 odds... minus?
-    # 100 evens (k=0..198) + 100 odds (k=1..199) = 200; delete k=2 -> 199
+    assert len(got) == 199  # 100 evens + 100 odds - 1 delete
 
 
 def test_merge_without_blooms_unchanged(spark, tmp_path):
@@ -132,12 +126,9 @@ def test_compact_table_builds_blooms(spark, tmp_path):
         "k long, v double, _version long, _event_unixtime long",
     ))
     compact_table(t, spec)
-    vdir = t._version_dir(t.current_version())
-    names = []
-    for dirpath, _d, files in os.walk(vdir):
-        names += [f for f in files if f.endswith(".parquet")]
-    assert names
-    assert all(bloom.load_bloom(t.root, n, "k") is not None for n in names)
+    rels = _rels(t)
+    assert rels
+    assert all(bloom.load_bloom(t.root, r, "k") is not None for r in rels)
 
 
 def test_point_lookup_prunes_and_matches(spark, tmp_path):
@@ -157,10 +148,7 @@ def test_point_lookup_prunes_and_matches(spark, tmp_path):
     )
     t.overwrite(df)
     bloom.build_file_blooms(t, "k")
-    vdir = t._version_dir(t.current_version())
-    n_files = sum(
-        1 for _, _, fs in os.walk(vdir) for f in fs if f.endswith(".parquet")
-    )
+    n_files = len(_rels(t))
     keys = [5, 7]
     files = prune_files(t, "k", keys)
     assert files is not None and 0 < len(files) < n_files
@@ -191,10 +179,10 @@ def test_point_lookup_falls_back_without_proof(spark, tmp_path):
 
 def test_bloom_type_gating(spark, tmp_path):
     """Blooms are type-enforced to int/str/bytes keys: unsafe key types
-    (timestamp/decimal/float) get NO sidecar at build time, and a probe
-    with an unsafe key makes no absence claim — the tz-aware-vs-naive
-    datetime divergence can therefore never turn into a silent false
-    negative (= lost update in the CoW merge)."""
+    (timestamp/decimal/float) get a SKIP TOMBSTONE (no bloom) at build
+    time, and a probe with an unsafe key makes no absence claim — the
+    tz-aware-vs-naive datetime divergence can therefore never turn into
+    a silent false negative (= lost update in the CoW merge)."""
     t = ParquetTable(spark, str(tmp_path / "tt"))
     t.overwrite(
         spark.range(20).select(
@@ -204,9 +192,8 @@ def test_bloom_type_gating(spark, tmp_path):
             F.col("id").cast("decimal(10,2)").alias("d"),
         )
     )
-    vdir = t._version_dir(t.current_version())
-    name = [f for f in os.listdir(vdir) if f.endswith(".parquet")][0]
-    # unsafe columns: no sidecar built
+    name = _rels(t)[0]
+    # unsafe columns: tombstone, no bloom
     for col in ("ts", "f", "d"):
         assert bloom.build_file_blooms(t, col) == 0
         assert bloom.load_bloom(t.root, name, col) is None
@@ -221,6 +208,25 @@ def test_bloom_type_gating(spark, tmp_path):
     assert not bloom.bloom_safe_key(True)  # bools stringify as True/False
 
 
+def test_unbuildable_files_not_relisted(spark, tmp_path):
+    """A non-bloom-safe pk (float) writes skip tombstones on the first
+    build, so per-batch maintenance stops re-opening every footer on
+    every micro-batch (the O(files) metadata storm the manifest log
+    exists to avoid)."""
+    t = ParquetTable(spark, str(tmp_path / "tu"))
+    t.overwrite(spark.range(30).select((F.col("id") / 2.0).alias("f"),
+                                       F.col("id").alias("v")))
+    assert bloom.build_file_blooms(t, "f") == 0  # tombstones written
+    calls = []
+    orig = bloom._build_one_bloom
+    try:
+        bloom._build_one_bloom = lambda *a: calls.append(a) or orig(*a)
+        assert bloom.build_file_blooms(t, "f") == 0
+        assert not calls, "tombstoned files must not be re-listed"
+    finally:
+        bloom._build_one_bloom = orig
+
+
 def test_bloom_skips_partition_column(spark, tmp_path):
     """A leading pk that is ALSO the partition column is absent from the
     data files; the builder must skip those files instead of crashing
@@ -230,7 +236,7 @@ def test_bloom_skips_partition_column(spark, tmp_path):
         spark.range(20).select(F.col("id").alias("p"), F.col("id").alias("v")),
         partition_by="p",
     )
-    assert bloom.build_file_blooms(t, "p") == 0  # no crash, no sidecars
+    assert bloom.build_file_blooms(t, "p") == 0  # no crash, no blooms
     spec = TableSpec(schema="db", table="t", pk=("p",),
                      engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
     compact_table(t, spec)  # full path incl. _refresh_blooms: must not raise
@@ -243,7 +249,7 @@ def test_bloom_sidecar_gc(spark, tmp_path):
     spec = TableSpec(schema="db", table="t", pk=("k",),
                      engine=Engine.REPLACING_MERGE_TREE)
     t = ParquetTable(spark, str(tmp_path / "tg"))
-    t.overwrite(spark.range(100).select(F.col("k").alias("k") if False else F.col("id").alias("k"),
+    t.overwrite(spark.range(100).select(F.col("id").alias("k"),
                                         (F.col("id") * 2).alias("v")))
     bloom.build_file_blooms(t, "k")
     bdir = os.path.join(t.root, "_bloom")
@@ -251,17 +257,22 @@ def test_bloom_sidecar_gc(spark, tmp_path):
     assert before
     compact_table(t, spec)  # rewrites files; gc + rebuild sidecars
     after = set(os.listdir(bdir))
-    vdir = t._version_dir(t.current_version())
-    live = {f for f in os.listdir(vdir) if f.endswith(".parquet")}
+    live = {r.replace("/", "%2F") for v in t.versions() for r in t.snapshot(v).files}
     assert {n[: -len(".bloom.json")] for n in after} == live
-    assert not (before & after), "old-generation sidecars must be gone"
+    # the pre-compaction generation is still retained as version v-1
+    # (readable by in-flight readers), so its sidecars must SURVIVE this
+    # gc; one more commit expires it, then they must be gone
+    assert before & after
+    compact_table(t, spec)
+    final = set(os.listdir(bdir))
+    assert not (before & final), "expired-generation sidecars must be gone"
 
 
 def test_bloom_keys_are_partition_scoped(spark, tmp_path):
     """One task writing a partitioned table emits the SAME part-file
     basename into every partition dir. Basename-keyed sidecars would let
     partition a's bloom prove false absence for partition b's file and
-    hard-link away a genuinely-changed file (lost update). With
+    carry away a genuinely-changed file (lost update). With
     partition-scoped keys, a delete of a key that lives only in p=b must
     actually remove the row."""
     spec = TableSpec(schema="db", table="t", pk=("k",),
@@ -273,9 +284,8 @@ def test_bloom_keys_are_partition_scoped(spark, tmp_path):
         "k long, p string, v double",
     ).repartition(1)  # one task -> identical basenames across partitions
     t.overwrite(df, "p")
-    vdir = t._version_dir(t.current_version())
-    names_a = {f for f in os.listdir(os.path.join(vdir, "p=a")) if f.endswith(".parquet")}
-    names_b = {f for f in os.listdir(os.path.join(vdir, "p=b")) if f.endswith(".parquet")}
+    names_a = {r.split("/")[-1] for r in _rels(t, "p=a")}
+    names_b = {r.split("/")[-1] for r in _rels(t, "p=b")}
     assert names_a == names_b, "precondition: basenames collide across partitions"
     assert bloom.build_file_blooms(t, "k") == 2, "one sidecar PER FILE, not per basename"
     # delete a key that exists ONLY in p=b
@@ -308,11 +318,7 @@ def test_distributed_bloom_build_matches_driver_build(spark, tmp_path):
     # same file layout (same repartition of same data) -> same bloom sizes
     assert _load_all(t1) == _load_all(t2)
     # probe parity on a sample of present/absent keys
-    v1 = t1._version_dir(t1.current_version())
-    v2 = t2._version_dir(t2.current_version())
-    f1 = sorted(f for f in os.listdir(v1) if f.endswith(".parquet"))
-    f2 = sorted(f for f in os.listdir(v2) if f.endswith(".parquet"))
-    for a, b in zip(f1, f2):
+    for a, b in zip(_rels(t1), _rels(t2)):
         bl1 = bloom.load_bloom(t1.root, a, "k")
         bl2 = bloom.load_bloom(t2.root, b, "k")
         for probe in (0, 999, 1999, 5000, 12345):
@@ -323,7 +329,7 @@ def test_distributed_bloom_build_matches_driver_build(spark, tmp_path):
 def test_string_pk_files_pruned_by_bloom_alone(spark, tmp_path):
     """String pks have no exact min/max stats (BYTE_ARRAY may truncate),
     so the bloom is the only pruning lever — a merge touching keys in
-    one file must hard-link the other file instead of rewriting both."""
+    one file must carry the other file instead of rewriting both."""
     spec = TableSpec(schema="db", table="t", pk=("k",),
                      engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
     t = ParquetTable(spark, str(tmp_path / "ts"))
@@ -332,10 +338,7 @@ def test_string_pk_files_pruned_by_bloom_alone(spark, tmp_path):
     t.overwrite(spark.createDataFrame(g1, "k string, p string, v double").coalesce(1), "p")
     t.append(spark.createDataFrame(g2, "k string, p string, v double").coalesce(1), "p")
     bloom.build_file_blooms(t, "k")
-    vdir = t._version_dir(t.current_version())
-    pdir = os.path.join(vdir, "p=a")
-    before = {f: os.stat(os.path.join(pdir, f)).st_ino
-              for f in os.listdir(pdir) if f.endswith(".parquet")}
+    before = _rels(t, "p=a")
     assert len(before) == 2
     batch = spark.createDataFrame(
         [("insert", "key_a0001", "a", 99.0, 10)],
@@ -343,11 +346,9 @@ def test_string_pk_files_pruned_by_bloom_alone(spark, tmp_path):
     ).withColumn("action_seq", F.lit(0)).withColumn("schema", F.lit("db")) \
      .withColumn("table", F.lit("t"))
     apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
-    pdir2 = os.path.join(t._version_dir(t.current_version()), "p=a")
-    after = {f: os.stat(os.path.join(pdir2, f)).st_ino
-             for f in os.listdir(pdir2) if f.endswith(".parquet")}
-    linked = {f for f in before if f in after and before[f] == after[f]}
-    assert linked, "the untouched key_b file must survive by hard link"
+    after = _rels(t, "p=a")
+    carried = set(before) & set(after)
+    assert carried, "the untouched key_b file must be carried"
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got["key_a0001"] == 99.0 and len(got) == 200
 
@@ -368,33 +369,21 @@ def test_consecutive_merges_bounded_rewrites(spark, tmp_path):
     t.overwrite(df, "p", cluster_by=("k",))
     bloom.build_file_blooms(t, "k")
 
-    def inodes():
-        vdir = t._version_dir(t.current_version())
-        out = {}
-        for dirpath, _d, files in os.walk(vdir):
-            for f in files:
-                if f.endswith(".parquet"):
-                    out[os.path.join(os.path.basename(dirpath), f)] = os.stat(
-                        os.path.join(dirpath, f)
-                    ).st_ino
-        return out
-
     for b in range(5):
-        before = inodes()
+        before = set(_rels(t))
         lo = b * 700
         batch = _events(spark, [("insert", lo, "a", -1.0, 100 + b),
                                 ("insert", lo + 1, "a", -2.0, 100 + b)])
         apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
         # per-batch maintenance (what CdcPipeline does for partitioned specs)
         bloom.build_file_blooms(t, "k")
-        after = inodes()
-        fresh = {f for f, ino in after.items()
-                 if f not in before or before[f] != ino}
+        after = set(_rels(t))
+        fresh = after - before
         # bound: the touched candidate file(s) get rewritten and the
         # merge writes its own new file(s) — but the untouched bulk of
-        # an ever-growing file set must hard-link through
+        # an ever-growing file set must carry through untouched
         assert len(fresh) <= 4, f"batch {b}: rewrote {len(fresh)} files: {sorted(fresh)}"
-        linked = sum(1 for f, ino in after.items() if before.get(f) == ino)
-        assert linked >= len(before) - 2, f"batch {b}: too few links"
+        carried = len(before & after)
+        assert carried >= len(before) - 2, f"batch {b}: too few carried files"
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert len(got) == 4000 and got[0] == -1.0 and got[2801] == -2.0

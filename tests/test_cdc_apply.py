@@ -126,17 +126,19 @@ def _part_spec():
     )
 
 
-def _inodes(version_dir, part):
-    d = f"{version_dir}/day={part}"
-    import os
-    return {n: os.stat(os.path.join(d, n)).st_ino
-            for n in os.listdir(d) if n.endswith(".parquet")}
+def _part_files(t, part):
+    """Pool-relative files of the current version inside one partition.
+    Pool files are immutable and never move, so path identity IS file
+    identity (stronger than the old hard-link inode check)."""
+    return sorted(r for r in t.snapshot().files
+                  if r.startswith(f"day={part}/"))
 
 
 def test_cow_merge_rewrites_only_touched_partitions(spark, tmp_path):
-    """Partitioned merge: untouched partitions carry over as hard links
-    (same inode), touched partitions get fresh files, emptied partitions
-    disappear, and a pk that moves partitions leaves no ghost behind."""
+    """Partitioned merge: untouched partitions carry over with ZERO file
+    operations (same pool files in the next version's manifest), touched
+    partitions get fresh files, emptied partitions disappear, and a pk
+    that moves partitions leaves no ghost behind."""
     t = ParquetTable(spark, str(tmp_path / "t"))
     s = _part_spec()
     apply_cdc_batch(t, _typed_part(spark, [
@@ -145,8 +147,8 @@ def test_cow_merge_rewrites_only_touched_partitions(spark, tmp_path):
         ("insert", None, {"id": 3, "amount": "3", "day": "c"}, 100),
         ("insert", None, {"id": 4, "amount": "4", "day": "d"}, 100),
     ]), s)
-    v0 = t._version_dir(t.current_version())
-    a_before, d_before = _inodes(v0, "a"), _inodes(v0, "d")
+    v0 = t.current_version()
+    a_before = _part_files(t, "a")
     # batch: update in b; pk 3 moves c -> a; pk 4's partition d emptied
     apply_cdc_batch(t, _typed_part(spark, [
         ("update", {"id": 2, "amount": "2", "day": "b"},
@@ -158,27 +160,24 @@ def test_cow_merge_rewrites_only_touched_partitions(spark, tmp_path):
     rows = {r["id"]: (r["amount"], r["day"])
             for r in read_current_state(t, s).collect()}
     assert rows == {1: ("1", "a"), 2: ("9", "b"), 3: ("3", "a")}
-    v1 = t._version_dir(t.current_version())
-    assert v1 != v0
+    assert t.current_version() == v0 + 1
     # a was touched (pk 3 moved in): fresh file(s) written; pk 1's file
-    # holds no batch key so file-level pruning links it through unchanged
-    a_after = set(_inodes(v1, "a").values())
-    assert a_after - set(a_before.values())  # new data file present
-    # d emptied by the delete -> gone
-    import os
-    assert not os.path.exists(f"{v1}/day=d")
-    # an untouched partition in a wider table is linked, not copied:
+    # holds no batch key so file-level pruning carries it through
+    a_after = _part_files(t, "a")
+    assert set(a_after) - set(a_before)  # new data file present
+    # d emptied by the delete -> gone from the manifest
+    assert not _part_files(t, "d")
+    # an untouched partition in a wider table carries over identically:
     apply_cdc_batch(t, _typed_part(spark, [
         ("insert", None, {"id": 5, "amount": "5", "day": "b"}, 300),
     ]), s)
-    v2 = t._version_dir(t.current_version())
-    assert _inodes(v2, "a") == _inodes(v1, "a")  # same names, same inodes
+    assert _part_files(t, "a") == a_after  # same pool files, no ops
 
 
 def test_cow_file_level_pruning(spark, tmp_path):
     """Within a touched partition, files whose pk footer range excludes
-    every batch key are hard-linked, not rewritten; state stays exact."""
-    import os
+    every batch key are carried in the manifest, not rewritten; state
+    stays exact."""
     t = ParquetTable(spark, str(tmp_path / "t"))
     s = _part_spec()
     init = spark.createDataFrame(
@@ -188,18 +187,16 @@ def test_cow_file_level_pruning(spark, tmp_path):
     t.overwrite(
         init.repartitionByRange(4, "id").sortWithinPartitions("id"), partition_by="day"
     )
-    v0 = t._version_dir(t.current_version())
-    before = _inodes(v0, "a")
+    before = _part_files(t, "a")
     assert len(before) == 4
     # touch a single pk: only the file covering id=5 may be rewritten
     apply_cdc_batch(t, _typed_part(spark, [
         ("update", {"id": 5, "amount": "5", "day": "a"},
          {"id": 5, "amount": "x", "day": "a"}, 100),
     ]), s)
-    v1 = t._version_dir(t.current_version())
-    after = _inodes(v1, "a")
-    shared = set(before.values()) & set(after.values())
-    assert len(shared) == 3  # three untouched files linked through
+    after = _part_files(t, "a")
+    shared = set(before) & set(after)
+    assert len(shared) == 3  # three untouched files carried through
     got = {r["id"]: r["amount"] for r in read_current_state(t, s).collect()}
     assert got == {i: ("x" if i == 5 else str(i)) for i in range(1, 101)}
 
@@ -239,13 +236,13 @@ def test_concurrent_commit_conflict(spark, tmp_path):
     a, b = ParquetTable(spark, root), ParquetTable(spark, root)
     df = spark.createDataFrame([(1, "x")], "id long, v string")
     a.overwrite(df)  # v0
-    # writer A prepares v1 from base 0...
-    staging = a._staging_dir()
-    spark.createDataFrame([(2, "a-losing")], "id long, v string").write.parquet(staging)
-    # ...but writer B commits v1 first
+    # writer A read base 0 and prepares v1... but writer B commits v1 first
     b.overwrite(spark.createDataFrame([(3, "b-wins")], "id long, v string"))
     with pytest.raises(ConcurrentWriteError):
-        a._commit(1, staging)
+        a.overwrite(
+            spark.createDataFrame([(2, "a-losing")], "id long, v string"),
+            expected_base=0,
+        )
     assert [r["v"] for r in a.read().collect()] == ["b-wins"]
 
 

@@ -90,7 +90,9 @@ def test_cli_produce_consume_check_loop(tmp_path, capsys, spark):
 
     # monitor log carries BOTH sides: producer rows (type=1, ref
     # reader/__init__.py:84) and consumer rows (type=2, continuous.py:154)
-    log = spark.read.parquet(str(tmp_path / "wh" / "_synch_log" / "v=0"))
+    from synch_spark.sources.table import ParquetTable
+
+    log = ParquetTable(spark, str(tmp_path / "wh" / "_synch_log")).read()
     types = {r["type"] for r in log.select("type").distinct().collect()}
     assert types == {1, 2}
     produced = sum(r["num"] for r in log.filter("type = 1").collect())

@@ -1,0 +1,179 @@
+"""Commit-cost guarantees of the manifest-log store (sources.table).
+
+The 100 TB requirement: a micro-batch merge touching k of N files must
+pay O(k) filesystem operations — pool-file renames for the new files
+plus one log-entry publish — never O(N) anything. The previous design
+hard-linked every untouched file into each new version dir (O(N) link()
+calls per commit, impossible on object storage); these tests pin the
+replacement's cost model by COUNTING the python-level file ops a commit
+performs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from synch_spark.config import Engine, TableSpec
+from synch_spark.operators.cdc_apply import apply_cdc_batch
+from synch_spark.sources.table import ParquetTable
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from synch_spark.session import get_spark
+
+    return get_spark("test-commit-cost", cpus=8)
+
+
+class _OpCounter:
+    """Counts os-level file ops issued from python during a block.
+    Spark's JVM writes the staged data files; everything the store
+    itself does (promote, publish, GC) goes through these."""
+
+    def __init__(self, monkeypatch, root):
+        self.root = root
+        self.counts = {"link": 0, "rename": 0, "remove": 0, "replace": 0}
+        for name in list(self.counts):
+            orig = getattr(os, name)
+
+            def wrapper(*a, _n=name, _o=orig, **kw):
+                if a and isinstance(a[0], str) and a[0].startswith(self.root):
+                    self.counts[_n] += 1
+                return _o(*a, **kw)
+
+            monkeypatch.setattr(os, name, wrapper)
+
+    def total(self):
+        return sum(self.counts.values())
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "action string, k long, p string, v double, event_unixtime long"
+    ).withColumn("action_seq", F.lit(0)).withColumn("schema", F.lit("db")) \
+     .withColumn("table", F.lit("t"))
+
+
+def test_cow_merge_is_o_touched_not_o_table(spark, tmp_path, monkeypatch):
+    """Merge touching ONE key of a 20-partition / ~40-file table: the
+    commit must perform a file-op count bounded by the touched set
+    (< 20), provably independent of the 40-file table size — and the
+    next version's manifest must name the untouched files without a
+    single filesystem operation on them."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    # key ranges disjoint across partitions (p = k // 100), so footer
+    # min/max stats alone prove the untouched 19 partitions hold no
+    # batch key — the manifest carries them with zero file ops
+    rows = [(k, f"p{k // 100}", float(k)) for k in range(2000)]
+    t.overwrite(
+        spark.createDataFrame(rows, "k long, p string, v double").repartition(2),
+        "p",
+    )
+    n_files = len(t.snapshot().files)
+    assert n_files >= 40  # 20 partitions x 2 tasks
+
+    before = set(t.snapshot().files)
+    ctr = _OpCounter(monkeypatch, str(tmp_path / "t"))
+    batch = _events(spark, [("insert", 707, "p7", -1.0, 10)])
+    apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
+    after = set(t.snapshot().files)
+
+    # correctness: state merged, untouched files carried by name
+    assert {r["v"] for r in t.read().filter("k = 707").collect()} == {-1.0}
+    assert len(before & after) >= n_files - 2  # only p=p7's files replaced
+
+    # cost: promote renames ≤ files written for ONE partition (+_CURRENT
+    # hint replace), one log-entry link, GC of expired files — all far
+    # below the table's file count, none proportional to it
+    assert ctr.counts["link"] == 1, f"log publish must be the only link: {ctr.counts}"
+    assert ctr.counts["rename"] <= 4, f"promote renames not O(touched): {ctr.counts}"
+    assert ctr.total() < 20, f"commit did {ctr.counts} ops on a {n_files}-file table"
+
+
+def test_metadata_ddl_commit_is_o1(spark, tmp_path, monkeypatch):
+    """commit_schema on a many-file table: zero data-file operations —
+    one log-entry publish (tmp write + link + unlink) and the pointer
+    hint. The old design hard-linked all N files."""
+    from synch_spark.ddl import parse_alter
+    from synch_spark.sources.schema_evolution import TableSchema, evolve_schema
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") % 20).cast("string").alias("p"),
+            F.lit(1.0).alias("v"),
+        ).repartition(2),
+        "p",
+    )
+    n_files = len(t.snapshot().files)
+    assert n_files >= 40
+    ts, reasons = evolve_schema(
+        TableSchema.from_struct(t.read().schema),
+        parse_alter("alter table db.t add column tag varchar(8)"),
+    )
+    assert reasons == []
+    ctr = _OpCounter(monkeypatch, str(tmp_path / "t"))
+    t.commit_schema(ts)
+    assert ctr.counts["link"] == 1 and ctr.counts["rename"] == 0
+    assert ctr.total() <= 4, f"metadata DDL not O(1): {ctr.counts}"
+    assert t.read().columns == ["k", "v", "p", "tag"]
+
+
+def test_version_gc_frees_only_expired_files(spark, tmp_path):
+    """Pool-file GC at commit N deletes exactly the files removed when
+    going N-2 -> N-1 (the expired version's private files); files shared
+    with retained versions survive."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame(
+        [(k, f"p{k % 4}", float(k)) for k in range(400)],
+        "k long, p string, v double").coalesce(1), "p")
+    v0_files = set(t.snapshot().files)
+    # v1: rewrite partition p1
+    apply_cdc_batch(t, _events(spark, [("insert", 1, "p1", -1.0, 10)]),
+                    spec, value_columns=["k", "p", "v"])
+    v1_files = set(t.snapshot().files)
+    replaced = v0_files - v1_files  # p1's old file(s)
+    assert replaced
+    for rel in replaced:  # still on disk: v0 is retained for readers
+        assert os.path.exists(t._abs(rel))
+    # v2 commit expires v0 -> exactly the replaced files are deleted
+    apply_cdc_batch(t, _events(spark, [("insert", 2, "p2", -2.0, 11)]),
+                    spec, value_columns=["k", "p", "v"])
+    for rel in replaced:
+        assert not os.path.exists(t._abs(rel)), f"{rel} should be GC'd"
+    for rel in v1_files & set(t.snapshot().files):  # carried files survive
+        assert os.path.exists(t._abs(rel))
+    assert t.read().count() == 400
+
+
+def test_no_hard_link_dependence(spark, tmp_path, monkeypatch):
+    """The whole write path works when os.link is unavailable for DATA
+    files (object-storage semantics) — only the log-entry publish uses
+    an exclusive create, which maps to a conditional put."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    real_link = os.link
+
+    def guarded(src, dst, **kw):
+        assert "/_v/" in dst.replace(os.sep, "/"), (
+            f"hard link outside the log publish: {src} -> {dst}"
+        )
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(os, "link", guarded)
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
+    t.overwrite(spark.createDataFrame(
+        [(k, f"p{k % 3}", float(k)) for k in range(300)],
+        "k long, p string, v double"), "p")
+    apply_cdc_batch(t, _events(spark, [("insert", 5, "p2", -5.0, 10)]),
+                    spec, value_columns=["k", "p", "v"])
+    t.append(spark.createDataFrame([(900, "p0", 9.0)], "k long, p string, v double"), "p")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[5] == -5.0 and got[900] == 9.0 and len(got) == 301

@@ -78,8 +78,8 @@ def test_partitioned_cdc_apply(spark, tmp_path):
         ("insert", None, {"id": 1, "amount": 1.0, "day": "d1"}, 100),
         ("insert", None, {"id": 2, "amount": 2.0, "day": "d2"}, 100),
     ]), spec)
-    vdir = os.path.join(str(tmp_path / "t"), f"v={t.current_version()}")
-    assert sorted(d for d in os.listdir(vdir) if d.startswith("day=")) == ["day=d1", "day=d2"]
+    dirs = sorted({r.rpartition("/")[0] for r in t.snapshot().files})
+    assert dirs == ["day=d1", "day=d2"]
     apply_cdc_batch(t, _typed(spark, [
         ("update", {"id": 1, "amount": 1.0, "day": "d1"}, {"id": 1, "amount": 9.0, "day": "d1"}, 200),
     ]), spec)

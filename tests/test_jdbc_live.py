@@ -80,3 +80,36 @@ def test_jdbc_query_option_feeds_pk_extraction(spark, tmp_path):
         .load()
     )
     assert pk_from_catalog(cat) == ("PK", "GRP")
+
+
+def test_jdbc_sink_ddl_rename_live_on_derby(spark, tmp_path):
+    """DDL channel against a REAL database: ADD + RENAME through the
+    'derby' dialect (Derby's own `RENAME COLUMN t.c TO new` statement
+    form — the generic `ALTER TABLE .. RENAME COLUMN` fails there), a
+    replay of the same ops converging idempotently, and a rename against
+    a MISSING table failing loudly instead of being swallowed as a
+    replay."""
+    from synch_spark.ddl import parse_alter
+    from synch_spark.sinks.jdbc_sink import JdbcSink
+
+    url = _url(tmp_path)
+    try:
+        _seed(spark, url)
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"embedded Derby unavailable: {str(e).splitlines()[0]}")
+    sink = JdbcSink(spark, url, "APP.ORDERS", dialect="derby")
+    ops = parse_alter(
+        "alter table app.orders add column TAG varchar(16), "
+        "change column GRP BUCKET bigint"
+    )
+    sink.apply_ddl(ops)
+    cols = set(snapshot_jdbc(spark, url, "APP.ORDERS").columns)
+    assert "BUCKET" in cols and "GRP" not in cols and "TAG" in cols
+    # crash-replay: the same DDL re-applies as a warning, not an error
+    sink.apply_ddl(ops)
+    assert set(snapshot_jdbc(spark, url, "APP.ORDERS").columns) == cols
+    # a missing target table must raise, never downgrade to a replay
+    bad = JdbcSink(spark, url, "APP.NO_SUCH_TABLE", dialect="derby")
+    with pytest.raises(Exception):
+        bad.apply_ddl(parse_alter(
+            "alter table app.no_such_table change column A B bigint"))

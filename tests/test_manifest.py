@@ -1,11 +1,8 @@
-"""Per-version stats manifest (sources.manifest): one JSON read per
-merge instead of an O(files) footer storm; entries carried across
-versions for immutable files."""
+"""Per-file stats in the manifest log (sources.manifest): one snapshot
+replay per merge instead of an O(files) footer storm; entries ride with
+their immutable pool file across versions for free."""
 
 from __future__ import annotations
-
-import json
-import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -32,7 +29,7 @@ def test_refresh_reads_only_new_files(spark, tmp_path):
     n1 = refresh_manifest(t, "k")
     assert n1 >= 4  # every file footer-read once
     assert refresh_manifest(t, "k") == 0  # idempotent: nothing new
-    man = load_manifest(t._version_dir(t.current_version()), "k")
+    man = load_manifest(t, "k")
     assert man is not None and len(man) == n1
     for rng in man.values():
         assert rng is not None and rng[0] <= rng[1]
@@ -51,13 +48,13 @@ def test_manifest_carries_across_cow_versions(spark, tmp_path):
         [(k, "a" if k % 2 else "b", float(k)) for k in range(200)],
         "k long, p string, v double").repartition(4), "p")
     refresh_manifest(t, "k")
-    before = load_manifest(t._version_dir(t.current_version()), "k")
+    before = load_manifest(t, "k")
     batch = _events(spark, [("insert", 3, "a", 99.0, 10)])
     apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
     fresh = refresh_manifest(t, "k")
-    after = load_manifest(t._version_dir(t.current_version()), "k")
+    after = load_manifest(t, "k")
     carried = set(before) & set(after)
-    assert carried, "hard-linked files must carry their manifest entries"
+    assert carried, "carried pool files must keep their stats entries"
     for rel in carried:
         assert before[rel] == after[rel]
     # only the merge's new files needed footer reads
@@ -65,13 +62,12 @@ def test_manifest_carries_across_cow_versions(spark, tmp_path):
 
 
 def test_classify_uses_manifest_same_result(spark, tmp_path):
-    """Merge outcomes (content + hard-link set) are identical with and
-    without a manifest; with a WRONG/corrupt manifest the loader returns
-    None and footers take over."""
+    """Merge outcomes (content + carried-file set) are identical with
+    and without refreshed stats; missing stats fall back to footers."""
     spec = TableSpec(schema="db", table="t", pk=("k",),
                      engine=Engine.REPLACING_MERGE_TREE, partition_by="p")
 
-    def run(root, with_manifest, corrupt=False):
+    def run(root, with_manifest):
         t = ParquetTable(spark, str(root))
         evens = [(k, "a", float(k)) for k in range(0, 100, 2)]
         odds = [(k, "a", float(k)) for k in range(1, 100, 2)]
@@ -79,35 +75,26 @@ def test_classify_uses_manifest_same_result(spark, tmp_path):
         t.append(spark.createDataFrame(odds, "k long, p string, v double").coalesce(1), "p")
         if with_manifest:
             refresh_manifest(t, "k")
-            if corrupt:
-                mp = os.path.join(t._version_dir(t.current_version()),
-                                  "_manifest.json")
-                with open(mp, "w") as f:
-                    f.write("{not json")
         batch = _events(spark, [("delete", 2, "a", 2.0, 11)])
         apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
-        vdir = t._version_dir(t.current_version())
-        pdir = os.path.join(vdir, "p=a")
-        inodes = sorted(os.stat(os.path.join(pdir, f)).st_ino
-                        for f in os.listdir(pdir) if f.endswith(".parquet"))
+        files = sorted(r for r in t.snapshot().files if r.startswith("p=a/"))
         rows = {r["k"]: r["v"] for r in t.read().collect()}
-        return rows, len(inodes)
+        return rows, len(files)
 
     r1, n1 = run(tmp_path / "plain", with_manifest=False)
     r2, n2 = run(tmp_path / "man", with_manifest=True)
-    r3, n3 = run(tmp_path / "bad", with_manifest=True, corrupt=True)
-    assert r1 == r2 == r3
+    assert r1 == r2
     assert 2 not in r1 and len(r1) == 99  # 50 evens + 50 odds - 1 delete
-    assert n1 == n2 == n3
+    assert n1 == n2
 
 
 def test_manifest_wrong_column_ignored(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "t"))
     t.overwrite(spark.range(10).select(F.col("id").alias("k")))
     refresh_manifest(t, "k")
-    vdir = t._version_dir(t.current_version())
-    assert load_manifest(vdir, "k") is not None
-    assert load_manifest(vdir, "other") is None
+    assert load_manifest(t, "k")
+    # a column never refreshed has no entries: callers footer-fallback
+    assert not load_manifest(t, "other")
 
 
 def test_string_pk_manifest_records_null_ranges(spark, tmp_path):
@@ -117,13 +104,30 @@ def test_string_pk_manifest_records_null_ranges(spark, tmp_path):
     t.overwrite(spark.range(10).select(
         F.concat(F.lit("k"), F.col("id")).alias("k")))
     refresh_manifest(t, "k")
-    man = load_manifest(t._version_dir(t.current_version()), "k")
+    man = load_manifest(t, "k")
     assert man and all(v is None for v in man.values())
 
 
+def test_stats_survive_checkpoint_rollover(spark, tmp_path):
+    """Stats patched into a delta entry are carried into the next
+    checkpoint entry (snapshot replay folds them forward) and survive
+    log GC of the delta that first recorded them."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    refresh_manifest(t, "k")
+    first = load_manifest(t, "k")
+    assert first
+    from synch_spark.sources.table import CKPT_EVERY
+
+    for i in range(CKPT_EVERY + 2):  # force a checkpoint commit + GC
+        t.append(spark.createDataFrame([(100 + i, 2.0)], "k long, v double"))
+    man = load_manifest(t, "k")
+    for rel, rng in first.items():
+        assert man.get(rel) == rng
+
+
 def test_point_lookup_uses_manifest(spark, tmp_path):
-    """prune_files consumes the manifest too: delete the version's data
-    footers' readability by... simplest proof: a manifest-backed lookup
+    """prune_files consumes the manifest too: a manifest-backed lookup
     returns the same rows as the footer-backed one."""
     t = ParquetTable(spark, str(tmp_path / "t"))
     t.overwrite(spark.range(1000).select(F.col("id").alias("k"),

@@ -26,15 +26,12 @@ from synch_spark.sources.schema_evolution import (
 from synch_spark.sources.table import ParquetTable
 
 
-def _inodes(vdir):
-    out = {}
-    for dirpath, _dirs, files in os.walk(vdir):
-        for f in files:
-            if f.endswith(".parquet"):
-                out[os.path.relpath(os.path.join(dirpath, f), vdir)] = os.stat(
-                    os.path.join(dirpath, f)
-                ).st_ino
-    return out
+def _inodes(t):
+    """{pool-relative path: inode} of the current version's data files.
+    Pool files are immutable and never move — a metadata-only commit
+    must leave BOTH the path set and the inodes identical (zero file
+    operations, not even links)."""
+    return {rel: os.stat(t._abs(rel)).st_ino for rel in t.snapshot().files}
 
 
 def _mk_table(spark, path, partitioned=False):
@@ -105,7 +102,7 @@ def test_is_widening_table():
 # ------------------------------------------------- table-level metadata commit
 def test_add_rename_drop_leave_inodes_untouched(spark, tmp_path):
     t = _mk_table(spark, tmp_path / "t", partitioned=True)
-    before = _inodes(t._version_dir(t.current_version()))
+    before = _inodes(t)
     assert len(before) >= 6  # 3 repartitions x 2 partitions
 
     ts = TableSchema.from_struct(t.read().schema)
@@ -118,7 +115,7 @@ def test_add_rename_drop_leave_inodes_untouched(spark, tmp_path):
     assert reasons == []
     t.commit_schema(evolved)
 
-    after = _inodes(t._version_dir(t.current_version()))
+    after = _inodes(t)
     assert before == after, "metadata-only DDL must hard-link every data file"
 
     df = t.read()
@@ -132,14 +129,14 @@ def test_widening_modify_is_metadata_only(spark, tmp_path):
     df = spark.createDataFrame([(1, 2), (3, 4)], "id int, v int")
     t = ParquetTable(spark, str(tmp_path / "t"))
     t.overwrite(df)
-    before = _inodes(t._version_dir(t.current_version()))
+    before = _inodes(t)
     ts, reasons = evolve_schema(
         TableSchema.from_struct(t.read().schema),
         parse_alter("alter table db.t modify column v bigint"),
     )
     assert reasons == []
     t.commit_schema(ts)
-    assert _inodes(t._version_dir(t.current_version())) == before
+    assert _inodes(t) == before
     assert dict(t.read().dtypes)["v"] == "bigint"
     assert {r["v"] for r in t.read().collect()} == {2, 4}
 

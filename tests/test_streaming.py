@@ -186,9 +186,10 @@ def test_pipeline_maintains_blooms_for_partitioned_tables(spark, tmp_path):
     table = pipe.table_for(cfg.tables["db.pt"])
     bdir = os.path.join(table.root, "_bloom")
     assert os.path.isdir(bdir) and os.listdir(bdir), "merge files must be bloomed"
-    vdir = table._version_dir(table.current_version())
-    nfiles = sum(1 for _, _, fs in os.walk(vdir) for f in fs if f.endswith(".parquet"))
-    assert len([f for f in os.listdir(bdir) if f.endswith(".bloom.json")]) == nfiles
+    have = {f[: -len(".bloom.json")] for f in os.listdir(bdir)
+            if f.endswith(".bloom.json")}
+    need = {r.replace("/", "%2F") for r in table.snapshot().files}
+    assert need <= have, "every current data file must carry a bloom"
     assert table.read().count() == 50
 
 
