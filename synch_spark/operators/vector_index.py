@@ -39,6 +39,7 @@ def ivf_refine(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     iters: int = 2,
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
     """Lloyd-style (spherical k-means) centroid refinement: assign every
     vector to its nearest centroid, replace each centroid with the
@@ -47,10 +48,20 @@ def ivf_refine(
     recall at a fixed nprobe. Each iteration is one corpus scan + one
     (cid, position) aggregation — fully distributed, no driver math.
     A centroid that loses all members drops out (fewer, denser buckets).
+
+    ``sample_fraction`` < 1 refines on a uniform sample of the corpus —
+    centroid positions are means, so a sample estimates them with
+    error O(1/sqrt(sample size)) while cutting each iteration's scan
+    and the posexplode (rows x dims) shuffle by the same fraction; at
+    100 TB refine NEVER needs the full corpus (a million vectors pin a
+    64-dim mean to three decimal places).
     """
+    sample = corpus
+    if sample_fraction < 1.0:
+        sample = corpus.sample(fraction=sample_fraction, seed=7)
     for _ in range(iters):
         assigned = ivf_assign(
-            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            sample.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
             centroids,
             "v",
             "id",
@@ -88,13 +99,17 @@ class VectorIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         refine_iters: int = 0,
+        refine_sample: float = 1.0,
     ) -> None:
         """(Re)build: sample centroids (optionally k-means-refined with
-        ``refine_iters`` Lloyd iterations), assign every vector to its
-        nearest, persist partitioned by centroid id."""
+        ``refine_iters`` Lloyd iterations over a ``refine_sample``
+        fraction of the corpus), assign every vector to its nearest,
+        persist partitioned by centroid id."""
         cents = ivf_centroids(corpus, self.num_centroids, vec_col, id_col)
         if refine_iters > 0:
-            cents = ivf_refine(corpus, cents, vec_col, id_col, iters=refine_iters)
+            cents = ivf_refine(corpus, cents, vec_col, id_col,
+                               iters=refine_iters,
+                               sample_fraction=refine_sample)
         self.centroids.overwrite(cents)
         self._append_assigned(corpus, vec_col, id_col, overwrite=True)
 
