@@ -10,6 +10,40 @@ from pyspark.sql import Window as W, functions as F
 
 from synch_spark.plans.relational import DEC, _t
 
+# -- streaming session: right-sized state-store parallelism ---------------
+_STREAM_SESSIONS: dict = {}
+
+
+def _stream_session(spark, partitions: int = 8):
+    """Dedicated SparkSession (shared SparkContext, own SQLConf) for the
+    Structured Streaming queries, with the state-store partition count
+    sized to the STATEFUL WORKLOAD instead of inheriting the batch
+    shuffle width. Each stateful operator materializes one state-store
+    instance (+ delta/commit files per micro-batch) PER shuffle
+    partition: at local bench scale (a few thousand keys) 32 partitions
+    mean the per-partition fixed cost dominates the actual work ~4x.
+    A 100 TB deployment RAISES this with the throughput
+    (SPARK_SYNCH_STREAM_PARTITIONS env or spark.synch.stream.partitions
+    conf) — the point is that streaming state parallelism is its own
+    knob, not a hand-me-down from batch joins."""
+    import os
+
+    from synch_spark.session import ensure_session_confs
+
+    key = id(spark)
+    sub = _STREAM_SESSIONS.get(key)
+    if sub is None:
+        sub = spark.newSession()
+        ensure_session_confs(sub)
+        n = (
+            spark.conf.get("spark.synch.stream.partitions", None)
+            or os.environ.get("SPARK_SYNCH_STREAM_PARTITIONS")
+            or str(partitions)
+        )
+        sub.conf.set("spark.sql.shuffle.partitions", n)
+        _STREAM_SESSIONS[key] = sub
+    return sub
+
 
 # --- as-of join ----------------------------------------------------------
 # Spark has no native ASOF JOIN (DuckDB does — the oracle uses it). The
@@ -200,9 +234,7 @@ def q31_streaming_tumbling(spark, sf_dir):
     from pyspark.sql import types as T
 
     path = os.path.join(sf_dir, "events.parquet")
-    from synch_spark.session import ensure_session_confs
-
-    ensure_session_confs(spark)  # vanilla driver session: UTC + nanos confs
+    spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
     schema = spark.read.parquet(path).schema
     # the fixture is a single file; the file stream source wants a
     # directory listing, so stream the sf dir with a glob filter
@@ -329,9 +361,7 @@ def q35_streaming_first_per_key(spark, sf_dir):
     from synch_spark.streaming.stateful import streaming_first_per_key
 
     path = os.path.join(sf_dir, "events.parquet")
-    from synch_spark.session import ensure_session_confs
-
-    ensure_session_confs(spark)  # vanilla driver session: UTC + nanos confs
+    spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
     schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
@@ -425,9 +455,7 @@ def q58_streaming_sessions(spark, sf_dir):
     from synch_spark.streaming.stateful import streaming_sessionize
 
     path = os.path.join(sf_dir, "events.parquet")
-    from synch_spark.session import ensure_session_confs
-
-    ensure_session_confs(spark)  # vanilla driver session: UTC + nanos confs
+    spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
     schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
@@ -502,9 +530,7 @@ def q102_streaming_dedup(spark, sf_dir):
     from pyspark.sql import types as T
 
     path = os.path.join(sf_dir, "events.parquet")
-    from synch_spark.session import ensure_session_confs
-
-    ensure_session_confs(spark)
+    spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
     schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
@@ -677,9 +703,7 @@ def q71_stream_stream_join(spark, sf_dir):
     import uuid
 
     path = os.path.join(sf_dir, "events.parquet")
-    from synch_spark.session import ensure_session_confs
-
-    ensure_session_confs(spark)  # vanilla driver session: UTC + nanos confs
+    spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
     schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
@@ -846,9 +870,7 @@ def q84_stream_enrich(spark, sf_dir):
     seg = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
-    from synch_spark.session import ensure_session_confs
-
-    ensure_session_confs(spark)  # vanilla driver session: UTC + nanos confs
+    spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
     path_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(path_schema)
