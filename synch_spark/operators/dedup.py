@@ -190,19 +190,38 @@ def lsh_candidate_pairs(
     the shuffle is on (band, bucket), never all-pairs.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(shingles(df, text_col, id_col, shingle_n), num_hashes)
-    buckets = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "h"))), lambda x: x["h"]
-                ),
-            ).alias("bucket")
-        )
+    sh = shingles(df, text_col, id_col, shingle_n)
+    # WIDE signature aggregation: all num_hashes mins in ONE groupBy(id)
+    # — the md5s are computed inline per shingle row (no 8x seed
+    # explode), partial min combines map-side, and the (id, seed) and
+    # (id, band) shuffles of the narrow form collapse into a single id
+    # shuffle. Same md5-min family, bit-identical buckets (the narrow
+    # per-(id, seed) form lives on in minhash_signatures for the
+    # persisted dedup index / oracle parity).
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))
+            ).alias(f"_h{s}")
+            for s in range(num_hashes)
+        ]
     )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"_h{b * rows_per_band + r}")
+                      for r in range(rows_per_band)],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "id", F.explode(band_structs).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # pair generation as ONE pass: group bucket members, emit combinations
     # in-expression (no self-join -> the whole shingle/minhash pipeline
     # executes once, and the shuffle key is (band, bucket))
