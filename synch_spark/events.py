@@ -153,3 +153,66 @@ def parse_values(events: DataFrame, value_schema: T.StructType) -> DataFrame:
     return events.withColumn("_row", F.from_json("values", value_schema)).select(
         "schema", "table", "action", "event_unixtime", "action_seq", "_row.*"
     )
+
+
+def debezium_to_raw(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode Debezium change-event JSON (the canonical zero-code
+    binlog/WAL tail for S3/S5) into RAW_EVENT_SCHEMA rows.
+
+    The reference attaches to the MySQL binlog / a PG replication slot
+    in-process (/root/reference/synch/reader/mysql.py:128-153,
+    postgres.py:147-164). The idiomatic Spark split puts Debezium (a
+    Kafka Connect connector) on the tail side and this engine on the
+    consume side; this decoder accepts the standard Debezium envelope:
+
+        {"payload": {"op": "c|r|u|d", "before": {...}, "after": {...},
+                     "source": {"db": ..., "table": ...,
+                                "ts_ms": ..., ["ts_us": ...]},
+                     "ts_ms": ...}}
+
+    with or without the ``payload`` wrapper (i.e. either value of the
+    connector's ``value.converter.schemas.enable``). Mapping:
+
+    - op c (create) / r (snapshot read) -> insert; u -> update (later
+      split by split_updates T1); d -> delete. Tombstones / heartbeats
+      (null payload or op) are dropped.
+    - before/after ride as the raw nested JSON object TEXT
+      (get_json_object, no schema inference) — exactly the ``values``
+      contract parse_values expects downstream.
+    - event_unixtime (microseconds) = source.ts_us when present
+      (Debezium >= 2.5), else source.ts_ms * 1000, else envelope
+      ts_ms * 1000.
+
+    Pure Column expressions — codegen, streamable; use directly on
+    ``spark.readStream.format("kafka")``'s value column. See README
+    "Debezium deployment" for the connector config whose topics match
+    start_kafka_stream's naming.
+    """
+    v = F.col(value_col).cast("string")
+
+    def j(path):  # payload-wrapped or bare envelope
+        return F.coalesce(
+            F.get_json_object(v, f"$.payload.{path}"),
+            F.get_json_object(v, f"$.{path}"),
+        )
+
+    op = j("op")
+    us = F.coalesce(
+        j("source.ts_us").cast("long"),
+        j("source.ts_ms").cast("long") * 1000,
+        j("ts_ms").cast("long") * 1000,
+    )
+    return (
+        df.select(
+            j("source.db").alias("schema"),
+            j("source.table").alias("table"),
+            F.when(op.isin("c", "r"), F.lit("insert"))
+            .when(op == "u", F.lit("update"))
+            .when(op == "d", F.lit("delete"))
+            .alias("action"),
+            j("before").alias("before"),
+            j("after").alias("after"),
+            us.alias("event_unixtime"),
+        )
+        .filter(F.col("action").isNotNull() & F.col("event_unixtime").isNotNull())
+    )

@@ -317,6 +317,7 @@ class CdcPipeline:
         topic: str,
         max_offsets_per_trigger: int | None = None,
         processing_interval: str | None = None,
+        value_format: str = "raw",
     ):
         """Kafka consumer (B3/B4 parity): value is the JSON raw event.
 
@@ -326,6 +327,14 @@ class CdcPipeline:
         as source options. Requires the kafka connector jar on the
         classpath (not present in the test container; covered by the file
         stream path which shares all downstream code).
+
+        ``value_format="debezium"`` consumes a Debezium connector's
+        topics instead of this engine's own producer — the canonical
+        zero-code binlog/WAL tail (S3/S5); ``topic`` is then the
+        connector's ``<prefix>.<db>.<table>`` pattern (subscribe
+        supports comma-lists; use subscribePattern via the same option
+        for a whole prefix). Decode parity is pinned by
+        tests/test_events_filters.py::test_debezium_decode_parity.
         """
         try:
             loaded = (
@@ -348,9 +357,14 @@ class CdcPipeline:
                     "2.13:<spark-version> or use the file-spool stream"
                 ) from e
             raise
-        raw = loaded.select(
-            F.from_json(F.col("value").cast("string"), RAW_EVENT_SCHEMA).alias("e")
-        ).select("e.*")
+        if value_format == "debezium":
+            from synch_spark.events import debezium_to_raw
+
+            raw = debezium_to_raw(loaded, "value")
+        else:
+            raw = loaded.select(
+                F.from_json(F.col("value").cast("string"), RAW_EVENT_SCHEMA).alias("e")
+            ).select("e.*")
         writer = raw.writeStream.foreachBatch(self.apply_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )

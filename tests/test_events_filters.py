@@ -126,3 +126,65 @@ def test_dead_letter_capture(spark, tmp_path):
     assert ParquetTable(spark, f"{pipe.warehouse}/db/t").read().count() == 1
     dead = ParquetTable(spark, f"{pipe.warehouse}/_synch_dead_letter").read()
     assert dead.count() == 1
+
+
+def test_debezium_decode_parity(spark):
+    """A realistic Debezium envelope stream decodes into EXACTLY the
+    rows the native raw-event path produces for the same changes —
+    through the full T1 split + typed parse. Covers both
+    schemas.enable settings, ts_us vs ts_ms precedence, snapshot 'r'
+    ops, and tombstone/heartbeat dropping."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from synch_spark.events import (
+        RAW_EVENT_SCHEMA,
+        debezium_to_raw,
+        parse_values,
+        split_updates,
+    )
+
+    def envelope(op, before, after, ts_ms, wrapped=True, ts_us=None):
+        src = {"db": "db", "table": "t", "ts_ms": ts_ms}
+        if ts_us is not None:
+            src["ts_us"] = ts_us
+        payload = {"op": op, "before": before, "after": after,
+                   "source": src, "ts_ms": ts_ms + 5}  # envelope ts differs
+        return _json.dumps({"payload": payload} if wrapped else payload)
+
+    values = [
+        envelope("c", None, {"id": 1, "v": "a"}, 1000),
+        envelope("r", None, {"id": 2, "v": "b"}, 2000, wrapped=False),
+        envelope("u", {"id": 1, "v": "a"}, {"id": 1, "v": "z"}, 3000,
+                 ts_us=3000123),
+        envelope("d", {"id": 2, "v": "b"}, None, 4000),
+        '{"payload": null}',          # tombstone
+        '{"op": null, "ts_ms": 1}',   # heartbeat-ish
+    ]
+    dbz = debezium_to_raw(
+        spark.createDataFrame([(v,) for v in values], "value string")
+    )
+    # the same changes through the engine's native raw-event form
+    native_rows = [
+        ("db", "t", "insert", None, '{"id": 1, "v": "a"}', 1000000),
+        ("db", "t", "insert", None, '{"id": 2, "v": "b"}', 2000000),
+        ("db", "t", "update", '{"id": 1, "v": "a"}', '{"id": 1, "v": "z"}',
+         3000123),
+        ("db", "t", "delete", '{"id": 2, "v": "b"}', None, 4000000),
+    ]
+    native = spark.createDataFrame(native_rows, RAW_EVENT_SCHEMA)
+
+    vschema = T.StructType([T.StructField("id", T.LongType()),
+                            T.StructField("v", T.StringType())])
+
+    def final(raw):
+        return sorted(
+            map(tuple, parse_values(split_updates(raw), vschema).collect())
+        )
+
+    got, want = final(dbz), final(native)
+    assert got == want
+    assert len(got) == 5  # c + r + (u -> delete+insert) + d
+    # microsecond precision: ts_us wins over ts_ms*1000
+    assert {r[3] for r in got} == {1000000, 2000000, 3000123, 4000000}
