@@ -50,13 +50,67 @@ def attach_fake_media(df: DataFrame, payload_col: str = "text") -> DataFrame:
     return df.withColumn("media", payload).withColumn("media_meta", meta)
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode kernel — unavailable in this container (no PIL/ffmpeg).
+try:  # optional dependency: the real image codec
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # codecs absent (this container): fake path only
+    _PILImage = None
 
-    STUB: raises. extract_features below uses the deterministic fake
-    path; swap this in when codecs exist.
-    """
-    raise NotImplementedError("image codecs not available in this environment")
+
+def has_image_codec() -> bool:
+    return _PILImage is not None
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decode kernel: Pillow when installed, else raises.
+
+    The Arrow pipeline around it (schema, batching, partition sizing)
+    is identical either way — q105 oracle-gates the kernel boundary, so
+    swapping the fake for this is a drop-in. Returns (width, height,
+    mode, pixel ndarray)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image codecs not available in this environment (pip install "
+            "Pillow to enable; the deterministic fake path stays oracle-"
+            "gated either way)"
+        )
+    import io
+
+    import numpy as np
+
+    img = _PILImage.open(io.BytesIO(payload))
+    return img.width, img.height, img.mode, np.asarray(img)
+
+
+def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-codec feature extraction (width/height/channels/mean pixel)
+    through the same mapInPandas shape as extract_features. Requires
+    Pillow; gate call sites with has_image_codec()."""
+    if _PILImage is None:
+        raise NotImplementedError("Pillow not installed")
+    cols = df.select(F.col(id_col).alias("id"), "media")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ws, hs, chs, means = [], [], [], []
+            for payload in pdf["media"]:
+                w, h, _mode, arr = decode_image(bytes(payload))
+                ws.append(w)
+                hs.append(h)
+                chs.append(1 if arr.ndim == 2 else arr.shape[2])
+                means.append(float(np.asarray(arr, dtype=np.float64).mean()))
+            yield pd.DataFrame(
+                {"id": pdf["id"],
+                 "width": pd.array(ws, dtype="int32"),
+                 "height": pd.array(hs, dtype="int32"),
+                 "channels": pd.array(chs, dtype="int32"),
+                 "mean_pixel": pd.array(means, dtype="float64")}
+            )
+
+    return cols.mapInPandas(
+        kernel, "id long, width int, height int, channels int, mean_pixel double"
+    )
 
 
 FEATURE_SCHEMA = "id long, n_bytes long, checksum long, aspect double"

@@ -1,0 +1,129 @@
+"""Redis Streams broker adapter (B1/B2 variant) — the reference's
+out-of-box default broker, re-expressed against this engine's event
+frames.
+
+Contract parity with /root/reference/synch/broker/redis.py:15-62:
+
+- stream key  ``{prefix}:{alias}:{schema}`` (one stream per source
+  schema), XADD with a single ``msg`` field holding the event JSON,
+  capped with MAXLEN (approximate trim);
+- consume = XREAD from the last committed id; the committed offset
+  lives in hash ``{prefix}:{alias}:last_msg_id`` field ``schema``
+  (commit = HSET) — at-least-once delivery, replays converge through
+  the idempotent merge exactly like the Kafka/file paths;
+- payload JSON is RAW_EVENT_SCHEMA-shaped (same columns the Kafka
+  payload and file spool carry), so everything downstream of decode is
+  shared.
+
+Scale note: Redis Streams is a single-node fan-in — the reference used
+it as the zero-dependency default, and this adapter keeps that role
+(dev/small deployments, driver-side produce like the reference's own
+single-threaded loop). The 100 TB path is Kafka (distributed
+``format("kafka")`` produce/consume); both sides share the payload
+contract, so switching brokers is a config change.
+
+The ``redis`` package is import-guarded: any object exposing
+xadd/xread/hget/hset works (tests inject an in-memory fake; production
+passes ``redis.Redis.from_url(...)``).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from synch_spark.broker import EVENT_COLUMNS
+
+
+def redis_client(url: str):
+    """Real client factory, import-guarded with an actionable error."""
+    try:
+        import redis  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "the redis broker needs the redis package (pip install redis); "
+            "use the kafka or file-spool broker otherwise"
+        ) from e
+    return redis.Redis.from_url(url)
+
+
+class RedisStreamBroker:
+    def __init__(self, client, prefix: str = "synch", alias: str = "default",
+                 queue_max_len: int = 200_000):
+        self.client = client
+        self.prefix = prefix
+        self.alias = alias
+        self.queue_max_len = queue_max_len
+
+    # -- keys (reference redis.py:16,52) ----------------------------------
+    def _queue(self, schema: str) -> str:
+        return f"{self.prefix}:{self.alias}:{schema}"
+
+    def _offset_key(self) -> str:
+        return f"{self.prefix}:{self.alias}:last_msg_id"
+
+    # -- produce (B1) ------------------------------------------------------
+    def send(self, schema: str, msg: dict) -> None:
+        self.client.xadd(
+            self._queue(schema), {"msg": json.dumps(msg)},
+            maxlen=self.queue_max_len,
+        )
+
+    def produce(self, events: DataFrame) -> int:
+        """XADD every event of a frame, keyed by its own schema column.
+        Driver-side iteration on purpose — matching the reference's
+        single-threaded produce loop; Redis Streams has no partitioned
+        produce to distribute over (see module docstring)."""
+        n = 0
+        for row in events.select(*EVENT_COLUMNS).toLocalIterator():
+            d = row.asDict()
+            self.send(d["schema"], d)
+            n += 1
+        return n
+
+    # -- consume (B2) ------------------------------------------------------
+    def last_committed(self, schema: str) -> str:
+        raw = self.client.hget(self._offset_key(), schema)
+        if raw is None:
+            return "0"
+        return raw.decode() if isinstance(raw, (bytes, bytearray)) else str(raw)
+
+    def read(self, schema: str, count: int | None = None,
+             block_ms: int | None = None) -> list[tuple[str, dict]]:
+        """[(msg_id, event dict)] after the last committed offset.
+        Does NOT advance the committed offset — call commit(schema,
+        last_id) once the batch is durably applied (the checkpoint-
+        then-advance order every other source here uses)."""
+        res = self.client.xread(
+            {self._queue(schema): self.last_committed(schema)},
+            count=count, block=block_ms,
+        )
+        out: list[tuple[str, dict]] = []
+        if not res:
+            return out
+        for _key, entries in res:
+            for msg_id, fields in entries:
+                mid = (msg_id.decode()
+                       if isinstance(msg_id, (bytes, bytearray)) else str(msg_id))
+                payload = fields.get(b"msg", fields.get("msg"))
+                if isinstance(payload, (bytes, bytearray)):
+                    payload = payload.decode()
+                out.append((mid, json.loads(payload)))
+        return out
+
+    def commit(self, schema: str, msg_id: str) -> None:
+        self.client.hset(self._offset_key(), schema, msg_id)
+
+    def read_raw_frame(self, spark: SparkSession, schema: str,
+                       count: int | None = None):
+        """One consume step as a RAW_EVENT_SCHEMA DataFrame plus the
+        high-water msg id to commit after apply — plugs straight into
+        the shared decode/split/merge pipeline."""
+        from synch_spark.events import RAW_EVENT_SCHEMA
+
+        msgs = self.read(schema, count=count)
+        if not msgs:
+            return spark.createDataFrame([], RAW_EVENT_SCHEMA), None
+        rows = [tuple(m.get(c) for c in EVENT_COLUMNS) for _id, m in msgs]
+        return spark.createDataFrame(rows, RAW_EVENT_SCHEMA), msgs[-1][0]

@@ -352,3 +352,32 @@ def test_char_histogram_multibyte(spark):
     want = collections.Counter(ord(c) % 16 for c in "中文AB")
     assert got == dict(want)
     assert sum(got.values()) == 4  # 4 code points, not 8 utf-8 bytes
+
+
+def test_real_image_codec_optional(spark):
+    """decode_image uses Pillow when installed; in codec-less containers
+    it raises NotImplementedError and the deterministic fake path stays
+    the (oracle-gated, q105) pipeline. This test exercises whichever
+    branch the environment provides — the real-codec features run
+    end-to-end through the same mapInPandas shape when PIL exists."""
+    import pytest as _pytest
+
+    from synch_spark.operators import multimodal
+
+    if not multimodal.has_image_codec():
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG\r\n")
+        _pytest.skip("Pillow not installed; fake path covered by q25/q105")
+    # Pillow present: build a tiny real PNG and run the real kernel
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((4, 6, 3), 128, dtype=np.uint8)).save(buf, "PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "doc_id long, media binary")
+    row = multimodal.decode_image_features(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (6, 4, 3)
+    assert abs(row["mean_pixel"] - 128.0) < 1e-9

@@ -1,0 +1,145 @@
+"""Redis Streams broker adapter: contract tests against an in-memory
+fake client (no server in this container) pinning the reference's
+XADD/XREAD/offset-hash semantics (synch/broker/redis.py:15-62)."""
+
+from __future__ import annotations
+
+import pytest
+
+from synch_spark.redis_broker import RedisStreamBroker
+
+
+class FakeRedis:
+    """Minimal XADD/XREAD/HSET/HGET with real-redis-shaped replies:
+    bytes keys/values, '<ms>-<seq>' ids, approximate MAXLEN trim."""
+
+    def __init__(self):
+        self.streams: dict[str, list[tuple[str, dict]]] = {}
+        self.hashes: dict[str, dict[str, str]] = {}
+        self._seq = 0
+
+    def xadd(self, key, fields, maxlen=None):
+        self._seq += 1
+        msg_id = f"{1000 + self._seq}-0"
+        entries = self.streams.setdefault(key, [])
+        entries.append((msg_id, {b"msg": str(fields["msg"]).encode()}))
+        if maxlen is not None and len(entries) > maxlen:
+            del entries[: len(entries) - maxlen]
+        return msg_id.encode()
+
+    @staticmethod
+    def _after(entry_id, last):
+        def parse(s):
+            ms, _, seq = s.partition("-")
+            return (int(ms), int(seq or 0))
+
+        return parse(entry_id) > parse(last if "-" in last else f"{last}-0")
+
+    def xread(self, streams, count=None, block=None):
+        out = []
+        for key, last in streams.items():
+            hits = [e for e in self.streams.get(key, ())
+                    if self._after(e[0], str(last))]
+            if count is not None:
+                hits = hits[:count]
+            if hits:
+                out.append((key.encode(), [(i.encode(), f) for i, f in hits]))
+        return out
+
+    def hset(self, key, field, value):
+        self.hashes.setdefault(key, {})[field] = str(value)
+
+    def hget(self, key, field):
+        v = self.hashes.get(key, {}).get(field)
+        return None if v is None else v.encode()
+
+
+def _broker():
+    return RedisStreamBroker(FakeRedis(), prefix="synch", alias="a1")
+
+
+def test_stream_and_offset_key_shapes():
+    b = _broker()
+    assert b._queue("db") == "synch:a1:db"
+    assert b._offset_key() == "synch:a1:last_msg_id"
+
+
+def test_send_read_commit_resume_cycle():
+    b = _broker()
+    events = [
+        {"schema": "db", "table": "t", "action": "insert", "before": None,
+         "after": '{"id": %d}' % i, "event_unixtime": 1000 + i}
+        for i in range(5)
+    ]
+    for e in events:
+        b.send("db", e)
+    got = b.read("db")
+    assert [m["after"] for _id, m in got] == [e["after"] for e in events]
+    # uncommitted: a re-read REPLAYS everything (at-least-once)
+    assert len(b.read("db")) == 5
+    # commit high-water, then only later messages arrive
+    b.commit("db", got[2][0])
+    tail = b.read("db")
+    assert [m["event_unixtime"] for _id, m in tail] == [1003, 1004]
+    b.commit("db", got[-1][0])
+    assert b.read("db") == []
+    # a new broker instance (fresh process) resumes from the hash
+    b2 = RedisStreamBroker(b.client, prefix="synch", alias="a1")
+    assert b2.read("db") == []
+    b.send("db", events[0])
+    assert len(b2.read("db")) == 1
+
+
+def test_streams_are_per_schema():
+    b = _broker()
+    b.send("db1", {"schema": "db1", "table": "t", "action": "insert",
+                   "before": None, "after": "{}", "event_unixtime": 1})
+    b.send("db2", {"schema": "db2", "table": "t", "action": "delete",
+                   "before": "{}", "after": None, "event_unixtime": 2})
+    assert len(b.read("db1")) == 1 and len(b.read("db2")) == 1
+    assert b.read("db1")[0][1]["action"] == "insert"
+    assert b.read("db2")[0][1]["action"] == "delete"
+
+
+def test_maxlen_caps_queue():
+    b = RedisStreamBroker(FakeRedis(), queue_max_len=3)
+    for i in range(10):
+        b.send("db", {"schema": "db", "table": "t", "action": "insert",
+                      "before": None, "after": str(i), "event_unixtime": i})
+    got = b.read("db")
+    assert [m["after"] for _id, m in got] == ["7", "8", "9"]
+
+
+def test_produce_and_raw_frame_roundtrip(spark):
+    from synch_spark.events import RAW_EVENT_SCHEMA, parse_values, split_updates
+    from pyspark.sql import types as T
+
+    b = _broker()
+    raw = spark.createDataFrame(
+        [("db", "t", "update", '{"id": 1, "v": "a"}', '{"id": 1, "v": "b"}', 5),
+         ("db", "t", "insert", None, '{"id": 2, "v": "c"}', 6)],
+        RAW_EVENT_SCHEMA,
+    )
+    assert b.produce(raw) == 2
+    frame, high = b.read_raw_frame(spark, "db")
+    assert high is not None and frame.schema == RAW_EVENT_SCHEMA
+    vschema = T.StructType([T.StructField("id", T.LongType()),
+                            T.StructField("v", T.StringType())])
+    rows = sorted(map(tuple, parse_values(split_updates(frame), vschema).collect()))
+    native = sorted(map(tuple, parse_values(split_updates(raw), vschema).collect()))
+    assert rows == native  # broker hop is transparent to the pipeline
+    b.commit("db", high)
+    empty, none_id = b.read_raw_frame(spark, "db")
+    assert empty.count() == 0 and none_id is None
+
+
+def test_real_client_import_guard():
+    from synch_spark.redis_broker import redis_client
+
+    try:
+        import redis  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="redis"):
+            redis_client("redis://localhost:6379/0")
+    else:
+        pytest.skip("redis package present; guard path not reachable")
