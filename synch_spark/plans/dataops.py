@@ -523,17 +523,33 @@ def q103_unigram_surprisal(spark, sf_dir):
     per-token -log2 p terms fold into DECIMAL(25,12) so the sum is
     order-free and the DuckDB oracle matches bit-for-bit."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("w"))
-    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # (doc, token) counts FIRST: partial aggregation collapses repeated
+    # tokens map-side, so the expensive string-keyed traffic is distinct
+    # doc-token pairs, never the raw token stream. The LM (token ->
+    # count) folds from the same aggregate — one exchange, reused by
+    # Catalyst for both branches — and joins back as a BROADCAST (the
+    # vocabulary is corpus-sublinear; at trillion-token scale shard it
+    # by frequency: broadcast the head, shuffle-join the long tail).
+    dtf = (
+        docs.select("doc_id", F.explode(text.tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = dtf.groupBy("w").agg(F.sum("c").alias("cnt"))
     total = tf.agg(F.sum("cnt").alias("total"))
     bits = -F.log2(F.col("cnt").cast("double") / F.col("total"))
+    # decimal fold: c * CAST(bits, DEC) is exact, so summing per-pair
+    # equals the oracle's per-token sum bit-for-bit, order-free. c rides
+    # as DECIMAL(10,0): (25,12) x (10,0) -> (36,12) stays under Spark's
+    # 38-digit cap — a bigint multiplicand would push precision past 38
+    # and silently SHRINK the scale (observed 1.7e-7 drift vs the oracle)
     return (
-        toks.join(tf, "w")
-        .join(total)
+        dtf.join(F.broadcast(tf.join(total)), "w")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
-            F.sum(bits.cast("decimal(25,12)")).alias("_s"),
+            F.sum("c").cast("bigint").alias("n_toks"),
+            F.sum(bits.cast("decimal(25,12)")
+                  * F.col("c").cast("decimal(10,0)")).alias("_s"),
         )
         .select(
             "doc_id",
