@@ -357,3 +357,48 @@ def test_jdbc_sink_matches_sequential_replay(spark, tmp_path_factory, events,
         .option("dbtable", "APP.P").load().collect()
     }
     assert got == _sequential_replay(events)
+
+
+def test_delete_statements_param_budget_composite_pk():
+    """``chunk`` is a PARAMETER budget: a composite pk of c columns gets
+    chunk//c keys per statement, so bind-parameter counts stay bounded
+    on targets that cap them (SQL Server ~2100) regardless of pk arity."""
+    keys = [(i, f"s{i}", i * 2) for i in range(10)]
+    stmts = delete_statements("db.t", ("a", "b", "c"), keys, chunk=9)
+    # 9 // 3 = 3 keys (9 params) per statement
+    assert len(stmts) == 4
+    for sql, params in stmts[:-1]:
+        assert len(params) == 9 and sql.count("?") == 9
+    assert len(stmts[-1][1]) == 3
+    # flat param order matches the OR-of-conjunctions column order
+    assert stmts[0][1] == [0, "s0", 0, 1, "s1", 2, 2, "s2", 4]
+    # degenerate budget still makes progress (1 key per statement)
+    tiny = delete_statements("db.t", ("a", "b", "c"), keys[:2], chunk=1)
+    assert len(tiny) == 2 and all(len(p) == 3 for _s, p in tiny)
+
+
+def test_default_literal_backslash_and_quote_escaping():
+    """Backslashes are ESCAPED per dialect, never stripped: an ANSI
+    target stores them verbatim, a backslash-escaping dialect (MySQL /
+    ClickHouse) gets them doubled — either way the stored value equals
+    the source default, so backfilled rows cannot diverge."""
+    from synch_spark.sinks.jdbc_sink import _default_literal
+
+    assert _default_literal(r"C:\tmp\x", "ansi") == r"'C:\tmp\x'"
+    assert _default_literal(r"C:\tmp\x", "mysql") == r"'C:\\tmp\\x'"
+    assert _default_literal(r"a\'b", "clickhouse") == r"'a\\''b'"
+    assert _default_literal("it's", "ansi") == "'it''s'"
+    assert _default_literal("plain", "mysql") == "'plain'"
+
+
+def test_derby_rename_dialect_statement_form():
+    from synch_spark.ddl import parse_alter
+    from synch_spark.sinks.jdbc_sink import alter_statements
+
+    ops = parse_alter("alter table db.t change column a b bigint")
+    assert alter_statements("APP.T", ops, "derby") == [
+        "RENAME COLUMN APP.T.a TO b"
+    ]
+    assert alter_statements("APP.T", ops, "ansi") == [
+        "ALTER TABLE APP.T RENAME COLUMN a TO b"
+    ]
