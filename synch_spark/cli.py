@@ -145,6 +145,8 @@ def cmd_produce(args) -> int:
                             kconf["bootstrap_servers"],
                             kconf.get("queue_prefix", "synch"),
                         )
+                    elif args.sink == "redis":
+                        _redis_broker_from_cfg(spark, raw).produce(events)
                     elif args.driver_spool:
                         out = os.path.join(events_dir, basename + ".json")
                         with open(out, "w") as f:
@@ -171,6 +173,55 @@ def cmd_produce(args) -> int:
         if i + 1 < rounds:
             _time.sleep(interval)
     return 0
+
+
+def _redis_broker_from_cfg(spark, raw):
+    """Shared produce/consume construction of the Redis Streams broker
+    (the reference's default broker) from the ``spark.redis`` config
+    block: {url, queue_prefix?, alias?, queue_max_len?}."""
+    rconf = raw["spark"].get("redis")
+    if not rconf or "url" not in rconf:
+        raise SystemExit(
+            "the redis broker needs a spark.redis config block with url "
+            "(redis://host:port/db)"
+        )
+    from synch_spark.redis_broker import RedisStreamBroker, redis_client
+
+    return RedisStreamBroker(
+        redis_client(rconf["url"]),
+        prefix=rconf.get("queue_prefix", "synch"),
+        alias=rconf.get("alias", "default"),
+        queue_max_len=int(rconf.get("queue_max_len", 200_000)),
+    )
+
+
+def _consume_redis(spark, raw, cfg, pipe, args) -> int:
+    """Micro-batch polling consumer over Redis Streams: per source
+    schema, XREAD up to insert_num events past the committed offset,
+    apply through the SAME batch applier the file/Kafka streams use,
+    then commit the high-water id (apply-then-commit = at-least-once;
+    replays converge through the idempotent merge). ``--available-now``
+    drains and exits — the reference's broker consume loop
+    (replication/continuous.py) with Spark doing the data movement."""
+    import time as _time
+
+    broker = _redis_broker_from_cfg(spark, raw)
+    schemas = sorted({t.schema for t in cfg.tables.values()})
+    epoch = 0
+    while True:
+        moved = 0
+        for sch in schemas:
+            frame, high = broker.read_raw_frame(spark, sch, count=cfg.insert_num)
+            if high is None:
+                continue
+            pipe.apply_batch(frame, epoch)
+            broker.commit(sch, high)
+            epoch += 1
+            moved += 1
+        if moved == 0:
+            if args.available_now:
+                return 0
+            _time.sleep(cfg.insert_interval_s)
 
 
 def cmd_consume(args) -> int:
@@ -226,6 +277,8 @@ def cmd_consume(args) -> int:
         alias=args.alias or "default",
         jdbc_sinks=jdbc_sinks,
     )
+    if raw["spark"].get("redis"):
+        return _consume_redis(spark, raw, cfg, pipe, args)
     if raw["spark"].get("kafka"):
         q = pipe.start_kafka_stream(
             raw["spark"]["kafka"]["bootstrap_servers"], raw["spark"]["kafka"]["topic"]
@@ -502,7 +555,7 @@ def main(argv=None) -> int:
     pr.add_argument("--once", action="store_true")
     pr.add_argument("--rounds", type=int, default=1_000_000)
     pr.add_argument(
-        "--sink", choices=["spool", "kafka"], default="spool",
+        "--sink", choices=["spool", "kafka", "redis"], default="spool",
         help="spool: distributed JSON into events_dir; kafka: topic-per-schema",
     )
     pr.add_argument(

@@ -290,3 +290,69 @@ def test_cli_join_mv_create_and_read(tmp_path, capsys, spark):
     assert main(["--config", str(cfg_path), "mv", "read", "--name", "bal_by_nation"]) == 0
     rows2 = json.loads(capsys.readouterr().out)["mv"]["rows"]
     assert rows2 == rows
+
+
+def test_cli_redis_broker_produce_consume(tmp_path, capsys, spark, monkeypatch):
+    """The reference's DEFAULT broker end-to-end through the CLI:
+    produce --sink redis (XADD per-schema stream) -> consume over
+    spark.redis (XREAD -> shared batch applier -> offset commit) ->
+    parity check; a second produce/consume round applies only the diff
+    and an immediate re-consume is a no-op (offsets committed)."""
+    from pyspark.sql import functions as F
+
+    from tests.test_redis_broker import FakeRedis
+
+    fake = FakeRedis()
+    monkeypatch.setattr("synch_spark.redis_broker.redis_client",
+                        lambda url: fake)
+    from synch_spark.session import read_table
+
+    src_path = str(tmp_path / "src.parquet")
+    read_table(spark, "/root/testdata/sf0.001", "region").write.parquet(src_path)
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "region", "pk": ["r_regionkey"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "source_format": "parquet",
+            "sources": {"db.region": src_path},
+            "redis": {"url": "redis://fake:6379/0", "queue_prefix": "synch",
+                      "alias": "a1"},
+            "value_schemas": {
+                "db.region": spark.read.parquet(src_path).schema.jsonValue()
+            },
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once", "--sink", "redis"]) == 0
+    assert fake.streams.get("synch:a1:db"), "events must land in the stream"
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    assert main(["--config", str(p), "check", "--checksum"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is True and out["check"]["db.region"]["target"] == 5
+
+    # diff round: rename + delete flow through the same broker
+    cur = spark.read.parquet(src_path)
+    mutated = cur.filter(F.col("r_regionkey") != 4).withColumn(
+        "r_name",
+        F.when(F.col("r_regionkey") == 0, F.lit("R0")).otherwise(F.col("r_name")),
+    )
+    mutated.write.mode("overwrite").parquet(src_path + ".v2")
+    cfg["spark"]["sources"]["db.region"] = src_path + ".v2"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once", "--sink", "redis"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    from synch_spark.sources.table import ParquetTable
+
+    got = {r["r_regionkey"]: r["r_name"]
+           for r in ParquetTable(spark, str(tmp_path / "wh" / "db" / "region"))
+           .read().collect()}
+    assert got[0] == "R0" and 4 not in got and len(got) == 4
+    # offsets committed: an immediate re-consume moves nothing
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    assert {r["r_regionkey"] for r in ParquetTable(
+        spark, str(tmp_path / "wh" / "db" / "region")).read().collect()} == {0, 1, 2, 3}
