@@ -1805,8 +1805,94 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# --- versioned-store needle lookup, oracle-gated end-to-end ---------------
+def q108_point_lookup_pruned(spark, sf_dir):
+    """The 100 TB needle path on the GRADED surface: build a scratch
+    pk-clustered versioned table from orders, refresh the manifest-log
+    stats and bloom sidecars, then answer a handful-of-keys lookup
+    through `bloom.point_lookup` — snapshot replay, per-file ranges from
+    the log entries, bloom refinement, pruned `read_files`. The oracle
+    is the plain SQL filter, so the WHOLE metadata stack (manifest log
+    -> stats -> bloom -> pruned read) is hash-gated, not just
+    unit-tested. Keys mix present and absent values so both the
+    positive path and the absence proofs execute."""
+    import tempfile
+
+    from synch_spark.sources import bloom as bloom_idx
+    from synch_spark.sources.manifest import refresh_manifest
+    from synch_spark.sources.table import ParquetTable
+
+    orders = _t(spark, sf_dir, "orders")
+    t = ParquetTable(spark, tempfile.mkdtemp(prefix="synch-q108-"))
+    t.overwrite(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        cluster_by=("o_orderkey",),
+    )
+    refresh_manifest(t, "o_orderkey")
+    bloom_idx.build_file_blooms(t, "o_orderkey")
+    keys = [1, 7, 32, 33, 4000, 999_999_999]
+    return (
+        bloom_idx.point_lookup(t, "o_orderkey", keys)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q108_SQL = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders WHERE o_orderkey IN (1, 7, 32, 33, 4000, 999999999)
+ORDER BY o_orderkey
+"""
+
+
+# --- Debezium envelope decode, oracle-gated -------------------------------
+def q109_debezium_decode(spark, sf_dir):
+    """`events.debezium_to_raw` on the graded surface: synthesize the
+    standard Debezium envelope from orders rows (compact JSON, byte-
+    identical construction in both engines), decode it, and compare the
+    raw-event fields against the oracle's direct mapping — op c/d ->
+    insert/delete, before/after payload extraction, ts_ms -> micros."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    obj = F.concat(F.lit('{"id":'), F.col("o_orderkey").cast("string"),
+                   F.lit("}"))
+    is_del = F.col("o_orderstatus") == "F"
+    env = F.concat(
+        F.lit('{"payload":{"op":"'),
+        F.when(is_del, F.lit("d")).otherwise(F.lit("c")),
+        F.lit('","before":'),
+        F.when(is_del, obj).otherwise(F.lit("null")),
+        F.lit(',"after":'),
+        F.when(is_del, F.lit("null")).otherwise(obj),
+        F.lit(',"source":{"db":"db","table":"orders","ts_ms":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit("}}}"),
+    )
+    from synch_spark.events import debezium_to_raw
+
+    return debezium_to_raw(orders.select(env.alias("value"))).orderBy(
+        "event_unixtime"
+    )
+
+
+Q109_SQL = """
+SELECT 'db' AS schema, 'orders' AS "table",
+       CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'insert' END AS action,
+       CASE WHEN o_orderstatus = 'F'
+            THEN '{"id":' || o_orderkey || '}' END AS before,
+       CASE WHEN o_orderstatus <> 'F'
+            THEN '{"id":' || o_orderkey || '}' END AS after,
+       CAST(o_orderkey AS BIGINT) * 1000 AS event_unixtime
+FROM orders WHERE o_orderkey <= 2000 ORDER BY event_unixtime
+"""
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
+    "q108_point_lookup_pruned": (q108_point_lookup_pruned, Q108_SQL),
+    "q109_debezium_decode": (q109_debezium_decode, Q109_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
     "q18_quality_langid": (q18_quality_langid, Q18_SQL),
     "q19_token_topk": (q19_token_topk, Q19_SQL),
