@@ -94,6 +94,11 @@ def cmd_produce(args) -> int:
     import os
 
     os.makedirs(events_dir, exist_ok=True)
+    # one broker (one connection) for the whole produce loop, not one
+    # per table per round
+    redis_broker = (
+        _redis_broker_from_cfg(spark, raw) if args.sink == "redis" else None
+    )
     rounds = 1 if args.once else args.rounds
     interval = cfg.insert_interval_s
     for i in range(rounds):
@@ -146,7 +151,7 @@ def cmd_produce(args) -> int:
                             kconf.get("queue_prefix", "synch"),
                         )
                     elif args.sink == "redis":
-                        _redis_broker_from_cfg(spark, raw).produce(events)
+                        redis_broker.produce(events)
                     elif args.driver_spool:
                         out = os.path.join(events_dir, basename + ".json")
                         with open(out, "w") as f:

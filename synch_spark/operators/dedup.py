@@ -206,17 +206,22 @@ def lsh_candidate_pairs(
             for s in range(num_hashes)
         ]
     )
+    # ceil-div band count: when num_hashes % bands != 0 the narrow form
+    # (band = seed // rows_per_band) emits a remainder band from the
+    # leftover seeds — reproduce it exactly or those collisions vanish
+    n_bands = -(-num_hashes // rows_per_band)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
                     "|",
-                    *[F.col(f"_h{b * rows_per_band + r}")
-                      for r in range(rows_per_band)],
+                    *[F.col(f"_h{s}")
+                      for s in range(b * rows_per_band,
+                                     min((b + 1) * rows_per_band, num_hashes))],
                 ).alias("bucket"),
             )
-            for b in range(bands)
+            for b in range(n_bands)
         ]
     )
     buckets = sig.select(

@@ -11,7 +11,12 @@ from pyspark.sql import Window as W, functions as F
 from synch_spark.plans.relational import DEC, _t
 
 # -- streaming session: right-sized state-store parallelism ---------------
-_STREAM_SESSIONS: dict = {}
+# weak-keyed by the parent session object: id() could be reused after a
+# stopped session is garbage-collected, handing out a sub-session bound
+# to a dead SparkContext; weak keys also let entries die with the parent
+import weakref
+
+_STREAM_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _stream_session(spark, partitions: int = 8):
@@ -30,8 +35,7 @@ def _stream_session(spark, partitions: int = 8):
 
     from synch_spark.session import ensure_session_confs
 
-    key = id(spark)
-    sub = _STREAM_SESSIONS.get(key)
+    sub = _STREAM_SESSIONS.get(spark)
     if sub is None:
         sub = spark.newSession()
         ensure_session_confs(sub)
@@ -41,7 +45,7 @@ def _stream_session(spark, partitions: int = 8):
             or str(partitions)
         )
         sub.conf.set("spark.sql.shuffle.partitions", n)
-        _STREAM_SESSIONS[key] = sub
+        _STREAM_SESSIONS[spark] = sub
     return sub
 
 

@@ -298,7 +298,11 @@ def q24_ann_lsh(spark, sf_dir):
     )
 
 
-_IVF_CACHE: dict = {}
+import weakref
+
+# weak-keyed by session (id() reuse after GC would hand back an index
+# bound to a stopped SparkContext); value = {sf_dir: VectorIndex}
+_IVF_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _ivf_index(spark, sf_dir):
@@ -313,15 +317,15 @@ def _ivf_index(spark, sf_dir):
 
     from synch_spark.operators.vector_index import VectorIndex
 
-    key = (id(spark), sf_dir)
-    idx = _IVF_CACHE.get(key)
+    per_session = _IVF_CACHE.setdefault(spark, {})
+    idx = per_session.get(sf_dir)
     if idx is None:
         idx = VectorIndex(spark, tempfile.mkdtemp(prefix="synch-ivf-"),
                           num_centroids=16)
         # refine on a quarter-sample: centroid means converge on a few
         # thousand vectors; the full corpus is still fully assigned
         idx.build(_emb(spark, sf_dir), refine_iters=1, refine_sample=0.25)
-        _IVF_CACHE[key] = idx
+        per_session[sf_dir] = idx
     return idx
 
 

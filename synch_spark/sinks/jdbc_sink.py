@@ -133,17 +133,18 @@ def alter_statements(table: str, ops, dialect: str = "ansi") -> list[str]:
 
 
 #: substrings that mark a DDL statement as ALREADY APPLIED on the target
-#: (replayed after a crash before the checkpoint advanced) — COLUMN-scoped
-#: messages only, lowercase-matched against the driver's error message.
-#: Table-level failures ("table X does not exist") must NOT match: a
-#: mistyped target_table would otherwise silently downgrade every ALTER
-#: to a warning and let the target schema diverge. apply_ddl additionally
-#: probes that the target table exists before classifying an error as a
-#: replay.
+#: (replayed after a crash before the checkpoint advanced), lowercase-
+#: matched against the driver's error message. The broad forms
+#: ("does not exist"/"not found" — Postgres says 'column "c" of relation
+#: "t" does not exist' for a replayed DROP) are safe to keep because
+#: apply_ddl ALSO probes that the target table exists before classifying
+#: an error as a replay — a mistyped target_table fails the probe and
+#: the ALTER re-raises instead of silently diverging the schema.
 _IDEMPOTENT_DDL_MARKERS = (
     "already exists", "duplicate column", "already has a column",
     "no such column", "is not a column", "unknown column",
     "column not found", "not found in any table", "invalid column",
+    "does not exist", "not found",
 )
 
 
@@ -292,7 +293,13 @@ class JdbcSink:
     def _table_exists(self) -> bool:
         """Probe the target with a zero-row SELECT — a missing or
         mistyped target_table must surface as a hard DDL failure, never
-        be misread as an idempotent replay."""
+        be misread as an idempotent replay.
+
+        A probe failure from a TRANSIENT outage also returns False and
+        re-raises the original DDL error — deliberate fail-safe
+        direction: a failed micro-batch replays on restart (at-least-
+        once), while a schema silently diverged by a misclassified
+        replay never self-heals."""
         jvm = self.spark.sparkContext._jvm
         props = jvm.java.util.Properties()
         for k, v in self.properties.items():

@@ -84,14 +84,22 @@ def _sidecar(root: str, relkey: str) -> str:
     return os.path.join(_bloom_dir(root), relkey.replace(os.sep, "%2F") + ".bloom.json")
 
 
-def _sidecar_column(path: str) -> str | None:
-    """The column a sidecar (bloom or tombstone) was built for, or None
-    when absent/corrupt."""
+def _needs_build(path: str, column: str) -> bool:
+    """A sidecar slot needs building for ``column`` when it is absent,
+    corrupt, or holds a TOMBSTONE for a different column. A REAL bloom
+    for a different column is left alone (build returns 0 for that
+    file, matching the one-bloom-column-per-table design) — rebuilding
+    it would make two maintenance paths with different columns thrash:
+    each batch re-reading every file's keys and destroying the other
+    path's pruning."""
     try:
         with open(path) as f:
-            return json.load(f).get("column")
+            doc = json.load(f)
     except (OSError, json.JSONDecodeError, ValueError):
-        return None
+        return True
+    if doc.get("column") == column:
+        return False
+    return bool(doc.get("skip"))  # foreign tombstone: replaceable
 
 
 def _write_sidecar(out: str, doc: dict) -> None:
@@ -165,11 +173,10 @@ def build_file_blooms(table, column: str, spark=None) -> int:
     todo: list[tuple[str, str]] = []
     for rel in table.snapshot().files:
         out = _sidecar(table.root, rel)
-        if _sidecar_column(out) != column:
-            # absent, corrupt, or built for a different column — a
-            # {"skip": true} tombstone for THIS column counts as built,
-            # so unbuildable files (non-bloom-safe pk types) are never
-            # re-listed batch after batch
+        if _needs_build(out, column):
+            # a {"skip": true} tombstone for THIS column counts as
+            # built, so unbuildable files (non-bloom-safe pk types) are
+            # never re-listed batch after batch
             todo.append((table._abs(rel), out))
     if not todo:
         return 0

@@ -220,6 +220,13 @@ class ParquetTable:
         self.root = root
         self._mdir = os.path.join(root, _MDIR)
         self._data = os.path.join(root, _DATA)
+        # memoized snapshots keyed by resolved version: committed
+        # versions are immutable, so one metadata operation (point
+        # lookup, merge classify) re-reading the same version pays the
+        # checkpoint parse once instead of 4-5 times. Stats patched by
+        # ANOTHER process aren't seen until this instance re-snapshots —
+        # stats are a cache over footers, so that only costs speed.
+        self._snap_cache: dict[int, Snapshot] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- version bookkeeping -------------------------------------------------
@@ -250,6 +257,9 @@ class ParquetTable:
         """Materialize a version: nearest checkpoint entry + its delta
         chain applied forward (≤ CKPT_EVERY - 1 small JSON reads)."""
         v = self._resolve_version(version)
+        cached = self._snap_cache.get(v)
+        if cached is not None:
+            return cached
         chain = []
         cur = v
         while True:
@@ -270,7 +280,11 @@ class ParquetTable:
                 schema_raw = e["schema"]
             if e.get("sschema"):
                 sschema = e["sschema"]
-        return Snapshot(v, files, schema_raw, sschema)
+        snap = Snapshot(v, files, schema_raw, sschema)
+        if len(self._snap_cache) >= 4:  # bounded: current + a few pinned
+            self._snap_cache.pop(next(iter(self._snap_cache)))
+        self._snap_cache[v] = snap
+        return snap
 
     def _staging_dir(self) -> str:
         return os.path.join(self.root, f".staging-{uuid.uuid4().hex[:12]}")
@@ -418,29 +432,52 @@ class ParquetTable:
         v = self.current_version()
         if v < 0 or not rels_stats:
             return
+        self._snap_cache.clear()  # cached snapshots hold pre-patch stats
         cur = v
         pending = dict(rels_stats)
         while pending:
+            if not self._patch_one_entry(cur, pending):
+                return  # entry unreadable (GC race): remaining stats stay lazy
             try:
                 e = self._entry(cur)
             except (OSError, json.JSONDecodeError):
                 return
-            bucket = e["files"] if e["type"] == "ckpt" else e["add"]
-            hit = False
-            for rel in list(pending):
-                if rel in bucket:
-                    bucket[rel] = {**bucket[rel], **pending.pop(rel)}
-                    hit = True
-            if hit:
-                tmp = os.path.join(
-                    self._mdir, f".tmp-{uuid.uuid4().hex[:12]}.json"
-                )
-                with open(tmp, "w") as f:
-                    json.dump(e, f)
-                os.replace(tmp, self._manifest_path(cur))
             if e["type"] == "ckpt":
                 return
             cur = e["base"]
+
+    def _patch_one_entry(self, cur: int, pending: dict) -> bool:
+        """Merge pending stats into one entry with read-modify-write +
+        VERIFY: a concurrent refresh for a DIFFERENT column replacing
+        the same file would drop this writer's keys (last-replace-wins),
+        so after writing we re-read and retry the merge until our
+        columns survive — both refreshes converge to the union."""
+        for _attempt in range(5):
+            try:
+                e = self._entry(cur)
+            except (OSError, json.JSONDecodeError):
+                return False
+            bucket = e["files"] if e["type"] == "ckpt" else e["add"]
+            mine = {rel: st for rel, st in pending.items() if rel in bucket}
+            if not mine:
+                return True
+            missing = {
+                rel for rel, st in mine.items()
+                if any(c not in bucket[rel] for c in st)
+            }
+            if not missing:
+                for rel in mine:
+                    pending.pop(rel, None)
+                return True
+            for rel, st in mine.items():
+                bucket[rel] = {**bucket[rel], **st}
+            tmp = os.path.join(self._mdir, f".tmp-{uuid.uuid4().hex[:12]}.json")
+            with open(tmp, "w") as f:
+                json.dump(e, f)
+            os.replace(tmp, self._manifest_path(cur))
+        for rel in list(pending):  # lost 5 races: leave stats lazy (footer path)
+            pending.pop(rel, None)
+        return True
 
     @property
     def exists(self) -> bool:

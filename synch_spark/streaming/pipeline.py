@@ -63,7 +63,23 @@ def log_monitor_row(spark, warehouse: str, alias: str, schema: str,
         row = spark.createDataFrame(
             [(alias, schema, table, num, row_type)], MONITOR_SCHEMA[:5]
         ).withColumn("created_at", F.current_timestamp())
-        ParquetTable(spark, f"{warehouse}/_synch_log").append(row)
+        t = ParquetTable(spark, f"{warehouse}/_synch_log")
+        t.append(row)
+        v = t.current_version()
+        if v > 0 and v % 128 == 0:
+            # every append is a one-file commit, so the file list (and
+            # each checkpoint entry naming it) grows one entry per
+            # monitor row forever; fold the log back into a handful of
+            # files periodically. Optimistic: a concurrent appender
+            # winning the version is fine — compaction retries next
+            # multiple of 128.
+            from synch_spark.sources.table import commit_with_retry
+
+            commit_with_retry(
+                lambda: t.overwrite(t.read(),
+                                    expected_base=t.current_version()),
+                retries=2,
+            )
     except Exception as e:  # noqa: BLE001 — monitoring is best-effort
         logging.getLogger("synch_spark").warning(
             "monitor row dropped for %s.%s (type=%s): %s",

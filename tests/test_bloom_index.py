@@ -387,3 +387,21 @@ def test_consecutive_merges_bounded_rewrites(spark, tmp_path):
         assert carried >= len(before) - 2, f"batch {b}: too few carried files"
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert len(got) == 4000 and got[0] == -1.0 and got[2801] == -2.0
+
+
+def test_bloom_second_column_does_not_thrash(spark, tmp_path):
+    """A real bloom for the table's pk must SURVIVE a build request for
+    a different column (one-bloom-column-per-table): otherwise two
+    maintenance paths would re-read every file's keys each batch and
+    destroy each other's pruning."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(50).select(F.col("id").alias("k"),
+                                       (F.col("id") * 2).alias("v")))
+    assert bloom.build_file_blooms(t, "k") >= 1
+    rel = _rels(t)[0]
+    before = bloom.load_bloom(t.root, rel, "k")
+    assert before is not None
+    # a second column's build neither rebuilds nor destroys k's bloom
+    assert bloom.build_file_blooms(t, "v") == 0
+    after = bloom.load_bloom(t.root, rel, "k")
+    assert after is not None and after[0] == before[0]

@@ -138,3 +138,17 @@ def test_point_lookup_uses_manifest(spark, tmp_path):
     refresh_manifest(t, "k")
     with_man = {r["k"]: r["v"] for r in bloom.point_lookup(t, "k", [5, 500]).collect()}
     assert no_man == with_man == {5: 10, 500: 1000}
+
+
+def test_two_column_refreshes_both_survive(spark, tmp_path):
+    """Stats for a second column must MERGE into the entries, not
+    replace the first column's (the read-modify-write verify path)."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(100).select(F.col("id").alias("k"),
+                                        (F.col("id") * 2).alias("v")))
+    assert refresh_manifest(t, "k") >= 1
+    assert refresh_manifest(t, "v") >= 1
+    mk, mv = load_manifest(t, "k"), load_manifest(t, "v")
+    assert mk and mv and set(mk) == set(mv)
+    for rel in mk:
+        assert mk[rel][1] * 2 == mv[rel][1]  # v = 2k ranges line up
