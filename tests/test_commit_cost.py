@@ -177,3 +177,37 @@ def test_no_hard_link_dependence(spark, tmp_path, monkeypatch):
     t.append(spark.createDataFrame([(900, "p0", 9.0)], "k long, p string, v double"), "p")
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got[5] == -5.0 and got[900] == 9.0 and len(got) == 301
+
+
+def test_vacuum_reclaims_crash_debris(spark, tmp_path):
+    """A writer that dies mid-prepare leaves (a) a .staging dir, (b)
+    pooled-but-never-published data files, (c) a _v temp entry. vacuum
+    reclaims all three after the TTL and never touches live pool files
+    or the previous retained version."""
+    import json
+    import time
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(2, "b")], "k long, v string"))
+    live_before = {rel: t._abs(rel) for v in t.versions()
+                   for rel in t.snapshot(v).files}
+    # (a) dead staging dir
+    os.makedirs(os.path.join(t.root, ".staging-deadbeef"))
+    # (b) orphan pool file (promoted, commit never published)
+    orphan = os.path.join(t._data, "orphan-123.parquet")
+    open(orphan, "wb").write(b"x")
+    # (c) torn log temp
+    tmp_entry = os.path.join(t._mdir, ".tmp-deadbeef.json")
+    json.dump({}, open(tmp_entry, "w"))
+    old = time.time() - 7200
+    for p in (os.path.join(t.root, ".staging-deadbeef"), orphan, tmp_entry):
+        os.utime(p, (old, old))
+    removed = t.vacuum(staging_ttl_s=3600)
+    assert removed == 3
+    assert not os.path.exists(orphan) and not os.path.exists(tmp_entry)
+    assert not os.path.exists(os.path.join(t.root, ".staging-deadbeef"))
+    for rel, path in live_before.items():
+        assert os.path.exists(path), f"live file {rel} vacuumed"
+    assert [r["v"] for r in t.read().collect()] == ["b"]
+    assert t.read(version=t.current_version() - 1).collect()[0]["v"] == "a"
