@@ -104,7 +104,7 @@ def main() -> None:
         for item in items:
             run_one(item)
     else:
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=8) as pool:
             list(pool.map(run_one, items))
     total = round(time.perf_counter() - t_start, 4)
 
