@@ -1893,10 +1893,41 @@ FROM orders WHERE o_orderkey <= 2000 ORDER BY event_unixtime
 """
 
 
+# --- deterministic stratified sampling (language re-balancing) ------------
+def q110_stratified_sample(spark, sf_dir):
+    """Language-mix re-balancing: down-sample English to 25%, keep 80%
+    of zh, 50% of everything else — deterministically (md5 hash gate, no
+    seeded sample), as a pure scan-side predicate with no shuffle. The
+    oracle re-derives the EXACT kept row set, so the sampler is
+    reproducible across engines, which is the whole point: the training
+    corpus must be recomputable from the recipe."""
+    from synch_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return (
+        stratified_sample(docs, "doc_id", "lang",
+                          {"en": 0.25, "zh": 0.8}, default_rate=0.5,
+                          salt="mix1")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+Q110_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '40000000'
+                WHEN 'zh' THEN 'cccccccd'
+                ELSE '80000000' END
+ORDER BY doc_id
+"""
+
+
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q108_point_lookup_pruned": (q108_point_lookup_pruned, Q108_SQL),
     "q109_debezium_decode": (q109_debezium_decode, Q109_SQL),
+    "q110_stratified_sample": (q110_stratified_sample, Q110_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
     "q18_quality_langid": (q18_quality_langid, Q18_SQL),
     "q19_token_topk": (q19_token_topk, Q19_SQL),

@@ -381,3 +381,33 @@ def test_real_image_codec_optional(spark):
     row = multimodal.decode_image_features(df).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (6, 4, 3)
     assert abs(row["mean_pixel"] - 128.0) < 1e-9
+
+
+def test_stratified_sample_deterministic_and_nesting(spark):
+    """The hash-gate sampler is deterministic across runs, rate-
+    monotone (thresholds nest: the 0.2 sample is a subset of the 0.5
+    sample under one salt), independent across salts, and roughly
+    proportional."""
+    from synch_spark.operators.sampling import sample_gate, stratified_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"),
+                                  (F.col("id") % 3).cast("string").alias("g"))
+    s1 = {r["doc_id"] for r in stratified_sample(
+        df, "doc_id", "g", {"0": 0.2}, default_rate=0.5, salt="a").collect()}
+    s2 = {r["doc_id"] for r in stratified_sample(
+        df, "doc_id", "g", {"0": 0.2}, default_rate=0.5, salt="a").collect()}
+    assert s1 == s2  # deterministic
+    wide = {r["doc_id"] for r in df.filter(
+        sample_gate(F.col("doc_id"), 0.5, "a")).collect()}
+    narrow = {r["doc_id"] for r in df.filter(
+        sample_gate(F.col("doc_id"), 0.2, "a")).collect()}
+    assert narrow <= wide  # nesting under one salt
+    assert abs(len(narrow) / 4000 - 0.2) < 0.03
+    other = {r["doc_id"] for r in df.filter(
+        sample_gate(F.col("doc_id"), 0.2, "b")).collect()}
+    assert other != narrow  # a different salt is a different draw
+    # per-stratum rates actually differ
+    g0 = sum(1 for i in s1 if i % 3 == 0) / (4000 / 3)
+    g1 = sum(1 for i in s1 if i % 3 == 1) / (4000 / 3)
+    assert abs(g0 - 0.2) < 0.05 and abs(g1 - 0.5) < 0.05
