@@ -48,6 +48,11 @@ MONITOR_SCHEMA = T.StructType(
 )
 
 
+#: fold the append-only monitor log back into a few files every N
+#: appends (each append is a one-file commit)
+MONITOR_COMPACT_EVERY = 128
+
+
 def log_monitor_row(spark, warehouse: str, alias: str, schema: str,
                     table: str, num: int, row_type: int) -> None:
     """BEST-EFFORT monitor row into ``<warehouse>/_synch_log`` (the
@@ -66,7 +71,7 @@ def log_monitor_row(spark, warehouse: str, alias: str, schema: str,
         t = ParquetTable(spark, f"{warehouse}/_synch_log")
         t.append(row)
         v = t.current_version()
-        if v > 0 and v % 128 == 0:
+        if v > 0 and v % MONITOR_COMPACT_EVERY == 0:
             # every append is a one-file commit, so the file list (and
             # each checkpoint entry naming it) grows one entry per
             # monitor row forever; fold the log back into a handful of
@@ -76,7 +81,7 @@ def log_monitor_row(spark, warehouse: str, alias: str, schema: str,
             from synch_spark.sources.table import commit_with_retry
 
             commit_with_retry(
-                lambda: t.overwrite(t.read(),
+                lambda: t.overwrite(t.read().coalesce(1),
                                     expected_base=t.current_version()),
                 retries=2,
             )

@@ -203,3 +203,23 @@ def test_kafka_stream_reports_missing_connector(spark, tmp_path):
                        checkpoint_dir=str(tmp_path / "ck"), value_schemas={})
     with pytest.raises(RuntimeError, match="spark-sql-kafka connector"):
         pipe.start_kafka_stream("localhost:9092", "synch.db")
+
+
+def test_monitor_log_self_compacts(spark, tmp_path, monkeypatch):
+    """The monitor log is append-only (one file per row); without
+    periodic self-compaction its file list — and every checkpoint log
+    entry naming it — grows forever. At the compaction interval the
+    log folds back to a handful of files with every row intact."""
+    from synch_spark.sources.table import ParquetTable
+    from synch_spark.streaming import pipeline as sp
+
+    monkeypatch.setattr(sp, "MONITOR_COMPACT_EVERY", 5)
+    wh = str(tmp_path / "wh")
+    for i in range(7):
+        sp.log_monitor_row(spark, wh, "a1", "db", "t", i, 1)
+    t = ParquetTable(spark, f"{wh}/_synch_log")
+    n_files = len(t.snapshot().files)
+    assert n_files <= 4, f"compaction did not fold the log: {n_files} files"
+    rows = t.read().collect()
+    assert len(rows) == 7
+    assert {r["num"] for r in rows} == set(range(7))
