@@ -27,8 +27,17 @@ HEX_SPACE = 16 ** 8
 
 
 def rate_threshold_hex(rate: float) -> str:
-    """Lowercase 8-hex-char threshold for a keep-rate in [0, 1]."""
+    """Lowercase threshold string for a keep-rate in [0, 1].
+
+    Rates < 1 yield an 8-hex-char literal; rate >= 1 yields the sentinel
+    ``"g"``, which orders lexicographically ABOVE every 8-hex-char draw
+    (draw chars are [0-9a-f], all < 'g'), so ``draw < threshold`` is
+    always true. A naive ``format(16**8, "08x")`` would be the 9-char
+    ``"100000000"``, and ``"ffffffff" < "100000000"`` is False — rate
+    1.0 would silently keep only draws starting with '0' (~6%)."""
     n = max(0, min(HEX_SPACE, int(round(rate * HEX_SPACE))))
+    if n >= HEX_SPACE:
+        return "g"
     return format(n, "08x")
 
 

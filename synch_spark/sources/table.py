@@ -474,10 +474,50 @@ class ParquetTable:
             tmp = os.path.join(self._mdir, f".tmp-{uuid.uuid4().hex[:12]}.json")
             with open(tmp, "w") as f:
                 json.dump(e, f)
-            os.replace(tmp, self._manifest_path(cur))
+            dst = self._manifest_path(cur)
+            if not os.path.exists(dst):
+                # entry GC'd since we read it (a commit advanced the
+                # retention floor): os.replace would RECREATE it as an
+                # orphan that nothing ever collects. Its stats are dead
+                # anyway — drop the write.
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                return False
+            os.replace(tmp, dst)
+            if cur < self._retained_floor():
+                # GC deleted dst in the window between the existence
+                # check and the replace; our write resurrected a
+                # below-floor entry. Remove the orphan we just made.
+                try:
+                    os.unlink(dst)
+                except OSError:
+                    pass
+                return False
         for rel in list(pending):  # lost 5 races: leave stats lazy (footer path)
             pending.pop(rel, None)
         return True
+
+    def _retained_floor(self) -> int:
+        """Oldest log-entry version the GC retains — mirrors
+        ``_post_commit``'s walk: from entry(head-1) back to its
+        checkpoint. Entries below this are garbage by definition."""
+        v = self.current_version()
+        if v < 1:
+            return max(v, 0)
+        try:
+            e = self._entry(v - 1)
+        except (OSError, json.JSONDecodeError):
+            return v
+        floor = v - 1
+        while e["type"] != "ckpt":
+            floor = e["base"]
+            try:
+                e = self._entry(floor)
+            except (OSError, json.JSONDecodeError):
+                break
+        return floor
 
     @property
     def exists(self) -> bool:

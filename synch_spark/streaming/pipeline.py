@@ -80,11 +80,16 @@ def log_monitor_row(spark, warehouse: str, alias: str, schema: str,
             # multiple of 128.
             from synch_spark.sources.table import commit_with_retry
 
-            commit_with_retry(
-                lambda: t.overwrite(t.read().coalesce(1),
-                                    expected_base=t.current_version()),
-                retries=2,
-            )
+            def _compact():
+                # Pin the base BEFORE reading and read that explicit
+                # version: t.read() fixes its file list at plan time, so
+                # sampling expected_base afterwards would let an append
+                # that lands in between commit our OLDER content against
+                # the NEWER base — silently dropping the concurrent row.
+                base = t.current_version()
+                t.overwrite(t.read(base).coalesce(1), expected_base=base)
+
+            commit_with_retry(_compact, retries=2)
     except Exception as e:  # noqa: BLE001 — monitoring is best-effort
         logging.getLogger("synch_spark").warning(
             "monitor row dropped for %s.%s (type=%s): %s",

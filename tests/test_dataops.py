@@ -411,3 +411,27 @@ def test_stratified_sample_deterministic_and_nesting(spark):
     g0 = sum(1 for i in s1 if i % 3 == 0) / (4000 / 3)
     g1 = sum(1 for i in s1 if i % 3 == 1) / (4000 / 3)
     assert abs(g0 - 0.2) < 0.05 and abs(g1 - 0.5) < 0.05
+
+
+def test_sample_rate_one_keeps_everything(spark):
+    """Regression: rate 1.0 must keep ALL rows. The naive threshold
+    format(16**8, '08x') is the 9-char '100000000', and the 8-char draw
+    'ffffffff' < '100000000' is lexicographically FALSE — rate 1.0 would
+    keep only draws starting with '0' (~6%). The fix is the 'g' sentinel
+    which orders above every hex draw. Also pins: default_rate omitted
+    (defaults to 1.0) keeps every unlisted-stratum row, and rate 0 keeps
+    none."""
+    from synch_spark.operators.sampling import (
+        rate_threshold_hex, sample_gate, stratified_sample)
+    from pyspark.sql import functions as F
+
+    assert rate_threshold_hex(1.0) == "g"
+    assert rate_threshold_hex(1.5) == "g"
+    assert rate_threshold_hex(0.0) == "00000000"
+    df = spark.range(1000).select(F.col("id").alias("doc_id"),
+                                  (F.col("id") % 2).cast("string").alias("g"))
+    assert df.filter(sample_gate(F.col("doc_id"), 1.0)).count() == 1000
+    assert df.filter(sample_gate(F.col("doc_id"), 0.0)).count() == 0
+    # unlisted stratum ("1") under the default default_rate=1.0 keeps all
+    kept = stratified_sample(df, "doc_id", "g", {"0": 0.5})
+    assert kept.filter(F.col("g") == "1").count() == 500
