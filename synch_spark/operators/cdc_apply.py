@@ -98,11 +98,14 @@ def _apply_merging(
         changed_keys = net.select(*pk)
         if spec.partition_by and spec.partition_by in current.columns:
             _merge_cow(table, current, changed_keys, upserts, spec)
+        elif _merge_cow_unpartitioned(table, current, changed_keys, upserts, spec):
+            pass  # file-level CoW committed (or proven no-op)
         else:
-            # MERGE: drop every target row whose pk is touched, add net
-            # inserts. changed_keys is one row per pk in the batch —
-            # micro-batch sized, so Catalyst broadcasts it; the big side
-            # never shuffles.
+            # Stats couldn't prove anything (null keys / unorderable
+            # types): full MERGE fallback. Drop every target row whose
+            # pk is touched, add net inserts. changed_keys is one row
+            # per pk in the batch — micro-batch sized, so Catalyst
+            # broadcasts it; the big side never shuffles.
             kept = current.join(F.broadcast(changed_keys), list(pk), "left_anti")
             table.overwrite(kept.unionByName(upserts.select(*current.columns)),
                             spec.partition_by)
@@ -149,6 +152,38 @@ def _merge_cow(
     )
 
 
+def _merge_cow_unpartitioned(table, current, changed_keys, upserts, spec) -> bool:
+    """File-level MERGE for a table with no partition column.
+
+    Runs the same stats+bloom file classification as the partitioned
+    path, with the table root acting as a single pseudo-partition, and
+    commits through ``overwrite_cow_files``: only files whose leading-pk
+    min/max (refined by the Bloom sidecar) intersect the batch keys are
+    anti-joined and rewritten; every other file is carried by name. This
+    replaces the former full-table rewrite — the one remaining
+    O(table)-per-batch path — so an unpartitioned 100 TB pk-keyed table
+    pays O(intersecting files) per micro-batch like everything else.
+    Returns False when stats can't prove anything (caller falls back to
+    the full merge).
+    """
+    pk = spec.pk
+    pruned = _classify_files(table, changed_keys, upserts, None, pk)
+    if pruned is None:
+        return False
+    candidates, _links, _vals = pruned
+    if not candidates and upserts.isEmpty():
+        return True  # pure no-op batch: deletes that provably hit no file
+    affected = table.read_files(candidates) if candidates else current.limit(0)
+    kept = affected.join(F.broadcast(changed_keys), list(pk), "left_anti")
+    remove_rels = [
+        os.path.relpath(p, table._data).replace(os.sep, "/") for p in candidates
+    ]
+    table.overwrite_cow_files(
+        kept.unionByName(upserts.select(*current.columns)), remove_rels
+    )
+    return True
+
+
 def _classify_files(table, changed_keys, upserts, part, pk):
     """Metadata-only discovery of the merge's write set.
 
@@ -188,13 +223,24 @@ def _classify_files(table, changed_keys, upserts, part, pk):
     # storm (files are immutable, ranges ride in the log entry that
     # added them); any file missing from it falls back to its footer
     manifest = load_manifest(table, pk[0]) or {}
-    upsert_vals = [r[0] for r in upserts.select(part).distinct().collect()]
+    if part is None:
+        upsert_vals: list = []
+    else:
+        upsert_vals = [r[0] for r in upserts.select(part).distinct().collect()]
     upsert_strs = {None if v is None else str(v) for v in upsert_vals}
     candidates: list[str] = []
     links: dict[str, list[str]] = {}
     touched: list = list(upsert_vals)
+    if part is None:
+        # pseudo-partition view of an unpartitioned table: every live
+        # file grouped by its (usually root) directory
+        by_dir: dict[str, list[str]] = {}
+        for rel in sorted(table.snapshot().files):
+            by_dir.setdefault(rel.rpartition("/")[0], []).append(table._abs(rel))
+    else:
+        by_dir = table.partition_files(part)
     try:
-        for dirname, files in table.partition_files(part).items():
+        for dirname, files in by_dir.items():
             cand_here, link_here = [], []
             for f in files:
                 rel = f"{dirname}/{os.path.basename(f)}"
@@ -221,6 +267,9 @@ def _classify_files(table, changed_keys, upserts, part, pk):
                     if bl is not None:
                         hit = bloom_idx.might_contain_any(bl, probe)
                 (cand_here if hit else link_here).append(f)
+            if part is None:
+                candidates.extend(cand_here)
+                continue
             dval = _partition_dir_value(dirname)
             if cand_here or dval in upsert_strs:
                 candidates.extend(cand_here)

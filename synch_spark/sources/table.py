@@ -764,6 +764,33 @@ class ParquetTable:
         )
         self._write_entry(entry, cleanup_rels=rels)
 
+    def overwrite_cow_files(self, df: DataFrame, remove_rels: list[str]) -> None:
+        """File-level copy-on-write commit for UNPARTITIONED tables.
+
+        ``df`` is the complete replacement content for exactly the files
+        named in ``remove_rels`` (relpaths of the current version). The
+        commit publishes a delta entry: add = the fresh write, remove =
+        ``remove_rels``; every other live file is carried by name with
+        zero file operations. This closes the last O(table)-per-batch
+        path: without it an unpartitioned pk-keyed table paid a full
+        rewrite per micro-batch merge — at 100 TB a scale-killer. With
+        it, a merge intersecting k of N files costs O(k) I/O + one log
+        publish, same as the partitioned ``overwrite_cow``.
+        """
+        v_old = self.current_version()
+        if v_old < 0:
+            self.overwrite(df)
+            return
+        snap = self.snapshot(v_old)
+        df = self._stamp_gen(df, snap.schema_doc)
+        staging = self._staging_dir()
+        df.write.mode("overwrite").parquet(staging)
+        rels = self._promote_files(staging)
+        live = set(snap.files)
+        remove = [r for r in remove_rels if r in live]
+        entry = self._make_entry(v_old + 1, {r: {} for r in rels}, remove, snap)
+        self._write_entry(entry, cleanup_rels=rels)
+
     def append(self, df: DataFrame, partition_by: str | None = None) -> None:
         """Pure-insert fast path: pool the new files and publish a delta
         entry that only ADDS them. Safe under concurrency by

@@ -234,7 +234,9 @@ class CdcPipeline:
             if (
                 self.maintain_blooms
                 and spec.has_pk
-                and spec.partition_by
+                # unpartitioned tables merge through the same stats+bloom
+                # file classification (overwrite_cow_files), so they need
+                # sidecars just as much as partitioned ones
                 # collapsing engines append-only and never consult blooms
                 # (_apply_collapsing has no merge pruning) — building
                 # them would be pure wasted I/O per batch

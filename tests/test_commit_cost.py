@@ -211,3 +211,68 @@ def test_vacuum_reclaims_crash_debris(spark, tmp_path):
         assert os.path.exists(path), f"live file {rel} vacuumed"
     assert [r["v"] for r in t.read().collect()] == ["b"]
     assert t.read(version=t.current_version() - 1).collect()[0]["v"] == "a"
+
+
+def test_unpartitioned_merge_is_file_level_cow(spark, tmp_path, monkeypatch):
+    """The round-3 verdict's last O(table)-per-batch path: a merge into
+    an UNPARTITIONED pk-keyed table must rewrite only the files whose
+    footer min/max intersect the batch keys — not the whole table.
+    40 pk-clustered files, a batch touching keys inside 2 of them:
+    >= 38 files must carry over by name, and the commit's file-op count
+    must stay bounded by the touched set."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by=None)
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    # explicit range partitioning gives each of the 40 files a tight,
+    # disjoint pk range — the layout compaction produces in production
+    # (cluster_by would re-repartition and AQE-coalesce this tiny df)
+    t.overwrite(
+        spark.range(4000).select(F.col("id").alias("k"),
+                                 (F.col("id") % 7).cast("string").alias("p"),
+                                 F.col("id").cast("double").alias("v"))
+        .repartitionByRange(40, "k")
+    )
+    n_files = len(t.snapshot().files)
+    assert n_files >= 35
+
+    before = set(t.snapshot().files)
+    ctr = _OpCounter(monkeypatch, str(tmp_path / "t"))
+    # keys 5 and 3777 live in two different files (update + delete)
+    batch = _events(spark, [("insert", 5, "px", -1.0, 10),
+                            ("delete", 3777, "px", 0.0, 10)])
+    apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
+    after = set(t.snapshot().files)
+
+    # correctness: merged state
+    assert {r["v"] for r in t.read().filter("k = 5").collect()} == {-1.0}
+    assert t.read().filter("k = 3777").count() == 0
+    assert t.read().count() == 3999
+    # CoW: only the two intersecting files replaced, rest carried by name
+    assert len(before & after) >= n_files - 2, (
+        f"carried {len(before & after)} of {n_files} files — merge "
+        f"rewrote the table instead of the touched files"
+    )
+    assert ctr.counts["link"] == 1, f"log publish must be the only link: {ctr.counts}"
+    assert ctr.total() < 25, f"commit did {ctr.counts} ops on a {n_files}-file table"
+
+
+def test_unpartitioned_merge_delete_only_noop(spark, tmp_path):
+    """A batch of deletes whose keys provably miss every file commits
+    nothing at all (no version bump), and a delete that hits commits a
+    delta entry removing just that file."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by=None)
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(1000).select(F.col("id").alias("k"), F.lit("a").alias("p"),
+                                 F.lit(1.0).alias("v"))
+        .repartitionByRange(10, "k")
+    )
+    v0 = t.current_version()
+    apply_cdc_batch(t, _events(spark, [("delete", 99999, "a", 0.0, 5)]),
+                    spec, value_columns=["k", "p", "v"])
+    assert t.current_version() == v0, "provable-miss delete must not commit"
+    apply_cdc_batch(t, _events(spark, [("delete", 500, "a", 0.0, 6)]),
+                    spec, value_columns=["k", "p", "v"])
+    assert t.current_version() == v0 + 1
+    assert t.read().count() == 999
