@@ -142,17 +142,127 @@ def annotate_sign(events: DataFrame, sign_column: str = "sign") -> DataFrame:
     )
 
 
-def parse_values(events: DataFrame, value_schema: T.StructType) -> DataFrame:
+def parse_values(
+    events: DataFrame, value_schema: T.StructType, debezium_types: bool = False
+) -> DataFrame:
     """Expand the JSON ``values`` payload into typed columns for one table.
 
     The explicit schema keeps parsing JVM-side (from_json, codegen) and is
     the Spark-native analog of the reference's tagged-JSON codec
     (/root/reference/synch/common.py:16-36) — types are carried by schema,
     not by value tags.
+
+    ``debezium_types=True`` additionally decodes Debezium's DEFAULT
+    on-wire encodings for logical types, which a plain typed ``from_json``
+    would null or garble (the reference's canonical table is
+    ``test(id int PK, amount decimal(10,2))``,
+    /root/reference/conftest.py:24-33, so a real migration hits this on
+    day one):
+
+    - ``decimal.handling.mode=precise`` (default): DECIMAL arrives as the
+      base64 of the big-endian two's-complement UNSCALED integer.
+    - ``time.precision.mode=adaptive_time_microseconds`` (default): DATE
+      arrives as epoch DAYS (int); DATETIME/TIMESTAMP as epoch
+      millis/micros/nanos (magnitude-classified — see _dbz_timestamp).
+
+    Each decode is a per-value fallback (plain value tried first), so one
+    stream can mix native producers with precise-mode envelopes, and
+    ``decimal.handling.mode=string``/``double`` connectors keep working
+    unchanged. Still pure Column algebra — codegen, streamable.
     """
-    return events.withColumn("_row", F.from_json("values", value_schema)).select(
-        "schema", "table", "action", "event_unixtime", "action_seq", "_row.*"
+    if not debezium_types:
+        return events.withColumn("_row", F.from_json("values", value_schema)).select(
+            "schema", "table", "action", "event_unixtime", "action_seq", "_row.*"
+        )
+    relaxed = T.StructType(
+        [
+            T.StructField(f.name, T.StringType(), True)
+            if isinstance(f.dataType, (T.DecimalType, T.DateType, T.TimestampType,
+                                       T.TimestampNTZType))
+            else f
+            for f in value_schema.fields
+        ]
     )
+    parsed = events.withColumn("_row", F.from_json("values", relaxed))
+    cols = []
+    for f in value_schema.fields:
+        c = F.col(f"_row.{f.name}")
+        if isinstance(f.dataType, T.DecimalType):
+            c = _dbz_decimal(c, f.dataType)
+        elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            c = _dbz_timestamp(c, f.dataType)
+        elif isinstance(f.dataType, T.DateType):
+            c = _dbz_date(c)
+        cols.append(c.alias(f.name))
+    return parsed.select(
+        "schema", "table", "action", "event_unixtime", "action_seq", *cols
+    )
+
+
+def _dbz_decimal(col, dt: T.DecimalType):
+    """Decode one Debezium DECIMAL value: a plain numeric string
+    (string/double handling mode — tried first) or precise-mode base64
+    of the big-endian two's-complement unscaled integer.
+
+    The byte decode is pure Column: unbase64 -> hex -> conv(16,10) gives
+    the unsigned 64-bit value; the sign corrects by subtracting 2^(8*len)
+    when the high bit is set. Supported up to 8 unscaled bytes —
+    every DECIMAL(<=18, s), which covers MySQL/PG money-style columns
+    (the canonical decimal(10,2) needs 2-5 bytes). Wider precise-mode
+    decimals decode to NULL; configure the connector with
+    ``decimal.handling.mode=string`` for those (README recipe does).
+    """
+    import decimal as _d
+
+    plain = col.try_cast(dt)
+    b = F.try_to_binary(col, F.lit("base64"))
+    hx = F.hex(b)
+    n = F.length(b)
+    u = F.conv(hx, 16, 10).try_cast(T.DecimalType(20, 0))
+    neg = F.substring(hx, 1, 1).isin("8", "9", "A", "B", "C", "D", "E", "F")
+    pow2 = F.element_at(
+        F.array(*[F.lit(_d.Decimal(2 ** (8 * l))) for l in range(1, 9)]),
+        n.cast("int"),
+    )
+    signed = F.when(neg, u - pow2).otherwise(u)
+    scaled = (
+        signed.cast(T.DecimalType(38, 0)) / F.lit(10**dt.scale)
+        if dt.scale
+        else signed
+    ).try_cast(dt)
+    return F.coalesce(plain, F.when((n >= 1) & (n <= 8), scaled))
+
+
+def _dbz_timestamp(col, dt):
+    """Decode one Debezium temporal: an ISO string (ZonedTimestamp /
+    string mode — tried first) or an adaptive-mode epoch integer whose
+    unit Debezium varies by column precision (Timestamp=millis,
+    MicroTimestamp=micros, NanoTimestamp=nanos). The unit is classified
+    by magnitude with the conventional 1e11/1e14/5e17 cutoffs (seconds /
+    millis / micros / nanos) — exact for timestamps after ~1973 in every
+    unit; values inside ~3 years of the 1970 epoch in a finer unit are
+    inherently ambiguous and resolve to the coarser one."""
+    # a bare integer string is ALWAYS an adaptive-mode epoch value —
+    # Spark would happily cast "19492" to the year-19492 date/timestamp,
+    # so the integer gate must run before the plain cast, not after
+    n = F.when(col.rlike("^-?[0-9]+$"), col.try_cast("long"))
+    plain = F.when(n.isNull(), col.try_cast(dt))
+    us = (
+        F.when(F.abs(n) < F.lit(int(1e11)), n * 1_000_000)
+        .when(F.abs(n) < F.lit(int(1e14)), n * 1_000)
+        .when(F.abs(n) < F.lit(int(5e17)), n)
+        .otherwise(F.floor(n / 1_000).cast("long"))
+    )
+    return F.coalesce(plain, F.timestamp_micros(us.cast("long")).cast(dt))
+
+
+def _dbz_date(col):
+    """Decode one Debezium DATE: ISO string first, else adaptive-mode
+    epoch DAYS (io.debezium.time.Date). Bare integers are always epoch
+    days — never a year — so they bypass the plain cast."""
+    days = F.when(col.rlike("^-?[0-9]+$"), col.try_cast("int"))
+    plain = F.when(days.isNull(), col.try_cast("date"))
+    return F.coalesce(plain, F.date_add(F.lit("1970-01-01").cast("date"), days))
 
 
 def debezium_to_raw(df: DataFrame, value_col: str = "value") -> DataFrame:

@@ -126,6 +126,11 @@ class CdcPipeline:
     # refreshed for sunk tables (the JDBC target owns downstream reads);
     # DDL for sunk tables executes on the target (sink.apply_ddl)
     jdbc_sinks: dict = field(default_factory=dict)
+    # decode Debezium's default on-wire logical types (precise-mode
+    # base64 DECIMAL, adaptive-mode epoch-days DATE / epoch-int
+    # timestamps) when typing each table's rows; set automatically by
+    # start_kafka_stream(value_format="debezium")
+    debezium_types: bool = False
 
     def table_for(self, spec: TableSpec) -> ParquetTable:
         return ParquetTable(self.spark, f"{self.warehouse}/{spec.schema}/{spec.table}")
@@ -220,7 +225,8 @@ class CdcPipeline:
                     tevents.withColumn("_reason", F.lit("missing value_schema"))
                 )
                 continue
-            typed = parse_values(tevents, vschema)
+            typed = parse_values(tevents, vschema,
+                                 debezium_types=self.debezium_types)
             sink = self.jdbc_sinks.get(spec.qualified_name)
             if sink is not None:
                 sink.apply_batch(typed, spec)
@@ -388,6 +394,9 @@ class CdcPipeline:
         if value_format == "debezium":
             from synch_spark.events import debezium_to_raw
 
+            # per-table typing must also decode Debezium's default
+            # logical-type encodings (precise DECIMAL, adaptive temporals)
+            self.debezium_types = True
             raw = debezium_to_raw(loaded, "value")
         else:
             raw = loaded.select(

@@ -188,3 +188,80 @@ def test_debezium_decode_parity(spark):
     assert len(got) == 5  # c + r + (u -> delete+insert) + d
     # microsecond precision: ts_us wins over ts_ms*1000
     assert {r[3] for r in got} == {1000000, 2000000, 3000123, 4000000}
+
+
+def test_debezium_precise_mode_types(spark):
+    """Debezium DEFAULT connector config ships logical types encoded:
+    decimal.handling.mode=precise -> DECIMAL as base64 of the big-endian
+    two's-complement unscaled int; time.precision.mode=adaptive ->
+    DATE as epoch days, DATETIME as epoch millis or micros. The typed
+    parse with debezium_types=True must decode all of them to EXACTLY
+    the values a string-mode connector (README-recommended config)
+    produces — the reference's canonical table is
+    test(id int PK, amount decimal(10,2)) (/root/reference/conftest.py:
+    24-33), so a real migration hits this immediately."""
+    import base64 as _b64
+    import datetime as _dt
+    import json as _json
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from synch_spark.events import RAW_EVENT_SCHEMA, parse_values, split_updates
+
+    def unscaled_b64(unscaled: int) -> str:
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        return _b64.b64encode(unscaled.to_bytes(nbytes, "big", signed=True)).decode()
+
+    # (id, amount, d, ts): precise/adaptive wire values vs string-mode
+    cases = [
+        (1, 12345, "123.45", 19492, "2023-05-15", 1684144800123,
+         "2023-05-15 10:00:00.123"),                      # DATETIME(3) = millis
+        (2, -65, "-0.65", 0, "1970-01-01", 1684144800123456,
+         "2023-05-15 10:00:00.123456"),                   # DATETIME(6) = micros
+        (3, 9999999999, "99999999.99", -365, "1969-01-01", 0, "1970-01-01 00:00:00"),
+        (4, None, None, None, None, None, None),          # null row
+    ]
+
+    def raw(rows):
+        data = [("db", "t", "insert", None, _json.dumps(
+            {"id": i, "amount": a, "d": d, "ts": ts}), 1000)
+            for i, a, d, ts in rows]
+        return spark.createDataFrame(data, RAW_EVENT_SCHEMA)
+
+    precise = raw([(i, None if u is None else unscaled_b64(u), d_days, ts_int)
+                   for i, u, _, d_days, _, ts_int, _ in cases])
+    stringm = raw([(i, a_str, d_str, ts_str)
+                   for i, _, a_str, _, d_str, _, ts_str in cases])
+
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DecimalType(10, 2)),
+        T.StructField("d", T.DateType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+
+    def final(r):
+        return sorted(map(tuple, parse_values(
+            split_updates(r), vschema, debezium_types=True).collect()))
+
+    got, want = final(precise), final(stringm)
+    assert got == want, f"precise-mode decode diverged:\n{got}\nvs\n{want}"
+    by_id = {r[5]: r for r in got}  # schema,table,action,ts,seq, id, amount, d, ts
+    assert by_id[1][6] == Decimal("123.45")
+    assert by_id[2][6] == Decimal("-0.65")
+    assert by_id[3][6] == Decimal("99999999.99")
+    assert by_id[1][7] == _dt.date(2023, 5, 15)
+    assert by_id[3][7] == _dt.date(1969, 1, 1)
+    assert by_id[1][8] == _dt.datetime(2023, 5, 15, 10, 0, 0, 123000)
+    assert by_id[2][8] == _dt.datetime(2023, 5, 15, 10, 0, 0, 123456)
+    assert all(v is None for v in by_id[4][6:9])
+    # the native (non-debezium) parse path is byte-identical for plain JSON
+    nat = sorted(map(tuple, parse_values(
+        split_updates(stringm), vschema).collect()))
+    assert nat == want
+    # >8-byte unscaled (precision > 18) decodes to NULL — documented
+    # boundary; README mandates decimal.handling.mode=string for those
+    wide = raw([(9, unscaled_b64(10**20), None, None)])
+    w = parse_values(split_updates(wide), vschema, debezium_types=True).collect()
+    assert w[0]["amount"] is None
