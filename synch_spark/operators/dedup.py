@@ -70,6 +70,7 @@ def jaccard_pairs(
     threshold: float = 0.6,
     n: int = 1,
     probe_filter=None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Similarity join: pairs (a, b), a<b, with Jaccard(token-set) >= t.
 
@@ -80,9 +81,11 @@ def jaccard_pairs(
     semantics: with a probe filter, only pairs whose SMALLER id passes
     the filter are emitted (the a<b canonicalization happens after the
     filter) — a probe-centric neighborhood needs the symmetric call.
+    ``max_df`` drops grams more frequent than the cap before the join
+    (hot-gram skew guard; see _gram_overlap) — set it at corpus scale.
     """
     sizes, inter = _gram_overlap(
-        df, text_col, id_col, n, probe_filter, lambda a, b: a < b
+        df, text_col, id_col, n, probe_filter, lambda a, b: a < b, max_df
     )
     out = (
         inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
@@ -98,14 +101,33 @@ def jaccard_pairs(
     return out
 
 
-def _gram_overlap(df, text_col, id_col, n, probe_filter, pair_pred):
+def _gram_overlap(df, text_col, id_col, n, probe_filter, pair_pred,
+                  max_df: int | None = None):
     """Shared inverted-index candidate plan for the gram-set relations:
     (sizes, inter) where sizes = |distinct n-grams| per doc and inter =
     per-(a, b) intersection counts for pairs passing ``pair_pred``
     (a < b for symmetric Jaccard, a != b for asymmetric containment).
     The shuffle is on the gram, never all-pairs; ``probe_filter`` bounds
-    the left side."""
+    the left side.
+
+    ``max_df`` is the hot-gram skew guard: a single stop-gram present in
+    10^6 docs turns the gram self-join into a 10^12-pair key — one task
+    OOMs and the stage never finishes. With ``max_df`` set, grams whose
+    document frequency exceeds it are dropped from the gram space BEFORE
+    the join (both the index and the per-doc set sizes, i.e. similarity
+    is computed over the filtered gram vocabulary — standard stopword
+    semantics), bounding the worst join key to max_df^2 pairs. Exactness
+    is preserved whenever no gram actually exceeds the cap; default off
+    (None) for oracle parity."""
     sh = shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     left = sh.withColumnRenamed("id", "a")
     if probe_filter is not None:
@@ -127,6 +149,7 @@ def containment_pairs(
     threshold: float = 0.5,
     n: int = 1,
     probe_filter=None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup relation: ordered pairs (a, b), a != b, with
     containment C(a in b) = |A∩B| / |A| >= threshold over distinct
@@ -143,7 +166,7 @@ def containment_pairs(
     (the "is this doc contained elsewhere?" probe) at scale.
     """
     sizes, inter = _gram_overlap(
-        df, text_col, id_col, n, probe_filter, lambda a, b: a != b
+        df, text_col, id_col, n, probe_filter, lambda a, b: a != b, max_df
     )
     return (
         inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
@@ -182,12 +205,29 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int = 1024,
+    observation=None,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any LSH band bucket (a<b, distinct).
 
     rows_per_band = num_hashes // bands; bucket key is the concatenation
     of the band's min-hashes in seed order. Only bucket-mates join —
     the shuffle is on (band, bucket), never all-pairs.
+
+    ``max_bucket_size`` caps the quadratic pair expansion: pair
+    generation is in-expression combinations over collect_list(id), so a
+    degenerate bucket (empty docs, shared boilerplate) with m members
+    materializes one m-element row and m^2/2 pairs — at corpus scale a
+    single such bucket OOMs its task. Buckets larger than the cap are
+    dropped entirely (their members collide on SOME band with near-
+    everything — such candidates are noise, and true near-dups of any
+    member still surface through its other, selective bands). The
+    default (1024, i.e. <= ~0.5M pairs and ~a few hundred KB per bucket
+    row) is far above anything a healthy corpus produces, so oracle
+    results are unchanged; tighten it for boilerplate-heavy corpora.
+    Pass a ``pyspark.sql.Observation`` to get the number of dropped
+    buckets measured during the SAME job (no second pass):
+    ``obs.get["dropped_buckets"]`` after an action.
     """
     rows_per_band = num_hashes // bands
     sh = shingles(df, text_col, id_col, shingle_n)
@@ -235,6 +275,14 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if observation is not None:
+        members = members.observe(
+            observation,
+            F.sum(
+                F.when(F.size("ids") > max_bucket_size, 1).otherwise(0)
+            ).alias("dropped_buckets"),
+        )
+    members = members.filter(F.size("ids") <= max_bucket_size)
     pairs = members.select(
         F.explode(
             F.flatten(

@@ -92,3 +92,58 @@ def test_wide_lsh_matches_narrow_form_nondivisible(spark):
         .filter(F.col("a") < F.col("b")).select("a", "b").distinct().collect()
     }
     assert wide == narrow and narrow  # non-empty and identical
+
+
+def test_lsh_bucket_size_cap_bounds_degenerate_buckets(spark):
+    """Skew guard: 60 identical (boilerplate) docs all land in the same
+    LSH buckets — uncapped that is one 60-element bucket row expanding to
+    ~1770 pairs per band. With max_bucket_size below 60 the bucket is
+    dropped (bounded output, observed drop count measured in the same
+    job); with the cap above 60 every pair survives unchanged."""
+    from pyspark.sql import Observation
+
+    from synch_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(60)]
+    rows += [(100, "a genuinely different document about spark execution"),
+             (101, "a genuinely different document about spark execution")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    obs = Observation("lsh-cap")
+    capped = lsh_candidate_pairs(docs, "text", "doc_id", 8, 4, 3,
+                                 max_bucket_size=32, observation=obs)
+    got = {tuple(r) for r in capped.collect()}
+    # the mega-bucket's 1770 pairs are gone; the honest near-dup remains
+    assert got == {(100, 101)}
+    assert obs.get["dropped_buckets"] >= 1
+    # cap above the bucket size: byte-identical to the uncapped plan
+    uncapped = {tuple(r) for r in lsh_candidate_pairs(
+        docs, "text", "doc_id", 8, 4, 3).collect()}
+    above = {tuple(r) for r in lsh_candidate_pairs(
+        docs, "text", "doc_id", 8, 4, 3, max_bucket_size=100).collect()}
+    assert above == uncapped
+    assert (100, 101) in uncapped and len(uncapped) > 1000
+
+
+def test_gram_max_df_bounds_hot_gram_fanout(spark):
+    """max_df drops ubiquitous grams before the inverted-index
+    self-join: a stop-gram present in every one of 80 docs would alone
+    key an 80^2 join; with max_df=10 the join fans out only over the
+    rare grams, and pairs sharing nothing BUT the stop-gram disappear.
+    With the cap off, results are exact (the oracle-parity default)."""
+    from synch_spark.operators.dedup import jaccard_pairs
+
+    # every doc contains the hot token; docs pair up via a rare token
+    rows = [(i, f"hot rare{i // 2}") for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = jaccard_pairs(docs, "text", "doc_id", threshold=0.5, n=1,
+                           max_df=10)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    # exactly the rare-token partners (2i, 2i+1); jaccard over the
+    # filtered vocabulary is 1.0 for them
+    assert got == {(2 * i, 2 * i + 1) for i in range(40)}
+    # uncapped: same 40 true pairs at threshold 0.5 — but computed over
+    # the full vocabulary (hot gram included), jaccard 1/3 pairs pruned
+    full = jaccard_pairs(docs, "text", "doc_id", threshold=0.5, n=1)
+    assert {(r["a"], r["b"]) for r in full.collect()} == got
