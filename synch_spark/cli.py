@@ -183,20 +183,32 @@ def cmd_produce(args) -> int:
 def _redis_broker_from_cfg(spark, raw):
     """Shared produce/consume construction of the Redis Streams broker
     (the reference's default broker) from the ``spark.redis`` config
-    block: {url, queue_prefix?, alias?, queue_max_len?}."""
+    block: {url, queue_prefix?, alias?, queue_max_len?} or, for the
+    reference's HA topology (redis_mixin.py), {sentinel_hosts:
+    [host:port, ...], sentinel_master, password?} — writes go to the
+    resolved master, reads to a replica."""
     rconf = raw["spark"].get("redis")
-    if not rconf or "url" not in rconf:
+    if not rconf or ("url" not in rconf and "sentinel_hosts" not in rconf):
         raise SystemExit(
             "the redis broker needs a spark.redis config block with url "
-            "(redis://host:port/db)"
+            "(redis://host:port/db) or sentinel_hosts + sentinel_master"
         )
-    from synch_spark.redis_broker import RedisStreamBroker, redis_client
+    from synch_spark.redis_broker import (
+        RedisStreamBroker, redis_client, redis_sentinel_clients)
 
+    if "sentinel_hosts" in rconf:
+        master, replica = redis_sentinel_clients(
+            rconf["sentinel_hosts"], rconf.get("sentinel_master", "mymaster"),
+            password=rconf.get("password"),
+        )
+    else:
+        master, replica = redis_client(rconf["url"]), None
     return RedisStreamBroker(
-        redis_client(rconf["url"]),
+        master,
         prefix=rconf.get("queue_prefix", "synch"),
         alias=rconf.get("alias", "default"),
         queue_max_len=int(rconf.get("queue_max_len", 200_000)),
+        read_client=replica,
     )
 
 

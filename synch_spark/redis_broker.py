@@ -48,10 +48,49 @@ def redis_client(url: str):
     return redis.Redis.from_url(url)
 
 
+def redis_sentinel_clients(
+    sentinel_hosts, sentinel_master: str, password: str | None = None,
+    sentinel_factory=None,
+):
+    """(master, replica) client pair resolved through Redis Sentinel —
+    the reference's HA topology (/root/reference/synch/redis_mixin.py:
+    15-45: master_for for writes, slave_for for reads). ``sentinel_hosts``
+    is a list of ``host:port`` strings (or (host, port) pairs).
+    ``sentinel_factory`` injects a fake Sentinel class for contract
+    tests; production resolves redis.sentinel.Sentinel."""
+    if sentinel_factory is None:
+        try:
+            from redis.sentinel import Sentinel as sentinel_factory  # type: ignore
+        except ImportError as e:
+            raise RuntimeError(
+                "redis sentinel support needs the redis package "
+                "(pip install redis)"
+            ) from e
+    pairs = [
+        (h[0], int(h[1])) if isinstance(h, (tuple, list))
+        else (h.rsplit(":", 1)[0], int(h.rsplit(":", 1)[1]))
+        for h in sentinel_hosts
+    ]
+    sent = sentinel_factory(sentinels=pairs)
+    kwargs = {"service_name": sentinel_master}
+    if password is not None:
+        kwargs["password"] = password
+    return sent.master_for(**kwargs), sent.slave_for(**kwargs)
+
+
 class RedisStreamBroker:
     def __init__(self, client, prefix: str = "synch", alias: str = "default",
-                 queue_max_len: int = 200_000):
+                 queue_max_len: int = 200_000, read_client=None):
+        """``client`` serves writes (XADD produce, HSET commit).
+        ``read_client`` — when given, XREAD/HGET go there instead: the
+        Sentinel replica-ok split the reference runs (redis_mixin.py
+        master/slave; pass the pair from redis_sentinel_clients). A
+        stale replica offset only re-reads already-applied events,
+        which the idempotent merge converges — the same at-least-once
+        contract as every other source here (and as the reference,
+        which also reads its positions from the slave)."""
         self.client = client
+        self.read_client = read_client if read_client is not None else client
         self.prefix = prefix
         self.alias = alias
         self.queue_max_len = queue_max_len
@@ -84,7 +123,7 @@ class RedisStreamBroker:
 
     # -- consume (B2) ------------------------------------------------------
     def last_committed(self, schema: str) -> str:
-        raw = self.client.hget(self._offset_key(), schema)
+        raw = self.read_client.hget(self._offset_key(), schema)
         if raw is None:
             return "0"
         return raw.decode() if isinstance(raw, (bytes, bytearray)) else str(raw)
@@ -95,7 +134,7 @@ class RedisStreamBroker:
         Does NOT advance the committed offset — call commit(schema,
         last_id) once the batch is durably applied (the checkpoint-
         then-advance order every other source here uses)."""
-        res = self.client.xread(
+        res = self.read_client.xread(
             {self._queue(schema): self.last_committed(schema)},
             count=count, block=block_ms,
         )

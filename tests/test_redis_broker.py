@@ -143,3 +143,84 @@ def test_real_client_import_guard():
             redis_client("redis://localhost:6379/0")
     else:
         pytest.skip("redis package present; guard path not reachable")
+
+
+class FakeSentinel:
+    """redis.sentinel.Sentinel-shaped resolver: records the sentinel
+    host list and hands out distinct master/replica handles over one
+    shared FakeRedis store (a replica sees the master's writes, as a
+    synced Redis replica would)."""
+
+    last_instance = None
+
+    def __init__(self, sentinels):
+        self.sentinels = list(sentinels)
+        self.store = FakeRedis()
+        self.calls: list[tuple[str, dict]] = []
+        FakeSentinel.last_instance = self
+
+    def _handle(self, role, **kwargs):
+        self.calls.append((role, kwargs))
+        store = self.store
+
+        class Handle:
+            def __init__(self, writable):
+                self.writable = writable
+
+            def xadd(self, *a, **kw):
+                assert self.writable, "XADD must go to the master"
+                return store.xadd(*a, **kw)
+
+            def hset(self, *a, **kw):
+                assert self.writable, "HSET commit must go to the master"
+                return store.hset(*a, **kw)
+
+            def xread(self, *a, **kw):
+                return store.xread(*a, **kw)
+
+            def hget(self, *a, **kw):
+                return store.hget(*a, **kw)
+
+        return Handle(role == "master")
+
+    def master_for(self, service_name, **kwargs):
+        return self._handle("master", service_name=service_name, **kwargs)
+
+    def slave_for(self, service_name, **kwargs):
+        return self._handle("slave", service_name=service_name, **kwargs)
+
+
+def test_sentinel_master_replica_split():
+    """The reference's HA topology (redis_mixin.py:15-45): sentinel
+    hosts resolve to a master (XADD/HSET) and a replica (XREAD/HGET);
+    the full produce -> read -> commit -> resume cycle works across the
+    split pair, and the service/password kwargs reach both resolves."""
+    from synch_spark.redis_broker import RedisStreamBroker, redis_sentinel_clients
+
+    master, replica = redis_sentinel_clients(
+        ["s1:26379", "s2:26380"], "mymaster", password="pw",
+        sentinel_factory=FakeSentinel,
+    )
+    sent = FakeSentinel.last_instance
+    assert sent.sentinels == [("s1", 26379), ("s2", 26380)]
+    assert [c[0] for c in sent.calls] == ["master", "slave"]
+    for _, kw in sent.calls:
+        assert kw == {"service_name": "mymaster", "password": "pw"}
+
+    b = RedisStreamBroker(master, prefix="synch", alias="ha",
+                          read_client=replica)
+    ev = {"schema": "db", "table": "t", "action": "insert", "before": None,
+          "after": '{"id": 1}', "event_unixtime": 1}
+    b.send("db", ev)
+    b.send("db", dict(ev, after='{"id": 2}'))
+    got = b.read("db")
+    assert [m["after"] for _i, m in got] == ['{"id": 1}', '{"id": 2}']
+    b.commit("db", got[0][0])  # commit only the first
+    assert [m["after"] for _i, m in b.read("db")] == ['{"id": 2}']
+
+
+def test_sentinel_clients_parse_tuple_hosts():
+    from synch_spark.redis_broker import redis_sentinel_clients
+
+    redis_sentinel_clients([("h", 26379)], "m", sentinel_factory=FakeSentinel)
+    assert FakeSentinel.last_instance.sentinels == [("h", 26379)]
