@@ -352,6 +352,8 @@ class CdcPipeline:
         max_offsets_per_trigger: int | None = None,
         processing_interval: str | None = None,
         value_format: str = "raw",
+        assign_partitions: dict[str, list[int]] | None = None,
+        starting_offsets: str | dict | None = None,
     ):
         """Kafka consumer (B3/B4 parity): value is the JSON raw event.
 
@@ -369,18 +371,30 @@ class CdcPipeline:
         supports comma-lists; use subscribePattern via the same option
         for a whole prefix). Decode parity is pinned by
         tests/test_events_filters.py::test_debezium_decode_parity.
+
+        ``assign_partitions`` ({topic: [partition, ...]}) replaces
+        subscribe with Kafka manual assignment — B4 parity with the
+        reference, which pins partition = database-index and seeks it
+        explicitly (/root/reference/synch/broker/kafka.py:40-61). Use it
+        to consume only your databases' partitions of a topic shared
+        with other consumers mid-migration (build the dict as
+        {topic: [databases.index(db)]}). ``starting_offsets`` maps to
+        startingOffsets — the explicit-seek analog; a dict is
+        JSON-encoded per the source's {topic: {partition: offset}}
+        contract. Checkpoint-managed offsets still take precedence on
+        restart (strictly better operationally than the reference's
+        manual seek bookkeeping).
         """
+        opts = kafka_source_options(
+            bootstrap_servers, topic,
+            max_offsets_per_trigger or self.cfg.insert_num,
+            assign_partitions, starting_offsets,
+        )
         try:
-            loaded = (
-                self.spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", bootstrap_servers)
-                .option("subscribe", topic)
-                .option(
-                    "maxOffsetsPerTrigger",
-                    str(max_offsets_per_trigger or self.cfg.insert_num),
-                )
-                .load()
-            )
+            reader = self.spark.readStream.format("kafka")
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            loaded = reader.load()
         except Exception as e:  # noqa: BLE001 — translate the classpath failure
             if "kafka" in str(e).lower() and (
                 "Failed to find" in str(e) or "ClassNotFound" in str(e)
@@ -407,6 +421,39 @@ class CdcPipeline:
         )
         interval = processing_interval or f"{self.cfg.insert_interval_s} seconds"
         return writer.trigger(processingTime=interval).start()
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int,
+    assign_partitions: dict[str, list[int]] | None = None,
+    starting_offsets: str | dict | None = None,
+) -> dict[str, str]:
+    """Source-option dict for the Kafka reader — pure so the
+    assign/subscribe contract is unit-testable without the connector
+    jar. Exactly one of subscribe / assign is set; ``assign`` is the
+    JSON {"topic": [0, 1]} form the Spark Kafka source requires."""
+    import json as _json
+
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+    }
+    if assign_partitions:
+        opts["assign"] = _json.dumps(
+            {t: sorted(ps) for t, ps in sorted(assign_partitions.items())},
+            separators=(",", ":"),
+        )
+    else:
+        opts["subscribe"] = topic
+    if starting_offsets is not None:
+        opts["startingOffsets"] = (
+            starting_offsets
+            if isinstance(starting_offsets, str)
+            else _json.dumps(starting_offsets, separators=(",", ":"))
+        )
+    return opts
 
 
 def _evolve_schema(schema: T.StructType, ops) -> T.StructType:

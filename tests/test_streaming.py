@@ -223,3 +223,27 @@ def test_monitor_log_self_compacts(spark, tmp_path, monkeypatch):
     rows = t.read().collect()
     assert len(rows) == 7
     assert {r["num"] for r in rows} == set(range(7))
+
+
+def test_kafka_source_options_assign_passthrough():
+    """B4 parity contract (no broker needed): subscribe by default;
+    assign_partitions switches to Kafka manual assignment with the
+    source's JSON shape ({topic: [partitions]}, the reference pins
+    partition = database-index, synch/broker/kafka.py:40-61); explicit
+    startingOffsets passes through as string or JSON-encoded dict."""
+    from synch_spark.streaming.pipeline import kafka_source_options
+
+    base = kafka_source_options("k:9092", "synch.db", 1000)
+    assert base == {"kafka.bootstrap.servers": "k:9092",
+                    "maxOffsetsPerTrigger": "1000",
+                    "subscribe": "synch.db"}
+    a = kafka_source_options("k:9092", "synch.db", 500,
+                             assign_partitions={"synch.db": [2, 0]})
+    assert "subscribe" not in a
+    assert a["assign"] == '{"synch.db":[0,2]}'
+    s = kafka_source_options("k:9092", "t", 1, starting_offsets="earliest")
+    assert s["startingOffsets"] == "earliest"
+    s2 = kafka_source_options(
+        "k:9092", "t", 1, assign_partitions={"t": [0]},
+        starting_offsets={"t": {"0": 42}})
+    assert s2["startingOffsets"] == '{"t":{"0":42}}'
