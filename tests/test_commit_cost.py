@@ -276,3 +276,51 @@ def test_unpartitioned_merge_delete_only_noop(spark, tmp_path):
                     spec, value_columns=["k", "p", "v"])
     assert t.current_version() == v0 + 1
     assert t.read().count() == 999
+
+
+def test_commit_latency_flat_between_checkpoints_at_10k_files(spark, tmp_path):
+    """Checkpoint-entry scaling, measured: with 10^4 live files in the
+    manifest, delta commits between checkpoints must stay O(1) — entry
+    bytes independent of the table's file count — and the every-10th
+    ckpt entry is the only O(live files) artifact (Delta-equivalent),
+    itself bounded. Pins the design claim with numbers instead of prose:
+    byte sizes are asserted exactly (deterministic); wall-clock gets a
+    loose sanity ceiling since the VM is noisy."""
+    import json
+    import time
+
+    from synch_spark.sources.table import CKPT_EVERY
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # synthetic 10^4-file checkpoint (commit-path cost depends only on
+    # the log, not on the data files' existence)
+    snap = t.snapshot()
+    big = {f"synth-{i:05d}.parquet": {} for i in range(10_000)}
+    v = t.current_version() + 1
+    t._write_entry(t._make_entry(v, big, [], snap, force_ckpt=True))
+    base_files = len(t.snapshot().files)
+    assert base_files >= 10_000
+
+    delta_bytes, ckpt_bytes, delta_s, ckpt_s = [], [], [], []
+    for _ in range(2 * CKPT_EVERY + 2):
+        base = t.current_version()
+        snap = t.snapshot(base)
+        t0 = time.perf_counter()
+        entry = t._make_entry(base + 1, {f"d-{base}.parquet": {}}, [], snap)
+        t._write_entry(entry)
+        dt = time.perf_counter() - t0
+        size = os.path.getsize(t._manifest_path(base + 1))
+        (ckpt_bytes if entry["type"] == "ckpt" else delta_bytes).append(size)
+        (ckpt_s if entry["type"] == "ckpt" else delta_s).append(dt)
+    assert ckpt_bytes and delta_bytes
+    # O(1) deltas: a few hundred bytes against a ~10^4-file table —
+    # three orders of magnitude below the ckpt entry
+    assert max(delta_bytes) < 1_000, f"delta entry not O(1): {max(delta_bytes)}B"
+    assert min(ckpt_bytes) > 100_000  # the O(live files) artifact, every 10th
+    assert max(ckpt_bytes) < 5_000_000  # ...and bounded (~35B/file)
+    delta_s.sort()
+    assert delta_s[len(delta_s) // 2] < 0.05, f"delta publish slow: {delta_s}"
+    assert max(ckpt_s) < 2.0, f"ckpt publish unbounded: {ckpt_s}"
+    # reads stay correct through the synthetic chain
+    assert len(t.snapshot().files) == base_files + len(delta_bytes) + len(ckpt_bytes)
