@@ -247,3 +247,19 @@ def test_kafka_source_options_assign_passthrough():
         "k:9092", "t", 1, assign_partitions={"t": [0]},
         starting_offsets={"t": {"0": 42}})
     assert s2["startingOffsets"] == '{"t":{"0":42}}'
+
+
+def test_warm_streaming_idempotent(spark):
+    """warm_streaming pays the streaming machinery spin-up once in the
+    shared sub-session (bench setup path): first call does real work,
+    second call is a no-op returning 0.0, and no warm-up temp views
+    leak into the sub-session catalog."""
+    from synch_spark.plans.advanced import _stream_session, warm_streaming
+
+    first = warm_streaming(spark)
+    assert first > 0.0
+    assert warm_streaming(spark) == 0.0
+    sub = _stream_session(spark)
+    leaked = [v.name for v in sub.catalog.listTables()
+              if v.name.startswith("_synch_warm_")]
+    assert leaked == []
