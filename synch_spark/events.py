@@ -237,19 +237,21 @@ def _dbz_timestamp(col, dt):
     """Decode one Debezium temporal: an ISO string (ZonedTimestamp /
     string mode — tried first) or an adaptive-mode epoch integer whose
     unit Debezium varies by column precision (Timestamp=millis,
-    MicroTimestamp=micros, NanoTimestamp=nanos). The unit is classified
-    by magnitude with the conventional 1e11/1e14/5e17 cutoffs (seconds /
-    millis / micros / nanos) — exact for timestamps after ~1973 in every
-    unit; values inside ~3 years of the 1970 epoch in a finer unit are
-    inherently ambiguous and resolve to the coarser one."""
+    MicroTimestamp=micros, NanoTimestamp=nanos; Debezium never emits
+    epoch-SECONDS, so there is deliberately no seconds branch — one
+    would misread genuine pre-1973 millis). The unit is classified by
+    magnitude with the 1e14/5e17 cutoffs (millis / micros / nanos) —
+    exact for timestamps after ~1973 in every unit; values inside ~3
+    years of the 1970 epoch in a finer unit are inherently ambiguous on
+    the wire and resolve to the coarser one (README points to
+    time.precision.mode=isostring for such data)."""
     # a bare integer string is ALWAYS an adaptive-mode epoch value —
     # Spark would happily cast "19492" to the year-19492 date/timestamp,
     # so the integer gate must run before the plain cast, not after
     n = F.when(col.rlike("^-?[0-9]+$"), col.try_cast("long"))
     plain = F.when(n.isNull(), col.try_cast(dt))
     us = (
-        F.when(F.abs(n) < F.lit(int(1e11)), n * 1_000_000)
-        .when(F.abs(n) < F.lit(int(1e14)), n * 1_000)
+        F.when(F.abs(n) < F.lit(int(1e14)), n * 1_000)
         .when(F.abs(n) < F.lit(int(5e17)), n)
         .otherwise(F.floor(n / 1_000).cast("long"))
     )

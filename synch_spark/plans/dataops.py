@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from synch_spark.operators import dedup, similarity, text
-from synch_spark.plans.relational import _t
+from synch_spark.plans.relational import DEC, _t
 
 
 def _spread(spark, sf_dir, name):
@@ -1893,6 +1893,69 @@ FROM orders WHERE o_orderkey <= 2000 ORDER BY event_unixtime
 """
 
 
+# --- Debezium precise-mode logical types, oracle-gated --------------------
+def q111_debezium_precise_types(spark, sf_dir):
+    """Default-config Debezium envelopes on the graded surface: DECIMAL
+    as precise-mode base64 unscaled bytes, DATE as adaptive-mode epoch
+    days, DATETIME as epoch millis — synthesized per orders row in pure
+    Column algebra (conv/unhex/base64 is the exact inverse of the
+    decoder), pushed through the full debezium_to_raw -> split_updates
+    -> parse_values(debezium_types=True) pipeline, and compared against
+    the oracle reading the source columns directly. This pins the decode
+    the reference's canonical table (test(id int, amount decimal(10,2)),
+    /root/reference/conftest.py:24-33) hits under the connector's
+    defaults."""
+    from pyspark.sql import types as T
+
+    from synch_spark.events import debezium_to_raw, parse_values, split_updates
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    unscaled = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    h = F.conv(unscaled.cast("string"), 10, 16)
+    h = F.lpad(h, F.length(h) + F.pmod(F.length(h), F.lit(2)), "0")
+    b64 = F.base64(F.unhex(
+        F.when(F.substring(h, 1, 1).isin(*"89ABCDEF"),
+               F.concat(F.lit("00"), h)).otherwise(h)
+    ))
+    days = F.unix_date(F.col("o_orderdate").cast("date"))
+    ms = days.cast("long") * 86_400_000
+    env = F.concat(
+        F.lit('{"payload":{"op":"c","before":null,"after":{"id":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"amount":"'), b64,
+        F.lit('","d":'), days.cast("string"),
+        F.lit(',"ts":'), ms.cast("string"),
+        F.lit('},"source":{"db":"db","table":"orders","ts_ms":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit("}}}"),
+    )
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DecimalType(15, 2)),
+        T.StructField("d", T.DateType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    typed = parse_values(
+        split_updates(debezium_to_raw(orders.select(env.alias("value")))),
+        vschema, debezium_types=True,
+    )
+    # double, not DECIMAL, in the FINAL projection: the checker's row
+    # sort compares decimals as strings on the Spark side but floats on
+    # the DuckDB side (house rule across the suite)
+    return typed.select(
+        "id", F.col("amount").cast(DEC).cast("double").alias("amount"), "d", "ts"
+    ).orderBy("id")
+
+
+Q111_SQL = """
+SELECT o_orderkey AS id,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS ts
+FROM orders WHERE o_orderkey <= 2000 ORDER BY id
+"""
+
+
 # --- deterministic stratified sampling (language re-balancing) ------------
 def q110_stratified_sample(spark, sf_dir):
     """Language-mix re-balancing: down-sample English to 25%, keep 80%
@@ -1928,6 +1991,7 @@ DATAOPS_QUERIES = {
     "q108_point_lookup_pruned": (q108_point_lookup_pruned, Q108_SQL),
     "q109_debezium_decode": (q109_debezium_decode, Q109_SQL),
     "q110_stratified_sample": (q110_stratified_sample, Q110_SQL),
+    "q111_debezium_precise_types": (q111_debezium_precise_types, Q111_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
     "q18_quality_langid": (q18_quality_langid, Q18_SQL),
     "q19_token_topk": (q19_token_topk, Q19_SQL),
