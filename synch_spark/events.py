@@ -204,13 +204,16 @@ def _dbz_decimal(col, dt: T.DecimalType):
     (string/double handling mode — tried first) or precise-mode base64
     of the big-endian two's-complement unscaled integer.
 
-    The byte decode is pure Column: unbase64 -> hex -> conv(16,10) gives
-    the unsigned 64-bit value; the sign corrects by subtracting 2^(8*len)
-    when the high bit is set. Supported up to 8 unscaled bytes —
-    every DECIMAL(<=18, s), which covers MySQL/PG money-style columns
-    (the canonical decimal(10,2) needs 2-5 bytes). Wider precise-mode
-    decimals decode to NULL; configure the connector with
-    ``decimal.handling.mode=string`` for those (README recipe does).
+    The byte decode is pure Column: unbase64 -> hex -> a positional
+    hex-digit fold (see inline comment for why neither limb
+    multiplication nor numeric negation/division is usable — Spark's
+    Decimal multiply and unary minus round through MathContext
+    DECIMAL128, 34 significant digits). Negatives fold the complemented
+    digits (two's-complement identity -(~x + 1)); sign and scale apply
+    on the digit STRING. Every unscaled magnitude that fits the
+    declared precision (<= 38 digits, Debezium's own limit) round-trips
+    exactly, 1 through 16 bytes; >16 bytes cannot encode a legal
+    DECIMAL(38) minimally and decodes NULL.
     """
     import decimal as _d
 
@@ -218,19 +221,67 @@ def _dbz_decimal(col, dt: T.DecimalType):
     b = F.try_to_binary(col, F.lit("base64"))
     hx = F.hex(b)
     n = F.length(b)
-    u = F.conv(hx, 16, 10).try_cast(T.DecimalType(20, 0))
     neg = F.substring(hx, 1, 1).isin("8", "9", "A", "B", "C", "D", "E", "F")
-    pow2 = F.element_at(
-        F.array(*[F.lit(_d.Decimal(2 ** (8 * l))) for l in range(1, 9)]),
-        n.cast("int"),
+    D38 = T.DecimalType(38, 0)
+    # Positional hex-digit SUM, no multiplication: Spark's Decimal
+    # multiply rounds through MathContext DECIMAL128 (34 significant
+    # digits), so any limb product reaching 35+ digits silently loses
+    # precision — a 2^64-limb combine corrupts exactly the wide values
+    # it exists for. Addition is exact to the full 38 digits, so the
+    # unscaled value folds as sum(digit_value[position]) over the hex
+    # string, with every digit*16^p precomputed exactly as one of 512
+    # Python-Decimal literals. Negatives use the two's-complement
+    # identity -(~x + 1): complement each digit (15-d) inside the same
+    # fold, add 1, negate — no 2^128 term that would overflow.
+    # entries whose digit*16^p alone exceeds 38 digits cannot occur in a
+    # payload encoding a legal DECIMAL(<=38); they NULL the fold (the
+    # over-precision-payload -> NULL contract) — and a 39-digit literal
+    # would fail to construct at all
+    digit_pow = F.array(
+        *[
+            F.lit(_d.Decimal(v)) if (v := d * (16**p)) < 10**38
+            else F.lit(None).cast(T.DecimalType(38, 0))
+            for p in range(32)
+            for d in range(16)
+        ]
     )
-    signed = F.when(neg, u - pow2).otherwise(u)
-    scaled = (
-        signed.cast(T.DecimalType(38, 0)) / F.lit(10**dt.scale)
-        if dt.scale
-        else signed
-    ).try_cast(dt)
-    return F.coalesce(plain, F.when((n >= 1) & (n <= 8), scaled))
+    ln = F.length(hx).cast("int")
+
+    def step(acc, i):
+        d = F.conv(F.substring(hx, i, F.lit(1)), 16, 10).cast("int")
+        d_eff = F.when(neg, F.lit(15) - d).otherwise(d)
+        # the raw sum type is (39,0); every LEGAL value fits 38 digits
+        # (complemented folds sum to magnitude-1), so the try_cast is
+        # exact — and a payload encoding >= 10^38 nulls out instead of
+        # raising under ANSI
+        return (acc + F.element_at(digit_pow, (ln - i) * 16 + d_eff + 1)).try_cast(D38)
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), ln), F.lit(_d.Decimal(0)).cast(D38), step
+    )
+    # NEVER negate or divide the wide decimal numerically: Spark's
+    # unary minus rounds through MathContext DECIMAL128 (34 significant
+    # digits) and division's result type (38, max(6,s)) overflows under
+    # ANSI at legal extremes. The magnitude stays non-negative through
+    # the fold; sign and scale are applied on the DIGIT STRING (prepend
+    # '-', insert the point), which is exact at any width.
+    mag = F.when(neg, (total + 1).try_cast(D38)).otherwise(total)
+    digits = mag.cast("string")
+    if dt.scale:
+        padded = F.lpad(
+            digits, F.greatest(F.length(digits), F.lit(dt.scale + 1)), "0"
+        )
+        cut = F.length(padded) - dt.scale
+        txt = F.concat(
+            F.when(neg, F.lit("-")).otherwise(F.lit("")),
+            F.substring(padded, F.lit(1), cut),
+            F.lit("."),
+            F.substring(padded, cut + 1, F.lit(dt.scale)),
+        )
+    else:
+        txt = F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("")), digits)
+    scaled = txt.try_cast(dt)
+    return F.coalesce(plain, F.when((n >= 1) & (n <= 16), scaled))
 
 
 def _dbz_timestamp(col, dt):

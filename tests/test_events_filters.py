@@ -265,3 +265,64 @@ def test_debezium_precise_mode_types(spark):
     wide = raw([(9, unscaled_b64(10**20), None, None)])
     w = parse_values(split_updates(wide), vschema, debezium_types=True).collect()
     assert w[0]["amount"] is None
+
+
+def test_debezium_precise_wide_decimals_two_limb(spark):
+    """Precise-mode DECIMAL beyond 8 unscaled bytes (precision up to
+    38): the two-limb decode must round-trip EXACTLY, including
+    negatives (two's-complement identity per limb — no 2^128 term that
+    would overflow decimal(38)) and values at the 1/8/9/16-byte
+    boundaries. >16 bytes cannot encode a legal DECIMAL(38) minimally
+    and decodes NULL."""
+    import base64 as _b64
+    import json as _json
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from synch_spark.events import RAW_EVENT_SCHEMA, parse_values, split_updates
+
+    def b64(unscaled: int) -> str:
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        return _b64.b64encode(unscaled.to_bytes(nbytes, "big", signed=True)).decode()
+
+    unscaled_vals = [
+        0, 1, -1, 127, -128, 255, -256,                      # 1-2 bytes
+        2**63 - 1, -(2**63), 2**63, -(2**63) - 1,            # 8/9-byte boundary
+        2**64 - 1, 2**64, -(2**64),                          # limb boundary
+        10**19, -(10**19), 10**25 + 7, -(10**25 + 7),        # mid-range wide
+        10**38 - 1, -(10**38 - 1),                           # 16-byte extremes
+        2**119, -(2**119),                                   # minimal-16-byte edge
+    ]
+    scale = 4
+    rows = [("db", "t", "insert", None,
+             _json.dumps({"id": i, "amount": b64(u)}), 1000)
+            for i, u in enumerate(unscaled_vals)]
+    raw = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DecimalType(38, scale)),
+    ])
+    got = {r["id"]: r["amount"] for r in parse_values(
+        split_updates(raw), vschema, debezium_types=True).collect()}
+    for i, u in enumerate(unscaled_vals):
+        # string construction, not division/scaleb: both apply the
+        # default 28-digit context and would corrupt the reference
+        want = Decimal(f"{u}E-{scale}")
+        assert got[i] == want, f"unscaled {u}: got {got[i]}, want {want}"
+    # scale-0 path too (no division branch)
+    vschema0 = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DecimalType(38, 0)),
+    ])
+    got0 = {r["id"]: r["amount"] for r in parse_values(
+        split_updates(raw), vschema0, debezium_types=True).collect()}
+    for i, u in enumerate(unscaled_vals):
+        assert got0[i] == Decimal(u)
+    # 17-byte payload -> NULL (not a legal minimal DECIMAL(38) encoding)
+    over = spark.createDataFrame(
+        [("db", "t", "insert", None, _json.dumps(
+            {"id": 0, "amount": _b64.b64encode(b"\x01" + b"\x00" * 16).decode()}),
+          1000)], RAW_EVENT_SCHEMA)
+    w = parse_values(split_updates(over), vschema, debezium_types=True).collect()
+    assert w[0]["amount"] is None
