@@ -45,6 +45,25 @@ def _stream_session(spark, partitions: int = 8):
             or str(partitions)
         )
         sub.conf.set("spark.sql.shuffle.partitions", n)
+        # state-store backend knob: the default HDFSBackedStateStore
+        # holds every key's state in executor HEAP — fine at bench
+        # scale, an OOM at 100 TB/day streaming dedup or sessionization
+        # state. spark.synch.stream.statestore=rocksdb (or env
+        # SPARK_SYNCH_STREAM_STATESTORE) switches the sub-session to
+        # Spark's bundled RocksDB provider: state lives off-heap/on-disk
+        # with incremental checkpointing, the deployment setting for
+        # large stateful topologies. Left default locally — RocksDB's
+        # per-micro-batch fixed cost only amortizes on real state sizes.
+        backend = (
+            spark.conf.get("spark.synch.stream.statestore", None)
+            or os.environ.get("SPARK_SYNCH_STREAM_STATESTORE")
+        )
+        if backend and backend.lower() == "rocksdb":
+            sub.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
         _STREAM_SESSIONS[spark] = sub
     return sub
 

@@ -324,3 +324,36 @@ def test_commit_latency_flat_between_checkpoints_at_10k_files(spark, tmp_path):
     assert max(ckpt_s) < 2.0, f"ckpt publish unbounded: {ckpt_s}"
     # reads stay correct through the synthetic chain
     assert len(t.snapshot().files) == base_files + len(delta_bytes) + len(ckpt_bytes)
+
+
+def test_unpartitioned_merge_bloom_refines_overlapping_ranges(spark, tmp_path):
+    """The unpartitioned CoW path consults Bloom sidecars exactly like
+    the partitioned one: two files with fully OVERLAPPING pk min/max
+    (interleaved even/odd keys) are both range-hits for any batch key,
+    but the bloom proves the odd-keyed file holds no even key — one
+    file rewrites, the other carries by name."""
+    from synch_spark.sources.bloom import build_file_blooms
+    from synch_spark.sources.manifest import refresh_manifest
+
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by=None)
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    evens = spark.createDataFrame([(k, "a", 1.0) for k in range(0, 2000, 2)],
+                                  "k long, p string, v double").coalesce(1)
+    odds = spark.createDataFrame([(k, "a", 1.0) for k in range(1, 2000, 2)],
+                                 "k long, p string, v double").coalesce(1)
+    t.overwrite(evens)
+    t.append(odds)
+    assert len(t.snapshot().files) == 2
+    build_file_blooms(t, "k")
+    refresh_manifest(t, "k")
+
+    before = set(t.snapshot().files)
+    apply_cdc_batch(t, _events(spark, [("insert", 500, "a", -1.0, 10)]),
+                    spec, value_columns=["k", "p", "v"])
+    after = set(t.snapshot().files)
+    carried = before & after
+    # the odd-keyed file survived by name despite its range covering 500
+    assert len(carried) == 1, f"bloom did not refine: carried {carried}"
+    assert t.read().filter("k = 500").collect()[0]["v"] == -1.0
+    assert t.read().count() == 2000

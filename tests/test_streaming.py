@@ -263,3 +263,25 @@ def test_warm_streaming_idempotent(spark):
     leaked = [v.name for v in sub.catalog.listTables()
               if v.name.startswith("_synch_warm_")]
     assert leaked == []
+
+
+def test_rocksdb_state_store_backend(spark):
+    """spark.synch.stream.statestore=rocksdb switches the streaming
+    sub-session to Spark's bundled RocksDB provider (the bounded-memory
+    deployment setting for large state) and stateful results are
+    identical to the default heap-backed store."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    q102 = m.queries()["q102_streaming_dedup"]
+    base = sorted(tuple(r) for r in q102(spark, sf).collect())
+
+    from synch_spark.plans.advanced import _stream_session
+
+    parent = spark.newSession()
+    parent.conf.set("spark.synch.stream.statestore", "rocksdb")
+    sub = _stream_session(parent)
+    assert "RocksDBStateStoreProvider" in sub.conf.get(
+        "spark.sql.streaming.stateStore.providerClass")
+    got = sorted(tuple(r) for r in q102(parent, sf).collect())
+    assert got == base
