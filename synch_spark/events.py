@@ -143,7 +143,10 @@ def annotate_sign(events: DataFrame, sign_column: str = "sign") -> DataFrame:
 
 
 def parse_values(
-    events: DataFrame, value_schema: T.StructType, debezium_types: bool = False
+    events: DataFrame,
+    value_schema: T.StructType,
+    debezium_types: bool = False,
+    decimal_mode: str = "auto",
 ) -> DataFrame:
     """Expand the JSON ``values`` payload into typed columns for one table.
 
@@ -169,6 +172,16 @@ def parse_values(
     stream can mix native producers with precise-mode envelopes, and
     ``decimal.handling.mode=string``/``double`` connectors keep working
     unchanged. Still pure Column algebra — codegen, streamable.
+
+    ``decimal_mode`` resolves the one genuine wire ambiguity: a
+    precise-mode base64 payload can ALSO look numeric (``b64encode(
+    b'\xf7\xdf\x7d') == "9999"``), so "auto" (plain-first) would
+    misread such a value, and string-mode "9999" read base64-first
+    would misread the other way. Set "precise" or "string" to match
+    the connector's decimal.handling.mode and the decode is
+    unambiguous; "auto" keeps plain-first (right for the README's
+    recommended string mode, and for every base64 payload containing a
+    non-digit character).
     """
     if not debezium_types:
         return events.withColumn("_row", F.from_json("values", value_schema)).select(
@@ -188,7 +201,7 @@ def parse_values(
     for f in value_schema.fields:
         c = F.col(f"_row.{f.name}")
         if isinstance(f.dataType, T.DecimalType):
-            c = _dbz_decimal(c, f.dataType)
+            c = _dbz_decimal(c, f.dataType, decimal_mode)
         elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
             c = _dbz_timestamp(c, f.dataType)
         elif isinstance(f.dataType, T.DateType):
@@ -199,7 +212,7 @@ def parse_values(
     )
 
 
-def _dbz_decimal(col, dt: T.DecimalType):
+def _dbz_decimal(col, dt: T.DecimalType, mode: str = "auto"):
     """Decode one Debezium DECIMAL value: a plain numeric string
     (string/double handling mode — tried first) or precise-mode base64
     of the big-endian two's-complement unscaled integer.
@@ -219,6 +232,8 @@ def _dbz_decimal(col, dt: T.DecimalType):
 
     plain = col.try_cast(dt)
     b = F.try_to_binary(col, F.lit("base64"))
+    if mode == "string":
+        return plain  # connector pinned to string/double handling
     hx = F.hex(b)
     n = F.length(b)
     neg = F.substring(hx, 1, 1).isin("8", "9", "A", "B", "C", "D", "E", "F")
@@ -280,8 +295,12 @@ def _dbz_decimal(col, dt: T.DecimalType):
         )
     else:
         txt = F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("")), digits)
-    scaled = txt.try_cast(dt)
-    return F.coalesce(plain, F.when((n >= 1) & (n <= 16), scaled))
+    scaled = F.when((n >= 1) & (n <= 16), txt.try_cast(dt))
+    if mode == "precise":
+        # connector pinned to precise handling: bytes are authoritative,
+        # the numeric read is only a fallback for non-base64 payloads
+        return F.coalesce(scaled, plain)
+    return F.coalesce(plain, scaled)
 
 
 def _dbz_timestamp(col, dt):
@@ -296,17 +315,52 @@ def _dbz_timestamp(col, dt):
     years of the 1970 epoch in a finer unit are inherently ambiguous on
     the wire and resolve to the coarser one (README points to
     time.precision.mode=isostring for such data)."""
+    import decimal as _d
+
     # a bare integer string is ALWAYS an adaptive-mode epoch value —
     # Spark would happily cast "19492" to the year-19492 date/timestamp,
     # so the integer gate must run before the plain cast, not after
     n = F.when(col.rlike("^-?[0-9]+$"), col.try_cast("long"))
     plain = F.when(n.isNull(), col.try_cast(dt))
+    # bounds are written out (no F.abs): abs(Long.MIN_VALUE) raises
+    # ARITHMETIC_OVERFLOW under ANSI and one adversarial envelope would
+    # kill the whole micro-batch. The nanos branch floor-divides in
+    # decimal: long floor(n/1000.0) loses exactness past 2^53 (off-by-
+    # one-microsecond decodes), and (n - pmod) in long underflows at
+    # the Long.MIN edge.
+    lo_ms, hi_ms = F.lit(-(10**14)), F.lit(10**14)
+    lo_us, hi_us = F.lit(-(5 * 10**17)), F.lit(5 * 10**17)
+    nd = n.cast(T.DecimalType(38, 0))
+    nanos_us = (
+        (nd - F.pmod(nd, F.lit(_d.Decimal(1000)))) / F.lit(_d.Decimal(1000))
+    ).cast("long")
     us = (
-        F.when(F.abs(n) < F.lit(int(1e14)), n * 1_000)
-        .when(F.abs(n) < F.lit(int(5e17)), n)
-        .otherwise(F.floor(n / 1_000).cast("long"))
+        F.when((n > lo_ms) & (n < hi_ms), n * 1_000)
+        .when((n > lo_us) & (n < hi_us), n)
+        .otherwise(nanos_us)
     )
-    return F.coalesce(plain, F.timestamp_micros(us.cast("long")).cast(dt))
+    if isinstance(dt, T.TimestampNTZType):
+        # NTZ must not round-trip through TimestampType: that cast
+        # renders in the SESSION time zone, silently shifting every
+        # adaptive-mode DATETIME in a non-UTC session. Build the UTC
+        # wall-clock arithmetically instead — exact and tz-independent.
+        day_us = _d.Decimal(86_400_000_000)
+        usd = us.cast(T.DecimalType(38, 0))
+        rem = F.pmod(usd, F.lit(day_us))
+        days = ((usd - rem) / F.lit(day_us)).cast("int")
+        rem_l = rem.cast("long")  # < 8.64e10: exact in every numeric type
+        d = F.date_add(F.lit("1970-01-01").cast("date"), days)
+        h = F.floor(rem_l / 3_600_000_000).cast("int")
+        mi = F.floor(F.pmod(rem_l, 3_600_000_000) / 60_000_000).cast("int")
+        secs = (
+            F.pmod(rem_l, 60_000_000).cast(T.DecimalType(16, 6)) / 1_000_000
+        ).cast(T.DecimalType(16, 6))
+        decoded = F.make_timestamp_ntz(
+            F.year(d), F.month(d), F.dayofmonth(d), h, mi, secs
+        )
+    else:
+        decoded = F.timestamp_micros(us.cast("long")).cast(dt)
+    return F.coalesce(plain, decoded)
 
 
 def _dbz_date(col):

@@ -94,11 +94,17 @@ def _apply_merging(
         if not table.exists:
             table.overwrite(upserts, spec.partition_by)
             return
+        # anchor the whole read-classify-commit cycle to ONE version: a
+        # concurrent commit (compaction, second consumer) in between
+        # fails the CoW commit with ConcurrentWriteError instead of
+        # silently double-writing the touched rows
+        base = table.current_version()
         current = table.read()
         changed_keys = net.select(*pk)
         if spec.partition_by and spec.partition_by in current.columns:
-            _merge_cow(table, current, changed_keys, upserts, spec)
-        elif _merge_cow_unpartitioned(table, current, changed_keys, upserts, spec):
+            _merge_cow(table, current, changed_keys, upserts, spec, base)
+        elif _merge_cow_unpartitioned(table, current, changed_keys, upserts,
+                                      spec, base):
             pass  # file-level CoW committed (or proven no-op)
         else:
             # Stats couldn't prove anything (null keys / unorderable
@@ -119,6 +125,7 @@ def _merge_cow(
     changed_keys: DataFrame,
     upserts: DataFrame,
     spec: TableSpec,
+    base: int | None = None,
 ) -> None:
     """Partition-scoped MERGE (copy-on-write).
 
@@ -148,11 +155,13 @@ def _merge_cow(
     )
     kept = affected.join(F.broadcast(changed_keys), list(pk), "left_anti")
     table.overwrite_cow(
-        kept.unionByName(upserts.select(*current.columns)), part, vals, file_links=links
+        kept.unionByName(upserts.select(*current.columns)), part, vals,
+        file_links=links, expected_base=base,
     )
 
 
-def _merge_cow_unpartitioned(table, current, changed_keys, upserts, spec) -> bool:
+def _merge_cow_unpartitioned(table, current, changed_keys, upserts, spec,
+                             base=None) -> bool:
     """File-level MERGE for a table with no partition column.
 
     Runs the same stats+bloom file classification as the partitioned
@@ -179,7 +188,8 @@ def _merge_cow_unpartitioned(table, current, changed_keys, upserts, spec) -> boo
         os.path.relpath(p, table._data).replace(os.sep, "/") for p in candidates
     ]
     table.overwrite_cow_files(
-        kept.unionByName(upserts.select(*current.columns)), remove_rels
+        kept.unionByName(upserts.select(*current.columns)), remove_rels,
+        expected_base=base,
     )
     return True
 
@@ -243,7 +253,12 @@ def _classify_files(table, changed_keys, upserts, part, pk):
         for dirname, files in by_dir.items():
             cand_here, link_here = [], []
             for f in files:
-                rel = f"{dirname}/{os.path.basename(f)}"
+                base = os.path.basename(f)
+                # no leading slash for root-dir files: the manifest (and
+                # bloom sidecars) key bare basenames for unpartitioned
+                # tables — "/part-x" would never match and every merge
+                # would fall back to a per-file parquet footer read
+                rel = f"{dirname}/{base}" if dirname else base
                 if rel in manifest:
                     rng = manifest[rel]
                 else:

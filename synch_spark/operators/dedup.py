@@ -270,19 +270,24 @@ def lsh_candidate_pairs(
     # pair generation as ONE pass: group bucket members, emit combinations
     # in-expression (no self-join -> the whole shingle/minhash pipeline
     # executes once, and the shuffle key is (band, bucket))
-    members = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    members = buckets.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
     )
     if observation is not None:
+        # NOTE: when the query's final result is EMPTY, AQE can
+        # eliminate the CollectMetrics node entirely and
+        # observation.get throws — retrieve through
+        # observed_dropped_buckets(), which maps that case to 0.
         members = members.observe(
             observation,
-            F.sum(
-                F.when(F.size("ids") > max_bucket_size, 1).otherwise(0)
-            ).alias("dropped_buckets"),
+            F.coalesce(
+                F.sum(F.when(F.size("ids") > max_bucket_size, 1).otherwise(0)),
+                F.lit(0),
+            ).alias("dropped_buckets"),  # 0, not NULL, on an empty corpus
         )
-    members = members.filter(F.size("ids") <= max_bucket_size)
+    members = members.filter(
+        (F.size("ids") > 1) & (F.size("ids") <= max_bucket_size)
+    )
     pairs = members.select(
         F.explode(
             F.flatten(
@@ -298,6 +303,20 @@ def lsh_candidate_pairs(
     )
     return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
 
+
+
+def observed_dropped_buckets(observation) -> int:
+    """The dropped_buckets metric from an lsh_candidate_pairs
+    Observation, as an int. Returns 0 when Spark never recorded the
+    metric — with an empty final result AQE eliminates the
+    CollectMetrics node and Observation.get raises; in that case either
+    nothing was dropped, or the whole plan (including any dropped
+    bucket) collapsed to empty, where 0 is the useful reading for a
+    monitoring counter."""
+    try:
+        return int(observation.get.get("dropped_buckets") or 0)
+    except Exception:  # noqa: BLE001 — metrics node eliminated
+        return 0
 
 # --- duplicate clustering (connected components) ------------------------
 def cluster_duplicates(

@@ -391,7 +391,6 @@ class ParquetTable:
             os.replace(tmp, ptr)
         except OSError:
             pass  # the hint is best-effort; the log already committed
-        floor = v
         if v >= 1:
             try:
                 prev = self._entry(v - 1)
@@ -403,14 +402,10 @@ class ParquetTable:
                         os.remove(os.path.join(self._data, rel))
                     except OSError:
                         pass
-                floor = v - 1
-                e = prev
-                while e["type"] != "ckpt":
-                    floor = e["base"]
-                    try:
-                        e = self._entry(floor)
-                    except (OSError, json.JSONDecodeError):
-                        break
+        # ONE definition of the retention floor (shared with the
+        # stats-patch orphan check) — two diverging copies of this walk
+        # would let the GC and the patch path disagree on liveness
+        floor = self._retained_floor()
         for name in os.listdir(self._mdir):
             if name.startswith("v=") and name.endswith(".json"):
                 try:
@@ -710,6 +705,7 @@ class ParquetTable:
         partition_by: str,
         touched_values: list,
         file_links: dict[str, list[str]] | None = None,
+        expected_base: int | None = None,
     ) -> None:
         """Partition-level copy-on-write commit.
 
@@ -733,12 +729,23 @@ class ParquetTable:
         ClickHouse background merges: at 100 TB a micro-batch touching k
         of N files pays O(k) data writes + O(k) log bytes, never O(N)
         anything.
+
+        ``expected_base``: the version the caller classified/probed
+        against — a concurrent commit in between then fails this commit
+        with ConcurrentWriteError instead of silently double-writing
+        the touched partitions' rows (see overwrite_cow_files).
         """
-        v_old = self.current_version()
+        v_old = self.current_version() if expected_base is None else expected_base
         if v_old < 0:
             self.overwrite(df, partition_by)
             return
-        snap = self.snapshot(v_old)
+        try:
+            snap = self.snapshot(v_old)
+        except FileNotFoundError as e:
+            raise ConcurrentWriteError(
+                f"table {self.root}: base version {v_old} no longer retained; "
+                f"retry the merge"
+            ) from e
         df = self._stamp_gen(df, snap.schema_doc)
         staging = self._staging_dir()
         df.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
@@ -764,7 +771,12 @@ class ParquetTable:
         )
         self._write_entry(entry, cleanup_rels=rels)
 
-    def overwrite_cow_files(self, df: DataFrame, remove_rels: list[str]) -> None:
+    def overwrite_cow_files(
+        self,
+        df: DataFrame,
+        remove_rels: list[str],
+        expected_base: int | None = None,
+    ) -> None:
         """File-level copy-on-write commit for UNPARTITIONED tables.
 
         ``df`` is the complete replacement content for exactly the files
@@ -776,12 +788,26 @@ class ParquetTable:
         rewrite per micro-batch merge — at 100 TB a scale-killer. With
         it, a merge intersecting k of N files costs O(k) I/O + one log
         publish, same as the partitioned ``overwrite_cow``.
+
+        ``expected_base`` anchors the read-modify-write exactly like
+        ``overwrite``: pass the version the caller CLASSIFIED against.
+        Without it, a concurrent commit (e.g. a compaction) landing
+        between classification and this call would be silently merged
+        into duplicates — the remove-list's files are gone from the new
+        head, so nothing is removed, while the caller's rewrite of
+        their contents is added on top (lost update, duplicate pks).
         """
-        v_old = self.current_version()
+        v_old = self.current_version() if expected_base is None else expected_base
         if v_old < 0:
             self.overwrite(df)
             return
-        snap = self.snapshot(v_old)
+        try:
+            snap = self.snapshot(v_old)
+        except FileNotFoundError as e:
+            raise ConcurrentWriteError(
+                f"table {self.root}: base version {v_old} no longer retained; "
+                f"retry the merge"
+            ) from e
         df = self._stamp_gen(df, snap.schema_doc)
         staging = self._staging_dir()
         df.write.mode("overwrite").parquet(staging)

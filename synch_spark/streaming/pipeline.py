@@ -136,9 +136,10 @@ class CdcPipeline:
         return ParquetTable(self.spark, f"{self.warehouse}/{spec.schema}/{spec.table}")
 
     # -- the batch applier (runs once per micro-batch on the driver) --------
-    def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+    def apply_batch(self, batch: DataFrame, epoch_id: int,
+                    debezium_types: bool | None = None) -> None:
         try:
-            self._apply_batch(batch, epoch_id)
+            self._apply_batch(batch, epoch_id, debezium_types)
         except Exception:
             # E6 channel: the record reaches whatever alerts.configure_alerts
             # attached (SMTP at ERROR, rate-limited) before the stream dies;
@@ -150,7 +151,14 @@ class CdcPipeline:
             )
             raise
 
-    def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+    def _apply_batch(self, batch: DataFrame, epoch_id: int,
+                     debezium_types: bool | None = None) -> None:
+        # per-STREAM decode choice: a Debezium stream must not flip the
+        # semantics of a raw-format stream sharing this pipeline, so the
+        # flag arrives with the batch; the instance field is only the
+        # default for direct callers/file streams
+        if debezium_types is None:
+            debezium_types = self.debezium_types
         raw = batch.persist()
         batch = raw
         try:
@@ -196,14 +204,15 @@ class CdcPipeline:
                     seg = seg.filter(F.col("event_unixtime") >= lo)
                 if hi is not None:
                     seg = seg.filter(F.col("event_unixtime") < hi)
-                self._apply_data_segment(seg)
+                self._apply_data_segment(seg, debezium_types)
                 if hi is not None:
                     self._apply_ddl(ddls[i])
                     lo = hi
         finally:
             raw.unpersist()
 
-    def _apply_data_segment(self, seg: DataFrame) -> None:
+    def _apply_data_segment(self, seg: DataFrame,
+                            debezium_types: bool = False) -> None:
         # one merge per table present in the segment; table list is tiny
         present = [
             (r["schema"], r["table"])
@@ -226,7 +235,7 @@ class CdcPipeline:
                 )
                 continue
             typed = parse_values(tevents, vschema,
-                                 debezium_types=self.debezium_types)
+                                 debezium_types=debezium_types)
             sink = self.jdbc_sinks.get(spec.qualified_name)
             if sink is not None:
                 sink.apply_batch(typed, spec)
@@ -405,20 +414,21 @@ class CdcPipeline:
                     "2.13:<spark-version> or use the file-spool stream"
                 ) from e
             raise
-        if value_format == "debezium":
+        dbz = value_format == "debezium"
+        if dbz:
             from synch_spark.events import debezium_to_raw
 
-            # per-table typing must also decode Debezium's default
-            # logical-type encodings (precise DECIMAL, adaptive temporals)
-            self.debezium_types = True
             raw = debezium_to_raw(loaded, "value")
         else:
             raw = loaded.select(
                 F.from_json(F.col("value").cast("string"), RAW_EVENT_SCHEMA).alias("e")
             ).select("e.*")
-        writer = raw.writeStream.foreachBatch(self.apply_batch).option(
-            "checkpointLocation", self.checkpoint_dir
-        )
+        # per-table typing of a Debezium stream must also decode the
+        # connector's default logical-type encodings (precise DECIMAL,
+        # adaptive temporals) — scoped to THIS stream's batches
+        writer = raw.writeStream.foreachBatch(
+            lambda b, e: self.apply_batch(b, e, debezium_types=dbz)
+        ).option("checkpointLocation", self.checkpoint_dir)
         interval = processing_interval or f"{self.cfg.insert_interval_s} seconds"
         return writer.trigger(processingTime=interval).start()
 

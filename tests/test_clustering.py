@@ -115,7 +115,8 @@ def test_lsh_bucket_size_cap_bounds_degenerate_buckets(spark):
     got = {tuple(r) for r in capped.collect()}
     # the mega-bucket's 1770 pairs are gone; the honest near-dup remains
     assert got == {(100, 101)}
-    assert obs.get["dropped_buckets"] >= 1
+    from synch_spark.operators.dedup import observed_dropped_buckets
+    assert observed_dropped_buckets(obs) >= 1
     # cap above the bucket size: byte-identical to the uncapped plan
     uncapped = {tuple(r) for r in lsh_candidate_pairs(
         docs, "text", "doc_id", 8, 4, 3).collect()}

@@ -261,3 +261,154 @@ def test_estimate_jaccard_unbuilt_index_raises(spark, tmp_path):
     pairs = spark.createDataFrame([(2, 1)], ["new_id", "dup_of"])
     with _pytest.raises(ValueError, match="no signatures"):
         idx.estimate_jaccard(pairs)
+
+
+# --- round-4 code-review findings ----------------------------------------
+
+def test_decimal_mode_resolves_base64_numeric_ambiguity(spark):
+    """b64encode(b'\\xf7\\xdf\\x7d') == '9999': the same wire string is a
+    valid number AND valid base64 of unscaled -532611. decimal_mode
+    pins the reading: 'precise' decodes bytes-first (-5326.11),
+    'string' never touches base64 (9999.00), 'auto' stays plain-first."""
+    import base64
+    from decimal import Decimal
+
+    assert base64.b64encode(b"\xf7\xdf\x7d").decode() == "9999"
+    raw = spark.createDataFrame(
+        [("db", "t", "insert", None, '{"id": 1, "amount": "9999"}', 1000)],
+        RAW_EVENT_SCHEMA)
+    vschema = T.StructType([T.StructField("id", T.LongType()),
+                            T.StructField("amount", T.DecimalType(10, 2))])
+
+    def amount(mode):
+        return parse_values(split_updates(raw), vschema, debezium_types=True,
+                            decimal_mode=mode).collect()[0]["amount"]
+
+    assert amount("precise") == Decimal("-5326.11")
+    assert amount("string") == Decimal("9999.00")
+    assert amount("auto") == Decimal("9999.00")
+    # non-ambiguous base64 (contains padding/letters) decodes under auto
+    raw2 = spark.createDataFrame(
+        [("db", "t", "insert", None, '{"id": 1, "amount": "MDk="}', 1000)],
+        RAW_EVENT_SCHEMA)
+    got = parse_values(split_updates(raw2), vschema, debezium_types=True).collect()
+    assert got[0]["amount"] == Decimal("123.45")
+
+
+def test_ntz_timestamp_decode_session_tz_independent(spark):
+    """Adaptive-mode epoch ints decoded into TimestampNTZType must give
+    the UTC wall clock regardless of spark.sql.session.timeZone — a
+    cast through TimestampType would render in the session zone."""
+    import datetime
+
+    raw = spark.createDataFrame(
+        [("db", "t", "insert", None,
+          '{"id": 1, "ts": 1684144800123456}', 1000)], RAW_EVENT_SCHEMA)
+    vschema = T.StructType([T.StructField("id", T.LongType()),
+                            T.StructField("ts", T.TimestampNTZType())])
+    want = datetime.datetime(2023, 5, 15, 10, 0, 0, 123456)
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = parse_values(split_updates(raw), vschema,
+                               debezium_types=True).collect()[0]["ts"]
+            assert got == want, f"tz={tz}: {got}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_adversarial_epoch_values_do_not_crash(spark):
+    """Long.MIN_VALUE in a timestamp column must not raise
+    ARITHMETIC_OVERFLOW (F.abs would) — the batch survives, the value
+    decodes to SOMETHING (or null), never a crash. Nano-precision
+    values beyond 2^53 decode exactly (no double division)."""
+    import datetime
+
+    rows = [
+        ("db", "t", "insert", None,
+         '{"id": 1, "ts": "-9223372036854775808"}', 1000),
+        ("db", "t", "insert", None,
+         '{"id": 2, "ts": 1700000000123456999}', 1000),  # nanos, > 2^53
+    ]
+    raw = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+    vschema = T.StructType([T.StructField("id", T.LongType()),
+                            T.StructField("ts", T.TimestampType())])
+    got = {r["id"]: r["ts"] for r in parse_values(
+        split_updates(raw), vschema, debezium_types=True).collect()}
+    assert 1 in got  # no crash is the contract for the sentinel
+    assert got[2] == datetime.datetime(2023, 11, 14, 22, 13, 20, 123456)
+
+
+def test_unpartitioned_merge_uses_manifest_not_footers(spark, tmp_path, monkeypatch):
+    """The unpartitioned classifier must hit the manifest-log stats (bare
+    basename keys), not re-read a parquet footer per file per batch —
+    the 'footer storm' the manifest exists to avoid."""
+    from synch_spark.operators import cdc_apply
+    from synch_spark.sources.manifest import refresh_manifest
+
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by=None)
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(1000).select(
+        F.col("id").alias("k"), F.lit("a").alias("p"), F.lit(1.0).alias("v"))
+        .repartitionByRange(10, "k"))
+    refresh_manifest(t, "k")
+
+    calls = []
+    real = cdc_apply.file_key_range
+    monkeypatch.setattr(cdc_apply, "file_key_range",
+                        lambda *a: calls.append(a) or real(*a))
+    ev = spark.createDataFrame(
+        [("insert", 500, "a", -1.0, 10)],
+        "action string, k long, p string, v double, event_unixtime long"
+    ).withColumn("action_seq", F.lit(0)).withColumn("schema", F.lit("db")) \
+     .withColumn("table", F.lit("t"))
+    apply_cdc_batch(t, ev, spec, value_columns=["k", "p", "v"])
+    assert calls == [], f"footer reads despite manifest: {len(calls)}"
+    assert t.read().filter("k = 500").collect()[0]["v"] == -1.0
+
+
+def test_overwrite_cow_files_expected_base_detects_races(spark, tmp_path):
+    """A concurrent commit between classification and the file-level CoW
+    commit must fail loudly (ConcurrentWriteError), not silently merge
+    the stale rewrite into duplicate rows."""
+    import pytest
+
+    from synch_spark.sources.table import ConcurrentWriteError
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    base = t.current_version()
+    df = spark.createDataFrame([(1, "b")], "k long, v string")
+    # a concurrent writer lands first
+    t.append(spark.createDataFrame([(2, "c")], "k long, v string"))
+    with pytest.raises(ConcurrentWriteError):
+        t.overwrite_cow_files(df, list(t.snapshot(base).files),
+                              expected_base=base)
+    # without contention the anchored commit succeeds
+    base2 = t.current_version()
+    t.overwrite_cow_files(df, [], expected_base=base2)
+    assert t.current_version() == base2 + 1
+
+
+def test_lsh_observation_zero_not_null(spark):
+    """dropped_buckets reads 0 (never NULL, never a raised error) when
+    no bucket has 2+ members — AQE eliminates the metrics node on
+    empty-result plans, which observed_dropped_buckets absorbs."""
+    from pyspark.sql import Observation
+
+    from synch_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "completely unique text one"), (2, "utterly different text two")],
+        "doc_id long, text string")
+    from synch_spark.operators.dedup import observed_dropped_buckets
+
+    obs = Observation("empty")
+    out = lsh_candidate_pairs(docs, "text", "doc_id", 8, 4, 3,
+                              max_bucket_size=8, observation=obs)
+    assert out.count() == 0
+    # empty final result: AQE may eliminate the metrics node entirely;
+    # the helper maps that to 0 instead of raising
+    assert observed_dropped_buckets(obs) == 0
