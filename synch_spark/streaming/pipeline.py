@@ -131,6 +131,10 @@ class CdcPipeline:
     # timestamps) when typing each table's rows; set automatically by
     # start_kafka_stream(value_format="debezium")
     debezium_types: bool = False
+    # pin the connector's decimal.handling.mode ("precise" | "string";
+    # default "auto" = plain-first) — resolves the base64-vs-numeric
+    # wire ambiguity, see events.parse_values
+    debezium_decimal_mode: str = "auto"
 
     def table_for(self, spec: TableSpec) -> ParquetTable:
         return ParquetTable(self.spark, f"{self.warehouse}/{spec.schema}/{spec.table}")
@@ -235,7 +239,8 @@ class CdcPipeline:
                 )
                 continue
             typed = parse_values(tevents, vschema,
-                                 debezium_types=debezium_types)
+                                 debezium_types=debezium_types,
+                                 decimal_mode=self.debezium_decimal_mode)
             sink = self.jdbc_sinks.get(spec.qualified_name)
             if sink is not None:
                 sink.apply_batch(typed, spec)
