@@ -224,6 +224,13 @@ def _consume_redis(spark, raw, cfg, pipe, args) -> int:
 
     broker = _redis_broker_from_cfg(spark, raw)
     schemas = sorted({t.schema for t in cfg.tables.values()})
+    if getattr(args, "last_msg_id", None):
+        # reference parity (cli.py consume --last-msg-id): explicit
+        # resume point — seed the committed offset so XREAD starts
+        # after it; replays of already-applied ids converge through
+        # the idempotent merge
+        for sch in schemas:
+            broker.commit(sch, args.last_msg_id)
     epoch = 0
     while True:
         moved = 0
@@ -561,6 +568,12 @@ def main(argv=None) -> int:
     c = sub.add_parser("consume", help="continuous CDC")
     c.add_argument("--available-now", action="store_true")
     c.add_argument("--schema", help="consume only this source database")
+    c.add_argument(
+        "--last-msg-id",
+        help="explicit resume offset (reference parity): Redis stream msg "
+             "id for the redis broker; for kafka use assign/startingOffsets "
+             "on start_kafka_stream (checkpoint-managed otherwise)",
+    )
     c.add_argument(
         "--skip-error", action="store_true",
         help="reference-parity flag: unparseable events never kill the "

@@ -356,3 +356,50 @@ def test_cli_redis_broker_produce_consume(tmp_path, capsys, spark, monkeypatch):
     assert main(["--config", str(p), "consume", "--available-now"]) == 0
     assert {r["r_regionkey"] for r in ParquetTable(
         spark, str(tmp_path / "wh" / "db" / "region")).read().collect()} == {0, 1, 2, 3}
+
+
+def test_cli_consume_last_msg_id_seeds_offset(tmp_path, capsys, spark, monkeypatch):
+    """Reference parity: `consume --last-msg-id <id>` resumes the Redis
+    loop AFTER the given stream id — earlier events are skipped (the
+    operator's explicit-seek escape hatch; cli.py consume --last-msg-id
+    in the reference)."""
+    from tests.test_redis_broker import FakeRedis
+
+    fake = FakeRedis()
+    monkeypatch.setattr("synch_spark.redis_broker.redis_client",
+                        lambda url: fake)
+    from synch_spark.session import read_table
+
+    src_path = str(tmp_path / "src.parquet")
+    read_table(spark, "/root/testdata/sf0.001", "region").write.parquet(src_path)
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "region", "pk": ["r_regionkey"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "source_format": "parquet",
+            "sources": {"db.region": src_path},
+            "redis": {"url": "redis://fake:6379/0", "queue_prefix": "synch",
+                      "alias": "a1"},
+            "value_schemas": {
+                "db.region": spark.read.parquet(src_path).schema.jsonValue()
+            },
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once", "--sink", "redis"]) == 0
+    entries = fake.streams["synch:a1:db"]
+    assert len(entries) == 5
+    # seek past the first three events: only regions 3 and 4 apply
+    third_id = entries[2][0]
+    assert main(["--config", str(p), "consume", "--available-now",
+                 "--last-msg-id", third_id]) == 0
+    from synch_spark.sources.table import ParquetTable
+
+    got = {r["r_regionkey"] for r in ParquetTable(
+        spark, str(tmp_path / "wh" / "db" / "region")).read().collect()}
+    assert got == {3, 4}
