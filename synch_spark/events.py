@@ -238,6 +238,39 @@ def _dbz_decimal(col, dt: T.DecimalType, mode: str = "auto"):
     n = F.length(b)
     neg = F.substring(hx, 1, 1).isin("8", "9", "A", "B", "C", "D", "E", "F")
     D38 = T.DecimalType(38, 0)
+    if dt.precision <= 18:
+        # fast path: the whole unscaled value fits 8 bytes (a 9-byte
+        # minimal encoding means |v| >= 2^63 > 18 digits, which the
+        # final try_cast would null anyway), so conv's exact unsigned
+        # 64-bit read + a sign subtraction suffices — and the query
+        # plan skips the 512-literal digit fold below entirely (it
+        # costs ~2-3s of analysis/codegen per query, irrelevant at
+        # scale but visible on the bench for every narrow column)
+        u = F.conv(hx, 16, 10).try_cast(T.DecimalType(20, 0))
+        pow2 = F.element_at(
+            F.array(*[F.lit(_d.Decimal(2 ** (8 * l))) for l in range(1, 9)]),
+            n.cast("int"),
+        )
+        signed = F.when(neg, u - pow2).otherwise(u)
+        if dt.scale:
+            sdig = F.abs(signed).cast("string")
+            spad = F.lpad(
+                sdig, F.greatest(F.length(sdig), F.lit(dt.scale + 1)), "0"
+            )
+            scut = F.length(spad) - dt.scale
+            stxt = F.concat(
+                F.when(signed < 0, F.lit("-")).otherwise(F.lit("")),
+                F.substring(spad, F.lit(1), scut),
+                F.lit("."),
+                F.substring(spad, scut + 1, F.lit(dt.scale)),
+            )
+            small = stxt.try_cast(dt)
+        else:
+            small = signed.try_cast(dt)
+        scaled = F.when((n >= 1) & (n <= 8), small)
+        if mode == "precise":
+            return F.coalesce(scaled, plain)
+        return F.coalesce(plain, scaled)
     # Positional hex-digit SUM, no multiplication: Spark's Decimal
     # multiply rounds through MathContext DECIMAL128 (34 significant
     # digits), so any limb product reaching 35+ digits silently loses
