@@ -227,10 +227,14 @@ def _consume_redis(spark, raw, cfg, pipe, args) -> int:
     if getattr(args, "last_msg_id", None):
         # reference parity (cli.py consume --last-msg-id): explicit
         # resume point — seed the committed offset so XREAD starts
-        # after it; replays of already-applied ids converge through
-        # the idempotent merge
-        for sch in schemas:
-            broker.commit(sch, args.last_msg_id)
+        # after it; replays of already-applied ids converge through the
+        # idempotent merge. A stream id only means something for ONE
+        # schema's stream, so --schema is mandatory: seeding every
+        # schema would silently skip (or replay) unrelated streams.
+        if not getattr(args, "schema", None):
+            raise SystemExit("--last-msg-id requires --schema: a stream id "
+                             "identifies one schema's stream")
+        broker.commit(args.schema, args.last_msg_id)
     epoch = 0
     while True:
         moved = 0

@@ -179,10 +179,21 @@ def parse_values(
     misread such a value, and string-mode "9999" read base64-first
     would misread the other way. Set "precise" or "string" to match
     the connector's decimal.handling.mode and the decode is
-    unambiguous; "auto" keeps plain-first (right for the README's
-    recommended string mode, and for every base64 payload containing a
-    non-digit character).
+    unambiguous; "auto" keeps plain-first — always right for the
+    README's recommended string mode, but unsafe for a precise
+    connector whenever a payload's base64 text ALSO parses as a number
+    (all-digit strings like "9999", and numeric-looking forms such as
+    "1e10": try_cast accepts sign/point/exponent characters too).
     """
+    if decimal_mode not in ("auto", "precise", "string"):
+        # fail loudly: a typo ('Precise') or the connector's literal
+        # 'double' silently falling back to auto would reintroduce the
+        # exact misdecode the knob exists to prevent
+        raise ValueError(
+            f"decimal_mode must be 'auto', 'precise', or 'string' "
+            f"(connector double mode decodes like 'string'); got "
+            f"{decimal_mode!r}"
+        )
     if not debezium_types:
         return events.withColumn("_row", F.from_json("values", value_schema)).select(
             "schema", "table", "action", "event_unixtime", "action_seq", "_row.*"
@@ -234,9 +245,24 @@ def _dbz_decimal(col, dt: T.DecimalType, mode: str = "auto"):
     b = F.try_to_binary(col, F.lit("base64"))
     if mode == "string":
         return plain  # connector pinned to string/double handling
-    hx = F.hex(b)
-    n = F.length(b)
-    neg = F.substring(hx, 1, 1).isin("8", "9", "A", "B", "C", "D", "E", "F")
+    hx0 = F.hex(b)
+    neg = F.substring(hx0, 1, 1).isin("8", "9", "A", "B", "C", "D", "E", "F")
+    # strip sign-extension padding first: producers may emit fixed-width
+    # (non-minimal) two's-complement. Algebraically safe in BOTH
+    # directions: for positives the unsigned read of the tail IS the
+    # magnitude; for negatives value = U' - 2^(8*len') holds for ANY
+    # number of leading 0xFF bytes stripped (the subtraction uses the
+    # remaining length). This lets an 8-byte-magnitude value arrive in
+    # 16 padded bytes and still take the narrow path.
+    hx = F.when(
+        neg,
+        F.nullif(F.regexp_replace(hx0, "^(?:FF)+", ""), F.lit(""))
+    ).otherwise(
+        F.nullif(F.regexp_replace(hx0, "^(?:00)+", ""), F.lit(""))
+    )
+    hx = F.coalesce(hx, F.when(neg, F.lit("FF")).otherwise(F.lit("00")))
+    hx = F.when(hx0.isNull(), F.lit(None)).otherwise(hx)
+    n = (F.length(hx) / 2).cast("int")
     D38 = T.DecimalType(38, 0)
     if dt.precision <= 18:
         # fast path: the whole unscaled value fits 8 bytes (a 9-byte

@@ -94,27 +94,38 @@ def _apply_merging(
         if not table.exists:
             table.overwrite(upserts, spec.partition_by)
             return
-        # anchor the whole read-classify-commit cycle to ONE version: a
-        # concurrent commit (compaction, second consumer) in between
-        # fails the CoW commit with ConcurrentWriteError instead of
-        # silently double-writing the touched rows
-        base = table.current_version()
-        current = table.read()
-        changed_keys = net.select(*pk)
-        if spec.partition_by and spec.partition_by in current.columns:
-            _merge_cow(table, current, changed_keys, upserts, spec, base)
-        elif _merge_cow_unpartitioned(table, current, changed_keys, upserts,
-                                      spec, base):
-            pass  # file-level CoW committed (or proven no-op)
-        else:
-            # Stats couldn't prove anything (null keys / unorderable
-            # types): full MERGE fallback. Drop every target row whose
-            # pk is touched, add net inserts. changed_keys is one row
-            # per pk in the batch — micro-batch sized, so Catalyst
-            # broadcasts it; the big side never shuffles.
-            kept = current.join(F.broadcast(changed_keys), list(pk), "left_anti")
-            table.overwrite(kept.unionByName(upserts.select(*current.columns)),
-                            spec.partition_by)
+
+        def merge_once():
+            # anchor the whole read-classify-commit cycle to ONE
+            # version: a concurrent commit (compaction, second
+            # consumer) in between fails the CoW commit with
+            # ConcurrentWriteError — and commit_with_retry re-runs the
+            # WHOLE cycle against the new head, so the loser's merge
+            # converges instead of silently double-writing rows or
+            # killing the stream on one transient race
+            base = table.current_version()
+            current = table.read()
+            changed_keys = net.select(*pk)
+            if spec.partition_by and spec.partition_by in current.columns:
+                _merge_cow(table, current, changed_keys, upserts, spec, base)
+            elif _merge_cow_unpartitioned(table, current, changed_keys,
+                                          upserts, spec, base):
+                pass  # file-level CoW committed (or proven no-op)
+            else:
+                # Stats couldn't prove anything (null keys / unorderable
+                # types): full MERGE fallback. Drop every target row
+                # whose pk is touched, add net inserts. changed_keys is
+                # one row per pk in the batch — micro-batch sized, so
+                # Catalyst broadcasts it; the big side never shuffles.
+                kept = current.join(
+                    F.broadcast(changed_keys), list(pk), "left_anti")
+                table.overwrite(
+                    kept.unionByName(upserts.select(*current.columns)),
+                    spec.partition_by, expected_base=base)
+
+        from synch_spark.sources.table import commit_with_retry
+
+        commit_with_retry(merge_once, retries=3)
     finally:
         net.unpersist()
 
@@ -140,7 +151,7 @@ def _merge_cow(
     part, pk = spec.partition_by, spec.pk
     pruned = _classify_files(table, changed_keys, upserts, part, pk)
     if pruned is None:
-        _merge_cow_probe(table, current, changed_keys, upserts, spec)
+        _merge_cow_probe(table, current, changed_keys, upserts, spec, base)
         return
     candidates, links, vals = pruned
     if not vals:
@@ -297,7 +308,7 @@ def _classify_files(table, changed_keys, upserts, part, pk):
     return candidates, links, touched
 
 
-def _merge_cow_probe(table, current, changed_keys, upserts, spec):
+def _merge_cow_probe(table, current, changed_keys, upserts, spec, base=None):
     """Scan-based fallback: find touched partitions with a column-pruned
     (partition, pk) semi-join probe and rewrite them whole."""
     part, pk = spec.partition_by, spec.pk
@@ -317,7 +328,8 @@ def _merge_cow_probe(table, current, changed_keys, upserts, spec):
         cond = cond | F.col(part).isNull()
     affected = current.filter(cond)  # partition-pruned scan
     kept = affected.join(F.broadcast(changed_keys), list(pk), "left_anti")
-    table.overwrite_cow(kept.unionByName(upserts.select(*current.columns)), part, vals)
+    table.overwrite_cow(kept.unionByName(upserts.select(*current.columns)),
+                        part, vals, expected_base=base)
 
 
 def _apply_collapsing(

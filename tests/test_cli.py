@@ -396,8 +396,12 @@ def test_cli_consume_last_msg_id_seeds_offset(tmp_path, capsys, spark, monkeypat
     assert len(entries) == 5
     # seek past the first three events: only regions 3 and 4 apply
     third_id = entries[2][0]
+    import pytest
+    with pytest.raises(SystemExit):  # stream ids are schema-scoped
+        main(["--config", str(p), "consume", "--available-now",
+              "--last-msg-id", third_id])
     assert main(["--config", str(p), "consume", "--available-now",
-                 "--last-msg-id", third_id]) == 0
+                 "--schema", "db", "--last-msg-id", third_id]) == 0
     from synch_spark.sources.table import ParquetTable
 
     got = {r["r_regionkey"] for r in ParquetTable(

@@ -326,3 +326,41 @@ def test_debezium_precise_wide_decimals_two_limb(spark):
           1000)], RAW_EVENT_SCHEMA)
     w = parse_values(split_updates(over), vschema, debezium_types=True).collect()
     assert w[0]["amount"] is None
+
+
+def test_debezium_precise_padded_encodings_decode(spark):
+    """Non-minimal (fixed-width / zero- or sign-extended) precise-mode
+    encodings must decode identically to the minimal form on BOTH the
+    narrow (<=18) and wide decimal paths — producers other than
+    Debezium may pad."""
+    import base64 as _b64
+    import json as _json
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from synch_spark.events import RAW_EVENT_SCHEMA, parse_values, split_updates
+
+    def b64pad(u: int, width: int) -> str:
+        return _b64.b64encode(u.to_bytes(width, "big", signed=True)).decode()
+
+    cases = [  # (unscaled, padded width)
+        (12345, 9), (12345, 16), (-532611, 9), (-532611, 16),
+        (0, 16), (-1, 16), (2**53, 12),
+    ]
+    rows = [("db", "t", "insert", None,
+             _json.dumps({"id": i, "amount": b64pad(u, w)}), 1000)
+            for i, (u, w) in enumerate(cases)]
+    raw = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+    for prec in (10, 19):
+        vschema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DecimalType(max(prec, 19), 2)
+                          if prec > 18 else T.DecimalType(18, 2)),
+        ])
+        got = {r["id"]: r["amount"] for r in parse_values(
+            split_updates(raw), vschema, debezium_types=True,
+            decimal_mode="precise").collect()}
+        for i, (u, _w) in enumerate(cases):
+            want = Decimal(u).scaleb(-2)
+            assert got[i] == want, f"prec={prec} unscaled={u}: {got[i]}"
