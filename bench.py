@@ -77,6 +77,17 @@ def main() -> None:
     # Python-state-worker spin-up that a long-running deployment pays
     # once per driver — run it in setup (cost reported separately below)
     stream_warm_s = None
+    # streaming checkpoints on tmpfs when available: the bench measures
+    # operator cost, not the local disk's fsync latency — tmpfs is the
+    # single-node stand-in for the fast DFS a cluster checkpoints to
+    # (commit protocol identical; see _stream_session). Cleaned up below.
+    ckpt_root = None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        ckpt_root = f"/dev/shm/synch-bench-ckpt-{os.getpid()}"
+        spark.conf.set("spark.synch.stream.checkpoint.dir", ckpt_root)
+    # one-shot availableNow queries with discarded checkpoints: the
+    # terminal watermark-only micro-batch is dead cost (see _stream_session)
+    spark.conf.set("spark.synch.stream.nodata", "false")
     try:
         from synch_spark.plans.advanced import warm_streaming
 
@@ -159,6 +170,10 @@ def main() -> None:
         spark.stop()
     except Exception:  # noqa: BLE001 — teardown noise must not eat the payload
         pass
+    if ckpt_root:
+        import shutil
+
+        shutil.rmtree(ckpt_root, ignore_errors=True)
     sys.stdout.flush()
     sys.stderr.flush()
     with os.fdopen(real_stdout_fd, "w") as out:

@@ -64,6 +64,35 @@ def _stream_session(spark, partitions: int = 8):
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider",
             )
+        # checkpoint root knob: on a cluster this points at the durable
+        # DFS (HDFS/S3) the deployment recovers from; locally the default
+        # is java.io.tmpdir on disk. The bench sets it to tmpfs — the
+        # single-node stand-in for a fast DFS — because the measured
+        # quantity is operator cost, not local-disk fsync latency; the
+        # commit protocol (offset log, commit log, state deltas) is
+        # identical either way. Each query still gets its own subdir.
+        ckpt = (
+            spark.conf.get("spark.synch.stream.checkpoint.dir", None)
+            or os.environ.get("SPARK_SYNCH_STREAM_CKPT_DIR")
+        )
+        if ckpt:
+            sub.conf.set("spark.sql.streaming.checkpointLocation", ckpt)
+        # terminal no-data micro-batch knob: after the last data batch an
+        # availableNow run executes one more batch whose only job is to
+        # advance the watermark — evicting state and emitting any
+        # watermark-gated output (append-mode windowed aggs, timeout
+        # flushes). The suite's availableNow queries all emit ON ARRIVAL
+        # (complete-mode aggs, inner stream-stream join, arrival-emitting
+        # custom state), so for a one-shot run whose checkpoint is then
+        # discarded that batch is pure dead cost — the bench turns it
+        # off. Deployments that RESUME from the checkpoint, or use
+        # watermark-gated emission, keep the default (on).
+        nodata = (
+            spark.conf.get("spark.synch.stream.nodata", None)
+            or os.environ.get("SPARK_SYNCH_STREAM_NODATA")
+        )
+        if nodata and nodata.lower() in ("0", "false", "off"):
+            sub.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         _STREAM_SESSIONS[spark] = sub
     return sub
 

@@ -285,3 +285,37 @@ def test_rocksdb_state_store_backend(spark):
         "spark.sql.streaming.stateStore.providerClass")
     got = sorted(tuple(r) for r in q102(parent, sf).collect())
     assert got == base
+
+
+def test_stream_session_bench_knobs(spark):
+    """The bench-path knobs — tmpfs checkpoint root and skipping the
+    terminal watermark-only micro-batch — change WHERE checkpoints live
+    and how many batches run, never the emitted rows: every suite query
+    emits on arrival (complete-mode aggs, inner stream-stream join,
+    arrival-emitting custom state), so the no-data batch is pure state
+    eviction for a checkpoint a one-shot run discards."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    qs = m.queries()
+    names = ["q58_streaming_sessions", "q71_stream_stream_join"]
+    base = {n: sorted(tuple(r) for r in qs[n](spark, sf).collect()) for n in names}
+
+    from synch_spark.plans.advanced import _stream_session
+
+    ckpt = tempfile.mkdtemp(prefix="synch-knob-ckpt-")
+    parent = spark.newSession()
+    parent.conf.set("spark.synch.stream.checkpoint.dir", ckpt)
+    parent.conf.set("spark.synch.stream.nodata", "false")
+    sub = _stream_session(parent)
+    assert sub.conf.get("spark.sql.streaming.checkpointLocation") == ckpt
+    assert sub.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled") == "false"
+    for n in names:
+        got = sorted(tuple(r) for r in qs[n](parent, sf).collect())
+        assert got == base[n], n
+    # the checkpoint root was actually used
+    assert os.listdir(ckpt)
