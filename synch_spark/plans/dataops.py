@@ -482,8 +482,10 @@ def q44_shared_sql(spark, sf_dir):
 # --- duplicate clustering: LSH pairs -> connected components -> survivors
 def q39_dedup_clusters(spark, sf_dir):
     """End-to-end near-dup dedup: MinHash-LSH candidates -> connected
-    components -> per-cluster stats. Iterative algorithm (rows-only
-    check; equivalence vs union-find tested in pytest)."""
+    components -> per-cluster stats. Fully hash-oracled: the LSH pair
+    set is the SQL q21 already pins, and cluster_id = min reachable id
+    is deterministic, so DuckDB reproduces the whole chain (pairs ->
+    recursive transitive closure -> sizes) value-for-value."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", 8, 4, 3)
     clusters = dedup.cluster_duplicates(pairs)
@@ -492,6 +494,35 @@ def q39_dedup_clusters(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("size"))
         .orderBy(F.col("size").desc(), "cluster_id")
     )
+
+
+Q39_SQL = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+  WHERE len(w) >= 3),
+mh AS (
+  SELECT doc_id, seed, MIN(md5(seed || ':' || s)) AS h
+  FROM sh, (SELECT UNNEST(generate_series(0, 7)) AS seed) seeds
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, STRING_AGG(h, '|' ORDER BY seed) AS bucket
+  FROM mh GROUP BY doc_id, seed // 2),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id),
+und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(s, n) AS (
+  SELECT DISTINCT a AS s, a AS n FROM und
+  UNION
+  SELECT r.s, u.b FROM reach r JOIN und u ON r.n = u.a),
+comp AS (SELECT s AS id, MIN(n) AS cluster_id FROM reach GROUP BY s)
+SELECT cluster_id, COUNT(*) AS size
+FROM comp GROUP BY cluster_id ORDER BY size DESC, cluster_id
+"""
 
 
 # --- multimodal kernel with a full oracle --------------------------------
@@ -619,8 +650,9 @@ def q100_dedup_cc_chains(spark, sf_dir):
     (source, n_chars%5) — whose union merges multi-hop components inside
     each source), so DuckDB can label the same components by recursive
     transitive closure. Gates the full CC operator (min-label contract,
-    size-adaptive path) end-to-end; q39 keeps exercising it on real
-    MinHash-LSH pairs (rows-only, pair generation isn't SQL-portable)."""
+    size-adaptive path) on a multi-hop graph with a shape q39's
+    LSH-derived pairs don't guarantee; q39 carries its own full oracle
+    over the real MinHash-LSH pairs."""
     from pyspark.sql import Window as W
 
     docs = _docs(spark, sf_dir)
@@ -2001,7 +2033,7 @@ DATAOPS_QUERIES = {
     "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
     "q24_ann_lsh": (q24_ann_lsh, None),
     "q25_multimodal_features": (q25_multimodal_features, Q25_SQL),
-    "q39_dedup_clusters": (q39_dedup_clusters, None),
+    "q39_dedup_clusters": (q39_dedup_clusters, Q39_SQL),
     "q42_ann_ivf": (q42_ann_ivf, None),
     "q98_ann_lsh_exhaustive": (q98_ann_lsh_exhaustive, Q23_SQL),
     "q99_ann_ivf_exhaustive": (q99_ann_ivf_exhaustive, Q23_SQL),
