@@ -180,6 +180,67 @@ def cmd_produce(args) -> int:
     return 0
 
 
+def cmd_replay_binlog(args) -> int:
+    """Replay an offline MySQL binlog archive into the broker boundary.
+
+    The reference's binlog path needs a live server socket
+    (/root/reference/synch/reader/mysql.py:128-153); the same v4 event
+    bytes also live in files — ``mysqlbinlog --raw`` dumps, binlog
+    backups, object-store archives — and those need no server. Decode
+    is distributed (binaryFile + mapInPandas, one file per task); the
+    emitted events land in the same spool/Kafka/Redis boundary
+    ``produce`` uses, so ``consume`` applies them unchanged.
+
+    ``--columns db.table=c1,c2,...`` supplies column names for files
+    written without ``binlog_row_metadata=FULL`` (classic binlogs carry
+    no names; the reference reads them from the live server)."""
+    import os
+
+    from synch_spark.broker import produce_to_kafka, write_event_spool
+    from synch_spark.sources.binlog_file import binlog_files_to_raw
+
+    raw = _load(args.config)
+    spark = get_spark("synch-replay-binlog")
+    names: dict = {}
+    for spec in args.columns or []:
+        key, _, cols = spec.partition("=")
+        if not cols:
+            raise SystemExit(f"--columns wants db.table=c1,c2,... (got {spec!r})")
+        db, _, tbl = key.partition(".")
+        names[(db, tbl) if tbl else db] = cols.split(",")
+    events = binlog_files_to_raw(
+        spark,
+        args.path,
+        column_names=names,
+        only_schemas=tuple(args.schema.split(",")) if args.schema else (),
+        only_tables=tuple(args.table.split(",")) if args.table else (),
+    )
+    events = events.persist()
+    try:
+        n = events.count()
+        basename = f"binlog.replay.{os.path.basename(args.path.rstrip('/'))}"
+        if args.sink == "kafka":
+            kconf = raw["spark"].get("kafka")
+            if not kconf or "bootstrap_servers" not in kconf:
+                raise SystemExit(
+                    "replay-binlog --sink kafka needs a spark.kafka config "
+                    "block with bootstrap_servers"
+                )
+            produce_to_kafka(
+                events, kconf["bootstrap_servers"], kconf.get("queue_prefix", "synch")
+            )
+        elif args.sink == "redis":
+            _redis_broker_from_cfg(spark, raw).produce(events)
+        else:
+            events_dir = raw["spark"]["events_dir"]
+            os.makedirs(events_dir, exist_ok=True)
+            write_event_spool(events, events_dir, basename)
+    finally:
+        events.unpersist()
+    print(json.dumps({"binlog_replay_events": n}))
+    return 0
+
+
 def _redis_broker_from_cfg(spark, raw):
     """Shared produce/consume construction of the Redis Streams broker
     (the reference's default broker) from the ``spark.redis`` config
@@ -597,6 +658,22 @@ def main(argv=None) -> int:
         help="single-file driver-side spool (test form; O(rows) driver memory)",
     )
     pr.set_defaults(fn=cmd_produce)
+    rb = sub.add_parser(
+        "replay-binlog",
+        help="decode an offline MySQL binlog archive into the broker boundary",
+    )
+    rb.add_argument("--path", required=True, help="binlog file/dir/glob")
+    rb.add_argument(
+        "--sink", choices=["spool", "kafka", "redis"], default="spool",
+        help="same boundary as produce: spool (events_dir) / kafka / redis",
+    )
+    rb.add_argument("--schema", help="comma-separated only-schemas filter")
+    rb.add_argument("--table", help="comma-separated only-tables filter")
+    rb.add_argument(
+        "--columns", action="append", metavar="db.table=c1,c2,...",
+        help="column names for binlogs without FULL row metadata (repeatable)",
+    )
+    rb.set_defaults(fn=cmd_replay_binlog)
     k = sub.add_parser("check", help="count/checksum parity")
     k.add_argument("--checksum", action="store_true")
     k.add_argument("--schema", help="check only this source database")

@@ -1,0 +1,597 @@
+"""Offline MySQL binlog (v4) file decoder -> RAW_EVENT_SCHEMA.
+
+The reference attaches python-mysql-replication to a LIVE server socket
+(/root/reference/synch/reader/mysql.py:128-153) — an option this
+container can't exercise. But a server socket is not the only place
+binlog bytes come from: ``mysqlbinlog --raw`` dumps, binlog backups,
+and object-store archives of the binlog directory are standard
+migration/backfill artifacts, and they contain the *identical* event
+stream the wire protocol carries (the replication protocol frames the
+same v4 events the file does). This module decodes those files
+directly, with no server and no driver involvement in the hot path:
+
+- ``iter_binlog_events(data)``: pure-Python v4 parser (format docs:
+  https://dev.mysql.com/doc/dev/mysql-server/latest/ — binary log event
+  layout). Written from the published layout, NOT a copy of
+  python-mysql-replication.
+- ``binlog_files_to_raw(spark, path)``: the distributed wrapper —
+  ``spark.read.format("binaryFile")`` lists the files (a day of binlogs
+  is thousands of ~1 GB files; one file per task is the natural
+  parallel unit since events only order *within* a file), and
+  ``mapInPandas`` runs the parser executor-side, emitting
+  RAW_EVENT_SCHEMA rows that feed the unchanged pipeline:
+  ``filter_dml -> split_updates -> parse_values -> cdc apply``.
+
+Decoded event shape matches the reference's universal event dict
+(reader/mysql.py:180-220): INSERT/DELETE carry one row image, UPDATE
+carries before+after (split downstream by ``split_updates``), QUERY
+(DDL) carries the SQL text; ``event_unixtime`` is the binlog header
+timestamp in microseconds (deterministic from the file, unlike the
+reference's wall-clock ``time.time()``).
+
+Column names: classic binlogs carry NO column names (the reference
+reads them from the live server's information_schema). Three sources,
+in order: (1) the 8.0 optional-metadata TLV written under
+``binlog_row_metadata=FULL`` (COLUMN_NAME + SIGNEDNESS are parsed),
+(2) a caller-supplied ``column_names={(db, table): [...]}`` map,
+(3) positional ``col_0..col_{n-1}`` as a last resort.
+
+Supported column types: all integer widths (signed by default,
+unsigned via the SIGNEDNESS TLV), FLOAT/DOUBLE, NEWDECIMAL (compressed
+BCD, exact digits), VARCHAR/VAR_STRING/CHAR, BLOB/TEXT (utf-8, base64
+fallback for non-text bytes), DATE, DATETIME2/TIMESTAMP2/TIME2 (with
+fractional seconds), legacy DATETIME/TIMESTAMP/TIME, YEAR, BIT, ENUM/
+SET (as ordinal ints). MySQL binary-JSON columns are NOT decoded
+(distinct format; raises with a pointer to decimal/string-mode
+alternatives rather than silently corrupting).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+from decimal import Decimal
+from typing import Iterator
+
+# --- event type codes (binlog v4) ----------------------------------------
+EV_QUERY = 0x02
+EV_ROTATE = 0x04
+EV_FORMAT_DESCRIPTION = 0x0F
+EV_TABLE_MAP = 0x13
+EV_WRITE_ROWS_V1 = 0x17
+EV_UPDATE_ROWS_V1 = 0x18
+EV_DELETE_ROWS_V1 = 0x19
+EV_WRITE_ROWS_V2 = 0x1E
+EV_UPDATE_ROWS_V2 = 0x1F
+EV_DELETE_ROWS_V2 = 0x20
+
+_ROWS_WRITE = (EV_WRITE_ROWS_V1, EV_WRITE_ROWS_V2)
+_ROWS_UPDATE = (EV_UPDATE_ROWS_V1, EV_UPDATE_ROWS_V2)
+_ROWS_DELETE = (EV_DELETE_ROWS_V1, EV_DELETE_ROWS_V2)
+_ROWS_V2 = (EV_WRITE_ROWS_V2, EV_UPDATE_ROWS_V2, EV_DELETE_ROWS_V2)
+
+# --- column type codes ----------------------------------------------------
+T_DECIMAL = 0x00
+T_TINY = 0x01
+T_SHORT = 0x02
+T_LONG = 0x03
+T_FLOAT = 0x04
+T_DOUBLE = 0x05
+T_NULL = 0x06
+T_TIMESTAMP = 0x07
+T_LONGLONG = 0x08
+T_INT24 = 0x09
+T_DATE = 0x0A
+T_TIME = 0x0B
+T_DATETIME = 0x0C
+T_YEAR = 0x0D
+T_NEWDATE = 0x0E
+T_VARCHAR = 0x0F
+T_BIT = 0x10
+T_TIMESTAMP2 = 0x11
+T_DATETIME2 = 0x12
+T_TIME2 = 0x13
+T_JSON = 0xF5
+T_NEWDECIMAL = 0xF6
+T_ENUM = 0xF7
+T_SET = 0xF8
+T_TINY_BLOB = 0xF9
+T_MEDIUM_BLOB = 0xFA
+T_LONG_BLOB = 0xFB
+T_BLOB = 0xFC
+T_VAR_STRING = 0xFD
+T_STRING = 0xFE
+
+MAGIC = b"\xfebin"
+
+# optional-metadata TLV types (8.0, binlog_row_metadata=FULL)
+_TLV_SIGNEDNESS = 1
+_TLV_COLUMN_NAME = 4
+
+
+class BinlogFormatError(ValueError):
+    """Structurally invalid binlog bytes (bad magic, truncated event)."""
+
+
+def _lenenc(data: bytes, p: int) -> tuple[int, int]:
+    """Length-encoded integer at ``p`` -> (value, next_offset)."""
+    b0 = data[p]
+    if b0 < 0xFB:
+        return b0, p + 1
+    if b0 == 0xFC:
+        return int.from_bytes(data[p + 1 : p + 3], "little"), p + 3
+    if b0 == 0xFD:
+        return int.from_bytes(data[p + 1 : p + 4], "little"), p + 4
+    if b0 == 0xFE:
+        return int.from_bytes(data[p + 1 : p + 9], "little"), p + 9
+    raise BinlogFormatError(f"bad length-encoded int prefix 0x{b0:02x}")
+
+
+def _bit(bitmap: bytes, i: int) -> bool:
+    """LSB-first bitmap bit (null/columns-present bitmaps)."""
+    return bool(bitmap[i // 8] & (1 << (i % 8)))
+
+
+_DIGITS_TO_BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+def _decode_newdecimal(data: bytes, p: int, precision: int, scale: int):
+    """Compressed-BCD DECIMAL -> (Decimal, next_offset). Groups of 9
+    decimal digits pack into 4 bytes big-endian; the sign rides the MSB
+    of the first byte (flipped on disk; negatives stored complemented)."""
+    intg = precision - scale
+    intg0, intg_rem = divmod(intg, 9)
+    frac0, frac_rem = divmod(scale, 9)
+    total = (
+        intg0 * 4 + _DIGITS_TO_BYTES[intg_rem] + frac0 * 4 + _DIGITS_TO_BYTES[frac_rem]
+    )
+    buf = bytearray(data[p : p + total])
+    if len(buf) != total:
+        raise BinlogFormatError("truncated DECIMAL value")
+    negative = not (buf[0] & 0x80)
+    buf[0] ^= 0x80
+    if negative:
+        for i in range(len(buf)):
+            buf[i] ^= 0xFF
+    q = 0
+    digits = []
+    if intg_rem:
+        n = _DIGITS_TO_BYTES[intg_rem]
+        digits.append(str(int.from_bytes(buf[q : q + n], "big")).zfill(intg_rem))
+        q += n
+    for _ in range(intg0):
+        digits.append(str(int.from_bytes(buf[q : q + 4], "big")).zfill(9))
+        q += 4
+    int_part = "".join(digits).lstrip("0") or "0"
+    digits = []
+    for _ in range(frac0):
+        digits.append(str(int.from_bytes(buf[q : q + 4], "big")).zfill(9))
+        q += 4
+    if frac_rem:
+        n = _DIGITS_TO_BYTES[frac_rem]
+        digits.append(str(int.from_bytes(buf[q : q + n], "big")).zfill(frac_rem))
+        q += n
+    frac_part = "".join(digits)
+    text = ("-" if negative else "") + int_part + (("." + frac_part) if frac_part else "")
+    return Decimal(text), p + total
+
+
+def _frac_micros(data: bytes, p: int, fsp: int) -> tuple[int, int]:
+    """Fractional-seconds tail of DATETIME2/TIMESTAMP2/TIME2: ceil(fsp/2)
+    bytes big-endian, stored in 10^(-2*ceil(fsp/2)) second units."""
+    nb = (fsp + 1) // 2
+    if nb == 0:
+        return 0, p
+    v = int.from_bytes(data[p : p + nb], "big")
+    return v * 10 ** (6 - 2 * nb), p + nb
+
+
+def _fmt_dt(y, mo, d, h, mi, s, micros, fsp) -> str:
+    base = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+    if fsp:
+        return f"{base}.{micros:06d}"[: len(base) + 1 + fsp]  # trim to fsp digits
+    return base
+
+
+def _decode_value(data: bytes, p: int, ctype: int, meta: int, unsigned: bool):
+    """One non-NULL column value at ``p`` -> (python value, next_offset)."""
+    if ctype == T_TINY:
+        v = data[p]
+        return (v if unsigned else struct.unpack("<b", data[p : p + 1])[0]), p + 1
+    if ctype == T_SHORT:
+        v = int.from_bytes(data[p : p + 2], "little", signed=not unsigned)
+        return v, p + 2
+    if ctype == T_INT24:
+        v = int.from_bytes(data[p : p + 3], "little")
+        if not unsigned and v >= 1 << 23:
+            v -= 1 << 24
+        return v, p + 3
+    if ctype == T_LONG:
+        return int.from_bytes(data[p : p + 4], "little", signed=not unsigned), p + 4
+    if ctype == T_LONGLONG:
+        return int.from_bytes(data[p : p + 8], "little", signed=not unsigned), p + 8
+    if ctype == T_YEAR:
+        return 1900 + data[p] if data[p] else 0, p + 1
+    if ctype == T_FLOAT:
+        return struct.unpack("<f", data[p : p + 4])[0], p + 4
+    if ctype == T_DOUBLE:
+        return struct.unpack("<d", data[p : p + 8])[0], p + 8
+    if ctype == T_NEWDECIMAL:
+        precision, scale = meta >> 8, meta & 0xFF
+        return _decode_newdecimal(data, p, precision, scale)
+    if ctype in (T_VARCHAR, T_VAR_STRING):
+        if meta > 255:
+            n = int.from_bytes(data[p : p + 2], "little")
+            p += 2
+        else:
+            n = data[p]
+            p += 1
+        return _bytes_value(data[p : p + n]), p + n
+    if ctype == T_STRING:
+        # CHAR(n): table-map metadata packs the real type and max length
+        # into two bytes (MySQL pack_flag layout)
+        m1, m2 = meta >> 8, meta & 0xFF
+        if m1 and (m1 & 0x30) != 0x30:
+            real_type = m1 | 0x30
+            max_len = m2 | (((m1 & 0x30) ^ 0x30) << 4)
+        else:
+            real_type, max_len = m1, m2
+        if real_type == T_ENUM:
+            n = max_len  # 1 or 2 bytes of ordinal
+            return int.from_bytes(data[p : p + n], "little"), p + n
+        if real_type == T_SET:
+            n = max_len
+            return int.from_bytes(data[p : p + n], "little"), p + n
+        n = int.from_bytes(data[p : p + 2], "little") if max_len > 255 else data[p]
+        p += 2 if max_len > 255 else 1
+        return _bytes_value(data[p : p + n]), p + n
+    if ctype in (T_BLOB, T_TINY_BLOB, T_MEDIUM_BLOB, T_LONG_BLOB):
+        nb = meta  # length-prefix width from table map
+        n = int.from_bytes(data[p : p + nb], "little")
+        p += nb
+        return _bytes_value(data[p : p + n]), p + n
+    if ctype == T_DATE or ctype == T_NEWDATE:
+        v = int.from_bytes(data[p : p + 3], "little")
+        d, mo, y = v & 0x1F, (v >> 5) & 0x0F, v >> 9
+        return (f"{y:04d}-{mo:02d}-{d:02d}" if v else None), p + 3
+    if ctype == T_DATETIME2:
+        ip = int.from_bytes(data[p : p + 5], "big") - 0x8000000000
+        p += 5
+        micros, p = _frac_micros(data, p, meta)
+        ym = (ip >> 22) & 0x1FFFF
+        y, mo = divmod(ym, 13)
+        return (
+            _fmt_dt(y, mo, (ip >> 17) & 0x1F, (ip >> 12) & 0x1F, (ip >> 6) & 0x3F,
+                    ip & 0x3F, micros, meta),
+            p,
+        )
+    if ctype == T_TIMESTAMP2:
+        secs = int.from_bytes(data[p : p + 4], "big")
+        p += 4
+        micros, p = _frac_micros(data, p, meta)
+        # epoch micros, rendered as a UTC wall string downstream casts
+        import datetime as _dt
+
+        t = _dt.datetime.fromtimestamp(secs, _dt.timezone.utc).replace(tzinfo=None)
+        return _fmt_dt(t.year, t.month, t.day, t.hour, t.minute, t.second,
+                       micros, meta), p
+    if ctype == T_TIME2:
+        v = int.from_bytes(data[p : p + 3], "big") - 0x800000
+        p += 3
+        micros, p = _frac_micros(data, p, meta)
+        sign = "-" if v < 0 else ""
+        v = abs(v)
+        h, mi, s = (v >> 12) & 0x3FF, (v >> 6) & 0x3F, v & 0x3F
+        out = f"{sign}{h:02d}:{mi:02d}:{s:02d}"
+        if meta:
+            out = f"{out}.{micros:06d}"[: len(out) + 1 + meta]
+        return out, p
+    if ctype == T_DATETIME:  # legacy 5.5 packed integer
+        v = int.from_bytes(data[p : p + 8], "little")
+        d_part, t_part = divmod(v, 1_000_000)
+        y, rem = divmod(d_part, 10_000)
+        mo, d = divmod(rem, 100)
+        h, rem = divmod(t_part, 10_000)
+        mi, s = divmod(rem, 100)
+        return _fmt_dt(y, mo, d, h, mi, s, 0, 0), p + 8
+    if ctype == T_TIMESTAMP:  # legacy 4-byte LE epoch seconds
+        secs = int.from_bytes(data[p : p + 4], "little")
+        import datetime as _dt
+
+        t = _dt.datetime.fromtimestamp(secs, _dt.timezone.utc).replace(tzinfo=None)
+        return _fmt_dt(t.year, t.month, t.day, t.hour, t.minute, t.second, 0, 0), p + 4
+    if ctype == T_TIME:  # legacy 3-byte LE HHMMSS int
+        v = int.from_bytes(data[p : p + 3], "little")
+        h, rem = divmod(v, 10_000)
+        mi, s = divmod(rem, 100)
+        return f"{h:02d}:{mi:02d}:{s:02d}", p + 3
+    if ctype == T_BIT:
+        # table-map metadata is (bits % 8, bits // 8); big-endian read
+        # above put the first byte in the high half
+        bits = (meta & 0xFF) * 8 + (meta >> 8)
+        nb = (bits + 7) // 8
+        return int.from_bytes(data[p : p + nb], "big"), p + nb
+    if ctype == T_JSON:
+        raise BinlogFormatError(
+            "MySQL binary-JSON columns are not supported by the offline "
+            "decoder; cast the column to TEXT upstream or use the "
+            "Debezium path (events.debezium_to_raw) which receives JSON "
+            "as text"
+        )
+    raise BinlogFormatError(f"unsupported column type 0x{ctype:02x}")
+
+
+def _bytes_value(raw: bytes):
+    """Text when it decodes as utf-8, else base64 (binary-safe JSON)."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return base64.b64encode(raw).decode("ascii")
+
+
+class _TableMap:
+    __slots__ = ("schema", "table", "col_types", "col_meta", "col_names", "unsigned")
+
+    def __init__(self, schema, table, col_types, col_meta, col_names, unsigned):
+        self.schema = schema
+        self.table = table
+        self.col_types = col_types
+        self.col_meta = col_meta
+        self.col_names = col_names
+        self.unsigned = unsigned
+
+
+def _parse_table_map(body: bytes, column_names: dict | None) -> tuple[int, _TableMap]:
+    p = 0
+    table_id = int.from_bytes(body[p : p + 6], "little")
+    p += 8  # table_id(6) + flags(2)
+    dblen = body[p]
+    p += 1
+    schema = body[p : p + dblen].decode("utf-8")
+    p += dblen + 1  # trailing NUL
+    tlen = body[p]
+    p += 1
+    table = body[p : p + tlen].decode("utf-8")
+    p += tlen + 1
+    ncols, p = _lenenc(body, p)
+    col_types = list(body[p : p + ncols])
+    p += ncols
+    meta_len, p = _lenenc(body, p)
+    meta_end = p + meta_len
+    col_meta = []
+    for t in col_types:
+        if t in (T_VARCHAR, T_VAR_STRING, T_BIT, T_STRING, T_NEWDECIMAL):
+            col_meta.append(int.from_bytes(body[p : p + 2], "little" if t in (T_VARCHAR, T_VAR_STRING) else "big"))
+            p += 2
+        elif t in (T_BLOB, T_TINY_BLOB, T_MEDIUM_BLOB, T_LONG_BLOB, T_FLOAT, T_DOUBLE,
+                   T_TIMESTAMP2, T_DATETIME2, T_TIME2, T_JSON):
+            col_meta.append(body[p])
+            p += 1
+        else:
+            col_meta.append(0)
+    p = meta_end
+    p += (ncols + 7) // 8  # null-allowed bitmap (unused here)
+    # 8.0 optional metadata TLVs (binlog_row_metadata): [type][len][value]
+    names = None
+    unsigned = [False] * ncols
+    n_numeric = sum(
+        1 for t in col_types
+        if t in (T_TINY, T_SHORT, T_INT24, T_LONG, T_LONGLONG, T_FLOAT, T_DOUBLE,
+                 T_NEWDECIMAL, T_DECIMAL)
+    )
+    while p < len(body) - 1:
+        ttype = body[p]
+        p += 1
+        tlen, p = _lenenc(body, p)
+        tval = body[p : p + tlen]
+        p += tlen
+        if ttype == _TLV_COLUMN_NAME:
+            names, q = [], 0
+            while q < len(tval):
+                n, q = _lenenc(tval, q)
+                names.append(tval[q : q + n].decode("utf-8"))
+                q += n
+        elif ttype == _TLV_SIGNEDNESS:
+            # one bit per NUMERIC column, MSB-first: set = UNSIGNED
+            k = 0
+            for i, t in enumerate(col_types):
+                if t in (T_TINY, T_SHORT, T_INT24, T_LONG, T_LONGLONG, T_FLOAT,
+                         T_DOUBLE, T_NEWDECIMAL, T_DECIMAL):
+                    if k < n_numeric and _msb_bit(tval, k):
+                        unsigned[i] = True
+                    k += 1
+    if names is None and column_names:
+        names = column_names.get((schema, table)) or column_names.get(table)
+    if names is None:
+        names = [f"col_{i}" for i in range(ncols)]
+    if len(names) != ncols:
+        raise BinlogFormatError(
+            f"{schema}.{table}: {len(names)} column names for {ncols} columns"
+        )
+    return table_id, _TableMap(schema, table, col_types, col_meta, list(names), unsigned)
+
+
+def _msb_bit(bitmap: bytes, i: int) -> bool:
+    return bool(bitmap[i // 8] & (0x80 >> (i % 8)))
+
+
+def _read_row_image(body: bytes, p: int, tm: _TableMap, present: bytes, n_present: int):
+    """One row image -> (dict col->value, next_offset)."""
+    null_bm = body[p : p + (n_present + 7) // 8]
+    p += (n_present + 7) // 8
+    row = {}
+    j = 0  # index among present columns
+    for i in range(len(tm.col_types)):
+        if not _bit(present, i):
+            continue
+        if _bit(null_bm, j):
+            row[tm.col_names[i]] = None
+        else:
+            v, p = _decode_value(body, p, tm.col_types[i], tm.col_meta[i], tm.unsigned[i])
+            row[tm.col_names[i]] = v
+        j += 1
+    return row, p
+
+
+def iter_binlog_events(
+    data: bytes,
+    column_names: dict | None = None,
+    only_schemas: tuple[str, ...] = (),
+    only_tables: tuple[str, ...] = (),
+) -> Iterator[dict]:
+    """Parse one binlog file's bytes into raw event dicts.
+
+    Yields ``{schema, table, action, before, after, event_unixtime}``
+    matching RAW_EVENT_SCHEMA (before/after are JSON object strings).
+    ``column_names``: optional {(db, table) | table: [name, ...]} used
+    when the file lacks 8.0 FULL row metadata.
+    """
+    if data[:4] != MAGIC:
+        raise BinlogFormatError("not a binlog file (bad magic)")
+    p = 4
+    checksum = 0  # CRC32 trailer length (0 or 4), from the FDE
+    tables: dict[int, _TableMap] = {}
+    while p + 19 <= len(data):
+        ts, etype = struct.unpack_from("<IB", data, p)
+        event_size = int.from_bytes(data[p + 9 : p + 13], "little")
+        if event_size < 19 or p + event_size > len(data):
+            raise BinlogFormatError(f"truncated event at offset {p}")
+        body = data[p + 19 : p + event_size]
+        p += event_size
+        if etype == EV_FORMAT_DESCRIPTION:
+            # binlog_version(2) server_version(50) create_ts(4)
+            # header_len(1) post-header-len array [checksum_alg(1) crc(4)]
+            server_version = body[2:52].split(b"\x00")[0].decode("ascii", "replace")
+            if _version_ge(server_version, (5, 6, 1)):
+                alg = body[-5]
+                if alg == 1:
+                    checksum = 4
+            continue
+        if checksum:
+            body = body[:-checksum]
+        if etype == EV_TABLE_MAP:
+            table_id, tm = _parse_table_map(body, column_names)
+            if (only_schemas and tm.schema not in only_schemas) or (
+                only_tables and tm.table not in only_tables
+            ):
+                tables.pop(table_id, None)
+                tables[table_id] = None  # remembered as filtered
+            else:
+                tables[table_id] = tm
+            continue
+        if etype == EV_QUERY:
+            # thread_id(4) exec_time(4) db_len(1) error_code(2) status_len(2)
+            dblen = body[8]
+            status_len = int.from_bytes(body[11:13], "little")
+            q = 13 + status_len
+            db = body[q : q + dblen].decode("utf-8")
+            q += dblen + 1
+            sql = body[q:].decode("utf-8", "replace")
+            if sql.upper() in ("BEGIN", "COMMIT", "ROLLBACK"):
+                continue  # transaction framing, not DDL
+            if only_schemas and db not in only_schemas:
+                continue
+            yield {
+                "schema": db,
+                "table": None,
+                "action": "query",
+                "before": None,
+                "after": json.dumps({"query": sql}),
+                "event_unixtime": ts * 1_000_000,
+            }
+            continue
+        if etype in _ROWS_WRITE + _ROWS_UPDATE + _ROWS_DELETE:
+            table_id = int.from_bytes(body[0:6], "little")
+            tm = tables.get(table_id)
+            if tm is None:
+                if table_id in tables:
+                    continue  # filtered by only_schemas/only_tables
+                raise BinlogFormatError(
+                    f"rows event for unknown table_id {table_id} (missing "
+                    f"TABLE_MAP — file truncated at a rotate boundary?)"
+                )
+            q = 8  # table_id(6) + flags(2)
+            if etype in _ROWS_V2:
+                extra = int.from_bytes(body[q : q + 2], "little")
+                q += extra  # extra_data_len includes its own 2 bytes
+            ncols, q = _lenenc(body, q)
+            bm_len = (ncols + 7) // 8
+            present1 = body[q : q + bm_len]
+            q += bm_len
+            if etype in _ROWS_UPDATE:
+                present2 = body[q : q + bm_len]
+                q += bm_len
+            n1 = sum(_bit(present1, i) for i in range(ncols))
+            while q < len(body):
+                img1, q = _read_row_image(body, q, tm, present1, n1)
+                if etype in _ROWS_WRITE:
+                    ev = {"action": "insert", "before": None,
+                          "after": json.dumps(img1, default=str)}
+                elif etype in _ROWS_DELETE:
+                    ev = {"action": "delete",
+                          "before": json.dumps(img1, default=str), "after": None}
+                else:
+                    n2 = sum(_bit(present2, i) for i in range(ncols))
+                    img2, q = _read_row_image(body, q, tm, present2, n2)
+                    ev = {"action": "update",
+                          "before": json.dumps(img1, default=str),
+                          "after": json.dumps(img2, default=str)}
+                ev["schema"] = tm.schema
+                ev["table"] = tm.table
+                ev["event_unixtime"] = ts * 1_000_000
+                yield ev
+        # every other event type (ROTATE, XID, GTID, STOP, ...) is
+        # positional/transactional framing: skipped via event_size
+
+
+def _version_ge(version_str: str, target: tuple[int, int, int]) -> bool:
+    try:
+        parts = version_str.split("-")[0].split(".")
+        v = tuple(int(x) for x in parts[:3])
+        return v >= target
+    except ValueError:
+        return True  # unknown format: assume modern (checksummed)
+
+
+def binlog_files_to_raw(
+    spark,
+    path: str,
+    column_names: dict | None = None,
+    only_schemas: tuple[str, ...] = (),
+    only_tables: tuple[str, ...] = (),
+):
+    """Distributed decode: binlog files under ``path`` -> RAW_EVENT_SCHEMA.
+
+    ``binaryFile`` lists the files; each file decodes in one task (events
+    are only ordered within a file — cross-file order is recovered
+    downstream by the (event_unixtime, action_seq) sort the apply path
+    already does). At 100 TB of binlog archive this is a full-cluster
+    parallel scan with no driver involvement; per-task memory is one
+    file (binlogs rotate at max_binlog_size, 1 GB default).
+    """
+    import pandas as pd
+
+    from synch_spark.events import RAW_EVENT_SCHEMA
+
+    names = dict(column_names or {})
+
+    def decode(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                rows = list(
+                    iter_binlog_events(
+                        bytes(r["content"]),
+                        column_names=names,
+                        only_schemas=only_schemas,
+                        only_tables=only_tables,
+                    )
+                )
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[f.name for f in RAW_EVENT_SCHEMA.fields],
+                    )
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(decode, RAW_EVENT_SCHEMA)

@@ -1,0 +1,263 @@
+"""Offline binlog-file decoder: byte-level pins against the documented
+v4 layout (via the independent spec-built encoder in binlog_builder),
+and the distributed binaryFile->mapInPandas path feeding the unchanged
+CDC pipeline."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from synch_spark.sources import binlog_file as B
+from tests.binlog_builder import BinlogBuilder
+
+COLS = [
+    ("id", B.T_LONG, 0),
+    ("amount", B.T_NEWDECIMAL, (10 << 8) | 2),
+    ("name", B.T_VARCHAR, 64),
+    ("born", B.T_DATE, 0),
+    ("ts", B.T_DATETIME2, 6),
+]
+
+
+def _one_table(checksum=True, names_tlv=True, **kw):
+    b = BinlogBuilder(checksum=checksum)
+    b.table_map(7, "shop", "test", COLS, names_tlv=names_tlv, **kw)
+    return b
+
+
+def test_insert_roundtrip_types():
+    """The reference's canonical table is test(id int, amount
+    decimal(10,2)) (/root/reference/conftest.py:24-33): the decoder must
+    get int + DECIMAL + strings + temporals exactly right."""
+    b = _one_table()
+    b.insert(7, (1, "123.45", "alice", "1999-12-31", "2024-02-29 13:37:00.123456"),
+                (2, "-0.07", "bob", "2000-01-01", "2024-01-01 00:00:00"))
+    evs = list(B.iter_binlog_events(b.bytes()))
+    assert [e["action"] for e in evs] == ["insert", "insert"]
+    r1 = json.loads(evs[0]["after"])
+    assert r1 == {"id": 1, "amount": "123.45", "name": "alice",
+                  "born": "1999-12-31", "ts": "2024-02-29 13:37:00.123456"}
+    r2 = json.loads(evs[1]["after"])
+    assert r2["amount"] == "-0.07"
+    assert r2["ts"] == "2024-01-01 00:00:00.000000"
+    assert evs[0]["schema"] == "shop" and evs[0]["table"] == "test"
+    assert evs[0]["event_unixtime"] == 1_700_000_000 * 1_000_000
+    assert evs[0]["before"] is None
+
+
+def test_update_carries_before_and_after():
+    b = _one_table()
+    b.update(7, ((1, "5.00", "x", "2020-01-01", "2020-01-01 00:00:00"),
+                 (1, "6.00", "x", "2020-01-01", "2020-01-02 00:00:00")))
+    (ev,) = list(B.iter_binlog_events(b.bytes()))
+    assert ev["action"] == "update"
+    assert json.loads(ev["before"])["amount"] == "5.00"
+    assert json.loads(ev["after"])["amount"] == "6.00"
+
+
+def test_delete_and_nulls():
+    b = _one_table()
+    b.delete(7, (3, None, None, None, None))
+    (ev,) = list(B.iter_binlog_events(b.bytes()))
+    assert ev["action"] == "delete" and ev["after"] is None
+    assert json.loads(ev["before"]) == {
+        "id": 3, "amount": None, "name": None, "born": None, "ts": None}
+
+
+def test_checksum_off_and_v1_rows():
+    """5.5-era file: no CRC32 trailers, v1 rows events (no extra-data)."""
+    b = BinlogBuilder(server_version="5.5.62", checksum=False)
+    b.table_map(7, "shop", "test", COLS)  # no TLV names on 5.5
+    b.insert_v1(7, (9, "1.00", "z", "2011-01-01", "2011-01-01 01:02:03"))
+    (ev,) = list(B.iter_binlog_events(
+        b.bytes(), column_names={("shop", "test"): [c[0] for c in COLS]}))
+    assert json.loads(ev["after"])["id"] == 9
+
+
+def test_column_name_sources():
+    """TLV names (8.0 FULL metadata) > caller map > positional col_i."""
+    b = _one_table(names_tlv=False)
+    b.insert(7, (1, "2.00", "n", "2024-01-01", "2024-01-01 00:00:00"))
+    data = b.bytes()
+    by_map = json.loads(next(iter(B.iter_binlog_events(
+        data, column_names={("shop", "test"): [c[0] for c in COLS]})))["after"])
+    assert "amount" in by_map
+    positional = json.loads(next(iter(B.iter_binlog_events(data)))["after"])
+    assert set(positional) == {f"col_{i}" for i in range(5)}
+    wrong = {("shop", "test"): ["a", "b"]}
+    with pytest.raises(B.BinlogFormatError, match="column names"):
+        list(B.iter_binlog_events(data, column_names=wrong))
+
+
+def test_signedness_tlv():
+    """SIGNEDNESS TLV bit set -> the raw 0xFFFFFFFF decodes as u32, not -1."""
+    cols = [("u", B.T_LONG, 0), ("s", B.T_LONG, 0)]
+    b = BinlogBuilder()
+    b.table_map(7, "d", "t", cols, names_tlv=True, unsigned=(0,))
+    b.insert(7, (0xFFFFFFFF, -1))
+    (ev,) = list(B.iter_binlog_events(b.bytes()))
+    assert json.loads(ev["after"]) == {"u": 4294967295, "s": -1}
+
+
+def test_query_event_and_tx_framing():
+    b = _one_table()
+    b.query("shop", "BEGIN")  # transaction framing: skipped
+    b.query("shop", "ALTER TABLE test ADD COLUMN note VARCHAR(16)")
+    b.query("shop", "COMMIT")
+    evs = list(B.iter_binlog_events(b.bytes()))
+    assert len(evs) == 1 and evs[0]["action"] == "query"
+    assert "ALTER TABLE" in json.loads(evs[0]["after"])["query"]
+    assert evs[0]["table"] is None
+
+
+def test_table_filters():
+    b = BinlogBuilder()
+    b.table_map(7, "shop", "keep", [("id", B.T_LONG, 0)], names_tlv=True)
+    b.insert(7, (1,))
+    b.table_map(8, "shop", "drop_me", [("id", B.T_LONG, 0)], names_tlv=True)
+    b.insert(8, (2,))
+    evs = list(B.iter_binlog_events(b.bytes(), only_tables=("keep",)))
+    assert [e["table"] for e in evs] == ["keep"]
+    evs = list(B.iter_binlog_events(b.bytes(), only_schemas=("elsewhere",)))
+    assert evs == []
+
+
+def test_malformed_inputs():
+    with pytest.raises(B.BinlogFormatError, match="magic"):
+        list(B.iter_binlog_events(b"not a binlog"))
+    b = _one_table()
+    b.insert(7, (1, "1.00", "x", "2024-01-01", "2024-01-01 00:00:00"))
+    with pytest.raises(B.BinlogFormatError, match="truncated"):
+        list(B.iter_binlog_events(b.bytes()[:-3]))
+    # rows event whose TABLE_MAP was never seen (truncated rotation)
+    b2 = BinlogBuilder()
+    b2.table_map(7, "d", "t", [("id", B.T_LONG, 0)], names_tlv=True)
+    b2._columns = [("id", B.T_LONG, 0)]
+    body = b2._rows_body(99, B.EV_WRITE_ROWS_V2, [(1,)])
+    b2._event(B.EV_WRITE_ROWS_V2, body)
+    with pytest.raises(B.BinlogFormatError, match="unknown table_id"):
+        list(B.iter_binlog_events(b2.bytes()))
+
+
+def test_decimal_extremes():
+    cols = [("d", B.T_NEWDECIMAL, (30 << 8) | 10)]
+    b = BinlogBuilder()
+    b.table_map(7, "x", "t", cols, names_tlv=True)
+    vals = ["0.0000000001", "-99999999999999999999.9999999999",
+            "12345678901234567890.0987654321", "0"]
+    for v in vals:
+        b.insert(7, (v,))
+    from decimal import Decimal
+
+    got = [Decimal(json.loads(e["after"])["d"])
+           for e in B.iter_binlog_events(b.bytes())]
+    assert got == [Decimal(v) for v in vals]
+
+
+def test_distributed_decode_feeds_cdc_pipeline(spark, tmp_path):
+    """binaryFile -> mapInPandas decode -> filter_dml/split_updates/
+    parse_values -> merge: the offline file replays to the same final
+    state the reference's live tail would produce."""
+    from pyspark.sql import functions as F, types as T
+
+    from synch_spark.events import parse_values, split_updates
+    from synch_spark.operators.engines import replacing_view
+
+    b = _one_table()
+    b.insert(7, (1, "10.00", "a", "2024-01-01", "2024-01-01 00:00:00"),
+                (2, "20.00", "b", "2024-01-02", "2024-01-02 00:00:00"))
+    b.ts += 1  # distinct binlog timestamps order the replay
+    b.update(7, ((1, "10.00", "a", "2024-01-01", "2024-01-01 00:00:00"),
+                 (1, "11.00", "a2", "2024-01-01", "2024-01-03 00:00:00")))
+    b.ts += 1
+    b.delete(7, (2, "20.00", "b", "2024-01-02", "2024-01-02 00:00:00"))
+    b.ts += 1
+    b.insert(7, (3, "30.00", "c", "2024-01-03", "2024-01-04 00:00:00"))
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    (d / "binlog.000001").write_bytes(b.bytes())
+
+    raw = B.binlog_files_to_raw(spark, str(d))
+    assert raw.schema.fieldNames() == [
+        "schema", "table", "action", "before", "after", "event_unixtime"]
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DecimalType(10, 2)),
+        T.StructField("name", T.StringType()),
+        T.StructField("born", T.DateType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    typed = parse_values(split_updates(raw), vschema)
+    latest = replacing_view(
+        typed, ("id",), version_column="event_unixtime",
+        tiebreakers=("action_seq",))
+    final = latest.filter(F.col("action") != "delete").orderBy("id")
+    rows = [(r["id"], str(r["amount"]), r["name"]) for r in final.collect()]
+    assert rows == [(1, "11.00", "a2"), (3, "30.00", "c")]
+
+
+def test_json_column_refuses_loudly():
+    cols = [("j", B.T_JSON, 4)]
+    b = BinlogBuilder()
+    b.table_map(7, "x", "t", cols, names_tlv=True)
+    body = b._rows_body(7, B.EV_WRITE_ROWS_V2, [()])
+    # hand-build: one present column, not null, bogus payload
+    import struct as _s
+
+    body = (7).to_bytes(6, "little") + _s.pack("<H", 1) + _s.pack("<H", 2)
+    body += bytes([1]) + b"\x01" + b"\x00" + b"\x04\x00\x00\x00zzzz"
+    b._event(B.EV_WRITE_ROWS_V2, body)
+    with pytest.raises(B.BinlogFormatError, match="binary-JSON"):
+        list(B.iter_binlog_events(b.bytes()))
+
+
+def test_cli_replay_binlog_to_consume(spark, tmp_path):
+    """CLI e2e: replay-binlog decodes the archive into the spool, then
+    consume --available-now applies it — the offline stand-in for the
+    reference's `synch consume` fed by a live binlog tail."""
+    import yaml
+    from pyspark.sql import types as T
+
+    from synch_spark.cli import main
+
+    b = _one_table()
+    b.insert(7, (1, "10.00", "a", "2024-01-01", "2024-01-01 00:00:00"),
+                (2, "20.00", "b", "2024-01-02", "2024-01-02 00:00:00"))
+    b.ts += 1
+    b.update(7, ((2, "20.00", "b", "2024-01-02", "2024-01-02 00:00:00"),
+                 (2, "21.00", "b2", "2024-01-02", "2024-01-05 00:00:00")))
+    d = tmp_path / "archive"
+    d.mkdir()
+    (d / "binlog.000007").write_bytes(b.bytes())
+
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DecimalType(10, 2)),
+        T.StructField("name", T.StringType()),
+        T.StructField("born", T.DateType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "shop", "tables": [
+            {"table": "test", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "value_schemas": {"shop.test": vschema.jsonValue()},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "replay-binlog", "--path", str(d)]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+
+    from synch_spark.sources.table import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "wh" / "shop" / "test"))
+    rows = sorted((r["id"], str(r["amount"]), r["name"]) for r in t.read().collect())
+    assert rows == [(1, "10.00", "a"), (2, "21.00", "b2")]
