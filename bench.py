@@ -85,6 +85,12 @@ def main() -> None:
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         ckpt_root = f"/dev/shm/synch-bench-ckpt-{os.getpid()}"
         spark.conf.set("spark.synch.stream.checkpoint.dir", ckpt_root)
+        # RAM-backed dirs must not outlive the process even on a crash
+        # mid-run — register cleanup up front, not just on the happy path
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, ckpt_root, ignore_errors=True)
     # one-shot availableNow queries with discarded checkpoints: the
     # terminal watermark-only micro-batch is dead cost (see _stream_session)
     spark.conf.set("spark.synch.stream.nodata", "false")
@@ -173,7 +179,7 @@ def main() -> None:
     if ckpt_root:
         import shutil
 
-        shutil.rmtree(ckpt_root, ignore_errors=True)
+        shutil.rmtree(ckpt_root, ignore_errors=True)  # atexit copy is a no-op
     sys.stdout.flush()
     sys.stderr.flush()
     with os.fdopen(real_stdout_fd, "w") as out:

@@ -200,6 +200,16 @@ def cmd_replay_binlog(args) -> int:
     from synch_spark.sources.binlog_file import binlog_files_to_raw
 
     raw = _load(args.config)
+    # fail on sink misconfiguration BEFORE the distributed decode — an
+    # archive-sized count() thrown away on a missing config block is the
+    # worst possible place to learn about it
+    if args.sink == "kafka":
+        kconf = raw["spark"].get("kafka")
+        if not kconf or "bootstrap_servers" not in kconf:
+            raise SystemExit(
+                "replay-binlog --sink kafka needs a spark.kafka config "
+                "block with bootstrap_servers"
+            )
     spark = get_spark("synch-replay-binlog")
     names: dict = {}
     for spec in args.columns or []:
@@ -220,12 +230,6 @@ def cmd_replay_binlog(args) -> int:
         n = events.count()
         basename = f"binlog.replay.{os.path.basename(args.path.rstrip('/'))}"
         if args.sink == "kafka":
-            kconf = raw["spark"].get("kafka")
-            if not kconf or "bootstrap_servers" not in kconf:
-                raise SystemExit(
-                    "replay-binlog --sink kafka needs a spark.kafka config "
-                    "block with bootstrap_servers"
-                )
             produce_to_kafka(
                 events, kconf["bootstrap_servers"], kconf.get("queue_prefix", "synch")
             )

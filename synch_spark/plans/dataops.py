@@ -180,8 +180,11 @@ def q21_minhash_lsh(spark, sf_dir):
     ).orderBy("a", "b")
 
 
-Q21_SQL = f"""
-WITH toks AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
+# shared by Q21 (pair list) and Q39 (pair -> components -> sizes): ONE
+# definition so the two oracles can never drift apart on tokenizer,
+# seed count, or banding
+_LSH_PAIRS_CTE = f"""
+toks AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
   FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
@@ -192,11 +195,15 @@ mh AS (
   GROUP BY doc_id, seed),
 bands AS (
   SELECT doc_id, seed // 2 AS band, STRING_AGG(h, '|' ORDER BY seed) AS bucket
-  FROM mh GROUP BY doc_id, seed // 2)
-SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
-WHERE x.doc_id < y.doc_id
-ORDER BY a, b
+  FROM mh GROUP BY doc_id, seed // 2),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id)"""
+
+Q21_SQL = f"""
+WITH {_LSH_PAIRS_CTE}
+SELECT a, b FROM pairs ORDER BY a, b
 """
 
 
@@ -498,22 +505,7 @@ def q39_dedup_clusters(spark, sf_dir):
 
 Q39_SQL = f"""
 WITH RECURSIVE
-toks AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
-  WHERE len(w) >= 3),
-mh AS (
-  SELECT doc_id, seed, MIN(md5(seed || ':' || s)) AS h
-  FROM sh, (SELECT UNNEST(generate_series(0, 7)) AS seed) seeds
-  GROUP BY doc_id, seed),
-bands AS (
-  SELECT doc_id, seed // 2 AS band, STRING_AGG(h, '|' ORDER BY seed) AS bucket
-  FROM mh GROUP BY doc_id, seed // 2),
-pairs AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
-  WHERE x.doc_id < y.doc_id),
+{_LSH_PAIRS_CTE},
 und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
 reach(s, n) AS (
   SELECT DISTINCT a AS s, a AS n FROM und

@@ -50,9 +50,15 @@ from __future__ import annotations
 
 import base64
 import json
+import re
 import struct
 from decimal import Decimal
 from typing import Iterator
+
+# same shape as ddl._ALTER_RE: ALTER TABLE [`db`.]`tbl` ...
+_ALTER_TARGET_RE = re.compile(
+    r"^\s*alter\s+table\s+(?:`?(\w+)`?\.)?`?(\w+)`?", re.I | re.S
+)
 
 # --- event type codes (binlog v4) ----------------------------------------
 EV_QUERY = 0x02
@@ -277,11 +283,17 @@ def _decode_value(data: bytes, p: int, ctype: int, meta: int, unsigned: bool):
         return _fmt_dt(t.year, t.month, t.day, t.hour, t.minute, t.second,
                        micros, meta), p
     if ctype == T_TIME2:
-        v = int.from_bytes(data[p : p + 3], "big") - 0x800000
-        p += 3
-        micros, p = _frac_micros(data, p, meta)
-        sign = "-" if v < 0 else ""
-        v = abs(v)
+        # int part and fraction are ONE two's-complement fixed-point
+        # number over 3+frac bytes (negatives complement the fraction
+        # bits too) — sign the whole value, then split
+        nb = (meta + 1) // 2
+        total = int.from_bytes(data[p : p + 3 + nb], "big") - (0x800000 << (8 * nb))
+        p += 3 + nb
+        sign = "-" if total < 0 else ""
+        v = abs(total)
+        frac = v & ((1 << (8 * nb)) - 1)
+        micros = frac * 10 ** (6 - 2 * nb) if nb else 0
+        v >>= 8 * nb
         h, mi, s = (v >> 12) & 0x3FF, (v >> 6) & 0x3F, v & 0x3F
         out = f"{sign}{h:02d}:{mi:02d}:{s:02d}"
         if meta:
@@ -475,7 +487,6 @@ def iter_binlog_events(
             if (only_schemas and tm.schema not in only_schemas) or (
                 only_tables and tm.table not in only_tables
             ):
-                tables.pop(table_id, None)
                 tables[table_id] = None  # remembered as filtered
             else:
                 tables[table_id] = tm
@@ -492,9 +503,21 @@ def iter_binlog_events(
                 continue  # transaction framing, not DDL
             if only_schemas and db not in only_schemas:
                 continue
+            # the pipeline's DDL barrier routes by (schema, table) and
+            # RAW_EVENT_SCHEMA's table field is non-nullable — recover
+            # the target from the statement (ALTER TABLE [db.]tbl ...);
+            # statements without one get "" and are skipped downstream
+            m = _ALTER_TARGET_RE.match(sql)
+            tbl = ""
+            if m:
+                if m.group(1):
+                    db = m.group(1)
+                tbl = m.group(2)
+            if only_tables and tbl not in only_tables:
+                continue
             yield {
                 "schema": db,
-                "table": None,
+                "table": tbl,
                 "action": "query",
                 "before": None,
                 "after": json.dumps({"query": sql}),
@@ -523,6 +546,10 @@ def iter_binlog_events(
                 present2 = body[q : q + bm_len]
                 q += bm_len
             n1 = sum(_bit(present1, i) for i in range(ncols))
+            n2 = (
+                sum(_bit(present2, i) for i in range(ncols))
+                if etype in _ROWS_UPDATE else 0
+            )
             while q < len(body):
                 img1, q = _read_row_image(body, q, tm, present1, n1)
                 if etype in _ROWS_WRITE:
@@ -532,7 +559,6 @@ def iter_binlog_events(
                     ev = {"action": "delete",
                           "before": json.dumps(img1, default=str), "after": None}
                 else:
-                    n2 = sum(_bit(present2, i) for i in range(ncols))
                     img2, q = _read_row_image(body, q, tm, present2, n2)
                     ev = {"action": "update",
                           "before": json.dumps(img1, default=str),

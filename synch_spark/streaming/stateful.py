@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -48,8 +49,6 @@ def streaming_sessionize(
     out_schema must be "<key> <type>, session_start timestamp,
     session_end timestamp, n_events long".
     """
-    import numpy as np
-
     gap_us = int(gap_s) * 1_000_000
     cols = [c.strip().split()[0] for c in out_schema.split(",")]
 
@@ -160,9 +159,15 @@ def streaming_first_per_key(
             return iter(())  # key already emitted; append mode can't retract
         chunks = list(pdfs)
         batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-        # argmin == first occurrence of the min ts, i.e. exactly what the
-        # stable sort + head(1) computed, without sorting the whole frame
-        i = int(batch[ts_col].to_numpy().argmin())
+        # first occurrence of the min ts — what the stable sort + head(1)
+        # computed, without sorting the whole frame. NaT maps to int64
+        # MIN under view('i8'), which naive argmin would pick as the
+        # "first" event; mask nulls to MAX so they lose to any real ts
+        # (all-null batch: position 0, same as the old nulls-last sort)
+        s = batch[ts_col]
+        arr = s.to_numpy("datetime64[ns]").view("i8").copy()
+        arr[s.isna().to_numpy()] = np.iinfo("i8").max
+        i = int(arr.argmin())
         state.update((1,))
         yield batch.iloc[[i]][cols]
 

@@ -190,6 +190,20 @@ def _enc_value(t: int, m: int, v) -> bytes:
         return ((y << 9) | (mo << 5) | d).to_bytes(3, "little")
     if t == B.T_DATETIME2:
         return _enc_datetime2(str(v), m)
+    if t == B.T_TIME2:
+        # one signed fixed-point over 3+frac bytes, offset-binary
+        nb = (m + 1) // 2
+        text = str(v)
+        neg = text.startswith("-")
+        hms, _, frac = text.lstrip("-").partition(".")
+        h, mi, s = (int(x) for x in hms.split(":"))
+        micros = int(frac.ljust(6, "0")[:6]) if frac else 0
+        packed = ((h << 12) | (mi << 6) | s) << (8 * nb)
+        if nb:
+            packed += micros // 10 ** (6 - 2 * nb)
+        if neg:
+            packed = -packed
+        return (packed + (0x800000 << (8 * nb))).to_bytes(3 + nb, "big")
     if t == B.T_BIT:
         bits = (m & 0xFF) * 8 + (m >> 8)
         return int(v).to_bytes((bits + 7) // 8, "big")

@@ -106,11 +106,16 @@ def test_query_event_and_tx_framing():
     b = _one_table()
     b.query("shop", "BEGIN")  # transaction framing: skipped
     b.query("shop", "ALTER TABLE test ADD COLUMN note VARCHAR(16)")
+    b.query("shop", "ALTER TABLE other.t2 DROP COLUMN x")
     b.query("shop", "COMMIT")
     evs = list(B.iter_binlog_events(b.bytes()))
-    assert len(evs) == 1 and evs[0]["action"] == "query"
+    assert [e["action"] for e in evs] == ["query", "query"]
     assert "ALTER TABLE" in json.loads(evs[0]["after"])["query"]
-    assert evs[0]["table"] is None
+    # DDL routes by (schema, table) in the pipeline barrier: the target
+    # is recovered from the statement, qualified names override the
+    # session db, and table is never NULL (RAW_EVENT_SCHEMA contract)
+    assert (evs[0]["schema"], evs[0]["table"]) == ("shop", "test")
+    assert (evs[1]["schema"], evs[1]["table"]) == ("other", "t2")
 
 
 def test_table_filters():
@@ -261,3 +266,17 @@ def test_cli_replay_binlog_to_consume(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "wh" / "shop" / "test"))
     rows = sorted((r["id"], str(r["amount"]), r["name"]) for r in t.read().collect())
     assert rows == [(1, "10.00", "a"), (2, "21.00", "b2")]
+
+
+def test_time2_negative_with_fraction():
+    """TIME(fsp>0) is ONE two's-complement fixed-point over int+frac
+    bytes — negatives complement the fraction bits too; signing only
+    the 3-byte int part decodes '-00:00:01.50' as garbage."""
+    cols = [("t", B.T_TIME2, 2)]
+    b = BinlogBuilder()
+    b.table_map(7, "x", "t", cols, names_tlv=True)
+    vals = ["-00:00:01.50", "00:00:01.50", "-838:59:59.00", "123:45:06.07"]
+    for v in vals:
+        b.insert(7, (v,))
+    got = [json.loads(e["after"])["t"] for e in B.iter_binlog_events(b.bytes())]
+    assert got == vals

@@ -319,3 +319,34 @@ def test_stream_session_bench_knobs(spark):
         assert got == base[n], n
     # the checkpoint root was actually used
     assert os.listdir(ckpt)
+
+
+def test_first_per_key_skips_null_ts(spark, tmp_path):
+    """A NULL event-time row must not win 'first per key': NaT maps to
+    int64 MIN in the numpy view, so an unmasked argmin would emit the
+    null row and permanently suppress the real first event."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.plans.advanced import _stream_session
+    from synch_spark.streaming.stateful import streaming_first_per_key
+
+    sub = _stream_session(spark)
+    src = tmp_path / "ev"
+    (sub.createDataFrame(
+        [(1, "2024-01-02 00:00:00", "b"), (1, None, "nullrow"),
+         (1, "2024-01-01 00:00:00", "a"), (2, None, "only-null")],
+        "user_id long, ts_s string, event_type string")
+     .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+     .coalesce(1).write.parquet(str(src)))
+    schema = sub.read.parquet(str(src)).schema
+    stream = sub.readStream.schema(schema).parquet(str(src))
+    out = streaming_first_per_key(
+        stream, "user_id", "ts", "user_id long, ts timestamp, event_type string")
+    name = "first_null_ts"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r["event_type"] for r in sub.table(name).collect()}
+    sub.catalog.dropTempView(name)
+    assert rows[1] == "a"  # real earliest, not the NaT row
+    assert rows[2] == "only-null"  # all-null key falls back to first row
