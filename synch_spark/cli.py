@@ -196,20 +196,10 @@ def cmd_replay_binlog(args) -> int:
     no names; the reference reads them from the live server)."""
     import os
 
-    from synch_spark.broker import produce_to_kafka, write_event_spool
     from synch_spark.sources.binlog_file import binlog_files_to_raw
 
     raw = _load(args.config)
-    # fail on sink misconfiguration BEFORE the distributed decode — an
-    # archive-sized count() thrown away on a missing config block is the
-    # worst possible place to learn about it
-    if args.sink == "kafka":
-        kconf = raw["spark"].get("kafka")
-        if not kconf or "bootstrap_servers" not in kconf:
-            raise SystemExit(
-                "replay-binlog --sink kafka needs a spark.kafka config "
-                "block with bootstrap_servers"
-            )
+    _validate_sink(raw, args.sink, "replay-binlog")
     spark = get_spark("synch-replay-binlog")
     names: dict = {}
     for spec in args.columns or []:
@@ -225,15 +215,69 @@ def cmd_replay_binlog(args) -> int:
         only_schemas=tuple(args.schema.split(",")) if args.schema else (),
         only_tables=tuple(args.table.split(",")) if args.table else (),
     )
+    basename = f"binlog.replay.{os.path.basename(args.path.rstrip('/'))}"
+    n = _emit_to_sink(spark, raw, events, args.sink, basename)
+    print(json.dumps({"binlog_replay_events": n}))
+    return 0
+
+
+def cmd_replay_wal(args) -> int:
+    """Replay an offline wal2json dump into the broker boundary — the
+    Postgres analog of ``replay-binlog``.
+
+    The reference consumes wal2json from a live replication slot
+    (/root/reference/synch/reader/postgres.py:147-164); the same JSON
+    lands in files via ``pg_recvlogical -f`` (one payload per line) —
+    the standard offline WAL artifact. ``events.wal2json_to_raw``
+    decodes it in pure Column algebra (distributed text scan, no
+    driver parsing), and the emitted events land in the same sink
+    boundary ``produce`` uses."""
+    from synch_spark.events import filter_tables, wal2json_to_raw
+
+    raw = _load(args.config)
+    _validate_sink(raw, args.sink, "replay-wal")
+    spark = get_spark("synch-replay-wal")
+    events = wal2json_to_raw(spark.read.text(args.path))
+    events = filter_tables(
+        events,
+        only_schemas=tuple(args.schema.split(",")) if args.schema else (),
+        only_tables=tuple(args.table.split(",")) if args.table else (),
+    )
+    import os as _os
+
+    basename = f"wal.replay.{_os.path.basename(args.path.rstrip('/'))}"
+    n = _emit_to_sink(spark, raw, events, args.sink, basename)
+    print(json.dumps({"wal_replay_events": n}))
+    return 0
+
+
+def _validate_sink(raw, sink: str, cmd: str) -> None:
+    """Fail on sink misconfiguration BEFORE any distributed work."""
+    if sink == "kafka":
+        kconf = raw["spark"].get("kafka")
+        if not kconf or "bootstrap_servers" not in kconf:
+            raise SystemExit(
+                f"{cmd} --sink kafka needs a spark.kafka config "
+                f"block with bootstrap_servers"
+            )
+
+
+def _emit_to_sink(spark, raw, events, sink: str, basename: str) -> int:
+    """Shared replay emission: one materialization feeds the count and
+    the sink write (spool / kafka / redis), mirroring cmd_produce."""
+    import os
+
+    from synch_spark.broker import produce_to_kafka, write_event_spool
+
     events = events.persist()
     try:
         n = events.count()
-        basename = f"binlog.replay.{os.path.basename(args.path.rstrip('/'))}"
-        if args.sink == "kafka":
+        if sink == "kafka":
+            kconf = raw["spark"]["kafka"]
             produce_to_kafka(
                 events, kconf["bootstrap_servers"], kconf.get("queue_prefix", "synch")
             )
-        elif args.sink == "redis":
+        elif sink == "redis":
             _redis_broker_from_cfg(spark, raw).produce(events)
         else:
             events_dir = raw["spark"]["events_dir"]
@@ -241,8 +285,7 @@ def cmd_replay_binlog(args) -> int:
             write_event_spool(events, events_dir, basename)
     finally:
         events.unpersist()
-    print(json.dumps({"binlog_replay_events": n}))
-    return 0
+    return n
 
 
 def _redis_broker_from_cfg(spark, raw):
@@ -369,6 +412,9 @@ def cmd_consume(args) -> int:
         value_schemas=schemas,
         alias=args.alias or "default",
         jdbc_sinks=jdbc_sinks,
+        # spark.value_parse: "string" for text-valued row images
+        # (wal2json / PG wire format) — see events.parse_values
+        string_values=raw["spark"].get("value_parse") == "string",
     )
     if raw["spark"].get("redis"):
         return _consume_redis(spark, raw, cfg, pipe, args)
@@ -678,6 +724,18 @@ def main(argv=None) -> int:
         help="column names for binlogs without FULL row metadata (repeatable)",
     )
     rb.set_defaults(fn=cmd_replay_binlog)
+    rw = sub.add_parser(
+        "replay-wal",
+        help="decode an offline wal2json dump (pg_recvlogical -f) into the broker boundary",
+    )
+    rw.add_argument("--path", required=True, help="wal2json dump file/dir/glob")
+    rw.add_argument(
+        "--sink", choices=["spool", "kafka", "redis"], default="spool",
+        help="same boundary as produce: spool (events_dir) / kafka / redis",
+    )
+    rw.add_argument("--schema", help="comma-separated only-schemas filter")
+    rw.add_argument("--table", help="comma-separated only-tables filter")
+    rw.set_defaults(fn=cmd_replay_wal)
     k = sub.add_parser("check", help="count/checksum parity")
     k.add_argument("--checksum", action="store_true")
     k.add_argument("--schema", help="check only this source database")

@@ -147,6 +147,7 @@ def parse_values(
     value_schema: T.StructType,
     debezium_types: bool = False,
     decimal_mode: str = "auto",
+    string_values: bool = False,
 ) -> DataFrame:
     """Expand the JSON ``values`` payload into typed columns for one table.
 
@@ -154,6 +155,11 @@ def parse_values(
     the Spark-native analog of the reference's tagged-JSON codec
     (/root/reference/synch/common.py:16-36) — types are carried by schema,
     not by value tags.
+
+    ``string_values=True``: for sources whose row images carry every
+    value as TEXT (Postgres wire format — wal2json envelopes look like
+    {"id":"7"}), parse as map<string,string> and CAST per field;
+    from_json alone nulls quoted scalars in numeric fields.
 
     ``debezium_types=True`` additionally decodes Debezium's DEFAULT
     on-wire encodings for logical types, which a plain typed ``from_json``
@@ -193,6 +199,21 @@ def parse_values(
             f"decimal_mode must be 'auto', 'precise', or 'string' "
             f"(connector double mode decodes like 'string'); got "
             f"{decimal_mode!r}"
+        )
+    if string_values:
+        # every value arrives as TEXT regardless of logical type —
+        # Postgres wire format, hence wal2json envelopes ({"id":"7"}).
+        # from_json will NOT coerce quoted scalars into numeric fields
+        # (it nulls them), so parse the object as map<string,string>
+        # (number tokens stringify losslessly) and CAST each field; a
+        # malformed value fails loudly under ANSI instead of vanishing.
+        m = F.from_json("values", T.MapType(T.StringType(), T.StringType()))
+        cols = [
+            m.getItem(f.name).cast(f.dataType).alias(f.name)
+            for f in value_schema.fields
+        ]
+        return events.select(
+            "schema", "table", "action", "event_unixtime", "action_seq", *cols
         )
     if not debezium_types:
         return events.withColumn("_row", F.from_json("values", value_schema)).select(
@@ -492,3 +513,103 @@ def debezium_to_raw(df: DataFrame, value_col: str = "value") -> DataFrame:
         )
         .filter(F.col("action").isNotNull() & F.col("event_unixtime").isNotNull())
     )
+
+
+def wal2json_to_raw(
+    df: DataFrame, value_col: str = "value", fallback_unixtime_us: int | None = None
+) -> DataFrame:
+    """Decode wal2json payloads (the reference's PG logical-replication
+    plugin, /root/reference/synch/reader/postgres.py:68-128) into
+    RAW_EVENT_SCHEMA rows.
+
+    The reference consumes these from a live replication slot; the same
+    JSON also lands in files via ``pg_recvlogical -f`` — the standard
+    offline WAL artifact — and in message queues. One payload carries a
+    transaction's change list:
+
+        {"change": [{"kind": "insert|update|delete", "schema": ...,
+                     "table": ..., "columnnames": [...],
+                     "columnvalues": [...],
+                     "oldkeys": {"keynames": [...], "keyvalues": [...]}}],
+         ["timestamp": "2024-01-01 12:00:00.123456+00"]}
+
+    Mapping mirrors the reference: insert/update -> the zipped
+    columnnames/columnvalues object as the (after) image; delete ->
+    the zipped oldkeys as the (before) image; update additionally
+    carries oldkeys as before (the replica-identity key image — what a
+    pk-change needs to delete the right row; the reference keys the
+    delete half on the NEW values, which mis-deletes on pk change).
+    event_unixtime: the payload ``timestamp`` (wal2json
+    ``include-timestamp`` option) when present, else
+    ``fallback_unixtime_us`` (defaults to plan-build wall time — the
+    reference stamps consume-side time.time() the same way).
+
+    Pure Column algebra: from_json (values as strings — PG wire text),
+    explode of the change array, map_from_arrays + to_json for the row
+    images. Streamable; feed the output to filter_dml -> split_updates
+    -> parse_values exactly like every other source.
+    """
+    import time as _time
+
+    w2j = T.StructType(
+        [
+            T.StructField(
+                "change",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("kind", T.StringType()),
+                            T.StructField("schema", T.StringType()),
+                            T.StructField("table", T.StringType()),
+                            T.StructField("columnnames", T.ArrayType(T.StringType())),
+                            T.StructField("columnvalues", T.ArrayType(T.StringType())),
+                            T.StructField(
+                                "oldkeys",
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "keynames", T.ArrayType(T.StringType())
+                                        ),
+                                        T.StructField(
+                                            "keyvalues", T.ArrayType(T.StringType())
+                                        ),
+                                    ]
+                                ),
+                            ),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("timestamp", T.StringType()),
+        ]
+    )
+    if fallback_unixtime_us is None:
+        fallback_unixtime_us = int(_time.time() * 1_000_000)
+    parsed = df.select(
+        F.from_json(F.col(value_col).cast("string"), w2j).alias("_p")
+    )
+    # try_to_timestamp: an unparseable/absent timestamp (the option is
+    # off by default) must fall back, not ANSI-fail the batch
+    ts_us = F.coalesce(
+        F.unix_micros(F.try_to_timestamp(F.col("_p.timestamp"))),
+        F.lit(fallback_unixtime_us),
+    )
+    ch = parsed.select(ts_us.alias("event_unixtime"), F.explode("_p.change").alias("c"))
+    after_img = F.to_json(F.map_from_arrays("c.columnnames", "c.columnvalues"))
+    old_img = F.to_json(
+        F.map_from_arrays("c.oldkeys.keynames", "c.oldkeys.keyvalues")
+    )
+    kind = F.col("c.kind")
+    return ch.select(
+        F.col("c.schema").alias("schema"),
+        F.col("c.table").alias("table"),
+        F.when(kind == "insert", F.lit("insert"))
+        .when(kind == "update", F.lit("update"))
+        .when(kind == "delete", F.lit("delete"))
+        .alias("action"),
+        F.when(kind == "update", old_img)
+        .when(kind == "delete", old_img)
+        .alias("before"),
+        F.when(kind.isin("insert", "update"), after_img).alias("after"),
+        "event_unixtime",
+    ).filter(F.col("action").isNotNull())

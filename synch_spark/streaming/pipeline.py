@@ -135,6 +135,9 @@ class CdcPipeline:
     # default "auto" = plain-first) — resolves the base64-vs-numeric
     # wire ambiguity, see events.parse_values
     debezium_decimal_mode: str = "auto"
+    # text-valued row images (wal2json / PG wire format): parse values
+    # as map<string,string> + per-field CAST — see events.parse_values
+    string_values: bool = False
 
     def table_for(self, spec: TableSpec) -> ParquetTable:
         return ParquetTable(self.spark, f"{self.warehouse}/{spec.schema}/{spec.table}")
@@ -240,7 +243,8 @@ class CdcPipeline:
                 continue
             typed = parse_values(tevents, vschema,
                                  debezium_types=debezium_types,
-                                 decimal_mode=self.debezium_decimal_mode)
+                                 decimal_mode=self.debezium_decimal_mode,
+                                 string_values=self.string_values)
             sink = self.jdbc_sinks.get(spec.qualified_name)
             if sink is not None:
                 sink.apply_batch(typed, spec)

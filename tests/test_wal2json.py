@@ -1,0 +1,135 @@
+"""wal2json envelope decode (S6 offline path) and the replay-wal CLI."""
+
+from __future__ import annotations
+
+import json
+
+from synch_spark.events import wal2json_to_raw
+
+
+def _payload(*changes, timestamp=None):
+    p = {"change": list(changes)}
+    if timestamp:
+        p["timestamp"] = timestamp
+    return json.dumps(p)
+
+
+def _ins(tbl="test", **cols):
+    return {"kind": "insert", "schema": "public", "table": tbl,
+            "columnnames": list(cols), "columnvalues": list(cols.values())}
+
+
+def test_wal2json_decode_kinds(spark):
+    """insert/update/delete map to the reference's event dicts
+    (reader/postgres.py:87-126): insert/update carry the zipped column
+    object, delete carries oldkeys; update's before is the replica-
+    identity key image (what a pk change needs to delete the right
+    row)."""
+    lines = [
+        _payload(_ins(id=1, amount="10.50", name="a"),
+                 timestamp="2024-03-01 12:00:00.123456+00"),
+        _payload({"kind": "update", "schema": "public", "table": "test",
+                  "columnnames": ["id", "amount", "name"],
+                  "columnvalues": [1, "11.00", "a2"],
+                  "oldkeys": {"keynames": ["id"], "keyvalues": [1]}},
+                 timestamp="2024-03-01 12:00:01+00"),
+        _payload({"kind": "delete", "schema": "public", "table": "test",
+                  "oldkeys": {"keynames": ["id"], "keyvalues": [1]}},
+                 timestamp="2024-03-01 12:00:02+00"),
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    out = wal2json_to_raw(df).orderBy("event_unixtime").collect()
+    assert [r["action"] for r in out] == ["insert", "update", "delete"]
+    ins, upd, dele = out
+    assert json.loads(ins["after"]) == {"id": "1", "amount": "10.50", "name": "a"}
+    assert ins["before"] is None
+    assert ins["event_unixtime"] == 1709294400123456
+    assert json.loads(upd["before"]) == {"id": "1"}
+    assert json.loads(upd["after"])["amount"] == "11.00"
+    assert dele["after"] is None and json.loads(dele["before"]) == {"id": "1"}
+    assert all(r["schema"] == "public" and r["table"] == "test" for r in out)
+
+
+def test_wal2json_multi_change_and_fallback_time(spark):
+    """One transaction payload = many changes (explode), and a payload
+    without include-timestamp falls back to the supplied stamp."""
+    df = spark.createDataFrame(
+        [(_payload(_ins(id=1), _ins(id=2), _ins(tbl="other", id=3)),)],
+        "value string")
+    out = wal2json_to_raw(df, fallback_unixtime_us=42).collect()
+    assert len(out) == 3
+    assert {r["event_unixtime"] for r in out} == {42}
+    assert sorted(r["table"] for r in out) == ["other", "test", "test"]
+
+
+def test_wal2json_typed_apply(spark):
+    """String-encoded wire values parse into typed columns through the
+    normal parse_values path (numbers, decimals, timestamps)."""
+    from pyspark.sql import types as T
+
+    from synch_spark.events import parse_values, split_updates
+
+    df = spark.createDataFrame(
+        [(_payload(_ins(id=7, amount="12.34", ts="2024-01-01 00:00:00")),)],
+        "value string")
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DecimalType(10, 2)),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    row = parse_values(
+        split_updates(wal2json_to_raw(df, fallback_unixtime_us=1)), vschema,
+        string_values=True,
+    ).collect()[0]
+    assert (row["id"], str(row["amount"])) == (7, "12.34")
+    assert row["ts"].year == 2024
+
+
+def test_cli_replay_wal_to_consume(spark, tmp_path):
+    """CLI e2e: replay-wal decodes a pg_recvlogical dump into the spool
+    and consume applies it — the PG analog of replay-binlog."""
+    import yaml
+    from pyspark.sql import types as T
+
+    from synch_spark.cli import main
+
+    dump = "\n".join([
+        _payload(_ins(id=1, name="a"), _ins(id=2, name="b"),
+                 timestamp="2024-03-01 00:00:00+00"),
+        _payload({"kind": "update", "schema": "public", "table": "test",
+                  "columnnames": ["id", "name"], "columnvalues": [2, "b2"],
+                  "oldkeys": {"keynames": ["id"], "keyvalues": [2]}},
+                 timestamp="2024-03-01 00:00:01+00"),
+        _payload({"kind": "delete", "schema": "public", "table": "test",
+                  "oldkeys": {"keynames": ["id"], "keyvalues": [1]}},
+                 timestamp="2024-03-01 00:00:02+00"),
+    ])
+    d = tmp_path / "wal"
+    d.mkdir()
+    (d / "changes.jsonl").write_text(dump + "\n")
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "public", "tables": [
+            {"table": "test", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "value_schemas": {"public.test": vschema.jsonValue()},
+            "value_parse": "string",
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "replay-wal", "--path", str(d)]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+
+    from synch_spark.sources.table import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "wh" / "public" / "test"))
+    rows = sorted((r["id"], r["name"]) for r in t.read().collect())
+    assert rows == [(2, "b2")]
