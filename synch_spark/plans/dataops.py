@@ -1980,6 +1980,57 @@ FROM orders WHERE o_orderkey <= 2000 ORDER BY id
 """
 
 
+def q112_wal2json_decode(spark, sf_dir):
+    """The Postgres logical-replication wire format on the graded
+    surface: wal2json payloads (the reference's plugin,
+    /root/reference/synch/reader/postgres.py:68-128) synthesized per
+    orders row in Column algebra, pushed through wal2json_to_raw ->
+    split_updates -> parse_values(string_values=True) — PG carries
+    every value as TEXT, so the string-mode typed parse is exactly what
+    a real slot/pg_recvlogical feed exercises — and compared against
+    the oracle reading the source columns directly. The include-
+    timestamp field drives event_unixtime; it round-trips out as the
+    order date."""
+    from pyspark.sql import types as T
+
+    from synch_spark.events import parse_values, split_updates, wal2json_to_raw
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    price = F.col("o_totalprice").cast("decimal(15,2)").cast("string")
+    day = F.col("o_orderdate").cast("date").cast("string")
+    env = F.concat(
+        F.lit('{"change":[{"kind":"insert","schema":"db","table":"orders",'
+              '"columnnames":["id","price","status"],"columnvalues":['),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"'), price,
+        F.lit('","'), F.col("o_orderstatus"),
+        F.lit('"]}],"timestamp":"'), day,
+        F.lit(' 00:00:00+00"}'),
+    )
+    raw = wal2json_to_raw(orders.select(env.alias("value")))
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DecimalType(15, 2)),
+        T.StructField("status", T.StringType()),
+    ])
+    typed = parse_values(split_updates(raw), vschema, string_values=True)
+    return typed.select(
+        "id",
+        F.col("price").cast(DEC).cast("double").alias("price"),
+        "status",
+        F.timestamp_micros(F.col("event_unixtime")).cast("date").alias("d"),
+    ).orderBy("id")
+
+
+Q112_SQL = """
+SELECT o_orderkey AS id,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+       o_orderstatus AS status,
+       CAST(o_orderdate AS DATE) AS d
+FROM orders WHERE o_orderkey <= 2000 ORDER BY id
+"""
+
+
 # --- deterministic stratified sampling (language re-balancing) ------------
 def q110_stratified_sample(spark, sf_dir):
     """Language-mix re-balancing: down-sample English to 25%, keep 80%
@@ -2016,6 +2067,7 @@ DATAOPS_QUERIES = {
     "q109_debezium_decode": (q109_debezium_decode, Q109_SQL),
     "q110_stratified_sample": (q110_stratified_sample, Q110_SQL),
     "q111_debezium_precise_types": (q111_debezium_precise_types, Q111_SQL),
+    "q112_wal2json_decode": (q112_wal2json_decode, Q112_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
     "q18_quality_langid": (q18_quality_langid, Q18_SQL),
     "q19_token_topk": (q19_token_topk, Q19_SQL),
