@@ -280,3 +280,96 @@ def test_time2_negative_with_fraction():
         b.insert(7, (v,))
     got = [json.loads(e["after"])["t"] for e in B.iter_binlog_events(b.bytes())]
     assert got == vals
+
+
+def test_binlog_roundtrip_property():
+    """Hypothesis: random typed rows through the spec-built encoder and
+    the decoder round-trip exactly — every int width (signed bounds),
+    decimal digit layout (BCD group boundaries at 9/18/27 digits),
+    varchar length-prefix width, and null pattern."""
+    from decimal import Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    type_pool = st.sampled_from([
+        ("tiny", B.T_TINY, 0, st.integers(-128, 127)),
+        ("short", B.T_SHORT, 0, st.integers(-(1 << 15), (1 << 15) - 1)),
+        ("i24", B.T_INT24, 0, st.integers(-(1 << 23), (1 << 23) - 1)),
+        ("long", B.T_LONG, 0, st.integers(-(1 << 31), (1 << 31) - 1)),
+        ("ll", B.T_LONGLONG, 0, st.integers(-(1 << 63), (1 << 63) - 1)),
+        ("vc", B.T_VARCHAR, 300,
+         st.text(alphabet=st.characters(codec="utf-8",
+                                        blacklist_categories=("Cs",)),
+                 max_size=40)),
+        ("dec", B.T_NEWDECIMAL, (20 << 8) | 4,
+         st.decimals(min_value=Decimal("-9999999999999999.9999"),
+                     max_value=Decimal("9999999999999999.9999"),
+                     places=4, allow_nan=False, allow_infinity=False)),
+        ("dbl", B.T_DOUBLE, 8, st.floats(allow_nan=False, allow_infinity=False)),
+    ])
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        cols = data.draw(st.lists(type_pool, min_size=1, max_size=5))
+        cols = [(f"c{i}", t, m) for i, (_, t, m, _) in enumerate(cols)], [
+            s for _, _, _, s in cols]
+        col_defs, strats = cols
+        rows = data.draw(st.lists(
+            st.tuples(*[st.one_of(st.none(), s) for s in strats]),
+            min_size=1, max_size=4))
+        b = BinlogBuilder()
+        b.table_map(5, "db", "t", col_defs, names_tlv=True)
+        for row in rows:
+            b.insert(5, tuple(
+                str(v) if isinstance(v, Decimal) else v for v in row))
+        evs = list(B.iter_binlog_events(b.bytes()))
+        assert len(evs) == len(rows)
+        for ev, row in zip(evs, rows):
+            got = json.loads(ev["after"])
+            for (name, t, m), v in zip(col_defs, row):
+                g = got[name]
+                if v is None:
+                    assert g is None
+                elif t == B.T_NEWDECIMAL:
+                    assert Decimal(g) == v
+                elif t == B.T_DOUBLE:
+                    assert g == v
+                else:
+                    assert g == v, (name, t, v, g)
+
+    run()
+
+
+def test_multi_file_replay_ordering(spark, tmp_path):
+    """Events split across TWO binlog files (a rotation): each file
+    decodes in its own task, and the apply path's
+    (event_unixtime, action_seq) ordering recovers the global order."""
+    from pyspark.sql import functions as F, types as T
+
+    from synch_spark.events import parse_values, split_updates
+    from synch_spark.operators.engines import replacing_view
+
+    cols = [("id", B.T_LONG, 0), ("v", B.T_VARCHAR, 32)]
+    b1 = BinlogBuilder(timestamp=1_700_000_000)
+    b1.table_map(3, "d", "t", cols, names_tlv=True)
+    b1.insert(3, (1, "old"), (2, "keep"))
+    # second file: later timestamp, same table re-mapped (rotation
+    # re-emits FDE + TABLE_MAP), overwrites id=1
+    b2 = BinlogBuilder(timestamp=1_700_000_100)
+    b2.table_map(9, "d", "t", cols, names_tlv=True)
+    b2.update(9, ((1, "old"), (1, "new")))
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "binlog.000001").write_bytes(b1.bytes())
+    (d / "binlog.000002").write_bytes(b2.bytes())
+    raw = B.binlog_files_to_raw(spark, str(d))
+    typed = parse_values(
+        split_updates(raw),
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("v", T.StringType())]))
+    latest = replacing_view(typed, ("id",), version_column="event_unixtime",
+                            tiebreakers=("action_seq",))
+    rows = sorted((r["id"], r["v"]) for r in
+                  latest.filter(F.col("action") != "delete").collect())
+    assert rows == [(1, "new"), (2, "keep")]
