@@ -27,3 +27,10 @@ try:
     ALL_QUERIES.update(TPCH_QUERIES)
 except ImportError:
     pass
+
+try:
+    from synch_spark.plans.hygiene import HYGIENE_QUERIES
+
+    ALL_QUERIES.update(HYGIENE_QUERIES)
+except ImportError:
+    pass
