@@ -1876,6 +1876,94 @@ ORDER BY o_orderkey
 """
 
 
+def q117_time_travel_audit(spark, sf_dir):
+    """Manifest-log time travel on the GRADED surface: replay the
+    events stream as THREE CDC batches (event_id % 3) into a scratch
+    versioned table, record the commit version after each apply, then
+    read every historical version back via `ParquetTable.read(version)`
+    and report its row count and exact value sum. The oracle
+    reconstructs each historical state from the event history in pure
+    SQL (last-applied-batch-wins per pk, then latest event within that
+    batch — exactly `_apply_merging`'s unconditional-upsert semantics),
+    so snapshot isolation of the manifest log is hash-gated end-to-end,
+    not just unit-tested. At 100 TB a version read is O(1) metadata
+    (one log entry / checkpoint) + a pruned scan of that snapshot's
+    files — no copy was ever made, which is the point of the log."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.events import parse_values, split_updates
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+    from synch_spark.sources.table import ParquetTable
+
+    # fixed event_id cap: the query grades commit/snapshot machinery,
+    # not volume — keep its cost identical across scale factors
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 6000)
+    raw = ev.select(
+        (F.col("event_id") % 3).alias("_batch"),
+        F.lit("db").alias("schema"),
+        F.lit("tt_state").alias("table"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "signup", F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        F.to_json(F.struct("user_id", "value")).alias("before"),
+        F.to_json(F.struct("user_id", "value")).alias("after"),
+        F.unix_micros("ts").alias("event_unixtime"),
+    )
+    value_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    spec = TableSpec(schema="db", table="tt_state", pk=("user_id",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    table = ParquetTable(spark, tempfile.mkdtemp(prefix="synchspark_q117_"),
+                         retain=4)
+    versions = []
+    for k in range(3):
+        typed = parse_values(
+            split_updates(raw.filter(F.col("_batch") == k).drop("_batch")),
+            value_schema)
+        apply_cdc_batch(table, typed, spec)
+        versions.append(table.current_version())
+    parts = [
+        table.read(v)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.lit(k).cast("long").alias("version_idx"), "n_rows",
+                "sum_value")
+        for k, v in enumerate(versions)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version_idx")
+
+
+Q117_SQL = """
+WITH b AS (
+  SELECT user_id, value, ts, event_id, event_type,
+         event_id % 3 AS batch
+  FROM events WHERE event_id < 6000),
+state AS (
+  SELECT k.version_idx, user_id, value, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY k.version_idx, user_id
+           ORDER BY batch DESC, ts DESC, event_id DESC) AS rn
+  FROM b JOIN (VALUES (0), (1), (2)) AS k(version_idx)
+       ON b.batch <= k.version_idx)
+SELECT CAST(version_idx AS BIGINT) AS version_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM state WHERE rn = 1 AND event_type <> 'error'
+GROUP BY version_idx ORDER BY version_idx
+"""
+
+
 # --- Debezium envelope decode, oracle-gated -------------------------------
 def q109_debezium_decode(spark, sf_dir):
     """`events.debezium_to_raw` on the graded surface: synthesize the
@@ -2064,6 +2152,7 @@ ORDER BY doc_id
 DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q108_point_lookup_pruned": (q108_point_lookup_pruned, Q108_SQL),
+    "q117_time_travel_audit": (q117_time_travel_audit, Q117_SQL),
     "q109_debezium_decode": (q109_debezium_decode, Q109_SQL),
     "q110_stratified_sample": (q110_stratified_sample, Q110_SQL),
     "q111_debezium_precise_types": (q111_debezium_precise_types, Q111_SQL),

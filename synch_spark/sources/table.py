@@ -215,9 +215,17 @@ class Snapshot:
 class ParquetTable:
     """A named, versioned parquet table rooted at ``root``."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, retain: int = 2):
         self.spark = spark
         self.root = root
+        # Time-travel window: how many trailing versions stay readable
+        # (current + retain-1 historical) — the Delta
+        # deletedFileRetentionDuration analog, counted in versions
+        # instead of wall time so tests and replays are deterministic.
+        # Minimum 2: the previous version must survive for in-flight
+        # readers. Go-forward only: shrinking it on an existing table
+        # leaves a few already-spared files for vacuum() to reclaim.
+        self.retain = max(2, int(retain))
         self._mdir = os.path.join(root, _MDIR)
         self._data = os.path.join(root, _DATA)
         # memoized snapshots keyed by resolved version: committed
@@ -391,9 +399,14 @@ class ParquetTable:
             os.replace(tmp, ptr)
         except OSError:
             pass  # the hint is best-effort; the log already committed
-        if v >= 1:
+        # free the data files that fell out of the retention window:
+        # entry(k)'s remove-list names files last referenced by version
+        # k-1, so once version k-1 leaves the window (oldest retained is
+        # v - retain + 1) they are unreadable by construction
+        expired = v - self.retain + 1
+        if expired >= 1:
             try:
-                prev = self._entry(v - 1)
+                prev = self._entry(expired)
             except (OSError, json.JSONDecodeError):
                 prev = None
             if prev is not None:
@@ -496,16 +509,19 @@ class ParquetTable:
 
     def _retained_floor(self) -> int:
         """Oldest log-entry version the GC retains — mirrors
-        ``_post_commit``'s walk: from entry(head-1) back to its
-        checkpoint. Entries below this are garbage by definition."""
+        ``_post_commit``'s walk: from the oldest retained version's
+        entry back to its checkpoint (snapshot replay of every retained
+        version needs that whole chain). Entries below this are garbage
+        by definition."""
         v = self.current_version()
         if v < 1:
             return max(v, 0)
+        oldest = max(0, v - self.retain + 1)
         try:
-            e = self._entry(v - 1)
+            e = self._entry(oldest)
         except (OSError, json.JSONDecodeError):
             return v
-        floor = v - 1
+        floor = oldest
         while e["type"] != "ckpt":
             floor = e["base"]
             try:
@@ -520,16 +536,17 @@ class ParquetTable:
 
     # -- IO ------------------------------------------------------------------
     def versions(self) -> list[int]:
-        """Readable version numbers, ascending. Data-file GC spares only
-        the previous version (for in-flight readers), so this is
-        ``[v-1, v]`` — a bounded time-travel window, the Delta
-        ``VERSION AS OF`` shape without unbounded log retention."""
+        """Readable version numbers, ascending. Data-file GC spares the
+        trailing ``retain`` versions (default 2: current + previous for
+        in-flight readers), so this is ``[v-retain+1 .. v]`` — a bounded
+        time-travel window, the Delta ``VERSION AS OF`` shape without
+        unbounded log retention."""
         v = self.current_version()
         if v < 0:
             return []
         return [
-            x for x in (v - 1, v)
-            if x >= 0 and os.path.exists(self._manifest_path(x))
+            x for x in range(max(0, v - self.retain + 1), v + 1)
+            if os.path.exists(self._manifest_path(x))
         ]
 
     def _resolve_version(self, version: int | None) -> int:

@@ -1,0 +1,76 @@
+"""Configurable time-travel retention window (ParquetTable retain=N):
+versions() span, historical reads, data-file GC at the window edge,
+and log-entry floor across checkpoint rollover."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from synch_spark.sources.table import ParquetTable
+
+
+def _commit_n(spark, t, n, start=0):
+    """n overwrite commits, version k holding rows [0, 100+k)."""
+    for k in range(start, start + n):
+        t.overwrite(spark.range(100 + k).select(F.col("id").alias("k")))
+
+
+def test_default_window_is_two(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    _commit_n(spark, t, 5)
+    assert t.versions() == [3, 4]
+    assert t.read(3).count() == 103
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.read(2)
+
+
+def test_retain_widens_window(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    _commit_n(spark, t, 6)
+    assert t.versions() == [2, 3, 4, 5]
+    for v in t.versions():
+        assert t.read(v).count() == 100 + v
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.read(1)
+
+
+def test_gc_frees_files_leaving_window(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=3)
+    _commit_n(spark, t, 6)
+
+    def pool_files():
+        out = set()
+        for dirpath, _d, names in os.walk(os.path.join(str(tmp_path / "t"), "data")):
+            out.update(os.path.join(dirpath, n) for n in names)
+        return out
+
+    live = set()
+    for v in t.versions():
+        live.update(os.path.join(str(tmp_path / "t"), "data", r)
+                    for r in t.snapshot(v).files)
+    on_disk = pool_files()
+    # every retained file present; nothing outside the retained set
+    # survives (each overwrite fully replaces the file set, so expired
+    # versions' files must be gone)
+    assert live <= on_disk
+    assert on_disk == live
+
+
+def test_retention_across_checkpoint_rollover(spark, tmp_path):
+    # enough commits to cross the periodic checkpoint; the log-entry
+    # floor must keep the replay chain for the OLDEST retained version
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=5)
+    _commit_n(spark, t, 13)
+    assert t.versions() == [8, 9, 10, 11, 12]
+    for v in t.versions():
+        assert t.read(v).count() == 100 + v
+
+
+def test_retain_minimum_clamped(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=1)
+    assert t.retain == 2
+    _commit_n(spark, t, 3)
+    assert t.versions() == [1, 2]
