@@ -61,7 +61,8 @@ def cmd_etl(args) -> int:
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
             raw["spark"]["sources"][name]
         )
-        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
+                             retain=spec.retain)
         results[name] = etl_full(src, table, spec, renew=args.renew)
     print(json.dumps({"etl": results}))
     return 0
@@ -447,7 +448,8 @@ def cmd_check(args) -> int:
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
             raw["spark"]["sources"][name]
         )
-        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
+                             retain=spec.retain)
         res = check(src, table, checksum=args.checksum, spec=spec)
         out[name] = {
             "source": res.source_count,
@@ -477,7 +479,8 @@ def cmd_optimize(args) -> int:
     for name, spec in cfg.tables.items():
         if args.table and spec.table != args.table:
             continue
-        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
+                             retain=spec.retain)
         if table.exists:
             if args.vacuum:
                 table.vacuum()
@@ -514,7 +517,8 @@ def cmd_repair(args) -> int:
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
             raw["spark"]["sources"][name]
         )
-        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
+                             retain=spec.retain)
         if table.exists:
             out[name] = repair(src, table, spec)
     print(json.dumps({"repaired_events": out}))
@@ -540,7 +544,8 @@ def cmd_backfill(args) -> int:
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
             raw["spark"]["sources"][name]
         )
-        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
+                             retain=spec.retain)
         out[name] = backfill_missing(src, table, spec, num_chunks=args.chunks)
     print(json.dumps({"backfilled_rows": out}))
     return 0

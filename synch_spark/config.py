@@ -55,6 +55,7 @@ class TableSpec:
     engine_settings: str | None = None
     auto_full_etl: bool = True
     skip_decimal: bool = False  # reference wart; native DecimalType makes it a no-op
+    retain: int = 2  # time-travel window in versions (ParquetTable retain)
 
     @property
     def qualified_name(self) -> str:
@@ -109,6 +110,7 @@ def config_from_dict(raw: dict[str, Any]) -> SyncConfig:
                         partition_by=tbl.get("partition_by"),
                         auto_full_etl=bool(tbl.get("auto_full_etl", True)),
                         skip_decimal=bool(tbl.get("skip_decimal", False)),
+                        retain=int(tbl.get("retain", 2)),
                     )
                 )
     return cfg

@@ -308,6 +308,7 @@ def etl_all(
         if src is None:
             results[name] = False
             continue
-        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}")
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
+                             retain=spec.retain)
         results[name] = etl_full(src, table, spec, renew=renew)
     return results

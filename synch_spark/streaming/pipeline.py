@@ -140,7 +140,8 @@ class CdcPipeline:
     string_values: bool = False
 
     def table_for(self, spec: TableSpec) -> ParquetTable:
-        return ParquetTable(self.spark, f"{self.warehouse}/{spec.schema}/{spec.table}")
+        return ParquetTable(self.spark, f"{self.warehouse}/{spec.schema}/{spec.table}",
+                            retain=spec.retain)
 
     # -- the batch applier (runs once per micro-batch on the driver) --------
     def apply_batch(self, batch: DataFrame, epoch_id: int,

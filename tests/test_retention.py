@@ -74,3 +74,21 @@ def test_retain_minimum_clamped(spark, tmp_path):
     assert t.retain == 2
     _commit_n(spark, t, 3)
     assert t.versions() == [1, 2]
+
+
+def test_retain_parsed_from_yaml_config():
+    from synch_spark.config import config_from_dict
+
+    cfg = config_from_dict({
+        "source_dbs": [{
+            "databases": [{
+                "database": "db",
+                "tables": [
+                    {"table": "a", "pk": ["k"], "retain": 6},
+                    {"table": "b", "pk": ["k"]},
+                ],
+            }],
+        }],
+    })
+    assert cfg.tables["db.a"].retain == 6
+    assert cfg.tables["db.b"].retain == 2
