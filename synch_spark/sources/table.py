@@ -516,10 +516,18 @@ class ParquetTable:
         v = self.current_version()
         if v < 1:
             return max(v, 0)
-        oldest = max(0, v - self.retain + 1)
-        try:
-            e = self._entry(oldest)
-        except (OSError, json.JSONDecodeError):
+        # oldest retained version whose entry still exists: a table
+        # REOPENED with a larger retain than it was written with is
+        # missing the deeper entries — start the walk at the first
+        # readable one instead of GC-ing entries the window still needs
+        e = None
+        for oldest in range(max(0, v - self.retain + 1), v):
+            try:
+                e = self._entry(oldest)
+                break
+            except (OSError, json.JSONDecodeError):
+                continue
+        if e is None:
             return v
         floor = oldest
         while e["type"] != "ckpt":

@@ -92,3 +92,17 @@ def test_retain_parsed_from_yaml_config():
     })
     assert cfg.tables["db.a"].retain == 6
     assert cfg.tables["db.b"].retain == 2
+
+
+def test_reopen_with_larger_retain_keeps_previous_window(spark, tmp_path):
+    # write with the default window, reopen with a larger one: the
+    # missing deeper entries must not trick the GC into deleting the
+    # entries the old window still serves
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    _commit_n(spark, t, 5)
+    assert t.versions() == [3, 4]
+    t2 = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    _commit_n(spark, t2, 1, start=5)  # one more commit triggers GC
+    # window grows forward from here; v4 (previous) must survive
+    assert 4 in t2.versions() and 5 in t2.versions()
+    assert t2.read(4).count() == 104
