@@ -461,6 +461,26 @@ def cmd_check(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_history(args) -> int:
+    """DESCRIBE HISTORY analog: per-table commit log of the retained
+    time-travel window (version, entry type, files added/removed, live
+    size, schema-change flag, commit mtime). Metadata-only — no data
+    files are read, so it is safe to run against live tables."""
+    raw = _load(args.config)
+    cfg = config_from_dict(raw)
+    spark = get_spark("synch-history")
+    warehouse = raw["spark"]["warehouse"]
+    out = {}
+    for name, spec in cfg.tables.items():
+        if args.table and spec.table != args.table:
+            continue
+        table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
+                             retain=spec.retain)
+        out[name] = table.history() if table.exists else []
+    print(json.dumps({"history": out}))
+    return 0
+
+
 def cmd_optimize(args) -> int:
     """OPTIMIZE TABLE ... FINAL analog: eagerly fold engine history and
     re-cluster files on pk (the maintenance job ClickHouse runs as
@@ -763,6 +783,10 @@ def main(argv=None) -> int:
              "long-running writer's staging dir)",
     )
     o.set_defaults(fn=cmd_optimize)
+    h = sub.add_parser(
+        "history", help="commit log of the retained time-travel window")
+    h.add_argument("--table")
+    h.set_defaults(fn=cmd_history)
     r = sub.add_parser("repair", help="snapshot-diff surgical backfill")
     r.add_argument("--table")
     r.set_defaults(fn=cmd_repair)

@@ -929,6 +929,43 @@ class ParquetTable:
                         removed += 1
         return removed
 
+    def history(self) -> list[dict]:
+        """Commit history of the retained window, oldest first — the
+        ``DESCRIBE HISTORY`` analog. Pure metadata: reads log entries
+        and file sizes, never data. Per version: entry type (ckpt /
+        delta), files added/removed by the commit, live file count and
+        bytes after it, whether the commit carried a metadata-only
+        schema change (None for checkpoints, which always embed one),
+        and the entry file's publish mtime as the commit timestamp."""
+        out: list[dict] = []
+        for v in self.versions():
+            try:
+                e = self._entry(v)
+                mtime = os.path.getmtime(self._manifest_path(v))
+            except (OSError, json.JSONDecodeError):
+                continue
+            snap = self.snapshot(v)
+            n_added = (len(e.get("add", {})) if e["type"] == "delta"
+                       else len(snap.files))
+            total = 0
+            for rel in snap.files:
+                try:
+                    total += os.path.getsize(self._abs(rel))
+                except OSError:
+                    pass
+            out.append({
+                "version": v,
+                "type": e["type"],
+                "n_added": n_added,
+                "n_removed": len(e.get("remove", ())),
+                "n_files": len(snap.files),
+                "total_bytes": total,
+                "schema_change": ("schema" in e) if e["type"] == "delta"
+                else None,
+                "committed_at": round(mtime, 3),
+            })
+        return out
+
     def count(self) -> int:
         return self.read().count()
 

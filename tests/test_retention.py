@@ -106,3 +106,50 @@ def test_reopen_with_larger_retain_keeps_previous_window(spark, tmp_path):
     # window grows forward from here; v4 (previous) must survive
     assert 4 in t2.versions() and 5 in t2.versions()
     assert t2.read(4).count() == 104
+
+
+def test_history_metadata(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=3)
+    _commit_n(spark, t, 1)  # overwrite -> full-file-set ckpt entry
+    for _ in range(2):      # appends -> delta entries
+        t.append(spark.range(10).select(F.col("id").alias("k")))
+    h = t.history()
+    assert [e["version"] for e in h] == [0, 1, 2]
+    assert h[0]["type"] == "ckpt" and h[1]["type"] == "delta"
+    for e in h:
+        assert e["n_files"] >= 1 and e["total_bytes"] > 0
+        assert e["n_added"] >= 1
+    # checkpoints always embed a schema; only deltas carry the flag
+    assert h[0]["schema_change"] is None
+    assert h[1]["schema_change"] is False
+    assert h[0]["committed_at"] <= h[2]["committed_at"]
+
+
+def test_cli_history(tmp_path, capsys, spark):
+    import json
+
+    import yaml
+
+    from synch_spark.cli import main
+    from synch_spark.session import read_table
+
+    src_path = str(tmp_path / "src.parquet")
+    read_table(spark, "/root/testdata/sf0.001", "region").write.parquet(src_path)
+    cfg = {
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "region", "pk": ["r_regionkey"], "retain": 3}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "source_format": "parquet",
+            "sources": {"db.region": src_path},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "etl"]) == 0
+    capsys.readouterr()
+    assert main(["--config", str(p), "history"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    h = out["history"]["db.region"]
+    assert len(h) >= 1 and h[-1]["n_files"] >= 1
