@@ -267,6 +267,20 @@ def lsh_candidate_pairs(
     buckets = sig.select(
         "id", F.explode(band_structs).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return pairs_from_buckets(buckets, max_bucket_size, observation)
+
+
+def pairs_from_buckets(
+    buckets: DataFrame,
+    max_bucket_size: int = 1024,
+    observation=None,
+) -> DataFrame:
+    """Candidate pairs (a<b, distinct) from (id, band, bucket) rows —
+    the pair-expansion half of lsh_candidate_pairs, shared with the
+    persisted index path (DedupIndex's bucket table has exactly this
+    shape, so incremental ingest and one-shot batch derive pairs
+    through the SAME code). See lsh_candidate_pairs for the
+    max_bucket_size / observation semantics."""
     # pair generation as ONE pass: group bucket members, emit combinations
     # in-expression (no self-join -> the whole shingle/minhash pipeline
     # executes once, and the shuffle key is (band, bucket))

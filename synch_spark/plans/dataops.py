@@ -180,6 +180,31 @@ def q21_minhash_lsh(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def q118_incremental_lsh_parity(spark, sf_dir):
+    """The persisted incremental dedup index on the GRADED surface:
+    ingest the corpus in two halves (build + add) into a scratch
+    DedupIndex, then derive near-dup candidate pairs from the INDEX's
+    bucket table alone — no re-shingling, no text access — through the
+    same pair expansion as the one-shot path. The oracle is Q21's
+    one-shot MinHash-LSH SQL, so hash-equality proves incremental
+    ingest ≡ batch build: signatures, banding, and bucket keys all
+    survive the persist/append/read round-trip bit-identically. At
+    100 TB this is the nightly-ingest shape — only the new batch is
+    shingled; history joins in from the band-partitioned store."""
+    import tempfile
+
+    from synch_spark.operators.dedup_index import DedupIndex
+
+    docs = _docs(spark, sf_dir)
+    idx = DedupIndex(spark, tempfile.mkdtemp(prefix="synchspark-q118-"),
+                     num_hashes=8, bands=4, shingle_n=3)
+    idx.build(docs.filter(F.col("doc_id") % 2 == 0))
+    idx.add(docs.filter(F.col("doc_id") % 2 == 1))
+    buckets = idx.table.read().select(
+        "id", F.col("band").cast("int").alias("band"), "bucket")
+    return dedup.pairs_from_buckets(buckets).orderBy("a", "b")
+
+
 # shared by Q21 (pair list) and Q39 (pair -> components -> sizes): ONE
 # definition so the two oracles can never drift apart on tokenizer,
 # seed count, or banding
@@ -2162,6 +2187,7 @@ DATAOPS_QUERIES = {
     "q19_token_topk": (q19_token_topk, Q19_SQL),
     "q20_jaccard_pairs": (q20_jaccard_pairs, Q20_SQL),
     "q21_minhash_lsh": (q21_minhash_lsh, Q21_SQL),
+    "q118_incremental_lsh_parity": (q118_incremental_lsh_parity, Q21_SQL),
     "q22_simhash": (q22_simhash, Q22_SQL),
     "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
     "q24_ann_lsh": (q24_ann_lsh, None),
