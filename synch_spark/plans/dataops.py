@@ -321,6 +321,30 @@ def q99_ann_ivf_exhaustive(spark, sf_dir):
     ).orderBy("probe_id", "rank")
 
 
+def q119_ivf_incremental_exhaustive(spark, sf_dir):
+    """The persisted IVF vector index's incremental path on the GRADED
+    surface: build a scratch VectorIndex on the even vec_ids, add() the
+    odd half against the existing centroids, then search at
+    nprobe == num_centroids — which degenerates to the exact answer, so
+    the oracle is q23's exact top-k SQL. Hash-equality proves the
+    persist/append/read round-trip (centroid assignment, partitioned
+    bucket store, int8 column carried, exact decimal rescore) loses
+    nothing — the same guarantee q118 gives the dedup index. At 100 TB
+    this is the nightly-embedding-ingest shape: only the new batch is
+    assigned; history stays in place, partitioned by centroid."""
+    import tempfile
+
+    from synch_spark.operators.vector_index import VectorIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = VectorIndex(spark, tempfile.mkdtemp(prefix="synchspark-q119-"),
+                      num_centroids=4)
+    idx.build(emb.filter(F.col("vec_id") % 2 == 0), refine_iters=0)
+    idx.add(emb.filter(F.col("vec_id") % 2 == 1))
+    probes = emb.filter(F.col("vec_id") < 10)
+    return idx.search(probes, k=5, nprobe=4).orderBy("probe_id", "rank")
+
+
 # --- ANN (LSH) + multimodal plumbing: rows-only (no SQL-expressible oracle)
 def q24_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
@@ -2196,6 +2220,7 @@ DATAOPS_QUERIES = {
     "q42_ann_ivf": (q42_ann_ivf, None),
     "q98_ann_lsh_exhaustive": (q98_ann_lsh_exhaustive, Q23_SQL),
     "q99_ann_ivf_exhaustive": (q99_ann_ivf_exhaustive, Q23_SQL),
+    "q119_ivf_incremental_exhaustive": (q119_ivf_incremental_exhaustive, Q23_SQL),
     "q100_dedup_cc_chains": (q100_dedup_cc_chains, Q100_SQL),
     "q101_sketch_bounds": (q101_sketch_bounds, Q101_SQL),
     "q103_unigram_surprisal": (q103_unigram_surprisal, Q103_SQL),
