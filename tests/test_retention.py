@@ -153,3 +153,52 @@ def test_cli_history(tmp_path, capsys, spark):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     h = out["history"]["db.region"]
     assert len(h) >= 1 and h[-1]["n_files"] >= 1
+
+
+def test_retention_invariants_property(spark, tmp_path):
+    """Hypothesis: any sequence of overwrite/append commits under any
+    retain window keeps (a) every listed version readable with the
+    right row count, (b) every retained snapshot's files on disk,
+    (c) no stray data files outside the retained union."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    counter = [0]
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        retain=st.integers(2, 5),
+        ops=st.lists(st.tuples(st.sampled_from(["overwrite", "append"]),
+                               st.integers(1, 30)), min_size=3, max_size=8),
+    )
+    def run(retain, ops):
+        counter[0] += 1
+        root = str(tmp_path / f"t{counter[0]}")
+        t = ParquetTable(spark, root, retain=retain)
+        expected = {}  # version -> rowcount
+        total = 0
+        for op, n in ops:
+            if op == "overwrite":
+                t.overwrite(spark.range(n).select(F.col("id").alias("k")))
+                total = n
+            else:
+                t.append(spark.range(n).select(F.col("id").alias("k")))
+                total += n
+            expected[t.current_version()] = total
+        vs = t.versions()
+        assert vs[-1] == t.current_version()
+        assert len(vs) <= retain
+        live = set()
+        for v in vs:
+            assert t.read(v).count() == expected[v]
+            live.update(t.snapshot(v).files)
+        on_disk = set()
+        data = os.path.join(root, "data")
+        for dirpath, _d, names in os.walk(data):
+            for n_ in names:
+                on_disk.add(os.path.relpath(os.path.join(dirpath, n_), data)
+                            .replace(os.sep, "/"))
+        assert live <= on_disk
+        assert on_disk == live
+
+    run()
