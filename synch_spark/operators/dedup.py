@@ -44,8 +44,15 @@ def duplicate_stats(df: DataFrame, text_col: str) -> DataFrame:
 
 
 # --- shingling ----------------------------------------------------------
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs: distinct word n-grams per document."""
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
+             distinct: bool = True) -> DataFrame:
+    """(id, shingle) pairs: word n-grams per document — distinct by
+    default (set semantics for Jaccard/df counting). Pass
+    distinct=False on min-fold consumers (MinHash): min over the
+    multiset equals min over the set, and skipping the dedup removes a
+    full shuffle of raw n-gram TEXT — the most expensive shuffle in the
+    LSH chain, since everything downstream of the fold moves only
+    16-byte digests."""
     # materialize the token array behind a projection boundary so the
     # split() runs once per row — referencing the tokens *expression*
     # inside the transform lambda re-evaluates it per element_at call,
@@ -59,7 +66,8 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return base.select("id", F.explode(grams).alias("shingle")).distinct()
+    out = base.select("id", F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # --- n-gram Jaccard similarity join ------------------------------------
@@ -230,7 +238,7 @@ def lsh_candidate_pairs(
     ``obs.get["dropped_buckets"]`` after an action.
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(df, text_col, id_col, shingle_n)
+    sh = shingles(df, text_col, id_col, shingle_n, distinct=False)
     # WIDE signature aggregation: all num_hashes mins in ONE groupBy(id)
     # — the md5s are computed inline per shingle row (no 8x seed
     # explode), partial min combines map-side, and the (id, seed) and

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from synch_spark.operators.dedup import minhash_signatures, shingles
+from synch_spark.operators.dedup import shingles
 from synch_spark.sources.table import ParquetTable
 
 
@@ -34,8 +34,27 @@ def build_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, seed, h) MinHash signature rows — the once-per-document
-    computation everything else derives from."""
-    return minhash_signatures(shingles(df, text_col, id_col, shingle_n), num_hashes)
+    computation everything else derives from.
+
+    Computed in the WIDE one-shuffle form (all k mins in one
+    groupBy(id), md5s inline per shingle row, partial min map-side) and
+    unpivoted to the narrow storage rows — bit-identical to the
+    per-(id, seed) family in minhash_signatures, without the k× row
+    explosion through the shuffle."""
+    sh = shingles(df, text_col, id_col, shingle_n, distinct=False)
+    wide = sh.groupBy("id").agg(*[
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))
+        ).alias(f"_h{s}")
+        for s in range(num_hashes)
+    ])
+    rows = F.array(*[
+        F.struct(F.lit(s).cast("int").alias("seed"),
+                 F.col(f"_h{s}").alias("h"))
+        for s in range(num_hashes)
+    ])
+    return wide.select("id", F.explode(rows).alias("_p")).select(
+        "id", F.col("_p.seed").alias("seed"), F.col("_p.h").alias("h"))
 
 
 def buckets_of_signatures(
