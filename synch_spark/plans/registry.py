@@ -28,9 +28,8 @@ try:
 except ImportError:
     pass
 
-try:
-    from synch_spark.plans.hygiene import HYGIENE_QUERIES
+# no optional dependency in the hygiene surface — a broken import must
+# fail loudly, not silently shrink the graded registry
+from synch_spark.plans.hygiene import HYGIENE_QUERIES
 
-    ALL_QUERIES.update(HYGIENE_QUERIES)
-except ImportError:
-    pass
+ALL_QUERIES.update(HYGIENE_QUERIES)

@@ -235,6 +235,9 @@ class ParquetTable:
         # ANOTHER process aren't seen until this instance re-snapshots —
         # stats are a cache over footers, so that only costs speed.
         self._snap_cache: dict[int, Snapshot] = {}
+        # versions whose data files were verified present (see
+        # _files_present) — immutable once true for the current window
+        self._verified_versions: set[int] = set()
         os.makedirs(root, exist_ok=True)
 
     # -- version bookkeeping -------------------------------------------------
@@ -493,7 +496,20 @@ class ParquetTable:
                 except OSError:
                     pass
                 return False
+            # carry the entry's publish mtime across the rewrite: it is
+            # history()'s committed_at, and a stats refresh patching an
+            # OLD entry must not make the commit log's timestamps run
+            # backwards
+            try:
+                mtime = os.path.getmtime(dst)
+            except OSError:
+                mtime = None
             os.replace(tmp, dst)
+            if mtime is not None:
+                try:
+                    os.utime(dst, (mtime, mtime))
+                except OSError:
+                    pass
             if cur < self._retained_floor():
                 # GC deleted dst in the window between the existence
                 # check and the replace; our write resurrected a
@@ -543,18 +559,44 @@ class ParquetTable:
         return self.current_version() >= 0
 
     # -- IO ------------------------------------------------------------------
+    def _files_present(self, x: int) -> bool:
+        """True when version x's data files all still exist. Memoized
+        per instance (files of a retained version are immutable and the
+        GC only ever removes versions BELOW the window, so a positive
+        answer stays valid for this window)."""
+        if x in self._verified_versions:
+            return True
+        try:
+            snap = self.snapshot(x)
+        except (OSError, json.JSONDecodeError, FileNotFoundError):
+            return False
+        ok = all(os.path.exists(self._abs(r)) for r in snap.files)
+        if ok:
+            self._verified_versions.add(x)
+        return ok
+
     def versions(self) -> list[int]:
         """Readable version numbers, ascending. Data-file GC spares the
         trailing ``retain`` versions (default 2: current + previous for
         in-flight readers), so this is ``[v-retain+1 .. v]`` — a bounded
         time-travel window, the Delta ``VERSION AS OF`` shape without
-        unbounded log retention."""
+        unbounded log retention.
+
+        Versions below v-1 additionally verify their data files exist
+        (memoized): a table written under a SMALLER retain — an older
+        writer, a concurrent process with a narrower window, or a
+        pre-reopen history — has log entries whose files the old GC
+        already freed, and advertising those versions would turn
+        read(version) into a raw scan error instead of the contractual
+        'not retained'. v and v-1 skip the check: every writer retains
+        at least 2."""
         v = self.current_version()
         if v < 0:
             return []
         return [
             x for x in range(max(0, v - self.retain + 1), v + 1)
             if os.path.exists(self._manifest_path(x))
+            and (x >= v - 1 or self._files_present(x))
         ]
 
     def _resolve_version(self, version: int | None) -> int:
@@ -945,8 +987,23 @@ class ParquetTable:
             except (OSError, json.JSONDecodeError):
                 continue
             snap = self.snapshot(v)
-            n_added = (len(e.get("add", {})) if e["type"] == "delta"
-                       else len(snap.files))
+            if e["type"] == "delta":
+                n_added = len(e.get("add", {}))
+            else:
+                # a checkpoint folds the full live set into `files`; the
+                # commit's own additions are the delta vs the previous
+                # snapshot (a CKPT_EVERY rollover on an append must not
+                # report the whole table as 'added'). v=0 / truncating
+                # overwrites genuinely add their full set; a GC'd
+                # predecessor leaves the answer unknowable -> None.
+                try:
+                    prev = self.snapshot(v - 1) if v > 0 else None
+                except (OSError, json.JSONDecodeError, FileNotFoundError):
+                    prev = None
+                if prev is None:
+                    n_added = len(snap.files) if v == 0 else None
+                else:
+                    n_added = len(set(snap.files) - set(prev.files))
             total = 0
             for rel in snap.files:
                 try:
