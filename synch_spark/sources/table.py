@@ -267,7 +267,14 @@ class ParquetTable:
     def snapshot(self, version: int | None = None) -> Snapshot:
         """Materialize a version: nearest checkpoint entry + its delta
         chain applied forward (≤ CKPT_EVERY - 1 small JSON reads)."""
-        v = self._resolve_version(version)
+        return self._snapshot_at(self._resolve_version(version))
+
+    def _snapshot_at(self, v: int) -> Snapshot:
+        """snapshot() body AFTER version resolution. Internal callers
+        that already hold a concrete version number (``_files_present``)
+        must come in here: going through ``snapshot`` would re-validate
+        via ``_resolve_version`` → ``versions()`` → ``_files_present``
+        — an unbounded mutual recursion."""
         cached = self._snap_cache.get(v)
         if cached is not None:
             return cached
@@ -567,7 +574,7 @@ class ParquetTable:
         if x in self._verified_versions:
             return True
         try:
-            snap = self.snapshot(x)
+            snap = self._snapshot_at(x)
         except (OSError, json.JSONDecodeError, FileNotFoundError):
             return False
         ok = all(os.path.exists(self._abs(r)) for r in snap.files)
