@@ -118,14 +118,14 @@ def warm_streaming(spark) -> float:
     state worker, stream-stream join), started concurrently.
     """
     import shutil
-    import tempfile
+    from synch_spark.session import scratch_dir
     import time as _time
 
     sub = _stream_session(spark)
     if _STREAM_WARMED.get(sub):
         return 0.0
     t0 = _time.perf_counter()
-    tmp = tempfile.mkdtemp(prefix="synch-stream-warm-")
+    tmp = scratch_dir("synch-stream-warm-")
     try:
         rows = [(i % 3, f"2024-01-01 00:00:{i:02d}", "click" if i % 2 else "purchase")
                 for i in range(6)]

@@ -191,12 +191,12 @@ def q118_incremental_lsh_parity(spark, sf_dir):
     survive the persist/append/read round-trip bit-identically. At
     100 TB this is the nightly-ingest shape — only the new batch is
     shingled; history joins in from the band-partitioned store."""
-    import tempfile
+    from synch_spark.session import scratch_dir
 
     from synch_spark.operators.dedup_index import DedupIndex
 
     docs = _docs(spark, sf_dir)
-    idx = DedupIndex(spark, tempfile.mkdtemp(prefix="synchspark-q118-"),
+    idx = DedupIndex(spark, scratch_dir("synchspark-q118-"),
                      num_hashes=8, bands=4, shingle_n=3)
     idx.build(docs.filter(F.col("doc_id") % 2 == 0))
     idx.add(docs.filter(F.col("doc_id") % 2 == 1))
@@ -332,12 +332,12 @@ def q119_ivf_incremental_exhaustive(spark, sf_dir):
     nothing — the same guarantee q118 gives the dedup index. At 100 TB
     this is the nightly-embedding-ingest shape: only the new batch is
     assigned; history stays in place, partitioned by centroid."""
-    import tempfile
+    from synch_spark.session import scratch_dir
 
     from synch_spark.operators.vector_index import VectorIndex
 
     emb = _emb(spark, sf_dir)
-    idx = VectorIndex(spark, tempfile.mkdtemp(prefix="synchspark-q119-"),
+    idx = VectorIndex(spark, scratch_dir("synchspark-q119-"),
                       num_centroids=4)
     idx.build(emb.filter(F.col("vec_id") % 2 == 0), refine_iters=0)
     idx.add(emb.filter(F.col("vec_id") % 2 == 1))
@@ -369,14 +369,14 @@ def _ivf_index(spark, sf_dir):
     artifact (build amortized over every query + incremental ``add``),
     so per-query cost is nprobe partition-pruned bucket reads, not a
     centroid-training corpus scan per query."""
-    import tempfile
+    from synch_spark.session import scratch_dir
 
     from synch_spark.operators.vector_index import VectorIndex
 
     per_session = _IVF_CACHE.setdefault(spark, {})
     idx = per_session.get(sf_dir)
     if idx is None:
-        idx = VectorIndex(spark, tempfile.mkdtemp(prefix="synch-ivf-"),
+        idx = VectorIndex(spark, scratch_dir("synch-ivf-"),
                           num_centroids=16)
         # refine on a quarter-sample: centroid means converge on a few
         # thousand vectors; the full corpus is still fully assigned
@@ -1893,14 +1893,14 @@ def q108_point_lookup_pruned(spark, sf_dir):
     -> stats -> bloom -> pruned read) is hash-gated, not just
     unit-tested. Keys mix present and absent values so both the
     positive path and the absence proofs execute."""
-    import tempfile
+    from synch_spark.session import scratch_dir
 
     from synch_spark.sources import bloom as bloom_idx
     from synch_spark.sources.manifest import refresh_manifest
     from synch_spark.sources.table import ParquetTable
 
     orders = _t(spark, sf_dir, "orders")
-    t = ParquetTable(spark, tempfile.mkdtemp(prefix="synch-q108-"))
+    t = ParquetTable(spark, scratch_dir("synch-q108-"))
     t.overwrite(
         orders.select("o_orderkey", "o_custkey", "o_totalprice"),
         cluster_by=("o_orderkey",),
@@ -1938,7 +1938,7 @@ def q117_time_travel_audit(spark, sf_dir):
     not just unit-tested. At 100 TB a version read is O(1) metadata
     (one log entry / checkpoint) + a pruned scan of that snapshot's
     files — no copy was ever made, which is the point of the log."""
-    import tempfile
+    from synch_spark.session import scratch_dir
 
     from pyspark.sql import types as T
 
@@ -1968,7 +1968,7 @@ def q117_time_travel_audit(spark, sf_dir):
     ])
     spec = TableSpec(schema="db", table="tt_state", pk=("user_id",),
                      engine=Engine.REPLACING_MERGE_TREE)
-    table = ParquetTable(spark, tempfile.mkdtemp(prefix="synchspark_q117_"),
+    table = ParquetTable(spark, scratch_dir("synchspark_q117_"),
                          retain=4)
     versions = []
     for k in range(3):

@@ -365,7 +365,7 @@ def q15_cdc_count_parity(spark, sf_dir):
     the window formulation — this is the reference's `synch check`
     (/root/reference/synch/cli.py:94-110) upgraded to an end-to-end
     equivalence test of the whole CDC path."""
-    import tempfile
+    from synch_spark.session import scratch_dir
 
     from pyspark.sql import types as T
 
@@ -395,7 +395,7 @@ def q15_cdc_count_parity(spark, sf_dir):
     spec = TableSpec(
         schema="db", table="events_state", pk=("user_id",), engine=Engine.REPLACING_MERGE_TREE
     )
-    table = ParquetTable(spark, tempfile.mkdtemp(prefix="synchspark_q15_"))
+    table = ParquetTable(spark, scratch_dir("synchspark_q15_"))
     apply_cdc_batch(table, typed, spec)
     return read_current_state(table, spec).agg(F.count(F.lit(1)).alias("n"))
 

@@ -15,6 +15,27 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A scratch directory under one per-process root that is removed
+    at interpreter exit. Queries that build throwaway tables/indexes
+    inside the plan (q15/q108/q117/q118/q119, the session IVF index,
+    streaming warm-up) allocate here; without the shared root, repeated
+    bench/correctness runs leak a mkdtemp per invocation into /tmp.
+    Cleanup is atexit (not post-materialize) because the returned
+    DataFrames read the scratch files lazily until the driver collects."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None or not os.path.isdir(_SCRATCH_ROOT):
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="synchspark-scratch-")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
 
 def get_spark(app_name: str = "sparksynch", cpus: int | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS

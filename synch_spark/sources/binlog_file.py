@@ -464,8 +464,21 @@ def iter_binlog_events(
     p = 4
     checksum = 0  # CRC32 trailer length (0 or 4), from the FDE
     tables: dict[int, _TableMap] = {}
+    # The binlog header timestamp is whole seconds, so two changes to
+    # one pk inside a second would tie on the downstream
+    # (event_unixtime, action_seq) sort and last-wins replay could pick
+    # the older image. Spread a per-file monotone counter across the
+    # microsecond field (reset each second, saturating at 999_999 ≈ 1M
+    # rows/s/file) so within-file order survives the sort — matching
+    # Debezium's ts_ms and the reference's per-event time.time() stamp,
+    # neither of which ties.
+    last_ts = -1
+    sub = 0
     while p + 19 <= len(data):
         ts, etype = struct.unpack_from("<IB", data, p)
+        if ts != last_ts:
+            last_ts = ts
+            sub = 0
         event_size = int.from_bytes(data[p + 9 : p + 13], "little")
         if event_size < 19 or p + event_size > len(data):
             raise BinlogFormatError(f"truncated event at offset {p}")
@@ -521,8 +534,9 @@ def iter_binlog_events(
                 "action": "query",
                 "before": None,
                 "after": json.dumps({"query": sql}),
-                "event_unixtime": ts * 1_000_000,
+                "event_unixtime": ts * 1_000_000 + sub,
             }
+            sub = min(sub + 1, 999_999)
             continue
         if etype in _ROWS_WRITE + _ROWS_UPDATE + _ROWS_DELETE:
             table_id = int.from_bytes(body[0:6], "little")
@@ -565,7 +579,8 @@ def iter_binlog_events(
                           "after": json.dumps(img2, default=str)}
                 ev["schema"] = tm.schema
                 ev["table"] = tm.table
-                ev["event_unixtime"] = ts * 1_000_000
+                ev["event_unixtime"] = ts * 1_000_000 + sub
+                sub = min(sub + 1, 999_999)
                 yield ev
         # every other event type (ROTATE, XID, GTID, STOP, ...) is
         # positional/transactional framing: skipped via event_size

@@ -131,13 +131,28 @@ class CdcPipeline:
     # timestamps) when typing each table's rows; set automatically by
     # start_kafka_stream(value_format="debezium")
     debezium_types: bool = False
-    # pin the connector's decimal.handling.mode ("precise" | "string";
-    # default "auto" = plain-first) — resolves the base64-vs-numeric
-    # wire ambiguity, see events.parse_values
-    debezium_decimal_mode: str = "auto"
+    # pin the connector's decimal.handling.mode ("precise" | "string" |
+    # "auto" = plain-first) — resolves the base64-vs-numeric wire
+    # ambiguity, see events.parse_values. None (unset) resolves to
+    # "precise" on a Debezium-format stream — the connector's own
+    # default, where "auto" would silently misdecode base64 payloads
+    # that also parse numerically ('9999', '1e10') — and "auto" on the
+    # engine's native streams, whose producer never emits base64.
+    debezium_decimal_mode: str | None = None
     # text-valued row images (wal2json / PG wire format): parse values
     # as map<string,string> + per-field CAST — see events.parse_values
     string_values: bool = False
+
+    def _decimal_mode(self, debezium_types: bool) -> str:
+        """Resolve the wire decimal decode for one batch: an explicit
+        setting always wins; unset defaults to "precise" on a Debezium
+        stream (the connector's own decimal.handling.mode default —
+        "auto"'s plain-first read would silently misdecode base64
+        payloads that also parse numerically) and "auto" on native
+        streams, whose producer never emits base64."""
+        if self.debezium_decimal_mode is not None:
+            return self.debezium_decimal_mode
+        return "precise" if debezium_types else "auto"
 
     def table_for(self, spec: TableSpec) -> ParquetTable:
         return ParquetTable(self.spark, f"{self.warehouse}/{spec.schema}/{spec.table}",
@@ -244,7 +259,7 @@ class CdcPipeline:
                 continue
             typed = parse_values(tevents, vschema,
                                  debezium_types=debezium_types,
-                                 decimal_mode=self.debezium_decimal_mode,
+                                 decimal_mode=self._decimal_mode(debezium_types),
                                  string_values=self.string_values)
             sink = self.jdbc_sinks.get(spec.qualified_name)
             if sink is not None:

@@ -48,6 +48,31 @@ def test_insert_roundtrip_types():
     assert evs[0]["before"] is None
 
 
+def test_within_second_events_get_monotone_stamps():
+    """The binlog header timestamp is whole seconds; without a
+    sub-second tiebreaker, two updates to one pk inside a second tie on
+    the (event_unixtime, action_seq) sort and last-wins replay can pick
+    the older image. The decoder spreads a per-file monotone counter
+    across the microsecond field, reset when the header second
+    changes."""
+    b = _one_table()
+    row = lambda amt: (1, amt, "x", "2020-01-01", "2020-01-01 00:00:00")
+    b.update(7, (row("1.00"), row("2.00")))
+    b.update(7, (row("2.00"), row("3.00")))
+    b.insert(7, (2, "9.99", "y", "2020-01-01", "2020-01-01 00:00:00"))
+    evs = list(B.iter_binlog_events(b.bytes()))
+    stamps = [e["event_unixtime"] for e in evs]
+    assert stamps == sorted(set(stamps)), "stamps must be strictly increasing"
+    assert stamps[0] == 1_700_000_000 * 1_000_000
+    assert stamps[1] == 1_700_000_000 * 1_000_000 + 1
+    # last-wins on (event_unixtime) alone now recovers file order
+    latest = max(
+        (e for e in evs if json.loads(e["after"] or "{}").get("id") == 1),
+        key=lambda e: e["event_unixtime"],
+    )
+    assert json.loads(latest["after"])["amount"] == "3.00"
+
+
 def test_update_carries_before_and_after():
     b = _one_table()
     b.update(7, ((1, "5.00", "x", "2020-01-01", "2020-01-01 00:00:00"),

@@ -350,3 +350,18 @@ def test_first_per_key_skips_null_ts(spark, tmp_path):
     sub.catalog.dropTempView(name)
     assert rows[1] == "a"  # real earliest, not the NaT row
     assert rows[2] == "only-null"  # all-null key falls back to first row
+
+
+def test_decimal_mode_defaults_precise_on_debezium_stream(pipeline):
+    """Unset debezium_decimal_mode must resolve to the connector's own
+    default ("precise") on a Debezium-format stream — "auto"'s
+    plain-first read silently misdecodes base64 payloads that also
+    parse numerically ('9999', '1e10') — and to plain-first "auto" on
+    native streams, whose producer never emits base64. An explicit
+    setting always wins."""
+    assert pipeline.debezium_decimal_mode is None
+    assert pipeline._decimal_mode(debezium_types=True) == "precise"
+    assert pipeline._decimal_mode(debezium_types=False) == "auto"
+    pipeline.debezium_decimal_mode = "string"
+    assert pipeline._decimal_mode(debezium_types=True) == "string"
+    assert pipeline._decimal_mode(debezium_types=False) == "string"
