@@ -229,25 +229,51 @@ def parse_values(
         ]
     )
     parsed = events.withColumn("_row", F.from_json("values", relaxed))
-    cols = []
-    for f in value_schema.fields:
-        c = F.col(f"_row.{f.name}")
+    passthrough = ["schema", "table", "action", "event_unixtime", "action_seq"]
+    # STAGED decode: materialize each field's raw value, then every
+    # multiply-referenced intermediate, as real columns across chained
+    # projections. Column algebra builds TREES, not DAGs — inlining the
+    # decode as one expression duplicates each intermediate's whole
+    # subtree per reference (the decimal hex chain and temporal
+    # magnitude gates reference theirs 5-20×), which multiplies into
+    # tens of KB of expression per field, seconds of optimizer/codegen
+    # time PER MICRO-BATCH, and codegen falling back to interpreted
+    # eval past janino's 64 KB method limit. Catalyst's CollapseProject
+    # keeps non-cheap aliases referenced more than once materialized,
+    # so the staged form stays compact end-to-end.
+    raw_names: dict[str, str] = {}
+    sel = [F.col(c) for c in passthrough]
+    for i, f in enumerate(value_schema.fields):
+        rn = f"__dbz_raw_{i}"
+        raw_names[f.name] = rn
+        sel.append(F.col(f"_row.{f.name}").alias(rn))
+    staged = parsed.select(*sel)
+    finals = []
+    for i, f in enumerate(value_schema.fields):
+        src = raw_names[f.name]
         if isinstance(f.dataType, T.DecimalType):
-            c = _dbz_decimal(c, f.dataType, decimal_mode)
+            staged, c = _dbz_decimal(staged, src, f.dataType, decimal_mode, i)
         elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
-            c = _dbz_timestamp(c, f.dataType)
+            staged, c = _dbz_timestamp(staged, src, f.dataType, i)
         elif isinstance(f.dataType, T.DateType):
-            c = _dbz_date(c)
-        cols.append(c.alias(f.name))
-    return parsed.select(
-        "schema", "table", "action", "event_unixtime", "action_seq", *cols
-    )
+            staged, c = _dbz_date(staged, src, i)
+        else:
+            c = F.col(src)  # relaxed kept the declared type: already typed
+        finals.append(c.alias(f.name))
+    return staged.select(*passthrough, *finals)
 
 
-def _dbz_decimal(col, dt: T.DecimalType, mode: str = "auto"):
-    """Decode one Debezium DECIMAL value: a plain numeric string
+def _dbz_decimal(df, src: str, dt: T.DecimalType, mode: str = "auto",
+                 tag: int = 0):
+    """Decode one Debezium DECIMAL column: a plain numeric string
     (string/double handling mode — tried first) or precise-mode base64
     of the big-endian two's-complement unscaled integer.
+
+    STAGED (takes/returns the DataFrame): each multiply-referenced
+    intermediate lands as a ``__dbz{tag}_*`` column so downstream
+    references are cheap attributes — see parse_values for why the
+    single-expression form is quadratic. The temp columns fall away in
+    parse_values' final projection.
 
     The byte decode is pure Column: unbase64 -> hex -> a positional
     hex-digit fold (see inline comment for why neither limb
@@ -262,12 +288,21 @@ def _dbz_decimal(col, dt: T.DecimalType, mode: str = "auto"):
     """
     import decimal as _d
 
+    col = F.col(src)
     plain = col.try_cast(dt)
-    b = F.try_to_binary(col, F.lit("base64"))
     if mode == "string":
-        return plain  # connector pinned to string/double handling
-    hx0 = F.hex(b)
-    neg = F.substring(hx0, 1, 1).isin("8", "9", "A", "B", "C", "D", "E", "F")
+        return df, plain  # connector pinned to string/double handling
+
+    def t(name: str) -> str:
+        return f"__dbz{tag}_{name}"
+
+    df = df.withColumn(t("hx0"), F.hex(F.try_to_binary(col, F.lit("base64"))))
+    hx0 = F.col(t("hx0"))
+    df = df.withColumn(
+        t("neg"),
+        F.substring(hx0, 1, 1).isin("8", "9", "A", "B", "C", "D", "E", "F"),
+    )
+    neg = F.col(t("neg"))
     # strip sign-extension padding first: producers may emit fixed-width
     # (non-minimal) two's-complement. Algebraically safe in BOTH
     # directions: for positives the unsigned read of the tail IS the
@@ -275,36 +310,54 @@ def _dbz_decimal(col, dt: T.DecimalType, mode: str = "auto"):
     # number of leading 0xFF bytes stripped (the subtraction uses the
     # remaining length). This lets an 8-byte-magnitude value arrive in
     # 16 padded bytes and still take the narrow path.
-    hx = F.when(
+    stripped = F.when(
         neg,
         F.nullif(F.regexp_replace(hx0, "^(?:FF)+", ""), F.lit(""))
     ).otherwise(
         F.nullif(F.regexp_replace(hx0, "^(?:00)+", ""), F.lit(""))
     )
-    hx = F.coalesce(hx, F.when(neg, F.lit("FF")).otherwise(F.lit("00")))
-    hx = F.when(hx0.isNull(), F.lit(None)).otherwise(hx)
-    n = (F.length(hx) / 2).cast("int")
+    stripped = F.coalesce(
+        stripped, F.when(neg, F.lit("FF")).otherwise(F.lit("00"))
+    )
+    df = df.withColumn(
+        t("hx"), F.when(hx0.isNull(), F.lit(None)).otherwise(stripped)
+    )
+    hx = F.col(t("hx"))
+    df = df.withColumn(t("n"), (F.length(hx) / 2).cast("int"))
+    n = F.col(t("n"))
     D38 = T.DecimalType(38, 0)
     if dt.precision <= 18:
         # fast path: the whole unscaled value fits 8 bytes (a 9-byte
         # minimal encoding means |v| >= 2^63 > 18 digits, which the
         # final try_cast would null anyway), so conv's exact unsigned
         # 64-bit read + a sign subtraction suffices — and the query
-        # plan skips the 512-literal digit fold below entirely (it
-        # costs ~2-3s of analysis/codegen per query, irrelevant at
-        # scale but visible on the bench for every narrow column)
-        u = F.conv(hx, 16, 10).try_cast(T.DecimalType(20, 0))
+        # plan skips the 512-literal digit fold below entirely
         pow2 = F.element_at(
             F.array(*[F.lit(_d.Decimal(2 ** (8 * l))) for l in range(1, 9)]),
             n.cast("int"),
         )
-        signed = F.when(neg, u - pow2).otherwise(u)
+        u = F.conv(hx, 16, 10).try_cast(T.DecimalType(20, 0))
+        # the length gate must wrap the STAGED column itself: as a plain
+        # when-branch it only guarded lazy CASE evaluation, but a
+        # materialized column evaluates for every row, and conv() on a
+        # >16-hex-digit payload raises ARITHMETIC_OVERFLOW under ANSI
+        df = df.withColumn(
+            t("signed"),
+            F.when((n >= 1) & (n <= 8),
+                   F.when(neg, u - pow2).otherwise(u)),
+        )
+        signed = F.col(t("signed"))
         if dt.scale:
-            sdig = F.abs(signed).cast("string")
-            spad = F.lpad(
-                sdig, F.greatest(F.length(sdig), F.lit(dt.scale + 1)), "0"
+            df = df.withColumn(t("sdig"), F.abs(signed).cast("string"))
+            sdig = F.col(t("sdig"))
+            df = df.withColumn(
+                t("spad"),
+                F.lpad(sdig, F.greatest(F.length(sdig), F.lit(dt.scale + 1)),
+                       "0"),
             )
-            scut = F.length(spad) - dt.scale
+            spad = F.col(t("spad"))
+            df = df.withColumn(t("scut"), F.length(spad) - dt.scale)
+            scut = F.col(t("scut"))
             stxt = F.concat(
                 F.when(signed < 0, F.lit("-")).otherwise(F.lit("")),
                 F.substring(spad, F.lit(1), scut),
@@ -316,8 +369,8 @@ def _dbz_decimal(col, dt: T.DecimalType, mode: str = "auto"):
             small = signed.try_cast(dt)
         scaled = F.when((n >= 1) & (n <= 8), small)
         if mode == "precise":
-            return F.coalesce(scaled, plain)
-        return F.coalesce(plain, scaled)
+            return df, F.coalesce(scaled, plain)
+        return df, F.coalesce(plain, scaled)
     # Positional hex-digit SUM, no multiplication: Spark's Decimal
     # multiply rounds through MathContext DECIMAL128 (34 significant
     # digits), so any limb product reaching 35+ digits silently loses
@@ -340,7 +393,8 @@ def _dbz_decimal(col, dt: T.DecimalType, mode: str = "auto"):
             for d in range(16)
         ]
     )
-    ln = F.length(hx).cast("int")
+    df = df.withColumn(t("ln"), F.length(hx).cast("int"))
+    ln = F.col(t("ln"))
 
     def step(acc, i):
         d = F.conv(F.substring(hx, i, F.lit(1)), 16, 10).cast("int")
@@ -360,13 +414,27 @@ def _dbz_decimal(col, dt: T.DecimalType, mode: str = "auto"):
     # ANSI at legal extremes. The magnitude stays non-negative through
     # the fold; sign and scale are applied on the DIGIT STRING (prepend
     # '-', insert the point), which is exact at any width.
-    mag = F.when(neg, (total + 1).try_cast(D38)).otherwise(total)
-    digits = mag.cast("string")
+    # same ANSI-eagerness rule as the narrow path: the fold's
+    # element_at index only stays inside the 512-entry table for
+    # <= 16-byte payloads, so the gate wraps the materialized column
+    df = df.withColumn(
+        t("digits"),
+        F.when(
+            (n >= 1) & (n <= 16),
+            F.when(neg, (total + 1).try_cast(D38)).otherwise(total)
+            .cast("string"),
+        ),
+    )
+    digits = F.col(t("digits"))
     if dt.scale:
-        padded = F.lpad(
-            digits, F.greatest(F.length(digits), F.lit(dt.scale + 1)), "0"
+        df = df.withColumn(
+            t("padded"),
+            F.lpad(digits, F.greatest(F.length(digits), F.lit(dt.scale + 1)),
+                   "0"),
         )
-        cut = F.length(padded) - dt.scale
+        padded = F.col(t("padded"))
+        df = df.withColumn(t("cut"), F.length(padded) - dt.scale)
+        cut = F.col(t("cut"))
         txt = F.concat(
             F.when(neg, F.lit("-")).otherwise(F.lit("")),
             F.substring(padded, F.lit(1), cut),
@@ -379,11 +447,11 @@ def _dbz_decimal(col, dt: T.DecimalType, mode: str = "auto"):
     if mode == "precise":
         # connector pinned to precise handling: bytes are authoritative,
         # the numeric read is only a fallback for non-base64 payloads
-        return F.coalesce(scaled, plain)
-    return F.coalesce(plain, scaled)
+        return df, F.coalesce(scaled, plain)
+    return df, F.coalesce(plain, scaled)
 
 
-def _dbz_timestamp(col, dt):
+def _dbz_timestamp(df, src: str, dt, tag: int = 0):
     """Decode one Debezium temporal: an ISO string (ZonedTimestamp /
     string mode — tried first) or an adaptive-mode epoch integer whose
     unit Debezium varies by column precision (Timestamp=millis,
@@ -394,13 +462,25 @@ def _dbz_timestamp(col, dt):
     exact for timestamps after ~1973 in every unit; values inside ~3
     years of the 1970 epoch in a finer unit are inherently ambiguous on
     the wire and resolve to the coarser one (README points to
-    time.precision.mode=isostring for such data)."""
+    time.precision.mode=isostring for such data).
+
+    STAGED like _dbz_decimal: the magnitude gate / unit classification
+    / NTZ day-arithmetic intermediates are multiply-referenced, so they
+    land as ``__dbzt{tag}_*`` columns."""
     import decimal as _d
+
+    col = F.col(src)
+
+    def t(name: str) -> str:
+        return f"__dbzt{tag}_{name}"
 
     # a bare integer string is ALWAYS an adaptive-mode epoch value —
     # Spark would happily cast "19492" to the year-19492 date/timestamp,
     # so the integer gate must run before the plain cast, not after
-    n = F.when(col.rlike("^-?[0-9]+$"), col.try_cast("long"))
+    df = df.withColumn(
+        t("n"), F.when(col.rlike("^-?[0-9]+$"), col.try_cast("long"))
+    )
+    n = F.col(t("n"))
     plain = F.when(n.isNull(), col.try_cast(dt))
     # bounds are written out (no F.abs): abs(Long.MIN_VALUE) raises
     # ARITHMETIC_OVERFLOW under ANSI and one adversarial envelope would
@@ -414,11 +494,13 @@ def _dbz_timestamp(col, dt):
     nanos_us = (
         (nd - F.pmod(nd, F.lit(_d.Decimal(1000)))) / F.lit(_d.Decimal(1000))
     ).cast("long")
-    us = (
+    df = df.withColumn(
+        t("us"),
         F.when((n > lo_ms) & (n < hi_ms), n * 1_000)
         .when((n > lo_us) & (n < hi_us), n)
-        .otherwise(nanos_us)
+        .otherwise(nanos_us),
     )
+    us = F.col(t("us"))
     if isinstance(dt, T.TimestampNTZType):
         # NTZ must not round-trip through TimestampType: that cast
         # renders in the SESSION time zone, silently shifting every
@@ -426,10 +508,16 @@ def _dbz_timestamp(col, dt):
         # wall-clock arithmetically instead — exact and tz-independent.
         day_us = _d.Decimal(86_400_000_000)
         usd = us.cast(T.DecimalType(38, 0))
-        rem = F.pmod(usd, F.lit(day_us))
+        df = df.withColumn(t("rem"), F.pmod(usd, F.lit(day_us)))
+        rem = F.col(t("rem"))
         days = ((usd - rem) / F.lit(day_us)).cast("int")
-        rem_l = rem.cast("long")  # < 8.64e10: exact in every numeric type
-        d = F.date_add(F.lit("1970-01-01").cast("date"), days)
+        # < 8.64e10: exact in every numeric type
+        df = df.withColumn(t("reml"), rem.cast("long"))
+        rem_l = F.col(t("reml"))
+        df = df.withColumn(
+            t("d"), F.date_add(F.lit("1970-01-01").cast("date"), days)
+        )
+        d = F.col(t("d"))
         h = F.floor(rem_l / 3_600_000_000).cast("int")
         mi = F.floor(F.pmod(rem_l, 3_600_000_000) / 60_000_000).cast("int")
         secs = (
@@ -440,16 +528,22 @@ def _dbz_timestamp(col, dt):
         )
     else:
         decoded = F.timestamp_micros(us.cast("long")).cast(dt)
-    return F.coalesce(plain, decoded)
+    return df, F.coalesce(plain, decoded)
 
 
-def _dbz_date(col):
+def _dbz_date(df, src: str, tag: int = 0):
     """Decode one Debezium DATE: ISO string first, else adaptive-mode
     epoch DAYS (io.debezium.time.Date). Bare integers are always epoch
-    days — never a year — so they bypass the plain cast."""
-    days = F.when(col.rlike("^-?[0-9]+$"), col.try_cast("int"))
+    days — never a year — so they bypass the plain cast. STAGED like
+    _dbz_decimal (the gate column is referenced three times)."""
+    col = F.col(src)
+    dn = f"__dbzd{tag}_days"
+    df = df.withColumn(dn, F.when(col.rlike("^-?[0-9]+$"), col.try_cast("int")))
+    days = F.col(dn)
     plain = F.when(days.isNull(), col.try_cast("date"))
-    return F.coalesce(plain, F.date_add(F.lit("1970-01-01").cast("date"), days))
+    return df, F.coalesce(
+        plain, F.date_add(F.lit("1970-01-01").cast("date"), days)
+    )
 
 
 def debezium_to_raw(df: DataFrame, value_col: str = "value") -> DataFrame:

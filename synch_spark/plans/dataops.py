@@ -2146,8 +2146,16 @@ def q111_debezium_precise_types(spark, sf_dir):
         T.StructField("d", T.DateType()),
         T.StructField("ts", T.TimestampType()),
     ])
+    # Materialize the synthesized envelope behind an exchange before the
+    # decode: without the barrier Catalyst's projection collapse inlines
+    # the whole concat(...) envelope into every downstream
+    # get_json_object reference (~10 copies in the filter alone), and
+    # the exploded tree costs seconds of analysis/codegen. A real
+    # deployment never hits this — the envelope arrives as a Kafka
+    # column, not an expression.
+    envelopes = orders.select(env.alias("value")).repartition(8)
     typed = parse_values(
-        split_updates(debezium_to_raw(orders.select(env.alias("value")))),
+        split_updates(debezium_to_raw(envelopes)),
         vschema, debezium_types=True,
     )
     # double, not DECIMAL, in the FINAL projection: the checker's row
