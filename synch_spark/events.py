@@ -500,6 +500,18 @@ def _dbz_timestamp(df, src: str, dt, tag: int = 0):
         .when((n > lo_us) & (n < hi_us), n)
         .otherwise(nanos_us),
     )
+    # NULL any decoded instant outside year 1..9999: make_timestamp_ntz
+    # raises past year 9999 under ANSI, and even a JVM-valid wider
+    # timestamp dies at the Python boundary (datetime caps at 9999) —
+    # either way one adversarial envelope would kill the micro-batch.
+    # Bounds are exact micros for 0001-01-01T00:00:00 .. 9999-12-31
+    # 23:59:59.999999.
+    us_min, us_max = -62_135_596_800_000_000, 253_402_300_799_999_999
+    df = df.withColumn(
+        t("us"),
+        F.when((F.col(t("us")) >= us_min) & (F.col(t("us")) <= us_max),
+               F.col(t("us"))),
+    )
     us = F.col(t("us"))
     if isinstance(dt, T.TimestampNTZType):
         # NTZ must not round-trip through TimestampType: that cast
@@ -538,12 +550,17 @@ def _dbz_date(df, src: str, tag: int = 0):
     _dbz_decimal (the gate column is referenced three times)."""
     col = F.col(src)
     dn = f"__dbzd{tag}_days"
+    # epoch-day bounds for year 1..9999 (0001-01-01 = day -719162,
+    # 9999-12-31 = day 2932896): date_add raises under ANSI outside the
+    # DATE range, and one adversarial envelope must not kill the batch
     df = df.withColumn(dn, F.when(col.rlike("^-?[0-9]+$"), col.try_cast("int")))
     days = F.col(dn)
     plain = F.when(days.isNull(), col.try_cast("date"))
-    return df, F.coalesce(
-        plain, F.date_add(F.lit("1970-01-01").cast("date"), days)
+    decoded = F.when(
+        (days >= -719_162) & (days <= 2_932_896),
+        F.date_add(F.lit("1970-01-01").cast("date"), days),
     )
+    return df, F.coalesce(plain, decoded)
 
 
 def debezium_to_raw(df: DataFrame, value_col: str = "value") -> DataFrame:

@@ -192,16 +192,15 @@ def _incr_dedup_index(spark, sf_dir):
 
     from synch_spark.operators.dedup_index import DedupIndex
 
-    per_session = _INCR_DEDUP_CACHE.setdefault(spark, {})
-    idx = per_session.get(sf_dir)
-    if idx is None:
+    def build():
         docs = _docs(spark, sf_dir)
         idx = DedupIndex(spark, scratch_dir("synchspark-q118-"),
                          num_hashes=8, bands=4, shingle_n=3)
         idx.build(docs.filter(F.col("doc_id") % 2 == 0))
         idx.add(docs.filter(F.col("doc_id") % 2 == 1))
-        per_session[sf_dir] = idx
-    return idx
+        return idx
+
+    return _INCR_DEDUP_CACHE.get_or_build(spark, sf_dir, build)
 
 
 def q118_incremental_lsh_parity(spark, sf_dir):
@@ -345,16 +344,15 @@ def _incr_ivf_index(spark, sf_dir):
 
     from synch_spark.operators.vector_index import VectorIndex
 
-    per_session = _INCR_IVF_CACHE.setdefault(spark, {})
-    idx = per_session.get(sf_dir)
-    if idx is None:
+    def build():
         emb = _emb(spark, sf_dir)
         idx = VectorIndex(spark, scratch_dir("synchspark-q119-"),
                           num_centroids=4)
         idx.build(emb.filter(F.col("vec_id") % 2 == 0), refine_iters=0)
         idx.add(emb.filter(F.col("vec_id") % 2 == 1))
-        per_session[sf_dir] = idx
-    return idx
+        return idx
+
+    return _INCR_IVF_CACHE.get_or_build(spark, sf_dir, build)
 
 
 def q119_ivf_incremental_exhaustive(spark, sf_dir):
@@ -382,16 +380,36 @@ def q24_ann_lsh(spark, sf_dir):
     )
 
 
+import threading
 import weakref
 
-# weak-keyed by session (id() reuse after GC would hand back an index
-# bound to a stopped SparkContext); value = {sf_dir: VectorIndex}
-_IVF_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-# same shape for the incremental-parity scratch indexes (q118/q119)
-# and q117's three-commit time-travel table
-_INCR_DEDUP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-_INCR_IVF_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-_TT_AUDIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+class _SessionCache:
+    """One maintained artifact per (SparkSession, sf_dir) — the shared
+    memoization shape of q42's IVF index, q118/q119's incremental
+    scratch indexes, and q117's committed time-travel table. Weak-keyed
+    by session (id() reuse after GC would hand back an artifact bound
+    to a stopped SparkContext). The per-cache lock makes the bench's
+    concurrent warm-up race-free while leaving DIFFERENT artifacts free
+    to build in parallel."""
+
+    def __init__(self) -> None:
+        self._store: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+        self._lock = threading.Lock()
+
+    def get_or_build(self, spark, sf_dir, build):
+        with self._lock:
+            per_session = self._store.setdefault(spark, {})
+            hit = per_session.get(sf_dir)
+            if hit is None:
+                hit = per_session[sf_dir] = build()
+            return hit
+
+
+_IVF_CACHE = _SessionCache()
+_INCR_DEDUP_CACHE = _SessionCache()
+_INCR_IVF_CACHE = _SessionCache()
+_TT_AUDIT_CACHE = _SessionCache()
 
 
 def _ivf_index(spark, sf_dir):
@@ -406,16 +424,15 @@ def _ivf_index(spark, sf_dir):
 
     from synch_spark.operators.vector_index import VectorIndex
 
-    per_session = _IVF_CACHE.setdefault(spark, {})
-    idx = per_session.get(sf_dir)
-    if idx is None:
+    def build():
         idx = VectorIndex(spark, scratch_dir("synch-ivf-"),
                           num_centroids=16)
         # refine on a quarter-sample: centroid means converge on a few
         # thousand vectors; the full corpus is still fully assigned
         idx.build(_emb(spark, sf_dir), refine_iters=1, refine_sample=0.25)
-        per_session[sf_dir] = idx
-    return idx
+        return idx
+
+    return _IVF_CACHE.get_or_build(spark, sf_dir, build)
 
 
 def q42_ann_ivf(spark, sf_dir):
@@ -1975,42 +1992,40 @@ def _tt_audit_table(spark, sf_dir):
     from synch_spark.operators.cdc_apply import apply_cdc_batch
     from synch_spark.sources.table import ParquetTable
 
-    per_session = _TT_AUDIT_CACHE.setdefault(spark, {})
-    hit = per_session.get(sf_dir)
-    if hit is not None:
-        return hit
-    # fixed event_id cap: the query grades commit/snapshot machinery,
-    # not volume — keep its cost identical across scale factors
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 6000)
-    raw = ev.select(
-        (F.col("event_id") % 3).alias("_batch"),
-        F.lit("db").alias("schema"),
-        F.lit("tt_state").alias("table"),
-        F.when(F.col("event_type") == "error", F.lit("delete"))
-        .when(F.col("event_type") == "signup", F.lit("insert"))
-        .otherwise(F.lit("update"))
-        .alias("action"),
-        F.to_json(F.struct("user_id", "value")).alias("before"),
-        F.to_json(F.struct("user_id", "value")).alias("after"),
-        F.unix_micros("ts").alias("event_unixtime"),
-    )
-    value_schema = T.StructType([
-        T.StructField("user_id", T.LongType()),
-        T.StructField("value", T.DoubleType()),
-    ])
-    spec = TableSpec(schema="db", table="tt_state", pk=("user_id",),
-                     engine=Engine.REPLACING_MERGE_TREE)
-    table = ParquetTable(spark, scratch_dir("synchspark_q117_"),
-                         retain=4)
-    versions = []
-    for k in range(3):
-        typed = parse_values(
-            split_updates(raw.filter(F.col("_batch") == k).drop("_batch")),
-            value_schema)
-        apply_cdc_batch(table, typed, spec)
-        versions.append(table.current_version())
-    per_session[sf_dir] = (table, versions)
-    return table, versions
+    def build():
+        # fixed event_id cap: the query grades commit/snapshot machinery,
+        # not volume — keep its cost identical across scale factors
+        ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 6000)
+        raw = ev.select(
+            (F.col("event_id") % 3).alias("_batch"),
+            F.lit("db").alias("schema"),
+            F.lit("tt_state").alias("table"),
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .when(F.col("event_type") == "signup", F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+            F.to_json(F.struct("user_id", "value")).alias("before"),
+            F.to_json(F.struct("user_id", "value")).alias("after"),
+            F.unix_micros("ts").alias("event_unixtime"),
+        )
+        value_schema = T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ])
+        spec = TableSpec(schema="db", table="tt_state", pk=("user_id",),
+                         engine=Engine.REPLACING_MERGE_TREE)
+        table = ParquetTable(spark, scratch_dir("synchspark_q117_"),
+                             retain=4)
+        versions = []
+        for k in range(3):
+            typed = parse_values(
+                split_updates(raw.filter(F.col("_batch") == k).drop("_batch")),
+                value_schema)
+            apply_cdc_batch(table, typed, spec)
+            versions.append(table.current_version())
+        return table, versions
+
+    return _TT_AUDIT_CACHE.get_or_build(spark, sf_dir, build)
 
 
 def q117_time_travel_audit(spark, sf_dir):
@@ -2154,9 +2169,14 @@ def q111_debezium_precise_types(spark, sf_dir):
     # deployment never hits this — the envelope arrives as a Kafka
     # column, not an expression.
     envelopes = orders.select(env.alias("value")).repartition(8)
+    # decimal_mode="precise" matches the synthesized connector config:
+    # the default plain-first "auto" would misread any payload whose
+    # base64 text also parses numerically (a 3-byte unscaled value
+    # yields 4 base64 chars — '9999' = b64(0xf7df7d)), making
+    # correctness fixture-luck-dependent
     typed = parse_values(
         split_updates(debezium_to_raw(envelopes)),
-        vschema, debezium_types=True,
+        vschema, debezium_types=True, decimal_mode="precise",
     )
     # double, not DECIMAL, in the FINAL projection: the checker's row
     # sort compares decimals as strings on the Spark side but floats on

@@ -451,6 +451,7 @@ def iter_binlog_events(
     column_names: dict | None = None,
     only_schemas: tuple[str, ...] = (),
     only_tables: tuple[str, ...] = (),
+    sub_base: int = 0,
 ) -> Iterator[dict]:
     """Parse one binlog file's bytes into raw event dicts.
 
@@ -458,6 +459,11 @@ def iter_binlog_events(
     matching RAW_EVENT_SCHEMA (before/after are JSON object strings).
     ``column_names``: optional {(db, table) | table: [name, ...]} used
     when the file lacks 8.0 FULL row metadata.
+    ``sub_base``: starting value of the per-second sub-microsecond
+    counter (see below) — callers decoding a ROTATED SEQUENCE of files
+    pass a value derived from the file's sequence number so that a
+    rotation inside one wall-clock second keeps cross-file order
+    (binlog_files_to_raw does this automatically).
     """
     if data[:4] != MAGIC:
         raise BinlogFormatError("not a binlog file (bad magic)")
@@ -468,17 +474,22 @@ def iter_binlog_events(
     # one pk inside a second would tie on the downstream
     # (event_unixtime, action_seq) sort and last-wins replay could pick
     # the older image. Spread a per-file monotone counter across the
-    # microsecond field (reset each second, saturating at 999_999 ≈ 1M
-    # rows/s/file) so within-file order survives the sort — matching
+    # microsecond field (reset each second to ``sub_base``, saturating
+    # at 999_999) so within-file order survives the sort — matching
     # Debezium's ts_ms and the reference's per-event time.time() stamp,
-    # neither of which ties.
+    # neither of which ties. With the file-sequence-derived sub_base
+    # (10_000 per file, mod 100), a rotation INSIDE one second also
+    # orders: file N+1's band starts above file N's as long as a single
+    # file emits < 10k rows in its final second and < 100 rotations
+    # share one second.
+    sub_base = max(0, min(int(sub_base), 990_000))
     last_ts = -1
-    sub = 0
+    sub = sub_base
     while p + 19 <= len(data):
         ts, etype = struct.unpack_from("<IB", data, p)
         if ts != last_ts:
             last_ts = ts
-            sub = 0
+            sub = sub_base
         event_size = int.from_bytes(data[p + 9 : p + 13], "little")
         if event_size < 19 or p + event_size > len(data):
             raise BinlogFormatError(f"truncated event at offset {p}")
@@ -611,6 +622,8 @@ def binlog_files_to_raw(
     parallel scan with no driver involvement; per-task memory is one
     file (binlogs rotate at max_binlog_size, 1 GB default).
     """
+    import re as _re
+
     import pandas as pd
 
     from synch_spark.events import RAW_EVENT_SCHEMA
@@ -620,12 +633,20 @@ def binlog_files_to_raw(
     def decode(batches):
         for pdf in batches:
             for _, r in pdf.iterrows():
+                # binlogs are named <base>.NNNNNN with a monotone
+                # sequence; feed it into the sub-second counter so a
+                # rotation inside one wall-clock second still orders
+                # across files (file N's final-second events get band
+                # N%100, file N+1's get the next band)
+                m = _re.search(r"(\d+)$", str(r["path"]))
+                sub_base = (int(m.group(1)) % 100) * 10_000 if m else 0
                 rows = list(
                     iter_binlog_events(
                         bytes(r["content"]),
                         column_names=names,
                         only_schemas=only_schemas,
                         only_tables=only_tables,
+                        sub_base=sub_base,
                     )
                 )
                 if rows:
@@ -634,5 +655,5 @@ def binlog_files_to_raw(
                         columns=[f.name for f in RAW_EVENT_SCHEMA.fields],
                     )
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(decode, RAW_EVENT_SCHEMA)

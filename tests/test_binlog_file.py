@@ -229,6 +229,52 @@ def test_distributed_decode_feeds_cdc_pipeline(spark, tmp_path):
     assert rows == [(1, "11.00", "a2"), (3, "30.00", "c")]
 
 
+def test_rotation_within_one_second_keeps_cross_file_order(spark, tmp_path):
+    """A binlog rotation INSIDE one wall-clock second must not scramble
+    replay: per-file counters alone would restart at the same stamp and
+    the cross-file (event_unixtime, action_seq) sort could pick file
+    N's stale image over file N+1's. binlog_files_to_raw derives a
+    sub-second band from the file's sequence number (10_000 per file),
+    so file .000002's events in the shared second sort after
+    .000001's."""
+    from pyspark.sql import functions as F, types as T
+
+    from synch_spark.events import parse_values, split_updates
+    from synch_spark.operators.engines import replacing_view
+
+    row = lambda amt, nm: (1, amt, nm, "2024-01-01", "2024-01-01 00:00:00")
+    b1 = _one_table()
+    b1.update(7, (row("1.00", "a"), row("2.00", "mid")))
+    b2 = _one_table()  # same builder timestamp: same wall-clock second
+    b2.update(7, (row("2.00", "mid"), row("3.00", "final")))
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    (d / "binlog.000001").write_bytes(b1.bytes())
+    (d / "binlog.000002").write_bytes(b2.bytes())
+
+    raw = B.binlog_files_to_raw(spark, str(d))
+    stamps = sorted(r["event_unixtime"] for r in raw.collect()
+                    if r["action"] != "query")
+    base = 1_700_000_000 * 1_000_000
+    assert stamps[0] >= base + 10_000  # file 1's band
+    assert stamps[-1] >= base + 20_000  # file 2's band, strictly above
+    assert stamps[0] < base + 20_000
+
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DecimalType(10, 2)),
+        T.StructField("name", T.StringType()),
+        T.StructField("born", T.DateType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    typed = parse_values(split_updates(raw), vschema)
+    latest = replacing_view(
+        typed, ("id",), version_column="event_unixtime",
+        tiebreakers=("action_seq",))
+    (final,) = latest.filter(F.col("action") != "delete").collect()
+    assert final["name"] == "final"  # file 2 wins, deterministically
+
+
 def test_json_column_refuses_loudly():
     cols = [("j", B.T_JSON, 4)]
     b = BinlogBuilder()

@@ -340,6 +340,40 @@ def test_adversarial_epoch_values_do_not_crash(spark):
     assert got[2] == datetime.datetime(2023, 11, 14, 22, 13, 20, 123456)
 
 
+def test_out_of_range_temporals_null_not_crash(spark):
+    """Decoded instants outside year 1..9999 must NULL, never raise:
+    make_timestamp_ntz errors past year 9999 under ANSI, date_add
+    errors outside the DATE range, and even a JVM-valid wide timestamp
+    dies at the Python boundary (datetime caps at year 9999). One
+    adversarial envelope must not kill the micro-batch."""
+    rows = [
+        # micros-classified magnitude -> year 11476 (NTZ make_timestamp
+        # would raise) / year 17814 (collect would raise)
+        ("db", "t", "insert", None, '{"id": 1, "ts": 300000000000000000,'
+         ' "dt": 300000000000000000, "d": 5}', 1000),
+        ("db", "t", "insert", None, '{"id": 2, "ts": -300000000000000000,'
+         ' "dt": -300000000000000000, "d": 2000000000}', 1000),
+        ("db", "t", "insert", None, '{"id": 3, "ts": 1700000000123,'
+         ' "dt": 1700000000123, "d": -2000000000}', 1000),
+    ]
+    raw = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("dt", T.TimestampNTZType()),
+        T.StructField("d", T.DateType()),
+    ])
+    got = {r["id"]: r for r in parse_values(
+        split_updates(raw), vschema, debezium_types=True).collect()}
+    assert got[1]["ts"] is None and got[1]["dt"] is None
+    assert got[2]["ts"] is None and got[2]["dt"] is None
+    assert got[2]["d"] is None and got[3]["d"] is None
+    # in-range values on the same rows still decode
+    import datetime
+    assert got[1]["d"] == datetime.date(1970, 1, 6)
+    assert got[3]["ts"] == datetime.datetime(2023, 11, 14, 22, 13, 20, 123000)
+
+
 def test_unpartitioned_merge_uses_manifest_not_footers(spark, tmp_path, monkeypatch):
     """The unpartitioned classifier must hit the manifest-log stats (bare
     basename keys), not re-read a parquet footer per file per batch —
