@@ -189,15 +189,63 @@ class JdbcSink:
     """foreachBatch-compatible applier writing to a JDBC table.
 
     ``dialect`` ("ansi" | "mysql" | "clickhouse") picks the DDL type
-    names and MODIFY form for apply_ddl."""
+    names and MODIFY form for apply_ddl.
 
-    def __init__(self, spark, url: str, target_table: str,
-                 properties: dict | None = None, dialect: str = "ansi"):
+    Cluster mode (the reference's ClickHouse cluster topology,
+    /root/reference/synch.yaml `clickhouse.hosts` + `cluster_name` +
+    `distributed_suffix`): pass a LIST of JDBC urls and each
+    connection/write picks one at random — the reference's
+    insert-by-random shard fan-out. ``cluster_name`` appends
+    ``ON CLUSTER <name>`` to every DDL statement (ClickHouse propagates
+    it cluster-wide, ref common.cluster_sql) and
+    ``distributed_table_sql()`` emits the reference's Distributed-table
+    DDL (writer/__init__.py:129-131) for the read/insert fan-out table;
+    point ``target_table`` at ``schema.table<suffix>`` to route DML
+    through it."""
+
+    def __init__(self, spark, url: str | list[str], target_table: str,
+                 properties: dict | None = None, dialect: str = "ansi",
+                 cluster_name: str | None = None,
+                 distributed_suffix: str = "_all"):
         self.spark = spark
-        self.url = url
+        self.urls = [url] if isinstance(url, str) else list(url)
+        if not self.urls:
+            raise ValueError("JdbcSink needs at least one JDBC url")
         self.target_table = target_table
         self.properties = properties or {}
         self.dialect = dialect
+        self.cluster_name = cluster_name
+        self.distributed_suffix = distributed_suffix
+
+    @property
+    def url(self) -> str:
+        """One url per connection, random across shard hosts (ref
+        'shard hosts when cluster, will insert by random')."""
+        import random
+
+        return random.choice(self.urls)
+
+    def _ddl_table(self) -> str:
+        """DDL target: table name plus the cluster clause when cluster
+        mode is on — ClickHouse runs the statement on every replica."""
+        if self.cluster_name and self.dialect == "clickhouse":
+            return f"{self.target_table} ON CLUSTER {self.cluster_name}"
+        return self.target_table
+
+    def distributed_table_sql(self, schema: str, table: str) -> str:
+        """The reference's Distributed-table DDL
+        (/root/reference/synch/writer/__init__.py:129-131): a
+        cluster-wide proxy table `schema.table<suffix>` that fans
+        reads/inserts across shards with rand() routing. Caller
+        executes it once after creating the local tables."""
+        if not self.cluster_name:
+            raise ValueError("distributed_table_sql requires cluster_name")
+        suffix = self.distributed_suffix
+        return (
+            f"create table if not exists {schema}.{table}{suffix} "
+            f"on cluster {self.cluster_name} AS {schema}.{table}\n"
+            f"ENGINE = Distributed({self.cluster_name},{schema},{table},rand())"
+        )
 
     def _execute(self, statements: list[tuple[str, list]]) -> None:
         jvm = self.spark.sparkContext._jvm
@@ -276,7 +324,7 @@ class JdbcSink:
         Genuine DDL failures (permissions, syntax) still raise."""
         import logging
 
-        for sql in alter_statements(self.target_table, ops, self.dialect):
+        for sql in alter_statements(self._ddl_table(), ops, self.dialect):
             try:
                 self._execute([(sql, [])])
             except Exception as e:  # noqa: BLE001 — classify, then re-raise

@@ -402,3 +402,38 @@ def test_derby_rename_dialect_statement_form():
     assert alter_statements("APP.T", ops, "ansi") == [
         "ALTER TABLE APP.T RENAME COLUMN a TO b"
     ]
+
+
+def test_cluster_mode_contract(spark):
+    """Cluster parity with the reference's ClickHouse topology
+    (/root/reference/synch.yaml clickhouse.hosts/cluster_name/
+    distributed_suffix, writer/__init__.py:129-131): multiple urls are
+    chosen at random per connection (insert-by-random shard fan-out),
+    DDL carries ON CLUSTER so ClickHouse propagates it, and the
+    Distributed-table DDL matches the reference's shape."""
+    from synch_spark.ddl import parse_alter
+
+    urls = [f"jdbc:clickhouse://host{i}:8123/db" for i in range(3)]
+    sink = JdbcSink(spark, urls, "db.t", dialect="clickhouse",
+                    cluster_name="c1")
+    # every configured shard host is eventually picked
+    seen = {sink.url for _ in range(200)}
+    assert seen == set(urls)
+    # DDL target carries the cluster clause
+    ops = parse_alter("ALTER TABLE db.t ADD COLUMN x INT")
+    stmts = [s for s in __import__(
+        "synch_spark.sinks.jdbc_sink", fromlist=["alter_statements"]
+    ).alter_statements(sink._ddl_table(), ops, "clickhouse")]
+    assert stmts and "ON CLUSTER c1" in stmts[0]
+    # distributed proxy table DDL: reference shape
+    ddl = sink.distributed_table_sql("db", "t")
+    assert "db.t_all" in ddl and "on cluster c1" in ddl
+    assert "ENGINE = Distributed(c1,db,t,rand())" in ddl
+    # single-url string keeps working; non-cluster DDL is undecorated
+    plain = JdbcSink(spark, urls[0], "db.t", dialect="clickhouse")
+    assert plain.url == urls[0]
+    assert plain._ddl_table() == "db.t"
+    with pytest.raises(ValueError):
+        plain.distributed_table_sql("db", "t")
+    with pytest.raises(ValueError):
+        JdbcSink(spark, [], "db.t")
