@@ -130,5 +130,67 @@ def main() -> None:
         spark.stop()
 
 
+def binlog_decode_bench(n_files: int = 16, rows_per_file: int = 20_000) -> dict:
+    """Measured distributed binlog-file decode rate.
+
+    The reference tails the binlog with python-mysql-replication in ONE
+    Python process (/root/reference/synch/reader/mysql.py:128-153) — its
+    decode rate is a single core's. ``binlog_files_to_raw`` decodes a
+    rotated archive with one task per file (binaryFile + mapInPandas),
+    so the rate scales with cores/executors. Files are synthesized by
+    the spec-built test encoder (tests.binlog_builder — independent of
+    the decoder under test).
+
+    Run: python tools/bench_cdc_throughput.py binlog [n_files] [rows/file]
+    """
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from synch_spark.session import get_spark
+    from synch_spark.sources import binlog_file as B
+    from tests.binlog_builder import BinlogBuilder
+
+    spark = get_spark("binlog-decode-bench")
+    root = _tf.mkdtemp(prefix="synch-binlog-bench-")
+    try:
+        cols = [("id", B.T_LONG, 0), ("amount", B.T_NEWDECIMAL, (10 << 8) | 2),
+                ("name", B.T_VARCHAR, 64)]
+        # one template file, replicated with distinct names: decode cost
+        # is per-byte, identical across copies; build cost stays O(rows)
+        b = BinlogBuilder()
+        b.table_map(7, "db", "t", cols, names_tlv=True)
+        batch = 500
+        for base in range(0, rows_per_file, batch):
+            b.insert(7, *[(base + i, "12.34", f"n{base + i}")
+                          for i in range(min(batch, rows_per_file - base))])
+        blob = b.bytes()
+        for f in range(n_files):
+            with open(os.path.join(root, f"binlog.{f + 1:06d}"), "wb") as fh:
+                fh.write(blob)
+
+        t0 = time.perf_counter()
+        n = B.binlog_files_to_raw(spark, root).count()
+        wall = time.perf_counter() - t0
+        out = {
+            "metric": "binlog_decode_events_per_s",
+            "value": round(n / wall, 1),
+            "events": n,
+            "files": n_files,
+            "wall_s": round(wall, 2),
+        }
+        print(json.dumps(out))
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "binlog":
+        binlog_decode_bench(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 20_000,
+        )
+    else:
+        main()
