@@ -325,13 +325,167 @@ def _decode_value(data: bytes, p: int, ctype: int, meta: int, unsigned: bool):
         nb = (bits + 7) // 8
         return int.from_bytes(data[p : p + nb], "big"), p + nb
     if ctype == T_JSON:
-        raise BinlogFormatError(
-            "MySQL binary-JSON columns are not supported by the offline "
-            "decoder; cast the column to TEXT upstream or use the "
-            "Debezium path (events.debezium_to_raw) which receives JSON "
-            "as text"
-        )
+        # blob-style length prefix (meta = prefix width, MySQL writes 4),
+        # then the binary-JSON document (json_binary.h layout)
+        nb = meta or 4
+        n = int.from_bytes(data[p : p + nb], "little")
+        p += nb
+        blob = data[p : p + n]
+        return (_decode_json_binary(blob) if n else None), p + n
     raise BinlogFormatError(f"unsupported column type 0x{ctype:02x}")
+
+
+# --- MySQL binary JSON (json_binary.h) -----------------------------------
+# Document = type byte + payload. Containers hold entry tables whose
+# offsets are relative to the container's own first byte (its count
+# field). Small containers use 2-byte counts/offsets and inline
+# literal/int16/uint16 values in the offset slot; large use 4 bytes and
+# additionally inline int32/uint32. The reference reads these through
+# python-mysql-replication's equivalent decoder; this one is written
+# against the same public format documentation.
+_JSONB_SMALL_OBJECT = 0x00
+_JSONB_LARGE_OBJECT = 0x01
+_JSONB_SMALL_ARRAY = 0x02
+_JSONB_LARGE_ARRAY = 0x03
+_JSONB_LITERAL = 0x04
+_JSONB_INT16 = 0x05
+_JSONB_UINT16 = 0x06
+_JSONB_INT32 = 0x07
+_JSONB_UINT32 = 0x08
+_JSONB_INT64 = 0x09
+_JSONB_UINT64 = 0x0A
+_JSONB_DOUBLE = 0x0B
+_JSONB_STRING = 0x0C
+_JSONB_OPAQUE = 0x0F
+
+_JSONB_LITERALS = {0x00: None, 0x01: True, 0x02: False}
+
+
+def _jsonb_varint(b: bytes, p: int) -> tuple[int, int]:
+    """Variable-length length field (7 bits per byte, LSB first,
+    high bit = continuation)."""
+    v = shift = 0
+    while True:
+        byte = b[p]
+        p += 1
+        v |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return v, p
+        shift += 7
+
+
+def _jsonb_packed_temporal(payload: bytes, ftype: int):
+    """Opaque DATE/DATETIME/TIME stored as MySQL's 8-byte packed
+    longlong (my_time.h): fractional micros in the low 24 bits, then
+    second/minute/hour (6/6/12 bits), then day/month-year."""
+    packed = int.from_bytes(payload[:8], "little", signed=True)
+    sign = "-" if packed < 0 else ""
+    packed = abs(packed)
+    frac = packed & 0xFFFFFF
+    tmp = packed >> 24
+    if ftype in (T_TIME, T_TIME2):
+        sec = tmp & 0x3F
+        minute = (tmp >> 6) & 0x3F
+        hour = tmp >> 12
+        out = f"{sign}{hour:02d}:{minute:02d}:{sec:02d}"
+        return f"{out}.{frac:06d}" if frac else out
+    hms = tmp & ((1 << 17) - 1)
+    ymd = tmp >> 17
+    day = ymd & 0x1F
+    year, month = divmod(ymd >> 5, 13)
+    if ftype in (T_DATE, T_NEWDATE):
+        return f"{year:04d}-{month:02d}-{day:02d}"
+    sec = hms & 0x3F
+    minute = (hms >> 6) & 0x3F
+    hour = hms >> 12
+    return _fmt_dt(year, month, day, hour, minute, sec, frac,
+                   6 if frac else 0)
+
+
+def _jsonb_opaque(b: bytes, p: int):
+    ftype = b[p]
+    ln, q = _jsonb_varint(b, p + 1)
+    payload = b[q : q + ln]
+    if ftype == T_NEWDECIMAL:
+        return _decode_newdecimal(payload, 2, payload[0], payload[1])[0]
+    if ftype in (T_DATE, T_NEWDATE, T_DATETIME, T_DATETIME2, T_TIMESTAMP,
+                 T_TIMESTAMP2, T_TIME, T_TIME2):
+        return _jsonb_packed_temporal(payload, ftype)
+    return _bytes_value(payload)  # unknown opaque: text/base64
+
+
+def _jsonb_inlined(vt: int, field: bytes):
+    if vt == _JSONB_LITERAL:
+        return _JSONB_LITERALS.get(field[0])
+    if vt == _JSONB_INT16:
+        return int.from_bytes(field[:2], "little", signed=True)
+    if vt == _JSONB_UINT16:
+        return int.from_bytes(field[:2], "little")
+    if vt == _JSONB_INT32:
+        return int.from_bytes(field[:4], "little", signed=True)
+    if vt == _JSONB_UINT32:
+        return int.from_bytes(field[:4], "little")
+    raise BinlogFormatError(f"jsonb: type 0x{vt:02x} is not inlinable")
+
+
+def _jsonb_read(b: bytes, t: int, p: int):
+    """Decode one value of type ``t`` whose payload starts at ``p``."""
+    if t in (_JSONB_SMALL_OBJECT, _JSONB_LARGE_OBJECT,
+             _JSONB_SMALL_ARRAY, _JSONB_LARGE_ARRAY):
+        large = t in (_JSONB_LARGE_OBJECT, _JSONB_LARGE_ARRAY)
+        is_obj = t in (_JSONB_SMALL_OBJECT, _JSONB_LARGE_OBJECT)
+        w = 4 if large else 2
+        base = p
+        count = int.from_bytes(b[p : p + w], "little")
+        p += 2 * w  # count + total-size fields
+        keys = []
+        if is_obj:
+            for _ in range(count):
+                koff = int.from_bytes(b[p : p + w], "little")
+                klen = int.from_bytes(b[p + w : p + w + 2], "little")
+                p += w + 2
+                keys.append(b[base + koff : base + koff + klen].decode("utf-8"))
+        inline_ok = ((_JSONB_LITERAL, _JSONB_INT16, _JSONB_UINT16,
+                      _JSONB_INT32, _JSONB_UINT32) if large else
+                     (_JSONB_LITERAL, _JSONB_INT16, _JSONB_UINT16))
+        vals = []
+        for _ in range(count):
+            vt = b[p]
+            field = b[p + 1 : p + 1 + w]
+            p += 1 + w
+            if vt in inline_ok:
+                vals.append(_jsonb_inlined(vt, field))
+            else:
+                off = int.from_bytes(field, "little")
+                vals.append(_jsonb_read(b, vt, base + off))
+        return dict(zip(keys, vals)) if is_obj else vals
+    if t == _JSONB_LITERAL:
+        return _JSONB_LITERALS.get(b[p])
+    if t == _JSONB_INT16:
+        return int.from_bytes(b[p : p + 2], "little", signed=True)
+    if t == _JSONB_UINT16:
+        return int.from_bytes(b[p : p + 2], "little")
+    if t == _JSONB_INT32:
+        return int.from_bytes(b[p : p + 4], "little", signed=True)
+    if t == _JSONB_UINT32:
+        return int.from_bytes(b[p : p + 4], "little")
+    if t == _JSONB_INT64:
+        return int.from_bytes(b[p : p + 8], "little", signed=True)
+    if t == _JSONB_UINT64:
+        return int.from_bytes(b[p : p + 8], "little")
+    if t == _JSONB_DOUBLE:
+        return struct.unpack_from("<d", b, p)[0]
+    if t == _JSONB_STRING:
+        ln, q = _jsonb_varint(b, p)
+        return b[q : q + ln].decode("utf-8")
+    if t == _JSONB_OPAQUE:
+        return _jsonb_opaque(b, p)
+    raise BinlogFormatError(f"jsonb: unknown value type 0x{t:02x}")
+
+
+def _decode_json_binary(blob: bytes):
+    """Whole binary-JSON document (type byte + payload) -> Python value."""
+    return _jsonb_read(blob, blob[0], 1)
 
 
 def _bytes_value(raw: bytes):

@@ -207,6 +207,9 @@ def _enc_value(t: int, m: int, v) -> bytes:
     if t == B.T_BIT:
         bits = (m & 0xFF) * 8 + (m >> 8)
         return int(v).to_bytes((bits + 7) // 8, "big")
+    if t == B.T_JSON:
+        blob = v if isinstance(v, (bytes, bytearray)) else jsonb_encode(v)
+        return len(blob).to_bytes(m or 4, "little") + bytes(blob)
     raise NotImplementedError(f"builder: type 0x{t:02x}")
 
 
@@ -257,3 +260,88 @@ def _enc_datetime2(text: str, fsp: int) -> bytes:
     if nb:
         out += (micros // 10 ** (6 - 2 * nb)).to_bytes(nb, "big")
     return out
+
+
+# --- independent binary-JSON encoder (json_binary.h, for T_JSON tests) ---
+def _jsonb_varint_enc(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _jsonb_val(v, large: bool):
+    if v is None:
+        return 0x04, b"\x00"
+    if v is True:
+        return 0x04, b"\x01"
+    if v is False:
+        return 0x04, b"\x02"
+    if isinstance(v, int):
+        if -(2**15) <= v < 2**15:
+            return 0x05, v.to_bytes(2, "little", signed=True)
+        if -(2**31) <= v < 2**31:
+            return 0x07, v.to_bytes(4, "little", signed=True)
+        if -(2**63) <= v < 2**63:
+            return 0x09, v.to_bytes(8, "little", signed=True)
+        return 0x0A, v.to_bytes(8, "little")
+    if isinstance(v, float):
+        return 0x0B, struct.pack("<d", v)
+    if isinstance(v, str):
+        raw = v.encode()
+        return 0x0C, _jsonb_varint_enc(len(raw)) + raw
+    if isinstance(v, Decimal):
+        digits = v.as_tuple()
+        scale = max(0, -digits.exponent)
+        prec = max(len(digits.digits), scale)
+        pl = bytes([prec, scale]) + _enc_decimal(v, prec, scale)
+        return 0x0F, bytes([B.T_NEWDECIMAL]) + _jsonb_varint_enc(len(pl)) + pl
+    if isinstance(v, (list, dict)):
+        return _jsonb_container(v, large)
+    raise NotImplementedError(f"jsonb encoder: {type(v)}")
+
+
+def _jsonb_container(v, large: bool):
+    w = 4 if large else 2
+    obj = isinstance(v, dict)
+    items = list(v.items()) if obj else [(None, x) for x in v]
+    n = len(items)
+    header = 2 * w + (n * (w + 2) if obj else 0) + n * (1 + w)
+    keys_blob = b"".join(k.encode() for k, _ in items) if obj else b""
+    key_entries = bytearray()
+    if obj:
+        off = header
+        for k, _ in items:
+            kb = k.encode()
+            key_entries += off.to_bytes(w, "little")
+            key_entries += len(kb).to_bytes(2, "little")
+            off += len(kb)
+    inline_ok = {0x04, 0x05, 0x06} | ({0x07, 0x08} if large else set())
+    vstart = header + len(keys_blob)
+    value_entries = bytearray()
+    vals_blob = bytearray()
+    for _, x in items:
+        t, payload = _jsonb_val(x, large)
+        if t in inline_ok and len(payload) <= w:
+            value_entries += bytes([t]) + payload.ljust(w, b"\x00")
+        else:
+            off = vstart + len(vals_blob)
+            value_entries += bytes([t]) + off.to_bytes(w, "little")
+            vals_blob += payload
+    body = bytearray()
+    body += n.to_bytes(w, "little")
+    body += (header + len(keys_blob) + len(vals_blob)).to_bytes(w, "little")
+    body += key_entries + value_entries + keys_blob + vals_blob
+    t = ((0x01 if obj else 0x03) if large else (0x00 if obj else 0x02))
+    return t, bytes(body)
+
+
+def jsonb_encode(v, large: bool = False) -> bytes:
+    """Whole binary-JSON document: type byte + payload."""
+    t, payload = _jsonb_val(v, large)
+    return bytes([t]) + payload

@@ -275,18 +275,20 @@ def test_rotation_within_one_second_keeps_cross_file_order(spark, tmp_path):
     assert final["name"] == "final"  # file 2 wins, deterministically
 
 
-def test_json_column_refuses_loudly():
+def test_json_malformed_document_refuses_loudly():
+    """A corrupt binary-JSON document (unknown value-type byte) must
+    raise BinlogFormatError, not silently produce garbage."""
     cols = [("j", B.T_JSON, 4)]
     b = BinlogBuilder()
     b.table_map(7, "x", "t", cols, names_tlv=True)
-    body = b._rows_body(7, B.EV_WRITE_ROWS_V2, [()])
-    # hand-build: one present column, not null, bogus payload
+    # hand-build: one present column, not null, payload with bogus
+    # jsonb type byte 0x7A ('z')
     import struct as _s
 
     body = (7).to_bytes(6, "little") + _s.pack("<H", 1) + _s.pack("<H", 2)
     body += bytes([1]) + b"\x01" + b"\x00" + b"\x04\x00\x00\x00zzzz"
     b._event(B.EV_WRITE_ROWS_V2, body)
-    with pytest.raises(B.BinlogFormatError, match="binary-JSON"):
+    with pytest.raises(B.BinlogFormatError, match="jsonb"):
         list(B.iter_binlog_events(b.bytes()))
 
 
@@ -444,3 +446,70 @@ def test_multi_file_replay_ordering(spark, tmp_path):
     rows = sorted((r["id"], r["v"]) for r in
                   latest.filter(F.col("action") != "delete").collect())
     assert rows == [(1, "new"), (2, "keep")]
+
+
+def test_json_column_decodes():
+    """MySQL binary-JSON columns (json_binary.h) round-trip through the
+    offline decoder — the reference replicates JSON columns via
+    python-mysql-replication's equivalent decoder, so a user with JSON
+    columns must be able to switch. The encoder here is spec-built and
+    independent of the decoder under test."""
+    from decimal import Decimal
+
+    doc = {
+        "a": 1,
+        "neg": -5,
+        "wide": -70000,
+        "big": 2**40,
+        "huge": 2**63 + 7,
+        "pi": 2.5,
+        "s": "héllo",
+        "none": None,
+        "t": True,
+        "f": False,
+        "arr": [1, "two", None, {"deep": [3, 4]}],
+        "obj": {"k": "v"},
+    }
+    cols = [("id", B.T_LONG, 0), ("j", B.T_JSON, 4)]
+    b = BinlogBuilder()
+    b.table_map(7, "db", "t", cols, names_tlv=True)
+    from tests.binlog_builder import jsonb_encode
+    b.insert(7, (1, doc), (2, None), (3, jsonb_encode(doc, large=True)),
+             (4, jsonb_encode([10, 20, 30])), (5, jsonb_encode("bare")),
+             (6, jsonb_encode(Decimal("12.34"))))
+    evs = list(B.iter_binlog_events(b.bytes()))
+    got = {json.loads(e["after"])["id"]: json.loads(e["after"])["j"]
+           for e in evs}
+    assert got[1] == doc
+    assert got[2] is None
+    assert got[3] == doc  # large (4-byte-offset) container format
+    assert got[4] == [10, 20, 30]
+    assert got[5] == "bare"
+    assert got[6] == "12.34"  # opaque decimal, stringified by the codec
+
+
+def test_json_opaque_temporals_decode():
+    """Opaque DATE/DATETIME values inside a JSON document (MySQL packs
+    CAST('...' AS JSON) temporals as 8-byte packed longlongs)."""
+    # packed datetime 2024-02-29 13:37:05.250000:
+    ymd = ((2024 * 13 + 2) << 5) | 29
+    hms = (13 << 12) | (37 << 6) | 5
+    packed = (((ymd << 17) | hms) << 24) | 250_000
+    payload = packed.to_bytes(8, "little")
+    from tests.binlog_builder import _jsonb_varint_enc
+    doc = (bytes([0x0F, B.T_DATETIME2]) + _jsonb_varint_enc(8) + payload)
+    cols = [("j", B.T_JSON, 4)]
+    b = BinlogBuilder()
+    b.table_map(7, "db", "t", cols, names_tlv=True)
+    b.insert(7, (doc,))
+    (ev,) = list(B.iter_binlog_events(b.bytes()))
+    assert json.loads(ev["after"])["j"] == "2024-02-29 13:37:05.250000"
+    # packed date (time part zero)
+    dpacked = ((ymd << 17) << 24)
+    ddoc = (bytes([0x0F, B.T_DATE]) + _jsonb_varint_enc(8)
+            + dpacked.to_bytes(8, "little"))
+    b2 = BinlogBuilder()
+    b2.table_map(7, "db", "t", cols, names_tlv=True)
+    b2.insert(7, (ddoc,))
+    (ev2,) = list(B.iter_binlog_events(b2.bytes()))
+    assert json.loads(ev2["after"])["j"] == "2024-02-29"
