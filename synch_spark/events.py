@@ -711,7 +711,7 @@ def wal2json_to_raw(
         F.map_from_arrays("c.oldkeys.keynames", "c.oldkeys.keyvalues")
     )
     kind = F.col("c.kind")
-    return ch.select(
+    v1 = ch.select(
         F.col("c.schema").alias("schema"),
         F.col("c.table").alias("table"),
         F.when(kind == "insert", F.lit("insert"))
@@ -724,3 +724,49 @@ def wal2json_to_raw(
         F.when(kind.isin("insert", "update"), after_img).alias("after"),
         "event_unixtime",
     ).filter(F.col("action").isNotNull())
+
+    # wal2json format-version 2 (one message PER ROW instead of per
+    # transaction; the form pg_recvlogical emits with -o format-version=2
+    # and the only format amazon-aurora exposes). A v1 payload has no
+    # top-level "action" and nulls out of this branch; a v2 payload has
+    # no "change" array and drops out of the v1 explode — so decoding
+    # BOTH and unioning auto-detects the version per line, and mixed
+    # spools (a mid-stream plugin upgrade) decode correctly.
+    col_entry = T.ArrayType(T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]))
+    w2j2 = T.StructType([
+        T.StructField("action", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("columns", col_entry),
+        T.StructField("identity", col_entry),
+    ])
+    p2 = df.select(F.from_json(F.col(value_col).cast("string"), w2j2).alias("_q"))
+    ts2 = F.coalesce(
+        F.unix_micros(F.try_to_timestamp(F.col("_q.timestamp"))),
+        F.lit(fallback_unixtime_us),
+    )
+
+    def img(field):
+        arr = F.col(f"_q.{field}")
+        return F.to_json(F.map_from_arrays(
+            F.transform(arr, lambda x: x["name"]),
+            F.transform(arr, lambda x: x["value"]),
+        ))
+
+    act = F.col("_q.action")
+    v2 = p2.select(
+        F.col("_q.schema").alias("schema"),
+        F.col("_q.table").alias("table"),
+        F.when(act == "I", F.lit("insert"))
+        .when(act == "U", F.lit("update"))
+        .when(act == "D", F.lit("delete"))
+        .alias("action"),
+        F.when(act.isin("U", "D"), img("identity")).alias("before"),
+        F.when(act.isin("I", "U"), img("columns")).alias("after"),
+        ts2.alias("event_unixtime"),
+    ).filter(F.col("action").isNotNull() & F.col("table").isNotNull())
+    return v1.unionByName(v2)

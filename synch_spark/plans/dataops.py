@@ -2246,6 +2246,51 @@ FROM orders WHERE o_orderkey <= 2000 ORDER BY id
 """
 
 
+def q120_wal2json_v2_decode(spark, sf_dir):
+    """wal2json format-version 2 on the graded surface: per-ROW
+    messages ({"action":"I","columns":[{name,type,value},...]}) with
+    B/C transaction framing interleaved, synthesized per orders row in
+    Column algebra, auto-detected and decoded by the same
+    wal2json_to_raw that handles v1 (q112) — the `pg_recvlogical -o
+    format-version=2` shape, and the only format some managed-Postgres
+    services expose. Same oracle as q112: the decode must recover the
+    source columns exactly."""
+    from pyspark.sql import types as T
+
+    from synch_spark.events import parse_values, split_updates, wal2json_to_raw
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    price = F.col("o_totalprice").cast("decimal(15,2)").cast("string")
+    day = F.col("o_orderdate").cast("date").cast("string")
+    env = F.concat(
+        F.lit('{"action":"I","schema":"db","table":"orders","columns":['
+              '{"name":"id","type":"bigint","value":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('},{"name":"price","type":"numeric","value":"'), price,
+        F.lit('"},{"name":"status","type":"text","value":"'),
+        F.col("o_orderstatus"),
+        F.lit('"}],"timestamp":"'), day,
+        F.lit(' 00:00:00+00"}'),
+    )
+    # B/C framing rows interleave with the data rows and must be dropped
+    framing = spark.range(2).select(
+        F.when(F.col("id") == 0, F.lit('{"action":"B"}'))
+        .otherwise(F.lit('{"action":"C"}')).alias("value"))
+    raw = wal2json_to_raw(orders.select(env.alias("value")).unionByName(framing))
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DecimalType(15, 2)),
+        T.StructField("status", T.StringType()),
+    ])
+    typed = parse_values(split_updates(raw), vschema, string_values=True)
+    return typed.select(
+        "id",
+        F.col("price").cast(DEC).cast("double").alias("price"),
+        "status",
+        F.timestamp_micros(F.col("event_unixtime")).cast("date").alias("d"),
+    ).orderBy("id")
+
+
 # --- deterministic stratified sampling (language re-balancing) ------------
 def q110_stratified_sample(spark, sf_dir):
     """Language-mix re-balancing: down-sample English to 25%, keep 80%
@@ -2284,6 +2329,7 @@ DATAOPS_QUERIES = {
     "q110_stratified_sample": (q110_stratified_sample, Q110_SQL),
     "q111_debezium_precise_types": (q111_debezium_precise_types, Q111_SQL),
     "q112_wal2json_decode": (q112_wal2json_decode, Q112_SQL),
+    "q120_wal2json_v2_decode": (q120_wal2json_v2_decode, Q112_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
     "q18_quality_langid": (q18_quality_langid, Q18_SQL),
     "q19_token_topk": (q19_token_topk, Q19_SQL),

@@ -133,3 +133,46 @@ def test_cli_replay_wal_to_consume(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "wh" / "public" / "test"))
     rows = sorted((r["id"], r["name"]) for r in t.read().collect())
     assert rows == [(2, "b2")]
+
+
+def test_wal2json_format_version_2(spark):
+    """wal2json format-version 2 emits one message PER ROW ({"action":
+    "I|U|D", "columns": [{name,type,value}], "identity": [...]}) with
+    B/C transaction framing — the form `pg_recvlogical -o
+    format-version=2` produces. The decoder auto-detects per line, so
+    mixed v1/v2 spools (a mid-stream plugin upgrade) decode correctly."""
+    v2 = [
+        json.dumps({"action": "B"}),
+        json.dumps({"action": "I", "schema": "public", "table": "test",
+                    "timestamp": "2024-03-01 12:00:00.123456+00",
+                    "columns": [
+                        {"name": "id", "type": "integer", "value": 1},
+                        {"name": "amount", "type": "numeric", "value": "10.50"},
+                        {"name": "name", "type": "text", "value": "a"}]}),
+        json.dumps({"action": "U", "schema": "public", "table": "test",
+                    "timestamp": "2024-03-01 12:00:01+00",
+                    "columns": [
+                        {"name": "id", "type": "integer", "value": 1},
+                        {"name": "amount", "type": "numeric", "value": "11.00"},
+                        {"name": "name", "type": "text", "value": "a2"}],
+                    "identity": [
+                        {"name": "id", "type": "integer", "value": 1}]}),
+        json.dumps({"action": "D", "schema": "public", "table": "test",
+                    "timestamp": "2024-03-01 12:00:02+00",
+                    "identity": [
+                        {"name": "id", "type": "integer", "value": 1}]}),
+        json.dumps({"action": "C"}),
+    ]
+    # plus one v1 transaction payload in the same spool
+    v1 = _payload(_ins(id=9, amount="1.00", name="z"),
+                  timestamp="2024-03-01 11:00:00+00")
+    df = spark.createDataFrame([(x,) for x in v2 + [v1]], "value string")
+    out = wal2json_to_raw(df).orderBy("event_unixtime").collect()
+    assert [r["action"] for r in out] == ["insert", "insert", "update", "delete"]
+    mixed_v1, ins, upd, dele = out
+    assert json.loads(mixed_v1["after"])["id"] == "9"  # v1 line decoded too
+    assert json.loads(ins["after"]) == {"id": "1", "amount": "10.50", "name": "a"}
+    assert ins["event_unixtime"] == 1709294400123456
+    assert json.loads(upd["before"]) == {"id": "1"}
+    assert json.loads(upd["after"])["amount"] == "11.00"
+    assert dele["after"] is None and json.loads(dele["before"]) == {"id": "1"}
