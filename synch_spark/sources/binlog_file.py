@@ -114,6 +114,8 @@ MAGIC = b"\xfebin"
 # optional-metadata TLV types (8.0, binlog_row_metadata=FULL)
 _TLV_SIGNEDNESS = 1
 _TLV_COLUMN_NAME = 4
+_TLV_ENUM_STR_VALUE = 5
+_TLV_SET_STR_VALUE = 6
 
 
 class BinlogFormatError(ValueError):
@@ -200,8 +202,11 @@ def _fmt_dt(y, mo, d, h, mi, s, micros, fsp) -> str:
     return base
 
 
-def _decode_value(data: bytes, p: int, ctype: int, meta: int, unsigned: bool):
-    """One non-NULL column value at ``p`` -> (python value, next_offset)."""
+def _decode_value(data: bytes, p: int, ctype: int, meta: int, unsigned: bool,
+                  labels: list | None = None):
+    """One non-NULL column value at ``p`` -> (python value, next_offset).
+    ``labels``: ENUM/SET member strings for this column (from the 8.0
+    metadata TLV) — ordinals/bitmasks decode to labels when present."""
     if ctype == T_TINY:
         v = data[p]
         return (v if unsigned else struct.unpack("<b", data[p : p + 1])[0]), p + 1
@@ -237,18 +242,26 @@ def _decode_value(data: bytes, p: int, ctype: int, meta: int, unsigned: bool):
     if ctype == T_STRING:
         # CHAR(n): table-map metadata packs the real type and max length
         # into two bytes (MySQL pack_flag layout)
-        m1, m2 = meta >> 8, meta & 0xFF
-        if m1 and (m1 & 0x30) != 0x30:
-            real_type = m1 | 0x30
-            max_len = m2 | (((m1 & 0x30) ^ 0x30) << 4)
-        else:
-            real_type, max_len = m1, m2
+        real_type, max_len = _string_real_type(meta)
         if real_type == T_ENUM:
             n = max_len  # 1 or 2 bytes of ordinal
-            return int.from_bytes(data[p : p + n], "little"), p + n
+            v = int.from_bytes(data[p : p + n], "little")
+            if labels is not None:
+                # 8.0 FULL metadata carries the member strings: decode
+                # the ordinal to its label like the reference's tail
+                # (python-mysql-replication) does; ordinal 0 is MySQL's
+                # invalid-value sentinel -> empty string
+                return ("" if v == 0 or v > len(labels)
+                        else labels[v - 1]), p + n
+            return v, p + n
         if real_type == T_SET:
             n = max_len
-            return int.from_bytes(data[p : p + n], "little"), p + n
+            v = int.from_bytes(data[p : p + n], "little")
+            if labels is not None:
+                return ",".join(
+                    lab for j, lab in enumerate(labels) if (v >> j) & 1
+                ), p + n
+            return v, p + n
         n = int.from_bytes(data[p : p + 2], "little") if max_len > 255 else data[p]
         p += 2 if max_len > 255 else 1
         return _bytes_value(data[p : p + n]), p + n
@@ -497,15 +510,29 @@ def _bytes_value(raw: bytes):
 
 
 class _TableMap:
-    __slots__ = ("schema", "table", "col_types", "col_meta", "col_names", "unsigned")
+    __slots__ = ("schema", "table", "col_types", "col_meta", "col_names",
+                 "unsigned", "labels")
 
-    def __init__(self, schema, table, col_types, col_meta, col_names, unsigned):
+    def __init__(self, schema, table, col_types, col_meta, col_names,
+                 unsigned, labels=None):
         self.schema = schema
         self.table = table
         self.col_types = col_types
         self.col_meta = col_meta
         self.col_names = col_names
         self.unsigned = unsigned
+        # {col_index: [label, ...]} from the 8.0 ENUM/SET_STR_VALUE
+        # TLVs; absent → ordinals/bitmasks are emitted raw
+        self.labels = labels or {}
+
+
+def _string_real_type(meta: int) -> tuple[int, int]:
+    """T_STRING table-map metadata packs the real type and max length
+    into two bytes (MySQL pack_flag layout) -> (real_type, max_len)."""
+    m1, m2 = meta >> 8, meta & 0xFF
+    if m1 and (m1 & 0x30) != 0x30:
+        return m1 | 0x30, m2 | (((m1 & 0x30) ^ 0x30) << 4)
+    return m1, m2
 
 
 def _parse_table_map(body: bytes, column_names: dict | None) -> tuple[int, _TableMap]:
@@ -541,6 +568,7 @@ def _parse_table_map(body: bytes, column_names: dict | None) -> tuple[int, _Tabl
     # 8.0 optional metadata TLVs (binlog_row_metadata): [type][len][value]
     names = None
     unsigned = [False] * ncols
+    labels: dict[int, list] = {}
     n_numeric = sum(
         1 for t in col_types
         if t in (T_TINY, T_SHORT, T_INT24, T_LONG, T_LONGLONG, T_FLOAT, T_DOUBLE,
@@ -567,6 +595,26 @@ def _parse_table_map(body: bytes, column_names: dict | None) -> tuple[int, _Tabl
                     if k < n_numeric and _msb_bit(tval, k):
                         unsigned[i] = True
                     k += 1
+        elif ttype in (_TLV_ENUM_STR_VALUE, _TLV_SET_STR_VALUE):
+            # member strings, one group per ENUM (resp. SET) column in
+            # column order: lenenc(count) then count lenenc-prefixed
+            # strings (binlog_row_metadata=FULL)
+            want = T_ENUM if ttype == _TLV_ENUM_STR_VALUE else T_SET
+            targets = [
+                i for i, t in enumerate(col_types)
+                if t == T_STRING and _string_real_type(col_meta[i])[0] == want
+            ]
+            q = 0
+            for i in targets:
+                if q >= len(tval):
+                    break
+                cnt, q = _lenenc(tval, q)
+                group = []
+                for _ in range(cnt):
+                    n, q = _lenenc(tval, q)
+                    group.append(tval[q : q + n].decode("utf-8"))
+                    q += n
+                labels[i] = group
     if names is None and column_names:
         names = column_names.get((schema, table)) or column_names.get(table)
     if names is None:
@@ -575,7 +623,8 @@ def _parse_table_map(body: bytes, column_names: dict | None) -> tuple[int, _Tabl
         raise BinlogFormatError(
             f"{schema}.{table}: {len(names)} column names for {ncols} columns"
         )
-    return table_id, _TableMap(schema, table, col_types, col_meta, list(names), unsigned)
+    return table_id, _TableMap(schema, table, col_types, col_meta,
+                               list(names), unsigned, labels)
 
 
 def _msb_bit(bitmap: bytes, i: int) -> bool:
@@ -594,7 +643,8 @@ def _read_row_image(body: bytes, p: int, tm: _TableMap, present: bytes, n_presen
         if _bit(null_bm, j):
             row[tm.col_names[i]] = None
         else:
-            v, p = _decode_value(body, p, tm.col_types[i], tm.col_meta[i], tm.unsigned[i])
+            v, p = _decode_value(body, p, tm.col_types[i], tm.col_meta[i],
+                                 tm.unsigned[i], tm.labels.get(i))
             row[tm.col_names[i]] = v
         j += 1
     return row, p

@@ -69,7 +69,9 @@ class BinlogBuilder:
 
     # --- events ----------------------------------------------------------
     def table_map(self, table_id: int, db: str, table: str, columns,
-                  names_tlv: bool = False, unsigned: tuple[int, ...] = ()) -> None:
+                  names_tlv: bool = False, unsigned: tuple[int, ...] = (),
+                  enum_strs: dict | None = None,
+                  set_strs: dict | None = None) -> None:
         """columns: list of (name, type_code, meta). ``unsigned`` lists
         column indices flagged UNSIGNED via the SIGNEDNESS TLV."""
         body = table_id.to_bytes(6, "little") + struct.pack("<H", 1)
@@ -94,6 +96,22 @@ class BinlogBuilder:
                 _lenenc(len(n.encode())) + n.encode() for n, _, _ in columns
             )
             body += bytes([4]) + _lenenc(len(val)) + val  # COLUMN_NAME
+        if enum_strs or set_strs:
+            # binlog_row_metadata=FULL member strings: one group per
+            # ENUM (resp. SET) column in column order
+            for ttype, real, groups in ((5, B.T_ENUM, enum_strs or {}),
+                                        (6, B.T_SET, set_strs or {})):
+                targets = [i for i, (_, t, m) in enumerate(columns)
+                           if t == B.T_STRING and (m >> 8) == real]
+                if not any(i in groups for i in targets):
+                    continue
+                val = b""
+                for i in targets:
+                    labs = groups.get(i, [])
+                    val += _lenenc(len(labs))
+                    for lab in labs:
+                        val += _lenenc(len(lab.encode())) + lab.encode()
+                body += bytes([ttype]) + _lenenc(len(val)) + val
         if unsigned:
             numeric = [i for i, (_, t, _) in enumerate(columns)
                        if t in (B.T_TINY, B.T_SHORT, B.T_INT24, B.T_LONG,
@@ -207,6 +225,13 @@ def _enc_value(t: int, m: int, v) -> bytes:
     if t == B.T_BIT:
         bits = (m & 0xFF) * 8 + (m >> 8)
         return int(v).to_bytes((bits + 7) // 8, "big")
+    if t == B.T_STRING:
+        real, ml = m >> 8, m & 0xFF
+        if real in (B.T_ENUM, B.T_SET):
+            return int(v).to_bytes(ml, "little")
+        raw = v.encode() if isinstance(v, str) else bytes(v)
+        pre = len(raw).to_bytes(2, "little") if ml > 255 else bytes([len(raw)])
+        return pre + raw
     if t == B.T_JSON:
         blob = v if isinstance(v, (bytes, bytearray)) else jsonb_encode(v)
         return len(blob).to_bytes(m or 4, "little") + bytes(blob)

@@ -513,3 +513,32 @@ def test_json_opaque_temporals_decode():
     b2.insert(7, (ddoc,))
     (ev2,) = list(B.iter_binlog_events(b2.bytes()))
     assert json.loads(ev2["after"])["j"] == "2024-02-29"
+
+
+def test_enum_set_decode_labels_with_full_metadata():
+    """8.0 binlog_row_metadata=FULL carries ENUM/SET member strings;
+    the decoder maps ordinals/bitmasks to labels like the reference's
+    tail (python-mysql-replication) does. Without the TLV the raw
+    ordinal/bitmask passes through."""
+    cols = [
+        ("id", B.T_LONG, 0),
+        ("color", B.T_STRING, (B.T_ENUM << 8) | 1),
+        ("tags", B.T_STRING, (B.T_SET << 8) | 1),
+    ]
+    b = BinlogBuilder()
+    b.table_map(7, "db", "t", cols, names_tlv=True,
+                enum_strs={1: ["red", "green", "blue"]},
+                set_strs={2: ["a", "b", "c"]})
+    b.insert(7, (1, 2, 0b101), (2, 0, 0))
+    evs = list(B.iter_binlog_events(b.bytes()))
+    r1 = json.loads(evs[0]["after"])
+    assert r1 == {"id": 1, "color": "green", "tags": "a,c"}
+    r2 = json.loads(evs[1]["after"])
+    assert r2["color"] == "" and r2["tags"] == ""  # 0 = invalid/empty
+
+    # no TLV -> ordinals/bitmasks pass through untouched
+    b2 = BinlogBuilder()
+    b2.table_map(7, "db", "t", cols, names_tlv=True)
+    b2.insert(7, (1, 2, 0b101))
+    (ev,) = list(B.iter_binlog_events(b2.bytes()))
+    assert json.loads(ev["after"]) == {"id": 1, "color": 2, "tags": 5}
