@@ -40,10 +40,11 @@ Supported column types: all integer widths (signed by default,
 unsigned via the SIGNEDNESS TLV), FLOAT/DOUBLE, NEWDECIMAL (compressed
 BCD, exact digits), VARCHAR/VAR_STRING/CHAR, BLOB/TEXT (utf-8, base64
 fallback for non-text bytes), DATE, DATETIME2/TIMESTAMP2/TIME2 (with
-fractional seconds), legacy DATETIME/TIMESTAMP/TIME, YEAR, BIT, ENUM/
-SET (as ordinal ints). MySQL binary-JSON columns are NOT decoded
-(distinct format; raises with a pointer to decimal/string-mode
-alternatives rather than silently corrupting).
+fractional seconds), legacy DATETIME/TIMESTAMP/TIME, YEAR, BIT,
+ENUM/SET (member labels under binlog_row_metadata=FULL, raw ordinals/
+bitmasks otherwise), GEOMETRY (SRID+WKB bytes passthrough), and
+binary JSON (json_binary.h: nested objects/arrays in both container
+formats, all scalars, opaque DECIMAL and packed temporals).
 """
 
 from __future__ import annotations
@@ -108,6 +109,7 @@ T_LONG_BLOB = 0xFB
 T_BLOB = 0xFC
 T_VAR_STRING = 0xFD
 T_STRING = 0xFE
+T_GEOMETRY = 0xFF
 
 MAGIC = b"\xfebin"
 
@@ -265,7 +267,10 @@ def _decode_value(data: bytes, p: int, ctype: int, meta: int, unsigned: bool,
         n = int.from_bytes(data[p : p + 2], "little") if max_len > 255 else data[p]
         p += 2 if max_len > 255 else 1
         return _bytes_value(data[p : p + n]), p + n
-    if ctype in (T_BLOB, T_TINY_BLOB, T_MEDIUM_BLOB, T_LONG_BLOB):
+    if ctype in (T_BLOB, T_TINY_BLOB, T_MEDIUM_BLOB, T_LONG_BLOB, T_GEOMETRY):
+        # GEOMETRY binlogs exactly like a blob: meta-byte length prefix
+        # then SRID+WKB bytes (emitted base64 by _bytes_value, matching
+        # the reference tail's opaque-bytes passthrough)
         nb = meta  # length-prefix width from table map
         n = int.from_bytes(data[p : p + nb], "little")
         p += nb
@@ -558,7 +563,7 @@ def _parse_table_map(body: bytes, column_names: dict | None) -> tuple[int, _Tabl
             col_meta.append(int.from_bytes(body[p : p + 2], "little" if t in (T_VARCHAR, T_VAR_STRING) else "big"))
             p += 2
         elif t in (T_BLOB, T_TINY_BLOB, T_MEDIUM_BLOB, T_LONG_BLOB, T_FLOAT, T_DOUBLE,
-                   T_TIMESTAMP2, T_DATETIME2, T_TIME2, T_JSON):
+                   T_TIMESTAMP2, T_DATETIME2, T_TIME2, T_JSON, T_GEOMETRY):
             col_meta.append(body[p])
             p += 1
         else:

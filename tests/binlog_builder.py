@@ -87,7 +87,7 @@ class BinlogBuilder:
                 meta += int(m).to_bytes(2, "big")
             elif t in (B.T_BLOB, B.T_TINY_BLOB, B.T_MEDIUM_BLOB, B.T_LONG_BLOB,
                        B.T_FLOAT, B.T_DOUBLE, B.T_TIMESTAMP2, B.T_DATETIME2,
-                       B.T_TIME2, B.T_JSON):
+                       B.T_TIME2, B.T_JSON, B.T_GEOMETRY):
                 meta += bytes([m])
         body += _lenenc(len(meta)) + bytes(meta)
         body += bytes((len(columns) + 7) // 8)  # null-allowed bitmap
@@ -198,7 +198,7 @@ def _enc_value(t: int, m: int, v) -> bytes:
         raw = v.encode() if isinstance(v, str) else bytes(v)
         pre = len(raw).to_bytes(2, "little") if m > 255 else bytes([len(raw)])
         return pre + raw
-    if t in (B.T_BLOB,):
+    if t in (B.T_BLOB, B.T_GEOMETRY):
         raw = v.encode() if isinstance(v, str) else bytes(v)
         return len(raw).to_bytes(m, "little") + raw
     if t == B.T_NEWDECIMAL:

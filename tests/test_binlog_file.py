@@ -542,3 +542,21 @@ def test_enum_set_decode_labels_with_full_metadata():
     b2.insert(7, (1, 2, 0b101))
     (ev,) = list(B.iter_binlog_events(b2.bytes()))
     assert json.loads(ev["after"]) == {"id": 1, "color": 2, "tags": 5}
+
+
+def test_geometry_column_passes_through_as_bytes():
+    """GEOMETRY binlogs like a blob (SRID+WKB); the decoder passes the
+    bytes through (base64 in the JSON image) instead of raising."""
+    import base64 as b64
+    import struct as _s
+
+    # SRID 4326 + WKB POINT(1 2)
+    wkb = (4326).to_bytes(4, "little") + b"\x01" + _s.pack("<I", 1) \
+        + _s.pack("<dd", 1.0, 2.0)
+    cols = [("id", B.T_LONG, 0), ("g", B.T_GEOMETRY, 4)]
+    b = BinlogBuilder()
+    b.table_map(7, "db", "t", cols, names_tlv=True)
+    b.insert(7, (1, wkb))
+    (ev,) = list(B.iter_binlog_events(b.bytes()))
+    got = json.loads(ev["after"])["g"]
+    assert b64.b64decode(got) == wkb
