@@ -560,3 +560,34 @@ def test_geometry_column_passes_through_as_bytes():
     (ev,) = list(B.iter_binlog_events(b.bytes()))
     got = json.loads(ev["after"])["g"]
     assert b64.b64decode(got) == wkb
+
+
+from hypothesis import given, settings, strategies as st
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=40),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=6),
+        st.dictionaries(st.text(min_size=1, max_size=12), kids, max_size=6),
+    ),
+    max_leaves=24,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(doc=_json_values, large=st.booleans())
+def test_jsonb_roundtrip_property(doc, large):
+    """Any JSON value the spec-built encoder can produce decodes back
+    bit-exactly, in both container formats (small 2-byte and large
+    4-byte offset tables)."""
+    from tests.binlog_builder import jsonb_encode
+
+    blob = jsonb_encode(doc, large=large)
+    assert B._decode_json_binary(blob) == doc
