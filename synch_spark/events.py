@@ -655,15 +655,32 @@ def wal2json_to_raw(
     ``fallback_unixtime_us`` (defaults to plan-build wall time — the
     reference stamps consume-side time.time() the same way).
 
-    Pure Column algebra: from_json (values as strings — PG wire text),
-    explode of the change array, map_from_arrays + to_json for the row
-    images. Streamable; feed the output to filter_dml -> split_updates
-    -> parse_values exactly like every other source.
+    Pure Column algebra: ONE from_json over a merged v1+v2 schema (a
+    v1 payload nulls the v2 fields and vice versa, so the version is
+    detected per line and mixed spools — a mid-stream plugin upgrade —
+    decode correctly), one explode over a normalized change array,
+    map_from_arrays + to_json for the row images. Single pass over the
+    input: no union of per-version branches, so the source (a Kafka
+    scan, a spool file, or a synthesized envelope) is read once.
+    Streamable; feed the output to filter_dml -> split_updates ->
+    parse_values exactly like every other source.
+
+    Format-version 2 (one message PER ROW instead of per transaction;
+    the form ``pg_recvlogical -o format-version=2`` emits and the only
+    format some managed-Postgres services expose) carries
+    ``{"action":"I|U|D","columns":[{name,type,value}...],
+    "identity":[...]}`` plus B/C transaction-framing lines, which drop
+    out via the null-action filter.
     """
     import time as _time
 
+    col_entry = T.ArrayType(T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]))
     w2j = T.StructType(
         [
+            # v1: per-transaction change list
             T.StructField(
                 "change",
                 T.ArrayType(
@@ -692,6 +709,12 @@ def wal2json_to_raw(
                 ),
             ),
             T.StructField("timestamp", T.StringType()),
+            # v2: per-row message fields (null on a v1 payload)
+            T.StructField("action", T.StringType()),
+            T.StructField("schema", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("columns", col_entry),
+            T.StructField("identity", col_entry),
         ]
     )
     if fallback_unixtime_us is None:
@@ -699,74 +722,65 @@ def wal2json_to_raw(
     parsed = df.select(
         F.from_json(F.col(value_col).cast("string"), w2j).alias("_p")
     )
+
+    row_t = ("struct<schema:string,table:string,action:string,"
+             "before:string,after:string>")
+
+    def _v1_row(c):
+        kind = c["kind"]
+        after_img = F.to_json(
+            F.map_from_arrays(c["columnnames"], c["columnvalues"])
+        )
+        old_img = F.to_json(
+            F.map_from_arrays(c["oldkeys"]["keynames"], c["oldkeys"]["keyvalues"])
+        )
+        return F.struct(
+            c["schema"].alias("schema"),
+            c["table"].alias("table"),
+            F.when(kind.isin("insert", "update", "delete"), kind).alias("action"),
+            F.when(kind.isin("update", "delete"), old_img).alias("before"),
+            F.when(kind.isin("insert", "update"), after_img).alias("after"),
+        ).cast(row_t)
+
+    def _v2_img(field):
+        arr = F.col(f"_p.{field}")
+        return F.to_json(F.map_from_arrays(
+            F.transform(arr, lambda x: x["name"]),
+            F.transform(arr, lambda x: x["value"]),
+        ))
+
+    act = F.col("_p.action")
+    v2_row = F.struct(
+        F.col("_p.schema").alias("schema"),
+        F.col("_p.table").alias("table"),
+        F.when(act == "I", F.lit("insert"))
+        .when(act == "U", F.lit("update"))
+        .when(act == "D", F.lit("delete"))
+        .alias("action"),
+        F.when(act.isin("U", "D"), _v2_img("identity")).alias("before"),
+        F.when(act.isin("I", "U"), _v2_img("columns")).alias("after"),
+    ).cast(row_t)
+    # One normalized rows-array per payload: a v2 line wraps its single
+    # row; a v1 line maps its change list; framing/corrupt lines yield
+    # null/empty and vanish in the explode + null-action filter.
+    rows = F.when(act.isNotNull(), F.array(v2_row)).otherwise(
+        F.transform(F.col("_p.change"), _v1_row)
+    )
     # try_to_timestamp: an unparseable/absent timestamp (the option is
     # off by default) must fall back, not ANSI-fail the batch
     ts_us = F.coalesce(
         F.unix_micros(F.try_to_timestamp(F.col("_p.timestamp"))),
         F.lit(fallback_unixtime_us),
     )
-    ch = parsed.select(ts_us.alias("event_unixtime"), F.explode("_p.change").alias("c"))
-    after_img = F.to_json(F.map_from_arrays("c.columnnames", "c.columnvalues"))
-    old_img = F.to_json(
-        F.map_from_arrays("c.oldkeys.keynames", "c.oldkeys.keyvalues")
+    return (
+        parsed.select(ts_us.alias("event_unixtime"), F.explode(rows).alias("c"))
+        .select(
+            F.col("c.schema").alias("schema"),
+            F.col("c.table").alias("table"),
+            F.col("c.action").alias("action"),
+            F.col("c.before").alias("before"),
+            F.col("c.after").alias("after"),
+            "event_unixtime",
+        )
+        .filter(F.col("action").isNotNull() & F.col("table").isNotNull())
     )
-    kind = F.col("c.kind")
-    v1 = ch.select(
-        F.col("c.schema").alias("schema"),
-        F.col("c.table").alias("table"),
-        F.when(kind == "insert", F.lit("insert"))
-        .when(kind == "update", F.lit("update"))
-        .when(kind == "delete", F.lit("delete"))
-        .alias("action"),
-        F.when(kind == "update", old_img)
-        .when(kind == "delete", old_img)
-        .alias("before"),
-        F.when(kind.isin("insert", "update"), after_img).alias("after"),
-        "event_unixtime",
-    ).filter(F.col("action").isNotNull())
-
-    # wal2json format-version 2 (one message PER ROW instead of per
-    # transaction; the form pg_recvlogical emits with -o format-version=2
-    # and the only format amazon-aurora exposes). A v1 payload has no
-    # top-level "action" and nulls out of this branch; a v2 payload has
-    # no "change" array and drops out of the v1 explode — so decoding
-    # BOTH and unioning auto-detects the version per line, and mixed
-    # spools (a mid-stream plugin upgrade) decode correctly.
-    col_entry = T.ArrayType(T.StructType([
-        T.StructField("name", T.StringType()),
-        T.StructField("value", T.StringType()),
-    ]))
-    w2j2 = T.StructType([
-        T.StructField("action", T.StringType()),
-        T.StructField("schema", T.StringType()),
-        T.StructField("table", T.StringType()),
-        T.StructField("timestamp", T.StringType()),
-        T.StructField("columns", col_entry),
-        T.StructField("identity", col_entry),
-    ])
-    p2 = df.select(F.from_json(F.col(value_col).cast("string"), w2j2).alias("_q"))
-    ts2 = F.coalesce(
-        F.unix_micros(F.try_to_timestamp(F.col("_q.timestamp"))),
-        F.lit(fallback_unixtime_us),
-    )
-
-    def img(field):
-        arr = F.col(f"_q.{field}")
-        return F.to_json(F.map_from_arrays(
-            F.transform(arr, lambda x: x["name"]),
-            F.transform(arr, lambda x: x["value"]),
-        ))
-
-    act = F.col("_q.action")
-    v2 = p2.select(
-        F.col("_q.schema").alias("schema"),
-        F.col("_q.table").alias("table"),
-        F.when(act == "I", F.lit("insert"))
-        .when(act == "U", F.lit("update"))
-        .when(act == "D", F.lit("delete"))
-        .alias("action"),
-        F.when(act.isin("U", "D"), img("identity")).alias("before"),
-        F.when(act.isin("I", "U"), img("columns")).alias("after"),
-        ts2.alias("event_unixtime"),
-    ).filter(F.col("action").isNotNull() & F.col("table").isNotNull())
-    return v1.unionByName(v2)
