@@ -481,6 +481,77 @@ def cmd_history(args) -> int:
     return 0
 
 
+def _one_table(args, app: str):
+    """Resolve exactly one configured table for the store-op verbs."""
+    raw = _load(args.config)
+    cfg = config_from_dict(raw)
+    spark = get_spark(app)
+    warehouse = raw["spark"]["warehouse"]
+    for name, spec in cfg.tables.items():
+        if spec.table == args.table:
+            table = ParquetTable(
+                spark, f"{warehouse}/{spec.schema}/{spec.table}",
+                retain=spec.retain)
+            return table, spec, name
+    raise SystemExit(f"table {args.table!r} is not configured")
+
+
+def cmd_restore(args) -> int:
+    """Roll a replicated table back to a retained version as a NEW
+    commit (ParquetTable.restore). The reference's only rollback is
+    `etl --renew` — drop the ClickHouse table and reload everything
+    from the source (/root/reference/synch/replication/etl.py:38-41);
+    this is O(diff files) and leaves no availability gap."""
+    from synch_spark.sources.table import commit_with_retry
+
+    table, _spec, name = _one_table(args, "synch-restore")
+    new_v = commit_with_retry(lambda: table.restore(args.version))
+    print(json.dumps({"table": name, "restored_to": args.version,
+                      "new_version": new_v}))
+    return 0
+
+
+def cmd_clone(args) -> int:
+    """Copy a snapshot of a replicated table to an independent root
+    (ParquetTable.clone) — dev/test forks, pre-migration backups."""
+    table, _spec, name = _one_table(args, "synch-clone")
+    dup = table.clone(args.dest, version=args.version)
+    print(json.dumps({"table": name, "dest": args.dest,
+                      "version_cloned": table.snapshot(args.version).version,
+                      "files": len(dup.snapshot().files)}))
+    return 0
+
+
+def cmd_changes(args) -> int:
+    """Row-level change feed between two retained versions
+    (ParquetTable.changes) — what downstream consumers apply to catch
+    up without re-scanning the table. `--out` writes the feed as
+    parquet; otherwise prints per-change-type counts."""
+    from pyspark.sql import functions as F
+
+    table, spec, name = _one_table(args, "synch-changes")
+    pk = tuple(args.pk.split(",")) if args.pk else spec.pk
+    if args.per_commit:
+        df = table.changes_per_commit(args.v_from, args.v_to, pk=pk)
+    else:
+        df = table.changes(args.v_from, args.v_to, pk=pk)
+    if args.out:
+        df.write.mode("error").parquet(args.out)
+        print(json.dumps({"table": name, "out": args.out,
+                          "rows": spark_count(df, args.out)}))
+        return 0
+    counts = {r["_change_type"]: r["n"] for r in
+              df.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    print(json.dumps({"table": name, "from": args.v_from,
+                      "to": args.v_to, "counts": counts}))
+    return 0
+
+
+def spark_count(df, out_path: str) -> int:
+    """Row count of a just-written feed without recomputing the diff."""
+    return df.sparkSession.read.parquet(out_path).count()
+
+
 def cmd_optimize(args) -> int:
     """OPTIMIZE TABLE ... FINAL analog: eagerly fold engine history and
     re-cluster files on pk (the maintenance job ClickHouse runs as
@@ -787,6 +858,27 @@ def main(argv=None) -> int:
         "history", help="commit log of the retained time-travel window")
     h.add_argument("--table")
     h.set_defaults(fn=cmd_history)
+    rs = sub.add_parser(
+        "restore", help="roll a table back to a retained version (new commit)")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--version", required=True, type=int)
+    rs.set_defaults(fn=cmd_restore)
+    cl = sub.add_parser("clone", help="copy a snapshot to an independent root")
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--dest", required=True)
+    cl.add_argument("--version", type=int, default=None,
+                    help="source version (default: current)")
+    cl.set_defaults(fn=cmd_clone)
+    ch = sub.add_parser(
+        "changes", help="row-level change feed between two retained versions")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from", dest="v_from", required=True, type=int)
+    ch.add_argument("--to", dest="v_to", type=int, default=None)
+    ch.add_argument("--pk", help="comma-separated key (default: the spec's pk)")
+    ch.add_argument("--per-commit", action="store_true",
+                    help="stamp every row with the commit that produced it")
+    ch.add_argument("--out", help="write the feed as parquet instead of counts")
+    ch.set_defaults(fn=cmd_changes)
     r = sub.add_parser("repair", help="snapshot-diff surgical backfill")
     r.add_argument("--table")
     r.set_defaults(fn=cmd_repair)

@@ -1033,6 +1033,220 @@ class ParquetTable:
     def count(self) -> int:
         return self.read().count()
 
+    # -- store operations: restore / clone / change feed ---------------------
+    def _copy_pool_file(self, src_root: str, rel: str, new_rel: str) -> None:
+        """Duplicate one pool data file (and its bloom sidecar, if built)
+        under a new identity. A plain byte copy — on object storage this
+        is a single server-side COPY per object (no download, no decode,
+        no Spark job); hard links are deliberately not used because the
+        data plane must not depend on them (test_no_hard_link_dependence,
+        object-storage semantics)."""
+        dst = self._abs(new_rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(os.path.join(src_root, _DATA, rel), dst)
+        from synch_spark.sources import bloom as _bloom
+
+        src_sc = _bloom._sidecar(src_root, rel)
+        if os.path.exists(src_sc):
+            dst_sc = _bloom._sidecar(self.root, new_rel)
+            os.makedirs(os.path.dirname(dst_sc), exist_ok=True)
+            shutil.copy2(src_sc, dst_sc)
+
+    def restore(self, version: int) -> int:
+        """Roll the table back to a retained ``version`` as a NEW commit
+        (the Delta ``RESTORE`` analog) and return the new version number.
+
+        The reference's only recovery from a bad apply is ``etl --renew``
+        — drop the ClickHouse table and re-run the full source load
+        (/root/reference/synch/replication/etl.py:38-41, cli.py:40-46):
+        O(table) source reads and inserts, plus an availability gap while
+        the table is dropped. Here rollback is a log commit: files shared
+        with the head version are untouched, files the head dropped come
+        back via per-file copies under FRESH pool identities, and the
+        restore itself stays time-travel-readable (it's just version
+        N+1). Cost is O(diff files) metadata + copies, never a data
+        rewrite or a source re-read, and readers never see a gap.
+
+        Fresh identities (not re-adding the old rel) matter for GC
+        correctness: ``_post_commit`` frees files named on a commit's
+        remove-list when that commit expires. Re-adding a rel that a
+        later entry already removed would let that deferred GC delete a
+        file the restore made live again; a new identity can never be on
+        an old remove-list. Stats ride along (same bytes); bloom
+        sidecars are copied to the new identity too, so point-lookup
+        pruning survives a rollback."""
+        cur_v = self.current_version()
+        if cur_v < 0:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        target = self.snapshot(version)
+        head = self.snapshot(cur_v)
+        if target.version == head.version:
+            return cur_v
+        add: dict = {}
+        copied: list[str] = []
+        for rel in sorted(target.files):
+            if rel in head.files:
+                continue
+            d, name = os.path.split(rel)
+            new_rel = f"{d}/" if d else ""
+            new_rel += f"restore-{uuid.uuid4().hex[:12]}-{name}"
+            self._copy_pool_file(self.root, rel, new_rel)
+            stats = target.files[rel]
+            add[new_rel] = dict(stats) if stats else {}
+            copied.append(new_rel)
+        remove = sorted(r for r in head.files if r not in target.files)
+        entry = self._make_entry(
+            cur_v + 1, add, remove, head,
+            schema_change=target.schema_raw,
+            sschema=target.sschema,
+        )
+        self._write_entry(entry, cleanup_rels=copied)
+        return cur_v + 1
+
+    def clone(self, dest_root: str, version: int | None = None,
+              retain: int | None = None) -> "ParquetTable":
+        """Copy a snapshot of this table (default: current version) into
+        a NEW independent table at ``dest_root`` — the ``CREATE TABLE ...
+        CLONE`` analog for dev/test forks and pre-migration backups.
+
+        Per-file byte copies into the clone's own pool (object storage:
+        one server-side COPY per object — no download, no decode, no
+        Spark job), plus ONE checkpoint log entry carrying the source's
+        per-file stats and schema documents. The clone is fully
+        independent afterwards: source commits, retention GC, or vacuum
+        never reach into it, and vice versa — which is exactly why the
+        manifests don't share pool paths across roots. Bloom sidecars
+        are copied too, so lookup pruning works on the clone without a
+        rebuild. Cost: O(files) control-plane copies, zero data
+        transformation; the clone starts at version 0 with the full
+        retention window ahead of it."""
+        snap = self.snapshot(version)
+        dest = ParquetTable(self.spark, dest_root,
+                            retain=self.retain if retain is None else retain)
+        if dest.current_version() >= 0:
+            raise FileExistsError(
+                f"clone destination {dest_root} already has committed versions"
+            )
+        files: dict = {}
+        for rel in sorted(snap.files):
+            dest._copy_pool_file(self.root, rel, rel)
+            stats = snap.files[rel]
+            files[rel] = dict(stats) if stats else {}
+        entry = dest._make_entry(
+            0, files, [], None,
+            schema_change=snap.schema_raw,
+            sschema=snap.sschema,
+            force_ckpt=True,
+        )
+        dest._write_entry(entry, cleanup_rels=sorted(files))
+        return dest
+
+    def changes(self, v_from: int, v_to: int | None = None,
+                pk=None) -> DataFrame:
+        """Row-level change feed between two retained versions (the Delta
+        CDF / ``table_changes`` analog): what would a downstream consumer
+        have to apply to go from ``v_from``'s state to ``v_to``'s
+        (default: current)? Returns the changed rows plus a
+        ``_change_type`` column: ``insert`` / ``delete`` and, with ``pk``
+        given, ``update_preimage`` / ``update_postimage`` pairs.
+
+        The reference is one-directional — it consumes a MySQL/PG change
+        feed and applies it to ClickHouse, and anything DOWNSTREAM of
+        ClickHouse re-scans the whole table. Here the stored table is
+        itself a change SOURCE, so incremental consumers (materialized
+        views, search/dedup index refresh, replication fan-out) read
+        O(changed rows), not O(table).
+
+        Scale design: the diff touches ONLY files added/removed between
+        the two snapshots — pure log arithmetic picks them, copy-on-write
+        keeps them few — so a 100 TB table with a 10 GB merge diff reads
+        ~20 GB. Rows carried over verbatim by a CoW rewrite (same pk,
+        same values, new file) cancel out: without ``pk`` via
+        ``exceptAll`` multiset semantics, with ``pk`` via a null-safe
+        image comparison after one full-outer join on the key (shuffles
+        only the changed-file rows). Schema evolution between the two
+        versions is aligned by name — columns added since ``v_from``
+        read as NULL on the old image."""
+        sto = self.snapshot(v_to)
+        sfrom = self.snapshot(v_from)
+        if sto.version < sfrom.version:
+            raise ValueError(
+                f"changes(): v_from={sfrom.version} is newer than "
+                f"v_to={sto.version}"
+            )
+        added = sorted(r for r in sto.files if r not in sfrom.files)
+        removed = sorted(r for r in sfrom.files if r not in sto.files)
+        new_df = (
+            self.read_files([self._abs(r) for r in added], version=sto.version)
+            if added else self._empty_df(sto)
+        )
+        old_raw = (
+            self.read_files([self._abs(r) for r in removed],
+                            version=sfrom.version)
+            if removed else self._empty_df(sfrom)
+        )
+        cols = new_df.columns
+        old_df = old_raw.select([
+            F.col(c).alias(c) if c in old_raw.columns
+            else F.lit(None).cast(new_df.schema[c].dataType).alias(c)
+            for c in cols
+        ])
+        ct = "_change_type"
+        if not pk:
+            ins = new_df.exceptAll(old_df).withColumn(ct, F.lit("insert"))
+            dels = old_df.exceptAll(new_df).withColumn(ct, F.lit("delete"))
+            return ins.unionByName(dels)
+        keys = [pk] if isinstance(pk, str) else list(pk)
+        val_cols = [c for c in cols if c not in keys]
+        if not val_cols:
+            # key-only table: presence diff is the whole story
+            ins = new_df.join(old_df, keys, "left_anti").withColumn(
+                ct, F.lit("insert"))
+            dels = old_df.join(new_df, keys, "left_anti").withColumn(
+                ct, F.lit("delete"))
+            return ins.unionByName(dels)
+        n = new_df.select(*keys, F.struct(*val_cols).alias("_new"))
+        o = old_df.select(*keys, F.struct(*val_cols).alias("_old"))
+        j = n.join(o, keys, "full_outer")
+        new_c, old_c = F.col("_new"), F.col("_old")
+        upd = new_c.isNotNull() & old_c.isNotNull() & ~new_c.eqNullSafe(old_c)
+        pre_lbl = (F.when(upd, F.lit("update_preimage"))
+                   .when(new_c.isNull() & old_c.isNotNull(), F.lit("delete")))
+        post_lbl = (F.when(upd, F.lit("update_postimage"))
+                    .when(old_c.isNull() & new_c.isNotNull(), F.lit("insert")))
+        # one pass over the join: each row yields 0 (CoW carry-over),
+        # 1 (insert/delete), or 2 (update pre+post) output rows
+        images = F.array_compact(F.array(
+            F.when(pre_lbl.isNotNull(),
+                   F.struct(old_c.alias("img"), pre_lbl.alias(ct))),
+            F.when(post_lbl.isNotNull(),
+                   F.struct(new_c.alias("img"), post_lbl.alias(ct))),
+        ))
+        return (
+            j.select(*keys, F.explode(images).alias("_e"))
+            .select(*keys, F.col("_e.img.*"), F.col(f"_e.{ct}").alias(ct))
+        )
+
+    def changes_per_commit(self, v_from: int, v_to: int | None = None,
+                           pk=None) -> DataFrame:
+        """``changes`` split per commit, each row stamped with the
+        ``_commit_version`` that produced it — the shape an incremental
+        consumer checkpoints against (apply commits in order, remember
+        the last applied version). Every hop (v-1, v) diffs only that
+        commit's own add/remove lists, so the total cost is the sum of
+        the per-commit diffs, independent of table size."""
+        sto_v = self.snapshot(v_to).version
+        out = None
+        for v in range(self.snapshot(v_from).version + 1, sto_v + 1):
+            d = self.changes(v - 1, v, pk=pk).withColumn(
+                "_commit_version", F.lit(v).cast("long"))
+            out = d if out is None else out.unionByName(d)
+        if out is None:
+            empty = self.changes(sto_v, sto_v, pk=pk)
+            return empty.withColumn("_commit_version",
+                                    F.lit(sto_v).cast("long"))
+        return out
+
     def file_stats(self) -> dict:
         """Current-version layout health from the log + file sizes (no
         data read): file count, total/min/max/median file bytes, and

@@ -407,3 +407,73 @@ def test_cli_consume_last_msg_id_seeds_offset(tmp_path, capsys, spark, monkeypat
     got = {r["r_regionkey"] for r in ParquetTable(
         spark, str(tmp_path / "wh" / "db" / "region")).read().collect()}
     assert got == {3, 4}
+
+
+def test_cli_restore_clone_changes(tmp_path, capsys, spark):
+    """The store-op verbs end-to-end: etl a table, mutate it through a
+    produce/consume loop, then audit the delta (changes), roll it back
+    (restore), and fork a snapshot (clone)."""
+    from synch_spark.session import read_table
+    from synch_spark.sources.table import ParquetTable
+
+    src_path = str(tmp_path / "src.parquet")
+    read_table(spark, "/root/testdata/sf0.001", "region").write.parquet(src_path)
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "region", "pk": ["r_regionkey"], "retain": 4}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "source_format": "parquet",
+            "sources": {"db.region": src_path},
+            "value_schemas": {
+                "db.region": spark.read.parquet(src_path).schema.jsonValue()
+            },
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    table = ParquetTable(spark, str(tmp_path / "wh" / "db" / "region"), retain=4)
+    v0 = table.current_version()
+
+    # mutate: drop region 4, rename region 0
+    from pyspark.sql import functions as F
+
+    cur = spark.read.parquet(src_path)
+    mutated = cur.filter(F.col("r_regionkey") != 4).withColumn(
+        "r_name",
+        F.when(F.col("r_regionkey") == 0, F.lit("RENAMED"))
+        .otherwise(F.col("r_name")),
+    )
+    mutated.write.mode("overwrite").parquet(src_path + ".v2")
+    cfg["spark"]["sources"]["db.region"] = src_path + ".v2"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    capsys.readouterr()
+
+    # changes: one delete (region 4) + one update pair (region 0)
+    assert main(["--config", str(p), "changes", "--table", "region",
+                 "--from", str(v0)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["counts"] == {"delete": 1, "update_preimage": 1,
+                             "update_postimage": 1}
+
+    # clone the mutated state, then restore the source table to v0
+    assert main(["--config", str(p), "clone", "--table", "region",
+                 "--dest", str(tmp_path / "fork")]) == 0
+    capsys.readouterr()
+    assert main(["--config", str(p), "restore", "--table", "region",
+                 "--version", str(v0)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["restored_to"] == v0
+
+    restored = {r["r_regionkey"]: r["r_name"] for r in table.read().collect()}
+    assert len(restored) == 5 and restored[0] != "RENAMED"
+    fork = {r["r_regionkey"]: r["r_name"]
+            for r in ParquetTable(spark, str(tmp_path / "fork")).read().collect()}
+    assert len(fork) == 4 and fork[0] == "RENAMED"

@@ -1,0 +1,308 @@
+"""Store operations: restore (rollback-as-commit), clone, change feed.
+
+Scale contracts pinned here:
+- restore is O(diff files): copies only files the head dropped, never
+  rewrites data, and the rollback itself is time-travel-readable;
+- restore cannot be bitten by remove-list GC (re-materialized files get
+  fresh pool identities, so no old remove-list names them);
+- clone is a fully independent table: source GC/vacuum/commits never
+  reach it, O(files) byte copies + one checkpoint entry;
+- changes() reads ONLY the files that differ between the two snapshots
+  and suppresses CoW carry-over rows, so a small merge on a huge table
+  yields a small change feed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from synch_spark.config import Engine, TableSpec
+from synch_spark.operators.cdc_apply import apply_cdc_batch
+from synch_spark.sources.table import ParquetTable
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from synch_spark.session import get_spark
+
+    return get_spark("test-store-ops", cpus=8)
+
+
+SPEC = TableSpec(schema="db", table="t", pk=("k",),
+                 engine=Engine.REPLACING_MERGE_TREE, partition_by=None)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "action string, k long, p string, v double, event_unixtime long"
+    ).withColumn("action_seq", F.lit(0)).withColumn("schema", F.lit("db")) \
+     .withColumn("table", F.lit("t"))
+
+
+def _clustered(spark, t, n=2000, files=20):
+    t.overwrite(
+        spark.range(n).select(F.col("id").alias("k"),
+                              (F.col("id") % 5).cast("string").alias("p"),
+                              F.col("id").cast("double").alias("v"))
+        .repartitionByRange(files, "k")
+    )
+
+
+def _state(t, version=None):
+    return {r["k"]: (r["p"], r["v"]) for r in t.read(version).collect()}
+
+
+# --- restore ---------------------------------------------------------------
+def test_restore_round_trips_state_and_stays_versioned(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    _clustered(spark, t)
+    v0 = t.current_version()
+    s0 = _state(t)
+    apply_cdc_batch(t, _events(spark, [("insert", 5, "px", -1.0, 10),
+                                       ("delete", 17, "px", 0.0, 10)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    apply_cdc_batch(t, _events(spark, [("insert", 2500, "nw", 9.0, 11)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    v2 = t.current_version()
+    s2 = _state(t)
+    assert s2 != s0
+
+    v3 = t.restore(v0)
+    assert v3 == v2 + 1 and t.current_version() == v3
+    assert _state(t) == s0, "restore must reproduce the old state exactly"
+    # the rollback is itself a version: the bad state stays time-travel
+    # readable, and writes continue from the restored state
+    assert _state(t, v2) == s2
+    apply_cdc_batch(t, _events(spark, [("insert", 1, "zz", 42.0, 12)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    assert _state(t)[1] == ("zz", 42.0)
+
+
+def test_restore_to_current_is_noop(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    _clustered(spark, t, n=100, files=2)
+    v = t.current_version()
+    assert t.restore(v) == v
+    assert t.current_version() == v
+
+
+def test_restore_is_o_diff_not_o_table(spark, tmp_path, monkeypatch):
+    """A merge rewrote 1-2 of ~20 files; rolling it back must copy only
+    the files the merge dropped — not the whole table."""
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    _clustered(spark, t)
+    v0 = t.current_version()
+    n_files = len(t.snapshot().files)
+    assert n_files >= 15
+    apply_cdc_batch(t, _events(spark, [("insert", 5, "px", -1.0, 10)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    diff = len(set(t.snapshot(v0).files) - set(t.snapshot().files))
+
+    copies = []
+    real = shutil.copy2
+
+    def counting(src, dst, **kw):
+        copies.append((src, dst))
+        return real(src, dst, **kw)
+
+    monkeypatch.setattr(shutil, "copy2", counting)
+    t.restore(v0)
+    data_copies = [d for _s, d in copies if "/_bloom/" not in d.replace(os.sep, "/")]
+    assert len(data_copies) == diff, (
+        f"restore copied {len(data_copies)} files for a {diff}-file diff "
+        f"on a {n_files}-file table"
+    )
+
+
+def test_restore_survives_remove_list_gc(spark, tmp_path):
+    """The GC-hazard regression: after a restore, enough later commits
+    land that every pre-restore version expires (their remove-lists get
+    replayed by _post_commit). The restored rows must still be readable
+    — fresh pool identities keep them off every old remove-list."""
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=2)
+    _clustered(spark, t, n=500, files=5)
+    v0 = t.current_version()
+    s0 = _state(t)
+    apply_cdc_batch(t, _events(spark, [("delete", 100, "a", 0.0, 10),
+                                       ("insert", 5, "px", -1.0, 10)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    t.restore(v0)
+    # push the merge and restore versions out of the retention window
+    for i in range(4):
+        apply_cdc_batch(
+            t, _events(spark, [("insert", 9000 + i, "gc", float(i), 20 + i)]),
+            SPEC, value_columns=["k", "p", "v"])
+    got = _state(t)
+    for k, pv in s0.items():
+        assert got[k] == pv, f"restored row {k} lost to remove-list GC"
+    # and every live file physically exists
+    for rel in t.snapshot().files:
+        assert os.path.exists(t._abs(rel)), f"live file {rel} GC'd"
+
+
+def test_restore_carries_bloom_sidecars(spark, tmp_path):
+    from synch_spark.sources import bloom as bloom_idx
+
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    _clustered(spark, t)
+    v0 = t.current_version()
+    bloom_idx.build_file_blooms(t, "k")
+    apply_cdc_batch(t, _events(spark, [("insert", 5, "px", -1.0, 10)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    t.restore(v0)
+    restored = [r for r in t.snapshot().files if "restore-" in r]
+    assert restored, "restore should have re-materialized the merged file"
+    for rel in restored:
+        assert os.path.exists(bloom_idx._sidecar(t.root, rel)), (
+            f"bloom sidecar not carried to restored identity {rel}"
+        )
+    # pruned lookup still works against the restored layout
+    got = {r["k"] for r in bloom_idx.point_lookup(t, "k", [5, 1999]).collect()}
+    assert got == {5, 1999}
+
+
+# --- clone -----------------------------------------------------------------
+def test_clone_is_equal_and_independent(spark, tmp_path):
+    src = ParquetTable(spark, str(tmp_path / "src"), retain=2)
+    _clustered(spark, src, n=400, files=4)
+    s0 = _state(src)
+    dup = src.clone(str(tmp_path / "dup"))
+    assert dup.current_version() == 0
+    assert _state(dup) == s0
+
+    # source keeps moving: merges + retention GC physically delete the
+    # files the clone was cut from — the clone must not care
+    for i in range(5):
+        apply_cdc_batch(
+            src, _events(spark, [("delete", i, "a", 0.0, 10 + i),
+                                 ("insert", 5000 + i, "nw", 1.0, 10 + i)]),
+            SPEC, value_columns=["k", "p", "v"])
+    assert _state(src) != s0
+    assert _state(dup) == s0, "source GC reached into the clone"
+    # and the clone is writable without disturbing the source
+    apply_cdc_batch(dup, _events(spark, [("insert", 7, "cl", 7.0, 99)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    assert _state(dup)[7] == ("cl", 7.0)
+    assert _state(src)[7] != ("cl", 7.0)
+
+
+def test_clone_refuses_existing_table(spark, tmp_path):
+    src = ParquetTable(spark, str(tmp_path / "src"))
+    _clustered(spark, src, n=50, files=1)
+    dst = ParquetTable(spark, str(tmp_path / "dst"))
+    _clustered(spark, dst, n=10, files=1)
+    with pytest.raises(FileExistsError):
+        src.clone(str(tmp_path / "dst"))
+
+
+def test_clone_carries_schema_doc_and_stats(spark, tmp_path):
+    """Metadata-only DDL (rename) made the logical schema diverge from
+    the physical files; the clone must read through the same document.
+    Manifest stats and blooms ride along, so pruning works unrebuilt."""
+    from synch_spark.ddl import parse_alter
+    from synch_spark.sources import bloom as bloom_idx
+    from synch_spark.sources import schema_evolution as se
+    from synch_spark.sources.manifest import refresh_manifest
+
+    src = ParquetTable(spark, str(tmp_path / "src"))
+    _clustered(spark, src, n=300, files=3)
+    refresh_manifest(src, "k")
+    bloom_idx.build_file_blooms(src, "k")
+    ts = se.TableSchema.from_struct(src.read().schema)
+    evolved, reasons = se.evolve_schema(
+        ts, parse_alter("alter table db.t change column v val double"))
+    assert reasons == []
+    src.commit_schema(evolved)
+    assert "val" in src.read().columns
+
+    dup = src.clone(str(tmp_path / "dup"))
+    assert "val" in dup.read().columns, "clone lost the schema document"
+    snap = dup.snapshot()
+    assert any(s for s in snap.files.values()), "clone dropped per-file stats"
+    got = {r["k"] for r in bloom_idx.point_lookup(dup, "k", [7]).collect()}
+    assert got == {7}
+
+
+# --- change feed -----------------------------------------------------------
+def test_changes_classifies_insert_update_delete(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    _clustered(spark, t, n=1000, files=10)
+    v0 = t.current_version()
+    apply_cdc_batch(t, _events(spark, [("insert", 5, "px", -1.0, 10),
+                                       ("delete", 700, "a", 0.0, 10),
+                                       ("insert", 5000, "nw", 9.0, 10)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    out = t.changes(v0, pk="k")
+    rows = {(r["k"], r["_change_type"]): (r["p"], r["v"])
+            for r in out.collect()}
+    assert rows[(5000, "insert")] == ("nw", 9.0)
+    assert rows[(700, "delete")] == ("0", 700.0)
+    assert rows[(5, "update_preimage")] == ("0", 5.0)
+    assert rows[(5, "update_postimage")] == ("px", -1.0)
+    assert len(rows) == 4, (
+        f"CoW carry-over rows leaked into the feed: {sorted(rows)[:10]}"
+    )
+
+
+def test_changes_reads_only_diff_files(spark, tmp_path):
+    """The scale contract: a 1-file merge on a 20-file table must plan a
+    scan over the diff files only, never the full snapshot."""
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    _clustered(spark, t)
+    v0 = t.current_version()
+    n_files = len(t.snapshot().files)
+    apply_cdc_batch(t, _events(spark, [("insert", 5, "px", -1.0, 10)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    touched = {os.path.basename(r)
+               for r in set(t.snapshot().files) ^ set(t.snapshot(v0).files)}
+    assert 0 < len(touched) < n_files // 2
+    scanned = {os.path.basename(p)
+               for p in t.changes(v0, pk="k").inputFiles()}
+    assert scanned, "changes() plans at least the diff files"
+    assert scanned <= touched, (
+        f"changes() scans files outside the {len(touched)}-file diff "
+        f"(table has {n_files} files): {sorted(scanned - touched)[:5]}"
+    )
+
+
+def test_changes_no_pk_multiset(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b")], "k long, v string"))
+    v0 = t.current_version()
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    got = sorted((r["k"], r["v"], r["_change_type"])
+                 for r in t.changes(v0).collect())
+    assert got == [(2, "b", "delete"), (3, "c", "insert")], got
+
+
+def test_changes_per_commit_stamps_versions(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=5)
+    _clustered(spark, t, n=200, files=2)
+    v0 = t.current_version()
+    apply_cdc_batch(t, _events(spark, [("insert", 7, "x", -7.0, 10)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    apply_cdc_batch(t, _events(spark, [("delete", 7, "x", 0.0, 11)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    rows = [(r["k"], r["_change_type"], r["_commit_version"])
+            for r in t.changes_per_commit(v0, pk="k").collect()]
+    by_commit = {}
+    for k, ct, cv in rows:
+        by_commit.setdefault(cv, set()).add((k, ct))
+    assert by_commit[v0 + 1] == {(7, "update_preimage"),
+                                 (7, "update_postimage")}
+    assert by_commit[v0 + 2] == {(7, "delete")}
+
+
+def test_changes_rejects_inverted_range(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    _clustered(spark, t, n=50, files=1)
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0)],
+                                      "k long, p string, v double"))
+    with pytest.raises(ValueError):
+        t.changes(t.current_version(), t.current_version() - 1)
