@@ -2095,6 +2095,65 @@ GROUP BY version_idx ORDER BY version_idx
 """
 
 
+def q121_change_feed(spark, sf_dir):
+    """Row-level change feed (`ParquetTable.changes`) on the GRADED
+    surface: over q117's scratch table (three CDC merge commits), diff
+    version 0 against version 2 keyed on the pk and report every row a
+    downstream consumer would apply — insert / delete /
+    update_preimage / update_postimage — with CoW carry-over rows
+    suppressed. The oracle reconstructs both states from the event
+    history (q117's window CTE) and classifies via a null-safe FULL
+    OUTER JOIN, so the whole feed — file-diff selection, image
+    comparison, pair emission — is hash-gated per row, not just
+    unit-tested. The reference is a one-way feed INTO the target
+    (/root/reference/synch/replication/continuous.py); this makes the
+    stored table itself a change SOURCE, so at 100 TB an incremental
+    consumer reads O(changed files), never the table."""
+    table, versions = _tt_audit_table(spark, sf_dir)
+    feed = table.changes(versions[0], versions[2], pk="user_id")
+    return feed.select(
+        "user_id",
+        F.col("value").cast(DEC).cast("double").alias("value"),
+        F.col("_change_type").alias("change_type"),
+    ).orderBy("user_id", "change_type")
+
+
+Q121_SQL = """
+WITH b AS (
+  SELECT user_id, value, ts, event_id, event_type,
+         event_id % 3 AS batch
+  FROM events WHERE event_id < 6000),
+ranked AS (
+  SELECT k.version_idx, user_id, value, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY k.version_idx, user_id
+           ORDER BY batch DESC, ts DESC, event_id DESC) AS rn
+  FROM b JOIN (VALUES (0), (2)) AS k(version_idx) ON b.batch <= k.version_idx),
+s0 AS (SELECT user_id, value FROM ranked
+       WHERE version_idx = 0 AND rn = 1 AND event_type <> 'error'),
+s2 AS (SELECT user_id, value FROM ranked
+       WHERE version_idx = 2 AND rn = 1 AND event_type <> 'error'),
+j AS (
+  SELECT s0.user_id AS u0, s0.value AS v0, s2.user_id AS u2, s2.value AS v2
+  FROM s0 FULL OUTER JOIN s2 ON s0.user_id = s2.user_id)
+SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+       change_type
+FROM (
+  SELECT u2 AS user_id, v2 AS value, 'insert' AS change_type
+  FROM j WHERE u0 IS NULL
+  UNION ALL
+  SELECT u0, v0, 'delete' FROM j WHERE u2 IS NULL
+  UNION ALL
+  SELECT u0, v0, 'update_preimage' FROM j
+  WHERE u0 IS NOT NULL AND u2 IS NOT NULL AND v0 IS DISTINCT FROM v2
+  UNION ALL
+  SELECT u2, v2, 'update_postimage' FROM j
+  WHERE u0 IS NOT NULL AND u2 IS NOT NULL AND v0 IS DISTINCT FROM v2
+)
+ORDER BY user_id, change_type
+"""
+
+
 # --- Debezium envelope decode, oracle-gated -------------------------------
 def q109_debezium_decode(spark, sf_dir):
     """`events.debezium_to_raw` on the graded surface: synthesize the
@@ -2342,6 +2401,7 @@ DATAOPS_QUERIES = {
     "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
     "q108_point_lookup_pruned": (q108_point_lookup_pruned, Q108_SQL),
     "q117_time_travel_audit": (q117_time_travel_audit, Q117_SQL),
+    "q121_change_feed": (q121_change_feed, Q121_SQL),
     "q109_debezium_decode": (q109_debezium_decode, Q109_SQL),
     "q110_stratified_sample": (q110_stratified_sample, Q110_SQL),
     "q111_debezium_precise_types": (q111_debezium_precise_types, Q111_SQL),
