@@ -695,7 +695,10 @@ def cmd_mv(args) -> int:
     """Materialized-view lifecycle: `mv create` registers the spec and
     builds the state from the current table snapshot; `mv refresh`
     rebuilds from the snapshot (the consume loop keeps it incremental —
-    this is the manual anti-entropy path); `mv read` prints the state.
+    this is the manual anti-entropy path); `mv sync` catches the view
+    up incrementally from the TABLE's change feed (for views that never
+    see the event stream; O(changed files), version-checkpointed);
+    `mv read` prints the state.
     Views live under `<warehouse>/_mv/<name>` next to the CDC tables.
     With `--dim-source/--dim-key/--dim-group`, `create` registers an
     aggregate-over-join view (JoinMaterializedView): `--group-by` then
@@ -740,10 +743,32 @@ def cmd_mv(args) -> int:
             )
     else:
         view = load_view(spark, root)
-    if args.action in ("create", "refresh"):
+    if args.action in ("create", "refresh", "sync"):
         schema, table = view.source.split(".", 1)
         base = ParquetTable(spark, f"{warehouse}/{schema}/{table}")
-        if base.exists:
+        if args.action == "sync":
+            if isinstance(view, JoinMaterializedView):
+                print("mv sync: join MVs refresh in the consume loop",
+                      file=sys.stderr)
+                return 2
+            if not base.exists:
+                print(f"source table {view.source} not found", file=sys.stderr)
+                return 1
+            cfg = config_from_dict(raw)
+            pk = None
+            for _n, spec in cfg.tables.items():
+                if f"{spec.schema}.{spec.table}" == view.source:
+                    pk = spec.pk
+                    break
+            if not pk:
+                print(f"mv sync: no configured pk for {view.source}",
+                      file=sys.stderr)
+                return 2
+            cfg_retain = spec.retain
+            base = ParquetTable(spark, f"{warehouse}/{schema}/{table}",
+                                retain=cfg_retain)
+            view.refresh_from_changes(base, pk)
+        elif base.exists:
             view.full_build(base.read())
         elif args.action == "refresh":
             print(f"source table {view.source} not found", file=sys.stderr)
@@ -895,7 +920,7 @@ def main(argv=None) -> int:
     q.add_argument("--id-col", default="doc_id")
     q.set_defaults(fn=cmd_quality)
     m = sub.add_parser("mv", help="incremental materialized view lifecycle")
-    m.add_argument("action", choices=["create", "refresh", "read"])
+    m.add_argument("action", choices=["create", "refresh", "sync", "read"])
     m.add_argument("--name", required=True)
     m.add_argument("--source", help="schema.table (create only)")
     m.add_argument("--group-by", help="comma-separated group columns (create only)")

@@ -241,6 +241,95 @@ class MaterializedView:
         )
         self.table.overwrite(built)
 
+    # -- change-feed-driven maintenance ---------------------------------------
+    SYNC_FILE = "_mv_synced.json"
+
+    def _sync_doc(self) -> dict | None:
+        import json
+        import os
+
+        path = os.path.join(self.root, self.SYNC_FILE)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _last_synced(self) -> int | None:
+        """Source version the state provably reflects. The intent doc
+        records {prev, pending, mv_expected} BEFORE the state overwrite;
+        the overwrite landing (mv version >= mv_expected) is what
+        promotes pending -> synced. A crash between intent and overwrite
+        therefore re-reads from prev — the feed is re-applied, never
+        double-applied, because the state never advanced."""
+        doc = self._sync_doc()
+        if doc is None:
+            return None
+        if self.table.exists and self.table.current_version() >= doc["mv_expected"]:
+            return doc["pending"]
+        return doc["prev"]
+
+    def _write_sync(self, prev, pending, mv_expected) -> None:
+        import json
+        import os
+        import uuid
+
+        path = os.path.join(self.root, self.SYNC_FILE)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"prev": prev, "pending": pending,
+                       "mv_expected": mv_expected}, f)
+        os.replace(tmp, path)
+
+    def refresh_from_changes(self, source_table, pk) -> int:
+        """Catch the view up to the source table's CURRENT version by
+        consuming its row-level change feed (``ParquetTable.changes``) —
+        for views that never see the event stream: built after the fact,
+        maintained by another team, or fed across a storage boundary.
+        The reference has no analog; downstream of its ClickHouse target
+        everything re-scans.
+
+        Cost per sync is O(files changed since the last sync) + one
+        state merge — never a base-table scan (except the min/max/HLL
+        delete-recompute, which stays semi-join-pruned to the affected
+        groups). Exactly-once across crashes via a two-phase version
+        checkpoint: an intent file written before the state commit, the
+        state commit itself doing the promotion (see ``_last_synced``).
+        A consumer that lags past the source's retention window can't
+        replay the missed feed — it falls back to ``full_build`` (the
+        documented contract of bounded retention; same as a Kafka
+        consumer off the end of the log).
+
+        Single-maintainer contract like every other refresh path: two
+        concurrent syncs of the SAME view race benignly on the intent
+        file but waste work; serialize them."""
+        cur = source_table.current_version()
+        last = self._last_synced()
+        mv_v = self.table.current_version() if self.table.exists else -1
+        if last is not None and last == cur:
+            return cur
+        if last is None:
+            self._write_sync(None, cur, mv_v + 1)
+            self.full_build(source_table.read())
+            return cur
+        try:
+            feed = source_table.changes(last, cur, pk=pk)
+        except FileNotFoundError:
+            # lagged past the source's retention window: the feed for
+            # (last, cur] is gone — rebuild from the current snapshot
+            self._write_sync(last, cur, mv_v + 1)
+            self.full_build(source_table.read())
+            return cur
+        # the feed IS the engine IR: postimages insert, preimages delete
+        typed = feed.withColumn(
+            "action",
+            F.when(F.col("_change_type").isin("insert", "update_postimage"),
+                   F.lit("insert")).otherwise(F.lit("delete")),
+        ).drop("_change_type")
+        base = source_table.read() if self._recompute_cols() else None
+        self._write_sync(last, cur, mv_v + 1)
+        self.refresh_from_batch(typed, base=base)
+        return cur
+
     def read(self) -> DataFrame:
         state = self._state()
         if state is None:

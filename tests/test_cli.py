@@ -477,3 +477,51 @@ def test_cli_restore_clone_changes(tmp_path, capsys, spark):
     fork = {r["r_regionkey"]: r["r_name"]
             for r in ParquetTable(spark, str(tmp_path / "fork")).read().collect()}
     assert len(fork) == 4 and fork[0] == "RENAMED"
+
+
+def test_cli_mv_sync_from_change_feed(tmp_path, capsys, spark):
+    """`mv sync`: maintain a view from the table's change feed through
+    the CLI — create, mutate the source through produce/consume, sync,
+    and the view must reflect the post-mutation aggregate."""
+    from synch_spark.session import read_table
+
+    src_path = str(tmp_path / "src.parquet")
+    read_table(spark, "/root/testdata/sf0.001", "region").write.parquet(src_path)
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "region", "pk": ["r_regionkey"], "retain": 4}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "source_format": "parquet",
+            "sources": {"db.region": src_path},
+            "value_schemas": {
+                "db.region": spark.read.parquet(src_path).schema.jsonValue()
+            },
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    assert main(["--config", str(p), "mv", "create", "--name", "by_region",
+                 "--source", "db.region", "--group-by", "r_regionkey",
+                 "--sum", "r_regionkey"]) == 0
+    capsys.readouterr()
+
+    from pyspark.sql import functions as F
+
+    cur = spark.read.parquet(src_path)
+    cur.filter(F.col("r_regionkey") != 4).write.mode("overwrite").parquet(
+        src_path + ".v2")
+    cfg["spark"]["sources"]["db.region"] = src_path + ".v2"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    capsys.readouterr()
+    assert main(["--config", str(p), "mv", "sync", "--name", "by_region"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    keys = {int(r["r_regionkey"]) for r in out["mv"]["rows"]}
+    assert keys == {0, 1, 2, 3}, keys

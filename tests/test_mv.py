@@ -592,3 +592,122 @@ def test_join_mv_matches_replay_join_aggregate(
         for r in jmv.read(dim_df).collect()
     }
     assert got == truth
+
+
+# --- change-feed-driven maintenance (refresh_from_changes) -----------------
+def _cdc_table(spark, root, retain=4):
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.sources.table import ParquetTable
+
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    t = ParquetTable(spark, root, retain=retain)
+    t.overwrite(
+        spark.range(200).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("g"),
+            F.col("id").cast("double").alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    return t, spec
+
+
+def _apply(spark, t, spec, rows):
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+
+    batch = spark.createDataFrame(
+        rows, "action string, k long, g string, v double, event_unixtime long"
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")).withColumn("table", F.lit("t"))
+    apply_cdc_batch(t, batch, spec, value_columns=["k", "g", "v"])
+
+
+def _truth(t):
+    return {
+        r["g"]: (r["n"], float(r["v_sum"]))
+        for r in t.read().groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("v_sum"),
+        ).collect()
+    }
+
+
+def test_mv_sync_from_change_feed_matches_truth(spark, tmp_path):
+    """MV built once, then maintained purely from the TABLE's change
+    feed (never seeing the event stream): after every sync the state
+    equals a fresh aggregate over the current table."""
+    t, spec = _cdc_table(spark, str(tmp_path / "t"))
+    view = mv.MaterializedView.create(
+        spark, str(tmp_path / "mv"), "db.t", ["g"], ["v"])
+    v = view.refresh_from_changes(t, pk="k")
+    assert v == t.current_version()
+    got = {r["g"]: (r["n"], float(r["v_sum"])) for r in view.read().collect()}
+    assert got == _truth(t)
+
+    _apply(spark, t, spec, [("insert", 5, "9", -100.0, 10),   # group move 1->9
+                            ("delete", 8, "0", 0.0, 10),
+                            ("insert", 1000, "9", 50.0, 10)])
+    _apply(spark, t, spec, [("delete", 1000, "9", 0.0, 11)])
+    view.refresh_from_changes(t, pk="k")
+    got = {r["g"]: (r["n"], float(r["v_sum"])) for r in view.read().collect()}
+    assert got == _truth(t)
+    # idempotent no-op when already current: state version unchanged
+    mv_v = view.table.current_version()
+    assert view.refresh_from_changes(t, pk="k") == t.current_version()
+    assert view.table.current_version() == mv_v
+
+
+def test_mv_sync_crash_before_state_commit_replays_not_doubles(spark, tmp_path, monkeypatch):
+    """Crash AFTER the intent write but BEFORE the state commit: the
+    re-run must re-apply the same feed once — never double-fold it."""
+    t, spec = _cdc_table(spark, str(tmp_path / "t"))
+    view = mv.MaterializedView.create(
+        spark, str(tmp_path / "mv"), "db.t", ["g"], ["v"])
+    view.refresh_from_changes(t, pk="k")
+    _apply(spark, t, spec, [("insert", 7, "9", 1.0, 10)])
+
+    orig = view.refresh_from_batch
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash between intent and state commit")
+
+    monkeypatch.setattr(view, "refresh_from_batch", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        view.refresh_from_changes(t, pk="k")
+    monkeypatch.setattr(view, "refresh_from_batch", orig)
+
+    view.refresh_from_changes(t, pk="k")
+    got = {r["g"]: (r["n"], float(r["v_sum"])) for r in view.read().collect()}
+    assert got == _truth(t)
+
+
+def test_mv_sync_past_retention_falls_back_to_full_build(spark, tmp_path):
+    """A consumer that lags past the source's retention window can't
+    replay the feed — sync must rebuild from the snapshot, and the
+    result must still match truth."""
+    t, spec = _cdc_table(spark, str(tmp_path / "t"), retain=2)
+    view = mv.MaterializedView.create(
+        spark, str(tmp_path / "mv"), "db.t", ["g"], ["v"])
+    view.refresh_from_changes(t, pk="k")
+    for i in range(4):  # push the synced version out of the window
+        _apply(spark, t, spec, [("insert", 5000 + i, "9", float(i), 10 + i)])
+    view.refresh_from_changes(t, pk="k")
+    got = {r["g"]: (r["n"], float(r["v_sum"])) for r in view.read().collect()}
+    assert got == _truth(t)
+
+
+def test_mv_sync_minmax_delete_recomputes_from_base(spark, tmp_path):
+    """min/max columns through the change-feed path: a delete of the
+    group max triggers the semi-join-pruned recompute (sync passes the
+    post-apply base automatically)."""
+    t, spec = _cdc_table(spark, str(tmp_path / "t"))
+    view = mv.MaterializedView.create(
+        spark, str(tmp_path / "mv"), "db.t", ["g"], ["v"], minmax_cols=["v"])
+    view.refresh_from_changes(t, pk="k")
+    # k=199 is the max of group "3" (199 % 4 == 3); delete it
+    _apply(spark, t, spec, [("delete", 199, "3", 0.0, 10)])
+    view.refresh_from_changes(t, pk="k")
+    got = {r["g"]: (r["v_min"], r["v_max"]) for r in view.read().collect()}
+    assert got["3"] == (3.0, 195.0)
