@@ -151,6 +151,120 @@ class DedupIndex:
         """Append a new batch's signatures+buckets (call after admitting)."""
         self._write(self._sig(df, text_col, id_col), overwrite=False)
 
+    def remove(self, ids: DataFrame, id_col: str = "doc_id") -> None:
+        """Un-index documents by id (retractions, takedowns, CDC
+        deletes): drop their rows from BOTH stores. A doc's rows are
+        enumerable without reading anything — (id × seeds) in the
+        signature store, (id × bands) in the bucket store — so the
+        deletes expand deterministically and the CDC merge machinery
+        rewrites only the files whose stats intersect the ids."""
+        feed = ids.select(F.col(id_col),
+                          F.lit("delete").alias("_change_type"))
+        self.apply_changes(feed, text_col=None, id_col=id_col)
+
+    def apply_changes(self, feed: DataFrame, text_col: str | None = "text",
+                      id_col: str = "doc_id") -> None:
+        """Apply a table change feed (``ParquetTable.changes`` rows with
+        ``_change_type``) to the index: postimages re-shingle and
+        replace their (id, seed)/(id, band) rows, deletes drop them.
+        One merge commit per store; each apply is an idempotent pk
+        merge, so at-least-once replay converges (sync_from relies on
+        this — a crash between the two commits or before the cursor
+        write just re-applies)."""
+        from synch_spark.config import Engine, TableSpec
+        from synch_spark.operators.cdc_apply import apply_cdc_batch
+
+        if feed.isEmpty():
+            return  # a no-change feed must not trigger a fallback rewrite
+        posts = feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage"))
+        dels = feed.filter(F.col("_change_type") == "delete").select(
+            F.col(id_col).alias("id")).distinct()
+        sig_ins = (self._sig(posts, text_col, id_col)
+                   if text_col is not None else None)
+        seeds = self.spark.range(self.num_hashes).select(
+            F.col("id").cast("int").alias("seed"))
+        bands = self.spark.range(self.bands).select(
+            F.col("id").cast("int").alias("band"))
+
+        def _events(ins, del_expanded, cols):
+            parts = []
+            if ins is not None:
+                parts.append(ins.select(F.lit("insert").alias("action"), *cols))
+            parts.append(del_expanded.select(
+                F.lit("delete").alias("action"), *cols))
+            ev = parts[0]
+            for p in parts[1:]:
+                ev = ev.unionByName(p)
+            return (ev.withColumn("event_unixtime", F.lit(0).cast("long"))
+                      .withColumn("action_seq", F.lit(0))
+                      .withColumn("schema", F.lit("_idx"))
+                      .withColumn("table", F.lit("dedup")))
+
+        if sig_ins is not None:
+            sig_ins = sig_ins.persist()
+        try:
+            sig_del = dels.crossJoin(F.broadcast(seeds)).withColumn(
+                "h", F.lit(None).cast("string"))
+            spec_sig = TableSpec(schema="_idx", table="signatures",
+                                 pk=("id", "seed"),
+                                 engine=Engine.REPLACING_MERGE_TREE)
+            apply_cdc_batch(self.signatures,
+                            _events(sig_ins, sig_del, ["id", "seed", "h"]),
+                            spec_sig, value_columns=["id", "seed", "h"])
+            buck_ins = (buckets_of_signatures(sig_ins, self.num_hashes,
+                                              self.bands)
+                        if sig_ins is not None else None)
+            buck_del = dels.crossJoin(F.broadcast(bands)).withColumn(
+                "bucket", F.lit(None).cast("string"))
+            buck_cols = ["id", "band", "bucket"]
+            if buck_ins is not None:
+                buck_ins = buck_ins.select(*buck_cols)
+            spec_buck = TableSpec(schema="_idx", table="buckets",
+                                  pk=("id", "band"),
+                                  engine=Engine.REPLACING_MERGE_TREE,
+                                  partition_by="band")
+            apply_cdc_batch(self.table, _events(buck_ins, buck_del, buck_cols),
+                            spec_buck, value_columns=buck_cols)
+        finally:
+            if sig_ins is not None:
+                sig_ins.unpersist()
+
+    def sync_from(self, source_table, pk: str = "doc_id",
+                  text_col: str = "text", id_col: str = "doc_id") -> int:
+        """Keep the index caught up with a CDC-maintained document table
+        by consuming its change feed — O(changed files) per sync,
+        cursor checkpointed after the apply (idempotent merges make
+        replay safe). Lagging past the source's retention window falls
+        back to a full build()."""
+        import json
+        import os
+        import uuid
+
+        cur = source_table.current_version()
+        path = os.path.join(self.table.root, os.pardir, "_feed_cursor.json")
+        path = os.path.normpath(path)
+        last = None
+        if os.path.exists(path):
+            with open(path) as f:
+                last = json.load(f)["version"]
+        if last == cur:
+            return cur
+        if last is None:
+            self.build(source_table.read(), text_col=text_col, id_col=id_col)
+        else:
+            try:
+                feed = source_table.changes(last, cur, pk=pk)
+                self.apply_changes(feed, text_col=text_col, id_col=id_col)
+            except FileNotFoundError:
+                self.build(source_table.read(), text_col=text_col,
+                           id_col=id_col)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"version": cur}, f)
+        os.replace(tmp, path)
+        return cur
+
     def estimate_jaccard(self, pairs: DataFrame, extra_sig: DataFrame | None = None) -> DataFrame:
         """(new_id, dup_of, est_jaccard) from signature agreement: the
         fraction of the k minhashes two documents share is an unbiased

@@ -89,6 +89,7 @@ class VectorIndex:
 
     def __init__(self, spark: SparkSession, root: str, num_centroids: int = 16):
         self.spark = spark
+        self.root = root
         self.centroids = ParquetTable(spark, f"{root}/centroids")
         self.assignments = ParquetTable(spark, f"{root}/assignments")
         self.num_centroids = num_centroids
@@ -120,6 +121,124 @@ class VectorIndex:
         centroids and append to the affected buckets only. Centroid
         drift is handled by periodic build() (the compaction analog)."""
         self._append_assigned(batch, vec_col, id_col, overwrite=False)
+
+    def remove(self, ids: DataFrame, id_col: str = "vec_id") -> None:
+        """Drop vectors from the index by id — the missing half of
+        incremental maintenance (add() covers inserts; an update is one
+        apply_changes postimage). Routed through the CDC merge machinery
+        as a delete-only batch, so only bucket files whose footer stats
+        intersect a deleted id are rewritten — O(intersecting files),
+        never an index rebuild."""
+        feed = ids.select(
+            F.col(id_col),
+            F.lit("delete").alias("_change_type"),
+        )
+        self.apply_changes(feed, vec_col=None, id_col=id_col)
+
+    def apply_changes(self, feed: DataFrame, vec_col: str | None = "embedding",
+                      id_col: str = "vec_id") -> None:
+        """Apply a table change feed (``ParquetTable.changes`` rows with
+        ``_change_type``) to the index in ONE atomic merge commit:
+        postimages (re)assign + quantize against the EXISTING centroids
+        (drift is compaction's problem — periodic build()), deletes drop
+        by id; update preimages are implicit (the pk merge replaces the
+        old assignment even when the vector moved buckets — the
+        classifier probes the target side by pk, not partition).
+        pk-merge semantics make re-applying the same feed a no-op, so
+        at-least-once delivery converges; sync_from builds exactly-once
+        on top of that with just a cursor file."""
+        from synch_spark.config import Engine, TableSpec
+        from synch_spark.operators.cdc_apply import apply_cdc_batch
+
+        if not self.centroids.exists:
+            raise FileNotFoundError(
+                f"VectorIndex at {self.root}: build() before apply_changes()"
+            )
+        if feed.isEmpty():
+            return  # a no-change feed must not trigger a fallback rewrite
+        posts = feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage"))
+        ins = posts.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("v")) if vec_col else None
+        cents = self.centroids.read()
+        if ins is not None:
+            assigned = ivf_assign(ins, cents, "v", "id", nprobe=1).select(
+                "id", "v", "_cid")
+            assigned = quantize_embeddings(assigned, "v", "_q", "_qs").drop("_qs")
+            ins_ev = assigned.select(F.lit("insert").alias("action"),
+                                     "id", "v", "_cid", "_q")
+        else:
+            ins_ev = None
+        if ins_ev is not None:
+            schema = ins_ev.schema
+        elif self.assignments.exists:
+            schema = self.assignments.read().schema
+        else:
+            return  # delete-only feed against a never-written index: no-op
+        vt = schema["v"].dataType
+        qt = schema["_q"].dataType
+        ct = schema["_cid"].dataType
+        del_ev = (
+            feed.filter(F.col("_change_type") == "delete")
+            .select(F.lit("delete").alias("action"),
+                    F.col(id_col).alias("id"),
+                    F.lit(None).cast(vt).alias("v"),
+                    F.lit(None).cast(ct).alias("_cid"),
+                    F.lit(None).cast(qt).alias("_q"))
+        )
+        ev = del_ev if ins_ev is None else ins_ev.unionByName(del_ev)
+        ev = (ev.withColumn("event_unixtime", F.lit(0).cast("long"))
+                .withColumn("action_seq", F.lit(0))
+                .withColumn("schema", F.lit("_idx"))
+                .withColumn("table", F.lit("assignments")))
+        spec = TableSpec(schema="_idx", table="assignments", pk=("id",),
+                         engine=Engine.REPLACING_MERGE_TREE,
+                         partition_by="_cid")
+        apply_cdc_batch(self.assignments, ev, spec,
+                        value_columns=["id", "v", "_cid", "_q"])
+
+    def _cursor_path(self) -> str:
+        import os
+
+        return os.path.join(self.root, "_feed_cursor.json")
+
+    def sync_from(self, source_table, pk: str = "vec_id",
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> int:
+        """Keep the index caught up with a CDC-maintained source table by
+        consuming its change feed — O(changed files) per sync, one merge
+        commit, cursor checkpointed after the apply. Because the apply
+        is an idempotent pk merge, a crash between apply and cursor
+        write just replays the feed into the same state (no two-phase
+        protocol needed — contrast MaterializedView.refresh_from_changes
+        whose delta fold is NOT idempotent). Lagging past the source's
+        retention window falls back to a full build()."""
+        import json
+        import os
+
+        cur = source_table.current_version()
+        path = self._cursor_path()
+        last = None
+        if os.path.exists(path):
+            with open(path) as f:
+                last = json.load(f)["version"]
+        if last == cur:
+            return cur
+        if last is None:
+            self.build(source_table.read(), vec_col=vec_col, id_col=id_col)
+        else:
+            try:
+                feed = source_table.changes(last, cur, pk=pk)
+                self.apply_changes(feed, vec_col=vec_col, id_col=id_col)
+            except FileNotFoundError:
+                self.build(source_table.read(), vec_col=vec_col,
+                           id_col=id_col)
+        import uuid
+
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"version": cur}, f)
+        os.replace(tmp, path)
+        return cur
 
     def _append_assigned(self, df, vec_col, id_col, overwrite: bool) -> None:
         cents = self.centroids.read()

@@ -168,3 +168,83 @@ def test_leakage_safe_split_survives_missing_representative(spark):
     out = dedup.leakage_safe_split(docs.filter(F.col("doc_id") != 100), clusters)
     split = {r["doc_id"]: r["split"] for r in out.collect()}
     assert len({split[101], split[102]}) == 1, "members must still co-locate"
+
+
+def test_remove_unindexes_both_stores(spark, index):
+    """remove(): a taken-down doc stops matching its near-dup and its
+    rows leave BOTH stores; the remaining corpus is untouched."""
+    docs = spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_B), (3, DOC_C)], "doc_id long, text string")
+    index.build(docs)
+    probe = spark.createDataFrame([(10, DOC_A2)], "doc_id long, text string")
+    assert {(r["new_id"], r["dup_of"])
+            for r in index.check(probe).collect()} == {(10, 1)}
+
+    index.remove(spark.createDataFrame([(1,)], "doc_id long"))
+    assert index.check(probe).count() == 0, "removed doc still matches"
+    assert index.table.read().filter("id = 1").count() == 0
+    assert index.signatures.read().filter("id = 1").count() == 0
+    assert index.table.read().filter("id = 2").count() == index.bands
+    assert index.signatures.read().filter("id = 2").count() == index.num_hashes
+    # re-adding after removal re-admits (takedown is not a tombstone)
+    admitted = index.ingest(spark.createDataFrame(
+        [(1, DOC_A)], "doc_id long, text string"))
+    assert admitted.count() == 1
+
+
+def test_apply_changes_update_reshingles_and_is_idempotent(spark, index):
+    """An update postimage replaces the doc's signature and bucket rows
+    in place (same row counts, new content), and replaying the feed is
+    a no-op."""
+    docs = spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_B)], "doc_id long, text string")
+    index.build(docs)
+    n_sig = index.signatures.count()
+    n_buck = index.table.count()
+    feed = spark.createDataFrame(
+        [(1, DOC_C, "update_postimage")],
+        "doc_id long, text string, _change_type string")
+    index.apply_changes(feed)
+    index.apply_changes(feed)  # at-least-once replay
+    assert index.signatures.count() == n_sig
+    assert index.table.count() == n_buck
+    # doc 1 now matches DOC_C's near-identical text, not DOC_A's
+    probe_a = spark.createDataFrame([(10, DOC_A2)], "doc_id long, text string")
+    assert index.check(probe_a).count() == 0
+    probe_c = spark.createDataFrame([(11, DOC_C)], "doc_id long, text string")
+    assert {(r["new_id"], r["dup_of"])
+            for r in index.check(probe_c).collect()} == {(11, 1)}
+
+
+def test_sync_from_change_feed(spark, index, tmp_path):
+    """Index follows a CDC-maintained documents table end-to-end:
+    initial sync builds, a merge batch (delete + update) syncs
+    incrementally, a no-change sync commits nothing."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+    from synch_spark.sources.table import ParquetTable
+
+    spec = TableSpec(schema="db", table="docs", pk=("doc_id",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    t = ParquetTable(spark, str(tmp_path / "docs"), retain=4)
+    t.overwrite(spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_B), (3, DOC_C)], "doc_id long, text string"))
+    assert index.sync_from(t) == t.current_version()
+    probe = spark.createDataFrame([(10, DOC_A2)], "doc_id long, text string")
+    assert index.check(probe).count() == 1
+
+    batch = spark.createDataFrame(
+        [("delete", 1, None, 1), ("insert", 2, DOC_A, 2)],
+        "action string, doc_id long, text string, event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")).withColumn("table", F.lit("docs"))
+    apply_cdc_batch(t, batch, spec, value_columns=["doc_id", "text"])
+    index.sync_from(t)
+    got = {(r["new_id"], r["dup_of"]) for r in index.check(probe).collect()}
+    assert got == {(10, 2)}, "sync missed the delete or the update"
+    sv, bv = index.signatures.current_version(), index.table.current_version()
+    index.sync_from(t)  # no-op
+    assert (index.signatures.current_version(),
+            index.table.current_version()) == (sv, bv)

@@ -112,3 +112,86 @@ def test_search_reads_only_probed_buckets(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_cid" in plan
     assert pruned.select("_cid").distinct().count() <= 2
+
+
+def test_remove_drops_only_named_ids(spark, tmp_path):
+    """remove() is the delete half of incremental maintenance: the
+    named ids vanish from search and storage; everything else stays."""
+    emb = _emb(spark)
+    idx = VectorIndex(spark, str(tmp_path / "ivf"), num_centroids=8)
+    idx.build(emb)
+    n = idx.assignments.count()
+    gone = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    idx.remove(gone)
+    assert idx.assignments.count() == n - 10
+    probes = emb.filter(F.col("vec_id").isin(20, 21))
+    found = {r["neighbor_id"]
+             for r in idx.search(probes, k=50, nprobe=8).collect()}
+    assert not (found & set(range(10))), "removed ids still searchable"
+
+
+def test_apply_changes_update_moves_bucket_and_is_idempotent(spark, tmp_path):
+    """An update postimage replaces the old assignment even when the new
+    vector lands in a DIFFERENT bucket (no duplicate rows), and
+    re-applying the same feed is a no-op (at-least-once safety)."""
+    emb = _emb(spark)
+    idx = VectorIndex(spark, str(tmp_path / "ivf"), num_centroids=8)
+    idx.build(emb)
+    n = idx.assignments.count()
+    # move vec 7 onto vec 450's embedding: near-certain bucket change
+    target = emb.filter(F.col("vec_id") == 450).select(
+        F.lit(7).cast("long").alias("vec_id"), "embedding")
+    feed = target.withColumn("_change_type", F.lit("update_postimage"))
+    idx.apply_changes(feed)
+    assert idx.assignments.count() == n
+    assert idx.assignments.read().filter("id = 7").count() == 1
+    got = idx.assignments.read().filter("id = 7").select("_cid").collect()
+    want = idx.assignments.read().filter("id = 450").select("_cid").collect()
+    assert got[0]["_cid"] == want[0]["_cid"], "update did not re-bucket"
+    idx.apply_changes(feed)  # replay
+    assert idx.assignments.count() == n
+    assert idx.assignments.read().filter("id = 7").count() == 1
+    # the moved vector is now its target's nearest neighbor
+    probe = emb.filter(F.col("vec_id") == 450)
+    top = idx.search(probe, k=1, nprobe=8).collect()
+    assert top[0]["neighbor_id"] == 7
+
+
+def test_sync_from_change_feed(spark, tmp_path):
+    """Index follows a CDC-maintained table: build at v0 via sync, merge
+    deletes+updates into the table, sync again — the index reflects the
+    new state and the cursor makes the second sync incremental."""
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+    from synch_spark.sources.table import ParquetTable
+
+    emb = _emb(spark)
+    spec = TableSpec(schema="db", table="emb", pk=("vec_id",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    t.overwrite(emb.select("vec_id", "embedding").repartitionByRange(8, "vec_id"))
+
+    idx = VectorIndex(spark, str(tmp_path / "ivf"), num_centroids=8)
+    v = idx.sync_from(t, pk="vec_id")
+    assert v == t.current_version()
+    n = idx.assignments.count()
+
+    moved = emb.filter(F.col("vec_id") == 450).select("embedding").collect()[0][0]
+    batch = spark.createDataFrame(
+        [("delete", 3, None, 1), ("insert", 9, moved, 2)],
+        "action string, vec_id long, embedding array<float>, event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")).withColumn("table", F.lit("emb"))
+    apply_cdc_batch(t, batch, spec, value_columns=["vec_id", "embedding"])
+
+    v2 = idx.sync_from(t, pk="vec_id")
+    assert v2 == t.current_version() and v2 > v
+    assert idx.assignments.count() == n - 1
+    assert idx.assignments.read().filter("id = 3").count() == 0
+    probe = emb.filter(F.col("vec_id") == 450)
+    found = [r["neighbor_id"] for r in idx.search(probe, k=1, nprobe=8).collect()]
+    assert found == [9], "updated vector not reassigned by sync"
+    # no-op sync: no new index commit
+    iv = idx.assignments.current_version()
+    idx.sync_from(t, pk="vec_id")
+    assert idx.assignments.current_version() == iv
