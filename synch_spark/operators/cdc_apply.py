@@ -165,8 +165,15 @@ def _merge_cow(
         else current.limit(0)
     )
     kept = affected.join(F.broadcast(changed_keys), list(pk), "left_anti")
+    # coalesce to the rewrite's own width: without it the upsert side
+    # keeps its shuffle partitioning and a 2-file merge lands as ~32
+    # splinter files — small-file proliferation that compounds per
+    # micro-batch (and inflates every downstream change feed). One
+    # output task per rewritten input file keeps parallelism O(touched).
+    replacement = kept.unionByName(upserts.select(*current.columns)).coalesce(
+        max(1, len(candidates)))
     table.overwrite_cow(
-        kept.unionByName(upserts.select(*current.columns)), part, vals,
+        replacement, part, vals,
         file_links=links, expected_base=base,
     )
 
@@ -198,10 +205,11 @@ def _merge_cow_unpartitioned(table, current, changed_keys, upserts, spec,
     remove_rels = [
         os.path.relpath(p, table._data).replace(os.sep, "/") for p in candidates
     ]
-    table.overwrite_cow_files(
-        kept.unionByName(upserts.select(*current.columns)), remove_rels,
-        expected_base=base,
-    )
+    # one output task per rewritten file (see _merge_cow): a k-file
+    # merge must add O(k) files, not O(shuffle partitions) splinters
+    replacement = kept.unionByName(upserts.select(*current.columns)).coalesce(
+        max(1, len(candidates)))
+    table.overwrite_cow_files(replacement, remove_rels, expected_base=base)
     return True
 
 

@@ -357,3 +357,30 @@ def test_unpartitioned_merge_bloom_refines_overlapping_ranges(spark, tmp_path):
     assert len(carried) == 1, f"bloom did not refine: carried {carried}"
     assert t.read().filter("k = 500").collect()[0]["v"] == -1.0
     assert t.read().count() == 2000
+
+def test_merge_rewrite_adds_o_touched_files_not_splinters(spark, tmp_path):
+    """A merge rewriting k files must ADD O(k) files — not one splinter
+    per shuffle partition. Without the rewrite-width coalesce a 1-file
+    merge on a 64-file table added ~33 files per micro-batch, compounding
+    into small-file sprawl (and inflating every change feed's read set)."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by=None)
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=3)
+    t.overwrite(
+        spark.range(64_000).select(F.col("k" if False else "id").alias("k"),
+                                   F.lit("a").alias("p"),
+                                   F.col("id").cast("double").alias("v"))
+        .repartitionByRange(64, "k")
+    )
+    v0 = t.current_version()
+    # 2000 clustered keys -> 2-3 intersecting files
+    batch = _events(spark, [("insert", k, "px", -1.0, 10)
+                            for k in range(1000, 3000, 1)])
+    apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "v"])
+    added = set(t.snapshot().files) - set(t.snapshot(v0).files)
+    removed = set(t.snapshot(v0).files) - set(t.snapshot().files)
+    assert 1 <= len(removed) <= 4, sorted(removed)
+    assert len(added) <= len(removed) + 1, (
+        f"merge added {len(added)} files for a {len(removed)}-file rewrite"
+    )
+    assert t.read().filter("v = -1.0").count() == 2000

@@ -186,11 +186,93 @@ def binlog_decode_bench(n_files: int = 16, rows_per_file: int = 20_000) -> dict:
         spark.stop()
 
 
+def change_feed_bench(n_rows: int = 2_000_000, n_changed: int = 20_000,
+                      n_files: int = 64) -> dict:
+    """Measured change-feed cost on a big table after a small merge —
+    the consumer-side scale claim, quantified: producing the feed must
+    read O(files the merge touched), never the table.
+
+    Builds an ``n_rows`` pk-clustered table across ``n_files`` files,
+    merges one batch touching ``n_changed`` clustered keys, then times
+    ``changes(v0, pk)`` end-to-end and reports the rows/s of feed
+    production plus exactly how many of the table's files the plan
+    read (``inputFiles``) — the number that stays flat as the table
+    grows 1000x.
+
+    Run: python tools/bench_cdc_throughput.py feed [rows] [changed] [files]
+    """
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+    from synch_spark.session import get_spark
+    from synch_spark.sources.table import ParquetTable
+
+    spark = get_spark("change-feed-bench")
+    root = _tf.mkdtemp(prefix="synch-feed-bench-")
+    try:
+        spec = TableSpec(schema="db", table="t", pk=("id",),
+                         engine=Engine.REPLACING_MERGE_TREE)
+        table = ParquetTable(spark, os.path.join(root, "t"), retain=3)
+        table.overwrite(
+            spark.range(n_rows).select(
+                F.col("id"),
+                (F.col("id") % 97).cast("double").alias("amount"),
+                F.concat(F.lit("name-"), F.col("id")).alias("name"),
+            ).repartitionByRange(n_files, "id")
+        )
+        v0 = table.current_version()
+        total_files = len(table.snapshot().files)
+
+        # a clustered update run + a delete tail: the realistic merge
+        # shape (hot recent keys), touching a bounded key range
+        upd = spark.range(n_changed).select(
+            F.lit("db").alias("schema"), F.lit("t").alias("table"),
+            F.when(F.col("id") % 10 < 9, F.lit("insert"))
+            .otherwise(F.lit("delete")).alias("action"),
+            F.col("id").alias("id"),
+            F.lit(-1.0).alias("amount"),
+            F.concat(F.lit("upd-"), F.col("id")).alias("name"),
+            (F.lit(1_700_000_000_000_000) + F.col("id")).alias("event_unixtime"),
+            F.lit(0).alias("action_seq"),
+        )
+        apply_cdc_batch(table, upd, spec,
+                        value_columns=["id", "amount", "name"])
+
+        t0 = time.perf_counter()
+        feed = table.changes(v0, pk="id")
+        n_feed = feed.count()
+        wall = time.perf_counter() - t0
+        files_read = len(set(feed.inputFiles()))
+        out = {
+            "metric": "change_feed_rows_per_s",
+            "value": round(n_feed / wall, 1),
+            "feed_rows": n_feed,
+            "wall_s": round(wall, 2),
+            "table_rows": n_rows,
+            "table_files": total_files,
+            "files_read": files_read,
+        }
+        print(json.dumps(out))
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "binlog":
         binlog_decode_bench(
             int(sys.argv[2]) if len(sys.argv) > 2 else 16,
             int(sys.argv[3]) if len(sys.argv) > 3 else 20_000,
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "feed":
+        change_feed_bench(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 20_000,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 64,
         )
     else:
         main()
