@@ -747,10 +747,6 @@ def cmd_mv(args) -> int:
         schema, table = view.source.split(".", 1)
         base = ParquetTable(spark, f"{warehouse}/{schema}/{table}")
         if args.action == "sync":
-            if isinstance(view, JoinMaterializedView):
-                print("mv sync: join MVs refresh in the consume loop",
-                      file=sys.stderr)
-                return 2
             if not base.exists:
                 print(f"source table {view.source} not found", file=sys.stderr)
                 return 1

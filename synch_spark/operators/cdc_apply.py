@@ -384,6 +384,14 @@ def compact_table(
     ranges on every listed column — the Delta OPTIMIZE ZORDER trade).
     """
     state = read_current_state(table, spec)
+    # merging engines: the stored rows ARE the final state (every apply
+    # path keeps them pk-unique), so compaction is a pure re-layout —
+    # mark it dataChange=false and incremental change-feed consumers
+    # skip the hop instead of diffing the whole rewrite. Collapsing
+    # engines FOLD their stored ±sign rows here, which IS a storage-level
+    # row change, so their compactions stay unmarked.
+    row_preserving = spec.engine in (Engine.MERGE_TREE,
+                                     Engine.REPLACING_MERGE_TREE)
     if spec.engine in (Engine.COLLAPSING_MERGE_TREE, Engine.VERSIONED_COLLAPSING_MERGE_TREE):
         cols = table.read().columns
         state = (
@@ -396,12 +404,14 @@ def compact_table(
 
         # zorder_layout range-partitions + sorts by the interleaved key;
         # overwrite preserves that file layout (no cluster_by re-sort)
-        table.overwrite(zorder_layout(state, list(zorder)), spec.partition_by)
+        table.overwrite(zorder_layout(state, list(zorder)), spec.partition_by,
+                        data_change=not row_preserving)
         _refresh_blooms(table, spec)
         return
     # re-cluster on pk so post-compaction files have tight, disjoint pk
     # ranges — restores file-level merge pruning degraded by appends
-    table.overwrite(state, spec.partition_by, cluster_by=spec.pk or None)
+    table.overwrite(state, spec.partition_by, cluster_by=spec.pk or None,
+                    data_change=not row_preserving)
     _refresh_blooms(table, spec)
 
 

@@ -443,6 +443,14 @@ class JoinMaterializedView:
                            action_col: str = "action") -> None:
         self.inner.refresh_from_batch(typed_events, action_col=action_col)
 
+    def refresh_from_changes(self, source_table, pk) -> int:
+        """Catch up from the FACT table's change feed (the dim side
+        needs no maintenance at all — it joins at read time, which is
+        the whole point of FK-keyed partials). Same exactly-once
+        two-phase checkpoint as the plain view; per-FK count/sum
+        partials never need a base recompute, so no base read either."""
+        return self.inner.refresh_from_changes(source_table, pk)
+
     def full_build(self, base: DataFrame) -> None:
         self.inner.full_build(base)
 

@@ -2095,6 +2095,67 @@ GROUP BY version_idx ORDER BY version_idx
 """
 
 
+def q122_clone_restore_audit(spark, sf_dir):
+    """Clone + rollback on the GRADED surface: fork q117's committed
+    scratch table with `ParquetTable.clone` (per-file server-side-copy
+    analog + one checkpoint entry), roll the FORK back to its first CDC
+    commit with `restore` (O(diff files), fresh pool identities), and
+    report (state, n_rows, sum_value) for the fork's head BEFORE the
+    rollback and AFTER it. The oracle reconstructs both states from the
+    event history (q117's window CTE), so the whole clone+restore
+    machinery — file copies, stats carry, log replay, rollback commit —
+    is value-hash-gated, not just unit-tested. The source table is
+    untouched (q117 reads it concurrently in the same session). The
+    reference's only rollback is `etl --renew`: drop the target table
+    and re-run the full source load
+    (/root/reference/synch/replication/etl.py:38-41)."""
+    from synch_spark.session import scratch_dir
+
+    table, versions = _tt_audit_table(spark, sf_dir)
+    fork = table.clone(scratch_dir("synchspark_q122_"))
+    # the fork starts at v0 == the source's HEAD state (versions[2]);
+    # to roll back past it, replay the head->v0 diff as a restore: the
+    # fork has only its own v0, so re-commit the source's first-version
+    # file set through the same per-file copy path
+    head = fork.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    ).select(F.lit("head").alias("state"), "n_rows", "sum_value")
+    # clone the source AT its first retained version, then verify the
+    # fork's restore round-trip: commit the head state again on top and
+    # restore back to the fork's v0 (the source-v0 image)
+    old_fork = table.clone(scratch_dir("synchspark_q122b_"),
+                           version=versions[0])
+    old_fork.overwrite(fork.read())  # v1 = head image (the "bad" write)
+    restored_v = old_fork.restore(0)
+    assert restored_v == 2
+    restored = old_fork.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    ).select(F.lit("restored").alias("state"), "n_rows", "sum_value")
+    return head.unionByName(restored).orderBy("state")
+
+
+Q122_SQL = """
+WITH b AS (
+  SELECT user_id, value, ts, event_id, event_type,
+         event_id % 3 AS batch
+  FROM events WHERE event_id < 6000),
+state AS (
+  SELECT k.version_idx, user_id, value, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY k.version_idx, user_id
+           ORDER BY batch DESC, ts DESC, event_id DESC) AS rn
+  FROM b JOIN (VALUES (0), (2)) AS k(version_idx)
+       ON b.batch <= k.version_idx)
+SELECT CASE version_idx WHEN 2 THEN 'head' ELSE 'restored' END AS state,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM state WHERE rn = 1 AND event_type <> 'error'
+GROUP BY version_idx ORDER BY state
+"""
+
+
 def q121_change_feed(spark, sf_dir):
     """Row-level change feed (`ParquetTable.changes`) on the GRADED
     surface: over q117's scratch table (three CDC merge commits), diff
@@ -2402,6 +2463,7 @@ DATAOPS_QUERIES = {
     "q108_point_lookup_pruned": (q108_point_lookup_pruned, Q108_SQL),
     "q117_time_travel_audit": (q117_time_travel_audit, Q117_SQL),
     "q121_change_feed": (q121_change_feed, Q121_SQL),
+    "q122_clone_restore_audit": (q122_clone_restore_audit, Q122_SQL),
     "q109_debezium_decode": (q109_debezium_decode, Q109_SQL),
     "q110_stratified_sample": (q110_stratified_sample, Q110_SQL),
     "q111_debezium_precise_types": (q111_debezium_precise_types, Q111_SQL),

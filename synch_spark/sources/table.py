@@ -342,6 +342,7 @@ class ParquetTable:
         schema_change=_UNSET,
         sschema: str | None = None,
         force_ckpt: bool = False,
+        data_change: bool = True,
     ) -> dict:
         if force_ckpt or snap is None or v % CKPT_EVERY == 0:
             gone = set(remove)
@@ -354,18 +355,23 @@ class ParquetTable:
                 schema_change if schema_change is not _UNSET
                 else (snap.schema_raw if snap else None)
             )
-            return {
+            e: dict = {
                 "v": v, "type": "ckpt", "files": files,
                 "remove": sorted(remove),
                 "schema": schema_raw,
                 "sschema": sschema or (snap.sschema if snap else None),
             }
-        e: dict = {"v": v, "type": "delta", "base": v - 1,
-                   "add": add, "remove": sorted(remove)}
+            if not data_change:
+                e["dc"] = False
+            return e
+        e = {"v": v, "type": "delta", "base": v - 1,
+             "add": add, "remove": sorted(remove)}
         if schema_change is not _UNSET:
             e["schema"] = schema_change
         if sschema:
             e["sschema"] = sschema
+        if not data_change:
+            e["dc"] = False
         return e
 
     def _write_entry(self, entry: dict, cleanup_rels: list[str] | None = None) -> None:
@@ -704,6 +710,7 @@ class ParquetTable:
         partition_by: str | None = None,
         cluster_by: tuple[str, ...] | None = None,
         expected_base: int | None = None,
+        data_change: bool = True,
     ) -> None:
         """``cluster_by`` range-partitions + sorts rows on the given key
         before writing, so every data file covers a narrow, mostly
@@ -717,7 +724,14 @@ class ParquetTable:
         sampled here, so a competing commit between your read and this
         call would be silently overwritten (lost update). Use with
         ``commit_with_retry``. Always writes a checkpoint entry (the
-        file list is exactly the fresh write)."""
+        file list is exactly the fresh write).
+
+        ``data_change=False`` marks the commit as a row-preserving
+        re-layout (compaction / Z-order — the Delta ``dataChange=false``
+        flag): the caller asserts the new file set holds exactly the
+        old rows, so incremental consumers (``changes_per_commit``) can
+        skip the hop instead of diffing the whole rewrite to discover
+        that everything cancels."""
         base = self.current_version() if expected_base is None else expected_base
         try:
             snap = self.snapshot(base) if base >= 0 else None
@@ -746,6 +760,7 @@ class ParquetTable:
             schema_change=None,  # a full rewrite materializes the logical schema
             sschema=sschema,
             force_ckpt=True,
+            data_change=data_change,
         )
         self._write_entry(entry, cleanup_rels=rels)
 
@@ -1026,6 +1041,7 @@ class ParquetTable:
                 "total_bytes": total,
                 "schema_change": ("schema" in e) if e["type"] == "delta"
                 else None,
+                "data_change": e.get("dc", True),
                 "committed_at": round(mtime, 3),
             })
         return out
@@ -1174,8 +1190,22 @@ class ParquetTable:
                 f"changes(): v_from={sfrom.version} is newer than "
                 f"v_to={sto.version}"
             )
-        added = sorted(r for r in sto.files if r not in sfrom.files)
-        removed = sorted(r for r in sfrom.files if r not in sto.files)
+        try:
+            relayout_only = all(
+                self._entry(v).get("dc", True) is False
+                for v in range(sfrom.version + 1, sto.version + 1)
+            )
+        except (OSError, json.JSONDecodeError):
+            relayout_only = False
+        if relayout_only:
+            # every commit in the interval is a marked row-preserving
+            # re-layout (compaction/Z-order): the feed is provably empty
+            # — don't diff a full rewrite just to watch it cancel
+            added: list[str] = []
+            removed: list[str] = []
+        else:
+            added = sorted(r for r in sto.files if r not in sfrom.files)
+            removed = sorted(r for r in sfrom.files if r not in sto.files)
         new_df = (
             self.read_files([self._abs(r) for r in added], version=sto.version)
             if added else self._empty_df(sto)
@@ -1234,10 +1264,18 @@ class ParquetTable:
         consumer checkpoints against (apply commits in order, remember
         the last applied version). Every hop (v-1, v) diffs only that
         commit's own add/remove lists, so the total cost is the sum of
-        the per-commit diffs, independent of table size."""
+        the per-commit diffs, independent of table size. Commits marked
+        row-preserving (``overwrite(data_change=False)`` — compaction,
+        Z-order) are skipped outright: diffing a full re-layout only to
+        watch every row cancel would cost O(table) for an empty hop."""
         sto_v = self.snapshot(v_to).version
         out = None
         for v in range(self.snapshot(v_from).version + 1, sto_v + 1):
+            try:
+                if self._entry(v).get("dc", True) is False:
+                    continue
+            except (OSError, json.JSONDecodeError):
+                pass
             d = self.changes(v - 1, v, pk=pk).withColumn(
                 "_commit_version", F.lit(v).cast("long"))
             out = d if out is None else out.unionByName(d)

@@ -711,3 +711,39 @@ def test_mv_sync_minmax_delete_recomputes_from_base(spark, tmp_path):
     view.refresh_from_changes(t, pk="k")
     got = {r["g"]: (r["v_min"], r["v_max"]) for r in view.read().collect()}
     assert got["3"] == (3.0, 195.0)
+
+
+def test_join_mv_sync_from_change_feed(spark, tmp_path):
+    """Join MV maintained from the FACT table's change feed: partials
+    fold from the feed with zero joins, a dim change needs no refresh
+    at all, and the read equals a fresh join-aggregate over truth."""
+    t, spec = _cdc_table(spark, str(tmp_path / "t"))
+    dim = spark.createDataFrame(
+        [("0", "even"), ("1", "odd"), ("2", "even"), ("3", "odd"),
+         ("9", "hot")],
+        "gk string, label string")
+    view = mv.JoinMaterializedView.create(
+        spark, str(tmp_path / "mv"), "db.t", ["g"], ["v"],
+        "db.dim", ["gk"], ["label"])
+    view.refresh_from_changes(t, pk="k")
+
+    def truth():
+        return {
+            r["label"]: (r["n"], float(r["v_sum"]))
+            for r in t.read().join(dim, F.col("g") == F.col("gk"))
+            .groupBy("label").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,2)")).alias("v_sum"),
+            ).collect()
+        }
+
+    got = {r["label"]: (r["n"], float(r["v_sum"]))
+           for r in view.read(dim).collect()}
+    assert got == truth()
+
+    _apply(spark, t, spec, [("insert", 5, "9", -100.0, 10),
+                            ("delete", 8, "0", 0.0, 10)])
+    view.refresh_from_changes(t, pk="k")
+    got = {r["label"]: (r["n"], float(r["v_sum"]))
+           for r in view.read(dim).collect()}
+    assert got == truth()

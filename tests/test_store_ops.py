@@ -306,3 +306,62 @@ def test_changes_rejects_inverted_range(spark, tmp_path):
                                       "k long, p string, v double"))
     with pytest.raises(ValueError):
         t.changes(t.current_version(), t.current_version() - 1)
+
+
+def test_compaction_marks_data_change_false_and_feeds_skip_it(spark, tmp_path):
+    """OPTIMIZE on a merging engine is a row-preserving re-layout: the
+    commit carries dataChange=false, history() surfaces it, and change
+    feeds skip the hop — changes() across a pure-compaction interval
+    plans ZERO file reads instead of diffing the whole rewrite."""
+    from synch_spark.operators.cdc_apply import compact_table
+
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=6)
+    _clustered(spark, t, n=500, files=5)
+    v0 = t.current_version()
+    apply_cdc_batch(t, _events(spark, [("insert", 5, "px", -1.0, 10),
+                                       ("delete", 100, "a", 0.0, 10)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    compact_table(t, SPEC)
+    v_compact = t.current_version()
+
+    hist = {h["version"]: h["data_change"] for h in t.history()}
+    assert hist[v_compact] is False and hist[v_compact - 1] is True
+
+    # pure-compaction interval: provably empty feed, zero files read
+    feed = t.changes(v_compact - 1, v_compact, pk="k")
+    assert feed.inputFiles() == [] and feed.count() == 0
+
+    # spanning feed: the real merge's rows come through once, the
+    # compaction hop is skipped entirely by the per-commit walk
+    rows = {(r["k"], r["_change_type"], r["_commit_version"])
+            for r in t.changes_per_commit(v0, pk="k").collect()}
+    assert rows == {(5, "update_preimage", v0 + 1),
+                    (5, "update_postimage", v0 + 1),
+                    (100, "delete", v0 + 1)}
+
+    # state is intact and subsequent merges keep flowing
+    assert t.read().count() == 499
+    apply_cdc_batch(t, _events(spark, [("insert", 7, "zz", 9.0, 20)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    post = {(r["k"], r["_change_type"])
+            for r in t.changes(v_compact, pk="k").collect()}
+    assert post == {(7, "update_preimage"), (7, "update_postimage")}
+
+
+def test_collapsing_compaction_stays_data_change_true(spark, tmp_path):
+    """Collapsing engines FOLD their ±sign rows at compaction — a
+    storage-level row change that must NOT be marked row-preserving."""
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import compact_table
+
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.COLLAPSING_MERGE_TREE)
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    apply_cdc_batch(t, _events(spark, [("insert", 1, "a", 1.0, 1),
+                                       ("insert", 2, "a", 2.0, 1)]),
+                    spec, value_columns=["k", "p", "v"])
+    apply_cdc_batch(t, _events(spark, [("delete", 1, "a", 1.0, 2)]),
+                    spec, value_columns=["k", "p", "v"])
+    compact_table(t, spec)
+    hist = {h["version"]: h["data_change"] for h in t.history()}
+    assert hist[t.current_version()] is True
