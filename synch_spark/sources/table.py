@@ -1210,10 +1210,16 @@ class ParquetTable:
             self.read_files([self._abs(r) for r in added], version=sto.version)
             if added else self._empty_df(sto)
         )
+        # BOTH sides read through v_to's schema document: the feed is
+        # expressed in the destination schema, and reconciled reads
+        # resolve pre-DDL physical files against a newer doc by design
+        # (that's the metadata-only-DDL read path). Reading the old side
+        # with v_from's doc instead would misalign images across a
+        # rename — every carried-over row would stop cancelling.
         old_raw = (
             self.read_files([self._abs(r) for r in removed],
-                            version=sfrom.version)
-            if removed else self._empty_df(sfrom)
+                            version=sto.version)
+            if removed else self._empty_df(sto)
         )
         cols = new_df.columns
         old_df = old_raw.select([

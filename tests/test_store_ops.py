@@ -365,3 +365,39 @@ def test_collapsing_compaction_stays_data_change_true(spark, tmp_path):
     compact_table(t, spec)
     hist = {h["version"]: h["data_change"] for h in t.history()}
     assert hist[t.current_version()] is True
+
+
+def test_changes_across_metadata_rename_aligns_images(spark, tmp_path):
+    """A metadata-only rename lands between two merges: the feed must be
+    expressed in the DESTINATION schema, carried-over rows must still
+    cancel (pre-DDL physical files resolve through the newer doc), and
+    the DDL commit itself contributes nothing."""
+    from synch_spark.ddl import parse_alter
+    from synch_spark.sources import schema_evolution as se
+
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=6)
+    _clustered(spark, t, n=500, files=5)
+    v0 = t.current_version()
+    ts = se.TableSchema.from_struct(t.read().schema)
+    evolved, reasons = se.evolve_schema(
+        ts, parse_alter("alter table db.t change column v val double"))
+    assert reasons == []
+    t.commit_schema(evolved)
+    # the metadata commit alone: empty feed (no files changed)
+    assert t.changes(v0, pk="k").count() == 0
+
+    batch = spark.createDataFrame(
+        [("insert", 5, "px", -1.0, 10)],
+        "action string, k long, p string, val double, event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")).withColumn("table", F.lit("t"))
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    apply_cdc_batch(t, batch, spec, value_columns=["k", "p", "val"])
+
+    rows = {(r["k"], r["_change_type"]): (r["p"], r["val"])
+            for r in t.changes(v0, pk="k").collect()}
+    assert rows == {
+        (5, "update_preimage"): ("0", 5.0),
+        (5, "update_postimage"): ("px", -1.0),
+    }, f"carry-overs leaked or images misaligned: {sorted(rows)[:6]}"
