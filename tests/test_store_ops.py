@@ -401,3 +401,67 @@ def test_changes_across_metadata_rename_aligns_images(spark, tmp_path):
         (5, "update_preimage"): ("0", 5.0),
         (5, "update_postimage"): ("px", -1.0),
     }, f"carry-overs leaked or images misaligned: {sorted(rows)[:6]}"
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_changes_reconstruct_new_state_property(spark, tmp_path, seed):
+    """The feed's semantic contract, end-to-end: for ANY retained
+    version pair (a, b) of a merge-maintained table,
+    read(a) - deletions + postimages == read(b) exactly. Random mixed
+    commit sequences (inserts, updates, deletes, group moves, a
+    compaction) drive it; reconstruction is checked for every adjacent
+    and spanning pair still inside the retention window."""
+    import random
+
+    from synch_spark.operators.cdc_apply import compact_table
+
+    rnd = random.Random(seed)
+    t = ParquetTable(spark, str(tmp_path / f"t{seed}"), retain=8)
+    _clustered(spark, t, n=300, files=3)
+    versions = [t.current_version()]
+    live = set(range(300))
+    next_id = 1000
+    for step in range(5):
+        evs = []
+        for _ in range(rnd.randint(1, 6)):
+            op = rnd.random()
+            if op < 0.4 and live:  # update
+                k = rnd.choice(sorted(live))
+                evs.append(("insert", k, f"u{step}", rnd.randint(-99, 99) * 1.0,
+                            10 + step))
+            elif op < 0.7:  # insert new
+                evs.append(("insert", next_id, f"n{step}", float(next_id),
+                            10 + step))
+                live.add(next_id)
+                next_id += 1
+            elif live:  # delete
+                k = rnd.choice(sorted(live))
+                evs.append(("delete", k, "x", 0.0, 10 + step))
+                live.discard(k)
+        if not evs:
+            continue
+        apply_cdc_batch(t, _events(spark, evs), SPEC,
+                        value_columns=["k", "p", "v"])
+        versions.append(t.current_version())
+        if step == 2:
+            compact_table(t, SPEC)  # dataChange=false hop mid-history
+            versions.append(t.current_version())
+
+    pairs = [(versions[i], versions[j])
+             for i in range(len(versions)) for j in range(i, len(versions))]
+    rnd.shuffle(pairs)
+    for va, vb in pairs[:8]:
+        feed = {(r["k"], r["_change_type"]): (r["p"], r["v"])
+                for r in t.changes(va, vb, pk="k").collect()}
+        state = _state(t, va)
+        # preimages retract first, postimages apply second (an update's
+        # two rows would otherwise race in dict order)
+        for (k, ct), img in feed.items():
+            if ct in ("delete", "update_preimage"):
+                assert state.pop(k) == img, (va, vb, k, ct)
+        for (k, ct), img in feed.items():
+            if ct in ("insert", "update_postimage"):
+                state[k] = img
+        assert state == _state(t, vb), (
+            f"feed({va}->{vb}) does not reconstruct the new state"
+        )
