@@ -17,7 +17,7 @@ import sys
 
 import yaml
 
-from synch_spark.config import config_from_dict
+from synch_spark.config import Engine, config_from_dict
 from synch_spark.pipeline import check, etl_full
 from synch_spark.session import get_spark
 from synch_spark.sources.table import ParquetTable
@@ -482,18 +482,30 @@ def cmd_history(args) -> int:
 
 
 def _one_table(args, app: str):
-    """Resolve exactly one configured table for the store-op verbs."""
+    """Resolve exactly one configured table for the store-op verbs.
+    Accepts a bare table name or the schema-qualified form; a bare name
+    matching tables in several schemas is an error, not first-wins."""
     raw = _load(args.config)
     cfg = config_from_dict(raw)
+    matches = [
+        (name, spec) for name, spec in cfg.tables.items()
+        if spec.table == args.table
+        or f"{spec.schema}.{spec.table}" == args.table
+    ]
+    if not matches:
+        raise SystemExit(f"table {args.table!r} is not configured")
+    if len(matches) > 1:
+        qualified = ", ".join(f"{s.schema}.{s.table}" for _n, s in matches)
+        raise SystemExit(
+            f"table {args.table!r} is ambiguous ({qualified}); "
+            f"use the schema-qualified name"
+        )
+    name, spec = matches[0]
     spark = get_spark(app)
     warehouse = raw["spark"]["warehouse"]
-    for name, spec in cfg.tables.items():
-        if spec.table == args.table:
-            table = ParquetTable(
-                spark, f"{warehouse}/{spec.schema}/{spec.table}",
-                retain=spec.retain)
-            return table, spec, name
-    raise SystemExit(f"table {args.table!r} is not configured")
+    table = ParquetTable(
+        spark, f"{warehouse}/{spec.schema}/{spec.table}", retain=spec.retain)
+    return table, spec, name
 
 
 def cmd_restore(args) -> int:
@@ -530,7 +542,17 @@ def cmd_changes(args) -> int:
     from pyspark.sql import functions as F
 
     table, spec, name = _one_table(args, "synch-changes")
-    pk = tuple(args.pk.split(",")) if args.pk else spec.pk
+    if args.pk:
+        pk = tuple(args.pk.split(","))
+    elif spec.engine in (Engine.COLLAPSING_MERGE_TREE,
+                         Engine.VERSIONED_COLLAPSING_MERGE_TREE):
+        # collapsing storage holds ±sign rows — multiple rows per pk by
+        # design. A pk-keyed diff would cross-product them and emit
+        # appended -1 rows as inserts; the multiset diff is the correct
+        # storage-level feed for these engines.
+        pk = None
+    else:
+        pk = spec.pk
     if args.per_commit:
         df = table.changes_per_commit(args.v_from, args.v_to, pk=pk)
     else:
@@ -745,27 +767,39 @@ def cmd_mv(args) -> int:
         view = load_view(spark, root)
     if args.action in ("create", "refresh", "sync"):
         schema, table = view.source.split(".", 1)
-        base = ParquetTable(spark, f"{warehouse}/{schema}/{table}")
+        cfg = config_from_dict(raw)
+        src_spec = next(
+            (s for s in cfg.tables.values()
+             if f"{s.schema}.{s.table}" == view.source), None)
+        base = ParquetTable(
+            spark, f"{warehouse}/{schema}/{table}",
+            retain=src_spec.retain if src_spec else 2)
         if args.action == "sync":
             if not base.exists:
                 print(f"source table {view.source} not found", file=sys.stderr)
                 return 1
-            cfg = config_from_dict(raw)
-            pk = None
-            for _n, spec in cfg.tables.items():
-                if f"{spec.schema}.{spec.table}" == view.source:
-                    pk = spec.pk
-                    break
-            if not pk:
+            if src_spec is None or not src_spec.pk:
                 print(f"mv sync: no configured pk for {view.source}",
                       file=sys.stderr)
                 return 2
-            cfg_retain = spec.retain
-            base = ParquetTable(spark, f"{warehouse}/{schema}/{table}",
-                                retain=cfg_retain)
-            view.refresh_from_changes(base, pk)
+            if src_spec.engine in (Engine.COLLAPSING_MERGE_TREE,
+                                   Engine.VERSIONED_COLLAPSING_MERGE_TREE):
+                # collapsing storage holds ±sign rows, not pk-unique
+                # state; a pk-keyed feed would cross-product duplicates
+                # and fold appended -1 rows as inserts (double counts)
+                print(f"mv sync: {view.source} uses a collapsing engine — "
+                      "its stored rows are signed pairs, not final state; "
+                      "sync views off a merging-engine table or keep this "
+                      "view in the consume loop", file=sys.stderr)
+                return 2
+            view.refresh_from_changes(base, src_spec.pk)
         elif base.exists:
+            # re-baseline the sync cursor: the rebuild bakes the CURRENT
+            # source version in, so a later `mv sync` must not replay the
+            # feed interval on top (signed folding is not idempotent)
+            src_v = base.current_version()
             view.full_build(base.read())
+            view.mark_synced(src_v)
         elif args.action == "refresh":
             print(f"source table {view.source} not found", file=sys.stderr)
             return 1

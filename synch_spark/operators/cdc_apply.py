@@ -171,11 +171,25 @@ def _merge_cow(
     # micro-batch (and inflates every downstream change feed). One
     # output task per rewritten input file keeps parallelism O(touched).
     replacement = kept.unionByName(upserts.select(*current.columns)).coalesce(
-        max(1, len(candidates)))
+        _rewrite_width(candidates, upserts))
     table.overwrite_cow(
         replacement, part, vals,
         file_links=links, expected_base=base,
     )
+
+
+def _rewrite_width(candidates: list, upserts) -> int:
+    """Output tasks for a CoW rewrite: one per rewritten input file,
+    floored by the upsert volume so a pure-insert BULK batch (zero
+    candidate files — e.g. a backfill of brand-new keys) doesn't
+    collapse to one jumbo single-threaded file. The count is taken only
+    when the candidate set is tiny, and upserts derive from the
+    merge's persisted `net`, so it reads cached blocks."""
+    width = len(candidates)
+    if width < 4:
+        rows = upserts.count()
+        width = max(width, (rows + 1_999_999) // 2_000_000)
+    return max(1, width)
 
 
 def _merge_cow_unpartitioned(table, current, changed_keys, upserts, spec,
@@ -205,10 +219,11 @@ def _merge_cow_unpartitioned(table, current, changed_keys, upserts, spec,
     remove_rels = [
         os.path.relpath(p, table._data).replace(os.sep, "/") for p in candidates
     ]
-    # one output task per rewritten file (see _merge_cow): a k-file
-    # merge must add O(k) files, not O(shuffle partitions) splinters
+    # one output task per rewritten file (see _rewrite_width): a k-file
+    # merge must add O(k) files, not O(shuffle partitions) splinters —
+    # but a pure-insert bulk batch must not collapse to one task either
     replacement = kept.unionByName(upserts.select(*current.columns)).coalesce(
-        max(1, len(candidates)))
+        _rewrite_width(candidates, upserts))
     table.overwrite_cow_files(replacement, remove_rels, expected_base=base)
     return True
 

@@ -176,6 +176,17 @@ class DedupIndex:
 
         if feed.isEmpty():
             return  # a no-change feed must not trigger a fallback rewrite
+        if "_commit_version" in feed.columns:
+            # per-commit feeds can carry a delete AND a later re-insert
+            # for one id; the synthesized merge events tie on their
+            # stamps, so collapse to the LATEST change per id first
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(id_col).orderBy(
+                F.col("_commit_version").desc())
+            feed = (feed.filter(F.col("_change_type") != "update_preimage")
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn", "_commit_version"))
         posts = feed.filter(
             F.col("_change_type").isin("insert", "update_postimage"))
         dels = feed.filter(F.col("_change_type") == "delete").select(

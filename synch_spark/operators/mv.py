@@ -280,6 +280,18 @@ class MaterializedView:
                        "mv_expected": mv_expected}, f)
         os.replace(tmp, path)
 
+    def mark_synced(self, source_version: int) -> None:
+        """Re-baseline the sync cursor after an OUT-OF-BAND full build
+        (CLI `mv create`/`mv refresh`). Without this, a sync doc left
+        pointing at an older source version would replay a feed interval
+        the rebuild already baked in — signed-delta folding is not
+        idempotent, so that double-counts silently. Callers that
+        full_build outside refresh_from_changes must follow with
+        mark_synced(source.current_version()) read BEFORE the build."""
+        mv_v = self.table.current_version() if self.table.exists else -1
+        # already committed: expected == current promotes immediately
+        self._write_sync(None, source_version, mv_v)
+
     def refresh_from_changes(self, source_table, pk) -> int:
         """Catch the view up to the source table's CURRENT version by
         consuming its row-level change feed (``ParquetTable.changes``) —
@@ -327,7 +339,17 @@ class MaterializedView:
         ).drop("_change_type")
         base = source_table.read() if self._recompute_cols() else None
         self._write_sync(last, cur, mv_v + 1)
-        self.refresh_from_batch(typed, base=base)
+        if base is not None:
+            # refresh_from_batch reads the batch twice (has-deletes probe
+            # + the fold); without a persist that re-runs the whole
+            # file-diff + full-outer join — the O(changed files) cost
+            # would be paid twice per sync
+            typed = typed.persist()
+        try:
+            self.refresh_from_batch(typed, base=base)
+        finally:
+            if base is not None:
+                typed.unpersist()
         return cur
 
     def read(self) -> DataFrame:
@@ -450,6 +472,9 @@ class JoinMaterializedView:
         two-phase checkpoint as the plain view; per-FK count/sum
         partials never need a base recompute, so no base read either."""
         return self.inner.refresh_from_changes(source_table, pk)
+
+    def mark_synced(self, source_version: int) -> None:
+        self.inner.mark_synced(source_version)
 
     def full_build(self, base: DataFrame) -> None:
         self.inner.full_build(base)

@@ -156,6 +156,16 @@ class VectorIndex:
             )
         if feed.isEmpty():
             return  # a no-change feed must not trigger a fallback rewrite
+        if "_commit_version" in feed.columns:
+            # a per-commit feed can carry BOTH a delete and a later
+            # re-insert for one id; the synthesized merge events all tie
+            # on (event_unixtime, action_seq), so collapse to the LATEST
+            # change per id first (within one commit a pk has at most
+            # one non-preimage row, so this is deterministic)
+            w = W.partitionBy(id_col).orderBy(F.col("_commit_version").desc())
+            feed = (feed.filter(F.col("_change_type") != "update_preimage")
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn", "_commit_version"))
         posts = feed.filter(
             F.col("_change_type").isin("insert", "update_postimage"))
         ins = posts.select(F.col(id_col).alias("id"),

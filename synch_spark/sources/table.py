@@ -1284,7 +1284,11 @@ class ParquetTable:
                 pass
             d = self.changes(v - 1, v, pk=pk).withColumn(
                 "_commit_version", F.lit(v).cast("long"))
-            out = d if out is None else out.unionByName(d)
+            # allowMissingColumns: each hop speaks its own destination
+            # schema, so a metadata-only ADD/RENAME mid-range leaves
+            # earlier hops without the new column — null-fill, don't die
+            out = d if out is None else out.unionByName(
+                d, allowMissingColumns=True)
         if out is None:
             empty = self.changes(sto_v, sto_v, pk=pk)
             return empty.withColumn("_commit_version",

@@ -747,3 +747,26 @@ def test_join_mv_sync_from_change_feed(spark, tmp_path):
     got = {r["label"]: (r["n"], float(r["v_sum"]))
            for r in view.read(dim).collect()}
     assert got == truth()
+
+
+def test_mv_full_rebuild_rebaselines_sync_cursor(spark, tmp_path):
+    """The double-count regression: sync to v_a, then an out-of-band
+    full_build (the CLI refresh path) + mark_synced, then more merges
+    and another sync. Without the re-baseline the second sync would
+    re-fold the (v_a, rebuild] interval the rebuild already contains."""
+    t, spec = _cdc_table(spark, str(tmp_path / "t"))
+    view = mv.MaterializedView.create(
+        spark, str(tmp_path / "mv"), "db.t", ["g"], ["v"])
+    view.refresh_from_changes(t, pk="k")
+
+    _apply(spark, t, spec, [("insert", 5, "9", -100.0, 10),
+                            ("delete", 8, "0", 0.0, 10)])
+    # out-of-band anti-entropy rebuild (what `mv refresh` does)
+    src_v = t.current_version()
+    view.full_build(t.read())
+    view.mark_synced(src_v)
+
+    _apply(spark, t, spec, [("insert", 9, "9", 42.0, 11)])
+    view.refresh_from_changes(t, pk="k")
+    got = {r["g"]: (r["n"], float(r["v_sum"])) for r in view.read().collect()}
+    assert got == _truth(t), "sync after rebuild double-folded the feed"

@@ -195,3 +195,25 @@ def test_sync_from_change_feed(spark, tmp_path):
     iv = idx.assignments.current_version()
     idx.sync_from(t, pk="vec_id")
     assert idx.assignments.current_version() == iv
+
+
+def test_apply_changes_per_commit_feed_delete_then_reinsert(spark, tmp_path):
+    """A per-commit feed can carry a delete AND a later re-insert of the
+    same id; the synthesized merge events tie on their stamps, so the
+    apply must collapse to the LATEST change per id — the id stays
+    indexed (and conversely insert-then-delete stays gone)."""
+    emb = _emb(spark)
+    idx = VectorIndex(spark, str(tmp_path / "ivf"), num_centroids=8)
+    idx.build(emb)
+    n = idx.assignments.count()
+    vec = emb.filter(F.col("vec_id") == 450).select("embedding")
+    feed = spark.createDataFrame(
+        [(7, None, "delete", 1), (7, vec.collect()[0][0], "insert", 2),
+         (8, vec.collect()[0][0], "insert", 1), (8, None, "delete", 2)],
+        "vec_id long, embedding array<float>, _change_type string, "
+        "_commit_version long",
+    )
+    idx.apply_changes(feed)
+    assert idx.assignments.read().filter("id = 7").count() == 1
+    assert idx.assignments.read().filter("id = 8").count() == 0
+    assert idx.assignments.count() == n - 1
