@@ -538,7 +538,10 @@ def cmd_changes(args) -> int:
     """Row-level change feed between two retained versions
     (ParquetTable.changes) — what downstream consumers apply to catch
     up without re-scanning the table. `--out` writes the feed as
-    parquet; otherwise prints per-change-type counts."""
+    parquet; `--sink spool|kafka|redis` re-emits it as standard change
+    events through the broker boundary (the table becomes a replication
+    SOURCE — any synch consumer downstream applies it like binlog
+    traffic); otherwise prints per-change-type counts."""
     from pyspark.sql import functions as F
 
     table, spec, name = _one_table(args, "synch-changes")
@@ -561,6 +564,40 @@ def cmd_changes(args) -> int:
         df.write.mode("error").parquet(args.out)
         print(json.dumps({"table": name, "out": args.out,
                           "rows": spark_count(df, args.out)}))
+        return 0
+    if args.sink:
+        import os
+        import time as _time
+
+        from synch_spark.broker import produce_to_kafka, write_event_spool
+        from synch_spark.events import changes_to_raw
+
+        raw_cfg = _load(args.config)
+        now_us = int(_time.time() * 1_000_000)
+        events = changes_to_raw(df, spec.schema, spec.table,
+                                base_unixtime_us=now_us).persist()
+        try:
+            n = events.count()
+            if args.sink == "kafka":
+                kconf = raw_cfg["spark"].get("kafka")
+                if not kconf or "bootstrap_servers" not in kconf:
+                    raise SystemExit(
+                        "changes --sink kafka needs a spark.kafka config "
+                        "block with bootstrap_servers")
+                produce_to_kafka(events, kconf["bootstrap_servers"],
+                                 kconf.get("queue_prefix", "synch"))
+            elif args.sink == "redis":
+                _redis_broker_from_cfg(
+                    table.spark, raw_cfg).produce(events)
+            else:
+                events_dir = raw_cfg["spark"]["events_dir"]
+                os.makedirs(events_dir, exist_ok=True)
+                write_event_spool(
+                    events, events_dir,
+                    f"{spec.schema}.{spec.table}.changes.{now_us}")
+        finally:
+            events.unpersist()
+        print(json.dumps({"table": name, "sink": args.sink, "events": n}))
         return 0
     counts = {r["_change_type"]: r["n"] for r in
               df.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
@@ -933,6 +970,10 @@ def main(argv=None) -> int:
     ch.add_argument("--per-commit", action="store_true",
                     help="stamp every row with the commit that produced it")
     ch.add_argument("--out", help="write the feed as parquet instead of counts")
+    ch.add_argument(
+        "--sink", choices=["spool", "kafka", "redis"],
+        help="re-emit the feed as change events through the broker "
+             "boundary (table as a replication source)")
     ch.set_defaults(fn=cmd_changes)
     r = sub.add_parser("repair", help="snapshot-diff surgical backfill")
     r.add_argument("--table")

@@ -784,3 +784,50 @@ def wal2json_to_raw(
         )
         .filter(F.col("action").isNotNull() & F.col("table").isNotNull())
     )
+
+
+def changes_to_raw(
+    feed: DataFrame,
+    schema: str,
+    table: str,
+    base_unixtime_us: int | None = None,
+) -> DataFrame:
+    """Render a ``ParquetTable.changes`` feed back into RAW_EVENT_SCHEMA
+    rows — the bridge that makes a stored table a REPLICATION SOURCE:
+    table -> change feed -> broker (spool/Kafka/Redis) -> any synch
+    consumer -> downstream warehouse. The reference can only fan out at
+    the original MySQL/PG head; here any replicated table re-emits its
+    own deltas.
+
+    Mapping: postimages/inserts -> insert(after); preimages/deletes ->
+    delete(before). An update's two feed rows become the pre-split
+    delete+insert pair sharing one event_unixtime — split_updates
+    assigns action_seq delete=1 < insert=2, so downstream compaction
+    orders them correctly with no update reassembly needed.
+
+    event_unixtime: ``base_unixtime_us`` (default: now) plus the
+    ``_commit_version`` when the feed carries one (changes_per_commit),
+    preserving cross-commit order; an endpoint feed has at most one
+    logical change per pk, so a single stamp is already unambiguous.
+    Pure Column algebra — O(feed), streamable, no driver loop."""
+    import time as _time
+
+    ct = F.col("_change_type")
+    cols = [c for c in feed.columns
+            if c not in ("_change_type", "_commit_version")]
+    img = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    is_post = ct.isin("insert", "update_postimage")
+    if base_unixtime_us is None:
+        base_unixtime_us = int(_time.time() * 1_000_000)
+    ts = F.lit(base_unixtime_us).cast("long")
+    if "_commit_version" in feed.columns:
+        ts = ts + F.col("_commit_version").cast("long")
+    return feed.select(
+        F.lit(schema).alias("schema"),
+        F.lit(table).alias("table"),
+        F.when(is_post, F.lit("insert")).otherwise(F.lit("delete")).alias(
+            "action"),
+        F.when(~is_post, img).alias("before"),
+        F.when(is_post, img).alias("after"),
+        ts.alias("event_unixtime"),
+    )

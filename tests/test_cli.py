@@ -525,3 +525,74 @@ def test_cli_mv_sync_from_change_feed(tmp_path, capsys, spark):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     keys = {int(r["r_regionkey"]) for r in out["mv"]["rows"]}
     assert keys == {0, 1, 2, 3}, keys
+
+
+def test_cli_table_to_table_replication_via_change_feed(tmp_path, capsys, spark):
+    """The full fan-out loop: warehouse A's table re-emits its deltas as
+    standard change events (`changes --sink spool`), a SECOND consumer
+    bootstrapped by `clone` applies them, and the downstream table
+    converges to A — table-to-table replication with no source DB."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.session import read_table
+    from synch_spark.sources.table import ParquetTable
+
+    src_path = str(tmp_path / "src.parquet")
+    read_table(spark, "/root/testdata/sf0.001", "region").write.parquet(src_path)
+
+    def cfg_for(wh, ev):
+        return {
+            "core": {"insert_num": 1000, "insert_interval": 1},
+            "source_dbs": [{"databases": [{"database": "db", "tables": [
+                {"table": "region", "pk": ["r_regionkey"], "retain": 4}]}]}],
+            "spark": {
+                "warehouse": str(tmp_path / wh),
+                "checkpoint_dir": str(tmp_path / f"ckpt-{wh}"),
+                "events_dir": str(tmp_path / ev),
+                "source_format": "parquet",
+                "sources": {"db.region": src_path},
+                "value_schemas": {
+                    "db.region": spark.read.parquet(src_path).schema.jsonValue()
+                },
+            },
+        }
+
+    p1 = tmp_path / "a.yaml"
+    p1.write_text(yaml.dump(cfg_for("whA", "evA")))
+    assert main(["--config", str(p1), "produce", "--once"]) == 0
+    assert main(["--config", str(p1), "consume", "--available-now"]) == 0
+    a = ParquetTable(spark, str(tmp_path / "whA" / "db" / "region"), retain=4)
+    v0 = a.current_version()
+
+    # bootstrap B from A's snapshot (clone), before A moves on
+    a.clone(str(tmp_path / "whB" / "db" / "region"))
+
+    # A mutates: drop region 4, rename region 0
+    cur = spark.read.parquet(src_path)
+    cur.filter(F.col("r_regionkey") != 4).withColumn(
+        "r_name", F.when(F.col("r_regionkey") == 0, F.lit("RENAMED"))
+        .otherwise(F.col("r_name"))
+    ).write.mode("overwrite").parquet(src_path + ".v2")
+    c1 = cfg_for("whA", "evA")
+    c1["spark"]["sources"]["db.region"] = src_path + ".v2"
+    p1.write_text(yaml.dump(c1))
+    assert main(["--config", str(p1), "produce", "--once"]) == 0
+    assert main(["--config", str(p1), "consume", "--available-now"]) == 0
+
+    # re-emit A's deltas into B's events_dir, then consume as usual
+    c1b = cfg_for("whA", "evB")  # A's tables, B's broker boundary
+    pb = tmp_path / "ab.yaml"
+    pb.write_text(yaml.dump(c1b))
+    capsys.readouterr()
+    assert main(["--config", str(pb), "changes", "--table", "region",
+                 "--from", str(v0), "--sink", "spool"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 3  # delete(4) + update pair on 0
+    p2 = tmp_path / "b.yaml"
+    p2.write_text(yaml.dump(cfg_for("whB", "evB")))
+    assert main(["--config", str(p2), "consume", "--available-now"]) == 0
+
+    b = ParquetTable(spark, str(tmp_path / "whB" / "db" / "region"))
+    want = {(r["r_regionkey"], r["r_name"]) for r in a.read().collect()}
+    got = {(r["r_regionkey"], r["r_name"]) for r in b.read().collect()}
+    assert got == want and len(got) == 4
