@@ -1059,14 +1059,20 @@ class ParquetTable:
         object-storage semantics)."""
         dst = self._abs(new_rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copy2(os.path.join(src_root, _DATA, rel), dst)
+        # copyfile, NOT copy2: copy2 preserves the SOURCE mtime, and
+        # vacuum() judges unreferenced-pool-file liveness by mtime — a
+        # restore/clone still in its copy..publish window would look
+        # TTL-expired to a concurrent vacuum and be reclaimed mid-flight.
+        # A fresh mtime gives the in-flight copy the same grace window
+        # every staged write gets.
+        shutil.copyfile(os.path.join(src_root, _DATA, rel), dst)
         from synch_spark.sources import bloom as _bloom
 
         src_sc = _bloom._sidecar(src_root, rel)
         if os.path.exists(src_sc):
             dst_sc = _bloom._sidecar(self.root, new_rel)
             os.makedirs(os.path.dirname(dst_sc), exist_ok=True)
-            shutil.copy2(src_sc, dst_sc)
+            shutil.copyfile(src_sc, dst_sc)
 
     def restore(self, version: int) -> int:
         """Roll the table back to a retained ``version`` as a NEW commit

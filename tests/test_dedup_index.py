@@ -248,3 +248,22 @@ def test_sync_from_change_feed(spark, index, tmp_path):
     index.sync_from(t)  # no-op
     assert (index.signatures.current_version(),
             index.table.current_version()) == (sv, bv)
+
+
+def test_apply_changes_per_commit_feed_delete_then_reinsert(spark, index):
+    """Per-commit feed with delete@N then re-insert@N+1 of the same doc:
+    the apply collapses to the latest change, so the doc stays indexed
+    (and insert-then-delete stays gone)."""
+    docs = spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_B)], "doc_id long, text string")
+    index.build(docs)
+    feed = spark.createDataFrame(
+        [(1, None, "delete", 1), (1, DOC_A, "insert", 2),
+         (2, DOC_B, "insert", 1), (2, None, "delete", 2)],
+        "doc_id long, text string, _change_type string, _commit_version long")
+    index.apply_changes(feed)
+    assert index.signatures.read().filter("id = 1").count() == index.num_hashes
+    assert index.signatures.read().filter("id = 2").count() == 0
+    assert index.table.read().filter("id = 2").count() == 0
+    probe = spark.createDataFrame([(10, DOC_A2)], "doc_id long, text string")
+    assert index.check(probe).count() == 1

@@ -103,13 +103,13 @@ def test_restore_is_o_diff_not_o_table(spark, tmp_path, monkeypatch):
     diff = len(set(t.snapshot(v0).files) - set(t.snapshot().files))
 
     copies = []
-    real = shutil.copy2
+    real = shutil.copyfile
 
     def counting(src, dst, **kw):
         copies.append((src, dst))
         return real(src, dst, **kw)
 
-    monkeypatch.setattr(shutil, "copy2", counting)
+    monkeypatch.setattr(shutil, "copyfile", counting)
     t.restore(v0)
     data_copies = [d for _s, d in copies if "/_bloom/" not in d.replace(os.sep, "/")]
     assert len(data_copies) == diff, (
@@ -465,3 +465,45 @@ def test_changes_reconstruct_new_state_property(spark, tmp_path, seed):
         assert state == _state(t, vb), (
             f"feed({va}->{vb}) does not reconstruct the new state"
         )
+
+
+def test_inflight_restore_copies_survive_concurrent_vacuum(spark, tmp_path):
+    """Restore/clone copies must get the same TTL grace window staged
+    writes get: the copies carry FRESH mtimes (copyfile, not copy2), so
+    a vacuum racing the copy..publish window cannot reclaim them even
+    though they are referenced by no version yet."""
+    import time as _time
+
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    _clustered(spark, t, n=200, files=2)
+    # source files deliberately look ancient (long-lived table)
+    old = _time.time() - 7200
+    for rel in t.snapshot().files:
+        os.utime(t._abs(rel), (old, old))
+    v0 = t.current_version()
+    apply_cdc_batch(t, _events(spark, [("insert", 5, "px", -1.0, 10)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    # simulate the in-flight window: copy the diff files as restore
+    # would, then vacuum BEFORE the entry is published
+    copied = []
+    orig_write = ParquetTable._write_entry
+
+    def intercept(self, entry, cleanup_rels=None):
+        copied.extend(entry.get("add", entry.get("files", {})))
+        self._intercepted = (entry, cleanup_rels)
+
+    ParquetTable._write_entry = intercept
+    try:
+        t.restore(v0)
+    finally:
+        ParquetTable._write_entry = orig_write
+    assert copied, "restore should have staged copies"
+    removed = t.vacuum(staging_ttl_s=3600)
+    for rel in copied:
+        assert os.path.exists(t._abs(rel)), (
+            f"vacuum reclaimed in-flight restore copy {rel}"
+        )
+    # publish the intercepted entry: the restore completes correctly
+    entry, cleanup = t._intercepted
+    orig_write(t, entry, cleanup)
+    assert {r["k"] for r in t.read().filter("v = -1.0").collect()} == set()
