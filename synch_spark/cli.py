@@ -701,6 +701,77 @@ def cmd_backfill(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Maintain persisted search/dedup indexes from their source
+    table's change feed. Indexes are declared in a `spark.indexes`
+    config block:
+
+        spark:
+          indexes:
+            emb_ivf:  {kind: ivf, root: /idx/emb, source: db.embeddings,
+                       vec_col: embedding, id_col: vec_id}
+            docs_lsh: {kind: lsh, root: /idx/docs, source: db.documents,
+                       text_col: text, id_col: doc_id}
+
+    `index sync [--name N]` catches each index up via
+    {Vector,Dedup}Index.sync_from — first call builds, later calls
+    apply O(changed files); lagging past the source's retention window
+    rebuilds. The idempotent pk-merge apply makes replay after a crash
+    safe (cursor is written post-apply)."""
+    raw = _load(args.config)
+    cfg = config_from_dict(raw)
+    spark = get_spark("synch-index")
+    warehouse = raw["spark"]["warehouse"]
+    declared = raw["spark"].get("indexes") or {}
+    if args.name and args.name not in declared:
+        print(f"index {args.name!r} is not declared under spark.indexes",
+              file=sys.stderr)
+        return 2
+    out = {}
+    for name, d in declared.items():
+        if args.name and name != args.name:
+            continue
+        src_spec = next(
+            (s for s in cfg.tables.values()
+             if f"{s.schema}.{s.table}" == d["source"]), None)
+        if src_spec is None or not src_spec.pk:
+            print(f"index {name}: source {d['source']} has no configured pk",
+                  file=sys.stderr)
+            return 2
+        table = ParquetTable(
+            spark, f"{warehouse}/{src_spec.schema}/{src_spec.table}",
+            retain=src_spec.retain)
+        if not table.exists:
+            print(f"index {name}: source table {d['source']} not found",
+                  file=sys.stderr)
+            return 1
+        if d.get("kind") == "ivf":
+            from synch_spark.operators.vector_index import VectorIndex
+
+            idx = VectorIndex(spark, d["root"],
+                              num_centroids=int(d.get("num_centroids", 16)))
+            v = idx.sync_from(table, pk=src_spec.pk[0],
+                              vec_col=d.get("vec_col", "embedding"),
+                              id_col=d.get("id_col", "vec_id"))
+        elif d.get("kind") == "lsh":
+            from synch_spark.operators.dedup_index import DedupIndex
+
+            idx = DedupIndex(spark, d["root"],
+                             num_hashes=int(d.get("num_hashes", 8)),
+                             bands=int(d.get("bands", 4)),
+                             shingle_n=int(d.get("shingle_n", 3)))
+            v = idx.sync_from(table, pk=src_spec.pk[0],
+                              text_col=d.get("text_col", "text"),
+                              id_col=d.get("id_col", "doc_id"))
+        else:
+            print(f"index {name}: unknown kind {d.get('kind')!r} "
+                  "(ivf | lsh)", file=sys.stderr)
+            return 2
+        out[name] = {"synced_to": v}
+    print(json.dumps({"indexes": out}))
+    return 0
+
+
 def cmd_quality(args) -> int:
     """Training-data quality pipeline over a documents source: Gopher
     gates (token bounds, type-token ratio, top-token dominance, symbol
@@ -984,6 +1055,11 @@ def main(argv=None) -> int:
     b.add_argument("--table")
     b.add_argument("--chunks", type=int, default=4)
     b.set_defaults(fn=cmd_backfill)
+    ix = sub.add_parser(
+        "index", help="sync declared search/dedup indexes from change feeds")
+    ix.add_argument("action", choices=["sync"])
+    ix.add_argument("--name", help="sync only this declared index")
+    ix.set_defaults(fn=cmd_index)
     q = sub.add_parser("quality", help="document quality/langid/fingerprint pipeline")
     q.add_argument("--source", required=True, help="documents parquet path")
     q.add_argument("--name", default="documents")

@@ -596,3 +596,60 @@ def test_cli_table_to_table_replication_via_change_feed(tmp_path, capsys, spark)
     want = {(r["r_regionkey"], r["r_name"]) for r in a.read().collect()}
     got = {(r["r_regionkey"], r["r_name"]) for r in b.read().collect()}
     assert got == want and len(got) == 4
+
+
+def test_cli_index_sync_from_change_feed(tmp_path, capsys, spark):
+    """`index sync`: declared indexes follow their source table's change
+    feed through the CLI — first sync builds, a merge + second sync
+    un-indexes the deleted doc."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+    from synch_spark.operators.dedup_index import DedupIndex
+    from synch_spark.session import read_table
+    from synch_spark.sources.table import ParquetTable
+
+    wh = tmp_path / "wh"
+    t = ParquetTable(spark, str(wh / "db" / "documents"), retain=4)
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text").filter(F.col("doc_id") < 40)
+    t.overwrite(docs)
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "documents", "pk": ["doc_id"], "retain": 4}]}]}],
+        "spark": {
+            "warehouse": str(wh),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "source_format": "parquet",
+            "sources": {},
+            "indexes": {
+                "docs_lsh": {"kind": "lsh", "root": str(tmp_path / "idx"),
+                             "source": "db.documents",
+                             "text_col": "text", "id_col": "doc_id"},
+            },
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "index", "sync"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["indexes"]["docs_lsh"]["synced_to"] == t.current_version()
+
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    assert idx.table.read().filter("id = 7").count() == idx.bands
+
+    spec = TableSpec(schema="db", table="documents", pk=("doc_id",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    batch = spark.createDataFrame(
+        [("delete", 7, None, 1)],
+        "action string, doc_id long, text string, event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")).withColumn("table", F.lit("documents"))
+    apply_cdc_batch(t, batch, spec, value_columns=["doc_id", "text"])
+    assert main(["--config", str(p), "index", "sync", "--name", "docs_lsh"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["indexes"]["docs_lsh"]["synced_to"] == t.current_version()
+    assert idx.table.read().filter("id = 7").count() == 0
+    assert idx.signatures.read().filter("id = 7").count() == 0
