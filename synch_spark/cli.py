@@ -545,6 +545,14 @@ def cmd_changes(args) -> int:
     from pyspark.sql import functions as F
 
     table, spec, name = _one_table(args, "synch-changes")
+    if args.follow:
+        if not args.sink:
+            print("changes --follow needs --sink", file=sys.stderr)
+            return 2
+        return cmd_changes_follow(args, table, spec, name)
+    if args.v_from is None:
+        print("changes needs --from (or --follow)", file=sys.stderr)
+        return 2
     if args.pk:
         pk = tuple(args.pk.split(","))
     elif spec.engine in (Engine.COLLAPSING_MERGE_TREE,
@@ -566,37 +574,8 @@ def cmd_changes(args) -> int:
                           "rows": spark_count(df, args.out)}))
         return 0
     if args.sink:
-        import os
-        import time as _time
-
-        from synch_spark.broker import produce_to_kafka, write_event_spool
-        from synch_spark.events import changes_to_raw
-
         raw_cfg = _load(args.config)
-        now_us = int(_time.time() * 1_000_000)
-        events = changes_to_raw(df, spec.schema, spec.table,
-                                base_unixtime_us=now_us).persist()
-        try:
-            n = events.count()
-            if args.sink == "kafka":
-                kconf = raw_cfg["spark"].get("kafka")
-                if not kconf or "bootstrap_servers" not in kconf:
-                    raise SystemExit(
-                        "changes --sink kafka needs a spark.kafka config "
-                        "block with bootstrap_servers")
-                produce_to_kafka(events, kconf["bootstrap_servers"],
-                                 kconf.get("queue_prefix", "synch"))
-            elif args.sink == "redis":
-                _redis_broker_from_cfg(
-                    table.spark, raw_cfg).produce(events)
-            else:
-                events_dir = raw_cfg["spark"]["events_dir"]
-                os.makedirs(events_dir, exist_ok=True)
-                write_event_spool(
-                    events, events_dir,
-                    f"{spec.schema}.{spec.table}.changes.{now_us}")
-        finally:
-            events.unpersist()
+        n = _emit_feed(table, spec, df, args.sink, raw_cfg)
         print(json.dumps({"table": name, "sink": args.sink, "events": n}))
         return 0
     counts = {r["_change_type"]: r["n"] for r in
@@ -609,6 +588,98 @@ def cmd_changes(args) -> int:
 def spark_count(df, out_path: str) -> int:
     """Row count of a just-written feed without recomputing the diff."""
     return df.sparkSession.read.parquet(out_path).count()
+
+
+def _emit_feed(table, spec, feed_df, sink: str, raw_cfg: dict) -> int:
+    """Render a change feed as standard events and push it through the
+    broker boundary (the same three sinks produce uses)."""
+    import os
+    import time as _time
+
+    from synch_spark.broker import produce_to_kafka, write_event_spool
+    from synch_spark.events import changes_to_raw
+
+    now_us = int(_time.time() * 1_000_000)
+    events = changes_to_raw(feed_df, spec.schema, spec.table,
+                            base_unixtime_us=now_us).persist()
+    try:
+        n = events.count()
+        if n == 0:
+            return 0
+        if sink == "kafka":
+            kconf = raw_cfg["spark"].get("kafka")
+            if not kconf or "bootstrap_servers" not in kconf:
+                raise SystemExit(
+                    "changes --sink kafka needs a spark.kafka config "
+                    "block with bootstrap_servers")
+            produce_to_kafka(events, kconf["bootstrap_servers"],
+                             kconf.get("queue_prefix", "synch"))
+        elif sink == "redis":
+            _redis_broker_from_cfg(table.spark, raw_cfg).produce(events)
+        else:
+            events_dir = raw_cfg["spark"]["events_dir"]
+            os.makedirs(events_dir, exist_ok=True)
+            write_event_spool(
+                events, events_dir,
+                f"{spec.schema}.{spec.table}.changes.{now_us}")
+        return n
+    finally:
+        events.unpersist()
+
+
+def cmd_changes_follow(args, table, spec, name) -> int:
+    """Standing fan-out: poll the table, emit each new commit's feed to
+    the sink, checkpoint the emitted version — the `produce --rounds`
+    loop shape, but sourced from the table's own log instead of a
+    source DB. At-least-once: the cursor is written AFTER the emit, and
+    downstream apply is an idempotent last-wins merge, so a crash
+    between emit and checkpoint replays harmlessly."""
+    import os
+    import time as _time
+
+    raw_cfg = _load(args.config)
+    cursor = os.path.join(table.root, f"_changes_cursor.{args.sink}.json")
+
+    def save_cursor(v: int) -> None:
+        import uuid
+
+        tmp = f"{cursor}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"version": v}, f)
+        os.replace(tmp, cursor)
+
+    last = None
+    if os.path.exists(cursor):
+        with open(cursor) as f:
+            last = json.load(f)["version"]
+    elif args.v_from is not None:
+        last = args.v_from
+    else:
+        # baseline: downstream bootstraps via clone; only NEW commits
+        # flow. PERSIST the baseline now — an unsaved one would be
+        # re-derived from a newer head on the next run, silently
+        # skipping every commit that landed in between.
+        last = table.current_version()
+        save_cursor(last)
+    if spec.engine in (Engine.COLLAPSING_MERGE_TREE,
+                       Engine.VERSIONED_COLLAPSING_MERGE_TREE):
+        pk = None  # ±sign storage: multiset feed (see cmd_changes)
+    else:
+        pk = spec.pk if spec.pk else None
+    interval = config_from_dict(raw_cfg).insert_interval_s
+    for i in range(args.rounds):
+        cur = table.current_version()
+        emitted = 0
+        if cur > last:
+            feed = table.changes_per_commit(last, cur, pk=pk)
+            emitted = _emit_feed(table, spec, feed, args.sink, raw_cfg)
+            save_cursor(cur)
+            last = cur
+        print(json.dumps({"table": name, "round": i, "to": last,
+                          "events": emitted}))
+        if i + 1 < args.rounds:
+            _time.sleep(interval)
+    return 0
 
 
 def cmd_optimize(args) -> int:
@@ -1035,8 +1106,13 @@ def main(argv=None) -> int:
     ch = sub.add_parser(
         "changes", help="row-level change feed between two retained versions")
     ch.add_argument("--table", required=True)
-    ch.add_argument("--from", dest="v_from", required=True, type=int)
+    ch.add_argument("--from", dest="v_from", type=int, default=None)
     ch.add_argument("--to", dest="v_to", type=int, default=None)
+    ch.add_argument(
+        "--follow", action="store_true",
+        help="standing fan-out loop: emit each new commit to --sink, "
+             "cursor-checkpointed (at-least-once; apply is idempotent)")
+    ch.add_argument("--rounds", type=int, default=1_000_000)
     ch.add_argument("--pk", help="comma-separated key (default: the spec's pk)")
     ch.add_argument("--per-commit", action="store_true",
                     help="stamp every row with the commit that produced it")

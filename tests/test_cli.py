@@ -653,3 +653,75 @@ def test_cli_index_sync_from_change_feed(tmp_path, capsys, spark):
     assert out["indexes"]["docs_lsh"]["synced_to"] == t.current_version()
     assert idx.table.read().filter("id = 7").count() == 0
     assert idx.signatures.read().filter("id = 7").count() == 0
+
+
+def test_cli_changes_follow_loop(tmp_path, capsys, spark):
+    """`changes --follow`: the standing fan-out loop baselines on first
+    run, emits exactly the new commits on later runs, checkpoints its
+    cursor, and a downstream consumer converges."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+    from synch_spark.session import read_table
+    from synch_spark.sources.table import ParquetTable
+
+    wh = tmp_path / "whA"
+    t = ParquetTable(spark, str(wh / "db" / "region"), retain=4)
+    region = read_table(spark, "/root/testdata/sf0.001", "region")
+    t.overwrite(region)
+    t.clone(str(tmp_path / "whB" / "db" / "region"))
+
+    def cfg_for(warehouse, ev):
+        return {
+            "core": {"insert_num": 1000, "insert_interval": 1},
+            "source_dbs": [{"databases": [{"database": "db", "tables": [
+                {"table": "region", "pk": ["r_regionkey"], "retain": 4}]}]}],
+            "spark": {
+                "warehouse": str(tmp_path / warehouse),
+                "checkpoint_dir": str(tmp_path / f"ck-{warehouse}"),
+                "events_dir": str(tmp_path / ev),
+                "source_format": "parquet",
+                "sources": {},
+                "value_schemas": {"db.region": region.schema.jsonValue()},
+            },
+        }
+
+    pa = tmp_path / "a.yaml"
+    pa.write_text(yaml.dump(cfg_for("whA", "evB")))
+    # round 1: baseline — nothing emitted, cursor set
+    assert main(["--config", str(pa), "changes", "--table", "region",
+                 "--follow", "--rounds", "1", "--sink", "spool"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 0
+
+    spec = TableSpec(schema="db", table="region", pk=("r_regionkey",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    batch = spark.createDataFrame(
+        [("delete", 4, None, None, 1),
+         ("insert", 0, "RENAMED", "c0", 1)],
+        "action string, r_regionkey long, r_name string, r_comment string, "
+        "event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")).withColumn("table", F.lit("region"))
+    apply_cdc_batch(t, batch, spec,
+                    value_columns=["r_regionkey", "r_name", "r_comment"])
+
+    # round 2: the new commit flows; round 3: cursor says nothing new
+    assert main(["--config", str(pa), "changes", "--table", "region",
+                 "--follow", "--rounds", "1", "--sink", "spool"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 3  # delete + update pre/post pair
+    assert main(["--config", str(pa), "changes", "--table", "region",
+                 "--follow", "--rounds", "1", "--sink", "spool"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 0
+    capsys.readouterr()
+
+    pb = tmp_path / "b.yaml"
+    pb.write_text(yaml.dump(cfg_for("whB", "evB")))
+    assert main(["--config", str(pb), "consume", "--available-now"]) == 0
+    b = ParquetTable(spark, str(tmp_path / "whB" / "db" / "region"))
+    got = {(r["r_regionkey"], r["r_name"]) for r in b.read().collect()}
+    want = {(r["r_regionkey"], r["r_name"]) for r in t.read().collect()}
+    assert got == want and len(got) == 4
