@@ -420,13 +420,13 @@ def compact_table(
         # zorder_layout range-partitions + sorts by the interleaved key;
         # overwrite preserves that file layout (no cluster_by re-sort)
         table.overwrite(zorder_layout(state, list(zorder)), spec.partition_by,
-                        data_change=not row_preserving)
+                        data_change=not row_preserving, op="optimize")
         _refresh_blooms(table, spec)
         return
     # re-cluster on pk so post-compaction files have tight, disjoint pk
     # ranges — restores file-level merge pruning degraded by appends
     table.overwrite(state, spec.partition_by, cluster_by=spec.pk or None,
-                    data_change=not row_preserving)
+                    data_change=not row_preserving, op="optimize")
     _refresh_blooms(table, spec)
 
 

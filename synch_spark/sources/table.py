@@ -343,6 +343,7 @@ class ParquetTable:
         sschema: str | None = None,
         force_ckpt: bool = False,
         data_change: bool = True,
+        op: str | None = None,
     ) -> dict:
         if force_ckpt or snap is None or v % CKPT_EVERY == 0:
             gone = set(remove)
@@ -363,6 +364,8 @@ class ParquetTable:
             }
             if not data_change:
                 e["dc"] = False
+            if op:
+                e["op"] = op
             return e
         e = {"v": v, "type": "delta", "base": v - 1,
              "add": add, "remove": sorted(remove)}
@@ -372,6 +375,8 @@ class ParquetTable:
             e["sschema"] = sschema
         if not data_change:
             e["dc"] = False
+        if op:
+            e["op"] = op
         return e
 
     def _write_entry(self, entry: dict, cleanup_rels: list[str] | None = None) -> None:
@@ -693,7 +698,8 @@ class ParquetTable:
             raise FileNotFoundError(f"table {self.root} has no committed version")
         snap = self.snapshot(v_old)
         raw = None if ts is None or ts.is_trivial else ts.dumps()
-        entry = self._make_entry(v_old + 1, {}, [], snap, schema_change=raw)
+        entry = self._make_entry(v_old + 1, {}, [], snap, schema_change=raw,
+                                 op="ddl")
         self._write_entry(entry)
 
     def _stamp_gen(self, df: DataFrame, spec: "se.TableSchema | None") -> DataFrame:
@@ -711,6 +717,7 @@ class ParquetTable:
         cluster_by: tuple[str, ...] | None = None,
         expected_base: int | None = None,
         data_change: bool = True,
+        op: str | None = None,
     ) -> None:
         """``cluster_by`` range-partitions + sorts rows on the given key
         before writing, so every data file covers a narrow, mostly
@@ -761,6 +768,7 @@ class ParquetTable:
             sschema=sschema,
             force_ckpt=True,
             data_change=data_change,
+            op=op or ("optimize" if not data_change else "overwrite"),
         )
         self._write_entry(entry, cleanup_rels=rels)
 
@@ -856,7 +864,7 @@ class ParquetTable:
             ):
                 remove.append(rel)
         entry = self._make_entry(
-            v_old + 1, {r: {} for r in rels}, remove, snap
+            v_old + 1, {r: {} for r in rels}, remove, snap, op="merge"
         )
         self._write_entry(entry, cleanup_rels=rels)
 
@@ -903,7 +911,8 @@ class ParquetTable:
         rels = self._promote_files(staging)
         live = set(snap.files)
         remove = [r for r in remove_rels if r in live]
-        entry = self._make_entry(v_old + 1, {r: {} for r in rels}, remove, snap)
+        entry = self._make_entry(v_old + 1, {r: {} for r in rels}, remove, snap,
+                                 op="merge")
         self._write_entry(entry, cleanup_rels=rels)
 
     def append(self, df: DataFrame, partition_by: str | None = None) -> None:
@@ -933,7 +942,7 @@ class ParquetTable:
         for attempt in range(8):
             base = self.current_version()
             snap = self.snapshot(base) if base >= 0 else None
-            entry = self._make_entry(base + 1, add, [], snap)
+            entry = self._make_entry(base + 1, add, [], snap, op="append")
             try:
                 self._write_entry(entry)  # no cleanup: rels are reusable
                 return
@@ -1042,6 +1051,7 @@ class ParquetTable:
                 "schema_change": ("schema" in e) if e["type"] == "delta"
                 else None,
                 "data_change": e.get("dc", True),
+                "op": e.get("op"),
                 "committed_at": round(mtime, 3),
             })
         return out
@@ -1121,6 +1131,7 @@ class ParquetTable:
             cur_v + 1, add, remove, head,
             schema_change=target.schema_raw,
             sschema=target.sschema,
+            op="restore",
         )
         self._write_entry(entry, cleanup_rels=copied)
         return cur_v + 1
@@ -1159,6 +1170,7 @@ class ParquetTable:
             schema_change=snap.schema_raw,
             sschema=snap.sschema,
             force_ckpt=True,
+            op="clone",
         )
         dest._write_entry(entry, cleanup_rels=sorted(files))
         return dest

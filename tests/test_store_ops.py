@@ -507,3 +507,83 @@ def test_inflight_restore_copies_survive_concurrent_vacuum(spark, tmp_path):
     entry, cleanup = t._intercepted
     orig_write(t, entry, cleanup)
     assert {r["k"] for r in t.read().filter("v = -1.0").collect()} == set()
+
+
+def test_history_records_operation_provenance(spark, tmp_path):
+    """DESCRIBE HISTORY answers 'who rewrote my table': each commit
+    carries its operation name — overwrite, merge, ddl, append,
+    optimize (dataChange=false), restore."""
+    from synch_spark.ddl import parse_alter
+    from synch_spark.operators.cdc_apply import compact_table
+    from synch_spark.sources import schema_evolution as se
+
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=8)
+    _clustered(spark, t, n=300, files=3)
+    v0 = t.current_version()
+    apply_cdc_batch(t, _events(spark, [("insert", 5, "px", -1.0, 10)]),
+                    SPEC, value_columns=["k", "p", "v"])
+    ts = se.TableSchema.from_struct(t.read().schema)
+    evolved, _ = se.evolve_schema(
+        ts, parse_alter("alter table db.t add column tag varchar(8)"))
+    t.commit_schema(evolved)
+    t.append(spark.createDataFrame([(9000, "ap", 1.0, None)],
+                                   "k long, p string, v double, tag string"))
+    compact_table(t, SPEC)
+    t.restore(t.current_version() - 1)
+
+    ops = {h["version"]: h["op"] for h in t.history()}
+    assert ops[v0 + 1] == "merge"
+    assert ops[v0 + 2] == "ddl"
+    assert ops[v0 + 3] == "append"
+    assert ops[v0 + 4] == "optimize"
+    assert ops[v0 + 5] == "restore"
+
+
+def test_restore_races_merge_without_corruption(spark, tmp_path):
+    """Optimistic concurrency over the new verbs: a restore and a merge
+    racing the same head both land (in some order) under
+    commit_with_retry, versions are distinct, every live file exists,
+    and the final state is exactly one of the two serial orders."""
+    import threading
+
+    from synch_spark.sources.table import commit_with_retry
+
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=8)
+    _clustered(spark, t, n=400, files=4)
+    v0 = t.current_version()
+    apply_cdc_batch(t, _events(spark, [("insert", 5, "px", -1.0, 10)]),
+                    SPEC, value_columns=["k", "p", "v"])
+
+    errs = []
+
+    def do_restore():
+        try:
+            commit_with_retry(lambda: t.restore(v0))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def do_merge():
+        try:
+            apply_cdc_batch(t, _events(spark, [("insert", 42, "rc", 2.0, 20)]),
+                            SPEC, value_columns=["k", "p", "v"])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = [threading.Thread(target=do_restore), threading.Thread(target=do_merge)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+
+    got = _state(t)
+    for rel in t.snapshot().files:
+        assert os.path.exists(t._abs(rel))
+    # serial order A: merge then restore -> v0 state exactly.
+    # serial order B: restore then merge -> v0 state + k42 update.
+    s0 = _state(t, v0)
+    order_a = got == s0
+    order_b = (got.get(42) == ("rc", 2.0)
+               and {k: v for k, v in got.items() if k != 42}
+               == {k: v for k, v in s0.items() if k != 42})
+    assert order_a or order_b, "race produced a state neither order explains"
