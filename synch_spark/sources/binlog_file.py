@@ -864,5 +864,9 @@ def binlog_files_to_raw(
                         columns=[f.name for f in RAW_EVENT_SCHEMA.fields],
                     )
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    # str path/glob or an explicit list of files (the --follow poller
+    # hands over just the newly-completed rotation batch)
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    files = spark.read.format("binaryFile").load(list(paths)).select(
+        "path", "content")
     return files.mapInPandas(decode, RAW_EVENT_SCHEMA)

@@ -725,3 +725,72 @@ def test_cli_changes_follow_loop(tmp_path, capsys, spark):
     got = {(r["r_regionkey"], r["r_name"]) for r in b.read().collect()}
     want = {(r["r_regionkey"], r["r_name"]) for r in t.read().collect()}
     assert got == want and len(got) == 4
+
+
+def test_cli_replay_binlog_follow_ships_on_rotation(tmp_path, capsys, spark):
+    """`replay-binlog --follow`: the active (newest) file is never
+    decoded; each file ships exactly once when a newer file appears;
+    the cursor survives invocations; the shipped events apply."""
+    from synch_spark.sources import binlog_file as B
+    from synch_spark.sources.table import ParquetTable
+    from tests.binlog_builder import BinlogBuilder
+
+    blog = tmp_path / "binlogs"
+    blog.mkdir()
+    cols = [("id", B.T_LONG, 0), ("name", B.T_VARCHAR, 64)]
+
+    def write_file(seq, rows):
+        b = BinlogBuilder()
+        b.table_map(7, "db", "t", cols, names_tlv=True)
+        b.insert(7, *rows)
+        (blog / f"binlog.{seq:06d}").write_bytes(b.bytes())
+
+    write_file(1, [(1, "a"), (2, "b")])
+    write_file(2, [(3, "c")])
+
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "source_format": "parquet",
+            "sources": {},
+            "value_schemas": {"db.t": {
+                "type": "struct", "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "name", "type": "string", "nullable": True,
+                     "metadata": {}},
+                ]}},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+
+    # round 1: file 1 ships (file 2 is active), cursor lands
+    assert main(["--config", str(p), "replay-binlog", "--path", str(blog),
+                 "--follow", "--rounds", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 2 and out["shipped_through"] == "binlog.000001"
+
+    # nothing rotated: nothing ships
+    assert main(["--config", str(p), "replay-binlog", "--path", str(blog),
+                 "--follow", "--rounds", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 0
+
+    # file 3 appears -> file 2 completed -> ships
+    write_file(3, [(4, "d")])
+    assert main(["--config", str(p), "replay-binlog", "--path", str(blog),
+                 "--follow", "--rounds", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 1 and out["shipped_through"] == "binlog.000002"
+    capsys.readouterr()
+
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    t = ParquetTable(spark, str(tmp_path / "wh" / "db" / "t"))
+    got = {(r["id"], r["name"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}  # file 3 not shipped yet
