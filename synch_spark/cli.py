@@ -307,6 +307,8 @@ def cmd_replay_wal(args) -> int:
     raw = _load(args.config)
     _validate_sink(raw, args.sink, "replay-wal")
     spark = get_spark("synch-replay-wal")
+    if args.follow:
+        return _replay_wal_follow(args, spark, raw)
     events = wal2json_to_raw(spark.read.text(args.path))
     events = filter_tables(
         events,
@@ -318,6 +320,78 @@ def cmd_replay_wal(args) -> int:
     basename = f"wal.replay.{_os.path.basename(args.path.rstrip('/'))}"
     n = _emit_to_sink(spark, raw, events, args.sink, basename)
     print(json.dumps({"wal_replay_events": n}))
+    return 0
+
+
+def _replay_wal_follow(args, spark, raw) -> int:
+    """tail -f for a live wal2json dump: ``pg_recvlogical -f FILE``
+    appends one JSON payload per line; poll the file, decode only the
+    COMPLETE lines past the byte-offset cursor (a torn trailing line
+    waits for its newline), emit, checkpoint the offset. This is the
+    no-replication-slot answer to the reference's live PG tail
+    (/root/reference/synch/reader/postgres.py:147-164) with lag = one
+    poll interval — closer than the binlog's one-rotation lag because
+    the wire format is line-delimited text, safe to cut mid-file.
+
+    Each increment is micro-batch sized and enters Spark via a local
+    DataFrame (the same scale class as produce's per-round diff);
+    BACKLOGS should use the plain ``replay-wal`` path, which is a fully
+    distributed text scan. A shrunken file (logrotate cycled the dump)
+    resets the cursor to 0. At-least-once: offset saved after the emit;
+    downstream apply is an idempotent last-wins merge."""
+    import os
+    import time as _time
+    import uuid
+
+    from synch_spark.events import filter_tables, wal2json_to_raw
+
+    cursor = os.path.join(raw["spark"]["checkpoint_dir"],
+                          "wal-replay-cursor.json")
+    os.makedirs(os.path.dirname(cursor), exist_ok=True)
+    offset = 0
+    if os.path.exists(cursor):
+        with open(cursor) as f:
+            doc = json.load(f)
+        if doc.get("path") == args.path:
+            offset = doc["offset"]
+    only_schemas = tuple(args.schema.split(",")) if args.schema else ()
+    only_tables = tuple(args.table.split(",")) if args.table else ()
+    interval = config_from_dict(raw).insert_interval_s
+    for i in range(args.rounds):
+        emitted = 0
+        try:
+            size = os.path.getsize(args.path)
+        except OSError:
+            size = 0
+        if size < offset:
+            offset = 0  # rotated/truncated: new segment
+        if size > offset:
+            with open(args.path, "rb") as f:
+                f.seek(offset)
+                chunk = f.read(size - offset)
+            cut = chunk.rfind(b"\n")
+            if cut >= 0:
+                lines = [
+                    (ln.decode("utf-8", "replace"),)
+                    for ln in chunk[:cut].split(b"\n") if ln.strip()
+                ]
+                if lines:
+                    events = filter_tables(
+                        wal2json_to_raw(
+                            spark.createDataFrame(lines, "value string")),
+                        only_schemas=only_schemas, only_tables=only_tables,
+                    )
+                    emitted = _emit_to_sink(
+                        spark, raw, events, args.sink,
+                        f"wal.follow.{offset}")
+                offset += cut + 1
+                tmp = f"{cursor}.tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    json.dump({"path": args.path, "offset": offset}, f)
+                os.replace(tmp, cursor)
+        print(json.dumps({"round": i, "offset": offset, "events": emitted}))
+        if i + 1 < args.rounds:
+            _time.sleep(interval)
     return 0
 
 
@@ -1140,6 +1214,12 @@ def main(argv=None) -> int:
     )
     rw.add_argument("--schema", help="comma-separated only-schemas filter")
     rw.add_argument("--table", help="comma-separated only-tables filter")
+    rw.add_argument(
+        "--follow", action="store_true",
+        help="tail the dump file: ship complete lines past a byte-offset "
+             "cursor each poll (lag = one poll interval)",
+    )
+    rw.add_argument("--rounds", type=int, default=1_000_000)
     rw.set_defaults(fn=cmd_replay_wal)
     k = sub.add_parser("check", help="count/checksum parity")
     k.add_argument("--checksum", action="store_true")

@@ -794,3 +794,68 @@ def test_cli_replay_binlog_follow_ships_on_rotation(tmp_path, capsys, spark):
     t = ParquetTable(spark, str(tmp_path / "wh" / "db" / "t"))
     got = {(r["id"], r["name"]) for r in t.read().collect()}
     assert got == {(1, "a"), (2, "b"), (3, "c")}  # file 3 not shipped yet
+
+
+def test_cli_replay_wal_follow_tails_complete_lines(tmp_path, capsys, spark):
+    """`replay-wal --follow`: a torn trailing line waits for its
+    newline; completed lines ship exactly once past the byte cursor;
+    consume applies them."""
+    from synch_spark.sources.table import ParquetTable
+
+    dump = tmp_path / "wal.json"
+
+    def payload(rid, name):
+        return ('{"change":[{"kind":"insert","schema":"db","table":"t",'
+                '"columnnames":["id","name"],"columnvalues":['
+                f'{rid},"{name}"' ']}]}')
+
+    # one complete line + one torn line (no trailing newline)
+    dump.write_text(payload(1, "a") + "\n" + payload(2, "b"))
+
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "source_format": "parquet",
+            "sources": {},
+            "value_parse": "string",  # PG wire format carries TEXT values
+            "value_schemas": {"db.t": {
+                "type": "struct", "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "name", "type": "string", "nullable": True,
+                     "metadata": {}},
+                ]}},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+
+    assert main(["--config", str(p), "replay-wal", "--path", str(dump),
+                 "--follow", "--rounds", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 1, "torn line must not ship"
+
+    # complete the torn line and append a third payload
+    with open(dump, "a") as f:
+        f.write("\n" + payload(3, "c") + "\n")
+    assert main(["--config", str(p), "replay-wal", "--path", str(dump),
+                 "--follow", "--rounds", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 2
+
+    # idle poll: nothing new
+    assert main(["--config", str(p), "replay-wal", "--path", str(dump),
+                 "--follow", "--rounds", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 0
+    capsys.readouterr()
+
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    t = ParquetTable(spark, str(tmp_path / "wh" / "db" / "t"))
+    got = {(r["id"], r["name"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
