@@ -56,7 +56,9 @@ def cmd_etl(args) -> int:
     for name, spec in cfg.tables.items():
         if args.schema and spec.schema != args.schema:
             continue
-        if args.table and spec.table != args.table:
+        # reference parity: -t is repeatable there (cli.py:42-44); here
+        # one flag takes a comma-separated list
+        if args.table and spec.table not in args.table.split(","):
             continue
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
             raw["spark"]["sources"][name]
@@ -518,6 +520,25 @@ def cmd_consume(args) -> int:
             k: v for k, v in cfg.tables.items() if v.schema == args.schema
         }
     _resolve_pks(raw, cfg, spark)
+    if args.etl_first:
+        # reference parity: its consume ALWAYS tries a full etl of every
+        # missing table before streaming (ref cli.py:75-77 "try etl
+        # full") so a mid-stream join starts from a complete snapshot.
+        # Opt-in here: spool-based produce already emits the snapshot as
+        # inserts, so the bootstrap only matters for kafka/redis streams
+        # joined mid-topic.
+        warehouse_root = raw["spark"]["warehouse"]
+        for name, spec in cfg.tables.items():
+            src_path = (raw["spark"].get("sources") or {}).get(name)
+            if not src_path:
+                continue
+            tbl = ParquetTable(
+                spark, f"{warehouse_root}/{spec.schema}/{spec.table}",
+                retain=spec.retain)
+            if not tbl.exists:
+                src = spark.read.format(
+                    raw["spark"].get("source_format", "parquet")).load(src_path)
+                etl_full(src, tbl, spec)
     from synch_spark.alerts import configure_alerts
 
     configure_alerts(raw.get("mail"))  # E6: SMTP error channel, opt-in
@@ -1167,6 +1188,12 @@ def main(argv=None) -> int:
         help="reference-parity flag: unparseable events never kill the "
              "stream here — they land in _synch_dead_letter either way "
              "(an inspectable upgrade over the reference's silent skip)",
+    )
+    c.add_argument(
+        "--etl-first", action="store_true",
+        help="full-etl any missing table before streaming (the "
+             "reference's consume always does this; needed when joining "
+             "a kafka/redis stream mid-topic)",
     )
     c.set_defaults(fn=cmd_consume)
     pr = sub.add_parser("produce", help="snapshot-diff polling CDC producer")

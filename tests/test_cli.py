@@ -859,3 +859,48 @@ def test_cli_replay_wal_follow_tails_complete_lines(tmp_path, capsys, spark):
     t = ParquetTable(spark, str(tmp_path / "wh" / "db" / "t"))
     got = {(r["id"], r["name"]) for r in t.read().collect()}
     assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_cli_etl_multi_table_and_consume_etl_first(tmp_path, capsys, spark):
+    """Reference-parity flags: `etl --table a,b` runs several tables
+    (ref -t is repeatable), and `consume --etl-first` bootstraps any
+    missing table from its source before streaming (ref cli.py:75-77)."""
+    from synch_spark.session import read_table
+    from synch_spark.sources.table import ParquetTable
+
+    srcs = {}
+    for t in ("region", "nation"):
+        path = str(tmp_path / f"{t}.parquet")
+        read_table(spark, "/root/testdata/sf0.001", t).write.parquet(path)
+        srcs[f"db.{t}"] = path
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "region", "pk": ["r_regionkey"]},
+            {"table": "nation", "pk": ["n_nationkey"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "source_format": "parquet",
+            "sources": srcs,
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "etl", "--table", "region,nation"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["etl"] == {"db.region": True, "db.nation": True}
+
+    # wipe the warehouse; --etl-first re-bootstraps before draining an
+    # empty broker boundary
+    import shutil as _sh
+
+    _sh.rmtree(tmp_path / "wh")
+    (tmp_path / "events").mkdir(exist_ok=True)
+    assert main(["--config", str(p), "consume", "--available-now",
+                 "--etl-first"]) == 0
+    capsys.readouterr()
+    for t, n in (("region", 5), ("nation", 25)):
+        got = ParquetTable(spark, str(tmp_path / "wh" / "db" / t)).read().count()
+        assert got == n, (t, got)
