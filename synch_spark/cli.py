@@ -764,8 +764,15 @@ def _emit_feed(table, spec, feed_df, sink: str, raw_cfg: dict) -> int:
     from synch_spark.events import changes_to_raw
 
     now_us = int(_time.time() * 1_000_000)
+    sign_col = (
+        spec.sign_column
+        if spec.engine in (Engine.COLLAPSING_MERGE_TREE,
+                           Engine.VERSIONED_COLLAPSING_MERGE_TREE)
+        else None
+    )
     events = changes_to_raw(feed_df, spec.schema, spec.table,
-                            base_unixtime_us=now_us).persist()
+                            base_unixtime_us=now_us,
+                            collapsing_sign_col=sign_col).persist()
     try:
         n = events.count()
         if n == 0:

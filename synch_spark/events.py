@@ -791,6 +791,8 @@ def changes_to_raw(
     schema: str,
     table: str,
     base_unixtime_us: int | None = None,
+    collapsing_sign_col: str | None = None,
+    order_col: str = "_event_unixtime",
 ) -> DataFrame:
     """Render a ``ParquetTable.changes`` feed back into RAW_EVENT_SCHEMA
     rows — the bridge that makes a stored table a REPLICATION SOURCE:
@@ -809,19 +811,43 @@ def changes_to_raw(
     ``_commit_version`` when the feed carries one (changes_per_commit),
     preserving cross-commit order; an endpoint feed has at most one
     logical change per pk, so a single stamp is already unambiguous.
-    Pure Column algebra — O(feed), streamable, no driver loop."""
+    Pure Column algebra — O(feed), streamable, no driver loop.
+
+    ``collapsing_sign_col`` (opt-in; pass the spec's sign column when
+    the SOURCE table is a collapsing engine): collapsing storage holds
+    ±sign rows, and the downstream append derives its sign from the
+    action — so the action must encode the NET multiset delta, not the
+    row's direction in the feed. A shipped +1 row stays ``insert``; a
+    shipped -1 cancel row becomes ``delete`` (downstream appends its
+    own -1); a REMOVED row flips (removing a -1 means re-adding +1 —
+    only endpoint feeds across a compaction ever see removals; the
+    per-commit path skips those dataChange=false hops entirely). The
+    stored ``order_col`` rides out as event_unixtime so downstream
+    arrival-order cancellation replays upstream's order, and neither
+    column leaks into the row image."""
     import time as _time
 
     ct = F.col("_change_type")
-    cols = [c for c in feed.columns
-            if c not in ("_change_type", "_commit_version")]
+    hidden = {"_change_type", "_commit_version"}
+    sign_active = (collapsing_sign_col is not None
+                   and collapsing_sign_col in feed.columns)
+    if sign_active:
+        hidden.add(collapsing_sign_col)
+        if order_col in feed.columns:
+            hidden.add(order_col)
+    cols = [c for c in feed.columns if c not in hidden]
     img = F.to_json(F.struct(*[F.col(c) for c in cols]))
     is_post = ct.isin("insert", "update_postimage")
+    if sign_active:
+        # net downstream sign = (+1 for postimage, -1 for removal) * sign
+        is_post = is_post == (F.col(collapsing_sign_col) >= 0)
     if base_unixtime_us is None:
         base_unixtime_us = int(_time.time() * 1_000_000)
     ts = F.lit(base_unixtime_us).cast("long")
     if "_commit_version" in feed.columns:
         ts = ts + F.col("_commit_version").cast("long")
+    if sign_active and order_col in feed.columns:
+        ts = F.col(order_col).cast("long")
     return feed.select(
         F.lit(schema).alias("schema"),
         F.lit(table).alias("table"),

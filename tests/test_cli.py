@@ -904,3 +904,76 @@ def test_cli_etl_multi_table_and_consume_etl_first(tmp_path, capsys, spark):
     for t, n in (("region", 5), ("nation", 25)):
         got = ParquetTable(spark, str(tmp_path / "wh" / "db" / t)).read().count()
         assert got == n, (t, got)
+
+
+def test_cli_collapsing_table_replication_semantics(tmp_path, capsys, spark):
+    """Collapsing-engine table-to-table replication: ±sign storage rows
+    ship through `changes --follow` with the sign-aware action mapping
+    (a -1 cancel row must arrive as a delete so the downstream append
+    re-derives -1), and the downstream ENGINE VIEW equals upstream's —
+    including a delete that cancels an earlier insert."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import apply_cdc_batch, read_current_state
+    from synch_spark.sources.table import ParquetTable
+
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.COLLAPSING_MERGE_TREE)
+    a = ParquetTable(spark, str(tmp_path / "whA" / "db" / "t"), retain=6)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "action string, k long, v double, event_unixtime long"
+        ).withColumn("action_seq", F.lit(0)) \
+         .withColumn("schema", F.lit("db")).withColumn("table", F.lit("t"))
+
+    apply_cdc_batch(a, batch([("insert", 1, 1.0, 10), ("insert", 2, 2.0, 11)]),
+                    spec, value_columns=["k", "v"])
+    v0 = a.current_version()
+    a.clone(str(tmp_path / "whB" / "db" / "t"))
+
+    # upstream keeps moving: k3 arrives, k1 is deleted (a -1 cancel row)
+    apply_cdc_batch(a, batch([("insert", 3, 3.0, 12)]),
+                    spec, value_columns=["k", "v"])
+    apply_cdc_batch(a, batch([("delete", 1, 1.0, 13)]),
+                    spec, value_columns=["k", "v"])
+
+    def cfg_for(wh):
+        return {
+            "core": {"insert_num": 1000, "insert_interval": 1},
+            "source_dbs": [{"databases": [{"database": "db", "tables": [
+                {"table": "t", "pk": ["k"], "retain": 6,
+                 "clickhouse_engine": "collapsing_merge_tree"}]}]}],
+            "spark": {
+                "warehouse": str(tmp_path / wh),
+                "checkpoint_dir": str(tmp_path / f"ck-{wh}"),
+                "events_dir": str(tmp_path / "ev"),
+                "source_format": "parquet",
+                "sources": {},
+                "value_schemas": {"db.t": {
+                    "type": "struct", "fields": [
+                        {"name": "k", "type": "long", "nullable": True,
+                         "metadata": {}},
+                        {"name": "v", "type": "double", "nullable": True,
+                         "metadata": {}},
+                    ]}},
+            },
+        }
+
+    pa = tmp_path / "a.yaml"
+    pa.write_text(yaml.dump(cfg_for("whA")))
+    assert main(["--config", str(pa), "changes", "--table", "t", "--follow",
+                 "--from", str(v0), "--rounds", "1", "--sink", "spool"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 2  # +1 row for k3, -1 cancel row for k1
+    capsys.readouterr()
+
+    pb = tmp_path / "b.yaml"
+    pb.write_text(yaml.dump(cfg_for("whB")))
+    assert main(["--config", str(pb), "consume", "--available-now"]) == 0
+
+    b = ParquetTable(spark, str(tmp_path / "whB" / "db" / "t"))
+    va = {(r["k"], r["v"]) for r in read_current_state(a, spec).collect()}
+    vb = {(r["k"], r["v"]) for r in read_current_state(b, spec).collect()}
+    assert va == vb == {(2, 2.0), (3, 3.0)}, (va, vb)
