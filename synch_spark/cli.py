@@ -58,7 +58,7 @@ def cmd_etl(args) -> int:
             continue
         # reference parity: -t is repeatable there (cli.py:42-44); here
         # one flag takes a comma-separated list
-        if args.table and spec.table not in args.table.split(","):
+        if args.table and spec.table not in _csv(args.table):
             continue
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
             raw["spark"]["sources"][name]
@@ -211,8 +211,8 @@ def cmd_replay_binlog(args) -> int:
             raise SystemExit(f"--columns wants db.table=c1,c2,... (got {spec!r})")
         db, _, tbl = key.partition(".")
         names[(db, tbl) if tbl else db] = cols.split(",")
-    only_schemas = tuple(args.schema.split(",")) if args.schema else ()
-    only_tables = tuple(args.table.split(",")) if args.table else ()
+    only_schemas = _csv(args.schema)
+    only_tables = _csv(args.table)
     if args.follow:
         return _replay_binlog_follow(args, spark, raw, names,
                                      only_schemas, only_tables)
@@ -251,42 +251,56 @@ def _replay_binlog_follow(args, spark, raw, names, only_schemas,
 
     from synch_spark.sources.binlog_file import binlog_files_to_raw
 
+    import re as _re
+
     if not os.path.isdir(args.path):
         raise SystemExit("replay-binlog --follow wants a binlog DIRECTORY")
     cursor = os.path.join(raw["spark"]["checkpoint_dir"],
                           "binlog-replay-cursor.json")
     os.makedirs(os.path.dirname(cursor), exist_ok=True)
-    last = None
+    last = None  # (numeric seq, filename)
     if os.path.exists(cursor):
         with open(cursor) as f:
-            last = json.load(f)["file"]
+            doc = json.load(f)
+        # cursor is keyed by the watched directory: pointing --follow at
+        # a different dir must start fresh, not silently skip its files
+        if doc.get("path") == args.path:
+            last = (doc["seq"], doc["file"])
     interval = config_from_dict(raw).insert_interval_s
     for i in range(args.rounds):
-        listing = sorted(
-            n for n in os.listdir(args.path)
-            if not n.startswith(".")
-            and os.path.isfile(os.path.join(args.path, n))
-        )
-        completed = listing[:-1]  # newest file is still being written
-        fresh = [n for n in completed if last is None or n > last]
+        # order and compare by the NUMERIC rotation suffix: lexicographic
+        # order breaks at the 6->7 digit rollover (binlog.1000000 <
+        # binlog.999999 as strings), and non-binlog files (mysql-bin.index)
+        # must neither ship nor be mistaken for the active file
+        listing = []
+        for n in os.listdir(args.path):
+            m = _re.search(r"\.(\d+)$", n)
+            if m and not n.startswith(".") and os.path.isfile(
+                    os.path.join(args.path, n)):
+                listing.append((int(m.group(1)), n))
+        listing.sort()
+        completed = listing[:-1]  # highest-seq file is still being written
+        fresh = [e for e in completed if last is None or e[0] > last[0]]
         emitted = 0
         if fresh:
             events = binlog_files_to_raw(
                 spark,
-                [os.path.join(args.path, n) for n in fresh],
+                [os.path.join(args.path, n) for _seq, n in fresh],
                 column_names=names,
                 only_schemas=only_schemas,
                 only_tables=only_tables,
             )
             emitted = _emit_to_sink(
                 spark, raw, events, args.sink,
-                f"binlog.follow.{fresh[-1]}")
+                f"binlog.follow.{fresh[-1][1]}")
             tmp = f"{cursor}.tmp-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
-                json.dump({"file": fresh[-1]}, f)
+                json.dump({"path": args.path, "seq": fresh[-1][0],
+                           "file": fresh[-1][1]}, f)
             os.replace(tmp, cursor)
             last = fresh[-1]
-        print(json.dumps({"round": i, "shipped_through": last,
+        print(json.dumps({"round": i,
+                          "shipped_through": last[1] if last else None,
                           "events": emitted}))
         if i + 1 < args.rounds:
             _time.sleep(interval)
@@ -314,8 +328,8 @@ def cmd_replay_wal(args) -> int:
     events = wal2json_to_raw(spark.read.text(args.path))
     events = filter_tables(
         events,
-        only_schemas=tuple(args.schema.split(",")) if args.schema else (),
-        only_tables=tuple(args.table.split(",")) if args.table else (),
+        only_schemas=_csv(args.schema),
+        only_tables=_csv(args.table),
     )
     import os as _os
 
@@ -350,14 +364,36 @@ def _replay_wal_follow(args, spark, raw) -> int:
     cursor = os.path.join(raw["spark"]["checkpoint_dir"],
                           "wal-replay-cursor.json")
     os.makedirs(os.path.dirname(cursor), exist_ok=True)
+
+    def _head(path: str, length: int) -> str:
+        # identity fingerprint of the current file: a rotation that
+        # REGROWS past the old offset before the next poll would pass a
+        # size check alone; the first CONSUMED bytes distinguish the
+        # segments (only bytes at < the committed offset are hashed —
+        # they are immutable in an append-only dump, so the fingerprint
+        # never drifts as the file grows)
+        if length <= 0:
+            return ""
+        try:
+            with open(path, "rb") as f:
+                import hashlib
+
+                return hashlib.md5(f.read(length)).hexdigest()
+        except OSError:
+            return ""
+
     offset = 0
+    head = None
+    head_len = 0
     if os.path.exists(cursor):
         with open(cursor) as f:
             doc = json.load(f)
         if doc.get("path") == args.path:
             offset = doc["offset"]
-    only_schemas = tuple(args.schema.split(",")) if args.schema else ()
-    only_tables = tuple(args.table.split(",")) if args.table else ()
+            head = doc.get("head")
+            head_len = doc.get("head_len", 0)
+    only_schemas = _csv(args.schema)
+    only_tables = _csv(args.table)
     interval = config_from_dict(raw).insert_interval_s
     for i in range(args.rounds):
         emitted = 0
@@ -365,8 +401,12 @@ def _replay_wal_follow(args, spark, raw) -> int:
             size = os.path.getsize(args.path)
         except OSError:
             size = 0
-        if size < offset:
-            offset = 0  # rotated/truncated: new segment
+        if size < offset or (
+            head and size >= head_len
+            and _head(args.path, head_len) != head
+        ):
+            offset = 0  # rotated/truncated/replaced: new segment
+            head, head_len = None, 0
         if size > offset:
             with open(args.path, "rb") as f:
                 f.seek(offset)
@@ -387,14 +427,25 @@ def _replay_wal_follow(args, spark, raw) -> int:
                         spark, raw, events, args.sink,
                         f"wal.follow.{offset}")
                 offset += cut + 1
+                head_len = min(256, offset)
+                head = _head(args.path, head_len)
                 tmp = f"{cursor}.tmp-{uuid.uuid4().hex[:8]}"
                 with open(tmp, "w") as f:
-                    json.dump({"path": args.path, "offset": offset}, f)
+                    json.dump({"path": args.path, "offset": offset,
+                               "head": head, "head_len": head_len}, f)
                 os.replace(tmp, cursor)
         print(json.dumps({"round": i, "offset": offset, "events": emitted}))
         if i + 1 < args.rounds:
             _time.sleep(interval)
     return 0
+
+
+def _csv(s: str | None) -> tuple[str, ...]:
+    """Comma-list flag parse with whitespace stripping — 'a, b' must
+    mean ['a', 'b'], not silently drop ' b'."""
+    if not s:
+        return ()
+    return tuple(x.strip() for x in s.split(",") if x.strip())
 
 
 def _validate_sink(raw, sink: str, cmd: str) -> None:
@@ -418,6 +469,8 @@ def _emit_to_sink(spark, raw, events, sink: str, basename: str) -> int:
     events = events.persist()
     try:
         n = events.count()
+        if n == 0:
+            return 0  # nothing to ship: no empty spool/broker writes
         if sink == "kafka":
             kconf = raw["spark"]["kafka"]
             produce_to_kafka(
@@ -708,6 +761,8 @@ def cmd_changes(args) -> int:
     traffic); otherwise prints per-change-type counts."""
     from pyspark.sql import functions as F
 
+    if args.sink:
+        _validate_sink(_load(args.config), args.sink, "changes")
     table, spec, name = _one_table(args, "synch-changes")
     if args.follow:
         if not args.sink:
@@ -718,7 +773,7 @@ def cmd_changes(args) -> int:
         print("changes needs --from (or --follow)", file=sys.stderr)
         return 2
     if args.pk:
-        pk = tuple(args.pk.split(","))
+        pk = _csv(args.pk)
     elif spec.engine in (Engine.COLLAPSING_MERGE_TREE,
                          Engine.VERSIONED_COLLAPSING_MERGE_TREE):
         # collapsing storage holds ±sign rows — multiple rows per pk by
@@ -756,11 +811,12 @@ def spark_count(df, out_path: str) -> int:
 
 def _emit_feed(table, spec, feed_df, sink: str, raw_cfg: dict) -> int:
     """Render a change feed as standard events and push it through the
-    broker boundary (the same three sinks produce uses)."""
-    import os
+    broker boundary — ONE sink dispatch for the whole CLI
+    (``_emit_to_sink``); collapsing engines opt into the sign-aware
+    action mapping. Sink config is validated by the caller BEFORE any
+    distributed work (``_validate_sink``)."""
     import time as _time
 
-    from synch_spark.broker import produce_to_kafka, write_event_spool
     from synch_spark.events import changes_to_raw
 
     now_us = int(_time.time() * 1_000_000)
@@ -772,30 +828,9 @@ def _emit_feed(table, spec, feed_df, sink: str, raw_cfg: dict) -> int:
     )
     events = changes_to_raw(feed_df, spec.schema, spec.table,
                             base_unixtime_us=now_us,
-                            collapsing_sign_col=sign_col).persist()
-    try:
-        n = events.count()
-        if n == 0:
-            return 0
-        if sink == "kafka":
-            kconf = raw_cfg["spark"].get("kafka")
-            if not kconf or "bootstrap_servers" not in kconf:
-                raise SystemExit(
-                    "changes --sink kafka needs a spark.kafka config "
-                    "block with bootstrap_servers")
-            produce_to_kafka(events, kconf["bootstrap_servers"],
-                             kconf.get("queue_prefix", "synch"))
-        elif sink == "redis":
-            _redis_broker_from_cfg(table.spark, raw_cfg).produce(events)
-        else:
-            events_dir = raw_cfg["spark"]["events_dir"]
-            os.makedirs(events_dir, exist_ok=True)
-            write_event_spool(
-                events, events_dir,
-                f"{spec.schema}.{spec.table}.changes.{now_us}")
-        return n
-    finally:
-        events.unpersist()
+                            collapsing_sign_col=sign_col)
+    return _emit_to_sink(table.spark, raw_cfg, events, sink,
+                         f"{spec.schema}.{spec.table}.changes.{now_us}")
 
 
 def cmd_changes_follow(args, table, spec, name) -> int:
@@ -808,23 +843,42 @@ def cmd_changes_follow(args, table, spec, name) -> int:
     import os
     import time as _time
 
+    import hashlib
+
     raw_cfg = _load(args.config)
-    cursor = os.path.join(table.root, f"_changes_cursor.{args.sink}.json")
+    # the cursor is per-DESTINATION, not per-sink-kind: two downstream
+    # consumers both using spool (different events_dirs) must each get
+    # the full feed, not share one cursor and starve the second
+    sk = raw_cfg["spark"]
+    dest = {
+        "spool": lambda: sk.get("events_dir"),
+        "kafka": lambda: json.dumps(sk.get("kafka"), sort_keys=True),
+        "redis": lambda: json.dumps(sk.get("redis"), sort_keys=True),
+    }[args.sink]()
+    dest_key = hashlib.md5(f"{args.sink}:{dest}".encode()).hexdigest()[:10]
+    cursor = os.path.join(table.root,
+                          f"_changes_cursor.{args.sink}.{dest_key}.json")
 
     def save_cursor(v: int) -> None:
         import uuid
 
         tmp = f"{cursor}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump({"version": v}, f)
+            json.dump({"version": v, "dest": dest}, f)
         os.replace(tmp, cursor)
 
+    collapsing = spec.engine in (Engine.COLLAPSING_MERGE_TREE,
+                                 Engine.VERSIONED_COLLAPSING_MERGE_TREE)
     last = None
     if os.path.exists(cursor):
+        # an existing cursor wins over --from: it records what the
+        # destination actually received (--from can only seed a FRESH
+        # destination; delete the cursor file to force a rewind)
         with open(cursor) as f:
             last = json.load(f)["version"]
     elif args.v_from is not None:
         last = args.v_from
+        save_cursor(last)
     else:
         # baseline: downstream bootstraps via clone; only NEW commits
         # flow. PERSIST the baseline now — an unsaved one would be
@@ -832,17 +886,23 @@ def cmd_changes_follow(args, table, spec, name) -> int:
         # skipping every commit that landed in between.
         last = table.current_version()
         save_cursor(last)
-    if spec.engine in (Engine.COLLAPSING_MERGE_TREE,
-                       Engine.VERSIONED_COLLAPSING_MERGE_TREE):
+    if args.pk:
+        pk = _csv(args.pk)
+    elif collapsing:
         pk = None  # ±sign storage: multiset feed (see cmd_changes)
     else:
         pk = spec.pk if spec.pk else None
+    # a collapsing compaction is view-preserving but NOT dc-marked (its
+    # fold changes stored rows); shipping it would push O(table)
+    # delete+reinsert churn downstream — skip the hop, views converge
+    skip_ops = ("optimize",) if collapsing else ()
     interval = config_from_dict(raw_cfg).insert_interval_s
     for i in range(args.rounds):
         cur = table.current_version()
         emitted = 0
         if cur > last:
-            feed = table.changes_per_commit(last, cur, pk=pk)
+            feed = table.changes_per_commit(last, cur, pk=pk,
+                                            skip_ops=skip_ops)
             emitted = _emit_feed(table, spec, feed, args.sink, raw_cfg)
             save_cursor(cur)
             last = cur
@@ -969,7 +1029,10 @@ def cmd_index(args) -> int:
         print(f"index {args.name!r} is not declared under spark.indexes",
               file=sys.stderr)
         return 2
-    out = {}
+    # validate EVERY selected declaration before any sync runs: aborting
+    # mid-loop would discard the report of indexes that already advanced
+    # their cursor (real distributed work, invisible to the operator)
+    selected = {}
     for name, d in declared.items():
         if args.name and name != args.name:
             continue
@@ -980,6 +1043,10 @@ def cmd_index(args) -> int:
             print(f"index {name}: source {d['source']} has no configured pk",
                   file=sys.stderr)
             return 2
+        if d.get("kind") not in ("ivf", "lsh"):
+            print(f"index {name}: unknown kind {d.get('kind')!r} "
+                  "(ivf | lsh)", file=sys.stderr)
+            return 2
         table = ParquetTable(
             spark, f"{warehouse}/{src_spec.schema}/{src_spec.table}",
             retain=src_spec.retain)
@@ -987,6 +1054,9 @@ def cmd_index(args) -> int:
             print(f"index {name}: source table {d['source']} not found",
                   file=sys.stderr)
             return 1
+        selected[name] = (d, src_spec, table)
+    out = {}
+    for name, (d, src_spec, table) in selected.items():
         if d.get("kind") == "ivf":
             from synch_spark.operators.vector_index import VectorIndex
 
@@ -1005,10 +1075,6 @@ def cmd_index(args) -> int:
             v = idx.sync_from(table, pk=src_spec.pk[0],
                               text_col=d.get("text_col", "text"),
                               id_col=d.get("id_col", "doc_id"))
-        else:
-            print(f"index {name}: unknown kind {d.get('kind')!r} "
-                  "(ivf | lsh)", file=sys.stderr)
-            return 2
         out[name] = {"synced_to": v}
     print(json.dumps({"indexes": out}))
     return 0

@@ -820,8 +820,12 @@ def changes_to_raw(
     row's direction in the feed. A shipped +1 row stays ``insert``; a
     shipped -1 cancel row becomes ``delete`` (downstream appends its
     own -1); a REMOVED row flips (removing a -1 means re-adding +1 —
-    only endpoint feeds across a compaction ever see removals; the
-    per-commit path skips those dataChange=false hops entirely). The
+    only feeds across a compaction ever see removals — and a COLLAPSING
+    compaction is NOT dc-marked (its fold changes stored rows), so a
+    replication chain should skip it via
+    ``changes_per_commit(skip_ops=("optimize",))``, which is
+    view-preserving; the ``changes --follow`` CLI does exactly that for
+    collapsing sources). The
     stored ``order_col`` rides out as event_unixtime so downstream
     arrival-order cancellation replays upstream's order, and neither
     column leaks into the row image."""

@@ -1282,7 +1282,7 @@ class ParquetTable:
         )
 
     def changes_per_commit(self, v_from: int, v_to: int | None = None,
-                           pk=None) -> DataFrame:
+                           pk=None, skip_ops: tuple = ()) -> DataFrame:
         """``changes`` split per commit, each row stamped with the
         ``_commit_version`` that produced it — the shape an incremental
         consumer checkpoints against (apply commits in order, remember
@@ -1290,13 +1290,27 @@ class ParquetTable:
         commit's own add/remove lists, so the total cost is the sum of
         the per-commit diffs, independent of table size. Commits marked
         row-preserving (``overwrite(data_change=False)`` — compaction,
-        Z-order) are skipped outright: diffing a full re-layout only to
-        watch every row cancel would cost O(table) for an empty hop."""
+        Z-order on merging engines) are skipped outright: diffing a full
+        re-layout only to watch every row cancel would cost O(table)
+        for an empty hop.
+
+        ``skip_ops``: additionally skip commits whose recorded operation
+        name is listed, for consumers that only need VIEW-level
+        semantics. The one real case: a COLLAPSING engine's compaction
+        is data-changing at the storage level (it folds ±sign rows, so
+        it is NOT dc-marked), but the fold is engine-view-preserving —
+        a replication chain that shipped the hop would push O(table)
+        delete+reinsert churn downstream just to re-reach the same
+        view. Pass ("optimize",) there; leave empty for consumers that
+        mirror storage bytes."""
         sto_v = self.snapshot(v_to).version
         out = None
         for v in range(self.snapshot(v_from).version + 1, sto_v + 1):
             try:
-                if self._entry(v).get("dc", True) is False:
+                e = self._entry(v)
+                if e.get("dc", True) is False:
+                    continue
+                if skip_ops and e.get("op") in skip_ops:
                     continue
             except (OSError, json.JSONDecodeError):
                 pass

@@ -977,3 +977,142 @@ def test_cli_collapsing_table_replication_semantics(tmp_path, capsys, spark):
     va = {(r["k"], r["v"]) for r in read_current_state(a, spec).collect()}
     vb = {(r["k"], r["v"]) for r in read_current_state(b, spec).collect()}
     assert va == vb == {(2, 2.0), (3, 3.0)}, (va, vb)
+
+
+def test_cli_replay_binlog_follow_numeric_rollover_and_index_file(tmp_path, capsys, spark):
+    """Rotation ordering is NUMERIC, not lexicographic: binlog.1000000
+    follows binlog.999999 (as strings it sorts before it), and a
+    mysql-bin.index file neither ships nor masquerades as the active
+    file."""
+    from synch_spark.sources import binlog_file as B
+    from tests.binlog_builder import BinlogBuilder
+
+    blog = tmp_path / "binlogs"
+    blog.mkdir()
+    cols = [("id", B.T_LONG, 0), ("name", B.T_VARCHAR, 64)]
+
+    def write_file(name, rows):
+        b = BinlogBuilder()
+        b.table_map(7, "db", "t", cols, names_tlv=True)
+        b.insert(7, *rows)
+        (blog / name).write_bytes(b.bytes())
+
+    write_file("binlog.999999", [(1, "a")])
+    write_file("binlog.1000000", [(2, "b")])  # lexicographically SMALLER
+    (blog / "mysql-bin.index").write_text("binlog.999999\nbinlog.1000000\n")
+
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "source_format": "parquet", "sources": {},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+
+    # 999999 ships; 1000000 is the ACTIVE file (highest numeric seq)
+    assert main(["--config", str(p), "replay-binlog", "--path", str(blog),
+                 "--follow", "--rounds", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 1 and out["shipped_through"] == "binlog.999999"
+
+    # rollover completes: 1000001 appears -> 1000000 ships (post-rollover
+    # files must not be stuck behind the lexicographically-larger cursor)
+    write_file("binlog.1000001", [(3, "c")])
+    assert main(["--config", str(p), "replay-binlog", "--path", str(blog),
+                 "--follow", "--rounds", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 1 and out["shipped_through"] == "binlog.1000000"
+
+
+def test_cli_replay_wal_follow_detects_regrown_rotation(tmp_path, capsys, spark):
+    """logrotate swaps the dump and the NEW file grows past the old
+    offset before the next poll: the head fingerprint must reset the
+    cursor so the new segment ships from byte 0 (a size check alone
+    would resume mid-file and lose its first events)."""
+    dump = tmp_path / "wal.json"
+
+    def payload(rid):
+        return ('{"change":[{"kind":"insert","schema":"db","table":"t",'
+                '"columnnames":["id"],"columnvalues":[' f"{rid}" ']}]}')
+
+    dump.write_text(payload(1) + "\n")
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "source_format": "parquet", "sources": {},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "replay-wal", "--path", str(dump),
+                 "--follow", "--rounds", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 1
+
+    # rotate: NEW segment, already LARGER than the old offset
+    dump.write_text(payload(101) + "\n" + payload(102) + "\n"
+                    + payload(103) + "\n")
+    assert main(["--config", str(p), "replay-wal", "--path", str(dump),
+                 "--follow", "--rounds", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 3, "regrown rotation lost the segment head"
+
+
+def test_cli_changes_follow_cursors_are_per_destination(tmp_path, capsys, spark):
+    """Two downstream consumers on the same sink KIND (different
+    events_dirs) each keep their own cursor — the second must not be
+    starved by the first's position."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+    from synch_spark.session import read_table
+    from synch_spark.sources.table import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "wh" / "db" / "region"), retain=4)
+    region = read_table(spark, "/root/testdata/sf0.001", "region")
+    t.overwrite(region)
+    v0 = t.current_version()
+    spec = TableSpec(schema="db", table="region", pk=("r_regionkey",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    batch = spark.createDataFrame(
+        [("delete", 4, None, None, 1)],
+        "action string, r_regionkey long, r_name string, r_comment string, "
+        "event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")).withColumn("table", F.lit("region"))
+    apply_cdc_batch(t, batch, spec,
+                    value_columns=["r_regionkey", "r_name", "r_comment"])
+
+    def cfg_for(ev):
+        return {
+            "core": {"insert_num": 1000, "insert_interval": 1},
+            "source_dbs": [{"databases": [{"database": "db", "tables": [
+                {"table": "region", "pk": ["r_regionkey"], "retain": 4}]}]}],
+            "spark": {
+                "warehouse": str(tmp_path / "wh"),
+                "checkpoint_dir": str(tmp_path / f"ck-{ev}"),
+                "events_dir": str(tmp_path / ev),
+                "source_format": "parquet", "sources": {},
+            },
+        }
+
+    for ev in ("ev1", "ev2"):
+        pc = tmp_path / f"{ev}.yaml"
+        pc.write_text(yaml.dump(cfg_for(ev)))
+        assert main(["--config", str(pc), "changes", "--table", "region",
+                     "--follow", "--from", str(v0), "--rounds", "1",
+                     "--sink", "spool"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["events"] == 1, f"destination {ev} starved"
