@@ -660,7 +660,7 @@ def cmd_check(args) -> int:
     for name, spec in cfg.tables.items():
         if args.schema and spec.schema != args.schema:
             continue
-        if args.table and spec.table != args.table:
+        if args.table and spec.table not in _csv(args.table):
             continue
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
             raw["spark"]["sources"][name]
@@ -689,7 +689,7 @@ def cmd_history(args) -> int:
     warehouse = raw["spark"]["warehouse"]
     out = {}
     for name, spec in cfg.tables.items():
-        if args.table and spec.table != args.table:
+        if args.table and spec.table not in _csv(args.table):
             continue
         table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
                              retain=spec.retain)
@@ -929,7 +929,7 @@ def cmd_optimize(args) -> int:
     warehouse = raw["spark"]["warehouse"]
     done, skipped = [], []
     for name, spec in cfg.tables.items():
-        if args.table and spec.table != args.table:
+        if args.table and spec.table not in _csv(args.table):
             continue
         table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
                              retain=spec.retain)
@@ -964,7 +964,7 @@ def cmd_repair(args) -> int:
     warehouse = raw["spark"]["warehouse"]
     out = {}
     for name, spec in cfg.tables.items():
-        if args.table and spec.table != args.table:
+        if args.table and spec.table not in _csv(args.table):
             continue
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
             raw["spark"]["sources"][name]
@@ -991,7 +991,7 @@ def cmd_backfill(args) -> int:
     warehouse = raw["spark"]["warehouse"]
     out = {}
     for name, spec in cfg.tables.items():
-        if args.table and spec.table != args.table:
+        if args.table and spec.table not in _csv(args.table):
             continue
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
             raw["spark"]["sources"][name]
