@@ -1043,6 +1043,18 @@ def cmd_index(args) -> int:
             print(f"index {name}: source {d['source']} has no configured pk",
                   file=sys.stderr)
             return 2
+        if len(src_spec.pk) > 1:
+            # sync_from keys the change feed on ONE pk column; feeding
+            # it the first column of a composite pk would cross-product
+            # duplicate values in changes()'s full-outer join and apply
+            # wrong pre/post pairs to the index, silently. The index
+            # id_col is single-valued anyway, so require a single-column
+            # pk source.
+            print(
+                f"index {name}: source {d['source']} has a composite pk "
+                f"{src_spec.pk} — index sync requires a single-column pk "
+                "(the index id_col is single-valued)", file=sys.stderr)
+            return 2
         if d.get("kind") not in ("ivf", "lsh"):
             print(f"index {name}: unknown kind {d.get('kind')!r} "
                   "(ivf | lsh)", file=sys.stderr)

@@ -851,7 +851,21 @@ def changes_to_raw(
     if "_commit_version" in feed.columns:
         ts = ts + F.col("_commit_version").cast("long")
     if sign_active and order_col in feed.columns:
-        ts = F.col(order_col).cast("long")
+        # compact_table resets folded collapsing rows' stamp to 0
+        # (cdc_apply.py fold); shipped as-is, a feed that crosses a
+        # compaction (plain `changes --sink` without --follow, or
+        # per-commit with empty skip_ops) would sort those rows before
+        # ALL previously shipped traffic and lose to stale state under
+        # downstream last-wins ordering. Lift exactly the reset stamps
+        # (<= 0 — no upstream event legitimately stamps the 1970 epoch)
+        # to this ship's base: the fold result IS the newest state, and
+        # folded rows are pk-unique so equal lifted stamps are
+        # unambiguous. Genuine stamps stay untouched so upstream order
+        # still replays (a blanket greatest() would flatten them all).
+        stored = F.col(order_col).cast("long")
+        ts = F.when(
+            stored <= 0, F.lit(base_unixtime_us).cast("long")
+        ).otherwise(stored)
     return feed.select(
         F.lit(schema).alias("schema"),
         F.lit(table).alias("table"),

@@ -247,12 +247,13 @@ class JdbcSink:
             f"ENGINE = Distributed({self.cluster_name},{schema},{table},rand())"
         )
 
-    def _execute(self, statements: list[tuple[str, list]]) -> None:
+    def _execute(self, statements: list[tuple[str, list]],
+                 url: str | None = None) -> None:
         jvm = self.spark.sparkContext._jvm
         props = jvm.java.util.Properties()
         for k, v in self.properties.items():
             props.setProperty(k, v)
-        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        conn = jvm.java.sql.DriverManager.getConnection(url or self.url, props)
         try:
             for sql, params in statements:
                 ps = conn.prepareStatement(sql)
@@ -324,21 +325,32 @@ class JdbcSink:
         Genuine DDL failures (permissions, syntax) still raise."""
         import logging
 
+        # ClickHouse's ON CLUSTER clause propagates the statement from
+        # any one host; without it (cluster_name unset, or a non-
+        # clickhouse dialect pointed at a url list) every shard must
+        # receive the DDL itself — a single randomly-routed ALTER would
+        # leave the other shards on the old schema, and subsequent
+        # randomly-routed inserts would fail or write misaligned columns.
+        if self.cluster_name and self.dialect == "clickhouse":
+            targets = [self.url]
+        else:
+            targets = list(self.urls)
         for sql in alter_statements(self._ddl_table(), ops, self.dialect):
-            try:
-                self._execute([(sql, [])])
-            except Exception as e:  # noqa: BLE001 — classify, then re-raise
-                msg = str(e).lower()
-                if (any(m in msg for m in _IDEMPOTENT_DDL_MARKERS)
-                        and self._table_exists()):
-                    logging.getLogger("synch_spark").warning(
-                        "DDL already applied on %s (replay?): %s",
-                        self.target_table, sql,
-                    )
-                    continue
-                raise
+            for target_url in targets:
+                try:
+                    self._execute([(sql, [])], url=target_url)
+                except Exception as e:  # noqa: BLE001 — classify, re-raise
+                    msg = str(e).lower()
+                    if (any(m in msg for m in _IDEMPOTENT_DDL_MARKERS)
+                            and self._table_exists(url=target_url)):
+                        logging.getLogger("synch_spark").warning(
+                            "DDL already applied on %s via %s (replay?): %s",
+                            self.target_table, target_url, sql,
+                        )
+                        continue
+                    raise
 
-    def _table_exists(self) -> bool:
+    def _table_exists(self, url: str | None = None) -> bool:
         """Probe the target with a zero-row SELECT — a missing or
         mistyped target_table must surface as a hard DDL failure, never
         be misread as an idempotent replay.
@@ -353,7 +365,9 @@ class JdbcSink:
         for k, v in self.properties.items():
             props.setProperty(k, v)
         try:
-            conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+            conn = jvm.java.sql.DriverManager.getConnection(
+                url or self.url, props
+            )
             try:
                 ps = conn.prepareStatement(
                     f"SELECT * FROM {self.target_table} WHERE 1=0"

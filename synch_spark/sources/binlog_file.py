@@ -113,11 +113,14 @@ T_GEOMETRY = 0xFF
 
 MAGIC = b"\xfebin"
 
-# optional-metadata TLV types (8.0, binlog_row_metadata=FULL)
+# optional-metadata TLV types (8.0, binlog_row_metadata=FULL).
+# Per libbinlogevents rows_event.h Optional_metadata_field_type:
+# SIGNEDNESS=1, DEFAULT_CHARSET=2, COLUMN_CHARSET=3, COLUMN_NAME=4,
+# SET_STR_VALUE=5, ENUM_STR_VALUE=6 (SET before ENUM — easy to swap).
 _TLV_SIGNEDNESS = 1
 _TLV_COLUMN_NAME = 4
-_TLV_ENUM_STR_VALUE = 5
-_TLV_SET_STR_VALUE = 6
+_TLV_SET_STR_VALUE = 5
+_TLV_ENUM_STR_VALUE = 6
 
 
 class BinlogFormatError(ValueError):

@@ -296,7 +296,7 @@ class ParquetTable:
             files.update(e.get("add", {}))
             if "schema" in e:
                 schema_raw = e["schema"]
-            if e.get("sschema"):
+            if "sschema" in e:  # present-but-None = explicit reset
                 sschema = e["sschema"]
         snap = Snapshot(v, files, schema_raw, sschema)
         if len(self._snap_cache) >= 4:  # bounded: current + a few pinned
@@ -340,7 +340,7 @@ class ParquetTable:
         remove: list[str],
         snap: Snapshot | None,
         schema_change=_UNSET,
-        sschema: str | None = None,
+        sschema=_UNSET,
         force_ckpt: bool = False,
         data_change: bool = True,
         op: str | None = None,
@@ -360,7 +360,8 @@ class ParquetTable:
                 "v": v, "type": "ckpt", "files": files,
                 "remove": sorted(remove),
                 "schema": schema_raw,
-                "sschema": sschema or (snap.sschema if snap else None),
+                "sschema": (sschema if sschema is not _UNSET
+                            else (snap.sschema if snap else None)),
             }
             if not data_change:
                 e["dc"] = False
@@ -371,7 +372,10 @@ class ParquetTable:
              "add": add, "remove": sorted(remove)}
         if schema_change is not _UNSET:
             e["schema"] = schema_change
-        if sschema:
+        if sschema is not _UNSET:
+            # an explicit None REINSTATES the no-physical-schema state
+            # (restore to a pre-sschema version); replay distinguishes
+            # "key present, None" from "key absent" below
             e["sschema"] = sschema
         if not data_change:
             e["dc"] = False

@@ -71,9 +71,12 @@ class BinlogBuilder:
     def table_map(self, table_id: int, db: str, table: str, columns,
                   names_tlv: bool = False, unsigned: tuple[int, ...] = (),
                   enum_strs: dict | None = None,
-                  set_strs: dict | None = None) -> None:
+                  set_strs: dict | None = None,
+                  extra_tlvs: bytes = b"") -> None:
         """columns: list of (name, type_code, meta). ``unsigned`` lists
-        column indices flagged UNSIGNED via the SIGNEDNESS TLV."""
+        column indices flagged UNSIGNED via the SIGNEDNESS TLV.
+        ``extra_tlvs`` is appended raw after the builder-encoded TLVs so
+        tests can pin the wire layout with hand-written bytes."""
         body = table_id.to_bytes(6, "little") + struct.pack("<H", 1)
         body += bytes([len(db)]) + db.encode() + b"\x00"
         body += bytes([len(table)]) + table.encode() + b"\x00"
@@ -98,9 +101,10 @@ class BinlogBuilder:
             body += bytes([4]) + _lenenc(len(val)) + val  # COLUMN_NAME
         if enum_strs or set_strs:
             # binlog_row_metadata=FULL member strings: one group per
-            # ENUM (resp. SET) column in column order
-            for ttype, real, groups in ((5, B.T_ENUM, enum_strs or {}),
-                                        (6, B.T_SET, set_strs or {})):
+            # SET (resp. ENUM) column in column order; per rows_event.h
+            # SET_STR_VALUE=5, ENUM_STR_VALUE=6
+            for ttype, real, groups in ((5, B.T_SET, set_strs or {}),
+                                        (6, B.T_ENUM, enum_strs or {})):
                 targets = [i for i, (_, t, m) in enumerate(columns)
                            if t == B.T_STRING and (m >> 8) == real]
                 if not any(i in groups for i in targets):
@@ -122,6 +126,7 @@ class BinlogBuilder:
                 if i in unsigned:
                     bm[k // 8] |= 0x80 >> (k % 8)  # MSB-first
             body += bytes([1]) + _lenenc(len(bm)) + bytes(bm)  # SIGNEDNESS
+        body += extra_tlvs
         self._event(B.EV_TABLE_MAP, body)
         self._columns = columns
 

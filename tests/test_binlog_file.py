@@ -544,6 +544,34 @@ def test_enum_set_decode_labels_with_full_metadata():
     assert json.loads(ev["after"]) == {"id": 1, "color": 2, "tags": 5}
 
 
+def test_enum_set_tlv_codes_match_mysql_wire_layout():
+    """Pin the real wire layout with HAND-WRITTEN TLV bytes, independent
+    of the builder's encoder (which once mirrored a decoder bug).  Per
+    libbinlogevents rows_event.h Optional_metadata_field_type:
+    SET_STR_VALUE=5 carries the SET columns' member strings and
+    ENUM_STR_VALUE=6 the ENUM columns' — SET first, the reverse of the
+    intuitive order."""
+    cols = [
+        ("id", B.T_LONG, 0),
+        ("color", B.T_STRING, (B.T_ENUM << 8) | 1),
+        ("tags", B.T_STRING, (B.T_SET << 8) | 1),
+    ]
+    # type 5 = SET_STR_VALUE: one group (the single SET column "tags"):
+    # count=3, then lenenc-prefixed "x","y","z"
+    set_val = bytes([3, 1]) + b"x" + bytes([1]) + b"y" + bytes([1]) + b"z"
+    # type 6 = ENUM_STR_VALUE: one group (the single ENUM column "color")
+    enum_val = (bytes([3, 3]) + b"red" + bytes([5]) + b"green"
+                + bytes([4]) + b"blue")
+    raw = (bytes([5, len(set_val)]) + set_val
+           + bytes([6, len(enum_val)]) + enum_val)
+    b = BinlogBuilder()
+    b.table_map(7, "db", "t", cols, names_tlv=True, extra_tlvs=raw)
+    b.insert(7, (1, 2, 0b101))
+    (ev,) = list(B.iter_binlog_events(b.bytes()))
+    after = json.loads(ev["after"])
+    assert after == {"id": 1, "color": "green", "tags": "x,z"}
+
+
 def test_geometry_column_passes_through_as_bytes():
     """GEOMETRY binlogs like a blob (SRID+WKB); the decoder passes the
     bytes through (base64 in the JSON image) instead of raising."""

@@ -655,6 +655,43 @@ def test_cli_index_sync_from_change_feed(tmp_path, capsys, spark):
     assert idx.signatures.read().filter("id = 7").count() == 0
 
 
+def test_cli_index_sync_rejects_composite_pk_source(tmp_path, capsys, spark):
+    """sync_from keys the change feed on ONE pk column; a composite-pk
+    source would cross-product duplicate first-column values in the
+    feed's full-outer join and corrupt the index silently — the CLI
+    must refuse upfront, before any distributed work."""
+    from synch_spark.session import read_table
+    from synch_spark.sources.table import ParquetTable
+
+    wh = tmp_path / "wh"
+    t = ParquetTable(spark, str(wh / "db" / "documents"), retain=4)
+    t.overwrite(read_table(spark, "/root/testdata/sf0.001", "documents")
+                .select("doc_id", "text").limit(10))
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "documents", "pk": ["doc_id", "text"], "retain": 4}]}]}],
+        "spark": {
+            "warehouse": str(wh),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "source_format": "parquet",
+            "sources": {},
+            "indexes": {
+                "docs_lsh": {"kind": "lsh", "root": str(tmp_path / "idx"),
+                             "source": "db.documents",
+                             "text_col": "text", "id_col": "doc_id"},
+            },
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "index", "sync"]) == 2
+    err = capsys.readouterr().err
+    assert "composite pk" in err and "single-column" in err
+    import os
+    assert not os.path.exists(tmp_path / "idx"), "refusal must precede work"
+
+
 def test_cli_changes_follow_loop(tmp_path, capsys, spark):
     """`changes --follow`: the standing fan-out loop baselines on first
     run, emits exactly the new commits on later runs, checkpoints its

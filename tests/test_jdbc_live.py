@@ -113,3 +113,29 @@ def test_jdbc_sink_ddl_rename_live_on_derby(spark, tmp_path):
     with pytest.raises(Exception):
         bad.apply_ddl(parse_alter(
             "alter table app.no_such_table change column A B bigint"))
+
+def test_apply_ddl_reaches_every_shard_without_on_cluster(spark, tmp_path):
+    """With a url LIST but no ON CLUSTER propagation (cluster_name unset
+    / non-clickhouse dialect), apply_ddl must execute each ALTER on
+    EVERY host — random per-connection routing would leave the other
+    shards on the old schema and misalign later randomly-routed
+    inserts. Two independent embedded-Derby databases stand in for two
+    shards."""
+    from synch_spark.ddl import parse_alter
+    from synch_spark.sinks.jdbc_sink import JdbcSink
+
+    urls = [f"jdbc:derby:{tmp_path}/shard{i};create=true" for i in (0, 1)]
+    try:
+        for u in urls:
+            _seed(spark, u)
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"embedded Derby unavailable: {str(e).splitlines()[0]}")
+    sink = JdbcSink(spark, urls, "APP.ORDERS", dialect="derby")
+    ops = parse_alter("alter table app.orders add column TAG varchar(16)")
+    sink.apply_ddl(ops)
+    for u in urls:
+        assert "TAG" in set(snapshot_jdbc(spark, u, "APP.ORDERS").columns)
+    # replay converges on every shard too (idempotent markers per-host)
+    sink.apply_ddl(ops)
+    for u in urls:
+        assert "TAG" in set(snapshot_jdbc(spark, u, "APP.ORDERS").columns)

@@ -587,3 +587,66 @@ def test_restore_races_merge_without_corruption(spark, tmp_path):
                and {k: v for k, v in got.items() if k != 42}
                == {k: v for k, v in s0.items() if k != 42})
     assert order_a or order_b, "race produced a state neither order explains"
+
+def test_changes_to_raw_lifts_compaction_reset_stamps(spark, tmp_path):
+    """A collapsing compaction folds stored rows with _event_unixtime=0;
+    a feed that crosses it (plain changes, no skip_ops) must NOT ship
+    stamp 0 — downstream last-wins ordering would lose those rows to
+    all previously shipped traffic. Exactly the reset stamps lift to
+    base_unixtime_us; genuine stamps stay untouched so upstream order
+    still replays."""
+    from synch_spark.events import changes_to_raw
+    from synch_spark.operators.cdc_apply import compact_table
+
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.COLLAPSING_MERGE_TREE)
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=8)
+    apply_cdc_batch(t, _events(spark, [("insert", 1, "a", 1.0, 10),
+                                       ("insert", 2, "a", 2.0, 11)]),
+                    spec, value_columns=["k", "p", "v"])
+    v0 = t.current_version()
+    apply_cdc_batch(t, _events(spark, [("delete", 1, "a", 1.0, 12)]),
+                    spec, value_columns=["k", "p", "v"])
+    compact_table(t, spec)  # folds: k=2 survives with stamp reset to 0
+    apply_cdc_batch(t, _events(spark, [("insert", 3, "a", 3.0, 13)]),
+                    spec, value_columns=["k", "p", "v"])
+
+    base = 1_000_000_000_000_000
+    feed = t.changes(v0, pk="k")
+    raw = changes_to_raw(feed, "db", "t", base_unixtime_us=base,
+                         collapsing_sign_col=spec.sign_column)
+    stamps = [r["event_unixtime"] for r in raw.collect()]
+    assert stamps, "feed crossed the compaction but shipped nothing"
+    assert min(stamps) > 0, f"reset stamp leaked: {sorted(stamps)}"
+    # the folded survivor ships at base; the genuine stamps replay as-is
+    assert base in stamps
+    assert all(s == base or 0 < s < base for s in stamps), sorted(stamps)
+
+def test_restore_reinstates_pre_sschema_state(spark, tmp_path):
+    """Restoring to a version whose physical-schema doc is None (a
+    legacy log written before sschema existed) must reinstate None —
+    not silently leave the head's newer doc in effect. Present-but-None
+    in a delta entry is an explicit reset, distinct from key-absent."""
+    import json as _json
+
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=8)
+    _clustered(spark, t, n=50, files=2)  # v0
+    # simulate the legacy log: strip the sschema key from the v0 ckpt
+    import os as _os
+    p0 = _os.path.join(t._mdir, "v=0.json")
+    e0 = _json.load(open(p0))
+    e0.pop("sschema", None)
+    with open(p0, "w") as f:
+        _json.dump(e0, f)
+
+    t2 = ParquetTable(spark, str(tmp_path / "t"), retain=8)  # fresh cache
+    assert t2.snapshot(0).sschema is None
+    t2.overwrite(spark.range(5).select(
+        F.col("id").alias("k"), F.lit("x").alias("p"),
+        F.lit(1.0).alias("v")))  # v1: carries a NEW sschema doc
+    assert t2.snapshot(1).sschema is not None
+
+    t2.restore(0)
+    head = t2.snapshot(t2.current_version())
+    assert head.sschema is None, "restore left the head's sschema in effect"
+    assert _state(t2) == _state(t2, 0)  # data round-trips too
