@@ -57,6 +57,32 @@ _MDIR = "_v"
 _DATA = "data"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 CKPT_EVERY = 10
+#: restore/clone diffs at or above this many files copy via an executor
+#: fan-out instead of a driver-serial loop
+_COPY_FANOUT_MIN = 64
+
+
+def _copy_one_pool_file(src_root: str, dst_root: str, rel: str,
+                        new_rel: str) -> None:
+    """One pool-file byte copy plus its bloom sidecar — module-level and
+    path-only so executor tasks can run it (no table object in the
+    closure).
+
+    copyfile, NOT copy2: copy2 preserves the SOURCE mtime, and vacuum()
+    judges unreferenced-pool-file liveness by mtime — a restore/clone
+    still in its copy..publish window would look TTL-expired to a
+    concurrent vacuum and be reclaimed mid-flight. A fresh mtime gives
+    the in-flight copy the same grace window every staged write gets."""
+    dst = os.path.join(dst_root, _DATA, new_rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    shutil.copyfile(os.path.join(src_root, _DATA, rel), dst)
+    from synch_spark.sources import bloom as _bloom
+
+    src_sc = _bloom._sidecar(src_root, rel)
+    if os.path.exists(src_sc):
+        dst_sc = _bloom._sidecar(dst_root, new_rel)
+        os.makedirs(os.path.dirname(dst_sc), exist_ok=True)
+        shutil.copyfile(src_sc, dst_sc)
 _UNSET = object()
 
 
@@ -1071,22 +1097,26 @@ class ParquetTable:
         no Spark job); hard links are deliberately not used because the
         data plane must not depend on them (test_no_hard_link_dependence,
         object-storage semantics)."""
-        dst = self._abs(new_rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        # copyfile, NOT copy2: copy2 preserves the SOURCE mtime, and
-        # vacuum() judges unreferenced-pool-file liveness by mtime — a
-        # restore/clone still in its copy..publish window would look
-        # TTL-expired to a concurrent vacuum and be reclaimed mid-flight.
-        # A fresh mtime gives the in-flight copy the same grace window
-        # every staged write gets.
-        shutil.copyfile(os.path.join(src_root, _DATA, rel), dst)
-        from synch_spark.sources import bloom as _bloom
+        _copy_one_pool_file(src_root, self.root, rel, new_rel)
 
-        src_sc = _bloom._sidecar(src_root, rel)
-        if os.path.exists(src_sc):
-            dst_sc = _bloom._sidecar(self.root, new_rel)
-            os.makedirs(os.path.dirname(dst_sc), exist_ok=True)
-            shutil.copyfile(src_sc, dst_sc)
+    def _copy_pool_files(self, src_root: str, pairs: list[tuple]) -> None:
+        """Copy many (rel, new_rel) pool files from ``src_root`` into this
+        table. Small diffs copy in a driver loop (no job overhead); past
+        ``_COPY_FANOUT_MIN`` files the copies fan out over executors —
+        per-file server-side COPYs are independent, and a driver-serial
+        loop over 10^5-file restore/clone diffs would be the one O(files)
+        *serial* path left in the store. Executors reach the same storage
+        the driver does (shared FS locally; object store on a cluster)."""
+        if len(pairs) < _COPY_FANOUT_MIN:
+            for rel, new_rel in pairs:
+                _copy_one_pool_file(src_root, self.root, rel, new_rel)
+            return
+        dst_root = self.root
+        sc = self.spark.sparkContext
+        n = min(len(pairs), sc.defaultParallelism * 2)
+        sc.parallelize(pairs, n).foreach(
+            lambda p: _copy_one_pool_file(src_root, dst_root, p[0], p[1])
+        )
 
     def restore(self, version: int) -> int:
         """Roll the table back to a retained ``version`` as a NEW commit
@@ -1119,17 +1149,18 @@ class ParquetTable:
         if target.version == head.version:
             return cur_v
         add: dict = {}
-        copied: list[str] = []
+        pairs: list[tuple] = []
         for rel in sorted(target.files):
             if rel in head.files:
                 continue
             d, name = os.path.split(rel)
             new_rel = f"{d}/" if d else ""
             new_rel += f"restore-{uuid.uuid4().hex[:12]}-{name}"
-            self._copy_pool_file(self.root, rel, new_rel)
+            pairs.append((rel, new_rel))
             stats = target.files[rel]
             add[new_rel] = dict(stats) if stats else {}
-            copied.append(new_rel)
+        self._copy_pool_files(self.root, pairs)
+        copied = [new_rel for _, new_rel in pairs]
         remove = sorted(r for r in head.files if r not in target.files)
         entry = self._make_entry(
             cur_v + 1, add, remove, head,
@@ -1147,8 +1178,9 @@ class ParquetTable:
         CLONE`` analog for dev/test forks and pre-migration backups.
 
         Per-file byte copies into the clone's own pool (object storage:
-        one server-side COPY per object — no download, no decode, no
-        Spark job), plus ONE checkpoint log entry carrying the source's
+        one server-side COPY per object — no download, no decode; large
+        file sets fan the copies out over executors), plus ONE
+        checkpoint log entry carrying the source's
         per-file stats and schema documents. The clone is fully
         independent afterwards: source commits, retention GC, or vacuum
         never reach into it, and vice versa — which is exactly why the
@@ -1166,9 +1198,9 @@ class ParquetTable:
             )
         files: dict = {}
         for rel in sorted(snap.files):
-            dest._copy_pool_file(self.root, rel, rel)
             stats = snap.files[rel]
             files[rel] = dict(stats) if stats else {}
+        dest._copy_pool_files(self.root, [(r, r) for r in sorted(snap.files)])
         entry = dest._make_entry(
             0, files, [], None,
             schema_change=snap.schema_raw,

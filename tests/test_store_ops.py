@@ -650,3 +650,25 @@ def test_restore_reinstates_pre_sschema_state(spark, tmp_path):
     head = t2.snapshot(t2.current_version())
     assert head.sschema is None, "restore left the head's sschema in effect"
     assert _state(t2) == _state(t2, 0)  # data round-trips too
+
+def test_restore_and_clone_fan_out_copies_over_executors(spark, tmp_path):
+    """Past _COPY_FANOUT_MIN diff files, restore/clone run their pool
+    copies as an executor job instead of a driver-serial loop — the
+    state must round-trip identically through that path (stats, blooms,
+    fresh identities all intact)."""
+    from synch_spark.sources import table as tbl
+
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=8)
+    _clustered(spark, t, n=2000, files=tbl._COPY_FANOUT_MIN + 8)  # v0
+    s0 = _state(t)
+    _clustered(spark, t, n=100, files=2)  # v1 drops all v0 files
+
+    t.restore(0)  # diff > fan-out threshold -> distributed copies
+    assert _state(t) == s0
+    head = t.snapshot(t.current_version())
+    assert len(head.files) >= tbl._COPY_FANOUT_MIN
+    assert all(os.path.exists(t._abs(r)) for r in head.files)
+
+    c = t.clone(str(tmp_path / "c"))  # full snapshot -> distributed too
+    assert _state(c) == s0
+    assert c.current_version() == 0
