@@ -449,6 +449,43 @@ def dedup_by_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame
     return df.join(losers, id_col, "left_anti")
 
 
+def keep_best_representative(
+    df: DataFrame, pairs: DataFrame, id_col: str, score_col: str
+) -> DataFrame:
+    """Quality-aware near-dup collapse: connected components over the
+    candidate pairs, then keep exactly ONE row per cluster — the highest
+    ``score_col`` (ties: lowest id) — annotated with ``cluster_id`` and
+    ``cluster_size``. Rows outside every pair survive as their own
+    singleton cluster.
+
+    This is the keep-best half of the standard web-corpus recipe
+    (RefinedWeb/FineWeb): when near-dups collapse, DROP the low-quality
+    copies and keep the best one — ``dedup_by_clusters`` keeps an
+    arbitrary (min-id) copy instead, which throws away quality signal.
+
+    Scale shape: ``cluster_duplicates`` is O(pairs), orders of magnitude
+    smaller than the corpus; the label join's right side holds only docs
+    that appear in a pair (broadcastable in practice); ranking windows
+    partition by cluster_id — no global sort, no single-partition
+    window."""
+    from pyspark.sql import Window as W
+
+    labels = cluster_duplicates(pairs).withColumnRenamed("id", id_col)
+    labeled = df.join(labels, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    by_cluster = W.partitionBy("cluster_id")
+    return (
+        labeled
+        .withColumn("cluster_size",
+                    F.count(F.lit(1)).over(by_cluster).cast("long"))
+        .withColumn("_rn", F.row_number().over(
+            by_cluster.orderBy(F.col(score_col).desc(), F.col(id_col))))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 # --- SimHash ------------------------------------------------------------
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash per document from distinct-token md5 prefixes.

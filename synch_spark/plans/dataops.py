@@ -617,6 +617,44 @@ FROM comp GROUP BY cluster_id ORDER BY size DESC, cluster_id
 """
 
 
+# --- quality-aware near-dup collapse (keep best per cluster) --------------
+def q123_dedup_keep_best(spark, sf_dir):
+    """The keep-best half of the web-corpus dedup recipe: MinHash-LSH
+    candidates -> connected components -> keep the LONGEST doc per
+    cluster (ties: lowest id), with cluster size annotated. Fully
+    hash-oracled: pairs are the q21 SQL, the closure is q39's recursive
+    CTE, and the representative choice is a deterministic window."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", 8, 4, 3)
+    kept = dedup.keep_best_representative(docs, pairs, "doc_id", "n_chars")
+    return kept.select(
+        "doc_id", "cluster_id", "cluster_size", "n_chars"
+    ).orderBy("cluster_id")
+
+
+Q123_SQL = f"""
+WITH RECURSIVE
+{_LSH_PAIRS_CTE},
+und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(s, n) AS (
+  SELECT DISTINCT a AS s, a AS n FROM und
+  UNION
+  SELECT r.s, u.b FROM reach r JOIN und u ON r.n = u.a),
+comp AS (SELECT s AS id, MIN(n) AS cluster_id FROM reach GROUP BY s),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+ranked AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM lab)
+SELECT doc_id, cluster_id, cluster_size, n_chars
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
 # --- multimodal kernel with a full oracle --------------------------------
 def q105_media_char_histogram(spark, sf_dir):
     """The multimodal decode+featurize kernel (mapInPandas, Arrow
@@ -2480,6 +2518,7 @@ DATAOPS_QUERIES = {
     "q24_ann_lsh": (q24_ann_lsh, None),
     "q25_multimodal_features": (q25_multimodal_features, Q25_SQL),
     "q39_dedup_clusters": (q39_dedup_clusters, Q39_SQL),
+    "q123_dedup_keep_best": (q123_dedup_keep_best, Q123_SQL),
     "q42_ann_ivf": (q42_ann_ivf, None),
     "q98_ann_lsh_exhaustive": (q98_ann_lsh_exhaustive, Q23_SQL),
     "q99_ann_ivf_exhaustive": (q99_ann_ivf_exhaustive, Q23_SQL),

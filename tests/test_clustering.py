@@ -148,3 +148,25 @@ def test_gram_max_df_bounds_hot_gram_fanout(spark):
     # the full vocabulary (hot gram included), jaccard 1/3 pairs pruned
     full = jaccard_pairs(docs, "text", "doc_id", threshold=0.5, n=1)
     assert {(r["a"], r["b"]) for r in full.collect()} == got
+
+def test_keep_best_representative_scores_ties_and_singletons(spark):
+    """keep_best_representative keeps the highest-scoring doc per
+    cluster (ties -> lowest id), labels singletons with their own id,
+    and annotates cluster_size."""
+    from synch_spark.operators.dedup import keep_best_representative
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50),        # cluster {1,2,3}: 2 and 3 tie
+         (10, 7), (11, 9),                 # cluster {10,11}: 11 wins
+         (99, 1)],                         # singleton
+        ["doc_id", "score"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["a", "b"])
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["score"])
+           for r in keep_best_representative(
+               docs, pairs, "doc_id", "score").collect()}
+    assert got == {
+        2: (1, 3, 50),    # highest score, tie broken by lower id vs 3
+        11: (10, 2, 9),
+        99: (99, 1, 1),   # singleton is its own cluster
+    }
