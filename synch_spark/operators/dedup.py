@@ -449,6 +449,59 @@ def dedup_by_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame
     return df.join(losers, id_col, "left_anti")
 
 
+def exact_span_contamination(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe_id_col: str,
+    probe_col: str,
+    anchor_n: int = 3,
+) -> DataFrame:
+    """(doc, probe) pairs where the document's token sequence contains
+    the probe's FULL token sequence — exact-match decontamination (the
+    GPT-3-style hygiene pass: remove training docs that contain an eval
+    example verbatim), as opposed to the any-shared-n-gram heuristic
+    (``q68``-style), which over-flags on one colliding gram.
+
+    Plan shape: never a contains() cross-join (O(corpus x probes) at
+    100 TB). The probe's first ``anchor_n`` tokens form an ANCHOR gram;
+    the corpus' distinct anchor_n-gram inverted index equi-joins against
+    the (small, broadcastable) anchor set to produce candidates, and
+    only candidates run the boundary-guarded substring confirm on
+    normalized text. The anchor filter is lossless: a doc containing
+    the probe's token sequence necessarily contains its first
+    ``anchor_n`` tokens as one consecutive gram. Probes shorter than
+    ``anchor_n`` tokens are dropped (they cannot anchor; eval spans
+    are longer in practice)."""
+    from synch_spark.operators.text import tokens
+
+    ptoks = tokens(probe_col)
+    probe_tbl = probes.filter(F.size(ptoks) >= anchor_n).select(
+        F.col(probe_id_col).alias("_pid"),
+        F.concat_ws(" ", ptoks).alias("_pnorm"),
+        F.concat_ws(" ", F.slice(ptoks, 1, anchor_n)).alias("_anchor"),
+    )
+    index = shingles(df, text_col, id_col, n=anchor_n)  # (id, shingle)
+    cands = index.join(
+        F.broadcast(probe_tbl), index.shingle == probe_tbl._anchor
+    ).select("id", "_pid", "_pnorm")
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        F.concat_ws(" ", tokens(text_col)).alias("_norm"),
+    )
+    return (
+        cands.join(norm, "id")
+        .filter(
+            F.contains(
+                F.concat(F.lit(" "), F.col("_norm"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("_pnorm"), F.lit(" ")),
+            )
+        )
+        .select(F.col("id").alias(id_col), F.col("_pid").alias(probe_id_col))
+    )
+
+
 def keep_best_representative(
     df: DataFrame, pairs: DataFrame, id_col: str, score_col: str
 ) -> DataFrame:

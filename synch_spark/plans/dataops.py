@@ -655,6 +655,50 @@ FROM ranked WHERE rn = 1 ORDER BY cluster_id
 """
 
 
+# --- exact-span decontamination --------------------------------------------
+def q124_exact_decontamination(spark, sf_dir):
+    """Exact-match decontamination: training docs whose token sequence
+    contains an eval span VERBATIM (8 consecutive tokens lifted from
+    every doc_id % 37 == 0 document stand in for the eval suite). The
+    any-shared-n-gram check (q68) over-flags on one colliding gram;
+    this is the exact-containment complement. Anchor-gram inverted
+    index + broadcast probe set + candidate-only substring confirm —
+    never a contains() cross-join."""
+    from synch_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    w = tokens("text")
+    probes = docs.filter(
+        (F.col("doc_id") % 37 == 0) & (F.size(w) >= 13)
+    ).select(
+        F.col("doc_id").alias("probe_id"),
+        F.concat_ws(" ", F.slice(w, 6, 8)).alias("span"),
+    )
+    hits = dedup.exact_span_contamination(
+        docs, probes, "doc_id", "text", "probe_id", "span", anchor_n=3
+    )
+    # keep self-matches (a probe trivially matches its source doc) but
+    # annotate them: every probe then contributes a guaranteed row that
+    # hash-gates the tokenize -> anchor -> boundary-confirm chain, while
+    # is_self=false rows are the genuine contamination a cleaner drops
+    return hits.withColumn(
+        "is_self", F.col("doc_id") == F.col("probe_id")
+    ).orderBy("doc_id", "probe_id")
+
+
+Q124_SQL = rf"""
+WITH t AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
+probes AS (
+  SELECT doc_id AS probe_id,
+         array_to_string(list_slice(w, 6, 13), ' ') AS span
+  FROM t WHERE doc_id % 37 = 0 AND len(w) >= 13),
+norm AS (SELECT doc_id, ' ' || array_to_string(w, ' ') || ' ' AS nt FROM t)
+SELECT n.doc_id, p.probe_id, n.doc_id = p.probe_id AS is_self
+FROM norm n JOIN probes p ON contains(n.nt, ' ' || p.span || ' ')
+ORDER BY doc_id, probe_id
+"""
+
+
 # --- multimodal kernel with a full oracle --------------------------------
 def q105_media_char_histogram(spark, sf_dir):
     """The multimodal decode+featurize kernel (mapInPandas, Arrow
@@ -2519,6 +2563,7 @@ DATAOPS_QUERIES = {
     "q25_multimodal_features": (q25_multimodal_features, Q25_SQL),
     "q39_dedup_clusters": (q39_dedup_clusters, Q39_SQL),
     "q123_dedup_keep_best": (q123_dedup_keep_best, Q123_SQL),
+    "q124_exact_decontamination": (q124_exact_decontamination, Q124_SQL),
     "q42_ann_ivf": (q42_ann_ivf, None),
     "q98_ann_lsh_exhaustive": (q98_ann_lsh_exhaustive, Q23_SQL),
     "q99_ann_ivf_exhaustive": (q99_ann_ivf_exhaustive, Q23_SQL),

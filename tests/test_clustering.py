@@ -170,3 +170,31 @@ def test_keep_best_representative_scores_ties_and_singletons(spark):
         11: (10, 2, 9),
         99: (99, 1, 1),   # singleton is its own cluster
     }
+
+def test_exact_span_contamination_anchor_and_boundaries(spark):
+    """Exact-span confirm semantics: full token-sequence containment
+    only — a shared anchor gram without the full span must NOT flag
+    (the q68-style over-flagging this operator exists to avoid), token
+    boundaries are guarded (no mid-token matches), spans match at doc
+    start/end, and sub-anchor probes drop."""
+    from synch_spark.operators.dedup import exact_span_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),   # contains probe A fully
+         (2, "alpha beta gamma zeta"),            # anchor only -> no flag
+         (3, "x y z alpha beta gamma delta"),     # probe A at doc END
+         (4, "prealpha beta gamma delta blah"),   # boundary: 'prealpha' != 'alpha'
+         (5, "unrelated text entirely here")],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"),  # 4 tokens, anchor = first 3
+         (101, "y z"),                     # < anchor_n -> dropped
+         (102, "unrelated text entirely here")],  # whole-doc span
+        ["probe_id", "span"],
+    )
+    got = {(r["doc_id"], r["probe_id"])
+           for r in exact_span_contamination(
+               docs, probes, "doc_id", "text", "probe_id", "span",
+               anchor_n=3).collect()}
+    assert got == {(1, 100), (3, 100), (5, 102)}, got
