@@ -399,11 +399,14 @@ def _dbz_decimal(df, src: str, dt: T.DecimalType, mode: str = "auto",
     def step(acc, i):
         d = F.conv(F.substring(hx, i, F.lit(1)), 16, 10).cast("int")
         d_eff = F.when(neg, F.lit(15) - d).otherwise(d)
-        # the raw sum type is (39,0); every LEGAL value fits 38 digits
-        # (complemented folds sum to magnitude-1), so the try_cast is
-        # exact — and a payload encoding >= 10^38 nulls out instead of
-        # raising under ANSI
-        return (acc + F.element_at(digit_pow, (ln - i) * 16 + d_eff + 1)).try_cast(D38)
+        # try_add, NOT `+` followed by try_cast: the plain add's ANSI
+        # CheckOverflow throws BEFORE an outer try_cast could null it,
+        # and a payload with magnitude just over 10^38 (top nibble <= 4,
+        # so every table entry is individually legal) reaches exactly
+        # that overflow in a partial sum. try_add nulls it instead —
+        # the over-precision-payload -> NULL contract — and a null acc
+        # propagates through the rest of the fold.
+        return F.try_add(acc, F.element_at(digit_pow, (ln - i) * 16 + d_eff + 1))
 
     total = F.aggregate(
         F.sequence(F.lit(1), ln), F.lit(_d.Decimal(0)).cast(D38), step
@@ -421,7 +424,8 @@ def _dbz_decimal(df, src: str, dt: T.DecimalType, mode: str = "auto",
         t("digits"),
         F.when(
             (n >= 1) & (n <= 16),
-            F.when(neg, (total + 1).try_cast(D38)).otherwise(total)
+            F.when(neg, F.try_add(total, F.lit(_d.Decimal(1)).cast(D38)))
+            .otherwise(total)
             .cast("string"),
         ),
     )

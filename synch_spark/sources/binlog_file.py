@@ -56,10 +56,10 @@ import struct
 from decimal import Decimal
 from typing import Iterator
 
-# same shape as ddl._ALTER_RE: ALTER TABLE [`db`.]`tbl` ...
-_ALTER_TARGET_RE = re.compile(
-    r"^\s*alter\s+table\s+(?:`?(\w+)`?\.)?`?(\w+)`?", re.I | re.S
-)
+# the DDL router and the DDL parser MUST agree on what an ALTER looks
+# like — share ddl's regex (groups 1/2 = schema/table) instead of
+# keeping a copy that could drift when ddl.py's pattern evolves
+from synch_spark.ddl import _ALTER_RE as _ALTER_TARGET_RE
 
 # --- event type codes (binlog v4) ----------------------------------------
 EV_QUERY = 0x02
@@ -72,6 +72,8 @@ EV_DELETE_ROWS_V1 = 0x19
 EV_WRITE_ROWS_V2 = 0x1E
 EV_UPDATE_ROWS_V2 = 0x1F
 EV_DELETE_ROWS_V2 = 0x20
+EV_PARTIAL_UPDATE_ROWS = 0x27  # binlog_row_value_options=PARTIAL_JSON
+EV_TRANSACTION_PAYLOAD = 0x28  # binlog_transaction_compression=ON
 
 _ROWS_WRITE = (EV_WRITE_ROWS_V1, EV_WRITE_ROWS_V2)
 _ROWS_UPDATE = (EV_UPDATE_ROWS_V1, EV_UPDATE_ROWS_V2)
@@ -112,6 +114,10 @@ T_STRING = 0xFE
 T_GEOMETRY = 0xFF
 
 MAGIC = b"\xfebin"
+
+#: max decoded events buffered per pandas batch in binlog_files_to_raw —
+#: bounds per-task memory at O(file + chunk) instead of O(all events)
+_DECODE_CHUNK = 20_000
 
 # optional-metadata TLV types (8.0, binlog_row_metadata=FULL).
 # Per libbinlogevents rows_event.h Optional_metadata_field_type:
@@ -334,11 +340,15 @@ def _decode_value(data: bytes, p: int, ctype: int, meta: int, unsigned: bool,
 
         t = _dt.datetime.fromtimestamp(secs, _dt.timezone.utc).replace(tzinfo=None)
         return _fmt_dt(t.year, t.month, t.day, t.hour, t.minute, t.second, 0, 0), p + 4
-    if ctype == T_TIME:  # legacy 3-byte LE HHMMSS int
-        v = int.from_bytes(data[p : p + 3], "little")
-        h, rem = divmod(v, 10_000)
+    if ctype == T_TIME:  # legacy 3-byte LE HHMMSS int, SIGNED
+        # MySQL TIME ranges -838:59:59..838:59:59; pre-5.6.4 binlogs it
+        # as a signed HHMMSS integer — an unsigned read would turn
+        # -01:00:00 (-10000) into garbage like 1676:72:15
+        v = int.from_bytes(data[p : p + 3], "little", signed=True)
+        sign = "-" if v < 0 else ""
+        h, rem = divmod(abs(v), 10_000)
         mi, s = divmod(rem, 100)
-        return f"{h:02d}:{mi:02d}:{s:02d}", p + 3
+        return f"{sign}{h:02d}:{mi:02d}:{s:02d}", p + 3
     if ctype == T_BIT:
         # table-map metadata is (bits % 8, bits // 8); big-endian read
         # above put the first byte in the high half
@@ -718,6 +728,25 @@ def iter_binlog_events(
             continue
         if checksum:
             body = body[:-checksum]
+        if etype == EV_TRANSACTION_PAYLOAD:
+            # 8.0.20+ binlog_transaction_compression wraps every row/
+            # query event of a transaction inside this one (zstd by
+            # default). Skipping it as framing would silently drop ALL
+            # DML — fail loudly instead (parity note: the reference's
+            # python-mysql-replication tail has the same limitation).
+            raise BinlogFormatError(
+                "TRANSACTION_PAYLOAD event (binlog_transaction_compression"
+                "=ON): compressed-transaction binlogs are not supported — "
+                "re-capture with binlog_transaction_compression=OFF"
+            )
+        if etype == EV_PARTIAL_UPDATE_ROWS:
+            # PARTIAL_JSON updates carry JSON *diffs* in the after-image;
+            # decoding them as full values would corrupt silently
+            raise BinlogFormatError(
+                "PARTIAL_UPDATE_ROWS event (binlog_row_value_options="
+                "PARTIAL_JSON): partial JSON updates are not supported — "
+                "re-capture with binlog_row_value_options=''"
+            )
         if etype == EV_TABLE_MAP:
             table_id, tm = _parse_table_map(body, column_names)
             if (only_schemas and tm.schema not in only_schemas) or (
@@ -737,18 +766,22 @@ def iter_binlog_events(
             sql = body[q:].decode("utf-8", "replace")
             if sql.upper() in ("BEGIN", "COMMIT", "ROLLBACK"):
                 continue  # transaction framing, not DDL
-            if only_schemas and db not in only_schemas:
-                continue
             # the pipeline's DDL barrier routes by (schema, table) and
             # RAW_EVENT_SCHEMA's table field is non-nullable — recover
             # the target from the statement (ALTER TABLE [db.]tbl ...);
-            # statements without one get "" and are skipped downstream
+            # statements without one get "" and are skipped downstream.
+            # Recover BEFORE the schema filter: the statement's own
+            # qualifier wins over the session default database, so
+            # `USE ops; ALTER TABLE app.users ...` filters as 'app',
+            # not 'ops' (and never leaks an out-of-allow-list schema).
             m = _ALTER_TARGET_RE.match(sql)
             tbl = ""
             if m:
                 if m.group(1):
                     db = m.group(1)
                 tbl = m.group(2)
+            if only_schemas and db not in only_schemas:
+                continue
             if only_tables and tbl not in only_tables:
                 continue
             yield {
@@ -788,6 +821,7 @@ def iter_binlog_events(
                 if etype in _ROWS_UPDATE else 0
             )
             while q < len(body):
+                q_before = q
                 img1, q = _read_row_image(body, q, tm, present1, n1)
                 if etype in _ROWS_WRITE:
                     ev = {"action": "insert", "before": None,
@@ -800,6 +834,14 @@ def iter_binlog_events(
                     ev = {"action": "update",
                           "before": json.dumps(img1, default=str),
                           "after": json.dumps(img2, default=str)}
+                if q <= q_before:
+                    # zero-present-bitmap corruption: a row image that
+                    # consumes no bytes would loop forever — fail like
+                    # every other structural-corruption path
+                    raise BinlogFormatError(
+                        f"rows event row image consumed no bytes at "
+                        f"offset {q} (corrupt columns-present bitmap?)"
+                    )
                 ev["schema"] = tm.schema
                 ev["table"] = tm.table
                 ev["event_unixtime"] = ts * 1_000_000 + sub
@@ -852,20 +894,29 @@ def binlog_files_to_raw(
                 # N%100, file N+1's get the next band)
                 m = _re.search(r"(\d+)$", str(r["path"]))
                 sub_base = (int(m.group(1)) % 100) * 10_000 if m else 0
-                rows = list(
-                    iter_binlog_events(
-                        bytes(r["content"]),
-                        column_names=names,
-                        only_schemas=only_schemas,
-                        only_tables=only_tables,
-                        sub_base=sub_base,
-                    )
-                )
-                if rows:
-                    yield pd.DataFrame(
-                        rows,
-                        columns=[f.name for f in RAW_EVENT_SCHEMA.fields],
-                    )
+                cols = [f.name for f in RAW_EVENT_SCHEMA.fields]
+                # stream the decode in bounded chunks: a 1 GB binlog of
+                # small rows expands to tens of millions of per-event
+                # dicts — materializing them all (plus one whole-file
+                # pandas frame) multiplies per-task memory several-fold
+                # past the raw file size. iter_binlog_events is already
+                # a generator and mapInPandas accepts multiple output
+                # batches per input, so per-task memory stays
+                # O(file + chunk).
+                buf: list = []
+                for ev in iter_binlog_events(
+                    bytes(r["content"]),
+                    column_names=names,
+                    only_schemas=only_schemas,
+                    only_tables=only_tables,
+                    sub_base=sub_base,
+                ):
+                    buf.append(ev)
+                    if len(buf) >= _DECODE_CHUNK:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf, columns=cols)
 
     # str path/glob or an explicit list of files (the --follow poller
     # hands over just the newly-completed rotation batch)

@@ -619,3 +619,81 @@ def test_jsonb_roundtrip_property(doc, large):
 
     blob = jsonb_encode(doc, large=large)
     assert B._decode_json_binary(blob) == doc
+
+def test_unsupported_payload_bearing_events_fail_loudly():
+    """TRANSACTION_PAYLOAD (0x28, binlog_transaction_compression) and
+    PARTIAL_UPDATE_ROWS (0x27, PARTIAL_JSON) carry the actual DML —
+    skipping them as framing would be silent data loss. They must raise
+    like every other unsupported-structure path."""
+    import pytest
+
+    for etype, marker in ((0x28, "TRANSACTION_PAYLOAD"),
+                          (0x27, "PARTIAL_UPDATE_ROWS")):
+        b = BinlogBuilder()
+        b._event(etype, b"\x00" * 16)
+        with pytest.raises(B.BinlogFormatError, match=marker):
+            list(B.iter_binlog_events(b.bytes()))
+
+
+def test_query_schema_filter_uses_statement_target_not_session_db():
+    """`USE ops; ALTER TABLE app.users ...` must filter/route by the
+    statement's own qualifier ('app'), not the session default database
+    ('ops') — else cross-schema DDL is dropped or leaks past the
+    allow-list."""
+    def events(only_schemas):
+        b = BinlogBuilder()
+        b.query("ops", "ALTER TABLE app.users ADD COLUMN x int")
+        return list(B.iter_binlog_events(b.bytes(),
+                                         only_schemas=only_schemas))
+
+    got = events(("app",))
+    assert len(got) == 1 and got[0]["schema"] == "app" \
+        and got[0]["table"] == "users"
+    # session db is NOT the target: must not pass an 'ops' allow-list
+    assert events(("ops",)) == []
+
+
+def test_zero_present_bitmap_raises_instead_of_hanging():
+    """A corrupt rows event whose columns-present bitmap has no bits set
+    consumes zero bytes per row image; the decoder must raise, not spin
+    forever in the row loop."""
+    import pytest
+
+    cols = [("id", B.T_LONG, 0)]
+    b = BinlogBuilder()
+    b.table_map(7, "db", "t", cols, names_tlv=True)
+    # hand-built rows body: table_id(6) flags(2) extra_len(2) ncols=1,
+    # all-zero present bitmap, one trailing junk byte to enter the loop
+    body = (7).to_bytes(6, "little") + b"\x00\x00" + b"\x02\x00" \
+        + b"\x01" + b"\x00" + b"\xAA"
+    b._event(B.EV_WRITE_ROWS_V2, body)
+    with pytest.raises(B.BinlogFormatError, match="consumed no bytes"):
+        list(B.iter_binlog_events(b.bytes()))
+
+
+def test_legacy_time_is_signed():
+    """Pre-5.6.4 TIME binlogs as a SIGNED 3-byte HHMMSS int (MySQL TIME
+    ranges to -838:59:59); an unsigned read turns -01:00:00 into
+    1676:72:15-style garbage."""
+    neg = (-10000).to_bytes(3, "little", signed=True)
+    v, p = B._decode_value(neg, 0, B.T_TIME, 0, False)
+    assert (v, p) == ("-01:00:00", 3)
+    pos = (8385959).to_bytes(3, "little", signed=True)
+    v, _ = B._decode_value(pos, 0, B.T_TIME, 0, False)
+    assert v == "838:59:59"
+
+
+def test_binlog_files_to_raw_chunked_decode(spark, tmp_path, monkeypatch):
+    """Per-task memory contract: the decoder yields bounded pandas
+    chunks, and rows crossing chunk boundaries survive intact."""
+    monkeypatch.setattr(B, "_DECODE_CHUNK", 5)
+    cols = [("id", B.T_LONG, 0), ("name", B.T_VARCHAR, 64)]
+    b = BinlogBuilder()
+    b.table_map(7, "db", "t", cols, names_tlv=True)
+    b.insert(7, *[(i, f"r{i}") for i in range(23)])
+    f = tmp_path / "binlog.000001"
+    f.write_bytes(b.bytes())
+    df = B.binlog_files_to_raw(spark, str(f)).collect()
+    assert len(df) == 23
+    got = sorted(json.loads(r["after"])["id"] for r in df)
+    assert got == list(range(23))

@@ -364,3 +364,38 @@ def test_debezium_precise_padded_encodings_decode(spark):
         for i, (u, _w) in enumerate(cases):
             want = Decimal(u).scaleb(-2)
             assert got[i] == want, f"prec={prec} unscaled={u}: {got[i]}"
+
+def test_debezium_precise_decimal_overflow_window_nulls(spark):
+    """Magnitudes just past 10^38 whose 16-byte payload has every
+    digit-power table entry individually legal (top nibble <= 4): the
+    fold's PARTIAL SUM is what overflows, and under ANSI a plain add
+    would kill the micro-batch before any outer try_cast ran. try_add
+    nulls it instead — the over-precision-payload -> NULL contract."""
+    import base64 as _b64
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from synch_spark.events import RAW_EVENT_SCHEMA, parse_values, split_updates
+
+    def b64(unscaled: int) -> str:
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        return _b64.b64encode(
+            unscaled.to_bytes(nbytes, "big", signed=True)).decode()
+
+    bad = [10**38, -(10**38), 10**38 + 12345, int(1.05e38)]
+    good = 10**38 - 1
+    rows = [("db", "t", "insert", None,
+             _json.dumps({"id": i, "amount": b64(u)}), 1000)
+            for i, u in enumerate(bad + [good])]
+    raw = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DecimalType(38, 0)),
+    ])
+    got = {r["id"]: r["amount"] for r in parse_values(
+        split_updates(raw), vschema, debezium_types=True).collect()}
+    for i in range(len(bad)):
+        assert got[i] is None, f"unscaled {bad[i]} must NULL, got {got[i]}"
+    from decimal import Decimal
+    assert got[len(bad)] == Decimal(good), "legal extreme must still decode"
