@@ -92,8 +92,17 @@ def _apply_merging(
     try:
         upserts = net.filter(F.col("action") != "delete").drop("action")
         if not table.exists:
-            table.overwrite(upserts, spec.partition_by)
-            return
+            from synch_spark.sources.table import ConcurrentWriteError
+
+            try:
+                table.overwrite(upserts, spec.partition_by)
+                return
+            except ConcurrentWriteError:
+                # two consumers raced the FIRST batch: the loser falls
+                # through to the normal retried merge cycle against the
+                # table the winner just created, instead of killing the
+                # stream on a one-off bootstrap race
+                pass
 
         def merge_once():
             # anchor the whole read-classify-commit cycle to ONE
@@ -271,7 +280,11 @@ def _classify_files(table, changed_keys, upserts, part, pk):
         upsert_vals: list = []
     else:
         upsert_vals = [r[0] for r in upserts.select(part).distinct().collect()]
-    upsert_strs = {None if v is None else str(v) for v in upsert_vals}
+    from synch_spark.sources.table import _part_str
+
+    # canonical Hive dir-value strings (str(True) != 'true') so bool /
+    # every partition type compares against _partition_dir_value output
+    upsert_strs = {_part_str(v) for v in upsert_vals}
     candidates: list[str] = []
     links: dict[str, list[str]] = {}
     touched: list = list(upsert_vals)
@@ -398,7 +411,6 @@ def compact_table(
     elsewhere; Z-order trades a little pk tightness for usable min/max
     ranges on every listed column — the Delta OPTIMIZE ZORDER trade).
     """
-    state = read_current_state(table, spec)
     # merging engines: the stored rows ARE the final state (every apply
     # path keeps them pk-unique), so compaction is a pure re-layout —
     # mark it dataChange=false and incremental change-feed consumers
@@ -408,12 +420,25 @@ def compact_table(
     row_preserving = spec.engine in (Engine.MERGE_TREE,
                                      Engine.REPLACING_MERGE_TREE)
     if spec.engine in (Engine.COLLAPSING_MERGE_TREE, Engine.VERSIONED_COLLAPSING_MERGE_TREE):
-        cols = table.read().columns
+        # one table.read(): read_current_state would build the same
+        # reconciled-read plan a second time just to recover the stored
+        # column order — inline its collapsing branch over one df
+        df = table.read()
+        cols = df.columns
+        version = (spec.version_column
+                   if spec.engine == Engine.VERSIONED_COLLAPSING_MERGE_TREE
+                   and spec.version_column in cols else None)
+        state = engines.collapsing_view(
+            df, spec.pk, spec.sign_column, version,
+            order_column="_event_unixtime",
+        ).drop(spec.sign_column, "_event_unixtime")
         state = (
             state.withColumn(spec.sign_column, F.lit(1).cast("int"))
             .withColumn("_event_unixtime", F.lit(0).cast("long"))
             .select(*cols)
         )
+    else:
+        state = read_current_state(table, spec)
     if zorder:
         from synch_spark.sources.table import zorder_layout
 
@@ -478,7 +503,7 @@ def maybe_compact(
     return True
 
 
-def register_final_view(spark, table: ParquetTable, spec: TableSpec, name: str | None = None):
+def register_final_view(table: ParquetTable, spec: TableSpec, name: str | None = None):
     """Expose `SELECT * FROM <table>_final` — the FINAL-read convenience
     the reference gets from ClickHouse; here a temp view over the engine
     semantics so downstream SQL needs no knowledge of signs/versions."""

@@ -22,12 +22,45 @@ Delta's per-file stats in the transaction log:
   micro-batch and at compaction. O(new files) footer reads + O(chain)
   small JSON rewrites per refresh.
 
-JSON-safety: exact-stat types (_EXACT_STAT_TYPES) are numeric/boolean
-only, so lo/hi round-trip losslessly (ints stay ints; floats are
-binary64 either side).
+JSON-safety: ints/floats/bools store raw; pyarrow returns DATE /
+TIMESTAMP / DECIMAL footer stats as datetime.date / datetime.datetime /
+decimal.Decimal OBJECTS (logical, not physical values — json.dump would
+TypeError and kill every micro-batch of a temporal-pk table), so those
+encode as a ["d"|"t"|"n", iso/str] tag pair and ``load_manifest``
+decodes them back to the same comparable objects the footer path and
+Spark-collected batch keys use. A value no encoder covers stores the
+whole range as null (bloom/conservative rules) rather than crashing.
 """
 
 from __future__ import annotations
+
+import datetime
+import decimal
+
+
+def _enc_stat(v):
+    """One stat value -> JSON-safe encoding, or raise TypeError."""
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, datetime.datetime):  # before date: datetime IS a date
+        return ["t", v.isoformat()]
+    if isinstance(v, datetime.date):
+        return ["d", v.isoformat()]
+    if isinstance(v, decimal.Decimal):
+        return ["n", str(v)]
+    raise TypeError(f"no JSON-safe stat encoding for {type(v).__name__}")
+
+
+def _dec_stat(v):
+    """Inverse of _enc_stat (raw values pass through)."""
+    if isinstance(v, list) and len(v) == 2 and v[0] in ("t", "d", "n"):
+        tag, s = v
+        if tag == "t":
+            return datetime.datetime.fromisoformat(s)
+        if tag == "d":
+            return datetime.date.fromisoformat(s)
+        return decimal.Decimal(s)
+    return v
 
 
 def load_manifest(table, column: str) -> dict | None:
@@ -41,7 +74,8 @@ def load_manifest(table, column: str) -> dict | None:
     for rel, stats in table.snapshot().files.items():
         if column in stats:
             rng = stats[column]
-            out[rel] = None if rng is None else (rng[0], rng[1])
+            out[rel] = None if rng is None else (
+                _dec_stat(rng[0]), _dec_stat(rng[1]))
     return out
 
 
@@ -63,7 +97,12 @@ def refresh_manifest(table, column: str) -> int:
             rng = file_key_range(table._abs(rel), column)
         except Exception:  # noqa: BLE001 — unreadable footer: statless
             rng = None
-        patch[rel] = {column: None if rng is None else [rng[0], rng[1]]}
+        if rng is not None:
+            try:
+                rng = [_enc_stat(rng[0]), _enc_stat(rng[1])]
+            except TypeError:
+                rng = None  # unencodable stat type: store "not exact"
+        patch[rel] = {column: rng}
     if patch:
         table.patch_entry_stats(patch)
     return len(patch)

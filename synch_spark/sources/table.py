@@ -125,12 +125,28 @@ def _partition_dir_value(dirname: str) -> str | None:
     return None if raw == _HIVE_NULL else unquote(raw)
 
 
+def _part_str(v) -> str | None:
+    """Canonical partition-VALUE string matching Spark's Hive dir
+    encoding (post-unquote). Plain str() is WRONG for booleans — Python
+    renders 'True' where the directory says 'true', so a touched
+    boolean partition would never match its own dir name and CoW
+    removal would silently skip it (duplicate / resurrected rows)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 # physical types whose footer min/max are exact values. BYTE_ARRAY
 # (strings/binary) is excluded on purpose: parquet writers may TRUNCATE
 # string statistics, and a truncated max is a *prefix* that understates
 # the true max — pruning on it could skip a file that does contain a
-# batch key (lost update). Numeric/temporal stats are always exact.
-_EXACT_STAT_TYPES = {"INT32", "INT64", "INT96", "FLOAT", "DOUBLE", "BOOLEAN"}
+# batch key (lost update). INT96 is excluded too: its min/max has no
+# defined sort order (PARQUET-1065 — legacy writers compared the raw
+# bytes, which is not chronological), so trusting it could also prune
+# a file that holds the key. Remaining numeric stats are always exact.
+_EXACT_STAT_TYPES = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
 
 
 def file_key_range(path: str, column: str):
@@ -182,16 +198,39 @@ def zorder_layout(
     would want a rank-based normalization (ntile) instead.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as _T
 
     from synch_spark.functions import interleave_bits
+
+    def znum(c: str) -> "F.Column":
+        """Ordered numeric projection of a zorder column. Explicit per
+        type: under ANSI a DATE fails cast('double') at analysis and a
+        non-numeric STRING throws CAST_INVALID_INPUT at runtime — and a
+        hypothetical all-NULL projection would silently dump the whole
+        table into ONE range partition (jumbo single-threaded file,
+        zero skipping). Temporals map through their epoch integers;
+        strings are rejected loudly (no castable linear domain)."""
+        dt = df.schema[c].dataType
+        if isinstance(dt, _T.DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        if isinstance(dt, _T.TimestampType):
+            return F.unix_micros(F.col(c)).cast("double")
+        if isinstance(dt, _T.TimestampNTZType):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        if isinstance(dt, (_T.NumericType, _T.BooleanType)):
+            return F.col(c).cast("double")
+        raise ValueError(
+            f"zorder column {c!r} has type {dt.simpleString()}: Z-order "
+            "needs a numeric/temporal/boolean column"
+        )
 
     # the interleaved key must fit a signed long (interleave_bits raises
     # past 63 bit positions) — clamp per-column resolution for wide column
     # sets rather than fail; resolution loss only coarsens the curve
     bits = min(bits, 63 // len(cols))
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
+        *[F.min(znum(c)).alias(f"_mn_{c}") for c in cols],
+        *[F.max(znum(c)).alias(f"_mx_{c}") for c in cols],
     ).collect()[0]
     top = float(2**bits - 1)
     scaled = []
@@ -199,7 +238,7 @@ def zorder_layout(
         mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
         span = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
         scaled.append(
-            F.round((F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span) * top)
+            F.round((znum(c) - F.lit(mn or 0.0)) / F.lit(span) * top)
             .cast("long")
         )
     # materialize scaled values as attributes before interleaving: each is
@@ -882,7 +921,7 @@ class ParquetTable:
             for files in (file_links or {}).values()
             for p in files
         }
-        touched = {None if v is None else str(v) for v in touched_values}
+        touched = {_part_str(v) for v in touched_values}
         prefix = f"{partition_by}="
         remove = []
         for rel in snap.files:
@@ -959,8 +998,13 @@ class ParquetTable:
 
         v = self.current_version()
         if v < 0:
-            self.overwrite(df, partition_by)
-            return
+            try:
+                self.overwrite(df, partition_by)
+                return
+            except ConcurrentWriteError:
+                # another writer created version 0 between the check and
+                # the commit — append against the now-existing table
+                v = self.current_version()
         df = self._stamp_gen(df, self.snapshot(v).schema_doc)
         staging = self._staging_dir()
         writer = df.write.mode("overwrite")
@@ -1006,19 +1050,29 @@ class ParquetTable:
 
         removed = 0
         cutoff = time.time() - staging_ttl_s
+        # every stat/remove tolerates a concurrent writer or GC deleting
+        # the path between the listdir and the op — vacuum must finish
+        # its sweep, not crash on the first raced entry
         for name in os.listdir(self.root):
             path = os.path.join(self.root, name)
             if name.startswith(".staging-") and os.path.isdir(path):
-                if os.path.getmtime(path) < cutoff:
+                try:
+                    expired = os.path.getmtime(path) < cutoff
+                except OSError:
+                    continue
+                if expired:
                     shutil.rmtree(path, ignore_errors=True)
                     removed += 1
         if os.path.isdir(self._mdir):
             for name in os.listdir(self._mdir):
                 if name.startswith(".tmp-"):
                     path = os.path.join(self._mdir, name)
-                    if os.path.getmtime(path) < cutoff:
-                        os.remove(path)
-                        removed += 1
+                    try:
+                        if os.path.getmtime(path) < cutoff:
+                            os.remove(path)
+                            removed += 1
+                    except OSError:
+                        continue
         if self.current_version() >= 0 and os.path.isdir(self._data):
             live: set[str] = set()
             for v in self.versions():
@@ -1027,9 +1081,12 @@ class ParquetTable:
                 for n in names:
                     path = os.path.join(dirpath, n)
                     rel = os.path.relpath(path, self._data).replace(os.sep, "/")
-                    if rel not in live and os.path.getmtime(path) < cutoff:
-                        os.remove(path)
-                        removed += 1
+                    try:
+                        if rel not in live and os.path.getmtime(path) < cutoff:
+                            os.remove(path)
+                            removed += 1
+                    except OSError:
+                        continue
         return removed
 
     def history(self) -> list[dict]:
@@ -1045,9 +1102,13 @@ class ParquetTable:
             try:
                 e = self._entry(v)
                 mtime = os.path.getmtime(self._manifest_path(v))
+                # inside the try: a concurrent writer advancing the
+                # retention floor can GC this version's (or its ckpt
+                # chain's) entry between versions() and here — skip it
+                # like any other unreadable version
+                snap = self.snapshot(v)
             except (OSError, json.JSONDecodeError):
                 continue
-            snap = self.snapshot(v)
             if e["type"] == "delta":
                 n_added = len(e.get("add", {}))
             else:
@@ -1340,8 +1401,17 @@ class ParquetTable:
         view. Pass ("optimize",) there; leave empty for consumers that
         mirror storage bytes."""
         sto_v = self.snapshot(v_to).version
+        sfrom_v = self.snapshot(v_from).version
+        if sfrom_v > sto_v:
+            # same contract as changes(): a reversed range is a consumer
+            # checkpoint bug (cursor ahead of the table) — surface it,
+            # never return a well-formed empty feed that lets the cursor
+            # advance past the corruption
+            raise ValueError(
+                f"changes_per_commit: v_from {sfrom_v} > v_to {sto_v}"
+            )
         out = None
-        for v in range(self.snapshot(v_from).version + 1, sto_v + 1):
+        for v in range(sfrom_v + 1, sto_v + 1):
             try:
                 e = self._entry(v)
                 if e.get("dc", True) is False:

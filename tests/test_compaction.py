@@ -94,7 +94,7 @@ def test_register_final_view(spark, tmp_path):
         ("insert", None, {"id": 1, "amount": 1.0, "day": "d1"}, 100),
         ("update", {"id": 1, "amount": 1.0, "day": "d1"}, {"id": 1, "amount": 7.0, "day": "d1"}, 200),
     ]), spec)
-    register_final_view(spark, t, spec)
+    register_final_view(t, spec)
     out = spark.sql("SELECT id, amount FROM tv_final").collect()
     assert [(r["id"], r["amount"]) for r in out] == [(1, 7.0)]
 

@@ -1,0 +1,177 @@
+"""Round-6 review-sweep regressions: manifest stat typing, Hive bool
+partition encoding, bootstrap commit races, zorder domains, INT96."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from synch_spark.config import Engine, TableSpec
+from synch_spark.operators import cdc_apply
+from synch_spark.operators.cdc_apply import apply_cdc_batch
+from synch_spark.sources.table import ConcurrentWriteError, ParquetTable, _part_str
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from synch_spark.session import get_spark
+
+    return get_spark("test-review-r6", cpus=8)
+
+
+def test_part_str_matches_hive_dir_encoding():
+    assert _part_str(True) == "true" and _part_str(False) == "false"
+    assert _part_str(None) is None
+    assert _part_str(7) == "7"
+    assert _part_str(datetime.date(2020, 1, 2)) == "2020-01-02"
+
+
+def test_manifest_survives_date_and_timestamp_pk(spark, tmp_path):
+    """pyarrow returns DATE/TIMESTAMP footer stats as datetime objects;
+    the manifest layer must encode them JSON-safe (the old json.dump
+    crashed every micro-batch of a temporal-pk table) and decode them
+    back to the same comparable objects."""
+    from synch_spark.sources.manifest import load_manifest, refresh_manifest
+
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    t.overwrite(
+        spark.range(100).select(
+            F.date_add(F.lit("2020-01-01").cast("date"),
+                       F.col("id").cast("int")).alias("d"),
+            F.col("id").alias("v"),
+        ).repartitionByRange(4, "d")
+    )
+    n = refresh_manifest(t, "d")  # crashed with TypeError before the fix
+    assert n >= 1
+    man = load_manifest(t, "d")
+    assert man and all(rng is not None for rng in man.values())
+    los = [rng[0] for rng in man.values()]
+    assert all(isinstance(lo, datetime.date) for lo in los)
+    assert min(los) == datetime.date(2020, 1, 1)
+    # the patched stats are really in the log (fresh handle, no cache)
+    t2 = ParquetTable(spark, str(tmp_path / "t"))
+    assert load_manifest(t2, "d") == man
+
+
+def test_bool_partition_merge_probe_path_removes_old_files(spark, tmp_path):
+    """The probe fallback rewrites touched partitions whole; with a
+    BOOLEAN partition column the old touched={'True'} never matched the
+    'is=true' dir, so old files stayed live and every carried-over row
+    duplicated. Force the probe path and assert no duplicates."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE, partition_by="hot")
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    t.overwrite(
+        spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("hot"),
+            F.col("id").cast("double").alias("v")),
+        partition_by="hot",
+    )
+    batch = spark.createDataFrame(
+        [("insert", 0, True, -1.0, 10)],
+        "action string, k long, hot boolean, v double, event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")).withColumn("table", F.lit("t"))
+
+    # force the scan-based probe (the path with no compensating decode)
+    orig = cdc_apply._classify_files
+    cdc_apply._classify_files = lambda *a, **k: None
+    try:
+        apply_cdc_batch(t, batch, spec, value_columns=["k", "hot", "v"])
+    finally:
+        cdc_apply._classify_files = orig
+    rows = t.read().groupBy("k").count().filter("count > 1").collect()
+    assert rows == [], f"duplicated pks after bool-partition merge: {rows}"
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[0] == -1.0 and len(got) == 40
+
+
+def test_first_batch_creation_race_falls_through_to_merge(spark, tmp_path):
+    """Two consumers race the FIRST batch: the loser's bootstrap
+    overwrite raises ConcurrentWriteError and must converge via the
+    normal merge cycle, not kill the stream."""
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    winner = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    seed = spark.createDataFrame([(99, 9.0)], "k long, v double")
+
+    real = t.overwrite
+    calls = {"n": 0}
+
+    def racing(df, partition_by=None, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            winner.overwrite(seed)  # the other consumer lands v0
+            raise ConcurrentWriteError("lost the v0 race (simulated)")
+        return real(df, partition_by, **kw)
+
+    t.overwrite = racing
+    batch = spark.createDataFrame(
+        [("insert", 1, 1.0, 10)],
+        "action string, k long, v double, event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")).withColumn("table", F.lit("t"))
+    apply_cdc_batch(t, batch, spec, value_columns=["k", "v"])  # must not raise
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {99: 9.0, 1: 1.0}, got
+
+
+def test_append_bootstrap_race_falls_through(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    winner = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    real = t.overwrite
+    calls = {"n": 0}
+
+    def racing(df, partition_by=None, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            winner.overwrite(spark.createDataFrame([(99,)], "k long"))
+            raise ConcurrentWriteError("lost the v0 race (simulated)")
+        return real(df, partition_by, **kw)
+
+    t.overwrite = racing
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    assert {r["k"] for r in t.read().collect()} == {99, 1}
+
+
+def test_changes_per_commit_rejects_reversed_range(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    t.overwrite(spark.range(5).select(F.col("id").alias("k")))
+    t.append(spark.createDataFrame([(100,)], "k long"))
+    with pytest.raises(ValueError, match="v_from"):
+        t.changes_per_commit(t.current_version(), 0, pk="k")
+
+
+def test_zorder_temporal_ok_string_rejected(spark):
+    from synch_spark.sources.table import zorder_layout
+
+    df = spark.range(100).select(
+        F.col("id").alias("n"),
+        F.date_add(F.lit("2020-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("d"),
+        F.col("id").cast("string").alias("s"),
+    )
+    # DATE now works (used to fail analysis on cast to double)
+    out = zorder_layout(df, ["n", "d"], num_files=4)
+    assert out.count() == 100
+    with pytest.raises(ValueError, match="zorder column 's'"):
+        zorder_layout(df, ["s"])
+
+
+def test_int96_stats_not_trusted(tmp_path, spark):
+    """INT96 min/max has no defined sort order (PARQUET-1065): even when
+    a legacy writer emits stats, file_key_range must return None rather
+    than prune on them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from synch_spark.sources.table import file_key_range
+
+    p = str(tmp_path / "int96.parquet")
+    tbl = pa.table({"ts": [datetime.datetime(2020, 1, 1),
+                           datetime.datetime(2021, 1, 1)]})
+    pq.write_table(tbl, p, use_deprecated_int96_timestamps=True)
+    assert file_key_range(p, "ts") is None
