@@ -39,6 +39,30 @@ _MODIFY_RE = re.compile(
 )
 _DEFAULT_RE = re.compile(r"default\s+(?:'([^']*)'|(\S+))", re.I)
 
+# clauses that are VALID MySQL ALTER but touch no column data — indexes,
+# constraints, table options, defaults. They must parse to NO op, not be
+# force-fit into a column op: 'ADD INDEX i (c)' would otherwise match
+# _ADD_RE as add_column column='INDEX' type='i' (a spurious string
+# column), and 'DROP INDEX i' would raise and wedge a replaying stream.
+_NOOP_CLAUSE_RE = re.compile(
+    r"^(?:"
+    r"add\s+(?:unique\s+|fulltext\s+|spatial\s+)?(?:index|key)\b"
+    r"|add\s+(?:constraint|primary|foreign|unique|check)\b"
+    r"|drop\s+(?:index|key|constraint|check)\b"
+    r"|drop\s+(?:primary|foreign)\s+key\b"
+    r"|rename\s+(?:index|key)\b"
+    r"|alter\s+(?:column\s+)?`?\w+`?\s+(?:set|drop)\s+default\b"
+    r"|alter\s+(?:index|check|constraint)\b"
+    r"|(?:engine|auto_increment|comment|row_format|algorithm|lock)\s*=?"
+    r"|(?:default\s+)?(?:character\s+set|charset|collate)\b"
+    r"|convert\s+to\b"
+    r"|order\s+by\b"
+    r"|(?:enable|disable)\s+keys\b"
+    r"|force\b"
+    r")",
+    re.I,
+)
+
 
 @dataclass
 class AlterOp:
@@ -78,11 +102,15 @@ def parse_alter(sql: str) -> list[AlterOp]:
             start = i + 1
     clauses.append(body[start:])
     for clause in (c.strip() for c in clauses if c.strip()):
-        ops.append(_parse_clause(schema, table, clause))
+        op = _parse_clause(schema, table, clause)
+        if op is not None:
+            ops.append(op)
     return ops
 
 
-def _parse_clause(schema: str | None, table: str, clause: str) -> AlterOp:
+def _parse_clause(schema: str | None, table: str, clause: str) -> AlterOp | None:
+    if _NOOP_CLAUSE_RE.match(clause):
+        return None  # index/constraint/table-option clause: no column data
     if m := _ADD_RE.match(clause):
         rest = m.group("rest") or ""
         dm = _DEFAULT_RE.search(rest)

@@ -53,16 +53,26 @@ def apply_cdc_batch(
     events: DataFrame,
     spec: TableSpec,
     value_columns: list[str] | None = None,
+    epoch: str | None = None,
 ) -> None:
     """Merge one micro-batch of typed change events into ``table``.
 
     Dispatches on engine: MergeTree/Replacing do compaction + upsert
     merge; Collapsing engines do the append-only sign write.
+
+    ``epoch``: at-least-once replay marker for the APPEND-ONLY paths
+    (collapsing engines, no-pk tables). The pk-keyed merge is naturally
+    idempotent (last-wins per key), but a replayed append would land the
+    same signed rows twice — net sign 2, after which one legitimate
+    delete can never cancel the row. The marker rides in the commit log
+    entry; a replay that finds it in the retained window skips the
+    append. Streaming passes (checkpoint, batch, segment); direct batch
+    callers can leave it None.
     """
     if spec.engine in (Engine.COLLAPSING_MERGE_TREE, Engine.VERSIONED_COLLAPSING_MERGE_TREE):
-        _apply_collapsing(table, events, spec, value_columns)
+        _apply_collapsing(table, events, spec, value_columns, epoch=epoch)
     else:
-        _apply_merging(table, events, spec, value_columns)
+        _apply_merging(table, events, spec, value_columns, epoch=epoch)
 
 
 def _row_cols(events: DataFrame, value_columns: list[str] | None) -> list[str]:
@@ -75,13 +85,14 @@ def _apply_merging(
     events: DataFrame,
     spec: TableSpec,
     value_columns: list[str] | None,
+    epoch: str | None = None,
 ) -> None:
     if not spec.has_pk:
         # no pk: reference skips delete/update and appends inserts only
         # (/root/reference/synch/replication/etl.py:33-35 analog)
         cols = _row_cols(events, value_columns)
         table.append(events.filter(F.col("action") == "insert").select(*cols),
-                     spec.partition_by)
+                     spec.partition_by, epoch=epoch)
         return
 
     pk = spec.pk
@@ -373,13 +384,15 @@ def _apply_collapsing(
     events: DataFrame,
     spec: TableSpec,
     value_columns: list[str] | None,
+    epoch: str | None = None,
 ) -> None:
     """W6: append-only write with sign = +1 insert / -1 delete.
 
     No compaction, no merge — the fastest write path; read-time
     collapsing_view recovers the current state. For the reference's
     exact arrival-order cancellation semantics the event time rides
-    along as a hidden ordering column.
+    along as a hidden ordering column. ``epoch`` (see apply_cdc_batch)
+    makes a micro-batch replay skip the duplicate append.
     """
     cols = _row_cols(events, value_columns)
     signed = events.withColumn(
@@ -388,7 +401,7 @@ def _apply_collapsing(
     )
     out = signed.select(*cols, spec.sign_column,
                         F.col("event_unixtime").alias("_event_unixtime"))
-    table.append(out, spec.partition_by)
+    table.append(out, spec.partition_by, epoch=epoch)
 
 
 def compact_table(

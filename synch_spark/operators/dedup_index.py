@@ -57,11 +57,33 @@ def build_signatures(
         "id", F.col("_p.seed").alias("seed"), F.col("_p.h").alias("h"))
 
 
+def n_band_ids(num_hashes: int = 8, bands: int = 4) -> int:
+    """ACTUAL band-id domain of buckets_of_signatures. band =
+    seed // rows_per_band with rows_per_band = num_hashes // bands, so
+    the domain is ceil(num_hashes / rows_per_band) — which EXCEEDS
+    ``bands`` whenever bands does not divide num_hashes (10 hashes / 4
+    bands -> ids 0..4). Every consumer that enumerates a doc's bucket
+    rows (delete expansion) must use this, not ``bands``, or removed
+    docs leave live rows in the trailing band."""
+    _check_band_config(num_hashes, bands)
+    rows_per_band = num_hashes // bands
+    return (num_hashes + rows_per_band - 1) // rows_per_band
+
+
+def _check_band_config(num_hashes: int, bands: int) -> None:
+    if not (1 <= bands <= num_hashes):
+        raise ValueError(
+            f"bands must satisfy 1 <= bands <= num_hashes "
+            f"(got bands={bands}, num_hashes={num_hashes})"
+        )
+
+
 def buckets_of_signatures(
     sig: DataFrame, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
     """(id, band, bucket) LSH rows derived from signature rows — pure
     column algebra, no text access."""
+    _check_band_config(num_hashes, bands)
     rows_per_band = num_hashes // bands
     return (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
@@ -101,6 +123,7 @@ class DedupIndex:
         bands: int = 4,
         shingle_n: int = 3,
     ):
+        _check_band_config(num_hashes, bands)
         self.spark = spark
         self.table = ParquetTable(spark, f"{root}/buckets")
         self.signatures = ParquetTable(spark, f"{root}/signatures")
@@ -195,8 +218,14 @@ class DedupIndex:
                    if text_col is not None else None)
         seeds = self.spark.range(self.num_hashes).select(
             F.col("id").cast("int").alias("seed"))
-        bands = self.spark.range(self.bands).select(
-            F.col("id").cast("int").alias("band"))
+        # the TRUE band-id domain, not self.bands: with a non-divisible
+        # config (10 hashes / 4 bands) buckets_of_signatures emits band
+        # ids 0..4, and a delete expanded over 0..3 would leave the
+        # trailing band's row live — a removed doc would keep
+        # suppressing its near-dups forever
+        bands = self.spark.range(
+            n_band_ids(self.num_hashes, self.bands)
+        ).select(F.col("id").cast("int").alias("band"))
 
         def _events(ins, del_expanded, cols):
             parts = []
@@ -284,7 +313,17 @@ class DedupIndex:
         shingling, no text. One shuffle keyed on id."""
         sig = self.signatures.read() if self.signatures.exists else None
         if extra_sig is not None:
-            sig = extra_sig if sig is None else sig.unionByName(extra_sig).distinct()
+            if sig is None:
+                sig = extra_sig
+            else:
+                # batch signatures WIN over stored ones for overlapping
+                # ids: a checked batch may re-submit an indexed id with
+                # changed text, and a plain union would keep BOTH h
+                # values per (id, seed) — the avg then runs over mixed
+                # old/new rows and the estimate drifts nondeterministically
+                stored = sig.join(extra_sig.select("id").distinct(),
+                                  "id", "left_anti")
+                sig = stored.unionByName(extra_sig)
         if sig is None:
             raise ValueError(
                 "estimate_jaccard: no signatures available — the index was "

@@ -157,7 +157,8 @@ class MaterializedView:
 
     def refresh_from_batch(self, typed_events: DataFrame,
                            base: DataFrame | None = None,
-                           action_col: str = "action") -> None:
+                           action_col: str = "action",
+                           epoch: str | None = None) -> None:
         """Fold one typed CDC batch (post update-split) into the state.
 
         ``base`` is the CURRENT base table (read AFTER the batch was
@@ -165,7 +166,18 @@ class MaterializedView:
         and the batch contains deletes — the delete-affected groups
         re-aggregate their min/max and re-sketch their HLL from base,
         semi-join-pruned to just those groups.
+
+        ``epoch``: at-least-once replay guard. The delta fold is NOT
+        idempotent — a replayed micro-batch (table merge succeeded, a
+        later step in the same foreachBatch failed) would double-count
+        every group in the batch. The marker rides in the state commit
+        itself (atomic); a replay that finds it in the retained window
+        skips the fold. Same mechanism refresh_from_changes gets from
+        its two-phase cursor.
         """
+        if epoch is not None and self.table.exists \
+                and self.table._epoch_applied(epoch):
+            return
         is_del = F.col(action_col) == "delete"
         sign = F.when(is_del, F.lit(-1)).otherwise(F.lit(1))
         delta = typed_events.groupBy(*self.group_cols).agg(
@@ -229,7 +241,7 @@ class MaterializedView:
                     *[f"{c}_delta" for c in self.sum_cols],
                     *keep, "_had_del",
                 )
-        self.table.overwrite(merged.drop("_had_del"))
+        self.table.overwrite(merged.drop("_had_del"), epoch=epoch)
 
     def full_build(self, base: DataFrame) -> None:
         """Initial build from a table snapshot: every row is one +insert."""
@@ -462,8 +474,10 @@ class JoinMaterializedView:
     # per-FK count/sum partials never need a base-table recompute
     def refresh_from_batch(self, typed_events: DataFrame,
                            base: DataFrame | None = None,
-                           action_col: str = "action") -> None:
-        self.inner.refresh_from_batch(typed_events, action_col=action_col)
+                           action_col: str = "action",
+                           epoch: str | None = None) -> None:
+        self.inner.refresh_from_batch(typed_events, action_col=action_col,
+                                      epoch=epoch)
 
     def refresh_from_changes(self, source_table, pk) -> int:
         """Catch up from the FACT table's change feed (the dim side

@@ -289,6 +289,11 @@ class VectorIndex:
             "probe_id",
             nprobe=nprobe,
         ).select("probe_id", "_pv", "_cid")
+        # eager checkpoint: the probe-assignment plan (centroid broadcast
+        # join + row_number window) is consumed up to three times below
+        # (cids collect, candidate join, finalist join) — materialize it
+        # once, like DedupIndex.check does for its batch signatures
+        pb = pb.localCheckpoint(eager=True)
         # the probed bucket set is tiny -> collect it so the index read
         # prunes to those partitions at plan time
         cids = [r[0] for r in pb.select("_cid").distinct().collect()]

@@ -787,6 +787,7 @@ class ParquetTable:
         expected_base: int | None = None,
         data_change: bool = True,
         op: str | None = None,
+        epoch: str | None = None,
     ) -> None:
         """``cluster_by`` range-partitions + sorts rows on the given key
         before writing, so every data file covers a narrow, mostly
@@ -839,6 +840,8 @@ class ParquetTable:
             data_change=data_change,
             op=op or ("optimize" if not data_change else "overwrite"),
         )
+        if epoch is not None:
+            entry["epoch"] = epoch
         self._write_entry(entry, cleanup_rels=rels)
 
     def partition_files(
@@ -984,7 +987,8 @@ class ParquetTable:
                                  op="merge")
         self._write_entry(entry, cleanup_rels=rels)
 
-    def append(self, df: DataFrame, partition_by: str | None = None) -> None:
+    def append(self, df: DataFrame, partition_by: str | None = None,
+               epoch: str | None = None) -> None:
         """Pure-insert fast path: pool the new files and publish a delta
         entry that only ADDS them. Safe under concurrency by
         construction — an add-only commit conflicts with nothing, so a
@@ -992,14 +996,25 @@ class ParquetTable:
         restaging (the pooled files are reused). Used by the collapsing
         engines' append-only write strategy
         (/root/reference/synch/writer/collapsing_merge_tree.py:37-58 —
-        never deletes, only appends) and the monitor log."""
+        never deletes, only appends) and the monitor log.
+
+        ``epoch``: idempotence marker for at-least-once callers
+        (streaming micro-batch replays). The marker rides in the commit
+        entry; if any RETAINED entry already carries it, this append is
+        a replay of an already-committed batch and becomes a no-op.
+        Append is the one non-idempotent apply path (a replayed merge
+        is last-wins per pk; a replayed append doubles signed rows), so
+        the guard lives here. Replays happen immediately after a crash,
+        well inside the retention window."""
         import random
         import time
 
+        if epoch is not None and self._epoch_applied(epoch):
+            return
         v = self.current_version()
         if v < 0:
             try:
-                self.overwrite(df, partition_by)
+                self.overwrite(df, partition_by, epoch=epoch)
                 return
             except ConcurrentWriteError:
                 # another writer created version 0 between the check and
@@ -1017,6 +1032,8 @@ class ParquetTable:
             base = self.current_version()
             snap = self.snapshot(base) if base >= 0 else None
             entry = self._make_entry(base + 1, add, [], snap, op="append")
+            if epoch is not None:
+                entry["epoch"] = epoch
             try:
                 self._write_entry(entry)  # no cleanup: rels are reusable
                 return
@@ -1088,6 +1105,18 @@ class ParquetTable:
                     except OSError:
                         continue
         return removed
+
+    def _epoch_applied(self, epoch: str) -> bool:
+        """True when any RETAINED log entry carries this idempotence
+        marker — the at-least-once replay detector for append/overwrite
+        callers. O(retained versions) small JSON reads."""
+        for v in self.versions():
+            try:
+                if self._entry(v).get("epoch") == epoch:
+                    return True
+            except (OSError, json.JSONDecodeError):
+                continue
+        return False
 
     def history(self) -> list[dict]:
         """Commit history of the retained window, oldest first — the

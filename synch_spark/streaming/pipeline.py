@@ -142,6 +142,9 @@ class CdcPipeline:
     # text-valued row images (wal2json / PG wire format): parse values
     # as map<string,string> + per-field CAST — see events.parse_values
     string_values: bool = False
+    # tables whose value schema has been reconciled against the stored
+    # table this pipeline lifetime (_restore_evolved_schema)
+    _vschema_synced: set = field(default_factory=set)
 
     def _decimal_mode(self, debezium_types: bool) -> str:
         """Resolve the wire decimal decode for one batch: an explicit
@@ -219,6 +222,15 @@ class CdcPipeline:
                     self.cfg.skip_update_tables,
                 )
             )
+            # a NULL event_unixtime fails BOTH sides of every segment
+            # filter below — with a DDL in the batch the row would apply
+            # nowhere and dead-letter nowhere (silent, timing-dependent
+            # loss); floor it to 0 so it lands in the earliest segment,
+            # consistent with the no-DDL path that applies it
+            data = data.withColumn(
+                "event_unixtime",
+                F.coalesce(F.col("event_unixtime"), F.lit(0).cast("long")),
+            )
             boundaries = [r["event_unixtime"] for r in ddls] + [None]
             lo = None
             for i, hi in enumerate(boundaries):
@@ -227,7 +239,8 @@ class CdcPipeline:
                     seg = seg.filter(F.col("event_unixtime") >= lo)
                 if hi is not None:
                     seg = seg.filter(F.col("event_unixtime") < hi)
-                self._apply_data_segment(seg, debezium_types)
+                self._apply_data_segment(seg, debezium_types,
+                                         epoch_id=epoch_id, segment=i)
                 if hi is not None:
                     self._apply_ddl(ddls[i])
                     lo = hi
@@ -235,7 +248,14 @@ class CdcPipeline:
             raw.unpersist()
 
     def _apply_data_segment(self, seg: DataFrame,
-                            debezium_types: bool = False) -> None:
+                            debezium_types: bool = False,
+                            epoch_id: int | None = None,
+                            segment: int = 0) -> None:
+        # at-least-once replay guard for the NON-idempotent appliers
+        # (collapsing/no-pk appends, mv delta folds): one marker per
+        # (stream, micro-batch, DDL segment, table) rides in the commit
+        epoch = (f"{self.checkpoint_dir}:{epoch_id}:{segment}"
+                 if epoch_id is not None else None)
         # one merge per table present in the segment; table list is tiny
         present = [
             (r["schema"], r["table"])
@@ -246,6 +266,7 @@ class CdcPipeline:
             if spec is None:
                 continue  # unconfigured table: intentionally ignored
             tevents = seg.filter((F.col("schema") == schema) & (F.col("table") == tbl))
+            self._restore_evolved_schema(spec)
             vschema = self.value_schemas.get(spec.qualified_name)
             if vschema is None:
                 # configured table with no declared schema is a config bug,
@@ -268,7 +289,7 @@ class CdcPipeline:
                     self._log(spec, tevents.count())
                 continue
             table = self.table_for(spec)
-            apply_cdc_batch(table, typed, spec)
+            apply_cdc_batch(table, typed, spec, epoch=epoch)
             from synch_spark.config import Engine as _E
 
             if (
@@ -298,10 +319,60 @@ class CdcPipeline:
             for view in self.views:
                 if view.source == spec.qualified_name:
                     # base read AFTER apply: min/max partial recompute must
-                    # see the post-batch state of delete-affected groups
-                    view.refresh_from_batch(typed, base=table.read())
+                    # see the post-batch state of delete-affected groups.
+                    # epoch: the delta fold is NOT idempotent — a replayed
+                    # micro-batch would double-count without the guard
+                    view.refresh_from_batch(typed, base=table.read(),
+                                            epoch=epoch)
             if self.monitor:
                 self._log(spec, tevents.count())
+
+    def _restore_evolved_schema(self, spec: TableSpec) -> None:
+        """Once per pipeline lifetime per table: if the MANAGED table
+        already exists, rebuild the value schema from its stored columns.
+        DDL evolves ``self.value_schemas`` in memory only; after a
+        restart the pipeline would otherwise revert to the static YAML
+        schema and silently NULL every post-DDL column — the table's own
+        evolved schema is the durable record. Columns the config
+        declares but the table lacks (pre-declared, not yet created)
+        are kept."""
+        qname = spec.qualified_name
+        if qname in self._vschema_synced:
+            return
+        self._vschema_synced.add(qname)
+        vschema = self.value_schemas.get(qname)
+        if vschema is None or qname in self.jdbc_sinks:
+            return
+        table = self.table_for(spec)
+        if not table.exists:
+            return
+        hidden = {spec.sign_column, "_event_unixtime"}
+        fields = [f for f in table.read().schema.fields
+                  if f.name not in hidden and not f.name.startswith("_")]
+        have = {f.name for f in fields}
+        fields += [f for f in vschema.fields if f.name not in have]
+        self.value_schemas[qname] = T.StructType(fields)
+
+    def _dead_letter_ddl(self, row, reason: str) -> None:
+        """Unapplicable DDL: record it inspectably and let the stream
+        advance — a crash loop on the same event can never self-heal."""
+        import logging
+
+        logging.getLogger("synch_spark").error(
+            "DDL for %s.%s NOT applied (%s): %s",
+            row["schema"], row["table"], reason,
+            json.loads(row["after"])["query"],
+        )
+        ParquetTable(
+            self.spark, f"{self.warehouse}/_synch_dead_letter_ddl"
+        ).append(
+            self.spark.createDataFrame(
+                [(row["schema"], row["table"], row["after"],
+                  row["event_unixtime"], reason)],
+                "schema string, table string, after string, "
+                "event_unixtime long, _reason string",
+            )
+        )
 
     def _apply_ddl(self, row) -> None:
         """W7: ALTER arrives as values={"query": "<sql>"} on the stream.
@@ -314,12 +385,32 @@ class CdcPipeline:
         cannot reconcile them (MODIFY narrowing, name reuse after a
         drop) or when the op touches the pk / partition column (the
         merge's stats pruning and partition layout key on their
-        physical names)."""
+        physical names).
+
+        Hardened against wedging: an unparseable statement or one that
+        DROPS a pk/partition column dead-letters (with an ERROR log)
+        instead of crash-looping the stream on the same checkpointed
+        event; a RENAME of a layout column is followed in the in-memory
+        spec (the YAML must be updated before restart — logged)."""
         spec = self.cfg.tables.get(f"{row['schema']}.{row['table']}")
         if spec is None:
             return
         sql = json.loads(row["after"])["query"]
-        ops = parse_alter(sql)
+        try:
+            ops = parse_alter(sql)
+        except ValueError as e:
+            self._dead_letter_ddl(row, f"unparseable: {e}")
+            return
+        if not ops:
+            return  # non-column clauses only (indexes/constraints): no-op
+        layout_cols = set(spec.pk) | (
+            {spec.partition_by} if spec.partition_by else set()
+        )
+        if any(op.action == "drop_column" and op.column in layout_cols
+               for op in ops):
+            self._dead_letter_ddl(
+                row, "drops a pk/partition column the pipeline keys on")
+            return
         sink = self.jdbc_sinks.get(spec.qualified_name)
         if sink is not None:
             # JDBC-sunk table: the ALTER goes to the JDBC target (the
@@ -330,22 +421,50 @@ class CdcPipeline:
             if vschema is not None:
                 self.value_schemas[spec.qualified_name] = _evolve_schema(vschema, ops)
             return
+        renames = {op.column: op.new_column for op in ops
+                   if op.action == "rename_column" and op.new_column}
         table = self.table_for(spec)
         if table.exists:
             ts = table.schema_spec() or TableSchema.from_struct(table.read().schema)
             evolved, reasons = evolve_schema(ts, ops)
-            layout_cols = set(spec.pk) | (
-                {spec.partition_by} if spec.partition_by else set()
-            )
             touches_layout = any(
                 op.column in layout_cols or (op.new_column or "") in layout_cols
                 for op in ops
             )
             if reasons or touches_layout:
-                # plan is built against the OLD version before overwrite
-                table.overwrite(apply_alter(table.read(), ops), spec.partition_by)
+                from synch_spark.sources.table import commit_with_retry
+
+                part_after = (renames.get(spec.partition_by,
+                                          spec.partition_by)
+                              if spec.partition_by else None)
+
+                def rewrite():
+                    # anchor to the version the plan reads: a concurrent
+                    # commit between read and overwrite must fail this
+                    # one (retried) — not be silently clobbered
+                    base = table.current_version()
+                    table.overwrite(apply_alter(table.read(), ops),
+                                    part_after, expected_base=base)
+
+                commit_with_retry(rewrite, retries=3)
             else:
                 table.commit_schema(evolved)
+        # a rename of a layout column must follow through to the merge
+        # keys and partition layout, or every later merge wedges on the
+        # old name; the YAML still says the old name, so warn loudly
+        renamed_layout = {c: renames[c] for c in layout_cols if c in renames}
+        if renamed_layout:
+            import logging
+
+            spec.pk = tuple(renames.get(c, c) for c in spec.pk)
+            if spec.partition_by:
+                spec.partition_by = renames.get(spec.partition_by,
+                                                spec.partition_by)
+            logging.getLogger("synch_spark").warning(
+                "DDL renamed layout column(s) %s on %s — update the YAML "
+                "pk/partition_by before the next restart",
+                renamed_layout, spec.qualified_name,
+            )
         # evolve the declared value schema so subsequent events parse
         vschema = self.value_schemas.get(spec.qualified_name)
         if vschema is not None:

@@ -87,3 +87,34 @@ def test_apply_alter_roundtrip(spark):
 )
 def test_typemap(src, expected):
     assert source_type_to_spark(src) == expected
+
+def test_non_column_clauses_parse_to_no_ops():
+    """Index/constraint/table-option clauses are valid MySQL ALTER but
+    touch no column data: they must yield NO op — not be force-fit into
+    a column op ('ADD INDEX i (c)' used to become add_column
+    column='INDEX') and not raise (a raising clause wedges a replaying
+    stream on the same checkpointed event)."""
+    from synch_spark.ddl import parse_alter
+
+    for sql in [
+        "alter table db.t add index idx_a (a)",
+        "alter table db.t add unique key uk (a, b)",
+        "alter table db.t drop index idx_a",
+        "alter table db.t drop primary key",
+        "alter table db.t add constraint fk foreign key (a) references p(id)",
+        "alter table db.t drop foreign key fk",
+        "alter table db.t alter column a set default 5",
+        "alter table db.t engine=InnoDB",
+        "alter table db.t auto_increment = 100",
+        "alter table db.t default character set utf8mb4",
+        "alter table db.t rename index i1 to i2",
+    ]:
+        assert parse_alter(sql) == [], sql
+    # mixed: the column op survives, the index clause drops out
+    ops = parse_alter(
+        "alter table db.t add column c bigint, add index idx_c (c)")
+    assert len(ops) == 1 and ops[0].action == "add_column" \
+        and ops[0].column == "c"
+    # a column that merely STARTS like an option keyword still parses
+    ops = parse_alter("alter table db.t add column engine_id bigint")
+    assert len(ops) == 1 and ops[0].column == "engine_id"

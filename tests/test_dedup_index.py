@@ -267,3 +267,50 @@ def test_apply_changes_per_commit_feed_delete_then_reinsert(spark, index):
     assert index.table.read().filter("id = 2").count() == 0
     probe = spark.createDataFrame([(10, DOC_A2)], "doc_id long, text string")
     assert index.check(probe).count() == 1
+
+def test_remove_clears_trailing_band_with_nondivisible_config(spark, tmp_path):
+    """num_hashes=10, bands=4 -> buckets_of_signatures emits band ids
+    0..4 (seed//2); a remove that expanded only range(bands) left the
+    (id, band=4) row live, so a taken-down doc kept suppressing its
+    near-dups forever."""
+    from synch_spark.operators.dedup_index import DedupIndex, n_band_ids
+
+    assert n_band_ids(10, 4) == 5
+    assert n_band_ids(8, 4) == 4
+    idx = DedupIndex(spark, str(tmp_path / "idx"), num_hashes=10, bands=4)
+    docs = spark.createDataFrame([(1, DOC_A), (2, DOC_B)],
+                                 "doc_id long, text string")
+    idx.build(docs)
+    assert idx.table.read().filter("id = 1").count() == 5  # 5 real bands
+    idx.remove(spark.createDataFrame([(1,)], "doc_id long"))
+    assert idx.table.read().filter("id = 1").count() == 0, \
+        "trailing band row survived the remove"
+    assert idx.signatures.read().filter("id = 1").count() == 0
+
+
+def test_band_config_validation(spark, tmp_path):
+    import pytest as _pt
+
+    from synch_spark.operators.dedup_index import DedupIndex
+
+    with _pt.raises(ValueError, match="bands"):
+        DedupIndex(spark, str(tmp_path / "bad"), num_hashes=4, bands=8)
+
+
+def test_estimate_jaccard_prefers_batch_signatures(spark, index):
+    """A checked batch that re-submits an INDEXED id with changed text:
+    the batch signatures must replace the stored ones for that id, not
+    union with them (mixed old/new rows dilute the estimate)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(1, DOC_A), (2, DOC_B)],
+                                 "doc_id long, text string")
+    index.build(docs)
+    # id 1 re-submitted with id 2's text: signature agreement vs id 2
+    # must be EXACTLY 1.0 (identical text), not diluted by the stored
+    # old signatures of id 1
+    resub = spark.createDataFrame([(1, DOC_B)], "doc_id long, text string")
+    extra = index._sig(resub, "text", "doc_id")
+    pairs = spark.createDataFrame([(1, 2)], "new_id long, dup_of long")
+    got = index.estimate_jaccard(pairs, extra_sig=extra).collect()
+    assert len(got) == 1 and got[0]["est_jaccard"] == 1.0, got

@@ -365,3 +365,185 @@ def test_decimal_mode_defaults_precise_on_debezium_stream(pipeline):
     pipeline.debezium_decimal_mode = "string"
     assert pipeline._decimal_mode(debezium_types=True) == "string"
     assert pipeline._decimal_mode(debezium_types=False) == "string"
+
+def _raw_df(spark, events):
+    from synch_spark.events import RAW_EVENT_SCHEMA
+
+    rows = [
+        (s, t, a,
+         json.dumps(b) if isinstance(b, dict) else b,
+         json.dumps(af) if isinstance(af, dict) else af,
+         us)
+        for s, t, a, b, af, us in events
+    ]
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+def test_unparseable_ddl_dead_letters_instead_of_wedging(spark, tmp_path, pipeline):
+    """A DDL the parser can't handle (e.g. RENAME TO) must dead-letter
+    with the stream advancing — a crash loop on the same checkpointed
+    event can never self-heal."""
+    batch = _raw_df(spark, [
+        ("db", "t", "insert", None, {"id": 1, "amount": 1.0}, 100),
+        ("db", "t", "query", None, {"query": "ALTER TABLE db.t RENAME TO t2"}, 150),
+        ("db", "t", "insert", None, {"id": 2, "amount": 2.0}, 200),
+    ])
+    pipeline.apply_batch(batch, 0)  # must not raise
+    t = ParquetTable(spark, str(tmp_path / "wh" / "db" / "t"))
+    assert {r["id"] for r in t.read().collect()} == {1, 2}
+    dl = ParquetTable(spark, str(tmp_path / "wh" / "_synch_dead_letter_ddl"))
+    assert dl.exists and dl.read().count() == 1
+    assert "unparseable" in dl.read().collect()[0]["_reason"]
+
+
+def test_layout_drop_refused_and_rename_followed(spark, tmp_path, pipeline):
+    """Dropping the pk column dead-letters (the pipeline keys on it);
+    renaming it is followed in-memory so later merges still work."""
+    spec = pipeline.cfg.tables["db.t"]
+    pipeline.apply_batch(_raw_df(spark, [
+        ("db", "t", "insert", None, {"id": 1, "amount": 1.0}, 100),
+    ]), 0)
+    pipeline.apply_batch(_raw_df(spark, [
+        ("db", "t", "query", None, {"query": "ALTER TABLE db.t DROP COLUMN id"}, 150),
+    ]), 1)
+    dl = ParquetTable(spark, str(tmp_path / "wh" / "_synch_dead_letter_ddl"))
+    assert dl.exists and "pk/partition" in dl.read().collect()[0]["_reason"]
+    t = ParquetTable(spark, str(tmp_path / "wh" / "db" / "t"))
+    assert "id" in t.read().columns  # drop NOT applied
+
+    pipeline.apply_batch(_raw_df(spark, [
+        ("db", "t", "query", None,
+         {"query": "ALTER TABLE db.t CHANGE id doc_id bigint"}, 160),
+    ]), 2)
+    assert spec.pk == ("doc_id",)
+    assert "doc_id" in t.read().columns and "id" not in t.read().columns
+    # merges keyed on the NEW name work (value schema evolved too)
+    pipeline.apply_batch(_raw_df(spark, [
+        ("db", "t", "update", {"doc_id": 1, "amount": 1.0},
+         {"doc_id": 1, "amount": 5.0}, 200),
+    ]), 3)
+    got = {r["doc_id"]: r["amount"] for r in t.read().collect()}
+    assert got == {1: 5.0}
+
+
+def test_null_event_unixtime_applies_even_with_ddl_in_batch(spark, tmp_path, pipeline):
+    """A NULL-stamped row used to fail BOTH sides of every DDL-segment
+    filter and vanish silently; it must apply (earliest segment). The
+    batch arrives via a JSON read like the real source — the declared
+    non-nullability of event_unixtime is advisory there, so a missing
+    field really does yield NULL."""
+    from synch_spark.events import RAW_EVENT_SCHEMA
+
+    p = tmp_path / "nullts.json"
+    with open(p, "w") as f:
+        f.write(json.dumps({
+            "schema": "db", "table": "t", "action": "insert",
+            "after": json.dumps({"id": 7, "amount": 7.0}),
+        }) + "\n")
+        f.write(json.dumps({
+            "schema": "db", "table": "t", "action": "query",
+            "after": json.dumps(
+                {"query": "ALTER TABLE db.t ADD COLUMN note varchar(8)"}),
+            "event_unixtime": 150,
+        }) + "\n")
+        f.write(json.dumps({
+            "schema": "db", "table": "t", "action": "insert",
+            "after": json.dumps({"id": 8, "amount": 8.0}),
+            "event_unixtime": 200,
+        }) + "\n")
+    batch = spark.read.schema(RAW_EVENT_SCHEMA).json(str(p))
+    pipeline.apply_batch(batch, 0)
+    t = ParquetTable(spark, str(tmp_path / "wh" / "db" / "t"))
+    assert {r["id"] for r in t.read().collect()} == {7, 8}
+
+
+def test_collapsing_replay_same_epoch_is_idempotent(spark, tmp_path):
+    """foreachBatch replays the whole micro-batch after a late failure;
+    the collapsing append is NOT last-wins, so without the epoch marker
+    the +1 rows would land twice (net sign 2 — a later delete could
+    never cancel the row)."""
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="c", pk=("id",),
+                            engine=Engine.COLLAPSING_MERGE_TREE))
+    pipe = CdcPipeline(
+        spark=spark, cfg=cfg, warehouse=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        value_schemas={"db.c": VALUE_SCHEMA},
+    )
+    batch = _raw_df(spark, [
+        ("db", "c", "insert", None, {"id": 1, "amount": 1.0}, 100),
+    ])
+    pipe.apply_batch(batch, 5)
+    pipe.apply_batch(batch, 5)  # replay of the SAME epoch
+    t = ParquetTable(spark, str(tmp_path / "wh" / "db" / "c"))
+    assert t.read().count() == 1, "replayed append duplicated signed rows"
+    # a delete can still cancel
+    pipe.apply_batch(_raw_df(spark, [
+        ("db", "c", "delete", {"id": 1, "amount": 1.0}, None, 200),
+    ]), 6)
+    from synch_spark.operators.cdc_apply import read_current_state
+
+    assert read_current_state(t, cfg.tables["db.c"]).count() == 0
+    # a NEW epoch still applies
+    pipe.apply_batch(_raw_df(spark, [
+        ("db", "c", "insert", None, {"id": 2, "amount": 2.0}, 300),
+    ]), 7)
+    assert read_current_state(t, cfg.tables["db.c"]).count() == 1
+
+
+def test_mv_replay_same_epoch_does_not_double_count(spark, tmp_path):
+    from synch_spark.operators.mv import MaterializedView
+
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="t", pk=("id",),
+                            engine=Engine.REPLACING_MERGE_TREE))
+    view = MaterializedView.create(
+        spark, str(tmp_path / "mv"), "db.t", group_cols=["id"],
+        sum_cols=["amount"])
+    pipe = CdcPipeline(
+        spark=spark, cfg=cfg, warehouse=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        value_schemas={"db.t": VALUE_SCHEMA}, views=[view],
+    )
+    batch = _raw_df(spark, [
+        ("db", "t", "insert", None, {"id": 1, "amount": 3.0}, 100),
+    ])
+    pipe.apply_batch(batch, 9)
+    pipe.apply_batch(batch, 9)  # replay: table merge idempotent, fold must skip
+    got = view.table.read().collect()
+    assert len(got) == 1 and float(got[0]["amount_delta"]) == 3.0, got
+
+
+def test_value_schema_restored_from_table_after_restart(spark, tmp_path):
+    """DDL evolves value_schemas in memory; a RESTARTED pipeline rebuilt
+    from static YAML config must recover the evolved schema from the
+    stored table, or every post-DDL column silently NULLs."""
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="t", pk=("id",),
+                            engine=Engine.REPLACING_MERGE_TREE))
+
+    def mk():
+        return CdcPipeline(
+            spark=spark, cfg=cfg, warehouse=str(tmp_path / "wh"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            value_schemas={"db.t": VALUE_SCHEMA},  # static config schema
+        )
+
+    p1 = mk()
+    p1.apply_batch(_raw_df(spark, [
+        ("db", "t", "insert", None, {"id": 1, "amount": 1.0}, 100),
+        ("db", "t", "query", None,
+         {"query": "ALTER TABLE db.t ADD COLUMN note varchar(16)"}, 150),
+        ("db", "t", "insert", None,
+         {"id": 2, "amount": 2.0, "note": "pre-restart"}, 200),
+    ]), 0)
+
+    p2 = mk()  # RESTART: fresh value_schemas from config
+    p2.apply_batch(_raw_df(spark, [
+        ("db", "t", "insert", None,
+         {"id": 3, "amount": 3.0, "note": "post-restart"}, 300),
+    ]), 1)
+    t = ParquetTable(spark, str(tmp_path / "wh" / "db" / "t"))
+    got = {r["id"]: r["note"] for r in t.read().collect()}
+    assert got[3] == "post-restart", f"note column silently dropped: {got}"
+    assert got[2] == "pre-restart"
