@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -139,11 +140,36 @@ def write_event_spool(
             if f.startswith("part-") and ".json" in f and os.path.getsize(
                 os.path.join(staging, f)
             ):
-                os.replace(
-                    os.path.join(staging, f),
-                    os.path.join(events_dir, f"{basename}.{i}.json"),
-                )
+                dst = os.path.join(events_dir, f"{basename}.{i}.json")
+                if os.path.exists(dst):
+                    # NEVER os.replace an existing spool file: the
+                    # file-stream consumer dedups processed files BY
+                    # PATH, so overwritten content would silently never
+                    # be consumed (deterministic replay basenames hit
+                    # this on re-runs). Identical bytes = an idempotent
+                    # re-run: skip. Different bytes = new data: publish
+                    # under a fresh unique path the consumer WILL read.
+                    src = os.path.join(staging, f)
+                    if _same_content(src, dst):
+                        continue
+                    dst = os.path.join(
+                        events_dir,
+                        f"{basename}.{i}.{uuid.uuid4().hex[:8]}.json",
+                    )
+                    os.replace(src, dst)
+                    i += 1
+                    continue
+                os.replace(os.path.join(staging, f), dst)
                 i += 1
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return i
+
+
+def _same_content(a: str, b: str) -> bool:
+    import filecmp
+
+    try:
+        return filecmp.cmp(a, b, shallow=False)
+    except OSError:
+        return False

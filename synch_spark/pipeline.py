@@ -41,6 +41,14 @@ def snapshot_jdbc(
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JDBC relation as the literal
+            # "None" and die in a deep NumberFormatException — point the
+            # caller at the auto-probing variant instead
+            raise ValueError(
+                "snapshot_jdbc: partition_column requires lower_bound and "
+                "upper_bound (or use snapshot_jdbc_auto to probe them)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
@@ -103,25 +111,36 @@ def etl_full(
 ) -> bool:
     """E1/E2: snapshot one table into the managed target.
 
-    Returns False when skipped (no pk / auto_full_etl off and table
-    exists), mirroring /root/reference/synch/replication/etl.py:33-35.
+    Returns False when skipped, mirroring the reference exactly
+    (/root/reference/synch/replication/etl.py:28-35,68-72):
+    auto_full_etl=False skips UNCONDITIONALLY (the operator opted the
+    table out of bulk loads — even --renew must not bulk-load it);
+    a missing pk skips unless --renew forces it; and an EXISTING table
+    is never re-snapshotted without --renew (a plain `etl` run to pick
+    up one new table must not overwrite every multi-TB existing one
+    with a fresh source scan).
     """
-    if not spec.has_pk:
+    if not spec.auto_full_etl:
         return False
-    if table.exists and not renew and not spec.auto_full_etl:
+    if not spec.has_pk and not renew:
+        return False
+    if table.exists and not renew:
         return False
     # cluster on pk (range-partition + in-file sort): every data file
     # covers a narrow pk range, which is what makes footer min/max stats
     # selective for the merge path's file-level pruning (table.py)
-    table.overwrite(source_df, spec.partition_by, cluster_by=spec.pk)
-    # index the freshly-loaded layout up front: the FIRST CDC merge then
-    # already prunes by bloom + manifest instead of footer-scanning the
-    # entire initial load (sources.bloom / sources.manifest)
-    from synch_spark.sources.bloom import build_file_blooms
-    from synch_spark.sources.manifest import refresh_manifest
+    table.overwrite(source_df, spec.partition_by,
+                    cluster_by=spec.pk or None)
+    if spec.has_pk:
+        # index the freshly-loaded layout up front: the FIRST CDC merge
+        # then already prunes by bloom + manifest instead of footer-
+        # scanning the entire initial load (a no-pk table has no merge
+        # path, so nothing to index)
+        from synch_spark.sources.bloom import build_file_blooms
+        from synch_spark.sources.manifest import refresh_manifest
 
-    build_file_blooms(table, spec.pk[0], spark=table.spark)
-    refresh_manifest(table, spec.pk[0])
+        build_file_blooms(table, spec.pk[0], spark=table.spark)
+        refresh_manifest(table, spec.pk[0])
     return True
 
 
@@ -131,6 +150,9 @@ class CheckResult:
     target_count: int
     source_checksum: int | None = None
     target_checksum: int | None = None
+    #: columns present on only one side (schema drift); non-empty forces
+    #: ok=False on a checksum check
+    column_drift: list[str] | None = None
 
     @property
     def ok(self) -> bool:
@@ -179,7 +201,17 @@ def check(
         target_df = table.read()
     res = CheckResult(source_count=source_df.count(), target_count=target_df.count())
     if checksum:
-        cols = sorted(set(source_df.columns) & set(target_df.columns))
+        scols, tcols = set(source_df.columns), set(target_df.columns)
+        if scols != tcols:
+            # schema drift IS a parity failure: checksumming the silent
+            # intersection would report ok=true with an entire column's
+            # data absent (and 0 == 0 on disjoint columns). Distinct
+            # sentinel checksums force ok=False and name the drift.
+            res.source_checksum = -1
+            res.target_checksum = -2
+            res.column_drift = sorted(scols ^ tcols)
+            return res
+        cols = sorted(scols)
         res.source_checksum = _checksum(source_df.select(*cols))
         res.target_checksum = _checksum(target_df.select(*cols))
     return res
@@ -196,8 +228,6 @@ def repair(
     source snapshot and apply them — surgical backfill instead of a full
     re-ETL (the reference's only remedy was `etl --renew`). Returns the
     number of correction events applied."""
-    from pyspark.sql import types as T
-
     from synch_spark.events import parse_values, split_updates
     from synch_spark.operators.cdc_apply import apply_cdc_batch, read_current_state
     from synch_spark.sources.snapshot_diff import diff_snapshots
@@ -208,23 +238,31 @@ def repair(
     # wall-clock stamp: correction events must sort after history but NOT
     # after all future events — a far-future constant (e.g. 2**62) would
     # permanently shadow later real updates in collapsing-engine views
+    # eager materialization, not lazy persist: the diff's lineage reads
+    # table files the apply's commit (+GC at low retain) may delete; a
+    # cache eviction mid-apply would recompute against missing files
     events = diff_snapshots(
         current, source_df, spec.pk, spec.schema, spec.table,
         event_unixtime=int(time.time() * 1_000_000),
-    ).persist()
-    try:
-        n = events.count()
-        if n == 0:
-            return 0
-        if value_schema is None:
-            value_schema = T.StructType(
-                [T.StructField(f.name, f.dataType, True) for f in source_df.schema.fields]
-            )
-        typed = parse_values(split_updates(events), value_schema)
-        apply_cdc_batch(table, typed, spec)
-        return n
-    finally:
-        events.unpersist()
+    ).localCheckpoint(eager=True)
+    n = events.count()
+    if n == 0:
+        return 0
+    if value_schema is None:
+        value_schema = _nullable_value_schema(source_df)
+    typed = parse_values(split_updates(events), value_schema)
+    apply_cdc_batch(table, typed, spec)
+    return n
+
+
+def _nullable_value_schema(df: DataFrame):
+    """Value schema derived from a source frame: same fields, all
+    nullable (synthesized correction events carry NULL halves)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    )
 
 
 def backfill_missing(
@@ -259,8 +297,6 @@ def backfill_missing(
     """
     import time
 
-    from pyspark.sql import types as T
-
     from synch_spark.events import parse_values, split_updates
     from synch_spark.operators.cdc_apply import apply_cdc_batch
     from synch_spark.sources.snapshot_diff import diff_snapshots
@@ -269,16 +305,21 @@ def backfill_missing(
         raise ValueError("backfill_missing requires a pk'd TableSpec")
     pk = list(spec.pk)
     us = int(time.time() * 1_000_000)
-    value_schema = T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in source_df.schema.fields]
-    )
+    value_schema = _nullable_value_schema(source_df)
     total = 0
     for i in range(num_chunks):
         chunk = source_df.filter(
             F.pmod(F.xxhash64(*pk), F.lit(num_chunks)) == i
         )
         if table.exists:
-            existing = table.read().select(*pk).distinct()
+            # same-bucket filter on the target side: the anti-join only
+            # needs pks that COULD match this chunk, so each iteration
+            # scans 1/num_chunks of the target pk set instead of all of
+            # it num_chunks times; left_anti needs no distinct() — a
+            # duplicated right key changes nothing but adds a shuffle
+            existing = table.read().select(*pk).filter(
+                F.pmod(F.xxhash64(*pk), F.lit(num_chunks)) == i
+            )
             chunk = chunk.join(existing, pk, "left_anti")
         # materialize BEFORE the write: the anti-join plan reads the table
         # this chunk's apply is about to version (read-after-write hazard)

@@ -66,11 +66,15 @@ def redis_sentinel_clients(
                 "redis sentinel support needs the redis package "
                 "(pip install redis)"
             ) from e
-    pairs = [
-        (h[0], int(h[1])) if isinstance(h, (tuple, list))
-        else (h.rsplit(":", 1)[0], int(h.rsplit(":", 1)[1]))
-        for h in sentinel_hosts
-    ]
+    def _pair(h):
+        if isinstance(h, (tuple, list)):
+            return (h[0], int(h[1]))
+        host, _, port = h.rpartition(":")
+        if not host:  # bare hostname: the standard sentinel port
+            return (port, 26379)
+        return (host, int(port))
+
+    pairs = [_pair(h) for h in sentinel_hosts]
     sent = sentinel_factory(sentinels=pairs)
     kwargs = {"service_name": sentinel_master}
     if password is not None:

@@ -82,3 +82,37 @@ def test_produce_to_kafka_reports_missing_connector(spark):
     fail with an actionable message, not a raw classpath stack."""
     with pytest.raises(RuntimeError, match="spark-sql-kafka connector"):
         produce_to_kafka(_events(spark, 2, 1), "localhost:9092")
+
+def test_spool_never_overwrites_consumed_paths(spark, tmp_path):
+    """FileStreamSource dedups processed files BY PATH: os.replace onto
+    an existing spool file makes its new content invisible forever. An
+    identical re-run skips (idempotent); different content publishes
+    under a fresh unique path the consumer WILL pick up."""
+    import glob
+
+    from synch_spark.broker import write_event_spool
+
+    ev = tmp_path / "events"
+    df1 = spark.createDataFrame(
+        [("db", "t", "insert", None, '{"id": 1}', 100)],
+        "schema string, table string, action string, before string, "
+        "after string, event_unixtime long").coalesce(1)
+    n1 = write_event_spool(df1, str(ev), "replay.batch")
+    assert n1 == 1
+    files1 = set(glob.glob(str(ev / "*.json")))
+    # identical re-run: no new file, nothing clobbered
+    assert write_event_spool(df1, str(ev), "replay.batch") == 0
+    assert set(glob.glob(str(ev / "*.json"))) == files1
+    # changed content, same basename: a NEW path appears
+    df2 = spark.createDataFrame(
+        [("db", "t", "insert", None, '{"id": 2}', 200)],
+        df1.schema).coalesce(1)
+    n2 = write_event_spool(df2, str(ev), "replay.batch")
+    assert n2 == 1
+    files2 = set(glob.glob(str(ev / "*.json")))
+    assert files1 < files2 and len(files2) == 2
+    # the original file's bytes are untouched; the new path has the
+    # new content
+    old = next(iter(files1))
+    assert "id\\\": 1" in open(old).read()
+    assert any("id\\\": 2" in open(f).read() for f in files2 - files1)

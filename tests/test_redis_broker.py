@@ -224,3 +224,27 @@ def test_sentinel_clients_parse_tuple_hosts():
 
     redis_sentinel_clients([("h", 26379)], "m", sentinel_factory=FakeSentinel)
     assert FakeSentinel.last_instance.sentinels == [("h", 26379)]
+
+def test_sentinel_hosts_accept_bare_hostnames():
+    """A sentinel_hosts entry without ':port' gets the standard sentinel
+    default 26379 instead of an IndexError."""
+    from synch_spark.redis_broker import redis_sentinel_clients
+
+    seen = {}
+
+    class FakeSentinel:
+        def __init__(self, sentinels):
+            seen["pairs"] = sentinels
+
+        def master_for(self, service_name, **kw):
+            return "m"
+
+        def slave_for(self, service_name, **kw):
+            return "s"
+
+    m, s = redis_sentinel_clients(
+        ["sentinel1", "sentinel2:5000", ("sentinel3", 7000)], "mymaster",
+        sentinel_factory=FakeSentinel)
+    assert seen["pairs"] == [("sentinel1", 26379), ("sentinel2", 5000),
+                             ("sentinel3", 7000)]
+    assert (m, s) == ("m", "s")

@@ -37,14 +37,26 @@ def test_repair_restores_parity(spark, tmp_path):
 
 
 def test_etl_skip_flags(spark, tmp_path):
+    """Reference semantics (etl.py:28-35,68-72): auto_full_etl=False
+    skips UNCONDITIONALLY (even --renew); no pk skips unless --renew;
+    an existing table never re-ETLs without --renew (a plain `etl` run
+    for one new table must not overwrite every existing table)."""
     source = read_table(spark, "/root/testdata/sf0.001", "region")
     t = ParquetTable(spark, str(tmp_path / "r"))
     no_pk = TableSpec(schema="db", table="region", pk=())
     assert etl_full(source, t, no_pk) is False  # no pk -> skipped
-    spec = TableSpec(schema="db", table="region", pk=("r_regionkey",), auto_full_etl=False)
-    assert etl_full(source, t, spec) is True  # not exists yet -> runs
-    assert etl_full(source, t, spec) is False  # exists + auto off -> skipped
-    assert etl_full(source, t, spec, renew=True) is True  # renew forces
+    assert etl_full(source, t, no_pk, renew=True) is True  # renew forces
+    t2 = ParquetTable(spark, str(tmp_path / "r2"))
+    off = TableSpec(schema="db", table="region", pk=("r_regionkey",),
+                    auto_full_etl=False)
+    assert etl_full(source, t2, off) is False  # opted out: never bulk-load
+    assert etl_full(source, t2, off, renew=True) is False  # even with renew
+    spec = TableSpec(schema="db", table="region", pk=("r_regionkey",))
+    assert etl_full(source, t2, spec) is True  # not exists yet -> runs
+    v = t2.current_version()
+    assert etl_full(source, t2, spec) is False  # exists -> skip w/o renew
+    assert t2.current_version() == v, "plain etl re-snapshotted an existing table"
+    assert etl_full(source, t2, spec, renew=True) is True  # renew forces
 
 
 def test_backfill_missing_fills_holes_not_clobbers(spark, tmp_path):
@@ -117,3 +129,25 @@ def test_backfill_skips_collapsing_tombstones(spark, tmp_path):
     assert added == 1  # only id=2; the tombstoned id=1 is not resurrected
     state = {r["id"]: r["v"] for r in read_current_state(table, spec).collect()}
     assert state == {2: "b"}
+
+def test_check_reports_column_drift(spark, tmp_path):
+    """A target missing a source column must FAIL the checksum check and
+    name the drift — not silently checksum the intersection."""
+    source = read_table(spark, "/root/testdata/sf0.001", "region")
+    spec = TableSpec(schema="db", table="region", pk=("r_regionkey",))
+    t = ParquetTable(spark, str(tmp_path / "cd"))
+    etl_full(source.drop("r_name"), t, spec)  # target lacks a column
+    res = check(source, t, checksum=True)
+    assert res.source_count == res.target_count
+    assert res.ok is False
+    assert res.column_drift == ["r_name"]
+
+
+def test_snapshot_jdbc_rejects_partition_without_bounds(spark):
+    import pytest as _pt
+
+    from synch_spark.pipeline import snapshot_jdbc
+
+    with _pt.raises(ValueError, match="lower_bound"):
+        snapshot_jdbc(spark, "jdbc:derby:memory:x", "t",
+                      partition_column="id")
