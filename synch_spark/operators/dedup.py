@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from synch_spark.operators.text import normalize_text, tokens
+from synch_spark.operators.text import fingerprint, tokens
 
 
 # --- exact --------------------------------------------------------------
@@ -30,14 +30,17 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     groupBy on the md5 digest: the shuffle key is 32 hex chars regardless
     of document size — at 100 TB the shuffle moves ~rows*48B, not text.
+    Key = text.fingerprint (with its raw-text fallback for documents the
+    [a-z0-9] normalization strips entirely — without it every non-Latin
+    doc would share md5('') and the corpus would collapse to one row).
     """
-    key = F.md5(normalize_text(text_col)).alias("_k")
+    key = fingerprint(text_col).alias("_k")
     reps = df.select(key, F.col(id_col)).groupBy("_k").agg(F.min(id_col).alias(id_col))
     return df.join(reps, id_col, "left_semi")
 
 
 def duplicate_stats(df: DataFrame, text_col: str) -> DataFrame:
-    return df.select(F.md5(normalize_text(text_col)).alias("_k")).agg(
+    return df.select(fingerprint(text_col).alias("_k")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("_k").alias("n_unique"),
     )

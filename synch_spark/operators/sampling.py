@@ -41,10 +41,26 @@ def rate_threshold_hex(rate: float) -> str:
     return format(n, "08x")
 
 
+def _draw(id_col: Column, salt: str) -> Column:
+    """The shared per-row draw: first 8 hex chars of md5('salt:id').
+
+    Contract: ``salt`` must not contain ':' (validated — 'a:b' + id '1'
+    would collide with salt 'a' + id 'b:1', silently correlating what
+    should be independent draws) and ``id_col`` should be NON-NULL —
+    concat_ws skips NULLs, so every NULL-id row shares ONE draw and is
+    kept or dropped as a bloc, not sampled at the rate. Wire format is
+    frozen: changing it would re-draw every previously materialized
+    corpus and break threshold nesting across code versions."""
+    if ":" in salt:
+        raise ValueError(f"sampling salt must not contain ':' (got {salt!r})")
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), id_col.cast("string"))), 1, 8
+    )
+
+
 def sample_gate(id_col: Column, rate: float, salt: str = "s1") -> Column:
     """Boolean keep-predicate for a uniform deterministic sample."""
-    draw = F.substring(F.md5(F.concat_ws(":", F.lit(salt), id_col.cast("string"))), 1, 8)
-    return draw < F.lit(rate_threshold_hex(rate))
+    return _draw(id_col, salt) < F.lit(rate_threshold_hex(rate))
 
 
 def stratified_sample(
@@ -62,13 +78,8 @@ def stratified_sample(
     inside whole-stage codegen next to the scan, so a 90%-down-sampled
     stratum never leaves the scan stage — there is no shuffle at any
     scale, and re-running yields the byte-identical corpus."""
-    gate = None
-    draw = F.substring(
-        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
-    )
     expr = F.lit(rate_threshold_hex(default_rate))
     for value, rate in sorted(rates.items()):
         expr = F.when(F.col(strata_col) == value,
                       F.lit(rate_threshold_hex(rate))).otherwise(expr)
-    gate = draw < expr
-    return df.filter(gate)
+    return df.filter(_draw(F.col(id_col), salt) < expr)

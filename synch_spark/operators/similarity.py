@@ -50,6 +50,21 @@ def _dot_double(a, b):
     )
 
 
+def _finite_vec(v) -> "F.Column":
+    """TRUE when every element of the vector is finite (and the vector
+    is non-null). A single NaN element sorts ABOVE every real double in
+    a desc prefilter ranking — the NaN vector becomes everyone's rank-1
+    candidate — and then the exact decimal rescore raises
+    CAST_INVALID_INPUT under ANSI. Non-finite vectors are garbage
+    embeddings; similarity operators drop them at the door."""
+    bad = F.exists(
+        v,
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    return v.isNotNull() & ~bad
+
+
 def _safe_div(num, denom, otherwise):
     """ANSI-safe score division. An all-zero vector has norm 0, so the
     cosine denominator is 0: Spark's default ANSI mode raises
@@ -98,11 +113,12 @@ def cosine_topk(
     window (~1e-15) cannot affect the final top-k. Output:
     (probe_id, neighbor_id, rank, cosine).
     """
-    # norms computed once per side (n + m folds), not once per pair (n*m)
-    p = probes.select(
+    # norms computed once per side (n + m folds), not once per pair (n*m);
+    # non-finite vectors dropped at the door (see _finite_vec)
+    p = probes.filter(_finite_vec(F.col(vec_col))).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
     ).withColumn("_pn_d", F.sqrt(_dot_double(F.col("_pv"), F.col("_pv"))))
-    c = corpus.select(
+    c = corpus.filter(_finite_vec(F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("_cn_d", F.sqrt(_dot_double(F.col("_cv"), F.col("_cv"))))
     rough = c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id")).withColumn(
@@ -145,6 +161,10 @@ def hyperplane_signature(
     ``sequence(0, -1)`` DESCENDS rather than being empty, so the case
     must short-circuit instead of falling through the fold.
     """
+    if num_tables < 1:
+        # sequence(0, -1) DESCENDS (same gotcha as num_planes below):
+        # num_tables=0 would silently fan every row into _tbl 0 AND -1
+        raise ValueError(f"num_tables must be >= 1 (got {num_tables})")
     dim = F.size(F.col(vec_col))
     tables = F.explode(F.sequence(F.lit(0), F.lit(num_tables - 1))).alias("_tbl")
     out = df.select("*", tables)
@@ -195,13 +215,15 @@ def ann_topk_lsh(
     # the (small) candidate-pair set is then broadcast back against the
     # corpus and probe vectors for exact scoring
     c = hyperplane_signature(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        corpus.filter(_finite_vec(F.col(vec_col)))
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
         "_cv",
         num_planes,
         num_tables,
     ).select("neighbor_id", "_tbl", "_sig")
     p = hyperplane_signature(
-        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")),
+        probes.filter(_finite_vec(F.col(vec_col)))
+        .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")),
         "_pv",
         num_planes,
         num_tables,
@@ -330,16 +352,22 @@ def ann_topk_ivf(
 
         cents = ivf_refine(corpus, cents, vec_col, id_col, iters=refine_iters)
     corpus_b = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        corpus.filter(_finite_vec(F.col(vec_col)))
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
         cents, "_cv", "neighbor_id", nprobe=1,
     ).select("neighbor_id", "_cv", "_cid")
     probes_b = ivf_assign(
-        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")),
+        probes.filter(_finite_vec(F.col(vec_col)))
+        .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")),
         cents, "_pv", "probe_id", nprobe=nprobe,
     ).select("probe_id", "_pv", "_cid")
+    # no distinct(): the corpus side is assigned with nprobe=1, so a
+    # (probe, neighbor) pair can share at most ONE _cid — the join emits
+    # each pair exactly once, and a distinct here would be a full
+    # shuffle of rows carrying two embedding arrays for nothing
     cand = corpus_b.join(F.broadcast(probes_b), "_cid").filter(
         F.col("neighbor_id") != F.col("probe_id")
-    ).drop("_cid").distinct()
+    ).drop("_cid")
     w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         _decimal_rescore(cand)
@@ -388,20 +416,35 @@ def embedding_near_dups_exact(
     thr_pre = threshold - 1e-6
 
     def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": [], "b": []})
+        # drop NULL / ragged-length vectors BEFORE np.stack — one bad
+        # row would otherwise kill the whole job, and an undefined
+        # cosine can never reach the threshold anyway
+        vs = pdf["v"]
+        dim = next((len(x) for x in vs if x is not None), None)
+        if dim is None:
+            return empty
+        ok = vs.map(lambda x: x is not None and len(x) == dim).to_numpy()
+        pdf = pdf[ok]
+        if len(pdf) < 2:
+            return empty
         ids = pdf["id"].to_numpy()
         V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         norms = np.sqrt(np.einsum("ij,ij->i", V, V))
-        keep = norms > 0.0
+        keep = (norms > 0.0) & np.isfinite(norms)  # zero AND NaN/Inf out
         ids, V, norms = ids[keep], V[keep], norms[keep]
         if len(ids) < 2:
-            return pd.DataFrame({"a": np.array([], dtype=np.int64), "b": []})
+            return empty
         order = np.argsort(ids, kind="stable")  # a < b canonical pairs
         ids, V, norms = ids[order], V[order], norms[order]
         S = (V / norms[:, None]) @ (V / norms[:, None]).T
         i, j = np.nonzero(np.triu(S >= thr_pre, k=1))
         return pd.DataFrame({"a": ids[i], "b": ids[j]})
 
-    pairs = base.groupBy("_blk").applyInPandas(gen, "a long, b long")
+    # pair schema follows the caller's id type — a hard-coded 'long'
+    # would fail every task on string/decimal ids at Arrow conversion
+    id_t = df.schema[id_col].dataType.simpleString()
+    pairs = base.groupBy("_blk").applyInPandas(gen, f"a {id_t}, b {id_t}")
     av = base.select(F.col("id").alias("a"), F.col("v").alias("_pv"))
     bv = base.select(F.col("id").alias("b"), F.col("v").alias("_cv"))
     cand = pairs.join(av, "a").join(bv, "b")
@@ -425,32 +468,27 @@ def embedding_near_dups(
     High-cosine pairs agree on almost every hyperplane, so even one
     8-plane table catches most of them; the extra tables close the gap.
     """
-    sig = hyperplane_signature(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-        "v",
-        num_planes,
-        num_tables,
+    base = df.filter(_finite_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
-    a = sig.select(F.col("id").alias("a"), F.col("v").alias("va"), "_tbl", "_sig")
-    b = sig.select(F.col("id").alias("b"), F.col("v").alias("vb"), "_tbl", "_sig")
-    cand = (
+    sig = hyperplane_signature(base, "v", num_planes, num_tables)
+    # ids-only through the exploded signature join AND the cross-table
+    # dedup — vectors never ride the num_tables-way shuffle (the same
+    # discipline as ann_topk_lsh); the deduped pair set then joins the
+    # vectors back once for the exact rescore
+    a = sig.select(F.col("id").alias("a"), "_tbl", "_sig")
+    b = sig.select(F.col("id").alias("b"), "_tbl", "_sig")
+    pair_ids = (
         a.join(b, ["_tbl", "_sig"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
+        .select("a", "b")
         .distinct()
     )
+    av = base.select(F.col("id").alias("a"), F.col("v").alias("_pv"))
+    bv = base.select(F.col("id").alias("b"), F.col("v").alias("_cv"))
+    cand = pair_ids.join(av, "a").join(bv, "b")
     return (
-        cand.withColumn("_dot", _dot_dec(F.col("va"), F.col("vb")))
-        .withColumn("_na", _norm2_dec(F.col("va")))
-        .withColumn("_nb", _norm2_dec(F.col("vb")))
-        .withColumn(
-            "cosine",
-            _safe_div(
-                F.col("_dot").cast("double"),
-                F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double")),
-                None,
-            ),
-        )
+        _decimal_rescore(cand)
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -18,7 +18,14 @@ TOKEN_RE = r"\s+"
 
 # whitespace-split tokens; data-independent, matches string_split_regex in DuckDB
 def tokens(col: Column | str) -> Column:
-    return F.split(F.col(col) if isinstance(col, str) else col, TOKEN_RE)
+    """Whitespace tokens WITHOUT boundary empties: split('\\s+') yields
+    '' for empty text and at leading/trailing whitespace ('' -> [''],
+    '  a' -> ['', 'a']), which over-counts every token budget, inflates
+    stopword/length denominators, and makes '' a distinct 'token'. The
+    DuckDB oracle tokenizer (plans.dataops.TOK_SQL) filters identically
+    — the two must stay in lockstep."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_remove(F.split(c, TOKEN_RE), "")
 
 
 def token_count(col: Column | str) -> Column:
@@ -303,5 +310,15 @@ def normalize_text(col: Column | str) -> Column:
 
 def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 of the normalized text (stable across
-    whitespace/punctuation variants — the exact-dedup key)."""
-    return F.md5(normalize_text(col))
+    whitespace/punctuation variants — the exact-dedup key).
+
+    Non-Latin fallback: the [a-z0-9] normalization strips CJK/Cyrillic/
+    Arabic text ENTIRELY, so every such document would normalize to ''
+    and share md5('') — an exact-dedup keyed on the fingerprint would
+    collapse the whole non-Latin corpus to one row. When the normalized
+    form is empty, hash the RAW text instead: still deterministic,
+    still engine-portable (the DuckDB oracle mirrors the CASE), and
+    distinct documents stay distinct."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = normalize_text(c)
+    return F.md5(F.when(norm == "", c).otherwise(norm))

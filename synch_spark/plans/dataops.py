@@ -48,8 +48,13 @@ def _emb(spark, sf_dir):
     return _spread(spark, sf_dir, "embeddings")
 
 
-TOK_SQL = r"string_split_regex(text, '\s+')"
+# boundary-empty tokens filtered in LOCKSTEP with text.tokens() — both
+# engines must tokenize identically or every token-based oracle drifts
+TOK_SQL = r"list_filter(string_split_regex(text, '\s+'), _t -> _t <> '')"
 NORM_SQL = r"trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+# fingerprint mirrors text.fingerprint's non-Latin fallback: an all-
+# stripped normalization hashes the RAW text, not '' (see text.py)
+FP_SQL = f"md5(CASE WHEN {NORM_SQL} = '' THEN text ELSE {NORM_SQL} END)"
 STOP_IN = "(" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + ")"
 
 
@@ -60,7 +65,7 @@ def q16_exact_dedup(spark, sf_dir):
 
 
 Q16_SQL = f"""
-SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5({NORM_SQL})) AS n_unique
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT {FP_SQL}) AS n_unique
 FROM documents
 """
 
@@ -82,7 +87,7 @@ SELECT doc_id,
        CAST(len({TOK_SQL}) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_m,
        CAST(len(list_filter({TOK_SQL}, t -> t IN {STOP_IN})) AS BIGINT) AS n_stop,
-       md5({NORM_SQL}) AS fp
+       {FP_SQL} AS fp
 FROM documents ORDER BY doc_id
 """
 

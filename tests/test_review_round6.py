@@ -175,3 +175,88 @@ def test_int96_stats_not_trusted(tmp_path, spark):
                            datetime.datetime(2021, 1, 1)]})
     pq.write_table(tbl, p, use_deprecated_int96_timestamps=True)
     assert file_key_range(p, "ts") is None
+
+# --- similarity/text/sampling hardening (review sweep 4) -------------------
+def test_similarity_survives_nan_and_null_vectors(spark):
+    """One NaN element used to top every desc prefilter ranking (NaN >
+    any double) and then kill the exact decimal rescore under ANSI;
+    NULL/ragged vectors crashed the GEMM kernel's np.stack. All are
+    garbage embeddings: dropped at the door, queries survive."""
+    from synch_spark.operators import similarity as sim
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [float("nan"), 1.0]),
+            (4, None), (5, [1.0, 0.0, 0.0]),  # ragged
+            (6, [float("inf"), 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    good = spark.createDataFrame(rows[:2], "vec_id long, embedding array<double>")
+
+    top = sim.cosine_topk(df, df, k=2).collect()
+    assert {r["probe_id"] for r in top} <= {1, 2, 5}
+    assert all(r["neighbor_id"] not in (3, 4, 6) for r in top)
+
+    pairs = sim.embedding_near_dups_exact(df, threshold=0.5).collect()
+    ok = sim.embedding_near_dups_exact(good, threshold=0.5).collect()
+    # ragged id 5 is dropped within the (single) block; 1-2 pair survives
+    assert {(r["a"], r["b"]) for r in pairs} == {(r["a"], r["b"]) for r in ok}
+
+    lsh = sim.embedding_near_dups(df, threshold=0.5).collect()
+    assert all(r["a"] not in (3, 4, 6) and r["b"] not in (3, 4, 6)
+               for r in lsh)
+
+
+def test_near_dups_exact_string_ids(spark):
+    from synch_spark.operators.similarity import embedding_near_dups_exact
+
+    df = spark.createDataFrame(
+        [("x", [1.0, 0.0]), ("y", [0.99, 0.01]), ("z", [0.0, 1.0])],
+        "vec_id string, embedding array<double>")
+    got = {(r["a"], r["b"]) for r in
+           embedding_near_dups_exact(df, threshold=0.9).collect()}
+    assert got == {("x", "y")}
+
+
+def test_hyperplane_num_tables_validated(spark):
+    from synch_spark.operators.similarity import hyperplane_signature
+
+    df = spark.createDataFrame([(1, [1.0])], "id long, v array<double>")
+    with pytest.raises(ValueError, match="num_tables"):
+        hyperplane_signature(df, "v", num_planes=4, num_tables=0)
+
+
+def test_tokens_drop_boundary_empties(spark):
+    """split('\\s+') yields '' for empty text and at boundaries; the
+    tokenizer (and the DuckDB oracle's, in lockstep) filters them so
+    token budgets and quality denominators stop over-counting."""
+    from synch_spark.operators.text import token_count
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), (" a b ",), ("a b",)], "text string")
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [0, 0, 2, 2]
+
+
+def test_fingerprint_non_latin_fallback(spark):
+    """[a-z0-9] normalization strips CJK text entirely; distinct
+    non-Latin documents must NOT collapse onto md5('')."""
+    from synch_spark.operators.dedup import exact_dedup
+    from synch_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "你好世界"), (2, "完全不同的文本"), (3, "hello world"),
+         (4, "HELLO,   world!")],
+        "doc_id long, text string")
+    fps = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[1] != fps[2], "distinct CJK docs collapsed to one fingerprint"
+    assert fps[3] == fps[4]  # normalization still folds Latin variants
+    kept = {r["doc_id"] for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert kept == {1, 2, 3}
+
+
+def test_sampling_salt_validation():
+    from pyspark.sql import functions as F
+
+    from synch_spark.operators.sampling import sample_gate
+
+    with pytest.raises(ValueError, match="salt"):
+        sample_gate(F.col("id"), 0.5, salt="a:b")
