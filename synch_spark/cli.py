@@ -61,7 +61,7 @@ def cmd_etl(args) -> int:
         if args.table and spec.table not in _csv(args.table):
             continue
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
-            raw["spark"]["sources"][name]
+            _source_path(raw, name, "etl")
         )
         table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
                              retain=spec.retain)
@@ -90,6 +90,10 @@ def cmd_produce(args) -> int:
 
     raw = _load(args.config)
     cfg = config_from_dict(raw)
+    # sink config validated BEFORE any snapshot/diff work — and before
+    # the polling loop can advance _producer_state past never-emitted
+    # changes on empty rounds
+    _validate_sink(raw, args.sink or "spool", "produce")
     spark = get_spark("synch-produce")
     _resolve_pks(raw, cfg, spark)
     warehouse = raw["spark"]["warehouse"]
@@ -110,7 +114,7 @@ def cmd_produce(args) -> int:
             if not spec.has_pk:
                 continue  # diff-based CDC needs a pk (reference skips too)
             src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
-                raw["spark"]["sources"][name]
+                _source_path(raw, name, "produce")
             )
             # pin ONE snapshot: events, their count, and the saved state
             # must all come from the same read — a live source mutating
@@ -142,12 +146,7 @@ def cmd_produce(args) -> int:
                 if n:
                     basename = f"{spec.schema}.{spec.table}.{now_us}"
                     if args.sink == "kafka":
-                        kconf = raw["spark"].get("kafka")
-                        if not kconf or "bootstrap_servers" not in kconf:
-                            raise SystemExit(
-                                "produce --sink kafka needs a spark.kafka config "
-                                "block with bootstrap_servers"
-                            )
+                        kconf = raw["spark"]["kafka"]  # _validate_sink'd
                         produce_to_kafka(
                             events,
                             kconf["bootstrap_servers"],
@@ -210,7 +209,7 @@ def cmd_replay_binlog(args) -> int:
         if not cols:
             raise SystemExit(f"--columns wants db.table=c1,c2,... (got {spec!r})")
         db, _, tbl = key.partition(".")
-        names[(db, tbl) if tbl else db] = cols.split(",")
+        names[(db, tbl) if tbl else db] = list(_csv(cols))
     only_schemas = _csv(args.schema)
     only_tables = _csv(args.table)
     if args.follow:
@@ -281,6 +280,22 @@ def _replay_binlog_follow(args, spark, raw, names, only_schemas,
         listing.sort()
         completed = listing[:-1]  # highest-seq file is still being written
         fresh = [e for e in completed if last is None or e[0] > last[0]]
+        if (not fresh and last is not None and listing
+                and listing[-1][0] < last[0]
+                and not os.path.exists(os.path.join(args.path, last[1]))):
+            # sequence RESET (RESET MASTER / re-numbered basename): every
+            # visible suffix is below the cursor AND the cursor's own
+            # file is gone — comparing against the stale seq would ship
+            # nothing forever. Re-baseline: every completed file is
+            # fresh (re-shipping replays into the idempotent apply).
+            import logging
+
+            logging.getLogger("synch_spark").warning(
+                "binlog sequence reset detected in %s (cursor %s > max "
+                "visible %s and cursor file gone): re-baselining",
+                args.path, last, listing[-1],
+            )
+            fresh = completed
         emitted = 0
         if fresh:
             events = binlog_files_to_raw(
@@ -449,7 +464,10 @@ def _csv(s: str | None) -> tuple[str, ...]:
 
 
 def _validate_sink(raw, sink: str, cmd: str) -> None:
-    """Fail on sink misconfiguration BEFORE any distributed work."""
+    """Fail on sink misconfiguration BEFORE any distributed work —
+    EVERY sink kind, not just kafka: a missing spark.redis block or
+    events_dir discovered only inside _emit_to_sink throws away the
+    whole distributed decode that preceded it."""
     if sink == "kafka":
         kconf = raw["spark"].get("kafka")
         if not kconf or "bootstrap_servers" not in kconf:
@@ -457,6 +475,26 @@ def _validate_sink(raw, sink: str, cmd: str) -> None:
                 f"{cmd} --sink kafka needs a spark.kafka config "
                 f"block with bootstrap_servers"
             )
+    elif sink == "redis":
+        # constructing the broker validates the config block and the
+        # redis package without touching the network (from_url is lazy)
+        _redis_broker_from_cfg(None, raw)
+    elif "events_dir" not in raw["spark"]:
+        raise SystemExit(
+            f"{cmd} --sink spool needs spark.events_dir in the config"
+        )
+
+
+def _source_path(raw, name: str, cmd: str) -> str:
+    """spark.sources lookup with an actionable error instead of a
+    KeyError traceback when a configured table has no source entry."""
+    path = (raw["spark"].get("sources") or {}).get(name)
+    if not path:
+        raise SystemExit(
+            f"{cmd}: table {name} is configured but has no spark.sources "
+            f"entry (add `sources: {{{name}: <path>}}` or remove the table)"
+        )
+    return path
 
 
 def _emit_to_sink(spark, raw, events, sink: str, basename: str) -> int:
@@ -637,8 +675,19 @@ def cmd_consume(args) -> int:
     if raw["spark"].get("redis"):
         return _consume_redis(spark, raw, cfg, pipe, args)
     if raw["spark"].get("kafka"):
+        kconf = raw["spark"]["kafka"]
+        if "bootstrap_servers" not in kconf or "topic" not in kconf:
+            # a produce-only kafka block (topics derived per schema) is
+            # valid config; consume needs an explicit topic — actionable
+            # error, not a KeyError traceback
+            raise SystemExit(
+                "consume with a spark.kafka block needs bootstrap_servers "
+                "AND topic (the subscribe pattern/list to consume)"
+            )
         q = pipe.start_kafka_stream(
-            raw["spark"]["kafka"]["bootstrap_servers"], raw["spark"]["kafka"]["topic"]
+            kconf["bootstrap_servers"], kconf["topic"],
+            processing_interval=f"{cfg.insert_interval_s} seconds",
+            available_now=args.available_now,
         )
     else:
         q = pipe.start_file_stream(
@@ -663,7 +712,7 @@ def cmd_check(args) -> int:
         if args.table and spec.table not in _csv(args.table):
             continue
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
-            raw["spark"]["sources"][name]
+            _source_path(raw, name, "check")
         )
         table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
                              retain=spec.retain)
@@ -719,6 +768,10 @@ def _one_table(args, app: str):
         )
     name, spec = matches[0]
     spark = get_spark(app)
+    if not spec.pk:
+        # JDBC-discovered pks (S7) must count here too: without this the
+        # change feed silently degrades to the pk-less multiset diff
+        _resolve_pks(raw, cfg, spark)
     warehouse = raw["spark"]["warehouse"]
     table = ParquetTable(
         spark, f"{warehouse}/{spec.schema}/{spec.table}", retain=spec.retain)
@@ -936,7 +989,7 @@ def cmd_optimize(args) -> int:
         if table.exists:
             if args.vacuum:
                 table.vacuum()
-            zcols = tuple(args.zorder.split(",")) if args.zorder else None
+            zcols = _csv(args.zorder) or None
             if args.auto:
                 (done if maybe_compact(table, spec, zorder=zcols) else skipped).append(
                     name
@@ -967,7 +1020,7 @@ def cmd_repair(args) -> int:
         if args.table and spec.table not in _csv(args.table):
             continue
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
-            raw["spark"]["sources"][name]
+            _source_path(raw, name, "repair")
         )
         table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
                              retain=spec.retain)
@@ -994,7 +1047,7 @@ def cmd_backfill(args) -> int:
         if args.table and spec.table not in _csv(args.table):
             continue
         src = spark.read.format(raw["spark"].get("source_format", "parquet")).load(
-            raw["spark"]["sources"][name]
+            _source_path(raw, name, "backfill")
         )
         table = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
                              retain=spec.retain)
@@ -1023,6 +1076,7 @@ def cmd_index(args) -> int:
     raw = _load(args.config)
     cfg = config_from_dict(raw)
     spark = get_spark("synch-index")
+    _resolve_pks(raw, cfg, spark)  # JDBC-discovered pks count too
     warehouse = raw["spark"]["warehouse"]
     declared = raw["spark"].get("indexes") or {}
     if args.name and args.name not in declared:
@@ -1165,6 +1219,21 @@ def cmd_mv(args) -> int:
     warehouse = raw["spark"]["warehouse"]
     root = f"{warehouse}/_mv/{args.name}"
     if args.action == "create":
+        # validate EVERYTHING before the spec file is written: a create
+        # that persists {"source": null} (or crashes on args.sum=None)
+        # leaves a permanently broken view every later verb trips over
+        if not (args.source and args.group_by and args.sum):
+            print("mv create: --source, --group-by and --sum are required",
+                  file=sys.stderr)
+            return 2
+        if "." not in args.source:
+            print(f"mv create: --source must be schema.table "
+                  f"(got {args.source!r})", file=sys.stderr)
+            return 2
+        s_schema, s_table = args.source.split(".", 1)
+        if not ParquetTable(spark, f"{warehouse}/{s_schema}/{s_table}").exists:
+            print(f"source table {args.source} not found", file=sys.stderr)
+            return 1
         if args.dim_source:
             if not (args.dim_key and args.dim_group):
                 print(
@@ -1180,22 +1249,23 @@ def cmd_mv(args) -> int:
                 )
                 return 2
             view = JoinMaterializedView.create(
-                spark, root, args.source, args.group_by.split(","),
-                args.sum.split(","), args.dim_source,
-                args.dim_key.split(","), args.dim_group.split(","),
+                spark, root, args.source, list(_csv(args.group_by)),
+                list(_csv(args.sum)), args.dim_source,
+                list(_csv(args.dim_key)), list(_csv(args.dim_group)),
             )
         else:
             view = MaterializedView.create(
-                spark, root, args.source, args.group_by.split(","),
-                args.sum.split(","),
-                args.minmax.split(",") if args.minmax else None,
-                args.hll.split(",") if args.hll else None,
+                spark, root, args.source, list(_csv(args.group_by)),
+                list(_csv(args.sum)),
+                list(_csv(args.minmax)) if args.minmax else None,
+                list(_csv(args.hll)) if args.hll else None,
             )
     else:
         view = load_view(spark, root)
     if args.action in ("create", "refresh", "sync"):
         schema, table = view.source.split(".", 1)
         cfg = config_from_dict(raw)
+        _resolve_pks(raw, cfg, spark)  # JDBC-discovered pks count too
         src_spec = next(
             (s for s in cfg.tables.values()
              if f"{s.schema}.{s.table}" == view.source), None)

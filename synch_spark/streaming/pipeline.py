@@ -507,6 +507,7 @@ class CdcPipeline:
         value_format: str = "raw",
         assign_partitions: dict[str, list[int]] | None = None,
         starting_offsets: str | dict | None = None,
+        available_now: bool = False,
     ):
         """Kafka consumer (B3/B4 parity): value is the JSON raw event.
 
@@ -573,6 +574,11 @@ class CdcPipeline:
         writer = raw.writeStream.foreachBatch(
             lambda b, e: self.apply_batch(b, e, debezium_types=dbz)
         ).option("checkpointLocation", self.checkpoint_dir)
+        if available_now:
+            # drain-and-exit parity with start_file_stream — without it
+            # `consume --available-now` on a kafka config would block in
+            # awaitTermination forever
+            return writer.trigger(availableNow=True).start()
         interval = processing_interval or f"{self.cfg.insert_interval_s} seconds"
         return writer.trigger(processingTime=interval).start()
 

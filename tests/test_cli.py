@@ -1153,3 +1153,73 @@ def test_cli_changes_follow_cursors_are_per_destination(tmp_path, capsys, spark)
                      "--sink", "spool"]) == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["events"] == 1, f"destination {ev} starved"
+
+def test_cli_mv_create_validates_before_writing_spec(tmp_path, capsys, spark):
+    """Missing --sum / --source must be a clean usage error; a create
+    against a missing source table must exit 1 WITHOUT persisting a
+    spec file (a {\"source\": null} spec breaks every later mv verb)."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    cfg_path = _write_cfg(tmp_path, wh)
+    # missing --sum: exit 2, no traceback
+    rc = main(["--config", cfg_path, "mv", "create", "--name", "v",
+               "--source", "db.customer", "--group-by", "c_nationkey"])
+    assert rc == 2
+    assert "required" in capsys.readouterr().err
+    assert not os.path.exists(f"{wh}/_mv/v"), "spec persisted on usage error"
+    # missing source table: exit 1, still no spec
+    rc = main(["--config", cfg_path, "mv", "create", "--name", "v",
+               "--source", "db.typo", "--group-by", "a", "--sum", "x"])
+    assert rc == 1
+    assert "not found" in capsys.readouterr().err
+    assert not os.path.exists(f"{wh}/_mv/v")
+
+
+def test_cli_replay_binlog_follow_sequence_reset(tmp_path, capsys, spark):
+    """RESET MASTER re-numbers binlogs from .000001; a cursor stuck at a
+    higher seq must detect the reset (cursor file gone + all visible
+    seqs below) and re-baseline instead of silently shipping nothing
+    forever."""
+    from synch_spark.sources import binlog_file as B
+    from tests.binlog_builder import BinlogBuilder
+
+    blog = tmp_path / "binlogs"
+    blog.mkdir()
+    cols = [("id", B.T_LONG, 0), ("name", B.T_VARCHAR, 64)]
+
+    def write_file(name, rows):
+        b = BinlogBuilder()
+        b.table_map(7, "db", "t", cols, names_tlv=True)
+        b.insert(7, *rows)
+        (blog / name).write_bytes(b.bytes())
+
+    cfg = {
+        "core": {"insert_num": 100, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {"warehouse": str(tmp_path / "wh"),
+                  "checkpoint_dir": str(tmp_path / "ckpt"),
+                  "events_dir": str(tmp_path / "ev"), "sources": {}},
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+
+    write_file("binlog.000041", [(1, "a")])
+    write_file("binlog.000042", [(2, "b")])  # active, never shipped
+    assert main(["--config", str(p), "replay-binlog", "--path", str(blog),
+                 "--follow", "--rounds", "1", "--sink", "spool"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["shipped_through"] == "binlog.000041"
+
+    # RESET MASTER: all old files gone, numbering restarts
+    for f in blog.iterdir():
+        f.unlink()
+    write_file("binlog.000001", [(3, "c")])
+    write_file("binlog.000002", [(4, "d")])  # active
+    assert main(["--config", str(p), "replay-binlog", "--path", str(blog),
+                 "--follow", "--rounds", "1", "--sink", "spool"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["shipped_through"] == "binlog.000001", \
+        "sequence reset not detected: new events silently dropped"
+    assert out["events"] == 1
