@@ -200,6 +200,16 @@ def parse_values(
             f"(connector double mode decodes like 'string'); got "
             f"{decimal_mode!r}"
         )
+    if string_values and debezium_types:
+        # fail loudly, like the decimal_mode guard: the string path
+        # returns early, so Debezium's precise-mode base64 decimals /
+        # epoch-int temporals would hit plain CAST and silently corrupt
+        # ('AYag' -> NULL, epoch-millis -> year-52xxx garbage)
+        raise ValueError(
+            "string_values and debezium_types are mutually exclusive: "
+            "PG text-wire values and Debezium logical-type envelopes "
+            "cannot describe the same stream"
+        )
     if string_values:
         # every value arrives as TEXT regardless of logical type —
         # Postgres wire format, hence wal2json envelopes ({"id":"7"}).
@@ -320,7 +330,11 @@ def _dbz_decimal(df, src: str, dt: T.DecimalType, mode: str = "auto",
         stripped, F.when(neg, F.lit("FF")).otherwise(F.lit("00"))
     )
     df = df.withColumn(
-        t("hx"), F.when(hx0.isNull(), F.lit(None)).otherwise(stripped)
+        # empty-string payloads ("amount": "") base64-decode to EMPTY
+        # bytes, not null — without the hx0 != '' gate the '00'/'FF'
+        # backstop would fabricate a decimal 0 out of a corrupt value
+        t("hx"),
+        F.when(hx0.isNull() | (hx0 == ""), F.lit(None)).otherwise(stripped),
     )
     hx = F.col(t("hx"))
     df = df.withColumn(t("n"), (F.length(hx) / 2).cast("int"))
@@ -369,7 +383,12 @@ def _dbz_decimal(df, src: str, dt: T.DecimalType, mode: str = "auto",
             small = signed.try_cast(dt)
         scaled = F.when((n >= 1) & (n <= 8), small)
         if mode == "precise":
-            return df, F.coalesce(scaled, plain)
+            # bytes are authoritative: the numeric read may fire ONLY
+            # when the payload is not base64 at all. A VALID byte
+            # payload whose decode nulls (over-precision for this
+            # column) must stay NULL — coalescing to plain would misread
+            # an all-digit base64 TEXT ('123456789012') as the number
+            return df, F.when(hx0.isNull(), plain).otherwise(scaled)
         return df, F.coalesce(plain, scaled)
     # Positional hex-digit SUM, no multiplication: Spark's Decimal
     # multiply rounds through MathContext DECIMAL128 (34 significant
@@ -449,9 +468,11 @@ def _dbz_decimal(df, src: str, dt: T.DecimalType, mode: str = "auto",
         txt = F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("")), digits)
     scaled = F.when((n >= 1) & (n <= 16), txt.try_cast(dt))
     if mode == "precise":
-        # connector pinned to precise handling: bytes are authoritative,
-        # the numeric read is only a fallback for non-base64 payloads
-        return df, F.coalesce(scaled, plain)
+        # connector pinned to precise handling: bytes are authoritative —
+        # the numeric read fires ONLY for non-base64 payloads (hx0 null);
+        # a valid byte payload whose decode nulls (over-precision) stays
+        # NULL instead of being misread as its base64 text's digits
+        return df, F.when(hx0.isNull(), plain).otherwise(scaled)
     return df, F.coalesce(plain, scaled)
 
 
@@ -601,29 +622,44 @@ def debezium_to_raw(df: DataFrame, value_col: str = "value") -> DataFrame:
     start_kafka_stream's naming.
     """
     v = F.col(value_col).cast("string")
-
-    def j(path):  # payload-wrapped or bare envelope
-        return F.coalesce(
-            F.get_json_object(v, f"$.payload.{path}"),
-            F.get_json_object(v, f"$.{path}"),
-        )
-
-    op = j("op")
+    # THREE json parses per record, not twelve: unwrap the optional
+    # payload wrapper once, json_tuple the envelope's five fields in ONE
+    # parse, json_tuple the nested source object in one more. Each
+    # get_json_object re-parses the whole value, and the old per-field
+    # payload-or-bare coalesce paid two of them per field — the dominant
+    # per-record CPU of the Debezium source.
+    env = F.coalesce(F.get_json_object(v, "$.payload"), v)
+    staged = df.select(env.alias("_env")).select(
+        F.json_tuple(
+            "_env", "op", "ts_ms", "before", "after", "source"
+        ).alias("_op", "_tsms", "_before", "_after", "_src")
+    )
+    staged = staged.select(
+        "_op", "_tsms", "_before", "_after",
+        F.json_tuple(
+            F.coalesce(F.col("_src"), F.lit("{}")),
+            "db", "table", "ts_ms", "ts_us",
+        ).alias("_db", "_tbl", "_sms", "_sus"),
+    )
+    op = F.col("_op")
+    # try_cast: one malformed envelope (non-numeric ts_ms, an object at
+    # the path) must drop through the null-filter below, not ANSI-kill
+    # the micro-batch and crash-loop the checkpoint on a poison record
     us = F.coalesce(
-        j("source.ts_us").cast("long"),
-        j("source.ts_ms").cast("long") * 1000,
-        j("ts_ms").cast("long") * 1000,
+        F.col("_sus").try_cast("long"),
+        F.col("_sms").try_cast("long") * 1000,
+        F.col("_tsms").try_cast("long") * 1000,
     )
     return (
-        df.select(
-            j("source.db").alias("schema"),
-            j("source.table").alias("table"),
+        staged.select(
+            F.col("_db").alias("schema"),
+            F.col("_tbl").alias("table"),
             F.when(op.isin("c", "r"), F.lit("insert"))
             .when(op == "u", F.lit("update"))
             .when(op == "d", F.lit("delete"))
             .alias("action"),
-            j("before").alias("before"),
-            j("after").alias("after"),
+            F.col("_before").alias("before"),
+            F.col("_after").alias("after"),
             us.alias("event_unixtime"),
         )
         .filter(F.col("action").isNotNull() & F.col("event_unixtime").isNotNull())
@@ -771,13 +807,29 @@ def wal2json_to_raw(
         F.transform(F.col("_p.change"), _v1_row)
     )
     # try_to_timestamp: an unparseable/absent timestamp (the option is
-    # off by default) must fall back, not ANSI-fail the batch
+    # off by default) must fall back, not ANSI-fail the batch.
+    # The fallback is NOT one frozen constant: two updates to the same
+    # pk in a no-timestamp dump would tie, and last-wins would pick an
+    # arbitrary one. Synthesize a monotone per-row sequence in FILE
+    # ORDER — per-partition local row index (monotonically_increasing_id
+    # minus the partition base) banded by partition id, plus the change
+    # position within a v1 transaction line — the binlog decoder's
+    # sub-second band scheme adapted to a pure-Column pipeline. Skew is
+    # bounded: 10 s of synthetic microseconds per partition band.
+    _pid = F.spark_partition_id().cast("long")
+    _local = F.monotonically_increasing_id() - F.shiftleft(_pid, 33)
+    _BAND = 10_000_000
+    _seq = _pid * _BAND + F.least(
+        _local * 64 + F.least(F.col("_pos").cast("long"), F.lit(63)),
+        F.lit(_BAND - 1),
+    )
     ts_us = F.coalesce(
         F.unix_micros(F.try_to_timestamp(F.col("_p.timestamp"))),
-        F.lit(fallback_unixtime_us),
+        F.lit(fallback_unixtime_us) + _seq,
     )
     return (
-        parsed.select(ts_us.alias("event_unixtime"), F.explode(rows).alias("c"))
+        parsed.select("_p", F.posexplode(rows).alias("_pos", "c"))
+        .select(ts_us.alias("event_unixtime"), "c")
         .select(
             F.col("c.schema").alias("schema"),
             F.col("c.table").alias("table"),

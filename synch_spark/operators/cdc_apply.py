@@ -394,11 +394,10 @@ def _apply_collapsing(
     along as a hidden ordering column. ``epoch`` (see apply_cdc_batch)
     makes a micro-batch replay skip the duplicate append.
     """
+    from synch_spark.events import annotate_sign
+
     cols = _row_cols(events, value_columns)
-    signed = events.withColumn(
-        spec.sign_column,
-        F.when(F.col("action") == "delete", F.lit(-1)).otherwise(F.lit(1)).cast("int"),
-    )
+    signed = annotate_sign(events, spec.sign_column)  # T6, one definition
     out = signed.select(*cols, spec.sign_column,
                         F.col("event_unixtime").alias("_event_unixtime"))
     table.append(out, spec.partition_by, epoch=epoch)

@@ -58,15 +58,22 @@ def bloom_safe_key(value) -> bool:
     divergence would be a silent false negative — in the CoW merge that
     reclassifies a file holding a changed key from rewrite to hard link,
     i.e. a lost update. Mirrors what _EXACT_STAT_TYPES does for min/max
-    stats."""
-    return isinstance(value, (int, str, bytes)) and not isinstance(value, bool)
+    stats.
+
+    bytearray counts as bytes: Spark ``collect()`` returns BinaryType
+    values as bytearray while pyarrow's build side yields bytes —
+    rejecting the probe-side representation made binary-pk blooms build
+    (full key-column read per file) and then never prune a single
+    merge."""
+    return (isinstance(value, (int, str, bytes, bytearray))
+            and not isinstance(value, bool))
 
 
 def _hashes(value) -> tuple[int, int]:
     """(h1, h2) for a key value; type-stable via repr of the canonical
     python value (int/str/bytes) so build and probe agree."""
-    if isinstance(value, bytes):
-        raw = b"b:" + value
+    if isinstance(value, (bytes, bytearray)):
+        raw = b"b:" + bytes(value)
     elif isinstance(value, int):
         raw = b"i:" + str(value).encode()
     else:
@@ -210,14 +217,21 @@ def gc_blooms(table) -> int:
     stale_tmp = time.time() - 3600
     for name in os.listdir(bdir):
         path = os.path.join(bdir, name)
-        if name.endswith(".bloom.json") and name[: -len(".bloom.json")] not in live:
-            os.remove(path)
-            removed += 1
-        elif ".bloom.json.tmp-" in name and os.path.getmtime(path) < stale_tmp:
-            # a builder killed between open() and os.replace() leaves its
-            # temp behind; reclaim after a safety window
-            os.remove(path)
-            removed += 1
+        # tolerate races: a concurrent builder's os.replace (or a second
+        # GC) can delete the path between listdir and the stat/remove —
+        # a raced entry must not abort the compaction that called us
+        try:
+            if name.endswith(".bloom.json") \
+                    and name[: -len(".bloom.json")] not in live:
+                os.remove(path)
+                removed += 1
+            elif ".bloom.json.tmp-" in name and os.path.getmtime(path) < stale_tmp:
+                # a builder killed between open() and os.replace() leaves
+                # its temp behind; reclaim after a safety window
+                os.remove(path)
+                removed += 1
+        except FileNotFoundError:
+            continue
     return removed
 
 
@@ -267,7 +281,12 @@ def prune_files(table, column: str, keys) -> list[str] | None:
     from synch_spark.sources.manifest import load_manifest
     from synch_spark.sources.table import file_key_range
 
-    sk = sorted(keys)
+    try:
+        sk = sorted(keys)
+    except TypeError:
+        # mixed-type keys don't order: same contract as the bisect
+        # fallback below — degrade to "can't prove anything" (full scan)
+        return None
     if not sk or any(k is None for k in sk):
         return None
     out: list[str] = []

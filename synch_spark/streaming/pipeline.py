@@ -539,6 +539,13 @@ class CdcPipeline:
         restart (strictly better operationally than the reference's
         manual seek bookkeeping).
         """
+        if value_format == "debezium" and self.string_values:
+            # surface the config conflict at stream START (driver-side),
+            # not as a per-batch ValueError crash-loop at the first event
+            raise ValueError(
+                "spark.value_parse: string cannot be combined with a "
+                "Debezium-format stream (see events.parse_values)"
+            )
         opts = kafka_source_options(
             bootstrap_servers, topic,
             max_offsets_per_trigger or self.cfg.insert_num,

@@ -405,3 +405,39 @@ def test_bloom_second_column_does_not_thrash(spark, tmp_path):
     assert bloom.build_file_blooms(t, "v") == 0
     after = bloom.load_bloom(t.root, rel, "k")
     assert after is not None and after[0] == before[0]
+
+def test_bloom_accepts_bytearray_probe_keys(spark, tmp_path):
+    """Spark collect() returns BinaryType as bytearray while the build
+    side yields bytes; rejecting bytearray made binary-pk blooms build
+    and then never prune a single merge."""
+    from synch_spark.sources.bloom import (
+        bloom_safe_key, _hashes, build_file_blooms, load_bloom,
+        might_contain_any)
+    from synch_spark.sources.table import ParquetTable
+    from pyspark.sql import functions as F
+
+    assert bloom_safe_key(bytearray(b"k1"))
+    assert _hashes(bytearray(b"k1")) == _hashes(b"k1")
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(50).select(
+        F.encode(F.concat(F.lit("k"), F.col("id").cast("string")), "utf-8")
+        .alias("bk"),
+        F.col("id").alias("v")).coalesce(1))  # one file holds every key
+    assert build_file_blooms(t, "bk", spark=spark) >= 1
+    rel = next(iter(t.snapshot().files))
+    bl = load_bloom(t.root, rel, "bk")
+    assert bl is not None
+    # probe with the COLLECT-side representation
+    assert might_contain_any(bl, [bytearray(b"k7")])
+    assert not might_contain_any(bl, [bytearray(b"nope-xyz")])
+
+
+def test_prune_files_mixed_type_keys_degrade_to_none(spark, tmp_path):
+    from synch_spark.sources.bloom import prune_files
+    from synch_spark.sources.table import ParquetTable
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    assert prune_files(t, "k", [1, "2"]) is None  # unorderable: full scan

@@ -399,3 +399,100 @@ def test_debezium_precise_decimal_overflow_window_nulls(spark):
         assert got[i] is None, f"unscaled {bad[i]} must NULL, got {got[i]}"
     from decimal import Decimal
     assert got[len(bad)] == Decimal(good), "legal extreme must still decode"
+
+def test_debezium_to_raw_poison_timestamp_drops_not_raises(spark):
+    """A malformed ts_ms (non-numeric / object) must drop through the
+    null filter — a plain cast would ANSI-kill the batch and crash-loop
+    the checkpoint on one poison record."""
+    import json as _json
+
+    from synch_spark.events import debezium_to_raw
+
+    rows = [
+        (_json.dumps({"payload": {"op": "c", "ts_ms": "n/a",
+                                  "source": {"db": "d", "table": "t"},
+                                  "after": {"id": 1}}}),),
+        (_json.dumps({"payload": {"op": "c", "ts_ms": 1700000000000,
+                                  "source": {"db": "d", "table": "t"},
+                                  "after": {"id": 2}}}),),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    got = debezium_to_raw(df, "value").collect()
+    assert len(got) == 1
+    import json as _j
+    assert _j.loads(got[0]["after"])["id"] == 2
+
+
+def test_wal2json_fallback_stamps_are_ordered(spark):
+    """Without include-timestamp every event used to get ONE frozen
+    fallback stamp — two updates to the same pk tied and last-wins
+    picked arbitrarily. Stamps must ascend in file order."""
+    import json as _json
+
+    from synch_spark.events import wal2json_to_raw
+
+    def line(v):
+        return _json.dumps({"change": [{
+            "kind": "update", "schema": "db", "table": "t",
+            "columnnames": ["id", "v"], "columnvalues": ["1", str(v)],
+            "oldkeys": {"keynames": ["id"], "keyvalues": ["1"]}}]})
+
+    df = spark.createDataFrame([(line(1),), (line(2),)], "value string") \
+        .coalesce(1)
+    got = wal2json_to_raw(df, fallback_unixtime_us=10**15).orderBy(
+        "event_unixtime").collect()
+    assert len(got) == 2
+    s0, s1 = got[0]["event_unixtime"], got[1]["event_unixtime"]
+    assert s0 != s1, "fallback stamps tied: last-wins is arbitrary"
+    assert s0 < s1
+    import json as _j
+    assert _j.loads(got[1]["after"])["v"] == "2", "file order not preserved"
+
+
+def test_parse_values_rejects_string_plus_debezium(spark):
+    import pytest as _pt
+    from pyspark.sql import types as T
+
+    from synch_spark.events import RAW_EVENT_SCHEMA, parse_values
+
+    df = spark.createDataFrame([], RAW_EVENT_SCHEMA)
+    vschema = T.StructType([T.StructField("id", T.LongType())])
+    with _pt.raises(ValueError, match="mutually exclusive"):
+        parse_values(df, vschema, debezium_types=True, string_values=True)
+
+
+def test_precise_mode_overprecision_and_empty_payloads_null(spark):
+    """In precise mode the bytes are authoritative: an over-precision
+    payload whose base64 text happens to be all digits must decode NULL
+    — never fall through to the numeric read of its TEXT. An empty
+    string must decode NULL, not a fabricated 0."""
+    import base64 as _b64
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from synch_spark.events import RAW_EVENT_SCHEMA, parse_values, split_updates
+
+    # 9-byte payload whose 12-char base64 is all digits
+    payload = _b64.b64decode("123456789012")
+    assert len(payload) == 9
+    b64 = _b64.b64encode(payload).decode()
+    assert b64 == "123456789012" and b64.isdigit()
+    rows = [("db", "t", "insert", None,
+             _json.dumps({"id": 0, "amount": b64}), 1000),
+            ("db", "t", "insert", None,
+             _json.dumps({"id": 1, "amount": ""}), 1000),
+            ("db", "t", "insert", None,  # genuinely non-base64: plain read
+             _json.dumps({"id": 2, "amount": "12.5"}), 1000)]
+    raw = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DecimalType(18, 2)),  # 9 bytes >> 18 digits
+    ])
+    got = {r["id"]: r["amount"] for r in parse_values(
+        split_updates(raw), vschema, debezium_types=True,
+        decimal_mode="precise").collect()}
+    assert got[0] is None, f"base64 text misread as number: {got[0]}"
+    assert got[1] is None, f"empty payload fabricated a value: {got[1]}"
+    from decimal import Decimal
+    assert got[2] == Decimal("12.50")
