@@ -810,25 +810,23 @@ def wal2json_to_raw(
     # off by default) must fall back, not ANSI-fail the batch.
     # The fallback is NOT one frozen constant: two updates to the same
     # pk in a no-timestamp dump would tie, and last-wins would pick an
-    # arbitrary one. Synthesize a monotone per-row sequence in FILE
-    # ORDER — per-partition local row index (monotonically_increasing_id
-    # minus the partition base) banded by partition id, plus the change
-    # position within a v1 transaction line — the binlog decoder's
-    # sub-second band scheme adapted to a pure-Column pipeline. Skew is
-    # bounded: 10 s of synthetic microseconds per partition band.
+    # arbitrary one. Synthesize a monotone per-EVENT sequence in file
+    # order: evaluated after the explode, monotonically_increasing_id
+    # ascends per exploded change (line order x intra-transaction
+    # order); subtracting the partition base and banding by partition id
+    # keeps the synthetic skew bounded (10 s of fake microseconds per
+    # partition) — the binlog decoder's sub-second band scheme adapted
+    # to a pure-Column pipeline.
     _pid = F.spark_partition_id().cast("long")
     _local = F.monotonically_increasing_id() - F.shiftleft(_pid, 33)
     _BAND = 10_000_000
-    _seq = _pid * _BAND + F.least(
-        _local * 64 + F.least(F.col("_pos").cast("long"), F.lit(63)),
-        F.lit(_BAND - 1),
-    )
+    _seq = _pid * _BAND + F.least(_local, F.lit(_BAND - 1))
     ts_us = F.coalesce(
         F.unix_micros(F.try_to_timestamp(F.col("_p.timestamp"))),
         F.lit(fallback_unixtime_us) + _seq,
     )
     return (
-        parsed.select("_p", F.posexplode(rows).alias("_pos", "c"))
+        parsed.select("_p", F.explode(rows).alias("c"))
         .select(ts_us.alias("event_unixtime"), "c")
         .select(
             F.col("c.schema").alias("schema"),

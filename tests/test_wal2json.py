@@ -52,14 +52,21 @@ def test_wal2json_decode_kinds(spark):
 
 def test_wal2json_multi_change_and_fallback_time(spark):
     """One transaction payload = many changes (explode), and a payload
-    without include-timestamp falls back to the supplied stamp."""
+    without include-timestamp falls back to the supplied stamp PLUS a
+    monotone per-event sequence — a frozen constant would tie every
+    no-timestamp event and last-wins would pick arbitrarily."""
     df = spark.createDataFrame(
         [(_payload(_ins(id=1), _ins(id=2), _ins(tbl="other", id=3)),)],
         "value string")
-    out = wal2json_to_raw(df, fallback_unixtime_us=42).collect()
+    out = wal2json_to_raw(df, fallback_unixtime_us=42).orderBy(
+        "event_unixtime").collect()
     assert len(out) == 3
-    assert {r["event_unixtime"] for r in out} == {42}
-    assert sorted(r["table"] for r in out) == ["other", "test", "test"]
+    stamps = [r["event_unixtime"] for r in out]
+    assert all(s >= 42 for s in stamps)
+    assert len(set(stamps)) == 3, "fallback stamps must not tie"
+    assert stamps == sorted(stamps)
+    # intra-transaction order preserved: id=1 before id=2 before id=3
+    assert [r["table"] for r in out] == ["test", "test", "other"]
 
 
 def test_wal2json_typed_apply(spark):
