@@ -57,21 +57,30 @@ FIELD_SEP = "\x01"
 
 
 def null_safe_row_hash(cols: list[str]) -> Column:
-    """xxhash64 digest over the named columns, robust to nulls.
+    """xxhash64 digest over the named columns, robust to nulls AND to
+    separator forgery.
 
     Spark hash functions SKIP null inputs (``xxhash64(NULL,'x') ==
     xxhash64('x',NULL)``), which would make null-position swaps
-    invisible; each column is therefore encoded with an explicit null
-    sentinel and a field separator so position and null-ness both
-    contribute. Column order is canonicalized (sorted) so logically
-    equal rows hash equal regardless of projection order.
+    invisible. Each field is therefore encoded INJECTIVELY: ``N`` for
+    null, else ``V<len>:<value>`` — the explicit length makes field
+    boundaries unambiguous, so a value that happens to contain the join
+    separator (or the old sentinel text) cannot re-split into a
+    colliding row (('x\\x01y','z') vs ('x','y\\x01z') used to hash
+    equal). Column order is canonicalized (sorted) so logically equal
+    rows hash equal regardless of projection order.
     """
     if not cols:
         return F.lit(0).cast("bigint")
-    encoded = [
-        F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
-        for c in sorted(cols)
-    ]
+    encoded = []
+    for c in sorted(cols):
+        s = F.col(c).cast("string")
+        encoded.append(
+            F.when(s.isNull(), F.lit("N")).otherwise(
+                F.concat(F.lit("V"), F.length(s).cast("string"),
+                         F.lit(":"), s)
+            )
+        )
     return F.xxhash64(F.concat_ws(FIELD_SEP, *encoded))
 
 
@@ -97,6 +106,11 @@ def interleave_bits(cols: list[Column], bits: int = 8) -> Column:
     multi-column file-skipping property; see ``zorder_layout``).
     """
     n = len(cols)
+    if n < 1 or bits < 1:
+        raise ValueError(
+            f"interleave_bits needs at least one column and one bit "
+            f"(got {n} cols, bits={bits})"
+        )
     if n * bits > 63:
         raise ValueError(
             f"interleave_bits: {n} cols x {bits} bits = {n * bits} bit positions "

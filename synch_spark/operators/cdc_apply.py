@@ -526,14 +526,8 @@ def register_final_view(table: ParquetTable, spec: TableSpec, name: str | None =
 
 
 def read_current_state(table: ParquetTable, spec: TableSpec) -> DataFrame:
-    """Read the table through its engine-semantics view (SURVEY §2.7)."""
-    df = table.read()
-    if spec.engine in (Engine.COLLAPSING_MERGE_TREE, Engine.VERSIONED_COLLAPSING_MERGE_TREE):
-        version = spec.version_column if spec.version_column in df.columns else None
-        if spec.engine == Engine.COLLAPSING_MERGE_TREE:
-            version = None
-        out = engines.collapsing_view(
-            df, spec.pk, spec.sign_column, version, order_column="_event_unixtime"
-        )
-        return out.drop(spec.sign_column, "_event_unixtime")
-    return engines.engine_view(df, spec)
+    """Read the table through its engine-semantics view (SURVEY §2.7).
+    Thin wrapper: engine_view carries the full dispatch (including the
+    collapsing arrival-order + internal-column drop), so the two public
+    entry points cannot diverge."""
+    return engines.engine_view(table.read(), spec)

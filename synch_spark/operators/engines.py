@@ -36,10 +36,22 @@ def replacing_view(
     if version_column:
         order.append(F.col(version_column).desc())
     order += [F.col(c).desc() for c in tiebreakers]
-    if not order:  # no version column: arbitrary-but-deterministic last
-        order = [F.monotonically_increasing_id().desc()]
+    # final fallback must be genuinely deterministic: there is no
+    # "latest" without a version, but the SAME query must return the
+    # SAME survivor across runs, task retries, and AQE re-partitions —
+    # monotonically_increasing_id depends on partition layout and would
+    # not. to_json of the non-pk values is value-determined and handles
+    # every type (maps are not directly orderable).
+    order.append(_value_order(df, pk))
     w = W.partitionBy(*pk).orderBy(*order)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _value_order(df: DataFrame, pk: tuple[str, ...]):
+    rest = [c for c in df.columns if c not in pk]
+    if not rest:
+        return F.lit(0)  # pk-only rows are identical: any winner is fine
+    return F.to_json(F.struct(*[F.col(c) for c in rest])).desc()
 
 
 def collapsing_view(
@@ -64,7 +76,7 @@ def collapsing_view(
         order.append(F.col(version_column).desc())
     if order_column:
         order.append(F.col(order_column).desc())
-    order.append(F.monotonically_increasing_id().desc())
+    order.append(_value_order(df, pk))  # deterministic final tiebreak
     w = W.partitionBy(*pk).orderBy(*order)
     latest_pos = (
         df.filter(F.col(sign_column) > 0)
@@ -95,16 +107,29 @@ def collapse_aggregate(
 
 
 def engine_view(df: DataFrame, spec: TableSpec) -> DataFrame:
-    """Dispatch to the read-semantics view for the table's engine."""
+    """Dispatch to the read-semantics view for the table's engine.
+
+    Matches read_current_state exactly for every engine (it delegates
+    here): the collapsing branches order by the stored
+    ``_event_unixtime`` arrival column when present — without it, two
+    entry points claiming the same semantics would disagree on which
+    pending +1 row survives — and drop the internal sign/order columns
+    from the result."""
     if spec.engine == Engine.MERGE_TREE:
         return df  # plain table; deletes were applied physically
     if spec.engine == Engine.REPLACING_MERGE_TREE:
         version = spec.version_column if spec.version_column in df.columns else None
-        tie = tuple(c for c in ("event_unixtime", "action_seq") if c in df.columns)
-        return replacing_view(df, spec.pk, version, tie)
-    if spec.engine == Engine.COLLAPSING_MERGE_TREE:
-        return collapsing_view(df, spec.pk, spec.sign_column)
-    if spec.engine == Engine.VERSIONED_COLLAPSING_MERGE_TREE:
-        version = spec.version_column if spec.version_column in df.columns else None
-        return collapsing_view(df, spec.pk, spec.sign_column, version)
+        return replacing_view(df, spec.pk, version)
+    if spec.engine in (Engine.COLLAPSING_MERGE_TREE,
+                       Engine.VERSIONED_COLLAPSING_MERGE_TREE):
+        version = (spec.version_column
+                   if spec.engine == Engine.VERSIONED_COLLAPSING_MERGE_TREE
+                   and spec.version_column in df.columns else None)
+        order = ("_event_unixtime" if "_event_unixtime" in df.columns
+                 else None)
+        out = collapsing_view(df, spec.pk, spec.sign_column, version,
+                              order_column=order)
+        drop = [c for c in (spec.sign_column, "_event_unixtime")
+                if c in out.columns]
+        return out.drop(*drop)
     raise ValueError(f"unknown engine {spec.engine}")

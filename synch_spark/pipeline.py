@@ -234,6 +234,11 @@ def repair(
 
     import time
 
+    if not spec.has_pk:
+        raise ValueError(
+            f"repair requires a pk'd TableSpec ({spec.qualified_name} has "
+            "none): a pk-less diff would cartesian-join the snapshots"
+        )
     current = read_current_state(table, spec).select(*source_df.columns)
     # wall-clock stamp: correction events must sort after history but NOT
     # after all future events — a far-future constant (e.g. 2**62) would

@@ -49,15 +49,25 @@ def pk_query(dialect: str, schema: str, table: str) -> str:
     if dialect == "postgres":
         # a.attnum = ANY(indkey) alone loses the key order; array_position
         # over indkey recovers it (ref postgres.py:59-66 also truncates
-        # composites via ret[0][0])
+        # composites via ret[0][0]).
+        # - <= indnkeyatts: PRIMARY KEY ... INCLUDE (payload) stores the
+        #   covering columns in indkey too — they are NOT key columns,
+        #   and treating them as pk makes every payload update look like
+        #   a key change (old row never superseded).
+        # - to_regclass + quoted identifiers: '%s.%s'::regclass folds
+        #   case (breaking "Orders") and ERRORS on a missing table;
+        #   to_regclass('"s"."t"') resolves exactly and returns NULL
+        #   (no rows -> the documented empty-pk path) when absent.
         return (
             "SELECT a.attname AS column_name, "
             "array_position(i.indkey, a.attnum) AS ordinal_position "
             "FROM pg_index i "
             "JOIN pg_attribute a ON a.attrelid = i.indrelid "
             "AND a.attnum = ANY (i.indkey) "
-            f"WHERE i.indrelid = '{schema}.{table}'::regclass "
-            "AND i.indisprimary ORDER BY ordinal_position"
+            f"WHERE i.indrelid = to_regclass('\"{schema}\".\"{table}\"') "
+            "AND i.indisprimary "
+            "AND array_position(i.indkey, a.attnum) <= i.indnkeyatts "
+            "ORDER BY ordinal_position"
         )
     raise ValueError(f"unsupported dialect: {dialect!r}")
 

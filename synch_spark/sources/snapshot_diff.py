@@ -32,25 +32,43 @@ def diff_snapshots(
     - pk in both, row changed  -> update(before=old, after=new)
     Row change detection = xxhash64 over all non-pk columns (column order
     canonicalized). Output matches RAW_EVENT_SCHEMA.
+
+    Schema drift: the diff speaks the NEW snapshot's schema. Columns the
+    old snapshot lacks (ALTER TABLE ADD between polls) read as NULL on
+    the old side — rows whose new value differs emit updates, exactly
+    the correction the replica needs — and old-only (dropped) columns
+    are ignored. Without this, the first poll after a source ADD COLUMN
+    crashed the produce loop with UNRESOLVED_COLUMN.
     """
+    if not pk:
+        # a full-outer join on ZERO columns is a cartesian product: old
+        # x new rows, nearly every pair 'changed' — millions of bogus
+        # correction events applied to the target
+        raise ValueError(
+            "diff_snapshots requires a non-empty pk (a pk-less table has "
+            "no identity to diff on; use append-only produce instead)"
+        )
+    from synch_spark.functions import null_safe_row_hash
+
     cols = new.columns
     value_cols = [c for c in cols if c not in pk]
-
-    def row_hash(df):
-        # null-safe digest (see synch_spark.functions.null_safe_row_hash):
-        # an empty value_cols means a pk-only table — no payload to change.
-        from synch_spark.functions import null_safe_row_hash
-
-        return null_safe_row_hash(value_cols)
+    old_have = set(old.columns)
+    missing = [c for c in cols if c not in old_have]
+    if missing:
+        ntypes = dict(new.dtypes)
+        old = old.select(
+            "*", *[F.lit(None).cast(ntypes[c]).alias(c) for c in missing]
+        )
+    row_hash = null_safe_row_hash(value_cols)
     o = old.select(
         *[F.col(c).alias(f"_o_{c}") for c in cols],
         *[F.col(c).alias(c) for c in pk],
-        row_hash(old).alias("_o_h"),
+        row_hash.alias("_o_h"),
     ).drop(*[f"_o_{c}" for c in pk])
     n = new.select(
         *[F.col(c).alias(f"_n_{c}") for c in cols],
         *[F.col(c).alias(c) for c in pk],
-        row_hash(new).alias("_n_h"),
+        row_hash.alias("_n_h"),
     ).drop(*[f"_n_{c}" for c in pk])
     joined = o.join(n, list(pk), "full_outer")
 

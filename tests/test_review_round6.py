@@ -260,3 +260,99 @@ def test_sampling_salt_validation():
 
     with pytest.raises(ValueError, match="salt"):
         sample_gate(F.col("id"), 0.5, salt="a:b")
+
+# --- engines/diff/hash hardening (review sweep 6) ---------------------------
+def test_diff_snapshots_rejects_empty_pk(spark):
+    from synch_spark.sources.snapshot_diff import diff_snapshots
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="non-empty pk"):
+        diff_snapshots(df, df, (), "db", "t", 1)
+
+
+def test_diff_snapshots_survives_added_column(spark):
+    """ALTER TABLE ADD COLUMN between producer polls: the old snapshot
+    lacks the column — the diff must emit updates for rows whose new
+    value is set, not crash with UNRESOLVED_COLUMN."""
+    import json as _json
+
+    from synch_spark.sources.snapshot_diff import diff_snapshots
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "fresh")], "k long, v string, c string")
+    out = diff_snapshots(old, new, ("k",), "db", "t", 10).collect()
+    got = {r["action"]: _json.loads(r["after"] or "{}") for r in out}
+    # row 1: added column NULL on both sides -> unchanged; row 2 updates
+    assert list(got) == ["update"] and got["update"]["k"] == 2
+    assert got["update"]["c"] == "fresh"
+
+
+def test_row_hash_separator_forgery_resistant(spark):
+    """('x\\x01y','z') vs ('x','y\\x01z') used to hash EQUAL (the
+    separator re-split); the length-prefixed encoding is injective."""
+    from synch_spark.functions import null_safe_row_hash
+
+    df = spark.createDataFrame(
+        [("x\x01y", "z"), ("x", "y\x01z"), (None, "\x00NULL\x00")],
+        "a string, b string")
+    hs = [r[0] for r in df.select(null_safe_row_hash(["a", "b"])).collect()]
+    assert len(set(hs)) == 3, f"colliding row hashes: {hs}"
+
+
+def test_engine_view_matches_read_current_state_for_collapsing(spark, tmp_path):
+    """The public dispatcher and read_current_state must agree on a
+    collapsing table with PENDING (uncompacted) updates — engine_view
+    used to ignore the stored arrival order and pick the survivor by
+    partition layout."""
+    from synch_spark.operators.cdc_apply import read_current_state
+    from synch_spark.operators.engines import engine_view
+
+    spec = TableSpec(schema="db", table="t", pk=("k",),
+                     engine=Engine.COLLAPSING_MERGE_TREE)
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=6)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "action string, k long, v double, event_unixtime long"
+        ).withColumn("action_seq", F.lit(0)) \
+         .withColumn("schema", F.lit("db")).withColumn("table", F.lit("t"))
+
+    apply_cdc_batch(t, batch([("insert", 1, 1.0, 10)]), spec,
+                    value_columns=["k", "v"])
+    apply_cdc_batch(t, batch([("delete", 1, 1.0, 20),
+                              ("insert", 1, 2.0, 21)]), spec,
+                    value_columns=["k", "v"])
+    via_state = {(r["k"], r["v"]) for r in read_current_state(t, spec).collect()}
+    via_view = {(r["k"], r["v"])
+                for r in engine_view(t.read(), spec).collect()}
+    assert via_state == via_view == {(1, 2.0)}
+    assert set(engine_view(t.read(), spec).columns) == {"k", "v"}
+
+
+def test_replacing_view_version_tie_is_value_deterministic(spark):
+    from synch_spark.operators.engines import replacing_view
+
+    df = spark.createDataFrame(
+        [(1, 5, "aa"), (1, 5, "zz"), (2, 1, "q")], "k long, ver long, v string")
+    for _ in range(3):
+        got = {r["k"]: r["v"]
+               for r in replacing_view(df.repartition(7), ("k",), "ver").collect()}
+        assert got == {1: "zz", 2: "q"}  # max to_json wins, every run
+
+
+def test_interleave_bits_validates_inputs():
+    from synch_spark.functions import interleave_bits
+
+    with pytest.raises(ValueError, match="at least one"):
+        interleave_bits([], 8)
+    with pytest.raises(ValueError, match="at least one"):
+        interleave_bits([F.lit(1)], 0)
+
+
+def test_pg_pk_query_excludes_include_columns_and_quotes():
+    from synch_spark.sources.catalog import pk_query
+
+    q = pk_query("postgres", "public", "Orders")
+    assert "indnkeyatts" in q, "INCLUDE covering columns must be excluded"
+    assert "to_regclass('\"public\".\"Orders\"')" in q
