@@ -130,18 +130,25 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             payloads = pdf["media"]
-            checksums = payloads.map(
-                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64)) % (1 << 31)
-            )
+
+            def cksum(b) -> int:
+                # CODE-POINT sum, not byte sum: the oracle computes
+                # SUM(unicode(ch)) per character, and the two diverge on
+                # any multibyte text ('café': bytes 662 vs code points
+                # 531) — the ASCII fixture only passed by luck. NULL /
+                # empty payloads contribute 0.
+                if b is None:
+                    return 0
+                return sum(map(ord, bytes(b).decode("utf-8"))) % (1 << 31)
+
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "checksum": checksums.astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda b: 0 if b is None else len(b)).astype("int64"),
+                    "checksum": payloads.map(cksum).astype("int64"),
                     "aspect": (pdf["w"] / pdf["h"]).astype("float64"),
                 }
             )
@@ -209,18 +216,28 @@ def resize_media(df: DataFrame, target: int, id_col: str = "doc_id") -> DataFram
         import numpy as np
 
         for pdf in batches:
-            outs = []
+            outs, widths = [], []
             for payload in pdf["media"]:
+                # NULL/empty payloads pass through honestly: NULL stays
+                # NULL (bytes(None) used to TypeError the whole job) and
+                # an empty payload's metadata says width=0 — advertising
+                # `target` elements over 0 bytes lies to every consumer
+                if payload is None:
+                    outs.append(None)
+                    widths.append(0)
+                    continue
                 buf = np.frombuffer(bytes(payload), dtype=np.uint8)
                 if len(buf) == 0:
                     outs.append(b"")
+                    widths.append(0)
                     continue
                 idx = (np.arange(target, dtype=np.int64) * len(buf)) // target
                 outs.append(buf[idx].tobytes())
+                widths.append(target)
             meta = pd.DataFrame(
                 {
                     "format": ["fake/resized"] * len(pdf),
-                    "width": pd.array([target] * len(pdf), dtype="int32"),
+                    "width": pd.array(widths, dtype="int32"),
                     "height": pd.array([1] * len(pdf), dtype="int32"),
                     "duration_ms": pd.array([0] * len(pdf), dtype="int32"),
                     "codec": ["none"] * len(pdf),

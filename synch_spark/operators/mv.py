@@ -178,6 +178,21 @@ class MaterializedView:
         if epoch is not None and self.table.exists \
                 and self.table._epoch_applied(epoch):
             return
+        persisted = False
+        if self._recompute_cols():
+            # the has-deletes probe below reads the batch a second time;
+            # persist HERE so every caller benefits (the streaming path
+            # used to pay the full parse/split lineage twice per batch)
+            typed_events = typed_events.persist()
+            persisted = True
+        try:
+            self._refresh_from_batch(typed_events, base, action_col, epoch)
+        finally:
+            if persisted:
+                typed_events.unpersist()
+
+    def _refresh_from_batch(self, typed_events, base, action_col,
+                            epoch) -> None:
         is_del = F.col(action_col) == "delete"
         sign = F.when(is_del, F.lit(-1)).otherwise(F.lit(1))
         delta = typed_events.groupBy(*self.group_cols).agg(
@@ -221,37 +236,49 @@ class MaterializedView:
                 affected = merged.filter(F.col("_had_del") == 1).select(
                     *self.group_cols
                 )
+                # NULL-SAFE group-key joins throughout: a delete touching
+                # a NULL group key must recompute that group like any
+                # other — name-list equi-joins never match NULL keys, so
+                # the recompute silently wrote NULL min/max/HLL into a
+                # group base still had rows for
+                b, a = base.alias("_b"), affected.alias("_a")
+                cond_ba = [F.col(f"_b.{c}").eqNullSafe(F.col(f"_a.{c}"))
+                           for c in self.group_cols]
                 recomp = (
-                    base.join(affected, self.group_cols, "left_semi")
+                    b.join(a, cond_ba, "left_semi")
                     .groupBy(*self.group_cols)
                     .agg(*self._mm_aggs(lambda c: F.col(c)),
                          *self._hll_aggs(lambda c: F.col(c)))
                 )
                 ren = recomp.select(
-                    *self.group_cols,
+                    *[F.col(c).alias(f"_g_{c}") for c in self.group_cols],
                     *[F.col(name).alias(f"_r_{name}") for name in rebuild],
                 )
+                cond_mr = [F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+                           for c in self.group_cols]
                 keep = [
                     F.when(F.col("_had_del") == 1, F.col(f"_r_{name}"))
                     .otherwise(F.col(name)).alias(name)
                     for name in rebuild
                 ]
-                merged = merged.join(ren, self.group_cols, "left").select(
+                merged = merged.join(ren, cond_mr, "left").select(
                     *self.group_cols, "n_delta",
                     *[f"{c}_delta" for c in self.sum_cols],
                     *keep, "_had_del",
                 )
         self.table.overwrite(merged.drop("_had_del"), epoch=epoch)
 
-    def full_build(self, base: DataFrame) -> None:
-        """Initial build from a table snapshot: every row is one +insert."""
+    def full_build(self, base: DataFrame, epoch: str | None = None) -> None:
+        """Initial build from a table snapshot: every row is one +insert.
+        ``epoch``: sync-intent token — rides in the commit entry so
+        _last_synced promotes on THIS build, not on any other commit."""
         built = base.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_delta"),
             *[F.sum(F.col(c).cast(DEC)).alias(f"{c}_delta") for c in self.sum_cols],
             *self._mm_aggs(lambda c: F.col(c)),
             *self._hll_aggs(lambda c: F.col(c)),
         )
-        self.table.overwrite(built)
+        self.table.overwrite(built, epoch=epoch)
 
     # -- change-feed-driven maintenance ---------------------------------------
     SYNC_FILE = "_mv_synced.json"
@@ -268,19 +295,31 @@ class MaterializedView:
 
     def _last_synced(self) -> int | None:
         """Source version the state provably reflects. The intent doc
-        records {prev, pending, mv_expected} BEFORE the state overwrite;
-        the overwrite landing (mv version >= mv_expected) is what
+        records {prev, pending, token} BEFORE the state overwrite; the
+        overwrite landing WITH THAT TOKEN in its commit entry is what
         promotes pending -> synced. A crash between intent and overwrite
         therefore re-reads from prev — the feed is re-applied, never
-        double-applied, because the state never advanced."""
+        double-applied, because the state never advanced.
+
+        Token-identified, not version-counted: promoting on
+        current_version() >= expected would let ANY other commit to the
+        MV table (an event-path refresh_from_batch landing between the
+        intent write and a crashed sync's overwrite) falsely mark the
+        feed interval applied — its deltas silently dropped forever."""
         doc = self._sync_doc()
         if doc is None:
             return None
+        tok = doc.get("token")
+        if tok is not None:
+            if self.table.exists and self.table._epoch_applied(tok):
+                return doc["pending"]
+            return doc["prev"]
+        # legacy doc (pre-token): version-count promotion
         if self.table.exists and self.table.current_version() >= doc["mv_expected"]:
             return doc["pending"]
         return doc["prev"]
 
-    def _write_sync(self, prev, pending, mv_expected) -> None:
+    def _write_sync(self, prev, pending, mv_expected, token=None) -> None:
         import json
         import os
         import uuid
@@ -289,7 +328,7 @@ class MaterializedView:
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump({"prev": prev, "pending": pending,
-                       "mv_expected": mv_expected}, f)
+                       "mv_expected": mv_expected, "token": token}, f)
         os.replace(tmp, path)
 
     def mark_synced(self, source_version: int) -> None:
@@ -326,22 +365,25 @@ class MaterializedView:
         Single-maintainer contract like every other refresh path: two
         concurrent syncs of the SAME view race benignly on the intent
         file but waste work; serialize them."""
+        import uuid as _uuid
+
         cur = source_table.current_version()
         last = self._last_synced()
         mv_v = self.table.current_version() if self.table.exists else -1
         if last is not None and last == cur:
             return cur
+        token = f"mv_sync:{_uuid.uuid4().hex}"
         if last is None:
-            self._write_sync(None, cur, mv_v + 1)
-            self.full_build(source_table.read())
+            self._write_sync(None, cur, mv_v + 1, token=token)
+            self.full_build(source_table.read(), epoch=token)
             return cur
         try:
             feed = source_table.changes(last, cur, pk=pk)
         except FileNotFoundError:
             # lagged past the source's retention window: the feed for
             # (last, cur] is gone — rebuild from the current snapshot
-            self._write_sync(last, cur, mv_v + 1)
-            self.full_build(source_table.read())
+            self._write_sync(last, cur, mv_v + 1, token=token)
+            self.full_build(source_table.read(), epoch=token)
             return cur
         # the feed IS the engine IR: postimages insert, preimages delete
         typed = feed.withColumn(
@@ -350,18 +392,8 @@ class MaterializedView:
                    F.lit("insert")).otherwise(F.lit("delete")),
         ).drop("_change_type")
         base = source_table.read() if self._recompute_cols() else None
-        self._write_sync(last, cur, mv_v + 1)
-        if base is not None:
-            # refresh_from_batch reads the batch twice (has-deletes probe
-            # + the fold); without a persist that re-runs the whole
-            # file-diff + full-outer join — the O(changed files) cost
-            # would be paid twice per sync
-            typed = typed.persist()
-        try:
-            self.refresh_from_batch(typed, base=base)
-        finally:
-            if base is not None:
-                typed.unpersist()
+        self._write_sync(last, cur, mv_v + 1, token=token)
+        self.refresh_from_batch(typed, base=base, epoch=token)
         return cur
 
     def read(self) -> DataFrame:

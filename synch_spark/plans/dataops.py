@@ -394,21 +394,40 @@ class _SessionCache:
     memoization shape of q42's IVF index, q118/q119's incremental
     scratch indexes, and q117's committed time-travel table. Weak-keyed
     by session (id() reuse after GC would hand back an artifact bound
-    to a stopped SparkContext). The per-cache lock makes the bench's
-    concurrent warm-up race-free while leaving DIFFERENT artifacts free
-    to build in parallel."""
+    to a stopped SparkContext). Per-KEY build events: the cache lock
+    guards only the dict, never a multi-minute Spark build — a warm hit
+    on one sf_dir must not block behind another key's build, and two
+    racers on the SAME key dedupe through the placeholder event."""
 
     def __init__(self) -> None:
         self._store: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
         self._lock = threading.Lock()
 
     def get_or_build(self, spark, sf_dir, build):
+        while True:
+            with self._lock:
+                per_session = self._store.setdefault(spark, {})
+                hit = per_session.get(sf_dir)
+                if hit is None:
+                    ev = threading.Event()
+                    per_session[sf_dir] = ("_building", ev)
+                    break
+                if isinstance(hit, tuple) and hit[0] == "_building":
+                    ev = hit[1]
+                else:
+                    return hit
+            ev.wait()  # another thread is building this key: wait, retry
+        try:
+            value = build()
+        except BaseException:
+            with self._lock:
+                self._store.setdefault(spark, {}).pop(sf_dir, None)
+            ev.set()  # waiters retry (and may rebuild)
+            raise
         with self._lock:
-            per_session = self._store.setdefault(spark, {})
-            hit = per_session.get(sf_dir)
-            if hit is None:
-                hit = per_session[sf_dir] = build()
-            return hit
+            self._store.setdefault(spark, {})[sf_dir] = value
+        ev.set()
+        return value
 
 
 _IVF_CACHE = _SessionCache()
@@ -462,9 +481,10 @@ def q25_multimodal_features(spark, sf_dir):
 Q25_SQL = """
 SELECT doc_id AS id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST((SELECT SUM(code_point) % 2147483648
+       CAST(COALESCE((SELECT SUM(code_point)
              FROM (SELECT UNNEST(string_split(text,'')) ch) s,
-                  LATERAL (SELECT unicode(ch) AS code_point) u) AS BIGINT) AS checksum,
+                  LATERAL (SELECT unicode(ch) AS code_point) u
+             WHERE ch <> ''), 0) % 2147483648 AS BIGINT) AS checksum,
        CAST((length(text) % 640 + 1) AS DOUBLE) / (length(text) % 480 + 1) AS aspect
 FROM documents ORDER BY id
 """
@@ -722,9 +742,13 @@ def q105_media_char_histogram(spark, sf_dir):
 Q105_SQL = """
 SELECT doc_id AS id, CAST(unicode(ch) % 16 AS INT) AS bucket,
        COUNT(*) AS n
-FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents)
+FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+      FROM documents WHERE length(text) > 0)
 GROUP BY doc_id, bucket ORDER BY id, bucket
 """
+# length(text) > 0: DuckDB string_split('','') yields [''] with
+# unicode('') = -1 — a spurious (id, -1, 1) row the kernel (correctly)
+# never emits for an empty document
 
 
 # --- unigram LM surprisal scoring ----------------------------------------
@@ -1341,7 +1365,11 @@ def q72_chunking(spark, sf_dir):
     from synch_spark.operators.text import tokens
 
     docs = _docs(spark, sf_dir)
-    base = docs.select("doc_id", tokens("text").alias("_toks"))
+    # size > 0 filter matches the oracle's len(w) > 0 AND keeps Spark
+    # alive: sequence(1, 0, stride) raises 'Illegal sequence boundaries'
+    # at runtime for a zero-token document
+    base = docs.select("doc_id", tokens("text").alias("_toks")) \
+        .filter(F.size("_toks") > 0)
     n = F.size("_toks")
     starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
     ex = base.select(
@@ -1448,7 +1476,10 @@ def q76_segment_dedup(spark, sf_dir):
     from synch_spark.operators.text import tokens
 
     docs = _docs(spark, sf_dir)
-    base = docs.select("doc_id", "source", tokens("text").alias("_toks"))
+    # size > 0: sequence(1, 0, k) raises at runtime on a zero-token doc
+    # (the oracle already filters len(w) > 0)
+    base = docs.select("doc_id", "source", tokens("text").alias("_toks")) \
+        .filter(F.size("_toks") > 0)
     starts = F.sequence(F.lit(1), F.size("_toks"), F.lit(SEG_TOKENS))
     ex = base.select(
         "doc_id", "source", "_toks", F.posexplode(starts).alias("seg_idx", "_st")
@@ -1941,9 +1972,13 @@ def q85_phrase_search(spark, sf_dir):
 
 Q85_SQL = f"""
 SELECT doc_id FROM documents
-WHERE strpos(' ' || text || ' ', ' {' '.join(PHRASE)} ') > 0
+WHERE strpos(' ' || array_to_string({TOK_SQL}, ' ') || ' ',
+             ' {' '.join(PHRASE)} ') > 0
 ORDER BY doc_id
 """
+# token-normalized text, not raw: the positional index matches the
+# phrase across ANY whitespace run (tokens split on \\s+), so the
+# oracle must too — a tab between phrase words diverged the two
 
 
 # --- BM25 ranked retrieval ---------------------------------------------------

@@ -356,3 +356,112 @@ def test_pg_pk_query_excludes_include_columns_and_quotes():
     q = pk_query("postgres", "public", "Orders")
     assert "indnkeyatts" in q, "INCLUDE covering columns must be excluded"
     assert "to_regclass('\"public\".\"Orders\"')" in q
+
+# --- mv/multimodal/plans hardening (review sweep 7) --------------------------
+def test_mv_sync_intent_not_promoted_by_foreign_commit(spark, tmp_path):
+    """A crashed sync's intent must NOT be promoted by an unrelated
+    commit to the MV table (event-path refresh landing in between):
+    promotion is token-identified via the commit entry's epoch."""
+    from synch_spark.operators.mv import MaterializedView
+
+    src = ParquetTable(spark, str(tmp_path / "src"), retain=6)
+    src.overwrite(spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                                        "k long, amount double"))
+    view = MaterializedView.create(
+        spark, str(tmp_path / "mv"), "db.t", group_cols=["k"],
+        sum_cols=["amount"])
+    view.refresh_from_changes(src, pk="k")  # baseline build
+    v0 = src.current_version()
+    # source moves; a sync CRASHES after writing its intent
+    src.append(spark.createDataFrame([(3, 30.0)], "k long, amount double"))
+    cur = src.current_version()
+    mv_v = view.table.current_version()
+    view._write_sync(v0, cur, mv_v + 1, token="mv_sync:crashed")
+    # an UNRELATED commit lands on the MV table (event-path refresh)
+    batch = spark.createDataFrame([("insert", 9, 90.0)],
+                                  "action string, k long, amount double")
+    view.refresh_from_batch(batch)
+    assert view.table.current_version() >= mv_v + 1
+    # the feed interval (v0, cur] must still be pending, not dropped
+    assert view._last_synced() == v0, \
+        "foreign commit promoted the crashed sync's intent"
+    view.refresh_from_changes(src, pk="k")
+    got = {r["k"]: float(r["amount_delta"])
+           for r in view.table.read().collect()}
+    assert got.get(3) == 30.0, f"feed interval silently dropped: {got}"
+
+
+def test_mv_delete_recompute_handles_null_group_key(spark, tmp_path):
+    """A delete touching a NULL group key must recompute that group's
+    min/max from base — name-list joins never match NULL keys, so the
+    recompute used to write NULL min/max into a group base still had
+    rows for."""
+    from synch_spark.operators.mv import MaterializedView
+
+    view = MaterializedView.create(
+        spark, str(tmp_path / "mv"), "db.t", group_cols=["city"],
+        sum_cols=["amt"], minmax_cols=["amt"])
+    ins = spark.createDataFrame(
+        [("insert", None, 5.0), ("insert", None, 9.0), ("insert", "x", 1.0)],
+        "action string, city string, amt double")
+    view.refresh_from_batch(ins)
+    base_after = spark.createDataFrame(
+        [(None, 5.0), ("x", 1.0)], "city string, amt double")
+    dele = spark.createDataFrame([("delete", None, 9.0)],
+                                 "action string, city string, amt double")
+    view.refresh_from_batch(dele, base=base_after)
+    state = {r["city"]: (float(r["amt_min"]), float(r["amt_max"]))
+             for r in view.table.read().collect()}
+    assert state[None] == (5.0, 5.0), \
+        f"NULL group min/max not recomputed: {state}"
+
+
+def test_resize_media_null_and_empty_payloads(spark):
+    from synch_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "some text"), (2, ""), (3, None)], "doc_id long, text string")
+    media = multimodal.attach_fake_media(docs, "text")
+    # force a NULL payload through (attach makes bytes; null the text row)
+    media = media.withColumn(
+        "media", F.when(F.col("doc_id") == 3, F.lit(None)).otherwise(
+            F.col("media")))
+    out = {r["id"]: (r["media"], r["media_meta"]["width"])
+           for r in multimodal.resize_media(media, target=8).collect()}
+    assert out[3][0] is None and out[3][1] == 0  # NULL passes through
+    payload2, w2 = out[2]
+    assert w2 == (0 if (payload2 is None or len(payload2) == 0) else 8)
+    assert len(out[1][0]) == 8 and out[1][1] == 8
+
+
+def test_session_cache_parallel_keys_and_same_key_dedup(spark):
+    import threading
+    import time as _time
+
+    from synch_spark.plans.dataops import _SessionCache
+
+    cache = _SessionCache()
+    calls = {"a": 0, "b": 0}
+
+    def slow_a():
+        calls["a"] += 1
+        _time.sleep(1.0)
+        return "A"
+
+    def fast_b():
+        calls["b"] += 1
+        return "B"
+
+    out = {}
+    ta = threading.Thread(
+        target=lambda: out.__setitem__("a", cache.get_or_build(spark, "a", slow_a)))
+    ta.start()
+    _time.sleep(0.2)  # a's build is in flight
+    t0 = _time.monotonic()
+    out["b"] = cache.get_or_build(spark, "b", fast_b)  # must NOT block on a
+    assert _time.monotonic() - t0 < 0.5, "different key blocked behind a build"
+    # same-key racer waits for a's build instead of rebuilding
+    out["a2"] = cache.get_or_build(spark, "a", slow_a)
+    ta.join()
+    assert (out["a"], out["a2"], out["b"]) == ("A", "A", "B")
+    assert calls == {"a": 1, "b": 1}
