@@ -23,20 +23,30 @@ class RateLimitingFilter(logging.Filter):
 
     def __init__(self, per: float = 60.0):
         super().__init__()
+        import threading
+
         self.per = per
-        self._last = 0.0
+        # None, not 0.0: CLOCK_MONOTONIC can start near 0 (fresh
+        # VM/WSL), and `monotonic() - 0.0 >= per` would then suppress
+        # the FIRST error — often the only alert before a crash
+        self._last: float | None = None
         self._suppressed = 0
+        # logging runs handler filters from many driver threads; without
+        # the lock two racers both pass (double mail) or lose suppressed
+        # increments (under-reported drop count)
+        self._lock = threading.Lock()
 
     def filter(self, record: logging.LogRecord) -> bool:
         now = time.monotonic()
-        if now - self._last >= self.per:
-            if self._suppressed:
-                record.msg = f"[{self._suppressed} suppressed] {record.msg}"
-                self._suppressed = 0
-            self._last = now
-            return True
-        self._suppressed += 1
-        return False
+        with self._lock:
+            if self._last is None or now - self._last >= self.per:
+                if self._suppressed:
+                    record.msg = f"[{self._suppressed} suppressed] {record.msg}"
+                    self._suppressed = 0
+                self._last = now
+                return True
+            self._suppressed += 1
+            return False
 
 
 def build_smtp_handler(mail: dict) -> logging.Handler:

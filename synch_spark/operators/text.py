@@ -262,9 +262,18 @@ def gopher_stats(
 # loose digit-run: '2024-01-02', 'order id 123456789', and '10.0.42.7' must
 # survive a scrub — an overmatching phone regex silently destroys non-PII
 # content and corrupts the audit counts.
+#
+# email/ipv4 are SHARED with operators.pii (one definition — two tables
+# drifting would make scrub and audit disagree on what PII is). The phone
+# patterns differ ON PURPOSE: pii.py's strict \d{3}-\d{3}-\d{4} is the
+# auditable oracle-portable class (q113); this scrub variant also catches
+# country codes / parens / spaces, trading oracle portability for recall.
+from synch_spark.operators.pii import PII_PATTERNS as _PII_TABLE
+
+_PII_BY_KIND = {k: rx for k, rx, _ in _PII_TABLE}
 PII_PATTERNS = {
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "email": _PII_BY_KIND["email"],
+    "ipv4": _PII_BY_KIND["ipv4"],
     "phone": r"(?:\+\d{1,3}[\s.-]?)?\(?\d{3}\)?[\s.-]?\d{3}[\s.-]\d{4}\b",
 }
 

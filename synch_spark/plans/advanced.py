@@ -187,6 +187,65 @@ def warm_streaming(spark) -> float:
     return _time.perf_counter() - t0
 
 
+def _read_event_stream(spark, sf_dir, glob: str = "events.parquet"):
+    """ONE streaming read of an event fixture: schema snapshot, glob
+    directory listing, and ts normalization for BOTH fixture encodings
+    (nanosAsLong bigint AND micros-as-NTZ). The six streaming queries
+    used to copy this block, and half of them missed the NTZ case when
+    the fixture encoding changed — a single definition cannot drift."""
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = spark.read.parquet(os.path.join(sf_dir, glob)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+    )
+    if "ts" in stream.columns:
+        ts_type = dict(stream.dtypes)["ts"]
+        if ts_type == "bigint":  # nanosAsLong fixture quirk
+            from synch_spark.session import nanos_to_ts
+
+            stream = stream.withColumn("ts", nanos_to_ts("ts"))
+        elif ts_type == "timestamp_ntz":
+            # micros fixtures surface as NTZ; event-time/watermark wants
+            # TimestampType — session tz is UTC so wall times are kept
+            stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return stream
+
+
+def _run_stream_to_table(out, mode: str, prefix: str, spark):
+    """availableNow memory-sink run with a HARD timeout and no leaks:
+    awaitTermination's boolean used to be ignored, so a slow host
+    returned the half-populated memory table as a PASS-shaped partial
+    result; and the uuid-named sink views were never dropped, pinning
+    every invocation's full result set in the driver for the session's
+    lifetime. The result is materialized OFF the sink (localCheckpoint)
+    so the view can be dropped before returning."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"{prefix}: streaming query did not finish within 300 s — "
+                "refusing to return a partial memory-sink snapshot"
+            )
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+
+
 # --- as-of join ----------------------------------------------------------
 # Spark has no native ASOF JOIN (DuckDB does — the oracle uses it). The
 # scalable Spark plan is the union trick: tag both streams, sort within
@@ -195,7 +254,20 @@ def warm_streaming(spark) -> float:
 # no range cross-join. This is the standard big-data as-of strategy.
 def q26_asof_join(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
-    events = _t(spark, sf_dir, "events")
+    # prune to the joinable keys (the left side is filtered on the same
+    # equi-key, so everything else is window work thrown away) and
+    # reduce to ONE event per (user, ts) — max event_id — so the as-of
+    # pick has no timestamp tie for last() to break arbitrarily (the
+    # DuckDB ASOF oracle is equally tie-ambiguous; the oracle dedups the
+    # same way, making both engines deterministic AND equal)
+    ew = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 50)
+        .withColumn("_rn", F.row_number().over(ew))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     left = orders.select(
         F.col("o_custkey").alias("k"),
         F.col("o_orderdate").alias("t"),
@@ -233,7 +305,11 @@ Q26_SQL = """
 SELECT o_custkey, o_orderkey,
        e.event_type AS last_event_type, e.ts AS last_event_ts
 FROM (SELECT * FROM orders WHERE o_custkey <= 50) o
-ASOF LEFT JOIN events e
+ASOF LEFT JOIN (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS rn
+    FROM events) WHERE rn = 1) e
   ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
 ORDER BY o_custkey, o_orderkey
 """
@@ -370,30 +446,8 @@ def q31_streaming_tumbling(spark, sf_dir):
     memory sink; the returned DataFrame is the final result table. The
     oracle is the equivalent batch SQL — exact equality is the
     batch/stream consistency guarantee Structured Streaming makes."""
-    import os
-    import uuid
-
-    from pyspark.sql import types as T
-
-    path = os.path.join(sf_dir, "events.parquet")
     spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
-    schema = spark.read.parquet(path).schema
-    # the fixture is a single file; the file stream source wants a
-    # directory listing, so stream the sf dir with a glob filter
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ts_type = dict(stream.dtypes)["ts"]
-    if ts_type == "bigint":  # nanosAsLong fixture quirk
-        from synch_spark.session import nanos_to_ts
-
-        stream = stream.withColumn("ts", nanos_to_ts("ts"))
-    elif ts_type == "timestamp_ntz":
-        # micros fixtures surface as NTZ; event-time/watermark requires
-        # TimestampType — session tz is UTC so the cast keeps wall times
-        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    stream = _read_event_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -402,16 +456,7 @@ def q31_streaming_tumbling(spark, sf_dir):
             F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
         )
     )
-    name = f"q31_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name).select(
+    return _run_stream_to_table(agg, "complete", "q31", spark).select(
         F.col("w.start").cast("date").alias("d"), "event_type", "n", "s"
     ).orderBy("d", "event_type")
 
@@ -419,8 +464,12 @@ def q31_streaming_tumbling(spark, sf_dir):
 Q31_SQL = """
 SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
-FROM events GROUP BY CAST(ts AS DATE), event_type ORDER BY d, event_type
+FROM events WHERE ts IS NOT NULL
+GROUP BY CAST(ts AS DATE), event_type ORDER BY d, event_type
 """
+# WHERE ts IS NOT NULL: streaming window() DROPS null event times; the
+# oracle would otherwise emit an extra d=NULL group (q70 has the same
+# guard for the same reason)
 
 
 # --- range join ----------------------------------------------------------
@@ -497,40 +546,18 @@ def q35_streaming_first_per_key(spark, sf_dir):
     """applyInPandasWithState keep-first dedup over the event stream; the
     oracle is the batch window formulation — stream/batch equivalence for
     a *custom* stateful operator."""
-    import os
-    import uuid
-
     from synch_spark.streaming.stateful import streaming_first_per_key
 
-    path = os.path.join(sf_dir, "events.parquet")
     spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
-    schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        from synch_spark.session import nanos_to_ts
-
-        stream = stream.withColumn("ts", nanos_to_ts("ts"))
     # project BEFORE the stateful op: only these columns cross the
     # Arrow boundary into the Python state workers (props/value stay JVM)
-    stream = stream.select("user_id", "ts", "event_type")
+    stream = _read_event_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_type")
     out = streaming_first_per_key(
         stream, "user_id", "ts", "user_id long, ts timestamp, event_type string"
     )
-    name = f"q35_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
     return (
-        spark.table(name)
+        _run_stream_to_table(out, "append", "q35", spark)
         .select("user_id", F.col("ts").alias("first_ts"), "event_type")
         .orderBy("user_id")
     )
@@ -568,13 +595,16 @@ def q59_json_props(spark, sf_dir):
 
 Q59_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        CAST(COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS BIGINT)
          AS n_null
 FROM events GROUP BY event_type ORDER BY event_type
 """
+# TRY_CAST mirrors the Spark side's try_cast: a non-integer $.k must
+# null on BOTH engines, not abort the oracle on exactly the inputs the
+# Spark side was hardened for
 
 
 # --- custom stateful streaming: gap sessionization -----------------------
@@ -591,26 +621,15 @@ def q58_streaming_sessions(spark, sf_dir):
     sub-second fixture timestamps a true gap of 3600.1s would split in
     Spark but not in DuckDB (the q27 unix_timestamp lesson). Truncation
     makes the two gap tests identical and the emitted bounds equal."""
-    import os
-    import uuid
-
     from synch_spark.streaming.stateful import streaming_sessionize
 
-    path = os.path.join(sf_dir, "events.parquet")
     spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
-    schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        from synch_spark.session import nanos_to_ts
-
-        stream = stream.withColumn("ts", nanos_to_ts("ts"))
-    stream = stream.withColumn("ts", F.date_trunc("second", F.col("ts")))
     # narrow the Arrow transfer into the Python state workers to key+ts
-    stream = stream.select("user_id", "ts")
+    stream = (
+        _read_event_stream(spark, sf_dir)
+        .withColumn("ts", F.date_trunc("second", F.col("ts")))
+        .select("user_id", "ts")
+    )
     out = streaming_sessionize(
         stream,
         "user_id",
@@ -618,16 +637,8 @@ def q58_streaming_sessions(spark, sf_dir):
         SESSION_GAP_S,
         "user_id long, session_start timestamp, session_end timestamp, n_events long",
     )
-    name = f"q58_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name).orderBy("user_id", "session_start")
+    return _run_stream_to_table(out, "append", "q58", spark).orderBy(
+        "user_id", "session_start")
 
 
 Q58_SQL = f"""
@@ -666,42 +677,16 @@ def q102_streaming_dedup(spark, sf_dir):
     result is deterministic regardless of which physical row won the
     race inside a batch — that projection is what makes a streaming
     dedup oracle-checkable at all."""
-    import os
-    import uuid
-
-    from pyspark.sql import types as T
-
-    path = os.path.join(sf_dir, "events.parquet")
     spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
-    schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ts_type = dict(stream.dtypes)["ts"]
-    if ts_type == "bigint":
-        from synch_spark.session import nanos_to_ts
-
-        stream = stream.withColumn("ts", nanos_to_ts("ts"))
-    elif ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     deduped = (
-        stream.select("user_id", "ts")
+        _read_event_stream(spark, sf_dir)
+        .select("user_id", "ts")
         .withWatermark("ts", "30 days")
         .dropDuplicatesWithinWatermark(["user_id"])
         .select("user_id")
     )
-    name = f"q102_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name).orderBy("user_id")
+    return _run_stream_to_table(deduped, "append", "q102", spark).orderBy(
+        "user_id")
 
 
 Q102_SQL = "SELECT DISTINCT user_id FROM events ORDER BY user_id"
@@ -841,22 +826,9 @@ def q71_stream_stream_join(spark, sf_dir):
     per-user pair counts; the batch oracle states the identical join.
     Timestamps are second-truncated on both sides (q58/q32 parity
     lesson) so the range boundary agrees with DuckDB exactly."""
-    import os
-    import uuid
-
-    path = os.path.join(sf_dir, "events.parquet")
     spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
-    schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        from synch_spark.session import nanos_to_ts
-
-        stream = stream.withColumn("ts", nanos_to_ts("ts"))
-    stream = stream.withColumn("ts", F.date_trunc("second", F.col("ts")))
+    stream = _read_event_stream(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts")))
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_uid"), F.col("ts").alias("click_ts"))
@@ -873,17 +845,8 @@ def q71_stream_stream_join(spark, sf_dir):
         & (F.col("p_ts") >= F.col("click_ts"))
         & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY")),
     )
-    name = f"q71_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
     return (
-        spark.table(name)
+        _run_stream_to_table(joined, "append", "q71", spark)
         .groupBy(F.col("c_uid").alias("user_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("user_id")
@@ -1007,40 +970,20 @@ def q84_stream_enrich(spark, sf_dir):
     CDC stream against slowly-changing dimensions without shuffling the
     stream. Oracle = the equivalent batch join; equality is Structured
     Streaming's batch/stream consistency contract."""
-    import uuid
-
     seg = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
     spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
-    path_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(path_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        from synch_spark.session import nanos_to_ts
-
-        stream = stream.withColumn("ts", nanos_to_ts("ts"))
     agg = (
-        stream.join(F.broadcast(seg), "user_id")
+        _read_event_stream(spark, sf_dir)
+        .join(F.broadcast(seg), "user_id")
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
         )
     )
-    name = f"q84_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name).orderBy("segment")
+    return _run_stream_to_table(agg, "complete", "q84", spark).orderBy("segment")
 
 
 Q84_SQL = """
