@@ -81,7 +81,7 @@ def jaccard_pairs(
     threshold: float = 0.6,
     n: int = 1,
     probe_filter=None,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """Similarity join: pairs (a, b), a<b, with Jaccard(token-set) >= t.
 
@@ -93,7 +93,10 @@ def jaccard_pairs(
     the filter are emitted (the a<b canonicalization happens after the
     filter) — a probe-centric neighborhood needs the symmetric call.
     ``max_df`` drops grams more frequent than the cap before the join
-    (hot-gram skew guard; see _gram_overlap) — set it at corpus scale.
+    (hot-gram skew guard; see _gram_overlap). Default "auto" derives
+    the cap from corpus size (max(1000, 0.001·n_docs)) so a ubiquitous
+    boilerplate gram can never turn the self-join quadratic; None
+    disables the guard (exact over the full gram vocabulary).
     """
     sizes, inter = _gram_overlap(
         df, text_col, id_col, n, probe_filter, lambda a, b: a < b, max_df
@@ -112,8 +115,16 @@ def jaccard_pairs(
     return out
 
 
+# "auto" max_df cap: max(_AUTO_MAX_DF_FLOOR, _AUTO_MAX_DF_FRAC * n_docs).
+# The floor keeps the guard inert on small/medium corpora (exactness
+# preserved when no gram exceeds it); the fraction bounds the worst join
+# key at corpus scale. Module-level so tests can tighten the floor.
+_AUTO_MAX_DF_FLOOR = 1000
+_AUTO_MAX_DF_FRAC = 0.001
+
+
 def _gram_overlap(df, text_col, id_col, n, probe_filter, pair_pred,
-                  max_df: int | None = None):
+                  max_df: int | str | None = None):
     """Shared inverted-index candidate plan for the gram-set relations:
     (sizes, inter) where sizes = |distinct n-grams| per doc and inter =
     per-(a, b) intersection counts for pairs passing ``pair_pred``
@@ -128,10 +139,29 @@ def _gram_overlap(df, text_col, id_col, n, probe_filter, pair_pred,
     the join (both the index and the per-doc set sizes, i.e. similarity
     is computed over the filtered gram vocabulary — standard stopword
     semantics), bounding the worst join key to max_df^2 pairs. Exactness
-    is preserved whenever no gram actually exceeds the cap; default off
-    (None) for oracle parity."""
+    is preserved whenever no gram actually exceeds the cap.
+
+    ``max_df="auto"`` derives the cap from the corpus itself —
+    ``max(_AUTO_MAX_DF_FLOOR, _AUTO_MAX_DF_FRAC * n_docs)`` — computed
+    IN-PLAN (the doc count joins the gram-frequency aggregate as a
+    broadcast scalar), so no eager driver action and the same lazy
+    DataFrame contract. None disables the guard entirely."""
     sh = shingles(df, text_col, id_col, n)
-    if max_df is not None:
+    if max_df == "auto":
+        n_docs = df.select(F.count(F.lit(1)).alias("_ndocs"))
+        cap = F.greatest(
+            F.lit(int(_AUTO_MAX_DF_FLOOR)),
+            (F.col("_ndocs") * F.lit(float(_AUTO_MAX_DF_FRAC))).cast("long"),
+        )
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("_df") <= cap)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    elif max_df is not None:
         rare = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -160,7 +190,7 @@ def containment_pairs(
     threshold: float = 0.5,
     n: int = 1,
     probe_filter=None,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """ASYMMETRIC near-dup relation: ordered pairs (a, b), a != b, with
     containment C(a in b) = |A∩B| / |A| >= threshold over distinct
@@ -174,7 +204,8 @@ def containment_pairs(
     (explode distinct grams, self-equi-join, count intersections) —
     the shuffle is on the gram, never all-pairs — with the left doc's
     set size as the normalizer. ``probe_filter`` bounds the left side
-    (the "is this doc contained elsewhere?" probe) at scale.
+    (the "is this doc contained elsewhere?" probe) at scale. ``max_df``
+    defaults to the corpus-derived "auto" cap — see jaccard_pairs.
     """
     sizes, inter = _gram_overlap(
         df, text_col, id_col, n, probe_filter, lambda a, b: a != b, max_df

@@ -138,10 +138,17 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 # SUM(unicode(ch)) per character, and the two diverge on
                 # any multibyte text ('café': bytes 662 vs code points
                 # 531) — the ASCII fixture only passed by luck. NULL /
-                # empty payloads contribute 0.
+                # empty payloads contribute 0. Payloads that are NOT
+                # valid UTF-8 (genuinely binary blobs in the media
+                # column) fall back to the plain byte sum instead of
+                # failing the whole Arrow batch with UnicodeDecodeError.
                 if b is None:
                     return 0
-                return sum(map(ord, bytes(b).decode("utf-8"))) % (1 << 31)
+                raw = bytes(b)
+                try:
+                    return sum(map(ord, raw.decode("utf-8"))) % (1 << 31)
+                except UnicodeDecodeError:
+                    return sum(raw) % (1 << 31)
 
             yield pd.DataFrame(
                 {

@@ -376,6 +376,7 @@ class MaterializedView:
         if last is None:
             self._write_sync(None, cur, mv_v + 1, token=token)
             self.full_build(source_table.read(), epoch=token)
+            self._promote_sync(cur)
             return cur
         try:
             feed = source_table.changes(last, cur, pk=pk)
@@ -384,6 +385,7 @@ class MaterializedView:
             # (last, cur] is gone — rebuild from the current snapshot
             self._write_sync(last, cur, mv_v + 1, token=token)
             self.full_build(source_table.read(), epoch=token)
+            self._promote_sync(cur)
             return cur
         # the feed IS the engine IR: postimages insert, preimages delete
         typed = feed.withColumn(
@@ -394,7 +396,22 @@ class MaterializedView:
         base = source_table.read() if self._recompute_cols() else None
         self._write_sync(last, cur, mv_v + 1, token=token)
         self.refresh_from_batch(typed, base=base, epoch=token)
+        self._promote_sync(cur)
         return cur
+
+    def _promote_sync(self, source_version: int) -> None:
+        """Durably promote the sync doc AFTER a successful sync commit.
+        The token check in ``_last_synced`` relies on the token's epoch
+        marker staying visible from the state table's head entry; that
+        list is bounded (``ParquetTable._EPOCH_KEEP``), so a view that
+        takes many epoch-stamped event-path folds between syncs could
+        eventually rotate the token out and regress to doc['prev'] —
+        re-applying a non-idempotent delta fold. Writing the doc in
+        promoted form (prev == pending, token cleared) closes that
+        window; the token check remains only for the crash interval
+        between the intent write and this promotion."""
+        mv_v = self.table.current_version() if self.table.exists else -1
+        self._write_sync(source_version, source_version, mv_v)
 
     def read(self) -> DataFrame:
         state = self._state()

@@ -233,6 +233,138 @@ ORDER BY nd.source
 """
 
 
+# --- q125: exact duplicated-span REMOVAL ---------------------------------
+
+
+def remove_duplicated_spans(docs, span_w: int = SPAN_W,
+                            id_col: str = "doc_id",
+                            text_col: str = "text"):
+    """Duplicated-span EXCISION — the other half of Lee et al. 2022
+    (span_report only *detects*; training pipelines *remove*): rewrite
+    each document's text with every duplicated w-token run cut out,
+    keeping exactly one canonical occurrence corpus-wide.
+
+    Semantics (deterministic, oracle-replicable):
+    - fingerprint every w-token window (1-based start pos, stride 1);
+    - for each fingerprint occurring >= 2 times corpus-wide, the
+      occurrence with the smallest (doc_id, pos) is canonical; every
+      other occurrence is a duplicate window;
+    - a token is removed iff ANY duplicate window covers it; the doc is
+      rebuilt from the surviving tokens joined by ' ' (token-level
+      reconstruction — short docs and unaffected docs also pass through
+      the same join so output text is whitespace-normalized uniformly).
+
+    Plan at scale (all equi-joins, linear in corpus + duplicate mass):
+    one fp-keyed groupBy picks the canonical occurrence via
+    min(struct(doc_id, pos)) — partial-agg friendly, no sort window;
+    the join back is fp-keyed 1:1 per occurrence (a mega-hot
+    boilerplate fp fans out linearly, never quadratically); covered
+    token indices explode only duplicate windows (x w); and ONLY
+    affected docs (left-semi) pay the token explode + anti-join +
+    ordered rebuild — the untouched majority of a 100 TB corpus never
+    shuffles its tokens. Returns (doc_id, clean_text, n_tokens,
+    n_removed) ordered by doc_id."""
+    w = span_w
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - w + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = base.select(
+        "doc_id", F.posexplode(grams).alias("_p0", "fp")
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "fp")
+    firsts = (
+        win.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("_first"),
+             F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+    )
+    dup = (
+        win.join(firsts, "fp")
+        .filter(~((F.col("doc_id") == F.col("_first.doc_id"))
+                  & (F.col("pos") == F.col("_first.pos"))))
+        .select("doc_id", "pos")
+    )
+    rm_idx = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1)))
+        .alias("_i"),
+    ).distinct()
+    rm_n = rm_idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nrm"))
+    rebuilt = (
+        base.join(rm_n, "doc_id", "left_semi")
+        .select("doc_id", F.posexplode("_toks").alias("_i0", "_tok"))
+        .withColumn("_i", F.col("_i0") + 1)
+        .join(rm_idx, ["doc_id", "_i"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_tok"))),
+                    lambda x: x["_tok"],
+                ),
+            ).alias("_ct")
+        )
+    )
+    return (
+        base.join(rm_n, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_nrm").isNull(), F.concat_ws(" ", F.col("_toks")))
+            .otherwise(F.coalesce(F.col("_ct"), F.lit("")))
+            .alias("clean_text"),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("_nrm"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q125_span_removal(spark, sf_dir):
+    """Corpus-wide duplicated-span excision — see remove_duplicated_spans."""
+    return remove_duplicated_spans(_docs(spark, sf_dir))
+
+
+Q125_SQL = f"""
+WITH t AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
+x AS (
+  SELECT doc_id, st AS pos,
+         md5(array_to_string(list_slice(w, st, st + {SPAN_W - 1}), ' ')) AS fp
+  FROM t, UNNEST(generate_series(1, len(w) - {SPAN_W - 1})) AS u(st)
+  WHERE len(w) >= {SPAN_W}),
+d AS (SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+        FROM x) WHERE rn > 1),
+rm AS (SELECT DISTINCT doc_id, u.i AS i
+       FROM d, UNNEST(generate_series(pos, pos + {SPAN_W - 1})) AS u(i)),
+rmn AS (SELECT doc_id, COUNT(*) AS nrm FROM rm GROUP BY doc_id),
+tokpos AS (SELECT t.doc_id, u.i AS i, t.w[u.i] AS tok
+           FROM t, UNNEST(generate_series(1, len(t.w))) AS u(i)
+           WHERE t.doc_id IN (SELECT doc_id FROM rmn)),
+kept AS (SELECT k.doc_id, k.i, k.tok FROM tokpos k
+         LEFT JOIN rm ON k.doc_id = rm.doc_id AND k.i = rm.i
+         WHERE rm.i IS NULL),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct
+            FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CASE WHEN rmn.doc_id IS NULL THEN array_to_string(t.w, ' ')
+            ELSE COALESCE(rebuilt.ct, '') END AS clean_text,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(rmn.nrm, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN rmn ON t.doc_id = rmn.doc_id
+       LEFT JOIN rebuilt ON t.doc_id = rebuilt.doc_id
+ORDER BY t.doc_id
+"""
+
+
 # --- q115: URL extraction + domain stats --------------------------------
 
 _URL_HOST_RE = r"https?://([A-Za-z0-9.-]+)"
@@ -348,4 +480,5 @@ HYGIENE_QUERIES = {
     "q114_span_dedup": (q114_span_dedup, Q114_SQL),
     "q115_url_domains": (q115_url_domains, Q115_SQL),
     "q116_per_stratum_sample": (q116_per_stratum_sample, Q116_SQL),
+    "q125_span_removal": (q125_span_removal, Q125_SQL),
 }

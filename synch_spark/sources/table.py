@@ -409,6 +409,7 @@ class ParquetTable:
         force_ckpt: bool = False,
         data_change: bool = True,
         op: str | None = None,
+        epoch: str | None = None,
     ) -> dict:
         if force_ckpt or snap is None or v % CKPT_EVERY == 0:
             gone = set(remove)
@@ -432,6 +433,7 @@ class ParquetTable:
                 e["dc"] = False
             if op:
                 e["op"] = op
+            self._attach_epochs(e, v, epoch)
             return e
         e = {"v": v, "type": "delta", "base": v - 1,
              "add": add, "remove": sorted(remove)}
@@ -446,7 +448,40 @@ class ParquetTable:
             e["dc"] = False
         if op:
             e["op"] = op
+        self._attach_epochs(e, v, epoch)
         return e
+
+    # idempotence markers survive this many subsequent epoch-stamped
+    # commits — independent of log retention (see _attach_epochs)
+    _EPOCH_KEEP = 64
+
+    def _attach_epochs(self, e: dict, v: int, epoch: str | None) -> None:
+        """Stamp the at-least-once idempotence marker AND carry the
+        bounded recent-epochs list (``eps``) forward from the previous
+        entry. Replay detection must OUTLIVE log retention: with
+        retain=2, a micro-batch that commits several epoch-stamped
+        segments to one table (multi-DDL-barrier batches, a sync's
+        intent→commit window with event-path folds landing in between)
+        rotates early segments' entries out before the checkpointed
+        replay re-runs them — the carried list keeps the last
+        ``_EPOCH_KEEP`` markers visible from the head entry regardless
+        of which entries the GC dropped."""
+        eps: list[str] = []
+        if v > 0:
+            try:
+                pe = self._entry(v - 1)
+            except (OSError, json.JSONDecodeError):
+                pe = {}
+            eps = list(pe.get("eps", ()))
+            pep = pe.get("epoch")
+            if pep and pep not in eps:  # pre-``eps`` entries: back-compat
+                eps.append(pep)
+        if epoch is not None:
+            e["epoch"] = epoch
+            if epoch not in eps:
+                eps.append(epoch)
+        if eps:
+            e["eps"] = eps[-self._EPOCH_KEEP:]
 
     def _write_entry(self, entry: dict, cleanup_rels: list[str] | None = None) -> None:
         """Publish a log entry with atomic exclusive-create: write a temp
@@ -839,9 +874,8 @@ class ParquetTable:
             force_ckpt=True,
             data_change=data_change,
             op=op or ("optimize" if not data_change else "overwrite"),
+            epoch=epoch,
         )
-        if epoch is not None:
-            entry["epoch"] = epoch
         self._write_entry(entry, cleanup_rels=rels)
 
     def partition_files(
@@ -1031,9 +1065,8 @@ class ParquetTable:
         for attempt in range(8):
             base = self.current_version()
             snap = self.snapshot(base) if base >= 0 else None
-            entry = self._make_entry(base + 1, add, [], snap, op="append")
-            if epoch is not None:
-                entry["epoch"] = epoch
+            entry = self._make_entry(base + 1, add, [], snap, op="append",
+                                     epoch=epoch)
             try:
                 self._write_entry(entry)  # no cleanup: rels are reusable
                 return
@@ -1107,10 +1140,20 @@ class ParquetTable:
         return removed
 
     def _epoch_applied(self, epoch: str) -> bool:
-        """True when any RETAINED log entry carries this idempotence
-        marker — the at-least-once replay detector for append/overwrite
-        callers. O(retained versions) small JSON reads."""
-        for v in self.versions():
+        """True when the head entry's carried recent-epochs list holds
+        this idempotence marker (survives log retention — see
+        ``_attach_epochs``), or when any retained entry carries it as
+        its own (pre-``eps`` entries). O(retained versions) small JSON
+        reads, at-least-once replay detector for append/overwrite/fold
+        callers."""
+        vs = self.versions()
+        if vs:
+            try:
+                if epoch in self._entry(vs[-1]).get("eps", ()):
+                    return True
+            except (OSError, json.JSONDecodeError):
+                pass
+        for v in vs:
             try:
                 if self._entry(v).get("epoch") == epoch:
                     return True

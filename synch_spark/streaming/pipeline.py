@@ -346,9 +346,14 @@ class CdcPipeline:
         table = self.table_for(spec)
         if not table.exists:
             return
-        hidden = {spec.sign_column, "_event_unixtime"}
+        # hide only the KNOWN pipeline-internal columns — a blanket
+        # startswith("_") test would silently drop a legitimate user
+        # column named e.g. _status from the restored schema
+        from synch_spark.sources.schema_evolution import GEN_COL
+
+        hidden = {spec.sign_column, "_event_unixtime", GEN_COL}
         fields = [f for f in table.read().schema.fields
-                  if f.name not in hidden and not f.name.startswith("_")]
+                  if f.name not in hidden]
         have = {f.name for f in fields}
         fields += [f for f in vschema.fields if f.name not in have]
         self.value_schemas[qname] = T.StructType(fields)
