@@ -1097,18 +1097,6 @@ def cmd_index(args) -> int:
             print(f"index {name}: source {d['source']} has no configured pk",
                   file=sys.stderr)
             return 2
-        if len(src_spec.pk) > 1:
-            # sync_from keys the change feed on ONE pk column; feeding
-            # it the first column of a composite pk would cross-product
-            # duplicate values in changes()'s full-outer join and apply
-            # wrong pre/post pairs to the index, silently. The index
-            # id_col is single-valued anyway, so require a single-column
-            # pk source.
-            print(
-                f"index {name}: source {d['source']} has a composite pk "
-                f"{src_spec.pk} — index sync requires a single-column pk "
-                "(the index id_col is single-valued)", file=sys.stderr)
-            return 2
         if d.get("kind") not in ("ivf", "lsh"):
             print(f"index {name}: unknown kind {d.get('kind')!r} "
                   "(ivf | lsh)", file=sys.stderr)
@@ -1128,7 +1116,7 @@ def cmd_index(args) -> int:
 
             idx = VectorIndex(spark, d["root"],
                               num_centroids=int(d.get("num_centroids", 16)))
-            v = idx.sync_from(table, pk=src_spec.pk[0],
+            v = idx.sync_from(table, pk=list(src_spec.pk),
                               vec_col=d.get("vec_col", "embedding"),
                               id_col=d.get("id_col", "vec_id"))
         elif d.get("kind") == "lsh":
@@ -1138,7 +1126,7 @@ def cmd_index(args) -> int:
                              num_hashes=int(d.get("num_hashes", 8)),
                              bands=int(d.get("bands", 4)),
                              shingle_n=int(d.get("shingle_n", 3)))
-            v = idx.sync_from(table, pk=src_spec.pk[0],
+            v = idx.sync_from(table, pk=list(src_spec.pk),
                               text_col=d.get("text_col", "text"),
                               id_col=d.get("id_col", "doc_id"))
         out[name] = {"synced_to": v}

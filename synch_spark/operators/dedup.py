@@ -376,7 +376,8 @@ def observed_dropped_buckets(observation) -> int:
 
 # --- duplicate clustering (connected components) ------------------------
 def cluster_duplicates(
-    pairs: DataFrame, max_iters: int = 20, local_threshold: int = 2_000_000
+    pairs: DataFrame, max_iters: int = 20, local_threshold: int = 2_000_000,
+    local_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id).
 
@@ -394,6 +395,13 @@ def cluster_duplicates(
     clusters are tiny, so a handful). Each iteration is one join + one
     aggregate on a (node, label) frame, and `localCheckpoint` truncates
     the lineage so plans don't grow with iterations.
+
+    The local gate is BOTH edge-count and byte-aware: ``local_threshold``
+    edges of 8-byte longs is fine, but the same count of wide string ids
+    is hundreds of MB of driver heap, so the measured id payload must
+    also fit ``local_bytes`` (raw characters; Python object overhead
+    multiplies it a few x). One aggregate decides — same single job the
+    count-only gate already paid.
     """
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
@@ -403,7 +411,14 @@ def cluster_duplicates(
         # MinHash LSH) must not re-execute on every iteration's join
         .localCheckpoint(eager=True)
     )
-    if edges.count() <= local_threshold:
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.length(F.col("x").cast("string"))
+            + F.length(F.col("y").cast("string"))
+        ).alias("_b"),
+    ).first()
+    if stats["_n"] <= local_threshold and (stats["_b"] or 0) <= local_bytes:
         return _cluster_local(edges)
     labels = (
         edges.select(F.col("x").alias("id"))

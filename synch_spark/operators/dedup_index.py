@@ -270,13 +270,16 @@ class DedupIndex:
             if sig_ins is not None:
                 sig_ins.unpersist()
 
-    def sync_from(self, source_table, pk: str = "doc_id",
+    def sync_from(self, source_table, pk="doc_id",
                   text_col: str = "text", id_col: str = "doc_id") -> int:
         """Keep the index caught up with a CDC-maintained document table
         by consuming its change feed — O(changed files) per sync,
         cursor checkpointed after the apply (idempotent merges make
         replay safe). Lagging past the source's retention window falls
-        back to a full build()."""
+        back to a full build(). ``pk`` may be a composite-key
+        tuple/list (the source table's merge key, threaded into
+        ``changes()``); the index stays keyed on ``id_col``, which must
+        remain unique per row."""
         import json
         import os
         import uuid

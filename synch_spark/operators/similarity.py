@@ -585,3 +585,72 @@ def cosine_topk_quantized(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding column — cluster the embedding space,
+    then within each cluster collapse every group of mutually
+    eps-similar points down to ONE representative. Catches paraphrases
+    and re-encodings that MinHash/SimHash (surface-form) dedup misses.
+
+    Three stages, all bounded:
+    1. **Assign** each vector to its nearest centroid by exact decimal
+       cosine (one broadcast pass over the corpus; ``centroids`` is
+       (cid, cvec), tiny — the persisted VectorIndex centroids or any
+       fixed set). Ties break on the smaller cid. The cosine to the
+       winning centroid (``csim``) doubles as the keep-best ranking:
+       the most *prototypical* copy survives.
+    2. **Pairs** within each centroid cluster with cosine >=
+       ``threshold`` via the blocked-GEMM exact kernel
+       (``embedding_near_dups_exact``, block_col = the assignment) —
+       the pair space is bounded by cluster size, and ``len(centroids)``
+       is the scale lever: size it so corpus/num_centroids vectors fit
+       one executor's GEMM tile.
+    3. **Collapse**: connected components over the pairs + keep the
+       highest-``csim`` member per component (ties: lowest id), via
+       ``keep_best_representative``. Vectors in no pair survive as
+       singletons.
+
+    Returns one row per KEPT vector: (id_col, cid, csim, cluster_id,
+    cluster_size). Non-finite vectors are dropped at the door (same
+    contract as every similarity operator here)."""
+    from synch_spark.operators.dedup import keep_best_representative
+
+    c = centroids.select("cid", "cvec").withColumn(
+        "_cn2", _norm2_dec(F.col("cvec")))
+    v = (
+        df.filter(_finite_vec(F.col(vec_col)))
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_vn2", _norm2_dec(F.col("_v")))
+    )
+    scored = v.join(F.broadcast(c)).withColumn(
+        "csim",
+        _safe_div(
+            _dot_dec(F.col("_v"), F.col("cvec")).cast("double"),
+            F.sqrt(F.col("_vn2").cast("double") * F.col("_cn2").cast("double")),
+            None,
+        ),
+    )
+    wa = W.partitionBy("_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    assigned = (
+        scored.withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") == 1)
+        .select("_id", "_v", "cid", "csim")
+    )
+    pairs = embedding_near_dups_exact(
+        assigned, threshold, vec_col="_v", id_col="_id", block_col="cid"
+    ).select("a", "b")
+    kept = keep_best_representative(
+        assigned.select("_id", "cid", "csim"), pairs, "_id", "csim"
+    )
+    return kept.select(
+        F.col("_id").alias(id_col), "cid", "csim", "cluster_id",
+        F.col("cluster_size"),
+    )

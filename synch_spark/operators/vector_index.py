@@ -212,7 +212,7 @@ class VectorIndex:
 
         return os.path.join(self.root, "_feed_cursor.json")
 
-    def sync_from(self, source_table, pk: str = "vec_id",
+    def sync_from(self, source_table, pk="vec_id",
                   vec_col: str = "embedding", id_col: str = "vec_id") -> int:
         """Keep the index caught up with a CDC-maintained source table by
         consuming its change feed — O(changed files) per sync, one merge
@@ -221,7 +221,14 @@ class VectorIndex:
         write just replays the feed into the same state (no two-phase
         protocol needed — contrast MaterializedView.refresh_from_changes
         whose delta fold is NOT idempotent). Lagging past the source's
-        retention window falls back to a full build()."""
+        retention window falls back to a full build().
+
+        ``pk`` may be a single column name or a composite-key
+        tuple/list — it is only the SOURCE table's merge key, threaded
+        into ``changes()`` so pre/post images pair correctly. The index
+        itself stays keyed on ``id_col``, which must remain unique per
+        row regardless of the table's pk shape (feed rows carry the
+        full image, so the id is always present — deletes included)."""
         import json
         import os
 

@@ -655,22 +655,29 @@ def test_cli_index_sync_from_change_feed(tmp_path, capsys, spark):
     assert idx.signatures.read().filter("id = 7").count() == 0
 
 
-def test_cli_index_sync_rejects_composite_pk_source(tmp_path, capsys, spark):
-    """sync_from keys the change feed on ONE pk column; a composite-pk
-    source would cross-product duplicate first-column values in the
-    feed's full-outer join and corrupt the index silently — the CLI
-    must refuse upfront, before any distributed work."""
-    from synch_spark.session import read_table
+def test_cli_index_sync_composite_pk_source(tmp_path, capsys, spark):
+    """Composite-pk sources sync correctly: the FULL pk tuple is
+    threaded into changes() (keying the feed's full-outer join on the
+    truncated first column used to cross-product — tenant here is
+    deliberately non-unique), while the index stays keyed on the
+    single-valued id_col."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+    from synch_spark.operators.dedup_index import DedupIndex
     from synch_spark.sources.table import ParquetTable
 
     wh = tmp_path / "wh"
     t = ParquetTable(spark, str(wh / "db" / "documents"), retain=4)
-    t.overwrite(read_table(spark, "/root/testdata/sf0.001", "documents")
-                .select("doc_id", "text").limit(10))
+    rows = [(i % 3, i, f"document number {i} about topic {i % 5}")
+            for i in range(30)]  # tenant 0..2 repeats: pk[0] alone is NOT unique
+    t.overwrite(spark.createDataFrame(
+        rows, "tenant long, doc_id long, text string"))
     cfg = {
         "core": {"insert_num": 1000, "insert_interval": 1},
         "source_dbs": [{"databases": [{"database": "db", "tables": [
-            {"table": "documents", "pk": ["doc_id", "text"], "retain": 4}]}]}],
+            {"table": "documents", "pk": ["tenant", "doc_id"], "retain": 4}]}]}],
         "spark": {
             "warehouse": str(wh),
             "checkpoint_dir": str(tmp_path / "ckpt"),
@@ -685,11 +692,31 @@ def test_cli_index_sync_rejects_composite_pk_source(tmp_path, capsys, spark):
     }
     p = tmp_path / "synch.yaml"
     p.write_text(yaml.dump(cfg))
-    assert main(["--config", str(p), "index", "sync"]) == 2
-    err = capsys.readouterr().err
-    assert "composite pk" in err and "single-column" in err
-    import os
-    assert not os.path.exists(tmp_path / "idx"), "refusal must precede work"
+    assert main(["--config", str(p), "index", "sync"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["indexes"]["docs_lsh"]["synced_to"] == t.current_version()
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    assert idx.table.read().filter("id = 7").count() == idx.bands
+
+    spec = TableSpec(schema="db", table="documents",
+                     pk=("tenant", "doc_id"),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    batch = spark.createDataFrame(
+        [("delete", 1, 7, None, 1),
+         ("insert", 2, 8, "completely rewritten text for doc eight", 2)],
+        "action string, tenant long, doc_id long, text string, "
+        "event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")).withColumn("table", F.lit("documents"))
+    apply_cdc_batch(t, batch, spec, value_columns=["tenant", "doc_id", "text"])
+    assert main(["--config", str(p), "index", "sync"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["indexes"]["docs_lsh"]["synced_to"] == t.current_version()
+    assert idx.table.read().filter("id = 7").count() == 0, \
+        "composite-keyed delete not propagated"
+    assert idx.signatures.read().filter("id = 7").count() == 0
+    # the update (tenant 2, doc 8) re-signed under the new text
+    assert idx.signatures.read().filter("id = 8").count() == idx.num_hashes
 
 
 def test_cli_changes_follow_loop(tmp_path, capsys, spark):

@@ -224,3 +224,22 @@ def test_exact_span_contamination_anchor_and_boundaries(spark):
                docs, probes, "doc_id", "text", "probe_id", "span",
                anchor_n=3).collect()}
     assert got == {(1, 100), (3, 100), (5, 102)}, got
+
+
+def test_cluster_local_gate_is_byte_aware(spark):
+    """Wide string ids must take the distributed path even when the edge
+    COUNT is under the local threshold — 2M edges of 100-char ids is
+    hundreds of MB of driver heap. Both paths agree on the labels."""
+    from synch_spark.operators.dedup import cluster_duplicates
+
+    wide = "x" * 200
+    pairs = spark.createDataFrame(
+        [(f"{wide}{i}", f"{wide}{i + 1}") for i in range(0, 40, 2)],
+        ["a", "b"],
+    )
+    # byte gate trips (40 edges x ~800 chars > 16KB): distributed path
+    dist = {(r["id"], r["cluster_id"]) for r in cluster_duplicates(
+        pairs, local_bytes=16 << 10).collect()}
+    local = {(r["id"], r["cluster_id"]) for r in cluster_duplicates(
+        pairs).collect()}
+    assert dist == local and len(dist) == 40
