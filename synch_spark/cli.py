@@ -95,6 +95,8 @@ def cmd_produce(args) -> int:
     # changes on empty rounds
     _validate_sink(raw, args.sink or "spool", "produce")
     spark = get_spark("synch-produce")
+    if getattr(args, "source", "snapshot-diff") == "mysql-socket":
+        return _produce_mysql_socket(args, raw, cfg, spark)
     _resolve_pks(raw, cfg, spark)
     warehouse = raw["spark"]["warehouse"]
     events_dir = raw["spark"]["events_dir"]
@@ -179,6 +181,95 @@ def cmd_produce(args) -> int:
         print(json.dumps({"produce_round": i, "events": emitted}))
         if i + 1 < rounds:
             _time.sleep(interval)
+    return 0
+
+
+def _produce_mysql_socket(args, raw, cfg, spark) -> int:
+    """S3 live tail: COM_BINLOG_DUMP replication client → broker
+    boundary. The reference's BinLogStreamReader equivalent
+    (/root/reference/synch/reader/mysql.py:128-153) with the same
+    resume contract: a (file, pos) cursor in the warehouse, persisted
+    AFTER each round's events are emitted — a crash between emit and
+    checkpoint replays at most one round (at-least-once, same as every
+    broker path; downstream applies are idempotent merges).
+
+    Each round issues a NON-BLOCKING dump from the cursor: the server
+    streams everything it has and EOFs (the availableNow shape), the
+    round's decoded events ship to the sink in one batch, and the loop
+    sleeps ``insert_interval``. Ingestion is driver-side by nature —
+    one replication connection, exactly like the reference's
+    single-threaded reader — and the decode reuses the offline v4
+    decoder byte-for-byte (sources.binlog_socket.stream_raw_events).
+
+    Config: ``spark.mysql_socket: {host, port, user, password,
+    server_id, file, pos}`` — file/pos seed the FIRST run only; the
+    cursor wins afterwards."""
+    import json as _json
+    import os
+    import time as _time
+    import uuid as _uuid
+
+    from synch_spark.events import RAW_EVENT_SCHEMA
+    from synch_spark.sources.binlog_socket import (
+        BinlogProtocolError, BinlogSocketClient, stream_raw_events,
+    )
+
+    ms = (raw.get("spark") or {}).get("mysql_socket")
+    if not ms or "host" not in ms or "user" not in ms:
+        print("produce --source mysql-socket needs spark.mysql_socket "
+              "{host, port, user, password, file, pos}", file=sys.stderr)
+        return 2
+    warehouse = raw["spark"]["warehouse"]
+    cursor_path = os.path.join(warehouse, "_binlog_socket_cursor.json")
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            cur = _json.load(f)
+        fname, pos = cur["file"], int(cur["pos"])
+    else:
+        fname, pos = ms.get("file", ""), int(ms.get("pos", 4))
+        if not fname:
+            print("no cursor yet: spark.mysql_socket.file is required "
+                  "for the first run", file=sys.stderr)
+            return 2
+    only_schemas = tuple(s.schema for s in cfg.tables.values())
+    only_tables = tuple(s.table for s in cfg.tables.values())
+    rounds = 1 if args.once else args.rounds
+    for i in range(rounds):
+        client = BinlogSocketClient(
+            ms["host"], int(ms.get("port", 3306)), ms["user"],
+            ms.get("password", ""), server_id=int(ms.get("server_id", 2**31)),
+        )
+        try:
+            events = list(stream_raw_events(
+                client, fname, pos,
+                only_schemas=only_schemas, only_tables=only_tables,
+            ))
+            end_pos = client.position
+        except BinlogProtocolError as e:
+            print(f"binlog socket round {i} failed: {e}", file=sys.stderr)
+            return 1
+        finally:
+            client.close()
+        emitted = 0
+        if events:
+            df = spark.createDataFrame(
+                [(e["schema"], e["table"], e["action"], e["before"],
+                  e["after"], e["event_unixtime"]) for e in events],
+                RAW_EVENT_SCHEMA,
+            )
+            basename = f"binlog_socket.{fname}.{pos}"
+            emitted = _emit_to_sink(spark, raw, df, args.sink, basename)
+        if end_pos:
+            fname, pos = end_pos
+            os.makedirs(warehouse, exist_ok=True)
+            tmp = f"{cursor_path}.tmp-{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                _json.dump({"file": fname, "pos": pos}, f)
+            os.replace(tmp, cursor_path)
+        print(_json.dumps({"produce_round": i, "events": emitted,
+                           "cursor": {"file": fname, "pos": pos}}))
+        if i + 1 < rounds:
+            _time.sleep(cfg.insert_interval_s)
     return 0
 
 
@@ -1342,6 +1433,12 @@ def main(argv=None) -> int:
     pr = sub.add_parser("produce", help="snapshot-diff polling CDC producer")
     pr.add_argument("--once", action="store_true")
     pr.add_argument("--rounds", type=int, default=1_000_000)
+    pr.add_argument(
+        "--source", choices=["snapshot-diff", "mysql-socket"],
+        default="snapshot-diff",
+        help="snapshot-diff: poll+diff source tables; mysql-socket: live "
+        "COM_BINLOG_DUMP replication tail (spark.mysql_socket config)",
+    )
     pr.add_argument(
         "--sink", choices=["spool", "kafka", "redis"], default="spool",
         help="spool: distributed JSON into events_dir; kafka: topic-per-schema",
