@@ -233,6 +233,18 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
             return 2
     only_schemas = tuple(s.schema for s in cfg.tables.values())
     only_tables = tuple(s.table for s in cfg.tables.values())
+    # servers without binlog_row_metadata=FULL (MINIMAL is the default)
+    # carry no column names in TABLE_MAP — without this the decoder
+    # falls back to col_<i> keys and downstream pk routing nulls out
+    names: dict = {}
+    for spec in getattr(args, "columns", None) or []:
+        key, _, cols = spec.partition("=")
+        if not cols:
+            print(f"--columns wants db.table=c1,c2,... (got {spec!r})",
+                  file=sys.stderr)
+            return 2
+        db, _, tbl = key.partition(".")
+        names[(db, tbl) if tbl else db] = list(_csv(cols))
     rounds = 1 if args.once else args.rounds
     for i in range(rounds):
         client = BinlogSocketClient(
@@ -241,7 +253,7 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
         )
         try:
             events = list(stream_raw_events(
-                client, fname, pos,
+                client, fname, pos, column_names=names or None,
                 only_schemas=only_schemas, only_tables=only_tables,
             ))
             end_pos = client.position
@@ -1442,6 +1454,11 @@ def main(argv=None) -> int:
     pr.add_argument(
         "--sink", choices=["spool", "kafka", "redis"], default="spool",
         help="spool: distributed JSON into events_dir; kafka: topic-per-schema",
+    )
+    pr.add_argument(
+        "--columns", action="append", metavar="db.table=c1,c2,...",
+        help="(mysql-socket) column names for servers WITHOUT "
+        "binlog_row_metadata=FULL — same plumbing as replay-binlog",
     )
     pr.add_argument(
         "--driver-spool", action="store_true",

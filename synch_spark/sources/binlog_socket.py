@@ -80,15 +80,24 @@ class _Conn:
         self.seq = 0
 
     def read_packet(self) -> bytes:
-        head = self.f.read(4)
-        if len(head) < 4:
-            raise BinlogProtocolError("connection closed mid-packet")
-        n = int.from_bytes(head[:3], "little")
-        self.seq = (head[3] + 1) % 256
-        payload = self.f.read(n)
-        if len(payload) < n:
-            raise BinlogProtocolError("connection closed mid-packet")
-        return payload
+        """One logical packet, reassembling the 16 MiB split protocol:
+        a payload of exactly 0xFFFFFF means continuation packets follow
+        (a row event carrying a big LONGBLOB arrives split; treating
+        the first chunk as complete would desync the stream and wedge
+        ingestion at that position forever)."""
+        out = bytearray()
+        while True:
+            head = self.f.read(4)
+            if len(head) < 4:
+                raise BinlogProtocolError("connection closed mid-packet")
+            n = int.from_bytes(head[:3], "little")
+            self.seq = (head[3] + 1) % 256
+            payload = self.f.read(n)
+            if len(payload) < n:
+                raise BinlogProtocolError("connection closed mid-packet")
+            out += payload
+            if n < 0xFFFFFF:
+                return bytes(out)
 
     def write_packet(self, payload: bytes, seq: int | None = None) -> None:
         s = self.seq if seq is None else seq
@@ -157,10 +166,10 @@ class BinlogSocketClient:
     # -- session setup -----------------------------------------------------
     def connect(self) -> None:
         self.conn = _Conn(self.host, self.port, self.timeout)
-        scramble, plugin = _parse_handshake(self.conn.read_packet())
-        if plugin not in ("mysql_native_password", ""):
-            # try native anyway; the server may AuthSwitch us to it
-            pass
+        # the server's advertised plugin is ignored on purpose: we
+        # always offer mysql_native_password and rely on the
+        # AuthSwitchRequest fallback below when the server wants it
+        scramble, _plugin = _parse_handshake(self.conn.read_packet())
         caps = (_CLIENT_LONG_PASSWORD | _CLIENT_PROTOCOL_41
                 | _CLIENT_SECURE_CONNECTION | _CLIENT_PLUGIN_AUTH)
         token = _native_password(scramble, self.password)
@@ -232,8 +241,20 @@ class BinlogSocketClient:
                         crc = 4
                 elif etype == _EV_ROTATE:
                     # post-header: position(8), then the next filename
-                    # (NOT nul-terminated; CRC trailer follows when on)
-                    body = ev[19:len(ev) - crc] if crc else ev[19:]
+                    # (NOT nul-terminated; CRC trailer follows when on).
+                    # The server's ARTIFICIAL rotate arrives BEFORE the
+                    # FDE that declares the checksum algorithm, so when
+                    # crc is still unknown, self-check: a CRC32 server
+                    # checksums the artificial rotate too, and taking
+                    # its trailer as filename bytes would corrupt the
+                    # resume cursor (next dump → error 1236, wedged).
+                    strip = crc
+                    if not strip and len(ev) >= 23:
+                        import zlib
+                        tail = int.from_bytes(ev[-4:], "little")
+                        if zlib.crc32(ev[:-4]) == tail:
+                            strip = 4
+                    body = ev[19:len(ev) - strip] if strip else ev[19:]
                     nxt_pos = int.from_bytes(body[:8], "little")
                     fname_s = body[8:].decode("ascii", "replace")
                     self.position = (fname_s, int(nxt_pos))
@@ -267,24 +288,41 @@ def stream_raw_events(
     with the client's (file, pos) cursor AFTER a chunk's events are
     fully yielded — checkpoint there and a crash replays at most one
     un-checkpointed chunk (at-least-once, same as every broker path).
-    The per-chunk ``sub_base`` band mirrors binlog_files_to_raw's
-    rotation band so within-second order survives chunking."""
+
+    Within-second ordering: events are RE-stamped here with one
+    CONTINUOUS per-second sub-microsecond counter carried across
+    chunks, not the file path's per-chunk band — the stream is one
+    totally-ordered sequence from one connection, so a busy master
+    committing hundreds of transactions inside a wall-clock second
+    still stamps monotonically (a banded scheme wrapping at 100 chunks
+    per second would invert last-write-wins replay for a pk updated in
+    chunk 99 and again in chunk 100)."""
     fde: bytes | None = None
     buf: list[bytes] = []
-    chunk_seq = 0
+    last_sec = -1
+    sub = 0
+
+    def restamp(e: dict) -> dict:
+        nonlocal last_sec, sub
+        sec = e["event_unixtime"] // 1_000_000
+        if sec != last_sec:
+            last_sec, sub = sec, 0
+        else:
+            sub = min(sub + 1, 999_999)
+        e["event_unixtime"] = sec * 1_000_000 + sub
+        return e
 
     def flush() -> Iterator[dict]:
-        nonlocal buf, chunk_seq
+        nonlocal buf
         if not buf or fde is None:
             buf = []
             return
         data = B.MAGIC + fde + b"".join(buf)
         buf = []
-        sub_base = (chunk_seq % 100) * 10_000
-        chunk_seq += 1
-        yield from B.iter_binlog_events(
-            data, column_names=column_names, only_schemas=only_schemas,
-            only_tables=only_tables, sub_base=sub_base)
+        for e in B.iter_binlog_events(
+                data, column_names=column_names, only_schemas=only_schemas,
+                only_tables=only_tables):
+            yield restamp(e)
 
     for ev in client.dump_events(filename, pos, non_blocking=non_blocking):
         if len(ev) < 19:

@@ -35,8 +35,10 @@ def test_epoch_marker_survives_log_retention(spark, tmp_path):
     t.append(_df(spark, [(2, 2.0)]), epoch="seg:0")  # earliest segment
     t.append(_df(spark, [(3, 3.0)]), epoch="seg:1")
     t.append(_df(spark, [(4, 4.0)]), epoch="seg:2")
-    # seg:0's entry is GONE from the retained window by now
-    assert t.current_version() - t.versions()[0] + 1 <= 2 or True
+    # precondition: seg:0's OWN entry must actually be gone from the
+    # retained window — only the carried eps list can testify for it
+    assert all(t._entry(v).get("epoch") != "seg:0" for v in t.versions()), \
+        "fixture too shallow: the stamped entry is still retained"
     assert t._epoch_applied("seg:0"), "marker rotated out with its entry"
     before = t.read().count()
     t.append(_df(spark, [(2, 2.0)]), epoch="seg:0")  # the crash replay

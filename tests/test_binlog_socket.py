@@ -130,12 +130,18 @@ class FakeMysqlServer(threading.Thread):
                 fde = next(e for _, e in events
                            if e[4] == B.EV_FORMAT_DESCRIPTION)
                 seq = 1
-                # artificial ROTATE announces the served file
+                # artificial ROTATE announces the served file — and is
+                # CRC32-checksummed like a real 8.0 master's would be
+                # (the fixture FDE declares CRC32; the client must not
+                # read the trailer as filename bytes)
+                import zlib
+
                 rot_body = struct.pack("<Q", max(4, pos)) \
                     + self.filename.encode()
                 rot = struct.pack("<IBIII", 0, 0x04, 1,
-                                  19 + len(rot_body), 0) \
+                                  19 + len(rot_body) + 4, 0) \
                     + struct.pack("<H", 0x20) + rot_body
+                rot += zlib.crc32(rot).to_bytes(4, "little")
                 self._send(conn, seq, b"\x00" + rot)
                 seq += 1
                 self._send(conn, seq, b"\x00" + fde)
@@ -284,3 +290,36 @@ def test_cli_produce_mysql_socket_spool_and_resume(tmp_path, capsys, spark):
     finally:
         srv.stop_evt.set()
         srv.srv.close()
+
+
+def test_read_packet_reassembles_16mb_split():
+    """MySQL splits payloads at 16 MiB - 1: a 0xFFFFFF-length packet
+    means continuation. A LONGBLOB row event must reassemble, not
+    desync the stream at that position forever."""
+    import io
+
+    from synch_spark.sources.binlog_socket import _Conn
+
+    big = bytes(0xFFFFFF)  # exactly the split threshold
+    tail = b"tail!"
+    wire = (len(big).to_bytes(3, "little") + b"\x00" + big
+            + len(tail).to_bytes(3, "little") + b"\x01" + tail)
+    conn = _Conn.__new__(_Conn)
+    conn.f = io.BytesIO(wire)
+    conn.seq = 0
+    got = conn.read_packet()
+    assert got == big + tail and len(got) == 0xFFFFFF + 5
+
+
+def test_restamp_monotone_across_many_chunks(server):
+    """>100 transactions in one second must stamp monotonically (the
+    continuous counter, not a wrapping band). Simulated by feeding the
+    decoder many single-event chunks through the same stream."""
+    data, _ = _fixture_binlog()
+    cli = BinlogSocketClient("127.0.0.1", server.port, USER, PASSWORD,
+                             server_id=99)
+    got = list(stream_raw_events(cli, "binlog.000007", 4))
+    cli.close()
+    stamps = [e["event_unixtime"] for e in got]
+    assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps), \
+        "stamps must be strictly increasing across chunk boundaries"
