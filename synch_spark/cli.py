@@ -97,6 +97,8 @@ def cmd_produce(args) -> int:
     spark = get_spark("synch-produce")
     if getattr(args, "source", "snapshot-diff") == "mysql-socket":
         return _produce_mysql_socket(args, raw, cfg, spark)
+    if getattr(args, "source", "snapshot-diff") == "pg-socket":
+        return _produce_pg_socket(args, raw, cfg, spark)
     _resolve_pks(raw, cfg, spark)
     warehouse = raw["spark"]["warehouse"]
     events_dir = raw["spark"]["events_dir"]
@@ -280,6 +282,71 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
             os.replace(tmp, cursor_path)
         print(_json.dumps({"produce_round": i, "events": emitted,
                            "cursor": {"file": fname, "pos": pos}}))
+        if i + 1 < rounds:
+            _time.sleep(cfg.insert_interval_s)
+    return 0
+
+
+def _produce_pg_socket(args, raw, cfg, spark) -> int:
+    """S5 live tail: logical-replication-slot client → broker boundary.
+    The reference's psycopg2 start_replication/consume_stream
+    equivalent (/root/reference/synch/reader/postgres.py:147-164),
+    speaking the PG frontend/backend protocol directly
+    (sources.wal_socket). The SLOT is the durable cursor: the standby
+    status update confirming the flush LSN is sent only AFTER the
+    round's payloads reached the sink, so a crash in between replays
+    from the slot's confirmed position (at-least-once; downstream
+    applies are idempotent merges).
+
+    Payloads decode through ``events.wal2json_to_raw`` — the identical
+    path the replay/file tails use, v1/v2 auto-detected per line.
+
+    Config: ``spark.pg_socket: {host, port, user, password, database,
+    slot, options}`` (``options`` merges into the wal2json plugin
+    parameters; format-version 2 + include-timestamp by default)."""
+    import json as _json
+    import time as _time
+
+    from synch_spark.events import filter_tables, wal2json_to_raw
+    from synch_spark.sources.wal_socket import WalProtocolError, WalSocketClient
+
+    pg = (raw.get("spark") or {}).get("pg_socket")
+    if not pg or "host" not in pg or "user" not in pg or "slot" not in pg:
+        print("produce --source pg-socket needs spark.pg_socket "
+              "{host, port, user, password, database, slot}", file=sys.stderr)
+        return 2
+    only_schemas = tuple({s.schema for s in cfg.tables.values()})
+    only_tables = tuple({s.table for s in cfg.tables.values()})
+    rounds = 1 if args.once else args.rounds
+    for i in range(rounds):
+        client = WalSocketClient(
+            pg["host"], int(pg.get("port", 5432)), pg["user"],
+            pg.get("password", ""), database=pg.get("database", "postgres"),
+        )
+        try:
+            client.connect()
+            client.start_replication(pg["slot"], options=pg.get("options"))
+            lines = [p.decode("utf-8", "replace")
+                     for p in client.poll_payloads(
+                         idle_timeout=float(pg.get("idle_timeout", 2.0)))]
+            emitted = 0
+            if lines:
+                df = wal2json_to_raw(
+                    spark.createDataFrame([(ln,) for ln in lines],
+                                          "value string"))
+                df = filter_tables(df, only_schemas, only_tables)
+                basename = f"pg_socket.{client.received_lsn}"
+                emitted = _emit_to_sink(spark, raw, df, args.sink, basename)
+            # flush-confirm ONLY after the sink write landed
+            client.flushed_lsn = client.received_lsn
+            client.ack()
+        except WalProtocolError as e:
+            print(f"pg socket round {i} failed: {e}", file=sys.stderr)
+            return 1
+        finally:
+            client.close()
+        print(_json.dumps({"produce_round": i, "events": emitted,
+                           "flushed_lsn": client.flushed_lsn}))
         if i + 1 < rounds:
             _time.sleep(cfg.insert_interval_s)
     return 0
@@ -1446,10 +1513,11 @@ def main(argv=None) -> int:
     pr.add_argument("--once", action="store_true")
     pr.add_argument("--rounds", type=int, default=1_000_000)
     pr.add_argument(
-        "--source", choices=["snapshot-diff", "mysql-socket"],
+        "--source", choices=["snapshot-diff", "mysql-socket", "pg-socket"],
         default="snapshot-diff",
         help="snapshot-diff: poll+diff source tables; mysql-socket: live "
-        "COM_BINLOG_DUMP replication tail (spark.mysql_socket config)",
+        "COM_BINLOG_DUMP replication tail (spark.mysql_socket config); "
+        "pg-socket: live logical-replication slot tail (spark.pg_socket)",
     )
     pr.add_argument(
         "--sink", choices=["spool", "kafka", "redis"], default="spool",

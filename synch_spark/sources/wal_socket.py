@@ -1,0 +1,234 @@
+"""Live Postgres logical-replication tail over the wire.
+
+Closes the reference's other environment-blocked gap (S5 live tail):
+the reference consumes a wal2json slot through psycopg2's replication
+connection (/root/reference/synch/reader/postgres.py:147-164,
+start_replication + consume_stream); this module speaks the documented
+PostgreSQL frontend/backend protocol directly — StartupMessage with
+``replication=database``, cleartext/MD5/SCRAM-SHA-256 auth,
+START_REPLICATION on a named slot, the CopyBoth stream of XLogData and
+keepalive messages, and standby status updates that confirm the flush
+LSN (the slot IS the durable cursor, so resume is server-side — the
+exact contract the reference gets from psycopg2).
+
+The received payloads are wal2json text lines, decoded by the SAME
+``events.wal2json_to_raw`` every offline/replay path uses (v1 and v2
+auto-detected per line), so decode behavior is pinned by the existing
+oracles and round-trip tests.
+
+Drain model: START_REPLICATION blocks forever by design; each round
+reads until the stream goes quiet (``idle_timeout`` with no XLogData),
+acknowledges the flush LSN, and disconnects — the availableNow shape,
+mirroring the MySQL socket client's non-blocking dump rounds. A crash
+before the ack simply replays from the slot's confirmed position
+(at-least-once; downstream applies are idempotent merges).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import os
+import socket
+import struct
+from typing import Iterator
+
+
+class WalProtocolError(ConnectionError):
+    """Server spoke something this client cannot continue from."""
+
+
+def _md5_password(user: str, password: str, salt: bytes) -> bytes:
+    inner = hashlib.md5((password + user).encode()).hexdigest()
+    return b"md5" + hashlib.md5(inner.encode() + salt).hexdigest().encode()
+
+
+class _ScramClient:
+    """SCRAM-SHA-256 (RFC 5802/7677) without channel binding — the
+    modern PG default (password_encryption=scram-sha-256)."""
+
+    def __init__(self, user: str, password: str):
+        self.password = password.encode()
+        self.nonce = base64.b64encode(os.urandom(18)).decode()
+        # PG ignores the SCRAM username field (it authenticated the
+        # startup user); n= stays empty like libpq sends it
+        self.client_first_bare = f"n=,r={self.nonce}"
+
+    def first_message(self) -> bytes:
+        return ("n,," + self.client_first_bare).encode()
+
+    def final_message(self, server_first: bytes) -> bytes:
+        parts = dict(p.split("=", 1) for p in server_first.decode().split(","))
+        r, s, i = parts["r"], parts["s"], int(parts["i"])
+        if not r.startswith(self.nonce):
+            raise WalProtocolError("SCRAM server nonce mismatch")
+        salted = hashlib.pbkdf2_hmac("sha256", self.password,
+                                     base64.b64decode(s), i)
+        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored = hashlib.sha256(client_key).digest()
+        without_proof = f"c={base64.b64encode(b'n,,').decode()},r={r}"
+        auth_msg = ",".join([self.client_first_bare,
+                             server_first.decode(), without_proof]).encode()
+        sig = hmac.new(stored, auth_msg, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, sig))
+        server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        self._server_sig = hmac.new(server_key, auth_msg,
+                                    hashlib.sha256).digest()
+        return (without_proof
+                + ",p=" + base64.b64encode(proof).decode()).encode()
+
+    def verify_final(self, server_final: bytes) -> None:
+        parts = dict(p.split("=", 1) for p in server_final.decode().split(","))
+        if base64.b64decode(parts["v"]) != self._server_sig:
+            raise WalProtocolError("SCRAM server signature mismatch")
+
+
+def _lsn_str(lsn: int) -> str:
+    return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+
+
+class WalSocketClient:
+    """Logical-replication client: connect → auth → START_REPLICATION.
+
+    ``flushed_lsn`` is what this client has durably handed downstream;
+    ``ack()`` reports it in a standby status update, advancing the
+    slot's confirmed position — the server-side resume cursor."""
+
+    def __init__(self, host: str, port: int, user: str, password: str = "",
+                 database: str = "postgres", timeout: float = 30.0):
+        self.host, self.port = host, int(port)
+        self.user, self.password, self.database = user, password, database
+        self.timeout = timeout
+        self.sock: socket.socket | None = None
+        self.f = None
+        self.received_lsn = 0
+        self.flushed_lsn = 0
+
+    # -- framing -------------------------------------------------------------
+    def _send_msg(self, type_byte: bytes, body: bytes) -> None:
+        assert self.sock is not None
+        self.sock.sendall(type_byte + struct.pack("!I", len(body) + 4) + body)
+
+    def _read_msg(self) -> tuple[bytes, bytes]:
+        head = self.f.read(5)
+        if len(head) < 5:
+            raise WalProtocolError("connection closed mid-message")
+        t = head[:1]
+        n = struct.unpack("!I", head[1:])[0] - 4
+        body = self.f.read(n)
+        if len(body) < n:
+            raise WalProtocolError("connection closed mid-message")
+        return t, body
+
+    # -- session -------------------------------------------------------------
+    def connect(self) -> None:
+        self.sock = socket.create_connection((self.host, self.port),
+                                             timeout=self.timeout)
+        self.f = self.sock.makefile("rb")
+        params = (f"user\x00{self.user}\x00database\x00{self.database}\x00"
+                  f"replication\x00database\x00application_name\x00"
+                  f"synch_spark\x00\x00").encode()
+        body = struct.pack("!I", 196608) + params  # protocol 3.0
+        self.sock.sendall(struct.pack("!I", len(body) + 4) + body)
+        scram: _ScramClient | None = None
+        while True:
+            t, b = self._read_msg()
+            if t == b"E":
+                raise WalProtocolError(f"server error during auth: {b!r}")
+            if t == b"R":
+                code = struct.unpack("!I", b[:4])[0]
+                if code == 0:          # AuthenticationOk
+                    continue
+                if code == 3:          # cleartext
+                    self._send_msg(b"p", self.password.encode() + b"\x00")
+                elif code == 5:        # md5
+                    self._send_msg(b"p", _md5_password(
+                        self.user, self.password, b[4:8]) + b"\x00")
+                elif code == 10:       # SASL: mechanism list
+                    mechs = b[4:].split(b"\x00")
+                    if b"SCRAM-SHA-256" not in mechs:
+                        raise WalProtocolError(
+                            f"no supported SASL mechanism in {mechs!r}")
+                    scram = _ScramClient(self.user, self.password)
+                    first = scram.first_message()
+                    self._send_msg(b"p", b"SCRAM-SHA-256\x00"
+                                   + struct.pack("!I", len(first)) + first)
+                elif code == 11:       # SASL continue
+                    assert scram is not None
+                    self._send_msg(b"p", scram.final_message(b[4:]))
+                elif code == 12:       # SASL final
+                    assert scram is not None
+                    scram.verify_final(b[4:])
+                else:
+                    raise WalProtocolError(
+                        f"unsupported auth request code {code}")
+            elif t == b"Z":            # ReadyForQuery
+                return
+            # 'S' (ParameterStatus) and 'K' (BackendKeyData) fall through
+
+    def start_replication(self, slot: str,
+                          options: dict | None = None) -> None:
+        opts = {"format-version": "2", "include-timestamp": "true",
+                **(options or {})}
+        opt_sql = ", ".join(f'"{k}" \'{v}\'' for k, v in opts.items())
+        sql = (f'START_REPLICATION SLOT "{slot}" LOGICAL '
+               f"{_lsn_str(self.flushed_lsn)} ({opt_sql})")
+        self._send_msg(b"Q", sql.encode() + b"\x00")
+        while True:
+            t, b = self._read_msg()
+            if t == b"E":
+                raise WalProtocolError(f"START_REPLICATION failed: {b!r}")
+            if t == b"W":              # CopyBothResponse
+                return
+
+    def ack(self, reply_requested: bool = False) -> None:
+        """Standby status update: confirm received/flushed/applied LSN.
+        This is what durably advances the slot — send it only AFTER the
+        payloads up to ``flushed_lsn`` reached the sink."""
+        now_pg = 0  # server tolerates 0 timestamps from standbys
+        body = b"r" + struct.pack("!QQQQB", self.received_lsn,
+                                  self.flushed_lsn, self.flushed_lsn,
+                                  now_pg, 1 if reply_requested else 0)
+        self._send_msg(b"d", body)
+
+    def poll_payloads(self, idle_timeout: float = 2.0) -> Iterator[bytes]:
+        """Yield wal2json payload bytes until the stream goes idle for
+        ``idle_timeout`` seconds (no XLogData) — one drain round.
+        Keepalives are answered inline (NOT acked as flushed — flushing
+        is the caller's call after its sink write)."""
+        assert self.sock is not None
+        self.sock.settimeout(idle_timeout)
+        while True:
+            try:
+                t, b = self._read_msg()
+            except (socket.timeout, TimeoutError):
+                return
+            except WalProtocolError:
+                return  # orderly server close counts as end-of-round
+            if t == b"E":
+                raise WalProtocolError(f"stream error: {b!r}")
+            if t == b"c":  # CopyDone from server
+                return
+            if t != b"d":
+                continue
+            kind = b[:1]
+            if kind == b"w":
+                start, _end, _ts = struct.unpack("!QQQ", b[1:25])
+                payload = b[25:]
+                self.received_lsn = max(self.received_lsn, start)
+                yield payload
+            elif kind == b"k":
+                end, _ts, reply = struct.unpack("!QQB", b[1:18])
+                self.received_lsn = max(self.received_lsn, end)
+                if reply:
+                    self.ack()
+
+    def close(self) -> None:
+        if self.sock is not None:
+            try:
+                self.f.close()
+            except OSError:
+                pass
+            self.sock.close()
+            self.sock = None

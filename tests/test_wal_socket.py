@@ -1,0 +1,249 @@
+"""Logical-replication socket client vs an in-process fake Postgres.
+
+The fake speaks the documented frontend/backend protocol: startup with
+replication=database, MD5 or SCRAM-SHA-256 auth, START_REPLICATION on
+a slot, CopyBothResponse, XLogData payloads carrying wal2json v2
+lines, a reply-requested keepalive, and reads back the standby status
+update that confirms the flush LSN (the slot-advance contract).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import json
+import socket
+import struct
+import threading
+
+import pytest
+
+from synch_spark.sources.wal_socket import (
+    WalProtocolError,
+    WalSocketClient,
+    _md5_password,
+)
+
+USER, PASSWORD, DB, SLOT = "repl", "walpass", "appdb", "synch_slot"
+
+V2_LINES = [
+    json.dumps({"action": "B"}),
+    json.dumps({"action": "I", "schema": "db", "table": "t",
+                "timestamp": "2024-01-01 00:00:01.000000+00",
+                "columns": [{"name": "id", "type": "integer", "value": 1},
+                            {"name": "name", "type": "text",
+                             "value": "alice"}]}),
+    json.dumps({"action": "U", "schema": "db", "table": "t",
+                "timestamp": "2024-01-01 00:00:02.000000+00",
+                "columns": [{"name": "id", "type": "integer", "value": 1},
+                            {"name": "name", "type": "text",
+                             "value": "alicia"}],
+                "identity": [{"name": "id", "type": "integer", "value": 1}]}),
+    json.dumps({"action": "C"}),
+]
+
+
+class FakePgServer(threading.Thread):
+    def __init__(self, auth: str = "md5"):
+        super().__init__(daemon=True)
+        self.auth = auth
+        self.srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self.srv.getsockname()[1]
+        self.stop_evt = threading.Event()
+        self.start_replication_sql: list[str] = []
+        self.status_updates: list[tuple[int, int, int]] = []
+
+    @staticmethod
+    def _send(conn, t: bytes, body: bytes):
+        conn.sendall(t + struct.pack("!I", len(body) + 4) + body)
+
+    @staticmethod
+    def _read(f):
+        head = f.read(5)
+        if len(head) < 5:
+            return None, None
+        n = struct.unpack("!I", head[1:])[0] - 4
+        return head[:1], f.read(n)
+
+    def run(self):
+        while not self.stop_evt.is_set():
+            try:
+                self.srv.settimeout(0.2)
+                conn, _ = self.srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            try:
+                self._serve(conn)
+            except Exception:  # noqa: BLE001 — one bad session, keep serving
+                pass
+            finally:
+                conn.close()
+
+    def _auth_md5(self, conn, f) -> bool:
+        salt = b"\x01\x02\x03\x04"
+        self._send(conn, b"R", struct.pack("!I", 5) + salt)
+        t, body = self._read(f)
+        return (t == b"p"
+                and body.rstrip(b"\x00") == _md5_password(USER, PASSWORD, salt))
+
+    def _auth_scram(self, conn, f) -> bool:
+        self._send(conn, b"R", struct.pack("!I", 10) + b"SCRAM-SHA-256\x00\x00")
+        t, body = self._read(f)
+        if t != b"p":
+            return False
+        nul = body.index(b"\x00")
+        ln = struct.unpack("!I", body[nul + 1:nul + 5])[0]
+        client_first = body[nul + 5:nul + 5 + ln].decode()
+        client_first_bare = client_first.split(",", 2)[2]
+        client_nonce = dict(p.split("=", 1)
+                            for p in client_first_bare.split(","))["r"]
+        salt, it = b"saltsalt", 4096
+        nonce = client_nonce + "srv"
+        server_first = (f"r={nonce},s={base64.b64encode(salt).decode()},"
+                        f"i={it}")
+        self._send(conn, b"R", struct.pack("!I", 11) + server_first.encode())
+        t, body = self._read(f)
+        client_final = body.decode()
+        without_proof, proof_b64 = client_final.rsplit(",p=", 1)
+        salted = hashlib.pbkdf2_hmac("sha256", PASSWORD.encode(), salt, it)
+        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored = hashlib.sha256(client_key).digest()
+        auth_msg = ",".join([client_first_bare, server_first,
+                             without_proof]).encode()
+        sig = hmac.new(stored, auth_msg, hashlib.sha256).digest()
+        want = bytes(a ^ b for a, b in zip(client_key, sig))
+        if base64.b64decode(proof_b64) != want:
+            return False
+        server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        v = base64.b64encode(
+            hmac.new(server_key, auth_msg, hashlib.sha256).digest()).decode()
+        self._send(conn, b"R", struct.pack("!I", 12) + f"v={v}".encode())
+        return True
+
+    def _serve(self, conn):
+        f = conn.makefile("rb")
+        head = f.read(4)
+        n = struct.unpack("!I", head)[0] - 4
+        startup = f.read(n)
+        params = startup[4:].split(b"\x00")
+        kv = dict(zip(params[::2], params[1::2]))
+        assert kv.get(b"replication") == b"database", "not a walsender session"
+        ok = (self._auth_md5(conn, f) if self.auth == "md5"
+              else self._auth_scram(conn, f))
+        if not ok:
+            self._send(conn, b"E", b"SFATAL\x00C28P01\x00Mauth failed\x00\x00")
+            return
+        self._send(conn, b"R", struct.pack("!I", 0))       # AuthenticationOk
+        self._send(conn, b"Z", b"I")                        # ReadyForQuery
+        t, body = self._read(f)
+        if t != b"Q":
+            return
+        self.start_replication_sql.append(body.rstrip(b"\x00").decode())
+        self._send(conn, b"W", b"\x00\x00\x00")             # CopyBothResponse
+        lsn = 0x16B3A50
+        for i, line in enumerate(V2_LINES):
+            xl = b"w" + struct.pack("!QQQ", lsn + i * 8, lsn + i * 8 + 8, 0)
+            self._send(conn, b"d", xl + line.encode())
+        # reply-requested keepalive, then collect status updates
+        self._send(conn, b"d",
+                   b"k" + struct.pack("!QQB", lsn + 64, 0, 1))
+        conn.settimeout(60.0)  # the CLI's first Spark job sits between acks
+        while True:
+            t, body = self._read(f)
+            if t is None:
+                return
+            if t == b"d" and body[:1] == b"r":
+                rcv, fl, ap, _ts, _rq = struct.unpack("!QQQQB", body[1:])
+                self.status_updates.append((rcv, fl, ap))
+
+
+@pytest.fixture(params=["md5", "scram"])
+def pg(request):
+    srv = FakePgServer(auth=request.param)
+    srv.start()
+    yield srv
+    srv.stop_evt.set()
+    srv.srv.close()
+
+
+def test_wal_socket_streams_and_acks(pg):
+    cli = WalSocketClient("127.0.0.1", pg.port, USER, PASSWORD, database=DB)
+    cli.connect()
+    cli.start_replication(SLOT)
+    lines = [p.decode() for p in cli.poll_payloads(idle_timeout=1.0)]
+    assert lines == V2_LINES
+    assert cli.received_lsn >= 0x16B3A50
+    # flush-confirm after "sink write"
+    cli.flushed_lsn = cli.received_lsn
+    cli.ack()
+    import time
+    time.sleep(0.3)
+    cli.close()
+    assert pg.status_updates, "no standby status update reached the server"
+    assert pg.status_updates[-1][1] == cli.flushed_lsn
+    sql = pg.start_replication_sql[-1]
+    assert f'SLOT "{SLOT}" LOGICAL' in sql and "format-version" in sql
+
+
+def test_wal_socket_bad_password(pg):
+    cli = WalSocketClient("127.0.0.1", pg.port, USER, "nope", database=DB)
+    with pytest.raises(WalProtocolError):
+        cli.connect()
+    cli.close()
+
+
+def test_cli_produce_pg_socket_spool(tmp_path, capsys, spark):
+    """`produce --source pg-socket`: stream the slot into the spool
+    boundary; payloads decode through the SAME wal2json path as
+    replay-wal (v2 framing lines drop out; update carries the identity
+    preimage)."""
+    import yaml
+
+    from synch_spark.cli import main
+
+    srv = FakePgServer(auth="md5")
+    srv.start()
+    try:
+        ev_dir = tmp_path / "events"
+        cfg = {
+            "core": {"insert_num": 1000, "insert_interval": 1},
+            "source_dbs": [{"databases": [{"database": "db", "tables": [
+                {"table": "t", "pk": ["id"]}]}]}],
+            "spark": {
+                "warehouse": str(tmp_path / "wh"),
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "events_dir": str(ev_dir),
+                "sources": {},
+                "pg_socket": {"host": "127.0.0.1", "port": srv.port,
+                              "user": USER, "password": PASSWORD,
+                              "database": DB, "slot": SLOT,
+                              "idle_timeout": 1.0},
+            },
+        }
+        p = tmp_path / "synch.yaml"
+        p.write_text(yaml.dump(cfg))
+        assert main(["--config", str(p), "produce",
+                     "--source", "pg-socket", "--once"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["events"] == 2 and out["flushed_lsn"] > 0
+        got = (spark.read.schema(
+            "schema string, table string, action string, before string, "
+            "after string, event_unixtime long")
+            .json(str(ev_dir)).orderBy("event_unixtime").collect())
+        assert [r["action"] for r in got] == ["insert", "update"]
+        assert json.loads(got[1]["before"]) == {"id": "1"}
+        assert json.loads(got[1]["after"])["name"] == "alicia"
+        import time as _t
+        deadline = _t.time() + 5
+        while _t.time() < deadline and (
+                not srv.status_updates
+                or srv.status_updates[-1][1] != out["flushed_lsn"]):
+            _t.sleep(0.05)
+        assert srv.status_updates and \
+            srv.status_updates[-1][1] == out["flushed_lsn"]
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()
