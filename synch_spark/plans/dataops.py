@@ -907,6 +907,121 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- temperature-based source mixing ---------------------------------------
+MIX_BUDGET_TOKENS = 1_000_000  # the training-token budget being allocated
+
+
+def q128_temperature_mix(spark, sf_dir):
+    """Data-mixing weights at sampling temperature τ=2 — the standard
+    multi-source LM recipe (Pile/LLaMA-style): upweight small sources
+    by sampling p_i ∝ n_i^(1/τ), report each source's share of a fixed
+    token budget and the epochs (repeats) that allocation implies.
+
+    τ=2 on purpose: n^(1/2) is sqrt, the ONE power IEEE requires
+    correctly rounded — pow() is libm-approximate and would drift
+    cross-engine. Weights quantize via FLOOR(sqrt·1e6) to bigint —
+    floor of an IEEE-determined double is rounding-MODE-free, where a
+    double→DECIMAL cast is not (half-up vs half-even flipped one
+    source's 12th digit at sf0.1) — so the total is an exact integer
+    sum and every share divides two identical doubles. Plan: one token
+    count per doc (map-side), one source aggregate, one broadcast
+    scalar join — no shuffle beyond the 20-source aggregate."""
+    docs = _docs(spark, sf_dir)
+    per_src = (
+        docs.select("source", F.size(text.tokens("text")).alias("_nt"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum("_nt").cast("bigint").alias("n_tokens"))
+    )
+    w = F.floor(F.sqrt(F.col("n_tokens").cast("double"))
+                * F.lit(1e6)).cast("bigint")
+    weighted = per_src.withColumn("_w", w)
+    tot = weighted.agg(F.sum("_w").alias("_tot"))
+    share = F.col("_w").cast("double") / F.col("_tot").cast("double")
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            share.alias("share"),
+            (share * F.lit(float(MIX_BUDGET_TOKENS))).alias("budget_tokens"),
+            (share * F.lit(float(MIX_BUDGET_TOKENS))
+             / F.col("n_tokens").cast("double")).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+Q128_SQL = f"""
+WITH t AS (SELECT source, len({TOK_SQL}) AS nt FROM documents),
+s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source),
+w AS (SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+               AS wq
+      FROM s),
+tot AS (SELECT SUM(wq) AS total FROM w)
+SELECT source, n_docs, n_tokens,
+       CAST(wq AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(wq AS DOUBLE) / CAST(total AS DOUBLE)
+         * {float(MIX_BUDGET_TOKENS)} AS budget_tokens,
+       CAST(wq AS DOUBLE) / CAST(total AS DOUBLE)
+         * {float(MIX_BUDGET_TOKENS)} / CAST(n_tokens AS DOUBLE) AS epochs
+FROM w CROSS JOIN tot ORDER BY source
+"""
+
+
+# --- per-source quality-cutoff calibration ----------------------------------
+KEEP_RATE = 0.6  # keep the top 60% of each source by quality score
+
+
+def q129_quality_cutoffs(spark, sf_dir):
+    """Threshold calibration for a model/heuristic quality filter:
+    per source, find the score cutoff that keeps exactly the top
+    ``KEEP_RATE`` of documents (ties broken by doc_id so the kept set
+    — and therefore the cutoff — is deterministic). This is how real
+    pipelines tune 'keep the best X%' per source instead of one global
+    threshold that empties small high-variance sources. Score here is
+    n_chars (a stored deterministic column); swap in any scorer.
+
+    Plan: one rank window partitioned by source (never global), one
+    per-source aggregate. All integers — exact in any engine."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = docs.select("source", "doc_id", "n_chars") \
+        .withColumn("_rn", F.row_number().over(w))
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    keep = F.ceil(F.col("n_docs") * F.lit(KEEP_RATE)).cast("bigint")
+    return (
+        ranked.join(F.broadcast(counts), "source")
+        .filter(F.col("_rn") <= keep)
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.min("n_chars").cast("bigint").alias("cutoff_score"),
+        )
+        .orderBy("source")
+    )
+
+
+Q129_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_docs
+  FROM documents)
+SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(n_chars) AS BIGINT) AS cutoff_score
+FROM ranked WHERE rn <= CEIL(n_docs * {KEEP_RATE})
+GROUP BY source ORDER BY source
+"""
+
+
 # --- asymmetric containment near-dups ------------------------------------
 CONTAIN_T = 0.3
 
@@ -2779,6 +2894,8 @@ DATAOPS_QUERIES = {
     "q124_exact_decontamination": (q124_exact_decontamination, Q124_SQL),
     "q126_semantic_dedup": (q126_semantic_dedup, Q126_SQL),
     "q127_bigram_surprisal": (q127_bigram_surprisal, Q127_SQL),
+    "q128_temperature_mix": (q128_temperature_mix, Q128_SQL),
+    "q129_quality_cutoffs": (q129_quality_cutoffs, Q129_SQL),
     "q42_ann_ivf": (q42_ann_ivf, None),
     "q98_ann_lsh_exhaustive": (q98_ann_lsh_exhaustive, Q23_SQL),
     "q99_ann_ivf_exhaustive": (q99_ann_ivf_exhaustive, Q23_SQL),
