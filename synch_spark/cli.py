@@ -325,6 +325,12 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
         )
         try:
             client.connect()
+            if i == 0 and pg.get("create_slot", True):
+                # reference parity: create the slot if missing
+                # (synch/reader/postgres.py:151-155); existing slot is
+                # the normal steady state
+                client.create_slot(pg["slot"],
+                                   plugin=pg.get("plugin", "wal2json"))
             client.start_replication(pg["slot"], options=pg.get("options"))
             lines = [p.decode("utf-8", "replace")
                      for p in client.poll_payloads(
@@ -337,9 +343,15 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
                 df = filter_tables(df, only_schemas, only_tables)
                 basename = f"pg_socket.{client.received_lsn}"
                 emitted = _emit_to_sink(spark, raw, df, args.sink, basename)
-            # flush-confirm ONLY after the sink write landed
+            # flush-confirm ONLY after the sink write landed; a server
+            # that dropped the connection mid-round just misses the
+            # confirm — the slot replays from its older position next
+            # round (at-least-once, idempotent downstream)
             client.flushed_lsn = client.received_lsn
-            client.ack()
+            try:
+                client.ack()
+            except OSError:
+                pass
         except WalProtocolError as e:
             print(f"pg socket round {i} failed: {e}", file=sys.stderr)
             return 1

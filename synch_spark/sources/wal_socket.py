@@ -167,6 +167,28 @@ class WalSocketClient:
                 return
             # 'S' (ParameterStatus) and 'K' (BackendKeyData) fall through
 
+    def create_slot(self, slot: str, plugin: str = "wal2json") -> bool:
+        """CREATE_REPLICATION_SLOT ... LOGICAL <plugin> — the walsender
+        command the reference issues on startup
+        (synch/reader/postgres.py:151-155, create_replication_slot with
+        DuplicateObject swallowed). Returns True if created, False if
+        it already existed (SQLSTATE 42710); any other error raises."""
+        sql = f'CREATE_REPLICATION_SLOT "{slot}" LOGICAL {plugin}'
+        self._send_msg(b"Q", sql.encode() + b"\x00")
+        created = True
+        while True:
+            t, b = self._read_msg()
+            if t == b"E":
+                fields = dict(
+                    (chunk[:1], chunk[1:]) for chunk in b.split(b"\x00") if chunk)
+                if fields.get(b"C") == b"42710":  # duplicate_object
+                    created = False
+                else:
+                    raise WalProtocolError(f"CREATE_REPLICATION_SLOT: {b!r}")
+            elif t == b"Z":  # ReadyForQuery closes the command cycle
+                return created
+            # 'T'/'D'/'C' (slot description row) fall through
+
     def start_replication(self, slot: str,
                           options: dict | None = None) -> None:
         opts = {"format-version": "2", "include-timestamp": "true",
@@ -196,7 +218,14 @@ class WalSocketClient:
         """Yield wal2json payload bytes until the stream goes idle for
         ``idle_timeout`` seconds (no XLogData) — one drain round.
         Keepalives are answered inline (NOT acked as flushed — flushing
-        is the caller's call after its sink write)."""
+        is the caller's call after its sink write).
+
+        The idle timeout rides on the socket, and a timeout firing
+        mid-message can leave the buffered reader inconsistent (the
+        documented makefile caveat) — which is why every drain round
+        RECONNECTS instead of reusing the connection: a torn read costs
+        one round, never data (the slot replays from its confirmed
+        position)."""
         assert self.sock is not None
         self.sock.settimeout(idle_timeout)
         while True:

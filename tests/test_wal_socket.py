@@ -52,6 +52,7 @@ class FakePgServer(threading.Thread):
         self.port = self.srv.getsockname()[1]
         self.stop_evt = threading.Event()
         self.start_replication_sql: list[str] = []
+        self.create_slot_sql: list[str] = []
         self.status_updates: list[tuple[int, int, int]] = []
 
     @staticmethod
@@ -138,10 +139,22 @@ class FakePgServer(threading.Thread):
             return
         self._send(conn, b"R", struct.pack("!I", 0))       # AuthenticationOk
         self._send(conn, b"Z", b"I")                        # ReadyForQuery
-        t, body = self._read(f)
-        if t != b"Q":
-            return
-        self.start_replication_sql.append(body.rstrip(b"\x00").decode())
+        while True:
+            t, body = self._read(f)
+            if t != b"Q":
+                return
+            sql = body.rstrip(b"\x00").decode()
+            if sql.startswith("CREATE_REPLICATION_SLOT"):
+                self.create_slot_sql.append(sql)
+                if len(self.create_slot_sql) > 1:  # already exists
+                    self._send(conn, b"E",
+                               b"SERROR\x00C42710\x00Mslot exists\x00\x00")
+                else:
+                    self._send(conn, b"C", b"CREATE_REPLICATION_SLOT\x00")
+                self._send(conn, b"Z", b"I")
+                continue
+            break
+        self.start_replication_sql.append(sql)
         self._send(conn, b"W", b"\x00\x00\x00")             # CopyBothResponse
         lsn = 0x16B3A50
         for i, line in enumerate(V2_LINES):
@@ -247,3 +260,19 @@ def test_cli_produce_pg_socket_spool(tmp_path, capsys, spark):
     finally:
         srv.stop_evt.set()
         srv.srv.close()
+
+
+def test_create_slot_reference_parity(pg):
+    """First create returns True; re-create hits duplicate_object
+    (42710) and returns False — the reference's DuplicateObject-pass
+    semantics — while any later START_REPLICATION still works."""
+    cli = WalSocketClient("127.0.0.1", pg.port, USER, PASSWORD, database=DB)
+    cli.connect()
+    assert cli.create_slot(SLOT) is True
+    assert cli.create_slot(SLOT) is False
+    cli.start_replication(SLOT)
+    lines = [p.decode() for p in cli.poll_payloads(idle_timeout=1.0)]
+    assert lines == V2_LINES
+    cli.close()
+    assert len(pg.create_slot_sql) == 2
+    assert 'LOGICAL wal2json' in pg.create_slot_sql[0]
