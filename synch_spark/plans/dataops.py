@@ -977,31 +977,44 @@ KEEP_RATE = 0.6  # keep the top 60% of each source by quality score
 def q129_quality_cutoffs(spark, sf_dir):
     """Threshold calibration for a model/heuristic quality filter:
     per source, find the score cutoff that keeps exactly the top
-    ``KEEP_RATE`` of documents (ties broken by doc_id so the kept set
-    — and therefore the cutoff — is deterministic). This is how real
-    pipelines tune 'keep the best X%' per source instead of one global
-    threshold that empties small high-variance sources. Score here is
-    n_chars (a stored deterministic column); swap in any scorer.
+    ``KEEP_RATE`` of documents. This is how real pipelines tune 'keep
+    the best X%' per source instead of one global threshold that
+    empties small high-variance sources. Score here is n_chars (a
+    stored deterministic column); swap in any scorer.
 
-    Plan: one rank window partitioned by source (never global), one
-    per-source aggregate. All integers — exact in any engine."""
+    Plan -- the 100 TB shape: NO per-document rank window (a window
+    partitioned only by source would sort the dominant crawl's billion
+    docs in one task). The docs collapse map-side into a
+    (source, score) HISTOGRAM; a cumulative window over the histogram
+    (cardinality = distinct scores per source, corpus-sublinear) finds
+    the keep-th largest score exactly. n_kept = ceil(rate*n) by
+    definition -- ties at the cutoff are admitted by deterministic
+    doc_id order in the kept SET, which this summary never
+    materializes. All integers -- exact in any engine."""
     from pyspark.sql import Window as W
 
     docs = _docs(spark, sf_dir)
-    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
-    ranked = docs.select("source", "doc_id", "n_chars") \
-        .withColumn("_rn", F.row_number().over(w))
-    counts = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    hist = (
+        docs.groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    w = (W.partitionBy("source").orderBy(F.col("n_chars").desc())
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    counts = hist.groupBy("source").agg(
+        F.sum("_c").cast("bigint").alias("n_docs"))
     keep = F.ceil(F.col("n_docs") * F.lit(KEEP_RATE)).cast("bigint")
     return (
-        ranked.join(F.broadcast(counts), "source")
-        .filter(F.col("_rn") <= keep)
+        cum.join(F.broadcast(counts), "source")
+        .withColumn("_keep", keep)
+        .filter(F.col("_cum") >= F.col("_keep"))
         .groupBy("source")
         .agg(
             F.max("n_docs").alias("n_docs"),
-            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-            F.min("n_chars").cast("bigint").alias("cutoff_score"),
+            F.max("_keep").cast("bigint").alias("n_kept"),
+            # the first histogram row reaching the keep count (highest
+            # qualifying score) holds the cutoff = keep-th largest score
+            F.max("n_chars").cast("bigint").alias("cutoff_score"),
         )
         .orderBy("source")
     )
