@@ -135,6 +135,7 @@ def write_event_spool(
     staging = os.path.join(events_dir, f"_staging.{basename}")
     events.select(*EVENT_COLUMNS).write.mode("overwrite").json(staging)
     i = 0
+    published = 0
     try:
         for f in sorted(os.listdir(staging)):
             if f.startswith("part-") and ".json" in f and os.path.getsize(
@@ -147,10 +148,15 @@ def write_event_spool(
                     # PATH, so overwritten content would silently never
                     # be consumed (deterministic replay basenames hit
                     # this on re-runs). Identical bytes = an idempotent
-                    # re-run: skip. Different bytes = new data: publish
-                    # under a fresh unique path the consumer WILL read.
+                    # re-run: skip — but STILL advance the index, or
+                    # every later part of a multi-part re-run compares
+                    # against the wrong existing file and republishes
+                    # already-consumed data. Different bytes = new
+                    # data: publish under a fresh unique path the
+                    # consumer WILL read.
                     src = os.path.join(staging, f)
                     if _same_content(src, dst):
+                        i += 1
                         continue
                     dst = os.path.join(
                         events_dir,
@@ -158,12 +164,22 @@ def write_event_spool(
                     )
                     os.replace(src, dst)
                     i += 1
+                    published += 1
                     continue
                 os.replace(os.path.join(staging, f), dst)
                 i += 1
-    finally:
+                published += 1
+    except BaseException:
+        # a rename failed MID-BATCH: earlier parts are already visible
+        # to the consumer — deleting the unpublished remainder (old
+        # behavior) would strand a partial batch with no way to finish
+        # it. Keep the staging dir: a retry with the SAME basename
+        # skips the already-published identical parts and publishes the
+        # rest, completing the batch exactly once.
+        raise
+    else:
         shutil.rmtree(staging, ignore_errors=True)
-    return i
+    return published
 
 
 def _same_content(a: str, b: str) -> bool:

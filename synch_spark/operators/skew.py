@@ -11,11 +11,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _guard_salt(*dfs: DataFrame) -> None:
+    """'_salt' is the internal working column of every operator here; a
+    caller whose input already carries one (e.g. an upstream salting
+    stage that never dropped it) would have it silently overwritten by
+    rand() and then removed from the output — data loss. Refuse."""
+    for df in dfs:
+        if "_salt" in df.columns:
+            raise ValueError(
+                "input already has a '_salt' column — rename or drop it; "
+                "'_salt' is reserved by the skew operators"
+            )
+
+
 def salted_count(df: DataFrame, key_cols: list[str], salt_buckets: int = 16) -> DataFrame:
     """groupBy(key).count() resilient to hot keys: phase 1 aggregates
     (key, salt) partitions, phase 2 combines the (tiny) per-salt partials.
     The heavy shuffle carries at most ``salt_buckets`` rows per hot key
     per phase-1 reducer instead of all its rows on one reducer."""
+    _guard_salt(df)
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     phase1 = salted.groupBy(*key_cols, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return phase1.groupBy(*key_cols).agg(F.sum("_c").cast("bigint").alias("n"))
@@ -24,6 +38,7 @@ def salted_count(df: DataFrame, key_cols: list[str], salt_buckets: int = 16) -> 
 def salted_sum(
     df: DataFrame, key_cols: list[str], value_col: str, salt_buckets: int = 16
 ) -> DataFrame:
+    _guard_salt(df)
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     phase1 = salted.groupBy(*key_cols, "_salt").agg(F.sum(value_col).alias("_s"))
     return phase1.groupBy(*key_cols).agg(F.sum("_s").alias(f"sum_{value_col}"))
@@ -52,6 +67,7 @@ def replicated_skew_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"replicated_skew_join supports inner/left, got {how}")
+    _guard_salt(big, small)
     b = big.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

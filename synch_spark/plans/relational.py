@@ -34,6 +34,18 @@ def _sign_col():
     return F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
 
 
+def revenue_expr():
+    """The exact-decimal TPC-H revenue term, one definition:
+    l_extendedprice * (1 - l_discount) with every operand cast to DEC
+    so the product (and any sum over it) is associativity-free and
+    bit-identical to the DuckDB oracle. Shared by every revenue query
+    instead of per-file copies that could drift from the numeric
+    policy one edit at a time."""
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from synch_spark.session import read_table
 
@@ -160,7 +172,7 @@ def q07_groupby_agg(spark, sf_dir):
             F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
             sum_price.cast("double").alias("sum_price"),
             F.sum(
-                F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+                revenue_expr()
             )
             .cast("double")
             .alias("revenue"),

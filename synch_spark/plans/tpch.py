@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from synch_spark.plans.relational import DEC, _t
+from synch_spark.plans.relational import DEC, _t, revenue_expr
 
 
 # --- Q3-like: shipping priority (top revenue orders in a segment) -------
@@ -16,7 +16,7 @@ def q36_shipping_priority(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
     li = _t(spark, sf_dir, "lineitem")
     rev = F.sum(
-        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        revenue_expr()
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -51,7 +51,7 @@ def q37_local_supplier_volume(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     rev = F.sum(
-        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        revenue_expr()
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -90,7 +90,7 @@ def q38_returned_customers(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     rev = F.sum(
-        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        revenue_expr()
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -161,9 +161,7 @@ def q49_promo_revenue(spark, sf_dir):
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     part = _t(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice").cast(DEC) * (
-        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
-    )
+    disc = revenue_expr()
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     agg = joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast(DEC)))
@@ -310,7 +308,7 @@ def q56_nation_pair_volume(spark, sf_dir):
         F.col("supp_nation") == "NATION_7"
     ) & (F.col("cust_nation") == "NATION_3")
     rev = F.sum(
-        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        revenue_expr()
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -382,9 +380,12 @@ ORDER BY custdist DESC, c_count DESC
 def q52_large_volume_customers(spark, sf_dir):
     """TPC-H Q18: orders whose total lineitem quantity exceeds 300.
     The HAVING filter runs on the pre-aggregated per-order sums (partial
-    agg map-side), so the join back to orders/customer only sees the few
-    qualifying keys — broadcast-able at any corpus size because the
-    qualifier count is bounded by the threshold, not the table."""
+    agg map-side), so the join back to orders/customer only sees the
+    qualifying keys. NO forced broadcast hint: the qualifier count is a
+    roughly fixed FRACTION of orders (~57 rows at SF1 is millions at
+    100 TB), so a mandatory F.broadcast() would collect it all to the
+    driver at scale — let AQE pick broadcast when the runtime size
+    allows and fall back to a shuffle join when it doesn't."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -394,7 +395,7 @@ def q52_large_volume_customers(spark, sf_dir):
         .filter(F.col("_qty") > 300)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
@@ -449,7 +450,7 @@ def q53_bracket_revenue(spark, sf_dir):
         )
     )
     rev = F.sum(
-        F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        revenue_expr()
     )
     return j.filter(b).agg(
         rev.cast("double").alias("revenue"), F.count(F.lit(1)).alias("n")
@@ -521,8 +522,7 @@ def q61_top_supplier(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("_sk")).agg(
         F.sum(
-            F.col("l_extendedprice").cast(DEC)
-            * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            revenue_expr()
         ).alias("_total")
     ).localCheckpoint(eager=False)
     mx = rev.agg(F.max("_total").alias("_mx"))
@@ -557,9 +557,11 @@ def q63_heavy_part_shippers(spark, sf_dir):
     """TPC-H Q20 shape: suppliers selected by an IN-subquery whose inner
     query joins, filters by LIKE prefix + date slice, aggregates, and
     thresholds (HAVING). Planned as supplier LEFT SEMI JOIN the
-    pre-aggregated qualifier set — the qualifier is bounded by the
-    threshold, so it broadcasts at any corpus scale; the LIKE prefix
-    pushes to the part scan as a StartsWith filter."""
+    pre-aggregated qualifier set; the LIKE prefix pushes to the part
+    scan as a StartsWith filter. The part dim broadcast stays forced
+    (dims are genuinely bounded); the QUALIFIER join is not — its
+    cardinality is a fraction of suppliers, so AQE decides at runtime
+    instead of a mandatory driver collect."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
@@ -572,7 +574,7 @@ def q63_heavy_part_shippers(spark, sf_dir):
         .filter(F.col("_q") > 200)
     )
     return (
-        supp.join(F.broadcast(qual), supp.s_suppkey == qual.l_suppkey, "left_semi")
+        supp.join(qual, supp.s_suppkey == qual.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -605,9 +607,7 @@ def q64_market_share(spark, sf_dir):
     snat = nation.select(
         F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
     )
-    vol = F.col("l_extendedprice").cast(DEC) * (
-        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
-    )
+    vol = revenue_expr()
     joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)

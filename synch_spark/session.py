@@ -87,20 +87,39 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import types as T
 
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        for field in df.schema.fields:
-            if field.name != "ts":
-                continue
-            if isinstance(field.dataType, T.LongType):
-                df = df.withColumn("ts", nanos_to_ts("ts"))
-            elif isinstance(field.dataType, T.TimestampNTZType):
-                # fixtures written as TIMESTAMP(MICROS) surface as NTZ;
-                # session tz is UTC, so this cast is a type-tag change only
-                # (wall times preserved) and keeps downstream event-time /
-                # unix_micros consumers on plain TimestampType
-                df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    # TIMESTAMP(NANOS) detection is SCHEMA-keyed (parquet footer), not
+    # name-keyed: any fixture column stored as nanos surfaces as a raw
+    # long under nanosAsLong, and a name-specific special case would
+    # silently feed epoch-nanos integers into date/window functions for
+    # every table it didn't anticipate.
+    nanos = _parquet_nanos_columns(path)
+    for field in df.schema.fields:
+        if field.name in nanos and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(field.name, nanos_to_ts(field.name))
+        elif name == "events" and field.name == "ts" and isinstance(
+                field.dataType, T.TimestampNTZType):
+            # fixtures written as TIMESTAMP(MICROS) surface as NTZ;
+            # session tz is UTC, so this cast is a type-tag change only
+            # (wall times preserved) and keeps downstream event-time /
+            # unix_micros consumers on plain TimestampType
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
+
+
+def _parquet_nanos_columns(path: str) -> set:
+    """Column names stored as timestamp[ns] per the parquet footer —
+    the ones nanosAsLong turns into raw longs. Footer-only read."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        return {f.name for f in schema
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"}
+    except Exception:  # noqa: BLE001 — detection is best-effort
+        return set()
 
 
 def nanos_to_ts(col: str):

@@ -116,3 +116,26 @@ def test_spool_never_overwrites_consumed_paths(spark, tmp_path):
     old = next(iter(files1))
     assert "id\\\": 1" in open(old).read()
     assert any("id\\\": 2" in open(f).read() for f in files2 - files1)
+
+
+def test_spool_multipart_rerun_is_idempotent(spark, tmp_path):
+    """Multi-part batches: an identical re-run must skip EVERY part —
+    the skip path has to advance the part index, or part k of the
+    re-run compares against the wrong existing file and republishes
+    already-consumed data under a fresh path (duplicates downstream)."""
+    import glob
+
+    from synch_spark.broker import write_event_spool
+
+    ev = tmp_path / "events"
+    rows = [("db", "t", "insert", None, f'{{"id": {i}}}', 100 + i)
+            for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "schema string, table string, action string, before string, "
+        "after string, event_unixtime long").repartition(4)
+    n1 = write_event_spool(df, str(ev), "multi.batch")
+    assert n1 >= 2, "fixture must actually be multi-part"
+    files1 = sorted(glob.glob(str(ev / "*.json")))
+    assert write_event_spool(df, str(ev), "multi.batch") == 0
+    assert sorted(glob.glob(str(ev / "*.json"))) == files1, \
+        "identical multi-part re-run republished a part"
