@@ -41,7 +41,13 @@ class RateLimitingFilter(logging.Filter):
         with self._lock:
             if self._last is None or now - self._last >= self.per:
                 if self._suppressed:
-                    record.msg = f"[{self._suppressed} suppressed] {record.msg}"
+                    # NEVER mutate record.msg: the record object is
+                    # shared with every other handler on the logger, so
+                    # an in-place prefix would leak '[N suppressed]'
+                    # into console/file output that suppressed nothing.
+                    # The annotation rides as an attribute; only the
+                    # SMTP handler's emit renders it (on a COPY).
+                    record._synch_suppressed = self._suppressed
                     self._suppressed = 0
                 self._last = now
                 return True
@@ -49,12 +55,24 @@ class RateLimitingFilter(logging.Filter):
             return False
 
 
+class _AnnotatingSMTPHandler(logging.handlers.SMTPHandler):
+    """Renders the rate-limiter's suppressed count into the MAIL ONLY,
+    on a private copy of the record (see RateLimitingFilter.filter)."""
+
+    def emit(self, record: logging.LogRecord) -> None:
+        n = getattr(record, "_synch_suppressed", 0)
+        if n:
+            record = logging.makeLogRecord(record.__dict__)
+            record.msg = f"[{n} suppressed] {record.msg}"
+        super().emit(record)
+
+
 def build_smtp_handler(mail: dict) -> logging.Handler:
     """SMTPHandler from a reference-shaped ``mail`` config dict."""
     creds = None
     if mail.get("user"):
         creds = (mail.get("user"), mail.get("password"))
-    h = logging.handlers.SMTPHandler(
+    h = _AnnotatingSMTPHandler(
         mailhost=mail["mailhost"],
         fromaddr=mail["fromaddr"],
         toaddrs=mail["toaddrs"],

@@ -85,6 +85,22 @@ class SyncConfig:
         self.tables[spec.qualified_name] = spec
 
 
+# the reference's synch.yaml writes CamelCase engine names
+# (synch/enums.py ClickHouseEngine: 'ReplacingMergeTree', ...); this
+# repo's snake_case values are the Engine enum's own. A carried-over
+# config must parse without edits, so both dialects are accepted.
+_ENGINE_ALIASES = {
+    "MergeTree": Engine.MERGE_TREE,
+    "ReplacingMergeTree": Engine.REPLACING_MERGE_TREE,
+    "CollapsingMergeTree": Engine.COLLAPSING_MERGE_TREE,
+    "VersionedCollapsingMergeTree": Engine.VERSIONED_COLLAPSING_MERGE_TREE,
+}
+
+
+def _engine(value: str) -> Engine:
+    return _ENGINE_ALIASES.get(value) or Engine(value)
+
+
 def config_from_dict(raw: dict[str, Any]) -> SyncConfig:
     """Build SyncConfig from a synch.yaml-shaped dict (YAML already parsed)."""
     core = raw.get("core", {})
@@ -104,9 +120,11 @@ def config_from_dict(raw: dict[str, Any]) -> SyncConfig:
                         schema=schema,
                         table=tbl["table"],
                         pk=tuple(tbl.get("pk", []) or []),
-                        engine=Engine(tbl.get("clickhouse_engine", "replacing_merge_tree")),
+                        engine=_engine(tbl.get("clickhouse_engine",
+                                               "replacing_merge_tree")),
                         sign_column=tbl.get("sign_column", "sign"),
                         version_column=tbl.get("version_column", "version"),
+                        engine_settings=tbl.get("engine_settings"),
                         partition_by=tbl.get("partition_by"),
                         auto_full_etl=bool(tbl.get("auto_full_etl", True)),
                         skip_decimal=bool(tbl.get("skip_decimal", False)),

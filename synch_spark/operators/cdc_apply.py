@@ -320,7 +320,14 @@ def _classify_files(table, changed_keys, upserts, part, pk):
                 if rel in manifest:
                     rng = manifest[rel]
                 else:
-                    rng = file_key_range(f, pk[0])
+                    try:
+                        rng = file_key_range(f, pk[0])
+                    except Exception:  # noqa: BLE001 — a corrupt/unreadable
+                        # footer must degrade to "no stats" (candidate +
+                        # bloom probe), not crash-loop every merge; if the
+                        # file truly is unreadable the rewrite's data read
+                        # will say so with a real error
+                        rng = None
                 if rng is not None:
                     i = bisect.bisect_left(sk, rng[0])
                     j = bisect.bisect_right(sk, rng[1])
@@ -333,10 +340,15 @@ def _classify_files(table, changed_keys, upserts, part, pk):
                     hit = True
                     probe = sk
                 if hit:
-                    bl = bloom_idx.load_bloom(
-                        table.root, os.path.join(dirname, os.path.basename(f)),
-                        pk[0],
-                    )
+                    try:
+                        bl = bloom_idx.load_bloom(
+                            table.root,
+                            os.path.join(dirname, os.path.basename(f)),
+                            pk[0],
+                        )
+                    except Exception:  # noqa: BLE001 — a torn sidecar is
+                        # advisory data, never worth failing a merge over
+                        bl = None
                     if bl is not None:
                         hit = bloom_idx.might_contain_any(bl, probe)
                 (cand_here if hit else link_here).append(f)
@@ -442,7 +454,11 @@ def compact_table(
                    and spec.version_column in cols else None)
         state = engines.collapsing_view(
             df, spec.pk, spec.sign_column, version,
-            order_column="_event_unixtime",
+            # same guard as engines.engine_view: a signed table without
+            # the hidden order column (older writer, external bootstrap)
+            # reads fine — compaction must not crash on it
+            order_column=("_event_unixtime"
+                          if "_event_unixtime" in cols else None),
         ).drop(spec.sign_column, "_event_unixtime")
         state = (
             state.withColumn(spec.sign_column, F.lit(1).cast("int"))

@@ -126,6 +126,21 @@ def etl_full(
         return False
     if table.exists and not renew:
         return False
+    # collapsing engines read through sum(sign): an initial load written
+    # WITHOUT the sign column would surface sign=NULL once signed CDC
+    # appends land (mixed-schema parquet), and collapsing_view's
+    # net-sign filter silently drops every initially-loaded key. Stamp
+    # the snapshot rows as the +1 inserts they are (the reference's
+    # etl does the same — full_insert writes sign=1).
+    from synch_spark.config import Engine
+
+    if spec.engine in (Engine.COLLAPSING_MERGE_TREE,
+                       Engine.VERSIONED_COLLAPSING_MERGE_TREE):
+        if spec.sign_column not in source_df.columns:
+            source_df = source_df.withColumn(spec.sign_column, F.lit(1))
+        if "_event_unixtime" not in source_df.columns:
+            source_df = source_df.withColumn(
+                "_event_unixtime", F.lit(0).cast("long"))
     # cluster on pk (range-partition + in-file sort): every data file
     # covers a narrow pk range, which is what makes footer min/max stats
     # selective for the merge path's file-level pruning (table.py)

@@ -329,8 +329,11 @@ def point_lookup(table, column: str, keys) -> "object":
     from pyspark.sql import functions as F
 
     current = table.read()
-    files = prune_files(table, column, list(keys))
-    flt = F.col(column).isin(list(keys))
+    keys = list(keys)  # materialize ONCE: a generator would be exhausted
+    # by the prune call and the exact filter below would see [] — every
+    # lookup silently empty
+    files = prune_files(table, column, keys)
+    flt = F.col(column).isin(keys)
     if files is None:
         return current.filter(flt)
     if not files:

@@ -46,11 +46,19 @@ def save_bucketed(
 
 
 def plan_has_exchange(df: DataFrame) -> bool:
-    """True when the physical plan contains any shuffle Exchange (test
+    """True when the physical plan contains a SHUFFLE Exchange (test
     and audit helper — the assertion that bucketing actually removed the
-    shuffle, not that we hope it did)."""
+    shuffle, not that we hope it did). Matches the shuffle node
+    specifically: a bare 'Exchange' substring would also count
+    BroadcastExchange/ReusedExchange, flagging a broadcast join — which
+    moves no partitions — as a shuffle."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return "Exchange" in plan
+    return any(
+        marker in plan
+        for marker in ("Exchange hashpartitioning", "Exchange rangepartitioning",
+                       "Exchange RoundRobinPartitioning",
+                       "Exchange SinglePartition")
+    )
 
 
 def cobucketed_join(

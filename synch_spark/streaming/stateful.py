@@ -75,9 +75,19 @@ def streaming_sessionize(
         # only the timestamp participates in session bounds — sort the raw
         # int64 array instead of the whole frame (the per-group Python cost
         # is the operator's hot path; pandas sort_values/groupby here was
-        # ~2x the kernel)
-        arr = np.sort(batch[ts_col].to_numpy("int64") // 1000)  # µs
+        # ~2x the kernel). NaT must be masked BEFORE the int64 view: a
+        # null ts converts to int64 min and would fabricate a "session"
+        # near the datetime lower bound that crashes emit()'s
+        # to_datetime (the same guard streaming_first_per_key has).
+        vals = batch[ts_col]
+        vals = vals[vals.notna()]
         carried = state.get if state.exists else None
+        if vals.empty:
+            # nothing timestamped this batch: carry state unchanged
+            if carried and flush_after_s is not None:
+                state.setTimeoutDuration(int(flush_after_s) * 1000)
+            return
+        arr = np.sort(vals.to_numpy("int64") // 1000)  # µs
         prev_last = carried[1] if carried else None
         prev = np.concatenate(
             ([prev_last if prev_last is not None else -(2**62)], arr[:-1])
@@ -95,13 +105,17 @@ def streaming_sessionize(
         runs = list(zip(mins.tolist(), maxs.tolist(), counts.tolist()))
         sessions = []  # (start_us, end_us, n)
         if carried and not new_flag[0]:
-            # first run continues the carried session; max() with the
-            # carried end: a late (out-of-order) event that continues the
-            # session must not regress session_end below what the state
-            # has already seen
+            # first run continues the carried session; min()/max() with
+            # the carried bounds: a late (out-of-order) event that
+            # continues the session must not regress session_end below
+            # what the state has already seen, and an event EARLIER
+            # than the carried start must widen session_start so
+            # n_events always counts events inside [start, end] (the
+            # upstream watermark bounds how late such events can be)
             first = runs[0]
             sessions.append(
-                (carried[0], max(carried[1], first[1]), carried[2] + first[2])
+                (min(carried[0], first[0]), max(carried[1], first[1]),
+                 carried[2] + first[2])
             )
             sessions.extend(runs[1:])
         elif carried:

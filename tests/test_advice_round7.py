@@ -150,3 +150,64 @@ def test_restore_schema_keeps_underscore_user_column(spark, tmp_path):
     names = [f.name for f in pipe.value_schemas["db.t"].fields]
     assert "_status" in names, "user column _status dropped on restore"
     assert "_sgen" not in names and "_event_unixtime" not in names
+
+
+# --- round-7 review sweep regressions ----------------------------------------
+def test_config_accepts_reference_camelcase_engines():
+    """The reference's synch.yaml writes 'ReplacingMergeTree' etc.
+    (synch/enums.py); a carried-over config must parse unchanged, and
+    engine_settings must survive into the spec."""
+    from synch_spark.config import Engine, config_from_dict
+
+    raw = {
+        "core": {},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "a", "pk": ["id"],
+             "clickhouse_engine": "CollapsingMergeTree",
+             "engine_settings": "index_granularity=4096"},
+            {"table": "b", "pk": ["id"],
+             "clickhouse_engine": "replacing_merge_tree"},
+        ]}]}],
+    }
+    cfg = config_from_dict(raw)
+    assert cfg.tables["db.a"].engine is Engine.COLLAPSING_MERGE_TREE
+    assert cfg.tables["db.a"].engine_settings == "index_granularity=4096"
+    assert cfg.tables["db.b"].engine is Engine.REPLACING_MERGE_TREE
+
+
+def test_etl_full_collapsing_bootstrap_survives_cdc(spark, tmp_path):
+    """etl_full on a collapsing spec must stamp the snapshot as +1
+    inserts: without sign/_event_unixtime the first signed CDC append
+    makes a mixed-schema table whose initially-loaded keys read as
+    sign=NULL and vanish from the collapsed state."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import apply_cdc_batch, read_current_state
+    from synch_spark.pipeline import etl_full
+
+    spec = TableSpec(schema="db", table="t", pk=("id",),
+                     engine=Engine.COLLAPSING_MERGE_TREE)
+    t = ParquetTable(spark, str(tmp_path / "t"), retain=4)
+    src = spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                                "id long, amount double")
+    assert etl_full(src, t, spec)
+    batch = spark.createDataFrame(
+        [("insert", 3, 30.0, 5)],
+        "action string, id long, amount double, event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")).withColumn("table", F.lit("t"))
+    apply_cdc_batch(t, batch, spec, value_columns=["id", "amount"])
+    got = {r["id"]: r["amount"] for r in read_current_state(t, spec).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}, \
+        f"initial snapshot vanished from the collapsed state: {got}"
+
+
+def test_point_lookup_accepts_generator_keys(spark, tmp_path):
+    from synch_spark.sources.bloom import point_lookup
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(i, i * 10.0) for i in range(50)],
+                                      "id long, v double"))
+    rows = point_lookup(t, "id", (k for k in [3, 7])).collect()
+    assert {r["id"] for r in rows} == {3, 7}

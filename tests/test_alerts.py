@@ -25,11 +25,41 @@ def test_rate_limiter_passes_first_and_counts_suppressed(monkeypatch):
     clock[0] += 61
     r = _record("b")
     assert f.filter(r)
-    assert r.msg.startswith("[3 suppressed] ")
+    # the count rides as an ATTRIBUTE, never an in-place msg mutation:
+    # the record object is shared with every other handler on the
+    # logger, and a mutated msg would leak "[N suppressed]" into
+    # console/file output that suppressed nothing
+    assert r.msg == "b" and getattr(r, "_synch_suppressed", 0) == 3
     # counter reset after reporting
     clock[0] += 61
     r2 = _record("c")
     assert f.filter(r2) and r2.msg == "c"
+    assert getattr(r2, "_synch_suppressed", 0) == 0
+
+
+def test_smtp_handler_renders_suppressed_note_on_a_copy():
+    from synch_spark.alerts import _AnnotatingSMTPHandler
+
+    sent = []
+
+    class _Capture(_AnnotatingSMTPHandler):
+        def __init__(self):
+            logging.Handler.__init__(self)
+
+        def emit(self, record):
+            # run the annotating half, capture instead of mailing
+            n = getattr(record, "_synch_suppressed", 0)
+            if n:
+                record = logging.makeLogRecord(record.__dict__)
+                record.msg = f"[{n} suppressed] {record.msg}"
+            sent.append(record)
+
+    h = _Capture()
+    r = _record("b")
+    r._synch_suppressed = 3
+    h.emit(r)
+    assert sent[0].msg == "[3 suppressed] b"
+    assert r.msg == "b", "shared record must stay untouched"
 
 
 def test_smtp_handler_contract():

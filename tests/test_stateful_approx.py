@@ -388,3 +388,53 @@ def test_streaming_sessionize_property(spark, tmp_path_factory, data, split_at):
         for r in spark.table(name).collect()
     }
     assert got == expected
+
+
+def test_streaming_sessionize_null_ts_and_early_late_event(spark, tmp_path):
+    """(1) NULL timestamps must be ignored, not fabricate a session near
+    the int64-min datetime (which crashed emit's to_datetime); (2) a
+    late event EARLIER than the carried session_start must widen
+    session_start so n_events counts only events inside the bounds."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from synch_spark.streaming.stateful import streaming_sessionize
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    dt = __import__("datetime").datetime.fromisoformat
+    # batch 1 carries (start=01:00, last=01:20) plus a NULL ts row;
+    # batch 2: a late event BEFORE the carried start (00:50, within the
+    # gap of 01:00's session), another NULL, and a closer at 09:00
+    b1 = [(1, dt("2024-01-01 01:00:00")), (1, dt("2024-01-01 01:20:00")),
+          (1, None)]
+    b2 = [(1, dt("2024-01-01 00:50:00")), (1, None),
+          (1, dt("2024-01-01 09:00:00"))]
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(spool / f"b{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(spool / "b*"))
+    )
+    out = streaming_sessionize(
+        stream, "user_id", "ts", 3600,
+        "user_id long, session_start timestamp, session_end timestamp, n_events long",
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 3, "NULL-ts rows must not count"
+    assert str(r["session_start"]) == "2024-01-01 00:50:00", \
+        "earlier late event must widen session_start"
+    assert str(r["session_end"]) == "2024-01-01 01:20:00"
