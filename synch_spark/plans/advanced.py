@@ -976,7 +976,7 @@ def q84_stream_enrich(spark, sf_dir):
     spark = _stream_session(spark)  # UTC/nanos confs + right-sized state partitions
     agg = (
         _read_event_stream(spark, sf_dir)
-        .join(F.broadcast(seg), "user_id")
+        .join(seg, "user_id")
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -1143,7 +1143,7 @@ def q94_revenue_trend(spark, sf_dir):
     x = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
     y = F.col("o_totalprice").cast("decimal(12,2)")
     stats = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(

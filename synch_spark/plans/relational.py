@@ -201,7 +201,7 @@ def q08_join_agg(spark, sf_dir):
     region = _t(spark, sf_dir, "region")
     # dims broadcast: the fact table never shuffles for the join
     joined = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )

@@ -1,6 +1,15 @@
 """TPC-H-style multi-join analytics adapted to the fixture schema —
 the classic plans every warehouse engine is judged on: selective
 fact-dim joins, semi-aggregations, top-k. All oracle-checked.
+
+Broadcast policy: F.broadcast() is a MANDATORY hint (Spark collects
+the frame to the driver no matter its size), so it is reserved for
+frames with a constant bound — nation/region (25/5 rows), scalar
+aggregates, literal probe sets. TPC-H's customer/supplier/part grow
+LINEARLY with scale factor (15B customers at the 100 TB design point),
+so their joins carry no hint: AQE broadcasts them at runtime while
+they fit and falls back to a shuffle join when they don't — the same
+rule the fact-derived qualifier sets follow (q52/q63).
 """
 
 from __future__ import annotations
@@ -20,7 +29,7 @@ def q36_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(rev.cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
@@ -55,8 +64,8 @@ def q37_local_supplier_volume(spark, sf_dir):
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)  # local: same nation
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
@@ -94,7 +103,7 @@ def q38_returned_customers(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(rev.cast("double").alias("revenue"))
@@ -162,7 +171,7 @@ def q49_promo_revenue(spark, sf_dir):
     )
     part = _t(spark, sf_dir, "part")
     disc = revenue_expr()
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     agg = joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast(DEC)))
         .alias("_promo"),
@@ -256,7 +265,7 @@ def q55_small_quantity_revenue(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branded = li.join(part, li.l_partkey == part.p_partkey)
     wp = W.partitionBy("p_partkey")
     small = (
         branded.withColumn("_sq", F.sum(F.col("l_quantity").cast(DEC)).over(wp))
@@ -312,8 +321,8 @@ def q56_nation_pair_volume(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("_sk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("_ck"))
         .filter(pair)
@@ -431,7 +440,7 @@ def q53_bracket_revenue(spark, sf_dir):
     join planning."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     b = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -529,7 +538,7 @@ def q61_top_supplier(spark, sf_dir):
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("_total") == F.col("_mx"))
-        .join(F.broadcast(supp), F.col("_sk") == supp.s_suppkey)
+        .join(supp, F.col("_sk") == supp.s_suppkey)
         .select(
             "s_suppkey", "s_name", F.col("_total").cast("double").alias("total_revenue")
         )
@@ -568,7 +577,7 @@ def q63_heavy_part_shippers(spark, sf_dir):
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
     supp = _t(spark, sf_dir, "supplier")
     qual = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_q"))
         .filter(F.col("_q") > 200)
@@ -609,11 +618,11 @@ def q64_market_share(spark, sf_dir):
     )
     vol = revenue_expr()
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cnat), cust.c_nationkey == F.col("_cnk"), "left_semi")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(snat), supp.s_nationkey == F.col("_snk"))
     )
     agg = joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year")).agg(
@@ -746,7 +755,7 @@ def q75_waiting_suppliers(spark, sf_dir):
     return (
         per_order.groupBy("_the_supp")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
-        .join(F.broadcast(supp), F.col("_the_supp") == supp.s_suppkey)
+        .join(supp, F.col("_the_supp") == supp.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
@@ -801,8 +810,8 @@ def q87_min_cost_supplier(spark, sf_dir):
         F.min("l_extendedprice").alias("cost")
     )
     eligible = (
-        cost.join(F.broadcast(part), cost.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        cost.join(part, cost.l_partkey == part.p_partkey)
+        .join(supp, cost.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(
             F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi"
@@ -863,8 +872,8 @@ def q88_product_profit(spark, sf_dir):
         "decimal(10,2)"
     ) * F.col("l_quantity").cast("decimal(4,1)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -967,7 +976,7 @@ def q90_supplier_relationship(spark, sf_dir):
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
         pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(part, pairs.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
