@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 
 # --- remove_duplicated_spans vs a direct Python implementation -------------
@@ -54,9 +54,17 @@ def test_remove_duplicated_spans_matches_reference(spark, doc_lists, w):
 
 # --- semantic_dedup vs a direct Python implementation -----------------------
 def _cos(u, v):
+    """Mirror the operator's evaluation order exactly
+    (similarity.py:_decimal_rescore): the dot and squared norms are
+    exact (decimal fold there, exact small floats here), and the one
+    and only rounding is the final d / sqrt(nu2 * nv2) division.
+    The naive d / (sqrt(nu2) * sqrt(nv2)) takes TWO sqrt roundings and
+    disagrees at exact threshold boundaries — e.g. u=[0,2,1],
+    v=[1,2,0]: true cosine 4/sqrt(25) = 0.8 exactly, but
+    4/(sqrt(5)*sqrt(5)) = 0.7999999999999998 < 0.8."""
     d = sum(x * y for x, y in zip(u, v))
-    nu, nv = math.sqrt(sum(x * x for x in u)), math.sqrt(sum(x * x for x in v))
-    return d / (nu * nv) if nu > 0 and nv > 0 else None
+    nu2, nv2 = sum(x * x for x in u), sum(x * x for x in v)
+    return d / math.sqrt(nu2 * nv2) if nu2 > 0 and nv2 > 0 else None
 
 
 def _ref_semantic_dedup(vecs: dict[int, list[float]],
@@ -91,15 +99,24 @@ def _ref_semantic_dedup(vecs: dict[int, list[float]],
     for v in ids:
         clusters.setdefault(find(v), []).append(v)
     kept = set()
+
+    def _keep_key(m):
+        # NOT `_cos(...) or -2`: a legitimate cosine of exactly 0.0 is
+        # falsy and `or` would demote it below every negative cosine.
+        c = _cos(vecs[m], cents[assign[m]])
+        return (c if c is not None else -2, -m)
+
     for members in clusters.values():
-        best = max(members,
-                   key=lambda m: (_cos(vecs[m], cents[assign[m]]) or -2, -m))
-        kept.add(best)
+        kept.add(max(members, key=_keep_key))
     return kept
 
 
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@example(raw_vecs=[[0.0, 0.0, 1.0], [0.0, 2.0, 1.0], [1.0, 2.0, 0.0]])
+@example(raw_vecs=[[0.0, 2.0, 0.0], [0.0, 1.0, -1.0], [0.0, 0.0, 0.0],
+                   [0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, -3.0, -3.0],
+                   [0.0, -2.0, -1.0]])  # keep-best csim == exactly 0.0
 @given(st.lists(
     st.lists(st.integers(-3, 3).map(float), min_size=3, max_size=3),
     min_size=3, max_size=10))
