@@ -129,6 +129,21 @@ def write_event_spool(
     the consumer sees only whole files; driver cost is O(#part files)
     metadata, never O(rows).
 
+    Re-run contract (same ``basename``): recovery from a mid-batch
+    failure assumes a rerun regenerates byte-identical part files in
+    the same sorted order — true for every producer in this repo (file
+    decoders and socket drains are deterministic given the same cursor).
+    A caller feeding a NONDETERMINISTIC frame (e.g. an unordered
+    sample, or a shuffle whose partitioning varies run-to-run) gets
+    at-least-once instead: changed bytes publish under fresh unique
+    names and already-consumed parts may be republished — safe only
+    because downstream applies are idempotent merges. Such callers
+    should impose an order (repartition + sortWithinPartitions on the
+    event key) before spooling, or use unique basenames per attempt;
+    it is not imposed here because it would add a shuffle to every
+    spool write on the hot path to fix a producer class that does not
+    currently exist.
+
     Returns the number of spool files created (0 for an empty frame).
     """
     os.makedirs(events_dir, exist_ok=True)

@@ -252,6 +252,7 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
         client = BinlogSocketClient(
             ms["host"], int(ms.get("port", 3306)), ms["user"],
             ms.get("password", ""), server_id=int(ms.get("server_id", 2**31)),
+            ssl_mode=ms.get("ssl_mode", "disable"), ssl_ca=ms.get("ssl_ca"),
         )
         try:
             events = list(stream_raw_events(
@@ -322,6 +323,7 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
         client = WalSocketClient(
             pg["host"], int(pg.get("port", 5432)), pg["user"],
             pg.get("password", ""), database=pg.get("database", "postgres"),
+            ssl_mode=pg.get("ssl_mode", "disable"), ssl_ca=pg.get("ssl_ca"),
         )
         try:
             client.connect()
@@ -346,12 +348,21 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
             # flush-confirm ONLY after the sink write landed; a server
             # that dropped the connection mid-round just misses the
             # confirm — the slot replays from its older position next
-            # round (at-least-once, idempotent downstream)
-            client.flushed_lsn = client.received_lsn
-            try:
-                client.ack()
-            except OSError:
-                pass
+            # round (at-least-once, idempotent downstream). A TORN
+            # round (connection died mid-message) additionally skips
+            # the ack and surfaces the failure: data is still safe via
+            # slot replay, but a crashing server must not read as a
+            # string of successful idle rounds.
+            if client.torn:
+                print(f"pg socket round {i}: stream torn mid-message; "
+                      "skipping flush ack (slot will replay)",
+                      file=sys.stderr)
+            else:
+                client.flushed_lsn = client.received_lsn
+                try:
+                    client.ack()
+                except OSError:
+                    pass
         except WalProtocolError as e:
             print(f"pg socket round {i} failed: {e}", file=sys.stderr)
             return 1

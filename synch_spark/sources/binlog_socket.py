@@ -11,10 +11,16 @@ SAME offline v4 decoder every other binlog path uses
 byte-identical to the file/replay paths and covered by their pins.
 
 Protocol scope (deliberate):
-- mysql_native_password and the AuthSwitch fallback to it. caching_sha2
-  (8.0 default) requires TLS or an RSA exchange; point the replication
-  user at native password (standard practice for replication accounts)
-  or front with Debezium/Kafka (already supported).
+- mysql_native_password AND caching_sha2_password (the 8.0+ default),
+  with AuthSwitchRequest fallback between them. caching_sha2's fast
+  path (SHA256 scramble against the server's auth cache) works over
+  cleartext; the full-auth path sends the cleartext password over TLS
+  when negotiated, else runs the documented RSA public-key exchange
+  (server key fetched in-band, password XOR nonce encrypted with
+  RSA-OAEP/SHA-1 — implemented here on hashlib + pow, no crypto dep).
+- TLS via the in-protocol CLIENT_SSL upgrade (``ssl_mode`` =
+  disable|require|verify-ca|verify-full, libpq vocabulary; see
+  ``sources/tls.py``) — managed MySQL commonly requires it.
 - COM_BINLOG_DUMP with the NON_BLOCK flag per drain round: the server
   streams everything it has and EOFs — the availableNow shape. The
   ``follow`` loop re-dumps from the advanced cursor each round, giving
@@ -34,7 +40,9 @@ TABLE_MAP events in the same chunk as the row events they describe.
 
 from __future__ import annotations
 
+import base64
 import hashlib
+import os
 import socket
 import struct
 from typing import Callable, Iterator
@@ -44,6 +52,7 @@ from synch_spark.sources import binlog_file as B
 # --- capability flags (documented client/server protocol) ----------------
 _CLIENT_LONG_PASSWORD = 0x00000001
 _CLIENT_PROTOCOL_41 = 0x00000200
+_CLIENT_SSL = 0x00000800
 _CLIENT_SECURE_CONNECTION = 0x00008000
 _CLIENT_PLUGIN_AUTH = 0x00080000
 
@@ -69,6 +78,82 @@ def _native_password(scramble: bytes, password: str) -> bytes:
     p2 = hashlib.sha1(p1).digest()
     mix = hashlib.sha1(scramble + p2).digest()
     return bytes(a ^ b for a, b in zip(p1, mix))
+
+
+def _caching_sha2_scramble(scramble: bytes, password: str) -> bytes:
+    """caching_sha2_password fast-path token:
+    SHA256(pwd) XOR SHA256(SHA256(SHA256(pwd)) + scramble)."""
+    if not password:
+        return b""
+    p1 = hashlib.sha256(password.encode()).digest()
+    p2 = hashlib.sha256(hashlib.sha256(p1).digest() + scramble).digest()
+    return bytes(a ^ b for a, b in zip(p1, p2))
+
+
+def _xor_password(password: str, scramble: bytes) -> bytes:
+    """Full-auth RSA plaintext: NUL-terminated password XOR the 20-byte
+    nonce, cycled — what the server decrypts and checks."""
+    data = password.encode() + b"\x00"
+    return bytes(b ^ scramble[i % len(scramble)] for i, b in enumerate(data))
+
+
+# --- minimal DER / RSA-OAEP (SHA-1), hashlib + pow only -------------------
+def _der_read(buf: bytes, p: int) -> tuple[int, bytes, int]:
+    """One TLV at offset p -> (tag, content, offset past it)."""
+    tag = buf[p]
+    n, p = buf[p + 1], p + 2
+    if n & 0x80:
+        k = n & 0x7F
+        n = int.from_bytes(buf[p:p + k], "big")
+        p += k
+    return tag, buf[p:p + n], p + n
+
+
+def _rsa_pub_from_pem(pem: bytes) -> tuple[int, int]:
+    """(modulus, exponent) from the PEM the server hands back to a
+    public-key request — SubjectPublicKeyInfo ('BEGIN PUBLIC KEY', what
+    MySQL sends) or bare PKCS#1 ('BEGIN RSA PUBLIC KEY')."""
+    body = b"".join(ln.strip() for ln in pem.splitlines()
+                    if ln.strip() and b"-----" not in ln)
+    der = base64.b64decode(body)
+    _, outer, _ = _der_read(der, 0)              # outermost SEQUENCE
+    tag, first, p = _der_read(outer, 0)
+    if tag == 0x30:                              # SPKI: algorithm SEQUENCE
+        _, bits, _ = _der_read(outer, p)         # then BIT STRING
+        _, rsa, _ = _der_read(bits[1:], 0)       # skip unused-bits byte
+    else:
+        rsa = outer                              # PKCS#1: already the key
+    _, n_bytes, p = _der_read(rsa, 0)
+    _, e_bytes, _ = _der_read(rsa, p)
+    return int.from_bytes(n_bytes, "big"), int.from_bytes(e_bytes, "big")
+
+
+def _mgf1_sha1(seed: bytes, n: int) -> bytes:
+    out = bytearray()
+    for i in range((n + 19) // 20):
+        out += hashlib.sha1(seed + struct.pack(">I", i)).digest()
+    return bytes(out[:n])
+
+
+def _rsa_oaep_encrypt(pem: bytes, msg: bytes) -> bytes:
+    """RSAES-OAEP (SHA-1 / MGF1-SHA-1, empty label) — the padding the
+    server applies RSA_PKCS1_OAEP_PADDING to on decrypt. Pure stdlib:
+    the exchange already mixes the connection nonce into the plaintext,
+    and this path only ever carries that one-shot token."""
+    n, e = _rsa_pub_from_pem(pem)
+    k = (n.bit_length() + 7) // 8
+    h = 20
+    if len(msg) > k - 2 * h - 2:
+        raise BinlogProtocolError(
+            f"password too long for the server's {k * 8}-bit RSA key")
+    lhash = hashlib.sha1(b"").digest()
+    db = lhash + bytes(k - len(msg) - 2 * h - 2) + b"\x01" + msg
+    seed = os.urandom(h)
+    masked_db = bytes(a ^ b for a, b in zip(db, _mgf1_sha1(seed, k - h - 1)))
+    masked_seed = bytes(
+        a ^ b for a, b in zip(seed, _mgf1_sha1(masked_db, h)))
+    em = int.from_bytes(b"\x00" + masked_seed + masked_db, "big")
+    return pow(em, e, n).to_bytes(k, "big")
 
 
 class _Conn:
@@ -105,6 +190,13 @@ class _Conn:
             len(payload).to_bytes(3, "little") + bytes([s % 256]) + payload)
         self.seq = (s + 1) % 256
 
+    def starttls(self, ctx, server_hostname: str) -> None:
+        """Upgrade in place after the SSLRequest packet; packet framing
+        (and the sequence counter) continue over the TLS channel."""
+        self.f.close()
+        self.sock = ctx.wrap_socket(self.sock, server_hostname=server_hostname)
+        self.f = self.sock.makefile("rb")
+
     def close(self) -> None:
         try:
             self.f.close()
@@ -112,8 +204,8 @@ class _Conn:
             self.sock.close()
 
 
-def _parse_handshake(pkt: bytes) -> tuple[bytes, str]:
-    """Handshake v10 → (20-byte scramble, auth plugin name)."""
+def _parse_handshake(pkt: bytes) -> tuple[bytes, str, int]:
+    """Handshake v10 → (20-byte scramble, auth plugin name, server caps)."""
     if pkt[0] == 0xFF:
         raise BinlogProtocolError(f"server refused connection: {pkt[9:]!r}")
     if pkt[0] != 10:
@@ -142,7 +234,7 @@ def _parse_handshake(pkt: bytes) -> tuple[bytes, str]:
             nul = pkt.find(b"\x00", p)
             plugin = pkt[p:nul if nul >= 0 else len(pkt)].decode(
                 "ascii", "replace")
-    return (auth1 + auth2)[:20], plugin
+    return (auth1 + auth2)[:20], plugin, cap
 
 
 class BinlogSocketClient:
@@ -154,41 +246,96 @@ class BinlogSocketClient:
     stopped (the reference's resume_stream/log_file/log_pos contract).
     """
 
+    _PLUGINS = ("mysql_native_password", "caching_sha2_password")
+
     def __init__(self, host: str, port: int, user: str, password: str = "",
-                 server_id: int = 2_147_483_646, timeout: float = 30.0):
+                 server_id: int = 2_147_483_646, timeout: float = 30.0,
+                 ssl_mode: str = "disable", ssl_ca: str | None = None):
         self.host, self.port = host, int(port)
         self.user, self.password = user, password
         self.server_id = int(server_id)
         self.timeout = timeout
+        self.ssl_mode = ssl_mode or "disable"
+        self.ssl_ca = ssl_ca
         self.conn: _Conn | None = None
         self.position: tuple[str, int] | None = None
 
     # -- session setup -----------------------------------------------------
+    def _auth_token(self, plugin: str, scramble: bytes) -> bytes:
+        if plugin == "caching_sha2_password":
+            return _caching_sha2_scramble(scramble, self.password)
+        return _native_password(scramble, self.password)
+
     def connect(self) -> None:
         self.conn = _Conn(self.host, self.port, self.timeout)
-        # the server's advertised plugin is ignored on purpose: we
-        # always offer mysql_native_password and rely on the
-        # AuthSwitchRequest fallback below when the server wants it
-        scramble, _plugin = _parse_handshake(self.conn.read_packet())
+        scramble, plugin, srv_caps = _parse_handshake(self.conn.read_packet())
         caps = (_CLIENT_LONG_PASSWORD | _CLIENT_PROTOCOL_41
                 | _CLIENT_SECURE_CONNECTION | _CLIENT_PLUGIN_AUTH)
-        token = _native_password(scramble, self.password)
+        tls = self.ssl_mode != "disable"
+        if tls:
+            if not (srv_caps & _CLIENT_SSL):
+                raise BinlogProtocolError(
+                    f"server does not offer TLS but "
+                    f"ssl_mode={self.ssl_mode!r} demands it")
+            from synch_spark.sources.tls import make_ssl_context
+
+            caps |= _CLIENT_SSL
+            # SSLRequest: the first 32 bytes of a HandshakeResponse41,
+            # then the handshake continues inside the TLS channel
+            self.conn.write_packet(struct.pack("<IIB23x", caps, 1 << 24, 33))
+            self.conn.starttls(make_ssl_context(self.ssl_mode, self.ssl_ca),
+                               self.host)
+        # offer the server's advertised plugin when we speak it
+        # (caching_sha2 is the 8.0+ default); AuthSwitchRequest below
+        # covers a per-account plugin that differs from the advertised
+        if plugin not in self._PLUGINS:
+            plugin = "mysql_native_password"
+        token = self._auth_token(plugin, scramble)
         resp = struct.pack("<IIB23x", caps, 1 << 24, 33)
         resp += self.user.encode() + b"\x00"
         resp += bytes([len(token)]) + token
-        resp += b"mysql_native_password\x00"
+        resp += plugin.encode() + b"\x00"
         self.conn.write_packet(resp)  # seq continues from handshake
-        pkt = self.conn.read_packet()
-        if pkt[:1] == b"\xfe" and len(pkt) > 8:  # AuthSwitchRequest
-            nul = pkt.index(b"\x00", 1)
-            new_scramble = pkt[nul + 1:].rstrip(b"\x00")[:20]
-            self.conn.write_packet(_native_password(new_scramble,
-                                                    self.password))
+        while True:
             pkt = self.conn.read_packet()
-        if pkt[:1] == b"\xff":
-            raise BinlogProtocolError(f"auth failed: {pkt[9:]!r}")
-        if pkt[:1] != b"\x00":
-            raise BinlogProtocolError(f"unexpected auth response {pkt[:1]!r}")
+            if pkt[:1] == b"\x00":
+                break
+            if pkt[:1] == b"\xff":
+                raise BinlogProtocolError(f"auth failed: {pkt[9:]!r}")
+            if pkt[:1] == b"\xfe" and len(pkt) > 8:  # AuthSwitchRequest
+                nul = pkt.index(b"\x00", 1)
+                plugin = pkt[1:nul].decode("ascii", "replace")
+                if plugin not in self._PLUGINS:
+                    raise BinlogProtocolError(
+                        f"server demands unsupported auth plugin {plugin!r}")
+                scramble = pkt[nul + 1:].rstrip(b"\x00")[:20]
+                self.conn.write_packet(self._auth_token(plugin, scramble))
+                continue
+            if pkt[:1] == b"\x01" and plugin == "caching_sha2_password":
+                # AuthMoreData: the caching_sha2 sub-protocol
+                data = pkt[1:]
+                if data == b"\x03":       # fast-auth success; OK follows
+                    continue
+                if data == b"\x04":       # full authentication required
+                    if tls:
+                        # cleartext password is safe inside the channel
+                        self.conn.write_packet(
+                            self.password.encode() + b"\x00")
+                    else:
+                        # RSA public-key exchange: request the key,
+                        # encrypt password XOR nonce with OAEP
+                        self.conn.write_packet(b"\x02")
+                        kp = self.conn.read_packet()
+                        if kp[:1] != b"\x01":
+                            raise BinlogProtocolError(
+                                f"expected server public key, got {kp[:1]!r}")
+                        self.conn.write_packet(_rsa_oaep_encrypt(
+                            kp[1:], _xor_password(self.password, scramble)))
+                    continue
+                raise BinlogProtocolError(
+                    f"unexpected caching_sha2 state {data[:1]!r}")
+            raise BinlogProtocolError(
+                f"unexpected auth response {pkt[:1]!r}")
         # announce checksum awareness so a CRC32 server keeps streaming
         # (it declares the algorithm in the FDE; the decoder honors it)
         self._query("SET @master_binlog_checksum= @@global.binlog_checksum")

@@ -29,10 +29,13 @@ from __future__ import annotations
 import base64
 import hashlib
 import hmac
+import logging
 import os
 import socket
 import struct
 from typing import Iterator
+
+logger = logging.getLogger(__name__)
 
 
 class WalProtocolError(ConnectionError):
@@ -96,14 +99,21 @@ class WalSocketClient:
     slot's confirmed position — the server-side resume cursor."""
 
     def __init__(self, host: str, port: int, user: str, password: str = "",
-                 database: str = "postgres", timeout: float = 30.0):
+                 database: str = "postgres", timeout: float = 30.0,
+                 ssl_mode: str = "disable", ssl_ca: str | None = None):
         self.host, self.port = host, int(port)
         self.user, self.password, self.database = user, password, database
         self.timeout = timeout
+        self.ssl_mode = ssl_mode or "disable"
+        self.ssl_ca = ssl_ca
         self.sock: socket.socket | None = None
         self.f = None
         self.received_lsn = 0
         self.flushed_lsn = 0
+        # set when the last poll round ended on a torn read (connection
+        # died mid-message) rather than idle/CopyDone — the caller must
+        # treat the round as failed, NOT ack it as a clean drain
+        self.torn = False
 
     # -- framing -------------------------------------------------------------
     def _send_msg(self, type_byte: bytes, body: bytes) -> None:
@@ -125,6 +135,8 @@ class WalSocketClient:
     def connect(self) -> None:
         self.sock = socket.create_connection((self.host, self.port),
                                              timeout=self.timeout)
+        if self.ssl_mode != "disable":
+            self._starttls()
         self.f = self.sock.makefile("rb")
         params = (f"user\x00{self.user}\x00database\x00{self.database}\x00"
                   f"replication\x00database\x00application_name\x00"
@@ -166,6 +178,26 @@ class WalSocketClient:
             elif t == b"Z":            # ReadyForQuery
                 return
             # 'S' (ParameterStatus) and 'K' (BackendKeyData) fall through
+
+    def _starttls(self) -> None:
+        """The libpq SSLRequest dance: Int32(8) + Int32(80877103) goes
+        out BEFORE the StartupMessage; the server answers one bare byte
+        ('S' = proceed with the TLS handshake, 'N' = no TLS here).
+        Managed Postgres (RDS et al.) commonly enforces
+        ``sslmode=require``, and a non-disable mode that the server
+        refuses is a hard error — silently continuing in cleartext
+        would downgrade the user's explicit security ask."""
+        from synch_spark.sources.tls import make_ssl_context
+
+        assert self.sock is not None
+        self.sock.sendall(struct.pack("!II", 8, 80877103))
+        answer = self.sock.recv(1)
+        if answer != b"S":
+            raise WalProtocolError(
+                f"server refused TLS (got {answer!r}) but "
+                f"ssl_mode={self.ssl_mode!r} demands it")
+        ctx = make_ssl_context(self.ssl_mode, self.ssl_ca)
+        self.sock = ctx.wrap_socket(self.sock, server_hostname=self.host)
 
     def create_slot(self, slot: str, plugin: str = "wal2json") -> bool:
         """CREATE_REPLICATION_SLOT ... LOGICAL <plugin> — the walsender
@@ -228,13 +260,22 @@ class WalSocketClient:
         position)."""
         assert self.sock is not None
         self.sock.settimeout(idle_timeout)
+        self.torn = False
         while True:
             try:
                 t, b = self._read_msg()
             except (socket.timeout, TimeoutError):
                 return
-            except WalProtocolError:
-                return  # orderly server close counts as end-of-round
+            except WalProtocolError as e:
+                # a TORN read (server died mid-message) is NOT a clean
+                # end-of-round: flag it so the caller skips the flush
+                # ack and the failure is visible — the slot replays
+                # from its confirmed position, so data is safe either
+                # way, but repeated crashes must not masquerade as
+                # successful idle rounds
+                self.torn = True
+                logger.warning("WAL stream torn mid-message: %s", e)
+                return
             if t == b"E":
                 raise WalProtocolError(f"stream error: {b!r}")
             if t == b"c":  # CopyDone from server
@@ -243,9 +284,14 @@ class WalSocketClient:
                 continue
             kind = b[:1]
             if kind == b"w":
-                start, _end, _ts = struct.unpack("!QQQ", b[1:25])
+                start, end, _ts = struct.unpack("!QQQ", b[1:25])
                 payload = b[25:]
-                self.received_lsn = max(self.received_lsn, start)
+                # advance with walEnd (like pg_recvlogical's
+                # output_written_lsn), not dataStart: confirming only
+                # the last record's START leaves the slot short of the
+                # commit record's end, so the final transaction would
+                # be re-delivered on every drain round forever
+                self.received_lsn = max(self.received_lsn, start, end)
                 yield payload
             elif kind == b"k":
                 end, _ts, reply = struct.unpack("!QQB", b[1:18])
@@ -255,9 +301,11 @@ class WalSocketClient:
 
     def close(self) -> None:
         if self.sock is not None:
-            try:
-                self.f.close()
-            except OSError:
-                pass
+            if self.f is not None:  # None when connect died pre-startup
+                try:
+                    self.f.close()
+                except OSError:
+                    pass
+                self.f = None
             self.sock.close()
             self.sock = None

@@ -47,12 +47,24 @@ def _split_events(file_bytes: bytes) -> list[tuple[int, bytes]]:
 
 
 class FakeMysqlServer(threading.Thread):
-    """One-connection-at-a-time replication master."""
+    """One-connection-at-a-time replication master.
 
-    def __init__(self, binlog_bytes: bytes, filename: str = "binlog.000007"):
+    ``auth_plugin`` selects what the handshake advertises;
+    ``sha2_full`` forces caching_sha2's full-auth path (cache miss) —
+    cleartext-password-over-TLS when the session upgraded, else the
+    RSA public-key exchange. ``tls_ctx`` arms the CLIENT_SSL upgrade."""
+
+    def __init__(self, binlog_bytes: bytes, filename: str = "binlog.000007",
+                 auth_plugin: str = "mysql_native_password",
+                 sha2_full: bool = False, tls_ctx=None):
         super().__init__(daemon=True)
         self.binlog = binlog_bytes
         self.filename = filename
+        self.auth_plugin = auth_plugin
+        self.sha2_full = sha2_full
+        self.tls_ctx = tls_ctx
+        self.tls_used = False
+        self.full_auth_path: list[str] = []
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
         self.dump_requests: list[tuple[str, int, int]] = []
@@ -97,11 +109,21 @@ class FakeMysqlServer(threading.Thread):
         hs += struct.pack("<H", 0xFFFF)                   # cap high
         hs += bytes([21]) + bytes(10)                     # auth len, reserved
         hs += SCRAMBLE[8:] + b"\x00"
-        hs += b"mysql_native_password\x00"
+        hs += self.auth_plugin.encode() + b"\x00"
         self._send(conn, 0, hs)
         seq, resp = self._recv(f)
         if resp is None:
             return
+        caps = struct.unpack_from("<I", resp, 0)[0]
+        if caps & 0x800 and len(resp) == 32:              # SSLRequest
+            if self.tls_ctx is None:
+                return  # client asked for TLS we can't speak
+            conn = self.tls_ctx.wrap_socket(conn, server_side=True)
+            f = conn.makefile("rb")
+            self.tls_used = True
+            seq, resp = self._recv(f)
+            if resp is None:
+                return
         # HandshakeResponse41: caps(4) max(4) charset(1) 23x user\0 ...
         p = 32
         nul = resp.index(b"\x00", p)
@@ -109,7 +131,36 @@ class FakeMysqlServer(threading.Thread):
         p = nul + 1
         tok_len = resp[p]
         token = resp[p + 1:p + 1 + tok_len]
-        if user != USER or token != _expected_token():
+        if self.auth_plugin == "caching_sha2_password":
+            from synch_spark.sources.binlog_socket import (
+                _caching_sha2_scramble,
+            )
+            want = _caching_sha2_scramble(SCRAMBLE, PASSWORD)
+            ok = user == USER and token == want
+            if ok and self.sha2_full:
+                self._send(conn, seq + 1, b"\x01\x04")    # full auth
+                seq, more = self._recv(f)
+                if more == b"\x02":                       # pubkey request
+                    from tests.wire_tls import rsa_keypair, rsa_oaep_decrypt
+
+                    priv, pem = rsa_keypair()
+                    self._send(conn, seq + 1, b"\x01" + pem)
+                    seq, enc = self._recv(f)
+                    plain = rsa_oaep_decrypt(priv, bytes(enc))
+                    pw = bytes(b ^ SCRAMBLE[i % 20]
+                               for i, b in enumerate(plain))
+                    ok = pw == PASSWORD.encode() + b"\x00"
+                    self.full_auth_path.append("rsa")
+                else:                                     # cleartext in TLS
+                    ok = (self.tls_used
+                          and more == PASSWORD.encode() + b"\x00")
+                    self.full_auth_path.append("tls-cleartext")
+            elif ok:
+                self._send(conn, seq + 1, b"\x01\x03")    # fast-auth ok
+                seq += 1
+        else:
+            ok = user == USER and token == _expected_token()
+        if not ok:
             self._send(conn, seq + 1,
                        b"\xff" + struct.pack("<H", 1045) + b"#28000denied")
             return
@@ -309,6 +360,127 @@ def test_read_packet_reassembles_16mb_split():
     conn.seq = 0
     got = conn.read_packet()
     assert got == big + tail and len(got) == 0xFFFFFF + 5
+
+
+def _drain_all(server, **client_kw):
+    data, _ = _fixture_binlog()
+    want = list(B.iter_binlog_events(data))
+    cli = BinlogSocketClient("127.0.0.1", server.port, USER, PASSWORD,
+                             server_id=99, **client_kw)
+    got = list(stream_raw_events(cli, "binlog.000007", 4))
+    cli.close()
+    strip = lambda evs: [  # noqa: E731
+        {k: v for k, v in e.items() if k != "event_unixtime"} for e in evs]
+    assert strip(got) == strip(want) and len(got) == 5
+    return cli
+
+
+@pytest.fixture()
+def _srv_factory():
+    servers = []
+
+    def make(**kw):
+        data, _ = _fixture_binlog()
+        srv = FakeMysqlServer(data, **kw)
+        srv.start()
+        servers.append(srv)
+        return srv
+
+    yield make
+    for srv in servers:
+        srv.stop_evt.set()
+        srv.srv.close()
+
+
+def test_caching_sha2_fast_path(_srv_factory):
+    """Stock MySQL 8.0 advertising caching_sha2_password with a warm
+    auth cache: the SHA256 scramble alone authenticates (0x01 0x03
+    then OK), no TLS and no RSA round-trip needed."""
+    srv = _srv_factory(auth_plugin="caching_sha2_password")
+    _drain_all(srv)
+    assert srv.full_auth_path == [] and not srv.tls_used
+
+
+def test_caching_sha2_full_auth_rsa_over_cleartext(_srv_factory):
+    """Cache miss on a cleartext connection: the client requests the
+    server's RSA public key and sends password XOR nonce under
+    RSA-OAEP — the documented sha256_password_public_key exchange."""
+    srv = _srv_factory(auth_plugin="caching_sha2_password", sha2_full=True)
+    _drain_all(srv)
+    assert srv.full_auth_path == ["rsa"] and not srv.tls_used
+
+
+def test_caching_sha2_full_auth_rsa_bad_password(_srv_factory):
+    srv = _srv_factory(auth_plugin="caching_sha2_password", sha2_full=True)
+    cli = BinlogSocketClient("127.0.0.1", srv.port, USER, "wrongpass",
+                             server_id=99)
+    with pytest.raises(BinlogProtocolError, match="auth failed"):
+        cli.connect()
+    cli.close()
+
+
+def test_caching_sha2_full_auth_over_tls(tmp_path, _srv_factory):
+    """Cache miss on a TLS session: the cleartext password travels
+    inside the channel (what libmysqlclient does under --ssl-mode) —
+    no RSA exchange."""
+    from tests.wire_tls import server_tls_context
+
+    srv = _srv_factory(auth_plugin="caching_sha2_password", sha2_full=True,
+                       tls_ctx=server_tls_context(tmp_path))
+    _drain_all(srv, ssl_mode="require")
+    assert srv.tls_used and srv.full_auth_path == ["tls-cleartext"]
+
+
+def test_native_password_over_tls(tmp_path, _srv_factory):
+    """CLIENT_SSL upgrade with the classic plugin: SSLRequest packet,
+    wrap, handshake response inside the channel, then a normal dump."""
+    from tests.wire_tls import server_tls_context
+
+    srv = _srv_factory(tls_ctx=server_tls_context(tmp_path))
+    _drain_all(srv, ssl_mode="require")
+    assert srv.tls_used
+
+
+def test_tls_demanded_but_not_offered(_srv_factory):
+    """ssl_mode=require against a server with no CLIENT_SSL capability
+    must refuse loudly, never silently downgrade to cleartext."""
+    srv = _srv_factory()
+    # strip CLIENT_SSL from the advertised caps by monkeypatching the
+    # handshake would complicate the fake; instead exercise the client
+    # guard directly against the advertised-caps check
+    from synch_spark.sources import binlog_socket as BS
+
+    cli = BinlogSocketClient("127.0.0.1", srv.port, USER, PASSWORD,
+                             server_id=99, ssl_mode="require")
+    orig = BS._parse_handshake
+
+    def no_ssl_caps(pkt):
+        scr, plug, caps = orig(pkt)
+        return scr, plug, caps & ~BS._CLIENT_SSL
+
+    BS._parse_handshake = no_ssl_caps
+    try:
+        with pytest.raises(BinlogProtocolError, match="does not offer TLS"):
+            cli.connect()
+    finally:
+        BS._parse_handshake = orig
+        cli.close()
+
+
+def test_rsa_oaep_roundtrip_and_pem_parse():
+    """Client-side pure-stdlib OAEP encrypt decrypts server-side with
+    the real OAEP(SHA-1) padding — the two ends agree bit-for-bit."""
+    from synch_spark.sources.binlog_socket import (
+        _rsa_oaep_encrypt,
+        _rsa_pub_from_pem,
+    )
+    from tests.wire_tls import rsa_keypair, rsa_oaep_decrypt
+
+    priv, pem = rsa_keypair()
+    n, e = _rsa_pub_from_pem(pem)
+    assert e == 65537 and n.bit_length() == 2048
+    msg = b"secret\x00xor'd payload"
+    assert rsa_oaep_decrypt(priv, _rsa_oaep_encrypt(pem, msg)) == msg
 
 
 def test_restamp_monotone_across_many_chunks(server):

@@ -45,9 +45,14 @@ V2_LINES = [
 
 
 class FakePgServer(threading.Thread):
-    def __init__(self, auth: str = "md5"):
+    def __init__(self, auth: str = "md5", tls_ctx=None,
+                 keepalive: bool = True, tear_mid_message: bool = False):
         super().__init__(daemon=True)
         self.auth = auth
+        self.tls_ctx = tls_ctx
+        self.tls_used = False
+        self.keepalive = keepalive
+        self.tear_mid_message = tear_mid_message
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
         self.stop_evt = threading.Event()
@@ -129,6 +134,17 @@ class FakePgServer(threading.Thread):
         head = f.read(4)
         n = struct.unpack("!I", head)[0] - 4
         startup = f.read(n)
+        if struct.unpack("!I", startup[:4])[0] == 80877103:  # SSLRequest
+            if self.tls_ctx is None:
+                conn.sendall(b"N")
+            else:
+                conn.sendall(b"S")
+                conn = self.tls_ctx.wrap_socket(conn, server_side=True)
+                f = conn.makefile("rb")
+                self.tls_used = True
+            head = f.read(4)
+            n = struct.unpack("!I", head)[0] - 4
+            startup = f.read(n)
         params = startup[4:].split(b"\x00")
         kv = dict(zip(params[::2], params[1::2]))
         assert kv.get(b"replication") == b"database", "not a walsender session"
@@ -160,9 +176,16 @@ class FakePgServer(threading.Thread):
         for i, line in enumerate(V2_LINES):
             xl = b"w" + struct.pack("!QQQ", lsn + i * 8, lsn + i * 8 + 8, 0)
             self._send(conn, b"d", xl + line.encode())
-        # reply-requested keepalive, then collect status updates
-        self._send(conn, b"d",
-                   b"k" + struct.pack("!QQB", lsn + 64, 0, 1))
+        if self.tear_mid_message:
+            # claim a 100-byte CopyData then hang up after 3 bytes —
+            # a walsender crash mid-message, NOT an orderly end
+            conn.sendall(b"d" + struct.pack("!I", 104) + b"w\x00\x00")
+            conn.close()
+            return
+        if self.keepalive:
+            # reply-requested keepalive, then collect status updates
+            self._send(conn, b"d",
+                       b"k" + struct.pack("!QQB", lsn + 64, 0, 1))
         conn.settimeout(60.0)  # the CLI's first Spark job sits between acks
         while True:
             t, body = self._read(f)
@@ -260,6 +283,84 @@ def test_cli_produce_pg_socket_spool(tmp_path, capsys, spark):
     finally:
         srv.stop_evt.set()
         srv.srv.close()
+
+
+def _with_server(srv, fn):
+    srv.start()
+    try:
+        return fn(srv)
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()
+
+
+def test_wal_socket_tls(tmp_path):
+    """sslmode=require: SSLRequest before startup, 'S' answer, wrapped
+    channel, then the normal auth + CopyBoth stream inside it."""
+    from tests.wire_tls import server_tls_context
+
+    def run(srv):
+        cli = WalSocketClient("127.0.0.1", srv.port, USER, PASSWORD,
+                              database=DB, ssl_mode="require")
+        cli.connect()
+        cli.start_replication(SLOT)
+        lines = [p.decode() for p in cli.poll_payloads(idle_timeout=1.0)]
+        cli.close()
+        assert lines == V2_LINES and srv.tls_used
+
+    _with_server(FakePgServer(auth="md5",
+                              tls_ctx=server_tls_context(tmp_path)), run)
+
+
+def test_wal_socket_tls_refused_is_loud():
+    """Server answers 'N' to SSLRequest: with a non-disable ssl_mode
+    the client must fail, never silently downgrade to cleartext."""
+    def run(srv):
+        cli = WalSocketClient("127.0.0.1", srv.port, USER, PASSWORD,
+                              database=DB, ssl_mode="require")
+        with pytest.raises(WalProtocolError, match="refused TLS"):
+            cli.connect()
+        cli.close()
+
+    _with_server(FakePgServer(auth="md5"), run)
+
+
+def test_received_lsn_tracks_walend_not_datastart():
+    """Without the trailing keepalive, the flush confirm must still
+    pass the LAST record's walEnd — confirming only dataStart leaves
+    the slot short of the commit record and the final transaction
+    replays on every drain round forever."""
+    def run(srv):
+        cli = WalSocketClient("127.0.0.1", srv.port, USER, PASSWORD,
+                              database=DB)
+        cli.connect()
+        cli.start_replication(SLOT)
+        lines = [p.decode() for p in cli.poll_payloads(idle_timeout=1.0)]
+        cli.close()
+        assert lines == V2_LINES
+        last_start = 0x16B3A50 + (len(V2_LINES) - 1) * 8
+        assert cli.received_lsn == last_start + 8, \
+            "received_lsn stopped at dataStart, not walEnd"
+        assert not cli.torn
+
+    _with_server(FakePgServer(auth="md5", keepalive=False), run)
+
+
+def test_torn_read_sets_flag_not_clean_round():
+    """A walsender dying mid-message must be distinguishable from an
+    idle round: payloads before the tear still arrive, but ``torn``
+    is set so the caller skips the flush ack."""
+    def run(srv):
+        cli = WalSocketClient("127.0.0.1", srv.port, USER, PASSWORD,
+                              database=DB)
+        cli.connect()
+        cli.start_replication(SLOT)
+        lines = [p.decode() for p in cli.poll_payloads(idle_timeout=2.0)]
+        cli.close()
+        assert lines == V2_LINES, "pre-tear payloads must still be yielded"
+        assert cli.torn, "mid-message close must flag the round as torn"
+
+    _with_server(FakePgServer(auth="md5", tear_mid_message=True), run)
 
 
 def test_create_slot_reference_parity(pg):
