@@ -37,6 +37,33 @@ def _swallow(fn) -> None:
         pass
 
 
+def _calibrate(spark) -> dict:
+    """Fixed-work contention probes, so a co-tenant-inflated run is
+    attributable FROM THE ARTIFACT ALONE (this host has shown uniform
+    4-8x per-query inflation from CPU steal in 3 of 7 driver rounds).
+
+    - ``spin_s``: a fixed single-thread pure-Python integer loop —
+      pure CPU-steal detector, no Spark involvement.
+    - ``par32_s``: a fixed 32-partition JVM-codegen fold — detects
+      steal AND scheduler/thread starvation at the bench's actual
+      parallelism.
+
+    Expected idle-host values are pinned in PERF.md; a run whose
+    calibration is N x those values has its query timings inflated by
+    roughly the same factor (compare RELATIVE per-query structure)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    spin = time.perf_counter() - t0
+    del x
+    t0 = time.perf_counter()
+    spark.range(0, 64_000_000, 1, 32).selectExpr(
+        "sum(cast(id as double) * id) as s").collect()  # double: no overflow
+    par = time.perf_counter() - t0
+    return {"spin_s": round(spin, 4), "par32_s": round(par, 4)}
+
+
 def main() -> None:
     # The driver parses stdout as JSON; Spark's JVM (a subprocess that inherits
     # fd 1) and py4j both write progress chatter there.  Save the real stdout,
@@ -57,6 +84,8 @@ def main() -> None:
 
     spark = get_spark("sparksynch-bench")  # FAIR scheduler set in the builder
     spark.range(1).count()  # JVM warm-up
+    _calibrate(spark)  # unmeasured: first run pays ~0.7s one-time codegen
+    calib_pre = _calibrate(spark)  # BEFORE warms/drain: host state at start
     # footer-only fixture warm-up: resolves schemas/file listings once so
     # the first measured query doesn't pay catalog metadata costs; no
     # data pages are read (scan IO stays inside the measured sections)
@@ -214,6 +243,7 @@ def main() -> None:
         with ThreadPoolExecutor(max_workers=8) as pool:
             list(pool.map(run_one, items))
     total = round(time.perf_counter() - t_start, 4)
+    calib_post = _calibrate(spark)  # AFTER the drain: did the host change?
 
     # The driver captures only the LAST ~2000 chars of stdout; a payload with
     # all per-query timings inline (~3.4 KB at 107 queries) gets front-truncated
@@ -234,6 +264,7 @@ def main() -> None:
         payload["index_build_s"] = index_build_s
     if stream_warm_s is not None:
         payload["stream_warm_s"] = stream_warm_s
+    payload["calib"] = {"pre": calib_pre, "post": calib_post}
     if errors:  # names only on stdout, full messages in the sidecar
         payload["error_queries"] = sorted(errors)[:5]
     if warm_incomplete:
@@ -248,6 +279,7 @@ def main() -> None:
                        "index_builds": warm_results.get("index_builds"),
                        "stream_warm_s": stream_warm_s,
                        "warm_incomplete": warm_incomplete,
+                       "calib": {"pre": calib_pre, "post": calib_post},
                        "queries": dict(sorted(timings.items())),
                        "errors": errors}, f, indent=1)
     except OSError:
