@@ -146,6 +146,39 @@ GROUP BY t ORDER BY cnt DESC, token LIMIT 20
 # join sparse — the same reason real pipelines shingle before Jaccard.
 JACCARD_T = 0.6
 
+# Shared gram CTE block for the inverted-index oracles (q20/q104/q96),
+# MIRRORING dedup._gram_overlap's max_df="auto" guard: grams whose
+# document frequency exceeds max(floor, FLOOR(frac * n_docs)) are
+# dropped from the vocabulary before the join. Spark computes the cap
+# as (count * 0.001) cast to long (truncation = FLOOR for positives);
+# FLOOR here keeps the two engines identical at ANY scale factor —
+# inert at fixture scale (max 3-gram df ~7), but if a larger fixture
+# ever makes the cap bind, the oracle binds WITH the operator instead
+# of silently diverging. The {floor}/{frac} placeholders are filled
+# from the operator's own module constants (single source of truth).
+_GRAM_TOK_CTES_T = """
+toks AS (SELECT doc_id, {tok} AS w FROM documents),
+tok0 AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+  WHERE len(w) >= 3),
+gcap AS (SELECT GREATEST({floor}, CAST(FLOOR({frac} * COUNT(*)) AS BIGINT))
+           AS cap FROM documents),
+gdf AS (SELECT t, COUNT(*) AS df FROM tok0 GROUP BY t),
+tok AS (SELECT tok0.doc_id, tok0.t
+        FROM tok0 JOIN gdf USING (t), gcap WHERE gdf.df <= gcap.cap)"""
+
+
+def _gram_tok_ctes() -> str:
+    from synch_spark.operators import dedup as _dedup
+
+    return _GRAM_TOK_CTES_T.format(
+        tok=TOK_SQL, floor=int(_dedup._AUTO_MAX_DF_FLOOR),
+        frac=repr(float(_dedup._AUTO_MAX_DF_FRAC)))
+
+
+GRAM_TOK_CTES = _gram_tok_ctes()
+
 
 def q20_jaccard_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
@@ -159,11 +192,7 @@ def q20_jaccard_pairs(spark, sf_dir):
 
 
 Q20_SQL = f"""
-WITH toks AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
-tok AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
-  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
-  WHERE len(w) >= 3),
+WITH {GRAM_TOK_CTES},
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
@@ -1052,11 +1081,7 @@ def q104_containment(spark, sf_dir):
 
 
 Q104_SQL = rf"""
-WITH toks AS (SELECT doc_id, {TOK_SQL} AS w FROM documents),
-tok AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
-  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
-  WHERE len(w) >= 3),
+WITH {GRAM_TOK_CTES},
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
@@ -2154,11 +2179,7 @@ def q96_split_leakage(spark, sf_dir):
 
 
 Q96_SQL = f"""
-WITH toks AS (SELECT doc_id, {{tok}} AS w FROM documents),
-tok AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
-  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
-  WHERE len(w) >= 3),
+WITH {{gram_ctes}},
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
@@ -2180,7 +2201,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(SUM(CASE WHEN pa.split <> pb.split THEN 1 ELSE 0 END) AS DOUBLE)
          / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS leak_rate
 FROM pairs JOIN splits pa ON pa.doc_id = a JOIN splits pb ON pb.doc_id = b
-""".replace("{tok}", TOK_SQL)
+""".replace("{gram_ctes}", GRAM_TOK_CTES)
 
 
 # --- aggregate-over-join MV (join-aggregate decomposition) -------------------

@@ -175,6 +175,56 @@ def test_gram_max_df_auto_default(spark, monkeypatch):
         docs, "text", "doc_id", threshold=0.3, n=1).collect()}
     assert capped == {(2 * i, 2 * i + 1) for i in range(40)}
 
+def test_gram_max_df_auto_cross_engine_when_cap_binds(spark, monkeypatch):
+    """The graded q20 oracle MIRRORS the operator's auto df-cap, so the
+    two engines stay hash-equal even at a scale where the cap BINDS
+    (the fixture never exercises that: max 3-gram df ~7 vs floor 1000).
+    Tighten the floor on both sides over a synthetic corpus with a
+    ubiquitous 3-gram block: the hot grams alone push non-twin pairs to
+    jaccard 0.6 uncapped, and the capped run drops them — Spark and
+    DuckDB must agree on the CAPPED result, and that result must differ
+    from the uncapped one (i.e. the cap demonstrably bound)."""
+    import duckdb
+    import pandas as pd
+
+    from synch_spark.operators import dedup
+    from synch_spark.operators.dedup import jaccard_pairs
+    from synch_spark.plans import dataops
+
+    # 12 docs sharing a 5-token hot prefix (3 hot grams, df=12 each,
+    # plus one unique-tail gram) + 4 twin pairs of identical rare text
+    rows = [(i, f"h1 h2 h3 h4 h5 u{i}") for i in range(12)]
+    rows += [(base + j, f"r{base}a r{base}b r{base}c r{base}d")
+             for base in (100, 110, 120, 130) for j in (0, 1)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+
+    monkeypatch.setattr(dedup, "_AUTO_MAX_DF_FLOOR", 5)
+    capped = {(r["a"], r["b"], round(r["jaccard"], 9))
+              for r in jaccard_pairs(
+                  docs, "text", "doc_id", threshold=0.6, n=3,
+                  probe_filter=lambda a: a % 10 == 0).collect()}
+    uncapped = {(r["a"], r["b"], round(r["jaccard"], 9))
+                for r in jaccard_pairs(
+                    docs, "text", "doc_id", threshold=0.6, n=3,
+                    probe_filter=lambda a: a % 10 == 0,
+                    max_df=None).collect()}
+
+    # the graded oracle with the SAME tightened floor
+    sql = dataops.Q20_SQL.replace("GREATEST(1000,", "GREATEST(5,")
+    assert sql != dataops.Q20_SQL, "floor placeholder moved; fix the test"
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = {(a, b, round(j, 9)) for a, b, j in
+              con.execute(sql).fetchall()}
+    con.close()
+
+    want_twins = {(b, b + 1, 1.0) for b in (100, 110, 120, 130)}
+    assert capped == oracle == want_twins
+    # the hot-gram pairs existed uncapped — the cap demonstrably bound
+    assert capped < uncapped and (0, 1, 0.6) in uncapped
+
+
 def test_keep_best_representative_scores_ties_and_singletons(spark):
     """keep_best_representative keeps the highest-scoring doc per
     cluster (ties -> lowest id), labels singletons with their own id,
