@@ -377,6 +377,74 @@ def ann_topk_ivf(
     )
 
 
+# d·127² must stay under 2^24 for the float32 accumulation of integer
+# values to be EXACT (see _candidate_pairs_quantized); above it the
+# kernel falls back to the float64 GEMM
+_QUANT_GEMM_MAX_DIM = 1000
+
+
+def _candidate_pairs_quantized(V, norms, thr_pre):
+    """Candidate (i, j, cos_f64) pairs with float64 cosine >=
+    ``thr_pre``, via an int8-quantized GEMM tile with a PROVABLE
+    per-pair margin — no true pair can be lost, so the exact decimal
+    rescore downstream still defines the output.
+
+    The tile is ``q = rint(v / s)`` with ``s = max|v|/127`` per row
+    (int8: 8x smaller than the float64 matrix — at 100 TB the
+    difference between a GEMM block that fits executor memory and one
+    that spills). The GEMM runs on the int8 values staged as float32:
+    every product is <= 127^2 and every partial sum < d·127^2 < 2^24
+    for d <= 1000, so BLAS sgemm accumulates EXACT integers at twice
+    dgemm's throughput — the quantized cosine has NO float error, only
+    quantization error, which is bounded per pair by the standard
+    perturbation bound |cos(u,v) - cos(u',v')| <= 2(||e_u||/||u|| +
+    ||e_v||/||v||) with e = v - s·q measured exactly from the data.
+
+    The coarse pass over-admits (the margin is a worst-case bound;
+    measured ~2x at threshold 0.35 on the fixture embeddings), and
+    every emitted pair pays the DECIMAL rescore downstream — far more
+    expensive than a float64 dot — so a refine step re-scores ONLY the
+    coarse survivors with exact float64 dots (O(cands·d) gathered
+    einsum, not the O(n^2·d) full GEMM) and emits exactly the pairs
+    the float64 prefilter would have: the quantization is invisible in
+    both results AND downstream rescore load. Dims > 1000 (or
+    degenerate all-zero quantizations) take the float64 path."""
+    import numpy as np
+
+    d = V.shape[1]
+
+    def dense_f64():
+        N = V / norms[:, None]
+        S = N @ N.T
+        i, j = np.nonzero(np.triu(S >= thr_pre, k=1))
+        return i, j, S[i, j]
+
+    if d > _QUANT_GEMM_MAX_DIM:
+        return dense_f64()
+    s = np.abs(V).max(axis=1) / 127.0
+    s[s == 0.0] = 1.0  # norm>0 guarantees max|v|>0; belt and braces
+    Q = np.rint(V / s[:, None])
+    Qf = Q.astype(np.float32)
+    G = (Qf @ Qf.T).astype(np.float64)  # exact integer dot products
+    qn2 = np.diag(G)
+    if (qn2 == 0.0).any():
+        # a vector so skewed it quantized to all zeros: its quantized
+        # cosine is undefined — take the exact float64 path instead
+        return dense_f64()
+    qn = np.sqrt(qn2)
+    qcos = G / np.outer(qn, qn)
+    rel = np.sqrt(np.einsum("ij,ij->i", V - s[:, None] * Q,
+                            V - s[:, None] * Q)) / norms
+    margin = 2.0 * (rel[:, None] + rel[None, :]) + 1e-9
+    i, j = np.nonzero(np.triu(qcos >= thr_pre - margin, k=1))
+    if len(i) == 0:
+        return i, j, np.zeros(0)
+    # refine: exact float64 cosine on the coarse survivors only
+    cos = np.einsum("ij,ij->i", V[i], V[j]) / (norms[i] * norms[j])
+    keep = cos >= thr_pre
+    return i[keep], j[keep], cos[keep]
+
+
 def embedding_near_dups_exact(
     df: DataFrame,
     threshold: float,
@@ -393,20 +461,39 @@ def embedding_near_dups_exact(
     ``embedding_near_dups`` there).
 
     Candidate generation is a block-local BLAS matmul inside
-    ``applyInPandas``: each block's vectors become one normalized
-    float64 matrix, one GEMM scores every pair, and only the upper
-    triangle above ``threshold - 1e-6`` leaves the worker as (a, b)
-    id pairs — 10-100x the throughput of per-pair expression folds,
-    and the shuffle carries ids, never vectors. Survivors are re-scored
-    with the exact decimal fold that defines the output (and matches
-    the DuckDB oracle bit-for-bit); the 1e-6 prefilter margin dwarfs
-    float64 GEMM error (~1e-12), so no true pair is lost.
+    ``applyInPandas``: each block's vectors quantize to an int8 tile
+    (8x smaller than float64) scored by one exact-integer float32 GEMM
+    with a provable per-pair quantization margin — see
+    ``_candidate_pairs_quantized`` — and only upper-triangle pairs that
+    can possibly clear ``threshold - 1e-6`` leave the worker as (a, b)
+    id pairs: 10-100x the throughput of per-pair expression folds, and
+    the shuffle carries ids, never vectors. Survivors are re-scored
+    with the exact decimal fold that DEFINES the output (and matches
+    the DuckDB oracle bit-for-bit); the margins are constructed so no
+    true pair is lost, so the prefilter affects cost only, never
+    results.
 
     Memory bound: a block must fit one executor (n·d doubles + the n^2
     score tile). Size blocks accordingly upstream, or switch to the LSH
     variant past ~100k vectors per block; zero vectors have undefined
     cosine (NULL, never >= threshold) and are dropped before the GEMM.
     """
+    base, pairs = _block_pair_candidates(
+        df, threshold, vec_col, id_col, block_col)
+    av = base.select(F.col("id").alias("a"), F.col("v").alias("_pv"))
+    bv = base.select(F.col("id").alias("b"), F.col("v").alias("_cv"))
+    cand = pairs.join(av, "a").join(bv, "b")
+    return (
+        _decimal_rescore(cand)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def _block_pair_candidates(df, threshold, vec_col, id_col, block_col):
+    """Shared GEMM candidate stage: (base, pairs) where pairs =
+    (a, b, _fcos) with float64 cosine _fcos >= threshold - 1e-6,
+    a < b, within equal-``block_col`` blocks."""
     import numpy as np
     import pandas as pd
 
@@ -416,7 +503,7 @@ def embedding_near_dups_exact(
     thr_pre = threshold - 1e-6
 
     def gen(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": [], "b": []})
+        empty = pd.DataFrame({"a": [], "b": [], "_fcos": []})
         # drop NULL / ragged-length vectors BEFORE np.stack — one bad
         # row would otherwise kill the whole job, and an undefined
         # cosine can never reach the threshold anyway
@@ -437,22 +524,43 @@ def embedding_near_dups_exact(
             return empty
         order = np.argsort(ids, kind="stable")  # a < b canonical pairs
         ids, V, norms = ids[order], V[order], norms[order]
-        S = (V / norms[:, None]) @ (V / norms[:, None]).T
-        i, j = np.nonzero(np.triu(S >= thr_pre, k=1))
-        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+        i, j, fcos = _candidate_pairs_quantized(V, norms, thr_pre)
+        return pd.DataFrame({"a": ids[i], "b": ids[j], "_fcos": fcos})
 
     # pair schema follows the caller's id type — a hard-coded 'long'
     # would fail every task on string/decimal ids at Arrow conversion
     id_t = df.schema[id_col].dataType.simpleString()
-    pairs = base.groupBy("_blk").applyInPandas(gen, f"a {id_t}, b {id_t}")
+    pairs = base.groupBy("_blk").applyInPandas(
+        gen, f"a {id_t}, b {id_t}, _fcos double")
+    return base, pairs
+
+
+def _near_dup_pair_ids(df, threshold, vec_col, id_col, block_col):
+    """Near-dup pair SET (a, b) by decimal cosine >= threshold —
+    results identical to ``embedding_near_dups_exact(...).select('a',
+    'b')`` but without paying the decimal rescore for pairs that
+    cannot be borderline.
+
+    The kernel's float64 cosine differs from the decimal cosine by
+    ~1e-12 (product quantization at 12 dp + float rounding), so only
+    pairs inside the band [threshold - 1e-6, threshold + 1e-6] need
+    decimal adjudication — the SAME 1e-6 >> float-error assumption the
+    prefilter has always made on the low side, applied symmetrically.
+    In practice the band is empty and the expensive rescore join runs
+    over ~0 rows; callers that need the cosine VALUE (q47's output
+    column) still use the full rescore path."""
+    base, pairs = _block_pair_candidates(
+        df, threshold, vec_col, id_col, block_col)
+    certain = pairs.filter(F.col("_fcos") >= threshold + 1e-6)
+    band = pairs.filter(F.col("_fcos") < threshold + 1e-6)
     av = base.select(F.col("id").alias("a"), F.col("v").alias("_pv"))
     bv = base.select(F.col("id").alias("b"), F.col("v").alias("_cv"))
-    cand = pairs.join(av, "a").join(bv, "b")
-    return (
-        _decimal_rescore(cand)
+    adjudicated = (
+        _decimal_rescore(band.join(av, "a").join(bv, "b"))
         .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cosine")
     )
+    return certain.select("a", "b").unionByName(
+        adjudicated.select("a", "b"))
 
 
 def embedding_near_dups(
@@ -623,18 +731,82 @@ def semantic_dedup(
     contract as every similarity operator here)."""
     from synch_spark.operators.dedup import keep_best_representative
 
+    import numpy as np
+    import pandas as pd
+
+    # two-phase assignment. Phase 1 (candidates): one vectorized numpy
+    # GEMM per partition scores every vector against the K centroids in
+    # float64 and emits only candidates within 1e-6 of the per-vector
+    # max — in practice one per vector, so the K-way fan-out of decimal
+    # folds never materializes (K·n interpreted HOF folds were the
+    # single most expensive piece of this operator). Phase 2 rescores
+    # the survivors with the decimal fold that DEFINES csim; the 1e-6
+    # band is the same >>-float-error contract the pair prefilter
+    # stands on, so the decimal argmax cannot hide below it. Vectors
+    # with undefined cosine (zero norm, or a length that does not match
+    # the centroid dim) emit ALL K candidates: their csim is NULL for
+    # every centroid and the cid tiebreak assigns them exactly as the
+    # single-phase code did.
+    cent_rows = centroids.select("cid", "cvec").collect()  # K rows, tiny
+    cent_rows.sort(key=lambda r: r["cid"])
+    cids_np = [r["cid"] for r in cent_rows]
+    C = np.array([list(r["cvec"]) for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt(np.einsum("ij,ij->i", C, C))
+    cnorm_safe = np.where(cnorm > 0.0, cnorm, 1.0)
+    Cn = (C / cnorm_safe[:, None]).T  # d x K, zero centroids score 0
+
+    v = df.filter(_finite_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    id_t = df.schema[id_col].dataType.simpleString()
+    cid_t = centroids.schema["cid"].dataType.simpleString()
+    d = C.shape[1]
+    zero_c = cnorm <= 0.0  # undefined cosine: never a rough candidate
+
+    def assign_gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["_v"].map(len).to_numpy()
+            out_frames = []
+            bad = pdf[lens != d]
+            if len(bad):  # ragged: all K candidates, NULL csim later
+                out_frames.append(bad.loc[bad.index.repeat(len(cids_np))]
+                                  .assign(cid=cids_np * len(bad)))
+            good = pdf[lens == d]
+            if len(good):
+                V = np.stack(good["_v"].to_numpy()).astype(np.float64)
+                vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+                ok = vn > 0.0
+                zv = good[~ok]
+                if len(zv):  # zero vectors: all K candidates
+                    out_frames.append(
+                        zv.loc[zv.index.repeat(len(cids_np))]
+                        .assign(cid=cids_np * len(zv)))
+                good = good[ok]
+                if len(good):
+                    R = (V[ok] / vn[ok, None]) @ Cn
+                    R[:, zero_c] = -np.inf
+                    mask = R >= (R.max(axis=1)[:, None] - 1e-6)
+                    gi, ci = np.nonzero(mask)
+                    out_frames.append(
+                        good.iloc[gi].assign(
+                            cid=[cids_np[c_] for c_ in ci]))
+            if out_frames:
+                yield pd.concat(out_frames, ignore_index=True)
+
+    cand = v.mapInPandas(
+        assign_gen, f"_id {id_t}, _v {vec_t}, cid {cid_t}")
     c = centroids.select("cid", "cvec").withColumn(
-        "_cn2", _norm2_dec(F.col("cvec")))
-    v = (
-        df.filter(_finite_vec(F.col(vec_col)))
-        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .withColumn("_vn2", _norm2_dec(F.col("_v")))
-    )
-    scored = v.join(F.broadcast(c)).withColumn(
+        "_cn2", _norm2_dec(F.col("cvec")))  # K decimal folds, broadcast
+    scored = cand.join(F.broadcast(c), "cid").withColumn(
         "csim",
         _safe_div(
             _dot_dec(F.col("_v"), F.col("cvec")).cast("double"),
-            F.sqrt(F.col("_vn2").cast("double") * F.col("_cn2").cast("double")),
+            F.sqrt(
+                _norm2_dec(F.col("_v")).cast("double")
+                * F.col("_cn2").cast("double")
+            ),
             None,
         ),
     )
@@ -643,10 +815,20 @@ def semantic_dedup(
         scored.withColumn("_ar", F.row_number().over(wa))
         .filter(F.col("_ar") == 1)
         .select("_id", "_v", "cid", "csim")
+        # materialize ONCE: the assignment subtree (scan + per-centroid
+        # decimal folds + window) is consumed FOUR times downstream —
+        # the pair kernel, both sides of its rescore join, and the
+        # keep-best label join — and would re-execute for each without
+        # this (4x the decimal work at any scale)
+        .localCheckpoint(eager=True)
     )
-    pairs = embedding_near_dups_exact(
+    # pair SET only (the cosine value is not in the output): certain
+    # pairs skip the decimal rescore, the borderline band (empty in
+    # practice) is decimal-adjudicated — same results as the full
+    # rescore path, a fraction of its cost
+    pairs = _near_dup_pair_ids(
         assigned, threshold, vec_col="_v", id_col="_id", block_col="cid"
-    ).select("a", "b")
+    )
     kept = keep_best_representative(
         assigned.select("_id", "cid", "csim"), pairs, "_id", "csim"
     )
