@@ -133,6 +133,7 @@ def main() -> None:
         from synch_spark.plans.dataops import (
             _incr_dedup_index,
             _incr_ivf_index,
+            _incr_semdedup_index,
             _ivf_index,
             _needle_table,
             _tt_audit_table,
@@ -149,10 +150,10 @@ def main() -> None:
                 pass
             per_build[build.__name__] = round(time.perf_counter() - b0, 4)
 
-        with ThreadPoolExecutor(max_workers=5) as p:
+        with ThreadPoolExecutor(max_workers=6) as p:
             list(p.map(one, (_ivf_index, _incr_dedup_index,
-                             _incr_ivf_index, _tt_audit_table,
-                             _needle_table)))
+                             _incr_ivf_index, _incr_semdedup_index,
+                             _tt_audit_table, _needle_table)))
         warm_results["index_builds"] = per_build
         warm_results["index"] = round(time.perf_counter() - t0, 4)
 

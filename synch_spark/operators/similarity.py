@@ -729,8 +729,24 @@ def semantic_dedup(
     Returns one row per KEPT vector: (id_col, cid, csim, cluster_id,
     cluster_size). Non-finite vectors are dropped at the door (same
     contract as every similarity operator here)."""
-    from synch_spark.operators.dedup import keep_best_representative
+    assigned = assign_to_centroids(df, centroids, vec_col, id_col)
+    kept = collapse_assigned(assigned, threshold)
+    return kept.select(
+        F.col("_id").alias(id_col), "cid", "csim", "cluster_id",
+        F.col("cluster_size"),
+    )
 
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """semantic_dedup's assignment stage, reusable by the incremental
+    index: one row per finite vector — (_id, _v, cid, csim), csim =
+    exact decimal cosine to the winning centroid — eagerly
+    checkpointed (every consumer fans out over it)."""
     import numpy as np
     import pandas as pd
 
@@ -811,7 +827,7 @@ def semantic_dedup(
         ),
     )
     wa = W.partitionBy("_id").orderBy(F.col("csim").desc(), F.col("cid"))
-    assigned = (
+    return (
         scored.withColumn("_ar", F.row_number().over(wa))
         .filter(F.col("_ar") == 1)
         .select("_id", "_v", "cid", "csim")
@@ -822,6 +838,16 @@ def semantic_dedup(
         # this (4x the decimal work at any scale)
         .localCheckpoint(eager=True)
     )
+
+
+def collapse_assigned(assigned: DataFrame, threshold: float) -> DataFrame:
+    """semantic_dedup's collapse stage over an (_id, _v, cid, csim)
+    assignment frame: within-cid near-dup pairs, connected components,
+    keep-most-prototypical. Returns (_id, cid, csim, cluster_id,
+    cluster_size) — one row per kept vector. Reusable standalone so the
+    incremental index can re-collapse ONLY the touched cid blocks."""
+    from synch_spark.operators.dedup import keep_best_representative
+
     # pair SET only (the cosine value is not in the output): certain
     # pairs skip the decimal rescore, the borderline band (empty in
     # practice) is decimal-adjudicated — same results as the full
@@ -829,10 +855,6 @@ def semantic_dedup(
     pairs = _near_dup_pair_ids(
         assigned, threshold, vec_col="_v", id_col="_id", block_col="cid"
     )
-    kept = keep_best_representative(
+    return keep_best_representative(
         assigned.select("_id", "cid", "csim"), pairs, "_id", "csim"
-    )
-    return kept.select(
-        F.col("_id").alias(id_col), "cid", "csim", "cluster_id",
-        F.col("cluster_size"),
     )

@@ -464,6 +464,7 @@ _INCR_DEDUP_CACHE = _SessionCache()
 _INCR_IVF_CACHE = _SessionCache()
 _TT_AUDIT_CACHE = _SessionCache()
 _NEEDLE_CACHE = _SessionCache()
+_INCR_SEMDEDUP_CACHE = _SessionCache()
 
 
 def _ivf_index(spark, sf_dir):
@@ -1287,6 +1288,53 @@ ranked AS (
 SELECT vec_id, cid, csim, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size
 FROM ranked WHERE rn = 1 ORDER BY vec_id
 """
+
+
+def _incr_semdedup_index(spark, sf_dir):
+    """Session-cached two-half (build + apply_changes) SemDedupIndex
+    over the embeddings table — the maintained-artifact shape of q126.
+    Like q118's DedupIndex, the persisted index is a production
+    artifact an ingest job maintains; the bench warms it under
+    ``index_build_s``, any other session pays on first call."""
+    from synch_spark.session import scratch_dir
+
+    from synch_spark.operators.semdedup_index import SemDedupIndex
+
+    def build():
+        emb = _emb(spark, sf_dir)
+        cents = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").alias("cvec"),
+        )
+        idx = SemDedupIndex(spark, scratch_dir("synchspark-q130-"),
+                            threshold=SEMDEDUP_T)
+        idx.build(emb.filter(F.col("vec_id") % 2 == 0), cents)
+        feed = emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding", F.lit("insert").alias("_change_type"))
+        idx.apply_changes(feed)
+        return idx
+
+    return _INCR_SEMDEDUP_CACHE.get_or_build(spark, sf_dir, build)
+
+
+def q130_semdedup_incremental(spark, sf_dir):
+    """The persisted incremental SemDeDup state on the GRADED surface:
+    ingest the embeddings in two halves (build + change-feed apply)
+    into a scratch SemDedupIndex, then read the KEPT store alone — no
+    re-assignment, no re-pairing. The oracle is q126's one-shot SQL,
+    so hash-equality proves incremental maintenance ≡ one-shot
+    SemDeDup: assignments, decimal csim, within-block pairs, connected
+    components and the keep-best ranking all survive the
+    persist/merge/re-collapse round-trip bit-identically. At 100 TB
+    this is the nightly shape — only changed vectors re-assign, only
+    touched centroid blocks re-collapse (both stores cid-partitioned,
+    so the touched read prunes)."""
+    idx = _incr_semdedup_index(spark, sf_dir)
+    return (
+        idx.read_kept()
+        .withColumn("cid", F.col("cid").cast("int"))
+        .orderBy("vec_id")
+    )
 
 
 # --- TF-IDF-style top terms per document ---------------------------------
@@ -2927,6 +2975,7 @@ DATAOPS_QUERIES = {
     "q123_dedup_keep_best": (q123_dedup_keep_best, Q123_SQL),
     "q124_exact_decontamination": (q124_exact_decontamination, Q124_SQL),
     "q126_semantic_dedup": (q126_semantic_dedup, Q126_SQL),
+    "q130_semdedup_incremental": (q130_semdedup_incremental, Q126_SQL),
     "q127_bigram_surprisal": (q127_bigram_surprisal, Q127_SQL),
     "q128_temperature_mix": (q128_temperature_mix, Q128_SQL),
     "q129_quality_cutoffs": (q129_quality_cutoffs, Q129_SQL),
