@@ -420,6 +420,56 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def q131_backfill_repair_parity(spark, sf_dir):
+    """The repair loop (E3 closed end-to-end) on the graded surface: a
+    replicated customer table is DAMAGED three ways — a pk-hash chunk
+    of rows dropped (holes), a band of account balances corrupted
+    (value drift), and alien rows inserted that the source never had —
+    then ``backfill_missing`` fills the holes chunk-by-chunk (insert
+    only absent pks, never overwrite) and ``repair`` diffs the healed
+    state against a fresh source snapshot and applies the exact
+    correction events (updates for the drift, deletes for the aliens).
+    The output is the healed current state; the oracle is the UNTOUCHED
+    source table, so hash equality proves the repair path reconstructs
+    byte-exact parity — the reference's only remedy was a full
+    `etl --renew` re-load (synch/replication/etl.py)."""
+    from synch_spark.session import scratch_dir
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import read_current_state
+    from synch_spark.pipeline import backfill_missing, etl_full, repair
+    from synch_spark.sources.table import ParquetTable
+
+    src = _t(spark, sf_dir, "customer")
+    cols = src.columns
+    spec = TableSpec(schema="db", table="customer_rep", pk=("c_custkey",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    table = ParquetTable(spark, scratch_dir("synchspark_q131_"))
+    damaged = (
+        # drop one of five pk-hash chunks: the holes backfill must fill
+        src.filter(F.pmod(F.xxhash64("c_custkey"), F.lit(5)) != 2)
+        # corrupt a band of balances: the drift repair must correct
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 97 == 0, F.col("c_acctbal") + 1000.0)
+            .otherwise(F.col("c_acctbal")),
+        )
+        # alien rows the source never had: repair must delete them
+        .unionByName(
+            src.filter(F.col("c_custkey") < 40)
+            .withColumn("c_custkey", F.col("c_custkey") + F.lit(10**9)))
+    )
+    etl_full(damaged, table, spec)
+    backfill_missing(src, table, spec, num_chunks=3)
+    repair(src, table, spec)
+    return read_current_state(table, spec).select(*cols).orderBy("c_custkey")
+
+
+Q131_SQL = """
+SELECT * FROM customer ORDER BY c_custkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_snapshot_count": (q01_snapshot_count, Q01_SQL),
     "q02_filter_project": (q02_filter_project, Q02_SQL),
@@ -437,4 +487,5 @@ RELATIONAL_QUERIES = {
     "q13b_except": (q13b_except, Q13B_SQL),
     "q14_ddl_replay": (q14_ddl_replay, Q14_SQL),
     "q15_cdc_count_parity": (q15_cdc_count_parity, Q15_SQL),
+    "q131_backfill_repair_parity": (q131_backfill_repair_parity, Q131_SQL),
 }
