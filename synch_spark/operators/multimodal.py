@@ -50,29 +50,107 @@ def attach_fake_media(df: DataFrame, payload_col: str = "text") -> DataFrame:
     return df.withColumn("media", payload).withColumn("media_meta", meta)
 
 
-try:  # optional dependency: the real image codec
+try:  # optional dependency: the full-codec image library
     from PIL import Image as _PILImage  # type: ignore
-except ImportError:  # codecs absent (this container): fake path only
+except ImportError:  # Pillow absent: the vendored PNG decoder below
     _PILImage = None
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> (channels, PIL-compatible mode string)
+_PNG_MODES = {0: (1, "L"), 2: (3, "RGB"), 4: (2, "LA"), 6: (4, "RGBA")}
 
 
 def has_image_codec() -> bool:
-    return _PILImage is not None
+    """True when decode_image can decode SOMETHING real: always at
+    least the vendored PNG path; Pillow widens it to every format."""
+    return True
+
+
+def _decode_png_pure(payload: bytes):
+    """Vendored minimal PNG decoder — pure stdlib (zlib + struct), no
+    Pillow: 8-bit greyscale/LA/RGB/RGBA, non-interlaced, all five
+    scanline filters (None/Sub/Up/Average/Paeth per the PNG spec §9).
+    Exists so codec-less containers still run the REAL-decode pipeline
+    end-to-end on the most common training-data image format; palette,
+    16-bit, and interlaced PNGs (and every non-PNG format) still need
+    Pillow. Returns (width, height, mode, ndarray) exactly like the
+    Pillow branch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG and Pillow is not installed")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,), typ = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise NotImplementedError("truncated PNG")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in _PNG_MODES:
+        raise NotImplementedError(
+            f"PNG variant (depth={depth}, colortype={ctype}, "
+            f"interlace={interlace}) needs Pillow")
+    ch, mode = _PNG_MODES[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("corrupt PNG scanline data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = raw[y * (stride + 1):(y + 1) * (stride + 1)]
+        f, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).astype(
+            np.int32)
+        if f == 0:                       # None
+            cur = line
+        elif f == 2:                     # Up
+            cur = (line + prev) & 0xFF
+        else:                            # Sub / Average / Paeth: per-pixel
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 1:               # Sub
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:             # Average
+                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                elif f == 4:             # Paeth
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    cur[x] = (line[x] + pr) & 0xFF
+                else:
+                    raise NotImplementedError(f"PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(h, w, ch) if ch > 1 else out.reshape(h, w)
+    return w, h, mode, arr
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decode kernel: Pillow when installed, else raises.
+    """Real decode kernel: Pillow when installed, else the vendored
+    pure-stdlib PNG decoder (8-bit non-interlaced PNGs — the common
+    training-data case); anything past both raises.
 
     The Arrow pipeline around it (schema, batching, partition sizing)
     is identical either way — q105 oracle-gates the kernel boundary, so
     swapping the fake for this is a drop-in. Returns (width, height,
     mode, pixel ndarray)."""
     if _PILImage is None:
-        raise NotImplementedError(
-            "image codecs not available in this environment (pip install "
-            "Pillow to enable; the deterministic fake path stays oracle-"
-            "gated either way)"
-        )
+        return _decode_png_pure(bytes(payload))
     import io
 
     import numpy as np
@@ -83,10 +161,9 @@ def decode_image(payload: bytes) -> "object":
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL-codec feature extraction (width/height/channels/mean pixel)
-    through the same mapInPandas shape as extract_features. Requires
-    Pillow; gate call sites with has_image_codec()."""
-    if _PILImage is None:
-        raise NotImplementedError("Pillow not installed")
+    through the same mapInPandas shape as extract_features. Pillow when
+    installed; PNG payloads decode through the vendored pure decoder
+    either way."""
     cols = df.select(F.col(id_col).alias("id"), "media")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
