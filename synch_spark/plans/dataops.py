@@ -1290,6 +1290,78 @@ FROM ranked WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def q132_semantic_decontamination(spark, sf_dir):
+    """Embedding-space decontamination — the semantic complement of
+    q124's exact-span check (SemDeDup §4 applies the same move to
+    eval leakage): a training example whose EMBEDDING sits within eps
+    of an eval-suite embedding is contamination even when no token
+    span matches (paraphrase, re-encoding, translation). Probes =
+    embeddings of vec_id % 31 == 0 (stand-in eval suite); the report
+    lists each flagged corpus vector with how many probes it hits and
+    its worst similarity.
+
+    Scale shape: eval suites are small by nature, so the probe side
+    broadcasts; a cheap double-cosine prefilter over the corpus scan
+    keeps only candidates that can clear the threshold, and the exact
+    decimal fold that defines the output rescores those — never an
+    n x m decimal cross-score. Flagged ids anti-join the corpus to
+    actually decontaminate (the report is the graded artifact)."""
+    emb = _emb(spark, sf_dir)
+    from synch_spark.operators.similarity import (
+        _decimal_rescore,
+        _dot_double,
+        _finite_vec,
+        _safe_div,
+    )
+
+    probes = (
+        emb.filter((F.col("vec_id") % 31 == 0)
+                   & _finite_vec(F.col("embedding")))
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("_pv"))
+        .withColumn("_pn2d", _dot_double(F.col("_pv"), F.col("_pv")))
+    )
+    corpus = (
+        emb.filter((F.col("vec_id") % 31 != 0)
+                   & _finite_vec(F.col("embedding")))
+        .select("vec_id", F.col("embedding").alias("_cv"))
+        .withColumn("_cn2d", _dot_double(F.col("_cv"), F.col("_cv")))
+    )
+    rough = corpus.join(F.broadcast(probes)).withColumn(
+        "_s",
+        _safe_div(_dot_double(F.col("_cv"), F.col("_pv")),
+                  F.sqrt(F.col("_cn2d") * F.col("_pn2d")), -2.0),
+    )
+    cand = rough.filter(F.col("_s") >= DECON_T - 1e-6)
+    hits = _decimal_rescore(cand).filter(F.col("cosine") >= DECON_T)
+    return (
+        hits.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_probes_hit"),
+             F.max("cosine").alias("max_sim"))
+        .orderBy("vec_id")
+    )
+
+
+DECON_T = SEMDEDUP_T  # same eps family as the dedup threshold
+
+Q132_SQL = f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
+           FROM embeddings WHERE vec_id % 31 = 0),
+c AS (SELECT vec_id, embedding AS cv
+      FROM embeddings WHERE vec_id % 31 <> 0),
+s AS (
+  SELECT c.vec_id,
+         CAST({_DOT_DEC_SQL.format(a='c.cv', b='p.pv')} AS DOUBLE)
+         / sqrt(CAST({_DOT_DEC_SQL.format(a='c.cv', b='c.cv')} AS DOUBLE)
+                * CAST({_DOT_DEC_SQL.format(a='p.pv', b='p.pv')} AS DOUBLE))
+           AS sim
+  FROM c, p)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_probes_hit, MAX(sim) AS max_sim
+FROM s WHERE sim >= {SEMDEDUP_T}
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def _incr_semdedup_index(spark, sf_dir):
     """Session-cached two-half (build + apply_changes) SemDedupIndex
     over the embeddings table — the maintained-artifact shape of q126.
@@ -2976,6 +3048,8 @@ DATAOPS_QUERIES = {
     "q124_exact_decontamination": (q124_exact_decontamination, Q124_SQL),
     "q126_semantic_dedup": (q126_semantic_dedup, Q126_SQL),
     "q130_semdedup_incremental": (q130_semdedup_incremental, Q126_SQL),
+    "q132_semantic_decontamination": (q132_semantic_decontamination,
+                                      Q132_SQL),
     "q127_bigram_surprisal": (q127_bigram_surprisal, Q127_SQL),
     "q128_temperature_mix": (q128_temperature_mix, Q128_SQL),
     "q129_quality_cutoffs": (q129_quality_cutoffs, Q129_SQL),

@@ -56,13 +56,15 @@ class FakeMysqlServer(threading.Thread):
 
     def __init__(self, binlog_bytes: bytes, filename: str = "binlog.000007",
                  auth_plugin: str = "mysql_native_password",
-                 sha2_full: bool = False, tls_ctx=None):
+                 sha2_full: bool = False, tls_ctx=None,
+                 switch_to: str | None = None):
         super().__init__(daemon=True)
         self.binlog = binlog_bytes
         self.filename = filename
         self.auth_plugin = auth_plugin
         self.sha2_full = sha2_full
         self.tls_ctx = tls_ctx
+        self.switch_to = switch_to  # per-account plugin != advertised
         self.tls_used = False
         self.full_auth_path: list[str] = []
         self.srv = socket.create_server(("127.0.0.1", 0))
@@ -131,7 +133,28 @@ class FakeMysqlServer(threading.Thread):
         p = nul + 1
         tok_len = resp[p]
         token = resp[p + 1:p + 1 + tok_len]
-        if self.auth_plugin == "caching_sha2_password":
+        if self.switch_to is not None:
+            # the account's plugin differs from the advertised one:
+            # AuthSwitchRequest with a FRESH scramble — the client must
+            # recompute its token for the switched plugin/nonce
+            from synch_spark.sources.binlog_socket import (
+                _caching_sha2_scramble,
+                _native_password,
+            )
+
+            scram2 = bytes(range(101, 121))
+            self._send(conn, seq + 1,
+                       b"\xfe" + self.switch_to.encode() + b"\x00"
+                       + scram2 + b"\x00")
+            seq, token = self._recv(f)
+            want = (_caching_sha2_scramble(scram2, PASSWORD)
+                    if self.switch_to == "caching_sha2_password"
+                    else _native_password(scram2, PASSWORD))
+            ok = user == USER and bytes(token) == want
+            if ok and self.switch_to == "caching_sha2_password":
+                self._send(conn, seq + 1, b"\x01\x03")  # fast-auth ok
+                seq += 1
+        elif self.auth_plugin == "caching_sha2_password":
             from synch_spark.sources.binlog_socket import (
                 _caching_sha2_scramble,
             )
@@ -465,6 +488,41 @@ def test_tls_demanded_but_not_offered(_srv_factory):
     finally:
         BS._parse_handshake = orig
         cli.close()
+
+
+def test_auth_switch_to_caching_sha2(_srv_factory):
+    """Advertised native_password but the ACCOUNT uses caching_sha2
+    (per-account plugin mismatch): AuthSwitchRequest carries a fresh
+    nonce, and the client must answer with the caching_sha2 scramble
+    over THAT nonce — then the fast path completes."""
+    srv = _srv_factory(switch_to="caching_sha2_password")
+    _drain_all(srv)
+
+
+def test_auth_switch_back_to_native(_srv_factory):
+    """The symmetric switch: advertised caching_sha2, account on
+    native_password."""
+    srv = _srv_factory(auth_plugin="caching_sha2_password",
+                       switch_to="mysql_native_password")
+    _drain_all(srv)
+
+
+def test_tls_verify_full_against_ca(tmp_path, _srv_factory):
+    """ssl_mode=verify-full with the server cert as ssl_ca: chain AND
+    hostname (IP SAN) verification both pass; and verify-full WITHOUT
+    the right CA fails the handshake instead of proceeding."""
+    import ssl as _ssl
+
+    from tests.wire_tls import server_tls_context
+
+    srv = _srv_factory(tls_ctx=server_tls_context(tmp_path))
+    _drain_all(srv, ssl_mode="verify-full", ssl_ca=f"{tmp_path}/srv.crt")
+    assert srv.tls_used
+    cli = BinlogSocketClient("127.0.0.1", srv.port, USER, PASSWORD,
+                             server_id=99, ssl_mode="verify-full")
+    with pytest.raises((_ssl.SSLError, BinlogProtocolError)):
+        cli.connect()  # system trust store does not contain our CA
+    cli.close()
 
 
 def test_rsa_oaep_roundtrip_and_pem_parse():

@@ -39,8 +39,12 @@ def rsa_oaep_decrypt(priv, blob: bytes) -> bytes:
 
 
 def server_tls_context(tmpdir) -> ssl.SSLContext:
-    """Self-signed server context for the fake masters; the clients
-    under test connect with ssl_mode=require (no verification)."""
+    """Self-signed server context for the fake masters. The cert
+    carries an IP SAN for 127.0.0.1 (modern ssl ignores the CN
+    fallback), so ``verify-full`` against the written ``srv.crt`` as
+    ssl_ca also passes; ``require`` ignores it entirely."""
+    import ipaddress
+
     key, _ = rsa_keypair()
     name = x509.Name(
         [x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
@@ -50,6 +54,10 @@ def server_tls_context(tmpdir) -> ssl.SSLContext:
         .public_key(key.public_key()).serial_number(1)
         .not_valid_before(datetime.datetime(2020, 1, 1))
         .not_valid_after(datetime.datetime(2099, 1, 1))
+        .add_extension(x509.SubjectAlternativeName([
+            x509.IPAddress(ipaddress.IPv4Address("127.0.0.1")),
+            x509.DNSName("localhost"),
+        ]), critical=False)
         .sign(key, hashes.SHA256()))
     cert_p = f"{tmpdir}/srv.crt"
     key_p = f"{tmpdir}/srv.key"
