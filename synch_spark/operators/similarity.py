@@ -425,18 +425,32 @@ def _candidate_pairs_quantized(V, norms, thr_pre):
     s[s == 0.0] = 1.0  # norm>0 guarantees max|v|>0; belt and braces
     Q = np.rint(V / s[:, None])
     Qf = Q.astype(np.float32)
-    G = (Qf @ Qf.T).astype(np.float64)  # exact integer dot products
-    qn2 = np.diag(G)
+    # Score-side memory discipline: the n^2 side dominates (the int8
+    # input tile is the n·d side), so exactly ONE full n^2 float64
+    # array (G, mutated in place: dots -> quantized cosine -> coarse
+    # score) plus one n^2 bool mask are ever live — broadcast divides/
+    # adds instead of np.outer/margin temps, nonzero + i<j instead of
+    # a triu copy.
+    G32 = Qf @ Qf.T  # exact integers (< 2^24), sgemm throughput
+    G = G32.astype(np.float64)
+    del G32
+    qn2 = np.diag(G).copy()
     if (qn2 == 0.0).any():
         # a vector so skewed it quantized to all zeros: its quantized
         # cosine is undefined — take the exact float64 path instead
         return dense_f64()
     qn = np.sqrt(qn2)
-    qcos = G / np.outer(qn, qn)
+    G /= qn[:, None]
+    G /= qn[None, :]
     rel = np.sqrt(np.einsum("ij,ij->i", V - s[:, None] * Q,
                             V - s[:, None] * Q)) / norms
-    margin = 2.0 * (rel[:, None] + rel[None, :]) + 1e-9
-    i, j = np.nonzero(np.triu(qcos >= thr_pre - margin, k=1))
+    # fold the per-pair margin INTO the score: admit when
+    # qcos + 2(rel_i + rel_j) >= thr_pre - 1e-9
+    G += (2.0 * rel)[:, None]
+    G += (2.0 * rel)[None, :]
+    ii, jj = np.nonzero(G >= thr_pre - 1e-9)
+    upper = ii < jj
+    i, j = ii[upper], jj[upper]
     if len(i) == 0:
         return i, j, np.zeros(0)
     # refine: exact float64 cosine on the coarse survivors only
@@ -551,6 +565,12 @@ def _near_dup_pair_ids(df, threshold, vec_col, id_col, block_col):
     column) still use the full rescore path."""
     base, pairs = _block_pair_candidates(
         df, threshold, vec_col, id_col, block_col)
+    # materialize ONCE: the certain/band split consumes this frame
+    # twice and cluster_duplicates' symmetric edge union doubles it
+    # again — without the checkpoint the GEMM applyInPandas stage (the
+    # very thing this path makes cheap) executes 4x per collapse
+    # (Spark reuses Exchange subtrees, never Python-UDF stages)
+    pairs = pairs.localCheckpoint(eager=True)
     certain = pairs.filter(F.col("_fcos") >= threshold + 1e-6)
     band = pairs.filter(F.col("_fcos") < threshold + 1e-6)
     av = base.select(F.col("id").alias("a"), F.col("v").alias("_pv"))

@@ -235,9 +235,15 @@ def test_multimodal_plumbing(spark, docs):
     assert byid[1]["checksum"] == sum(b"the quick brown fox jumps over the lazy dog")
 
 
-def test_multimodal_decode_is_stubbed():
+def test_vendored_png_decoder_rejects_garbage():
+    """The pure decoder (the decode_image fallback) refuses non-PNG
+    and truncated payloads with NotImplementedError — tested directly
+    so the assertion holds whether or not Pillow is installed (Pillow
+    raises its own error type from decode_image)."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal._decode_png_pure(b"\x89PNG")  # not even the signature
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_png_pure(b"\x89PNG\r\n\x1a\n")  # no chunks
 
 
 def test_replicated_skew_join_matches_plain_join(spark):
