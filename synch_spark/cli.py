@@ -204,8 +204,12 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
     decoder byte-for-byte (sources.binlog_socket.stream_raw_events).
 
     Config: ``spark.mysql_socket: {host, port, user, password,
-    server_id, file, pos}`` — file/pos seed the FIRST run only; the
-    cursor wins afterwards."""
+    server_id, file, pos, ssl_mode, ssl_ca}`` — file/pos seed the
+    FIRST run only (the cursor wins afterwards); ``ssl_mode`` is
+    disable|require|verify-ca|verify-full (libpq vocabulary; a stock
+    MySQL 8.0 caching_sha2 account works over any of them — full auth
+    uses the RSA exchange on cleartext, the in-channel password under
+    TLS)."""
     import json as _json
     import os
     import time as _time
@@ -303,8 +307,10 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
     path the replay/file tails use, v1/v2 auto-detected per line.
 
     Config: ``spark.pg_socket: {host, port, user, password, database,
-    slot, options}`` (``options`` merges into the wal2json plugin
-    parameters; format-version 2 + include-timestamp by default)."""
+    slot, options, ssl_mode, ssl_ca}`` (``options`` merges into the
+    wal2json plugin parameters; format-version 2 + include-timestamp
+    by default; ``ssl_mode`` = disable|require|verify-ca|verify-full —
+    managed Postgres commonly requires ``require``)."""
     import json as _json
     import time as _time
 

@@ -360,11 +360,12 @@ def test_char_histogram_multibyte(spark):
     assert sum(got.values()) == 4  # 4 code points, not 8 utf-8 bytes
 
 
-def _encode_png(arr, filter_type: int = 0) -> bytes:
+def _encode_png(arr, filter_type=0) -> bytes:
     """Spec-compliant PNG encoder for test vectors (struct + zlib +
     crc32 only): applies the REQUESTED scanline filter forward, so the
     production decoder's inverse of every filter type is exercised
-    against independently-written forward math."""
+    against independently-written forward math. ``filter_type`` may be
+    "mixed" — a different filter per row, like real encoders emit."""
     import struct
     import zlib
 
@@ -382,17 +383,18 @@ def _encode_png(arr, filter_type: int = 0) -> bytes:
     rows = bytearray()
     prev = np.zeros(w * ch, dtype=np.int32)
     for y in range(h):
+        ft = y % 5 if filter_type == "mixed" else filter_type
         cur = flat[y]
         a = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
         b = prev
         c = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
-        if filter_type == 0:
+        if ft == 0:
             out = cur
-        elif filter_type == 1:
+        elif ft == 1:
             out = cur - a
-        elif filter_type == 2:
+        elif ft == 2:
             out = cur - b
-        elif filter_type == 3:
+        elif ft == 3:
             out = cur - (a + b) // 2
         else:  # Paeth
             p = a + b - c
@@ -400,7 +402,7 @@ def _encode_png(arr, filter_type: int = 0) -> bytes:
             pred = np.where((pa <= pb) & (pa <= pc), a,
                             np.where(pb <= pc, b, c))
             out = cur - pred
-        rows.append(filter_type)
+        rows.append(ft)
         rows.extend((out & 0xFF).astype(np.uint8).tobytes())
         prev = cur
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
@@ -423,7 +425,7 @@ def test_real_image_codec_all_filters(spark):
     for ch in (1, 2, 3, 4):
         shape = (5, 7) if ch == 1 else (5, 7, ch)
         arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
-        for flt in range(5):
+        for flt in [*range(5), "mixed"]:  # plus per-row filter mixing
             w, h, mode, got = multimodal.decode_image(
                 _encode_png(arr, filter_type=flt))
             assert (w, h) == (7, 5)
