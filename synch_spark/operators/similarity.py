@@ -715,6 +715,81 @@ def cosine_topk_quantized(
     )
 
 
+def probe_similarity_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """All (corpus, probe) pairs with decimal cosine >= ``threshold``:
+    (id_col, probe_id_col, cosine). The decontamination primitive — a
+    probe set (eval-suite embeddings, blocklist centroids) is small by
+    nature, so it rides into a per-partition numpy GEMM kernel and the
+    corpus streams through in one pass; only candidates whose float64
+    cosine clears ``threshold - 1e-6`` leave the worker, and the exact
+    decimal fold that defines the output rescores those. Never a
+    probe-count x corpus row explosion (the broadcast-join + HOF-fold
+    formulation materializes K·n rows of interpreted per-element work;
+    this is one sgemm per batch)."""
+    import numpy as np
+    import pandas as pd
+
+    prows = [
+        (r[0], list(r[1]))
+        for r in probes.select(probe_id_col, vec_col).collect()
+    ]
+    thr_pre = threshold - 1e-6
+    c = corpus.filter(_finite_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_cv"))
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    pid_t = probes.schema[probe_id_col].dataType.simpleString()
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    out_schema = f"_id {id_t}, _cv {vec_t}, {probe_id_col} {pid_t}"
+    if not prows:
+        pairs = c.limit(0).withColumn(
+            probe_id_col,
+            F.lit(None).cast(probes.schema[probe_id_col].dataType))
+    else:
+        P = np.array([v for _, v in prows], dtype=np.float64)
+        pn = np.sqrt(np.einsum("ij,ij->i", P, P))
+        ok_p = pn > 0.0  # zero probes have undefined cosine: never hit
+        pids = [pid for (pid, _), keep in zip(prows, ok_p) if keep]
+        Pn = (P[ok_p] / pn[ok_p, None]).T  # d x K
+        d = P.shape[1]
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf) or not pids:
+                    continue
+                lens = pdf["_cv"].map(len).to_numpy()
+                good = pdf[lens == d]  # ragged: undefined, no candidates
+                if not len(good):
+                    continue
+                V = np.stack(good["_cv"].to_numpy()).astype(np.float64)
+                vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+                okv = vn > 0.0
+                good = good[okv]
+                if not len(good):
+                    continue
+                S = (V[okv] / vn[okv, None]) @ Pn
+                gi, pi = np.nonzero(S >= thr_pre)
+                if not len(gi):
+                    continue
+                yield good.iloc[gi].assign(
+                    **{probe_id_col: [pids[k] for k in pi]})
+
+        pairs = c.mapInPandas(gen, out_schema)
+    pv = probes.select(F.col(probe_id_col), F.col(vec_col).alias("_pv"))
+    cand = pairs.join(F.broadcast(pv), probe_id_col)
+    return (
+        _decimal_rescore(cand)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("_id").alias(id_col), probe_id_col, "cosine")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: DataFrame,

@@ -1300,40 +1300,18 @@ def q132_semantic_decontamination(spark, sf_dir):
     lists each flagged corpus vector with how many probes it hits and
     its worst similarity.
 
-    Scale shape: eval suites are small by nature, so the probe side
-    broadcasts; a cheap double-cosine prefilter over the corpus scan
-    keeps only candidates that can clear the threshold, and the exact
-    decimal fold that defines the output rescores those — never an
-    n x m decimal cross-score. Flagged ids anti-join the corpus to
-    actually decontaminate (the report is the graded artifact)."""
+    Scale shape: eval suites are small by nature, so the probe matrix
+    rides into a per-partition numpy GEMM over one corpus pass
+    (``similarity.probe_similarity_pairs``) — only candidates that can
+    clear the threshold leave the worker, and the exact decimal fold
+    that defines the output rescores those. Never a probe-count x
+    corpus row explosion. Flagged ids anti-join the corpus to actually
+    decontaminate (the report is the graded artifact)."""
     emb = _emb(spark, sf_dir)
-    from synch_spark.operators.similarity import (
-        _decimal_rescore,
-        _dot_double,
-        _finite_vec,
-        _safe_div,
-    )
-
-    probes = (
-        emb.filter((F.col("vec_id") % 31 == 0)
-                   & _finite_vec(F.col("embedding")))
-        .select(F.col("vec_id").alias("probe_id"),
-                F.col("embedding").alias("_pv"))
-        .withColumn("_pn2d", _dot_double(F.col("_pv"), F.col("_pv")))
-    )
-    corpus = (
-        emb.filter((F.col("vec_id") % 31 != 0)
-                   & _finite_vec(F.col("embedding")))
-        .select("vec_id", F.col("embedding").alias("_cv"))
-        .withColumn("_cn2d", _dot_double(F.col("_cv"), F.col("_cv")))
-    )
-    rough = corpus.join(F.broadcast(probes)).withColumn(
-        "_s",
-        _safe_div(_dot_double(F.col("_cv"), F.col("_pv")),
-                  F.sqrt(F.col("_cn2d") * F.col("_pn2d")), -2.0),
-    )
-    cand = rough.filter(F.col("_s") >= DECON_T - 1e-6)
-    hits = _decimal_rescore(cand).filter(F.col("cosine") >= DECON_T)
+    probes = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding")
+    corpus = emb.filter(F.col("vec_id") % 31 != 0)
+    hits = similarity.probe_similarity_pairs(corpus, probes, DECON_T)
     return (
         hits.groupBy("vec_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_probes_hit"),

@@ -100,6 +100,55 @@ def test_pair_ids_fast_path_matches_full_rescore(spark):
             assert (0, 1) in fast, "threshold-exact pair must be admitted"
 
 
+def test_probe_similarity_pairs_edges_and_parity(spark):
+    """probe_similarity_pairs: GEMM-kernel candidates + decimal rescore
+    match a driver-side decimal brute force; zero-norm probes and
+    corpus vectors (undefined cosine) and an empty probe set all
+    behave — no crash, no spurious hits."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from synch_spark.operators.similarity import probe_similarity_pairs
+
+    rng = np.random.default_rng(9)
+    cvecs = {i: [float(np.float32(x)) for x in rng.normal(size=4)]
+             for i in range(20)}
+    cvecs[20] = [0.0, 0.0, 0.0, 0.0]          # zero corpus vector
+    pvecs = {100: cvecs[3], 101: [0.0] * 4,    # probe 101 is zero-norm
+             102: [float(-x) for x in cvecs[7]]}
+    corpus = spark.createDataFrame(list(cvecs.items()),
+                                   "vec_id long, embedding array<float>")
+    probes = spark.createDataFrame(list(pvecs.items()),
+                                   "probe_id long, embedding array<float>")
+    thr = 0.5
+    got = {(r["vec_id"], r["probe_id"]): r["cosine"]
+           for r in probe_similarity_pairs(corpus, probes, thr).collect()}
+
+    q12 = Decimal("1e-12")
+
+    def dot_dec(u, w):
+        return float(sum((Decimal(x * y).quantize(q12, ROUND_HALF_UP)
+                          for x, y in zip(u, w)), Decimal(0)))
+
+    want = {}
+    for cid, cv in cvecs.items():
+        for pid, pv in pvecs.items():
+            nu, nv = dot_dec(cv, cv), dot_dec(pv, pv)
+            if nu <= 0 or nv <= 0:
+                continue
+            cos = dot_dec(cv, pv) / math.sqrt(nu * nv)
+            if cos >= thr:
+                want[(cid, pid)] = cos
+    assert set(got) == set(want) and (3, 100) in got
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-14
+    assert not any(pid == 101 for _, pid in got)
+    # empty probe set: empty result, correct schema
+    empty = probe_similarity_pairs(corpus, probes.limit(0), thr)
+    assert empty.count() == 0
+    assert empty.columns == ["vec_id", "probe_id", "cosine"]
+
+
 def test_near_dups_exact_output_matches_decimal_brute_force(spark):
     """Operator-level pin: embedding_near_dups_exact's OUTPUT (pairs
     AND cosine values) equals a driver-side brute force using the same
