@@ -76,6 +76,7 @@ class SemDedupIndex:
                                    partition_by="cid")
         kept = collapse_assigned(assigned, self.threshold)
         self.kept.overwrite(self._store_kept(kept), partition_by="cid")
+        self._clear_touched_intent()  # a full rebuild obsoletes any intent
 
     def apply_changes(self, feed: DataFrame,
                       vec_col: str = "embedding",
@@ -122,6 +123,17 @@ class SemDedupIndex:
         touched = sorted({r["cid"] for r in old_cids.distinct().collect()}
                          | {r["cid"] for r in new_assigned.select("cid")
                             .distinct().collect()})
+        # durably record the touched set BEFORE the assignments merge
+        # (two-phase, like MaterializedView sync intents): a crash
+        # between the two merges loses the pre-merge locations — on
+        # replay, a vector that MOVED blocks reads back under its NEW
+        # cid only, its old block never re-collapses, and a suppressed
+        # member there stays suppressed forever. The intent survives
+        # the crash; replay unions it in, and since every step is an
+        # idempotent keyed merge, over-re-collapsing is harmless.
+        touched = sorted(set(touched) | set(self._pending_touched()))
+        if touched:
+            self._write_touched_intent(touched)
         self._merge(self.assignments, "assignments",
                     self._store_assign(new_assigned), dels, _ASSIGN_COLS,
                     value_types={"v": new_assigned.schema["_v"].dataType,
@@ -143,6 +155,43 @@ class SemDedupIndex:
                     value_types={c.name: c.dataType
                                  for c in new_kept.schema
                                  if c.name != "id"})
+        self._clear_touched_intent()
+
+    # -- crash-replay intent (see apply_changes) --------------------------
+    def _intent_path(self) -> str:
+        import os
+
+        return os.path.normpath(os.path.join(
+            self.assignments.root, os.pardir, "_touched_intent.json"))
+
+    def _pending_touched(self) -> list:
+        import json
+        import os
+
+        p = self._intent_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)["touched"]
+
+    def _write_touched_intent(self, touched: list) -> None:
+        import json
+        import os
+        import uuid
+
+        p = self._intent_path()
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"touched": list(touched)}, f)
+        os.replace(tmp, p)
+
+    def _clear_touched_intent(self) -> None:
+        import os
+
+        try:
+            os.remove(self._intent_path())
+        except FileNotFoundError:
+            pass
 
     def _merge(self, table: ParquetTable, name: str, inserts: DataFrame,
                del_ids: DataFrame, cols: list, value_types: dict) -> None:

@@ -90,6 +90,57 @@ def test_insert_update_delete_converge_to_one_shot(spark, tmp_path, corpus):
     assert _kept(idx) == _one_shot(df4, cents, THR)
 
 
+def test_crash_between_merges_replay_heals_old_block(spark, tmp_path,
+                                                     corpus, monkeypatch):
+    """Crash-replay hole: a sync dying BETWEEN the assignments merge
+    and the kept re-collapse loses the pre-merge block locations — on
+    replay a block-moving update reads back under its NEW cid only, so
+    without the durable touched-intent the OLD block never re-collapses
+    and a member suppressed by the departed representative stays
+    suppressed forever. The intent must make replay converge to the
+    one-shot state."""
+    from synch_spark.operators.semdedup_index import SemDedupIndex
+
+    df, cents, rng = corpus
+    idx = SemDedupIndex(spark, str(tmp_path / "idx"), threshold=THR)
+    idx.build(df, cents)
+
+    # the current representative of block 0 moves to block 3
+    rep0 = sorted(r["vec_id"] for r in idx.read_kept()
+                  .filter(F.col("cid") == 0).collect())[0]
+    moved = [float(np.float32(x)) for x in
+             np.array([0.0, 0.0, 0.0, 3.0]) + rng.normal(scale=0.02, size=4)]
+    upd = spark.createDataFrame(
+        [(rep0, moved, "update_postimage")],
+        "vec_id long, embedding array<float>, _change_type string")
+
+    # crash injection: die on the SECOND (kept) merge only
+    orig_merge = SemDedupIndex._merge
+    state = {"calls": 0}
+
+    def dying_merge(self, table, name, *a, **kw):
+        state["calls"] += 1
+        if name == "kept" and state["boom"]:
+            raise RuntimeError("injected crash between merges")
+        return orig_merge(self, table, name, *a, **kw)
+
+    monkeypatch.setattr(SemDedupIndex, "_merge", dying_merge)
+    state["boom"] = True
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.apply_changes(upd)
+    # replay the SAME feed (the sync cursor was never advanced)
+    state["boom"] = False
+    idx.apply_changes(upd)
+
+    df2 = (df.filter(F.col("vec_id") != rep0)
+           .unionByName(spark.createDataFrame(
+               [(rep0, moved)], "vec_id long, embedding array<float>")))
+    assert _kept(idx) == _one_shot(df2, cents, THR), \
+        "old block not re-collapsed after crash replay"
+    import os
+    assert not os.path.exists(idx._intent_path())
+
+
 def test_sync_from_change_feed(spark, tmp_path, corpus):
     """Cursor-driven sync against a CDC-maintained ParquetTable: build
     at v0, mutate the source (insert + update + delete), sync — the
