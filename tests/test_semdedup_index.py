@@ -90,6 +90,40 @@ def test_insert_update_delete_converge_to_one_shot(spark, tmp_path, corpus):
     assert _kept(idx) == _one_shot(df4, cents, THR)
 
 
+def test_sync_retention_lapse_rebuilds_from_stored_centroids(
+        spark, tmp_path, corpus):
+    """An index that lags past the source's retention window cannot
+    read the change feed — sync_from must fall back to a FULL rebuild
+    using the STORED centroid set (the index's fixed parameter), and
+    land on the one-shot state of the current source."""
+    from synch_spark.operators.semdedup_index import SemDedupIndex
+    from synch_spark.sources.table import ParquetTable
+
+    df, cents, rng = corpus
+    src = ParquetTable(spark, str(tmp_path / "src"), retain=2)
+    src.overwrite(df.filter(F.col("vec_id") < 8))
+
+    idx = SemDedupIndex(spark, str(tmp_path / "idx"), threshold=THR)
+    idx.centroids.overwrite(cents)
+    idx.sync_from(src)
+
+    # churn the source far past retain=2 so the cursor's version is
+    # physically gone, then vacuum-by-overwrite: each overwrite is a
+    # new version; old diff files age out
+    for k in (12, 16, 20, 24):
+        src.overwrite(df.filter(F.col("vec_id") < k))
+    from unittest import mock
+
+    from synch_spark.operators.semdedup_index import SemDedupIndex as S
+
+    with mock.patch.object(S, "build", wraps=idx.build) as spy:
+        v = idx.sync_from(src)  # change feed unavailable -> full rebuild
+        assert spy.called, "expected the retention-lapse REBUILD branch"
+    assert v == src.current_version()
+    assert _kept(idx) == _one_shot(df.filter(F.col("vec_id") < 24),
+                                   cents, THR)
+
+
 def test_crash_between_merges_replay_heals_old_block(spark, tmp_path,
                                                      corpus, monkeypatch):
     """Crash-replay hole: a sync dying BETWEEN the assignments merge
