@@ -736,10 +736,21 @@ def probe_similarity_pairs(
     import numpy as np
     import pandas as pd
 
+    # the probe set rides the driver and every task: enforce the
+    # "small by nature" contract with a bounded fetch instead of an
+    # unbounded collect silently OOMing the driver at scale
+    max_probes = 100_000
     prows = [
         (r[0], list(r[1]))
-        for r in probes.select(probe_id_col, vec_col).collect()
+        for r in probes.select(probe_id_col, vec_col)
+        .limit(max_probes + 1).collect()
     ]
+    if len(prows) > max_probes:
+        raise ValueError(
+            f"probe_similarity_pairs expects a bounded probe set "
+            f"(> {max_probes:,} rows found); partition the probes and "
+            "union the results, or use embedding_near_dups for "
+            "corpus-vs-corpus similarity")
     thr_pre = threshold - 1e-6
     c = corpus.filter(_finite_vec(F.col(vec_col))).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_cv"))
