@@ -1266,12 +1266,19 @@ def cmd_index(args) -> int:
                        vec_col: embedding, id_col: vec_id}
             docs_lsh: {kind: lsh, root: /idx/docs, source: db.documents,
                        text_col: text, id_col: doc_id}
+            emb_sd:   {kind: semdedup, root: /idx/sd,
+                       source: db.embeddings, threshold: 0.95,
+                       centroid_filter: "vec_id < 8"}
 
     `index sync [--name N]` catches each index up via
-    {Vector,Dedup}Index.sync_from — first call builds, later calls
-    apply O(changed files); lagging past the source's retention window
-    rebuilds. The idempotent pk-merge apply makes replay after a crash
-    safe (cursor is written post-apply)."""
+    {Vector,Dedup,SemDedup}Index.sync_from — first call builds, later
+    calls apply O(changed files); lagging past the source's retention
+    window rebuilds. The idempotent pk-merge apply makes replay after a
+    crash safe (cursor is written post-apply). A semdedup index needs
+    its fixed centroid set: either pre-store it (SemDedupIndex
+    .centroids) or declare ``centroid_filter`` — a SQL predicate over
+    the source selecting the centroid rows (cid = id cast to int), the
+    q126/q130 shape."""
     raw = _load(args.config)
     cfg = config_from_dict(raw)
     spark = get_spark("synch-index")
@@ -1296,9 +1303,13 @@ def cmd_index(args) -> int:
             print(f"index {name}: source {d['source']} has no configured pk",
                   file=sys.stderr)
             return 2
-        if d.get("kind") not in ("ivf", "lsh"):
+        if d.get("kind") not in ("ivf", "lsh", "semdedup"):
             print(f"index {name}: unknown kind {d.get('kind')!r} "
-                  "(ivf | lsh)", file=sys.stderr)
+                  "(ivf | lsh | semdedup)", file=sys.stderr)
+            return 2
+        if d.get("kind") == "semdedup" and "threshold" not in d:
+            print(f"index {name}: semdedup needs a threshold",
+                  file=sys.stderr)
             return 2
         table = ParquetTable(
             spark, f"{warehouse}/{src_spec.schema}/{src_spec.table}",
@@ -1328,6 +1339,26 @@ def cmd_index(args) -> int:
             v = idx.sync_from(table, pk=list(src_spec.pk),
                               text_col=d.get("text_col", "text"),
                               id_col=d.get("id_col", "doc_id"))
+        else:  # semdedup
+            from pyspark.sql import functions as F
+
+            from synch_spark.operators.semdedup_index import SemDedupIndex
+
+            idx = SemDedupIndex(spark, d["root"],
+                                threshold=float(d["threshold"]))
+            if not idx.centroids.exists:
+                cf = d.get("centroid_filter")
+                if not cf:
+                    print(f"index {name}: first sync needs stored "
+                          "centroids or a centroid_filter declaration",
+                          file=sys.stderr)
+                    return 2
+                idx.centroids.overwrite(table.read().filter(F.expr(cf)).select(
+                    F.col(d.get("id_col", "vec_id")).cast("int").alias("cid"),
+                    F.col(d.get("vec_col", "embedding")).alias("cvec")))
+            v = idx.sync_from(table, pk=list(src_spec.pk),
+                              vec_col=d.get("vec_col", "embedding"),
+                              id_col=d.get("id_col", "vec_id"))
         out[name] = {"synced_to": v}
     print(json.dumps({"indexes": out}))
     return 0

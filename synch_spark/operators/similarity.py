@@ -822,11 +822,16 @@ def semantic_dedup(
        winning centroid (``csim``) doubles as the keep-best ranking:
        the most *prototypical* copy survives.
     2. **Pairs** within each centroid cluster with cosine >=
-       ``threshold`` via the blocked-GEMM exact kernel
-       (``embedding_near_dups_exact``, block_col = the assignment) —
-       the pair space is bounded by cluster size, and ``len(centroids)``
-       is the scale lever: size it so corpus/num_centroids vectors fit
-       one executor's GEMM tile.
+       ``threshold`` via the blocked int8-GEMM kernel
+       (``_near_dup_pair_ids``, block_col = the assignment; only the
+       borderline 1e-6 band pays the decimal rescore since just the
+       pair SET is consumed) — the pair space is bounded by cluster
+       size, and ``len(centroids)`` is the scale lever: size it so
+       corpus/num_centroids vectors fit one executor's GEMM tile.
+
+    NOTE: construction is EAGER (the assignment checkpoint and the
+    collapse's edge materialization run Spark jobs when this function
+    is called, not at the first action on the returned frame).
     3. **Collapse**: connected components over the pairs + keep the
        highest-``csim`` member per component (ties: lowest id), via
        ``keep_best_representative``. Vectors in no pair survive as

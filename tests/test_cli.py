@@ -655,6 +655,76 @@ def test_cli_index_sync_from_change_feed(tmp_path, capsys, spark):
     assert idx.signatures.read().filter("id = 7").count() == 0
 
 
+def test_cli_index_sync_semdedup_kind(tmp_path, capsys, spark):
+    """`index sync` drives a SemDedupIndex: first sync builds (fixed
+    centroids from centroid_filter), a source merge + second sync
+    re-collapses only the touched blocks; the kept store matches a
+    one-shot semantic_dedup over the final source state."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+    from synch_spark.operators.semdedup_index import SemDedupIndex
+    from synch_spark.operators.similarity import semantic_dedup
+    from synch_spark.session import read_table
+    from synch_spark.sources.table import ParquetTable
+
+    wh = tmp_path / "wh"
+    t = ParquetTable(spark, str(wh / "db" / "embeddings"), retain=4)
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 60)
+    t.overwrite(emb)
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "embeddings", "pk": ["vec_id"], "retain": 4}]}]}],
+        "spark": {
+            "warehouse": str(wh),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "source_format": "parquet",
+            "sources": {},
+            "indexes": {
+                "emb_sd": {"kind": "semdedup",
+                           "root": str(tmp_path / "sdidx"),
+                           "source": "db.embeddings", "threshold": 0.35,
+                           "centroid_filter": "vec_id < 4"},
+            },
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "index", "sync"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["indexes"]["emb_sd"]["synced_to"] == t.current_version()
+
+    idx = SemDedupIndex(spark, str(tmp_path / "sdidx"), threshold=0.35)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cvec"))
+
+    def one_shot(src_df):
+        return {tuple(r) for r in
+                semantic_dedup(src_df, cents, threshold=0.35).collect()}
+
+    assert {tuple(r) for r in idx.read_kept().collect()} == one_shot(emb)
+
+    # source mutates: delete one vector, then sync again
+    spec = TableSpec(schema="db", table="embeddings", pk=("vec_id",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    batch = spark.createDataFrame(
+        [("delete", 17, None, 1)],
+        "action string, vec_id long, embedding array<float>, "
+        "event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")) \
+     .withColumn("table", F.lit("embeddings"))
+    apply_cdc_batch(t, batch, spec, value_columns=["vec_id", "embedding"])
+    assert main(["--config", str(p), "index", "sync",
+                 "--name", "emb_sd"]) == 0
+    assert {tuple(r) for r in idx.read_kept().collect()} == \
+        one_shot(emb.filter(F.col("vec_id") != 17))
+
+
 def test_cli_index_sync_composite_pk_source(tmp_path, capsys, spark):
     """Composite-pk sources sync correctly: the FULL pk tuple is
     threaded into changes() (keying the feed's full-outer join on the
