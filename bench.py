@@ -138,6 +138,7 @@ def main() -> None:
             _needle_table,
             _tt_audit_table,
         )
+        from synch_spark.plans.relational import _healed_table
 
         t0 = time.perf_counter()
         per_build: dict[str, float] = {}
@@ -150,10 +151,11 @@ def main() -> None:
                 pass
             per_build[build.__name__] = round(time.perf_counter() - b0, 4)
 
-        with ThreadPoolExecutor(max_workers=6) as p:
+        with ThreadPoolExecutor(max_workers=7) as p:
             list(p.map(one, (_ivf_index, _incr_dedup_index,
                              _incr_ivf_index, _incr_semdedup_index,
-                             _tt_audit_table, _needle_table)))
+                             _tt_audit_table, _needle_table,
+                             _healed_table)))
         warm_results["index_builds"] = per_build
         warm_results["index"] = round(time.perf_counter() - t0, 4)
 
