@@ -1318,6 +1318,36 @@ def cmd_index(args) -> int:
             print(f"index {name}: source table {d['source']} not found",
                   file=sys.stderr)
             return 1
+        if d.get("kind") == "semdedup":
+            # centroid bootstrap preconditions belong HERE, not in the
+            # sync loop: an abort there discards the report of indexes
+            # that already advanced their cursor (the loop invariant
+            # above). Checks: centroids stored OR a parseable,
+            # non-empty centroid_filter — an empty set would persist
+            # and poison every later sync (centroids.exists goes True).
+            from pyspark.sql import functions as F
+
+            from synch_spark.operators.semdedup_index import SemDedupIndex
+
+            if not SemDedupIndex(spark, d["root"],
+                                 float(d["threshold"])).centroids.exists:
+                cf = d.get("centroid_filter")
+                if not cf:
+                    print(f"index {name}: first sync needs stored "
+                          "centroids or a centroid_filter declaration",
+                          file=sys.stderr)
+                    return 2
+                try:
+                    probe = table.read().filter(F.expr(cf)).limit(1).count()
+                except Exception as e:  # noqa: BLE001 — bad SQL predicate
+                    print(f"index {name}: centroid_filter does not parse: "
+                          f"{str(e).splitlines()[0][:200]}", file=sys.stderr)
+                    return 2
+                if probe == 0:
+                    print(f"index {name}: centroid_filter {cf!r} matches "
+                          "no source rows — refusing to persist an empty "
+                          "centroid set", file=sys.stderr)
+                    return 2
         selected[name] = (d, src_spec, table)
     out = {}
     for name, (d, src_spec, table) in selected.items():
@@ -1347,12 +1377,9 @@ def cmd_index(args) -> int:
             idx = SemDedupIndex(spark, d["root"],
                                 threshold=float(d["threshold"]))
             if not idx.centroids.exists:
-                cf = d.get("centroid_filter")
-                if not cf:
-                    print(f"index {name}: first sync needs stored "
-                          "centroids or a centroid_filter declaration",
-                          file=sys.stderr)
-                    return 2
+                # presence/parseability/non-emptiness of centroid_filter
+                # were validated up front (see the validation loop)
+                cf = d["centroid_filter"]
                 idx.centroids.overwrite(table.read().filter(F.expr(cf)).select(
                     F.col(d.get("id_col", "vec_id")).cast("int").alias("cid"),
                     F.col(d.get("vec_col", "embedding")).alias("cvec")))

@@ -237,9 +237,21 @@ class SemDedupIndex:
         if os.path.exists(path):
             with open(path) as f:
                 last = json.load(f)["version"]
-        if last == cur:
+        if last == cur and not self._pending_touched():
             return cur
         if last is None:
+            self.build(source_table.read(), self.centroids.read(),
+                       vec_col=vec_col, id_col=id_col)
+        elif self._pending_touched():
+            # a PREVIOUS sync crashed mid-apply. Replaying the netted
+            # endpoint feed changes(last, cur') is NOT sufficient: a
+            # row the crashed apply half-committed can have reverted in
+            # the source by now and nets OUT of the feed entirely,
+            # leaving the half-applied state permanent (the in-apply
+            # intent union only heals same-feed replays). Crash
+            # recovery on the cursor path therefore takes the full
+            # rebuild — rare, always convergent, and build() clears the
+            # intent.
             self.build(source_table.read(), self.centroids.read(),
                        vec_col=vec_col, id_col=id_col)
         else:

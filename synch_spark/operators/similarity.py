@@ -736,21 +736,33 @@ def probe_similarity_pairs(
     import numpy as np
     import pandas as pd
 
+    # non-finite/NULL probes drop at the door like every similarity
+    # operator here (their cosine is undefined — and a NULL embedding
+    # would TypeError the driver-side materialization below)
+    finite_probes = probes.filter(_finite_vec(F.col(vec_col))).select(
+        probe_id_col, vec_col)
     # the probe set rides the driver and every task: enforce the
-    # "small by nature" contract with a bounded fetch instead of an
-    # unbounded collect silently OOMing the driver at scale
-    max_probes = 100_000
+    # "small by nature" contract with a bounded fetch sized in ELEMENTS
+    # (rows x dim — a row cap alone lets 100k wide vectors blow the
+    # driver heap and the task closure the guard exists to prevent)
+    first = finite_probes.select(vec_col).first()
+    dim0 = len(first[0]) if first is not None else 0
+    max_elems = 20_000_000  # ~160 MB as float64 — closure-shippable
+    max_probes = min(100_000, max(1, max_elems // max(1, dim0)))
     prows = [
         (r[0], list(r[1]))
-        for r in probes.select(probe_id_col, vec_col)
-        .limit(max_probes + 1).collect()
+        for r in finite_probes.limit(max_probes + 1).collect()
     ]
     if len(prows) > max_probes:
         raise ValueError(
             f"probe_similarity_pairs expects a bounded probe set "
-            f"(> {max_probes:,} rows found); partition the probes and "
-            "union the results, or use embedding_near_dups for "
-            "corpus-vs-corpus similarity")
+            f"(> {max_probes:,} rows of dim {dim0} found); partition the "
+            "probes and union the results, or use embedding_near_dups "
+            "for corpus-vs-corpus similarity")
+    # a probe whose length differs from the probe set's dim can never
+    # score a defined cosine against the (uniform-dim) corpus the
+    # kernel gates on — drop it, mirroring the ragged-corpus handling
+    prows = [(pid, v) for pid, v in prows if len(v) == dim0]
     thr_pre = threshold - 1e-6
     c = corpus.filter(_finite_vec(F.col(vec_col))).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_cv"))
@@ -792,7 +804,12 @@ def probe_similarity_pairs(
                     **{probe_id_col: [pids[k] for k in pi]})
 
         pairs = c.mapInPandas(gen, out_schema)
-    pv = probes.select(F.col(probe_id_col), F.col(vec_col).alias("_pv"))
+    # the rescore side is rebuilt from the ALREADY-COLLECTED rows —
+    # re-referencing `probes` here would re-run its whole upstream scan
+    # as a second distributed job per query
+    pv = probes.sparkSession.createDataFrame(
+        prows, probes.select(probe_id_col, vec_col).schema
+    ).select(F.col(probe_id_col), F.col(vec_col).alias("_pv"))
     cand = pairs.join(F.broadcast(pv), probe_id_col)
     return (
         _decimal_rescore(cand)

@@ -420,7 +420,10 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+import threading as _threading
+
 _Q131_CACHE = None
+_Q131_INIT_LOCK = _threading.Lock()
 
 
 def _healed_table(spark, sf_dir):
@@ -437,8 +440,12 @@ def _healed_table(spark, sf_dir):
     from synch_spark.pipeline import backfill_missing, etl_full, repair
     from synch_spark.sources.table import ParquetTable
 
-    if _Q131_CACHE is None:
-        _Q131_CACHE = _SessionCache()
+    with _Q131_INIT_LOCK:
+        # lazy (relational<->dataops import cycle forbids module-level
+        # init) but locked: two racing first-callers must not each
+        # install a cache and both pay the multi-second build
+        if _Q131_CACHE is None:
+            _Q131_CACHE = _SessionCache()
 
     spec = TableSpec(schema="db", table="customer_rep", pk=("c_custkey",),
                      engine=Engine.REPLACING_MERGE_TREE)

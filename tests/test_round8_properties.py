@@ -115,7 +115,9 @@ def test_probe_similarity_pairs_edges_and_parity(spark):
              for i in range(20)}
     cvecs[20] = [0.0, 0.0, 0.0, 0.0]          # zero corpus vector
     pvecs = {100: cvecs[3], 101: [0.0] * 4,    # probe 101 is zero-norm
-             102: [float(-x) for x in cvecs[7]]}
+             102: [float(-x) for x in cvecs[7]],
+             103: None,                        # NULL probe: dropped
+             104: [1.0, 2.0]}                  # ragged probe: dropped
     corpus = spark.createDataFrame(list(cvecs.items()),
                                    "vec_id long, embedding array<float>")
     probes = spark.createDataFrame(list(pvecs.items()),
@@ -133,6 +135,8 @@ def test_probe_similarity_pairs_edges_and_parity(spark):
     want = {}
     for cid, cv in cvecs.items():
         for pid, pv in pvecs.items():
+            if pv is None or len(pv) != 4:
+                continue  # NULL / ragged probes: undefined, dropped
             nu, nv = dot_dec(cv, cv), dot_dec(pv, pv)
             if nu <= 0 or nv <= 0:
                 continue
@@ -142,7 +146,7 @@ def test_probe_similarity_pairs_edges_and_parity(spark):
     assert set(got) == set(want) and (3, 100) in got
     for k in want:
         assert abs(got[k] - want[k]) < 1e-14
-    assert not any(pid == 101 for _, pid in got)
+    assert not any(pid in (101, 103, 104) for _, pid in got)
     # empty probe set: empty result, correct schema
     empty = probe_similarity_pairs(corpus, probes.limit(0), thr)
     assert empty.count() == 0

@@ -175,6 +175,73 @@ def test_crash_between_merges_replay_heals_old_block(spark, tmp_path,
     assert not os.path.exists(idx._intent_path())
 
 
+def test_crashed_sync_then_source_revert_takes_full_rebuild(
+        spark, tmp_path, corpus, monkeypatch):
+    """The netted-replay hole: a sync crashes mid-apply (assignments
+    merged, kept not), then the SOURCE row reverts before the retry —
+    the endpoint change feed changes(last, cur') nets the row out
+    entirely, so feed-replay can never heal the half-committed
+    assignment. With a pending intent, the cursor path must take the
+    FULL REBUILD and converge to the reverted source's one-shot."""
+    from unittest import mock
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+    from synch_spark.operators.semdedup_index import SemDedupIndex
+    from synch_spark.sources.table import ParquetTable
+
+    df, cents, rng = corpus
+    base = df.filter(F.col("vec_id") < 12)
+    src = ParquetTable(spark, str(tmp_path / "src"), retain=8)
+    src.overwrite(base)
+    idx = SemDedupIndex(spark, str(tmp_path / "idx"), threshold=THR)
+    idx.centroids.overwrite(cents)
+    idx.sync_from(src)
+
+    spec = TableSpec(schema="db", table="emb", pk=("vec_id",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    orig_vec = list(base.filter(F.col("vec_id") == 0).first()["embedding"])
+    moved = [float(np.float32(x)) for x in
+             np.array([0.0, 0.0, 0.0, 3.0]) + rng.normal(scale=0.02, size=4)]
+
+    def batch(vec, ts):
+        return spark.createDataFrame(
+            [(0, vec, "insert")],
+            "vec_id long, embedding array<float>, action string",
+        ).withColumnRenamed("action", "_a").selectExpr(
+            "_a as action", "vec_id", "embedding") \
+         .withColumn("event_unixtime", F.lit(ts).cast("long")) \
+         .withColumn("action_seq", F.lit(0)) \
+         .withColumn("schema", F.lit("db")).withColumn("table", F.lit("emb"))
+
+    apply_cdc_batch(src, batch(moved, 10), spec,
+                    value_columns=["vec_id", "embedding"])
+
+    orig_merge = SemDedupIndex._merge
+    state = {"boom": True}
+
+    def dying_merge(self, table, name, *a, **kw):
+        if name == "kept" and state["boom"]:
+            raise RuntimeError("injected crash mid-apply")
+        return orig_merge(self, table, name, *a, **kw)
+
+    monkeypatch.setattr(SemDedupIndex, "_merge", dying_merge)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.sync_from(src)  # crashes: assignments merged, kept not
+    state["boom"] = False
+
+    # the source REVERTS before the retry: the endpoint feed nets out
+    apply_cdc_batch(src, batch(orig_vec, 20), spec,
+                    value_columns=["vec_id", "embedding"])
+    with mock.patch.object(SemDedupIndex, "build",
+                           wraps=idx.build) as spy:
+        idx.sync_from(src)
+        assert spy.called, "pending intent must force the rebuild path"
+    assert _kept(idx) == _one_shot(base, cents, THR)
+    import os
+    assert not os.path.exists(idx._intent_path())
+
+
 def test_sync_from_change_feed(spark, tmp_path, corpus):
     """Cursor-driven sync against a CDC-maintained ParquetTable: build
     at v0, mutate the source (insert + update + delete), sync — the
