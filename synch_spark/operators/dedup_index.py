@@ -279,34 +279,28 @@ class DedupIndex:
         back to a full build(). ``pk`` may be a composite-key
         tuple/list (the source table's merge key, threaded into
         ``changes()``); the index stays keyed on ``id_col``, which must
-        remain unique per row."""
-        import json
+        remain unique per row. A sync that died inside its mutation
+        window (the run_guarded_sync pending marker — e.g. between the
+        signature and bucket commits, or after them but before the
+        cursor write) forces a FULL REBUILD: the netted endpoint feed
+        cannot heal half-applied state once the source reverted."""
         import os
-        import uuid
 
-        cur = source_table.current_version()
-        path = os.path.join(self.table.root, os.pardir, "_feed_cursor.json")
-        path = os.path.normpath(path)
-        last = None
-        if os.path.exists(path):
-            with open(path) as f:
-                last = json.load(f)["version"]
-        if last == cur:
-            return cur
-        if last is None:
-            self.build(source_table.read(), text_col=text_col, id_col=id_col)
-        else:
-            try:
-                feed = source_table.changes(last, cur, pk=pk)
-                self.apply_changes(feed, text_col=text_col, id_col=id_col)
-            except FileNotFoundError:
-                self.build(source_table.read(), text_col=text_col,
-                           id_col=id_col)
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"version": cur}, f)
-        os.replace(tmp, path)
-        return cur
+        from synch_spark.operators.index_sync import run_guarded_sync
+
+        path = os.path.normpath(
+            os.path.join(self.table.root, os.pardir, "_feed_cursor.json"))
+
+        def build():
+            self.build(source_table.read(), text_col=text_col,
+                       id_col=id_col)
+
+        def apply(last, cur):
+            feed = source_table.changes(last, cur, pk=pk)
+            self.apply_changes(feed, text_col=text_col, id_col=id_col)
+
+        return run_guarded_sync(
+            path, source_table.current_version(), build, apply)
 
     def estimate_jaccard(self, pairs: DataFrame, extra_sig: DataFrame | None = None) -> DataFrame:
         """(new_id, dup_of, est_jaccard) from signature agreement: the

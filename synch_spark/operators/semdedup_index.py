@@ -225,47 +225,32 @@ class SemDedupIndex:
         after the apply (idempotent merges make replay safe). Lagging
         past retention falls back to a full build with the STORED
         centroids (they are the index's fixed parameter, not derived
-        from the corpus)."""
-        import json
-        import os
-        import uuid
+        from the corpus).
 
-        cur = source_table.current_version()
+        Crash recovery: any sync that died inside its mutation window
+        (the run_guarded_sync pending marker, OR a touched-intent left
+        by a crashed apply) forces a FULL REBUILD — replaying the
+        netted endpoint feed changes(last, cur') cannot heal
+        half-applied state when the source row reverted in between (it
+        nets out of the feed entirely)."""
+        import os
+
+        from synch_spark.operators.index_sync import run_guarded_sync
+
         path = os.path.normpath(os.path.join(
             self.assignments.root, os.pardir, "_feed_cursor.json"))
-        last = None
-        if os.path.exists(path):
-            with open(path) as f:
-                last = json.load(f)["version"]
-        if last == cur and not self._pending_touched():
-            return cur
-        if last is None:
+
+        def build():
             self.build(source_table.read(), self.centroids.read(),
                        vec_col=vec_col, id_col=id_col)
-        elif self._pending_touched():
-            # a PREVIOUS sync crashed mid-apply. Replaying the netted
-            # endpoint feed changes(last, cur') is NOT sufficient: a
-            # row the crashed apply half-committed can have reverted in
-            # the source by now and nets OUT of the feed entirely,
-            # leaving the half-applied state permanent (the in-apply
-            # intent union only heals same-feed replays). Crash
-            # recovery on the cursor path therefore takes the full
-            # rebuild — rare, always convergent, and build() clears the
-            # intent.
-            self.build(source_table.read(), self.centroids.read(),
-                       vec_col=vec_col, id_col=id_col)
-        else:
-            try:
-                feed = source_table.changes(last, cur, pk=pk)
-                self.apply_changes(feed, vec_col=vec_col, id_col=id_col)
-            except FileNotFoundError:
-                self.build(source_table.read(), self.centroids.read(),
-                           vec_col=vec_col, id_col=id_col)
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"version": cur}, f)
-        os.replace(tmp, path)
-        return cur
+
+        def apply(last, cur):
+            feed = source_table.changes(last, cur, pk=pk)
+            self.apply_changes(feed, vec_col=vec_col, id_col=id_col)
+
+        return run_guarded_sync(
+            path, source_table.current_version(), build, apply,
+            force_rebuild=bool(self._pending_touched()))
 
     def read_kept(self, id_col: str = "vec_id") -> DataFrame:
         """Current kept representatives, in semantic_dedup's output

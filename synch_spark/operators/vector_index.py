@@ -228,34 +228,24 @@ class VectorIndex:
         into ``changes()`` so pre/post images pair correctly. The index
         itself stays keyed on ``id_col``, which must remain unique per
         row regardless of the table's pk shape (feed rows carry the
-        full image, so the id is always present — deletes included)."""
-        import json
-        import os
+        full image, so the id is always present — deletes included).
+        A sync that died inside its mutation window (the
+        run_guarded_sync pending marker: after the merge committed but
+        before the cursor write) forces a FULL REBUILD — the netted
+        endpoint feed cannot heal committed-but-uncursored state once
+        the source reverted."""
+        from synch_spark.operators.index_sync import run_guarded_sync
 
-        cur = source_table.current_version()
-        path = self._cursor_path()
-        last = None
-        if os.path.exists(path):
-            with open(path) as f:
-                last = json.load(f)["version"]
-        if last == cur:
-            return cur
-        if last is None:
+        def build():
             self.build(source_table.read(), vec_col=vec_col, id_col=id_col)
-        else:
-            try:
-                feed = source_table.changes(last, cur, pk=pk)
-                self.apply_changes(feed, vec_col=vec_col, id_col=id_col)
-            except FileNotFoundError:
-                self.build(source_table.read(), vec_col=vec_col,
-                           id_col=id_col)
-        import uuid
 
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"version": cur}, f)
-        os.replace(tmp, path)
-        return cur
+        def apply(last, cur):
+            feed = source_table.changes(last, cur, pk=pk)
+            self.apply_changes(feed, vec_col=vec_col, id_col=id_col)
+
+        return run_guarded_sync(
+            self._cursor_path(), source_table.current_version(),
+            build, apply)
 
     def _append_assigned(self, df, vec_col, id_col, overwrite: bool) -> None:
         cents = self.centroids.read()
