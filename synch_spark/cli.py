@@ -204,8 +204,12 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
     decoder byte-for-byte (sources.binlog_socket.stream_raw_events).
 
     Config: ``spark.mysql_socket: {host, port, user, password,
-    server_id, file, pos, ssl_mode, ssl_ca}`` — file/pos seed the
-    FIRST run only (the cursor wins afterwards); ``ssl_mode`` is
+    server_id, file, pos, auto_position, gtid_set, ssl_mode, ssl_ca}``
+    — file/pos seed the FIRST run only (the cursor wins afterwards);
+    ``auto_position: true`` switches the resume key from (file, pos) to
+    an executed-GTID set (COM_BINLOG_DUMP_GTID — survives master
+    failover and binlog renumbering; ``gtid_set`` seeds the first run,
+    empty = from the start); ``ssl_mode`` is
     disable|require|verify-ca|verify-full (libpq vocabulary; a stock
     MySQL 8.0 caching_sha2 account works over any of them — full auth
     uses the RSA exchange on cleartext, the in-channel password under
@@ -217,7 +221,8 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
 
     from synch_spark.events import RAW_EVENT_SCHEMA
     from synch_spark.sources.binlog_socket import (
-        BinlogProtocolError, BinlogSocketClient, stream_raw_events,
+        BinlogProtocolError, BinlogSocketClient, format_gtid_set,
+        stream_raw_events,
     )
 
     ms = (raw.get("spark") or {}).get("mysql_socket")
@@ -225,18 +230,32 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
         print("produce --source mysql-socket needs spark.mysql_socket "
               "{host, port, user, password, file, pos}", file=sys.stderr)
         return 2
+    auto_position = bool(ms.get("auto_position"))
     warehouse = raw["spark"]["warehouse"]
     cursor_path = os.path.join(warehouse, "_binlog_socket_cursor.json")
+    gtid_cursor: str | None = None
+    fname, pos = "", 4
     if os.path.exists(cursor_path):
         with open(cursor_path) as f:
             cur = _json.load(f)
-        fname, pos = cur["file"], int(cur["pos"])
+        fname, pos = cur.get("file", ""), int(cur.get("pos", 4))
+        gtid_cursor = cur.get("gtid_set")
     else:
         fname, pos = ms.get("file", ""), int(ms.get("pos", 4))
-        if not fname:
+        gtid_cursor = ms.get("gtid_set", "")
+        if not auto_position and not fname:
             print("no cursor yet: spark.mysql_socket.file is required "
-                  "for the first run", file=sys.stderr)
+                  "for the first run (or set auto_position: true)",
+                  file=sys.stderr)
             return 2
+    if auto_position and gtid_cursor is None:
+        # cursor written by a pre-GTID run: (file, pos) cannot be
+        # translated to a GTID set client-side — refuse loudly rather
+        # than re-stream from the beginning
+        print("auto_position: true but the existing cursor has no "
+              "gtid_set; remove the cursor file to restart from "
+              "spark.mysql_socket.gtid_set", file=sys.stderr)
+        return 2
     only_schemas = tuple(s.schema for s in cfg.tables.values())
     only_tables = tuple(s.table for s in cfg.tables.values())
     # servers without binlog_row_metadata=FULL (MINIMAL is the default)
@@ -262,8 +281,11 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
             events = list(stream_raw_events(
                 client, fname, pos, column_names=names or None,
                 only_schemas=only_schemas, only_tables=only_tables,
+                gtid_set=gtid_cursor if auto_position else None,
             ))
             end_pos = client.position
+            end_gtids = (format_gtid_set(client.gtid_executed)
+                         if auto_position else None)
         except BinlogProtocolError as e:
             print(f"binlog socket round {i} failed: {e}", file=sys.stderr)
             return 1
@@ -276,17 +298,28 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
                   e["after"], e["event_unixtime"]) for e in events],
                 RAW_EVENT_SCHEMA,
             )
-            basename = f"binlog_socket.{fname}.{pos}"
+            basename = (f"binlog_socket.gtid.{i}.{_uuid.uuid4().hex[:8]}"
+                        if auto_position else f"binlog_socket.{fname}.{pos}")
             emitted = _emit_to_sink(spark, raw, df, args.sink, basename)
-        if end_pos:
-            fname, pos = end_pos
+        if end_pos or end_gtids is not None:
+            if end_pos:
+                fname, pos = end_pos
+            cur_doc = {"file": fname, "pos": pos}
+            if auto_position:
+                # the GTID set — not (file, pos) — is the durable key;
+                # file/pos ride along for observability only
+                gtid_cursor = end_gtids
+                cur_doc["gtid_set"] = end_gtids
             os.makedirs(warehouse, exist_ok=True)
             tmp = f"{cursor_path}.tmp-{_uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
-                _json.dump({"file": fname, "pos": pos}, f)
+                _json.dump(cur_doc, f)
             os.replace(tmp, cursor_path)
+        cur_out = {"file": fname, "pos": pos}
+        if auto_position:
+            cur_out["gtid_set"] = gtid_cursor
         print(_json.dumps({"produce_round": i, "events": emitted,
-                           "cursor": {"file": fname, "pos": pos}}))
+                           "cursor": cur_out}))
         if i + 1 < rounds:
             _time.sleep(cfg.insert_interval_s)
     return 0
@@ -303,18 +336,26 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
     from the slot's confirmed position (at-least-once; downstream
     applies are idempotent merges).
 
-    Payloads decode through ``events.wal2json_to_raw`` — the identical
-    path the replay/file tails use, v1/v2 auto-detected per line.
+    Payloads decode per plugin: wal2json through
+    ``events.wal2json_to_raw`` (the identical path the replay/file
+    tails use, v1/v2 auto-detected per line); ``plugin: pgoutput`` —
+    the server's BUILT-IN plugin, the one a managed instance always
+    has — through ``sources.pgoutput.iter_pgoutput_changes`` (ordered
+    driver decode: exact Begin commit timestamps, Relation metadata
+    carried across rounds for mid-session resumes).
 
     Config: ``spark.pg_socket: {host, port, user, password, database,
-    slot, options, ssl_mode, ssl_ca}`` (``options`` merges into the
-    wal2json plugin parameters; format-version 2 + include-timestamp
-    by default; ``ssl_mode`` = disable|require|verify-ca|verify-full —
-    managed Postgres commonly requires ``require``)."""
+    slot, plugin, options, ssl_mode, ssl_ca}`` (``options`` merges into
+    the plugin parameters; wal2json defaults format-version 2 +
+    include-timestamp, pgoutput defaults proto_version 1 +
+    publication_names=<slot>; ``ssl_mode`` =
+    disable|require|verify-ca|verify-full — managed Postgres commonly
+    requires ``require``)."""
     import json as _json
     import time as _time
 
-    from synch_spark.events import filter_tables, wal2json_to_raw
+    from synch_spark.events import RAW_EVENT_SCHEMA, filter_tables, wal2json_to_raw
+    from synch_spark.sources.pgoutput import iter_pgoutput_changes
     from synch_spark.sources.wal_socket import WalProtocolError, WalSocketClient
 
     pg = (raw.get("spark") or {}).get("pg_socket")
@@ -325,6 +366,11 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
     only_schemas = tuple({s.schema for s in cfg.tables.values()})
     only_tables = tuple({s.table for s in cfg.tables.values()})
     rounds = 1 if args.once else args.rounds
+    plugin = pg.get("plugin", "wal2json")
+    # pgoutput Relation metadata carried across rounds: the server
+    # re-sends R per session, but a resume that replays data the slot
+    # already streamed THIS process still has the registry
+    pgo_relations: dict = {}
     for i in range(rounds):
         client = WalSocketClient(
             pg["host"], int(pg.get("port", 5432)), pg["user"],
@@ -337,17 +383,26 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
                 # reference parity: create the slot if missing
                 # (synch/reader/postgres.py:151-155); existing slot is
                 # the normal steady state
-                client.create_slot(pg["slot"],
-                                   plugin=pg.get("plugin", "wal2json"))
-            client.start_replication(pg["slot"], options=pg.get("options"))
-            lines = [p.decode("utf-8", "replace")
-                     for p in client.poll_payloads(
-                         idle_timeout=float(pg.get("idle_timeout", 2.0)))]
+                client.create_slot(pg["slot"], plugin=plugin)
+            client.start_replication(pg["slot"], options=pg.get("options"),
+                                     plugin=plugin)
+            payloads = list(client.poll_payloads(
+                idle_timeout=float(pg.get("idle_timeout", 2.0))))
             emitted = 0
-            if lines:
+            df = None
+            if payloads and plugin == "pgoutput":
+                evs = list(iter_pgoutput_changes(payloads,
+                                                 relations=pgo_relations))
+                if evs:
+                    df = spark.createDataFrame(
+                        [tuple(e[f.name] for f in RAW_EVENT_SCHEMA.fields)
+                         for e in evs], RAW_EVENT_SCHEMA)
+            elif payloads:
+                lines = [p.decode("utf-8", "replace") for p in payloads]
                 df = wal2json_to_raw(
                     spark.createDataFrame([(ln,) for ln in lines],
                                           "value string"))
+            if df is not None:
                 df = filter_tables(df, only_schemas, only_tables)
                 basename = f"pg_socket.{client.received_lsn}"
                 emitted = _emit_to_sink(spark, raw, df, args.sink, basename)

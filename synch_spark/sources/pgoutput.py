@@ -1,0 +1,542 @@
+"""pgoutput logical decoding — PostgreSQL's BUILT-IN output plugin.
+
+The reference consumes logical replication exclusively through the
+wal2json extension (/root/reference/synch/reader/postgres.py:68-128),
+which must be installed server-side; pgoutput ships WITH the server
+(it backs native logical replication / CREATE PUBLICATION) and is the
+one plugin every managed instance exposes. This module decodes the
+documented pgoutput binary message stream (PostgreSQL docs, "Logical
+Streaming Replication Protocol", protocol version 1) into the same
+RAW_EVENT_SCHEMA rows every other source produces, so the entire
+downstream pipeline — filter_dml → split_updates → parse_values →
+apply — is shared and already oracle-pinned.
+
+Message grammar decoded here (one letter per message):
+
+- ``B`` Begin: final LSN (8), commit timestamp (8, µs since
+  2000-01-01), xid (4). Carries the transaction's commit time — the
+  ``event_unixtime`` every row in the transaction gets.
+- ``C`` Commit, ``O`` Origin, ``M`` logical Message: consumed, no rows.
+- ``R`` Relation: id (4), namespace cstr, relname cstr, replica
+  identity (1), ncols (2), then per column flags (1; bit 0 = part of
+  the key), name cstr, type OID (4), atttypmod (4). The server sends
+  one per relation per session BEFORE that relation's first row (and
+  re-sends it after a schema change), so an ordered decode always has
+  the metadata it needs.
+- ``Y`` Type: custom-type metadata; recorded, not needed for text rows.
+- ``I`` Insert: relation id (4), ``N`` + new TupleData.
+- ``U`` Update: relation id (4), optional ``K`` (replica-identity key)
+  or ``O`` (full old row, REPLICA IDENTITY FULL) + old TupleData,
+  then ``N`` + new TupleData.
+- ``D`` Delete: relation id (4), ``K``/``O`` + old TupleData.
+- ``T`` Truncate: nrel (4), options (1), relation ids. Emitted as the
+  repo's DDL-barrier convention: action "query" with
+  ``after={"query": "TRUNCATE <schema>.<table>"}`` (the same shape a
+  binlog QUERY event produces, sources/binlog_file.py:790).
+
+TupleData: int16 column count, then per column one kind byte —
+``n`` SQL NULL, ``u`` unchanged TOAST datum (not sent again; see
+below), ``t`` int32 length + text-format bytes, ``b`` int32 length +
+binary-format bytes. We never ask the server for binary mode
+(``binary 'true'``), so ``t`` is the normal case and values are the
+exact PG text literals wal2json carries — ``parse_values(...,
+string_values=True)`` types them identically. A ``b`` datum that does
+arrive is surfaced as PG's bytea hex-literal text (``\\x…``).
+
+Unchanged-TOAST handling (``u``): the value exists but was not sent.
+When the old row is available (REPLICA IDENTITY FULL ``O`` image) the
+old value substitutes; otherwise the column is OMITTED from the after
+image (a JSON map without the key) rather than nulled — downstream
+typed parses read it as NULL, and a merge sink that must preserve
+TOAST values needs REPLICA IDENTITY FULL, which is the documented
+PostgreSQL requirement, not a limitation added here.
+
+Timestamps: Begin's commit time is µs since the PostgreSQL epoch
+(2000-01-01); +946684800e6 converts to unix µs. The ordered decodes
+(driver tail, frame files) attribute it exactly. The distributed
+per-payload decode cannot see a Begin that lives in another payload
+row (protocol v1 data messages carry no xid), so payload blobs that
+lack their own Begin fall back to the banded synthetic sequence the
+wal2json/no-timestamp path uses — order-preserving, monotone per task.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Iterator
+
+#: unix µs for 2000-01-01T00:00:00Z — the PostgreSQL timestamp epoch.
+PG_EPOCH_US = 946_684_800 * 1_000_000
+
+#: frame-file magic for offline pgoutput archives (our own artifact:
+#: pg_recvlogical cannot safely write binary plugins to line files, so
+#: the spool/archive form is length-prefixed frames).
+FRAME_MAGIC = b"PGO1"
+
+_DECODE_CHUNK = 50_000
+
+
+class PgoutputError(ValueError):
+    """The byte stream is not decodable pgoutput protocol v1."""
+
+
+class _Unchanged:
+    """Sentinel for a ``u`` (unchanged TOAST) datum."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return "<unchanged-toast>"
+
+
+UNCHANGED = _Unchanged()
+
+
+class Relation:
+    """One ``R`` message: everything needed to name tuple columns."""
+
+    __slots__ = ("rel_id", "namespace", "name", "replica_identity", "columns")
+
+    def __init__(self, rel_id: int, namespace: str, name: str,
+                 replica_identity: str,
+                 columns: list[tuple[int, str, int, int]]):
+        self.rel_id = rel_id
+        self.namespace = namespace or "public"
+        self.name = name
+        self.replica_identity = replica_identity
+        #: (flags, name, type_oid, atttypmod); flags bit 0 = key column
+        self.columns = columns
+
+    def key_columns(self) -> list[str]:
+        return [c[1] for c in self.columns if c[0] & 1]
+
+    def column_names(self) -> list[str]:
+        return [c[1] for c in self.columns]
+
+    def to_tuple(self) -> tuple:
+        """Plain-data form (broadcastable without this class)."""
+        return (self.rel_id, self.namespace, self.name,
+                self.replica_identity, tuple(self.columns))
+
+    @classmethod
+    def from_tuple(cls, t: tuple) -> "Relation":
+        return cls(t[0], t[1], t[2], t[3], [tuple(c) for c in t[4]])
+
+
+def _cstr(body: bytes, p: int) -> tuple[str, int]:
+    q = body.index(b"\x00", p)
+    return body[p:q].decode("utf-8"), q + 1
+
+
+def decode_relation(body: bytes) -> Relation:
+    """Decode an ``R`` message body (bytes AFTER the type byte)."""
+    rel_id = struct.unpack_from("!I", body, 0)[0]
+    namespace, p = _cstr(body, 4)
+    name, p = _cstr(body, p)
+    replident = chr(body[p]); p += 1
+    (ncols,) = struct.unpack_from("!H", body, p); p += 2
+    cols: list[tuple[int, str, int, int]] = []
+    for _ in range(ncols):
+        flags = body[p]; p += 1
+        cname, p = _cstr(body, p)
+        oid, typmod = struct.unpack_from("!Ii", body, p); p += 8
+        cols.append((flags, cname, oid, typmod))
+    return Relation(rel_id, namespace, name, replident, cols)
+
+
+def _read_tuple(body: bytes, p: int) -> tuple[list, int]:
+    """TupleData → (values, new offset). Values are str | None |
+    UNCHANGED; a binary datum becomes the bytea hex-literal text."""
+    (n,) = struct.unpack_from("!H", body, p); p += 2
+    vals: list = []
+    for _ in range(n):
+        kind = body[p:p + 1]; p += 1
+        if kind == b"n":
+            vals.append(None)
+        elif kind == b"u":
+            vals.append(UNCHANGED)
+        elif kind in (b"t", b"b"):
+            (ln,) = struct.unpack_from("!I", body, p); p += 4
+            raw = body[p:p + ln]; p += ln
+            vals.append(raw.decode("utf-8") if kind == b"t"
+                        else "\\x" + raw.hex())
+        else:
+            raise PgoutputError(f"unknown TupleData kind {kind!r}")
+    return vals, p
+
+
+def _img(rel: Relation, vals: list) -> dict:
+    names = rel.column_names()
+    if len(vals) != len(names):
+        raise PgoutputError(
+            f"tuple arity {len(vals)} != relation {rel.namespace}."
+            f"{rel.name} arity {len(names)} — stale Relation metadata")
+    return dict(zip(names, vals))
+
+
+def iter_pgoutput_changes(
+    payloads,
+    relations: dict[int, Relation] | None = None,
+    fallback_unixtime_us: int | None = None,
+    sub_base: int = 0,
+) -> Iterator[dict]:
+    """Ordered decode: pgoutput payloads → RAW_EVENT_SCHEMA dicts.
+
+    ``payloads`` is an iterable of byte strings in stream order; each
+    may hold ONE message (the live XLogData shape — one message per
+    payload) or several CONCATENATED messages (every message type is
+    self-delimiting, so a whole Begin…Commit transaction can ride in
+    one blob — the synthesized/test shape). ``relations`` is mutated in
+    place so a caller draining rounds can carry metadata across calls
+    (the server re-sends ``R`` per session; carrying it is belt and
+    braces for replays that resume mid-session).
+
+    event_unixtime: the enclosing Begin's commit time when one has been
+    seen, else ``fallback_unixtime_us + seq`` with a monotone per-call
+    sequence (the no-timestamp wal2json convention — ties between two
+    updates to one pk would otherwise collapse under last-wins).
+    """
+    import time as _time
+
+    rels = relations if relations is not None else {}
+    tx_ts_us: int | None = None
+    if fallback_unixtime_us is None:
+        fallback_unixtime_us = int(_time.time() * 1_000_000)
+    seq = 0
+
+    def ts() -> int:
+        nonlocal seq
+        if tx_ts_us is not None:
+            return tx_ts_us
+        seq += 1
+        return fallback_unixtime_us + sub_base + seq
+
+    for payload in payloads:
+        body = bytes(payload)
+        p = 0
+        while p < len(body):
+            mtype = body[p:p + 1]; p += 1
+            if mtype == b"B":
+                # commit ts is SIGNED int64 µs since 2000-01-01 — a
+                # pre-2000 commit time (negative) must not wrap
+                final_lsn, commit_ts, xid = struct.unpack_from("!QqI", body, p)
+                p += 20
+                tx_ts_us = commit_ts + PG_EPOCH_US
+            elif mtype == b"C":
+                p += 1 + 8 + 8 + 8  # flags, commit lsn, end lsn, ts
+                tx_ts_us = None
+            elif mtype == b"O":  # Origin: lsn + name cstr
+                p += 8
+                _, p = _cstr(body, p)
+            elif mtype == b"M":  # logical Message: flags, lsn, prefix, len, bytes
+                p += 1 + 8
+                _, p = _cstr(body, p)
+                (ln,) = struct.unpack_from("!I", body, p); p += 4 + ln
+            elif mtype == b"R":
+                # R is self-delimiting: re-decode from here to learn its span
+                rel = decode_relation(body[p:])
+                rels[rel.rel_id] = rel
+                p += _relation_span(body, p)
+            elif mtype == b"Y":  # Type: oid, namespace, name — record span only
+                p += 4
+                _, p = _cstr(body, p)
+                _, p = _cstr(body, p)
+            elif mtype == b"I":
+                (rid,) = struct.unpack_from("!I", body, p); p += 4
+                if body[p:p + 1] != b"N":
+                    raise PgoutputError("Insert without N tuple")
+                p += 1
+                rel = _rel(rels, rid)
+                vals, p = _read_tuple(body, p)
+                after = {k: (None if v is UNCHANGED else v)
+                         for k, v in _img(rel, vals).items()}
+                yield _row(rel, "insert", None, after, ts())
+            elif mtype == b"U":
+                (rid,) = struct.unpack_from("!I", body, p); p += 4
+                rel = _rel(rels, rid)
+                old: dict | None = None
+                tag = body[p:p + 1]
+                if tag in (b"K", b"O"):
+                    p += 1
+                    vals, p = _read_tuple(body, p)
+                    old = _img(rel, vals)
+                    if tag == b"K":
+                        old = _key_image(rel, old)
+                if body[p:p + 1] != b"N":
+                    raise PgoutputError("Update without N tuple")
+                p += 1
+                vals, p = _read_tuple(body, p)
+                new_img = _img(rel, vals)
+                # unchanged TOAST: substitute from the full old row when
+                # present, else OMIT the column (REPLICA IDENTITY FULL is
+                # PG's own requirement for TOAST-preserving replication)
+                after = {}
+                for k, v in new_img.items():
+                    if v is UNCHANGED:
+                        if old is not None and not isinstance(
+                                old.get(k), _Unchanged) and k in old:
+                            after[k] = old[k]
+                    else:
+                        after[k] = v
+                if old is None:
+                    # replica-identity key unchanged → the key image IS
+                    # the new row's key columns (what wal2json's oldkeys
+                    # carries in the same situation)
+                    keys = rel.key_columns() or rel.column_names()
+                    old = {k: after.get(k) for k in keys}
+                else:
+                    old = {k: (None if v is UNCHANGED else v)
+                           for k, v in old.items()}
+                yield _row(rel, "update", old, after, ts())
+            elif mtype == b"D":
+                (rid,) = struct.unpack_from("!I", body, p); p += 4
+                rel = _rel(rels, rid)
+                tag = body[p:p + 1]
+                if tag not in (b"K", b"O"):
+                    raise PgoutputError("Delete without K/O tuple")
+                p += 1
+                vals, p = _read_tuple(body, p)
+                before = _img(rel, vals)
+                if tag == b"K":
+                    before = _key_image(rel, before)
+                before = {k: (None if v is UNCHANGED else v)
+                          for k, v in before.items()}
+                yield _row(rel, "delete", before, None, ts())
+            elif mtype == b"T":
+                nrel, _opts = struct.unpack_from("!IB", body, p); p += 5
+                for _ in range(nrel):
+                    (rid,) = struct.unpack_from("!I", body, p); p += 4
+                    rel = _rel(rels, rid)
+                    yield {
+                        "schema": rel.namespace, "table": rel.name,
+                        "action": "query", "before": None,
+                        "after": json.dumps({
+                            "query": f"TRUNCATE {rel.namespace}.{rel.name}"}),
+                        "event_unixtime": ts(),
+                    }
+            else:
+                raise PgoutputError(
+                    f"unknown pgoutput message type {mtype!r} at offset {p - 1}")
+
+
+def _key_image(rel: Relation, img: dict) -> dict:
+    """A ``K`` tuple sends only the replica-identity columns; the rest
+    arrive as ``n`` PLACEHOLDERS (value unknown, not SQL NULL) and must
+    not survive into the before image — wal2json's oldkeys carries
+    exactly the key columns, and the shared downstream contract (the
+    delete half of an update keys on the before image) expects that."""
+    keys = rel.key_columns()
+    if not keys:  # REPLICA IDENTITY NOTHING/odd stream: keep what was sent
+        return {k: v for k, v in img.items() if v is not None}
+    return {k: img.get(k) for k in keys}
+
+
+def _rel(rels: dict[int, Relation], rid: int) -> Relation:
+    rel = rels.get(rid)
+    if rel is None:
+        raise PgoutputError(
+            f"row for unknown relation id {rid} — no Relation message "
+            "seen (decode must start at a session/segment boundary)")
+    return rel
+
+
+def _relation_span(body: bytes, p: int) -> int:
+    """Byte length of an R message body starting at ``p``."""
+    start = p
+    p += 4
+    p = body.index(b"\x00", p) + 1
+    p = body.index(b"\x00", p) + 1
+    p += 1
+    (ncols,) = struct.unpack_from("!H", body, p); p += 2
+    for _ in range(ncols):
+        p += 1
+        p = body.index(b"\x00", p) + 1
+        p += 8
+    return p - start
+
+
+def _row(rel: Relation, action: str, before: dict | None,
+         after: dict | None, ts_us: int) -> dict:
+    return {
+        "schema": rel.namespace,
+        "table": rel.name,
+        "action": action,
+        "before": None if before is None else json.dumps(before),
+        "after": None if after is None else json.dumps(after),
+        "event_unixtime": ts_us,
+    }
+
+
+# -- Spark entry points ------------------------------------------------------
+
+def collect_relations(df, value_col: str = "value") -> dict[int, tuple]:
+    """Pass 1 of the distributed decode: pull the (tiny, rare) Relation
+    messages to the driver and build a broadcastable registry.
+
+    Relation messages are one-per-table-per-session; even a million-row
+    payload frame carries a handful. A stream that re-defined the SAME
+    relation id two different ways (a mid-stream schema change) is not
+    decodable out of order — that case must use the ordered frame-file
+    decode, and the conflict raises here rather than silently picking a
+    version.
+    """
+    from pyspark.sql import functions as F
+
+    r_payloads = (
+        df.filter(F.hex(F.substring(F.col(value_col), 1, 1)) == "52")  # 'R'
+        .select(value_col).collect()
+    )
+    out: dict[int, tuple] = {}
+    for row in r_payloads:
+        body = bytes(row[0])
+        p = 0
+        while p < len(body):
+            if body[p:p + 1] != b"R":
+                break  # mixed blob: only leading R segments are metadata
+            rel = decode_relation(body[p + 1:])
+            t = rel.to_tuple()
+            prev = out.get(rel.rel_id)
+            if prev is not None and prev != t:
+                raise PgoutputError(
+                    f"relation id {rel.rel_id} redefined mid-stream "
+                    f"({prev[1]}.{prev[2]} arity {len(prev[4])} → "
+                    f"{t[1]}.{t[2]} arity {len(t[4])}); a schema-change "
+                    "stream needs the ordered pgoutput_files_to_raw decode")
+            out[rel.rel_id] = t
+            p += 1 + _relation_span(body, p + 1)
+    return out
+
+
+def pgoutput_payloads_to_raw(spark, df, value_col: str = "value",
+                             fallback_unixtime_us: int | None = None):
+    """Distributed decode of per-row pgoutput payload blobs →
+    RAW_EVENT_SCHEMA.
+
+    Two passes, both cluster-side except the registry: (1) the Relation
+    messages — one per table per session — collect to the driver and
+    broadcast (collect_relations); (2) every payload decodes in place
+    with mapInPandas, no ordering requirement BETWEEN payload rows. A
+    blob that carries its own Begin gets the exact commit timestamp;
+    bare data messages fall back to the banded synthetic sequence
+    (protocol v1 data messages cannot be tied to a Begin in another
+    row — documented module-level).
+    """
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from synch_spark.events import RAW_EVENT_SCHEMA
+
+    rel_tuples = collect_relations(df, value_col)
+    if fallback_unixtime_us is None:
+        fallback_unixtime_us = int(_time.time() * 1_000_000)
+    fb = fallback_unixtime_us
+    cols = [f.name for f in RAW_EVENT_SCHEMA.fields]
+    _BAND = 10_000_000
+
+    def decode(batches):
+        from pyspark import TaskContext
+
+        rels = {rid: Relation.from_tuple(t) for rid, t in rel_tuples.items()}
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        sub = pid * _BAND
+        buf: list = []
+        for pdf in batches:
+            for payload in pdf[value_col]:
+                if bytes(payload[:1]) == b"R":
+                    # registry already broadcast; skip metadata blobs
+                    # (a mixed R+data blob still decodes below)
+                    if _all_relations(bytes(payload)):
+                        continue
+                for ev in iter_pgoutput_changes(
+                        [payload], relations=rels,
+                        fallback_unixtime_us=fb, sub_base=sub):
+                    buf.append(ev)
+                    if len(buf) >= _DECODE_CHUNK:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=cols)
+
+    return df.select(F.col(value_col).alias(value_col)).mapInPandas(
+        decode, RAW_EVENT_SCHEMA)
+
+
+def _all_relations(body: bytes) -> bool:
+    p = 0
+    while p < len(body):
+        if body[p:p + 1] != b"R":
+            return False
+        p += 1 + _relation_span(body, p + 1)
+    return True
+
+
+def write_pgoutput_frames(path: str, payloads) -> int:
+    """Write an offline pgoutput archive: FRAME_MAGIC then uint32
+    length-prefixed payloads (binary messages cannot ride line files).
+    Driver-side by design — this is the spool/archival writer for one
+    drain round, the binary analog of the wal2json line spool."""
+    n = 0
+    with open(path, "wb") as f:
+        f.write(FRAME_MAGIC)
+        for payload in payloads:
+            b = bytes(payload)
+            f.write(struct.pack("!I", len(b)))
+            f.write(b)
+            n += 1
+    return n
+
+
+def read_pgoutput_frames(content: bytes) -> Iterator[bytes]:
+    if content[:4] != FRAME_MAGIC:
+        raise PgoutputError("not a pgoutput frame file (bad magic)")
+    p = 4
+    while p < len(content):
+        (ln,) = struct.unpack_from("!I", content, p); p += 4
+        yield content[p:p + ln]
+        p += ln
+
+
+def pgoutput_files_to_raw(spark, path,
+                          fallback_unixtime_us: int | None = None):
+    """Distributed ORDERED decode: frame files under ``path`` →
+    RAW_EVENT_SCHEMA. One file per task (the binlog_files_to_raw
+    layout, sources/binlog_file.py:863): within a file the stream is in
+    wire order, so Relation metadata, schema changes, and Begin commit
+    timestamps all resolve exactly; cross-file order is recovered by
+    the (event_unixtime, action_seq) sort the apply path already does.
+    """
+    import re as _re
+    import time as _time
+
+    import pandas as pd
+
+    from synch_spark.events import RAW_EVENT_SCHEMA
+
+    if fallback_unixtime_us is None:
+        fallback_unixtime_us = int(_time.time() * 1_000_000)
+    fb = fallback_unixtime_us
+    cols = [f.name for f in RAW_EVENT_SCHEMA.fields]
+
+    def decode(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                m = _re.search(r"(\d+)", str(r["path"]).rsplit("/", 1)[-1])
+                sub = (int(m.group(1)) % 100) * 10_000 if m else 0
+                buf: list = []
+                for ev in iter_pgoutput_changes(
+                        read_pgoutput_frames(bytes(r["content"])),
+                        fallback_unixtime_us=fb, sub_base=sub):
+                    buf.append(ev)
+                    if len(buf) >= _DECODE_CHUNK:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf, columns=cols)
+
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    files = spark.read.format("binaryFile").load(list(paths)).select(
+        "path", "content")
+    return files.mapInPandas(decode, RAW_EVENT_SCHEMA)

@@ -222,9 +222,21 @@ class WalSocketClient:
             # 'T'/'D'/'C' (slot description row) fall through
 
     def start_replication(self, slot: str,
-                          options: dict | None = None) -> None:
-        opts = {"format-version": "2", "include-timestamp": "true",
-                **(options or {})}
+                          options: dict | None = None,
+                          plugin: str = "wal2json") -> None:
+        """Plugin-aware option defaults: wal2json gets the v2 +
+        timestamp knobs every decode path expects; pgoutput (the
+        built-in plugin — its options are protocol parameters, and a
+        wal2json knob would be rejected by the walsender) gets
+        proto_version 1 and, unless the caller named publications,
+        publication_names = the slot name (the common
+        CREATE PUBLICATION <name> convention)."""
+        if plugin == "pgoutput":
+            opts = {"proto_version": "1", "publication_names": slot,
+                    **(options or {})}
+        else:
+            opts = {"format-version": "2", "include-timestamp": "true",
+                    **(options or {})}
         opt_sql = ", ".join(f'"{k}" \'{v}\'' for k, v in opts.items())
         sql = (f'START_REPLICATION SLOT "{slot}" LOGICAL '
                f"{_lsn_str(self.flushed_lsn)} ({opt_sql})")

@@ -1,0 +1,328 @@
+"""pgoutput binary decode: byte-level pins against an independent
+in-test encoder (the decoder is never used to build its own fixtures),
+ordered/driver decode semantics, the distributed frame-file and
+payload-blob paths, and the typed parse downstream.
+
+Wire shapes follow the PostgreSQL "Logical Streaming Replication
+Protocol" docs (protocol version 1)."""
+
+import json
+import struct
+
+import pytest
+
+from synch_spark.sources import pgoutput as po
+
+PG_EPOCH_US = po.PG_EPOCH_US
+
+
+# -- independent encoder ------------------------------------------------------
+
+def _cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+def enc_relation(rid: int, ns: str, name: str, cols, replident: str = "d") -> bytes:
+    """cols: list of (flags, name, oid, typmod)."""
+    out = b"R" + struct.pack("!I", rid) + _cstr(ns) + _cstr(name)
+    out += replident.encode() + struct.pack("!H", len(cols))
+    for flags, cname, oid, typmod in cols:
+        out += bytes([flags]) + _cstr(cname) + struct.pack("!Ii", oid, typmod)
+    return out
+
+
+def enc_tuple(vals) -> bytes:
+    """vals: list of None | ('u',) | str | ('b', bytes)."""
+    out = struct.pack("!H", len(vals))
+    for v in vals:
+        if v is None:
+            out += b"n"
+        elif v == ("u",):
+            out += b"u"
+        elif isinstance(v, tuple) and v[0] == "b":
+            out += b"b" + struct.pack("!I", len(v[1])) + v[1]
+        else:
+            b = v.encode()
+            out += b"t" + struct.pack("!I", len(b)) + b
+    return out
+
+
+def enc_begin(unix_ts_us: int, xid: int = 7, lsn: int = 0) -> bytes:
+    # commit ts is signed int64 (negative for pre-2000 commit times)
+    return b"B" + struct.pack("!QqI", lsn, unix_ts_us - PG_EPOCH_US, xid)
+
+
+def enc_commit(lsn: int = 0, ts_pg: int = 0) -> bytes:
+    return b"C" + struct.pack("!BQQQ", 0, lsn, lsn, ts_pg)
+
+
+def enc_insert(rid: int, vals) -> bytes:
+    return b"I" + struct.pack("!I", rid) + b"N" + enc_tuple(vals)
+
+
+def enc_update(rid: int, new, old=None, old_kind: bytes = b"O") -> bytes:
+    out = b"U" + struct.pack("!I", rid)
+    if old is not None:
+        out += old_kind + enc_tuple(old)
+    return out + b"N" + enc_tuple(new)
+
+
+def enc_delete(rid: int, old, kind: bytes = b"K") -> bytes:
+    return b"D" + struct.pack("!I", rid) + kind + enc_tuple(old)
+
+
+def enc_truncate(rids, options: int = 0) -> bytes:
+    out = b"T" + struct.pack("!IB", len(rids), options)
+    for r in rids:
+        out += struct.pack("!I", r)
+    return out
+
+
+def enc_origin(name: str, lsn: int = 0) -> bytes:
+    return b"O" + struct.pack("!Q", lsn) + _cstr(name)
+
+
+def enc_message(prefix: str, data: bytes) -> bytes:
+    return (b"M" + struct.pack("!BQ", 0, 0) + _cstr(prefix)
+            + struct.pack("!I", len(data)) + data)
+
+
+def enc_type(oid: int, ns: str, name: str) -> bytes:
+    return b"Y" + struct.pack("!I", oid) + _cstr(ns) + _cstr(name)
+
+
+ORDERS_REL = enc_relation(16385, "db", "orders", [
+    (1, "id", 20, -1), (0, "price", 1700, -1), (0, "status", 25, -1)])
+
+TS = 1_600_000_000_000_000  # 2020-09-13T12:26:40Z in unix µs
+
+
+def drain(payloads, **kw):
+    return list(po.iter_pgoutput_changes(payloads, **kw))
+
+
+# -- ordered decode pins ------------------------------------------------------
+
+def test_insert_decodes_with_begin_timestamp():
+    evs = drain([ORDERS_REL, enc_begin(TS),
+                 enc_insert(16385, ["1", "10.50", "O"]), enc_commit()])
+    assert len(evs) == 1
+    e = evs[0]
+    assert (e["schema"], e["table"], e["action"]) == ("db", "orders", "insert")
+    assert e["before"] is None
+    assert json.loads(e["after"]) == {"id": "1", "price": "10.50", "status": "O"}
+    assert e["event_unixtime"] == TS
+
+
+def test_concatenated_transaction_in_one_payload():
+    blob = (ORDERS_REL + enc_begin(TS) + enc_insert(16385, ["1", "2", "A"])
+            + enc_insert(16385, ["2", None, "B"]) + enc_commit())
+    evs = drain([blob])
+    assert [json.loads(e["after"])["id"] for e in evs] == ["1", "2"]
+    assert json.loads(evs[1]["after"])["price"] is None
+    assert all(e["event_unixtime"] == TS for e in evs)
+
+
+def test_pre_2000_commit_time_is_signed_not_wrapped():
+    ts_1995 = 800_000_000_000_000  # 1995-05-09, BEFORE the PG epoch
+    evs = drain([ORDERS_REL, enc_begin(ts_1995),
+                 enc_insert(16385, ["1", "2", "A"])])
+    assert evs[0]["event_unixtime"] == ts_1995
+
+
+def test_commit_resets_tx_timestamp():
+    evs = drain([ORDERS_REL, enc_begin(TS), enc_insert(16385, ["1", "2", "A"]),
+                 enc_commit(), enc_insert(16385, ["9", "9", "Z"])],
+                fallback_unixtime_us=1000)
+    assert evs[0]["event_unixtime"] == TS
+    assert evs[1]["event_unixtime"] == 1001  # fallback + seq, not stale TS
+
+
+def test_update_with_full_old_row():
+    evs = drain([ORDERS_REL, enc_update(
+        16385, ["1", "11.00", "F"], old=["1", "10.50", "O"], old_kind=b"O")])
+    e = evs[0]
+    assert e["action"] == "update"
+    assert json.loads(e["before"]) == {"id": "1", "price": "10.50", "status": "O"}
+    assert json.loads(e["after"]) == {"id": "1", "price": "11.00", "status": "F"}
+
+
+def test_update_with_key_old_tuple():
+    evs = drain([ORDERS_REL, enc_update(
+        16385, ["2", "5.00", "F"], old=["1", None, None], old_kind=b"K")])
+    e = evs[0]
+    # K-tuple non-key nulls are placeholders, not values: the before
+    # image is exactly the replica-identity columns (wal2json oldkeys)
+    assert json.loads(e["before"]) == {"id": "1"}
+    assert json.loads(e["after"])["id"] == "2"
+
+
+def test_update_without_old_synthesizes_key_image_from_flags():
+    evs = drain([ORDERS_REL, enc_update(16385, ["3", "7.00", "P"])])
+    # id is the only flags&1 column → the key image
+    assert json.loads(evs[0]["before"]) == {"id": "3"}
+
+
+def test_unchanged_toast_substitutes_from_full_old_row():
+    evs = drain([ORDERS_REL, enc_update(
+        16385, ["1", ("u",), "F"], old=["1", "10.50", "O"], old_kind=b"O")])
+    assert json.loads(evs[0]["after"])["price"] == "10.50"
+
+
+def test_unchanged_toast_without_old_is_omitted():
+    evs = drain([ORDERS_REL, enc_update(16385, ["1", ("u",), "F"])])
+    after = json.loads(evs[0]["after"])
+    assert "price" not in after
+    assert after == {"id": "1", "status": "F"}
+
+
+def test_delete_key_tuple():
+    evs = drain([ORDERS_REL, enc_delete(16385, ["4", None, None])])
+    e = evs[0]
+    assert e["action"] == "delete" and e["after"] is None
+    assert json.loads(e["before"])["id"] == "4"
+
+
+def test_truncate_emits_query_action():
+    evs = drain([ORDERS_REL, enc_truncate([16385])])
+    e = evs[0]
+    assert e["action"] == "query"
+    assert json.loads(e["after"])["query"] == "TRUNCATE db.orders"
+
+
+def test_origin_message_type_are_skipped():
+    evs = drain([ORDERS_REL, enc_origin("up1"), enc_type(90001, "db", "mood"),
+                 enc_message("px", b"\x01\x02"),
+                 enc_insert(16385, ["1", "2", "A"])])
+    assert len(evs) == 1 and evs[0]["action"] == "insert"
+
+
+def test_relation_resend_mid_stream_applies_new_schema():
+    rel2 = enc_relation(16385, "db", "orders",
+                        [(1, "id", 20, -1), (0, "note", 25, -1)])
+    evs = drain([ORDERS_REL, enc_insert(16385, ["1", "2", "A"]),
+                 rel2, enc_insert(16385, ["2", "hello"])])
+    assert json.loads(evs[0]["after"]) == {"id": "1", "price": "2", "status": "A"}
+    assert json.loads(evs[1]["after"]) == {"id": "2", "note": "hello"}
+
+
+def test_binary_datum_surfaces_as_bytea_hex_text():
+    evs = drain([ORDERS_REL, enc_insert(16385, ["1", ("b", b"\xde\xad"), "A"])])
+    assert json.loads(evs[0]["after"])["price"] == "\\xdead"
+
+
+def test_unknown_relation_raises():
+    with pytest.raises(po.PgoutputError, match="unknown relation id"):
+        drain([enc_insert(99, ["1"])])
+
+
+def test_unknown_message_type_raises():
+    with pytest.raises(po.PgoutputError, match="unknown pgoutput message"):
+        drain([ORDERS_REL, b"Q\x00\x00"])
+
+
+def test_arity_mismatch_raises():
+    with pytest.raises(po.PgoutputError, match="arity"):
+        drain([ORDERS_REL, enc_insert(16385, ["1", "2"])])
+
+
+# -- frame files ---------------------------------------------------------------
+
+def test_frame_roundtrip(tmp_path):
+    payloads = [ORDERS_REL, enc_begin(TS), enc_insert(16385, ["1", "2", "A"])]
+    p = str(tmp_path / "round0.pgo")
+    assert po.write_pgoutput_frames(p, payloads) == 3
+    with open(p, "rb") as f:
+        back = list(po.read_pgoutput_frames(f.read()))
+    assert back == payloads
+
+
+def test_frame_bad_magic_raises(tmp_path):
+    with pytest.raises(po.PgoutputError, match="magic"):
+        list(po.read_pgoutput_frames(b"NOPE" + b"\x00" * 8))
+
+
+# -- Spark paths ----------------------------------------------------------------
+
+def test_files_to_raw_matches_driver_decode(spark, tmp_path):
+    payloads = [ORDERS_REL, enc_begin(TS)]
+    payloads += [enc_insert(16385, [str(i), f"{i}.00", "O"]) for i in range(50)]
+    payloads += [enc_commit(),
+                 enc_begin(TS + 5),
+                 enc_update(16385, ["7", "99.00", "F"],
+                            old=["7", "7.00", "O"], old_kind=b"O"),
+                 enc_delete(16385, ["8", None, None]),
+                 enc_commit()]
+    f1 = str(tmp_path / "seg.000001.pgo")
+    po.write_pgoutput_frames(f1, payloads)
+
+    got = po.pgoutput_files_to_raw(spark, f1).collect()
+    want = drain(payloads)
+    key = lambda e: (e["event_unixtime"], e["action"],
+                     e["after"] or "", e["before"] or "")
+    got_t = sorted((r["event_unixtime"], r["action"],
+                    r["after"] or "", r["before"] or "") for r in got)
+    want_t = sorted(key(e) for e in want)
+    assert got_t == want_t
+    assert len(got) == 52
+
+
+def test_payload_blobs_decode_distributed_with_broadcast_registry(spark):
+    # one metadata row + N self-timestamped transaction blobs
+    rows = [(bytearray(ORDERS_REL),)]
+    for i in range(40):
+        blob = (enc_begin(TS + i) + enc_insert(16385, [str(i), "1.00", "O"])
+                + enc_commit())
+        rows.append((bytearray(blob),))
+    df = spark.createDataFrame(rows, "value binary")
+    out = po.pgoutput_payloads_to_raw(spark, df).collect()
+    assert len(out) == 40
+    by_id = {json.loads(r["after"])["id"]: r for r in out}
+    assert by_id["5"]["event_unixtime"] == TS + 5  # exact Begin ts per blob
+
+
+def test_payload_blob_without_begin_gets_fallback_sequence(spark):
+    rows = [(bytearray(ORDERS_REL),),
+            (bytearray(enc_insert(16385, ["1", "1.00", "O"])),)]
+    df = spark.createDataFrame(rows, "value binary")
+    out = po.pgoutput_payloads_to_raw(spark, df,
+                                      fallback_unixtime_us=5_000_000).collect()
+    assert len(out) == 1
+    assert out[0]["event_unixtime"] >= 5_000_000  # banded synthetic, not 0
+
+
+def test_conflicting_relation_redefinition_raises(spark):
+    rel2 = enc_relation(16385, "db", "orders",
+                        [(1, "id", 20, -1), (0, "note", 25, -1)])
+    df = spark.createDataFrame(
+        [(bytearray(ORDERS_REL),), (bytearray(rel2),)], "value binary")
+    with pytest.raises(po.PgoutputError, match="redefined"):
+        po.pgoutput_payloads_to_raw(spark, df)
+
+
+def test_typed_parse_downstream(spark):
+    """decode → split_updates → parse_values(string_values=True): the
+    shared typed path the wal2json oracles pin, fed by pgoutput."""
+    from pyspark.sql import types as T
+
+    from synch_spark.events import parse_values, split_updates
+
+    payloads = [ORDERS_REL, enc_begin(TS),
+                enc_insert(16385, ["1", "10.50", "O"]),
+                enc_update(16385, ["1", "11.25", "F"],
+                           old=["1", "10.50", "O"], old_kind=b"O"),
+                enc_commit()]
+    rows = [(bytearray(b"".join(payloads)),)]
+    df = spark.createDataFrame(rows, "value binary")
+    raw = po.pgoutput_payloads_to_raw(spark, df)
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DecimalType(15, 2)),
+        T.StructField("status", T.StringType()),
+    ])
+    typed = parse_values(split_updates(raw), vschema, string_values=True)
+    got = {(r["id"], str(r["price"]), r["status"], r["action"])
+           for r in typed.collect()}
+    assert (1, "10.50", "O", "insert") in got
+    assert (1, "11.25", "F", "insert") in got  # update's insert half
+    assert any(a == "delete" for _, _, _, a in got)

@@ -46,9 +46,13 @@ V2_LINES = [
 
 class FakePgServer(threading.Thread):
     def __init__(self, auth: str = "md5", tls_ctx=None,
-                 keepalive: bool = True, tear_mid_message: bool = False):
+                 keepalive: bool = True, tear_mid_message: bool = False,
+                 payloads: list | None = None):
         super().__init__(daemon=True)
         self.auth = auth
+        #: override the streamed XLogData payloads (bytes); defaults to
+        #: the wal2json V2_LINES — a pgoutput fake passes binary messages
+        self.payloads = payloads
         self.tls_ctx = tls_ctx
         self.tls_used = False
         self.keepalive = keepalive
@@ -173,9 +177,11 @@ class FakePgServer(threading.Thread):
         self.start_replication_sql.append(sql)
         self._send(conn, b"W", b"\x00\x00\x00")             # CopyBothResponse
         lsn = 0x16B3A50
-        for i, line in enumerate(V2_LINES):
+        stream = (self.payloads if self.payloads is not None
+                  else [ln.encode() for ln in V2_LINES])
+        for i, payload in enumerate(stream):
             xl = b"w" + struct.pack("!QQQ", lsn + i * 8, lsn + i * 8 + 8, 0)
-            self._send(conn, b"d", xl + line.encode())
+            self._send(conn, b"d", xl + payload)
         if self.tear_mid_message:
             # claim a 100-byte CopyData then hang up after 3 bytes —
             # a walsender crash mid-message, NOT an orderly end
@@ -377,3 +383,89 @@ def test_create_slot_reference_parity(pg):
     cli.close()
     assert len(pg.create_slot_sql) == 2
     assert 'LOGICAL wal2json' in pg.create_slot_sql[0]
+
+
+def _pgoutput_payloads():
+    """A pgoutput session stream built with the independent encoder
+    from test_pgoutput (Relation → Begin → I/U → Commit), mirroring
+    what V2_LINES carries in wal2json form."""
+    from tests.test_pgoutput import (
+        enc_begin,
+        enc_commit,
+        enc_insert,
+        enc_relation,
+        enc_update,
+    )
+
+    rel = enc_relation(16401, "db", "t",
+                       [(1, "id", 23, -1), (0, "name", 25, -1)])
+    ts = 1_704_067_201_000_000  # 2024-01-01T00:00:01Z
+    return [rel, enc_begin(ts),
+            enc_insert(16401, ["1", "alice"]),
+            enc_update(16401, ["1", "alicia"], old=["1", None],
+                       old_kind=b"K"),
+            enc_commit()]
+
+
+def test_start_replication_pgoutput_options(pg):
+    """plugin=pgoutput must send protocol parameters (proto_version,
+    publication_names), NOT wal2json knobs the walsender would reject."""
+    cli = WalSocketClient("127.0.0.1", pg.port, USER, PASSWORD, database=DB)
+    cli.connect()
+    cli.start_replication(SLOT, plugin="pgoutput")
+    list(cli.poll_payloads(idle_timeout=1.0))
+    cli.close()
+    sql = pg.start_replication_sql[-1]
+    assert "proto_version" in sql and f"publication_names" in sql
+    assert "format-version" not in sql
+
+
+def test_cli_produce_pg_socket_pgoutput(tmp_path, capsys, spark):
+    """`produce --source pg-socket` with plugin=pgoutput: the binary
+    message stream decodes driver-side (exact Begin commit timestamps)
+    into the same spool boundary the wal2json path fills, and the slot
+    is created with the pgoutput plugin."""
+    import yaml
+
+    from synch_spark.cli import main
+
+    srv = FakePgServer(auth="md5", payloads=_pgoutput_payloads())
+    srv.start()
+    try:
+        ev_dir = tmp_path / "events"
+        cfg = {
+            "core": {"insert_num": 1000, "insert_interval": 1},
+            "source_dbs": [{"databases": [{"database": "db", "tables": [
+                {"table": "t", "pk": ["id"]}]}]}],
+            "spark": {
+                "warehouse": str(tmp_path / "wh"),
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "events_dir": str(ev_dir),
+                "sources": {},
+                "pg_socket": {"host": "127.0.0.1", "port": srv.port,
+                              "user": USER, "password": PASSWORD,
+                              "database": DB, "slot": SLOT,
+                              "plugin": "pgoutput",
+                              "idle_timeout": 1.0},
+            },
+        }
+        p = tmp_path / "synch.yaml"
+        p.write_text(yaml.dump(cfg))
+        assert main(["--config", str(p), "produce",
+                     "--source", "pg-socket", "--once"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["events"] == 2 and out["flushed_lsn"] > 0
+        got = (spark.read.schema(
+            "schema string, table string, action string, before string, "
+            "after string, event_unixtime long")
+            .json(str(ev_dir)).orderBy("event_unixtime", "action").collect())
+        assert [r["action"] for r in got] == ["insert", "update"]
+        # exact Begin commit time, not a consume-side fallback
+        assert got[0]["event_unixtime"] == 1_704_067_201_000_000
+        assert json.loads(got[1]["before"]) == {"id": "1"}
+        assert json.loads(got[1]["after"])["name"] == "alicia"
+        assert 'LOGICAL pgoutput' in srv.create_slot_sql[0]
+        assert "proto_version" in srv.start_replication_sql[-1]
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()
