@@ -586,15 +586,34 @@ def cmd_replay_wal(args) -> int:
     the standard offline WAL artifact. ``events.wal2json_to_raw``
     decodes it in pure Column algebra (distributed text scan, no
     driver parsing), and the emitted events land in the same sink
-    boundary ``produce`` uses."""
+    boundary ``produce`` uses.
+
+    ``--plugin pgoutput`` replays a binary pgoutput frame archive
+    instead (the artifact the pg-socket tail or any of our tooling
+    writes via ``sources.pgoutput.write_pgoutput_frames`` — binary
+    messages cannot ride line files): distributed ordered decode, one
+    frame file per task (``pgoutput_files_to_raw``), exact Begin
+    commit timestamps. ``--follow`` stays wal2json-only (a binary
+    frame file is not safely cuttable mid-write the way a line file
+    is; frame archives ship whole files, like replay-binlog)."""
     from synch_spark.events import filter_tables, wal2json_to_raw
 
     raw = _load(args.config)
     _validate_sink(raw, args.sink, "replay-wal")
+    if args.follow and getattr(args, "plugin", "wal2json") == "pgoutput":
+        print("replay-wal --follow supports wal2json line dumps only; "
+              "ship whole pgoutput frame files with plain replay-wal",
+              file=sys.stderr)
+        return 2
     spark = get_spark("synch-replay-wal")
     if args.follow:
         return _replay_wal_follow(args, spark, raw)
-    events = wal2json_to_raw(spark.read.text(args.path))
+    if getattr(args, "plugin", "wal2json") == "pgoutput":
+        from synch_spark.sources.pgoutput import pgoutput_files_to_raw
+
+        events = pgoutput_files_to_raw(spark, args.path)
+    else:
+        events = wal2json_to_raw(spark.read.text(args.path))
     events = filter_tables(
         events,
         only_schemas=_csv(args.schema),
@@ -1702,6 +1721,11 @@ def main(argv=None) -> int:
         help="decode an offline wal2json dump (pg_recvlogical -f) into the broker boundary",
     )
     rw.add_argument("--path", required=True, help="wal2json dump file/dir/glob")
+    rw.add_argument(
+        "--plugin", choices=["wal2json", "pgoutput"], default="wal2json",
+        help="wal2json: line dump (pg_recvlogical -f); pgoutput: binary "
+             "frame archive (write_pgoutput_frames)",
+    )
     rw.add_argument(
         "--sink", choices=["spool", "kafka", "redis"], default="spool",
         help="same boundary as produce: spool (events_dir) / kafka / redis",

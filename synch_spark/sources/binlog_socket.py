@@ -25,9 +25,14 @@ Protocol scope (deliberate):
   streams everything it has and EOFs — the availableNow shape. The
   ``follow`` loop re-dumps from the advanced cursor each round, giving
   a live tail with poll-interval lag and crash-safe (file, pos) resume.
-- GTID mode is NOT required on the server; file+pos is the resume key
-  (COM_BINLOG_DUMP_GTID is a non-goal — the reference resumes by
-  file+pos too, synch/reader/mysql.py:137-141).
+- GTID mode is NOT required on the server — file+pos is the default
+  resume key (the reference resumes by file+pos too,
+  synch/reader/mysql.py:137-141) — but when it IS on,
+  COM_BINLOG_DUMP_GTID auto-position is supported: the executed-GTID
+  set becomes the cursor, which survives a master failover or binlog
+  renumbering that a (file, pos) cursor cannot (dump_events_gtid;
+  the reference gets the same from BinLogStreamReader's
+  auto_position=).
 
 Stream framing → decode: packets arrive as [0x00][binlog event bytes].
 Events buffer until a transaction boundary (XID / QUERY / ROTATE /
@@ -58,15 +63,85 @@ _CLIENT_PLUGIN_AUTH = 0x00080000
 
 _COM_QUERY = 0x03
 _COM_BINLOG_DUMP = 0x12
+_COM_BINLOG_DUMP_GTID = 0x1E
 _BINLOG_DUMP_NON_BLOCK = 0x01
+_BINLOG_THROUGH_GTID = 0x04
 
 _EV_ROTATE = 0x04
 _EV_XID = 0x10
 _EV_STOP = 0x03
+_EV_GTID = 0x21           # GTID_LOG_EVENT
+_EV_PREVIOUS_GTIDS = 0x23
 
 
 class BinlogProtocolError(ConnectionError):
     """Server spoke something this client cannot continue from."""
+
+
+# --- GTID sets (auto-position resume) -------------------------------------
+#
+# Text form "uuid:1-5:9,uuid2:3" ↔ {sid: [(start, end) inclusive]}.
+# The wire encoding (COM_BINLOG_DUMP_GTID payload, MySQL's
+# Gtid_set::encode) is all little-endian with EXCLUSIVE interval ends:
+#   n_sids(8) then per sid: raw uuid(16), n_intervals(8),
+#   per interval: start(8), end+1(8).
+
+def parse_gtid_set(text: str) -> dict[str, list[tuple[int, int]]]:
+    import uuid as _uuid
+
+    out: dict[str, list[tuple[int, int]]] = {}
+    for part in (text or "").replace("\n", "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        sid, _, ivs = part.partition(":")
+        sid = str(_uuid.UUID(sid))  # normalize case/format, validate
+        spans = out.setdefault(sid, [])
+        for iv in ivs.split(":"):
+            if not iv:
+                raise BinlogProtocolError(f"bad GTID set component {part!r}")
+            a, _, b = iv.partition("-")
+            spans.append((int(a), int(b) if b else int(a)))
+        out[sid] = _normalize_intervals(spans)
+    return out
+
+
+def _normalize_intervals(spans: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    spans = sorted(spans)
+    merged: list[tuple[int, int]] = []
+    for a, b in spans:
+        if merged and a <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+        else:
+            merged.append((a, b))
+    return merged
+
+
+def format_gtid_set(gs: dict[str, list[tuple[int, int]]]) -> str:
+    parts = []
+    for sid in sorted(gs):
+        ivs = ":".join(f"{a}-{b}" if b > a else str(a) for a, b in gs[sid])
+        if ivs:
+            parts.append(f"{sid}:{ivs}")
+    return ",".join(parts)
+
+
+def encode_gtid_set(gs: dict[str, list[tuple[int, int]]]) -> bytes:
+    import uuid as _uuid
+
+    out = struct.pack("<Q", len(gs))
+    for sid in sorted(gs):
+        out += _uuid.UUID(sid).bytes
+        out += struct.pack("<Q", len(gs[sid]))
+        for a, b in gs[sid]:
+            out += struct.pack("<QQ", a, b + 1)  # wire end is exclusive
+    return out
+
+
+def add_gtid(gs: dict[str, list[tuple[int, int]]], sid: str, gno: int) -> None:
+    spans = gs.setdefault(sid, [])
+    spans.append((gno, gno))
+    gs[sid] = _normalize_intervals(spans)
 
 
 def _native_password(scramble: bytes, password: str) -> bytes:
@@ -259,6 +334,13 @@ class BinlogSocketClient:
         self.ssl_ca = ssl_ca
         self.conn: _Conn | None = None
         self.position: tuple[str, int] | None = None
+        #: GTIDs of transactions FULLY streamed to this client — the
+        #: auto-position resume cursor. A transaction's GTID merges in
+        #: only once the next GTID event (or a clean dump EOF) proves
+        #: the whole transaction arrived; a torn connection leaves the
+        #: in-flight GTID out, so the next dump replays it.
+        self.gtid_executed: dict[str, list[tuple[int, int]]] = {}
+        self._pending_gtid: tuple[str, int] | None = None
 
     # -- session setup -----------------------------------------------------
     def _auth_token(self, plugin: str, scramble: bytes) -> bytes:
@@ -364,12 +446,58 @@ class BinlogSocketClient:
         req += filename.encode()
         self.conn.write_packet(req, seq=0)
         self.position = (filename, max(4, int(pos)))
+        yield from self._recv_events()
+
+    def dump_events_gtid(self, gtid_set,
+                         non_blocking: bool = True) -> Iterator[bytes]:
+        """COM_BINLOG_DUMP_GTID: auto-position resume. The server is
+        handed the client's executed-GTID set and streams every
+        transaction NOT in it — no file/pos bookkeeping, and the cursor
+        survives a master failover or a binlog purge+restore, which a
+        (file, pos) cursor does not (files are renumbered per server).
+        The reference gets this from BinLogStreamReader's
+        auto_position= (python-mysql-replication); here the payload is
+        built directly: flags with BINLOG_THROUGH_GTID, empty filename
+        + pos 4 (auto-position convention), and the Gtid_set::encode
+        SID block.
+
+        ``gtid_set`` is the text form ("uuid:1-5,uuid2:3") or an
+        already-parsed dict. ``self.gtid_executed`` tracks completed
+        transactions as the stream advances — read it (via
+        format_gtid_set) AFTER the round's events are durably emitted
+        and persist it as the next round's cursor."""
+        if self.conn is None:
+            self.connect()
+        assert self.conn is not None
+        gs = parse_gtid_set(gtid_set) if isinstance(gtid_set, str) else {
+            sid: list(iv) for sid, iv in gtid_set.items()}
+        self.gtid_executed = gs
+        self._pending_gtid = None
+        flags = _BINLOG_THROUGH_GTID | (
+            _BINLOG_DUMP_NON_BLOCK if non_blocking else 0)
+        data = encode_gtid_set(gs)
+        req = bytes([_COM_BINLOG_DUMP_GTID])
+        req += struct.pack("<HI", flags, self.server_id)
+        req += struct.pack("<I", 0)            # empty filename
+        req += struct.pack("<Q", 4)            # pos 4: auto-position
+        req += struct.pack("<I", len(data)) + data
+        self.conn.write_packet(req, seq=0)
+        self.position = ("", 4)
+        yield from self._recv_events()
+
+    def _recv_events(self) -> Iterator[bytes]:
         crc = 0  # CRC32 trailer length, learned from the streamed FDE
         while True:
             pkt = self.conn.read_packet()
             first = pkt[:1]
             if first == b"\xfe" and len(pkt) < 9:
-                return  # EOF: caught up (non-blocking dump)
+                # EOF: caught up (non-blocking dump). Everything the
+                # server had is streamed, so the in-flight GTID — if
+                # any — is complete and joins the executed set.
+                if self._pending_gtid is not None:
+                    add_gtid(self.gtid_executed, *self._pending_gtid)
+                    self._pending_gtid = None
+                return
             if first == b"\xff":
                 code = int.from_bytes(pkt[1:3], "little")
                 raise BinlogProtocolError(
@@ -405,6 +533,20 @@ class BinlogSocketClient:
                     nxt_pos = int.from_bytes(body[:8], "little")
                     fname_s = body[8:].decode("ascii", "replace")
                     self.position = (fname_s, int(nxt_pos))
+                elif etype == _EV_GTID and len(ev) >= 19 + 25:
+                    # body: flags(1) + SID(16) + GNO(8, little-endian).
+                    # A NEW GTID event proves the PREVIOUS transaction
+                    # streamed completely — merge it; this one stays
+                    # pending until its own successor or a clean EOF.
+                    import uuid as _uuid
+                    body = ev[19:]
+                    sid = str(_uuid.UUID(bytes=bytes(body[1:17])))
+                    gno = int.from_bytes(body[17:25], "little")
+                    if self._pending_gtid is not None:
+                        add_gtid(self.gtid_executed, *self._pending_gtid)
+                    self._pending_gtid = (sid, gno)
+                    if log_pos:
+                        self.position = (self.position[0], log_pos)
                 elif log_pos:
                     self.position = (self.position[0], log_pos)
             yield ev
@@ -424,6 +566,7 @@ def stream_raw_events(
     only_tables: tuple[str, ...] = (),
     non_blocking: bool = True,
     on_position: Callable[[str, int], None] | None = None,
+    gtid_set: str | None = None,
 ) -> Iterator[dict]:
     """Dump from (filename, pos) and yield decoded raw event dicts
     (RAW_EVENT_SCHEMA: schema/table/action/before/after/event_unixtime)
@@ -471,7 +614,10 @@ def stream_raw_events(
                 only_tables=only_tables):
             yield restamp(e)
 
-    for ev in client.dump_events(filename, pos, non_blocking=non_blocking):
+    dump = (client.dump_events_gtid(gtid_set, non_blocking=non_blocking)
+            if gtid_set is not None
+            else client.dump_events(filename, pos, non_blocking=non_blocking))
+    for ev in dump:
         if len(ev) < 19:
             continue
         etype = ev[4]

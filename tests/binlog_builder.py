@@ -178,6 +178,17 @@ class BinlogBuilder:
         body += db.encode() + b"\x00" + sql.encode()
         self._event(B.EV_QUERY, body)
 
+    def gtid(self, sid: str, gno: int) -> None:
+        """GTID_LOG_EVENT (0x21): flags(1) + SID(16) + GNO(8 LE)."""
+        import uuid as _uuid
+
+        body = b"\x01" + _uuid.UUID(sid).bytes + gno.to_bytes(8, "little")
+        self._event(0x21, body)
+
+    def xid(self, xid: int = 1) -> None:
+        """XID_EVENT (0x10): the transaction commit marker."""
+        self._event(0x10, struct.pack("<Q", xid))
+
     def bytes(self) -> bytes:
         return bytes(self.out)
 

@@ -46,6 +46,29 @@ def _split_events(file_bytes: bytes) -> list[tuple[int, bytes]]:
     return out
 
 
+def _decode_gtid_set(b: bytes) -> dict:
+    """Independent (test-side) decode of Gtid_set::encode — never the
+    production encoder reading its own bytes."""
+    import uuid as _uuid
+
+    (n,) = struct.unpack_from("<Q", b, 0)
+    p = 8
+    out: dict = {}
+    for _ in range(n):
+        sid = str(_uuid.UUID(bytes=b[p:p + 16])); p += 16
+        (ni,) = struct.unpack_from("<Q", b, p); p += 8
+        ivs = []
+        for _ in range(ni):
+            a, e = struct.unpack_from("<QQ", b, p); p += 16
+            ivs.append((a, e - 1))  # wire end is exclusive
+        out[sid] = ivs
+    return out
+
+
+def _in_gtid_set(gs: dict, sid: str, gno: int) -> bool:
+    return any(a <= gno <= b for a, b in gs.get(sid, []))
+
+
 class FakeMysqlServer(threading.Thread):
     """One-connection-at-a-time replication master.
 
@@ -70,6 +93,8 @@ class FakeMysqlServer(threading.Thread):
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
         self.dump_requests: list[tuple[str, int, int]] = []
+        #: (fname, pos, flags, decoded gtid set) per COM_BINLOG_DUMP_GTID
+        self.gtid_requests: list[tuple] = []
         self.stop_evt = threading.Event()
 
     # -- packet helpers ----------------------------------------------------
@@ -196,6 +221,48 @@ class FakeMysqlServer(threading.Thread):
             if cmd[0] == 0x03:  # COM_QUERY
                 self._send(conn, 1, b"\x00\x00\x00\x02\x00\x00\x00")
                 continue
+            if cmd[0] == 0x1E:  # COM_BINLOG_DUMP_GTID (auto-position)
+                flags, _sid = struct.unpack_from("<HI", cmd, 1)
+                (fname_len,) = struct.unpack_from("<I", cmd, 7)
+                fname = cmd[11:11 + fname_len].decode()
+                p = 11 + fname_len
+                (pos,) = struct.unpack_from("<Q", cmd, p); p += 8
+                (dsize,) = struct.unpack_from("<I", cmd, p); p += 4
+                gs = _decode_gtid_set(cmd[p:p + dsize])
+                self.gtid_requests.append((fname, pos, flags, gs))
+                events = _split_events(self.binlog)
+                fde = next(e for _, e in events
+                           if e[4] == B.EV_FORMAT_DESCRIPTION)
+                seq = 1
+                self._send(conn, seq, b"\x00" + fde)
+                seq += 1
+                # group the fixture into GTID-prefixed transactions and
+                # serve only those NOT in the client's executed set —
+                # the master-side auto-position skip semantics
+                cur_gtid, group = None, []
+                groups: list[tuple] = []
+                for _start, ev in events:
+                    if ev[4] == B.EV_FORMAT_DESCRIPTION:
+                        continue
+                    if ev[4] == 0x21:  # GTID event starts a transaction
+                        if group:
+                            groups.append((cur_gtid, group))
+                        import uuid as _u
+                        cur_gtid = (str(_u.UUID(bytes=ev[20:36])),
+                                    int.from_bytes(ev[36:44], "little"))
+                        group = [ev]
+                    else:
+                        group.append(ev)
+                if group:
+                    groups.append((cur_gtid, group))
+                for g, evs in groups:
+                    if g is not None and _in_gtid_set(gs, *g):
+                        continue
+                    for ev in evs:
+                        self._send(conn, seq, b"\x00" + ev)
+                        seq += 1
+                self._send(conn, seq, b"\xfe\x00\x00\x02\x00")  # EOF
+                return
             if cmd[0] == 0x12:  # COM_BINLOG_DUMP
                 pos, flags, sid = struct.unpack_from("<IHI", cmd, 1)
                 fname = cmd[11:].decode()
@@ -553,3 +620,141 @@ def test_restamp_monotone_across_many_chunks(server):
     stamps = [e["event_unixtime"] for e in got]
     assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps), \
         "stamps must be strictly increasing across chunk boundaries"
+
+
+# -- GTID auto-position (COM_BINLOG_DUMP_GTID) --------------------------------
+
+SID1 = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+
+def _gtid_fixture_binlog() -> bytes:
+    b = BinlogBuilder()
+    cols = [("id", B.T_LONG, 0), ("name", B.T_VARCHAR, 64)]
+    b.gtid(SID1, 1)
+    b.table_map(9, "db", "t", cols, names_tlv=True)
+    b.insert(9, (1, "alice"))
+    b.xid(1)
+    b.gtid(SID1, 2)
+    b.table_map(9, "db", "t", cols, names_tlv=True)
+    b.insert(9, (2, "bob"))
+    b.xid(2)
+    b.gtid(SID1, 3)
+    b.table_map(9, "db", "t", cols, names_tlv=True)
+    b.delete(9, (1, "alice"))
+    b.xid(3)
+    return b.bytes()
+
+
+def test_gtid_set_text_roundtrip_and_merge():
+    from synch_spark.sources.binlog_socket import (
+        add_gtid, format_gtid_set, parse_gtid_set,
+    )
+
+    gs = parse_gtid_set(f"{SID1}:1-5:9, {SID1.upper()}:7")
+    # same UUID in different case folds into one entry; 5,7 stay split
+    # until 6 bridges them
+    assert gs == {SID1: [(1, 5), (7, 7), (9, 9)]}
+    add_gtid(gs, SID1, 6)
+    assert gs[SID1] == [(1, 7), (9, 9)]
+    assert format_gtid_set(gs) == f"{SID1}:1-7:9"
+    assert parse_gtid_set(format_gtid_set(gs)) == gs
+    assert parse_gtid_set("") == {}
+
+
+def test_gtid_wire_encoding_roundtrip():
+    from synch_spark.sources.binlog_socket import encode_gtid_set, parse_gtid_set
+
+    gs = parse_gtid_set(f"{SID1}:1-5:9")
+    assert _decode_gtid_set(encode_gtid_set(gs)) == gs
+
+
+def test_gtid_dump_from_empty_set_streams_all_and_tracks_executed():
+    srv = FakeMysqlServer(_gtid_fixture_binlog())
+    srv.start()
+    try:
+        cli = BinlogSocketClient("127.0.0.1", srv.port, USER, PASSWORD,
+                                 server_id=99)
+        got = list(stream_raw_events(cli, "", 4, gtid_set=""))
+        from synch_spark.sources.binlog_socket import format_gtid_set
+        executed = format_gtid_set(cli.gtid_executed)
+        cli.close()
+        assert [(e["action"], e["after"] or e["before"]) for e in got] == [
+            ("insert", '{"id": 1, "name": "alice"}'),
+            ("insert", '{"id": 2, "name": "bob"}'),
+            ("delete", '{"id": 1, "name": "alice"}'),
+        ]
+        assert executed == f"{SID1}:1-3"
+        fname, pos, flags, gs = srv.gtid_requests[-1]
+        assert fname == "" and pos == 4 and flags & 0x04 and gs == {}
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()
+
+
+def test_gtid_dump_resume_skips_executed_transactions():
+    srv = FakeMysqlServer(_gtid_fixture_binlog())
+    srv.start()
+    try:
+        cli = BinlogSocketClient("127.0.0.1", srv.port, USER, PASSWORD,
+                                 server_id=99)
+        got = list(stream_raw_events(cli, "", 4, gtid_set=f"{SID1}:1-2"))
+        from synch_spark.sources.binlog_socket import format_gtid_set
+        executed = format_gtid_set(cli.gtid_executed)
+        cli.close()
+        # only transaction 3 (the delete) is new
+        assert [(e["action"]) for e in got] == ["delete"]
+        assert executed == f"{SID1}:1-3"
+        gs = srv.gtid_requests[-1][3]
+        assert gs == {SID1: [(1, 2)]}
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()
+
+
+def test_cli_produce_mysql_socket_auto_position(tmp_path, capsys, spark):
+    """auto_position: true — the GTID set is the durable cursor: round
+    1 streams everything and persists the executed set; round 2 (a new
+    process/connection) hands that set back and receives nothing."""
+    import json
+    import yaml
+
+    from synch_spark.cli import main
+
+    srv = FakeMysqlServer(_gtid_fixture_binlog())
+    srv.start()
+    try:
+        ev_dir = tmp_path / "events"
+        cfg = {
+            "core": {"insert_num": 1000, "insert_interval": 1},
+            "source_dbs": [{"databases": [{"database": "db", "tables": [
+                {"table": "t", "pk": ["id"]}]}]}],
+            "spark": {
+                "warehouse": str(tmp_path / "wh"),
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "events_dir": str(ev_dir),
+                "sources": {},
+                "mysql_socket": {"host": "127.0.0.1", "port": srv.port,
+                                 "user": USER, "password": PASSWORD,
+                                 "auto_position": True, "gtid_set": ""},
+            },
+        }
+        p = tmp_path / "synch.yaml"
+        p.write_text(yaml.dump(cfg))
+        assert main(["--config", str(p), "produce",
+                     "--source", "mysql-socket", "--once"]) == 0
+        out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out1["events"] == 3
+        assert out1["cursor"]["gtid_set"] == f"{SID1}:1-3"
+        cur = json.loads((tmp_path / "wh" /
+                          "_binlog_socket_cursor.json").read_text())
+        assert cur["gtid_set"] == f"{SID1}:1-3"
+        # round 2: the persisted set goes back to the server; nothing new
+        assert main(["--config", str(p), "produce",
+                     "--source", "mysql-socket", "--once"]) == 0
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out2["events"] == 0
+        assert out2["cursor"]["gtid_set"] == f"{SID1}:1-3"
+        assert srv.gtid_requests[-1][3] == {SID1: [(1, 3)]}
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()

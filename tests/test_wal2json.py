@@ -183,3 +183,72 @@ def test_wal2json_format_version_2(spark):
     assert json.loads(upd["before"]) == {"id": "1"}
     assert json.loads(upd["after"])["amount"] == "11.00"
     assert dele["after"] is None and json.loads(dele["before"]) == {"id": "1"}
+
+
+def test_cli_replay_wal_pgoutput_frames_to_consume(spark, tmp_path):
+    """CLI e2e: replay-wal --plugin pgoutput replays a binary frame
+    archive distributed (one file per task, exact Begin commit
+    timestamps) into the spool, and consume applies it — the pgoutput
+    analog of the wal2json path above. --follow with pgoutput is
+    refused (frame files are not safely cuttable mid-write)."""
+    import yaml
+    from pyspark.sql import types as T
+
+    from synch_spark.cli import main
+    from synch_spark.sources.pgoutput import write_pgoutput_frames
+    from tests.test_pgoutput import (
+        enc_begin,
+        enc_commit,
+        enc_delete,
+        enc_insert,
+        enc_relation,
+        enc_update,
+    )
+
+    rel = enc_relation(16501, "public", "test",
+                       [(1, "id", 20, -1), (0, "name", 25, -1)])
+    ts0 = 1_709_251_200_000_000  # 2024-03-01T00:00:00Z
+    d = tmp_path / "wal"
+    d.mkdir()
+    write_pgoutput_frames(str(d / "round.000001.pgo"), [
+        rel, enc_begin(ts0),
+        enc_insert(16501, ["1", "a"]),
+        enc_insert(16501, ["2", "b"]),
+        enc_commit()])
+    write_pgoutput_frames(str(d / "round.000002.pgo"), [
+        rel, enc_begin(ts0 + 1_000_000),
+        enc_update(16501, ["2", "b2"], old=["2", None], old_kind=b"K"),
+        enc_commit(),
+        enc_begin(ts0 + 2_000_000),
+        enc_delete(16501, ["1", None]),
+        enc_commit()])
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "public", "tables": [
+            {"table": "test", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "value_schemas": {"public.test": vschema.jsonValue()},
+            "value_parse": "string",
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "replay-wal", "--path", str(d),
+                 "--plugin", "pgoutput"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+
+    from synch_spark.sources.table import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "wh" / "public" / "test"))
+    rows = sorted((r["id"], r["name"]) for r in t.read().collect())
+    assert rows == [(2, "b2")]
+
+    assert main(["--config", str(p), "replay-wal", "--path", str(d),
+                 "--plugin", "pgoutput", "--follow"]) == 2
