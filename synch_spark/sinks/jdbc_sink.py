@@ -232,6 +232,21 @@ class JdbcSink:
             return f"{self.target_table} ON CLUSTER {self.cluster_name}"
         return self.target_table
 
+    def truncate(self) -> None:
+        """TRUNCATE the sunk target — the DDL-barrier apply for a
+        source-side TRUNCATE (MySQL binlog QUERY event / pgoutput
+        Truncate message). Naturally idempotent under at-least-once
+        replay: truncating an already-empty table is a no-op. Same
+        shard fan-out rule as apply_ddl — ON CLUSTER propagates on
+        clickhouse, otherwise every shard url gets the statement."""
+        if self.cluster_name and self.dialect == "clickhouse":
+            targets = [self.url]
+        else:
+            targets = list(self.urls)
+        for target_url in targets:
+            self._execute([(f"TRUNCATE TABLE {self._ddl_table()}", [])],
+                          url=target_url)
+
     def distributed_table_sql(self, schema: str, table: str) -> str:
         """The reference's Distributed-table DDL
         (/root/reference/synch/writer/__init__.py:129-131): a

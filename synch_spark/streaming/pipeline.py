@@ -25,6 +25,7 @@ Parity map (SURVEY §2.3-§2.4, reference EP3
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -35,6 +36,11 @@ from synch_spark.events import RAW_EVENT_SCHEMA, filter_dml, parse_values, split
 from synch_spark.operators.cdc_apply import apply_cdc_batch
 from synch_spark.sources.schema_evolution import TableSchema, evolve_schema
 from synch_spark.sources.table import ParquetTable
+
+#: TRUNCATE [TABLE] [`db`.]`tbl` — MySQL QUERY-event and pgoutput forms
+_TRUNCATE_RE = re.compile(
+    r"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?[`\"']?[\w$]+[`\"']?"
+    r"(?:\s*\.\s*[`\"']?[\w$]+[`\"']?)?\s*;?\s*$")
 
 MONITOR_SCHEMA = T.StructType(
     [
@@ -379,6 +385,32 @@ class CdcPipeline:
             )
         )
 
+    def _apply_truncate(self, spec: TableSpec) -> None:
+        """TRUNCATE under the DDL barrier: empty the target. Arrives
+        from the MySQL binlog as a QUERY event and from pgoutput's
+        Truncate message — both carry the 'query' action, so it rides
+        the same barrier ALTER does (batches before it still see the
+        rows; batches after see none). The managed table commits a new
+        EMPTY version — history keeps the pre-truncate version, so time
+        travel/restore still reach the old rows, matching every other
+        destructive op on the store. A JDBC-sunk table gets the dialect
+        statement on every shard (idempotent under replay: truncating
+        an empty table is a no-op)."""
+        sink = self.jdbc_sinks.get(spec.qualified_name)
+        if sink is not None:
+            sink.truncate()
+            return
+        table = self.table_for(spec)
+        if table.exists:
+            from synch_spark.sources.table import commit_with_retry
+
+            def wipe():
+                base = table.current_version()
+                table.overwrite(table.read().limit(0), spec.partition_by,
+                                expected_base=base)
+
+            commit_with_retry(wipe, retries=3)
+
     def _apply_ddl(self, row) -> None:
         """W7: ALTER arrives as values={"query": "<sql>"} on the stream.
 
@@ -401,6 +433,9 @@ class CdcPipeline:
         if spec is None:
             return
         sql = json.loads(row["after"])["query"]
+        if _TRUNCATE_RE.match(sql):
+            self._apply_truncate(spec)
+            return
         try:
             ops = parse_alter(sql)
         except ValueError as e:

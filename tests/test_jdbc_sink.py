@@ -437,3 +437,20 @@ def test_cluster_mode_contract(spark):
         plain.distributed_table_sql("db", "t")
     with pytest.raises(ValueError):
         JdbcSink(spark, [], "db.t")
+
+
+def test_jdbc_sink_truncate(spark, tmp_path):
+    """A source-side TRUNCATE reaches the JDBC target as the dialect
+    statement; replaying it on the already-empty table is a no-op."""
+    url = f"jdbc:derby:{tmp_path}/truncdb;create=true"
+    try:
+        spark.range(3).select(F.col("id").alias("ID")).write.format("jdbc") \
+            .option("url", url).option("dbtable", "APP.TR").mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"embedded Derby unavailable: {str(e).splitlines()[0]}")
+    sink = JdbcSink(spark, url, "APP.TR")
+    sink.truncate()
+    sink.truncate()  # at-least-once replay: truncating empty is a no-op
+    back = spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", "APP.TR").load()
+    assert back.count() == 0

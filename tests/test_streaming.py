@@ -547,3 +547,59 @@ def test_value_schema_restored_from_table_after_restart(spark, tmp_path):
     got = {r["id"]: r["note"] for r in t.read().collect()}
     assert got[3] == "post-restart", f"note column silently dropped: {got}"
     assert got[2] == "pre-restart"
+
+
+def test_truncate_empties_target_under_barrier(spark, tmp_path):
+    """TRUNCATE arrives as a 'query' action (MySQL binlog QUERY event /
+    pgoutput Truncate message) and rides the DDL barrier: rows before
+    it apply, the target empties, rows after it repopulate. The
+    pre-truncate version stays reachable through time travel (with
+    retention deep enough to hold it — the default retain=2 ages it
+    out after the truncate + repopulate commits, as it would any other
+    superseded version)."""
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="t", pk=("id",),
+                            engine=Engine.REPLACING_MERGE_TREE, retain=5))
+    pipeline = CdcPipeline(
+        spark=spark, cfg=cfg, warehouse=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        value_schemas={"db.t": VALUE_SCHEMA},
+    )
+    batch = _raw_df(spark, [
+        ("db", "t", "insert", None, {"id": 1, "amount": 1.0}, 100),
+        ("db", "t", "insert", None, {"id": 2, "amount": 2.0}, 101),
+        ("db", "t", "query", None, {"query": "TRUNCATE TABLE db.t"}, 150),
+        ("db", "t", "insert", None, {"id": 9, "amount": 9.0}, 200),
+    ])
+    pipeline.apply_batch(batch, 0)
+    # read handle needs the same retention window, or versions() clips
+    # to the default retain=2 and the pre-truncate version is invisible
+    t = ParquetTable(spark, str(tmp_path / "wh" / "db" / "t"), retain=5)
+    assert {r["id"] for r in t.read().collect()} == {9}
+    # nothing dead-lettered: the statement APPLIED
+    dl = ParquetTable(spark, str(tmp_path / "wh" / "_synch_dead_letter_ddl"))
+    assert not dl.exists
+    # the pre-truncate state survives in history (destructive ops on
+    # the store are always version-reversible)
+    pre = [v for v in t.versions() if
+           {r["id"] for r in t.read(version=v).collect()} == {1, 2}]
+    assert pre, "no version holds the pre-truncate rows"
+
+
+def test_truncate_statement_forms(spark, tmp_path, pipeline):
+    """MySQL emits `TRUNCATE TABLE `db`.`t``, pgoutput synthesizes
+    `TRUNCATE db.t`, bare `TRUNCATE t` is also legal — all must apply,
+    while TRUNCATE-prefixed non-statements must not."""
+    from synch_spark.streaming.pipeline import _TRUNCATE_RE
+
+    for sql in ("TRUNCATE TABLE db.t", "TRUNCATE db.t", "truncate t;",
+                "TRUNCATE TABLE `db`.`t`", 'TRUNCATE "db"."t"'):
+        assert _TRUNCATE_RE.match(sql), sql
+    for sql in ("TRUNCATE TABLE db.t CASCADE RESTART IDENTITY EXTRA junk",
+                "ALTER TABLE db.t ADD COLUMN x int"):
+        assert not _TRUNCATE_RE.match(sql), sql
+    # a truncate for an untracked table is ignored (spec is None)
+    batch = _raw_df(spark, [
+        ("db", "other", "query", None, {"query": "TRUNCATE db.other"}, 100),
+    ])
+    pipeline.apply_batch(batch, 0)  # must not raise
