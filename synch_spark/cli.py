@@ -256,6 +256,16 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
               "gtid_set; remove the cursor file to restart from "
               "spark.mysql_socket.gtid_set", file=sys.stderr)
         return 2
+    if not auto_position and gtid_cursor is not None and not fname:
+        # the mirror-image downgrade: a GTID-mode cursor (file may be
+        # "" — no ROTATE seen) cannot seed a file/pos dump; an empty
+        # filename would make the server re-stream from the FIRST
+        # binlog — silent full-history duplicates
+        print("cursor was written by auto_position mode (gtid_set "
+              "present, no file); re-enable auto_position: true or "
+              "remove the cursor file and seed file/pos",
+              file=sys.stderr)
+        return 2
     only_schemas = tuple(s.schema for s in cfg.tables.values())
     only_tables = tuple(s.table for s in cfg.tables.values())
     # servers without binlog_row_metadata=FULL (MINIMAL is the default)
@@ -355,7 +365,7 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
     import time as _time
 
     from synch_spark.events import RAW_EVENT_SCHEMA, filter_tables, wal2json_to_raw
-    from synch_spark.sources.pgoutput import iter_pgoutput_changes
+    from synch_spark.sources.pgoutput import PgoutputError, iter_pgoutput_changes
     from synch_spark.sources.wal_socket import WalProtocolError, WalSocketClient
 
     pg = (raw.get("spark") or {}).get("pg_socket")
@@ -424,7 +434,12 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
                     client.ack()
                 except OSError:
                     pass
-        except WalProtocolError as e:
+        except (WalProtocolError, PgoutputError) as e:
+            # PgoutputError: a payload the decoder rejects (unknown
+            # message letter, stale Relation arity after a mid-round
+            # schema change) must fail the ROUND, not the process —
+            # same contract as a protocol error; the un-acked slot
+            # replays the round
             print(f"pg socket round {i} failed: {e}", file=sys.stderr)
             return 1
         finally:

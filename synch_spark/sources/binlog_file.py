@@ -61,6 +61,14 @@ from typing import Iterator
 # keeping a copy that could drift when ddl.py's pattern evolves
 from synch_spark.ddl import _ALTER_RE as _ALTER_TARGET_RE
 
+# TRUNCATE [TABLE] [db.]tbl — the other QUERY-event statement the
+# pipeline applies (streaming DDL barrier empties the target); without
+# target recovery the event's table field would be "" and the
+# only_tables filter / spec routing would silently drop it.
+_TRUNCATE_TARGET_RE = re.compile(
+    r"^\s*truncate\s+(?:table\s+)?(?:`?(\w+)`?\.)?`?(\w+)`?\s*;?\s*$",
+    re.I)
+
 # --- event type codes (binlog v4) ----------------------------------------
 EV_QUERY = 0x02
 EV_ROTATE = 0x04
@@ -774,7 +782,7 @@ def iter_binlog_events(
             # qualifier wins over the session default database, so
             # `USE ops; ALTER TABLE app.users ...` filters as 'app',
             # not 'ops' (and never leaks an out-of-allow-list schema).
-            m = _ALTER_TARGET_RE.match(sql)
+            m = _ALTER_TARGET_RE.match(sql) or _TRUNCATE_TARGET_RE.match(sql)
             tbl = ""
             if m:
                 if m.group(1):

@@ -70,8 +70,10 @@ _BINLOG_THROUGH_GTID = 0x04
 _EV_ROTATE = 0x04
 _EV_XID = 0x10
 _EV_STOP = 0x03
-_EV_GTID = 0x21           # GTID_LOG_EVENT
-_EV_PREVIOUS_GTIDS = 0x23
+# GTID_LOG_EVENT. (PREVIOUS_GTIDS 0x23 needs no handling: it is
+# informational — the resume cursor is built from the GTID events of
+# the transactions this client actually streamed.)
+_EV_GTID = 0x21
 
 
 class BinlogProtocolError(ConnectionError):
@@ -94,14 +96,20 @@ def parse_gtid_set(text: str) -> dict[str, list[tuple[int, int]]]:
         part = part.strip()
         if not part:
             continue
-        sid, _, ivs = part.partition(":")
-        sid = str(_uuid.UUID(sid))  # normalize case/format, validate
-        spans = out.setdefault(sid, [])
-        for iv in ivs.split(":"):
-            if not iv:
-                raise BinlogProtocolError(f"bad GTID set component {part!r}")
-            a, _, b = iv.partition("-")
-            spans.append((int(a), int(b) if b else int(a)))
+        # one error type for every malformed component: callers (the
+        # CLI round loop) catch BinlogProtocolError, not bare ValueError
+        try:
+            sid, _, ivs = part.partition(":")
+            sid = str(_uuid.UUID(sid))  # normalize case/format, validate
+            spans = out.setdefault(sid, [])
+            for iv in ivs.split(":"):
+                if not iv:
+                    raise ValueError("empty interval component")
+                a, _, b = iv.partition("-")
+                spans.append((int(a), int(b) if b else int(a)))
+        except ValueError as e:
+            raise BinlogProtocolError(
+                f"bad GTID set component {part!r}: {e}") from e
         out[sid] = _normalize_intervals(spans)
     return out
 

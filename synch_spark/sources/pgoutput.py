@@ -180,6 +180,7 @@ def iter_pgoutput_changes(
     relations: dict[int, Relation] | None = None,
     fallback_unixtime_us: int | None = None,
     sub_base: int = 0,
+    per_payload_tx: bool = False,
 ) -> Iterator[dict]:
     """Ordered decode: pgoutput payloads → RAW_EVENT_SCHEMA dicts.
 
@@ -196,6 +197,12 @@ def iter_pgoutput_changes(
     seen, else ``fallback_unixtime_us + seq`` with a monotone per-call
     sequence (the no-timestamp wal2json convention — ties between two
     updates to one pk would otherwise collapse under last-wins).
+
+    ``per_payload_tx=True`` resets the open-transaction timestamp at
+    every payload boundary — for the DISTRIBUTED per-payload decode,
+    where row order between payloads is arbitrary so a Begin may only
+    govern messages in its OWN blob (the ordered tails leave it False:
+    there Begin/rows/Commit arrive as separate payloads in wire order).
     """
     import time as _time
 
@@ -215,6 +222,8 @@ def iter_pgoutput_changes(
     for payload in payloads:
         body = bytes(payload)
         p = 0
+        if per_payload_tx:
+            tx_ts_us = None
         while p < len(body):
             mtype = body[p:p + 1]; p += 1
             if mtype == b"B":
@@ -442,21 +451,31 @@ def pgoutput_payloads_to_raw(spark, df, value_col: str = "value",
         rels = {rid: Relation.from_tuple(t) for rid, t in rel_tuples.items()}
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         sub = pid * _BAND
-        buf: list = []
-        for pdf in batches:
-            for payload in pdf[value_col]:
-                if bytes(payload[:1]) == b"R":
-                    # registry already broadcast; skip metadata blobs
-                    # (a mixed R+data blob still decodes below)
-                    if _all_relations(bytes(payload)):
+
+        def data_payloads():
+            for pdf in batches:
+                for payload in pdf[value_col]:
+                    # registry already broadcast; pure-metadata blobs
+                    # skip (a mixed R+data blob still decodes, its R
+                    # segments harmlessly re-registering)
+                    if (bytes(payload[:1]) == b"R"
+                            and _all_relations(bytes(payload))):
                         continue
-                for ev in iter_pgoutput_changes(
-                        [payload], relations=rels,
-                        fallback_unixtime_us=fb, sub_base=sub):
-                    buf.append(ev)
-                    if len(buf) >= _DECODE_CHUNK:
-                        yield pd.DataFrame(buf, columns=cols)
-                        buf = []
+                    yield payload
+
+        buf: list = []
+        # ONE iterator per task: the fallback sequence stays monotone
+        # across payloads (per-payload restarts stamped every Begin-less
+        # blob identically — a last-wins tie-inverter); per_payload_tx
+        # confines each blob's Begin to that blob, since row order
+        # BETWEEN payloads is arbitrary here
+        for ev in iter_pgoutput_changes(
+                data_payloads(), relations=rels,
+                fallback_unixtime_us=fb, sub_base=sub, per_payload_tx=True):
+            buf.append(ev)
+            if len(buf) >= _DECODE_CHUNK:
+                yield pd.DataFrame(buf, columns=cols)
+                buf = []
         if buf:
             yield pd.DataFrame(buf, columns=cols)
 
@@ -494,7 +513,18 @@ def read_pgoutput_frames(content: bytes) -> Iterator[bytes]:
         raise PgoutputError("not a pgoutput frame file (bad magic)")
     p = 4
     while p < len(content):
+        # a frame torn by a crash mid-write must be a LOUD truncation,
+        # not a silently-short final payload (silent tail loss on an
+        # at-least-once path) or a bare struct.error deep in decode
+        if p + 4 > len(content):
+            raise PgoutputError(
+                f"truncated pgoutput frame file: {len(content) - p} "
+                "trailing bytes where a 4-byte frame length belongs")
         (ln,) = struct.unpack_from("!I", content, p); p += 4
+        if p + ln > len(content):
+            raise PgoutputError(
+                f"truncated pgoutput frame file: frame declares {ln} "
+                f"bytes, {len(content) - p} remain (crash mid-write?)")
         yield content[p:p + ln]
         p += ln
 

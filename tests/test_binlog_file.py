@@ -697,3 +697,21 @@ def test_binlog_files_to_raw_chunked_decode(spark, tmp_path, monkeypatch):
     assert len(df) == 23
     got = sorted(json.loads(r["after"])["id"] for r in df)
     assert got == list(range(23))
+
+
+def test_query_event_truncate_recovers_target():
+    """A TRUNCATE statement in a QUERY event must carry its target
+    table (statement qualifier winning over the session db), or the
+    only_tables filter / DDL routing silently drops the event and the
+    target keeps rows the source deleted."""
+    b = BinlogBuilder()
+    b.query("sess", "TRUNCATE TABLE `app`.`users`")
+    b.query("app", "TRUNCATE orders;")
+    evs = [e for e in B.iter_binlog_events(b.bytes())
+           if e["action"] == "query"]
+    assert [(e["schema"], e["table"]) for e in evs] == [
+        ("app", "users"), ("app", "orders")]
+    # and the allow-list filter sees the recovered names
+    evs = [e for e in B.iter_binlog_events(b.bytes(), only_tables=("users",))
+           if e["action"] == "query"]
+    assert [(e["schema"], e["table"]) for e in evs] == [("app", "users")]

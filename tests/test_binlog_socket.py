@@ -758,3 +758,46 @@ def test_cli_produce_mysql_socket_auto_position(tmp_path, capsys, spark):
     finally:
         srv.stop_evt.set()
         srv.srv.close()
+
+
+def test_parse_gtid_set_malformed_raises_protocol_error():
+    """Malformed components raise BinlogProtocolError (what the CLI
+    round loop catches), never bare ValueError from uuid/int."""
+    from synch_spark.sources.binlog_socket import parse_gtid_set
+
+    for bad in ("3e11fa47:1-5", f"{SID1}:1-x", f"{SID1}:", "nonsense"):
+        with pytest.raises(BinlogProtocolError, match="bad GTID set"):
+            parse_gtid_set(bad)
+
+
+def test_cli_refuses_gtid_cursor_downgrade(tmp_path, capsys):
+    """Removing auto_position after GTID-mode rounds must refuse: the
+    GTID cursor's file may be '' and an empty-filename dump would
+    re-stream the entire history as duplicates."""
+    import json
+    import yaml
+
+    from synch_spark.cli import main
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    (wh / "_binlog_socket_cursor.json").write_text(
+        json.dumps({"file": "", "pos": 4, "gtid_set": f"{SID1}:1-3"}))
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(wh),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "sources": {},
+            "mysql_socket": {"host": "127.0.0.1", "port": 1,
+                             "user": USER, "password": PASSWORD},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce",
+                 "--source", "mysql-socket", "--once"]) == 2
+    assert "auto_position" in capsys.readouterr().err

@@ -326,3 +326,48 @@ def test_typed_parse_downstream(spark):
     assert (1, "10.50", "O", "insert") in got
     assert (1, "11.25", "F", "insert") in got  # update's insert half
     assert any(a == "delete" for _, _, _, a in got)
+
+
+# -- review-sweep regressions ---------------------------------------------------
+
+def test_truncated_frame_file_is_loud(tmp_path):
+    """A crash mid-write leaves a frame shorter than its declared
+    length — that must raise, never silently drop the tail."""
+    payloads = [ORDERS_REL, enc_insert(16385, ["1", "2", "A"])]
+    p = str(tmp_path / "torn.pgo")
+    po.write_pgoutput_frames(p, payloads)
+    whole = open(p, "rb").read()
+    with pytest.raises(po.PgoutputError, match="truncated"):
+        list(po.read_pgoutput_frames(whole[:-3]))  # torn payload
+    with pytest.raises(po.PgoutputError, match="frame length"):
+        list(po.read_pgoutput_frames(whole + b"\x00\x01"))  # torn length word
+
+
+def test_fallback_sequence_monotone_across_payload_rows(spark):
+    """Begin-less payload rows in ONE partition must get DISTINCT,
+    monotone fallback timestamps — per-payload counter restarts would
+    stamp every row identically and invert last-wins downstream."""
+    rows = [(bytearray(ORDERS_REL),)]
+    rows += [(bytearray(enc_insert(16385, [str(i), "1.00", "O"])),)
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "value binary").coalesce(1)
+    out = po.pgoutput_payloads_to_raw(spark, df,
+                                      fallback_unixtime_us=10_000_000).collect()
+    ts = [r["event_unixtime"] for r in out]
+    assert len(set(ts)) == len(ts), "fallback timestamps must be distinct"
+
+
+def test_begin_does_not_leak_across_payload_rows(spark):
+    """Distributed decode: a Begin in one payload row must not stamp a
+    Begin-less row that happens to follow it in partition order — row
+    order between payloads is arbitrary, so inheriting the open
+    transaction would be nondeterministic."""
+    ts = 1_600_000_000_000_000
+    rows = [(bytearray(ORDERS_REL),),
+            (bytearray(enc_begin(ts) + enc_insert(16385, ["1", "1", "A"])),),
+            (bytearray(enc_insert(16385, ["2", "2", "B"])),)]  # no Begin
+    df = spark.createDataFrame(rows, "value binary").coalesce(1)
+    out = {json.loads(r["after"])["id"]: r["event_unixtime"]
+           for r in po.pgoutput_payloads_to_raw(spark, df).collect()}
+    assert out["1"] == ts
+    assert out["2"] != ts, "Begin leaked into a foreign payload row"
