@@ -6,7 +6,8 @@ which must be installed server-side; pgoutput ships WITH the server
 (it backs native logical replication / CREATE PUBLICATION) and is the
 one plugin every managed instance exposes. This module decodes the
 documented pgoutput binary message stream (PostgreSQL docs, "Logical
-Streaming Replication Protocol", protocol version 1) into the same
+Streaming Replication Protocol", protocol versions 1 AND 2 — v2's
+streamed in-progress transactions included) into the same
 RAW_EVENT_SCHEMA rows every other source produces, so the entire
 downstream pipeline — filter_dml → split_updates → parse_values →
 apply — is shared and already oracle-pinned.
@@ -33,6 +34,18 @@ Message grammar decoded here (one letter per message):
   repo's DDL-barrier convention: action "query" with
   ``after={"query": "TRUNCATE <schema>.<table>"}`` (the same shape a
   binlog QUERY event produces, sources/binlog_file.py:790).
+- ``S``/``E``/``c``/``A`` (protocol v2, ``streaming 'on'``): a
+  transaction too big for logical_decoding_work_mem streams BEFORE its
+  commit in S..E segments, data messages carrying a leading xid.
+  Chunks buffer per top-level xid; Stream Commit emits them stamped
+  with the commit time, Stream Abort discards the whole transaction or
+  one subtransaction's rows. An uncommitted buffer at stream end drops
+  safely — its commit LSN is past anything acked, so the slot replays
+  the transaction in full after reconnect. Whole-transaction buffering
+  is the same memory class wal2json v1 imposes per payload; the
+  ordered decodes carry segments across payloads, the distributed
+  per-payload path refuses a stream spanning rows (order is arbitrary
+  there).
 
 TupleData: int16 column count, then per column one kind byte —
 ``n`` SQL NULL, ``u`` unchanged TOAST datum (not sent again; see
@@ -63,8 +76,11 @@ wal2json/no-timestamp path uses — order-preserving, monotone per task.
 from __future__ import annotations
 
 import json
+import logging
 import struct
 from typing import Iterator
+
+logger = logging.getLogger(__name__)
 
 #: unix µs for 2000-01-01T00:00:00Z — the PostgreSQL timestamp epoch.
 PG_EPOCH_US = 946_684_800 * 1_000_000
@@ -219,14 +235,64 @@ def iter_pgoutput_changes(
         seq += 1
         return fallback_unixtime_us + sub_base + seq
 
+    # streamed in-progress transactions (protocol >= 2, `streaming on`):
+    # chunks arrive BEFORE commit between S..E segments, possibly
+    # interleaved across top-level transactions; buffer per top xid
+    # (entries tagged with the message's own xid — a subtransaction —
+    # so a partial abort can excise them), emit at stream Commit 'c'
+    # stamped with ITS commit time, discard at stream Abort 'A'.
+    # Dangling buffers at stream end drop safely: an uncommitted
+    # transaction's chunks re-stream from the slot after reconnect
+    # (its commit LSN is necessarily past anything acked so far).
+    stream_top: int | None = None
+    stream_bufs: dict[int, list] = {}
+
     for payload in payloads:
         body = bytes(payload)
         p = 0
         if per_payload_tx:
             tx_ts_us = None
+            if stream_top is not None or stream_bufs:
+                raise PgoutputError(
+                    "streamed transaction spans payload rows; protocol-v2 "
+                    "streams need an ORDERED decode (pgoutput_files_to_raw "
+                    "or the live tail), not the per-payload path")
         while p < len(body):
             mtype = body[p:p + 1]; p += 1
-            if mtype == b"B":
+            # inside an S..E segment every data message carries its
+            # (sub)transaction xid right after the type byte
+            msg_xid: int | None = None
+            if stream_top is not None and mtype in (
+                    b"R", b"Y", b"I", b"U", b"D", b"T", b"M"):
+                (msg_xid,) = struct.unpack_from("!I", body, p); p += 4
+            rows_out: list[dict] = []
+            if mtype == b"S":  # Stream Start: xid(4) + first_segment(1)
+                (sx,) = struct.unpack_from("!I", body, p); p += 5
+                stream_top = sx
+                stream_bufs.setdefault(sx, [])
+            elif mtype == b"E":  # Stream Stop (segment end, no body)
+                stream_top = None
+            elif mtype == b"c":  # Stream Commit
+                sx, _fl, _clsn, _elsn, cts = struct.unpack_from(
+                    "!IBQQq", body, p)
+                p += 29
+                commit_us = cts + PG_EPOCH_US
+                for _mx, row in stream_bufs.pop(sx, []):
+                    row["event_unixtime"] = commit_us
+                    yield row
+            elif mtype == b"A":
+                # Stream Abort: xid(4) + subxid(4) (the protocol-v2
+                # form — v4 appends abort LSN/ts, but this client only
+                # ever requests proto_version 2). subxid == xid aborts
+                # the whole transaction; otherwise only the named
+                # subtransaction's buffered changes are excised.
+                sx, sub = struct.unpack_from("!II", body, p); p += 8
+                if sub == sx:
+                    stream_bufs.pop(sx, None)
+                elif sx in stream_bufs:
+                    stream_bufs[sx] = [
+                        e for e in stream_bufs[sx] if e[0] != sub]
+            elif mtype == b"B":
                 # commit ts is SIGNED int64 µs since 2000-01-01 — a
                 # pre-2000 commit time (negative) must not wrap
                 final_lsn, commit_ts, xid = struct.unpack_from("!QqI", body, p)
@@ -260,7 +326,7 @@ def iter_pgoutput_changes(
                 vals, p = _read_tuple(body, p)
                 after = {k: (None if v is UNCHANGED else v)
                          for k, v in _img(rel, vals).items()}
-                yield _row(rel, "insert", None, after, ts())
+                rows_out.append(_row(rel, "insert", None, after, ts()))
             elif mtype == b"U":
                 (rid,) = struct.unpack_from("!I", body, p); p += 4
                 rel = _rel(rels, rid)
@@ -297,7 +363,7 @@ def iter_pgoutput_changes(
                 else:
                     old = {k: (None if v is UNCHANGED else v)
                            for k, v in old.items()}
-                yield _row(rel, "update", old, after, ts())
+                rows_out.append(_row(rel, "update", old, after, ts()))
             elif mtype == b"D":
                 (rid,) = struct.unpack_from("!I", body, p); p += 4
                 rel = _rel(rels, rid)
@@ -311,22 +377,45 @@ def iter_pgoutput_changes(
                     before = _key_image(rel, before)
                 before = {k: (None if v is UNCHANGED else v)
                           for k, v in before.items()}
-                yield _row(rel, "delete", before, None, ts())
+                rows_out.append(_row(rel, "delete", before, None, ts()))
             elif mtype == b"T":
                 nrel, _opts = struct.unpack_from("!IB", body, p); p += 5
                 for _ in range(nrel):
                     (rid,) = struct.unpack_from("!I", body, p); p += 4
                     rel = _rel(rels, rid)
-                    yield {
+                    rows_out.append({
                         "schema": rel.namespace, "table": rel.name,
                         "action": "query", "before": None,
                         "after": json.dumps({
                             "query": f"TRUNCATE {rel.namespace}.{rel.name}"}),
                         "event_unixtime": ts(),
-                    }
+                    })
             else:
                 raise PgoutputError(
                     f"unknown pgoutput message type {mtype!r} at offset {p - 1}")
+            if rows_out:
+                if stream_top is not None:
+                    # uncommitted: hold until this transaction's 'c'
+                    # (event_unixtime patched to the commit time there)
+                    stream_bufs[stream_top].extend(
+                        (msg_xid if msg_xid is not None else stream_top, r)
+                        for r in rows_out)
+                else:
+                    yield from rows_out
+    if stream_bufs:
+        if per_payload_tx:
+            # distributed mode has no "later round" that could complete
+            # this stream — dangling chunks are malformed input there,
+            # not an in-flight transaction
+            raise PgoutputError(
+                "streamed transaction left open at end of payload; "
+                "protocol-v2 streams need an ORDERED decode "
+                "(pgoutput_files_to_raw or the live tail)")
+        logger.info(
+            "dropping %d buffered chunk(s) of %d uncommitted streamed "
+            "transaction(s) at stream end; the slot replays them in full "
+            "after reconnect",
+            sum(len(v) for v in stream_bufs.values()), len(stream_bufs))
 
 
 def _key_image(rel: Relation, img: dict) -> dict:

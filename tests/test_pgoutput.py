@@ -371,3 +371,148 @@ def test_begin_does_not_leak_across_payload_rows(spark):
            for r in po.pgoutput_payloads_to_raw(spark, df).collect()}
     assert out["1"] == ts
     assert out["2"] != ts, "Begin leaked into a foreign payload row"
+
+
+# -- protocol v2: streamed in-progress transactions ------------------------------
+
+def enc_stream_start(xid: int, first: bool = True) -> bytes:
+    return b"S" + struct.pack("!IB", xid, 1 if first else 0)
+
+
+def enc_stream_stop() -> bytes:
+    return b"E"
+
+
+def enc_stream_commit(xid: int, unix_ts_us: int) -> bytes:
+    return b"c" + struct.pack("!IBQQq", xid, 0, 0, 0,
+                              unix_ts_us - PG_EPOCH_US)
+
+
+def enc_stream_abort(xid: int, subxid: int | None = None) -> bytes:
+    return b"A" + struct.pack("!II", xid, subxid if subxid is not None
+                              else xid)
+
+
+def _xid_prefixed(msg: bytes, xid: int) -> bytes:
+    """Inside S..E segments data messages carry xid after the type byte."""
+    return msg[:1] + struct.pack("!I", xid) + msg[1:]
+
+
+def test_streamed_transaction_emits_at_commit_with_commit_time():
+    """Chunks buffer across segments and only surface at Stream Commit,
+    stamped with ITS commit time — never the fallback sequence."""
+    payloads = [ORDERS_REL,
+                enc_stream_start(501),
+                _xid_prefixed(enc_insert(16385, ["1", "1", "A"]), 501),
+                enc_stream_stop(),
+                # a plain (non-streamed) txn between segments
+                enc_begin(TS), enc_insert(16385, ["9", "9", "Z"]),
+                enc_commit(),
+                enc_stream_start(501, first=False),
+                _xid_prefixed(enc_insert(16385, ["2", "2", "B"]), 501),
+                enc_stream_stop(),
+                enc_stream_commit(501, TS + 5)]
+    evs = drain(payloads)
+    got = [(json.loads(e["after"])["id"], e["event_unixtime"]) for e in evs]
+    # the interleaved plain txn emits FIRST (it committed first)
+    assert got == [("9", TS), ("1", TS + 5), ("2", TS + 5)]
+
+
+def test_streamed_abort_discards_everything():
+    payloads = [ORDERS_REL,
+                enc_stream_start(502),
+                _xid_prefixed(enc_insert(16385, ["1", "1", "A"]), 502),
+                enc_stream_stop(),
+                enc_stream_abort(502),
+                enc_begin(TS), enc_insert(16385, ["9", "9", "Z"]),
+                enc_commit()]
+    evs = drain(payloads)
+    assert [json.loads(e["after"])["id"] for e in evs] == ["9"]
+
+
+def test_streamed_subtransaction_abort_excises_only_its_rows():
+    """ROLLBACK TO SAVEPOINT inside a streamed transaction: only the
+    subtransaction's rows vanish; the rest commit."""
+    payloads = [ORDERS_REL,
+                enc_stream_start(503),
+                _xid_prefixed(enc_insert(16385, ["1", "1", "A"]), 503),
+                _xid_prefixed(enc_insert(16385, ["2", "2", "B"]), 504),  # subxact
+                _xid_prefixed(enc_insert(16385, ["3", "3", "C"]), 503),
+                enc_stream_stop(),
+                enc_stream_abort(503, subxid=504),
+                enc_stream_commit(503, TS)]
+    evs = drain(payloads)
+    assert [json.loads(e["after"])["id"] for e in evs] == ["1", "3"]
+
+
+def test_streamed_relation_inside_segment_registers():
+    """A Relation message inside a segment (xid-prefixed) must register
+    — PG sends it there for tables first touched mid-stream."""
+    rel2 = enc_relation(16999, "db", "extra",
+                        [(1, "k", 20, -1)])
+    payloads = [enc_stream_start(505),
+                _xid_prefixed(rel2, 505),
+                _xid_prefixed(enc_insert(16999, ["7"]), 505),
+                enc_stream_stop(),
+                enc_stream_commit(505, TS)]
+    evs = drain(payloads)
+    assert [(e["table"], json.loads(e["after"])["k"]) for e in evs] == [
+        ("extra", "7")]
+
+
+def test_streamed_chunks_survive_payload_boundaries_in_ordered_mode():
+    """The live tail hands each message as its own payload; segments
+    and buffers must carry across payloads when per_payload_tx=False."""
+    payloads = [ORDERS_REL, enc_stream_start(506),
+                _xid_prefixed(enc_insert(16385, ["1", "1", "A"]), 506),
+                enc_stream_stop(), enc_stream_commit(506, TS)]
+    evs = drain(payloads)  # one message per payload, like XLogData
+    assert len(evs) == 1 and evs[0]["event_unixtime"] == TS
+
+
+def test_uncommitted_stream_drops_at_end_without_emitting():
+    payloads = [ORDERS_REL, enc_stream_start(507),
+                _xid_prefixed(enc_insert(16385, ["1", "1", "A"]), 507),
+                enc_stream_stop()]
+    assert drain(payloads) == []
+
+
+def test_distributed_path_refuses_cross_payload_stream(spark):
+    """per_payload_tx mode (arbitrary row order) cannot associate
+    segments across rows — a dangling stream raises toward the ordered
+    decode instead of silently mis-buffering."""
+    rows = [(bytearray(ORDERS_REL),),
+            (bytearray(enc_stream_start(508)
+                       + _xid_prefixed(enc_insert(16385, ["1", "1", "A"]),
+                                       508)),),
+            (bytearray(enc_insert(16385, ["2", "2", "B"])),)]
+    df = spark.createDataFrame(rows, "value binary").coalesce(1)
+    import py4j.protocol
+    from pyspark.errors import PythonException
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+        po.pgoutput_payloads_to_raw(spark, df).collect()
+
+
+def test_self_contained_stream_in_one_blob_decodes_distributed(spark):
+    """A whole S..c sequence inside ONE payload blob is fine on the
+    distributed path — the refusal is only for streams SPANNING rows."""
+    blob = (ORDERS_REL + enc_stream_start(509)
+            + _xid_prefixed(enc_insert(16385, ["1", "1", "A"]), 509)
+            + enc_stream_stop() + enc_stream_commit(509, TS))
+    df = spark.createDataFrame([(bytearray(blob),)], "value binary")
+    out = po.pgoutput_payloads_to_raw(spark, df).collect()
+    assert len(out) == 1 and out[0]["event_unixtime"] == TS
+
+
+def test_distributed_path_refuses_dangling_stream_in_last_row(spark):
+    """Same refusal when the dangling stream sits in the task's LAST
+    payload row (no next row triggers the boundary check)."""
+    rows = [(bytearray(ORDERS_REL),),
+            (bytearray(enc_stream_start(510)
+                       + _xid_prefixed(enc_insert(16385, ["1", "1", "A"]),
+                                       510)),)]
+    df = spark.createDataFrame(rows, "value binary").coalesce(1)
+    import py4j.protocol
+    from pyspark.errors import PythonException
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+        po.pgoutput_payloads_to_raw(spark, df).collect()

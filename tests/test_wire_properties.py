@@ -31,10 +31,13 @@ from tests.test_pgoutput import (
 # -- pgoutput round-trip -------------------------------------------------------
 
 # PG text-format values: any unicode text without NULs (the wire length-
-# prefixes, so no delimiter constraints), or SQL NULL
+# prefixes, so no delimiter constraints) or lone surrogates (PG server
+# encodings are valid UTF-8 — surrogates cannot appear), or SQL NULL
 _val = st.one_of(
     st.none(),
-    st.text(alphabet=st.characters(blacklist_characters="\x00"), max_size=30),
+    st.text(alphabet=st.characters(blacklist_characters="\x00",
+                                   blacklist_categories=("Cs",)),
+            max_size=30),
 )
 _colname = st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1,
                    max_size=12)
