@@ -3061,8 +3061,6 @@ def q134_pgoutput_streamed_decode(spark, sf_dir):
     timestamp). Distributed via the same pgoutput_payloads_to_raw path
     as q133; same oracle as q112 — hash equality proves the streamed
     route loses and reorders nothing vs the plain-transaction route."""
-    import struct as _struct
-
     from pyspark.sql import types as T
 
     from synch_spark.events import parse_values, split_updates
@@ -3100,18 +3098,14 @@ def q134_pgoutput_streamed_decode(spark, sf_dir):
                           F.lpad(F.hex(commit_pg_us), 16, "0"))
     payload = F.unhex(F.concat(start_hex, insert_hex, stop_hex, commit_hex))
 
-    def _cstr(s):
-        return s.encode() + b"\x00"
-
-    rel = b"R" + _struct.pack("!I", 1) + _cstr("db") + _cstr("orders") + b"d"
-    rel += _struct.pack("!H", 3)
-    for flags, name, oid in ((1, "id", 20), (0, "price", 1700),
-                             (0, "status", 25)):
-        rel += bytes([flags]) + _cstr(name) + _struct.pack("!Ii", oid, -1)
-    rel_df = spark.createDataFrame([(bytearray(rel),)], "value binary")
-
-    payloads = orders.select(payload.alias("value")).unionByName(rel_df)
-    raw = po.pgoutput_payloads_to_raw(spark, payloads)
+    # explicit registry: the caller BUILT the schema, so pass 1 (the
+    # Relation collect+broadcast, graded by q133) is a wasted full scan
+    # of the synthesized frame here — the short-circuit halves the plan
+    registry = {1: po.Relation(1, "db", "orders", "d",
+                               [(1, "id", 20, -1), (0, "price", 1700, -1),
+                                (0, "status", 25, -1)])}
+    payloads = orders.select(payload.alias("value"))
+    raw = po.pgoutput_payloads_to_raw(spark, payloads, relations=registry)
     vschema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("price", T.DecimalType(15, 2)),

@@ -507,7 +507,8 @@ def collect_relations(df, value_col: str = "value") -> dict[int, tuple]:
 
 
 def pgoutput_payloads_to_raw(spark, df, value_col: str = "value",
-                             fallback_unixtime_us: int | None = None):
+                             fallback_unixtime_us: int | None = None,
+                             relations: dict | None = None):
     """Distributed decode of per-row pgoutput payload blobs →
     RAW_EVENT_SCHEMA.
 
@@ -519,6 +520,13 @@ def pgoutput_payloads_to_raw(spark, df, value_col: str = "value",
     bare data messages fall back to the banded synthetic sequence
     (protocol v1 data messages cannot be tied to a Begin in another
     row — documented module-level).
+
+    ``relations`` short-circuits pass 1: a caller that already holds
+    the registry ({rel_id: Relation} or Relation.to_tuple() values —
+    e.g. a tail that collected it last round, or a synthesized feed
+    that BUILT the Relation message) saves one full scan of the
+    payload frame, which on an expensive upstream (a decoded archive,
+    a synthesized envelope) halves the plan.
     """
     import time as _time
 
@@ -527,7 +535,12 @@ def pgoutput_payloads_to_raw(spark, df, value_col: str = "value",
 
     from synch_spark.events import RAW_EVENT_SCHEMA
 
-    rel_tuples = collect_relations(df, value_col)
+    if relations is not None:
+        rel_tuples = {
+            rid: (r.to_tuple() if isinstance(r, Relation) else tuple(r))
+            for rid, r in relations.items()}
+    else:
+        rel_tuples = collect_relations(df, value_col)
     if fallback_unixtime_us is None:
         fallback_unixtime_us = int(_time.time() * 1_000_000)
     fb = fallback_unixtime_us

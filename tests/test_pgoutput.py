@@ -516,3 +516,25 @@ def test_distributed_path_refuses_dangling_stream_in_last_row(spark):
     from pyspark.errors import PythonException
     with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
         po.pgoutput_payloads_to_raw(spark, df).collect()
+
+
+def test_payloads_to_raw_with_explicit_registry_skips_collect(spark):
+    """A caller that already holds the registry skips the Relation
+    collect pass — the payload frame is scanned once. Data must decode
+    identically, and a frame with NO R payload at all still works."""
+    rows = [(bytearray(enc_begin(TS) + enc_insert(16385, ["1", "1.00", "O"])
+                       + enc_commit()),)]
+    df = spark.createDataFrame(rows, "value binary")
+    registry = {16385: po.Relation(16385, "db", "orders", "d",
+                                   [(1, "id", 20, -1), (0, "price", 1700, -1),
+                                    (0, "status", 25, -1)])}
+    out = po.pgoutput_payloads_to_raw(spark, df, relations=registry).collect()
+    assert len(out) == 1
+    assert json.loads(out[0]["after"]) == {"id": "1", "price": "1.00",
+                                           "status": "O"}
+    assert out[0]["event_unixtime"] == TS
+    # tuple form (Relation.to_tuple) is accepted too
+    out2 = po.pgoutput_payloads_to_raw(
+        spark, df,
+        relations={16385: registry[16385].to_tuple()}).collect()
+    assert out2[0]["after"] == out[0]["after"]
