@@ -801,3 +801,66 @@ def test_cli_refuses_gtid_cursor_downgrade(tmp_path, capsys):
     assert main(["--config", str(p), "produce",
                  "--source", "mysql-socket", "--once"]) == 2
     assert "auto_position" in capsys.readouterr().err
+
+
+def test_gtid_torn_mid_transaction_keeps_inflight_out_of_cursor():
+    """The commit-safety claim: a server dying mid-transaction must
+    leave that transaction's GTID OUT of gtid_executed — persisting the
+    set after such a round would otherwise skip the half-streamed
+    transaction forever. (A GTID merges only when its successor GTID
+    event or a clean EOF proves the transaction streamed whole.)"""
+    full = _gtid_fixture_binlog()
+    events = _split_events(full)
+    # keep everything up to and including txn 2's XID, then txn 3's
+    # GTID + table_map but NOT its row event or any EOF — then hang up
+    kept, xids_seen, after_gtid3 = [], 0, 0
+    for _start, ev in events:
+        kept.append(ev)
+        if ev[4] == 0x10:
+            xids_seen += 1
+        if xids_seen == 2 and ev[4] == 0x21:
+            after_gtid3 += 1
+        if xids_seen == 2 and after_gtid3 and ev[4] == B.EV_TABLE_MAP:
+            break
+
+    # rebuild a binlog holding only the kept events (FDE included)
+    torn = full[:4]
+    torn += b"".join(ev for _s, ev in events if ev[4] == B.EV_FORMAT_DESCRIPTION)
+    torn += b"".join(ev for ev in kept if ev[4] != B.EV_FORMAT_DESCRIPTION)
+
+    class NoEofServer(FakeMysqlServer):
+        """Serves the torn fixture and closes WITHOUT the EOF packet."""
+
+        def _serve(self, conn):
+            # run the parent's full handshake/auth/dump path but
+            # intercept _send: the dump's final EOF packet becomes a
+            # hard close — a master crash mid-stream
+            orig_send = FakeMysqlServer._send
+
+            def send(conn2, seq, payload):
+                if payload[:1] == b"\xfe" and len(payload) == 5:
+                    conn2.close()  # die instead of clean EOF
+                    return
+                orig_send(conn2, seq, payload)
+
+            self._send = send  # type: ignore[method-assign]
+            try:
+                FakeMysqlServer._serve(self, conn)
+            except OSError:
+                pass
+
+    srv = NoEofServer(torn)
+    srv.start()
+    try:
+        cli = BinlogSocketClient("127.0.0.1", srv.port, USER, PASSWORD,
+                                 server_id=99)
+        with pytest.raises(BinlogProtocolError):
+            list(cli.dump_events_gtid(""))
+        from synch_spark.sources.binlog_socket import format_gtid_set
+        # txns 1-2 fully streamed (proven by successor GTIDs); txn 3's
+        # GTID stays pending — never merged without its proof
+        assert format_gtid_set(cli.gtid_executed) == f"{SID1}:1-2"
+        cli.close()
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()
