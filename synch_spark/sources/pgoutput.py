@@ -46,6 +46,14 @@ Message grammar decoded here (one letter per message):
   ordered decodes carry segments across payloads, the distributed
   per-payload path refuses a stream spanning rows (order is arbitrary
   there).
+- ``b``/``P``/``K``/``r``/``p`` (protocol v3, slot option
+  ``two_phase``): a prepared transaction's changes arrive between
+  Begin Prepare and Prepare (or via streamed segments ending in Stream
+  Prepare) and PARK under their gid — other transactions flow freely
+  in between — until Commit Prepared emits them stamped with ITS
+  commit time or Rollback Prepared discards them. Undecided parks at
+  stream end drop safely: the slot re-delivers a prepared-but-
+  undecided transaction after reconnect.
 
 TupleData: int16 column count, then per column one kind byte —
 ``n`` SQL NULL, ``u`` unchanged TOAST datum (not sent again; see
@@ -246,6 +254,16 @@ def iter_pgoutput_changes(
     # (its commit LSN is necessarily past anything acked so far).
     stream_top: int | None = None
     stream_bufs: dict[int, list] = {}
+    # two-phase transactions (protocol >= 3, slot option two_phase):
+    # changes arrive between Begin Prepare 'b' and Prepare 'P' (or via
+    # streamed segments ending in Stream Prepare 'p'), then PARK under
+    # their gid until Commit Prepared 'K' (emit, stamped with ITS
+    # commit time) or Rollback Prepared 'r' (discard). Undecided parks
+    # at stream end drop safely: the slot re-delivers a prepared-but-
+    # undecided transaction after reconnect.
+    prepare_gid: str | None = None   # collecting b..P when set
+    prepare_rows: list = []
+    parked: dict[str, list] = {}
 
     for payload in payloads:
         body = bytes(payload)
@@ -257,6 +275,11 @@ def iter_pgoutput_changes(
                     "streamed transaction spans payload rows; protocol-v2 "
                     "streams need an ORDERED decode (pgoutput_files_to_raw "
                     "or the live tail), not the per-payload path")
+            if prepare_gid is not None or parked:
+                raise PgoutputError(
+                    "two-phase transaction spans payload rows; prepared "
+                    "transactions need an ORDERED decode "
+                    "(pgoutput_files_to_raw or the live tail)")
         while p < len(body):
             mtype = body[p:p + 1]; p += 1
             # inside an S..E segment every data message carries its
@@ -292,6 +315,33 @@ def iter_pgoutput_changes(
                 elif sx in stream_bufs:
                     stream_bufs[sx] = [
                         e for e in stream_bufs[sx] if e[0] != sub]
+            elif mtype == b"b":  # Begin Prepare: lsn×2, ts, xid, gid
+                p += 8 + 8 + 8 + 4
+                gid, p = _cstr(body, p)
+                prepare_gid, prepare_rows = gid, []
+            elif mtype == b"P":  # Prepare: park the collected rows
+                p += 1 + 8 + 8 + 8 + 4
+                gid, p = _cstr(body, p)
+                parked[gid] = prepare_rows
+                prepare_gid, prepare_rows = None, []
+            elif mtype == b"p":  # Stream Prepare: park the streamed txn
+                p += 1 + 8 + 8 + 8
+                (sx,) = struct.unpack_from("!I", body, p); p += 4
+                gid, p = _cstr(body, p)
+                parked[gid] = [r for _mx, r in stream_bufs.pop(sx, [])]
+            elif mtype == b"K":  # Commit Prepared: emit with ITS ts
+                p += 1 + 8 + 8
+                (cts,) = struct.unpack_from("!q", body, p)
+                p += 8 + 4
+                gid, p = _cstr(body, p)
+                commit_us = cts + PG_EPOCH_US
+                for row in parked.pop(gid, []):
+                    row["event_unixtime"] = commit_us
+                    yield row
+            elif mtype == b"r":  # Rollback Prepared: discard
+                p += 1 + 8 + 8 + 8 + 8 + 4
+                gid, p = _cstr(body, p)
+                parked.pop(gid, None)
             elif mtype == b"B":
                 # commit ts is SIGNED int64 µs since 2000-01-01 — a
                 # pre-2000 commit time (negative) must not wrap
@@ -400,8 +450,22 @@ def iter_pgoutput_changes(
                     stream_bufs[stream_top].extend(
                         (msg_xid if msg_xid is not None else stream_top, r)
                         for r in rows_out)
+                elif prepare_gid is not None:
+                    # two-phase: hold until Commit/Rollback Prepared
+                    prepare_rows.extend(rows_out)
                 else:
                     yield from rows_out
+    if parked or prepare_gid is not None:
+        if per_payload_tx:
+            raise PgoutputError(
+                "two-phase transaction left undecided at end of payload; "
+                "prepared transactions need an ORDERED decode")
+        logger.info(
+            "dropping %d parked row(s) of %d undecided prepared "
+            "transaction(s) at stream end; the slot re-delivers them "
+            "after reconnect",
+            sum(len(v) for v in parked.values()) + len(prepare_rows),
+            len(parked) + (1 if prepare_gid is not None else 0))
     if stream_bufs:
         if per_payload_tx:
             # distributed mode has no "later round" that could complete

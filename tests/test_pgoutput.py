@@ -538,3 +538,92 @@ def test_payloads_to_raw_with_explicit_registry_skips_collect(spark):
         spark, df,
         relations={16385: registry[16385].to_tuple()}).collect()
     assert out2[0]["after"] == out[0]["after"]
+
+
+# -- protocol v3: two-phase (prepared) transactions -------------------------------
+
+def enc_begin_prepare(xid: int, gid: str) -> bytes:
+    return (b"b" + struct.pack("!QQqI", 0, 0, 0, xid)
+            + gid.encode() + b"\x00")
+
+
+def enc_prepare(xid: int, gid: str) -> bytes:
+    return (b"P" + struct.pack("!BQQqI", 0, 0, 0, 0, xid)
+            + gid.encode() + b"\x00")
+
+
+def enc_commit_prepared(xid: int, gid: str, unix_ts_us: int) -> bytes:
+    return (b"K" + struct.pack("!BQQqI", 0, 0, 0,
+                               unix_ts_us - PG_EPOCH_US, xid)
+            + gid.encode() + b"\x00")
+
+
+def enc_rollback_prepared(xid: int, gid: str) -> bytes:
+    return (b"r" + struct.pack("!BQQqqI", 0, 0, 0, 0, 0, xid)
+            + gid.encode() + b"\x00")
+
+
+def enc_stream_prepare(xid: int, gid: str) -> bytes:
+    return (b"p" + struct.pack("!BQQqI", 0, 0, 0, 0, xid)
+            + gid.encode() + b"\x00")
+
+
+def test_prepared_transaction_emits_at_commit_prepared():
+    """b..P parks the rows under the gid; other transactions flow in
+    between; K emits the park stamped with ITS commit time."""
+    payloads = [ORDERS_REL,
+                enc_begin_prepare(601, "gid-1"),
+                enc_insert(16385, ["1", "1", "A"]),
+                enc_prepare(601, "gid-1"),
+                # an ordinary txn between prepare and commit-prepared
+                enc_begin(TS), enc_insert(16385, ["9", "9", "Z"]),
+                enc_commit(),
+                enc_commit_prepared(601, "gid-1", TS + 7)]
+    evs = drain(payloads)
+    got = [(json.loads(e["after"])["id"], e["event_unixtime"]) for e in evs]
+    assert got == [("9", TS), ("1", TS + 7)]
+
+
+def test_rollback_prepared_discards():
+    payloads = [ORDERS_REL,
+                enc_begin_prepare(602, "gid-2"),
+                enc_insert(16385, ["1", "1", "A"]),
+                enc_prepare(602, "gid-2"),
+                enc_rollback_prepared(602, "gid-2"),
+                enc_begin(TS), enc_insert(16385, ["9", "9", "Z"]),
+                enc_commit()]
+    assert [json.loads(e["after"])["id"] for e in drain(payloads)] == ["9"]
+
+
+def test_stream_prepare_parks_streamed_transaction():
+    """A big prepared transaction streams in segments and parks at
+    Stream Prepare; Commit Prepared then releases it."""
+    payloads = [ORDERS_REL,
+                enc_stream_start(603),
+                _xid_prefixed(enc_insert(16385, ["1", "1", "A"]), 603),
+                enc_stream_stop(),
+                enc_stream_prepare(603, "gid-3"),
+                enc_commit_prepared(603, "gid-3", TS + 9)]
+    evs = drain(payloads)
+    assert [(json.loads(e["after"])["id"], e["event_unixtime"])
+            for e in evs] == [("1", TS + 9)]
+
+
+def test_undecided_prepared_drops_at_stream_end():
+    payloads = [ORDERS_REL,
+                enc_begin_prepare(604, "gid-4"),
+                enc_insert(16385, ["1", "1", "A"]),
+                enc_prepare(604, "gid-4")]
+    assert drain(payloads) == []
+
+
+def test_distributed_path_refuses_cross_payload_prepare(spark):
+    rows = [(bytearray(ORDERS_REL),),
+            (bytearray(enc_begin_prepare(605, "gid-5")
+                       + enc_insert(16385, ["1", "1", "A"])
+                       + enc_prepare(605, "gid-5")),)]
+    df = spark.createDataFrame(rows, "value binary").coalesce(1)
+    import py4j.protocol
+    from pyspark.errors import PythonException
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+        po.pgoutput_payloads_to_raw(spark, df).collect()
