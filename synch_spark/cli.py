@@ -400,9 +400,11 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
                 idle_timeout=float(pg.get("idle_timeout", 2.0))))
             emitted = 0
             df = None
+            pgo_state: dict = {}
             if payloads and plugin == "pgoutput":
                 evs = list(iter_pgoutput_changes(payloads,
-                                                 relations=pgo_relations))
+                                                 relations=pgo_relations,
+                                                 state_out=pgo_state))
                 if evs:
                     df = spark.createDataFrame(
                         [tuple(e[f.name] for f in RAW_EVENT_SCHEMA.fields)
@@ -428,6 +430,17 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
                 print(f"pg socket round {i}: stream torn mid-message; "
                       "skipping flush ack (slot will replay)",
                       file=sys.stderr)
+            elif pgo_state.get("undecided"):
+                # an in-flight streamed/prepared transaction ended the
+                # round undecided: its buffered rows were dropped, and
+                # CONFIRMING past them would lose the transaction for
+                # good — PostgreSQL re-sends a confirmed-flushed
+                # prepare's decision (Commit Prepared) but never its
+                # changes. Hold the ack; the slot re-delivers the whole
+                # transaction next round (idempotent downstream).
+                print(f"pg socket round {i}: in-flight streamed/prepared "
+                      "transaction; holding flush ack (slot will "
+                      "re-deliver)", file=sys.stderr)
             else:
                 client.flushed_lsn = client.received_lsn
                 try:

@@ -65,8 +65,12 @@ from synch_spark.ddl import _ALTER_RE as _ALTER_TARGET_RE
 # pipeline applies (streaming DDL barrier empties the target); without
 # target recovery the event's table field would be "" and the
 # only_tables filter / spec routing would silently drop it.
+# Grammar mirrors streaming/pipeline._TRUNCATE_RE: $ is legal in
+# unquoted MySQL identifiers, and sql_mode=ANSI_QUOTES logs
+# double-quoted names.
 _TRUNCATE_TARGET_RE = re.compile(
-    r"^\s*truncate\s+(?:table\s+)?(?:`?(\w+)`?\.)?`?(\w+)`?\s*;?\s*$",
+    r"^\s*truncate\s+(?:table\s+)?(?:[`\"]?([\w$]+)[`\"]?\s*\.\s*)?"
+    r"[`\"]?([\w$]+)[`\"]?\s*;?\s*$",
     re.I)
 
 # --- event type codes (binlog v4) ----------------------------------------

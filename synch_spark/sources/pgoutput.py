@@ -205,6 +205,9 @@ def iter_pgoutput_changes(
     fallback_unixtime_us: int | None = None,
     sub_base: int = 0,
     per_payload_tx: bool = False,
+    seq_cap: int | None = None,
+    state_out: dict | None = None,
+    dangling: str = "drop",
 ) -> Iterator[dict]:
     """Ordered decode: pgoutput payloads → RAW_EVENT_SCHEMA dicts.
 
@@ -227,6 +230,21 @@ def iter_pgoutput_changes(
     where row order between payloads is arbitrary so a Begin may only
     govern messages in its OWN blob (the ordered tails leave it False:
     there Begin/rows/Commit arrive as separate payloads in wire order).
+
+    ``seq_cap`` clamps the fallback sequence (the wal2json band
+    convention): a task whose Begin-less rows would overrun its band
+    stops advancing instead of colliding with the NEXT partition's
+    synthetic timestamps (logged once).
+
+    ``state_out``, when given a dict, receives ``undecided=True`` if
+    the stream ended with buffered streamed chunks or parked prepared
+    transactions — a live-tail round MUST then skip its flush ack so
+    the slot re-delivers them (confirming past an undecided PREPARE
+    would lose the transaction: the server later sends only Commit
+    Prepared, never the changes again). ``dangling="error"`` raises in
+    that situation instead — for STATIC archives, where there is no
+    slot to replay anything and a dangling transaction means the
+    archive was cut mid-transaction.
     """
     import time as _time
 
@@ -236,11 +254,22 @@ def iter_pgoutput_changes(
         fallback_unixtime_us = int(_time.time() * 1_000_000)
     seq = 0
 
+    capped_logged = False
+
     def ts() -> int:
-        nonlocal seq
+        nonlocal seq, capped_logged
         if tx_ts_us is not None:
             return tx_ts_us
         seq += 1
+        if seq_cap is not None and seq > seq_cap:
+            if not capped_logged:
+                capped_logged = True
+                logger.warning(
+                    "fallback sequence exceeded its band (%d Begin-less "
+                    "rows in one task); further rows tie at the cap "
+                    "instead of colliding with the next partition's band",
+                    seq_cap)
+            seq = seq_cap
         return fallback_unixtime_us + sub_base + seq
 
     # streamed in-progress transactions (protocol >= 2, `streaming on`):
@@ -455,15 +484,25 @@ def iter_pgoutput_changes(
                     prepare_rows.extend(rows_out)
                 else:
                     yield from rows_out
+    undecided = bool(parked or prepare_gid is not None or stream_bufs
+                     or stream_top is not None)
+    if state_out is not None:
+        state_out["undecided"] = undecided
     if parked or prepare_gid is not None:
         if per_payload_tx:
             raise PgoutputError(
                 "two-phase transaction left undecided at end of payload; "
                 "prepared transactions need an ORDERED decode")
+        if dangling == "error":
+            raise PgoutputError(
+                "two-phase transaction left undecided at end of a STATIC "
+                "archive (Prepare without Commit/Rollback Prepared) — the "
+                "archive was cut mid-transaction; re-archive whole "
+                "decision boundaries into one file")
         logger.info(
             "dropping %d parked row(s) of %d undecided prepared "
-            "transaction(s) at stream end; the slot re-delivers them "
-            "after reconnect",
+            "transaction(s) at stream end; skip the flush ack "
+            "(state_out['undecided']) so the slot re-delivers them",
             sum(len(v) for v in parked.values()) + len(prepare_rows),
             len(parked) + (1 if prepare_gid is not None else 0))
     if stream_bufs:
@@ -475,10 +514,16 @@ def iter_pgoutput_changes(
                 "streamed transaction left open at end of payload; "
                 "protocol-v2 streams need an ORDERED decode "
                 "(pgoutput_files_to_raw or the live tail)")
+        if dangling == "error":
+            raise PgoutputError(
+                "streamed transaction left uncommitted at end of a STATIC "
+                "archive (segments without Stream Commit) — the archive "
+                "was cut mid-transaction; re-archive whole transactions "
+                "into one file")
         logger.info(
             "dropping %d buffered chunk(s) of %d uncommitted streamed "
-            "transaction(s) at stream end; the slot replays them in full "
-            "after reconnect",
+            "transaction(s) at stream end; skip the flush ack "
+            "(state_out['undecided']) so the slot replays them in full",
             sum(len(v) for v in stream_bufs.values()), len(stream_bufs))
 
 
@@ -637,7 +682,8 @@ def pgoutput_payloads_to_raw(spark, df, value_col: str = "value",
         # BETWEEN payloads is arbitrary here
         for ev in iter_pgoutput_changes(
                 data_payloads(), relations=rels,
-                fallback_unixtime_us=fb, sub_base=sub, per_payload_tx=True):
+                fallback_unixtime_us=fb, sub_base=sub, per_payload_tx=True,
+                seq_cap=_BAND - 1):
             buf.append(ev)
             if len(buf) >= _DECODE_CHUNK:
                 yield pd.DataFrame(buf, columns=cols)
@@ -703,6 +749,12 @@ def pgoutput_files_to_raw(spark, path,
     wire order, so Relation metadata, schema changes, and Begin commit
     timestamps all resolve exactly; cross-file order is recovered by
     the (event_unixtime, action_seq) sort the apply path already does.
+
+    Archive contract: every streamed/prepared transaction must be
+    DECIDED within its file (the archival writer holds undecided state
+    to the next round's file rather than splitting it) — files decode
+    in separate tasks, and an archive has no slot to replay a cut
+    transaction, so a violation raises instead of silently dropping.
     """
     import re as _re
     import time as _time
@@ -722,9 +774,14 @@ def pgoutput_files_to_raw(spark, path,
                 m = _re.search(r"(\d+)", str(r["path"]).rsplit("/", 1)[-1])
                 sub = (int(m.group(1)) % 100) * 10_000 if m else 0
                 buf: list = []
+                # dangling="error": an archive is STATIC — a streamed/
+                # prepared transaction cut off by the file boundary has
+                # no slot to replay it, and files decode in separate
+                # tasks, so the loss would otherwise be silent
                 for ev in iter_pgoutput_changes(
                         read_pgoutput_frames(bytes(r["content"])),
-                        fallback_unixtime_us=fb, sub_base=sub):
+                        fallback_unixtime_us=fb, sub_base=sub,
+                        seq_cap=9_999, dangling="error"):
                     buf.append(ev)
                     if len(buf) >= _DECODE_CHUNK:
                         yield pd.DataFrame(buf, columns=cols)

@@ -234,6 +234,14 @@ class WalSocketClient:
         if plugin == "pgoutput":
             opts = {"proto_version": "1", "publication_names": slot,
                     **(options or {})}
+            # the decoder implements protocol 1-3 message layouts; a
+            # higher version changes wire shapes (v4 widens Stream
+            # Abort) and would misparse into a wedged, every-round
+            # failure — refuse at subscribe time instead
+            if str(opts.get("proto_version")) not in ("1", "2", "3"):
+                raise WalProtocolError(
+                    f"pgoutput proto_version {opts.get('proto_version')!r} "
+                    "not supported by this decoder (1-3 are)")
         else:
             opts = {"format-version": "2", "include-timestamp": "true",
                     **(options or {})}

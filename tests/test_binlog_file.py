@@ -715,3 +715,15 @@ def test_query_event_truncate_recovers_target():
     evs = [e for e in B.iter_binlog_events(b.bytes(), only_tables=("users",))
            if e["action"] == "query"]
     assert [(e["schema"], e["table"]) for e in evs] == [("app", "users")]
+
+
+def test_query_event_truncate_ansi_quotes_and_dollar_names():
+    """The recovery grammar must match what the pipeline's barrier
+    accepts: ANSI_QUOTES double-quoted identifiers and $ in names."""
+    b = BinlogBuilder()
+    b.query("sess", 'TRUNCATE TABLE "app"."users"')
+    b.query("app", "TRUNCATE pay$roll")
+    evs = [e for e in B.iter_binlog_events(b.bytes())
+           if e["action"] == "query"]
+    assert [(e["schema"], e["table"]) for e in evs] == [
+        ("app", "users"), ("app", "pay$roll")]

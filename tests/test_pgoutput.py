@@ -627,3 +627,71 @@ def test_distributed_path_refuses_cross_payload_prepare(spark):
     from pyspark.errors import PythonException
     with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
         po.pgoutput_payloads_to_raw(spark, df).collect()
+
+
+# -- second review-sweep regressions ----------------------------------------------
+
+def test_state_out_flags_undecided_prepare():
+    """The live tail must know a round ended with an undecided
+    streamed/prepared transaction: confirming past the PREPARE would
+    lose it (PG later sends only Commit Prepared, never the changes)."""
+    state: dict = {}
+    evs = list(po.iter_pgoutput_changes(
+        [ORDERS_REL, enc_begin_prepare(701, "g"),
+         enc_insert(16385, ["1", "1", "A"]), enc_prepare(701, "g")],
+        state_out=state))
+    assert evs == [] and state["undecided"] is True
+    state = {}
+    list(po.iter_pgoutput_changes(
+        [ORDERS_REL, enc_begin(TS), enc_insert(16385, ["1", "1", "A"]),
+         enc_commit()], state_out=state))
+    assert state["undecided"] is False
+    # an open stream segment (round idled mid-segment) also flags
+    state = {}
+    list(po.iter_pgoutput_changes(
+        [ORDERS_REL, enc_stream_start(702),
+         _xid_prefixed(enc_insert(16385, ["1", "1", "A"]), 702)],
+        state_out=state))
+    assert state["undecided"] is True
+
+
+def test_archive_decode_errors_on_cut_transaction(spark, tmp_path):
+    """A static frame archive cut mid-transaction (segments in file N,
+    commit in file N+1 → different tasks) must RAISE — there is no
+    slot to replay an archive, so a drop would be silent loss."""
+    f1 = str(tmp_path / "cut.000001.pgo")
+    po.write_pgoutput_frames(f1, [
+        ORDERS_REL, enc_stream_start(703),
+        _xid_prefixed(enc_insert(16385, ["1", "1", "A"]), 703),
+        enc_stream_stop()])
+    import py4j.protocol
+    from pyspark.errors import PythonException
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+        po.pgoutput_files_to_raw(spark, f1).collect()
+
+
+def test_fallback_seq_cap_stays_inside_band():
+    """Past the cap the sequence must stop advancing (ties at the cap)
+    rather than spill into the next partition's band."""
+    payloads = [ORDERS_REL] + [enc_insert(16385, [str(i), "1", "A"])
+                               for i in range(30)]
+    evs = list(po.iter_pgoutput_changes(
+        payloads, fallback_unixtime_us=0, sub_base=0, seq_cap=10))
+    ts = [e["event_unixtime"] for e in evs]
+    assert max(ts) == 10 and ts[:10] == list(range(1, 11))
+
+
+def test_proto_version_4_is_refused_at_subscribe():
+    from synch_spark.sources.wal_socket import WalProtocolError, WalSocketClient
+
+    cli = WalSocketClient("127.0.0.1", 1, "u", "p")
+
+    class _FakeSock:
+        def sendall(self, *_a):  # never reached: validation raises first
+            raise AssertionError("must refuse before sending")
+
+    cli.sock = _FakeSock()
+    with pytest.raises(WalProtocolError, match="proto_version"):
+        cli.start_replication("s", options={"proto_version": "4"},
+                              plugin="pgoutput")
+    cli.sock = None
