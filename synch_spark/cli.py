@@ -988,6 +988,10 @@ def cmd_consume(args) -> int:
         q = pipe.start_kafka_stream(
             kconf["bootstrap_servers"], kconf["topic"],
             processing_interval=f"{cfg.insert_interval_s} seconds",
+            # raw (this engine's producer) | debezium | wal2json — the
+            # last for pg_recvlogical/slot-to-Kafka bridges publishing
+            # bare wal2json payloads
+            value_format=kconf.get("value_format", "raw"),
             available_now=args.available_now,
         )
     else:

@@ -566,6 +566,18 @@ class CdcPipeline:
         for a whole prefix). Decode parity is pinned by
         tests/test_events_filters.py::test_debezium_decode_parity.
 
+        ``value_format="wal2json"`` consumes raw wal2json payloads
+        (v1/v2 auto-detected per message — the shape a
+        ``pg_recvlogical -o ...`` pipe or a slot-to-Kafka bridge
+        publishes); the decode is the same pure-Column
+        ``events.wal2json_to_raw`` every offline path uses, so it is
+        streaming-safe with no driver parsing. (pgoutput BINARY
+        payloads are deliberately NOT a Kafka value format: their
+        Relation metadata is session-scoped and ordering-dependent,
+        which a partitioned topic does not preserve — bridge pgoutput
+        through `produce --source pg-socket`, which decodes in wire
+        order and publishes standard raw events.)
+
         ``assign_partitions`` ({topic: [partition, ...]}) replaces
         subscribe with Kafka manual assignment — B4 parity with the
         reference, which pins partition = database-index and seeks it
@@ -607,14 +619,7 @@ class CdcPipeline:
                 ) from e
             raise
         dbz = value_format == "debezium"
-        if dbz:
-            from synch_spark.events import debezium_to_raw
-
-            raw = debezium_to_raw(loaded, "value")
-        else:
-            raw = loaded.select(
-                F.from_json(F.col("value").cast("string"), RAW_EVENT_SCHEMA).alias("e")
-            ).select("e.*")
+        raw = raw_from_kafka_values(loaded, value_format)
         # per-table typing of a Debezium stream must also decode the
         # connector's default logical-type encodings (precise DECIMAL,
         # adaptive temporals) — scoped to THIS stream's batches
@@ -628,6 +633,29 @@ class CdcPipeline:
             return writer.trigger(availableNow=True).start()
         interval = processing_interval or f"{self.cfg.insert_interval_s} seconds"
         return writer.trigger(processingTime=interval).start()
+
+
+def raw_from_kafka_values(loaded: DataFrame, value_format: str) -> DataFrame:
+    """Kafka value column → RAW_EVENT_SCHEMA, per wire format. Pure
+    (works on any DataFrame with a ``value`` column — static frames in
+    tests, the streaming reader in production): "raw" is this engine's
+    own producer JSON, "debezium" the connector envelope, "wal2json"
+    bare plugin payloads from a pg_recvlogical/slot-to-Kafka bridge."""
+    if value_format == "debezium":
+        from synch_spark.events import debezium_to_raw
+
+        return debezium_to_raw(loaded, "value")
+    if value_format == "wal2json":
+        from synch_spark.events import wal2json_to_raw
+
+        return wal2json_to_raw(loaded, "value")
+    if value_format != "raw":
+        raise ValueError(
+            f"unknown kafka value_format {value_format!r} "
+            "(raw | debezium | wal2json)")
+    return loaded.select(
+        F.from_json(F.col("value").cast("string"), RAW_EVENT_SCHEMA).alias("e")
+    ).select("e.*")
 
 
 def kafka_source_options(

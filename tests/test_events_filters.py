@@ -496,3 +496,35 @@ def test_precise_mode_overprecision_and_empty_payloads_null(spark):
     assert got[1] is None, f"empty payload fabricated a value: {got[1]}"
     from decimal import Decimal
     assert got[2] == Decimal("12.50")
+
+
+def test_raw_from_kafka_values_formats(spark):
+    """The Kafka value decode matrix: this engine's raw JSON, Debezium
+    envelopes, and bare wal2json payloads (a pg_recvlogical/slot-to-
+    Kafka bridge) all land in RAW_EVENT_SCHEMA through one pure helper
+    — testable without the connector jar."""
+    import json as _json
+
+    from synch_spark.streaming.pipeline import raw_from_kafka_values
+
+    raw_val = _json.dumps({
+        "schema": "db", "table": "t", "action": "insert", "before": None,
+        "after": _json.dumps({"id": 1}), "event_unixtime": 42})
+    df = spark.createDataFrame([(raw_val,)], "value string")
+    got = raw_from_kafka_values(df, "raw").collect()[0]
+    assert (got["schema"], got["action"], got["event_unixtime"]) == (
+        "db", "insert", 42)
+
+    w2j = _json.dumps({
+        "action": "I", "schema": "db", "table": "t",
+        "timestamp": "2024-01-01 00:00:01.000000+00",
+        "columns": [{"name": "id", "value": 1}]})
+    got = raw_from_kafka_values(
+        spark.createDataFrame([(w2j,)], "value string"), "wal2json"
+    ).collect()[0]
+    assert got["action"] == "insert"
+    assert _json.loads(got["after"]) == {"id": "1"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="value_format"):
+        raw_from_kafka_values(df, "avro")
