@@ -999,6 +999,11 @@ def cmd_consume(args) -> int:
             raw["spark"]["events_dir"],
             available_now=args.available_now,
             processing_interval=f"{cfg.insert_interval_s} seconds",
+            # spark.spool_clean: delete|archive bounds the spool on disk
+            # (consumed files otherwise accumulate forever); cleanup is
+            # the file source's own post-commit machinery
+            clean_source=raw["spark"].get("spool_clean"),
+            archive_dir=raw["spark"].get("spool_archive_dir"),
         )
     q.awaitTermination()
     return 0

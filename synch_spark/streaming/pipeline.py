@@ -521,14 +521,34 @@ class CdcPipeline:
         max_files_per_trigger: int | None = None,
         processing_interval: str | None = None,
         available_now: bool = False,
+        clean_source: str | None = None,
+        archive_dir: str | None = None,
     ):
         """Consume newline-JSON raw events from a directory (test/broker-
-        spool form; the kafka variant differs only in source options)."""
+        spool form; the kafka variant differs only in source options).
+
+        ``clean_source`` bounds the spool on disk — without it consumed
+        files accumulate FOREVER, which at production event volumes is
+        unbounded growth on the broker volume. "delete" removes a file
+        once its batch commits; "archive" moves it under ``archive_dir``
+        (which Spark requires to be OUTSIDE the source glob's reach).
+        Both are the file source's own cleanSource machinery, so the
+        at-least-once contract is unchanged: cleanup happens only after
+        the checkpoint commit that covers the file."""
         reader = (
             self.spark.readStream.schema(RAW_EVENT_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
-            .json(events_dir)
         )
+        if clean_source:
+            if clean_source not in ("delete", "archive"):
+                raise ValueError(
+                    f"clean_source {clean_source!r} (delete | archive)")
+            if clean_source == "archive" and not archive_dir:
+                raise ValueError("clean_source=archive needs archive_dir")
+            reader = reader.option("cleanSource", clean_source)
+            if archive_dir:
+                reader = reader.option("sourceArchiveDir", archive_dir)
+        reader = reader.json(events_dir)
         writer = reader.writeStream.foreachBatch(self.apply_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )

@@ -603,3 +603,42 @@ def test_truncate_statement_forms(spark, tmp_path, pipeline):
         ("db", "other", "query", None, {"query": "TRUNCATE db.other"}, 100),
     ])
     pipeline.apply_batch(batch, 0)  # must not raise
+
+
+def test_file_stream_clean_source_delete_bounds_spool(spark, tmp_path, pipeline):
+    """clean_source='delete': a consumed spool file is removed after
+    its batch commits — the spool stays bounded instead of growing
+    forever. (The file source's own cleanSource machinery: cleanup is
+    post-commit, so at-least-once is unchanged.)"""
+    import os
+    import time
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    _write_events(events_dir / "b1.json", [
+        ("db", "t", "insert", None, {"id": 1, "amount": 1.0}, 100)])
+    q = pipeline.start_file_stream(str(events_dir), available_now=True,
+                                   clean_source="delete")
+    q.awaitTermination(120)
+    t = ParquetTable(spark, f"{pipeline.warehouse}/db/t")
+    assert {r["id"] for r in t.read().collect()} == {1}
+    # the source cleans a COMPLETED batch's files while processing a
+    # subsequent batch — drive a second drain and poll
+    _write_events(events_dir / "b2.json", [
+        ("db", "t", "insert", None, {"id": 2, "amount": 2.0}, 200)])
+    q = pipeline.start_file_stream(str(events_dir), available_now=True,
+                                   clean_source="delete")
+    q.awaitTermination(120)
+    deadline = time.time() + 30
+    while time.time() < deadline and os.path.exists(events_dir / "b1.json"):
+        time.sleep(0.2)
+    assert not os.path.exists(events_dir / "b1.json"), \
+        "consumed spool file must be deleted by cleanSource"
+    assert {r["id"] for r in t.read().collect()} == {1, 2}
+
+
+def test_file_stream_clean_source_validation(spark, tmp_path, pipeline):
+    with pytest.raises(ValueError, match="delete | archive"):
+        pipeline.start_file_stream(str(tmp_path), clean_source="nuke")
+    with pytest.raises(ValueError, match="archive_dir"):
+        pipeline.start_file_stream(str(tmp_path), clean_source="archive")
