@@ -1314,6 +1314,103 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def cmd_status(args) -> int:
+    """One-shot operational snapshot, as a single JSON document: the
+    'is replication healthy and how far behind' question.
+
+    Per table: target existence, current version, and file-layout
+    health (file_stats — no data read; pass ``--counts`` to also pay a
+    count scan). Throughput: the newest producer/consumer monitor rows
+    per table from ``_synch_log`` (the reference's synch_log, what its
+    web UI charts). Broker: spool backlog computed as files on disk
+    MINUS files the consumer's checkpoint has committed (read from the
+    file source's own log — exact, not mtime heuristics), with bytes.
+    Cursors: the binlog socket cursor file (file/pos/gtid_set) when
+    present. Everything is best-effort: a missing piece reports as
+    absent rather than failing the whole status."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    raw = _load(args.config)
+    cfg = config_from_dict(raw)
+    spark = get_spark("synch-status")
+    warehouse = raw["spark"]["warehouse"]
+    out: dict = {"tables": {}, "spool": None, "cursors": {}}
+
+    for name, spec in cfg.tables.items():
+        if args.table and spec.table not in _csv(args.table):
+            continue
+        t = ParquetTable(spark, f"{warehouse}/{spec.schema}/{spec.table}",
+                         retain=spec.retain)
+        entry: dict = {"exists": t.exists}
+        if t.exists:
+            entry["version"] = t.current_version()
+            entry["files"] = t.file_stats()
+            if args.counts:
+                entry["rows"] = t.count()
+        out["tables"][name] = entry
+
+    log = ParquetTable(spark, f"{warehouse}/_synch_log")
+    if log.exists:
+        from pyspark.sql import Window as W
+
+        rows = (
+            log.read()
+            .withColumn("_rn", F.row_number().over(
+                W.partitionBy("schema", "table", "type")
+                .orderBy(F.col("created_at").desc())))
+            .filter(F.col("_rn") == 1)
+            .collect()
+        )
+        for r in rows:
+            key = f"{r['schema']}.{r['table']}"
+            if key in out["tables"]:
+                side = "producer" if r["type"] == 1 else "consumer"
+                out["tables"][key][f"last_{side}"] = {
+                    "num": r["num"], "at": str(r["created_at"])}
+
+    events_dir = (raw["spark"] or {}).get("events_dir")
+    if events_dir and os.path.isdir(events_dir):
+        on_disk = {p for p in _glob.glob(os.path.join(events_dir, "*"))
+                   if os.path.isfile(p)}
+        committed: set = set()
+        src_log = os.path.join(raw["spark"].get("checkpoint_dir", ""),
+                               "sources", "0")
+        if os.path.isdir(src_log):
+            for f in os.listdir(src_log):
+                fp = os.path.join(src_log, f)
+                if not os.path.isfile(fp):
+                    continue
+                try:
+                    with open(fp) as fh:
+                        for line in fh:
+                            line = line.strip()
+                            if line.startswith("{"):
+                                doc = json.loads(line)
+                                path = doc.get("path", "")
+                                committed.add(path.removeprefix("file://"))
+                except (OSError, ValueError):
+                    continue
+        backlog = sorted(on_disk - committed)
+        out["spool"] = {
+            "dir": events_dir,
+            "files_on_disk": len(on_disk),
+            "files_committed": len(on_disk & committed),
+            "backlog_files": len(backlog),
+            "backlog_bytes": sum(os.path.getsize(p) for p in backlog),
+        }
+
+    cursor_path = os.path.join(warehouse, "_binlog_socket_cursor.json")
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            out["cursors"]["mysql_socket"] = json.load(f)
+
+    print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
 def cmd_repair(args) -> int:
     """check's closing half: diff replicated state against a fresh source
     snapshot and apply surgical correction events (upgrade over the
@@ -1832,6 +1929,15 @@ def main(argv=None) -> int:
         help="re-emit the feed as change events through the broker "
              "boundary (table as a replication source)")
     ch.set_defaults(fn=cmd_changes)
+    st = sub.add_parser(
+        "status",
+        help="one-shot health/lag snapshot: table versions + layout, "
+             "latest producer/consumer throughput rows, exact spool "
+             "backlog (disk minus checkpoint-committed), live cursors")
+    st.add_argument("--table", help="comma-separated subset")
+    st.add_argument("--counts", action="store_true",
+                    help="also count rows per table (pays a scan)")
+    st.set_defaults(fn=cmd_status)
     r = sub.add_parser("repair", help="snapshot-diff surgical backfill")
     r.add_argument("--table")
     r.set_defaults(fn=cmd_repair)

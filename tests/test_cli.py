@@ -1320,3 +1320,66 @@ def test_cli_replay_binlog_follow_sequence_reset(tmp_path, capsys, spark):
     assert out["shipped_through"] == "binlog.000001", \
         "sequence reset not detected: new events silently dropped"
     assert out["events"] == 1
+
+
+def test_cli_status_snapshot(tmp_path, capsys, spark):
+    """`status`: after a produce+consume cycle the snapshot reports the
+    table's version/layout, the latest producer/consumer monitor rows,
+    an EXACT spool backlog (files on disk minus checkpoint-committed),
+    and stays best-effort when pieces are missing."""
+    import glob
+    import json as _json
+    import os
+
+    import yaml
+
+    from synch_spark.cli import main
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS amount") \
+        .write.parquet(str(src / "db.t"))
+    ev_dir = tmp_path / "events"
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(ev_dir),
+            "sources": {"db.t": str(src / "db.t")},
+            "value_schemas": {"db.t": vschema.jsonValue()},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    capsys.readouterr()
+    assert main(["--config", str(p), "status", "--counts"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    t = out["tables"]["db.t"]
+    assert t["exists"] and t["rows"] == 10 and t["files"]["files"] >= 1
+    assert t["last_producer"]["num"] == 10
+    assert t["last_consumer"]["num"] == 10
+    sp = out["spool"]
+    n_disk = len([f for f in glob.glob(str(ev_dir / "*"))
+                  if os.path.isfile(f)])
+    assert sp["files_on_disk"] == n_disk
+    assert sp["backlog_files"] == 0, "everything consumed => no backlog"
+    # an UNCONSUMED file shows up as backlog with its byte size
+    extra = ev_dir / "zz_new.json"
+    extra.write_text('{"schema":"db","table":"t","action":"insert",'
+                     '"before":null,"after":"{\\"id\\":11,\\"amount\\":1.0}",'
+                     '"event_unixtime":999}\n')
+    capsys.readouterr()
+    assert main(["--config", str(p), "status"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["spool"]["backlog_files"] == 1
+    assert out["spool"]["backlog_bytes"] == extra.stat().st_size
