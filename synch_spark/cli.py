@@ -946,6 +946,45 @@ def cmd_consume(args) -> int:
                 f"StructType jsonValue() dict (got {type(js).__name__}: {js!r:.80})"
             )
         schemas[name] = T.StructType.fromJson(js)
+    # Infer missing value schemas instead of silently dead-lettering
+    # every event for the table (the failure mode of an undeclared
+    # schema). The reference reads column types from the source
+    # catalog (synch/reader/mysql.py); the equivalents here are an
+    # already-materialized target (authoritative: it IS the applied
+    # schema, minus internal bookkeeping columns) or the configured
+    # source path. Explicit spark.value_schemas always wins.
+    from synch_spark.sources.schema_evolution import GEN_COL
+
+    for name, spec in cfg.tables.items():
+        if name in schemas:
+            continue
+        from synch_spark.config import Engine
+
+        internal = {GEN_COL}
+        if spec.engine in (Engine.COLLAPSING_MERGE_TREE,
+                           Engine.VERSIONED_COLLAPSING_MERGE_TREE):
+            internal.add(spec.sign_column)
+        inferred = None
+        tbl = ParquetTable(
+            spark, f"{raw['spark']['warehouse']}/{spec.schema}/{spec.table}",
+            retain=spec.retain)
+        if tbl.exists:
+            inferred = tbl.read().schema
+        else:
+            src_path = (raw["spark"].get("sources") or {}).get(name)
+            if src_path:
+                try:
+                    inferred = spark.read.format(
+                        raw["spark"].get("source_format", "parquet")
+                    ).load(src_path).schema
+                except Exception:  # noqa: BLE001 — inference is best-effort
+                    inferred = None
+        if inferred is not None:
+            schemas[name] = T.StructType(
+                [f for f in inferred.fields if f.name not in internal])
+            print(f"value schema for {name} inferred "
+                  f"({'target' if tbl.exists else 'source'}): "
+                  f"{schemas[name].simpleString()}", file=sys.stderr)
     jdbc_sinks = {}
     for name, sk in (raw["spark"].get("jdbc_sinks") or {}).items():
         # per-table JDBC targets (ClickHouse deployment shape): route this

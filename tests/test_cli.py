@@ -1383,3 +1383,48 @@ def test_cli_status_snapshot(tmp_path, capsys, spark):
     out = _json.loads(capsys.readouterr().out)
     assert out["spool"]["backlog_files"] == 1
     assert out["spool"]["backlog_bytes"] == extra.stat().st_size
+
+
+def test_consume_infers_missing_value_schema(tmp_path, capsys, spark):
+    """An undeclared value schema previously dead-lettered EVERY event
+    for the table; consume now infers it from the configured source
+    path (first run) or the materialized target (later runs), with
+    explicit spark.value_schemas still winning."""
+    import json as _json
+
+    import yaml
+
+    from synch_spark.cli import main
+    from synch_spark.sources.table import ParquetTable
+
+    src = tmp_path / "src"
+    spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS amount") \
+        .write.parquet(str(src / "db.t"))
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "sources": {"db.t": str(src / "db.t")},
+            # no value_schemas on purpose
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    err = capsys.readouterr().err
+    assert "value schema for db.t inferred (source)" in err
+    t = ParquetTable(spark, str(tmp_path / "wh" / "db" / "t"))
+    assert t.exists and t.count() == 5
+    dl = ParquetTable(spark, str(tmp_path / "wh" / "_synch_dead_letter_events"))
+    assert not dl.exists, "inference must prevent the dead-letter path"
+    # second cycle: the target now exists and is the inference source
+    spark.range(5, 7).selectExpr("id", "CAST(id AS DOUBLE) AS amount") \
+        .write.mode("overwrite").parquet(str(src / "db.t"))
+    assert main(["--config", str(p), "produce", "--once"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    assert "inferred (target)" in capsys.readouterr().err
