@@ -953,17 +953,15 @@ def cmd_consume(args) -> int:
     # already-materialized target (authoritative: it IS the applied
     # schema, minus internal bookkeeping columns) or the configured
     # source path. Explicit spark.value_schemas always wins.
-    from synch_spark.sources.schema_evolution import GEN_COL
+    from synch_spark.streaming.pipeline import hidden_target_columns
 
     for name, spec in cfg.tables.items():
         if name in schemas:
             continue
-        from synch_spark.config import Engine
-
-        internal = {GEN_COL}
-        if spec.engine in (Engine.COLLAPSING_MERGE_TREE,
-                           Engine.VERSIONED_COLLAPSING_MERGE_TREE):
-            internal.add(spec.sign_column)
+        # the SHARED hidden set (incl. _event_unixtime, which the
+        # collapsing apply re-derives — keeping it in the inferred
+        # schema would duplicate the column and crash-loop the stream)
+        internal = hidden_target_columns(spec)
         inferred = None
         tbl = ParquetTable(
             spark, f"{raw['spark']['warehouse']}/{spec.schema}/{spec.table}",
@@ -1012,6 +1010,14 @@ def cmd_consume(args) -> int:
         # (wal2json / PG wire format) — see events.parse_values
         string_values=raw["spark"].get("value_parse") == "string",
     )
+    if (raw["spark"].get("spool_archive_dir")
+            and not raw["spark"].get("spool_clean")):
+        # an archive dir without the mode LOOKS enabled but sets no
+        # source option — the spool would silently grow unbounded, the
+        # exact failure the knob exists to prevent
+        raise SystemExit(
+            "config error: spark.spool_archive_dir is set but "
+            "spark.spool_clean is not — set spool_clean: archive")
     if raw["spark"].get("redis"):
         return _consume_redis(spark, raw, cfg, pipe, args)
     if raw["spark"].get("kafka"):
@@ -1412,15 +1418,27 @@ def cmd_status(args) -> int:
 
     events_dir = (raw["spark"] or {}).get("events_dir")
     if events_dir and os.path.isdir(events_dir):
+        from urllib.parse import unquote, urlparse
+
         on_disk = {p for p in _glob.glob(os.path.join(events_dir, "*"))
                    if os.path.isfile(p)}
         committed: set = set()
-        src_log = os.path.join(raw["spark"].get("checkpoint_dir", ""),
-                               "sources", "0")
+        ckpt = raw["spark"].get("checkpoint_dir", "")
+        src_log = os.path.join(ckpt, "sources", "0")
+        commits_dir = os.path.join(ckpt, "commits")
+        # a sources/0/<N> entry is written when batch N is PLANNED; the
+        # batch's events only count as consumed once commits/<N> exists
+        # — otherwise a consumer crash between offset write and commit
+        # would hide exactly the lag this command exists to surface
+        committed_batches = set()
+        if os.path.isdir(commits_dir):
+            for f in os.listdir(commits_dir):
+                if f.isdigit():
+                    committed_batches.add(f)
         if os.path.isdir(src_log):
             for f in os.listdir(src_log):
                 fp = os.path.join(src_log, f)
-                if not os.path.isfile(fp):
+                if not os.path.isfile(fp) or f not in committed_batches:
                     continue
                 try:
                     with open(fp) as fh:
@@ -1428,17 +1446,27 @@ def cmd_status(args) -> int:
                             line = line.strip()
                             if line.startswith("{"):
                                 doc = json.loads(line)
-                                path = doc.get("path", "")
-                                committed.add(path.removeprefix("file://"))
+                                # the source log stores URIs
+                                # (file:///a/b%20c.json) — decode to the
+                                # filesystem path the glob produced
+                                u = urlparse(doc.get("path", ""))
+                                committed.add(unquote(u.path) or
+                                              doc.get("path", ""))
                 except (OSError, ValueError):
                     continue
         backlog = sorted(on_disk - committed)
+        bytes_ = 0
+        for p in backlog:
+            try:  # a cleanSource delete can race the glob; best-effort
+                bytes_ += os.path.getsize(p)
+            except OSError:
+                continue
         out["spool"] = {
             "dir": events_dir,
             "files_on_disk": len(on_disk),
             "files_committed": len(on_disk & committed),
             "backlog_files": len(backlog),
-            "backlog_bytes": sum(os.path.getsize(p) for p in backlog),
+            "backlog_bytes": bytes_,
         }
 
     cursor_path = os.path.join(warehouse, "_binlog_socket_cursor.json")

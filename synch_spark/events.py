@@ -667,7 +667,8 @@ def debezium_to_raw(df: DataFrame, value_col: str = "value") -> DataFrame:
 
 
 def wal2json_to_raw(
-    df: DataFrame, value_col: str = "value", fallback_unixtime_us: int | None = None
+    df: DataFrame, value_col: str = "value",
+    fallback_unixtime_us: "int | Column | None" = None
 ) -> DataFrame:
     """Decode wal2json payloads (the reference's PG logical-replication
     plugin, /root/reference/synch/reader/postgres.py:68-128) into
@@ -759,6 +760,14 @@ def wal2json_to_raw(
     )
     if fallback_unixtime_us is None:
         fallback_unixtime_us = int(_time.time() * 1_000_000)
+    # int → frozen literal (offline replays: one invocation, one base);
+    # a Column (e.g. unix_micros(current_timestamp())) re-evaluates per
+    # STREAMING micro-batch — without it a long-lived Kafka stream would
+    # stamp every timestampless message for its whole lifetime with the
+    # plan-build instant, and day-apart events would tie
+    fb_col = (F.lit(fallback_unixtime_us)
+              if isinstance(fallback_unixtime_us, int)
+              else fallback_unixtime_us)
     parsed = df.select(
         F.from_json(F.col(value_col).cast("string"), w2j).alias("_p")
     )
@@ -823,7 +832,7 @@ def wal2json_to_raw(
     _seq = _pid * _BAND + F.least(_local, F.lit(_BAND - 1))
     ts_us = F.coalesce(
         F.unix_micros(F.try_to_timestamp(F.col("_p.timestamp"))),
-        F.lit(fallback_unixtime_us) + _seq,
+        fb_col + _seq,
     )
     return (
         parsed.select("_p", F.explode(rows).alias("c"))

@@ -42,6 +42,18 @@ _TRUNCATE_RE = re.compile(
     r"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?[`\"']?[\w$]+[`\"']?"
     r"(?:\s*\.\s*[`\"']?[\w$]+[`\"']?)?\s*;?\s*$")
 
+
+def hidden_target_columns(spec) -> set[str]:
+    """The pipeline-internal columns a materialized target carries
+    beyond the user's value columns — ONE definition, shared by schema
+    restore and by consume's value-schema inference (a divergence here
+    crash-loops collapsing tables on a duplicate _event_unixtime).
+    Deliberately an explicit set, not startswith('_'): a legitimate
+    user column named e.g. _status must survive."""
+    from synch_spark.sources.schema_evolution import GEN_COL
+
+    return {spec.sign_column, "_event_unixtime", GEN_COL}
+
 MONITOR_SCHEMA = T.StructType(
     [
         T.StructField("alias", T.StringType()),
@@ -352,12 +364,7 @@ class CdcPipeline:
         table = self.table_for(spec)
         if not table.exists:
             return
-        # hide only the KNOWN pipeline-internal columns — a blanket
-        # startswith("_") test would silently drop a legitimate user
-        # column named e.g. _status from the restored schema
-        from synch_spark.sources.schema_evolution import GEN_COL
-
-        hidden = {spec.sign_column, "_event_unixtime", GEN_COL}
+        hidden = hidden_target_columns(spec)
         fields = [f for f in table.read().schema.fields
                   if f.name not in hidden]
         have = {f.name for f in fields}
@@ -618,6 +625,15 @@ class CdcPipeline:
                 "spark.value_parse: string cannot be combined with a "
                 "Debezium-format stream (see events.parse_values)"
             )
+        if value_format == "wal2json" and not self.string_values:
+            # the inverse conflict: wal2json row images are ALL TEXT, and
+            # a plain typed from_json nulls quoted scalars in numeric
+            # fields — pk columns would silently null and merge wrong
+            raise ValueError(
+                "value_format=wal2json needs spark.value_parse: string "
+                "(wal2json carries every value as text; see "
+                "events.parse_values)"
+            )
         opts = kafka_source_options(
             bootstrap_servers, topic,
             max_offsets_per_trigger or self.cfg.insert_num,
@@ -668,7 +684,13 @@ def raw_from_kafka_values(loaded: DataFrame, value_format: str) -> DataFrame:
     if value_format == "wal2json":
         from synch_spark.events import wal2json_to_raw
 
-        return wal2json_to_raw(loaded, "value")
+        # per-BATCH fallback instant: current_timestamp() re-evaluates
+        # each micro-batch, so a timestampless bridge's events get their
+        # arrival batch's time — a frozen int here would stamp the whole
+        # stream's lifetime with the plan-build instant
+        return wal2json_to_raw(
+            loaded, "value",
+            fallback_unixtime_us=F.unix_micros(F.current_timestamp()))
     if value_format != "raw":
         raise ValueError(
             f"unknown kafka value_format {value_format!r} "

@@ -1428,3 +1428,29 @@ def test_consume_infers_missing_value_schema(tmp_path, capsys, spark):
     assert main(["--config", str(p), "produce", "--once"]) == 0
     assert main(["--config", str(p), "consume", "--available-now"]) == 0
     assert "inferred (target)" in capsys.readouterr().err
+
+
+def test_consume_refuses_archive_dir_without_clean_mode(tmp_path, capsys):
+    """spool_archive_dir without spool_clean LOOKS enabled but sets no
+    source option — refuse instead of silently growing the spool."""
+    import yaml
+
+    from synch_spark.cli import main
+
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "sources": {},
+            "spool_archive_dir": str(tmp_path / "archive"),
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="spool_clean"):
+        main(["--config", str(p), "consume", "--available-now"])

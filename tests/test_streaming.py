@@ -642,3 +642,53 @@ def test_file_stream_clean_source_validation(spark, tmp_path, pipeline):
         pipeline.start_file_stream(str(tmp_path), clean_source="nuke")
     with pytest.raises(ValueError, match="archive_dir"):
         pipeline.start_file_stream(str(tmp_path), clean_source="archive")
+
+
+def test_wal2json_kafka_format_requires_string_parse(spark, tmp_path):
+    """value_format=wal2json without spark.value_parse: string would
+    silently null quoted numerics through the typed from_json — the
+    conflict must surface at stream START."""
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="t", pk=("id",)))
+    pipe = CdcPipeline(
+        spark=spark, cfg=cfg, warehouse=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        value_schemas={"db.t": VALUE_SCHEMA}, string_values=False,
+    )
+    with pytest.raises(ValueError, match="value_parse: string"):
+        pipe.start_kafka_stream("localhost:9", "topic",
+                                value_format="wal2json")
+
+
+def test_inference_hidden_set_matches_restore_hidden_set(spark, tmp_path):
+    """ONE definition of pipeline-internal target columns: consume's
+    value-schema inference must strip exactly what schema restore
+    strips (a divergence crash-loops collapsing tables on a duplicated
+    _event_unixtime)."""
+    from synch_spark.streaming.pipeline import hidden_target_columns
+
+    spec = TableSpec(schema="db", table="t", pk=("id",),
+                     engine=Engine.COLLAPSING_MERGE_TREE)
+    assert hidden_target_columns(spec) == {"sign", "_event_unixtime",
+                                           "_sgen"}
+
+
+def test_wal2json_fallback_accepts_column_expression(spark):
+    """A Column fallback (unix_micros(current_timestamp())) must be
+    accepted so STREAMING decode restamps per micro-batch instead of
+    freezing the plan-build instant for the stream's lifetime."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from synch_spark.events import wal2json_to_raw
+
+    payload = _json.dumps({
+        "action": "I", "schema": "db", "table": "t",
+        "columns": [{"name": "id", "value": 1}]})  # NO timestamp field
+    df = spark.createDataFrame([(payload,)], "value string")
+    before_us = int(__import__("time").time() * 1_000_000)
+    got = wal2json_to_raw(
+        df, fallback_unixtime_us=F.unix_micros(F.current_timestamp())
+    ).collect()[0]
+    assert got["event_unixtime"] >= before_us - 5_000_000
