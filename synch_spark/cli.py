@@ -355,14 +355,19 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
     carried across rounds for mid-session resumes).
 
     Config: ``spark.pg_socket: {host, port, user, password, database,
-    slot, plugin, options, ssl_mode, ssl_ca}`` (``options`` merges into
+    slot, plugin, options, archive_dir, ssl_mode, ssl_ca}``
+    (``archive_dir``, pgoutput only: write each DECIDED round's raw
+    payloads as a frame file — the wire-level audit trail
+    ``replay-wal --plugin pgoutput`` replays; ``options`` merges into
     the plugin parameters; wal2json defaults format-version 2 +
     include-timestamp, pgoutput defaults proto_version 1 +
     publication_names=<slot>; ``ssl_mode`` =
     disable|require|verify-ca|verify-full — managed Postgres commonly
     requires ``require``)."""
     import json as _json
+    import os
     import time as _time
+    import uuid as _uuid
 
     from synch_spark.events import RAW_EVENT_SCHEMA, filter_tables, wal2json_to_raw
     from synch_spark.sources.pgoutput import PgoutputError, iter_pgoutput_changes
@@ -405,6 +410,26 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
                 evs = list(iter_pgoutput_changes(payloads,
                                                  relations=pgo_relations,
                                                  state_out=pgo_state))
+                if (pg.get("archive_dir") and not client.torn
+                        and not pgo_state.get("undecided")):
+                    # raw wire audit trail: a frame file per DECIDED
+                    # round (replayable via replay-wal --plugin
+                    # pgoutput). Undecided/torn rounds skip the archive
+                    # AND the ack below, so their payloads re-deliver
+                    # next round and land in ITS file — the
+                    # whole-transaction-per-file archive contract holds
+                    # by construction.
+                    from synch_spark.sources.pgoutput import (
+                        write_pgoutput_frames,
+                    )
+
+                    os.makedirs(pg["archive_dir"], exist_ok=True)
+                    apath = os.path.join(
+                        pg["archive_dir"],
+                        f"round.{client.received_lsn:016x}.pgo")
+                    tmp_a = f"{apath}.tmp-{_uuid.uuid4().hex[:8]}"
+                    write_pgoutput_frames(tmp_a, payloads)
+                    os.replace(tmp_a, apath)
                 if evs:
                     df = spark.createDataFrame(
                         [tuple(e[f.name] for f in RAW_EVENT_SCHEMA.fields)

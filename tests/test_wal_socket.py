@@ -469,3 +469,51 @@ def test_cli_produce_pg_socket_pgoutput(tmp_path, capsys, spark):
     finally:
         srv.stop_evt.set()
         srv.srv.close()
+
+
+def test_cli_pg_socket_pgoutput_archives_decided_rounds(tmp_path, capsys,
+                                                        spark):
+    """archive_dir: a decided round's raw payloads land as a frame
+    file whose distributed replay (pgoutput_files_to_raw) reproduces
+    the round's events — the wire-level audit trail."""
+    import json as _json
+
+    import yaml
+
+    from synch_spark.cli import main
+    from synch_spark.sources.pgoutput import pgoutput_files_to_raw
+
+    srv = FakePgServer(auth="md5", payloads=_pgoutput_payloads())
+    srv.start()
+    try:
+        arch = tmp_path / "archive"
+        cfg = {
+            "core": {"insert_num": 1000, "insert_interval": 1},
+            "source_dbs": [{"databases": [{"database": "db", "tables": [
+                {"table": "t", "pk": ["id"]}]}]}],
+            "spark": {
+                "warehouse": str(tmp_path / "wh"),
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "events_dir": str(tmp_path / "events"),
+                "sources": {},
+                "pg_socket": {"host": "127.0.0.1", "port": srv.port,
+                              "user": USER, "password": PASSWORD,
+                              "database": DB, "slot": SLOT,
+                              "plugin": "pgoutput",
+                              "archive_dir": str(arch),
+                              "idle_timeout": 1.0},
+            },
+        }
+        p = tmp_path / "synch.yaml"
+        p.write_text(yaml.dump(cfg))
+        assert main(["--config", str(p), "produce",
+                     "--source", "pg-socket", "--once"]) == 0
+        files = sorted(arch.glob("round.*.pgo"))
+        assert len(files) == 1
+        back = pgoutput_files_to_raw(spark, str(files[0])).collect()
+        acts = sorted((r["action"], _json.loads(r["after"] or "{}").get("name"))
+                      for r in back)
+        assert acts == [("insert", "alice"), ("update", "alicia")]
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()
