@@ -204,7 +204,10 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
     decoder byte-for-byte (sources.binlog_socket.stream_raw_events).
 
     Config: ``spark.mysql_socket: {host, port, user, password,
-    server_id, file, pos, auto_position, gtid_set, ssl_mode, ssl_ca}``
+    server_id, file, pos, auto_position, gtid_set, archive_dir,
+    ssl_mode, ssl_ca}`` (``archive_dir``: write each round's raw
+    events as a pseudo-binlog — the wire-level audit trail
+    ``replay-binlog`` replays)
     — file/pos seed the FIRST run only (the cursor wins afterwards);
     ``auto_position: true`` switches the resume key from (file, pos) to
     an executed-GTID set (COM_BINLOG_DUMP_GTID — survives master
@@ -287,11 +290,14 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
             ms.get("password", ""), server_id=int(ms.get("server_id", 2**31)),
             ssl_mode=ms.get("ssl_mode", "disable"), ssl_ca=ms.get("ssl_ca"),
         )
+        raw_chunks: list = []
+        on_raw = raw_chunks.append if ms.get("archive_dir") else None
         try:
             events = list(stream_raw_events(
                 client, fname, pos, column_names=names or None,
                 only_schemas=only_schemas, only_tables=only_tables,
                 gtid_set=gtid_cursor if auto_position else None,
+                on_raw=on_raw,
             ))
             end_pos = client.position
             end_gtids = (format_gtid_set(client.gtid_executed)
@@ -302,6 +308,21 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
         finally:
             client.close()
         emitted = 0
+        if raw_chunks:
+            # raw wire audit trail: one pseudo-binlog per round (MAGIC +
+            # the streamed events, FDE included) — decodable by the
+            # offline decoder, replayable via replay-binlog. Atomic
+            # rename; written only after the round streamed cleanly
+            # (an exception above skips both archive and cursor).
+            from synch_spark.sources.binlog_file import MAGIC as _B_MAGIC
+
+            os.makedirs(ms["archive_dir"], exist_ok=True)
+            apath = os.path.join(ms["archive_dir"],
+                                 f"round.{i:06d}.{_uuid.uuid4().hex[:8]}.bin")
+            tmp_a = f"{apath}.tmp"
+            with open(tmp_a, "wb") as f:
+                f.write(_B_MAGIC + b"".join(raw_chunks))
+            os.replace(tmp_a, apath)
         if events:
             df = spark.createDataFrame(
                 [(e["schema"], e["table"], e["action"], e["before"],

@@ -575,6 +575,7 @@ def stream_raw_events(
     non_blocking: bool = True,
     on_position: Callable[[str, int], None] | None = None,
     gtid_set: str | None = None,
+    on_raw: Callable[[bytes], None] | None = None,
 ) -> Iterator[dict]:
     """Dump from (filename, pos) and yield decoded raw event dicts
     (RAW_EVENT_SCHEMA: schema/table/action/before/after/event_unixtime)
@@ -628,6 +629,11 @@ def stream_raw_events(
     for ev in dump:
         if len(ev) < 19:
             continue
+        if on_raw is not None:
+            # tee every event (FDE included) for the caller's raw
+            # archive — prepend MAGIC and the file is a decodable
+            # pseudo-binlog, replayable via replay-binlog
+            on_raw(bytes(ev))
         etype = ev[4]
         if etype == B.EV_FORMAT_DESCRIPTION:
             fde = ev

@@ -864,3 +864,53 @@ def test_gtid_torn_mid_transaction_keeps_inflight_out_of_cursor():
     finally:
         srv.stop_evt.set()
         srv.srv.close()
+
+
+def test_cli_mysql_socket_archives_rounds_as_pseudo_binlog(tmp_path, capsys,
+                                                           spark):
+    """archive_dir: a round's raw events (FDE included) land as a
+    pseudo-binlog whose distributed replay (binlog_files_to_raw)
+    reproduces the round's decoded events — the MySQL-side wire audit
+    trail, symmetric with the pgoutput frame archive."""
+    import json
+    import yaml
+
+    from synch_spark.cli import main
+    from synch_spark.sources.binlog_file import binlog_files_to_raw
+
+    data, _ = _fixture_binlog()
+    srv = FakeMysqlServer(data)
+    srv.start()
+    try:
+        arch = tmp_path / "archive"
+        cfg = {
+            "core": {"insert_num": 1000, "insert_interval": 1},
+            "source_dbs": [{"databases": [{"database": "db", "tables": [
+                {"table": "t", "pk": ["id"]}]}]}],
+            "spark": {
+                "warehouse": str(tmp_path / "wh"),
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "events_dir": str(tmp_path / "events"),
+                "sources": {},
+                "mysql_socket": {"host": "127.0.0.1", "port": srv.port,
+                                 "user": USER, "password": PASSWORD,
+                                 "file": "binlog.000007", "pos": 4,
+                                 "archive_dir": str(arch)},
+            },
+        }
+        p = tmp_path / "synch.yaml"
+        p.write_text(yaml.dump(cfg))
+        assert main(["--config", str(p), "produce",
+                     "--source", "mysql-socket", "--once"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["events"] == 5
+        files = sorted(arch.glob("round.*.bin"))
+        assert len(files) == 1
+        back = binlog_files_to_raw(spark, str(files[0])).collect()
+        acts = sorted((r["action"], r["table"]) for r in back
+                      if r["action"] != "query")
+        assert acts == [("delete", "t"), ("insert", "t"), ("insert", "t"),
+                        ("update", "t")]
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()
