@@ -1520,6 +1520,42 @@ def cmd_status(args) -> int:
         with open(cursor_path) as f:
             out["cursors"]["mysql_socket"] = json.load(f)
 
+    # declared index sync lag: the guarded-sync cursor records the last
+    # source version fully applied; lag = commits the source has made
+    # since (0 = caught up, null cursor = never built)
+    declared = raw["spark"].get("indexes") or {}
+    if declared:
+        out["indexes"] = {}
+        for iname, d in declared.items():
+            entry: dict = {"source": d.get("source")}
+            hits = _glob.glob(os.path.join(str(d.get("root", "")),
+                                           "**", "_feed_cursor.json"),
+                              recursive=True)
+            synced = None
+            if hits:
+                try:
+                    with open(sorted(hits)[0]) as f:
+                        synced = json.load(f).get("version")
+                except (OSError, ValueError):
+                    synced = None
+            entry["synced_version"] = synced
+            spec = cfg.tables.get(d.get("source", ""))
+            if spec is not None:
+                src_t = ParquetTable(
+                    spark, f"{warehouse}/{spec.schema}/{spec.table}",
+                    retain=spec.retain)
+                if src_t.exists:
+                    cur = src_t.current_version()
+                    entry["source_version"] = cur
+                    if synced is not None:
+                        entry["lag_commits"] = max(0, cur - synced)
+            entry["pending"] = any(
+                os.path.exists(h + ".pending") for h in hits) or bool(
+                _glob.glob(os.path.join(str(d.get("root", "")), "**",
+                                        "_feed_cursor.json.pending"),
+                           recursive=True))
+            out["indexes"][iname] = entry
+
     print(json.dumps(out, indent=2, default=str))
     return 0
 

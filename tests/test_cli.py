@@ -1454,3 +1454,63 @@ def test_consume_refuses_archive_dir_without_clean_mode(tmp_path, capsys):
     import pytest as _pytest
     with _pytest.raises(SystemExit, match="spool_clean"):
         main(["--config", str(p), "consume", "--available-now"])
+
+
+def test_cli_status_reports_index_lag(tmp_path, capsys, spark):
+    """`status` surfaces declared-index sync lag: caught-up after a
+    sync (lag 0), behind by N after N more source commits, never-built
+    as a null cursor."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.config import Engine, TableSpec
+    from synch_spark.operators.cdc_apply import apply_cdc_batch
+    from synch_spark.session import read_table
+    from synch_spark.sources.table import ParquetTable
+
+    wh = tmp_path / "wh"
+    t = ParquetTable(spark, str(wh / "db" / "documents"), retain=6)
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text").filter(F.col("doc_id") < 30)
+    t.overwrite(docs)
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "documents", "pk": ["doc_id"], "retain": 6}]}]}],
+        "spark": {
+            "warehouse": str(wh),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "source_format": "parquet",
+            "sources": {},
+            "indexes": {
+                "docs_lsh": {"kind": "lsh", "root": str(tmp_path / "idx"),
+                             "source": "db.documents",
+                             "text_col": "text", "id_col": "doc_id"},
+            },
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    # never built: null cursor
+    assert main(["--config", str(p), "status"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["indexes"]["docs_lsh"]["synced_version"] is None
+    # built and caught up: lag 0
+    assert main(["--config", str(p), "index", "sync"]) == 0
+    capsys.readouterr()
+    assert main(["--config", str(p), "status"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    ix = out["indexes"]["docs_lsh"]
+    assert ix["lag_commits"] == 0 and ix["pending"] is False
+    # one more source commit: lag 1
+    spec = TableSpec(schema="db", table="documents", pk=("doc_id",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    batch = spark.createDataFrame(
+        [("delete", 3, None, 1)],
+        "action string, doc_id long, text string, event_unixtime long",
+    ).withColumn("action_seq", F.lit(0)) \
+     .withColumn("schema", F.lit("db")).withColumn("table", F.lit("documents"))
+    apply_cdc_batch(t, batch, spec, value_columns=["doc_id", "text"])
+    capsys.readouterr()
+    assert main(["--config", str(p), "status"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["indexes"]["docs_lsh"]["lag_commits"] == 1
