@@ -775,6 +775,14 @@ def wal2json_to_raw(
     row_t = ("struct<schema:string,table:string,action:string,"
              "before:string,after:string>")
 
+    def _truncate_sql(schema_col, table_col):
+        # the DDL-barrier convention (action "query", the same shape a
+        # binlog QUERY event and a pgoutput Truncate message produce);
+        # to_json over a struct escapes odd identifiers correctly
+        return F.to_json(F.struct(F.concat(
+            F.lit("TRUNCATE "), schema_col, F.lit("."), table_col
+        ).alias("query")))
+
     def _v1_row(c):
         kind = c["kind"]
         after_img = F.to_json(
@@ -786,9 +794,12 @@ def wal2json_to_raw(
         return F.struct(
             c["schema"].alias("schema"),
             c["table"].alias("table"),
-            F.when(kind.isin("insert", "update", "delete"), kind).alias("action"),
+            F.when(kind.isin("insert", "update", "delete"), kind)
+            .when(kind == "truncate", F.lit("query")).alias("action"),
             F.when(kind.isin("update", "delete"), old_img).alias("before"),
-            F.when(kind.isin("insert", "update"), after_img).alias("after"),
+            F.when(kind.isin("insert", "update"), after_img)
+            .when(kind == "truncate",
+                  _truncate_sql(c["schema"], c["table"])).alias("after"),
         ).cast(row_t)
 
     def _v2_img(field):
@@ -805,9 +816,12 @@ def wal2json_to_raw(
         F.when(act == "I", F.lit("insert"))
         .when(act == "U", F.lit("update"))
         .when(act == "D", F.lit("delete"))
+        .when(act == "T", F.lit("query"))  # truncate → DDL barrier
         .alias("action"),
         F.when(act.isin("U", "D"), _v2_img("identity")).alias("before"),
-        F.when(act.isin("I", "U"), _v2_img("columns")).alias("after"),
+        F.when(act.isin("I", "U"), _v2_img("columns"))
+        .when(act == "T", _truncate_sql(F.col("_p.schema"),
+                                        F.col("_p.table"))).alias("after"),
     ).cast(row_t)
     # One normalized rows-array per payload: a v2 line wraps its single
     # row; a v1 line maps its change list; framing/corrupt lines yield

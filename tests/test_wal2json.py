@@ -252,3 +252,24 @@ def test_cli_replay_wal_pgoutput_frames_to_consume(spark, tmp_path):
 
     assert main(["--config", str(p), "replay-wal", "--path", str(d),
                  "--plugin", "pgoutput", "--follow"]) == 2
+
+
+def test_wal2json_truncate_maps_to_ddl_barrier(spark):
+    """wal2json truncate (v1 kind:"truncate", v2 action:"T") maps to
+    the repo's DDL-barrier convention — action "query" with
+    after={"query": "TRUNCATE schema.table"} — the same shape a binlog
+    QUERY event and a pgoutput Truncate message produce, so the
+    streaming barrier empties the target on all three sources."""
+    import json as _json
+
+    from synch_spark.events import wal2json_to_raw
+
+    v1 = _json.dumps({"change": [
+        {"kind": "truncate", "schema": "public", "table": "t"}]})
+    v2 = _json.dumps({"action": "T", "schema": "public", "table": "t"})
+    got = wal2json_to_raw(
+        spark.createDataFrame([(v1,), (v2,)], "value string")).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r["action"] == "query" and r["before"] is None
+        assert _json.loads(r["after"])["query"] == "TRUNCATE public.t"
