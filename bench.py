@@ -287,6 +287,28 @@ def main() -> None:
                        "errors": errors}, f, indent=1)
     except OSError:
         pass  # sidecar is informational; the stdout line is the contract
+    # a SERIAL run with clean calibration (≤1.3× the PERF.md idle pins)
+    # additionally refreshes the serial base — the committed reference
+    # the drift analysis compares against. Concurrent/drifted runs
+    # never touch it, so a casual bench.py invocation can't clobber
+    # the clean weights (it happened once: two contaminated concurrent
+    # reruns overwrote a calib-clean serial refresh).
+    _IDLE_SPIN, _IDLE_PAR32 = 0.11, 0.26
+    calib_clean = all(
+        c["spin_s"] <= _IDLE_SPIN * 1.3 and c["par32_s"] <= _IDLE_PAR32 * 1.3
+        for c in (calib_pre, calib_post))
+    if serial and calib_clean:
+        base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_SERIAL_BASE.json")
+        try:
+            with open(base, "w") as f:
+                json.dump({"value": total, "sf": sf,
+                           "n_queries": len(timings),
+                           "calib": {"pre": calib_pre, "post": calib_post},
+                           "queries": dict(sorted(timings.items()))}, f,
+                          indent=1)
+        except OSError:
+            pass
     # stop the session first so the JVM can't emit shutdown chatter after
     # (or interleaved with) the JSON line
     try:
