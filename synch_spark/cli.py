@@ -284,6 +284,10 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
         db, _, tbl = key.partition(".")
         names[(db, tbl) if tbl else db] = list(_csv(cols))
     rounds = 1 if args.once else args.rounds
+    # one restamp counter for the producer's lifetime: two rounds
+    # draining within one wall-clock second must continue the sequence,
+    # not both restart at sub 0 (last-write-wins inversion)
+    stamp_state: dict = {}
     for i in range(rounds):
         client = BinlogSocketClient(
             ms["host"], int(ms.get("port", 3306)), ms["user"],
@@ -297,12 +301,14 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
                 client, fname, pos, column_names=names or None,
                 only_schemas=only_schemas, only_tables=only_tables,
                 gtid_set=gtid_cursor if auto_position else None,
-                on_raw=on_raw,
+                on_raw=on_raw, stamp_state=stamp_state,
             ))
             end_pos = client.position
             end_gtids = (format_gtid_set(client.gtid_executed)
                          if auto_position else None)
-        except BinlogProtocolError as e:
+        except (BinlogProtocolError, OSError) as e:
+            # OSError: ECONNRESET/refused from a failover or proxy
+            # idle-kill — the clean failed-round path, not a traceback
             print(f"binlog socket round {i} failed: {e}", file=sys.stderr)
             return 1
         finally:
@@ -493,12 +499,15 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
                     client.ack()
                 except OSError:
                     pass
-        except (WalProtocolError, PgoutputError) as e:
+        except (WalProtocolError, PgoutputError, OSError) as e:
             # PgoutputError: a payload the decoder rejects (unknown
             # message letter, stale Relation arity after a mid-round
             # schema change) must fail the ROUND, not the process —
             # same contract as a protocol error; the un-acked slot
-            # replays the round
+            # replays the round. OSError: a reset/refused connection
+            # (server restart, LB idle-kill) is the same operational
+            # event as a protocol error — clean failure report, not a
+            # traceback.
             print(f"pg socket round {i} failed: {e}", file=sys.stderr)
             return 1
         finally:

@@ -75,7 +75,10 @@ _TRUNCATE_TARGET_RE = re.compile(
 
 # --- event type codes (binlog v4) ----------------------------------------
 EV_QUERY = 0x02
+EV_STOP = 0x03
 EV_ROTATE = 0x04
+EV_XID = 0x10
+EV_GTID = 0x21
 EV_FORMAT_DESCRIPTION = 0x0F
 EV_TABLE_MAP = 0x13
 EV_WRITE_ROWS_V1 = 0x17

@@ -66,14 +66,10 @@ _COM_BINLOG_DUMP = 0x12
 _COM_BINLOG_DUMP_GTID = 0x1E
 _BINLOG_DUMP_NON_BLOCK = 0x01
 _BINLOG_THROUGH_GTID = 0x04
-
-_EV_ROTATE = 0x04
-_EV_XID = 0x10
-_EV_STOP = 0x03
-# GTID_LOG_EVENT. (PREVIOUS_GTIDS 0x23 needs no handling: it is
-# informational — the resume cursor is built from the GTID events of
-# the transactions this client actually streamed.)
-_EV_GTID = 0x21
+# event-type constants come from binlog_file's single table (B.EV_*) —
+# two copies of the same event-type space would drift. PREVIOUS_GTIDS
+# (0x23) needs no handling: it is informational — the resume cursor is
+# built from the GTID events of the transactions this client streamed.
 
 
 class BinlogProtocolError(ConnectionError):
@@ -106,7 +102,13 @@ def parse_gtid_set(text: str) -> dict[str, list[tuple[int, int]]]:
                 if not iv:
                     raise ValueError("empty interval component")
                 a, _, b = iv.partition("-")
-                spans.append((int(a), int(b) if b else int(a)))
+                lo, hi = int(a), int(b) if b else int(a)
+                if hi < lo:
+                    # '5-1' would encode wire interval [5,2) — the
+                    # server rejects the dump with an opaque protocol
+                    # error every round; fail loudly HERE instead
+                    raise ValueError(f"reversed interval {iv!r}")
+                spans.append((lo, hi))
         except ValueError as e:
             raise BinlogProtocolError(
                 f"bad GTID set component {part!r}: {e}") from e
@@ -522,7 +524,7 @@ class BinlogSocketClient:
                     # on 5.6.1+ (same parse as iter_binlog_events)
                     if ev[-5] == 1:
                         crc = 4
-                elif etype == _EV_ROTATE:
+                elif etype == B.EV_ROTATE:
                     # post-header: position(8), then the next filename
                     # (NOT nul-terminated; CRC trailer follows when on).
                     # The server's ARTIFICIAL rotate arrives BEFORE the
@@ -541,7 +543,7 @@ class BinlogSocketClient:
                     nxt_pos = int.from_bytes(body[:8], "little")
                     fname_s = body[8:].decode("ascii", "replace")
                     self.position = (fname_s, int(nxt_pos))
-                elif etype == _EV_GTID and len(ev) >= 19 + 25:
+                elif etype == B.EV_GTID and len(ev) >= 19 + 25:
                     # body: flags(1) + SID(16) + GNO(8, little-endian).
                     # A NEW GTID event proves the PREVIOUS transaction
                     # streamed completely — merge it; this one stays
@@ -576,6 +578,7 @@ def stream_raw_events(
     on_position: Callable[[str, int], None] | None = None,
     gtid_set: str | None = None,
     on_raw: Callable[[bytes], None] | None = None,
+    stamp_state: dict | None = None,
 ) -> Iterator[dict]:
     """Dump from (filename, pos) and yield decoded raw event dicts
     (RAW_EVENT_SCHEMA: schema/table/action/before/after/event_unixtime)
@@ -598,17 +601,23 @@ def stream_raw_events(
     chunk 99 and again in chunk 100)."""
     fde: bytes | None = None
     buf: list[bytes] = []
-    last_sec = -1
-    sub = 0
+    # ``stamp_state`` (mutated in place) carries the counter ACROSS
+    # calls: the CLI makes one call per drain round, and two rounds
+    # draining inside the same wall-clock second would otherwise both
+    # restart at sub 0 — round N's stamp sec*1e6+4 would beat round
+    # N+1's sec*1e6+0 under last-write-wins, inverting replay for a pk
+    # updated in both. Pass one dict for the life of the producer.
+    st = stamp_state if stamp_state is not None else {}
+    st.setdefault("sec", -1)
+    st.setdefault("sub", 0)
 
     def restamp(e: dict) -> dict:
-        nonlocal last_sec, sub
         sec = e["event_unixtime"] // 1_000_000
-        if sec != last_sec:
-            last_sec, sub = sec, 0
+        if sec != st["sec"]:
+            st["sec"], st["sub"] = sec, 0
         else:
-            sub = min(sub + 1, 999_999)
-        e["event_unixtime"] = sec * 1_000_000 + sub
+            st["sub"] = min(st["sub"] + 1, 999_999)
+        e["event_unixtime"] = sec * 1_000_000 + st["sub"]
         return e
 
     def flush() -> Iterator[dict]:
@@ -638,12 +647,12 @@ def stream_raw_events(
         if etype == B.EV_FORMAT_DESCRIPTION:
             fde = ev
             continue
-        if etype == _EV_ROTATE:
+        if etype == B.EV_ROTATE:
             yield from flush()
             if on_position is not None and client.position:
                 on_position(*client.position)
             continue
-        if etype in (_EV_XID, _EV_STOP) or etype == B.EV_QUERY:
+        if etype in (B.EV_XID, B.EV_STOP) or etype == B.EV_QUERY:
             buf.append(ev)
             yield from flush()
             if on_position is not None and client.position:

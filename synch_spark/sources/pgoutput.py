@@ -153,10 +153,14 @@ def _cstr(body: bytes, p: int) -> tuple[str, int]:
     return body[p:q].decode("utf-8"), q + 1
 
 
-def decode_relation(body: bytes) -> Relation:
-    """Decode an ``R`` message body (bytes AFTER the type byte)."""
-    rel_id = struct.unpack_from("!I", body, 0)[0]
-    namespace, p = _cstr(body, 4)
+def decode_relation(body: bytes, p: int = 0) -> tuple[Relation, int]:
+    """Decode an ``R`` message body starting at offset ``p`` (bytes
+    AFTER the type byte) → (Relation, offset past the message). One
+    pass: the end offset falls out of the parse, so callers never
+    re-walk the bytes (or slice a copy of the remaining blob) just to
+    learn the message span."""
+    (rel_id,) = struct.unpack_from("!I", body, p)
+    namespace, p = _cstr(body, p + 4)
     name, p = _cstr(body, p)
     replident = chr(body[p]); p += 1
     (ncols,) = struct.unpack_from("!H", body, p); p += 2
@@ -166,7 +170,7 @@ def decode_relation(body: bytes) -> Relation:
         cname, p = _cstr(body, p)
         oid, typmod = struct.unpack_from("!Ii", body, p); p += 8
         cols.append((flags, cname, oid, typmod))
-    return Relation(rel_id, namespace, name, replident, cols)
+    return Relation(rel_id, namespace, name, replident, cols), p
 
 
 def _read_tuple(body: bytes, p: int) -> tuple[list, int]:
@@ -208,6 +212,7 @@ def iter_pgoutput_changes(
     seq_cap: int | None = None,
     state_out: dict | None = None,
     dangling: str = "drop",
+    frozen_relations: bool = False,
 ) -> Iterator[dict]:
     """Ordered decode: pgoutput payloads → RAW_EVENT_SCHEMA dicts.
 
@@ -388,10 +393,24 @@ def iter_pgoutput_changes(
                 _, p = _cstr(body, p)
                 (ln,) = struct.unpack_from("!I", body, p); p += 4 + ln
             elif mtype == b"R":
-                # R is self-delimiting: re-decode from here to learn its span
-                rel = decode_relation(body[p:])
+                rel, p = decode_relation(body, p)
+                prev = rels.get(rel.rel_id)
+                if (frozen_relations and prev is not None
+                        and prev.to_tuple() != rel.to_tuple()):
+                    # unordered per-payload decode: a redefinition seen
+                    # ONLY here (mid-blob R, or a stream decoded against
+                    # a prebuilt registry) would zip later rows of this
+                    # relation — possibly from OTHER blobs decoded after
+                    # this one in arbitrary order — to the wrong column
+                    # names with no arity error. Refuse toward the
+                    # ordered decode instead of corrupting silently.
+                    raise PgoutputError(
+                        f"relation id {rel.rel_id} redefined mid-stream "
+                        f"({prev.namespace}.{prev.name} → "
+                        f"{rel.namespace}.{rel.name}); a schema-change "
+                        "stream needs the ordered decode "
+                        "(pgoutput_files_to_raw or the live tail)")
                 rels[rel.rel_id] = rel
-                p += _relation_span(body, p)
             elif mtype == b"Y":  # Type: oid, namespace, name — record span only
                 p += 4
                 _, p = _cstr(body, p)
@@ -548,20 +567,6 @@ def _rel(rels: dict[int, Relation], rid: int) -> Relation:
     return rel
 
 
-def _relation_span(body: bytes, p: int) -> int:
-    """Byte length of an R message body starting at ``p``."""
-    start = p
-    p += 4
-    p = body.index(b"\x00", p) + 1
-    p = body.index(b"\x00", p) + 1
-    p += 1
-    (ncols,) = struct.unpack_from("!H", body, p); p += 2
-    for _ in range(ncols):
-        p += 1
-        p = body.index(b"\x00", p) + 1
-        p += 8
-    return p - start
-
 
 def _row(rel: Relation, action: str, before: dict | None,
          after: dict | None, ts_us: int) -> dict:
@@ -601,7 +606,7 @@ def collect_relations(df, value_col: str = "value") -> dict[int, tuple]:
         while p < len(body):
             if body[p:p + 1] != b"R":
                 break  # mixed blob: only leading R segments are metadata
-            rel = decode_relation(body[p + 1:])
+            rel, q = decode_relation(body, p + 1)
             t = rel.to_tuple()
             prev = out.get(rel.rel_id)
             if prev is not None and prev != t:
@@ -611,7 +616,7 @@ def collect_relations(df, value_col: str = "value") -> dict[int, tuple]:
                     f"{t[1]}.{t[2]} arity {len(t[4])}); a schema-change "
                     "stream needs the ordered pgoutput_files_to_raw decode")
             out[rel.rel_id] = t
-            p += 1 + _relation_span(body, p + 1)
+            p = q
     return out
 
 
@@ -683,7 +688,7 @@ def pgoutput_payloads_to_raw(spark, df, value_col: str = "value",
         for ev in iter_pgoutput_changes(
                 data_payloads(), relations=rels,
                 fallback_unixtime_us=fb, sub_base=sub, per_payload_tx=True,
-                seq_cap=_BAND - 1):
+                seq_cap=_BAND - 1, frozen_relations=True):
             buf.append(ev)
             if len(buf) >= _DECODE_CHUNK:
                 yield pd.DataFrame(buf, columns=cols)
@@ -700,7 +705,7 @@ def _all_relations(body: bytes) -> bool:
     while p < len(body):
         if body[p:p + 1] != b"R":
             return False
-        p += 1 + _relation_span(body, p + 1)
+        _, p = decode_relation(body, p + 1)
     return True
 
 

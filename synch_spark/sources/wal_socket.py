@@ -286,7 +286,7 @@ class WalSocketClient:
                 t, b = self._read_msg()
             except (socket.timeout, TimeoutError):
                 return
-            except WalProtocolError as e:
+            except (WalProtocolError, OSError) as e:
                 # a TORN read (server died mid-message) is NOT a clean
                 # end-of-round: flag it so the caller skips the flush
                 # ack and the failure is visible — the slot replays

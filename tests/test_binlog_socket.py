@@ -914,3 +914,79 @@ def test_cli_mysql_socket_archives_rounds_as_pseudo_binlog(tmp_path, capsys,
     finally:
         srv.stop_evt.set()
         srv.srv.close()
+
+
+def test_restamp_counter_carries_across_rounds():
+    """Two drain rounds inside one wall-clock second must CONTINUE the
+    sub-microsecond sequence (stamp_state carried by the caller), not
+    both restart at 0 — a pk updated in both rounds would otherwise
+    have round N's stamp beat round N+1's under last-write-wins."""
+    data, _ = _fixture_binlog()
+
+    def run_round(state):
+        srv = FakeMysqlServer(data)
+        srv.start()
+        try:
+            cli = BinlogSocketClient("127.0.0.1", srv.port, USER, PASSWORD,
+                                     server_id=99)
+            evs = list(stream_raw_events(cli, "binlog.000007", 4,
+                                         stamp_state=state))
+            cli.close()
+            return [e["event_unixtime"] for e in evs]
+        finally:
+            srv.stop_evt.set()
+            srv.srv.close()
+
+    state: dict = {}
+    t1 = run_round(state)
+    t2 = run_round(state)
+    # the fixture's events share one header second: round 2's stamps
+    # must all be strictly greater than round 1's
+    assert max(t1) < min(t2), (t1, t2)
+    # and without carried state the collision the test exists for happens
+    fresh1, fresh2 = run_round({}), run_round({})
+    assert max(fresh1) >= min(fresh2)
+
+
+def test_reversed_gtid_interval_is_refused():
+    from synch_spark.sources.binlog_socket import parse_gtid_set
+
+    with pytest.raises(BinlogProtocolError, match="reversed"):
+        parse_gtid_set(f"{SID1}:5-1")
+
+
+def test_connection_reset_mid_dump_is_a_clean_protocol_error():
+    """A server that hard-closes mid-packet must surface through the
+    protocol-error type the CLI round loop catches (plus OSError for
+    resets below the framing layer) — never an unhandled traceback."""
+    class DieMidPacket(FakeMysqlServer):
+        def _serve(self, conn):
+            orig_send = FakeMysqlServer._send
+
+            def send(conn2, seq, payload):
+                if payload[:1] == b"\x00" and len(payload) > 30:
+                    # claim a packet then close inside it
+                    conn2.sendall(len(payload).to_bytes(3, "little")
+                                  + bytes([seq % 256]) + payload[:5])
+                    conn2.close()
+                    raise OSError("died")
+                orig_send(conn2, seq, payload)
+
+            self._send = send  # type: ignore[method-assign]
+            try:
+                FakeMysqlServer._serve(self, conn)
+            except OSError:
+                pass
+
+    data, _ = _fixture_binlog()
+    srv = DieMidPacket(data)
+    srv.start()
+    try:
+        cli = BinlogSocketClient("127.0.0.1", srv.port, USER, PASSWORD,
+                                 server_id=99)
+        with pytest.raises((BinlogProtocolError, OSError)):
+            list(stream_raw_events(cli, "binlog.000007", 4))
+        cli.close()
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()

@@ -695,3 +695,30 @@ def test_proto_version_4_is_refused_at_subscribe():
         cli.start_replication("s", options={"proto_version": "4"},
                               plugin="pgoutput")
     cli.sock = None
+
+
+def test_frozen_registry_refuses_mid_blob_redefinition(spark):
+    """Distributed decode with a mid-blob Relation REDEFINITION (same
+    arity, renamed columns — invisible to the leading-R collect pass):
+    rows of that relation in other blobs would zip to the wrong column
+    names under arbitrary row order, so the task must refuse toward
+    the ordered decode instead of corrupting silently."""
+    rel_renamed = enc_relation(16385, "db", "orders", [
+        (1, "key", 20, -1), (0, "cost", 1700, -1), (0, "flag", 25, -1)])
+    rows = [(bytearray(ORDERS_REL),),
+            (bytearray(enc_begin(TS) + rel_renamed
+                       + enc_insert(16385, ["1", "2", "A"]) + enc_commit()),),
+            (bytearray(enc_insert(16385, ["9", "9", "Z"])),)]
+    df = spark.createDataFrame(rows, "value binary").coalesce(1)
+    import py4j.protocol
+    from pyspark.errors import PythonException
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+        po.pgoutput_payloads_to_raw(spark, df).collect()
+    # an IDENTICAL mid-blob re-send (the server's normal per-session
+    # re-announce) stays fine
+    rows_ok = [(bytearray(ORDERS_REL),),
+               (bytearray(enc_begin(TS) + ORDERS_REL
+                          + enc_insert(16385, ["1", "2", "A"])
+                          + enc_commit()),)]
+    df = spark.createDataFrame(rows_ok, "value binary")
+    assert len(po.pgoutput_payloads_to_raw(spark, df).collect()) == 1
