@@ -101,10 +101,15 @@ def cmd_produce(args) -> int:
         return _produce_pg_socket(args, raw, cfg, spark)
     _resolve_pks(raw, cfg, spark)
     warehouse = raw["spark"]["warehouse"]
-    events_dir = raw["spark"]["events_dir"]
+    # events_dir is the SPOOL sink's directory — _validate_sink already
+    # enforced it for --sink spool; a kafka/redis run may legitimately
+    # have no spool configured and must not KeyError (or mkdir a dir
+    # it never writes)
+    events_dir = raw["spark"].get("events_dir")
     import os
 
-    os.makedirs(events_dir, exist_ok=True)
+    if args.sink not in ("kafka", "redis"):
+        os.makedirs(events_dir, exist_ok=True)
     # one broker (one connection) for the whole produce loop, not one
     # per table per round
     redis_broker = (
@@ -274,15 +279,7 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
     # servers without binlog_row_metadata=FULL (MINIMAL is the default)
     # carry no column names in TABLE_MAP — without this the decoder
     # falls back to col_<i> keys and downstream pk routing nulls out
-    names: dict = {}
-    for spec in getattr(args, "columns", None) or []:
-        key, _, cols = spec.partition("=")
-        if not cols:
-            print(f"--columns wants db.table=c1,c2,... (got {spec!r})",
-                  file=sys.stderr)
-            return 2
-        db, _, tbl = key.partition(".")
-        names[(db, tbl) if tbl else db] = list(_csv(cols))
+    names = _parse_columns(getattr(args, "columns", None))
     rounds = 1 if args.once else args.rounds
     # one restamp counter for the producer's lifetime: two rounds
     # draining within one wall-clock second must continue the sequence,
@@ -540,13 +537,7 @@ def cmd_replay_binlog(args) -> int:
     raw = _load(args.config)
     _validate_sink(raw, args.sink, "replay-binlog")
     spark = get_spark("synch-replay-binlog")
-    names: dict = {}
-    for spec in args.columns or []:
-        key, _, cols = spec.partition("=")
-        if not cols:
-            raise SystemExit(f"--columns wants db.table=c1,c2,... (got {spec!r})")
-        db, _, tbl = key.partition(".")
-        names[(db, tbl) if tbl else db] = list(_csv(cols))
+    names = _parse_columns(args.columns)
     only_schemas = _csv(args.schema)
     only_tables = _csv(args.table)
     if args.follow:
@@ -809,6 +800,22 @@ def _replay_wal_follow(args, spark, raw) -> int:
         if i + 1 < args.rounds:
             _time.sleep(interval)
     return 0
+
+
+def _parse_columns(specs) -> dict:
+    """--columns db.table=c1,c2,... → the decoder's column_names map.
+    ONE parser for produce --source mysql-socket and replay-binlog
+    (the two grew divergent copies once); raises SystemExit on a
+    malformed spec."""
+    names: dict = {}
+    for spec in specs or []:
+        key, _, cols = spec.partition("=")
+        if not cols:
+            raise SystemExit(
+                f"--columns wants db.table=c1,c2,... (got {spec!r})")
+        db, _, tbl = key.partition(".")
+        names[(db, tbl) if tbl else db] = list(_csv(cols))
+    return names
 
 
 def _csv(s: str | None) -> tuple[str, ...]:
@@ -1180,8 +1187,14 @@ def _one_table(args, app: str):
     spark = get_spark(app)
     if not spec.pk:
         # JDBC-discovered pks (S7) must count here too: without this the
-        # change feed silently degrades to the pk-less multiset diff
-        _resolve_pks(raw, cfg, spark)
+        # change feed silently degrades to the pk-less multiset diff.
+        # Discover for THIS table only (the cmd_consume convention): an
+        # unreachable catalog for an unrelated pk-less table must not
+        # block this verb
+        solo = config_from_dict(raw)
+        solo.tables = {name: spec}
+        _resolve_pks(raw, solo, spark)
+        spec.pk = solo.tables[name].pk
     warehouse = raw["spark"]["warehouse"]
     table = ParquetTable(
         spark, f"{warehouse}/{spec.schema}/{spec.table}", retain=spec.retain)
@@ -1475,7 +1488,11 @@ def cmd_status(args) -> int:
     if events_dir and os.path.isdir(events_dir):
         from urllib.parse import unquote, urlparse
 
-        on_disk = {p for p in _glob.glob(os.path.join(events_dir, "*"))
+        # absolute on BOTH sides: the checkpoint log stores absolute
+        # URIs, and a relative events_dir would otherwise make every
+        # consumed file count as backlog forever
+        on_disk = {os.path.abspath(p)
+                   for p in _glob.glob(os.path.join(events_dir, "*"))
                    if os.path.isfile(p)}
         committed: set = set()
         ckpt = raw["spark"].get("checkpoint_dir", "")
@@ -1505,8 +1522,9 @@ def cmd_status(args) -> int:
                                 # (file:///a/b%20c.json) — decode to the
                                 # filesystem path the glob produced
                                 u = urlparse(doc.get("path", ""))
-                                committed.add(unquote(u.path) or
-                                              doc.get("path", ""))
+                                committed.add(os.path.abspath(
+                                    unquote(u.path)
+                                    or doc.get("path", "")))
                 except (OSError, ValueError):
                     continue
         backlog = sorted(on_disk - committed)
@@ -1558,8 +1576,7 @@ def cmd_status(args) -> int:
                     entry["source_version"] = cur
                     if synced is not None:
                         entry["lag_commits"] = max(0, cur - synced)
-            entry["pending"] = any(
-                os.path.exists(h + ".pending") for h in hits) or bool(
+            entry["pending"] = bool(
                 _glob.glob(os.path.join(str(d.get("root", "")), "**",
                                         "_feed_cursor.json.pending"),
                            recursive=True))
@@ -1662,9 +1679,14 @@ def cmd_index(args) -> int:
     for name, d in declared.items():
         if args.name and name != args.name:
             continue
-        src_spec = next(
-            (s for s in cfg.tables.values()
-             if f"{s.schema}.{s.table}" == d["source"]), None)
+        if not d.get("root") or not d.get("source"):
+            # checked HERE with everything else: a KeyError in the sync
+            # loop would discard the report of indexes that already
+            # advanced their cursor
+            print(f"index {name}: declaration needs root and source",
+                  file=sys.stderr)
+            return 2
+        src_spec = cfg.tables.get(d["source"])
         if src_spec is None or not src_spec.pk:
             print(f"index {name}: source {d['source']} has no configured pk",
                   file=sys.stderr)
@@ -1673,10 +1695,13 @@ def cmd_index(args) -> int:
             print(f"index {name}: unknown kind {d.get('kind')!r} "
                   "(ivf | lsh | semdedup)", file=sys.stderr)
             return 2
-        if d.get("kind") == "semdedup" and "threshold" not in d:
-            print(f"index {name}: semdedup needs a threshold",
-                  file=sys.stderr)
-            return 2
+        if d.get("kind") == "semdedup":
+            try:
+                float(d.get("threshold"))
+            except (TypeError, ValueError):
+                print(f"index {name}: semdedup needs a numeric threshold "
+                      f"(got {d.get('threshold')!r})", file=sys.stderr)
+                return 2
         table = ParquetTable(
             spark, f"{warehouse}/{src_spec.schema}/{src_spec.table}",
             retain=src_spec.retain)
@@ -1859,6 +1884,15 @@ def cmd_mv(args) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            # validate the dim target BEFORE the spec persists and the
+            # full build runs — a typo'd --dim-source must not leave a
+            # permanently broken view that every later read/sync trips
+            # over (the up-front-validation contract of this command)
+            _ds, _dt = args.dim_source.split(".", 1)
+            if not ParquetTable(spark, f"{warehouse}/{_ds}/{_dt}").exists:
+                print(f"dim table {args.dim_source} not found",
+                      file=sys.stderr)
+                return 1
             view = JoinMaterializedView.create(
                 spark, root, args.source, list(_csv(args.group_by)),
                 list(_csv(args.sum)), args.dim_source,
@@ -1877,9 +1911,7 @@ def cmd_mv(args) -> int:
         schema, table = view.source.split(".", 1)
         cfg = config_from_dict(raw)
         _resolve_pks(raw, cfg, spark)  # JDBC-discovered pks count too
-        src_spec = next(
-            (s for s in cfg.tables.values()
-             if f"{s.schema}.{s.table}" == view.source), None)
+        src_spec = cfg.tables.get(view.source)
         base = ParquetTable(
             spark, f"{warehouse}/{schema}/{table}",
             retain=src_spec.retain if src_spec else 2)
