@@ -1514,3 +1514,72 @@ def test_cli_status_reports_index_lag(tmp_path, capsys, spark):
     assert main(["--config", str(p), "status"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["indexes"]["docs_lsh"]["lag_commits"] == 1
+
+
+def test_produce_kafka_sink_needs_no_events_dir(tmp_path, capsys):
+    """--sink kafka must not KeyError on a missing spark.events_dir
+    (the spool dir is only the spool sink's concern); the kafka config
+    validation itself still runs."""
+    import yaml
+
+    from synch_spark.cli import main
+
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "sources": {},
+            # no events_dir, no kafka block: the SINK validation fires,
+            # not a KeyError about the spool dir
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as e:
+        main(["--config", str(p), "produce", "--once", "--sink", "kafka"])
+    assert "kafka" in str(e.value).lower()
+
+
+def test_mv_create_validates_dim_before_persisting(tmp_path, capsys, spark):
+    """A typo'd --dim-source must fail BEFORE the spec persists —
+    not leave a broken view behind after paying a full build."""
+    import os
+
+    import yaml
+
+    from synch_spark.cli import main
+    from synch_spark.sources.table import ParquetTable
+
+    src_path = str(tmp_path / "region.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet") \
+        .write.parquet(src_path)
+    cfg = {
+        "core": {"insert_num": 10000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "region", "pk": ["r_regionkey"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+            "sources": {"db.region": src_path},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    capsys.readouterr()
+    rc = main(["--config", str(p), "mv", "create", "--name", "broken",
+               "--source", "db.region", "--group-by", "r_regionkey",
+               "--sum", "r_regionkey",
+               "--dim-source", "db.nope", "--dim-key", "r_regionkey",
+               "--dim-group", "r_name"])
+    assert rc == 1
+    assert "db.nope" in capsys.readouterr().err
+    # nothing persisted: the view root must not exist
+    mv_root = os.path.join(str(tmp_path / "wh"), "_mv", "broken")
+    assert not os.path.exists(mv_root), "broken view spec must not persist"
