@@ -293,7 +293,35 @@ def main() -> None:
     # never touch it, so a casual bench.py invocation can't clobber
     # the clean weights (it happened once: two contaminated concurrent
     # reruns overwrote a calib-clean serial refresh).
+    # idle pins are host-specific: read them from the committed sidecar
+    # (BENCH_CALIB_PINS.json, refreshed below from the best calibration
+    # ever observed on this host) so a slower host can still promote a
+    # clean serial base and a faster host's gate stays tight. The
+    # hardcoded pair is only the first-run fallback.
     _IDLE_SPIN, _IDLE_PAR32 = 0.11, 0.26
+    pins_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_CALIB_PINS.json")
+    try:
+        with open(pins_path) as f:
+            pins = json.load(f)
+        _IDLE_SPIN = float(pins["spin_s"])
+        _IDLE_PAR32 = float(pins["par32_s"])
+    except (OSError, ValueError, KeyError):
+        pins = None
+    # self-calibrate: the min over all observed probes is the best idle
+    # estimate for THIS host — persist it when it beats the stored pin
+    # (monotone tightening; a contended run can never loosen the gate)
+    obs_spin = min(calib_pre["spin_s"], calib_post["spin_s"])
+    obs_par32 = min(calib_pre["par32_s"], calib_post["par32_s"])
+    new_spin = min(_IDLE_SPIN, obs_spin)
+    new_par32 = min(_IDLE_PAR32, obs_par32)
+    if pins is None or new_spin < _IDLE_SPIN or new_par32 < _IDLE_PAR32:
+        try:
+            with open(pins_path, "w") as f:
+                json.dump({"spin_s": round(new_spin, 4),
+                           "par32_s": round(new_par32, 4)}, f, indent=1)
+        except OSError:
+            pass
     calib_clean = all(
         c["spin_s"] <= _IDLE_SPIN * 1.3 and c["par32_s"] <= _IDLE_PAR32 * 1.3
         for c in (calib_pre, calib_post))

@@ -1092,14 +1092,24 @@ def cmd_consume(args) -> int:
                 "consume with a spark.kafka block needs bootstrap_servers "
                 "AND topic (the subscribe pattern/list to consume)"
             )
+        avro_schemas = None
+        if kconf.get("avro_schemas"):
+            # registry-less Schema Registry substitute: {schema_id:
+            # inline dict | JSON string | file:path.avsc}; parse (and
+            # therefore validate) at config time, not first-batch time
+            from synch_spark.sources.avro_codec import load_schemas
+
+            avro_schemas = load_schemas(kconf["avro_schemas"])
         q = pipe.start_kafka_stream(
             kconf["bootstrap_servers"], kconf["topic"],
             processing_interval=f"{cfg.insert_interval_s} seconds",
-            # raw (this engine's producer) | debezium | wal2json — the
-            # last for pg_recvlogical/slot-to-Kafka bridges publishing
-            # bare wal2json payloads
+            # raw (this engine's producer) | debezium | debezium-avro
+            # (Confluent-framed Avro envelopes) | wal2json — the last
+            # for pg_recvlogical/slot-to-Kafka bridges publishing bare
+            # wal2json payloads
             value_format=kconf.get("value_format", "raw"),
             available_now=args.available_now,
+            avro_schemas=avro_schemas,
         )
     else:
         q = pipe.start_file_stream(
@@ -1507,26 +1517,44 @@ def cmd_status(args) -> int:
             for f in os.listdir(commits_dir):
                 if f.isdigit():
                     committed_batches.add(f)
+        def _absorb_log_file(fp: str) -> None:
+            try:
+                with open(fp) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line.startswith("{"):
+                            doc = json.loads(line)
+                            # the source log stores URIs
+                            # (file:///a/b%20c.json) — decode to the
+                            # filesystem path the glob produced
+                            u = urlparse(doc.get("path", ""))
+                            committed.add(os.path.abspath(
+                                unquote(u.path)
+                                or doc.get("path", "")))
+            except (OSError, ValueError):
+                pass
+
         if os.path.isdir(src_log):
+            # Spark compacts the metadata log every ~10 batches: entries
+            # for batches <= N collapse into N.compact and the digit
+            # files may be deleted. Parse the newest compact whose batch
+            # id is itself committed — it carries the full committed-
+            # path history this loop would otherwise under-count.
+            max_committed = max((int(b) for b in committed_batches),
+                                default=-1)
+            compacts = []
             for f in os.listdir(src_log):
                 fp = os.path.join(src_log, f)
-                if not os.path.isfile(fp) or f not in committed_batches:
+                if not os.path.isfile(fp):
                     continue
-                try:
-                    with open(fp) as fh:
-                        for line in fh:
-                            line = line.strip()
-                            if line.startswith("{"):
-                                doc = json.loads(line)
-                                # the source log stores URIs
-                                # (file:///a/b%20c.json) — decode to the
-                                # filesystem path the glob produced
-                                u = urlparse(doc.get("path", ""))
-                                committed.add(os.path.abspath(
-                                    unquote(u.path)
-                                    or doc.get("path", "")))
-                except (OSError, ValueError):
-                    continue
+                if f.endswith(".compact"):
+                    stem = f[: -len(".compact")]
+                    if stem.isdigit() and int(stem) <= max_committed:
+                        compacts.append((int(stem), fp))
+                elif f in committed_batches:
+                    _absorb_log_file(fp)
+            if compacts:
+                _absorb_log_file(max(compacts)[1])
         backlog = sorted(on_disk - committed)
         bytes_ = 0
         for p in backlog:

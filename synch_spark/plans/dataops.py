@@ -3120,6 +3120,141 @@ def q134_pgoutput_streamed_decode(spark, sf_dir):
     ).orderBy("id")
 
 
+def q135_debezium_avro_decode(spark, sf_dir):
+    """Confluent-framed **Avro** Debezium envelopes on the graded
+    surface — the wire shape most production Debezium topics actually
+    carry (Avro + Schema Registry), which the reference sidesteps by
+    shipping its own JSON producer
+    (/root/reference/synch/broker/kafka.py:21-33). Each orders row
+    synthesizes the framed binary value in pure Column algebra
+    (zigzag-varint + length-prefixed Avro primitives as hex assembly →
+    unhex — deliberately INDEPENDENT of the package's own Avro
+    encoder, so encode/decode can't share a bug): magic 0x00 + schema
+    id 7 + an Envelope record {before: union[null,Value], after:
+    union[null,"Value" by-name ref], source{db,table,ts_ms}, op,
+    ts_ms: union[null,long]} with Value {id: long, price: logical
+    decimal(15,2) on bytes, status: string}. status 'F' rows become op
+    'd' with a before image, the rest op 'c' with an after image — the
+    decode (sources.avro_codec.debezium_avro_to_raw, Arrow-batched
+    mapInPandas, schema-registry dict in the closure) must unframe,
+    resolve the named-type union, decode the logical decimal, and
+    re-emit the values contract; the typed parse then recovers the
+    source columns exactly. Same oracle as q112."""
+    from pyspark.sql import types as T
+
+    from synch_spark.events import parse_values, split_updates
+    from synch_spark.sources.avro_codec import (
+        debezium_avro_to_raw,
+        load_schemas,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+
+    def _varint_hex(zz, max_groups=10):
+        # unsigned LEB128-with-msb-continuation varint of a non-negative
+        # long, as hex text. Group i emits iff bits remain at/above it.
+        # ``max_groups`` bounds the emitted when-tree to the field's
+        # actual magnitude — the full 10-group form per varint made the
+        # synthesized plan's codegen the dominant cost of the query.
+        pieces = []
+        for i in range(max_groups):
+            grp = F.shiftrightunsigned(zz, 7 * i)
+            byte = F.when(
+                F.shiftrightunsigned(zz, 7 * (i + 1)) != 0,
+                grp.bitwiseAND(F.lit(0x7F)).bitwiseOR(F.lit(0x80)),
+            ).otherwise(grp.bitwiseAND(F.lit(0x7F)))
+            piece = F.lpad(F.hex(byte), 2, "0")
+            if i:
+                piece = F.when(grp != 0, piece).otherwise(F.lit(""))
+            pieces.append(piece)
+        return F.concat(*pieces)
+
+    def _long_hex(col, max_groups=10):  # Avro long: zigzag then varint
+        # cast long FIRST: int columns (octet_length) take shift
+        # amounts mod 32 in the JVM, so the i>=5 varint groups would
+        # read shiftrightunsigned(zz, 35 & 31) and emit phantom bytes
+        col = col.cast("long")
+        zz = F.shiftleft(col, 1).bitwiseXOR(F.shiftright(col, 63))
+        return _varint_hex(zz, max_groups)
+
+    def _str_hex(col):  # Avro string: varint byte-length + UTF-8
+        # length < 64 for every string here -> single varint group
+        return F.concat(_long_hex(F.octet_length(col), 1), F.hex(col))
+
+    # price as Avro logical decimal: length-prefixed minimal big-endian
+    # two's-complement unscaled bytes (same construction q111 pins for
+    # the JSON converter's base64 — here the bytes go on the wire raw)
+    unscaled = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    h = F.conv(unscaled.cast("string"), 10, 16)
+    h = F.lpad(h, F.length(h) + F.pmod(F.length(h), F.lit(2)), "0")
+    price_hex = F.when(
+        F.substring(h, 1, 1).isin(*"89ABCDEF"), F.concat(F.lit("00"), h)
+    ).otherwise(h)
+    price_field = F.concat(
+        _long_hex((F.length(price_hex) / 2).cast("long"), 1), price_hex)
+
+    value_rec = F.concat(  # Value record: id, price, status — in order
+        _long_hex(F.col("o_orderkey"), 5),  # orderkey < 2^31
+        price_field,
+        _str_hex(F.col("o_orderstatus")),
+    )
+    is_del = F.col("o_orderstatus") == "F"
+    null_branch = F.lit("00")        # union index 0 = null
+    some_branch = F.concat(F.lit("02"), value_rec)  # union index 1
+    ts_ms = (F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+             * F.lit(86_400_000).cast("long"))
+    env_hex = F.concat(
+        F.lit("00" + "00000007"),  # Confluent frame: magic + schema id 7
+        F.when(is_del, some_branch).otherwise(null_branch),   # before
+        F.when(is_del, null_branch).otherwise(some_branch),   # after
+        _str_hex(F.lit("db")), _str_hex(F.lit("orders")),     # source
+        _long_hex(ts_ms, 7),  # epoch ms < 2^48: 7 varint groups
+        _str_hex(F.when(is_del, F.lit("d")).otherwise(F.lit("c"))),  # op
+        F.lit("00"),  # envelope ts_ms: null branch
+    )
+    # exchange barrier before the decode: projection collapse would
+    # otherwise inline the whole hex-assembly expression tree into the
+    # mapInPandas input projection several times over (q111's lesson)
+    values = orders.select(F.unhex(env_hex).alias("value")).repartition(8)
+
+    schemas = load_schemas({7: {
+        "type": "record", "name": "Envelope",
+        "namespace": "dbserver1.db.orders",
+        "fields": [
+            {"name": "before", "type": ["null", {
+                "type": "record", "name": "Value", "fields": [
+                    {"name": "id", "type": "long"},
+                    {"name": "price",
+                     "type": {"type": "bytes", "logicalType": "decimal",
+                              "precision": 15, "scale": 2}},
+                    {"name": "status", "type": "string"}]}],
+             "default": None},
+            {"name": "after", "type": ["null", "Value"], "default": None},
+            {"name": "source", "type": {
+                "type": "record", "name": "Source", "fields": [
+                    {"name": "db", "type": "string"},
+                    {"name": "table", "type": "string"},
+                    {"name": "ts_ms", "type": "long"}]}},
+            {"name": "op", "type": "string"},
+            {"name": "ts_ms", "type": ["null", "long"], "default": None},
+        ]}})
+    raw = debezium_avro_to_raw(values, schemas)
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DecimalType(15, 2)),
+        T.StructField("status", T.StringType()),
+    ])
+    # plain typed parse: the Avro layer already decoded logical types to
+    # exact JSON numbers/ISO text — no debezium_types remapping
+    typed = parse_values(split_updates(raw), vschema)
+    return typed.select(
+        "id",
+        F.col("price").cast(DEC).cast("double").alias("price"),
+        "status",
+        F.timestamp_micros(F.col("event_unixtime")).cast("date").alias("d"),
+    ).orderBy("id")
+
+
 # --- deterministic stratified sampling (language re-balancing) ------------
 def q110_stratified_sample(spark, sf_dir):
     """Language-mix re-balancing: down-sample English to 25%, keep 80%
@@ -3163,6 +3298,7 @@ DATAOPS_QUERIES = {
     "q120_wal2json_v2_decode": (q120_wal2json_v2_decode, Q112_SQL),
     "q133_pgoutput_decode": (q133_pgoutput_decode, Q112_SQL),
     "q134_pgoutput_streamed_decode": (q134_pgoutput_streamed_decode, Q112_SQL),
+    "q135_debezium_avro_decode": (q135_debezium_avro_decode, Q112_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
     "q18_quality_langid": (q18_quality_langid, Q18_SQL),
     "q19_token_topk": (q19_token_topk, Q19_SQL),

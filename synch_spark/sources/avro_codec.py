@@ -1,0 +1,607 @@
+"""Pure-stdlib Avro binary codec + Confluent wire framing.
+
+Why this exists: most production Debezium topics carry **Avro** values
+with Confluent Schema Registry framing (1 magic byte ``0x00`` + 4-byte
+big-endian schema id + Avro binary), not JSON. The reference dodges the
+format entirely by shipping its own JSON producer
+(/root/reference/synch/broker/kafka.py:21-33); a real user pointing this
+engine's consumer at an existing Debezium topic hits Avro first. This
+module supplies the missing decode (and the inverse encode, used by the
+producer path and as an independent test pin) with zero third-party
+dependencies — schemas are provided as files/inline config, so no
+registry service is needed.
+
+Scope: the full shape set Debezium emits — records, unions (null |
+value), arrays, maps, enums, fixed, all primitives, and the logical
+types ``decimal`` (bytes/fixed), ``date``, ``time-millis/micros``,
+``timestamp-millis/micros``, ``uuid``. Named-type references ("Value"
+reused for before/after) resolve through a schema-local registry.
+
+Spark integration is at the bottom: :func:`debezium_avro_to_raw` maps a
+binary Kafka value column to RAW_EVENT_SCHEMA via Arrow-batched
+``mapInPandas`` — per-record Python is unavoidable for a byte-oriented
+format with data-dependent field widths (same argument as pgoutput,
+sources/pgoutput.py), but it runs batch-at-a-time on executors and the
+schema registry is a driver-broadcast dict of plain JSON, so the decode
+scales with partitions, never the driver.
+"""
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import io
+import json
+import struct
+from decimal import Decimal
+
+PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes", "string"))
+
+_NAMED = frozenset(("record", "enum", "fixed"))
+
+
+class AvroSchemaError(ValueError):
+    """Malformed or unsupported Avro schema."""
+
+
+class AvroDecodeError(ValueError):
+    """Payload bytes do not decode under the given schema."""
+
+
+# --------------------------------------------------------------------------
+# schema parsing — normalized to plain dicts/lists/strings (picklable, so
+# the parsed form ships to executors in the mapInPandas closure as-is)
+# --------------------------------------------------------------------------
+def _fullname(node: dict, enclosing_ns: str | None) -> str:
+    name = node["name"]
+    if "." in name:
+        return name
+    ns = node.get("namespace", enclosing_ns)
+    return f"{ns}.{name}" if ns else name
+
+
+def parse_schema(schema, names: dict | None = None,
+                 enclosing_ns: str | None = None):
+    """Parse/validate an Avro schema (dict or JSON string) into the
+    normalized form the codec walks. Returns ``(root, names)`` where
+    ``names`` maps fullname -> named-type node (records/enums/fixeds),
+    letting later references ("Value") resolve by name."""
+    if names is None:
+        names = {}
+    if isinstance(schema, (str, bytes)):
+        s = schema.strip() if isinstance(schema, str) else schema
+        if isinstance(s, str) and (s.startswith("{") or s.startswith("[")
+                                   or s.startswith('"')):
+            schema = json.loads(s)
+        else:
+            schema = s  # bare type name, e.g. "string"
+    node = _parse_node(schema, names, enclosing_ns)
+    return node, names
+
+
+def _parse_node(schema, names: dict, ns: str | None):
+    if isinstance(schema, str):
+        if schema in PRIMITIVES:
+            return schema
+        # named reference: try as-is, then namespace-qualified
+        if schema in names:
+            return {"__ref__": schema}
+        if ns and f"{ns}.{schema}" in names:
+            return {"__ref__": f"{ns}.{schema}"}
+        raise AvroSchemaError(f"unknown type name {schema!r}")
+    if isinstance(schema, list):  # union
+        return [_parse_node(b, names, ns) for b in schema]
+    if not isinstance(schema, dict):
+        raise AvroSchemaError(f"bad schema node {schema!r}")
+    t = schema.get("type")
+    if t in PRIMITIVES:
+        out = {"type": t}
+        for k in ("logicalType", "precision", "scale"):
+            if k in schema:
+                out[k] = schema[k]
+        return out if "logicalType" in out else t
+    if t == "record":
+        fn = _fullname(schema, ns)
+        rec_ns = fn.rsplit(".", 1)[0] if "." in fn else None
+        node = {"type": "record", "name": fn, "fields": []}
+        names[fn] = node  # register BEFORE fields: recursive types
+        for f in schema.get("fields", ()):
+            if "name" not in f or "type" not in f:
+                raise AvroSchemaError(f"bad record field {f!r}")
+            node["fields"].append(
+                {"name": f["name"],
+                 "type": _parse_node(f["type"], names, rec_ns)})
+        return node
+    if t == "enum":
+        fn = _fullname(schema, ns)
+        node = {"type": "enum", "name": fn,
+                "symbols": list(schema["symbols"])}
+        names[fn] = node
+        return node
+    if t == "fixed":
+        fn = _fullname(schema, ns)
+        node = {"type": "fixed", "name": fn, "size": int(schema["size"])}
+        for k in ("logicalType", "precision", "scale"):
+            if k in schema:
+                node[k] = schema[k]
+        names[fn] = node
+        return node
+    if t == "array":
+        return {"type": "array",
+                "items": _parse_node(schema["items"], names, ns)}
+    if t == "map":
+        return {"type": "map",
+                "values": _parse_node(schema["values"], names, ns)}
+    if isinstance(t, (dict, list)):  # {"type": {...}} wrapper
+        return _parse_node(t, names, ns)
+    raise AvroSchemaError(f"unsupported Avro type {t!r}")
+
+
+# --------------------------------------------------------------------------
+# binary decode
+# --------------------------------------------------------------------------
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise AvroDecodeError(
+                f"truncated: need {n} bytes at offset {self.pos}, "
+                f"have {len(self.buf) - self.pos}")
+        out = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def zigzag_long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            b = self.read(1)[0]
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 63:
+                raise AvroDecodeError("varint longer than 10 bytes")
+        return (acc >> 1) ^ -(acc & 1)
+
+
+def _decimal_from_bytes(raw: bytes, scale: int) -> Decimal:
+    unscaled = int.from_bytes(raw, "big", signed=True)
+    return Decimal(unscaled).scaleb(-scale)
+
+
+def _apply_logical(value, node: dict):
+    lt = node.get("logicalType")
+    if lt is None:
+        return value
+    if lt == "decimal":
+        return _decimal_from_bytes(value, int(node.get("scale", 0)))
+    if lt == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=value)
+    if lt == "time-millis":
+        return (_dt.datetime(1970, 1, 1)
+                + _dt.timedelta(milliseconds=value)).time()
+    if lt == "time-micros":
+        return (_dt.datetime(1970, 1, 1)
+                + _dt.timedelta(microseconds=value)).time()
+    if lt == "timestamp-millis":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=value)
+    if lt == "timestamp-micros":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=value)
+    if lt == "uuid":
+        return value
+    return value  # unknown logical type: Avro spec says use the base type
+
+
+def decode_value(r: _Reader, node, names: dict):
+    if isinstance(node, str):
+        if node == "null":
+            return None
+        if node == "boolean":
+            return r.read(1)[0] != 0
+        if node in ("int", "long"):
+            return r.zigzag_long()
+        if node == "float":
+            return struct.unpack("<f", r.read(4))[0]
+        if node == "double":
+            return struct.unpack("<d", r.read(8))[0]
+        if node in ("bytes", "string"):
+            n = r.zigzag_long()
+            if n < 0:
+                raise AvroDecodeError(f"negative {node} length {n}")
+            raw = r.read(n)
+            return raw.decode("utf-8") if node == "string" else bytes(raw)
+        raise AvroSchemaError(f"bad primitive {node!r}")
+    if isinstance(node, list):  # union
+        idx = r.zigzag_long()
+        if not 0 <= idx < len(node):
+            raise AvroDecodeError(
+                f"union index {idx} out of range 0..{len(node) - 1}")
+        return decode_value(r, node[idx], names)
+    if "__ref__" in node:
+        return decode_value(r, names[node["__ref__"]], names)
+    t = node["type"]
+    if t in PRIMITIVES:  # primitive with logicalType
+        base = decode_value(r, t, names)
+        return _apply_logical(base, node)
+    if t == "record":
+        return {f["name"]: decode_value(r, f["type"], names)
+                for f in node["fields"]}
+    if t == "enum":
+        idx = r.zigzag_long()
+        syms = node["symbols"]
+        if not 0 <= idx < len(syms):
+            raise AvroDecodeError(f"enum index {idx} out of range")
+        return syms[idx]
+    if t == "fixed":
+        return _apply_logical(bytes(r.read(node["size"])), node)
+    if t == "array":
+        out = []
+        while True:
+            n = r.zigzag_long()
+            if n == 0:
+                break
+            if n < 0:  # block with byte-size prefix (skippable form)
+                n = -n
+                r.zigzag_long()  # byte size — not needed when reading all
+            for _ in range(n):
+                out.append(decode_value(r, node["items"], names))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = r.zigzag_long()
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                r.zigzag_long()
+            for _ in range(n):
+                k = decode_value(r, "string", names)
+                out[k] = decode_value(r, node["values"], names)
+        return out
+    raise AvroSchemaError(f"unsupported type {t!r}")
+
+
+def avro_decode(payload: bytes, schema) -> object:
+    """Decode one Avro binary datum. ``schema`` is a dict/JSON string or
+    an already-parsed ``(root, names)`` pair from :func:`parse_schema`."""
+    if isinstance(schema, tuple):
+        root, names = schema
+    else:
+        root, names = parse_schema(schema)
+    r = _Reader(bytes(payload))
+    value = decode_value(r, root, names)
+    if r.pos != len(r.buf):
+        raise AvroDecodeError(
+            f"{len(r.buf) - r.pos} trailing bytes after datum")
+    return value
+
+
+# --------------------------------------------------------------------------
+# binary encode (producer path + independent test pin)
+# --------------------------------------------------------------------------
+def _zigzag_bytes(v: int) -> bytes:
+    # explicit branch instead of (v << 1) ^ (v >> 63): Python ints have
+    # no fixed width, so the bit-trick form would mis-encode negatives
+    zz = (v << 1) if v >= 0 else (((-v - 1) << 1) | 1)
+    out = bytearray()
+    while True:
+        b = zz & 0x7F
+        zz >>= 7
+        if zz:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _unscale(value: Decimal, scale: int) -> bytes:
+    unscaled = int(value.scaleb(scale).to_integral_value())
+    n = max(1, (unscaled.bit_length() + 8) // 8)  # +8: room for sign bit
+    return unscaled.to_bytes(n, "big", signed=True)
+
+
+def _encode_logical(value, node: dict):
+    lt = node.get("logicalType")
+    if lt == "decimal":
+        return _unscale(Decimal(value), int(node.get("scale", 0)))
+    if lt == "date":
+        return (value - _dt.date(1970, 1, 1)).days
+    if lt == "time-millis":
+        return (value.hour * 3600 + value.minute * 60
+                + value.second) * 1000 + value.microsecond // 1000
+    if lt == "time-micros":
+        return ((value.hour * 3600 + value.minute * 60 + value.second)
+                * 1_000_000 + value.microsecond)
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        unit = (_dt.timedelta(milliseconds=1) if lt == "timestamp-millis"
+                else _dt.timedelta(microseconds=1))
+        return (value - epoch) // unit  # integer division: no float drift
+    return value
+
+
+def encode_value(out: io.BytesIO, value, node, names: dict) -> None:
+    if isinstance(node, str):
+        if node == "null":
+            return
+        if node == "boolean":
+            out.write(b"\x01" if value else b"\x00")
+        elif node in ("int", "long"):
+            out.write(_zigzag_bytes(int(value)))
+        elif node == "float":
+            out.write(struct.pack("<f", value))
+        elif node == "double":
+            out.write(struct.pack("<d", value))
+        elif node == "string":
+            raw = value.encode("utf-8")
+            out.write(_zigzag_bytes(len(raw)))
+            out.write(raw)
+        elif node == "bytes":
+            out.write(_zigzag_bytes(len(value)))
+            out.write(bytes(value))
+        else:
+            raise AvroSchemaError(f"bad primitive {node!r}")
+        return
+    if isinstance(node, list):  # union: first branch whose shape matches
+        for idx, branch in enumerate(node):
+            if _union_matches(value, branch, names):
+                out.write(_zigzag_bytes(idx))
+                encode_value(out, value, branch, names)
+                return
+        raise AvroSchemaError(f"no union branch for {type(value).__name__}")
+    if "__ref__" in node:
+        encode_value(out, value, names[node["__ref__"]], names)
+        return
+    t = node["type"]
+    if t in PRIMITIVES:
+        encode_value(out, _encode_logical(value, node), t, names)
+        return
+    if t == "record":
+        for f in node["fields"]:
+            encode_value(out, value[f["name"]], f["type"], names)
+        return
+    if t == "enum":
+        out.write(_zigzag_bytes(node["symbols"].index(value)))
+        return
+    if t == "fixed":
+        raw = _encode_logical(value, node)
+        raw = bytes(raw).rjust(node["size"],
+                               b"\xff" if raw and raw[0] & 0x80 else b"\x00")
+        if len(raw) != node["size"]:
+            raise AvroSchemaError(
+                f"fixed size {node['size']} != value size {len(raw)}")
+        out.write(raw)
+        return
+    if t == "array":
+        if value:
+            out.write(_zigzag_bytes(len(value)))
+            for item in value:
+                encode_value(out, item, node["items"], names)
+        out.write(b"\x00")
+        return
+    if t == "map":
+        if value:
+            out.write(_zigzag_bytes(len(value)))
+            for k, v in value.items():
+                encode_value(out, k, "string", names)
+                encode_value(out, v, node["values"], names)
+        out.write(b"\x00")
+        return
+    raise AvroSchemaError(f"unsupported type {t!r}")
+
+
+_PRIM_PY = {"boolean": bool, "int": int, "long": int,
+            "float": (int, float), "double": (int, float),
+            "string": str, "bytes": (bytes, bytearray)}
+
+
+def _union_matches(value, branch, names) -> bool:
+    node = names[branch["__ref__"]] if isinstance(branch, dict) \
+        and "__ref__" in branch else branch
+    if node == "null" or node == {"type": "null"}:
+        return value is None
+    if value is None:
+        return False
+    if isinstance(node, str):
+        py = _PRIM_PY.get(node)
+        return py is not None and isinstance(value, py)
+    t = node.get("type")
+    if t == "record":
+        return isinstance(value, dict)
+    if t == "enum":
+        return isinstance(value, str)
+    if t in ("array",):
+        return isinstance(value, (list, tuple))
+    if t == "map":
+        return isinstance(value, dict)
+    if t == "fixed":
+        return True
+    if node.get("logicalType") == "decimal":
+        return isinstance(value, (Decimal, int))
+    if node.get("logicalType") == "date":
+        return isinstance(value, _dt.date)
+    if str(node.get("logicalType", "")).startswith("timestamp"):
+        return isinstance(value, _dt.datetime)
+    if str(node.get("logicalType", "")).startswith("time-"):
+        return isinstance(value, _dt.time)
+    return t in PRIMITIVES and _union_matches(value, t, names)
+
+
+def avro_encode(value, schema) -> bytes:
+    """Encode one datum to Avro binary (inverse of :func:`avro_decode`)."""
+    if isinstance(schema, tuple):
+        root, names = schema
+    else:
+        root, names = parse_schema(schema)
+    out = io.BytesIO()
+    encode_value(out, value, root, names)
+    return out.getvalue()
+
+
+# --------------------------------------------------------------------------
+# Confluent wire framing
+# --------------------------------------------------------------------------
+CONFLUENT_MAGIC = 0x00
+
+
+def confluent_frame(schema_id: int, payload: bytes) -> bytes:
+    """Registry wire format: 0x00 + big-endian uint32 schema id + Avro."""
+    return bytes([CONFLUENT_MAGIC]) + struct.pack("!I", schema_id) + payload
+
+
+def confluent_unframe(buf: bytes) -> tuple[int, bytes]:
+    buf = bytes(buf)
+    if len(buf) < 5:
+        raise AvroDecodeError(
+            f"Confluent frame needs >= 5 bytes, got {len(buf)}")
+    if buf[0] != CONFLUENT_MAGIC:
+        raise AvroDecodeError(
+            f"bad magic byte 0x{buf[0]:02x} (expected 0x00) — is this "
+            "topic really registry-framed Avro?")
+    return struct.unpack("!I", buf[1:5])[0], buf[5:]
+
+
+def load_schemas(spec: dict) -> dict[int, tuple]:
+    """Config -> parsed schema registry: {schema_id: parsed schema}.
+
+    Values may be inline dicts, JSON strings, or ``file:`` /
+    ``.avsc``-path strings — the no-service substitute for a Schema
+    Registry (ids are whatever the producer's registry assigned; get
+    them once via ``GET /schemas/ids/<id>`` or the connect config)."""
+    out = {}
+    for sid, s in spec.items():
+        if isinstance(s, str) and (s.startswith("file:")
+                                   or s.endswith((".avsc", ".json"))):
+            path = s[5:] if s.startswith("file:") else s
+            with open(path) as f:
+                s = f.read()
+        out[int(sid)] = parse_schema(s)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Debezium envelope -> RAW_EVENT_SCHEMA
+# --------------------------------------------------------------------------
+def _json_fragment(v) -> str:
+    """Render a decoded Avro value as JSON text for the ``values``
+    contract (events.parse_values). Decimal emits as a bare number with
+    its exact digits — a typed from_json recovers it losslessly;
+    temporals emit as ISO strings (castable); bytes as base64."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (int, float)):
+        return json.dumps(v)
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, (bytes, bytearray)):
+        return json.dumps(base64.b64encode(bytes(v)).decode("ascii"))
+    if isinstance(v, _dt.datetime):
+        return json.dumps(v.isoformat(sep=" "))
+    if isinstance(v, (_dt.date, _dt.time)):
+        return json.dumps(v.isoformat())
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{json.dumps(k, ensure_ascii=False)}:{_json_fragment(x)}"
+            for k, x in v.items()) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_json_fragment(x) for x in v) + "]"
+    raise AvroDecodeError(f"unrenderable decoded value {type(v).__name__}")
+
+
+def envelope_to_raw(env: dict) -> dict | None:
+    """One decoded Debezium envelope -> RAW_EVENT_SCHEMA dict (or None
+    for tombstones/heartbeats). Mapping parity with the JSON decoder
+    events.debezium_to_raw: op c/r -> insert, u -> update, d -> delete;
+    event_unixtime = source.ts_us | source.ts_ms*1000 | ts_ms*1000."""
+    if not isinstance(env, dict):
+        return None
+    op = env.get("op")
+    action = {"c": "insert", "r": "insert", "u": "update",
+              "d": "delete"}.get(op)
+    if action is None:
+        return None
+    src = env.get("source") or {}
+    us = src.get("ts_us")
+    if us is None:
+        ms = src.get("ts_ms")
+        if ms is None:
+            ms = env.get("ts_ms")
+        us = ms * 1000 if ms is not None else None
+    if us is None:
+        return None
+    before = env.get("before")
+    after = env.get("after")
+    return {
+        "schema": src.get("db"),
+        "table": src.get("table"),
+        "action": action,
+        "before": _json_fragment(before) if before is not None else None,
+        "after": _json_fragment(after) if after is not None else None,
+        "event_unixtime": int(us),
+    }
+
+
+def debezium_avro_to_raw(df, schemas: dict, value_col: str = "value",
+                         on_error: str = "error"):
+    """Confluent-framed Avro Debezium values -> RAW_EVENT_SCHEMA rows.
+
+    ``schemas``: {schema_id: schema} (pre-parsed via :func:`load_schemas`
+    or raw dict/JSON forms). ``on_error="error"`` (default) raises on a
+    bad magic byte / unknown schema id / undecodable datum — a
+    misconfigured topic should fail the batch loudly, not silently thin
+    the stream; ``"skip"`` drops poison records (dead-letter style) so
+    one adversarial record can't crash-loop a checkpoint.
+
+    Executes as Arrow-batched ``mapInPandas`` on the executors; the
+    parsed schema registry rides the closure (plain dicts — tiny,
+    broadcast once per stage). Null Kafka values (deletion tombstones)
+    drop per Debezium semantics.
+    """
+    import pandas as pd  # noqa: F401 — executors need it anyway
+
+    from synch_spark.events import RAW_EVENT_SCHEMA
+
+    if on_error not in ("error", "skip"):
+        raise ValueError(f"on_error {on_error!r} (error | skip)")
+    parsed = {int(sid): (s if isinstance(s, tuple) else parse_schema(s))
+              for sid, s in schemas.items()}
+    cols = [f.name for f in RAW_EVENT_SCHEMA.fields]
+    strict = on_error == "error"
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for buf in pdf[value_col]:
+                if buf is None:  # tombstone
+                    continue
+                try:
+                    sid, payload = confluent_unframe(bytes(buf))
+                    schema = parsed.get(sid)
+                    if schema is None:
+                        raise AvroDecodeError(
+                            f"schema id {sid} not in configured "
+                            f"avro_schemas {sorted(parsed)}")
+                    env = avro_decode(payload, schema)
+                    raw = envelope_to_raw(env)
+                except (AvroDecodeError, AvroSchemaError):
+                    if strict:
+                        raise
+                    continue
+                if raw is not None:
+                    rows.append(raw)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(value_col).mapInPandas(decode, RAW_EVENT_SCHEMA)

@@ -162,6 +162,73 @@ def _lenenc(data: bytes, p: int) -> tuple[int, int]:
     raise BinlogFormatError(f"bad length-encoded int prefix 0x{b0:02x}")
 
 
+# Transaction_payload_event field types (type-length-value header) and
+# compression algorithms, per the MySQL 8.0 on-the-wire format
+# (libbinlogevents Transaction_payload_event)
+_OTW_END = 0
+_OTW_SIZE = 1
+_OTW_COMPRESSION_TYPE = 2
+_OTW_UNCOMPRESSED_SIZE = 3
+_COMPRESS_ZSTD = 0
+_COMPRESS_NONE = 255
+
+
+def _transaction_payload_bytes(body: bytes) -> bytes:
+    """TRANSACTION_PAYLOAD envelope -> the inner raw event stream.
+
+    Header is a TLV sequence of length-encoded ints — field type, field
+    byte-length, value — terminated by the END mark; the payload bytes
+    follow. ZSTD (the server default) needs a codec: stdlib has none on
+    this Python, so ``zstandard`` is imported lazily and ONLY a missing
+    codec refuses — the refusal names the fix instead of dropping the
+    transaction. NONE payloads (rows below
+    binlog_transaction_compression_level_min thresholds) reparse as-is.
+    """
+    pos = 0
+    comp_type = _COMPRESS_NONE
+    payload_size = None
+    uncompressed_size = None
+    while True:
+        ftype, pos = _lenenc(body, pos)
+        if ftype == _OTW_END:
+            break
+        flen, pos = _lenenc(body, pos)
+        if ftype == _OTW_SIZE:
+            payload_size, _ = _lenenc(body, pos)
+        elif ftype == _OTW_COMPRESSION_TYPE:
+            comp_type, _ = _lenenc(body, pos)
+        elif ftype == _OTW_UNCOMPRESSED_SIZE:
+            uncompressed_size, _ = _lenenc(body, pos)
+        # unknown fields skip by their declared length (forward compat)
+        pos += flen
+    payload = body[pos : pos + payload_size] if payload_size is not None \
+        else body[pos:]
+    if payload_size is not None and len(payload) < payload_size:
+        raise BinlogFormatError(
+            f"TRANSACTION_PAYLOAD truncated: header declares "
+            f"{payload_size} payload bytes, {len(payload)} present")
+    if comp_type == _COMPRESS_NONE:
+        return payload
+    if comp_type == _COMPRESS_ZSTD:
+        try:
+            import zstandard
+        except ImportError as e:
+            raise BinlogFormatError(
+                "TRANSACTION_PAYLOAD is zstd-compressed "
+                "(binlog_transaction_compression=ON) and no zstd codec "
+                "is installed — pip install zstandard, or re-capture "
+                "with binlog_transaction_compression=OFF"
+            ) from e
+        dctx = zstandard.ZstdDecompressor()
+        if uncompressed_size is not None:
+            return dctx.decompress(payload, max_output_size=uncompressed_size)
+        # streaming API: size-less frames can't use one-shot decompress
+        return dctx.decompressobj().decompress(payload)
+    raise BinlogFormatError(
+        f"TRANSACTION_PAYLOAD with unknown compression algorithm "
+        f"{comp_type} (known: 0=zstd, 255=none)")
+
+
 def _bit(bitmap: bytes, i: int) -> bool:
     """LSB-first bitmap bit (null/columns-present bitmaps)."""
     return bool(bitmap[i // 8] & (1 << (i % 8)))
@@ -722,15 +789,28 @@ def iter_binlog_events(
     sub_base = max(0, min(int(sub_base), 990_000))
     last_ts = -1
     sub = sub_base
-    while p + 19 <= len(data):
-        ts, etype = struct.unpack_from("<IB", data, p)
+    buf = data
+    # TRANSACTION_PAYLOAD (8.0.20+ binlog_transaction_compression)
+    # wraps a transaction's events in one envelope: the decoded inner
+    # byte stream is spliced in as its own frame and the outer frame
+    # resumes after it. Inner events carry NO per-event checksum
+    # (the server strips them at compression time), so the frame stack
+    # saves/restores the FDE-derived trailer length per frame.
+    frames: list[tuple[bytes, int, int]] = []
+    while True:
+        if p + 19 > len(buf):
+            if frames:
+                buf, p, checksum = frames.pop()
+                continue
+            break
+        ts, etype = struct.unpack_from("<IB", buf, p)
         if ts != last_ts:
             last_ts = ts
             sub = sub_base
-        event_size = int.from_bytes(data[p + 9 : p + 13], "little")
-        if event_size < 19 or p + event_size > len(data):
+        event_size = int.from_bytes(buf[p + 9 : p + 13], "little")
+        if event_size < 19 or p + event_size > len(buf):
             raise BinlogFormatError(f"truncated event at offset {p}")
-        body = data[p + 19 : p + event_size]
+        body = buf[p + 19 : p + event_size]
         p += event_size
         if etype == EV_FORMAT_DESCRIPTION:
             # binlog_version(2) server_version(50) create_ts(4)
@@ -745,15 +825,17 @@ def iter_binlog_events(
             body = body[:-checksum]
         if etype == EV_TRANSACTION_PAYLOAD:
             # 8.0.20+ binlog_transaction_compression wraps every row/
-            # query event of a transaction inside this one (zstd by
-            # default). Skipping it as framing would silently drop ALL
-            # DML — fail loudly instead (parity note: the reference's
-            # python-mysql-replication tail has the same limitation).
-            raise BinlogFormatError(
-                "TRANSACTION_PAYLOAD event (binlog_transaction_compression"
-                "=ON): compressed-transaction binlogs are not supported — "
-                "re-capture with binlog_transaction_compression=OFF"
-            )
+            # query event of a transaction inside this one. Decode the
+            # envelope and splice the inner event stream in as its own
+            # frame (zstd behind a try-import; NONE payloads — servers
+            # under compression-threshold pressure still emit these —
+            # are a pure reparse). Only a genuinely absent codec fails,
+            # and loudly: skipping the event as framing would silently
+            # drop the transaction's entire DML.
+            inner = _transaction_payload_bytes(body)
+            frames.append((buf, p, checksum))
+            buf, p, checksum = inner, 0, 0
+            continue
         if etype == EV_PARTIAL_UPDATE_ROWS:
             # PARTIAL_JSON updates carry JSON *diffs* in the after-image;
             # decoding them as full values would corrupt silently

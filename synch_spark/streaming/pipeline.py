@@ -552,6 +552,29 @@ class CdcPipeline:
                     f"clean_source {clean_source!r} (delete | archive)")
             if clean_source == "archive" and not archive_dir:
                 raise ValueError("clean_source=archive needs archive_dir")
+            if clean_source == "archive" and archive_dir:
+                # Spark's file source requires the archive dir to be
+                # OUTSIDE the source glob's reach — an overlapping dir
+                # makes every archived file re-ingest as new input, an
+                # infinite loop. Enforce at configure time instead of
+                # trusting the docstring: compare the glob's static
+                # prefix (everything before the first wildcard) against
+                # the archive path.
+                import os as _os
+
+                ev = events_dir
+                wild = min((i for i in (ev.find(c) for c in "*?[")
+                            if i != -1), default=-1)
+                if wild != -1:  # glob: the static prefix dir is the reach
+                    ev = _os.path.dirname(ev[:wild] + "x")
+                ev = _os.path.abspath(ev)
+                ar = _os.path.abspath(archive_dir)
+                if _os.path.commonpath([ev, ar]) == ev:
+                    raise ValueError(
+                        f"archive_dir {archive_dir!r} is inside the "
+                        f"source path {events_dir!r}; Spark would "
+                        "re-ingest archived files as new input — point "
+                        "it outside the source glob's reach")
             reader = reader.option("cleanSource", clean_source)
             if archive_dir:
                 reader = reader.option("sourceArchiveDir", archive_dir)
@@ -575,6 +598,7 @@ class CdcPipeline:
         assign_partitions: dict[str, list[int]] | None = None,
         starting_offsets: str | dict | None = None,
         available_now: bool = False,
+        avro_schemas: dict | None = None,
     ):
         """Kafka consumer (B3/B4 parity): value is the JSON raw event.
 
@@ -618,6 +642,13 @@ class CdcPipeline:
         restart (strictly better operationally than the reference's
         manual seek bookkeeping).
         """
+        if value_format == "debezium-avro" and not avro_schemas:
+            # without the schema map every record fails at the first
+            # batch; surface the missing config at stream START
+            raise ValueError(
+                "value_format=debezium-avro needs avro_schemas "
+                "({schema_id: schema dict | JSON | file:path.avsc} — "
+                "the registry-less substitute for a Schema Registry)")
         if value_format == "debezium" and self.string_values:
             # surface the config conflict at stream START (driver-side),
             # not as a per-batch ValueError crash-loop at the first event
@@ -655,7 +686,7 @@ class CdcPipeline:
                 ) from e
             raise
         dbz = value_format == "debezium"
-        raw = raw_from_kafka_values(loaded, value_format)
+        raw = raw_from_kafka_values(loaded, value_format, avro_schemas)
         # per-table typing of a Debezium stream must also decode the
         # connector's default logical-type encodings (precise DECIMAL,
         # adaptive temporals) — scoped to THIS stream's batches
@@ -671,12 +702,24 @@ class CdcPipeline:
         return writer.trigger(processingTime=interval).start()
 
 
-def raw_from_kafka_values(loaded: DataFrame, value_format: str) -> DataFrame:
+def raw_from_kafka_values(loaded: DataFrame, value_format: str,
+                          avro_schemas: dict | None = None) -> DataFrame:
     """Kafka value column → RAW_EVENT_SCHEMA, per wire format. Pure
     (works on any DataFrame with a ``value`` column — static frames in
     tests, the streaming reader in production): "raw" is this engine's
-    own producer JSON, "debezium" the connector envelope, "wal2json"
+    own producer JSON, "debezium" the connector envelope (JSON),
+    "debezium-avro" the Confluent-framed Avro envelope most production
+    connectors actually publish (``avro_schemas`` maps registry schema
+    ids to schemas — see sources.avro_codec.load_schemas), "wal2json"
     bare plugin payloads from a pg_recvlogical/slot-to-Kafka bridge."""
+    if value_format == "debezium-avro":
+        from synch_spark.sources.avro_codec import debezium_avro_to_raw
+
+        # logical types (precise decimals, temporals) are decoded by the
+        # Avro layer itself — downstream typing is a PLAIN typed parse,
+        # no debezium_types remapping (that knob exists for the JSON
+        # converter's string/base64 encodings, which Avro never emits)
+        return debezium_avro_to_raw(loaded, avro_schemas or {})
     if value_format == "debezium":
         from synch_spark.events import debezium_to_raw
 
@@ -694,7 +737,7 @@ def raw_from_kafka_values(loaded: DataFrame, value_format: str) -> DataFrame:
     if value_format != "raw":
         raise ValueError(
             f"unknown kafka value_format {value_format!r} "
-            "(raw | debezium | wal2json)")
+            "(raw | debezium | debezium-avro | wal2json)")
     return loaded.select(
         F.from_json(F.col("value").cast("string"), RAW_EVENT_SCHEMA).alias("e")
     ).select("e.*")

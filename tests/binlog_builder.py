@@ -189,6 +189,40 @@ class BinlogBuilder:
         """XID_EVENT (0x10): the transaction commit marker."""
         self._event(0x10, struct.pack("<Q", xid))
 
+    def transaction_payload(self, build_inner, comp_type: int = 255,
+                            with_size: bool = True,
+                            uncompressed_size: int | None = None,
+                            raw_payload: bytes | None = None) -> None:
+        """TRANSACTION_PAYLOAD_EVENT (0x28): wrap the events that
+        ``build_inner(b)`` emits on a scratch builder into one
+        compressed-transaction envelope (TLV header per the 8.0 wire
+        format; inner events are written WITHOUT per-event checksums,
+        as the server does). ``raw_payload`` overrides the payload
+        bytes for adversarial shapes."""
+        if raw_payload is None:
+            inner = BinlogBuilder(checksum=False, timestamp=self.ts)
+            prefix = len(inner.out)  # magic + FDE are NOT in a payload
+            build_inner(inner)
+            payload = bytes(inner.out[prefix:])
+            if comp_type == 0:
+                import zstandard
+
+                if uncompressed_size is None:
+                    uncompressed_size = len(payload)
+                payload = zstandard.ZstdCompressor().compress(payload)
+        else:
+            payload = raw_payload
+        body = _lenenc(2) + _lenenc(len(_lenenc(comp_type))) \
+            + _lenenc(comp_type)
+        if uncompressed_size is not None:
+            body += _lenenc(3) + _lenenc(len(_lenenc(uncompressed_size))) \
+                + _lenenc(uncompressed_size)
+        if with_size:
+            body += _lenenc(1) + _lenenc(len(_lenenc(len(payload)))) \
+                + _lenenc(len(payload))
+        body += _lenenc(0)  # header end mark
+        self._event(0x28, body + payload)
+
     def bytes(self) -> bytes:
         return bytes(self.out)
 

@@ -1,0 +1,384 @@
+"""Avro binary codec + Confluent framing + Debezium-Avro decode path.
+
+The encoder used for pins here is written INDEPENDENTLY of
+synch_spark.sources.avro_codec (recursive closures over the raw schema
+dict, not the package's normalized-node walk) so a shared bug cannot
+self-certify: package-decode(independent-encode(v)) == v, and
+package-encode == independent-encode byte-for-byte on canonical values.
+"""
+from __future__ import annotations
+
+import datetime as dt
+import struct
+from decimal import Decimal
+
+import pytest
+
+from synch_spark.sources import avro_codec as A
+
+
+# --------------------------------------------------------------------------
+# independent reference encoder (deliberately not the package's code path)
+# --------------------------------------------------------------------------
+def _ref_zigzag(v: int) -> bytes:
+    zz = (abs(v) * 2 - 1) if v < 0 else v * 2
+    out = b""
+    while zz > 0x7F:
+        out += bytes([(zz & 0x7F) | 0x80])
+        zz >>= 7
+    return out + bytes([zz])
+
+
+def _ref_encode(value, schema, names=None) -> bytes:
+    names = names if names is not None else {}
+
+    def reg(s):
+        if isinstance(s, dict) and s.get("type") in ("record", "enum",
+                                                     "fixed"):
+            names[s["name"]] = s
+            if s.get("type") == "record":
+                for f in s["fields"]:
+                    reg(f["type"])
+            return
+        if isinstance(s, list):
+            for b in s:
+                reg(b)
+        if isinstance(s, dict) and isinstance(s.get("type"), dict):
+            reg(s["type"])
+
+    reg(schema)
+
+    def enc(v, s) -> bytes:
+        if isinstance(s, str) and s in names:
+            s = names[s]
+        if s == "null":
+            return b""
+        if s == "boolean":
+            return b"\x01" if v else b"\x00"
+        if s in ("int", "long"):
+            return _ref_zigzag(v)
+        if s == "float":
+            return struct.pack("<f", v)
+        if s == "double":
+            return struct.pack("<d", v)
+        if s == "string":
+            raw = v.encode()
+            return _ref_zigzag(len(raw)) + raw
+        if s == "bytes":
+            return _ref_zigzag(len(v)) + bytes(v)
+        if isinstance(s, list):  # union: null goes to the null branch,
+            # everything else to the first non-null branch (the only
+            # union shape Debezium emits)
+            for i, b in enumerate(s):
+                if (b == "null") == (v is None):
+                    return _ref_zigzag(i) + enc(v, b)
+            raise AssertionError("no branch")
+        t = s["type"]
+        if t == "record":
+            return b"".join(enc(v[f["name"]], f["type"])
+                            for f in s["fields"])
+        if t == "enum":
+            return _ref_zigzag(s["symbols"].index(v))
+        if t == "array":
+            out = _ref_zigzag(len(v)) if v else b""
+            for item in v:
+                out += enc(item, s["items"])
+            return out + b"\x00"
+        if t == "map":
+            out = _ref_zigzag(len(v)) if v else b""
+            for k, item in v.items():
+                out += enc(k, "string") + enc(item, s["values"])
+            return out + b"\x00"
+        if t == "fixed":
+            return bytes(v)
+        lt = s.get("logicalType")
+        if lt == "decimal":
+            unscaled = int(Decimal(v).scaleb(s.get("scale", 0)))
+            n = 1
+            while True:
+                try:
+                    raw = unscaled.to_bytes(n, "big", signed=True)
+                    break
+                except OverflowError:
+                    n += 1
+            return enc(raw, "bytes")
+        if lt == "date":
+            return enc((v - dt.date(1970, 1, 1)).days, "int")
+        if lt == "time-millis":
+            us = (v.hour * 3600 + v.minute * 60 + v.second) * 10**6 \
+                + v.microsecond
+            return enc(us // 1000, "int")
+        if lt == "time-micros":
+            us = (v.hour * 3600 + v.minute * 60 + v.second) * 10**6 \
+                + v.microsecond
+            return enc(us, "long")
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            delta = v - dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            us = delta.days * 86_400_000_000 + delta.seconds * 10**6 \
+                + delta.microseconds
+            return enc(us // 1000 if lt == "timestamp-millis" else us,
+                       "long")
+        return enc(v, t)
+
+    return enc(value, schema)
+
+
+VALUE = {"type": "record", "name": "Value", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "price", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 15, "scale": 2}},
+    {"name": "status", "type": "string"},
+]}
+ENVELOPE = {"type": "record", "name": "Envelope",
+            "namespace": "srv.db.orders", "fields": [
+                {"name": "before", "type": ["null", VALUE],
+                 "default": None},
+                {"name": "after", "type": ["null", "Value"],
+                 "default": None},
+                {"name": "source", "type": {
+                    "type": "record", "name": "Source", "fields": [
+                        {"name": "db", "type": "string"},
+                        {"name": "table", "type": "string"},
+                        {"name": "ts_ms", "type": "long"}]}},
+                {"name": "op", "type": "string"},
+                {"name": "ts_ms", "type": ["null", "long"],
+                 "default": None}]}
+
+
+def test_zigzag_spec_vectors():
+    """Byte pins straight from the Avro spec's varint table."""
+    for v, want in ((0, "00"), (-1, "01"), (1, "02"), (-2, "03"),
+                    (2, "04"), (63, "7e"), (-64, "7f"), (64, "8001"),
+                    (-65, "8101"), (2**31 - 1, "feffffff0f"),
+                    (-(2**63), "ffffffffffffffffff01")):
+        assert A.avro_encode(v, '"long"').hex() == want, v
+        assert _ref_zigzag(v).hex() == want, v  # the referee agrees
+        assert A.avro_decode(bytes.fromhex(want), '"long"') == v
+
+
+def test_string_bytes_spec_vectors():
+    assert A.avro_encode("foo", '"string"').hex() == "06666f6f"
+    assert A.avro_decode(bytes.fromhex("06666f6f"), '"string"') == "foo"
+    assert A.avro_encode(b"\x00\xff", '"bytes"') == b"\x04\x00\xff"
+
+
+@pytest.mark.parametrize("value,schema", [
+    (True, "boolean"), (False, "boolean"),
+    (3.5, "double"), (None, "null"),
+    ({"a": [1, 2, 3], "b": []},
+     {"type": "map", "values": {"type": "array", "items": "int"}}),
+    ("B", {"type": "enum", "name": "E", "symbols": ["A", "B", "C"]}),
+    (b"\x01\x02\x03\x04", {"type": "fixed", "name": "F4", "size": 4}),
+])
+def test_roundtrip_independent_encoder(value, schema):
+    blob = _ref_encode(value, schema)
+    assert A.avro_decode(blob, schema) == value
+    assert A.avro_encode(value, schema) == blob
+
+
+def test_float_roundtrip():
+    blob = _ref_encode(1.5, "float")
+    assert A.avro_decode(blob, '"float"') == 1.5
+
+
+def test_logical_types_decode():
+    """Each Debezium logical type: independent encode -> package decode."""
+    cases = [
+        (Decimal("-12345.67"), {"type": "bytes", "logicalType": "decimal",
+                                "precision": 10, "scale": 2}),
+        (Decimal("0.00"), {"type": "bytes", "logicalType": "decimal",
+                           "precision": 10, "scale": 2}),
+        (dt.date(1992, 1, 1), {"type": "int", "logicalType": "date"}),
+        (dt.date(1969, 12, 31), {"type": "int", "logicalType": "date"}),
+        (dt.time(23, 59, 59, 123000),
+         {"type": "int", "logicalType": "time-millis"}),
+        (dt.time(0, 0, 0, 1),
+         {"type": "long", "logicalType": "time-micros"}),
+        (dt.datetime(1997, 5, 28, 12, 30, 0, 250000),
+         {"type": "long", "logicalType": "timestamp-micros"}),
+        (dt.datetime(1969, 12, 31, 23, 59, 59),
+         {"type": "long", "logicalType": "timestamp-millis"}),
+    ]
+    for value, schema in cases:
+        blob = _ref_encode(value, schema)
+        assert A.avro_decode(blob, schema) == value, value
+        assert A.avro_encode(value, schema) == blob, value
+
+
+def test_envelope_parity_with_independent_encoder():
+    env = {"before": None,
+           "after": {"id": 7, "price": Decimal("473274.17"),
+                     "status": "O"},
+           "source": {"db": "db", "table": "orders",
+                      "ts_ms": 694224000000},
+           "op": "c", "ts_ms": None}
+    blob = _ref_encode(env, ENVELOPE)
+    assert A.avro_encode(env, A.parse_schema(ENVELOPE)) == blob
+    assert A.avro_decode(blob, ENVELOPE) == env
+
+
+def test_negative_decimal_minimal_bytes():
+    """-1.00 at scale 2 is unscaled -100 = single byte 0x9c — the
+    minimal two's-complement form both encoders must agree on."""
+    schema = {"type": "bytes", "logicalType": "decimal", "scale": 2}
+    assert A.avro_encode(Decimal("-1.00"), schema) == b"\x02\x9c"
+    assert A.avro_decode(b"\x02\x9c", schema) == Decimal("-1.00")
+
+
+def test_recursive_and_named_refs():
+    """A self-referential record (linked list) — registration must
+    happen before field parse or the name lookup fails."""
+    node = {"type": "record", "name": "Node", "fields": [
+        {"name": "v", "type": "int"},
+        {"name": "next", "type": ["null", "Node"]}]}
+    val = {"v": 1, "next": {"v": 2, "next": None}}
+    blob = _ref_encode(val, node)
+    assert A.avro_decode(blob, node) == val
+    assert A.avro_encode(val, node) == blob
+
+
+def test_decode_errors_are_loud():
+    with pytest.raises(A.AvroDecodeError, match="truncated"):
+        A.avro_decode(b"\x0a", '"string"')  # length 5, no bytes
+    with pytest.raises(A.AvroDecodeError, match="union index"):
+        A.avro_decode(b"\x04", ["null", "int"])  # index 2 of 2
+    with pytest.raises(A.AvroDecodeError, match="trailing"):
+        A.avro_decode(b"\x02\xff", '"int"')
+    with pytest.raises(A.AvroSchemaError, match="unknown type name"):
+        A.parse_schema({"type": "record", "name": "R", "fields": [
+            {"name": "x", "type": "Nope"}]})
+
+
+def test_confluent_framing():
+    sid, payload = A.confluent_unframe(A.confluent_frame(1234, b"\x02"))
+    assert (sid, payload) == (1234, b"\x02")
+    with pytest.raises(A.AvroDecodeError, match="magic"):
+        A.confluent_unframe(b"\x01\x00\x00\x00\x07\x02")
+    with pytest.raises(A.AvroDecodeError, match=">= 5"):
+        A.confluent_unframe(b"\x00\x00")
+
+
+def test_envelope_to_raw_mapping():
+    src = {"db": "d", "table": "t", "ts_ms": 5}
+    mk = lambda **kw: {"before": None, "after": {"id": 1},  # noqa: E731
+                       "source": dict(src), "op": "c", "ts_ms": None, **kw}
+    assert A.envelope_to_raw(mk())["action"] == "insert"
+    assert A.envelope_to_raw(mk(op="r"))["action"] == "insert"
+    assert A.envelope_to_raw(mk(op="u"))["action"] == "update"
+    assert A.envelope_to_raw(mk(op="d"))["action"] == "delete"
+    assert A.envelope_to_raw(mk(op="m")) is None  # heartbeat-ish
+    assert A.envelope_to_raw(None) is None        # tombstone
+    # ts precedence: source.ts_us beats source.ts_ms beats envelope
+    env = mk()
+    env["source"]["ts_us"] = 7_000_001
+    assert A.envelope_to_raw(env)["event_unixtime"] == 7_000_001
+    env = mk()
+    assert A.envelope_to_raw(env)["event_unixtime"] == 5_000
+    env = mk(ts_ms=9)
+    del env["source"]["ts_ms"]
+    assert A.envelope_to_raw(env)["event_unixtime"] == 9_000
+    del env["ts_ms"]
+    assert A.envelope_to_raw(env) is None  # no timestamp anywhere: drop
+    # value rendering: Decimal -> bare exact number, date -> ISO string
+    env = mk(after={"id": 2, "p": Decimal("10.50"),
+                    "d": dt.date(1992, 3, 4)})
+    assert A.envelope_to_raw(env)["after"] == \
+        '{"id":2,"p":10.50,"d":"1992-03-04"}'
+
+
+def test_load_schemas_from_file(tmp_path):
+    import json
+
+    p = tmp_path / "env.avsc"
+    p.write_text(json.dumps(ENVELOPE))
+    parsed = A.load_schemas({7: f"file:{p}", "8": '"long"'})
+    assert set(parsed) == {7, 8}
+    assert A.avro_decode(A.avro_encode(3, parsed[8]), parsed[8]) == 3
+
+
+def test_debezium_avro_to_raw_spark(spark):
+    """The Spark decode path end-to-end, including parity with the JSON
+    debezium_to_raw on equivalent events, strict vs skip error modes,
+    and tombstone drops."""
+    from synch_spark.events import debezium_to_raw
+
+    schemas = A.load_schemas({7: ENVELOPE})
+    envs = [
+        {"before": None,
+         "after": {"id": 1, "price": Decimal("10.00"), "status": "O"},
+         "source": {"db": "db", "table": "orders", "ts_ms": 1000},
+         "op": "c", "ts_ms": None},
+        {"before": {"id": 2, "price": Decimal("20.00"), "status": "F"},
+         "after": None,
+         "source": {"db": "db", "table": "orders", "ts_ms": 2000},
+         "op": "d", "ts_ms": None},
+    ]
+    frames = [A.confluent_frame(7, A.avro_encode(e, schemas[7]))
+              for e in envs]
+    df = spark.createDataFrame(
+        [(bytearray(f),) for f in frames] + [(None,)], "value binary")
+    got = {r["action"]: r for r in
+           A.debezium_avro_to_raw(df, schemas).collect()}
+    assert set(got) == {"insert", "delete"}  # tombstone dropped
+    assert got["insert"]["after"] == \
+        '{"id":1,"price":10.00,"status":"O"}'
+    assert got["insert"]["event_unixtime"] == 1_000_000
+    assert got["delete"]["before"] == \
+        '{"id":2,"price":20.00,"status":"F"}'
+    # JSON-path parity on the same logical event
+    import json
+
+    jenv = {"payload": {"op": "c", "before": None,
+                        "after": {"id": 1, "price": 10.00, "status": "O"},
+                        "source": {"db": "db", "table": "orders",
+                                   "ts_ms": 1000}}}
+    jdf = spark.createDataFrame([(json.dumps(jenv),)], "value string")
+    jrow = debezium_to_raw(jdf).collect()[0]
+    arow = got["insert"]
+    for k in ("schema", "table", "action", "event_unixtime"):
+        assert jrow[k] == arow[k], k
+    # strict: unknown schema id fails the batch loudly
+    bad = spark.createDataFrame(
+        [(bytearray(A.confluent_frame(99, b"\x00")),)], "value binary")
+    with pytest.raises(Exception, match="schema id 99"):
+        A.debezium_avro_to_raw(bad, schemas).collect()
+    # skip: poison records drop, good ones survive
+    mixed = spark.createDataFrame(
+        [(bytearray(A.confluent_frame(99, b"\x00")),),
+         (bytearray(frames[0]),)], "value binary")
+    out = A.debezium_avro_to_raw(mixed, schemas, on_error="skip").collect()
+    assert len(out) == 1 and out[0]["action"] == "insert"
+    with pytest.raises(ValueError, match="on_error"):
+        A.debezium_avro_to_raw(df, schemas, on_error="explode")
+
+
+def test_kafka_value_format_debezium_avro(spark):
+    """raw_from_kafka_values dispatch + the stream-start validation that
+    debezium-avro without a schema map is refused."""
+    from synch_spark.streaming.pipeline import raw_from_kafka_values
+
+    schemas = A.load_schemas({7: ENVELOPE})
+    env = {"before": None,
+           "after": {"id": 3, "price": Decimal("1.23"), "status": "P"},
+           "source": {"db": "db", "table": "orders", "ts_ms": 10},
+           "op": "c", "ts_ms": None}
+    df = spark.createDataFrame(
+        [(bytearray(A.confluent_frame(7, A.avro_encode(env, schemas[7]))),)],
+        "value binary")
+    rows = raw_from_kafka_values(df, "debezium-avro", schemas).collect()
+    assert rows[0]["action"] == "insert" and rows[0]["table"] == "orders"
+
+
+def test_kafka_stream_avro_requires_schemas(spark, tmp_path):
+    """value_format=debezium-avro without avro_schemas must refuse at
+    stream START (driver-side config error), not crash-loop the first
+    batch on every record."""
+    from synch_spark.config import SyncConfig
+    from synch_spark.streaming.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(
+        spark=spark, cfg=SyncConfig(), warehouse=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    with pytest.raises(ValueError, match="avro_schemas"):
+        pipe.start_kafka_stream("localhost:9092", "t",
+                                value_format="debezium-avro")

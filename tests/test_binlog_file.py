@@ -11,6 +11,9 @@ import os
 import pytest
 
 from synch_spark.sources import binlog_file as B
+from decimal import Decimal
+
+import tests.binlog_builder as tb
 from tests.binlog_builder import BinlogBuilder
 
 COLS = [
@@ -621,18 +624,125 @@ def test_jsonb_roundtrip_property(doc, large):
     assert B._decode_json_binary(blob) == doc
 
 def test_unsupported_payload_bearing_events_fail_loudly():
-    """TRANSACTION_PAYLOAD (0x28, binlog_transaction_compression) and
-    PARTIAL_UPDATE_ROWS (0x27, PARTIAL_JSON) carry the actual DML —
-    skipping them as framing would be silent data loss. They must raise
-    like every other unsupported-structure path."""
+    """PARTIAL_UPDATE_ROWS (0x27, PARTIAL_JSON) carries JSON *diffs* —
+    decoding them as full values would corrupt silently. It must raise
+    like every other unsupported-structure path. (TRANSACTION_PAYLOAD
+    0x28 now DECODES — see the transaction-payload tests below; only a
+    missing zstd codec refuses.)"""
     import pytest
 
-    for etype, marker in ((0x28, "TRANSACTION_PAYLOAD"),
-                          (0x27, "PARTIAL_UPDATE_ROWS")):
+    b = BinlogBuilder()
+    b._event(0x27, b"\x00" * 16)
+    with pytest.raises(B.BinlogFormatError, match="PARTIAL_UPDATE_ROWS"):
+        list(B.iter_binlog_events(b.bytes()))
+
+
+def _tp_cols():
+    return [("id", B.T_LONG, 0), ("amount", B.T_NEWDECIMAL,
+                                  (10 << 8) | 2)]
+
+
+def _tp_txn(b):
+    """One full transaction's worth of events (the shape the server
+    wraps): BEGIN query, table map, insert, update, delete, commit."""
+    b.query("db", "BEGIN")
+    b.table_map(7, "db", "t", _tp_cols(), names_tlv=True)
+    b.insert(7, (1, Decimal("10.00")), (2, Decimal("20.00")))
+    b.update(7, ((1, Decimal("10.00")), (1, Decimal("11.00"))))
+    b.delete(7, (2, Decimal("20.00")))
+    b.xid(9)
+
+
+def test_transaction_payload_none_decodes_like_unwrapped():
+    """binlog_transaction_compression=ON with an uncompressed (NONE)
+    payload: the wrapped file must decode event-for-event identically
+    to its unwrapped twin — same actions, images, and within-second
+    ordering stamps."""
+    plain = BinlogBuilder()
+    _tp_txn(plain)
+    wrapped = BinlogBuilder()
+    wrapped.transaction_payload(_tp_txn)
+    want = list(B.iter_binlog_events(plain.bytes()))
+    got = list(B.iter_binlog_events(wrapped.bytes()))
+    assert want and got == want
+
+
+def test_transaction_payload_outer_resume_and_checksums():
+    """Events BEFORE and AFTER the payload in the (checksummed) outer
+    stream decode too: the frame splice must restore the outer cursor
+    AND the outer CRC trailer length when the inner frame drains —
+    inner events carry no checksum, outer ones still do."""
+    b = BinlogBuilder()  # checksum=True: outer events have CRC32
+    b.table_map(3, "db", "pre", _tp_cols(), names_tlv=True)
+    b.insert(3, (100, Decimal("1.00")))
+    b.transaction_payload(_tp_txn)
+    b.table_map(4, "db", "post", _tp_cols(), names_tlv=True)
+    b.insert(4, (200, Decimal("2.00")))
+    got = list(B.iter_binlog_events(b.bytes()))
+    tables = [e["table"] for e in got]
+    assert tables[0] == "pre" and tables[-1] == "post"
+    assert tables.count("t") == 4  # insert x2 rows, update, delete
+    # ordering stamps stay strictly increasing across the splice
+    stamps = [e["event_unixtime"] for e in got]
+    assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps)
+
+
+def test_transaction_payload_size_field_optional():
+    """A payload without the SIZE field (everything to end-of-body) and
+    without declared uncompressed size still decodes."""
+    wrapped = BinlogBuilder()
+    wrapped.transaction_payload(_tp_txn, with_size=False)
+    plain = BinlogBuilder()
+    _tp_txn(plain)
+    assert list(B.iter_binlog_events(wrapped.bytes())) == \
+        list(B.iter_binlog_events(plain.bytes()))
+
+
+def test_transaction_payload_zstd_missing_codec_or_roundtrip():
+    """The loud-fail surface narrows to exactly 'zstd codec absent':
+    with zstandard installed the compressed twin must decode
+    identically; without it the error names the codec and the fix."""
+    import pytest
+
+    try:
+        import zstandard  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    if have:
+        wrapped = BinlogBuilder()
+        wrapped.transaction_payload(_tp_txn, comp_type=0)
+        plain = BinlogBuilder()
+        _tp_txn(plain)
+        assert list(B.iter_binlog_events(wrapped.bytes())) == \
+            list(B.iter_binlog_events(plain.bytes()))
+    else:
         b = BinlogBuilder()
-        b._event(etype, b"\x00" * 16)
-        with pytest.raises(B.BinlogFormatError, match=marker):
+        # hand-rolled "zstd" payload: codec absence must be detected
+        # BEFORE any decompress attempt
+        b.transaction_payload(None, comp_type=0,
+                              raw_payload=b"\x28\xb5\x2f\xfd junk")
+        with pytest.raises(B.BinlogFormatError, match="zstandard"):
             list(B.iter_binlog_events(b.bytes()))
+
+
+def test_transaction_payload_bad_shapes_raise():
+    import pytest
+
+    # unknown compression algorithm
+    b = BinlogBuilder()
+    b.transaction_payload(None, comp_type=7, raw_payload=b"x")
+    with pytest.raises(B.BinlogFormatError, match="unknown compression"):
+        list(B.iter_binlog_events(b.bytes()))
+    # declared payload size exceeds what's present
+    b = BinlogBuilder()
+    body = (tb._lenenc(2) + tb._lenenc(len(tb._lenenc(255)))
+            + tb._lenenc(255)                                  # NONE
+            + tb._lenenc(1) + tb._lenenc(1) + tb._lenenc(99)   # size=99
+            + tb._lenenc(0) + b"short")
+    b._event(0x28, body)
+    with pytest.raises(B.BinlogFormatError, match="truncated"):
+        list(B.iter_binlog_events(b.bytes()))
 
 
 def test_query_schema_filter_uses_statement_target_not_session_db():

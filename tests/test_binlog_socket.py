@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import socket
+import ssl
 import struct
 import threading
 
@@ -122,8 +123,14 @@ class FakeMysqlServer(threading.Thread):
                 return
             try:
                 self._serve(conn)
+            except ssl.SSLError:
+                pass  # a must-fail TLS test aborts the handshake; the
+                #       client-side assertion is the test, not this thread
             finally:
-                conn.close()
+                try:
+                    conn.close()
+                except OSError:
+                    pass
 
     def _serve(self, conn):
         f = conn.makefile("rb")

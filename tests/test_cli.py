@@ -1583,3 +1583,61 @@ def test_mv_create_validates_dim_before_persisting(tmp_path, capsys, spark):
     # nothing persisted: the view root must not exist
     mv_root = os.path.join(str(tmp_path / "wh"), "_mv", "broken")
     assert not os.path.exists(mv_root), "broken view spec must not persist"
+
+
+def test_cli_status_spool_reads_compacted_source_log(tmp_path, capsys):
+    """After Spark compacts the file-source metadata log (every ~10
+    batches) committed paths live in N.compact, not digit files —
+    status must parse the newest committed compact or long-running
+    consumers over-report consumed files as backlog."""
+    import json as _json
+
+    import yaml
+
+    from synch_spark.cli import main
+
+    ev_dir = tmp_path / "events"
+    ev_dir.mkdir()
+    consumed = ev_dir / "a.json"
+    consumed.write_text("{}\n")
+    fresh = ev_dir / "b.json"
+    fresh.write_text("{}\n")
+    ckpt = tmp_path / "ckpt"
+    src_log = ckpt / "sources" / "0"
+    src_log.mkdir(parents=True)
+    commits = ckpt / "commits"
+    commits.mkdir()
+    # batches 0..3 committed; the source log was compacted at batch 3 so
+    # only 3.compact (carrying a.json) remains — no digit files at all
+    for b in range(4):
+        (commits / str(b)).write_text("v1\n{}")
+    (src_log / "3.compact").write_text(
+        "v1\n"
+        + _json.dumps({"path": consumed.as_uri(), "timestamp": 1,
+                       "batchId": 0}) + "\n")
+    # a LATER compact whose batch is NOT committed must be ignored
+    (src_log / "9.compact").write_text(
+        "v1\n" + _json.dumps({"path": fresh.as_uri(), "timestamp": 2,
+                              "batchId": 9}) + "\n")
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(ckpt),
+            "events_dir": str(ev_dir),
+            "sources": {},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    capsys.readouterr()
+    assert main(["--config", str(p), "status"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    sp = out["spool"]
+    assert sp["files_on_disk"] == 2
+    assert sp["files_committed"] == 1, \
+        "a.json committed via 3.compact must not count as backlog"
+    assert sp["backlog_files"] == 1, \
+        "b.json (only in the uncommitted 9.compact) stays backlog"

@@ -692,3 +692,34 @@ def test_wal2json_fallback_accepts_column_expression(spark):
         df, fallback_unixtime_us=F.unix_micros(F.current_timestamp())
     ).collect()[0]
     assert got["event_unixtime"] >= before_us - 5_000_000
+
+
+def test_file_stream_archive_dir_inside_source_refused(spark, tmp_path,
+                                                       pipeline):
+    """clean_source='archive' with archive_dir under the source glob's
+    reach: Spark would re-ingest every archived file as new input (an
+    infinite loop). The overlap must be refused at configure time, not
+    discovered in production."""
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    with pytest.raises(ValueError, match="re-ingest"):
+        pipeline.start_file_stream(
+            str(events_dir), clean_source="archive",
+            archive_dir=str(events_dir / "archive"))
+    # same dir entirely
+    with pytest.raises(ValueError, match="re-ingest"):
+        pipeline.start_file_stream(
+            str(events_dir), clean_source="archive",
+            archive_dir=str(events_dir))
+    # a glob source: the STATIC PREFIX dir is the reach, so an archive
+    # under it is refused even though the literal string differs
+    with pytest.raises(ValueError, match="re-ingest"):
+        pipeline.start_file_stream(
+            str(events_dir / "*.json"), clean_source="archive",
+            archive_dir=str(events_dir / "done"))
+    # a sibling dir is fine — the stream starts (and is stopped at once)
+    ok_dir = tmp_path / "archive"
+    q = pipeline.start_file_stream(str(events_dir), available_now=True,
+                                   clean_source="archive",
+                                   archive_dir=str(ok_dir))
+    q.awaitTermination(60)
