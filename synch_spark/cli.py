@@ -285,7 +285,18 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
     # draining within one wall-clock second must continue the sequence,
     # not both restart at sub 0 (last-write-wins inversion)
     stamp_state: dict = {}
-    for i in range(rounds):
+    # --follow: supervise the tail like the reference's forever-running
+    # produce loop (/root/reference/synch/replication/continuous.py) —
+    # a dropped/refused connection re-dials with exponential backoff
+    # and resumes from the persisted cursor (file/pos or GTID set), so
+    # a server restart or LB idle-kill costs one backoff, not the
+    # process. Failed attempts do NOT consume the round budget.
+    follow = bool(getattr(args, "follow", False))
+    backoff_base = float(ms.get("reconnect_base_s", 0.5))
+    backoff_max = float(ms.get("reconnect_max_s", 30.0))
+    backoff = backoff_base
+    i = 0
+    while i < rounds:
         client = BinlogSocketClient(
             ms["host"], int(ms.get("port", 3306)), ms["user"],
             ms.get("password", ""), server_id=int(ms.get("server_id", 2**31)),
@@ -305,11 +316,24 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
                          if auto_position else None)
         except (BinlogProtocolError, OSError) as e:
             # OSError: ECONNRESET/refused from a failover or proxy
-            # idle-kill — the clean failed-round path, not a traceback
-            print(f"binlog socket round {i} failed: {e}", file=sys.stderr)
-            return 1
+            # idle-kill — the clean failed-round path, not a traceback.
+            # The cursor vars still hold the last durable position
+            # (they only advance after a clean round), so the re-dial
+            # resumes exactly there — GTID auto-position additionally
+            # has the server skip anything a torn round already served.
+            if not follow:
+                print(f"binlog socket round {i} failed: {e}",
+                      file=sys.stderr)
+                return 1
+            print(f"binlog socket round {i} failed: {e}; re-dialing in "
+                  f"{backoff:.1f}s (cursor file={fname!r} pos={pos})",
+                  file=sys.stderr)
+            _time.sleep(backoff)
+            backoff = min(backoff * 2, backoff_max)
+            continue
         finally:
             client.close()
+        backoff = backoff_base  # a clean round resets the re-dial pace
         emitted = 0
         if raw_chunks:
             # raw wire audit trail: one pseudo-binlog per round (MAGIC +
@@ -354,7 +378,8 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
             cur_out["gtid_set"] = gtid_cursor
         print(_json.dumps({"produce_round": i, "events": emitted,
                            "cursor": cur_out}))
-        if i + 1 < rounds:
+        i += 1
+        if i < rounds:
             _time.sleep(cfg.insert_interval_s)
     return 0
 
@@ -410,7 +435,19 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
     # re-sends R per session, but a resume that replays data the slot
     # already streamed THIS process still has the registry
     pgo_relations: dict = {}
-    for i in range(rounds):
+    # --follow supervision (mirror of the mysql-socket loop): re-dial
+    # with exponential backoff on connection loss; the SLOT is the
+    # durable cursor — un-acked rounds replay from the confirmed LSN,
+    # so a restart costs one backoff and zero data. The slot is
+    # (re-)ensured until creation succeeds once, not only on round 0:
+    # a first-dial failure must not skip slot creation forever.
+    follow = bool(getattr(args, "follow", False))
+    backoff_base = float(pg.get("reconnect_base_s", 0.5))
+    backoff_max = float(pg.get("reconnect_max_s", 30.0))
+    backoff = backoff_base
+    slot_ensured = not pg.get("create_slot", True)
+    i = 0
+    while i < rounds:
         client = WalSocketClient(
             pg["host"], int(pg.get("port", 5432)), pg["user"],
             pg.get("password", ""), database=pg.get("database", "postgres"),
@@ -418,11 +455,12 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
         )
         try:
             client.connect()
-            if i == 0 and pg.get("create_slot", True):
+            if not slot_ensured:
                 # reference parity: create the slot if missing
                 # (synch/reader/postgres.py:151-155); existing slot is
                 # the normal steady state
                 client.create_slot(pg["slot"], plugin=plugin)
+                slot_ensured = True
             client.start_replication(pg["slot"], options=pg.get("options"),
                                      plugin=plugin)
             payloads = list(client.poll_payloads(
@@ -431,9 +469,15 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
             df = None
             pgo_state: dict = {}
             if payloads and plugin == "pgoutput":
+                # PG 16 parallel streaming (proto_version 4 + streaming
+                # 'parallel') widens Stream Abort; the decode must know
+                # what THIS subscription negotiated
+                par = str((pg.get("options") or {})
+                          .get("streaming", "")) == "parallel"
                 evs = list(iter_pgoutput_changes(payloads,
                                                  relations=pgo_relations,
-                                                 state_out=pgo_state))
+                                                 state_out=pgo_state,
+                                                 streaming_parallel=par))
                 if (pg.get("archive_dir") and not client.torn
                         and not pgo_state.get("undecided")):
                     # raw wire audit trail: a frame file per DECIDED
@@ -505,13 +549,22 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
             # (server restart, LB idle-kill) is the same operational
             # event as a protocol error — clean failure report, not a
             # traceback.
-            print(f"pg socket round {i} failed: {e}", file=sys.stderr)
-            return 1
+            if not follow:
+                print(f"pg socket round {i} failed: {e}", file=sys.stderr)
+                return 1
+            print(f"pg socket round {i} failed: {e}; re-dialing in "
+                  f"{backoff:.1f}s (slot replays from confirmed LSN)",
+                  file=sys.stderr)
+            _time.sleep(backoff)
+            backoff = min(backoff * 2, backoff_max)
+            continue
         finally:
             client.close()
+        backoff = backoff_base  # a clean round resets the re-dial pace
         print(_json.dumps({"produce_round": i, "events": emitted,
                            "flushed_lsn": client.flushed_lsn}))
-        if i + 1 < rounds:
+        i += 1
+        if i < rounds:
             _time.sleep(cfg.insert_interval_s)
     return 0
 
@@ -2025,6 +2078,15 @@ def main(argv=None) -> int:
     pr = sub.add_parser("produce", help="snapshot-diff polling CDC producer")
     pr.add_argument("--once", action="store_true")
     pr.add_argument("--rounds", type=int, default=1_000_000)
+    pr.add_argument(
+        "--follow", action="store_true",
+        help="(mysql-socket | pg-socket) supervise the tail: re-dial a "
+        "dropped/refused connection with exponential backoff "
+        "(spark.*_socket.reconnect_base_s/reconnect_max_s, default "
+        "0.5s..30s) and resume from the persisted cursor — the "
+        "reference's forever-running produce; without it a connection "
+        "failure ends the round cleanly with exit 1",
+    )
     pr.add_argument(
         "--source", choices=["snapshot-diff", "mysql-socket", "pg-socket"],
         default="snapshot-diff",

@@ -6,8 +6,9 @@ which must be installed server-side; pgoutput ships WITH the server
 (it backs native logical replication / CREATE PUBLICATION) and is the
 one plugin every managed instance exposes. This module decodes the
 documented pgoutput binary message stream (PostgreSQL docs, "Logical
-Streaming Replication Protocol", protocol versions 1 AND 2 — v2's
-streamed in-progress transactions included) into the same
+Streaming Replication Protocol", protocol versions 1-4: v2 streamed
+in-progress transactions, v3 two-phase, v4/PG 16 parallel streaming's
+widened Stream Abort — see ``streaming_parallel``) into the same
 RAW_EVENT_SCHEMA rows every other source produces, so the entire
 downstream pipeline — filter_dml → split_updates → parse_values →
 apply — is shared and already oracle-pinned.
@@ -213,6 +214,7 @@ def iter_pgoutput_changes(
     state_out: dict | None = None,
     dangling: str = "drop",
     frozen_relations: bool = False,
+    streaming_parallel: bool = False,
 ) -> Iterator[dict]:
     """Ordered decode: pgoutput payloads → RAW_EVENT_SCHEMA dicts.
 
@@ -338,12 +340,18 @@ def iter_pgoutput_changes(
                     row["event_unixtime"] = commit_us
                     yield row
             elif mtype == b"A":
-                # Stream Abort: xid(4) + subxid(4) (the protocol-v2
-                # form — v4 appends abort LSN/ts, but this client only
-                # ever requests proto_version 2). subxid == xid aborts
-                # the whole transaction; otherwise only the named
+                # Stream Abort: xid(4) + subxid(4); protocol v4 with
+                # ``streaming 'parallel'`` (PG 16) appends abort
+                # LSN(8) + abort timestamp(8) — the width is keyed on
+                # the SUBSCRIBED streaming mode, not the version alone
+                # (v4 with plain streaming 'on' keeps the v2 shape), so
+                # the caller that negotiated the subscription passes
+                # ``streaming_parallel``. subxid == xid aborts the
+                # whole transaction; otherwise only the named
                 # subtransaction's buffered changes are excised.
                 sx, sub = struct.unpack_from("!II", body, p); p += 8
+                if streaming_parallel:
+                    p += 16  # abort_lsn + abort_time (informational)
                 if sub == sx:
                     stream_bufs.pop(sx, None)
                 elif sx in stream_bufs:
@@ -622,7 +630,8 @@ def collect_relations(df, value_col: str = "value") -> dict[int, tuple]:
 
 def pgoutput_payloads_to_raw(spark, df, value_col: str = "value",
                              fallback_unixtime_us: int | None = None,
-                             relations: dict | None = None):
+                             relations: dict | None = None,
+                             streaming_parallel: bool = False):
     """Distributed decode of per-row pgoutput payload blobs →
     RAW_EVENT_SCHEMA.
 
@@ -688,7 +697,8 @@ def pgoutput_payloads_to_raw(spark, df, value_col: str = "value",
         for ev in iter_pgoutput_changes(
                 data_payloads(), relations=rels,
                 fallback_unixtime_us=fb, sub_base=sub, per_payload_tx=True,
-                seq_cap=_BAND - 1, frozen_relations=True):
+                seq_cap=_BAND - 1, frozen_relations=True,
+                streaming_parallel=streaming_parallel):
             buf.append(ev)
             if len(buf) >= _DECODE_CHUNK:
                 yield pd.DataFrame(buf, columns=cols)
@@ -747,7 +757,8 @@ def read_pgoutput_frames(content: bytes) -> Iterator[bytes]:
 
 
 def pgoutput_files_to_raw(spark, path,
-                          fallback_unixtime_us: int | None = None):
+                          fallback_unixtime_us: int | None = None,
+                          streaming_parallel: bool = False):
     """Distributed ORDERED decode: frame files under ``path`` →
     RAW_EVENT_SCHEMA. One file per task (the binlog_files_to_raw
     layout, sources/binlog_file.py:863): within a file the stream is in
@@ -786,7 +797,8 @@ def pgoutput_files_to_raw(spark, path,
                 for ev in iter_pgoutput_changes(
                         read_pgoutput_frames(bytes(r["content"])),
                         fallback_unixtime_us=fb, sub_base=sub,
-                        seq_cap=9_999, dangling="error"):
+                        seq_cap=9_999, dangling="error",
+                        streaming_parallel=streaming_parallel):
                     buf.append(ev)
                     if len(buf) >= _DECODE_CHUNK:
                         yield pd.DataFrame(buf, columns=cols)

@@ -234,14 +234,23 @@ class WalSocketClient:
         if plugin == "pgoutput":
             opts = {"proto_version": "1", "publication_names": slot,
                     **(options or {})}
-            # the decoder implements protocol 1-3 message layouts; a
-            # higher version changes wire shapes (v4 widens Stream
-            # Abort) and would misparse into a wedged, every-round
+            # the decoder implements protocol 1-4 message layouts (v4 =
+            # PG 16 parallel streaming: Stream Abort gains abort
+            # LSN/timestamp — but ONLY when streaming 'parallel' was
+            # subscribed, so that pairing is validated here too); a
+            # higher version would misparse into a wedged, every-round
             # failure — refuse at subscribe time instead
-            if str(opts.get("proto_version")) not in ("1", "2", "3"):
+            if str(opts.get("proto_version")) not in ("1", "2", "3", "4"):
                 raise WalProtocolError(
                     f"pgoutput proto_version {opts.get('proto_version')!r} "
-                    "not supported by this decoder (1-3 are)")
+                    "not supported by this decoder (1-4 are)")
+            if (str(opts.get("streaming", "")) == "parallel"
+                    and str(opts.get("proto_version")) != "4"):
+                # the server itself rejects this pairing; failing here
+                # keeps the error actionable instead of a walsender
+                # ERROR blob
+                raise WalProtocolError(
+                    "streaming 'parallel' requires proto_version 4")
         else:
             opts = {"format-version": "2", "include-timestamp": "true",
                     **(options or {})}

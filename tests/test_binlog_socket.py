@@ -81,7 +81,7 @@ class FakeMysqlServer(threading.Thread):
     def __init__(self, binlog_bytes: bytes, filename: str = "binlog.000007",
                  auth_plugin: str = "mysql_native_password",
                  sha2_full: bool = False, tls_ctx=None,
-                 switch_to: str | None = None):
+                 switch_to: str | None = None, port: int = 0):
         super().__init__(daemon=True)
         self.binlog = binlog_bytes
         self.filename = filename
@@ -91,7 +91,7 @@ class FakeMysqlServer(threading.Thread):
         self.switch_to = switch_to  # per-account plugin != advertised
         self.tls_used = False
         self.full_auth_path: list[str] = []
-        self.srv = socket.create_server(("127.0.0.1", 0))
+        self.srv = socket.create_server(("127.0.0.1", port))
         self.port = self.srv.getsockname()[1]
         self.dump_requests: list[tuple[str, int, int]] = []
         #: (fname, pos, flags, decoded gtid set) per COM_BINLOG_DUMP_GTID
@@ -997,3 +997,114 @@ def test_connection_reset_mid_dump_is_a_clean_protocol_error():
     finally:
         srv.stop_evt.set()
         srv.srv.close()
+
+
+def test_cli_produce_mysql_socket_follow_reconnects(tmp_path, capsys, spark):
+    """`produce --follow`: the master dies after the first round; a
+    supervised second invocation finds the port refused, re-dials with
+    backoff until a restarted master (same port, longer binlog) is up,
+    and resumes from the persisted cursor — only the NEW events emit,
+    nothing the first round already served."""
+    import json as _json
+    import os
+    import threading
+    import time as _time
+
+    import yaml
+
+    from synch_spark.cli import main
+
+    data1, _ = _fixture_binlog()
+    # the restarted master's binlog: identical prefix (the builder is
+    # deterministic), two more rows appended after the old EOF
+    b2 = BinlogBuilder()
+    b2.table_map(9, "db", "t",
+                 [("id", B.T_LONG, 0), ("name", B.T_VARCHAR, 64)],
+                 names_tlv=True)
+    b2.insert(9, (1, "alice"), (2, "bob"))
+    b2.table_map(9, "db", "t",
+                 [("id", B.T_LONG, 0), ("name", B.T_VARCHAR, 64)],
+                 names_tlv=True)
+    b2.update(9, ((1, "alice"), (1, "alicia")))
+    b2.query("db", "ALTER TABLE t ADD COLUMN note VARCHAR(10)")
+    b2.table_map(9, "db", "t",
+                 [("id", B.T_LONG, 0), ("name", B.T_VARCHAR, 64)],
+                 names_tlv=True)
+    b2.delete(9, (2, "bob"))
+    data_mid = b2.bytes()
+    assert data_mid == data1, "prefix must match or the cursor is junk"
+    b2.table_map(9, "db", "t",
+                 [("id", B.T_LONG, 0), ("name", B.T_VARCHAR, 64)],
+                 names_tlv=True)
+    b2.insert(9, (7, "gina"), (8, "hugo"))
+    data2 = b2.bytes()
+
+    srv1 = FakeMysqlServer(data1)
+    srv1.start()
+    port = srv1.port
+    wh = tmp_path / "wh"
+    ev_dir = tmp_path / "events"
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(wh),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(ev_dir),
+            "sources": {},
+            "mysql_socket": {
+                "host": "127.0.0.1", "port": port,
+                "user": USER, "password": PASSWORD,
+                "server_id": 123, "file": "binlog.000007", "pos": 4,
+                "reconnect_base_s": 0.1, "reconnect_max_s": 0.5,
+            },
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    os.makedirs(wh, exist_ok=True)
+    srv2 = None
+    try:
+        assert main(["--config", str(p), "produce",
+                     "--source", "mysql-socket", "--once"]) == 0
+        out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out1["events"] == 5
+        # kill the master
+        srv1.stop_evt.set()
+        srv1.srv.close()
+        srv1.join(timeout=5)
+
+        restarted = {}
+
+        def restart():
+            _time.sleep(0.6)
+            restarted["srv"] = FakeMysqlServer(data2, port=port)
+            restarted["srv"].start()
+
+        t = threading.Thread(target=restart, daemon=True)
+        t.start()
+        # supervised round: dials a dead port, backs off, then resumes
+        assert main(["--config", str(p), "produce",
+                     "--source", "mysql-socket", "--once",
+                     "--follow"]) == 0
+        t.join()
+        srv2 = restarted["srv"]
+        cap = capsys.readouterr()
+        assert "re-dialing" in cap.err
+        out2 = _json.loads(cap.out.strip().splitlines()[-1])
+        assert out2["events"] == 2, "resume must emit only the new rows"
+        assert out2["cursor"] == {"file": "binlog.000007", "pos": len(data2)}
+        # the resumed dump asked for the OLD cursor, not the beginning
+        assert srv2.dump_requests[-1][:2] == ("binlog.000007", len(data1))
+        got = (spark.read.schema(
+            "schema string, table string, action string, before string, "
+            "after string, event_unixtime long")
+            .json(str(ev_dir)).collect())
+        assert len(got) == 7, "no duplicates across the reconnect"
+    finally:
+        srv1.stop_evt.set()
+        srv1.srv.close()
+        if srv2 is not None:
+            srv2.stop_evt.set()
+            srv2.srv.close()

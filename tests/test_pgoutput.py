@@ -681,19 +681,39 @@ def test_fallback_seq_cap_stays_inside_band():
     assert max(ts) == 10 and ts[:10] == list(range(1, 11))
 
 
-def test_proto_version_4_is_refused_at_subscribe():
+def test_proto_version_validation_at_subscribe():
+    """Protocol 1-4 subscribe; 5 refuses (unknown wire shapes would
+    misparse into a wedged every-round failure); streaming 'parallel'
+    without proto_version 4 refuses — the invalid pairing PG itself
+    rejects, surfaced as an actionable config error."""
     from synch_spark.sources.wal_socket import WalProtocolError, WalSocketClient
 
     cli = WalSocketClient("127.0.0.1", 1, "u", "p")
 
+    sent = []
+
     class _FakeSock:
-        def sendall(self, *_a):  # never reached: validation raises first
-            raise AssertionError("must refuse before sending")
+        def sendall(self, data):
+            sent.append(bytes(data))
+            raise OSError("stop after validation passed")
 
     cli.sock = _FakeSock()
     with pytest.raises(WalProtocolError, match="proto_version"):
-        cli.start_replication("s", options={"proto_version": "4"},
+        cli.start_replication("s", options={"proto_version": "5"},
                               plugin="pgoutput")
+    assert not sent, "must refuse before sending"
+    with pytest.raises(WalProtocolError, match="parallel"):
+        cli.start_replication("s", options={"proto_version": "2",
+                                            "streaming": "parallel"},
+                              plugin="pgoutput")
+    assert not sent
+    # v4 + parallel passes validation (the OSError proves the START
+    # message was actually being sent)
+    with pytest.raises(OSError, match="stop after validation"):
+        cli.start_replication("s", options={"proto_version": "4",
+                                            "streaming": "parallel"},
+                              plugin="pgoutput")
+    assert sent and b"proto_version" in sent[0]
     cli.sock = None
 
 
@@ -722,3 +742,53 @@ def test_frozen_registry_refuses_mid_blob_redefinition(spark):
                           + enc_commit()),)]
     df = spark.createDataFrame(rows_ok, "value binary")
     assert len(po.pgoutput_payloads_to_raw(spark, df).collect()) == 1
+
+
+def enc_stream_abort_v4(xid: int, subxid: int | None = None,
+                        abort_lsn: int = 0x1234, abort_ts_pg: int = 99) -> bytes:
+    """Protocol-v4 (streaming 'parallel') Stream Abort: the v2 shape
+    plus abort LSN and abort timestamp."""
+    return enc_stream_abort(xid, subxid) + struct.pack(
+        "!Qq", abort_lsn, abort_ts_pg)
+
+
+def test_streamed_abort_v4_width_parallel_mode():
+    """PG 16 parallel streaming (proto_version 4): Stream Abort carries
+    16 extra bytes. With streaming_parallel=True the decoder must
+    consume exactly that width — the NEXT message in the same
+    concatenated blob decodes cleanly — and still excise the right
+    rows; subtransaction aborts too."""
+    blob = (ORDERS_REL
+            + enc_stream_start(601)
+            + _xid_prefixed(enc_insert(16385, ["1", "1", "A"]), 601)
+            + _xid_prefixed(enc_insert(16385, ["2", "2", "B"]), 602)
+            + enc_stream_stop()
+            + enc_stream_abort_v4(601, subxid=602)   # excise subxact only
+            + enc_stream_commit(601, TS)
+            # messages AFTER the widened abort prove width handling
+            + enc_begin(TS + 7) + enc_insert(16385, ["9", "9", "Z"])
+            + enc_commit())
+    evs = drain([blob], streaming_parallel=True)
+    assert [(json.loads(e["after"])["id"], e["event_unixtime"])
+            for e in evs] == [("1", TS), ("9", TS + 7)]
+    # whole-transaction abort, v4 width
+    blob2 = (ORDERS_REL
+             + enc_stream_start(603)
+             + _xid_prefixed(enc_insert(16385, ["5", "5", "E"]), 603)
+             + enc_stream_stop()
+             + enc_stream_abort_v4(603)
+             + enc_begin(TS) + enc_insert(16385, ["6", "6", "F"])
+             + enc_commit())
+    evs = drain([blob2], streaming_parallel=True)
+    assert [json.loads(e["after"])["id"] for e in evs] == ["6"]
+    # and the v2 shape stays the default: same logical stream, narrow
+    # abort, streaming_parallel left False
+    blob3 = (ORDERS_REL
+             + enc_stream_start(604)
+             + _xid_prefixed(enc_insert(16385, ["7", "7", "G"]), 604)
+             + enc_stream_stop()
+             + enc_stream_abort(604)
+             + enc_begin(TS) + enc_insert(16385, ["8", "8", "H"])
+             + enc_commit())
+    evs = drain([blob3])
+    assert [json.loads(e["after"])["id"] for e in evs] == ["8"]

@@ -47,7 +47,7 @@ V2_LINES = [
 class FakePgServer(threading.Thread):
     def __init__(self, auth: str = "md5", tls_ctx=None,
                  keepalive: bool = True, tear_mid_message: bool = False,
-                 payloads: list | None = None):
+                 payloads: list | None = None, port: int = 0):
         super().__init__(daemon=True)
         self.auth = auth
         #: override the streamed XLogData payloads (bytes); defaults to
@@ -57,7 +57,7 @@ class FakePgServer(threading.Thread):
         self.tls_used = False
         self.keepalive = keepalive
         self.tear_mid_message = tear_mid_message
-        self.srv = socket.create_server(("127.0.0.1", 0))
+        self.srv = socket.create_server(("127.0.0.1", port))
         self.port = self.srv.getsockname()[1]
         self.stop_evt = threading.Event()
         self.start_replication_sql: list[str] = []
@@ -517,3 +517,64 @@ def test_cli_pg_socket_pgoutput_archives_decided_rounds(tmp_path, capsys,
     finally:
         srv.stop_evt.set()
         srv.srv.close()
+
+
+def test_cli_produce_pg_socket_follow_redials(tmp_path, capsys, spark):
+    """`produce --follow` on the pg tail: the server is DOWN at start;
+    the supervised loop backs off on connection-refused, a delayed
+    restart brings the port up, and the round then streams normally —
+    the slot (server-side confirmed LSN) is the resume cursor, so no
+    client state is needed across the re-dial."""
+    import threading
+    import time as _time
+
+    import yaml
+
+    from synch_spark.cli import main
+
+    # bind-then-close to reserve a port number the delayed server reuses
+    probe = socket.create_server(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    ev_dir = tmp_path / "events"
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(ev_dir),
+            "sources": {},
+            "pg_socket": {"host": "127.0.0.1", "port": port,
+                          "user": USER, "password": PASSWORD,
+                          "database": DB, "slot": SLOT,
+                          "idle_timeout": 1.0,
+                          "reconnect_base_s": 0.1,
+                          "reconnect_max_s": 0.5},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    started = {}
+
+    def start_late():
+        _time.sleep(0.6)
+        started["srv"] = FakePgServer(auth="md5", port=port)
+        started["srv"].start()
+
+    t = threading.Thread(target=start_late, daemon=True)
+    t.start()
+    try:
+        assert main(["--config", str(p), "produce",
+                     "--source", "pg-socket", "--once", "--follow"]) == 0
+        t.join()
+        cap = capsys.readouterr()
+        assert "re-dialing" in cap.err
+        out = json.loads(cap.out.strip().splitlines()[-1])
+        assert out["events"] == 2 and out["flushed_lsn"] > 0
+    finally:
+        t.join()
+        if "srv" in started:
+            started["srv"].stop_evt.set()
+            started["srv"].srv.close()
