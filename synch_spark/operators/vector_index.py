@@ -40,6 +40,7 @@ def ivf_refine(
     id_col: str = "vec_id",
     iters: int = 2,
     sample_fraction: float = 1.0,
+    exact: bool = False,
 ) -> DataFrame:
     """Lloyd-style (spherical k-means) centroid refinement: assign every
     vector to its nearest centroid, replace each centroid with the
@@ -55,22 +56,66 @@ def ivf_refine(
     and the posexplode (rows x dims) shuffle by the same fraction; at
     100 TB refine NEVER needs the full corpus (a million vectors pin a
     64-dim mean to three decimal places).
+
+    ``exact=True`` makes the refinement bit-reproducible ACROSS RUNS
+    AND ENGINES: assignments use the exact-decimal cosine (the
+    similarity module's oracle arithmetic) instead of the double fold,
+    and centroid means accumulate as decimal sums (order-free) before
+    the final float cast — a distributed double ``avg`` folds in
+    partition order, so two runs over the same data can disagree in
+    the low bits and flip a near-threshold comparison downstream. The
+    default double path is the fast production choice; exact mode is
+    what the graded q136 entry and any recomputable-corpus recipe use.
     """
+    from synch_spark.operators.similarity import DEC, _dot_dec, _norm2_dec, _safe_div
+
     sample = corpus
     if sample_fraction < 1.0:
         sample = corpus.sample(fraction=sample_fraction, seed=7)
     for _ in range(iters):
-        assigned = ivf_assign(
-            sample.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-            centroids,
-            "v",
-            "id",
-            nprobe=1,
-        )
+        if exact:
+            from pyspark.sql import Window as _W
+
+            v = sample.select(F.col(id_col).alias("id"),
+                              F.col(vec_col).alias("v"))
+            c = centroids.withColumn("_cn2", _norm2_dec(F.col("cvec")))
+            scored = v.join(F.broadcast(c)).withColumn(
+                "_sim",
+                _safe_div(
+                    _dot_dec(F.col("v"), F.col("cvec")).cast("double"),
+                    F.sqrt(_norm2_dec(F.col("v")).cast("double")
+                           * F.col("_cn2").cast("double")),
+                    -2.0,
+                ),
+            )
+            wa = _W.partitionBy("id").orderBy(F.col("_sim").desc(),
+                                              F.col("cid"))
+            assigned = (
+                scored.withColumn("_ar", F.row_number().over(wa))
+                .filter(F.col("_ar") == 1)
+                .select("id", "v", F.col("cid").alias("_cid"))
+            )
+        else:
+            assigned = ivf_assign(
+                sample.select(F.col(id_col).alias("id"),
+                              F.col(vec_col).alias("v")),
+                centroids,
+                "v",
+                "id",
+                nprobe=1,
+            )
         member_dims = assigned.select(
             "_cid", F.posexplode("v").alias("pos", "x")
         )
-        means = member_dims.groupBy("_cid", "pos").agg(F.avg("x").alias("m"))
+        if exact:
+            # decimal accumulate -> double divide: order-free, so the
+            # mean is identical on every run and in the DuckDB oracle
+            means = member_dims.groupBy("_cid", "pos").agg(
+                (F.sum(F.col("x").cast("double").cast(DEC)).cast("double")
+                 / F.count(F.lit(1))).alias("m"))
+        else:
+            means = member_dims.groupBy("_cid", "pos").agg(
+                F.avg("x").alias("m"))
         centroids = (
             means.groupBy("_cid")
             .agg(

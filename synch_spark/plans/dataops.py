@@ -1290,6 +1290,102 @@ FROM ranked WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def q136_semdedup_refined_centroids(spark, sf_dir):
+    """SemDeDup with **Lloyd-refined** centroids on the graded surface
+    — closing the q126 gap where only the fixed-centroid path was
+    oracle-gated while production uses ``vector_index.ivf_refine``
+    (pytest invariants only). One spherical k-means iteration in
+    ``exact=True`` mode (decimal-cosine assignment, decimal-sum means
+    — bit-reproducible across runs AND engines; the double path's
+    distributed avg folds in partition order and can flip
+    near-threshold comparisons) starting from the same deterministic
+    seed centroids q126 pins, then the full semantic_dedup pipeline
+    over the refined set. The oracle replays the refinement in SQL —
+    per-vector argmax assignment, per-(cid,pos) exact mean, list
+    rebuild — so centroid movement itself is hash-graded, not just
+    the collapse."""
+    from synch_spark.operators.vector_index import ivf_refine
+
+    emb = _emb(spark, sf_dir)
+    seed = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+    refined = ivf_refine(emb, seed, iters=1, exact=True)
+    return (
+        similarity.semantic_dedup(emb, refined, threshold=SEMDEDUP_T)
+        .withColumn("cid", F.col("cid").cast("int"))
+        .orderBy("vec_id")
+    )
+
+
+Q136_SQL = f"""
+WITH RECURSIVE
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+       FROM embeddings WHERE vec_id < {SEMDEDUP_K}),
+rf0 AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         CAST({_DOT_DEC_SQL.format(a='e.embedding', b='c.cvec')} AS DOUBLE)
+         / sqrt(CAST({_DOT_DEC_SQL.format(a='e.embedding', b='e.embedding')} AS DOUBLE)
+                * CAST({_DOT_DEC_SQL.format(a='c.cvec', b='c.cvec')} AS DOUBLE))
+           AS s
+  FROM embeddings e, c0 c),
+rfa AS (
+  SELECT vec_id, embedding, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+  FROM rf0),
+rdim AS (
+  SELECT cid, generate_subscripts(embedding, 1) AS pos,
+         UNNEST(embedding) AS x
+  FROM rfa WHERE rn = 1),
+c AS (
+  SELECT cid, list(CAST(m AS REAL) ORDER BY pos) AS cvec
+  FROM (SELECT cid, pos,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,12)))
+                    AS DOUBLE) / COUNT(*) AS m
+        FROM rdim GROUP BY cid, pos)
+  GROUP BY cid),
+asg0 AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         CAST({_DOT_DEC_SQL.format(a='e.embedding', b='c.cvec')} AS DOUBLE)
+         / sqrt(CAST({_DOT_DEC_SQL.format(a='e.embedding', b='e.embedding')} AS DOUBLE)
+                * CAST({_DOT_DEC_SQL.format(a='c.cvec', b='c.cvec')} AS DOUBLE))
+           AS csim
+  FROM embeddings e, c),
+asg AS (
+  SELECT vec_id, embedding, cid, csim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cid) AS rn
+  FROM asg0),
+a1 AS (SELECT vec_id, embedding, cid, csim FROM asg WHERE rn = 1),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE CAST({_DOT_DEC_SQL.format(a='x.embedding', b='y.embedding')} AS DOUBLE)
+        / sqrt(CAST({_DOT_DEC_SQL.format(a='x.embedding', b='x.embedding')} AS DOUBLE)
+               * CAST({_DOT_DEC_SQL.format(a='y.embedding', b='y.embedding')} AS DOUBLE))
+        >= {SEMDEDUP_T}),
+und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(s, n) AS (
+  SELECT DISTINCT a AS s, a AS n FROM und
+  UNION
+  SELECT r.s, u.b FROM reach r JOIN und u ON r.n = u.a),
+comp AS (SELECT s AS id, MIN(n) AS cluster_id FROM reach GROUP BY s),
+lab AS (
+  SELECT a1.vec_id, a1.cid, a1.csim,
+         COALESCE(comp.cluster_id, a1.vec_id) AS cluster_id
+  FROM a1 LEFT JOIN comp ON comp.id = a1.vec_id),
+ranked AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY csim DESC, vec_id) AS rn
+  FROM lab)
+SELECT vec_id, cid, csim, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def q132_semantic_decontamination(spark, sf_dir):
     """Embedding-space decontamination — the semantic complement of
     q124's exact-span check (SemDeDup §4 applies the same move to
@@ -1970,10 +2066,15 @@ def q77_training_shuffle(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     h = F.md5(F.col("doc_id").cast("string"))
+    # small_bytes=0: ALWAYS the distributed path. The size-adaptive
+    # window shortcut is correct below the 256MB estimate, but its
+    # WindowExec "No Partition Defined" warning reads as a scale-killer
+    # in every bench tail — the graded plan should be the scale plan
     ranked = global_row_number(
         docs.select("doc_id", "source", "n_chars", h.alias("_h")),
         ["_h", "doc_id"],
         rn_col="_rn",
+        small_bytes=0,
     )
     return (
         ranked.select(
@@ -2013,10 +2114,9 @@ def q78_vocab_coverage(spark, sf_dir):
     frequency, report term frequency (total occurrences), document
     frequency, and what fraction of ALL token occurrences the vocabulary
     covers up to that rank. The coverage curve tells you where to cut a
-    vocab. One explode + one groupBy(token); the cumulative sum is a
-    window over the (tiny) ranked vocab, not the corpus."""
-    from pyspark.sql import Window
-
+    vocab. One explode + one groupBy(token); the cumulative sum runs
+    over the (tiny) ranked vocab, never the corpus."""
+    from synch_spark.operators.ordering import global_row_number
     from synch_spark.operators.text import tokens
 
     docs = _docs(spark, sf_dir)
@@ -2029,18 +2129,25 @@ def q78_vocab_coverage(spark, sf_dir):
         )
     )
     total = tf.agg(F.sum("tf").cast("double").alias("_total"))
-    # top-k FIRST (distributed TakeOrdered), THEN the cumulative window —
-    # the partition-less window only ever sees VOCAB_TOP rows, never the
-    # full vocabulary, so it stays O(k) at any corpus scale
+    # top-k FIRST (distributed TakeOrdered); the cumulative sum over the
+    # VOCAB_TOP survivors is a rank + broadcast triangle join (rank_b <=
+    # rank_a), O(k^2)=2500 pairs — equivalent to the running-sum window
+    # but with no partition-less WindowExec anywhere in the plan
     top = tf.orderBy(F.col("tf").desc(), "token").limit(VOCAB_TOP)
-    w = Window.orderBy(F.col("tf").desc(), "token").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked = global_row_number(top, [F.col("tf").desc(), "token"],
+                               rn_col="_rk", small_bytes=0)
+    prefix = ranked.select(F.col("_rk").alias("_rk_b"),
+                           F.col("tf").alias("_tf_b"))
+    cum = (
+        ranked.join(F.broadcast(prefix), F.col("_rk_b") <= F.col("_rk"))
+        .groupBy("token", "tf", "df", "_rk")
+        .agg(F.sum("_tf_b").alias("_cum_tf"))
     )
     return (
-        top.crossJoin(F.broadcast(total))
+        cum.crossJoin(F.broadcast(total))
         .select(
             "token", "tf", "df",
-            (F.sum("tf").over(w).cast("double") / F.col("_total")).alias("cum_share"),
+            (F.col("_cum_tf").cast("double") / F.col("_total")).alias("cum_share"),
         )
         .orderBy(F.col("tf").desc(), "token")
     )
@@ -2158,8 +2265,11 @@ def q80_curriculum_bins(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     scored = docs.select("doc_id", quality_score("text").alias("q"))
     qd = F.col("q").cast("decimal(18,6)")
+    # small_bytes=0: always the distributed range-sort path (see q77 —
+    # no WindowExec warning, one plan at every scale)
     binned = global_ntile(
-        scored, [F.col("q").desc(), "doc_id"], CURRICULUM_BINS, bucket_col="bin"
+        scored, [F.col("q").desc(), "doc_id"], CURRICULUM_BINS,
+        bucket_col="bin", small_bytes=0
     )
     return (
         binned.select("q", F.col("bin").cast("int").alias("bin"))
@@ -3314,6 +3424,8 @@ DATAOPS_QUERIES = {
     "q124_exact_decontamination": (q124_exact_decontamination, Q124_SQL),
     "q126_semantic_dedup": (q126_semantic_dedup, Q126_SQL),
     "q130_semdedup_incremental": (q130_semdedup_incremental, Q126_SQL),
+    "q136_semdedup_refined_centroids": (q136_semdedup_refined_centroids,
+                                        Q136_SQL),
     "q132_semantic_decontamination": (q132_semantic_decontamination,
                                       Q132_SQL),
     "q127_bigram_surprisal": (q127_bigram_surprisal, Q127_SQL),

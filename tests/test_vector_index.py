@@ -217,3 +217,37 @@ def test_apply_changes_per_commit_feed_delete_then_reinsert(spark, tmp_path):
     assert idx.assignments.read().filter("id = 7").count() == 1
     assert idx.assignments.read().filter("id = 8").count() == 0
     assert idx.assignments.count() == n - 1
+
+
+def test_ivf_refine_exact_mode_is_run_reproducible(spark):
+    """exact=True: decimal-accumulated means + decimal-cosine
+    assignment — two runs (different partition layouts) produce
+    bit-identical centroids, and they agree with the double path to
+    float tolerance (same math, different fold order)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from synch_spark.operators.similarity import ivf_centroids
+    from synch_spark.operators.vector_index import ivf_refine
+
+    emb = (spark.range(200)
+           .select(F.col("id").alias("vec_id"),
+                   F.expr("transform(sequence(1, 8), d -> "
+                          "CAST(sin(id * d * 0.7) AS FLOAT))")
+                   .alias("embedding")))
+    seed = ivf_centroids(emb, 4)
+
+    def run(parts):
+        out = ivf_refine(emb.repartition(parts), seed, iters=2, exact=True)
+        return {r["cid"]: list(r["cvec"]) for r in out.collect()}
+
+    a, b = run(3), run(13)
+    assert a == b, "exact mode must not depend on partition layout"
+    # double path agrees within float noise
+    d = {r["cid"]: list(r["cvec"])
+         for r in ivf_refine(emb, seed, iters=2).collect()}
+    assert set(d) == set(a)
+    for cid in a:
+        for x, y in zip(a[cid], d[cid]):
+            assert math.isclose(x, y, rel_tol=1e-5, abs_tol=1e-6)

@@ -38,16 +38,11 @@ SKIP = {
 }
 
 # SinglePartition windows that are provably bounded (documented): the
-# window input is top-k or |partitions|-sized, never the corpus
-BOUNDED_WINDOW_OK = {
-    "q78_vocab_coverage": "window input is LIMIT 50 (top-k before cumsum)",
-    # size-adaptive global ordering (operators/ordering.py): at audit SF
-    # Catalyst's sizeInBytes is under the 256MB cutoff so the one-stage
-    # window path is CORRECT here; the distributed no-Window path is
-    # pin-tested in tests/test_ordering.py with small_bytes=0
-    "q77_training_shuffle": "size-adaptive: window only below 256MB estimate",
-    "q80_curriculum_bins": "size-adaptive: window only below 256MB estimate",
-}
+# window input is top-k or |partitions|-sized, never the corpus.
+# EMPTY since round 9: q77/q80 pin small_bytes=0 (always the distributed
+# ordering path) and q78's LIMIT-50 cumsum became a rank + broadcast
+# triangle join — no registered query carries a partition-less window.
+BOUNDED_WINDOW_OK: dict[str, str] = {}
 
 
 def audit_plan(plan: str) -> dict[str, int]:
