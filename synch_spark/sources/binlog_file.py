@@ -731,6 +731,192 @@ def _msb_bit(bitmap: bytes, i: int) -> bool:
     return bool(bitmap[i // 8] & (0x80 >> (i % 8)))
 
 
+# --- partial JSON updates (WL#2955, binlog_row_value_options=PARTIAL_JSON)
+# A PARTIAL_UPDATE_ROWS after-image carries JSON *diff sequences* for
+# JSON columns whose change is smaller than the full document: apply
+# them to the BEFORE image's document to reconstruct the after value.
+_JDIFF_REPLACE = 0
+_JDIFF_INSERT = 1
+_JDIFF_REMOVE = 2
+
+
+def _parse_json_path(path: str) -> list:
+    """MySQL JSON path ($, .member, ."quoted member", [N]) -> tokens
+    (str = object member, int = array index). Diff paths never carry
+    wildcards/ranges — the server addresses one element exactly."""
+    if not path or path[0] != "$":
+        raise BinlogFormatError(f"bad JSON diff path {path!r}")
+    i, out = 1, []
+    n = len(path)
+    while i < n:
+        c = path[i]
+        if c == ".":
+            i += 1
+            if i < n and path[i] == '"':
+                j = i + 1
+                while True:
+                    j = path.index('"', j)
+                    k, nbs = j - 1, 0
+                    while path[k] == "\\":
+                        nbs += 1
+                        k -= 1
+                    if nbs % 2 == 0:
+                        break
+                    j += 1
+                out.append(json.loads(path[i:j + 1]))
+                i = j + 1
+            else:
+                j = i
+                while j < n and path[j] not in ".[":
+                    j += 1
+                if j == i:
+                    raise BinlogFormatError(f"bad JSON diff path {path!r}")
+                out.append(path[i:j])
+                i = j
+        elif c == "[":
+            j = path.index("]", i)
+            out.append(int(path[i + 1:j]))
+            i = j + 1
+        else:
+            raise BinlogFormatError(f"bad JSON diff path {path!r}")
+    return out
+
+
+def _apply_json_diff(doc, op: int, path: str, value):
+    """One diff against a decoded JSON document -> new document.
+    Semantics per the server functions the diffs mirror: REPLACE =
+    JSON_REPLACE (target must exist), INSERT = JSON_INSERT (existing
+    member untouched; array index past the end appends), REMOVE =
+    JSON_REMOVE (missing target is a no-op). Structural impossibilities
+    (navigating through a scalar, replacing a missing member) raise:
+    the server derived the diff from this exact before-image, so a
+    mismatch means corruption, not data."""
+    tokens = _parse_json_path(path)
+    if not tokens:
+        if op == _JDIFF_REPLACE:
+            return value
+        raise BinlogFormatError(f"JSON diff op {op} at root path '$'")
+    parent = doc
+    for t in tokens[:-1]:
+        try:
+            parent = parent[t]
+        except (KeyError, IndexError, TypeError) as e:
+            raise BinlogFormatError(
+                f"JSON diff path {path!r} does not match the before "
+                f"image (binlog corrupt, or before image not FULL?)"
+            ) from e
+    last = tokens[-1]
+    if isinstance(last, str):
+        if not isinstance(parent, dict):
+            raise BinlogFormatError(
+                f"JSON diff path {path!r}: member step into non-object")
+        if op == _JDIFF_REPLACE:
+            if last not in parent:
+                raise BinlogFormatError(
+                    f"JSON diff REPLACE at {path!r}: member missing")
+            parent[last] = value
+        elif op == _JDIFF_INSERT:
+            parent.setdefault(last, value)
+        else:
+            parent.pop(last, None)
+    else:
+        if not isinstance(parent, list):
+            raise BinlogFormatError(
+                f"JSON diff path {path!r}: index step into non-array")
+        if op == _JDIFF_REPLACE:
+            if last >= len(parent):
+                raise BinlogFormatError(
+                    f"JSON diff REPLACE at {path!r}: index out of range")
+            parent[last] = value
+        elif op == _JDIFF_INSERT:
+            parent.insert(min(last, len(parent)), value)
+        elif last < len(parent):
+            del parent[last]
+    return doc
+
+
+def _apply_json_diff_sequence(before, diffs: bytes, col: str):
+    """Diff-sequence bytes -> after value, starting from the before
+    image's decoded document. Sequence = repeated {op(1), path
+    (lenenc-length + bytes), [value (lenenc-length + JSONB document)]},
+    REMOVE carrying no value. Empty sequence = unchanged column."""
+    if before is None:
+        raise BinlogFormatError(
+            f"partial JSON diff for column {col!r} but its before-image "
+            "value is NULL — the diff has nothing to apply to")
+    import copy
+
+    doc = copy.deepcopy(before)
+    p = 0
+    while p < len(diffs):
+        op = diffs[p]
+        p += 1
+        if op not in (_JDIFF_REPLACE, _JDIFF_INSERT, _JDIFF_REMOVE):
+            raise BinlogFormatError(f"unknown JSON diff operation {op}")
+        plen, p = _lenenc(diffs, p)
+        path = diffs[p:p + plen].decode("utf-8")
+        p += plen
+        value = None
+        if op != _JDIFF_REMOVE:
+            vlen, p = _lenenc(diffs, p)
+            value = _decode_json_binary(diffs[p:p + vlen])
+            p += vlen
+        doc = _apply_json_diff(doc, op, path, value)
+    return doc
+
+
+def _read_partial_after_image(body: bytes, p: int, tm: _TableMap,
+                              present: bytes, n_present: int,
+                              before_row: dict):
+    """PARTIAL_UPDATE_ROWS after-image -> (dict, next_offset).
+
+    Layout (WL#2955): value_options (lenenc; bit 0 = PARTIAL_JSON),
+    then — only when that bit is set — partial_bits, one bit per JSON
+    column INCLUDED in the after image (column order), then the normal
+    null bitmap + values, where a partial-marked JSON column's value is
+    a blob-length-prefixed DIFF SEQUENCE instead of a JSONB document.
+    """
+    value_options, p = _lenenc(body, p)
+    partial_cols: set[int] = set()
+    if value_options & 1:
+        json_cols = [i for i in range(len(tm.col_types))
+                     if _bit(present, i) and tm.col_types[i] == T_JSON]
+        pb_len = (len(json_cols) + 7) // 8
+        pbits = body[p:p + pb_len]
+        p += pb_len
+        partial_cols = {ci for k, ci in enumerate(json_cols)
+                        if _bit(pbits, k)}
+    null_bm = body[p : p + (n_present + 7) // 8]
+    p += (n_present + 7) // 8
+    row = {}
+    j = 0
+    for i in range(len(tm.col_types)):
+        if not _bit(present, i):
+            continue
+        name = tm.col_names[i]
+        if _bit(null_bm, j):
+            row[name] = None
+        elif i in partial_cols:
+            nb = tm.col_meta[i] or 4
+            n = int.from_bytes(body[p : p + nb], "little")
+            p += nb
+            diffs = body[p : p + n]
+            p += n
+            if name not in before_row:
+                raise BinlogFormatError(
+                    f"partial JSON diff for column {name!r} but the "
+                    "before image does not carry it (binlog_row_image "
+                    "must be FULL for partial JSON replication)")
+            row[name] = _apply_json_diff_sequence(
+                before_row[name], diffs, name)
+        else:
+            v, p = _decode_value(body, p, tm.col_types[i], tm.col_meta[i],
+                                 tm.unsigned[i], tm.labels.get(i))
+            row[name] = v
+        j += 1
+    return row, p
+
+
 def _read_row_image(body: bytes, p: int, tm: _TableMap, present: bytes, n_present: int):
     """One row image -> (dict col->value, next_offset)."""
     null_bm = body[p : p + (n_present + 7) // 8]
@@ -836,14 +1022,6 @@ def iter_binlog_events(
             frames.append((buf, p, checksum))
             buf, p, checksum = inner, 0, 0
             continue
-        if etype == EV_PARTIAL_UPDATE_ROWS:
-            # PARTIAL_JSON updates carry JSON *diffs* in the after-image;
-            # decoding them as full values would corrupt silently
-            raise BinlogFormatError(
-                "PARTIAL_UPDATE_ROWS event (binlog_row_value_options="
-                "PARTIAL_JSON): partial JSON updates are not supported — "
-                "re-capture with binlog_row_value_options=''"
-            )
         if etype == EV_TABLE_MAP:
             table_id, tm = _parse_table_map(body, column_names)
             if (only_schemas and tm.schema not in only_schemas) or (
@@ -891,7 +1069,8 @@ def iter_binlog_events(
             }
             sub = min(sub + 1, 999_999)
             continue
-        if etype in _ROWS_WRITE + _ROWS_UPDATE + _ROWS_DELETE:
+        is_partial = etype == EV_PARTIAL_UPDATE_ROWS
+        if etype in _ROWS_WRITE + _ROWS_UPDATE + _ROWS_DELETE or is_partial:
             table_id = int.from_bytes(body[0:6], "little")
             tm = tables.get(table_id)
             if tm is None:
@@ -902,20 +1081,21 @@ def iter_binlog_events(
                     f"TABLE_MAP — file truncated at a rotate boundary?)"
                 )
             q = 8  # table_id(6) + flags(2)
-            if etype in _ROWS_V2:
+            if etype in _ROWS_V2 or is_partial:
                 extra = int.from_bytes(body[q : q + 2], "little")
                 q += extra  # extra_data_len includes its own 2 bytes
             ncols, q = _lenenc(body, q)
             bm_len = (ncols + 7) // 8
             present1 = body[q : q + bm_len]
             q += bm_len
-            if etype in _ROWS_UPDATE:
+            is_update = etype in _ROWS_UPDATE or is_partial
+            if is_update:
                 present2 = body[q : q + bm_len]
                 q += bm_len
             n1 = sum(_bit(present1, i) for i in range(ncols))
             n2 = (
                 sum(_bit(present2, i) for i in range(ncols))
-                if etype in _ROWS_UPDATE else 0
+                if is_update else 0
             )
             while q < len(body):
                 q_before = q
@@ -927,7 +1107,14 @@ def iter_binlog_events(
                     ev = {"action": "delete",
                           "before": json.dumps(img1, default=str), "after": None}
                 else:
-                    img2, q = _read_row_image(body, q, tm, present2, n2)
+                    if is_partial:
+                        # binlog_row_value_options=PARTIAL_JSON: JSON
+                        # columns may arrive as diff sequences against
+                        # the before image — reconstruct the after doc
+                        img2, q = _read_partial_after_image(
+                            body, q, tm, present2, n2, img1)
+                    else:
+                        img2, q = _read_row_image(body, q, tm, present2, n2)
                     ev = {"action": "update",
                           "before": json.dumps(img1, default=str),
                           "after": json.dumps(img2, default=str)}

@@ -32,6 +32,12 @@ def _lenenc(n: int) -> bytes:
     return b"\xfe" + n.to_bytes(8, "little")
 
 
+class JsonDiffs(list):
+    """Marks an after-image JSON value as a partial diff sequence:
+    a list of (op, path, value) where op is 0=REPLACE / 1=INSERT /
+    2=REMOVE (value ignored for REMOVE)."""
+
+
 class BinlogBuilder:
     def __init__(self, server_version: str = "8.0.36", checksum: bool = True,
                  timestamp: int = 1_700_000_000):
@@ -172,6 +178,54 @@ class BinlogBuilder:
     def insert_v1(self, table_id: int, *rows) -> None:
         self._event(B.EV_WRITE_ROWS_V1,
                     self._rows_body(table_id, B.EV_WRITE_ROWS_V1, rows))
+
+    def partial_update(self, table_id: int, *pairs,
+                       force_options: int | None = None) -> None:
+        """PARTIAL_UPDATE_ROWS_EVENT (0x27, WL#2955): ``pairs`` are
+        (before_values, after_values); an after value wrapped in
+        :class:`JsonDiffs` encodes as a partial JSON diff sequence
+        instead of a full JSONB document. ``force_options`` overrides
+        the value_options byte (e.g. 0 = the full-image form the server
+        emits when diffs wouldn't be smaller)."""
+        ncols = len(self._columns)
+        bm_len = (ncols + 7) // 8
+        present = bytes([0xFF] * bm_len)
+        body = table_id.to_bytes(6, "little") + struct.pack("<H", 1)
+        body += struct.pack("<H", 2)  # extra_data_len (just itself)
+        body += _lenenc(ncols) + present + present
+        json_cols = [i for i, (_, t, _m) in enumerate(self._columns)
+                     if t == B.T_JSON]
+        for before, after in pairs:
+            body += self._image(before)
+            any_partial = any(isinstance(v, JsonDiffs) for v in after)
+            opts = force_options if force_options is not None \
+                else (1 if any_partial else 0)
+            body += _lenenc(opts)
+            if opts & 1:
+                pbits = bytearray((len(json_cols) + 7) // 8)
+                for k, ci in enumerate(json_cols):
+                    if isinstance(after[ci], JsonDiffs):
+                        pbits[k // 8] |= 1 << (k % 8)
+                body += bytes(pbits)
+            null_bm = bytearray(bm_len)
+            payload = bytearray()
+            for i, ((_, t, m), v) in enumerate(zip(self._columns, after)):
+                if v is None:
+                    null_bm[i // 8] |= 1 << (i % 8)
+                    continue
+                if isinstance(v, JsonDiffs):
+                    seq = bytearray()
+                    for op, path, val in v:
+                        seq += bytes([op]) + _lenenc(len(path.encode()))
+                        seq += path.encode()
+                        if op != 2:  # REMOVE carries no value
+                            jb = jsonb_encode(val)
+                            seq += _lenenc(len(jb)) + jb
+                    payload += len(seq).to_bytes(m or 4, "little") + seq
+                else:
+                    payload += _enc_value(t, m, v)
+            body += bytes(null_bm) + bytes(payload)
+        self._event(B.EV_PARTIAL_UPDATE_ROWS, body)
 
     def query(self, db: str, sql: str) -> None:
         body = struct.pack("<IIBHH", 7, 0, len(db), 0, 0)

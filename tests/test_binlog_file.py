@@ -623,17 +623,17 @@ def test_jsonb_roundtrip_property(doc, large):
     blob = jsonb_encode(doc, large=large)
     assert B._decode_json_binary(blob) == doc
 
-def test_unsupported_payload_bearing_events_fail_loudly():
-    """PARTIAL_UPDATE_ROWS (0x27, PARTIAL_JSON) carries JSON *diffs* —
-    decoding them as full values would corrupt silently. It must raise
-    like every other unsupported-structure path. (TRANSACTION_PAYLOAD
-    0x28 now DECODES — see the transaction-payload tests below; only a
-    missing zstd codec refuses.)"""
+def test_payload_bearing_events_no_longer_refused():
+    """Both payload-bearing 8.0 event types now DECODE instead of
+    refusing (TRANSACTION_PAYLOAD and PARTIAL_UPDATE_ROWS tests below);
+    structural garbage in them still fails loudly like every other
+    corruption path — here a 0x27 whose table_id never had a
+    TABLE_MAP."""
     import pytest
 
     b = BinlogBuilder()
     b._event(0x27, b"\x00" * 16)
-    with pytest.raises(B.BinlogFormatError, match="PARTIAL_UPDATE_ROWS"):
+    with pytest.raises(B.BinlogFormatError, match="unknown table_id"):
         list(B.iter_binlog_events(b.bytes()))
 
 
@@ -837,3 +837,119 @@ def test_query_event_truncate_ansi_quotes_and_dollar_names():
            if e["action"] == "query"]
     assert [(e["schema"], e["table"]) for e in evs] == [
         ("app", "users"), ("app", "pay$roll")]
+
+
+# --- PARTIAL_UPDATE_ROWS (0x27, binlog_row_value_options=PARTIAL_JSON) ----
+def _pj_table(b, tid=11):
+    b.table_map(tid, "db", "j",
+                [("id", B.T_LONG, 0), ("doc", B.T_JSON, 4),
+                 ("tags", B.T_JSON, 4)],
+                names_tlv=True)
+
+
+def test_partial_update_rows_reconstructs_after_image():
+    """JSON diff sequences (REPLACE / INSERT / REMOVE, object member +
+    array index + quoted-key paths) apply against the before image to
+    reconstruct the exact after document; non-JSON columns and
+    full-value JSON columns in the same row decode as usual."""
+    from tests.binlog_builder import JsonDiffs
+
+    before_doc = {"a": 1, "b": {"c": [10, 20, 30]}, "k 1": "x"}
+    before_tags = ["t1", "t2"]
+    b = BinlogBuilder()
+    _pj_table(b)
+    b.partial_update(
+        11,
+        ((1, before_doc, before_tags),
+         (1,
+          JsonDiffs([(0, "$.a", 2),                 # REPLACE scalar
+                     (1, "$.b.c[1]", 15),           # INSERT mid-array
+                     (2, "$.b.c[3]", None),         # REMOVE (post-shift)
+                     (0, '$."k 1"', "y"),           # quoted key REPLACE
+                     (1, "$.new", [1, 2])]),        # INSERT new member
+          ["t1", "t2", "t3"])),                     # full JSONB value
+    )
+    (ev,) = list(B.iter_binlog_events(b.bytes()))
+    assert ev["action"] == "update"
+    assert json.loads(ev["before"])["doc"] == before_doc
+    after = json.loads(ev["after"])
+    assert after["doc"] == {"a": 2, "b": {"c": [10, 15, 20]},
+                            "k 1": "y", "new": [1, 2]}
+    assert after["tags"] == ["t1", "t2", "t3"]
+    assert after["id"] == 1
+
+
+def test_partial_update_rows_plain_and_null_and_root():
+    """value_options=0 (server chose full images), NULL after values,
+    root-path REPLACE, empty diff sequence (= unchanged), and multiple
+    row pairs in one event."""
+    from tests.binlog_builder import JsonDiffs
+
+    b = BinlogBuilder()
+    _pj_table(b)
+    b.partial_update(
+        11,
+        ((1, {"a": 1}, ["t"]), (1, {"a": 2}, ["u"])),   # plain images
+        ((2, {"z": 9}, ["t"]),
+         (2, JsonDiffs([(0, "$", {"whole": "doc"})]), None)),  # root+NULL
+        ((3, {"m": 5}, ["v"]),
+         (3, JsonDiffs([]), ["v"])),                    # empty seq
+    )
+    evs = list(B.iter_binlog_events(b.bytes()))
+    assert [e["action"] for e in evs] == ["update"] * 3
+    a0 = json.loads(evs[0]["after"])
+    assert a0["doc"] == {"a": 2} and a0["tags"] == ["u"]
+    a1 = json.loads(evs[1]["after"])
+    assert a1["doc"] == {"whole": "doc"} and a1["tags"] is None
+    a2 = json.loads(evs[2]["after"])
+    assert a2["doc"] == {"m": 5}, "empty diff sequence = unchanged"
+
+
+def test_partial_update_rows_insert_semantics():
+    """JSON_INSERT parity: existing member untouched; array index past
+    the end appends; REMOVE of a missing member is a no-op."""
+    from tests.binlog_builder import JsonDiffs
+
+    b = BinlogBuilder()
+    _pj_table(b)
+    b.partial_update(
+        11,
+        ((1, {"a": 1, "arr": [1]}, None),
+         (1, JsonDiffs([(1, "$.a", 99),        # exists: no-op
+                        (1, "$.arr[9]", 7),    # past end: append
+                        (2, "$.gone", None)]),  # missing: no-op
+          None)),
+    )
+    (ev,) = list(B.iter_binlog_events(b.bytes()))
+    assert json.loads(ev["after"])["doc"] == {"a": 1, "arr": [1, 7]}
+
+
+def test_partial_update_rows_corruption_is_loud():
+    """Structural mismatches raise: REPLACE of a missing member, a path
+    navigating through a scalar, a diff on a NULL before value, an
+    unknown op byte."""
+    from tests.binlog_builder import JsonDiffs
+
+    cases = [
+        ({"a": 1}, [(0, "$.missing", 5)], "REPLACE"),
+        ({"a": 1}, [(0, "$.a.b", 5)], "non-object"),
+        (None, [(0, "$.a", 5)], "NULL"),
+        ({"a": 1}, [(7, "$.a", 5)], "unknown JSON diff"),
+    ]
+    for before_doc, diffs, marker in cases:
+        b = BinlogBuilder()
+        _pj_table(b)
+        b.partial_update(
+            11, ((1, before_doc, None), (1, JsonDiffs(diffs), None)))
+        with pytest.raises(B.BinlogFormatError, match=marker):
+            list(B.iter_binlog_events(b.bytes()))
+
+
+def test_json_path_parser():
+    assert B._parse_json_path("$") == []
+    assert B._parse_json_path("$.a.b[2].c") == ["a", "b", 2, "c"]
+    assert B._parse_json_path('$."a.b"[0]') == ["a.b", 0]
+    assert B._parse_json_path('$."q\\"uote"') == ['q"uote']
+    for bad in ("", "a.b", "$..a", "$."):
+        with pytest.raises(B.BinlogFormatError):
+            B._parse_json_path(bad)
