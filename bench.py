@@ -293,39 +293,52 @@ def main() -> None:
     # never touch it, so a casual bench.py invocation can't clobber
     # the clean weights (it happened once: two contaminated concurrent
     # reruns overwrote a calib-clean serial refresh).
-    # idle pins are host-specific: read them from the committed sidecar
-    # (BENCH_CALIB_PINS.json, refreshed below from the best calibration
-    # ever observed on this host) so a slower host can still promote a
-    # clean serial base and a faster host's gate stays tight. The
-    # hardcoded pair is only the first-run fallback.
+    # idle pins are host-specific, so the sidecar is keyed BY HOST:
+    # a committed pin from a faster machine must not gate a slower one
+    # out of serial-base promotion (and vice versa). Each host
+    # self-calibrates: the min over every probe it has ever run is its
+    # best idle estimate, tightening monotonically — a contended run
+    # can never loosen its own gate. Unknown host => hardcoded
+    # first-run fallback until its first probes land.
+    import platform
+
     _IDLE_SPIN, _IDLE_PAR32 = 0.11, 0.26
+    host = platform.node() or "unknown"
     pins_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_CALIB_PINS.json")
+    pins_doc: dict = {}
     try:
         with open(pins_path) as f:
-            pins = json.load(f)
-        _IDLE_SPIN = float(pins["spin_s"])
-        _IDLE_PAR32 = float(pins["par32_s"])
-    except (OSError, ValueError, KeyError):
-        pins = None
-    # self-calibrate: the min over all observed probes is the best idle
-    # estimate for THIS host — persist it when it beats the stored pin
-    # (monotone tightening; a contended run can never loosen the gate)
+            pins_doc = json.load(f)
+        if "spin_s" in pins_doc:  # legacy flat form: adopt as this host's
+            pins_doc = {host: {"spin_s": pins_doc["spin_s"],
+                               "par32_s": pins_doc["par32_s"]}}
+        mine = pins_doc.get(host)
+        if mine:  # both keys or neither — never a mixed gate
+            _IDLE_SPIN = float(mine["spin_s"])
+            _IDLE_PAR32 = float(mine["par32_s"])
+    except (OSError, ValueError, KeyError, TypeError):
+        pins_doc = {}
     obs_spin = min(calib_pre["spin_s"], calib_post["spin_s"])
     obs_par32 = min(calib_pre["par32_s"], calib_post["par32_s"])
     new_spin = min(_IDLE_SPIN, obs_spin)
     new_par32 = min(_IDLE_PAR32, obs_par32)
-    if pins is None or new_spin < _IDLE_SPIN or new_par32 < _IDLE_PAR32:
+    if pins_doc.get(host) != {"spin_s": round(new_spin, 4),
+                              "par32_s": round(new_par32, 4)}:
+        pins_doc[host] = {"spin_s": round(new_spin, 4),
+                          "par32_s": round(new_par32, 4)}
         try:
             with open(pins_path, "w") as f:
-                json.dump({"spin_s": round(new_spin, 4),
-                           "par32_s": round(new_par32, 4)}, f, indent=1)
+                json.dump(pins_doc, f, indent=1, sort_keys=True)
         except OSError:
             pass
     calib_clean = all(
         c["spin_s"] <= _IDLE_SPIN * 1.3 and c["par32_s"] <= _IDLE_PAR32 * 1.3
         for c in (calib_pre, calib_post))
-    if serial and calib_clean:
+    # sf gate: a serial run at a DIFFERENT scale factor (sf0.001 smoke,
+    # a local sf0.01 iteration) must never clobber the committed base —
+    # the base is only comparable at the driver's grading sf (0.1)
+    if serial and calib_clean and sf is not None and abs(sf - 0.1) < 1e-9:
         base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_SERIAL_BASE.json")
         try:

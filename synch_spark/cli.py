@@ -549,6 +549,14 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
             # (server restart, LB idle-kill) is the same operational
             # event as a protocol error — clean failure report, not a
             # traceback.
+            from synch_spark.sources.wal_socket import WalConfigError
+
+            if isinstance(e, WalConfigError):
+                # deterministic client-side config rejection: a re-dial
+                # can NEVER succeed — backing off forever would bury
+                # the very error the validation exists to surface
+                print(f"pg socket config error: {e}", file=sys.stderr)
+                return 2
             if not follow:
                 print(f"pg socket round {i} failed: {e}", file=sys.stderr)
                 return 1
@@ -738,7 +746,15 @@ def cmd_replay_wal(args) -> int:
     if getattr(args, "plugin", "wal2json") == "pgoutput":
         from synch_spark.sources.pgoutput import pgoutput_files_to_raw
 
-        events = pgoutput_files_to_raw(spark, args.path)
+        # archives written by a PG 16 parallel-streaming tail carry the
+        # WIDENED Stream Abort (v4): the replay must decode with the
+        # same streaming mode the subscription negotiated — from the
+        # flag, or inferred from the same config block the tail used
+        par = bool(getattr(args, "streaming_parallel", False)) or (
+            str(((raw.get("spark") or {}).get("pg_socket") or {})
+                .get("options", {}).get("streaming", "")) == "parallel")
+        events = pgoutput_files_to_raw(spark, args.path,
+                                       streaming_parallel=par)
     else:
         events = wal2json_to_raw(spark.read.text(args.path))
     events = filter_tables(
@@ -2146,6 +2162,14 @@ def main(argv=None) -> int:
     )
     rw.add_argument("--schema", help="comma-separated only-schemas filter")
     rw.add_argument("--table", help="comma-separated only-tables filter")
+    rw.add_argument(
+        "--streaming-parallel", action="store_true",
+        dest="streaming_parallel",
+        help="(pgoutput) the archive was written by a proto_version-4 "
+        "streaming 'parallel' subscription (PG 16): Stream Abort "
+        "frames carry abort LSN/timestamp — decode with the widened "
+        "shape (also inferred from spark.pg_socket.options.streaming)",
+    )
     rw.add_argument(
         "--follow", action="store_true",
         help="tail the dump file: ship complete lines past a byte-offset "

@@ -67,7 +67,7 @@ def ivf_refine(
     default double path is the fast production choice; exact mode is
     what the graded q136 entry and any recomputable-corpus recipe use.
     """
-    from synch_spark.operators.similarity import DEC, _dot_dec, _norm2_dec, _safe_div
+    from synch_spark.operators.similarity import DEC, _dot_dec, _norm2_dec
 
     sample = corpus
     if sample_fraction < 1.0:

@@ -879,6 +879,23 @@ def _read_partial_after_image(body: bytes, p: int, tm: _TableMap,
     value_options, p = _lenenc(body, p)
     partial_cols: set[int] = set()
     if value_options & 1:
+        # partial_bits alignment is only unambiguous when every JSON
+        # column of the table is in the after image (binlog_row_image=
+        # FULL — which applying diffs to the before image needs anyway).
+        # Under MINIMAL/NOBLOB an excluded JSON column shifts the bit
+        # map depending on whether the server counts per-table or
+        # per-image JSON columns; a misread bit would decode a full
+        # document as a diff sequence SILENTLY. Refuse the ambiguous
+        # shape loudly instead.
+        absent = [tm.col_names[i] for i in range(len(tm.col_types))
+                  if tm.col_types[i] == T_JSON and not _bit(present, i)]
+        if absent:
+            raise BinlogFormatError(
+                f"PARTIAL_JSON after-image excludes JSON column(s) "
+                f"{absent} (binlog_row_image != FULL?) — partial_bits "
+                "alignment is ambiguous and the diffs could not be "
+                "applied without the before image anyway; re-capture "
+                "with binlog_row_image=FULL")
         json_cols = [i for i in range(len(tm.col_types))
                      if _bit(present, i) and tm.col_types[i] == T_JSON]
         pb_len = (len(json_cols) + 7) // 8

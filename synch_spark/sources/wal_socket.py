@@ -42,6 +42,13 @@ class WalProtocolError(ConnectionError):
     """Server spoke something this client cannot continue from."""
 
 
+class WalConfigError(WalProtocolError):
+    """CLIENT-SIDE configuration rejection, raised before any wire IO.
+    Deterministic: retrying can never succeed, so supervision loops
+    (produce --follow) must exit on it instead of backing off forever —
+    the distinction this subclass exists to carry."""
+
+
 def _md5_password(user: str, password: str, salt: bytes) -> bytes:
     inner = hashlib.md5((password + user).encode()).hexdigest()
     return b"md5" + hashlib.md5(inner.encode() + salt).hexdigest().encode()
@@ -241,7 +248,7 @@ class WalSocketClient:
             # higher version would misparse into a wedged, every-round
             # failure — refuse at subscribe time instead
             if str(opts.get("proto_version")) not in ("1", "2", "3", "4"):
-                raise WalProtocolError(
+                raise WalConfigError(
                     f"pgoutput proto_version {opts.get('proto_version')!r} "
                     "not supported by this decoder (1-4 are)")
             if (str(opts.get("streaming", "")) == "parallel"
@@ -249,7 +256,7 @@ class WalSocketClient:
                 # the server itself rejects this pairing; failing here
                 # keeps the error actionable instead of a walsender
                 # ERROR blob
-                raise WalProtocolError(
+                raise WalConfigError(
                     "streaming 'parallel' requires proto_version 4")
         else:
             opts = {"format-version": "2", "include-timestamp": "true",

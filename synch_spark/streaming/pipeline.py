@@ -557,19 +557,30 @@ class CdcPipeline:
                 # OUTSIDE the source glob's reach — an overlapping dir
                 # makes every archived file re-ingest as new input, an
                 # infinite loop. Enforce at configure time instead of
-                # trusting the docstring: compare the glob's static
-                # prefix (everything before the first wildcard) against
-                # the archive path.
+                # trusting the docstring. Reach semantics: files under
+                # any directory the source pattern MATCHES are input,
+                # so the archive overlaps iff the archive dir or one of
+                # its ancestors matches the pattern (plain paths: iff
+                # the archive sits at or under the source dir). A mere
+                # shared static prefix (events /srv/ev-*/cdc, archive
+                # /srv/archive) is legal and must NOT be refused.
+                import fnmatch as _fn
                 import os as _os
 
-                ev = events_dir
-                wild = min((i for i in (ev.find(c) for c in "*?[")
-                            if i != -1), default=-1)
-                if wild != -1:  # glob: the static prefix dir is the reach
-                    ev = _os.path.dirname(ev[:wild] + "x")
-                ev = _os.path.abspath(ev)
+                ev = _os.path.abspath(events_dir)
                 ar = _os.path.abspath(archive_dir)
-                if _os.path.commonpath([ev, ar]) == ev:
+                has_glob = any(c in events_dir for c in "*?[")
+                cand, overlap = ar, False
+                while True:
+                    if (cand == ev if not has_glob
+                            else _fn.fnmatch(cand, ev)):
+                        overlap = True
+                        break
+                    parent = _os.path.dirname(cand)
+                    if parent == cand:
+                        break
+                    cand = parent
+                if overlap:
                     raise ValueError(
                         f"archive_dir {archive_dir!r} is inside the "
                         f"source path {events_dir!r}; Spark would "

@@ -953,3 +953,37 @@ def test_json_path_parser():
     for bad in ("", "a.b", "$..a", "$."):
         with pytest.raises(B.BinlogFormatError):
             B._parse_json_path(bad)
+
+
+def test_partial_update_refuses_json_column_absent_from_after_image():
+    """partial_bits alignment is only unambiguous when every JSON
+    column of the table is in the after image (binlog_row_image=FULL);
+    a misread bit would decode a full document as a diff sequence
+    SILENTLY, so the ambiguous shape must refuse loudly."""
+    from tests.binlog_builder import JsonDiffs, _lenenc as _le
+
+    b = BinlogBuilder()
+    _pj_table(b)  # (id, doc JSON, tags JSON)
+    # hand-build: after image EXCLUDES 'tags' (present2 bit clear) while
+    # value_options marks PARTIAL_JSON for 'doc'
+    tid = 11
+    body = tid.to_bytes(6, "little") + b"\x01\x00"   # table_id + flags
+    body += b"\x02\x00"                               # extra_data_len
+    body += _le(3) + bytes([0b111])                   # ncols, present1
+    body += bytes([0b011])                            # present2: no tags
+    # before image: id=1, doc={"a":1}, tags=null
+    from tests.binlog_builder import jsonb_encode
+
+    doc = jsonb_encode({"a": 1})
+    body += bytes([0b100])                            # null bm: tags null
+    body += (1).to_bytes(4, "little")                 # id (T_LONG)
+    body += len(doc).to_bytes(4, "little") + doc      # doc JSONB
+    # after image: value_options=1, partial_bits(1 json col in image),
+    # null bm, id, doc as empty diff seq
+    body += _le(1) + bytes([0b1])
+    body += bytes([0b00])
+    body += (1).to_bytes(4, "little")
+    body += (0).to_bytes(4, "little")                 # empty diff seq
+    b._event(B.EV_PARTIAL_UPDATE_ROWS, body)
+    with pytest.raises(B.BinlogFormatError, match="binlog_row_image"):
+        list(B.iter_binlog_events(b.bytes()))

@@ -711,12 +711,23 @@ def test_file_stream_archive_dir_inside_source_refused(spark, tmp_path,
         pipeline.start_file_stream(
             str(events_dir), clean_source="archive",
             archive_dir=str(events_dir))
-    # a glob source: the STATIC PREFIX dir is the reach, so an archive
-    # under it is refused even though the literal string differs
+    # a glob source: refused iff the archive dir (or an ancestor)
+    # MATCHES the pattern — files under a matched dir are input
     with pytest.raises(ValueError, match="re-ingest"):
         pipeline.start_file_stream(
-            str(events_dir / "*.json"), clean_source="archive",
+            str(events_dir / "*"), clean_source="archive",
             archive_dir=str(events_dir / "done"))
+    with pytest.raises(ValueError, match="re-ingest"):
+        pipeline.start_file_stream(
+            str(tmp_path / "ev-*" / "cdc"), clean_source="archive",
+            archive_dir=str(tmp_path / "ev-1" / "cdc" / "arch"))
+    # a shared static prefix WITHOUT a pattern match is legal (the
+    # overlap check must not reduce a glob to its prefix dir): archive
+    # /…/events/done can never match /…/events/*.json
+    q = pipeline.start_file_stream(
+        str(events_dir / "*.json"), available_now=True,
+        clean_source="archive", archive_dir=str(events_dir / "done"))
+    q.awaitTermination(60)
     # a sibling dir is fine — the stream starts (and is stopped at once)
     ok_dir = tmp_path / "archive"
     q = pipeline.start_file_stream(str(events_dir), available_now=True,

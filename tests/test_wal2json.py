@@ -273,3 +273,64 @@ def test_wal2json_truncate_maps_to_ddl_barrier(spark):
     for r in got:
         assert r["action"] == "query" and r["before"] is None
         assert _json.loads(r["after"])["query"] == "TRUNCATE public.t"
+
+
+def test_cli_replay_wal_pgoutput_parallel_archive(spark, tmp_path, capsys):
+    """An archive written by a PG 16 parallel-streaming tail carries
+    WIDENED (v4) Stream Abort frames: without the flag the replay
+    misparses at the abort; with --streaming-parallel (or the same
+    config the tail used) it decodes and the aborted subtransaction's
+    rows are excised."""
+    import json as _json
+
+    import yaml
+
+    from synch_spark.cli import main
+    from synch_spark.sources.pgoutput import write_pgoutput_frames
+    from tests.test_pgoutput import (
+        enc_insert,
+        enc_relation,
+        enc_stream_abort_v4,
+        enc_stream_commit,
+        enc_stream_start,
+        enc_stream_stop,
+        _xid_prefixed,
+    )
+
+    rel = enc_relation(16601, "public", "t", [(1, "id", 20, -1)])
+    ts0 = 1_709_251_200_000_000
+    d = tmp_path / "wal"
+    d.mkdir()
+    write_pgoutput_frames(str(d / "round.000001.pgo"), [
+        rel,
+        enc_stream_start(700),
+        _xid_prefixed(enc_insert(16601, ["1"]), 700),
+        _xid_prefixed(enc_insert(16601, ["2"]), 701),  # subxact
+        enc_stream_stop(),
+        enc_stream_abort_v4(700, subxid=701),          # v4 width
+        enc_stream_commit(700, ts0)])
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "public", "tables": [
+            {"table": "t", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "events_dir": str(tmp_path / "events"),
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "replay-wal", "--plugin", "pgoutput",
+                 "--path", str(d), "--streaming-parallel"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["wal_replay_events"] == 1, \
+        "subxact 701 aborted; only xid-700's row survives"
+    # the same archive decoded WITHOUT the flag misparses LOUDLY (the
+    # 16 extra abort bytes read as a bogus message type) — never a
+    # silent wrong answer
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown pgoutput message"):
+        main(["--config", str(p), "replay-wal", "--plugin", "pgoutput",
+              "--path", str(d)])

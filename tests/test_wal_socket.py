@@ -578,3 +578,46 @@ def test_cli_produce_pg_socket_follow_redials(tmp_path, capsys, spark):
         if "srv" in started:
             started["srv"].stop_evt.set()
             started["srv"].srv.close()
+
+
+def test_cli_produce_pg_socket_follow_config_error_is_fatal(tmp_path,
+                                                            capsys):
+    """--follow must NOT retry a deterministic client-side config
+    rejection (streaming 'parallel' without proto_version 4): the
+    supervised loop exits 2 immediately instead of burying the
+    actionable error under an infinite backoff."""
+    import yaml
+
+    from synch_spark.cli import main
+
+    srv = FakePgServer(auth="md5")
+    srv.start()
+    try:
+        cfg = {
+            "core": {"insert_num": 1000, "insert_interval": 1},
+            "source_dbs": [{"databases": [{"database": "db", "tables": [
+                {"table": "t", "pk": ["id"]}]}]}],
+            "spark": {
+                "warehouse": str(tmp_path / "wh"),
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "events_dir": str(tmp_path / "events"),
+                "sources": {},
+                "pg_socket": {"host": "127.0.0.1", "port": srv.port,
+                              "user": USER, "password": PASSWORD,
+                              "database": DB, "slot": SLOT,
+                              "options": {"proto_version": "2",
+                                          "streaming": "parallel"},
+                              "plugin": "pgoutput",
+                              "reconnect_base_s": 0.05},
+            },
+        }
+        p = tmp_path / "synch.yaml"
+        p.write_text(yaml.dump(cfg))
+        assert main(["--config", str(p), "produce",
+                     "--source", "pg-socket", "--once", "--follow"]) == 2
+        cap = capsys.readouterr()
+        assert "config error" in cap.err and "parallel" in cap.err
+        assert "re-dialing" not in cap.err
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()
