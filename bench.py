@@ -221,7 +221,12 @@ def main() -> None:
     prev: dict[str, float] = {}
     try:
         with open(sidecar) as f:
-            prev = json.load(f).get("queries", {}) or {}
+            doc = json.load(f)
+        # weights only transfer within a scale factor: an sf0.001 smoke
+        # run's timings are fixed-overhead-dominated and would skew the
+        # LPT order of the graded sf0.1 run (and vice versa)
+        if doc.get("sf") == sf:
+            prev = doc.get("queries", {}) or {}
     except (OSError, ValueError):
         pass
     if prev:
