@@ -1179,6 +1179,10 @@ def cmd_consume(args) -> int:
             value_format=kconf.get("value_format", "raw"),
             available_now=args.available_now,
             avro_schemas=avro_schemas,
+            # Confluent Schema Registry base URL: ids absent from the
+            # static map are fetched lazily on executors (rolling
+            # producer-side schema upgrades need no config push)
+            avro_registry_url=kconf.get("avro_schema_registry"),
         )
     else:
         q = pipe.start_file_stream(

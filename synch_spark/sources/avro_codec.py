@@ -486,6 +486,34 @@ def load_schemas(spec: dict) -> dict[int, tuple]:
     return out
 
 
+def fetch_registry_schema(registry_url: str, schema_id: int,
+                          timeout: float = 10.0) -> tuple:
+    """Fetch one schema from a Confluent Schema Registry
+    (``GET /schemas/ids/<id>`` -> ``{"schema": "<json>"}``) and parse
+    it. Pure stdlib (urllib); raises :class:`AvroDecodeError` with an
+    actionable message on HTTP/shape errors — a missing id means the
+    topic and registry disagree, which the operator must see."""
+    import urllib.error
+    import urllib.request
+
+    url = f"{registry_url.rstrip('/')}/schemas/ids/{int(schema_id)}"
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            doc = json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        raise AvroDecodeError(
+            f"schema registry has no schema id {schema_id} "
+            f"({url} -> HTTP {e.code})") from e
+    except (urllib.error.URLError, OSError, ValueError) as e:
+        raise AvroDecodeError(
+            f"schema registry fetch failed ({url}): {e}") from e
+    if "schema" not in doc:
+        raise AvroDecodeError(
+            f"schema registry response for id {schema_id} carries no "
+            f"'schema' field: {sorted(doc)}")
+    return parse_schema(doc["schema"])
+
+
 # --------------------------------------------------------------------------
 # Debezium envelope -> RAW_EVENT_SCHEMA
 # --------------------------------------------------------------------------
@@ -553,7 +581,8 @@ def envelope_to_raw(env: dict) -> dict | None:
 
 
 def debezium_avro_to_raw(df, schemas: dict, value_col: str = "value",
-                         on_error: str = "error"):
+                         on_error: str = "error",
+                         registry_url: str | None = None):
     """Confluent-framed Avro Debezium values -> RAW_EVENT_SCHEMA rows.
 
     ``schemas``: {schema_id: schema} (pre-parsed via :func:`load_schemas`
@@ -562,6 +591,14 @@ def debezium_avro_to_raw(df, schemas: dict, value_col: str = "value",
     misconfigured topic should fail the batch loudly, not silently thin
     the stream; ``"skip"`` drops poison records (dead-letter style) so
     one adversarial record can't crash-loop a checkpoint.
+
+    ``registry_url``: a Confluent Schema Registry base URL — ids absent
+    from ``schemas`` are fetched (``GET /schemas/ids/<id>``) lazily on
+    the executor and cached per worker process, so a rolling schema
+    upgrade on the producer side keeps decoding without a config push;
+    a registry miss is still loud (or skipped under ``"skip"``). A
+    Debezium topic carries a handful of ids over its lifetime, so the
+    fetch count is O(schemas), not O(records).
 
     Executes as Arrow-batched ``mapInPandas`` on the executors; the
     parsed schema registry rides the closure (plain dicts — tiny,
@@ -578,10 +615,12 @@ def debezium_avro_to_raw(df, schemas: dict, value_col: str = "value",
               for sid, s in schemas.items()}
     cols = [f.name for f in RAW_EVENT_SCHEMA.fields]
     strict = on_error == "error"
+    reg = registry_url
 
     def decode(batches):
         import pandas as pd
 
+        local = dict(parsed)  # per-worker cache for registry fetches
         for pdf in batches:
             rows = []
             for buf in pdf[value_col]:
@@ -589,11 +628,15 @@ def debezium_avro_to_raw(df, schemas: dict, value_col: str = "value",
                     continue
                 try:
                     sid, payload = confluent_unframe(bytes(buf))
-                    schema = parsed.get(sid)
+                    schema = local.get(sid)
+                    if schema is None and reg:
+                        schema = fetch_registry_schema(reg, sid)
+                        local[sid] = schema
                     if schema is None:
                         raise AvroDecodeError(
                             f"schema id {sid} not in configured "
-                            f"avro_schemas {sorted(parsed)}")
+                            f"avro_schemas {sorted(local)} and no "
+                            "registry_url to fetch it from")
                     env = avro_decode(payload, schema)
                     raw = envelope_to_raw(env)
                 except (AvroDecodeError, AvroSchemaError):

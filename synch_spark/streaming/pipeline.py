@@ -610,6 +610,7 @@ class CdcPipeline:
         starting_offsets: str | dict | None = None,
         available_now: bool = False,
         avro_schemas: dict | None = None,
+        avro_registry_url: str | None = None,
     ):
         """Kafka consumer (B3/B4 parity): value is the JSON raw event.
 
@@ -653,13 +654,15 @@ class CdcPipeline:
         restart (strictly better operationally than the reference's
         manual seek bookkeeping).
         """
-        if value_format == "debezium-avro" and not avro_schemas:
-            # without the schema map every record fails at the first
-            # batch; surface the missing config at stream START
+        if value_format == "debezium-avro" and not (avro_schemas
+                                                    or avro_registry_url):
+            # without either source of schemas every record fails at
+            # the first batch; surface the missing config at stream START
             raise ValueError(
                 "value_format=debezium-avro needs avro_schemas "
-                "({schema_id: schema dict | JSON | file:path.avsc} — "
-                "the registry-less substitute for a Schema Registry)")
+                "({schema_id: schema dict | JSON | file:path.avsc}) "
+                "and/or avro_registry_url (a Confluent Schema Registry "
+                "base URL for lazy id fetch)")
         if value_format == "debezium" and self.string_values:
             # surface the config conflict at stream START (driver-side),
             # not as a per-batch ValueError crash-loop at the first event
@@ -697,7 +700,8 @@ class CdcPipeline:
                 ) from e
             raise
         dbz = value_format == "debezium"
-        raw = raw_from_kafka_values(loaded, value_format, avro_schemas)
+        raw = raw_from_kafka_values(loaded, value_format, avro_schemas,
+                                    avro_registry_url)
         # per-table typing of a Debezium stream must also decode the
         # connector's default logical-type encodings (precise DECIMAL,
         # adaptive temporals) — scoped to THIS stream's batches
@@ -714,7 +718,8 @@ class CdcPipeline:
 
 
 def raw_from_kafka_values(loaded: DataFrame, value_format: str,
-                          avro_schemas: dict | None = None) -> DataFrame:
+                          avro_schemas: dict | None = None,
+                          avro_registry_url: str | None = None) -> DataFrame:
     """Kafka value column → RAW_EVENT_SCHEMA, per wire format. Pure
     (works on any DataFrame with a ``value`` column — static frames in
     tests, the streaming reader in production): "raw" is this engine's
@@ -730,7 +735,8 @@ def raw_from_kafka_values(loaded: DataFrame, value_format: str,
         # Avro layer itself — downstream typing is a PLAIN typed parse,
         # no debezium_types remapping (that knob exists for the JSON
         # converter's string/base64 encodings, which Avro never emits)
-        return debezium_avro_to_raw(loaded, avro_schemas or {})
+        return debezium_avro_to_raw(loaded, avro_schemas or {},
+                                    registry_url=avro_registry_url)
     if value_format == "debezium":
         from synch_spark.events import debezium_to_raw
 
