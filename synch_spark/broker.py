@@ -49,6 +49,87 @@ def kafka_payload(events: DataFrame, queue_prefix: str = "synch") -> DataFrame:
     )
 
 
+def kafka_avro_payload(
+    events: DataFrame,
+    value_schemas: dict,
+    schema_ids: dict,
+    queue_prefix: str = "synch",
+) -> DataFrame:
+    """RAW_EVENT_SCHEMA events -> Confluent-framed **Debezium-Avro**
+    Kafka rows (key string, value binary, topic string) — the producer
+    complement of ``value_format="debezium-avro"``, for publishing this
+    engine's CDC into a bus whose consumers expect the production
+    Debezium wire shape instead of our JSON.
+
+    ``value_schemas``: {"db.table": StructType} (the same map consume
+    uses for typed parsing); ``schema_ids``: {"db.table": registry id}
+    — whatever ids the registry assigned the per-table envelope
+    schemas (register ``debezium_envelope_schema(...)`` once, out of
+    band). Topics follow the Debezium convention
+    ``<prefix>.<db>.<table>``; key = the JSON pk-bearing image's text
+    (consumers partition per table by key hash). 'query' (DDL) events
+    are dropped — Debezium routes DDL via its schema-history topic,
+    not the data topics. Encode runs Arrow-batched on executors; the
+    parsed envelope schemas ride the closure."""
+    import json as _json
+
+    from synch_spark.sources.avro_codec import (
+        avro_encode,
+        coerce_json_to_avro,
+        confluent_frame,
+        debezium_envelope_schema,
+        parse_schema,
+    )
+
+    parsed = {}
+    for qualified, struct in value_schemas.items():
+        db, table = qualified.split(".", 1)
+        if qualified not in schema_ids:
+            raise ValueError(
+                f"no schema id for {qualified!r} — register its envelope "
+                "schema and pass {table: id}")
+        parsed[qualified] = (int(schema_ids[qualified]),
+                             parse_schema(debezium_envelope_schema(
+                                 struct, db, table)))
+    _OP = {"insert": "c", "update": "u", "delete": "d"}
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                qualified = f"{r.schema}.{r.table}"
+                entry = parsed.get(qualified)
+                op = _OP.get(r.action)
+                if entry is None or op is None:  # untyped table / DDL
+                    continue
+                sid, (root, names) = entry
+                value_node = None
+                for f in root["fields"]:
+                    if f["name"] == "before":
+                        value_node = f["type"]
+                env = {
+                    "before": coerce_json_to_avro(
+                        _json.loads(r.before), value_node, names)
+                    if r.before is not None else None,
+                    "after": coerce_json_to_avro(
+                        _json.loads(r.after), value_node, names)
+                    if r.after is not None else None,
+                    "source": {"db": r.schema, "table": r.table,
+                               "ts_ms": int(r.event_unixtime) // 1000,
+                               "ts_us": int(r.event_unixtime)},
+                    "op": op, "ts_ms": None,
+                }
+                frame = confluent_frame(
+                    sid, avro_encode(env, (root, names)))
+                rows.append((r.after or r.before, frame,
+                             f"{queue_prefix}.{r.schema}.{r.table}"))
+            yield pd.DataFrame(rows, columns=["key", "value", "topic"])
+
+    return events.mapInPandas(encode, "key string, value binary, topic string")
+
+
 def kafka_writer(
     events: DataFrame,
     bootstrap_servers: str,

@@ -1386,6 +1386,65 @@ FROM ranked WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def q137_debezium_avro_roundtrip(spark, sf_dir):
+    """Producer-side Debezium-Avro on the graded surface: the engine's
+    own raw events (synthesized per orders row — 'F' rows as deletes
+    with a before image, the rest as inserts) are ENCODED into
+    Confluent-framed typed Avro envelopes by ``broker.
+    kafka_avro_payload`` (per-table envelope schema generated from the
+    Spark value schema, logical decimal for the price) and then decoded
+    back through the same ``debezium_avro_to_raw`` consumer path q135
+    grades against independent bytes. Hash-matching the q112 oracle
+    proves the PUBLISH side is lossless end-to-end — ids, exact
+    decimals, microsecond event times — so this engine can feed a
+    production Avro bus, not just read one."""
+    from pyspark.sql import types as T
+
+    from synch_spark.broker import kafka_avro_payload
+    from synch_spark.events import RAW_EVENT_SCHEMA, parse_values, split_updates
+    from synch_spark.sources.avro_codec import debezium_avro_to_raw
+    from synch_spark.sources.avro_codec import (
+        debezium_envelope_schema,
+        parse_schema,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    img = F.to_json(F.struct(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string")
+        .alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    ))
+    is_del = F.col("o_orderstatus") == "F"
+    us = (F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+          * F.lit(86_400_000_000).cast("long"))
+    raw = orders.select(
+        F.lit("db").alias("schema"), F.lit("orders").alias("table"),
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("insert"))
+        .alias("action"),
+        F.when(is_del, img).alias("before"),
+        F.when(~is_del, img).alias("after"),
+        us.alias("event_unixtime"),
+    ).select(*(f.name for f in RAW_EVENT_SCHEMA.fields)).repartition(8)
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DecimalType(15, 2)),
+        T.StructField("status", T.StringType()),
+    ])
+    frames = kafka_avro_payload(raw, {"db.orders": vschema},
+                                {"db.orders": 21})
+    decoded = debezium_avro_to_raw(
+        frames, {21: parse_schema(
+            debezium_envelope_schema(vschema, "db", "orders"))})
+    typed = parse_values(split_updates(decoded), vschema)
+    return typed.select(
+        "id",
+        F.col("price").cast(DEC).cast("double").alias("price"),
+        "status",
+        F.timestamp_micros(F.col("event_unixtime")).cast("date").alias("d"),
+    ).orderBy("id")
+
+
 def q132_semantic_decontamination(spark, sf_dir):
     """Embedding-space decontamination — the semantic complement of
     q124's exact-span check (SemDeDup §4 applies the same move to
@@ -3409,6 +3468,7 @@ DATAOPS_QUERIES = {
     "q133_pgoutput_decode": (q133_pgoutput_decode, Q112_SQL),
     "q134_pgoutput_streamed_decode": (q134_pgoutput_streamed_decode, Q112_SQL),
     "q135_debezium_avro_decode": (q135_debezium_avro_decode, Q112_SQL),
+    "q137_debezium_avro_roundtrip": (q137_debezium_avro_roundtrip, Q112_SQL),
     "q17_text_stats": (q17_text_stats, Q17_SQL),
     "q18_quality_langid": (q18_quality_langid, Q18_SQL),
     "q19_token_topk": (q19_token_topk, Q19_SQL),

@@ -486,6 +486,125 @@ def load_schemas(spec: dict) -> dict[int, tuple]:
     return out
 
 
+def spark_struct_to_avro_value(struct, name: str = "Value",
+                               namespace: str | None = None) -> dict:
+    """Spark StructType -> the Avro record schema a Debezium ``Value``
+    carries for the same table (the producer-side complement of the
+    decode path): integral -> int/long, fractional -> float/double,
+    DecimalType -> bytes + logical decimal, Date/Timestamp -> logical
+    date / timestamp-micros, Binary -> bytes, Boolean -> boolean,
+    everything nullable as ["null", T] with null default (Debezium's
+    own convention). Unsupported Spark types raise — a silent string
+    fallback would corrupt the wire contract."""
+    from pyspark.sql import types as T
+
+    def field_type(dt):
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.DecimalType):
+            return {"type": "bytes", "logicalType": "decimal",
+                    "precision": dt.precision, "scale": dt.scale}
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        raise AvroSchemaError(
+            f"no Avro mapping for Spark type {dt.simpleString()}")
+
+    out = {"type": "record", "name": name, "fields": [
+        {"name": f.name, "type": ["null", field_type(f.dataType)],
+         "default": None} for f in struct.fields]}
+    if namespace:
+        out["namespace"] = namespace
+    return out
+
+
+def debezium_envelope_schema(value_struct, db: str, table: str) -> dict:
+    """The full Debezium envelope schema for one table's value struct —
+    before/after as null-unions of the table's Value record, a Source
+    record carrying db/table/ts_ms/ts_us (ts_us => exact microsecond
+    round-trip, Debezium >= 2.5 shape), op, and an optional envelope
+    ts_ms."""
+    value = spark_struct_to_avro_value(
+        value_struct, namespace=f"synch.{db}.{table}")
+    return {"type": "record", "name": "Envelope",
+            "namespace": f"synch.{db}.{table}", "fields": [
+                {"name": "before", "type": ["null", value],
+                 "default": None},
+                {"name": "after", "type": ["null", "Value"],
+                 "default": None},
+                {"name": "source", "type": {
+                    "type": "record", "name": "Source", "fields": [
+                        {"name": "db", "type": "string"},
+                        {"name": "table", "type": "string"},
+                        {"name": "ts_ms", "type": "long"},
+                        {"name": "ts_us", "type": ["null", "long"],
+                         "default": None}]}},
+                {"name": "op", "type": "string"},
+                {"name": "ts_ms", "type": ["null", "long"],
+                 "default": None}]}
+
+
+def coerce_json_to_avro(value, node, names: dict):
+    """JSON-decoded value -> the Python shape :func:`encode_value`
+    expects under ``node`` (Decimal from number/string, date/datetime
+    from ISO text, bytes from base64 text). The inverse of
+    :func:`_json_fragment`'s rendering."""
+    if isinstance(node, list):
+        if value is None:
+            return None
+        branch = next((b for b in node if b != "null"), "null")
+        return coerce_json_to_avro(value, branch, names)
+    if isinstance(node, dict) and "__ref__" in node:
+        return coerce_json_to_avro(value, names[node["__ref__"]], names)
+    if isinstance(node, dict):
+        t = node.get("type")
+        lt = node.get("logicalType")
+        if lt == "decimal":
+            return Decimal(str(value))
+        if lt == "date":
+            return value if isinstance(value, _dt.date) \
+                else _dt.date.fromisoformat(str(value))
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            if isinstance(value, _dt.datetime):
+                return value
+            return _dt.datetime.fromisoformat(str(value).replace("T", " "))
+        if lt in ("time-millis", "time-micros"):
+            return value if isinstance(value, _dt.time) \
+                else _dt.time.fromisoformat(str(value))
+        if t == "record":
+            return {f["name"]: coerce_json_to_avro(
+                        value.get(f["name"]), f["type"], names)
+                    for f in node["fields"]}
+        if t == "array":
+            return [coerce_json_to_avro(x, node["items"], names)
+                    for x in value]
+        if t == "map":
+            return {k: coerce_json_to_avro(v, node["values"], names)
+                    for k, v in value.items()}
+        if t in PRIMITIVES:
+            node = t
+    if node == "bytes" and isinstance(value, str):
+        return base64.b64decode(value)
+    if node in ("int", "long") and value is not None:
+        return int(value)
+    if node in ("float", "double") and value is not None:
+        return float(value)
+    return value
+
+
 def fetch_registry_schema(registry_url: str, schema_id: int,
                           timeout: float = 10.0) -> tuple:
     """Fetch one schema from a Confluent Schema Registry

@@ -456,3 +456,91 @@ def test_kafka_stream_avro_registry_satisfies_validation(spark, tmp_path):
                                 value_format="debezium-avro",
                                 avro_registry_url="http://reg:8081")
     assert "avro_schemas" not in str(ei.value)
+
+
+def test_kafka_avro_payload_roundtrip(spark):
+    """Producer side: RAW events -> Confluent-framed typed Debezium-Avro
+    -> back through the consumer decode, losslessly (ids, exact
+    decimals, microsecond times); topics follow the Debezium
+    <prefix>.<db>.<table> convention; DDL 'query' events drop (they
+    ride the schema-history topic in a Debezium deployment, never the
+    data topics); untyped tables drop rather than guess a schema."""
+    from pyspark.sql import types as T
+
+    from synch_spark.broker import kafka_avro_payload
+    from synch_spark.events import RAW_EVENT_SCHEMA
+
+    vschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DecimalType(10, 2)),
+        T.StructField("status", T.StringType()),
+    ])
+    rows = [
+        ("db", "orders", "insert", None,
+         '{"id":1,"price":"10.50","status":"O"}', 1_000_001),
+        ("db", "orders", "update",
+         '{"id":1,"price":"10.50","status":"O"}',
+         '{"id":1,"price":"11.00","status":"P"}', 2_000_002),
+        ("db", "orders", "delete",
+         '{"id":1,"price":"11.00","status":"P"}', None, 3_000_003),
+        ("db", "orders", "query", None, '{"query":"ALTER ..."}', 4),
+        ("db", "untyped", "insert", None, '{"id":9}', 5),
+    ]
+    raw = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+    frames = kafka_avro_payload(raw, {"db.orders": vschema},
+                                {"db.orders": 21}).collect()
+    assert len(frames) == 3, "query + untyped-table events must drop"
+    assert {f["topic"] for f in frames} == {"synch.db.orders"}
+    env_schema = A.debezium_envelope_schema(vschema, "db", "orders")
+    parsed = A.parse_schema(env_schema)
+    by_op = {}
+    for f in frames:
+        sid, payload = A.confluent_unframe(bytes(f["value"]))
+        assert sid == 21
+        env = A.avro_decode(payload, parsed)
+        by_op[env["op"]] = env
+    assert set(by_op) == {"c", "u", "d"}
+    u = by_op["u"]
+    assert u["before"]["price"] == Decimal("10.50")
+    assert u["after"]["price"] == Decimal("11.00")
+    assert u["source"]["ts_us"] == 2_000_002
+    assert u["source"]["ts_ms"] == 2_000
+    # full pipeline: decode frames back to RAW rows
+    df = spark.createDataFrame(
+        [(bytearray(f["value"]),) for f in frames], "value binary")
+    back = {r["action"]: r
+            for r in A.debezium_avro_to_raw(df, {21: parsed}).collect()}
+    assert set(back) == {"insert", "update", "delete"}
+    assert back["update"]["event_unixtime"] == 2_000_002
+    import json as _json
+
+    assert _json.loads(back["update"]["after"]) == {
+        "id": 1, "price": 11.00, "status": "P"}
+
+
+def test_spark_struct_to_avro_value_mappings():
+    from pyspark.sql import types as T
+
+    s = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("l", T.LongType()),
+        T.StructField("f", T.FloatType()),
+        T.StructField("dbl", T.DoubleType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("raw", T.BinaryType()),
+        T.StructField("dec", T.DecimalType(12, 3)),
+        T.StructField("d", T.DateType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    rec = A.spark_struct_to_avro_value(s)
+    types = {f["name"]: f["type"][1] for f in rec["fields"]}
+    assert types["i"] == "int" and types["l"] == "long"
+    assert types["dec"] == {"type": "bytes", "logicalType": "decimal",
+                            "precision": 12, "scale": 3}
+    assert types["d"] == {"type": "int", "logicalType": "date"}
+    assert types["ts"] == {"type": "long",
+                           "logicalType": "timestamp-micros"}
+    with pytest.raises(A.AvroSchemaError, match="no Avro mapping"):
+        A.spark_struct_to_avro_value(T.StructType([
+            T.StructField("m", T.MapType(T.StringType(), T.LongType()))]))
