@@ -145,6 +145,14 @@ def kafka_writer(
     )
 
 
+def kafka_writer_raw(payload: DataFrame, bootstrap_servers: str):
+    """Kafka batch writer for an ALREADY-SHAPED payload frame (key,
+    value, topic) — the debezium-avro produce path, whose value is
+    binary, not the engine's JSON."""
+    return (payload.write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers))
+
+
 def produce_to_kafka(
     events: DataFrame, bootstrap_servers: str, queue_prefix: str = "synch"
 ) -> None:

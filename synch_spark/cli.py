@@ -943,9 +943,52 @@ def _emit_to_sink(spark, raw, events, sink: str, basename: str) -> int:
             return 0  # nothing to ship: no empty spool/broker writes
         if sink == "kafka":
             kconf = raw["spark"]["kafka"]
-            produce_to_kafka(
-                events, kconf["bootstrap_servers"], kconf.get("queue_prefix", "synch")
-            )
+            if kconf.get("produce_format") == "debezium-avro":
+                # publish Confluent-framed typed Avro envelopes instead
+                # of the engine's JSON: per-table ids come from
+                # spark.kafka.produce_schema_ids, or — when a registry
+                # URL is configured — from registering each table's
+                # generated envelope schema at produce time (idempotent
+                # server-side, so restarts are free)
+                from pyspark.sql import types as T
+
+                from synch_spark.broker import (
+                    kafka_avro_payload,
+                    kafka_writer_raw,
+                )
+                from synch_spark.sources.avro_codec import (
+                    debezium_envelope_schema,
+                    register_registry_schema,
+                )
+
+                prefix = kconf.get("queue_prefix", "synch")
+                vschemas = {
+                    q: T.StructType.fromJson(s) if isinstance(s, dict) else s
+                    for q, s in (raw["spark"].get("value_schemas")
+                                 or {}).items()}
+                ids = dict(kconf.get("produce_schema_ids") or {})
+                reg = kconf.get("avro_schema_registry")
+                for q, struct in vschemas.items():
+                    if q in ids or not reg:
+                        continue
+                    db, tbl = q.split(".", 1)
+                    ids[q] = register_registry_schema(
+                        reg, f"{prefix}.{q}-value",
+                        debezium_envelope_schema(struct, db, tbl))
+                missing = sorted(set(vschemas) - set(ids))
+                if missing:
+                    raise SystemExit(
+                        f"produce_format=debezium-avro: no schema id for "
+                        f"{missing} — set spark.kafka.produce_schema_ids "
+                        "or spark.kafka.avro_schema_registry")
+                payload = kafka_avro_payload(events, vschemas, ids, prefix)
+                kafka_writer_raw(payload,
+                                 kconf["bootstrap_servers"]).save()
+            else:
+                produce_to_kafka(
+                    events, kconf["bootstrap_servers"],
+                    kconf.get("queue_prefix", "synch")
+                )
         elif sink == "redis":
             _redis_broker_from_cfg(spark, raw).produce(events)
         else:

@@ -633,6 +633,40 @@ def fetch_registry_schema(registry_url: str, schema_id: int,
     return parse_schema(doc["schema"])
 
 
+def register_registry_schema(registry_url: str, subject: str, schema,
+                             timeout: float = 10.0) -> int:
+    """Register a schema under ``subject`` (Confluent convention:
+    ``<topic>-value``) via ``POST /subjects/<subject>/versions`` and
+    return the id the registry assigned — idempotent on the registry
+    side (re-posting an identical schema returns the existing id), so
+    the producer can call it at startup. Pure stdlib."""
+    import urllib.error
+    import urllib.request
+
+    if isinstance(schema, (dict, list)):
+        schema = json.dumps(schema)
+    body = json.dumps({"schema": schema}).encode("utf-8")
+    url = f"{registry_url.rstrip('/')}/subjects/{subject}/versions"
+    req = urllib.request.Request(
+        url, data=body, method="POST",
+        headers={"Content-Type":
+                 "application/vnd.schemaregistry.v1+json"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            doc = json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        raise AvroDecodeError(
+            f"schema registration failed ({url} -> HTTP {e.code}: "
+            f"{e.read()[:200]!r})") from e
+    except (urllib.error.URLError, OSError, ValueError) as e:
+        raise AvroDecodeError(
+            f"schema registration failed ({url}): {e}") from e
+    if "id" not in doc:
+        raise AvroDecodeError(
+            f"registry response carries no 'id': {sorted(doc)}")
+    return int(doc["id"])
+
+
 # --------------------------------------------------------------------------
 # Debezium envelope -> RAW_EVENT_SCHEMA
 # --------------------------------------------------------------------------

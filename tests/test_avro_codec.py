@@ -544,3 +544,114 @@ def test_spark_struct_to_avro_value_mappings():
     with pytest.raises(A.AvroSchemaError, match="no Avro mapping"):
         A.spark_struct_to_avro_value(T.StructType([
             T.StructField("m", T.MapType(T.StringType(), T.LongType()))]))
+
+
+def test_register_registry_schema():
+    """POST /subjects/<subject>/versions with the Confluent content
+    type; returns the assigned id; HTTP errors stay loud with the
+    endpoint and body excerpt."""
+    import http.server
+    import json as _json
+    import threading
+
+    posts = []
+
+    class _Registry(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            posts.append((self.path, self.headers.get("Content-Type"),
+                          _json.loads(self.rfile.read(n))))
+            if "bad" in self.path:
+                self.send_error(422)
+                return
+            body = b'{"id": 42}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Registry)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        sid = A.register_registry_schema(
+            url, "synch.db.orders-value", ENVELOPE)
+        assert sid == 42
+        path, ctype, body = posts[0]
+        assert path == "/subjects/synch.db.orders-value/versions"
+        assert ctype == "application/vnd.schemaregistry.v1+json"
+        assert _json.loads(body["schema"])["name"] == "Envelope"
+        with pytest.raises(A.AvroDecodeError, match="HTTP 422"):
+            A.register_registry_schema(url, "bad-subject", ENVELOPE)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_produce_sink_debezium_avro_contract(spark, tmp_path):
+    """produce --sink kafka with produce_format=debezium-avro: envelope
+    schemas auto-register against the configured registry (idempotent
+    server-side) and the payload ships through the raw binary writer;
+    without ids or a registry the config error is actionable. The
+    connector jar is absent in this container, so the contract is
+    verified up to the .save() classpath failure."""
+    import http.server
+    import json as _json
+    import threading
+
+    from pyspark.sql import types as T
+
+    from synch_spark.cli import _emit_to_sink
+    from synch_spark.events import RAW_EVENT_SCHEMA
+
+    posts = []
+
+    class _Registry(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            posts.append((self.path,
+                          _json.loads(self.rfile.read(n))))
+            body = _json.dumps({"id": 7 + len(posts)}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Registry)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    vschema = T.StructType([T.StructField("id", T.LongType())])
+    events = spark.createDataFrame(
+        [("db", "t", "insert", None, '{"id":1}', 1_000)],
+        RAW_EVENT_SCHEMA)
+    raw_cfg = {"spark": {
+        "kafka": {"bootstrap_servers": "localhost:9092",
+                  "produce_format": "debezium-avro",
+                  "avro_schema_registry":
+                      f"http://127.0.0.1:{srv.server_port}"},
+        "value_schemas": {"db.t": vschema.jsonValue()},
+    }}
+    try:
+        with pytest.raises(Exception) as ei:
+            _emit_to_sink(spark, raw_cfg, events, "kafka", "b0")
+        # registration happened BEFORE the classpath failure
+        assert posts and posts[0][0] == "/subjects/synch.db.t-value/versions"
+        assert "kafka" in str(ei.value).lower()
+        # no ids and no registry: actionable config error, no POSTs
+        raw_cfg["spark"]["kafka"].pop("avro_schema_registry")
+        with pytest.raises(SystemExit, match="produce_schema_ids"):
+            _emit_to_sink(spark, raw_cfg, events, "kafka", "b1")
+        # explicit ids skip the registry entirely
+        raw_cfg["spark"]["kafka"]["produce_schema_ids"] = {"db.t": 99}
+        n_posts = len(posts)
+        with pytest.raises(Exception):
+            _emit_to_sink(spark, raw_cfg, events, "kafka", "b2")
+        assert len(posts) == n_posts
+    finally:
+        srv.shutdown()
+        srv.server_close()
