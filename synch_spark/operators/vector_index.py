@@ -67,34 +67,25 @@ def ivf_refine(
     default double path is the fast production choice; exact mode is
     what the graded q136 entry and any recomputable-corpus recipe use.
     """
-    from synch_spark.operators.similarity import DEC, _dot_dec, _norm2_dec
+    from synch_spark.operators.similarity import DEC
 
     sample = corpus
     if sample_fraction < 1.0:
         sample = corpus.sample(fraction=sample_fraction, seed=7)
     for _ in range(iters):
         if exact:
-            from pyspark.sql import Window as _W
+            # reuse semantic_dedup's two-phase assignment (numpy GEMM
+            # candidate band + decimal rescore of survivors) — same
+            # exact-decimal argmax semantics as a brute-force K-way
+            # decimal join, at a fraction of the cost (the K·n
+            # interpreted decimal folds were this operator's dominant
+            # term at bench scale)
+            from synch_spark.operators.similarity import assign_to_centroids
 
-            v = sample.select(F.col(id_col).alias("id"),
-                              F.col(vec_col).alias("v"))
-            c = centroids.withColumn("_cn2", _norm2_dec(F.col("cvec")))
-            scored = v.join(F.broadcast(c)).withColumn(
-                "_sim",
-                _safe_div(
-                    _dot_dec(F.col("v"), F.col("cvec")).cast("double"),
-                    F.sqrt(_norm2_dec(F.col("v")).cast("double")
-                           * F.col("_cn2").cast("double")),
-                    -2.0,
-                ),
-            )
-            wa = _W.partitionBy("id").orderBy(F.col("_sim").desc(),
-                                              F.col("cid"))
-            assigned = (
-                scored.withColumn("_ar", F.row_number().over(wa))
-                .filter(F.col("_ar") == 1)
-                .select("id", "v", F.col("cid").alias("_cid"))
-            )
+            assigned = assign_to_centroids(
+                sample, centroids, vec_col, id_col
+            ).select(F.col("_id").alias("id"), F.col("_v").alias("v"),
+                     F.col("cid").alias("_cid"))
         else:
             assigned = ivf_assign(
                 sample.select(F.col(id_col).alias("id"),
