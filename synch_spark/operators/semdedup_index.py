@@ -88,6 +88,10 @@ class SemDedupIndex:
         semantic_dedup drops such vectors at the door)."""
         if feed.isEmpty():
             return
+        # materialize ONCE: a sync_from feed is a full-outer change-feed
+        # diff join, otherwise re-executed for changed_ids, the postimage
+        # assignment, and the delete side
+        feed = feed.localCheckpoint(eager=True)
         if "_commit_version" in feed.columns:
             # per-commit feeds can carry a delete AND a later re-insert
             # for one id; collapse to the LATEST change per id (same

@@ -165,6 +165,13 @@ def hyperplane_signature(
         # sequence(0, -1) DESCENDS (same gotcha as num_planes below):
         # num_tables=0 would silently fan every row into _tbl 0 AND -1
         raise ValueError(f"num_tables must be >= 1 (got {num_tables})")
+    if num_planes < 0 or num_planes > 63:
+        # negative: sequence DESCENDS and silently computes a wrong-width
+        # signature; >=64: the acc*2+bit fold overflows the signed-long
+        # signature under ANSI — both are config errors, say so
+        raise ValueError(
+            f"num_planes must be 0..63 (got {num_planes}): the signature "
+            "is a signed 64-bit fold")
     dim = F.size(F.col(vec_col))
     tables = F.explode(F.sequence(F.lit(0), F.lit(num_tables - 1))).alias("_tbl")
     out = df.select("*", tables)
@@ -684,6 +691,11 @@ def cosine_topk_quantized(
     recall is regression-tested against the exact operator). Output:
     (probe_id, neighbor_id, rank, cosine).
     """
+    # same door filter as every other top-k operator here: one NaN/Inf
+    # vector would otherwise CAST_OVERFLOW inside the int8 quantization
+    # under ANSI and kill the whole query
+    probes = probes.filter(_finite_vec(F.col(vec_col)))
+    corpus = corpus.filter(_finite_vec(F.col(vec_col)))
     p = quantize_embeddings(probes, vec_col, "_pq", "_ps").select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"), "_pq"
     )
@@ -892,12 +904,23 @@ def assign_to_centroids(
     # every centroid and the cid tiebreak assigns them exactly as the
     # single-phase code did.
     cent_rows = centroids.select("cid", "cvec").collect()  # K rows, tiny
+    if not cent_rows:
+        # np.einsum on a (0,)-shaped array raises an uninterpretable
+        # operand error far from the cause; say what actually happened
+        raise ValueError(
+            "assign_to_centroids: empty centroid set — build centroids "
+            "over a non-empty corpus (ivf_centroids / ivf_refine) first")
     cent_rows.sort(key=lambda r: r["cid"])
     cids_np = [r["cid"] for r in cent_rows]
     C = np.array([list(r["cvec"]) for r in cent_rows], dtype=np.float64)
     cnorm = np.sqrt(np.einsum("ij,ij->i", C, C))
-    cnorm_safe = np.where(cnorm > 0.0, cnorm, 1.0)
-    Cn = (C / cnorm_safe[:, None]).T  # d x K, zero centroids score 0
+    # undefined cosine: zero-norm AND non-finite centroids (a NaN
+    # component would otherwise poison R.max(axis=1) into NaN and the
+    # candidate mask ALL-FALSE — every vector silently dropped, which
+    # an index sync then interprets as mass deletion)
+    zero_c = ~((cnorm > 0.0) & np.isfinite(cnorm))
+    cnorm_safe = np.where(zero_c, 1.0, cnorm)
+    Cn = (C / cnorm_safe[:, None]).T  # d x K; bad centroids masked below
 
     v = df.filter(_finite_vec(F.col(vec_col))).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -905,7 +928,6 @@ def assign_to_centroids(
     id_t = df.schema[id_col].dataType.simpleString()
     cid_t = centroids.schema["cid"].dataType.simpleString()
     d = C.shape[1]
-    zero_c = cnorm <= 0.0  # undefined cosine: never a rough candidate
 
     def assign_gen(batches):
         for pdf in batches:

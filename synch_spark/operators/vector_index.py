@@ -192,6 +192,10 @@ class VectorIndex:
             )
         if feed.isEmpty():
             return  # a no-change feed must not trigger a fallback rewrite
+        # materialize ONCE: a sync_from feed is a full-outer change-feed
+        # diff join, and this method otherwise re-executes it for the
+        # postimage side, the delete side, and inside the merge
+        feed = feed.localCheckpoint(eager=True)
         if "_commit_version" in feed.columns:
             # a per-commit feed can carry BOTH a delete and a later
             # re-insert for one id; the synthesized merge events all tie
@@ -204,13 +208,20 @@ class VectorIndex:
                     .filter(F.col("_rn") == 1).drop("_rn", "_commit_version"))
         posts = feed.filter(
             F.col("_change_type").isin("insert", "update_postimage"))
+        from synch_spark.operators.similarity import _finite_vec
+
+        bad_post_ids = None
+        if vec_col:
+            # a NON-FINITE postimage can't be indexed (quantization would
+            # CAST_OVERFLOW under ANSI, search cosines are undefined) —
+            # but silently skipping it would leave the id's STALE vector
+            # in the index; route it into the delete set instead
+            bad_post_ids = posts.filter(~_finite_vec(F.col(vec_col))).select(
+                F.col(id_col))
         ins = posts.select(F.col(id_col).alias("id"),
                            F.col(vec_col).alias("v")) if vec_col else None
-        cents = self.centroids.read()
         if ins is not None:
-            assigned = ivf_assign(ins, cents, "v", "id", nprobe=1).select(
-                "id", "v", "_cid")
-            assigned = quantize_embeddings(assigned, "v", "_q", "_qs").drop("_qs")
+            assigned = self._assign_quantize(posts, vec_col, id_col)
             ins_ev = assigned.select(F.lit("insert").alias("action"),
                                      "id", "v", "_cid", "_q")
         else:
@@ -224,17 +235,25 @@ class VectorIndex:
         vt = schema["v"].dataType
         qt = schema["_q"].dataType
         ct = schema["_cid"].dataType
-        del_ev = (
-            feed.filter(F.col("_change_type") == "delete")
-            .select(F.lit("delete").alias("action"),
-                    F.col(id_col).alias("id"),
-                    F.lit(None).cast(vt).alias("v"),
-                    F.lit(None).cast(ct).alias("_cid"),
-                    F.lit(None).cast(qt).alias("_q"))
-        )
+        del_ids = feed.filter(F.col("_change_type") == "delete").select(
+            F.col(id_col))
+        if bad_post_ids is not None:
+            del_ids = del_ids.unionByName(bad_post_ids)
+        del_ev = del_ids.select(
+            F.lit("delete").alias("action"),
+            F.col(id_col).alias("id"),
+            F.lit(None).cast(vt).alias("v"),
+            F.lit(None).cast(ct).alias("_cid"),
+            F.lit(None).cast(qt).alias("_q"))
+        # deterministic tiebreak for a caller-built feed carrying BOTH a
+        # delete and an insert for one id (no _commit_version to collapse
+        # on): deletes take action_seq 0, inserts 1, so last-wins resolves
+        # delete-then-insert — the insert survives — on every run
+        del_ev = del_ev.withColumn("action_seq", F.lit(0))
+        if ins_ev is not None:
+            ins_ev = ins_ev.withColumn("action_seq", F.lit(1))
         ev = del_ev if ins_ev is None else ins_ev.unionByName(del_ev)
         ev = (ev.withColumn("event_unixtime", F.lit(0).cast("long"))
-                .withColumn("action_seq", F.lit(0))
                 .withColumn("schema", F.lit("_idx"))
                 .withColumn("table", F.lit("assignments")))
         spec = TableSpec(schema="_idx", table="assignments", pk=("id",),
@@ -283,16 +302,27 @@ class VectorIndex:
             self._cursor_path(), source_table.current_version(),
             build, apply)
 
-    def _append_assigned(self, df, vec_col, id_col, overwrite: bool) -> None:
+    def _assign_quantize(self, df, vec_col, id_col):
+        """ONE definition of the index row shape (id, v, _cid, _q):
+        finite-vector door filter (a NaN/Inf element would CAST_OVERFLOW
+        inside int8 quantization under ANSI and wedge the sync), assign
+        against the EXISTING centroids, quantize. Shared by build/add
+        and apply_changes so the schema can't silently diverge."""
+        from synch_spark.operators.similarity import _finite_vec
+
         cents = self.centroids.read()
         assigned = ivf_assign(
-            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            df.filter(_finite_vec(F.col(vec_col)))
+              .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
             cents,
             "v",
             "id",
             nprobe=1,
         ).select("id", "v", "_cid")
-        assigned = quantize_embeddings(assigned, "v", "_q", "_qs").drop("_qs")
+        return quantize_embeddings(assigned, "v", "_q", "_qs").drop("_qs")
+
+    def _append_assigned(self, df, vec_col, id_col, overwrite: bool) -> None:
+        assigned = self._assign_quantize(df, vec_col, id_col)
         if overwrite:
             self.assignments.overwrite(assigned, partition_by="_cid")
         else:
@@ -314,7 +344,13 @@ class VectorIndex:
         probe — the ranking scan reads a quarter of the vector bytes,
         finalists rescore exactly, so returned cosines are identical to
         the float path; only the finalist set is approximate."""
+        from synch_spark.operators.similarity import _finite_vec
+
         cents = self.centroids.read()
+        # garbage probes (NaN/Inf) have no defined neighbors: drop at the
+        # door like every similarity operator, instead of returning
+        # NULL-cosine junk rows
+        probes = probes.filter(_finite_vec(F.col(vec_col)))
         pb = ivf_assign(
             probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")),
             cents,

@@ -140,3 +140,119 @@ def test_avro_temporal_logicals_property(days, us):
         blob = _ref_encode(value, schema)
         assert A.avro_decode(blob, schema) == value, (value, schema)
         assert A.avro_encode(value, schema) == blob, (value, schema)
+
+
+# --------------------------------------------------------------------------
+# numeric-stack review regression tests (round-9 sweep)
+# --------------------------------------------------------------------------
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_quantized_topk_drops_nonfinite_instead_of_crashing(spark):
+    """One NaN/Inf vector previously CAST_OVERFLOWed inside the int8
+    quantization under ANSI and killed the whole query; it must drop at
+    the door like every other top-k operator."""
+    from synch_spark.operators.similarity import cosine_topk_quantized
+
+    nan = float("nan")
+    corpus = _emb_df(spark, [(1, [1.0, 0.0]), (2, [0.9, 0.1]),
+                             (3, [nan, 1.0])])
+    probes = _emb_df(spark, [(10, [1.0, 0.0]), (11, [float("inf"), 0.0])])
+    got = cosine_topk_quantized(corpus, probes, k=2).collect()
+    assert {r["probe_id"] for r in got} == {10}
+    assert {r["neighbor_id"] for r in got} == {1, 2}
+
+
+def test_assign_to_centroids_survives_nonfinite_centroid(spark):
+    """A NaN centroid column poisoned R.max into NaN and the candidate
+    mask ALL-FALSE — every vector silently dropped (an index sync then
+    reads that as mass deletion). Valid vectors must assign to the
+    finite centroids."""
+    from synch_spark.operators.similarity import assign_to_centroids
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [float("nan"), 1.0])],
+        "cid int, cvec array<float>")
+    vecs = _emb_df(spark, [(1, [1.0, 0.1]), (2, [0.5, 0.5]),
+                           (3, [0.0, 1.0])])
+    got = assign_to_centroids(vecs, cents).collect()
+    assert {r["_id"] for r in got} == {1, 2, 3}
+    assert all(r["cid"] == 0 for r in got), \
+        "everything assigns to the only finite centroid"
+
+
+def test_assign_to_centroids_empty_set_is_loud(spark):
+    from synch_spark.operators.similarity import assign_to_centroids
+
+    import pytest
+
+    cents = spark.createDataFrame([], "cid int, cvec array<float>")
+    with pytest.raises(ValueError, match="empty centroid set"):
+        assign_to_centroids(_emb_df(spark, [(1, [1.0, 0.0])]), cents)
+
+
+def test_hyperplane_signature_plane_count_validated(spark):
+    """64 planes overflowed the signed-long fold under ANSI; negative
+    counts silently computed a wrong-width signature via the descending
+    sequence — both are config errors and must say so."""
+    import pytest
+
+    from synch_spark.operators.similarity import hyperplane_signature
+
+    df = _emb_df(spark, [(1, [1.0, 0.0])])
+    for bad in (64, -1, 100):
+        with pytest.raises(ValueError, match="0..63"):
+            hyperplane_signature(df, "embedding", num_planes=bad)
+    # 63 (the max that fits) works
+    assert hyperplane_signature(df, "embedding", num_planes=63).count() == 1
+
+
+def test_vector_index_nonfinite_hygiene(spark, tmp_path):
+    """VectorIndex was the one similarity consumer missing the finite
+    door filter: build/add skip garbage vectors instead of wedging on
+    CAST_OVERFLOW; a non-finite POSTIMAGE removes the id's stale entry
+    (skipping it would leave the old vector searchable); garbage probes
+    drop from search."""
+    from synch_spark.operators.vector_index import VectorIndex
+
+    nan = float("nan")
+    idx = VectorIndex(spark, str(tmp_path / "vidx"), num_centroids=2)
+    idx.build(_emb_df(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+                              (3, [nan, nan])]))
+    stored = {r["id"] for r in idx.assignments.read().collect()}
+    assert stored == {1, 2}, "garbage vector must not be indexed"
+    idx.add(_emb_df(spark, [(4, [0.5, 0.5]), (5, [float("inf"), 1.0])]))
+    stored = {r["id"] for r in idx.assignments.read().collect()}
+    assert stored == {1, 2, 4}
+    # update postimage turns non-finite: the stale entry must LEAVE
+    feed = spark.createDataFrame(
+        [(1, [nan, 1.0], "update_postimage")],
+        "vec_id long, embedding array<float>, _change_type string")
+    idx.apply_changes(feed)
+    stored = {r["id"] for r in idx.assignments.read().collect()}
+    assert stored == {2, 4}, "non-finite postimage = remove from index"
+    probes = _emb_df(spark, [(10, [1.0, 0.0]), (11, [nan, 0.0])])
+    got = idx.search(probes, k=1, nprobe=2)
+    assert {r["probe_id"] for r in got.collect()} == {10}
+
+
+def test_vector_index_same_id_insert_and_delete_deterministic(spark,
+                                                              tmp_path):
+    """A caller-built feed (no _commit_version) carrying BOTH a delete
+    and an insert for one id previously tied at (event_unixtime=0,
+    action_seq=0) and resolved by shuffle order; the tiebreak is now
+    pinned delete-then-insert — the insert survives, every run."""
+    from synch_spark.operators.vector_index import VectorIndex
+
+    for attempt in range(3):
+        root = tmp_path / f"vidx{attempt}"
+        idx = VectorIndex(spark, str(root), num_centroids=2)
+        idx.build(_emb_df(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])]))
+        feed = spark.createDataFrame(
+            [(1, None, "delete"), (1, [0.9, 0.1], "insert")],
+            "vec_id long, embedding array<float>, _change_type string")
+        idx.apply_changes(feed)
+        rows = {r["id"]: r for r in idx.assignments.read().collect()}
+        assert 1 in rows, "insert must win the in-feed tie on every run"
+        assert [round(x, 3) for x in rows[1]["v"]] == [0.9, 0.1]
