@@ -324,8 +324,14 @@ def main() -> None:
             _IDLE_PAR32 = float(mine["par32_s"])
     except (OSError, ValueError, KeyError, TypeError):
         pins_doc = {}
-    obs_spin = min(calib_pre["spin_s"], calib_post["spin_s"])
-    obs_par32 = min(calib_pre["par32_s"], calib_post["par32_s"])
+    # tighten from PRE probes only: the post probe runs inside a warm,
+    # GC-settling JVM right after ~150s of full-throttle work and is
+    # systematically 1.3-2x the true idle figure — folding it into the
+    # pin is fine (min() ignores it), but GATING it at pre-tightness
+    # made promotion impossible the moment one genuinely idle run
+    # tightened the pin (observed: pin 0.203, every post probe >= 0.26)
+    obs_spin = calib_pre["spin_s"]
+    obs_par32 = calib_pre["par32_s"]
     new_spin = min(_IDLE_SPIN, obs_spin)
     new_par32 = min(_IDLE_PAR32, obs_par32)
     if pins_doc.get(host) != {"spin_s": round(new_spin, 4),
@@ -337,9 +343,14 @@ def main() -> None:
                 json.dump(pins_doc, f, indent=1, sort_keys=True)
         except OSError:
             pass
-    calib_clean = all(
-        c["spin_s"] <= _IDLE_SPIN * 1.3 and c["par32_s"] <= _IDLE_PAR32 * 1.3
-        for c in (calib_pre, calib_post))
+    # pre gates tight (the run started on an idle machine); post gates
+    # loose — it exists to catch GROSS mid-run contention (another
+    # process landing), not JVM teardown noise
+    calib_clean = (
+        calib_pre["spin_s"] <= _IDLE_SPIN * 1.3
+        and calib_pre["par32_s"] <= _IDLE_PAR32 * 1.3
+        and calib_post["spin_s"] <= _IDLE_SPIN * 2.0
+        and calib_post["par32_s"] <= _IDLE_PAR32 * 2.0)
     # sf gate: a serial run at a DIFFERENT scale factor (sf0.001 smoke,
     # a local sf0.01 iteration) must never clobber the committed base —
     # the base is only comparable at the driver's grading sf (0.1)
