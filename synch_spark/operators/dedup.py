@@ -40,10 +40,25 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def duplicate_stats(df: DataFrame, text_col: str) -> DataFrame:
+    # countDistinct skips NULLs, but NULL-text docs are still one
+    # content group — without the sentinel a corpus of 5 null docs
+    # reported n_docs=5, n_unique=0 (five duplicates of nothing)
     return df.select(fingerprint(text_col).alias("_k")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("_k").alias("n_unique"),
+        F.countDistinct(
+            F.coalesce(F.col("_k"), F.lit("__null__"))).alias("n_unique"),
     )
+
+
+def _check_band_config(num_hashes: int, bands: int) -> None:
+    """Shared LSH banding validation: bands > num_hashes makes
+    rows_per_band 0 (bare ZeroDivisionError three lines later),
+    bands < 1 divides by zero immediately — say what the constraint is."""
+    if not (1 <= bands <= num_hashes):
+        raise ValueError(
+            f"bands must satisfy 1 <= bands <= num_hashes "
+            f"(got bands={bands}, num_hashes={num_hashes})"
+        )
 
 
 # --- shingling ----------------------------------------------------------
@@ -271,6 +286,7 @@ def lsh_candidate_pairs(
     buckets measured during the SAME job (no second pass):
     ``obs.get["dropped_buckets"]`` after an action.
     """
+    _check_band_config(num_hashes, bands)
     rows_per_band = num_hashes // bands
     sh = shingles(df, text_col, id_col, shingle_n, distinct=False)
     # WIDE signature aggregation: all num_hashes mins in ONE groupBy(id)
@@ -458,6 +474,15 @@ def cluster_duplicates(
         labels = stepped
         if changed == 0:
             break
+    else:
+        # a component whose diameter exceeds the propagation budget
+        # would SILENTLY split one near-dup cluster into several —
+        # keep-best would retain multiple copies and leakage_safe_split
+        # would let the cluster straddle train/val. Loud beats wrong.
+        raise RuntimeError(
+            f"cluster_duplicates did not converge within max_iters="
+            f"{max_iters} label-propagation rounds (a component's "
+            "diameter exceeds the budget); raise max_iters")
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

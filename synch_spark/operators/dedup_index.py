@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from synch_spark.operators.dedup import shingles
+from synch_spark.operators.dedup import _check_band_config, shingles
 from synch_spark.sources.table import ParquetTable
 
 
@@ -68,14 +68,6 @@ def n_band_ids(num_hashes: int = 8, bands: int = 4) -> int:
     _check_band_config(num_hashes, bands)
     rows_per_band = num_hashes // bands
     return (num_hashes + rows_per_band - 1) // rows_per_band
-
-
-def _check_band_config(num_hashes: int, bands: int) -> None:
-    if not (1 <= bands <= num_hashes):
-        raise ValueError(
-            f"bands must satisfy 1 <= bands <= num_hashes "
-            f"(got bands={bands}, num_hashes={num_hashes})"
-        )
 
 
 def buckets_of_signatures(
@@ -148,31 +140,92 @@ class DedupIndex:
             df, text_col, id_col, self.num_hashes, self.shingle_n
         )
 
-    def _write(self, sig: DataFrame, overwrite: bool) -> None:
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.normpath(
+            os.path.join(self.table.root, os.pardir, "_index_meta.json"))
+
+    def _check_meta(self, write: bool = False) -> None:
+        """Persist/validate the LSH parameters against the stored
+        tables: an index built with num_hashes=16 reopened with the
+        default 8 computes bucket keys that NEVER match the stored ones
+        — every duplicate silently admitted, deletes expanded over the
+        wrong seed/band domains. Loud beats silently-disabled dedup."""
+        import json as _json
+        import os
+
+        mine = {"num_hashes": self.num_hashes, "bands": self.bands,
+                "shingle_n": self.shingle_n}
+        path = self._meta_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = _json.load(f)
+            if stored != mine:
+                raise ValueError(
+                    f"DedupIndex parameter mismatch at {path}: stored "
+                    f"{stored}, this instance {mine} — reopen with the "
+                    "stored parameters or rebuild the index")
+        elif write:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp"
+            with open(tmp, "w") as f:
+                _json.dump(mine, f)
+            os.replace(tmp, path)
+
+    def _write(self, sig: DataFrame, overwrite: bool,
+               all_ids: DataFrame | None = None) -> None:
         """Persist a batch's signatures and the buckets derived from them.
         ``sig`` is cached for the duration so the shingle/md5 pipeline
         runs exactly once per document (the two writes share one
-        computation), keeping both tables derivation-consistent."""
+        computation), keeping both tables derivation-consistent.
+
+        ``all_ids`` (the batch's full id set): ids with NO signature
+        rows — text shorter than shingle_n, or NULL — get a presence
+        MARKER row (seed=-1, h=null) so ingest's at-least-once
+        idempotency covers them (they never make bucket rows, so the
+        bucket table can't witness them).
+
+        Write order is buckets FIRST: ingest's known-set derives from
+        the signature store, so a crash between the two commits makes
+        the redelivery re-admit the batch and re-append bucket rows —
+        duplicate bucket rows only degrade to duplicate candidate pairs
+        (check() distincts them); the signatures-first order would
+        instead SKIP the redelivery and leave the docs unbucketed, a
+        silent permanent dedup miss."""
+        self._check_meta(write=True)
         sig = sig.persist()
         try:
+            if all_ids is not None:
+                markers = (all_ids.select(F.col("id"))
+                           .join(sig.select("id").distinct(), "id",
+                                 "left_anti")
+                           .select("id",
+                                   F.lit(-1).cast("int").alias("seed"),
+                                   F.lit(None).cast("string").alias("h")))
+                sig_out = sig.unionByName(markers)
+            else:
+                sig_out = sig
             buckets = buckets_of_signatures(sig, self.num_hashes, self.bands)
             if overwrite:
-                self.signatures.overwrite(sig)
                 self.table.overwrite(buckets, partition_by="band")
+                self.signatures.overwrite(sig_out)
             else:
-                self.signatures.append(sig)
                 self.table.append(buckets, partition_by="band")
+                self.signatures.append(sig_out)
         finally:
             sig.unpersist()
 
     def build(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> None:
         """(Re)build the index from a full corpus — buckets partitioned by
         band so per-band joins prune to 1/bands of the index."""
-        self._write(self._sig(df, text_col, id_col), overwrite=True)
+        self._write(self._sig(df, text_col, id_col), overwrite=True,
+                    all_ids=df.select(F.col(id_col).alias("id")))
 
     def add(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> None:
         """Append a new batch's signatures+buckets (call after admitting)."""
-        self._write(self._sig(df, text_col, id_col), overwrite=False)
+        self._write(self._sig(df, text_col, id_col), overwrite=False,
+                    all_ids=df.select(F.col(id_col).alias("id")))
 
     def remove(self, ids: DataFrame, id_col: str = "doc_id") -> None:
         """Un-index documents by id (retractions, takedowns, CDC
@@ -199,24 +252,49 @@ class DedupIndex:
 
         if feed.isEmpty():
             return  # a no-change feed must not trigger a fallback rewrite
+        self._check_meta()
+        # materialize ONCE: a sync_from feed is a full-outer change-feed
+        # diff join, otherwise re-executed for the postimage signatures
+        # and both stores' delete sides
+        feed = feed.localCheckpoint(eager=True)
         if "_commit_version" in feed.columns:
             # per-commit feeds can carry a delete AND a later re-insert
             # for one id; the synthesized merge events tie on their
-            # stamps, so collapse to the LATEST change per id first
+            # stamps, so collapse to the LATEST change per id first.
+            # WITHIN one commit a delete and an insert can also coexist
+            # (key migration): rank the surviving row deterministically
+            # — the insert/postimage wins, matching the table's end
+            # state, never shuffle order
             from pyspark.sql import Window
 
+            rank = F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                1).otherwise(0)
             w = Window.partitionBy(id_col).orderBy(
-                F.col("_commit_version").desc())
+                F.col("_commit_version").desc(), rank.desc())
             feed = (feed.filter(F.col("_change_type") != "update_preimage")
                     .withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1).drop("_rn", "_commit_version"))
         posts = feed.filter(
             F.col("_change_type").isin("insert", "update_postimage"))
-        dels = feed.filter(F.col("_change_type") == "delete").select(
+        # REPLACE semantics need delete events for EVERY changed id, not
+        # just explicit deletes: a postimage whose new text yields no
+        # shingles (shorter than shingle_n, or NULL) produces ZERO new
+        # signature/bucket rows, and without the paired deletes its OLD
+        # rows would stay live forever — the index would keep matching
+        # text that no longer exists. Inserts outrank the paired deletes
+        # via action_seq below, so (id, seed) keys with a new row are a
+        # replace and keys without one are a removal.
+        dels = feed.filter(F.col("_change_type").isin(
+            "delete", "insert", "update_postimage")).select(
             F.col(id_col).alias("id")).distinct()
         sig_ins = (self._sig(posts, text_col, id_col)
                    if text_col is not None else None)
-        seeds = self.spark.range(self.num_hashes).select(
+        # seed -1 is the presence MARKER row a shingle-less admitted doc
+        # carries in the signature store (see _write) — the delete
+        # expansion must cover it or a removed short doc stays "known"
+        # to ingest forever
+        seeds = self.spark.range(-1, self.num_hashes).select(
             F.col("id").cast("int").alias("seed"))
         # the TRUE band-id domain, not self.bands: with a non-divisible
         # config (10 hashes / 4 bands) buckets_of_signatures emits band
@@ -233,11 +311,18 @@ class DedupIndex:
                 parts.append(ins.select(F.lit("insert").alias("action"), *cols))
             parts.append(del_expanded.select(
                 F.lit("delete").alias("action"), *cols))
+            # deletes take action_seq 0, inserts 1: last-wins resolves
+            # the paired delete+insert per key as a REPLACE — and a
+            # caller-built feed carrying both a delete and an insert for
+            # one id resolves deterministically instead of by shuffle
+            # order
             ev = parts[0]
             for p in parts[1:]:
                 ev = ev.unionByName(p)
             return (ev.withColumn("event_unixtime", F.lit(0).cast("long"))
-                      .withColumn("action_seq", F.lit(0))
+                      .withColumn(
+                          "action_seq",
+                          F.when(F.col("action") == "insert", 1).otherwise(0))
                       .withColumn("schema", F.lit("_idx"))
                       .withColumn("table", F.lit("dedup")))
 
@@ -308,7 +393,8 @@ class DedupIndex:
         estimate of their shingle-set Jaccard. Reads ONLY the signature
         store (plus ``extra_sig`` rows for ids not yet indexed) — no
         shingling, no text. One shuffle keyed on id."""
-        sig = self.signatures.read() if self.signatures.exists else None
+        sig = (self.signatures.read().filter(F.col("seed") >= 0)
+               if self.signatures.exists else None)
         if extra_sig is not None:
             if sig is None:
                 sig = extra_sig
@@ -347,23 +433,47 @@ class DedupIndex:
         text_col: str = "text",
         id_col: str = "doc_id",
         min_est_jaccard: float | None = None,
+        max_bucket_size: int = 1024,
     ) -> DataFrame:
         """Near-dup candidates of the incoming batch against the index AND
         within the batch itself: (new_id, dup_of). dup_of < new_id for
         in-batch pairs; index matches return the indexed id. With
         ``min_est_jaccard`` set, LSH candidates are refined by signature
         agreement and the output carries an ``est_jaccard`` column —
-        banding gives recall, the rescore restores precision."""
+        banding gives recall, the rescore restores precision.
+
+        ``max_bucket_size`` caps the quadratic hot-bucket blowup exactly
+        like lsh_candidate_pairs: a degenerate bucket (boilerplate,
+        empty docs) that accumulated 10^6 members in the persisted index
+        would otherwise fan the join out m x 10^6 per batch. Buckets
+        above the cap — on the index side or in the batch — are dropped
+        from candidate generation (their members collide with
+        near-everything; true near-dups still surface via their other,
+        selective bands — the lsh_candidate_pairs contract)."""
+        self._check_meta()
         # eager checkpoint: the batch signature pipeline (shingle + k*md5)
         # runs once, and every derived plan reads the materialized blocks
         sig = self._sig(df, text_col, id_col).localCheckpoint(eager=True)
         incoming = buckets_of_signatures(sig, self.num_hashes, self.bands)
+        hot_batch = (incoming.groupBy("band", "bucket").count()
+                     .filter(F.col("count") > max_bucket_size)
+                     .select("band", "bucket"))
+        incoming = incoming.join(hot_batch, ["band", "bucket"], "left_anti")
         index = self.table.read() if self.table.exists else None
         vs_index = None
         if index is not None:
+            # count only the buckets the batch actually touches (semi-
+            # join prunes the index scan to relevant (band, bucket)s)
+            relevant = index.join(
+                incoming.select("band", "bucket").distinct(),
+                ["band", "bucket"], "left_semi")
+            hot_idx = (relevant.groupBy("band", "bucket").count()
+                       .filter(F.col("count") > max_bucket_size)
+                       .select("band", "bucket"))
             vs_index = (
                 incoming.join(
-                    index.withColumnRenamed("id", "dup_of"), ["band", "bucket"]
+                    relevant.join(hot_idx, ["band", "bucket"], "left_anti")
+                    .withColumnRenamed("id", "dup_of"), ["band", "bucket"]
                 )
                 .filter(F.col("id") != F.col("dup_of"))
                 .select(F.col("id").alias("new_id"), "dup_of")
@@ -392,8 +502,13 @@ class DedupIndex:
         at-least-once ingest case), then index the survivors. Returns the
         admitted rows."""
         fresh = df
-        if self.table.exists:
-            known = self.table.read().select(F.col("id").alias(id_col)).distinct()
+        if self.signatures.exists:
+            # the SIGNATURE store is the presence witness: shingle-less
+            # docs never make bucket rows, but _write gives every
+            # admitted id at least a marker row here — so at-least-once
+            # redelivery is a no-op for them too
+            known = self.signatures.read().select(
+                F.col("id").alias(id_col)).distinct()
             fresh = df.join(known, id_col, "left_anti")
         dups = self.check(fresh, text_col, id_col).select(
             F.col("new_id").alias(id_col)

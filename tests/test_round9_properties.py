@@ -256,3 +256,155 @@ def test_vector_index_same_id_insert_and_delete_deterministic(spark,
         rows = {r["id"]: r for r in idx.assignments.read().collect()}
         assert 1 in rows, "insert must win the in-feed tie on every run"
         assert [round(x, 3) for x in rows[1]["v"]] == [0.9, 0.1]
+
+
+# --------------------------------------------------------------------------
+# dedup-stack review regression tests (round-9 sweep)
+# --------------------------------------------------------------------------
+LONG_A = "the quick brown fox jumps over the lazy dog again and again"
+LONG_B = "the quick brown fox jumps over the lazy dog again and AGAIN!"
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_index_short_postimage_removes_stale_rows(spark, tmp_path):
+    """An update whose new text has fewer than shingle_n tokens emits
+    ZERO new signature/bucket rows — without paired deletes the OLD
+    rows stayed live forever and the index kept matching text that no
+    longer exists."""
+    from synch_spark.operators.dedup_index import DedupIndex
+
+    idx = DedupIndex(spark, str(tmp_path / "dix"))
+    idx.build(_docs_df(spark, [(1, LONG_A), (2, "unrelated words entirely here")]))
+    # doc 1's text shrinks below shingle_n
+    feed = spark.createDataFrame([(1, "x", "update_postimage")],
+                                 "doc_id long, text string, _change_type string")
+    idx.apply_changes(feed)
+    assert idx.table.read().filter("id = 1").count() == 0, \
+        "stale bucket rows must leave with the shrunk text"
+    assert idx.signatures.read().filter(
+        "id = 1 AND seed >= 0").count() == 0
+    # a new doc resembling the OLD text must NOT be flagged against 1
+    dups = idx.check(_docs_df(spark, [(9, LONG_B)])).collect()
+    assert all(r["dup_of"] != 1 for r in dups)
+
+
+def test_dedup_index_infeed_delete_insert_deterministic(spark, tmp_path):
+    """A caller-built feed with BOTH a delete and an insert for one id
+    previously tied at (0,0) stamps and resolved by shuffle order; the
+    insert must now win on every run."""
+    from synch_spark.operators.dedup_index import DedupIndex
+
+    for attempt in range(3):
+        idx = DedupIndex(spark, str(tmp_path / f"dix{attempt}"))
+        idx.build(_docs_df(spark, [(1, LONG_A)]))
+        feed = spark.createDataFrame(
+            [(1, None, "delete"), (1, LONG_B, "insert")],
+            "doc_id long, text string, _change_type string")
+        idx.apply_changes(feed)
+        sig = idx.signatures.read().filter("id = 1 AND seed >= 0")
+        assert sig.count() == idx.num_hashes, \
+            "insert must win the in-feed tie on every run"
+        assert idx.table.read().filter("id = 1").count() > 0
+
+
+def test_dedup_index_parameter_drift_is_loud(spark, tmp_path):
+    """Reopening an index with different LSH parameters silently
+    disabled dedup (bucket keys never match) — it must refuse."""
+    import pytest
+
+    from synch_spark.operators.dedup_index import DedupIndex
+
+    root = str(tmp_path / "dix")
+    DedupIndex(spark, root, num_hashes=16, bands=4).build(
+        _docs_df(spark, [(1, LONG_A)]))
+    reopened = DedupIndex(spark, root, num_hashes=8, bands=4)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        reopened.check(_docs_df(spark, [(2, LONG_B)]))
+    # same parameters reopen fine
+    ok = DedupIndex(spark, root, num_hashes=16, bands=4)
+    assert ok.check(_docs_df(spark, [(2, LONG_B)])).count() > 0
+
+
+def test_dedup_index_short_doc_redelivery_is_noop(spark, tmp_path):
+    """Docs below shingle_n produce no bucket rows, so the old
+    bucket-derived known-set re-admitted them on every at-least-once
+    redelivery; the signature-store marker must make redelivery a
+    no-op."""
+    from synch_spark.operators.dedup_index import DedupIndex
+
+    idx = DedupIndex(spark, str(tmp_path / "dix"))
+    batch = _docs_df(spark, [(1, LONG_A), (2, "hi there")])
+    first = idx.ingest(batch)
+    assert {r["doc_id"] for r in first.collect()} == {1, 2}
+    again = idx.ingest(batch)  # crash-redelivery of the SAME batch
+    assert again.count() == 0, "redelivery is a no-op, not a re-admit"
+    # a removed short doc can be re-ingested (marker rows expand into
+    # the delete too)
+    idx.remove(spark.createDataFrame([(2,)], "doc_id long"))
+    third = idx.ingest(_docs_df(spark, [(2, "hi there")]))
+    assert {r["doc_id"] for r in third.collect()} == {2}
+
+
+def test_dedup_index_check_caps_hot_buckets(spark, tmp_path):
+    """A degenerate bucket over the cap must drop from candidate
+    generation (both in-batch and vs-index) instead of fanning out
+    quadratically — the lsh_candidate_pairs contract, now shared by
+    the persisted index."""
+    from synch_spark.operators.dedup_index import DedupIndex
+
+    idx = DedupIndex(spark, str(tmp_path / "dix"))
+    same = [(i, LONG_A) for i in range(1, 7)]  # 6 identical docs
+    idx.build(_docs_df(spark, same))
+    batch = _docs_df(spark, [(100, LONG_A), (101, LONG_A)])
+    # cap below the INDEX bucket population: vs-index candidates
+    # vanish; the batch's own 2-member bucket is under the cap, so the
+    # in-batch pair legitimately survives
+    capped = idx.check(batch, max_bucket_size=3).collect()
+    assert {(r["new_id"], r["dup_of"]) for r in capped} == {(101, 100)}
+    # in-batch cap engages too when the batch itself is degenerate
+    big_batch = _docs_df(spark, [(200 + i, LONG_A) for i in range(6)])
+    assert idx.check(big_batch, max_bucket_size=3).count() == 0
+    # default cap: full candidates
+    assert idx.check(batch).count() > 2
+
+
+def test_lsh_candidate_pairs_band_config_validated(spark):
+    import pytest
+
+    from synch_spark.operators.dedup import lsh_candidate_pairs
+
+    df = _docs_df(spark, [(1, LONG_A)])
+    with pytest.raises(ValueError, match="bands must satisfy"):
+        lsh_candidate_pairs(df, "text", "doc_id", num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="bands must satisfy"):
+        lsh_candidate_pairs(df, "text", "doc_id", num_hashes=8, bands=0)
+
+
+def test_cluster_duplicates_nonconvergence_is_loud(spark):
+    """A component whose diameter exceeds the propagation budget must
+    raise instead of silently splitting one cluster into several."""
+    import pytest
+
+    from synch_spark.operators.dedup import cluster_duplicates
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_duplicates(chain, max_iters=2, local_threshold=0)
+    # ample budget converges to ONE cluster
+    labels = cluster_duplicates(chain, max_iters=40, local_threshold=0)
+    assert labels.select("cluster_id").distinct().count() == 1
+
+
+def test_duplicate_stats_counts_null_text_group(spark):
+    from synch_spark.operators.dedup import duplicate_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a"), (4, "a")],
+        "doc_id long, text string")
+    row = duplicate_stats(df, "text").collect()[0]
+    assert row["n_docs"] == 4
+    assert row["n_unique"] == 2, "null text is ONE content group"
