@@ -106,7 +106,12 @@ def _apply_merging(
             from synch_spark.sources.table import ConcurrentWriteError
 
             try:
-                table.overwrite(upserts, spec.partition_by)
+                # expected_base=-1: the bootstrap must CREATE version 0.
+                # Unpinned, a racer's just-committed v0 would become the
+                # sampled base and its batch silently truncated — the
+                # loser-falls-through comment below would never trigger
+                table.overwrite(upserts, spec.partition_by,
+                                expected_base=-1)
                 return
             except ConcurrentWriteError:
                 # two consumers raced the FIRST batch: the loser falls
@@ -282,7 +287,14 @@ def _classify_files(table, changed_keys, upserts, part, pk):
     keys = [r[0] for r in changed_keys.select(pk[0]).distinct().collect()]
     if not keys or any(k is None for k in keys):
         return None
-    sk = sorted(keys)
+    try:
+        # the sort is as fallible as the range comparisons below: batch
+        # keys of heterogeneous Python types (a mid-stream type widening
+        # can mix str/int) raise TypeError — degrade to the probe/full
+        # merge like every other unprovable case, don't crash the stream
+        sk = sorted(keys)
+    except TypeError:
+        return None
     # stats from the manifest log replace the per-file parquet-footer
     # storm (files are immutable, ranges ride in the log entry that
     # added them); any file missing from it falls back to its footer
@@ -372,7 +384,12 @@ def _merge_cow_probe(table, current, changed_keys, upserts, spec, base=None):
     (partition, pk) semi-join probe and rewrite them whole."""
     part, pk = spec.partition_by, spec.pk
     touched_rows = (
-        current.select(part, *pk)
+        # dict.fromkeys: when the partition column IS a pk column
+        # (dedup_index buckets: pk=(id, band), partition_by=band) a
+        # plain (part, *pk) projection duplicates it and the pk join
+        # dies with AMBIGUOUS_REFERENCE — the fallback must fall back,
+        # not crash the stream
+        current.select(*dict.fromkeys([part, *pk]))
         .join(F.broadcast(changed_keys), list(pk), "left_semi")
         .select(part)
         .unionByName(upserts.select(part))
@@ -387,8 +404,13 @@ def _merge_cow_probe(table, current, changed_keys, upserts, spec, base=None):
         cond = cond | F.col(part).isNull()
     affected = current.filter(cond)  # partition-pruned scan
     kept = affected.join(F.broadcast(changed_keys), list(pk), "left_anti")
-    table.overwrite_cow(kept.unionByName(upserts.select(*current.columns)),
-                        part, vals, expected_base=base)
+    replacement = kept.unionByName(upserts.select(*current.columns))
+    # same splinter-file guard as every other CoW path: without the
+    # coalesce the rewrite lands as ~shuffle-partitions files per batch
+    # (one task per touched partition, floored by the upsert volume)
+    table.overwrite_cow(
+        replacement.coalesce(_rewrite_width(vals, upserts)),
+        part, vals, expected_base=base)
 
 
 def _apply_collapsing(
@@ -443,11 +465,17 @@ def compact_table(
     # row change, so their compactions stay unmarked.
     row_preserving = spec.engine in (Engine.MERGE_TREE,
                                      Engine.REPLACING_MERGE_TREE)
+    # pin the base BEFORE reading: compaction reads a snapshot and then
+    # runs a long re-layout job; an unpinned overwrite would sample its
+    # base at COMMIT time and silently revert any merge that landed in
+    # between (lost update, no ConcurrentWriteError) — the exact hazard
+    # overwrite()'s docstring warns about
+    base = table.current_version()
     if spec.engine in (Engine.COLLAPSING_MERGE_TREE, Engine.VERSIONED_COLLAPSING_MERGE_TREE):
         # one table.read(): read_current_state would build the same
         # reconciled-read plan a second time just to recover the stored
         # column order — inline its collapsing branch over one df
-        df = table.read()
+        df = table.read(base)
         cols = df.columns
         version = (spec.version_column
                    if spec.engine == Engine.VERSIONED_COLLAPSING_MERGE_TREE
@@ -466,20 +494,24 @@ def compact_table(
             .select(*cols)
         )
     else:
-        state = read_current_state(table, spec)
+        # pinned read (not read_current_state): the snapshot must be the
+        # SAME version the expected_base commit guards
+        state = engines.engine_view(table.read(base), spec)
     if zorder:
         from synch_spark.sources.table import zorder_layout
 
         # zorder_layout range-partitions + sorts by the interleaved key;
         # overwrite preserves that file layout (no cluster_by re-sort)
         table.overwrite(zorder_layout(state, list(zorder)), spec.partition_by,
-                        data_change=not row_preserving, op="optimize")
+                        data_change=not row_preserving, op="optimize",
+                        expected_base=base)
         _refresh_blooms(table, spec)
         return
     # re-cluster on pk so post-compaction files have tight, disjoint pk
     # ranges — restores file-level merge pruning degraded by appends
     table.overwrite(state, spec.partition_by, cluster_by=spec.pk or None,
-                    data_change=not row_preserving, op="optimize")
+                    data_change=not row_preserving, op="optimize",
+                    expected_base=base)
     _refresh_blooms(table, spec)
 
 

@@ -889,7 +889,11 @@ class ParquetTable:
             return {}
         snap = self.snapshot()
         wanted = (
-            None if values is None else {None if x is None else str(x) for x in values}
+            # _part_str, not str(): plain str() writes 'True' where the
+            # Hive directory says 'true' — boolean partitions would
+            # never match (the helper's own documented hazard)
+            None if values is None
+            else {None if x is None else _part_str(x) for x in values}
         )
         prefix = f"{partition_by}="
         out: dict[str, list[str]] = {}
@@ -1048,7 +1052,12 @@ class ParquetTable:
         v = self.current_version()
         if v < 0:
             try:
-                self.overwrite(df, partition_by, epoch=epoch)
+                # expected_base=-1: the bootstrap must CREATE version 0;
+                # without the pin a racer's just-created v0 would be the
+                # sampled base and its rows silently truncated instead
+                # of surfacing ConcurrentWriteError -> append fallback
+                self.overwrite(df, partition_by, epoch=epoch,
+                               expected_base=-1)
                 return
             except ConcurrentWriteError:
                 # another writer created version 0 between the check and
@@ -1063,6 +1072,16 @@ class ParquetTable:
         rels = self._promote_files(staging)
         add = {r: {} for r in rels}
         for attempt in range(8):
+            # re-check the epoch EVERY iteration: two concurrent replays
+            # of one micro-batch can both pass the entry check, and the
+            # loser's retry would otherwise re-commit the same rows
+            # against the winner's head — doubled signed rows, the exact
+            # corruption the marker exists to prevent
+            # including attempt 0: the entry check ran BEFORE the staging
+            # write (a long job), so a clean-interleaving replay can have
+            # committed since without this writer ever seeing a conflict
+            if epoch is not None and self._epoch_applied(epoch):
+                break  # fall through to the staged-file cleanup below
             base = self.current_version()
             snap = self.snapshot(base) if base >= 0 else None
             entry = self._make_entry(base + 1, add, [], snap, op="append",
@@ -1072,15 +1091,24 @@ class ParquetTable:
                 return
             except ConcurrentWriteError:
                 time.sleep(0.02 * (2**attempt) * (0.5 + random.random()))
+        else:
+            if epoch is None or not self._epoch_applied(epoch):
+                for r in rels:
+                    try:
+                        os.remove(self._abs(r))
+                    except OSError:
+                        pass
+                raise ConcurrentWriteError(
+                    f"table {self.root}: append lost the commit race 8 times"
+                )
+        # duplicate-epoch exit: the rows are already committed by the
+        # concurrent replay — drop this attempt's staged files
         for r in rels:
             try:
                 os.remove(self._abs(r))
             except OSError:
                 pass
-        raise ConcurrentWriteError(
-            f"table {self.root}: append lost the commit race 8 times"
-        )
-
+        return
     def vacuum(self, staging_ttl_s: float = 3600.0) -> int:
         """Remove crash debris: ``.staging-*`` dirs and ``_v/.tmp-*``
         files older than the TTL (a writer that died mid-prepare leaves
@@ -1105,6 +1133,17 @@ class ParquetTable:
         # its sweep, not crash on the first raced entry
         for name in os.listdir(self.root):
             path = os.path.join(self.root, name)
+            if name.startswith("_CURRENT.tmp-") and os.path.isfile(path):
+                # pointer-hint debris: a writer that died between writing
+                # the tmp hint and os.replace leaves these in the root
+                # forever; same TTL discipline as the staging dirs
+                try:
+                    if os.path.getmtime(path) < cutoff:
+                        os.remove(path)
+                        removed += 1
+                except OSError:
+                    pass
+                continue
             if name.startswith(".staging-") and os.path.isdir(path):
                 try:
                     expired = os.path.getmtime(path) < cutoff

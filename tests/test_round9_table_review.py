@@ -1,0 +1,186 @@
+"""Round-9 manifest-store/CDC-apply review regressions: the commit
+protocol's lost-update windows (unpinned bootstrap/compaction
+overwrites, epoch re-check in the append retry loop) and the CoW probe
+fallback's crash shapes."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from synch_spark.config import Engine, TableSpec
+from synch_spark.operators.cdc_apply import (
+    _merge_cow_probe,
+    apply_cdc_batch,
+    compact_table,
+)
+from synch_spark.sources.table import ConcurrentWriteError, ParquetTable
+
+
+def _df(spark, rows, schema="id long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_compact_table_detects_concurrent_merge(spark, tmp_path):
+    """Compaction reads a snapshot, then runs a long re-layout job; a
+    merge landing in between was silently REVERTED (its committed rows
+    vanished with no error). The overwrite is now pinned to the read
+    version, so the race surfaces as ConcurrentWriteError and the
+    interloper's rows survive."""
+    root = str(tmp_path / "t")
+    table = ParquetTable(spark, root)
+    spec = TableSpec(schema="db", table="t", pk=("id",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    orig = table.overwrite
+    fired = {}
+
+    def racy_overwrite(*a, **k):
+        if not fired:
+            fired["x"] = True
+            ParquetTable(spark, root).append(_df(spark, [(9, "mid")]))
+        return orig(*a, **k)
+
+    table.overwrite = racy_overwrite
+    with pytest.raises(ConcurrentWriteError):
+        compact_table(table, spec)
+    table.overwrite = orig
+    got = {r["id"] for r in table.read().collect()}
+    assert 9 in got, "the concurrent merge's row must survive compaction"
+
+
+def test_append_epoch_recheck_prevents_double_commit(spark, tmp_path):
+    """Two replays of one micro-batch: the loser's retry loop must
+    re-check the epoch marker and skip — previously it re-committed the
+    same signed rows against the winner's head (net sign 2, one delete
+    can never cancel)."""
+    root = str(tmp_path / "t")
+    seedA = ParquetTable(spark, root)
+    seedA.overwrite(_df(spark, [(0, "seed")]))
+    tB = ParquetTable(spark, root)
+    batch = _df(spark, [(1, "x"), (2, "y")])
+    orig_make = tB._make_entry
+    fired = {}
+
+    def hooked(*a, **k):
+        if not fired:
+            fired["x"] = True
+            # the concurrent replay commits the SAME epoch first, in a
+            # clean interleaving B never directly observes
+            ParquetTable(spark, root).append(batch, epoch="batch-7")
+        return orig_make(*a, **k)
+
+    tB._make_entry = hooked
+    tB.append(batch, epoch="batch-7")
+    rows = tB.read().filter(F.col("id") > 0).collect()
+    assert len(rows) == 2, "epoch re-check must prevent the double append"
+
+
+def test_append_bootstrap_race_is_detected(spark, tmp_path):
+    """Two writers appending to an EMPTY table: the bootstrap overwrite
+    is pinned to expected_base=-1, so a racer's just-created version 0
+    surfaces as ConcurrentWriteError and the loser falls through to a
+    real append — previously the loser silently truncated the winner's
+    rows."""
+    root = str(tmp_path / "t")
+    tB = ParquetTable(spark, root)
+    orig_make = tB._make_entry
+    fired = {}
+
+    def hooked(*a, **k):
+        if not fired:
+            fired["x"] = True
+            ParquetTable(spark, root).append(_df(spark, [(100, "winner")]))
+        return orig_make(*a, **k)
+
+    tB._make_entry = hooked
+    tB.append(_df(spark, [(200, "loser")]))
+    got = {r["id"] for r in tB.read().collect()}
+    assert got == {100, 200}, "both bootstrap writers' rows must survive"
+
+
+def test_merge_bootstrap_race_is_detected(spark, tmp_path):
+    """Same race on the CDC merge's first-batch bootstrap: the loser
+    must fall into the retried merge cycle (both batches present), not
+    truncate the winner."""
+    root = str(tmp_path / "t")
+    spec = TableSpec(schema="db", table="t", pk=("id",),
+                     engine=Engine.REPLACING_MERGE_TREE)
+    table = ParquetTable(spark, root)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [("db", "t", "insert", i, v, 100 + i, 0) for i, v in rows],
+            "schema string, table string, action string, id long, "
+            "v string, event_unixtime long, action_seq int")
+
+    orig_make = table._make_entry
+    fired = {}
+
+    def hooked(*a, **k):
+        if not fired:
+            fired["x"] = True
+            other = ParquetTable(spark, root)
+            apply_cdc_batch(other, ev([(100, "winner")]), spec)
+        return orig_make(*a, **k)
+
+    table._make_entry = hooked
+    apply_cdc_batch(table, ev([(200, "loser")]), spec)
+    table._make_entry = orig_make
+    got = {r["id"] for r in table.read().collect()}
+    assert got == {100, 200}, "both first batches must survive the race"
+
+
+def test_cow_probe_partition_in_pk_no_ambiguity(spark, tmp_path):
+    """The probe fallback with partition_by ALSO a pk column (the
+    dedup-index buckets shape, pk=(id, band) partitioned by band)
+    previously died with AMBIGUOUS_REFERENCE on the duplicated column —
+    the fallback must fall back, not crash the stream."""
+    root = str(tmp_path / "t")
+    spec = TableSpec(schema="db", table="t", pk=("id", "band"),
+                     engine=Engine.REPLACING_MERGE_TREE,
+                     partition_by="band")
+    table = ParquetTable(spark, root)
+    table.overwrite(_df(spark, [(1, 0, "a"), (2, 1, "b")],
+                        "id long, band int, v string"),
+                    partition_by="band")
+    base = table.current_version()
+    current = table.read()
+    changed = _df(spark, [(1, 0)], "id long, band int")
+    upserts = _df(spark, [(1, 0, "a2")], "id long, band int, v string")
+    _merge_cow_probe(table, current, changed, upserts, spec, base)
+    got = {(r["id"], r["v"]) for r in table.read().collect()}
+    assert got == {(1, "a2"), (2, "b")}
+    # splinter guard: the rewritten partition must be O(1) files
+    files = table.partition_files("band", values=[0])
+    assert sum(len(v) for v in files.values()) <= 2
+
+
+def test_partition_files_boolean_values(spark, tmp_path):
+    """partition_files(values=[True]) previously canonicalized with
+    str() ('True') and never matched the Hive dir 'flag=true'."""
+    table = ParquetTable(spark, str(tmp_path / "t"))
+    table.overwrite(_df(spark, [(1, True), (2, False)],
+                        "id long, flag boolean"), partition_by="flag")
+    files = table.partition_files("flag", values=[True])
+    assert files, "boolean partition value must match its directory"
+    assert all("flag=true" in k for k in files)
+
+
+def test_vacuum_sweeps_current_tmp_debris(spark, tmp_path):
+    """A writer crashing between writing the _CURRENT tmp hint and the
+    rename leaves _CURRENT.tmp-* files forever; vacuum must sweep them
+    like the other crash debris."""
+    import os
+    import time
+
+    root = str(tmp_path / "t")
+    table = ParquetTable(spark, root)
+    table.overwrite(_df(spark, [(1, "a")]))
+    debris = os.path.join(root, "_CURRENT.tmp-deadbeef")
+    with open(debris, "w") as f:
+        f.write("0")
+    old = time.time() - 7200
+    os.utime(debris, (old, old))
+    table.vacuum(staging_ttl_s=3600)
+    assert not os.path.exists(debris)
+    assert table.read().count() == 1  # the table itself is untouched
