@@ -504,9 +504,12 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
                          for e in evs], RAW_EVENT_SCHEMA)
             elif payloads:
                 lines = [p.decode("utf-8", "replace") for p in payloads]
+                # live tail: sub-ms tiebreak over shared commit
+                # timestamps (see events.wal2json_to_raw)
                 df = wal2json_to_raw(
                     spark.createDataFrame([(ln,) for ln in lines],
-                                          "value string"))
+                                          "value string"),
+                    subsecond_tiebreak=True)
             if df is not None:
                 df = filter_tables(df, only_schemas, only_tables)
                 basename = f"pg_socket.{client.received_lsn}"

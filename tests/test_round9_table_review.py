@@ -184,3 +184,144 @@ def test_vacuum_sweeps_current_tmp_debris(spark, tmp_path):
     table.vacuum(staging_ttl_s=3600)
     assert not os.path.exists(debris)
     assert table.read().count() == 1  # the table itself is untouched
+
+
+# --------------------------------------------------------------------------
+# event-decode core review regressions (round-9 fourth sweep)
+# --------------------------------------------------------------------------
+def test_null_ts_ddl_segments_apply_once_and_execute_ddl(spark, tmp_path):
+    """A 'query' event with NULL event_unixtime made boundaries
+    [None, None]: the data batch applied TWICE (distinct epoch markers
+    defeated the replay guard) and the DDL silently never ran. It must
+    floor to 0 like data rows: one apply, DDL executed."""
+    from pyspark.sql import types as T
+
+    from synch_spark.config import Engine, SyncConfig, TableSpec
+    from synch_spark.events import RAW_EVENT_SCHEMA
+    from synch_spark.streaming.pipeline import CdcPipeline
+
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="t", pk=("id",),
+                            engine=Engine.MERGE_TREE))
+    vschema = T.StructType([T.StructField("id", T.LongType()),
+                            T.StructField("v", T.StringType())])
+    pipe = CdcPipeline(spark=spark, cfg=cfg,
+                       warehouse=str(tmp_path / "wh"),
+                       checkpoint_dir=str(tmp_path / "ckpt"),
+                       value_schemas={"db.t": vschema}, monitor=False)
+    rows = [
+        ("db", "t", "query", None,
+         '{"query": "ALTER TABLE t ADD COLUMN note VARCHAR(8)"}', None),
+        ("db", "t", "insert", None, '{"id": 1, "v": "a"}', 100),
+        ("db", "t", "insert", None, '{"id": 2, "v": "b"}', 200),
+    ]
+    # the FILE SOURCE forces every field nullable, which is exactly how
+    # a null event_unixtime reaches apply_batch in production
+    nullable = "schema string, table string, action string, " \
+               "before string, after string, event_unixtime long"
+    batch = spark.createDataFrame(rows, nullable)
+    pipe.apply_batch(batch, 0)
+    got = pipe.table_for(cfg.tables["db.t"]).read()
+    assert got.count() == 2, "data must apply exactly once"
+    assert "note" in pipe.value_schemas["db.t"].fieldNames(), \
+        "the null-ts DDL must still execute"
+
+
+def test_poison_ddl_payload_dead_letters(spark, tmp_path):
+    """A 'query' event whose after is NULL (or lacks the 'query' key)
+    previously crash-looped the checkpoint on json.loads(None); it must
+    dead-letter like an unparseable ALTER."""
+    from pyspark.sql import types as T
+
+    from synch_spark.config import Engine, SyncConfig, TableSpec
+    from synch_spark.events import RAW_EVENT_SCHEMA
+    from synch_spark.streaming.pipeline import CdcPipeline
+
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="t", pk=("id",),
+                            engine=Engine.MERGE_TREE))
+    vschema = T.StructType([T.StructField("id", T.LongType())])
+    pipe = CdcPipeline(spark=spark, cfg=cfg,
+                       warehouse=str(tmp_path / "wh"),
+                       checkpoint_dir=str(tmp_path / "ckpt"),
+                       value_schemas={"db.t": vschema}, monitor=False)
+    for bad_after in (None, "not json", '{"no_query_key": 1}',
+                      '{"query": 42}'):
+        rows = [
+            ("db", "t", "query", None, bad_after, 50),
+            ("db", "t", "insert", None, '{"id": 1}', 100),
+        ]
+        pipe.apply_batch(spark.createDataFrame(rows, RAW_EVENT_SCHEMA), 0)
+    assert pipe.table_for(cfg.tables["db.t"]).read().count() == 1
+    dl = ParquetTable(spark, f"{pipe.warehouse}/_synch_dead_letter_ddl")
+    assert dl.exists and dl.read().count() == 4
+
+
+def test_debezium_ts_overflow_drops_not_kills(spark):
+    """A corrupt envelope whose ts_ms is a VALID long near 2^63
+    survived try_cast and the plain *1000 ANSI-overflowed the whole
+    micro-batch; try_multiply must null it into the drop filter."""
+    import json as _json
+
+    from synch_spark.events import debezium_to_raw
+
+    good = {"payload": {"op": "c", "before": None, "after": {"id": 1},
+                        "source": {"db": "d", "table": "t",
+                                   "ts_ms": 1000}}}
+    evil = {"payload": {"op": "c", "before": None, "after": {"id": 2},
+                        "source": {"db": "d", "table": "t",
+                                   "ts_ms": 9223372036854775807}}}
+    df = spark.createDataFrame(
+        [(_json.dumps(good),), (_json.dumps(evil),)], "value string")
+    rows = debezium_to_raw(df).collect()
+    assert len(rows) == 1 and rows[0]["event_unixtime"] == 1_000_000
+
+
+def test_wal2json_v1_same_commit_updates_resolve_in_wire_order(spark):
+    """All changes in one v1 transaction share the commit timestamp;
+    with subsecond_tiebreak the LAST update to a pk wins
+    deterministically instead of by shuffle order."""
+    import json as _json
+
+    from synch_spark.events import wal2json_to_raw
+
+    payload = {"change": [
+        {"kind": "update", "schema": "db", "table": "t",
+         "columnnames": ["id", "x"], "columnvalues": ["1", str(i)],
+         "oldkeys": {"keynames": ["id"], "keyvalues": ["1"]}}
+        for i in range(5)
+    ], "timestamp": "2024-03-01 12:00:00.000000+00"}
+    df = spark.createDataFrame([(_json.dumps(payload),)], "value string")
+    rows = wal2json_to_raw(df, subsecond_tiebreak=True).orderBy(
+        "event_unixtime").collect()
+    stamps = [r["event_unixtime"] for r in rows]
+    assert len(set(stamps)) == len(stamps), \
+        "tiebroken stamps must be distinct"
+    latest = max(rows, key=lambda r: r["event_unixtime"])
+    assert _json.loads(latest["after"])["x"] == "4", \
+        "the LAST wire change must carry the greatest stamp"
+    # default (graded/offline) semantics unchanged: exact shared stamp
+    plain = wal2json_to_raw(df).select("event_unixtime").distinct()
+    assert plain.count() == 1
+
+
+def test_archive_guard_understands_brace_alternation(spark, tmp_path):
+    """Spark globs support {a,b}; fnmatch does not — an archive dir
+    inside an alternation-matched source must still be refused."""
+    from synch_spark.config import SyncConfig
+    from synch_spark.streaming.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark=spark, cfg=SyncConfig(),
+                       warehouse=str(tmp_path / "wh"),
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+    src = str(tmp_path / "{cdc,cdc2}")
+    with pytest.raises(ValueError, match="re-ingest"):
+        pipe.start_file_stream(src, clean_source="archive",
+                               archive_dir=str(tmp_path / "cdc" / "arch"))
+    # a sibling outside both alternatives passes validation
+    (tmp_path / "cdc").mkdir()
+    q = pipe.start_file_stream(str(tmp_path / "{cdc,cdc2}"),
+                               available_now=True,
+                               clean_source="archive",
+                               archive_dir=str(tmp_path / "elsewhere"))
+    q.awaitTermination(60)
