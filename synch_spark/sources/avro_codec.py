@@ -303,7 +303,13 @@ def _zigzag_bytes(v: int) -> bytes:
 
 def _unscale(value: Decimal, scale: int) -> bytes:
     unscaled = int(value.scaleb(scale).to_integral_value())
-    n = max(1, (unscaled.bit_length() + 8) // 8)  # +8: room for sign bit
+    # MINIMAL two's-complement width. (bit_length+8)//8 over-allocates
+    # exactly at the negative byte boundaries -2^(8k-1): -128 needs one
+    # byte (0x80) but bit_length()=8 would yield two (0xff 0x80). Shift
+    # negatives up by one first: (-128+1).bit_length()=7 -> 7//8+1=1.
+    # Decode accepts either form, but the wire bytes must be canonical
+    # (byte-equality consumers: log-compaction dedup, binary diffing).
+    n = (unscaled + (unscaled < 0)).bit_length() // 8 + 1
     return unscaled.to_bytes(n, "big", signed=True)
 
 

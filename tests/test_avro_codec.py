@@ -225,6 +225,30 @@ def test_negative_decimal_minimal_bytes():
     assert A.avro_decode(b"\x02\x9c", schema) == Decimal("-1.00")
 
 
+@pytest.mark.parametrize("value,scale,body", [
+    # the negative byte boundaries -2^(8k-1): the exact values where a
+    # (bit_length+8)//8 width over-allocates a sign-extension byte
+    (Decimal("-1.28"), 2, b"\x80"),                      # unscaled -2^7
+    (Decimal("-327.68"), 2, b"\x80\x00"),                # unscaled -2^15
+    (Decimal(-(2**63)), 0, b"\x80" + b"\x00" * 7),       # -2^63
+    # the positive mirrors need the extra 0x00 sign byte — must KEEP it
+    (Decimal("1.28"), 2, b"\x00\x80"),                   # unscaled 2^7
+    (Decimal("327.68"), 2, b"\x00\x80\x00"),             # unscaled 2^15
+    (Decimal("-1.29"), 2, b"\xff\x7f"),                  # just past -2^7
+    (Decimal("0"), 0, b"\x00"),
+    (Decimal("-0.01"), 2, b"\xff"),
+])
+def test_decimal_twos_complement_boundaries(value, scale, body):
+    """Spec-minimal two's-complement at every byte boundary, pinned
+    byte-for-byte and cross-checked against the independent encoder."""
+    schema = {"type": "bytes", "logicalType": "decimal", "scale": scale}
+    blob = A.avro_encode(value, schema)
+    assert blob == _ref_encode(value, schema)
+    # bytes field = zigzag(len) + body
+    assert blob == A.avro_encode(body, '"bytes"')
+    assert A.avro_decode(blob, schema) == value
+
+
 def test_recursive_and_named_refs():
     """A self-referential record (linked list) — registration must
     happen before field parse or the name lookup fails."""
