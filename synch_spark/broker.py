@@ -28,7 +28,10 @@ import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
-#: columns every producer payload carries (events.RAW_EVENT_SCHEMA order)
+#: columns every producer payload carries (events.RAW_EVENT_SCHEMA order);
+#: the optional events.WIRE_SEQ_COL rides along when the frame has it, so
+#: wire order survives the broker hop (the consumer parses with
+#: RAW_EVENT_WIRE_SCHEMA — payloads without the field read null)
 EVENT_COLUMNS = ["schema", "table", "action", "before", "after", "event_unixtime"]
 
 
@@ -42,9 +45,11 @@ def kafka_payload(events: DataFrame, queue_prefix: str = "synch") -> DataFrame:
     Split out from the writer so the mapping is testable without the
     connector jar.
     """
+    cols = EVENT_COLUMNS + (["_wire_seq"] if "_wire_seq" in events.columns
+                            else [])
     return events.select(
         F.col("schema").cast("string").alias("key"),
-        F.to_json(F.struct(*[F.col(c) for c in EVENT_COLUMNS])).alias("value"),
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
         F.concat(F.lit(queue_prefix + "."), F.col("schema")).alias("topic"),
     )
 
@@ -237,7 +242,9 @@ def write_event_spool(
     """
     os.makedirs(events_dir, exist_ok=True)
     staging = os.path.join(events_dir, f"_staging.{basename}")
-    events.select(*EVENT_COLUMNS).write.mode("overwrite").json(staging)
+    cols = EVENT_COLUMNS + (["_wire_seq"] if "_wire_seq" in events.columns
+                            else [])
+    events.select(*cols).write.mode("overwrite").json(staging)
     i = 0
     published = 0
     try:

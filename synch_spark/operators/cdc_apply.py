@@ -41,10 +41,21 @@ def compact_batch(events: DataFrame, pk: tuple[str, ...]) -> DataFrame:
 
     ``events`` must already have typed row columns (events.parse_values)
     including the pk columns, plus action/event_unixtime/action_seq.
+    When the frame carries the decoder-attached wire-order column
+    (events.WIRE_SEQ_COL), it breaks event_unixtime ties BEFORE
+    action_seq: distinct wire changes sharing one stamp (a wal2json
+    transaction's shared commit timestamp, Debezium's millisecond ts_ms)
+    resolve in wire order, while an update's delete+insert halves (same
+    wire seq) still resolve by action_seq. Absent/null seqs sort as 0 —
+    the pre-upgrade arbitrary-tie contract.
     """
-    w = W.partitionBy(*pk).orderBy(
-        F.col("event_unixtime").desc(), F.col("action_seq").desc()
-    )
+    from synch_spark.events import WIRE_SEQ_COL
+
+    keys = [F.col("event_unixtime").desc()]
+    if WIRE_SEQ_COL in events.columns:
+        keys.append(F.coalesce(F.col(WIRE_SEQ_COL), F.lit(0)).desc())
+    keys.append(F.col("action_seq").desc())
+    w = W.partitionBy(*pk).orderBy(*keys)
     return events.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
@@ -76,7 +87,8 @@ def apply_cdc_batch(
 
 
 def _row_cols(events: DataFrame, value_columns: list[str] | None) -> list[str]:
-    meta = {"schema", "table", "action", "event_unixtime", "action_seq"}
+    meta = {"schema", "table", "action", "event_unixtime", "action_seq",
+            "_wire_seq"}
     return value_columns or [c for c in events.columns if c not in meta]
 
 

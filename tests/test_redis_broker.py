@@ -111,7 +111,12 @@ def test_maxlen_caps_queue():
 
 
 def test_produce_and_raw_frame_roundtrip(spark):
-    from synch_spark.events import RAW_EVENT_SCHEMA, parse_values, split_updates
+    from synch_spark.events import (
+        RAW_EVENT_SCHEMA,
+        RAW_EVENT_WIRE_SCHEMA,
+        parse_values,
+        split_updates,
+    )
     from pyspark.sql import types as T
 
     b = _broker()
@@ -122,12 +127,18 @@ def test_produce_and_raw_frame_roundtrip(spark):
     )
     assert b.produce(raw) == 2
     frame, high = b.read_raw_frame(spark, "db")
-    assert high is not None and frame.schema == RAW_EVENT_SCHEMA
+    # consume parses the WIRE schema (optional _wire_seq, null when the
+    # producer had none) so wire order survives the broker hop
+    assert high is not None and frame.schema == RAW_EVENT_WIRE_SCHEMA
+    assert frame.filter(frame._wire_seq.isNotNull()).count() == 0
     vschema = T.StructType([T.StructField("id", T.LongType()),
                             T.StructField("v", T.StringType())])
-    rows = sorted(map(tuple, parse_values(split_updates(frame), vschema).collect()))
+    # modulo the optional (all-null here) wire-seq column, the broker
+    # hop is transparent to the pipeline
+    rows = sorted(map(tuple, parse_values(
+        split_updates(frame.drop("_wire_seq")), vschema).collect()))
     native = sorted(map(tuple, parse_values(split_updates(raw), vschema).collect()))
-    assert rows == native  # broker hop is transparent to the pipeline
+    assert rows == native
     b.commit("db", high)
     empty, none_id = b.read_raw_frame(spark, "db")
     assert empty.count() == 0 and none_id is None

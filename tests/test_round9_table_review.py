@@ -280,10 +280,11 @@ def test_debezium_ts_overflow_drops_not_kills(spark):
 def test_wal2json_v1_same_commit_updates_resolve_in_wire_order(spark):
     """All changes in one v1 transaction share the commit timestamp;
     with subsecond_tiebreak the LAST update to a pk wins
-    deterministically instead of by shuffle order."""
+    deterministically instead of by shuffle order — carried OUT-OF-BAND
+    in _wire_seq, never by mutating the real-microsecond stamp."""
     import json as _json
 
-    from synch_spark.events import wal2json_to_raw
+    from synch_spark.events import WIRE_SEQ_COL, wal2json_to_raw
 
     payload = {"change": [
         {"kind": "update", "schema": "db", "table": "t",
@@ -293,16 +294,127 @@ def test_wal2json_v1_same_commit_updates_resolve_in_wire_order(spark):
     ], "timestamp": "2024-03-01 12:00:00.000000+00"}
     df = spark.createDataFrame([(_json.dumps(payload),)], "value string")
     rows = wal2json_to_raw(df, subsecond_tiebreak=True).orderBy(
-        "event_unixtime").collect()
-    stamps = [r["event_unixtime"] for r in rows]
-    assert len(set(stamps)) == len(stamps), \
-        "tiebroken stamps must be distinct"
-    latest = max(rows, key=lambda r: r["event_unixtime"])
+        WIRE_SEQ_COL).collect()
+    # the commit stamp is NOT mutated: all five changes keep the exact
+    # shared microsecond value
+    assert len({r["event_unixtime"] for r in rows}) == 1
+    seqs = [r[WIRE_SEQ_COL] for r in rows]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs), \
+        "wire seqs must be distinct and ascend in wire order"
+    latest = max(rows, key=lambda r: r[WIRE_SEQ_COL])
     assert _json.loads(latest["after"])["x"] == "4", \
-        "the LAST wire change must carry the greatest stamp"
-    # default (graded/offline) semantics unchanged: exact shared stamp
-    plain = wal2json_to_raw(df).select("event_unixtime").distinct()
-    assert plain.count() == 1
+        "the LAST wire change must carry the greatest wire seq"
+    # default (graded/offline) semantics unchanged: exact shared stamp,
+    # plain 6-column schema
+    plain = wal2json_to_raw(df)
+    assert WIRE_SEQ_COL not in plain.columns
+    assert plain.select("event_unixtime").distinct().count() == 1
+
+
+def test_wal2json_tiebreak_survives_1000_change_transactions(spark):
+    """Regression (round-9 advice, high): the old pmod(offset,1000)
+    tiebreak WRAPPED inside transactions with >1000 changes, inverting
+    event order so last-wins kept a stale row. The wire-seq carry must
+    keep the true last change winning end-to-end through
+    split_updates -> parse_values -> compact_batch."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from synch_spark.events import parse_values, split_updates, wal2json_to_raw
+    from synch_spark.operators.cdc_apply import compact_batch
+
+    n = 1203  # > the old 1000-wrap
+    payload = {"change": [
+        {"kind": "update", "schema": "db", "table": "t",
+         "columnnames": ["id", "x"], "columnvalues": ["1", str(i)],
+         "oldkeys": {"keynames": ["id"], "keyvalues": ["1"]}}
+        for i in range(n)
+    ], "timestamp": "2024-03-01 12:00:00.123456+00"}
+    df = spark.createDataFrame([(_json.dumps(payload),)], "value string")
+    raw = wal2json_to_raw(df, subsecond_tiebreak=True)
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("x", T.LongType())])
+    typed = parse_values(split_updates(raw), schema, string_values=True)
+    net = compact_batch(typed, ("id",)).collect()
+    assert len(net) == 1
+    assert net[0]["action"] == "insert" and net[0]["x"] == n - 1
+
+
+def test_wal2json_order_col_dominates_across_lines(spark):
+    """Two single-change payloads sharing one commit stamp (a v2-style
+    per-row stream): the Kafka offset passed as order_col decides the
+    winner — deterministic across micro-batch restarts, unlike the
+    in-batch monotonic id."""
+    import json as _json
+
+    from synch_spark.events import WIRE_SEQ_COL, wal2json_to_raw
+
+    def line(x):
+        return _json.dumps({"change": [
+            {"kind": "update", "schema": "db", "table": "t",
+             "columnnames": ["id", "x"], "columnvalues": ["1", str(x)],
+             "oldkeys": {"keynames": ["id"], "keyvalues": ["1"]}}],
+            "timestamp": "2024-03-01 12:00:00.123456+00"})
+
+    # deliberately listed newest-first: only the offset carries order
+    df = spark.createDataFrame([(line(9), 207), (line(5), 113)],
+                               "value string, offset long")
+    rows = wal2json_to_raw(df, subsecond_tiebreak=True,
+                           order_col="offset").collect()
+    by_seq = sorted(rows, key=lambda r: r[WIRE_SEQ_COL])
+    assert _json.loads(by_seq[-1]["after"])["x"] == "9"
+    assert len({r["event_unixtime"] for r in rows}) == 1
+
+
+def test_debezium_tiebreak_uses_offset_not_stamp_mutation(spark):
+    """Debezium same-ms updates: _wire_seq carries the Kafka offset;
+    event_unixtime keeps the exact wire value (the old +pmod mutation
+    inverted order at wrap/restart boundaries)."""
+    import json as _json
+
+    from synch_spark.events import WIRE_SEQ_COL, debezium_to_raw
+
+    def env(x):
+        return _json.dumps({"payload": {
+            "op": "u", "before": {"id": 1}, "after": {"id": 1, "x": x},
+            "source": {"db": "d", "table": "t", "ts_ms": 1000}}})
+
+    df = spark.createDataFrame([(env(2), 51), (env(7), 52)],
+                               "value string, offset long")
+    rows = debezium_to_raw(df, subsecond_tiebreak=True,
+                           order_col="offset").collect()
+    assert all(r["event_unixtime"] == 1_000_000 for r in rows), \
+        "stamps must keep the exact wire value"
+    assert sorted(r[WIRE_SEQ_COL] for r in rows) == [51, 52]
+    # plain decode: 6-column schema, no seq
+    assert WIRE_SEQ_COL not in debezium_to_raw(df).columns
+
+
+def test_wire_seq_survives_spool_roundtrip(spark, tmp_path):
+    """The broker hop (JSON spool write -> RAW_EVENT_WIRE_SCHEMA read)
+    must carry the wire-order column; payloads written WITHOUT it must
+    still parse (null seq = pre-upgrade contract)."""
+    from synch_spark.broker import write_event_spool
+    from synch_spark.events import (
+        RAW_EVENT_SCHEMA,
+        RAW_EVENT_WIRE_SCHEMA,
+        WIRE_SEQ_COL,
+    )
+
+    spool = str(tmp_path / "spool")
+    with_seq = spark.createDataFrame(
+        [("db", "t", "insert", None, '{"id":1}', 1_000_000, 7),
+         ("db", "t", "insert", None, '{"id":2}', 1_000_000, 8)],
+        RAW_EVENT_WIRE_SCHEMA)
+    write_event_spool(with_seq, spool, "a")
+    without = spark.createDataFrame(
+        [("db", "t", "insert", None, '{"id":3}', 2_000_000)],
+        RAW_EVENT_SCHEMA)
+    write_event_spool(without, spool, "b")
+    back = spark.read.schema(RAW_EVENT_WIRE_SCHEMA).json(spool)
+    got = {r["after"]: r[WIRE_SEQ_COL] for r in back.collect()}
+    assert got == {'{"id":1}': 7, '{"id":2}': 8, '{"id":3}': None}
 
 
 def test_archive_guard_understands_brace_alternation(spark, tmp_path):
