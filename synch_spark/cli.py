@@ -230,7 +230,7 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
     from synch_spark.events import RAW_EVENT_SCHEMA
     from synch_spark.sources.binlog_socket import (
         BinlogProtocolError, BinlogSocketClient, format_gtid_set,
-        stream_raw_events,
+        format_mariadb_gtid_pos, stream_raw_events,
     )
 
     ms = (raw.get("spark") or {}).get("mysql_socket")
@@ -239,6 +239,15 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
               "{host, port, user, password, file, pos}", file=sys.stderr)
         return 2
     auto_position = bool(ms.get("auto_position"))
+    # flavor selects the GTID dialect + dump protocol: "mariadb" resumes
+    # by domain-server-seq position via @slave_connect_state (and ed25519
+    # accounts authenticate via sources.ed25519); file/pos mode is
+    # dialect-agnostic either way
+    flavor = str(ms.get("flavor", "mysql")).lower()
+    if flavor not in ("mysql", "mariadb"):
+        print(f"spark.mysql_socket.flavor {flavor!r} (mysql | mariadb)",
+              file=sys.stderr)
+        return 2
     warehouse = raw["spark"]["warehouse"]
     cursor_path = os.path.join(warehouse, "_binlog_socket_cursor.json")
     gtid_cursor: str | None = None
@@ -309,11 +318,15 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
                 client, fname, pos, column_names=names or None,
                 only_schemas=only_schemas, only_tables=only_tables,
                 gtid_set=gtid_cursor if auto_position else None,
-                on_raw=on_raw, stamp_state=stamp_state,
+                on_raw=on_raw, stamp_state=stamp_state, flavor=flavor,
             ))
             end_pos = client.position
-            end_gtids = (format_gtid_set(client.gtid_executed)
-                         if auto_position else None)
+            if not auto_position:
+                end_gtids = None
+            elif flavor == "mariadb":
+                end_gtids = format_mariadb_gtid_pos(client.mariadb_gtid_pos)
+            else:
+                end_gtids = format_gtid_set(client.gtid_executed)
         except (BinlogProtocolError, OSError) as e:
             # OSError: ECONNRESET/refused from a failover or proxy
             # idle-kill — the clean failed-round path, not a traceback.
@@ -969,6 +982,17 @@ def _emit_to_sink(spark, raw, events, sink: str, basename: str) -> int:
                     q: T.StructType.fromJson(s) if isinstance(s, dict) else s
                     for q, s in (raw["spark"].get("value_schemas")
                                  or {}).items()}
+                if not vschemas:
+                    # without this, the missing-ids check below passes
+                    # VACUOUSLY and kafka_avro_payload then skips every
+                    # event (no per-table schema -> untyped -> dropped):
+                    # the produce exits 0 having published NOTHING.
+                    # Mirror the consume-side avro_schemas validation.
+                    raise SystemExit(
+                        "produce_format=debezium-avro needs "
+                        "spark.value_schemas ({'db.table': schema}) — "
+                        "every event of an unlisted table is silently "
+                        "dropped, so an empty map would publish nothing")
                 ids = dict(kconf.get("produce_schema_ids") or {})
                 reg = kconf.get("avro_schema_registry")
                 for q, struct in vschemas.items():

@@ -44,6 +44,14 @@ class AvroSchemaError(ValueError):
     """Malformed or unsupported Avro schema."""
 
 
+class AvroRegistryUnavailable(RuntimeError):
+    """A schema-registry fetch failed for a reason that says nothing
+    about the RECORD being decoded (network outage, 5xx, malformed
+    registry response). Never swallowed by ``on_error="skip"`` — skip
+    means drop POISON RECORDS, and during a registry outage perfectly
+    decodable records would otherwise vanish silently."""
+
+
 class AvroDecodeError(ValueError):
     """Payload bytes do not decode under the given schema."""
 
@@ -357,6 +365,14 @@ def encode_value(out: io.BytesIO, value, node, names: dict) -> None:
         return
     if isinstance(node, list):  # union: first branch whose shape matches
         for idx, branch in enumerate(node):
+            if _union_matches(value, branch, names, strict=True):
+                out.write(_zigzag_bytes(idx))
+                encode_value(out, value, branch, names)
+                return
+        # second pass: subclass/coercible matches (int under a double
+        # branch). Exact-type scan FIRST, or ["long","double"] would
+        # encode an int under whichever numeric branch comes first.
+        for idx, branch in enumerate(node):
             if _union_matches(value, branch, names):
                 out.write(_zigzag_bytes(idx))
                 encode_value(out, value, branch, names)
@@ -408,7 +424,12 @@ _PRIM_PY = {"boolean": bool, "int": int, "long": int,
             "string": str, "bytes": (bytes, bytearray)}
 
 
-def _union_matches(value, branch, names) -> bool:
+_PRIM_EXACT = {"boolean": bool, "int": int, "long": int,
+               "float": float, "double": float,
+               "string": str, "bytes": bytes}
+
+
+def _union_matches(value, branch, names, strict: bool = False) -> bool:
     node = names[branch["__ref__"]] if isinstance(branch, dict) \
         and "__ref__" in branch else branch
     if node == "null" or node == {"type": "null"}:
@@ -416,6 +437,16 @@ def _union_matches(value, branch, names) -> bool:
     if value is None:
         return False
     if isinstance(node, str):
+        # bool is an int subclass in Python: without the explicit gate,
+        # True in a ["int","boolean"] union would match the "int"
+        # branch first and encode under the wrong tag
+        if node == "boolean":
+            return type(value) is bool
+        if type(value) is bool:
+            return False
+        if strict:
+            py = _PRIM_EXACT.get(node)
+            return py is not None and type(value) is py
         py = _PRIM_PY.get(node)
         return py is not None and isinstance(value, py)
     t = node.get("type")
@@ -430,14 +461,14 @@ def _union_matches(value, branch, names) -> bool:
     if t == "fixed":
         return True
     if node.get("logicalType") == "decimal":
-        return isinstance(value, (Decimal, int))
+        return isinstance(value, (Decimal, int)) and type(value) is not bool
     if node.get("logicalType") == "date":
         return isinstance(value, _dt.date)
     if str(node.get("logicalType", "")).startswith("timestamp"):
         return isinstance(value, _dt.datetime)
     if str(node.get("logicalType", "")).startswith("time-"):
         return isinstance(value, _dt.time)
-    return t in PRIMITIVES and _union_matches(value, t, names)
+    return t in PRIMITIVES and _union_matches(value, t, names, strict)
 
 
 def avro_encode(value, schema) -> bytes:
@@ -611,6 +642,14 @@ def coerce_json_to_avro(value, node, names: dict):
     return value
 
 
+#: per-PROCESS cache of registry-fetched parsed schemas, keyed by
+#: (registry_url, schema_id). Module-level on purpose: a cache local to
+#: one mapInPandas task dies with the task, so every task would re-fetch
+#: every unknown id over HTTP; this dict lives for the Python worker
+#: process and is shared across all its tasks.
+_REGISTRY_CACHE: dict = {}
+
+
 def fetch_registry_schema(registry_url: str, schema_id: int,
                           timeout: float = 10.0) -> tuple:
     """Fetch one schema from a Confluent Schema Registry
@@ -626,14 +665,22 @@ def fetch_registry_schema(registry_url: str, schema_id: int,
         with urllib.request.urlopen(url, timeout=timeout) as resp:
             doc = json.loads(resp.read().decode("utf-8"))
     except urllib.error.HTTPError as e:
-        raise AvroDecodeError(
-            f"schema registry has no schema id {schema_id} "
+        if e.code == 404:
+            # definitive: the registry answered and the id does not
+            # exist — the topic and registry disagree; records framed
+            # with it are poison (skippable under on_error="skip")
+            raise AvroDecodeError(
+                f"schema registry has no schema id {schema_id} "
+                f"({url} -> HTTP 404)") from e
+        raise AvroRegistryUnavailable(
+            f"schema registry error for id {schema_id} "
             f"({url} -> HTTP {e.code})") from e
     except (urllib.error.URLError, OSError, ValueError) as e:
-        raise AvroDecodeError(
+        # transient/environmental: says nothing about the record
+        raise AvroRegistryUnavailable(
             f"schema registry fetch failed ({url}): {e}") from e
     if "schema" not in doc:
-        raise AvroDecodeError(
+        raise AvroRegistryUnavailable(
             f"schema registry response for id {schema_id} carries no "
             f"'schema' field: {sorted(doc)}")
     return parse_schema(doc["schema"])
@@ -753,11 +800,16 @@ def debezium_avro_to_raw(df, schemas: dict, value_col: str = "value",
 
     ``registry_url``: a Confluent Schema Registry base URL — ids absent
     from ``schemas`` are fetched (``GET /schemas/ids/<id>``) lazily on
-    the executor and cached per worker process, so a rolling schema
-    upgrade on the producer side keeps decoding without a config push;
-    a registry miss is still loud (or skipped under ``"skip"``). A
-    Debezium topic carries a handful of ids over its lifetime, so the
-    fetch count is O(schemas), not O(records).
+    the executor and cached in a module-level per-PROCESS dict (keyed
+    by (url, id) — a per-task dict would re-fetch every known id over
+    HTTP once per task), so a rolling schema upgrade on the producer
+    side keeps decoding without a config push. A definitive registry
+    404 (the id does not exist) is an :class:`AvroDecodeError` —
+    poison, skippable; a registry OUTAGE (network error, 5xx) raises
+    :class:`AvroRegistryUnavailable` even under ``"skip"``, because
+    dropping decodable records during an outage is data loss, not
+    dead-lettering. A Debezium topic carries a handful of ids over its
+    lifetime, so the fetch count is O(schemas), not O(records).
 
     Executes as Arrow-batched ``mapInPandas`` on the executors; the
     parsed schema registry rides the closure (plain dicts — tiny,
@@ -779,7 +831,9 @@ def debezium_avro_to_raw(df, schemas: dict, value_col: str = "value",
     def decode(batches):
         import pandas as pd
 
-        local = dict(parsed)  # per-worker cache for registry fetches
+        # configured schemas ride the closure; registry fetches land in
+        # the module-level per-process cache (shared across tasks)
+        local = parsed
         for pdf in batches:
             rows = []
             for buf in pdf[value_col]:
@@ -789,8 +843,10 @@ def debezium_avro_to_raw(df, schemas: dict, value_col: str = "value",
                     sid, payload = confluent_unframe(bytes(buf))
                     schema = local.get(sid)
                     if schema is None and reg:
-                        schema = fetch_registry_schema(reg, sid)
-                        local[sid] = schema
+                        schema = _REGISTRY_CACHE.get((reg, sid))
+                        if schema is None:
+                            schema = fetch_registry_schema(reg, sid)
+                            _REGISTRY_CACHE[(reg, sid)] = schema
                     if schema is None:
                         raise AvroDecodeError(
                             f"schema id {sid} not in configured "

@@ -464,6 +464,90 @@ def test_registry_fetch_and_lazy_decode(spark):
         srv.server_close()
 
 
+def test_union_branch_selection_bool_and_exact_types():
+    """Python bool is an int subclass: True in ["int","boolean"] must
+    encode under the boolean branch, and numeric values must prefer the
+    exact-type branch over a coercible one regardless of union order."""
+    assert A.avro_encode(True, '["int","boolean"]') == b"\x02\x01"
+    assert A.avro_encode(False, '["boolean","int"]') == b"\x00\x00"
+    assert A.avro_encode(1, '["int","boolean"]') == b"\x00\x02"
+    # exact pass first: int picks "long" even when "double" is listed first
+    assert A.avro_encode(3, '["double","long"]') == b"\x02\x06"
+    assert A.avro_encode(3.0, '["double","long"]')[:1] == b"\x00"
+    # coercion still available when no exact branch exists
+    assert A.avro_encode(3, '["null","double"]')[:1] == b"\x02"
+    # roundtrip through decode for the bool case
+    assert A.avro_decode(A.avro_encode(True, '["int","boolean"]'),
+                         '["int","boolean"]') is True
+
+
+def test_registry_outage_not_swallowed_by_skip(spark):
+    """on_error='skip' drops POISON RECORDS; a registry outage (network
+    failure) says nothing about the record, so it must raise even under
+    skip — silently dropping decodable records during an outage is data
+    loss, not dead-lettering."""
+    import socket
+
+    # grab a port that is guaranteed closed
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    url = f"http://127.0.0.1:{port}"
+    with pytest.raises(A.AvroRegistryUnavailable, match="fetch failed"):
+        A.fetch_registry_schema(url, 7)
+    frame = A.confluent_frame(7, b"\x00")
+    df = spark.createDataFrame([(bytearray(frame),)], "value binary")
+    with pytest.raises(Exception, match="fetch failed"):
+        A.debezium_avro_to_raw(df, {}, on_error="skip",
+                               registry_url=url).collect()
+
+
+def test_registry_404_is_skippable_poison(spark):
+    """A definitive registry 404 (the id does not exist) IS a poison
+    record: under on_error='skip' the record drops and the batch
+    survives; other records keep decoding."""
+    import http.server
+    import json as _json
+    import threading
+
+    class _Registry(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/schemas/ids/7":
+                body = _json.dumps(
+                    {"schema": _json.dumps(ENVELOPE)}).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Registry)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        env = {"before": None,
+               "after": {"id": 5, "price": Decimal("9.99"), "status": "O"},
+               "source": {"db": "db", "table": "orders", "ts_ms": 77},
+               "op": "c", "ts_ms": None}
+        good = A.confluent_frame(7, A.avro_encode(
+            env, A.parse_schema(ENVELOPE)))
+        poison = A.confluent_frame(99, b"\x00")  # id the registry lacks
+        df = spark.createDataFrame(
+            [(bytearray(good),), (bytearray(poison),)],
+            "value binary").coalesce(1)
+        rows = A.debezium_avro_to_raw(df, {}, on_error="skip",
+                                      registry_url=url).collect()
+        assert len(rows) == 1 and rows[0]["action"] == "insert"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_kafka_stream_avro_registry_satisfies_validation(spark, tmp_path):
     """avro_registry_url alone (no static schema map) passes the
     stream-start validation — the registry IS a schema source."""
@@ -676,6 +760,15 @@ def test_produce_sink_debezium_avro_contract(spark, tmp_path):
         with pytest.raises(Exception):
             _emit_to_sink(spark, raw_cfg, events, "kafka", "b2")
         assert len(posts) == n_posts
+        # EMPTY value_schemas must fail at config time, not exit 0
+        # having published nothing (every event of an unlisted table is
+        # silently dropped by kafka_avro_payload)
+        raw_cfg["spark"]["value_schemas"] = {}
+        with pytest.raises(SystemExit, match="value_schemas"):
+            _emit_to_sink(spark, raw_cfg, events, "kafka", "b3")
+        del raw_cfg["spark"]["value_schemas"]
+        with pytest.raises(SystemExit, match="value_schemas"):
+            _emit_to_sink(spark, raw_cfg, events, "kafka", "b4")
     finally:
         srv.shutdown()
         srv.server_close()
