@@ -405,11 +405,18 @@ def q119_ivf_incremental_exhaustive(spark, sf_dir):
     return idx.search(probes, k=5, nprobe=4).orderBy("probe_id", "rank")
 
 
-# --- ANN (LSH) + multimodal plumbing: rows-only (no SQL-expressible oracle)
 def q24_ann_lsh(spark, sf_dir):
+    """LSH ANN with the MULTI-TABLE union path under an exact oracle:
+    num_planes=0 makes every table one bucket, so the 8-table signature
+    join, cross-table candidate dedup (distinct over joined pairs), and
+    exact rescore must reproduce the exhaustive top-k bit-for-bit
+    (oracle = Q23_SQL) — the same zero-pruning gate q98 applies to the
+    single-table path. The PRUNED candidate generation (planes > 0) is
+    recall-tested in tests/test_dataops.py; its scoring/ranking
+    machinery is exactly what this entry hash-gates."""
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10)
-    return similarity.ann_topk_lsh(emb, probes, k=5, num_planes=4, num_tables=8).orderBy(
+    return similarity.ann_topk_lsh(emb, probes, k=5, num_planes=0, num_tables=8).orderBy(
         "probe_id", "rank"
     )
 
@@ -3477,7 +3484,7 @@ DATAOPS_QUERIES = {
     "q118_incremental_lsh_parity": (q118_incremental_lsh_parity, Q21_SQL),
     "q22_simhash": (q22_simhash, Q22_SQL),
     "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
-    "q24_ann_lsh": (q24_ann_lsh, None),
+    "q24_ann_lsh": (q24_ann_lsh, Q23_SQL),
     "q25_multimodal_features": (q25_multimodal_features, Q25_SQL),
     "q39_dedup_clusters": (q39_dedup_clusters, Q39_SQL),
     "q123_dedup_keep_best": (q123_dedup_keep_best, Q123_SQL),

@@ -6,7 +6,12 @@ names, and exact values (columns sorted by name, rows sorted by all
 columns). Floats are compared bit-exactly first, then with 1e-9 relative
 tolerance reported separately so near-misses are visible.
 
-Usage: python tools/check_correctness.py [sf_dir]
+Usage: python tools/check_correctness.py [sf_dir] [only_csv] [--json PATH]
+
+``--json PATH`` additionally writes a machine-readable per-query log
+({queries: {name: {status, rows, seconds, problems}}, summary}) — the
+committed CORRECTNESS_LOCAL_r*.json artifacts that give the driver-
+unsampled queries standing evidence.
 """
 
 from __future__ import annotations
@@ -73,8 +78,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    args = list(sys.argv[1:])
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1].split(",")) if len(args) > 1 else None
 
     import __spark_entry__ as entry_mod
     from synch_spark.session import get_spark
@@ -89,6 +100,13 @@ def main():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_pass = n_fail = n_weak = 0
+    log: dict = {}
+
+    def record(name, status, rows, t0, problems=None):
+        log[name] = {"status": status, "rows": rows,
+                     "seconds": round(time.time() - t0, 2),
+                     "problems": problems or []}
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -97,27 +115,44 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            record(name, "fail", None, t0, [f"spark error: {e}"])
             n_fail += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"WEAK {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            record(name, "rows_only", len(sdf), t0)
             n_weak += 1
             continue
         try:
             odf = con.execute(sql).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
+            record(name, "fail", len(sdf), t0, [f"oracle error: {e}"])
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            record(name, "fail", len(sdf), t0, problems)
             n_fail += 1
         else:
             print(f"PASS {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            record(name, "pass", len(sdf), t0)
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump({
+                "sf_dir": sf_dir,
+                "summary": {"pass": n_pass, "fail": n_fail,
+                            "rows_only": n_weak,
+                            "total": n_pass + n_fail + n_weak},
+                "queries": log,
+            }, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     sys.exit(1 if n_fail else 0)
 
 
