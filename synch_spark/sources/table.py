@@ -280,9 +280,17 @@ class Snapshot:
 class ParquetTable:
     """A named, versioned parquet table rooted at ``root``."""
 
-    def __init__(self, spark: SparkSession, root: str, retain: int = 2):
+    def __init__(self, spark: SparkSession, root: str, retain: int = 2,
+                 committer=None):
         self.spark = spark
         self.root = root
+        # the atomic publish-if-absent primitive for log entries —
+        # pluggable so the same store runs on POSIX (hard-link, the
+        # default) or object storage (conditional put / If-None-Match);
+        # see sources.committer
+        from synch_spark.sources.committer import PosixCommitter
+
+        self.committer = committer or PosixCommitter()
         # Time-travel window: how many trailing versions stay readable
         # (current + retain-1 historical) — the Delta
         # deletedFileRetentionDuration analog, counted in versions
@@ -484,21 +492,18 @@ class ParquetTable:
             e["eps"] = eps[-self._EPOCH_KEEP:]
 
     def _write_entry(self, entry: dict, cleanup_rels: list[str] | None = None) -> None:
-        """Publish a log entry with atomic exclusive-create: write a temp
-        file, hard-link it to the final name (fails if the version was
-        already committed — the commit race detector), unlink the temp.
-        On object storage this maps to a conditional put. A lost race
-        unlinks this writer's already-pooled data files (uniquely named,
-        referenced by nothing) and raises ConcurrentWriteError."""
+        """Publish a log entry through the pluggable committer's atomic
+        publish-if-absent (POSIX hard-link by default; conditional put /
+        If-None-Match on object storage — sources.committer). A lost
+        race unlinks this writer's already-pooled data files (uniquely
+        named, referenced by nothing) and raises ConcurrentWriteError."""
+        from synch_spark.sources.committer import AlreadyCommitted
+
         v = entry["v"]
-        os.makedirs(self._mdir, exist_ok=True)
-        tmp = os.path.join(self._mdir, f".tmp-{uuid.uuid4().hex[:12]}.json")
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
         try:
-            os.link(tmp, self._manifest_path(v))
-        except FileExistsError:
-            os.remove(tmp)
+            self.committer.publish(self._manifest_path(v),
+                                   json.dumps(entry).encode("utf-8"))
+        except AlreadyCommitted:
             for rel in cleanup_rels or ():
                 try:
                     os.remove(os.path.join(self._data, rel))
@@ -508,7 +513,6 @@ class ParquetTable:
                 f"table {self.root}: version {v} was committed by a "
                 f"concurrent writer; retry the merge"
             ) from None
-        os.remove(tmp)
         self._post_commit(v)
 
     def _post_commit(self, v: int) -> None:
