@@ -88,6 +88,8 @@ EV_WRITE_ROWS_V2 = 0x1E
 EV_UPDATE_ROWS_V2 = 0x1F
 EV_DELETE_ROWS_V2 = 0x20
 EV_PARTIAL_UPDATE_ROWS = 0x27  # binlog_row_value_options=PARTIAL_JSON
+EV_MARIADB_GTID = 0xA2        # MariaDB GTID_EVENT (seq, domain, flags)
+EV_MARIADB_GTID_LIST = 0xA3   # MariaDB GTID_LIST_EVENT (informational)
 EV_TRANSACTION_PAYLOAD = 0x28  # binlog_transaction_compression=ON
 
 _ROWS_WRITE = (EV_WRITE_ROWS_V1, EV_WRITE_ROWS_V2)

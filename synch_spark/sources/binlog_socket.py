@@ -154,6 +154,42 @@ def add_gtid(gs: dict[str, list[tuple[int, int]]], sid: str, gno: int) -> None:
     gs[sid] = _normalize_intervals(spans)
 
 
+# --- MariaDB GTID position (flavor="mariadb" auto-position) ---------------
+#
+# MariaDB GTIDs are ``domain-server-seq`` triples; a replication
+# POSITION is at most one triple per domain ("0-1-42,1-3-7"), unlike
+# MySQL's per-uuid interval sets. The dump request is also different:
+# instead of COM_BINLOG_DUMP_GTID, a MariaDB replica announces its
+# capability + start position through session variables and then issues
+# a plain COM_BINLOG_DUMP with an empty filename (the protocol
+# python-mysql-replication speaks for the reference's MariaDB tails).
+
+def parse_mariadb_gtid_pos(text: str) -> dict[int, tuple[int, int]]:
+    """"0-1-42,1-3-7" -> {domain: (server_id, seq)} — last wins per
+    domain, matching the server's @@gtid_slave_pos semantics."""
+    out: dict[int, tuple[int, int]] = {}
+    for part in (text or "").replace("\n", "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            d, srv, seq = part.split("-")
+            dom, srv_i, seq_i = int(d), int(srv), int(seq)
+            if dom < 0 or srv_i < 0 or seq_i < 0:
+                raise ValueError("negative component")
+        except ValueError as e:
+            raise BinlogProtocolError(
+                f"bad MariaDB GTID component {part!r} "
+                f"(want domain-server-seq): {e}") from e
+        out[dom] = (srv_i, seq_i)
+    return out
+
+
+def format_mariadb_gtid_pos(pos: dict[int, tuple[int, int]]) -> str:
+    return ",".join(f"{d}-{srv}-{seq}"
+                    for d, (srv, seq) in sorted(pos.items()))
+
+
 def _native_password(scramble: bytes, password: str) -> bytes:
     """mysql_native_password token:
     SHA1(pwd) XOR SHA1(scramble + SHA1(SHA1(pwd)))."""
@@ -331,7 +367,8 @@ class BinlogSocketClient:
     stopped (the reference's resume_stream/log_file/log_pos contract).
     """
 
-    _PLUGINS = ("mysql_native_password", "caching_sha2_password")
+    _PLUGINS = ("mysql_native_password", "caching_sha2_password",
+                "client_ed25519")
 
     def __init__(self, host: str, port: int, user: str, password: str = "",
                  server_id: int = 2_147_483_646, timeout: float = 30.0,
@@ -351,11 +388,23 @@ class BinlogSocketClient:
         #: in-flight GTID out, so the next dump replays it.
         self.gtid_executed: dict[str, list[tuple[int, int]]] = {}
         self._pending_gtid: tuple[str, int] | None = None
+        #: MariaDB flavor: newest FULLY-streamed GTID per domain —
+        #: {domain: (server_id, seq)}, same pending/commit discipline
+        #: as gtid_executed (a torn connection leaves the in-flight
+        #: transaction out, so the next dump replays it).
+        self.mariadb_gtid_pos: dict[int, tuple[int, int]] = {}
+        self._pending_mariadb: tuple[int, int, int] | None = None
 
     # -- session setup -----------------------------------------------------
     def _auth_token(self, plugin: str, scramble: bytes) -> bytes:
         if plugin == "caching_sha2_password":
             return _caching_sha2_scramble(scramble, self.password)
+        if plugin == "client_ed25519":
+            # MariaDB ed25519 accounts: sign the server's nonce with the
+            # SHA-512(password) expanded key (sources.ed25519)
+            from synch_spark.sources.ed25519 import mariadb_ed25519_token
+
+            return mariadb_ed25519_token(self.password, scramble)
         return _native_password(scramble, self.password)
 
     def connect(self) -> None:
@@ -400,7 +449,15 @@ class BinlogSocketClient:
                 if plugin not in self._PLUGINS:
                     raise BinlogProtocolError(
                         f"server demands unsupported auth plugin {plugin!r}")
-                scramble = pkt[nul + 1:].rstrip(b"\x00")[:20]
+                if plugin == "client_ed25519":
+                    # the ed25519 nonce is the WHOLE payload (32 bytes,
+                    # no trailing NUL; tolerate one): slicing to 20 or
+                    # rstripping legitimate zero bytes would corrupt it
+                    scramble = pkt[nul + 1:]
+                    if len(scramble) == 33 and scramble[-1:] == b"\x00":
+                        scramble = scramble[:-1]
+                else:
+                    scramble = pkt[nul + 1:].rstrip(b"\x00")[:20]
                 self.conn.write_packet(self._auth_token(plugin, scramble))
                 continue
             if pkt[:1] == b"\x01" and plugin == "caching_sha2_password":
@@ -495,6 +552,42 @@ class BinlogSocketClient:
         self.position = ("", 4)
         yield from self._recv_events()
 
+    def dump_events_mariadb_gtid(self, gtid_pos,
+                                 non_blocking: bool = True) -> Iterator[bytes]:
+        """MariaDB auto-position resume: announce the replica's GTID
+        position through session variables (@mariadb_slave_capability=4,
+        @slave_connect_state='<pos>') and issue a plain COM_BINLOG_DUMP
+        with an empty filename — the MariaDB protocol (MySQL's
+        COM_BINLOG_DUMP_GTID does not exist there; this is the exchange
+        python-mysql-replication performs for the reference's MariaDB
+        tails). The server streams every transaction AFTER the position.
+
+        ``gtid_pos`` is the text form ("0-1-42,1-3-7") or a parsed
+        {domain: (server_id, seq)} dict. ``self.mariadb_gtid_pos``
+        advances as transactions complete — persist
+        ``format_mariadb_gtid_pos`` of it AFTER the round's events are
+        durably emitted, as the next round's cursor."""
+        if self.conn is None:
+            self.connect()
+        assert self.conn is not None
+        pos = (parse_mariadb_gtid_pos(gtid_pos)
+               if isinstance(gtid_pos, str) else dict(gtid_pos))
+        self.mariadb_gtid_pos = pos
+        self._pending_mariadb = None
+        state = format_mariadb_gtid_pos(pos)
+        self._query("SET @mariadb_slave_capability = 4")
+        # the position text is digits/dashes/commas by construction
+        # (parse_mariadb_gtid_pos validated) — no quoting hazard
+        self._query(f"SET @slave_connect_state = '{state}'")
+        self._query("SET @slave_gtid_strict_mode = 0")
+        self._query("SET @slave_gtid_ignore_duplicates = 0")
+        flags = _BINLOG_DUMP_NON_BLOCK if non_blocking else 0
+        req = bytes([_COM_BINLOG_DUMP])
+        req += struct.pack("<IHI", 4, flags, self.server_id)
+        self.conn.write_packet(req, seq=0)
+        self.position = ("", 4)
+        yield from self._recv_events()
+
     def _recv_events(self) -> Iterator[bytes]:
         crc = 0  # CRC32 trailer length, learned from the streamed FDE
         while True:
@@ -507,6 +600,10 @@ class BinlogSocketClient:
                 if self._pending_gtid is not None:
                     add_gtid(self.gtid_executed, *self._pending_gtid)
                     self._pending_gtid = None
+                if self._pending_mariadb is not None:
+                    dom, srv, seq = self._pending_mariadb
+                    self.mariadb_gtid_pos[dom] = (srv, seq)
+                    self._pending_mariadb = None
                 return
             if first == b"\xff":
                 code = int.from_bytes(pkt[1:3], "little")
@@ -543,6 +640,22 @@ class BinlogSocketClient:
                     nxt_pos = int.from_bytes(body[:8], "little")
                     fname_s = body[8:].decode("ascii", "replace")
                     self.position = (fname_s, int(nxt_pos))
+                elif etype == B.EV_MARIADB_GTID and len(ev) >= 19 + 13:
+                    # body: seq(8 LE) + domain(4 LE) + flags(1); the
+                    # server_id rides in the standard event header.
+                    # Same two-phase commit as the MySQL branch below: a
+                    # NEW GTID event proves the previous transaction
+                    # streamed completely.
+                    body = ev[19:]
+                    seq_no = int.from_bytes(body[:8], "little")
+                    domain = int.from_bytes(body[8:12], "little")
+                    srv = int.from_bytes(ev[5:9], "little")
+                    if self._pending_mariadb is not None:
+                        d0, s0, q0 = self._pending_mariadb
+                        self.mariadb_gtid_pos[d0] = (s0, q0)
+                    self._pending_mariadb = (domain, srv, seq_no)
+                    if log_pos:
+                        self.position = (self.position[0], log_pos)
                 elif etype == B.EV_GTID and len(ev) >= 19 + 25:
                     # body: flags(1) + SID(16) + GNO(8, little-endian).
                     # A NEW GTID event proves the PREVIOUS transaction
@@ -579,6 +692,7 @@ def stream_raw_events(
     gtid_set: str | None = None,
     on_raw: Callable[[bytes], None] | None = None,
     stamp_state: dict | None = None,
+    flavor: str = "mysql",
 ) -> Iterator[dict]:
     """Dump from (filename, pos) and yield decoded raw event dicts
     (RAW_EVENT_SCHEMA: schema/table/action/before/after/event_unixtime)
@@ -632,9 +746,13 @@ def stream_raw_events(
                 only_tables=only_tables):
             yield restamp(e)
 
-    dump = (client.dump_events_gtid(gtid_set, non_blocking=non_blocking)
-            if gtid_set is not None
-            else client.dump_events(filename, pos, non_blocking=non_blocking))
+    if gtid_set is not None and flavor == "mariadb":
+        dump = client.dump_events_mariadb_gtid(
+            gtid_set, non_blocking=non_blocking)
+    elif gtid_set is not None:
+        dump = client.dump_events_gtid(gtid_set, non_blocking=non_blocking)
+    else:
+        dump = client.dump_events(filename, pos, non_blocking=non_blocking)
     for ev in dump:
         if len(ev) < 19:
             continue

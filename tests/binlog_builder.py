@@ -243,6 +243,14 @@ class BinlogBuilder:
         """XID_EVENT (0x10): the transaction commit marker."""
         self._event(0x10, struct.pack("<Q", xid))
 
+    def mariadb_gtid(self, domain: int, seq: int, flags: int = 0) -> None:
+        """MariaDB GTID_EVENT (0xA2): seq(8 LE) + domain(4 LE) +
+        flags2(1); the server_id rides in the event header (the
+        builder's SERVER_ID), completing the domain-server-seq triple."""
+        body = (seq.to_bytes(8, "little") + domain.to_bytes(4, "little")
+                + bytes([flags]))
+        self._event(0xA2, body)
+
     def transaction_payload(self, build_inner, comp_type: int = 255,
                             with_size: bool = True,
                             uncompressed_size: int | None = None,
