@@ -193,6 +193,17 @@ def main() -> None:
 
     def run_one(item):
         name, fn = item
+        if not serial:
+            # FAIR mode alone is not enough: every job lands in the
+            # "default" pool, and WITHIN a pool the queue is FIFO — a
+            # 1-second query's stages wait behind the heavy queries'
+            # multi-stage drains (observed 1.6s serial → 17.8s
+            # concurrent). One pool per query (undeclared pools get
+            # weight 1) makes the scheduler round-robin ACROSS queries,
+            # so light work flows past heavy work. Local properties are
+            # per-thread; setting at task start covers pool reuse.
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"q-{name}")
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()
