@@ -1366,8 +1366,12 @@ class ParquetTable:
         transformation; the clone starts at version 0 with the full
         retention window ahead of it."""
         snap = self.snapshot(version)
+        # the clone lives on the same storage as the source, so it
+        # inherits the commit primitive (a conditional-put source must
+        # not silently produce a hard-link-committed clone)
         dest = ParquetTable(self.spark, dest_root,
-                            retain=self.retain if retain is None else retain)
+                            retain=self.retain if retain is None else retain,
+                            committer=self.committer)
         if dest.current_version() >= 0:
             raise FileExistsError(
                 f"clone destination {dest_root} already has committed versions"
