@@ -431,7 +431,11 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
     import time as _time
     import uuid as _uuid
 
-    from synch_spark.events import RAW_EVENT_SCHEMA, filter_tables, wal2json_to_raw
+    from synch_spark.events import (
+        RAW_EVENT_WIRE_SCHEMA,
+        filter_tables,
+        wal2json_to_raw,
+    )
     from synch_spark.sources.pgoutput import PgoutputError, iter_pgoutput_changes
     from synch_spark.sources.wal_socket import WalProtocolError, WalSocketClient
 
@@ -487,10 +491,15 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
                 # what THIS subscription negotiated
                 par = str((pg.get("options") or {})
                           .get("streaming", "")) == "parallel"
+                # wire_seq: same-pk updates inside one transaction
+                # share the commit timestamp; the emission counter
+                # carries wire order so downstream last-wins keeps the
+                # transaction's LAST image (events.WIRE_SEQ_COL)
                 evs = list(iter_pgoutput_changes(payloads,
                                                  relations=pgo_relations,
                                                  state_out=pgo_state,
-                                                 streaming_parallel=par))
+                                                 streaming_parallel=par,
+                                                 wire_seq=True))
                 if (pg.get("archive_dir") and not client.torn
                         and not pgo_state.get("undecided")):
                     # raw wire audit trail: a frame file per DECIDED
@@ -513,8 +522,9 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
                     os.replace(tmp_a, apath)
                 if evs:
                     df = spark.createDataFrame(
-                        [tuple(e[f.name] for f in RAW_EVENT_SCHEMA.fields)
-                         for e in evs], RAW_EVENT_SCHEMA)
+                        [tuple(e.get(f.name)
+                               for f in RAW_EVENT_WIRE_SCHEMA.fields)
+                         for e in evs], RAW_EVENT_WIRE_SCHEMA)
             elif payloads:
                 lines = [p.decode("utf-8", "replace") for p in payloads]
                 # live tail: sub-ms tiebreak over shared commit

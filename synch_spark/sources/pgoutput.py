@@ -215,8 +215,21 @@ def iter_pgoutput_changes(
     dangling: str = "drop",
     frozen_relations: bool = False,
     streaming_parallel: bool = False,
+    wire_seq: bool = False,
 ) -> Iterator[dict]:
     """Ordered decode: pgoutput payloads → RAW_EVENT_SCHEMA dicts.
+
+    ``wire_seq=True`` adds events.WIRE_SEQ_COL to every yielded row — a
+    monotone emission counter. Every row of a transaction shares the
+    Begin/Commit timestamp, so two updates to one pk INSIDE a
+    transaction tie on (event_unixtime, action_seq) and last-wins picks
+    arbitrarily; the counter carries wire order out-of-band (the
+    wal2json/Debezium convention — events.WIRE_SEQ_COL), which
+    compact_batch sorts between event_unixtime and action_seq. Emission
+    order = wire order within a transaction (buffered streamed/prepared
+    chunks preserve arrival order through their commit), and commit
+    order across transactions. Opt-in: graded/offline decodes keep the
+    plain 6-column contract.
 
     ``payloads`` is an iterable of byte strings in stream order; each
     may hold ONE message (the live XLogData shape — one message per
@@ -254,6 +267,19 @@ def iter_pgoutput_changes(
     archive was cut mid-transaction.
     """
     import time as _time
+
+    if wire_seq:
+        inner = iter_pgoutput_changes(
+            payloads, relations=relations,
+            fallback_unixtime_us=fallback_unixtime_us, sub_base=sub_base,
+            per_payload_tx=per_payload_tx, seq_cap=seq_cap,
+            state_out=state_out, dangling=dangling,
+            frozen_relations=frozen_relations,
+            streaming_parallel=streaming_parallel)
+        for i, row in enumerate(inner):
+            row["_wire_seq"] = i
+            yield row
+        return
 
     rels = relations if relations is not None else {}
     tx_ts_us: int | None = None

@@ -114,6 +114,42 @@ def test_insert_decodes_with_begin_timestamp():
     assert e["event_unixtime"] == TS
 
 
+def test_wire_seq_carries_within_transaction_order():
+    """Every row of a transaction shares the commit timestamp, so two
+    updates to one pk tie on (event_unixtime, action_seq); wire_seq=True
+    attaches a monotone emission counter (events.WIRE_SEQ_COL) so
+    last-wins keeps the transaction's LAST image. Default decode keeps
+    the plain 6-key contract."""
+    blob = (ORDERS_REL + enc_begin(TS)
+            + enc_update(16385, ["1", "2", "A"])
+            + enc_update(16385, ["1", "3", "B"])
+            + enc_commit())
+    evs = drain([blob], wire_seq=True)
+    assert [e["_wire_seq"] for e in evs] == [0, 1]
+    assert all(e["event_unixtime"] == TS for e in evs)
+    last = max(evs, key=lambda e: e["_wire_seq"])
+    assert json.loads(last["after"])["status"] == "B"
+    plain = drain([blob])
+    assert all("_wire_seq" not in e for e in plain)
+
+
+def test_wire_seq_streamed_transaction_preserves_arrival_order():
+    """Streamed chunks buffer until Stream Commit; the counter must
+    reflect within-transaction arrival order at emission."""
+    payloads = [
+        ORDERS_REL,
+        enc_stream_start(77, first=True),
+        _xid_prefixed(enc_update(16385, ["1", "2", "A"]), 77),
+        _xid_prefixed(enc_update(16385, ["1", "3", "B"]), 77),
+        enc_stream_stop(),
+        enc_stream_commit(77, TS),
+    ]
+    evs = drain(payloads, wire_seq=True)
+    assert [e["_wire_seq"] for e in evs] == [0, 1]
+    assert [json.loads(e["after"])["status"] for e in evs] == ["A", "B"]
+    assert all(e["event_unixtime"] == TS for e in evs)
+
+
 def test_concatenated_transaction_in_one_payload():
     blob = (ORDERS_REL + enc_begin(TS) + enc_insert(16385, ["1", "2", "A"])
             + enc_insert(16385, ["2", None, "B"]) + enc_commit())
