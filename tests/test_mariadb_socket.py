@@ -363,6 +363,29 @@ def test_cli_produce_mariadb_flavor_auto_position(tmp_path, capsys, spark):
         srv.srv.close()
 
 
+def test_offline_decoder_handles_mariadb_event_shapes():
+    """A MariaDB binlog mixes v1 row events with MariaDB-only types
+    (GTID 0xA2, ANNOTATE_ROWS 0xA0); the shared v4 decoder must skip
+    what it doesn't consume and decode the rows — the same bytes the
+    socket tail archives replay through this path."""
+    b = BinlogBuilder(server_version="10.11.6-MariaDB")
+    cols = [("id", B.T_LONG, 0), ("name", B.T_VARCHAR, 64)]
+    b.mariadb_gtid(0, 1)
+    b._event(0xA0, b"INSERT INTO t VALUES (1,'alice')")  # ANNOTATE_ROWS
+    b.table_map(9, "db", "t", cols, names_tlv=True)
+    b.insert_v1(9, (1, "alice"))
+    b.xid(1)
+    b.mariadb_gtid(0, 2)
+    b.table_map(9, "db", "t", cols, names_tlv=True)
+    b.delete(9, (1, "alice"))
+    b.xid(2)
+    evs = list(B.iter_binlog_events(b.bytes()))
+    assert [e["action"] for e in evs] == ["insert", "delete"]
+    import json as _json
+
+    assert _json.loads(evs[0]["after"]) == {"id": 1, "name": "alice"}
+
+
 def test_mariadb_flavor_rejects_unknown(tmp_path, capsys):
     import yaml
 
