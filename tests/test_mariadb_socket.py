@@ -117,10 +117,14 @@ class FakeMariadbServer(threading.Thread):
     right after serving that many transactions' GTID headers plus the
     NEXT gtid event (simulating a mid-transaction cut)."""
 
-    def __init__(self, binlog_bytes: bytes, torn: bool = False):
+    def __init__(self, binlog_bytes: bytes, torn: bool = False,
+                 cut_after: int | None = None):
         super().__init__(daemon=True)
         self.binlog = binlog_bytes
         self.torn = torn
+        #: cut the connection (no EOF) after serving this many event
+        #: packets — the torn-point sweep knob
+        self.cut_after = cut_after
         self.pub = E.mariadb_ed25519_public_key(PASSWORD)
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
@@ -224,6 +228,7 @@ class FakeMariadbServer(threading.Thread):
                 if grp:
                     groups.append((cur, grp))
                 served = 0
+                sent = 0
                 for g, evs in groups:
                     if g is not None and g[1] <= pos.get(g[0], 0):
                         continue
@@ -235,6 +240,10 @@ class FakeMariadbServer(threading.Thread):
                     for ev in evs:
                         self._send(conn, seq, b"\x00" + ev)
                         seq += 1
+                        sent += 1
+                        if self.cut_after is not None \
+                                and sent >= self.cut_after:
+                            return  # torn-point sweep: cut, no EOF
                     served += 1
                 self._send(conn, seq, b"\xfe\x00\x00\x02\x00")
                 return
@@ -309,6 +318,87 @@ def test_mariadb_torn_mid_transaction_keeps_inflight_out():
                 evs.append(e)
         assert c.mariadb_gtid_pos == {0: (1, 1)}
         assert c._pending_mariadb == (0, 1, 2)  # in-flight, NOT durable
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()
+
+
+def _multi_domain_fixture() -> bytes:
+    """Two GTID domains interleaved (parallel replication streams):
+    domain 0 carries two transactions, domain 1 one."""
+    b = BinlogBuilder(server_version="10.11.6-MariaDB")
+    cols = [("id", B.T_LONG, 0), ("name", B.T_VARCHAR, 64)]
+    b.mariadb_gtid(0, 1)
+    b.table_map(9, "db", "t", cols, names_tlv=True)
+    b.insert(9, (1, "alice"))
+    b.xid(1)
+    b.mariadb_gtid(1, 5)
+    b.table_map(9, "db", "t", cols, names_tlv=True)
+    b.insert(9, (2, "bob"))
+    b.xid(2)
+    b.mariadb_gtid(0, 2)
+    b.table_map(9, "db", "t", cols, names_tlv=True)
+    b.update(9, ((1, "alice"), (1, "alicia")))
+    b.xid(3)
+    return b.bytes()
+
+
+def test_mariadb_multi_domain_cursor_tracks_per_domain():
+    srv = FakeMariadbServer(_multi_domain_fixture())
+    srv.start()
+    try:
+        c = _client(srv)
+        evs = list(stream_raw_events(c, "", 4, gtid_set="",
+                                     flavor="mariadb"))
+        c.close()
+        assert len(evs) == 3
+        assert c.mariadb_gtid_pos == {0: (1, 2), 1: (1, 5)}
+        assert format_mariadb_gtid_pos(c.mariadb_gtid_pos) == "0-1-2,1-1-5"
+        # resume skips everything
+        c2 = _client(srv)
+        assert list(stream_raw_events(c2, "", 4, gtid_set="0-1-2,1-1-5",
+                                      flavor="mariadb")) == []
+        c2.close()
+        # partial: only domain 0 caught up -> domain 1's tx replays
+        c3 = _client(srv)
+        evs3 = list(stream_raw_events(c3, "", 4, gtid_set="0-1-2",
+                                      flavor="mariadb"))
+        c3.close()
+        assert len(evs3) == 1 and evs3[0]["action"] == "insert"
+        assert c3.mariadb_gtid_pos == {0: (1, 2), 1: (1, 5)}
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()
+
+
+@pytest.mark.parametrize("cut_after", list(range(1, 12)))
+def test_mariadb_torn_point_sweep_never_cursors_inflight(cut_after):
+    """Cut the stream after EVERY possible event position: whatever the
+    tear point, the durable cursor must contain exactly the
+    transactions whose COMPLETION was proven (a successor GTID arrived)
+    — never the in-flight one, never a later one. The invariant that
+    makes at-least-once resume safe at any crash point."""
+    data = _multi_domain_fixture()
+    # transaction completion proofs in stream order: tx(0,1) proven at
+    # event 5 (tx2's GTID), tx(1,5) proven at event 9 (tx3's GTID);
+    # tx(0,2) is only proven by clean EOF, which a cut never delivers.
+    srv = FakeMariadbServer(data, cut_after=cut_after)
+    srv.start()
+    try:
+        c = _client(srv)
+        try:
+            for _ in stream_raw_events(c, "", 4, gtid_set="",
+                                       flavor="mariadb"):
+                pass
+        except (BinlogProtocolError, OSError):
+            pass
+        expect: dict = {}
+        if cut_after >= 5:
+            expect[0] = (1, 1)
+        if cut_after >= 9:
+            expect[1] = (1, 5)
+        assert c.mariadb_gtid_pos == expect, f"cut_after={cut_after}"
+        c.close()
     finally:
         srv.stop_evt.set()
         srv.srv.close()
