@@ -30,7 +30,8 @@ _ADD_RE = re.compile(
 )
 _DROP_RE = re.compile(r"^drop\s+(?:column\s+)?`?(\w+)`?\s*$", re.I)
 _CHANGE_RE = re.compile(
-    r"^change\s+(?:column\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(?:\s*\([\d\s,]+\))?)(?P<rest>.*)$",
+    r"^change\s+(?:column\s+)?`?(\w+)`?\s+`?(\w+)`?\s+"
+    r"(\w+(?:\s*\([\d\s,]+\))?(?:\s+unsigned)?)(?P<rest>.*)$",
     re.I | re.S,
 )
 _MODIFY_RE = re.compile(

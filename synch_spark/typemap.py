@@ -68,9 +68,21 @@ def source_type_to_spark(type_str: str) -> T.DataType:
         scale = int(s) if s else 0
         return T.DecimalType(precision, scale)
     if base == "tinyint" and p == "1":
-        return T.BooleanType()
+        return T.BooleanType()  # MySQL boolean idiom, signed or not
     if base == "unsigned":  # "unsigned int" style — be permissive
         return T.LongType()
+    # UNSIGNED widening (Spark's own JDBC convention): each unsigned
+    # integer type needs the next-wider signed Spark type — mapping
+    # bigint unsigned to LongType would overflow values above 2^63-1
+    # that the binlog row decoder faithfully produces (it honors the
+    # TABLE_MAP signedness TLV). The reference never handles unsigned
+    # (convert.py maps only bool), so this is a correctness extension.
+    if re.search(r"\bunsigned\b", type_str, re.IGNORECASE):
+        widened = {"tinyint": T.ShortType(), "smallint": T.IntegerType(),
+                   "mediumint": T.IntegerType(), "int": T.LongType(),
+                   "integer": T.LongType(), "bigint": T.DecimalType(20, 0)}
+        if base in widened:
+            return widened[base]
     return _SIMPLE.get(base, T.StringType())
 
 

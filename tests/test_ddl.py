@@ -118,3 +118,31 @@ def test_non_column_clauses_parse_to_no_ops():
     # a column that merely STARTS like an option keyword still parses
     ops = parse_alter("alter table db.t add column engine_id bigint")
     assert len(ops) == 1 and ops[0].column == "engine_id"
+
+
+def test_unsigned_integer_types_widen():
+    """UNSIGNED widening (Spark's JDBC convention): each unsigned
+    integer maps to the next-wider signed Spark type — bigint unsigned
+    to LongType would overflow values above 2^63-1 that the binlog row
+    decoder (which honors the signedness TLV) faithfully produces."""
+    from synch_spark.typemap import source_type_to_spark as f
+
+    assert f("tinyint unsigned").simpleString() == "smallint"
+    assert f("smallint unsigned").simpleString() == "int"
+    assert f("mediumint unsigned").simpleString() == "int"
+    assert f("int unsigned").simpleString() == "bigint"
+    assert f("int(11) unsigned").simpleString() == "bigint"
+    assert f("bigint unsigned").simpleString() == "decimal(20,0)"
+    # boolean idiom beats the widening; signed types unchanged
+    assert f("tinyint(1)").simpleString() == "boolean"
+    assert f("bigint").simpleString() == "bigint"
+
+
+def test_change_column_keeps_unsigned():
+    """CHANGE COLUMN captured the type WITHOUT its unsigned suffix,
+    silently narrowing a bigint-unsigned rename — the suffix must ride
+    into the AlterOp's type like ADD/MODIFY always did."""
+    ops = parse_alter("ALTER TABLE db.t CHANGE COLUMN a b bigint unsigned NOT NULL")
+    assert ops[0].action == "rename_column"
+    assert ops[0].type_str.lower() == "bigint unsigned"
+    assert ops[0].spark_type.simpleString() == "decimal(20,0)"
