@@ -27,6 +27,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, functions as F
+from synch_spark.events import WIRE_SEQ_COL
 
 #: columns every producer payload carries (events.RAW_EVENT_SCHEMA order);
 #: the optional events.WIRE_SEQ_COL rides along when the frame has it, so
@@ -45,7 +46,7 @@ def kafka_payload(events: DataFrame, queue_prefix: str = "synch") -> DataFrame:
     Split out from the writer so the mapping is testable without the
     connector jar.
     """
-    cols = EVENT_COLUMNS + (["_wire_seq"] if "_wire_seq" in events.columns
+    cols = EVENT_COLUMNS + ([WIRE_SEQ_COL] if WIRE_SEQ_COL in events.columns
                             else [])
     return events.select(
         F.col("schema").cast("string").alias("key"),
@@ -242,7 +243,7 @@ def write_event_spool(
     """
     os.makedirs(events_dir, exist_ok=True)
     staging = os.path.join(events_dir, f"_staging.{basename}")
-    cols = EVENT_COLUMNS + (["_wire_seq"] if "_wire_seq" in events.columns
+    cols = EVENT_COLUMNS + ([WIRE_SEQ_COL] if WIRE_SEQ_COL in events.columns
                             else [])
     events.select(*cols).write.mode("overwrite").json(staging)
     i = 0

@@ -16,6 +16,14 @@ import enum
 from dataclasses import dataclass, field
 from typing import Any
 
+#: Canonical name of the per-event wire-order column. Defined HERE (the
+#: one stdlib-only module every layer already depends on) so both the
+#: Spark side (events.py re-exports it) and the pure-Python protocol
+#: decoders (pgoutput.py) share ONE definition — a rename can never
+#: silently de-synchronize a stray string literal. Semantics are
+#: documented at events.WIRE_SEQ_COL, the public access point.
+WIRE_SEQ_COL = "_wire_seq"
+
 
 class Engine(str, enum.Enum):
     """Target-table merge semantics (ClickHouse MergeTree family, natively ours)."""

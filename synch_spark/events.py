@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from synch_spark.config import WIRE_SEQ_COL as _config_wire_seq_col
+
 # action_seq mirrors the reference: 0=query(DDL), 1=delete, 2=insert —
 # ordering key is (event_unixtime, action_seq) so an update's delete
 # precedes its insert at the same microsecond.
@@ -63,7 +65,9 @@ RAW_EVENT_SCHEMA = T.StructType(
 #: event_unixtime and action_seq; it is never stored in tables
 #: (cdc_apply meta-strips it) and rides the broker hop as an extra JSON
 #: field that old payloads simply lack (parses as null = 0).
-WIRE_SEQ_COL = "_wire_seq"
+#: The literal lives in config.WIRE_SEQ_COL (stdlib-only module) so the
+#: pure-Python decoders share it; this re-export is the public name.
+WIRE_SEQ_COL = _config_wire_seq_col
 
 # RAW_EVENT_SCHEMA + the optional wire-order field — the parse schema
 # for broker hops (spool files, raw-format Kafka values): a payload

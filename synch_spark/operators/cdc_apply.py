@@ -31,7 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from synch_spark.config import Engine, TableSpec
+from synch_spark.config import Engine, TableSpec, WIRE_SEQ_COL
 from synch_spark.operators import engines
 from synch_spark.sources.table import ParquetTable, _partition_dir_value, file_key_range
 
@@ -49,8 +49,6 @@ def compact_batch(events: DataFrame, pk: tuple[str, ...]) -> DataFrame:
     wire seq) still resolve by action_seq. Absent/null seqs sort as 0 —
     the pre-upgrade arbitrary-tie contract.
     """
-    from synch_spark.events import WIRE_SEQ_COL
-
     keys = [F.col("event_unixtime").desc()]
     if WIRE_SEQ_COL in events.columns:
         keys.append(F.coalesce(F.col(WIRE_SEQ_COL), F.lit(0)).desc())
@@ -88,7 +86,7 @@ def apply_cdc_batch(
 
 def _row_cols(events: DataFrame, value_columns: list[str] | None) -> list[str]:
     meta = {"schema", "table", "action", "event_unixtime", "action_seq",
-            "_wire_seq"}
+            WIRE_SEQ_COL}
     return value_columns or [c for c in events.columns if c not in meta]
 
 

@@ -130,12 +130,22 @@ def jaccard_pairs(
     return out
 
 
-# "auto" max_df cap: max(_AUTO_MAX_DF_FLOOR, _AUTO_MAX_DF_FRAC * n_docs).
+# "auto" max_df cap:
+#   least(max(_AUTO_MAX_DF_FLOOR, _AUTO_MAX_DF_FRAC * n_docs),
+#         _AUTO_MAX_DF_CEIL).
 # The floor keeps the guard inert on small/medium corpora (exactness
 # preserved when no gram exceeds it); the fraction bounds the worst join
-# key at corpus scale. Module-level so tests can tighten the floor.
+# key at corpus scale; the CEILING bounds it absolutely — a fractional
+# cap scales linearly with the corpus, so at 10^10 docs frac*n = 10^7
+# ids in ONE collect_list aggregation buffer (~80 MB of longs in a
+# single task) and cap^2 = 10^14 generated pairs for one stop-gram.
+# 10^5 caps the worst posting buffer at ~800 KB and the worst gram at
+# 10^10 pairs spread across the explode (still large, but partitioned;
+# grams that common are stopwords and carry no similarity signal
+# anyway). Module-level so tests can tighten the floor/ceiling.
 _AUTO_MAX_DF_FLOOR = 1000
 _AUTO_MAX_DF_FRAC = 0.001
+_AUTO_MAX_DF_CEIL = 100_000
 
 
 def _gram_overlap(df, text_col, id_col, n, probe_filter, symmetric,
@@ -158,7 +168,8 @@ def _gram_overlap(df, text_col, id_col, n, probe_filter, symmetric,
     Exactness is preserved whenever no gram actually exceeds the cap.
 
     ``max_df="auto"`` derives the cap from the corpus itself —
-    ``max(_AUTO_MAX_DF_FLOOR, _AUTO_MAX_DF_FRAC * n_docs)`` — computed
+    ``least(max(_AUTO_MAX_DF_FLOOR, _AUTO_MAX_DF_FRAC * n_docs),
+    _AUTO_MAX_DF_CEIL)`` — computed
     IN-PLAN (the doc count joins the gram-frequency aggregate as a
     broadcast scalar), so no eager driver action and the same lazy
     DataFrame contract. None disables the guard entirely.
@@ -191,9 +202,13 @@ def _gram_overlap(df, text_col, id_col, n, probe_filter, symmetric,
         return sizes, inter
     if max_df == "auto":
         n_docs = df.select(F.count(F.lit(1)).alias("_ndocs"))
-        cap = F.greatest(
-            F.lit(int(_AUTO_MAX_DF_FLOOR)),
-            (F.col("_ndocs") * F.lit(float(_AUTO_MAX_DF_FRAC))).cast("long"),
+        cap = F.least(
+            F.greatest(
+                F.lit(int(_AUTO_MAX_DF_FLOOR)),
+                (F.col("_ndocs")
+                 * F.lit(float(_AUTO_MAX_DF_FRAC))).cast("long"),
+            ),
+            F.lit(int(_AUTO_MAX_DF_CEIL)),
         )
         rare = (
             sh.groupBy("shingle")

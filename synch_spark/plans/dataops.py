@@ -148,22 +148,24 @@ JACCARD_T = 0.6
 
 # Shared gram CTE block for the inverted-index oracles (q20/q104/q96),
 # MIRRORING dedup._gram_overlap's max_df="auto" guard: grams whose
-# document frequency exceeds max(floor, FLOOR(frac * n_docs)) are
-# dropped from the vocabulary before the join. Spark computes the cap
-# as (count * 0.001) cast to long (truncation = FLOOR for positives);
-# FLOOR here keeps the two engines identical at ANY scale factor —
-# inert at fixture scale (max 3-gram df ~7), but if a larger fixture
-# ever makes the cap bind, the oracle binds WITH the operator instead
-# of silently diverging. The {floor}/{frac} placeholders are filled
-# from the operator's own module constants (single source of truth).
+# document frequency exceeds least(max(floor, FLOOR(frac * n_docs)),
+# ceil) are dropped from the vocabulary before the join. Spark computes
+# the fractional term as (count * 0.001) cast to long (truncation =
+# FLOOR for positives); FLOOR here keeps the two engines identical at
+# ANY scale factor — inert at fixture scale (max 3-gram df ~7), but if
+# a larger fixture ever makes the cap bind, the oracle binds WITH the
+# operator instead of silently diverging. The {floor}/{frac}/{ceil}
+# placeholders are filled from the operator's own module constants
+# (single source of truth).
 _GRAM_TOK_CTES_T = """
 toks AS (SELECT doc_id, {tok} AS w FROM documents),
 tok0 AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
   FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
   WHERE len(w) >= 3),
-gcap AS (SELECT GREATEST({floor}, CAST(FLOOR({frac} * COUNT(*)) AS BIGINT))
-           AS cap FROM documents),
+gcap AS (SELECT LEAST(
+           GREATEST({floor}, CAST(FLOOR({frac} * COUNT(*)) AS BIGINT)),
+           {ceil}) AS cap FROM documents),
 gdf AS (SELECT t, COUNT(*) AS df FROM tok0 GROUP BY t),
 tok AS (SELECT tok0.doc_id, tok0.t
         FROM tok0 JOIN gdf USING (t), gcap WHERE gdf.df <= gcap.cap)"""
@@ -174,7 +176,8 @@ def _gram_tok_ctes() -> str:
 
     return _GRAM_TOK_CTES_T.format(
         tok=TOK_SQL, floor=int(_dedup._AUTO_MAX_DF_FLOOR),
-        frac=repr(float(_dedup._AUTO_MAX_DF_FRAC)))
+        frac=repr(float(_dedup._AUTO_MAX_DF_FRAC)),
+        ceil=int(_dedup._AUTO_MAX_DF_CEIL))
 
 
 GRAM_TOK_CTES = _gram_tok_ctes()

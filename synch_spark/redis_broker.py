@@ -33,7 +33,7 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
-from synch_spark.broker import EVENT_COLUMNS
+from synch_spark.broker import EVENT_COLUMNS, WIRE_SEQ_COL
 
 
 def redis_client(url: str):
@@ -119,8 +119,8 @@ class RedisStreamBroker:
         single-threaded produce loop; Redis Streams has no partitioned
         produce to distribute over (see module docstring)."""
         n = 0
-        cols = EVENT_COLUMNS + (["_wire_seq"]
-                                if "_wire_seq" in events.columns else [])
+        cols = EVENT_COLUMNS + ([WIRE_SEQ_COL]
+                                if WIRE_SEQ_COL in events.columns else [])
         for row in events.select(*cols).toLocalIterator():
             d = row.asDict()
             self.send(d["schema"], d)

@@ -87,6 +87,7 @@ from __future__ import annotations
 import json
 import logging
 import struct
+from synch_spark.config import WIRE_SEQ_COL
 from typing import Iterator
 
 logger = logging.getLogger(__name__)
@@ -277,7 +278,7 @@ def iter_pgoutput_changes(
             frozen_relations=frozen_relations,
             streaming_parallel=streaming_parallel)
         for i, row in enumerate(inner):
-            row["_wire_seq"] = i
+            row[WIRE_SEQ_COL] = i
             yield row
         return
 

@@ -225,6 +225,58 @@ def test_gram_max_df_auto_cross_engine_when_cap_binds(spark, monkeypatch):
     assert capped < uncapped and (0, 1, 0.6) in uncapped
 
 
+def test_gram_max_df_auto_absolute_ceiling_binds(spark, monkeypatch):
+    """The auto cap has an ABSOLUTE ceiling (_AUTO_MAX_DF_CEIL), not
+    just the fractional term: frac*n scales linearly with the corpus,
+    so at 10^10 docs one stop-gram's posting list would hit 10^7 ids in
+    a single collect_list buffer and cap^2 = 10^14 generated pairs.
+    Tighten the CEILING below the hot gram's df while the FLOOR stays
+    at its default 1000 (which alone would keep the hot gram): the
+    ceiling must win, the hot pairs must drop, and the mirrored DuckDB
+    oracle with the same tightened ceiling must agree hash-exactly."""
+    import duckdb
+    import pandas as pd
+
+    from synch_spark.operators import dedup
+    from synch_spark.operators.dedup import jaccard_pairs
+    from synch_spark.plans import dataops
+
+    # same corpus shape as the floor test: 12 docs share 3 hot 3-grams
+    # (df=12) + 4 twin pairs of unique rare text
+    rows = [(i, f"h1 h2 h3 h4 h5 u{i}") for i in range(12)]
+    rows += [(base + j, f"r{base}a r{base}b r{base}c r{base}d")
+             for base in (100, 110, 120, 130) for j in (0, 1)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+
+    assert dedup._AUTO_MAX_DF_FLOOR == 1000  # floor alone keeps df=12
+    monkeypatch.setattr(dedup, "_AUTO_MAX_DF_CEIL", 5)
+    capped = {(r["a"], r["b"], round(r["jaccard"], 9))
+              for r in jaccard_pairs(
+                  docs, "text", "doc_id", threshold=0.6, n=3,
+                  probe_filter=lambda a: a % 10 == 0).collect()}
+    uncapped = {(r["a"], r["b"], round(r["jaccard"], 9))
+                for r in jaccard_pairs(
+                    docs, "text", "doc_id", threshold=0.6, n=3,
+                    probe_filter=lambda a: a % 10 == 0,
+                    max_df=None).collect()}
+
+    # the graded oracle with the SAME tightened ceiling
+    sql = dataops.Q20_SQL.replace("           100000) AS cap",
+                                  "           5) AS cap")
+    assert sql != dataops.Q20_SQL, "ceil placeholder moved; fix the test"
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = {(a, b, round(j, 9)) for a, b, j in
+              con.execute(sql).fetchall()}
+    con.close()
+
+    want_twins = {(b, b + 1, 1.0) for b in (100, 110, 120, 130)}
+    assert capped == oracle == want_twins
+    # uncapped keeps the hot pairs — the CEILING (not the floor) bound
+    assert capped < uncapped and (0, 1, 0.6) in uncapped
+
+
 def test_keep_best_representative_scores_ties_and_singletons(spark):
     """keep_best_representative keeps the highest-scoring doc per
     cluster (ties -> lowest id), labels singletons with their own id,
