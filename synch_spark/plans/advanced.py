@@ -531,14 +531,52 @@ FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE)) ORDER BY et, d
 """
 
 
-# --- approximate sketches (rows-only: sketch outputs are engine-specific,
-# accuracy is regression-tested against exact values in pytest) ----------
+# --- approximate sketches, hash-graded ------------------------------------
 def q34_approx_sketches(spark, sf_dir):
+    """Sketch aggregation pass with a FULL hash oracle (VERDICT r10
+    item 3): the sketches (HLL++ count-distinct, GK approximate median)
+    run in the SAME single aggregation as before — bench still times
+    the sketch plan — but the graded output carries the deterministic
+    sub-aggregates (exact count / min / max per group) plus the sketch
+    values folded into loose in-range BOOLEANS the oracle asserts as
+    literal TRUE. Referencing the sketches in the booleans keeps
+    Catalyst from pruning them out of the plan. The TIGHT accuracy
+    envelope (|approx-exact|/exact tolerance vs exact twins) stays
+    q101's job; these bounds only pin "a sane value came out" so the
+    whole row set hash-matches across engines."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("l_extendedprice").cast("double")).alias("min_price"),
+        F.max(F.col("l_extendedprice").cast("double")).alias("max_price"),
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.percentile_approx(
+            F.col("l_extendedprice").cast("double"), 0.5).alias("_am"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "min_price",
+        "max_price",
+        # HLL estimate: positive, and ≤ 2n leaves 100% headroom over the
+        # true distinct ≤ n (rsd default 5%; q101 pins the tight bound)
+        ((F.col("_ap") >= 1) & (F.col("_ap") <= 2 * F.col("n")))
+        .alias("parts_in_range"),
+        # GK median returns an actual element, so [min, max] is exact
+        ((F.col("_am") >= F.col("min_price"))
+         & (F.col("_am") <= F.col("max_price"))).alias("median_in_range"),
     ).orderBy("l_returnflag")
+
+
+Q34_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       MIN(CAST(l_extendedprice AS DOUBLE)) AS min_price,
+       MAX(CAST(l_extendedprice AS DOUBLE)) AS max_price,
+       TRUE AS parts_in_range,
+       TRUE AS median_in_range
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 # --- custom stateful streaming: first event per user ---------------------
@@ -1271,7 +1309,7 @@ ADVANCED_QUERIES = {
     "q31_streaming_tumbling": (q31_streaming_tumbling, Q31_SQL),
     "q32_range_join": (q32_range_join, Q32_SQL),
     "q33_cube": (q33_cube, Q33_SQL),
-    "q34_approx_sketches": (q34_approx_sketches, None),
+    "q34_approx_sketches": (q34_approx_sketches, Q34_SQL),
     "q35_streaming_first_per_key": (q35_streaming_first_per_key, Q35_SQL),
     "q58_streaming_sessions": (q58_streaming_sessions, Q58_SQL),
     "q102_streaming_dedup": (q102_streaming_dedup, Q102_SQL),
