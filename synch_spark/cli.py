@@ -494,12 +494,27 @@ def _produce_pg_socket(args, raw, cfg, spark) -> int:
                 # wire_seq: same-pk updates inside one transaction
                 # share the commit timestamp; the emission counter
                 # carries wire order so downstream last-wins keeps the
-                # transaction's LAST image (events.WIRE_SEQ_COL)
+                # transaction's LAST image (events.WIRE_SEQ_COL).
+                # Rebased on the round's first XLogData LSN (monotone
+                # across rounds, identical on slot replay) and packed
+                # lsn<<16 | pos like the wal2json path, so two
+                # transactions committing in the same microsecond that
+                # straddle a ROUND boundary still resolve in wire
+                # order — the binlog tails' stamp_state discipline for
+                # the pg socket. LSN clamped below 2^46 so the shift
+                # can never reach the sign bit, which would invert ALL
+                # ordering; an LSN that large means ~70 PB of WAL
+                # history (unreachable in practice), and in that regime
+                # cross-round ordering degrades to the pre-upgrade
+                # per-round contract while within-round order holds.
+                wire_base = (min(client.round_first_data_lsn,
+                                 (1 << 46) - 1) << 16)
                 evs = list(iter_pgoutput_changes(payloads,
                                                  relations=pgo_relations,
                                                  state_out=pgo_state,
                                                  streaming_parallel=par,
-                                                 wire_seq=True))
+                                                 wire_seq=True,
+                                                 wire_seq_base=wire_base))
                 if (pg.get("archive_dir") and not client.torn
                         and not pgo_state.get("undecided")):
                     # raw wire audit trail: a frame file per DECIDED

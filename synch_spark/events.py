@@ -928,16 +928,19 @@ def wal2json_to_raw(
         # later transaction committing <1 ms after this one. With
         # ``order_col`` (the Kafka reader's ``offset``) the seq is
         # line-order x within-payload position — deterministic and
-        # restart-stable (offsets never exceed 2^47 in practice, so the
-        # 16-bit shift cannot overflow a long; a >65535-change v1
-        # transaction saturates pos, leaving only previously-arbitrary
-        # ties arbitrary, never INVERTED). Without order_col the
-        # fallback monotonically_increasing_id preserves order within a
-        # batch of an order-preserving source (file lines, a socket
-        # drain) but not across micro-batch restarts. Opt-in:
-        # graded/offline decodes keep the plain 6-column schema.
+        # restart-stable. The offset is CLAMPED below 2^46 before the
+        # 16-bit shift: the input is unbounded, and an offset at 2^47
+        # would shift into the sign bit and INVERT ordering — clamped,
+        # a beyond-range offset merely saturates (ties among the
+        # saturated tail stay arbitrary, never inverted), same contract
+        # as the >65535-change v1 transaction saturating pos. Without
+        # order_col the fallback monotonically_increasing_id preserves
+        # order within a batch of an order-preserving source (file
+        # lines, a socket drain) but not across micro-batch restarts.
+        # Opt-in: graded/offline decodes keep the plain 6-column schema.
         if has_ord:
-            wire = (F.shiftleft(F.col("_ord"), 16)
+            wire = (F.shiftleft(F.least(F.col("_ord").cast("long"),
+                                        F.lit((1 << 46) - 1)), 16)
                     + F.least(F.col("_pos").cast("long"),
                               F.lit((1 << 16) - 1)))
         else:

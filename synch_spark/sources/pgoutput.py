@@ -217,11 +217,21 @@ def iter_pgoutput_changes(
     frozen_relations: bool = False,
     streaming_parallel: bool = False,
     wire_seq: bool = False,
+    wire_seq_base: int | None = None,
 ) -> Iterator[dict]:
     """Ordered decode: pgoutput payloads → RAW_EVENT_SCHEMA dicts.
 
     ``wire_seq=True`` adds events.WIRE_SEQ_COL to every yielded row — a
-    monotone emission counter. Every row of a transaction shares the
+    monotone emission counter. ``wire_seq_base`` (an already-packed
+    long, e.g. ``min(round_start_lsn, 2^46-1) << 16`` from the live
+    tail) rebases the counter for CROSS-ROUND continuity: the stamped
+    value is ``base + min(i, 65535)``, so two transactions committing
+    in the same microsecond that land in DIFFERENT rounds still
+    resolve in wire order (the LSN anchor is monotone across rounds
+    and replay-stable), while a >65535-row round saturates the
+    position — leaving only previously-arbitrary ties arbitrary,
+    never inverted (the wal2json ``offset<<16 | pos`` contract,
+    events.py). ``None`` keeps the plain per-call enumerate. Every row of a transaction shares the
     Begin/Commit timestamp, so two updates to one pk INSIDE a
     transaction tie on (event_unixtime, action_seq) and last-wins picks
     arbitrarily; the counter carries wire order out-of-band (the
@@ -277,9 +287,14 @@ def iter_pgoutput_changes(
             state_out=state_out, dangling=dangling,
             frozen_relations=frozen_relations,
             streaming_parallel=streaming_parallel)
-        for i, row in enumerate(inner):
-            row[WIRE_SEQ_COL] = i
-            yield row
+        if wire_seq_base is None:
+            for i, row in enumerate(inner):
+                row[WIRE_SEQ_COL] = i
+                yield row
+        else:
+            for i, row in enumerate(inner):
+                row[WIRE_SEQ_COL] = wire_seq_base + min(i, 0xFFFF)
+                yield row
         return
 
     rels = relations if relations is not None else {}

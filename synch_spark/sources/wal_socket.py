@@ -117,6 +117,12 @@ class WalSocketClient:
         self.f = None
         self.received_lsn = 0
         self.flushed_lsn = 0
+        # dataStart of the FIRST XLogData frame of the current poll
+        # round (0 until one arrives): a monotone, durable anchor for
+        # cross-round wire-seq continuity — replaying an un-acked round
+        # reproduces the same anchor, and a later round's first record
+        # always starts past the previous round's acked walEnd
+        self.round_first_data_lsn = 0
         # set when the last poll round ended on a torn read (connection
         # died mid-message) rather than idle/CopyDone — the caller must
         # treat the round as failed, NOT ack it as a clean drain
@@ -297,6 +303,7 @@ class WalSocketClient:
         assert self.sock is not None
         self.sock.settimeout(idle_timeout)
         self.torn = False
+        self.round_first_data_lsn = 0
         while True:
             try:
                 t, b = self._read_msg()
@@ -328,6 +335,8 @@ class WalSocketClient:
                 # commit record's end, so the final transaction would
                 # be re-delivered on every drain round forever
                 self.received_lsn = max(self.received_lsn, start, end)
+                if self.round_first_data_lsn == 0:
+                    self.round_first_data_lsn = start
                 yield payload
             elif kind == b"k":
                 end, _ts, reply = struct.unpack("!QQB", b[1:18])

@@ -43,6 +43,101 @@ def test_wire_seq_literal_defined_exactly_once():
     ), f"stray _wire_seq literals: {hits}"
 
 
+def _pgoutput_rounds(n_updates: int, cut: int, ts_us: int):
+    """n same-stamp updates to one pk, split into two rounds at `cut`
+    (round 1 also carries the Relation; round 2 relies on the carried
+    registry, like the CLI's cross-round pgo_relations)."""
+    from tests.test_pgoutput import (
+        enc_begin,
+        enc_commit,
+        enc_relation,
+        enc_update,
+    )
+
+    rel = enc_relation(16401, "db", "t",
+                       [(1, "id", 23, -1), (0, "name", 25, -1)])
+    upd = [enc_update(16401, ["1", f"v{i}"], old=["1", None], old_kind=b"K")
+           for i in range(n_updates)]
+    r1 = [rel, enc_begin(ts_us)] + upd[:cut] + [enc_commit()]
+    r2 = [enc_begin(ts_us)] + upd[cut:] + [enc_commit()]
+    return r1, r2
+
+
+def test_pg_wire_seq_round_cut_property():
+    """Hypothesis property (VERDICT r10 item 2): for ANY cut point and
+    ANY realistic LSN pair (lsn2 > lsn1), decoding the two rounds with
+    LSN-rebased wire seqs yields a strictly increasing global sequence,
+    so last-wins always keeps the wire-last update — the old per-round
+    enumerate made round 2 restart at 0 and tie-break arbitrarily."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from synch_spark.sources.pgoutput import iter_pgoutput_changes
+
+    TS = 1_704_067_201_000_000
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(min_value=2, max_value=12),
+        data=st.data(),
+        lsn1=st.integers(min_value=1, max_value=1 << 40),
+        gap=st.integers(min_value=1, max_value=1 << 20),
+    )
+    def prop(n, data, lsn1, gap):
+        cut = data.draw(st.integers(min_value=1, max_value=n - 1))
+        r1, r2 = _pgoutput_rounds(n, cut, TS)
+        lsn2 = lsn1 + gap
+        rels: dict = {}
+        rows = []
+        for payloads, lsn in ((r1, lsn1), (r2, lsn2)):
+            base = min(lsn, (1 << 46) - 1) << 16
+            rows += list(iter_pgoutput_changes(
+                payloads, relations=rels, wire_seq=True,
+                wire_seq_base=base))
+        assert len(rows) == n
+        seqs = [r["_wire_seq"] for r in rows]
+        assert seqs == sorted(seqs) and len(set(seqs)) == n
+        # last-wins over (event_unixtime, wire_seq): the wire-last
+        # update must carry the max key even though every stamp ties
+        winner = max(rows, key=lambda r: (r["event_unixtime"],
+                                          r["_wire_seq"]))
+        import json as _json
+
+        assert _json.loads(winner["after"])["name"] == f"v{n - 1}"
+
+    prop()
+
+
+def test_wal2json_order_col_overflow_clamped(spark):
+    """ADVICE r10 item 1: an unbounded order_col offset at 2^47 used to
+    shift into the long's sign bit (offset<<16 negative) and INVERT
+    ordering against any sane offset. Clamped at 2^46-1 the oversized
+    offset saturates: its wire seq stays positive and >= every
+    below-cap offset's."""
+    import json as _json
+
+    from synch_spark.events import wal2json_to_raw
+
+    payload = {"change": [
+        {"kind": "insert", "schema": "db", "table": "t",
+         "columnnames": ["id"], "columnvalues": ["1"]}],
+        "timestamp": "2024-03-01 12:00:00.123456+00"}
+    rows = [(_json.dumps(payload), 1 << 45),   # sane, below cap
+            (_json.dumps(payload), 1 << 47),   # would flip sign unclamped
+            (_json.dumps(payload), (1 << 62))]  # absurd, also clamps
+    df = spark.createDataFrame(rows, "value string, offset long")
+    out = wal2json_to_raw(df, subsecond_tiebreak=True,
+                          order_col="offset").collect()
+    seqs = sorted(r["_wire_seq"] for r in out)
+    assert all(s > 0 for s in seqs), f"sign-bit overflow: {seqs}"
+    lo = (1 << 45) << 16
+    hi = ((1 << 46) - 1) << 16
+    # below-cap passes through exactly; both oversized offsets saturate
+    # to the same cap (ties among the saturated tail, never inverted)
+    assert seqs[0] == lo and seqs[1] == seqs[2]
+    assert all(s >= hi for s in seqs[1:])
+
+
 def test_wire_seq_single_source_of_truth():
     """events.WIRE_SEQ_COL (the public name) IS config.WIRE_SEQ_COL, and
     every consumer module resolves to the same object."""

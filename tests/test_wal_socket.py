@@ -47,12 +47,19 @@ V2_LINES = [
 class FakePgServer(threading.Thread):
     def __init__(self, auth: str = "md5", tls_ctx=None,
                  keepalive: bool = True, tear_mid_message: bool = False,
-                 payloads: list | None = None, port: int = 0):
+                 payloads: list | None = None, port: int = 0,
+                 rounds_payloads: list | None = None):
         super().__init__(daemon=True)
         self.auth = auth
         #: override the streamed XLogData payloads (bytes); defaults to
         #: the wal2json V2_LINES — a pgoutput fake passes binary messages
         self.payloads = payloads
+        #: per-CONNECTION payload lists: each dial pops the next round
+        #: (a real walsender streams new WAL each drain round); LSNs
+        #: advance across connections like real WAL positions do.
+        #: Exhausted → idle rounds (keepalive only).
+        self.rounds_payloads = rounds_payloads
+        self.next_lsn = 0x16B3A50
         self.tls_ctx = tls_ctx
         self.tls_used = False
         self.keepalive = keepalive
@@ -176,12 +183,17 @@ class FakePgServer(threading.Thread):
             break
         self.start_replication_sql.append(sql)
         self._send(conn, b"W", b"\x00\x00\x00")             # CopyBothResponse
-        lsn = 0x16B3A50
-        stream = (self.payloads if self.payloads is not None
-                  else [ln.encode() for ln in V2_LINES])
+        if self.rounds_payloads is not None:
+            stream = (self.rounds_payloads.pop(0)
+                      if self.rounds_payloads else [])
+        else:
+            stream = (self.payloads if self.payloads is not None
+                      else [ln.encode() for ln in V2_LINES])
+        lsn = self.next_lsn
         for i, payload in enumerate(stream):
             xl = b"w" + struct.pack("!QQQ", lsn + i * 8, lsn + i * 8 + 8, 0)
             self._send(conn, b"d", xl + payload)
+        self.next_lsn = lsn + len(stream) * 8
         if self.tear_mid_message:
             # claim a 100-byte CopyData then hang up after 3 bytes —
             # a walsender crash mid-message, NOT an orderly end
@@ -514,6 +526,102 @@ def test_cli_pg_socket_pgoutput_archives_decided_rounds(tmp_path, capsys,
         acts = sorted((r["action"], _json.loads(r["after"] or "{}").get("name"))
                       for r in back)
         assert acts == [("insert", "alice"), ("update", "alicia")]
+    finally:
+        srv.stop_evt.set()
+        srv.srv.close()
+
+
+def test_cli_pg_socket_wire_seq_continuity_across_rounds(tmp_path, capsys,
+                                                         spark):
+    """VERDICT r10 item 2: two transactions committing in the SAME
+    microsecond that land in DIFFERENT drain rounds must still resolve
+    in wire order. The live tail rebases each round's wire counter on
+    the round's first XLogData LSN (packed lsn<<16 | pos), so the
+    round-2 update to pk=1 — sharing round 1's commit timestamp —
+    carries a strictly greater wire seq and last-wins keeps it, where
+    the old per-round enumerate restarted at 0 and left the tie
+    arbitrary."""
+    import json as _json
+
+    import yaml
+
+    from tests.test_pgoutput import (
+        enc_begin,
+        enc_commit,
+        enc_insert,
+        enc_relation,
+        enc_update,
+    )
+
+    from synch_spark.cli import main
+    from synch_spark.events import (
+        RAW_EVENT_WIRE_SCHEMA,
+        parse_values,
+        split_updates,
+    )
+    from synch_spark.operators.cdc_apply import compact_batch
+
+    rel = enc_relation(16401, "db", "t",
+                       [(1, "id", 23, -1), (0, "name", 25, -1)])
+    ts = 1_704_067_201_000_000  # both rounds commit in THIS microsecond
+    r1 = [rel, enc_begin(ts),
+          enc_insert(16401, ["1", "a"]),
+          enc_update(16401, ["1", "v1"], old=["1", None], old_kind=b"K"),
+          enc_commit()]
+    r2 = [rel, enc_begin(ts),  # same stamp, later round
+          enc_update(16401, ["1", "v2"], old=["1", None], old_kind=b"K"),
+          enc_commit()]
+
+    srv = FakePgServer(auth="md5", rounds_payloads=[r1, r2])
+    srv.start()
+    try:
+        ev_dir = tmp_path / "events"
+        cfg = {
+            "core": {"insert_num": 1000, "insert_interval": 0},
+            "source_dbs": [{"databases": [{"database": "db", "tables": [
+                {"table": "t", "pk": ["id"]}]}]}],
+            "spark": {
+                "warehouse": str(tmp_path / "wh"),
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "events_dir": str(ev_dir),
+                "sources": {},
+                "pg_socket": {"host": "127.0.0.1", "port": srv.port,
+                              "user": USER, "password": PASSWORD,
+                              "database": DB, "slot": SLOT,
+                              "plugin": "pgoutput",
+                              "idle_timeout": 1.0},
+            },
+        }
+        p = tmp_path / "synch.yaml"
+        p.write_text(yaml.dump(cfg))
+        assert main(["--config", str(p), "produce",
+                     "--source", "pg-socket", "--rounds", "2"]) == 0
+        lines = [_json.loads(ln) for ln in
+                 capsys.readouterr().out.strip().splitlines()[-2:]]
+        assert [d["events"] for d in lines] == [2, 1]
+        # round 2 streamed at HIGHER LSNs -> strictly higher flush point
+        assert lines[1]["flushed_lsn"] > lines[0]["flushed_lsn"]
+
+        raw = spark.read.schema(RAW_EVENT_WIRE_SCHEMA).json(str(ev_dir))
+        rows = raw.orderBy("_wire_seq").collect()
+        assert len(rows) == 3
+        # all three share the commit microsecond (the tie under test)
+        assert {r["event_unixtime"] for r in rows} == {ts}
+        seqs = [r["_wire_seq"] for r in rows]
+        v2_seq = next(r["_wire_seq"] for r in rows
+                      if _json.loads(r["after"])["name"] == "v2")
+        # the cross-round rebase: round 2's seq dominates BOTH round-1
+        # seqs (the old per-round enumerate gave it 0 < round 1's 1)
+        assert v2_seq == max(seqs) and seqs[0] < seqs[1] < seqs[2]
+
+        # end-to-end last-wins through the shared apply pipeline
+        from pyspark.sql import types as T
+
+        schema = T.StructType([T.StructField("id", T.LongType()),
+                               T.StructField("name", T.StringType())])
+        typed = parse_values(split_updates(raw), schema, string_values=True)
+        net = compact_batch(typed, ("id",)).collect()
+        assert len(net) == 1 and net[0]["name"] == "v2"
     finally:
         srv.stop_evt.set()
         srv.srv.close()
