@@ -25,7 +25,27 @@ from synch_spark.sources.table import ParquetTable
 
 def _load(config_path: str):
     with open(config_path) as f:
-        return yaml.safe_load(f)
+        raw = yaml.safe_load(f)
+    # `spark.committer` selects the manifest-log commit primitive for
+    # every ParquetTable this process opens (posix default; s3/gcs/azure
+    # conditional puts for object-store warehouses). Installed here —
+    # the one chokepoint every command passes through — and RESET when
+    # the block is absent, so back-to-back _load calls (tests, REPL)
+    # never leak a previous config's store. A bad block exits 2 at
+    # CONFIG time (like the socket tails' config guards), not
+    # mid-commit.
+    from synch_spark.sources.committer import (
+        committer_from_config,
+        set_default_committer,
+    )
+
+    try:
+        set_default_committer(
+            committer_from_config((raw.get("spark") or {}).get("committer")))
+    except (KeyError, ValueError) as e:
+        print(f"config error in spark.committer: {e}", file=sys.stderr)
+        raise SystemExit(2) from None
+    return raw
 
 
 def _resolve_pks(raw, cfg, spark) -> None:

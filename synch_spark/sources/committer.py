@@ -122,6 +122,103 @@ class LocalObjectStore:
                 pass
 
 
+def _strip(key: str, prefix: str) -> str:
+    if prefix and key.startswith(prefix):
+        key = key[len(prefix):].lstrip("/")
+    return key
+
+
+def _http_request(url: str, body: bytes, headers: dict, method: str,
+                  timeout: float) -> None:
+    """One conditional-put HTTP round trip. 409/412 → PreconditionFailed
+    (the key exists — both codes appear in the wild: GCS ifGenerationMatch
+    failures are 412, Azure Put Blob with If-None-Match:* answers 409
+    BlobAlreadyExists); anything else non-2xx raises with the response
+    body so a misconfigured bucket/auth fails loudly at commit time,
+    never silently."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=dict(headers),
+                                 method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            resp.read()
+    except urllib.error.HTTPError as e:
+        if e.code in (409, 412):
+            raise PreconditionFailed(url) from e
+        detail = b""
+        try:
+            detail = e.read()[:500]
+        except OSError:
+            pass
+        raise RuntimeError(
+            f"conditional put failed: HTTP {e.code} {url} {detail!r}") from e
+
+
+def gcs_committer(bucket: str, prefix_to_strip: str = "",
+                  token_provider=None,
+                  base_url: str = "https://storage.googleapis.com",
+                  timeout: float = 10.0):
+    """GCS-backed committer: JSON-API media upload with
+    ``ifGenerationMatch=0`` — the create-only precondition (a 412 means
+    an object generation already exists at the name). Pure stdlib HTTP
+    (no google-cloud-storage dependency in this container);
+    ``token_provider`` is a zero-arg callable returning a fresh OAuth2
+    bearer token (on GCE/GKE, read it from the metadata server).
+    ``base_url`` is overridable so the contract suite can run against
+    an in-process fake speaking the same protocol."""
+    from urllib.parse import quote
+
+    class _GcsClient:
+        def put_if_none_match(self, key: str, body: bytes) -> None:
+            k = quote(_strip(key, prefix_to_strip), safe="")
+            url = (f"{base_url}/upload/storage/v1/b/{bucket}/o"
+                   f"?uploadType=media&name={k}&ifGenerationMatch=0")
+            headers = {"Content-Type": "application/octet-stream"}
+            if token_provider is not None:
+                headers["Authorization"] = f"Bearer {token_provider()}"
+            # JSON-API simple upload is a POST; the precondition rides
+            # in the query string, so it is still ONE atomic request
+            _http_request(url, body, headers, "POST", timeout)
+
+    return ObjectStoreCommitter(_GcsClient())
+
+
+def azure_committer(account: str, container: str, prefix_to_strip: str = "",
+                    sas: str | None = None, token_provider=None,
+                    base_url: str | None = None, timeout: float = 10.0):
+    """Azure-Blob-backed committer: ``Put Blob`` with
+    ``If-None-Match: *`` (a 409 BlobAlreadyExists / 412 means the name
+    is taken). Pure stdlib HTTP; auth is either a SAS query string
+    (``sas``) appended to the URL or a zero-arg ``token_provider``
+    returning an AAD bearer token. ``base_url`` (default
+    ``https://{account}.blob.core.windows.net``) is overridable for the
+    in-process fake in the contract suite."""
+    from urllib.parse import quote
+
+    if base_url is None:
+        base_url = f"https://{account}.blob.core.windows.net"
+
+    class _AzureClient:
+        def put_if_none_match(self, key: str, body: bytes) -> None:
+            k = quote(_strip(key, prefix_to_strip))
+            url = f"{base_url}/{container}/{k}"
+            if sas:
+                url += "?" + sas.lstrip("?")
+            headers = {
+                "x-ms-blob-type": "BlockBlob",
+                "x-ms-version": "2021-08-06",
+                "If-None-Match": "*",
+                "Content-Type": "application/octet-stream",
+            }
+            if token_provider is not None:
+                headers["Authorization"] = f"Bearer {token_provider()}"
+            _http_request(url, body, headers, "PUT", timeout)
+
+    return ObjectStoreCommitter(_AzureClient())
+
+
 def s3_committer(bucket: str, prefix_to_strip: str = ""):
     """S3-backed committer: ``PutObject`` with ``If-None-Match: "*"``
     (supported natively by S3 since 2024-08 and by most S3-compatible
@@ -156,3 +253,64 @@ def s3_committer(bucket: str, prefix_to_strip: str = ""):
                 raise
 
     return ObjectStoreCommitter(_S3Client())
+
+
+# --------------------------------------------------------------------------
+# config plumbing: `spark.committer` in synch.yaml selects the commit
+# primitive for EVERY ParquetTable the process opens (cli._load installs
+# it; ParquetTable's default resolution consults it). Explicit
+# `ParquetTable(committer=...)` always wins over the process default.
+# --------------------------------------------------------------------------
+_DEFAULT_COMMITTER = None
+
+
+def set_default_committer(committer) -> None:
+    """Install the process-wide default committer (None resets to the
+    POSIX hard-link primitive)."""
+    global _DEFAULT_COMMITTER
+    _DEFAULT_COMMITTER = committer
+
+
+def default_committer():
+    """The process default: whatever set_default_committer installed,
+    else a PosixCommitter."""
+    return _DEFAULT_COMMITTER or PosixCommitter()
+
+
+def committer_from_config(spec) -> "object | None":
+    """Build a committer from a `spark.committer` config block:
+
+    .. code-block:: yaml
+
+        spark:
+          committer:
+            kind: gcs            # posix | local-object-store | s3 | gcs | azure
+            bucket: my-bucket    # s3 / gcs
+            account: myacct      # azure
+            container: tables    # azure
+            prefix_to_strip: /mnt/warehouse
+
+    Returns None for an absent block (caller keeps the POSIX default).
+    Unknown kinds raise at CONFIG time — a typo must not silently fall
+    back to hard-links on a mount that doesn't support them."""
+    if not spec:
+        return None
+    kind = str(spec.get("kind", "posix")).lower().replace("_", "-")
+    if kind == "posix":
+        return PosixCommitter()
+    if kind == "local-object-store":
+        return ObjectStoreCommitter(LocalObjectStore())
+    strip = spec.get("prefix_to_strip", "")
+    if kind == "s3":
+        return s3_committer(spec["bucket"], prefix_to_strip=strip)
+    if kind == "gcs":
+        return gcs_committer(
+            spec["bucket"], prefix_to_strip=strip,
+            base_url=spec.get("base_url", "https://storage.googleapis.com"),
+            timeout=float(spec.get("timeout", 10.0)))
+    if kind == "azure":
+        return azure_committer(
+            spec["account"], spec["container"], prefix_to_strip=strip,
+            sas=spec.get("sas"), base_url=spec.get("base_url"),
+            timeout=float(spec.get("timeout", 10.0)))
+    raise ValueError(f"unknown committer kind: {kind!r}")

@@ -287,10 +287,13 @@ class ParquetTable:
         # the atomic publish-if-absent primitive for log entries —
         # pluggable so the same store runs on POSIX (hard-link, the
         # default) or object storage (conditional put / If-None-Match);
-        # see sources.committer
-        from synch_spark.sources.committer import PosixCommitter
+        # see sources.committer. Resolution: explicit arg > process
+        # default (cli._load installs `spark.committer` from synch.yaml
+        # there so every table a command opens uses the configured
+        # store) > PosixCommitter.
+        from synch_spark.sources.committer import default_committer
 
-        self.committer = committer or PosixCommitter()
+        self.committer = committer or default_committer()
         # Time-travel window: how many trailing versions stay readable
         # (current + retain-1 historical) — the Delta
         # deletedFileRetentionDuration analog, counted in versions

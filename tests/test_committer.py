@@ -140,3 +140,256 @@ def test_table_default_committer_is_posix(spark, tmp_path):
 
     t = ParquetTable(spark, str(tmp_path / "d"))
     assert isinstance(t.committer, PosixCommitter)
+
+
+# --------------------------------------------------------------------------
+# GCS / Azure conditional-put committers (VERDICT r10 item 4): same
+# contract suite, run against an in-process HTTP fake speaking each
+# store's REAL wire protocol (the fake-walsender discipline applied to
+# object storage) — genuine atomic conditional semantics plus a
+# worst-case race-injection window.
+# --------------------------------------------------------------------------
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlsplit
+
+from synch_spark.sources.committer import azure_committer, gcs_committer
+
+BUCKET = "tbl-bucket"
+CONTAINER = "tables"
+
+
+class _FakeStoreHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # noqa: D102 - silence request logging
+        pass
+
+    def _reply(self, code: int, body: bytes = b"{}"):
+        self.send_response(code)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _conditional_put(self, key: str, body: bytes, conflict: int):
+        srv = self.server
+        with srv.lock:
+            if srv.race_inject and key not in srv.store:
+                srv.store[key] = b"competitor"
+                srv.injected.append(key)
+            if key in srv.store:
+                self._reply(conflict, b'{"error": "exists"}')
+                return
+            srv.store[key] = body
+        self._reply(200)
+
+    def do_POST(self):  # GCS JSON-API simple upload
+        srv = self.server
+        parts = urlsplit(self.path)
+        q = parse_qs(parts.query)
+        srv.auth_seen.append(self.headers.get("Authorization"))
+        if (parts.path != f"/upload/storage/v1/b/{BUCKET}/o"
+                or q.get("uploadType") != ["media"]):
+            self._reply(400, b'{"error": "bad path"}')
+            return
+        if q.get("ifGenerationMatch") != ["0"]:
+            # an UNCONDITIONAL upload reaching the fake means the
+            # committer lost its create-only precondition — fail loudly
+            self._reply(400, b'{"error": "missing ifGenerationMatch=0"}')
+            return
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        self._conditional_put(q["name"][0], body, conflict=412)
+
+    def do_PUT(self):  # Azure Put Blob
+        srv = self.server
+        parts = urlsplit(self.path)
+        srv.auth_seen.append(self.headers.get("Authorization"))
+        srv.sas_seen.append(parts.query)
+        if self.headers.get("If-None-Match") != "*":
+            self._reply(400, b"missing If-None-Match: *")
+            return
+        if self.headers.get("x-ms-blob-type") != "BlockBlob":
+            self._reply(400, b"missing x-ms-blob-type")
+            return
+        key = unquote(parts.path.lstrip("/"))
+        if not key.startswith(f"{CONTAINER}/"):
+            self._reply(404, b"no such container")
+            return
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        self._conditional_put(key[len(CONTAINER) + 1:], body,
+                              conflict=409)
+
+
+@pytest.fixture()
+def fake_store():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeStoreHandler)
+    srv.store = {}
+    srv.lock = threading.Lock()
+    srv.race_inject = False
+    srv.injected = []
+    srv.auth_seen = []
+    srv.sas_seen = []
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def _cloud_committers(srv, tmp_path):
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    strip = str(tmp_path)
+    return [
+        ("gcs", gcs_committer(BUCKET, prefix_to_strip=strip,
+                              token_provider=lambda: "tok-123",
+                              base_url=base)),
+        ("azure", azure_committer("acct", CONTAINER, prefix_to_strip=strip,
+                                  sas="sv=2021&sig=abc", base_url=base)),
+    ]
+
+
+def test_cloud_publish_creates_exact_payload(fake_store, tmp_path):
+    for kind, c in _cloud_committers(fake_store, tmp_path):
+        fake_store.store.clear()
+        path = str(tmp_path / "_v" / f"v={kind}.json")
+        c.publish(path, b'{"v": 1}')
+        assert fake_store.store == {f"_v/v={kind}.json": b'{"v": 1}'}, kind
+
+
+def test_cloud_second_publish_loses_and_leaves_winner(fake_store, tmp_path):
+    for kind, c in _cloud_committers(fake_store, tmp_path):
+        fake_store.store.clear()
+        path = str(tmp_path / "_v" / "v=7.json")
+        c.publish(path, b"winner")
+        with pytest.raises(AlreadyCommitted):
+            c.publish(path, b"loser")
+        assert fake_store.store["_v/v=7.json"] == b"winner", kind
+
+
+def test_cloud_injected_race_always_loses_cleanly(fake_store, tmp_path):
+    for kind, c in _cloud_committers(fake_store, tmp_path):
+        fake_store.store.clear()
+        fake_store.injected.clear()
+        fake_store.race_inject = True
+        path = str(tmp_path / "_v" / "v=3.json")
+        with pytest.raises(AlreadyCommitted):
+            c.publish(path, b"mine")
+        assert fake_store.injected == ["_v/v=3.json"], kind
+        assert fake_store.store["_v/v=3.json"] == b"competitor", kind
+        fake_store.race_inject = False
+
+
+def test_cloud_auth_rides_every_request(fake_store, tmp_path):
+    gcs = _cloud_committers(fake_store, tmp_path)[0][1]
+    gcs.publish(str(tmp_path / "a"), b"x")
+    assert fake_store.auth_seen[-1] == "Bearer tok-123"
+    az = _cloud_committers(fake_store, tmp_path)[1][1]
+    az.publish(str(tmp_path / "b"), b"y")
+    assert "sig=abc" in fake_store.sas_seen[-1]
+
+
+def test_cloud_non_conflict_error_is_loud(fake_store, tmp_path):
+    # wrong bucket -> fake answers 400 -> RuntimeError, NOT a silent
+    # AlreadyCommitted (a misconfigured bucket must not read as a
+    # lost race)
+    base = f"http://127.0.0.1:{fake_store.server_address[1]}"
+    bad = gcs_committer("wrong-bucket", prefix_to_strip=str(tmp_path),
+                        base_url=base)
+    with pytest.raises(RuntimeError, match="HTTP 400"):
+        bad.publish(str(tmp_path / "x"), b"p")
+
+
+def test_table_lifecycle_under_gcs_committer(spark, tmp_path, fake_store):
+    """The full manifest-log lifecycle (commit / losing race / read)
+    with every log publish going over the GCS wire protocol — data
+    files stay local (the store's reads are unconditional), the
+    CONDITIONAL primitive is what the cloud provides."""
+    from synch_spark.sources.table import ConcurrentWriteError, ParquetTable
+
+    class _MirrorClient:
+        """GCS conditional put that ALSO materializes the entry
+        locally so the table's readers (which read the filesystem)
+        see what the bucket accepted — the shape of a gcsfuse/mounted
+        warehouse, where the mount serves reads and the conditional
+        put guards commits."""
+
+        def __init__(self, inner):
+            self.inner = inner
+
+        def put_if_none_match(self, key, body):
+            self.inner.client.put_if_none_match(key, body)
+            LocalObjectStore().put_if_none_match(key, body)
+
+    base = f"http://127.0.0.1:{fake_store.server_address[1]}"
+    gcs = gcs_committer(BUCKET, base_url=base)
+    committer = ObjectStoreCommitter(_MirrorClient(gcs))
+
+    t = ParquetTable(spark, str(tmp_path / "t"), committer=committer)
+    df = spark.range(5).withColumnRenamed("id", "k")
+    t.overwrite(df, expected_base=-1)
+    assert t.read().count() == 5
+    other = ParquetTable(spark, str(tmp_path / "t"), committer=committer)
+    base_v = t.current_version()
+    other.overwrite(spark.range(3).withColumnRenamed("id", "k"),
+                    expected_base=base_v)
+    with pytest.raises(ConcurrentWriteError):
+        t.overwrite(spark.range(9).withColumnRenamed("id", "k"),
+                    expected_base=base_v)
+    assert t.read().count() == 3
+    # every published version went over the GCS wire exactly once
+    assert sorted(k for k in fake_store.store) == sorted(
+        k for k in fake_store.store if k.endswith(".json"))
+    assert len(fake_store.store) == t.current_version() + 1
+
+
+def test_committer_from_config_kinds(tmp_path):
+    from synch_spark.sources.committer import committer_from_config
+
+    assert committer_from_config(None) is None
+    assert isinstance(committer_from_config({}), type(None))
+    assert isinstance(committer_from_config({"kind": "posix"}),
+                      PosixCommitter)
+    c = committer_from_config({"kind": "local-object-store"})
+    assert isinstance(c, ObjectStoreCommitter)
+    g = committer_from_config({"kind": "gcs", "bucket": "b",
+                               "base_url": "http://x"})
+    assert isinstance(g, ObjectStoreCommitter)
+    a = committer_from_config({"kind": "azure", "account": "a",
+                               "container": "c"})
+    assert isinstance(a, ObjectStoreCommitter)
+    with pytest.raises(ValueError, match="unknown committer kind"):
+        committer_from_config({"kind": "ftp"})
+
+
+def test_cli_load_installs_and_resets_default_committer(tmp_path):
+    import yaml
+
+    from synch_spark.cli import _load
+    from synch_spark.sources.committer import default_committer
+
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump({
+        "core": {}, "source_dbs": [],
+        "spark": {"committer": {"kind": "local-object-store"}}}))
+    _load(str(p))
+    assert isinstance(default_committer(), ObjectStoreCommitter)
+    # and ParquetTable picks it up without an explicit arg — config
+    # reaches every construction site through the process default
+    from synch_spark.sources.table import ParquetTable
+
+    class _S:  # ParquetTable only stores the session at __init__
+        pass
+
+    t = ParquetTable(_S(), str(tmp_path / "t"))
+    assert isinstance(t.committer, ObjectStoreCommitter)
+
+    p2 = tmp_path / "plain.yaml"
+    p2.write_text(yaml.dump({"core": {}, "source_dbs": [], "spark": {}}))
+    _load(str(p2))
+    assert isinstance(default_committer(), PosixCommitter)
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(yaml.dump({
+        "core": {}, "source_dbs": [],
+        "spark": {"committer": {"kind": "ftp"}}}))
+    with pytest.raises(SystemExit) as ei:
+        _load(str(bad))
+    assert ei.value.code == 2
