@@ -671,6 +671,7 @@ class CdcPipeline:
         available_now: bool = False,
         avro_schemas: dict | None = None,
         avro_registry_url: str | None = None,
+        avro_registry_ca: str | None = None,
     ):
         """Kafka consumer (B3/B4 parity): value is the JSON raw event.
 
@@ -761,7 +762,7 @@ class CdcPipeline:
             raise
         dbz = value_format == "debezium"
         raw = raw_from_kafka_values(loaded, value_format, avro_schemas,
-                                    avro_registry_url)
+                                    avro_registry_url, avro_registry_ca)
         # per-table typing of a Debezium stream must also decode the
         # connector's default logical-type encodings (precise DECIMAL,
         # adaptive temporals) — scoped to THIS stream's batches
@@ -779,7 +780,8 @@ class CdcPipeline:
 
 def raw_from_kafka_values(loaded: DataFrame, value_format: str,
                           avro_schemas: dict | None = None,
-                          avro_registry_url: str | None = None) -> DataFrame:
+                          avro_registry_url: str | None = None,
+                          avro_registry_ca: str | None = None) -> DataFrame:
     """Kafka value column → RAW_EVENT_SCHEMA, per wire format. Pure
     (works on any DataFrame with a ``value`` column — static frames in
     tests, the streaming reader in production): "raw" is this engine's
@@ -796,7 +798,8 @@ def raw_from_kafka_values(loaded: DataFrame, value_format: str,
         # no debezium_types remapping (that knob exists for the JSON
         # converter's string/base64 encodings, which Avro never emits)
         return debezium_avro_to_raw(loaded, avro_schemas or {},
-                                    registry_url=avro_registry_url)
+                                    registry_url=avro_registry_url,
+                                    registry_ca=avro_registry_ca)
     if value_format == "debezium":
         from synch_spark.events import debezium_to_raw
 
