@@ -26,7 +26,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from synch_spark.events import WIRE_SEQ_COL
 
 #: columns every producer payload carries (events.RAW_EVENT_SCHEMA order);
@@ -159,6 +159,76 @@ def kafka_writer_raw(payload: DataFrame, bootstrap_servers: str):
             .option("kafka.bootstrap.servers", bootstrap_servers))
 
 
+def produce_to_kafka_socket(
+    events: DataFrame, bootstrap_servers: str, queue_prefix: str = "synch",
+    partition: int = 0, batch_size: int = 500,
+) -> int:
+    """Driver-side wire produce (sources.kafka_socket) — the
+    reference's single-threaded KafkaProducer loop
+    (/root/reference/synch/broker/kafka.py:34-44) without kafka-python:
+    ``kafka_payload``'s exact (key, value, topic) contract, one
+    message-format-v2 record batch per ``batch_size`` rows, acks=1
+    (the reference producer's default). Deliberately NOT the bulk
+    path: at 100 TB produce through ``kafka_writer`` (the distributed
+    connector, one task per partition); this is the CDC tail shape —
+    a driver already holds the (small) per-round change batch, exactly
+    like the redis producer's toLocalIterator loop. Returns the number
+    of events produced."""
+    from synch_spark.sources.kafka_socket import KafkaSocketClient
+
+    payload = kafka_payload(events, queue_prefix)
+    n = 0
+    with KafkaSocketClient.from_bootstrap(bootstrap_servers) as c:
+        buf: dict[str, list] = {}
+
+        def flush(topic: str):
+            nonlocal n
+            recs = buf.pop(topic, [])
+            if recs:
+                c.produce(topic, partition, recs)
+                n += len(recs)
+
+        for row in payload.toLocalIterator():
+            buf.setdefault(row["topic"], []).append(
+                (row["key"].encode("utf-8"), row["value"].encode("utf-8")))
+            if len(buf[row["topic"]]) >= batch_size:
+                flush(row["topic"])
+        for topic in list(buf):
+            flush(topic)
+    return n
+
+
+def consume_from_kafka_socket(
+    spark: SparkSession, bootstrap_servers: str, topic: str,
+    partition: int = 0, offset: int = 0, max_rounds: int = 100,
+):
+    """Assign+seek wire consume (B4 parity: the reference pins a
+    partition and seeks, synch/broker/kafka.py:40-61): fetch from an
+    explicit offset until the high watermark, return (DataFrame of
+    (key, value, offset), next_offset). The caller persists
+    next_offset as its durable cursor — same discipline as the
+    binlog/LSN cursors. Driver-side by design; the distributed consume
+    is the spark-sql-kafka source (streaming.pipeline
+    start_kafka_stream), env-blocked in this container."""
+    from synch_spark.sources.kafka_socket import KafkaSocketClient
+
+    rows: list = []
+    with KafkaSocketClient.from_bootstrap(bootstrap_servers) as c:
+        cur = offset
+        for _ in range(max_rounds):
+            hw, recs = c.fetch(topic, partition, cur)
+            for off, k, v in recs:
+                rows.append((k.decode() if k is not None else None,
+                             v.decode() if v is not None else None, off))
+            if recs:
+                cur = rows[-1][2] + 1
+            if cur >= hw:
+                break
+    df = spark.createDataFrame(
+        rows or [], "key string, value string, offset long")
+    return df, cur
+
+
 def produce_to_kafka(
     events: DataFrame, bootstrap_servers: str, queue_prefix: str = "synch"
 ) -> None:
@@ -186,19 +256,21 @@ def ensure_topic(
 ) -> bool:
     """B5: idempotent topic provisioning (ref synch/broker/kafka.py:66-73
     — KafkaAdminClient.create_topics, TopicAlreadyExists swallowed).
-    Spark has no admin API, so this uses kafka-python when available;
-    without it the caller gets an actionable error instead of a stack.
-    Returns True when the topic was created, False when it already
-    existed."""
+    Speaks the Kafka wire protocol directly (sources.kafka_socket
+    CreateTopics v0) — pure stdlib, no kafka-python needed. When
+    kafka-python IS installed, it is preferred for its richer broker
+    compatibility negotiation; behavior is identical. Returns True when
+    the topic was created, False when it already existed; an
+    unreachable broker raises the socket error loudly."""
     try:
         from kafka.admin import KafkaAdminClient, NewTopic
         from kafka.errors import TopicAlreadyExistsError
-    except ImportError as e:
-        raise RuntimeError(
-            "topic provisioning needs kafka-python (pip install kafka-python) "
-            "or pre-created topics; the consume/produce paths themselves only "
-            "need the spark-sql-kafka connector"
-        ) from e
+    except ImportError:
+        from synch_spark.sources.kafka_socket import KafkaSocketClient
+
+        with KafkaSocketClient.from_bootstrap(bootstrap_servers) as c:
+            return c.create_topic(topic, num_partitions=num_partitions,
+                                  replication_factor=replication_factor)
     client = KafkaAdminClient(bootstrap_servers=bootstrap_servers)
     try:
         client.create_topics(

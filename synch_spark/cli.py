@@ -176,11 +176,25 @@ def cmd_produce(args) -> int:
                     basename = f"{spec.schema}.{spec.table}.{now_us}"
                     if args.sink == "kafka":
                         kconf = raw["spark"]["kafka"]  # _validate_sink'd
-                        produce_to_kafka(
-                            events,
-                            kconf["bootstrap_servers"],
-                            kconf.get("queue_prefix", "synch"),
-                        )
+                        if kconf.get("transport") == "socket":
+                            # stdlib wire producer (no connector jar /
+                            # kafka-python) — right for per-round CDC
+                            # change batches; see _emit_to_sink
+                            from synch_spark.broker import (
+                                produce_to_kafka_socket,
+                            )
+
+                            produce_to_kafka_socket(
+                                events,
+                                kconf["bootstrap_servers"],
+                                kconf.get("queue_prefix", "synch"),
+                            )
+                        else:
+                            produce_to_kafka(
+                                events,
+                                kconf["bootstrap_servers"],
+                                kconf.get("queue_prefix", "synch"),
+                            )
                     elif args.sink == "redis":
                         redis_broker.produce(events)
                     elif args.driver_spool:
@@ -1057,6 +1071,18 @@ def _emit_to_sink(spark, raw, events, sink: str, basename: str) -> int:
                 payload = kafka_avro_payload(events, vschemas, ids, prefix)
                 kafka_writer_raw(payload,
                                  kconf["bootstrap_servers"]).save()
+            elif kconf.get("transport") == "socket":
+                # spark.kafka.transport: socket — the stdlib wire
+                # producer (no connector jar, no kafka-python): the
+                # reference's driver-side produce loop shape, right for
+                # CDC tail batches; bulk backfills should keep the
+                # distributed connector (default)
+                from synch_spark.broker import produce_to_kafka_socket
+
+                produce_to_kafka_socket(
+                    events, kconf["bootstrap_servers"],
+                    kconf.get("queue_prefix", "synch")
+                )
             else:
                 produce_to_kafka(
                     events, kconf["bootstrap_servers"],

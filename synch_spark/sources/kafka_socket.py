@@ -1,0 +1,421 @@
+"""Kafka wire-protocol client — pure stdlib, driver-side.
+
+The reference's broker layer is kafka-python
+(/root/reference/synch/broker/kafka.py:21-73: a KafkaProducer created
+per process, a single-threaded produce loop, KafkaAdminClient topic
+provisioning, and a consumer that ASSIGNS one partition and seeks).
+Neither kafka-python nor the spark-sql-kafka connector jar is baked
+into this container, so — the same move the MySQL binlog and PG
+walsender tails made — this module speaks the documented Kafka protocol
+(KIP-98 record batch v2, classic non-flexible request versions) over a
+plain socket:
+
+- ``Metadata`` v1 (api 3), ``ApiVersions`` v0 (api 18) — discovery.
+- ``CreateTopics`` v0 (api 19) — B5 topic provisioning.
+- ``Produce`` v3 (api 0) — message-format-v2 record batches, acks=1.
+- ``Fetch`` v4 (api 1) — the assign+seek consume shape (B4): no group
+  protocol, the caller owns offsets (this engine's durable cursors).
+
+Scale posture: this is a DRIVER-SIDE tail/bootstrap client, parity
+with the reference's own single-threaded loop — NOT the 100 TB bulk
+path. Bulk produce/consume belongs to the spark-sql-kafka connector
+(distributed, one task per partition), which `broker.kafka_writer`
+already targets; this client exists so topic provisioning and the
+socket produce/consume contract run, tested, without that jar.
+
+Record batch v2 layout (Kafka protocol guide, "Messagesets"):
+
+    baseOffset int64 | batchLength int32 | partitionLeaderEpoch int32 |
+    magic int8 (=2) | crc uint32 (CRC32C of everything past this
+    field) | attributes int16 | lastOffsetDelta int32 |
+    baseTimestamp int64 | maxTimestamp int64 | producerId int64 |
+    producerEpoch int16 | baseSequence int32 | recordCount int32 |
+    records (each varint-length-framed, zigzag varints inside)
+
+CRC32C (Castagnoli, reflected poly 0x82F63B78) is NOT zlib.crc32 —
+implemented table-driven below; a wrong CRC is rejected by real
+brokers, so the codec pins it in tests.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+__all__ = [
+    "KafkaWireError",
+    "KafkaSocketClient",
+    "crc32c",
+    "encode_record_batch",
+    "decode_record_batches",
+]
+
+
+class KafkaWireError(RuntimeError):
+    """Protocol-level failure: unexpected frame, error code, bad CRC."""
+
+
+# -- CRC32C (Castagnoli) ----------------------------------------------------
+def _crc32c_table():
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        tbl.append(c)
+    return tbl
+
+
+_CRC32C_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    c = 0xFFFFFFFF
+    for b in data:
+        c = _CRC32C_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+# -- primitive codecs --------------------------------------------------------
+def _str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode("utf-8")
+    return struct.pack(">h", len(b)) + b
+
+
+def _bytes32(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+def _zigzag(n: int) -> bytes:
+    """Signed varint (zigzag), the record-internal integer encoding."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        if u & ~0x7F:
+            out.append((u & 0x7F) | 0x80)
+            u >>= 7
+        else:
+            out.append(u)
+            return bytes(out)
+
+
+def _read_zigzag(buf: bytes, pos: int) -> tuple[int, int]:
+    shift, u = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _vbytes(b: bytes | None) -> bytes:
+    if b is None:
+        return _zigzag(-1)
+    return _zigzag(len(b)) + b
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf, self.pos = buf, 0
+
+    def take(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        if len(b) < n:
+            raise KafkaWireError(
+                f"short read: wanted {n}, have {len(b)} at {self.pos}")
+        self.pos += n
+        return b
+
+    def i8(self):
+        return struct.unpack(">b", self.take(1))[0]
+
+    def i16(self):
+        return struct.unpack(">h", self.take(2))[0]
+
+    def i32(self):
+        return struct.unpack(">i", self.take(4))[0]
+
+    def i64(self):
+        return struct.unpack(">q", self.take(8))[0]
+
+    def u32(self):
+        return struct.unpack(">I", self.take(4))[0]
+
+    def string(self):
+        n = self.i16()
+        return None if n < 0 else self.take(n).decode("utf-8")
+
+    def nbytes(self):
+        n = self.i32()
+        return None if n < 0 else self.take(n)
+
+
+# -- record batch v2 codec ---------------------------------------------------
+def encode_record_batch(records, base_timestamp_ms: int = 0,
+                        base_offset: int = 0) -> bytes:
+    """``records``: [(key: bytes|None, value: bytes|None)] → one
+    message-format-v2 batch (uncompressed, no producer id — the shape
+    kafka-python's default producer writes)."""
+    recs = bytearray()
+    for i, (k, v) in enumerate(records):
+        body = b"\x00"                       # record attributes
+        body += _zigzag(0)                   # timestampDelta
+        body += _zigzag(i)                   # offsetDelta
+        body += _vbytes(k) + _vbytes(v)
+        body += _zigzag(0)                   # header count
+        recs += _zigzag(len(body)) + body
+    n = len(records)
+    head = struct.pack(
+        ">hiqqqhii",
+        0,                                   # attributes (no compression)
+        n - 1,                               # lastOffsetDelta
+        base_timestamp_ms, base_timestamp_ms,
+        -1, -1, -1,                          # producerId/Epoch/baseSeq
+        n,
+    )
+    crc_payload = head + bytes(recs)
+    after_len = struct.pack(">ibI", -1, 2, crc32c(crc_payload)) + crc_payload
+    return struct.pack(">qi", base_offset, len(after_len)) + after_len
+
+
+def decode_record_batches(buf: bytes) -> list[tuple[int, bytes | None,
+                                                    bytes | None]]:
+    """A fetch response's record_set (possibly several concatenated
+    batches, possibly a truncated trailing one — brokers send whole
+    log segments' worth) → [(offset, key, value)]. CRC-checked."""
+    out: list = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        base_offset, batch_len = struct.unpack_from(">qi", buf, pos)
+        if pos + 12 + batch_len > len(buf):
+            break  # truncated trailing batch: broker contract, skip
+        body = buf[pos + 12:pos + 12 + batch_len]
+        pos += 12 + batch_len
+        magic = body[4]
+        if magic != 2:
+            raise KafkaWireError(f"unsupported message magic {magic}")
+        crc = struct.unpack_from(">I", body, 5)[0]
+        payload = body[9:]
+        if crc32c(payload) != crc:
+            raise KafkaWireError(
+                f"record batch CRC32C mismatch at base offset {base_offset}")
+        attrs, = struct.unpack_from(">h", payload, 0)
+        if attrs & 0x07:
+            raise KafkaWireError(
+                f"compressed batches not supported (codec {attrs & 7})")
+        # post-CRC layout: attributes h(0) lastOffsetDelta i(2)
+        # firstTs q(6) maxTs q(14) producerId q(22) producerEpoch h(30)
+        # baseSequence i(32) recordCount i(36) records(40...)
+        count, = struct.unpack_from(">i", payload, 36)
+        rp = 40
+        for _ in range(count):
+            rec_len, rp = _read_zigzag(payload, rp)
+            rec_end = rp + rec_len
+            rp += 1                                   # attributes
+            _, rp = _read_zigzag(payload, rp)          # timestampDelta
+            off_delta, rp = _read_zigzag(payload, rp)
+            klen, rp = _read_zigzag(payload, rp)
+            key = None if klen < 0 else payload[rp:rp + klen]
+            rp += max(klen, 0)
+            vlen, rp = _read_zigzag(payload, rp)
+            val = None if vlen < 0 else payload[rp:rp + vlen]
+            rp = rec_end                               # skip headers
+            out.append((base_offset + off_delta, key, val))
+    return out
+
+
+# -- the client ---------------------------------------------------------------
+_API_PRODUCE, _API_FETCH, _API_METADATA = 0, 1, 3
+_API_API_VERSIONS, _API_CREATE_TOPICS = 18, 19
+_ERR_TOPIC_EXISTS = 36
+_RETRIABLE = {5, 6, 7, 8}  # leader-not-available-class codes
+
+
+class KafkaSocketClient:
+    """One broker connection, request/response in lockstep (the client
+    sends one in-flight request — the reference's producer behaves the
+    same with max_in_flight left at default for this workload size)."""
+
+    def __init__(self, host: str, port: int = 9092,
+                 client_id: str = "synch-spark", timeout: float = 10.0):
+        self.host, self.port = host, int(port)
+        self.client_id = client_id
+        self.timeout = timeout
+        self.sock: socket.socket | None = None
+        self._corr = 0
+
+    @classmethod
+    def from_bootstrap(cls, bootstrap_servers: str, **kw):
+        """First host:port of a bootstrap list (single-connection
+        client; metadata redirects are not followed — fine against a
+        single broker or a LB address)."""
+        first = bootstrap_servers.split(",")[0].strip()
+        host, _, port = first.partition(":")
+        return cls(host, int(port or 9092), **kw)
+
+    def connect(self) -> "KafkaSocketClient":
+        self.sock = socket.create_connection((self.host, self.port),
+                                             timeout=self.timeout)
+        return self
+
+    def close(self) -> None:
+        if self.sock is not None:
+            self.sock.close()
+            self.sock = None
+
+    def __enter__(self):
+        return self.connect()
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _request(self, api_key: int, api_version: int, body: bytes) -> _Reader:
+        assert self.sock is not None, "connect() first"
+        self._corr += 1
+        header = (struct.pack(">hhi", api_key, api_version, self._corr)
+                  + _str(self.client_id))
+        msg = header + body
+        self.sock.sendall(struct.pack(">i", len(msg)) + msg)
+        raw = self._read_frame()
+        r = _Reader(raw)
+        corr = r.i32()
+        if corr != self._corr:
+            raise KafkaWireError(
+                f"correlation id mismatch: sent {self._corr}, got {corr}")
+        return r
+
+    def _read_frame(self) -> bytes:
+        assert self.sock is not None
+        head = self._exactly(4)
+        n = struct.unpack(">i", head)[0]
+        return self._exactly(n)
+
+    def _exactly(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise KafkaWireError("broker closed the connection")
+            buf += chunk
+        return buf
+
+    # -- APIs ---------------------------------------------------------------
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        r = self._request(_API_API_VERSIONS, 0, b"")
+        err = r.i16()
+        if err:
+            raise KafkaWireError(f"ApiVersions error {err}")
+        out = {}
+        for _ in range(r.i32()):
+            k, lo, hi = r.i16(), r.i16(), r.i16()
+            out[k] = (lo, hi)
+        return out
+
+    def metadata(self, topics: list[str] | None = None) -> dict:
+        body = struct.pack(">i", -1) if topics is None else (
+            struct.pack(">i", len(topics)) + b"".join(_str(t) for t in topics))
+        r = self._request(_API_METADATA, 1, body)
+        brokers = [(r.i32(), r.string(), r.i32(), r.string())
+                   for _ in range(r.i32())]
+        controller = r.i32()
+        tops: dict = {}
+        for _ in range(r.i32()):
+            terr, name, _internal = r.i16(), r.string(), r.i8()
+            parts = {}
+            for _ in range(r.i32()):
+                perr, pid, leader = r.i16(), r.i32(), r.i32()
+                replicas = [r.i32() for _ in range(r.i32())]
+                isr = [r.i32() for _ in range(r.i32())]
+                parts[pid] = {"error": perr, "leader": leader,
+                              "replicas": replicas, "isr": isr}
+            tops[name] = {"error": terr, "partitions": parts}
+        return {"brokers": brokers, "controller": controller,
+                "topics": tops}
+
+    def create_topic(self, topic: str, num_partitions: int = 1,
+                     replication_factor: int = 1,
+                     timeout_ms: int = 10_000) -> bool:
+        """True = created, False = already existed (the reference's
+        TopicAlreadyExists-swallow, synch/broker/kafka.py:66-73);
+        anything else raises."""
+        body = (struct.pack(">i", 1) + _str(topic)
+                + struct.pack(">ih", num_partitions, replication_factor)
+                + struct.pack(">i", 0)      # no manual assignments
+                + struct.pack(">i", 0)      # no configs
+                + struct.pack(">i", timeout_ms))
+        r = self._request(_API_CREATE_TOPICS, 0, body)
+        n = r.i32()
+        for _ in range(n):
+            name, err = r.string(), r.i16()
+            if name != topic:
+                continue
+            if err == 0:
+                return True
+            if err == _ERR_TOPIC_EXISTS:
+                return False
+            raise KafkaWireError(f"CreateTopics({topic}) error {err}")
+        raise KafkaWireError(f"CreateTopics response missing {topic!r}")
+
+    def produce(self, topic: str, partition: int,
+                records, acks: int = 1,
+                timeout_ms: int = 10_000,
+                base_timestamp_ms: int = 0) -> int:
+        """Produce one record batch; returns the broker-assigned base
+        offset. ``records``: [(key bytes|None, value bytes|None)].
+        acks=1 (leader ack) — the reference's producer default."""
+        batch = encode_record_batch(records, base_timestamp_ms)
+        body = (_str(None)                      # transactional_id
+                + struct.pack(">hi", acks, timeout_ms)
+                + struct.pack(">i", 1) + _str(topic)
+                + struct.pack(">i", 1) + struct.pack(">i", partition)
+                + _bytes32(batch))
+        r = self._request(_API_PRODUCE, 3, body)
+        for _ in range(r.i32()):
+            tname = r.string()
+            for _ in range(r.i32()):
+                pid, err, base_off = r.i32(), r.i16(), r.i64()
+                r.i64()                          # log_append_time
+                if tname == topic and pid == partition:
+                    if err:
+                        raise KafkaWireError(
+                            f"Produce({topic}/{partition}) error {err}")
+                    return base_off
+        raise KafkaWireError("Produce response missing the partition")
+
+    def fetch(self, topic: str, partition: int, offset: int,
+              max_bytes: int = 1 << 20, max_wait_ms: int = 500
+              ) -> tuple[int, list[tuple[int, bytes | None, bytes | None]]]:
+        """Assign+seek consume (B4): fetch from an explicit offset,
+        return (high_watermark, [(offset, key, value)]). No consumer
+        group — offsets are the caller's durable cursor, exactly like
+        the binlog/LSN cursors every other tail keeps."""
+        body = (struct.pack(">iiii", -1, max_wait_ms, 1, max_bytes)
+                + struct.pack(">b", 0)          # isolation: read_uncommitted
+                + struct.pack(">i", 1) + _str(topic)
+                + struct.pack(">i", 1)
+                + struct.pack(">iqi", partition, offset, max_bytes))
+        r = self._request(_API_FETCH, 4, body)
+        r.i32()                                  # throttle_time_ms
+        for _ in range(r.i32()):
+            tname = r.string()
+            for _ in range(r.i32()):
+                pid, err, hw = r.i32(), r.i16(), r.i64()
+                r.i64()                          # last_stable_offset
+                for _ in range(r.i32()):         # aborted transactions
+                    r.i64(), r.i64()
+                record_set = r.nbytes() or b""
+                if tname == topic and pid == partition:
+                    if err:
+                        raise KafkaWireError(
+                            f"Fetch({topic}/{partition}@{offset}) error {err}")
+                    recs = [x for x in decode_record_batches(record_set)
+                            if x[0] >= offset]
+                    return hw, recs
+        raise KafkaWireError("Fetch response missing the partition")

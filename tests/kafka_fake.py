@@ -1,0 +1,250 @@
+"""In-process fake Kafka broker — the fake-MySQL-master / fake-walsender
+discipline applied to the one remaining contract-only boundary.
+
+Speaks the REAL wire protocol over real sockets: ApiVersions v0,
+Metadata v1, CreateTopics v0, Produce v3 (message-format-v2 record
+batches), Fetch v4. Request parsing and the batch CRC check are
+implemented INDEPENDENTLY here (bitwise CRC32C, no table, no reuse of
+the client's codec) so a client-side framing bug cannot self-validate.
+
+Semantics implemented the way a real single broker behaves:
+
+- Produce validates magic=2 and the batch CRC32C, ASSIGNS the base
+  offset (rewriting the baseOffset field — legal, it sits outside the
+  CRC, and exactly what brokers do on append), and appends the wire
+  bytes to the partition log.
+- Fetch returns the stored wire batches containing offsets >= the
+  fetch offset plus the high watermark; unknown topic/partition ->
+  error code 3 (UNKNOWN_TOPIC_OR_PARTITION).
+- CreateTopics is idempotent: second create -> error 36
+  (TOPIC_ALREADY_EXISTS), matching the reference's swallow
+  (synch/broker/kafka.py:66-73).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+
+def crc32c_bitwise(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
+    return crc ^ 0xFFFFFFFF
+
+
+class _R:
+    def __init__(self, buf: bytes):
+        self.b, self.p = buf, 0
+
+    def take(self, n):
+        v = self.b[self.p:self.p + n]
+        self.p += n
+        return v
+
+    def i8(self):
+        return struct.unpack(">b", self.take(1))[0]
+
+    def i16(self):
+        return struct.unpack(">h", self.take(2))[0]
+
+    def i32(self):
+        return struct.unpack(">i", self.take(4))[0]
+
+    def i64(self):
+        return struct.unpack(">q", self.take(8))[0]
+
+    def string(self):
+        n = self.i16()
+        return None if n < 0 else self.take(n).decode()
+
+    def nbytes(self):
+        n = self.i32()
+        return None if n < 0 else self.take(n)
+
+
+def _s(v: str | None) -> bytes:
+    if v is None:
+        return struct.pack(">h", -1)
+    b = v.encode()
+    return struct.pack(">h", len(b)) + b
+
+
+class FakeKafkaBroker(threading.Thread):
+    def __init__(self, port: int = 0, node_id: int = 0):
+        super().__init__(daemon=True)
+        self.srv = socket.create_server(("127.0.0.1", port))
+        self.port = self.srv.getsockname()[1]
+        self.node_id = node_id
+        self.stop_evt = threading.Event()
+        self.lock = threading.Lock()
+        #: topic -> num_partitions
+        self.topics: dict[str, int] = {}
+        #: (topic, partition) -> [wire batch bytes]; offsets assigned
+        self.logs: dict[tuple[str, int], list[bytes]] = {}
+        self.log_end: dict[tuple[str, int], int] = {}
+        #: observability for asserts
+        self.produce_crc_checked = 0
+        self.api_requests: list[tuple[int, int]] = []
+
+    # -- lifecycle ----------------------------------------------------------
+    def run(self):
+        while not self.stop_evt.is_set():
+            try:
+                self.srv.settimeout(0.2)
+                conn, _ = self.srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            threading.Thread(target=self._serve, args=(conn,),
+                             daemon=True).start()
+
+    def stop(self):
+        self.stop_evt.set()
+        self.srv.close()
+
+    def _serve(self, conn):
+        try:
+            f = conn.makefile("rb")
+            while True:
+                head = f.read(4)
+                if len(head) < 4:
+                    return
+                n = struct.unpack(">i", head)[0]
+                req = _R(f.read(n))
+                api, ver, corr = req.i16(), req.i16(), req.i32()
+                req.string()  # client_id
+                self.api_requests.append((api, ver))
+                body = self._dispatch(api, ver, req)
+                msg = struct.pack(">i", corr) + body
+                conn.sendall(struct.pack(">i", len(msg)) + msg)
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    # -- API handlers ---------------------------------------------------------
+    def _dispatch(self, api: int, ver: int, req: _R) -> bytes:
+        if api == 18:                          # ApiVersions v0
+            rows = [(0, 0, 3), (1, 0, 4), (3, 0, 1), (18, 0, 0), (19, 0, 0)]
+            return (struct.pack(">hi", 0, len(rows))
+                    + b"".join(struct.pack(">hhh", *r) for r in rows))
+        if api == 3:                           # Metadata v1
+            n = req.i32()
+            names = (list(self.topics) if n < 0
+                     else [req.string() for _ in range(n)])
+            out = struct.pack(">i", 1)
+            out += (struct.pack(">i", self.node_id) + _s("127.0.0.1")
+                    + struct.pack(">i", self.port) + _s(None))
+            out += struct.pack(">i", self.node_id)   # controller
+            out += struct.pack(">i", len(names))
+            for t in names:
+                if t in self.topics:
+                    parts = self.topics[t]
+                    out += struct.pack(">h", 0) + _s(t) + b"\x00"
+                    out += struct.pack(">i", parts)
+                    for p in range(parts):
+                        out += struct.pack(">hii", 0, p, self.node_id)
+                        out += struct.pack(">ii", 1, self.node_id)  # replicas
+                        out += struct.pack(">ii", 1, self.node_id)  # isr
+                else:
+                    out += struct.pack(">h", 3) + _s(t) + b"\x00"
+                    out += struct.pack(">i", 0)
+            return out
+        if api == 19:                          # CreateTopics v0
+            n = req.i32()
+            resp = struct.pack(">i", n)
+            for _ in range(n):
+                name = req.string()
+                parts, _rf = req.i32(), req.i16()
+                for _ in range(req.i32()):     # assignments
+                    req.i32()
+                    for _ in range(req.i32()):
+                        req.i32()
+                for _ in range(req.i32()):     # configs
+                    req.string(), req.string()
+                with self.lock:
+                    if name in self.topics:
+                        err = 36
+                    else:
+                        self.topics[name] = max(parts, 1)
+                        err = 0
+                resp += _s(name) + struct.pack(">h", err)
+            req.i32()                          # timeout_ms
+            return resp
+        if api == 0:                           # Produce v3
+            req.string()                       # transactional_id
+            req.i16(), req.i32()               # acks, timeout
+            n_topics = req.i32()
+            resp_topics = b""
+            for _ in range(n_topics):
+                topic = req.string()
+                n_parts = req.i32()
+                part_resps = b""
+                for _ in range(n_parts):
+                    pid = req.i32()
+                    batch = req.nbytes() or b""
+                    err, base = self._append(topic, pid, batch)
+                    part_resps += struct.pack(">ihqq", pid, err, base, -1)
+                resp_topics += (_s(topic) + struct.pack(">i", n_parts)
+                                + part_resps)
+            return (struct.pack(">i", n_topics) + resp_topics
+                    + struct.pack(">i", 0))    # throttle
+        if api == 1:                           # Fetch v4
+            req.i32(), req.i32(), req.i32(), req.i32()  # replica/wait/min/max
+            req.i8()                           # isolation
+            n_topics = req.i32()
+            body = b""
+            for _ in range(n_topics):
+                topic = req.string()
+                n_parts = req.i32()
+                parts = b""
+                for _ in range(n_parts):
+                    pid, off, _maxb = req.i32(), req.i64(), req.i32()
+                    parts += self._fetch_one(topic, pid, off)
+                body += _s(topic) + struct.pack(">i", n_parts) + parts
+            return (struct.pack(">i", 0)       # throttle
+                    + struct.pack(">i", n_topics) + body)
+        raise AssertionError(f"fake broker: unsupported api {api} v{ver}")
+
+    # -- log ------------------------------------------------------------------
+    def _append(self, topic: str, pid: int, batch: bytes) -> tuple[int, int]:
+        with self.lock:
+            if topic not in self.topics or pid >= self.topics[topic]:
+                return 3, -1                   # UNKNOWN_TOPIC_OR_PARTITION
+            if len(batch) < 61 or batch[16] != 2:
+                return 87, -1                  # INVALID_RECORD
+            # independent CRC check: crc field covers bytes after it
+            crc = struct.unpack_from(">I", batch, 17)[0]
+            if crc32c_bitwise(batch[21:]) != crc:
+                return 46, -1                  # CORRUPT_MESSAGE
+            self.produce_crc_checked += 1
+            count = struct.unpack_from(">i", batch, 57)[0]
+            key = (topic, pid)
+            base = self.log_end.get(key, 0)
+            # assign the base offset like a real append (outside the CRC)
+            stored = struct.pack(">q", base) + batch[8:]
+            self.logs.setdefault(key, []).append(stored)
+            self.log_end[key] = base + count
+            return 0, base
+
+    def _fetch_one(self, topic: str, pid: int, offset: int) -> bytes:
+        with self.lock:
+            if topic not in self.topics or pid >= self.topics[topic]:
+                return struct.pack(">ihqqi", pid, 3, -1, -1, 0) + \
+                    struct.pack(">i", -1)
+            hw = self.log_end.get((topic, pid), 0)
+            out = b""
+            for b in self.logs.get((topic, pid), []):
+                base = struct.unpack(">q", b[:8])[0]
+                count = struct.unpack_from(">i", b, 57)[0]
+                if base + count > offset:
+                    out += b
+            return (struct.pack(">ihqq", pid, 0, hw, hw)
+                    + struct.pack(">i", 0)     # no aborted txns
+                    + struct.pack(">i", len(out)) + out)

@@ -125,12 +125,34 @@ def test_failed_batch_reaches_alert_logger(spark, tmp_path):
     assert any("micro-batch 7" in r.getMessage() for r in records)
 
 
-def test_ensure_topic_reports_missing_lib():
+def test_ensure_topic_without_kafka_python_uses_wire_client():
+    """ensure_topic no longer NEEDS kafka-python: without it the stdlib
+    wire client (sources.kafka_socket) provisions the topic over a real
+    socket — create then idempotent already-exists, the reference's
+    TopicAlreadyExists swallow (synch/broker/kafka.py:66-73)."""
     try:
         import kafka  # noqa: F401
 
         pytest.skip("kafka-python unexpectedly present")
     except ImportError:
         pass
-    with pytest.raises(RuntimeError, match="kafka-python"):
-        ensure_topic("localhost:9092", "synch.db")
+    from tests.kafka_fake import FakeKafkaBroker
+
+    srv = FakeKafkaBroker()
+    srv.start()
+    try:
+        assert ensure_topic(f"127.0.0.1:{srv.port}", "synch.db") is True
+        assert ensure_topic(f"127.0.0.1:{srv.port}", "synch.db") is False
+    finally:
+        srv.stop()
+
+
+def test_ensure_topic_unreachable_broker_is_loud():
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()  # nothing listening there now
+    with pytest.raises(OSError):
+        ensure_topic(f"127.0.0.1:{port}", "synch.db")
