@@ -285,12 +285,14 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
     warehouse = raw["spark"]["warehouse"]
     cursor_path = os.path.join(warehouse, "_binlog_socket_cursor.json")
     gtid_cursor: str | None = None
+    cursor_flavor: str | None = None
     fname, pos = "", 4
     if os.path.exists(cursor_path):
         with open(cursor_path) as f:
             cur = _json.load(f)
         fname, pos = cur.get("file", ""), int(cur.get("pos", 4))
         gtid_cursor = cur.get("gtid_set")
+        cursor_flavor = cur.get("flavor")
     else:
         fname, pos = ms.get("file", ""), int(ms.get("pos", 4))
         gtid_cursor = ms.get("gtid_set", "")
@@ -317,6 +319,35 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
               "remove the cursor file and seed file/pos",
               file=sys.stderr)
         return 2
+    # flavor/dialect guard (ADVICE r10): a GTID cursor written under
+    # the OTHER flavor fails to parse only at DIAL time
+    # (BinlogProtocolError), which --follow treats as transient — the
+    # config error would become a silent infinite re-dial loop. The
+    # cursor records its flavor since this release; older cursors are
+    # sniffed (MySQL = uuid:ranges, MariaDB = domain-server-seq
+    # triplets — the formats cannot collide). Deterministic mismatch =>
+    # exit 2 up front, like the auto_position up/downgrade guards.
+    if auto_position and gtid_cursor:
+        import re as _re
+
+        def _gtid_dialect(s: str) -> str | None:
+            parts = [p.strip() for p in s.split(",") if p.strip()]
+            if parts and all(
+                    _re.fullmatch(r"\d+-\d+-\d+", p) for p in parts):
+                return "mariadb"
+            if parts and all(
+                    _re.match(r"[0-9a-fA-F]{8}(-[0-9a-fA-F]{4}){3}"
+                              r"-[0-9a-fA-F]{12}:", p) for p in parts):
+                return "mysql"
+            return None
+
+        detected = cursor_flavor or _gtid_dialect(gtid_cursor)
+        if detected and detected != flavor:
+            print(f"cursor gtid_set is {detected}-dialect but "
+                  f"spark.mysql_socket.flavor is {flavor!r}; fix the "
+                  "flavor or remove the cursor file to reseed from "
+                  "spark.mysql_socket.gtid_set", file=sys.stderr)
+            return 2
     only_schemas = tuple(s.schema for s in cfg.tables.values())
     only_tables = tuple(s.table for s in cfg.tables.values())
     # servers without binlog_row_metadata=FULL (MINIMAL is the default)
@@ -412,9 +443,12 @@ def _produce_mysql_socket(args, raw, cfg, spark) -> int:
             cur_doc = {"file": fname, "pos": pos}
             if auto_position:
                 # the GTID set — not (file, pos) — is the durable key;
-                # file/pos ride along for observability only
+                # file/pos ride along for observability only. flavor
+                # pins the set's dialect so a config switch is caught
+                # deterministically at the next start (guard above)
                 gtid_cursor = end_gtids
                 cur_doc["gtid_set"] = end_gtids
+                cur_doc["flavor"] = flavor
             os.makedirs(warehouse, exist_ok=True)
             tmp = f"{cursor_path}.tmp-{_uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:

@@ -148,3 +148,74 @@ def test_wire_seq_single_source_of_truth():
     assert events.WIRE_SEQ_COL == config.WIRE_SEQ_COL == "_wire_seq"
     for mod in (broker, redis_broker, cdc_apply, pgoutput):
         assert getattr(mod, "WIRE_SEQ_COL") == config.WIRE_SEQ_COL
+
+
+def _flavor_cfg(tmp_path, flavor: str) -> str:
+    import yaml
+
+    cfg = {
+        "core": {}, "source_dbs": [],
+        "spark": {"warehouse": str(tmp_path / "wh"),
+                  "checkpoint_dir": str(tmp_path / "c"),
+                  "events_dir": str(tmp_path / "e"), "sources": {},
+                  "mysql_socket": {"host": "h", "user": "u",
+                                   "auto_position": True,
+                                   "flavor": flavor}},
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    return str(p)
+
+
+def _write_cursor(tmp_path, doc: dict) -> None:
+    import json
+
+    wh = tmp_path / "wh"
+    wh.mkdir(parents=True, exist_ok=True)
+    (wh / "_binlog_socket_cursor.json").write_text(json.dumps(doc))
+
+
+@pytest.mark.parametrize("flavor,cursor_set,other", [
+    ("mysql", "0-1-42,1-1-7", "mariadb"),           # sniffed triplets
+    ("mariadb", "3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5", "mysql"),
+])
+def test_mysql_socket_flavor_cursor_mismatch_exits_2(
+        tmp_path, capsys, flavor, cursor_set, other):
+    """ADVICE r10: switching spark.mysql_socket.flavor between runs
+    used to reuse a cursor whose gtid_set is in the OTHER dialect; the
+    parse failed only at dial time, which --follow retries forever.
+    The guard detects the mismatch (recorded flavor, or dialect sniff
+    for pre-upgrade cursors) BEFORE the dial loop and exits 2."""
+    from synch_spark.cli import main
+
+    p = _flavor_cfg(tmp_path, flavor)
+    _write_cursor(tmp_path, {"file": "", "pos": 4,
+                             "gtid_set": cursor_set})
+    assert main(["--config", p, "produce",
+                 "--source", "mysql-socket", "--once", "--follow"]) == 2
+    err = capsys.readouterr().err
+    assert f"{other}-dialect" in err and "flavor" in err
+
+
+def test_mysql_socket_flavor_recorded_beats_sniff(tmp_path, capsys):
+    """A cursor that RECORDS its flavor is trusted over the sniff —
+    and a matching recorded flavor passes the guard (the failure then
+    is the normal connection error, not exit 2)."""
+    from synch_spark.cli import main
+
+    p = _flavor_cfg(tmp_path, "mysql")
+    _write_cursor(tmp_path, {
+        "file": "", "pos": 4, "flavor": "mariadb",
+        # set that LOOKS mysql; recorded flavor must win
+        "gtid_set": "3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5"})
+    assert main(["--config", p, "produce",
+                 "--source", "mysql-socket", "--once"]) == 2
+    assert "mariadb-dialect" in capsys.readouterr().err
+
+    _write_cursor(tmp_path, {
+        "file": "", "pos": 4, "flavor": "mysql",
+        "gtid_set": "3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5"})
+    # guard passes; the dial then fails on the unreachable host, which
+    # without --follow is exit 1 (round failure), never the guard's 2
+    assert main(["--config", p, "produce",
+                 "--source", "mysql-socket", "--once"]) == 1
