@@ -129,16 +129,19 @@ def _strip(key: str, prefix: str) -> str:
 
 
 def _http_request(url: str, body: bytes, headers: dict, method: str,
-                  timeout: float) -> None:
+                  timeout: float, disp_url: str | None = None) -> None:
     """One conditional-put HTTP round trip. 409/412 → PreconditionFailed
     (the key exists — both codes appear in the wild: GCS ifGenerationMatch
     failures are 412, Azure Put Blob with If-None-Match:* answers 409
     BlobAlreadyExists); anything else non-2xx raises with the response
     body so a misconfigured bucket/auth fails loudly at commit time,
-    never silently."""
+    never silently. ``disp_url`` is what error messages show — the
+    Azure client passes a SAS-redacted form so the signature never
+    leaks into logs/exceptions."""
     import urllib.error
     import urllib.request
 
+    shown = disp_url or url
     req = urllib.request.Request(url, data=body, headers=dict(headers),
                                  method=method)
     try:
@@ -146,14 +149,15 @@ def _http_request(url: str, body: bytes, headers: dict, method: str,
             resp.read()
     except urllib.error.HTTPError as e:
         if e.code in (409, 412):
-            raise PreconditionFailed(url) from e
+            raise PreconditionFailed(shown) from e
         detail = b""
         try:
             detail = e.read()[:500]
         except OSError:
             pass
         raise RuntimeError(
-            f"conditional put failed: HTTP {e.code} {url} {detail!r}") from e
+            f"conditional put failed: HTTP {e.code} {shown} {detail!r}"
+        ) from e
 
 
 def gcs_committer(bucket: str, prefix_to_strip: str = "",
@@ -203,9 +207,10 @@ def azure_committer(account: str, container: str, prefix_to_strip: str = "",
     class _AzureClient:
         def put_if_none_match(self, key: str, body: bytes) -> None:
             k = quote(_strip(key, prefix_to_strip))
-            url = f"{base_url}/{container}/{k}"
+            url = disp = f"{base_url}/{container}/{k}"
             if sas:
                 url += "?" + sas.lstrip("?")
+                disp += "?<sas redacted>"  # the sig is a credential
             headers = {
                 "x-ms-blob-type": "BlockBlob",
                 "x-ms-version": "2021-08-06",
@@ -214,7 +219,8 @@ def azure_committer(account: str, container: str, prefix_to_strip: str = "",
             }
             if token_provider is not None:
                 headers["Authorization"] = f"Bearer {token_provider()}"
-            _http_request(url, body, headers, "PUT", timeout)
+            _http_request(url, body, headers, "PUT", timeout,
+                          disp_url=disp)
 
     return ObjectStoreCommitter(_AzureClient())
 

@@ -393,3 +393,14 @@ def test_cli_load_installs_and_resets_default_committer(tmp_path):
     with pytest.raises(SystemExit) as ei:
         _load(str(bad))
     assert ei.value.code == 2
+
+
+def test_azure_sas_never_leaks_into_errors(fake_store, tmp_path):
+    base = f"http://127.0.0.1:{fake_store.server_address[1]}"
+    az = azure_committer("acct", "wrong-container",
+                         prefix_to_strip=str(tmp_path),
+                         sas="sv=2021&sig=SECRETSIG", base_url=base)
+    with pytest.raises(RuntimeError) as ei:
+        az.publish(str(tmp_path / "x"), b"p")  # 404 -> loud RuntimeError
+    assert "SECRETSIG" not in str(ei.value)
+    assert "<sas redacted>" in str(ei.value)
