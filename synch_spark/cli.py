@@ -1205,6 +1205,82 @@ def _consume_redis(spark, raw, cfg, pipe, args) -> int:
             _time.sleep(cfg.insert_interval_s)
 
 
+def _consume_kafka_socket(spark, raw, cfg, pipe, args) -> int:
+    """Socket-transport Kafka consume (``spark.kafka.transport:
+    socket`` — no connector jar, no kafka-python): per configured
+    topic-partition, fetch from the committed offset via the wire
+    client (assign+seek, B4 — the reference's consumer pins one
+    partition and seeks too, synch/broker/kafka.py:40-61), decode
+    through the SAME ``raw_from_kafka_values`` every format shares
+    (the Kafka offset rides in as the wire-order column), apply
+    through ``pipe.apply_batch``, then persist the next offset:
+    apply-then-commit = at-least-once, replays converge through the
+    idempotent merge — the redis consume loop's exact discipline.
+    Driver-side fetch by design (the CDC tail shape); bulk history
+    loads belong to the distributed connector."""
+    import json as _json
+    import os
+    import time as _time
+    import uuid as _uuid
+
+    from synch_spark.broker import consume_from_kafka_socket
+    from synch_spark.sources.kafka_socket import KafkaSocketClient
+    from synch_spark.streaming.pipeline import raw_from_kafka_values
+
+    kconf = raw["spark"]["kafka"]
+    vfmt = kconf.get("value_format", "raw")
+    if vfmt == "debezium-avro":
+        raise SystemExit(
+            "transport: socket consume supports the JSON wire formats "
+            "(raw | debezium | wal2json); Confluent-framed Avro needs "
+            "the distributed connector (binary values + executor-side "
+            "registry fetch)")
+    bs = kconf["bootstrap_servers"]
+    topics = [t.strip() for t in kconf["topic"].split(",") if t.strip()]
+    with KafkaSocketClient.from_bootstrap(bs) as c:
+        md = c.metadata(topics)
+    parts: dict[str, list[int]] = {}
+    for t in topics:
+        info = md["topics"].get(t)
+        if info is None or info["error"]:
+            raise SystemExit(
+                f"consume transport=socket: topic {t!r} does not exist "
+                "on the broker (create it or fix spark.kafka.topic)")
+        parts[t] = sorted(info["partitions"])
+    warehouse = raw["spark"]["warehouse"]
+    cur_path = os.path.join(warehouse, "_kafka_socket_offsets.json")
+    offsets: dict[str, int] = {}
+    if os.path.exists(cur_path):
+        with open(cur_path) as f:
+            offsets = {k: int(v) for k, v in _json.load(f).items()}
+    epoch = 0
+    while True:
+        moved = 0
+        for topic in topics:
+            for p in parts[topic]:
+                key = f"{topic}/{p}"
+                df, nxt = consume_from_kafka_socket(
+                    spark, bs, topic, partition=p,
+                    offset=offsets.get(key, 0))
+                if nxt <= offsets.get(key, 0):
+                    continue
+                frame = raw_from_kafka_values(df, vfmt)
+                pipe.apply_batch(frame, epoch,
+                                 debezium_types=(vfmt == "debezium"))
+                offsets[key] = nxt
+                os.makedirs(warehouse, exist_ok=True)
+                tmp = f"{cur_path}.tmp-{_uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    _json.dump(offsets, f)
+                os.replace(tmp, cur_path)
+                epoch += 1
+                moved += 1
+        if moved == 0:
+            if args.available_now:
+                return 0
+            _time.sleep(cfg.insert_interval_s)
+
+
 def cmd_consume(args) -> int:
     raw = _load(args.config)
     cfg = config_from_dict(raw)
@@ -1337,6 +1413,8 @@ def cmd_consume(args) -> int:
                 "consume with a spark.kafka block needs bootstrap_servers "
                 "AND topic (the subscribe pattern/list to consume)"
             )
+        if kconf.get("transport") == "socket":
+            return _consume_kafka_socket(spark, raw, cfg, pipe, args)
         avro_schemas = None
         if kconf.get("avro_schemas"):
             # registry-less Schema Registry substitute: {schema_id:

@@ -217,3 +217,105 @@ def test_cli_produce_kafka_socket_transport_e2e(tmp_path, capsys, spark,
     assert len(rows) == 5
     assert {r["action"] for r in rows} == {"insert"}
     assert {r["table"] for r in rows} == {"region"}
+
+
+def test_cli_socket_cdc_loop_produce_consume_check(tmp_path, capsys, spark,
+                                                   broker):
+    """The FULL CDC loop over the wire transport, no connector jar:
+    produce (snapshot diff -> socket produce) -> consume
+    (--available-now socket fetch -> apply_batch) -> check parity;
+    then mutate the source and loop again — the binlog-free e2e the
+    spool path has always had, now through a real broker socket with
+    durable per-partition offset cursors."""
+    import json as _json
+
+    import yaml
+    from pyspark.sql import functions as F
+
+    from synch_spark.cli import main
+    from synch_spark.session import read_table
+
+    src_path = str(tmp_path / "src.parquet")
+    read_table(spark, "/root/testdata/sf0.001", "region") \
+        .write.parquet(src_path)
+    bs = f"127.0.0.1:{broker.port}"
+    broker.topics["synch.db"] = 1
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "region", "pk": ["r_regionkey"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "source_format": "parquet",
+            "sources": {"db.region": src_path},
+            "value_schemas": {
+                "db.region": spark.read.parquet(src_path).schema.jsonValue()
+            },
+            "kafka": {"bootstrap_servers": bs, "transport": "socket",
+                      "topic": "synch.db"},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once",
+                 "--sink", "kafka"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    assert main(["--config", str(p), "check", "--checksum"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is True and out["check"]["db.region"]["target"] == 5
+    # the durable cursor advanced past the 5 inserts
+    cur = _json.loads(
+        (tmp_path / "wh" / "_kafka_socket_offsets.json").read_text())
+    assert cur == {"synch.db/0": 5}
+
+    # mutate: rename region 0, drop region 4 -> update + delete events
+    cur_df = spark.read.parquet(src_path)
+    mutated = cur_df.filter(F.col("r_regionkey") != 4).withColumn(
+        "r_name",
+        F.when(F.col("r_regionkey") == 0,
+               F.lit("RENAMED")).otherwise(F.col("r_name")))
+    mutated.write.mode("overwrite").parquet(src_path + ".v2")
+    cfg["spark"]["sources"]["db.region"] = src_path + ".v2"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "produce", "--once",
+                 "--sink", "kafka"]) == 0
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    assert main(["--config", str(p), "check", "--checksum"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is True and out["check"]["db.region"]["target"] == 4
+
+    # replay tolerance: wind the cursor back and re-consume — the
+    # idempotent merge converges to the same state (at-least-once)
+    (tmp_path / "wh" / "_kafka_socket_offsets.json").write_text(
+        _json.dumps({"synch.db/0": 0}))
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    assert main(["--config", str(p), "check", "--checksum"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is True and out["check"]["db.region"]["target"] == 4
+
+
+def test_cli_socket_consume_unknown_topic_is_loud(tmp_path, spark, broker):
+    import yaml
+
+    from synch_spark.cli import main
+
+    cfg = {
+        "core": {"insert_num": 10, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "region", "pk": ["r_regionkey"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "sources": {},
+            "value_schemas": {"db.region": {"type": "struct", "fields": [
+                {"name": "r_regionkey", "type": "long",
+                 "nullable": True, "metadata": {}}]}},
+            "kafka": {"bootstrap_servers": f"127.0.0.1:{broker.port}",
+                      "transport": "socket", "topic": "ghost"},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    with pytest.raises(SystemExit, match="ghost"):
+        main(["--config", str(p), "consume", "--available-now"])
