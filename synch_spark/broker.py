@@ -212,11 +212,28 @@ def consume_from_kafka_socket(
     start_kafka_stream), env-blocked in this container."""
     from synch_spark.sources.kafka_socket import KafkaSocketClient
 
+    import sys
+
+    from synch_spark.sources.kafka_socket import KafkaOffsetOutOfRange
+
     rows: list = []
     with KafkaSocketClient.from_bootstrap(bootstrap_servers) as c:
         cur = offset
         for _ in range(max_rounds):
-            hw, recs = c.fetch(topic, partition, cur)
+            try:
+                hw, recs = c.fetch(topic, partition, cur)
+            except KafkaOffsetOutOfRange:
+                # retention truncated past the cursor: reseek to the
+                # log start — LOUDLY, the skipped range is data the
+                # consumer never saw (the operator sized retention too
+                # short for the consume cadence)
+                earliest = c.list_offsets(topic, partition, -2)
+                print(f"kafka {topic}/{partition}: cursor {cur} fell off "
+                      f"the retained log; reseeking to earliest "
+                      f"{earliest} ({earliest - cur} offsets lost)",
+                      file=sys.stderr)
+                cur = earliest
+                continue
             for off, k, v in recs:
                 rows.append((k.decode() if k is not None else None,
                              v.decode() if v is not None else None, off))

@@ -55,6 +55,14 @@ class KafkaWireError(RuntimeError):
     """Protocol-level failure: unexpected frame, error code, bad CRC."""
 
 
+class KafkaOffsetOutOfRange(KafkaWireError):
+    """Fetch offset outside the log (error 1): the broker's retention
+    truncated past the consumer's cursor. Typed so a consume loop can
+    deliberately reseek (list_offsets earliest) instead of treating it
+    as a generic wire failure — silent data loss must be a visible,
+    explicit decision."""
+
+
 # -- CRC32C (Castagnoli) ----------------------------------------------------
 def _crc32c_table():
     tbl = []
@@ -232,8 +240,9 @@ def decode_record_batches(buf: bytes) -> list[tuple[int, bytes | None,
 
 
 # -- the client ---------------------------------------------------------------
-_API_PRODUCE, _API_FETCH, _API_METADATA = 0, 1, 3
+_API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS, _API_METADATA = 0, 1, 2, 3
 _API_API_VERSIONS, _API_CREATE_TOPICS = 18, 19
+_ERR_OFFSET_OUT_OF_RANGE = 1
 _ERR_TOPIC_EXISTS = 36
 _RETRIABLE = {5, 6, 7, 8}  # leader-not-available-class codes
 
@@ -412,6 +421,11 @@ class KafkaSocketClient:
                     r.i64(), r.i64()
                 record_set = r.nbytes() or b""
                 if tname == topic and pid == partition:
+                    if err == _ERR_OFFSET_OUT_OF_RANGE:
+                        raise KafkaOffsetOutOfRange(
+                            f"Fetch({topic}/{partition}@{offset}): offset "
+                            "outside the log (retention truncated past "
+                            "the cursor)")
                     if err:
                         raise KafkaWireError(
                             f"Fetch({topic}/{partition}@{offset}) error {err}")
@@ -419,3 +433,25 @@ class KafkaSocketClient:
                             if x[0] >= offset]
                     return hw, recs
         raise KafkaWireError("Fetch response missing the partition")
+
+    def list_offsets(self, topic: str, partition: int,
+                     timestamp: int = -2) -> int:
+        """ListOffsets v1: the log boundary offsets — timestamp -2 =
+        earliest (log start after retention), -1 = latest (next offset
+        to be assigned = high watermark). The reseek primitive for a
+        cursor that fell off the retained log."""
+        body = (struct.pack(">i", -1)            # replica_id
+                + struct.pack(">i", 1) + _str(topic)
+                + struct.pack(">i", 1)
+                + struct.pack(">iq", partition, timestamp))
+        r = self._request(_API_LIST_OFFSETS, 1, body)
+        for _ in range(r.i32()):
+            tname = r.string()
+            for _ in range(r.i32()):
+                pid, err, _ts, off = r.i32(), r.i16(), r.i64(), r.i64()
+                if tname == topic and pid == partition:
+                    if err:
+                        raise KafkaWireError(
+                            f"ListOffsets({topic}/{partition}) error {err}")
+                    return off
+        raise KafkaWireError("ListOffsets response missing the partition")

@@ -87,6 +87,8 @@ class FakeKafkaBroker(threading.Thread):
         #: (topic, partition) -> [wire batch bytes]; offsets assigned
         self.logs: dict[tuple[str, int], list[bytes]] = {}
         self.log_end: dict[tuple[str, int], int] = {}
+        #: first retained offset (retention truncation moves it up)
+        self.log_start: dict[tuple[str, int], int] = {}
         #: observability for asserts
         self.produce_crc_checked = 0
         self.api_requests: list[tuple[int, int]] = []
@@ -195,6 +197,27 @@ class FakeKafkaBroker(threading.Thread):
                                 + part_resps)
             return (struct.pack(">i", n_topics) + resp_topics
                     + struct.pack(">i", 0))    # throttle
+        if api == 2:                           # ListOffsets v1
+            req.i32()                          # replica_id
+            n_topics = req.i32()
+            body = b""
+            for _ in range(n_topics):
+                topic = req.string()
+                n_parts = req.i32()
+                parts = b""
+                for _ in range(n_parts):
+                    pid, ts = req.i32(), req.i64()
+                    with self.lock:
+                        if topic not in self.topics:
+                            parts += struct.pack(">ihqq", pid, 3, -1, -1)
+                            continue
+                        if ts == -2:           # earliest
+                            off = self.log_start.get((topic, pid), 0)
+                        else:                  # latest
+                            off = self.log_end.get((topic, pid), 0)
+                    parts += struct.pack(">ihqq", pid, 0, -1, off)
+                body += _s(topic) + struct.pack(">i", n_parts) + parts
+            return struct.pack(">i", n_topics) + body
         if api == 1:                           # Fetch v4
             req.i32(), req.i32(), req.i32(), req.i32()  # replica/wait/min/max
             req.i8()                           # isolation
@@ -233,12 +256,31 @@ class FakeKafkaBroker(threading.Thread):
             self.log_end[key] = base + count
             return 0, base
 
+    def truncate_before(self, topic: str, pid: int, offset: int) -> None:
+        """Retention truncation: drop whole batches ending before
+        ``offset`` and advance the log start — the broker-side event a
+        too-slow consumer's cursor falls victim to."""
+        with self.lock:
+            key = (topic, pid)
+            kept = []
+            for b in self.logs.get(key, []):
+                base = struct.unpack(">q", b[:8])[0]
+                count = struct.unpack_from(">i", b, 57)[0]
+                if base + count > offset:
+                    kept.append(b)
+            self.logs[key] = kept
+            self.log_start[key] = offset
+
     def _fetch_one(self, topic: str, pid: int, offset: int) -> bytes:
         with self.lock:
             if topic not in self.topics or pid >= self.topics[topic]:
                 return struct.pack(">ihqqi", pid, 3, -1, -1, 0) + \
                     struct.pack(">i", -1)
             hw = self.log_end.get((topic, pid), 0)
+            if (offset < self.log_start.get((topic, pid), 0)
+                    or offset > hw):
+                return (struct.pack(">ihqq", pid, 1, hw, hw)  # out of range
+                        + struct.pack(">i", 0) + struct.pack(">i", -1))
             out = b""
             for b in self.logs.get((topic, pid), []):
                 base = struct.unpack(">q", b[:8])[0]

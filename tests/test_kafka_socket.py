@@ -319,3 +319,34 @@ def test_cli_socket_consume_unknown_topic_is_loud(tmp_path, spark, broker):
     p.write_text(yaml.dump(cfg))
     with pytest.raises(SystemExit, match="ghost"):
         main(["--config", str(p), "consume", "--available-now"])
+
+
+def test_list_offsets_and_out_of_range_reseek(spark, broker):
+    """ListOffsets earliest/latest, and the retention story: a cursor
+    that fell off the retained log raises the TYPED out-of-range error
+    at the client layer, and consume_from_kafka_socket reseeks to
+    earliest LOUDLY (the lost range is printed) instead of crashing or
+    silently skipping."""
+    from synch_spark.broker import consume_from_kafka_socket
+    from synch_spark.sources.kafka_socket import KafkaOffsetOutOfRange
+
+    with _client(broker) as c:
+        c.create_topic("t")
+        for i in range(10):
+            c.produce("t", 0, [(b"k", b"v%d" % i)])
+        assert c.list_offsets("t", 0, -2) == 0
+        assert c.list_offsets("t", 0, -1) == 10
+        broker.truncate_before("t", 0, 6)
+        assert c.list_offsets("t", 0, -2) == 6
+        with pytest.raises(KafkaOffsetOutOfRange):
+            c.fetch("t", 0, 2)  # below the retained start
+        # still valid offsets fetch fine
+        hw, recs = c.fetch("t", 0, 7)
+        assert hw == 10 and [o for o, _k, _v in recs] == [7, 8, 9]
+
+    # the consume loop reseeks: cursor 2 -> earliest 6, returns 6..9
+    df, nxt = consume_from_kafka_socket(
+        spark, f"127.0.0.1:{broker.port}", "t", offset=2)
+    assert nxt == 10
+    assert [r["offset"] for r in df.orderBy("offset").collect()] == \
+        [6, 7, 8, 9]
