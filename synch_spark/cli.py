@@ -1188,16 +1188,23 @@ def _consume_redis(spark, raw, cfg, pipe, args) -> int:
             raise SystemExit("--last-msg-id requires --schema: a stream id "
                              "identifies one schema's stream")
         broker.commit(args.schema, args.last_msg_id)
-    epoch = 0
     while True:
         moved = 0
         for sch in schemas:
             frame, high = broker.read_raw_frame(spark, sch, count=cfg.insert_num)
             if high is None:
                 continue
-            pipe.apply_batch(frame, epoch)
+            # epoch = the committed stream position, NOT a process-local
+            # counter: a counter restarts at 0 after a crash while the
+            # table's idempotence markers survive the last 64 commits —
+            # the new run's first batch would collide with run 1's
+            # "epoch 0" marker and be SILENTLY SKIPPED (its offset still
+            # committed: data loss). The high-water stream id is
+            # restart-stable and unique per applied range, so a genuine
+            # checkpoint replay of the same range dedupes and new data
+            # never collides.
+            pipe.apply_batch(frame, f"redis:{sch}:{high}")
             broker.commit(sch, high)
-            epoch += 1
             moved += 1
         if moved == 0:
             if args.available_now:
@@ -1253,19 +1260,21 @@ def _consume_kafka_socket(spark, raw, cfg, pipe, args) -> int:
     if os.path.exists(cur_path):
         with open(cur_path) as f:
             offsets = {k: int(v) for k, v in _json.load(f).items()}
-    epoch = 0
     while True:
         moved = 0
         for topic in topics:
             for p in parts[topic]:
                 key = f"{topic}/{p}"
+                lo = offsets.get(key, 0)
                 df, nxt = consume_from_kafka_socket(
-                    spark, bs, topic, partition=p,
-                    offset=offsets.get(key, 0))
-                if nxt <= offsets.get(key, 0):
+                    spark, bs, topic, partition=p, offset=lo)
+                if nxt <= lo:
                     continue
                 frame = raw_from_kafka_values(df, vfmt)
-                pipe.apply_batch(frame, epoch,
+                # epoch = the applied offset range, not a process-local
+                # counter (see the redis loop): restart-stable, unique
+                # per range, dedupes genuine replays of the same range
+                pipe.apply_batch(frame, f"kafka-socket:{key}:{lo}-{nxt}",
                                  debezium_types=(vfmt == "debezium"))
                 offsets[key] = nxt
                 os.makedirs(warehouse, exist_ok=True)
@@ -1273,7 +1282,6 @@ def _consume_kafka_socket(spark, raw, cfg, pipe, args) -> int:
                 with open(tmp, "w") as f:
                     _json.dump(offsets, f)
                 os.replace(tmp, cur_path)
-                epoch += 1
                 moved += 1
         if moved == 0:
             if args.available_now:

@@ -186,8 +186,15 @@ class CdcPipeline:
                             retain=spec.retain)
 
     # -- the batch applier (runs once per micro-batch on the driver) --------
-    def apply_batch(self, batch: DataFrame, epoch_id: int,
+    def apply_batch(self, batch: DataFrame, epoch_id: "int | str",
                     debezium_types: bool | None = None) -> None:
+        """``epoch_id``: Spark's monotone per-checkpoint batch id on the
+        structured-streaming paths, or a CONTENT-BOUND string (committed
+        stream position / offset range) on the polling loops — a
+        process-local counter must never be used, it restarts at 0
+        while the tables' idempotence markers survive the last 64
+        commits, so a restarted loop's first batch would collide and be
+        silently dropped."""
         try:
             self._apply_batch(batch, epoch_id, debezium_types)
         except Exception:
@@ -201,7 +208,7 @@ class CdcPipeline:
             )
             raise
 
-    def _apply_batch(self, batch: DataFrame, epoch_id: int,
+    def _apply_batch(self, batch: DataFrame, epoch_id: "int | str",
                      debezium_types: bool | None = None) -> None:
         # per-STREAM decode choice: a Debezium stream must not flip the
         # semantics of a raw-format stream sharing this pipeline, so the
@@ -283,7 +290,7 @@ class CdcPipeline:
 
     def _apply_data_segment(self, seg: DataFrame,
                             debezium_types: bool = False,
-                            epoch_id: int | None = None,
+                            epoch_id: "int | str | None" = None,
                             segment: int = 0) -> None:
         # at-least-once replay guard for the NON-idempotent appliers
         # (collapsing/no-pk appends, mv delta folds): one marker per

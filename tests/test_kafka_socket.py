@@ -350,3 +350,68 @@ def test_list_offsets_and_out_of_range_reseek(spark, broker):
     assert nxt == 10
     assert [r["offset"] for r in df.orderBy("offset").collect()] == \
         [6, 7, 8, 9]
+
+
+def test_polling_consume_restart_epoch_no_collision(tmp_path, capsys, spark,
+                                                    broker):
+    """Restart-collision regression (found round 11): the polling
+    consume loops used a PROCESS-LOCAL epoch counter restarting at 0,
+    while a table's idempotence markers survive the last 64 commits —
+    after a restart, the first new batch of a NON-idempotent applier
+    (collapsing sign-append here) collided with the previous run's
+    "epoch 0" marker and was silently dropped, its offset still
+    committed: data loss. Epochs are now content-bound (the applied
+    offset range), so run 2's new data never collides while a genuine
+    replay of the same range still dedupes."""
+    import json as _json
+
+    import yaml
+
+    from synch_spark.broker import produce_to_kafka_socket
+    from synch_spark.cli import main
+    from synch_spark.events import RAW_EVENT_WIRE_SCHEMA
+    from synch_spark.sources.table import ParquetTable
+
+    bs = f"127.0.0.1:{broker.port}"
+    broker.topics["synch.db"] = 1
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["k"],
+             "clickhouse_engine": "collapsing_merge_tree"}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "sources": {},
+            "value_schemas": {"db.t": {"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True,
+                 "metadata": {}}]}},
+            "kafka": {"bootstrap_servers": bs, "transport": "socket",
+                      "topic": "synch.db"},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+
+    def ship(k, ts):
+        ev = spark.createDataFrame(
+            [("db", "t", "insert", None,
+              _json.dumps({"k": k, "v": float(k)}), ts, 0)],
+            RAW_EVENT_WIRE_SCHEMA)
+        assert produce_to_kafka_socket(ev, bs) == 1
+
+    # run 1: one batch (offsets 0-1) applies the k=1 sign-append
+    ship(1, 1000)
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    # run 2 — a FRESH process-local loop: new data at offsets 1-2
+    ship(2, 2000)
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+
+    rows = {(r["k"], r["sign"])
+            for r in ParquetTable(spark, str(tmp_path / "wh/db/t"))
+            .read().select("k", "sign").collect()}
+    # the old counter scheme dropped run 2's batch (epoch-0 marker
+    # collision): k=2 would be missing here
+    assert rows == {(1, 1), (2, 1)}
