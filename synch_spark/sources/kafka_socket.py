@@ -378,7 +378,14 @@ class KafkaSocketClient:
                 base_timestamp_ms: int = 0) -> int:
         """Produce one record batch; returns the broker-assigned base
         offset. ``records``: [(key bytes|None, value bytes|None)].
-        acks=1 (leader ack) — the reference's producer default."""
+        acks=1 (leader ack) — the reference's producer default.
+        acks=0 is rejected: the broker sends NO Produce response for
+        it, which would deadlock this lockstep request/response client
+        (and fire-and-forget produce has no place in a CDC tail)."""
+        if acks == 0:
+            raise ValueError("acks=0 (no broker response) is not "
+                             "supported by the lockstep wire client; "
+                             "use acks=1 or -1")
         batch = encode_record_batch(records, base_timestamp_ms)
         body = (_str(None)                      # transactional_id
                 + struct.pack(">hi", acks, timeout_ms)
