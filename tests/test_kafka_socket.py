@@ -415,3 +415,52 @@ def test_polling_consume_restart_epoch_no_collision(tmp_path, capsys, spark,
     # the old counter scheme dropped run 2's batch (epoch-0 marker
     # collision): k=2 would be missing here
     assert rows == {(1, 1), (2, 1)}
+
+
+def test_record_batch_codec_property():
+    """Hypothesis: encode->decode is the identity for ANY record list
+    (null/empty/large keys+values, any base offset/timestamp), any
+    concatenation of batches decodes in order, and ANY truncation of
+    the byte stream either decodes a prefix of whole batches or raises
+    the CRC error — never crashes, never yields wrong records."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    blob = st.one_of(st.none(), st.binary(max_size=64))
+    rec = st.tuples(blob, blob)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        batches=st.lists(st.lists(rec, min_size=1, max_size=8),
+                         min_size=1, max_size=4),
+        base=st.integers(min_value=0, max_value=1 << 40),
+        ts=st.integers(min_value=0, max_value=1 << 45),
+        data=st.data(),
+    )
+    def prop(batches, base, ts, data):
+        wire = b""
+        want = []
+        off = base
+        for recs in batches:
+            wire += encode_record_batch(recs, base_timestamp_ms=ts,
+                                        base_offset=off)
+            want += [(off + i, k, v) for i, (k, v) in enumerate(recs)]
+            off += len(recs)
+        assert decode_record_batches(wire) == want
+        # arbitrary truncation: prefix-of-whole-batches or a loud error
+        cut = data.draw(st.integers(min_value=0, max_value=len(wire)))
+        try:
+            got = decode_record_batches(wire[:cut])
+        except KafkaWireError:
+            return  # acceptable: a torn batch that still passed the
+                    # length gate must fail CRC, not return garbage
+        assert got == want[:len(got)]
+
+    prop()
+
+
+def test_produce_acks_zero_rejected(broker):
+    with _client(broker) as c:
+        c.create_topic("t")
+        with pytest.raises(ValueError, match="acks=0"):
+            c.produce("t", 0, [(b"k", b"v")], acks=0)
