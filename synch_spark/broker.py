@@ -390,3 +390,100 @@ def _same_content(a: str, b: str) -> bool:
         return filecmp.cmp(a, b, shallow=False)
     except OSError:
         return False
+
+
+def read_kafka_socket_distributed(
+    spark: SparkSession, bootstrap_servers: str, topic: str,
+    start_offsets: dict[int, int] | None = None,
+    end_offsets: dict[int, int] | None = None,
+):
+    """DISTRIBUTED bounded wire read: one executor task per
+    topic-partition, each opening its own socket to the broker and
+    fetching its [start, end) offset range — the spark-sql-kafka batch
+    source's shape (one task per partition, offset-range bounded)
+    rebuilt on the stdlib protocol client, for jar-less backfills of a
+    whole topic. The driver does only metadata + ListOffsets planning
+    (no data bytes cross it); record batches decode inside the tasks
+    via Arrow-batched mapInPandas. Offset ranges are pinned AT PLAN
+    TIME (earliest..latest unless given), so the read is a consistent
+    bounded snapshot even while producers keep appending — re-running
+    the plan re-fetches the same rows.
+
+    Returns (DataFrame[partition int, offset long, key string,
+    value string], end_offsets dict) — feed the frame to
+    raw_from_kafka_values and persist end_offsets as the resume
+    cursor."""
+    from pyspark.sql import types as T
+
+    from synch_spark.sources.kafka_socket import KafkaSocketClient
+
+    with KafkaSocketClient.from_bootstrap(bootstrap_servers) as c:
+        md = c.metadata([topic])
+        info = md["topics"].get(topic)
+        if info is None or info["error"]:
+            raise ValueError(f"kafka topic {topic!r} does not exist")
+        pids = sorted(info["partitions"])
+        starts = dict(start_offsets or {})
+        ends = dict(end_offsets or {})
+        for p in pids:
+            if p not in starts:
+                starts[p] = c.list_offsets(topic, p, -2)
+            if p not in ends:
+                ends[p] = c.list_offsets(topic, p, -1)
+    ranges = [(p, starts[p], ends[p]) for p in pids if ends[p] > starts[p]]
+    out_schema = T.StructType([
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ])
+    if not ranges:
+        return spark.createDataFrame([], out_schema), ends
+    first = bootstrap_servers.split(",")[0].strip()
+    host, _, port = first.partition(":")
+    port = int(port or 9092)
+
+    def fetch_ranges(batches):
+        import pandas as pd
+
+        from synch_spark.sources.kafka_socket import (
+            KafkaOffsetOutOfRange,
+            KafkaSocketClient as _C,
+        )
+
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                pid, lo, hi = int(r["p"]), int(r["lo"]), int(r["hi"])
+                rows = []
+                with _C(host, port) as cli:
+                    cur = lo
+                    while cur < hi:
+                        try:
+                            _hw, recs = cli.fetch(topic, pid, cur)
+                        except KafkaOffsetOutOfRange:
+                            # retention moved past the pinned start
+                            # mid-read: surface loudly — a silent skip
+                            # here would be an unbounded, invisible gap
+                            # in a backfill
+                            raise RuntimeError(
+                                f"kafka {topic}/{pid}: retention "
+                                f"truncated past pinned offset {cur} "
+                                "mid-backfill; restart from a fresh "
+                                "ListOffsets plan") from None
+                        if not recs:
+                            break  # end of log before pinned hi
+                        for off, k, v in recs:
+                            if off >= hi:
+                                break
+                            rows.append((
+                                pid, off,
+                                k.decode() if k is not None else None,
+                                v.decode() if v is not None else None))
+                        cur = recs[-1][0] + 1
+                yield pd.DataFrame(
+                    rows, columns=["partition", "offset", "key", "value"])
+
+    plan = spark.createDataFrame(
+        [(p, lo, hi) for p, lo, hi in ranges], "p int, lo long, hi long"
+    ).repartition(len(ranges), "p")
+    return plan.mapInPandas(fetch_ranges, out_schema), ends

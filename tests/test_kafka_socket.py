@@ -464,3 +464,73 @@ def test_produce_acks_zero_rejected(broker):
         c.create_topic("t")
         with pytest.raises(ValueError, match="acks=0"):
             c.produce("t", 0, [(b"k", b"v")], acks=0)
+
+
+def test_distributed_wire_read_multi_partition(spark, broker):
+    """read_kafka_socket_distributed: one executor task per partition
+    over the wire protocol (the connector batch source's shape without
+    the jar). Offset ranges pin at PLAN time, so rows produced after
+    the call never leak into the bounded snapshot even though tasks
+    fetch lazily; start_offsets resume from a cursor."""
+    from synch_spark.broker import read_kafka_socket_distributed
+
+    with _client(broker) as c:
+        c.create_topic("bulk", num_partitions=3)
+        for p in range(3):
+            c.produce("bulk", p, [(b"k", b"p%d-%d" % (p, i))
+                                  for i in range(4)])
+
+    df, ends = read_kafka_socket_distributed(
+        spark, f"127.0.0.1:{broker.port}", "bulk")
+    assert ends == {0: 4, 1: 4, 2: 4}
+
+    # append AFTER planning, BEFORE execution: must not appear
+    with _client(broker) as c:
+        c.produce("bulk", 1, [(b"k", b"late")])
+    rows = df.collect()
+    assert len(rows) == 12
+    got = {(r["partition"], r["offset"], r["value"]) for r in rows}
+    assert (1, 4, "late") not in got
+    assert (2, 3, "p2-3") in got and (0, 0, "p0-0") in got
+    # the fetch ran distributed: 3 planned ranges -> 3 input partitions
+    assert df.rdd.getNumPartitions() == 3
+
+    # resume: start from the previous end offsets -> only the late row
+    df2, ends2 = read_kafka_socket_distributed(
+        spark, f"127.0.0.1:{broker.port}", "bulk", start_offsets=ends)
+    assert ends2 == {0: 4, 1: 5, 2: 4}
+    assert [(r["partition"], r["offset"], r["value"])
+            for r in df2.collect()] == [(1, 4, "late")]
+
+    # empty range (nothing new): zero-row frame, same cursor back
+    df3, ends3 = read_kafka_socket_distributed(
+        spark, f"127.0.0.1:{broker.port}", "bulk", start_offsets=ends2)
+    assert df3.count() == 0 and ends3 == ends2
+
+
+def test_distributed_wire_read_feeds_raw_decode(spark, broker):
+    """The distributed frame plugs straight into raw_from_kafka_values
+    (value + offset columns) — wire order rides the offset like the
+    connector path."""
+    from pyspark.sql import functions as F
+
+    from synch_spark.broker import (
+        ensure_topic,
+        produce_to_kafka_socket,
+        read_kafka_socket_distributed,
+    )
+    from synch_spark.events import RAW_EVENT_WIRE_SCHEMA
+    from synch_spark.streaming.pipeline import raw_from_kafka_values
+
+    events = spark.createDataFrame(
+        [("db", "t", "insert", None, '{"id": %d}' % i, 1000 + i, i)
+         for i in range(6)], RAW_EVENT_WIRE_SCHEMA)
+    bs = f"127.0.0.1:{broker.port}"
+    ensure_topic(bs, "synch.db")
+    produce_to_kafka_socket(events, bs)
+    df, _ends = read_kafka_socket_distributed(spark, bs, "synch.db")
+    decoded = raw_from_kafka_values(df, "raw")
+    assert decoded.count() == 6
+    ids = sorted(F.get_json_object(r["after"], "$.id") is not None
+                 for r in decoded.collect())
+    assert all(ids) and len(ids) == 6
