@@ -1230,7 +1230,7 @@ def _consume_kafka_socket(spark, raw, cfg, pipe, args) -> int:
     import time as _time
     import uuid as _uuid
 
-    from synch_spark.broker import consume_from_kafka_socket
+    from synch_spark.broker import read_kafka_socket_distributed
     from synch_spark.sources.kafka_socket import KafkaSocketClient
     from synch_spark.streaming.pipeline import raw_from_kafka_values
 
@@ -1263,26 +1263,33 @@ def _consume_kafka_socket(spark, raw, cfg, pipe, args) -> int:
     while True:
         moved = 0
         for topic in topics:
-            for p in parts[topic]:
-                key = f"{topic}/{p}"
-                lo = offsets.get(key, 0)
-                df, nxt = consume_from_kafka_socket(
-                    spark, bs, topic, partition=p, offset=lo)
-                if nxt <= lo:
-                    continue
-                frame = raw_from_kafka_values(df, vfmt)
-                # epoch = the applied offset range, not a process-local
-                # counter (see the redis loop): restart-stable, unique
-                # per range, dedupes genuine replays of the same range
-                pipe.apply_batch(frame, f"kafka-socket:{key}:{lo}-{nxt}",
-                                 debezium_types=(vfmt == "debezium"))
-                offsets[key] = nxt
-                os.makedirs(warehouse, exist_ok=True)
-                tmp = f"{cur_path}.tmp-{_uuid.uuid4().hex[:8]}"
-                with open(tmp, "w") as f:
-                    _json.dump(offsets, f)
-                os.replace(tmp, cur_path)
-                moved += 1
+            starts = {p: offsets.get(f"{topic}/{p}", 0)
+                      for p in parts[topic]}
+            # DISTRIBUTED drain: one executor task per partition over
+            # the wire protocol; no event bytes cross the driver (the
+            # old per-partition driver fetch materialized every row in
+            # driver memory — wrong shape for a large drain)
+            df, ends = read_kafka_socket_distributed(
+                spark, bs, topic, start_offsets=starts)
+            if all(ends.get(p, 0) <= starts.get(p, 0)
+                   for p in parts[topic]):
+                continue
+            frame = raw_from_kafka_values(df, vfmt)
+            # epoch = the applied offset ranges, not a process-local
+            # counter (see the redis loop): restart-stable, unique per
+            # range set, dedupes genuine replays of the same ranges
+            rng = ",".join(f"{p}={starts.get(p, 0)}-{ends[p]}"
+                           for p in sorted(ends))
+            pipe.apply_batch(frame, f"kafka-socket:{topic}:{rng}",
+                             debezium_types=(vfmt == "debezium"))
+            for p, e in ends.items():
+                offsets[f"{topic}/{p}"] = e
+            os.makedirs(warehouse, exist_ok=True)
+            tmp = f"{cur_path}.tmp-{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                _json.dump(offsets, f)
+            os.replace(tmp, cur_path)
+            moved += 1
         if moved == 0:
             if args.available_now:
                 return 0
