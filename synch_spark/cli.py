@@ -1274,6 +1274,19 @@ def _consume_kafka_socket(spark, raw, cfg, pipe, args) -> int:
             if all(ends.get(p, 0) <= starts.get(p, 0)
                    for p in parts[topic]):
                 continue
+            if any(ends[p] - starts.get(p, 0) > cfg.insert_num
+                   for p in ends):
+                # flush-policy parity (insert_num, the reference's
+                # maxOffsetsPerTrigger analog): a month-old cursor must
+                # drain as bounded batches, not one giant apply whose
+                # failure loses the whole backlog's progress. The loop
+                # re-enters until caught up; --available-now exits only
+                # on a no-movement pass.
+                ends = {p: min(e, starts.get(p, 0) + cfg.insert_num)
+                        for p, e in ends.items()}
+                df, ends = read_kafka_socket_distributed(
+                    spark, bs, topic, start_offsets=starts,
+                    end_offsets=ends)
             frame = raw_from_kafka_values(df, vfmt)
             # epoch = the applied offset ranges, not a process-local
             # counter (see the redis loop): restart-stable, unique per

@@ -534,3 +534,56 @@ def test_distributed_wire_read_feeds_raw_decode(spark, broker):
     ids = sorted(F.get_json_object(r["after"], "$.id") is not None
                  for r in decoded.collect())
     assert all(ids) and len(ids) == 6
+
+
+def test_socket_consume_bounded_batches_insert_num(tmp_path, capsys, spark,
+                                                   broker):
+    """Flush-policy parity: a deep backlog drains as insert_num-bounded
+    batches (the maxOffsetsPerTrigger analog), the offset cursor
+    advancing per batch — one giant apply would lose the whole
+    backlog's progress on a late failure. --available-now exits only
+    once a pass moves nothing, so the target still ends complete."""
+    import json as _json
+
+    import yaml
+
+    from synch_spark.broker import produce_to_kafka_socket
+    from synch_spark.cli import main
+    from synch_spark.events import RAW_EVENT_WIRE_SCHEMA
+    from synch_spark.sources.table import ParquetTable
+
+    bs = f"127.0.0.1:{broker.port}"
+    broker.topics["synch.db"] = 1
+    events = spark.createDataFrame(
+        [("db", "t", "insert", None, _json.dumps({"k": i, "v": float(i)}),
+          1000 + i, i) for i in range(25)],
+        RAW_EVENT_WIRE_SCHEMA)
+    assert produce_to_kafka_socket(events, bs) == 25
+
+    cfg = {
+        "core": {"insert_num": 10, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["k"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "sources": {},
+            "value_schemas": {"db.t": {"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True,
+                 "metadata": {}}]}},
+            "kafka": {"bootstrap_servers": bs, "transport": "socket",
+                      "topic": "synch.db"},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    # all 25 applied, via 3 bounded batches (10+10+5): the table took
+    # one committed version per batch
+    t = ParquetTable(spark, str(tmp_path / "wh/db/t"))
+    assert t.read().count() == 25
+    cur = _json.loads(
+        (tmp_path / "wh" / "_kafka_socket_offsets.json").read_text())
+    assert cur == {"synch.db/0": 25}
