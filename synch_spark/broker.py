@@ -396,6 +396,7 @@ def read_kafka_socket_distributed(
     spark: SparkSession, bootstrap_servers: str, topic: str,
     start_offsets: dict[int, int] | None = None,
     end_offsets: dict[int, int] | None = None,
+    max_per_partition: int | None = None,
 ):
     """DISTRIBUTED bounded wire read: one executor task per
     topic-partition, each opening its own socket to the broker and
@@ -417,19 +418,53 @@ def read_kafka_socket_distributed(
 
     from synch_spark.sources.kafka_socket import KafkaSocketClient
 
+    import sys
+
     with KafkaSocketClient.from_bootstrap(bootstrap_servers) as c:
         md = c.metadata([topic])
         info = md["topics"].get(topic)
         if info is None or info["error"]:
             raise ValueError(f"kafka topic {topic!r} does not exist")
         pids = sorted(info["partitions"])
-        starts = dict(start_offsets or {})
-        ends = dict(end_offsets or {})
-        for p in pids:
-            if p not in starts:
-                starts[p] = c.list_offsets(topic, p, -2)
-            if p not in ends:
-                ends[p] = c.list_offsets(topic, p, -1)
+        # partition -> its LEADER's (host, port): a multi-broker
+        # cluster answers Fetch only on the leader (error 6 elsewhere);
+        # the metadata response carries exactly this routing table
+        node = {b[0]: (b[1], b[2]) for b in md["brokers"]}
+        first = bootstrap_servers.split(",")[0].strip()
+        bhost, _, bport = first.partition(":")
+        fallback = (bhost, int(bport or 9092))
+        leaders = {
+            p: node.get(info["partitions"][p]["leader"], fallback)
+            for p in pids
+        }
+    starts = dict(start_offsets or {})
+    ends = dict(end_offsets or {})
+    by_leader: dict[tuple, list[int]] = {}
+    for p in pids:
+        by_leader.setdefault(leaders[p], []).append(p)
+    # offset planning per LEADER connection: like Fetch, ListOffsets is
+    # answered only by each partition's leader on a multi-broker cluster
+    for (lhost, lport), plist in by_leader.items():
+        with KafkaSocketClient(lhost, lport) as lc:
+            for p in plist:
+                earliest = lc.list_offsets(topic, p, -2)
+                if p not in starts:
+                    starts[p] = earliest
+                elif starts[p] < earliest:
+                    # retention truncated past the caller's cursor:
+                    # clamp up LOUDLY (the lost range is data the
+                    # consumer never saw) instead of letting every
+                    # executor fetch fail — a restart would otherwise
+                    # replay the identical plan and stall forever
+                    print(f"kafka {topic}/{p}: cursor {starts[p]} fell "
+                          f"off the retained log; reseeking to earliest "
+                          f"{earliest} ({earliest - starts[p]} offsets "
+                          "lost)", file=sys.stderr)
+                    starts[p] = earliest
+                if p not in ends:
+                    ends[p] = lc.list_offsets(topic, p, -1)
+                if max_per_partition is not None:
+                    ends[p] = min(ends[p], starts[p] + max_per_partition)
     ranges = [(p, starts[p], ends[p]) for p in pids if ends[p] > starts[p]]
     out_schema = T.StructType([
         T.StructField("partition", T.IntegerType()),
@@ -439,9 +474,6 @@ def read_kafka_socket_distributed(
     ])
     if not ranges:
         return spark.createDataFrame([], out_schema), ends
-    first = bootstrap_servers.split(",")[0].strip()
-    host, _, port = first.partition(":")
-    port = int(port or 9092)
 
     def fetch_ranges(batches):
         import pandas as pd
@@ -454,6 +486,7 @@ def read_kafka_socket_distributed(
         for pdf in batches:
             for _, r in pdf.iterrows():
                 pid, lo, hi = int(r["p"]), int(r["lo"]), int(r["hi"])
+                host, port = str(r["host"]), int(r["port"])
                 rows = []
                 with _C(host, port) as cli:
                     cur = lo
@@ -484,6 +517,8 @@ def read_kafka_socket_distributed(
                     rows, columns=["partition", "offset", "key", "value"])
 
     plan = spark.createDataFrame(
-        [(p, lo, hi) for p, lo, hi in ranges], "p int, lo long, hi long"
+        [(p, lo, hi, leaders[p][0], leaders[p][1])
+         for p, lo, hi in ranges],
+        "p int, lo long, hi long, host string, port int"
     ).repartition(len(ranges), "p")
     return plan.mapInPandas(fetch_ranges, out_schema), ends

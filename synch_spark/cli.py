@@ -104,7 +104,7 @@ def cmd_produce(args) -> int:
     spool file."""
     import time as _time
 
-    from synch_spark.broker import produce_to_kafka, write_event_spool
+    from synch_spark.broker import write_event_spool
     from synch_spark.sources.snapshot_diff import diff_snapshots
     from synch_spark.sources.table import ParquetTable as _PT
 
@@ -175,26 +175,9 @@ def cmd_produce(args) -> int:
                 if n:
                     basename = f"{spec.schema}.{spec.table}.{now_us}"
                     if args.sink == "kafka":
-                        kconf = raw["spark"]["kafka"]  # _validate_sink'd
-                        if kconf.get("transport") == "socket":
-                            # stdlib wire producer (no connector jar /
-                            # kafka-python) — right for per-round CDC
-                            # change batches; see _emit_to_sink
-                            from synch_spark.broker import (
-                                produce_to_kafka_socket,
-                            )
-
-                            produce_to_kafka_socket(
-                                events,
-                                kconf["bootstrap_servers"],
-                                kconf.get("queue_prefix", "synch"),
-                            )
-                        else:
-                            produce_to_kafka(
-                                events,
-                                kconf["bootstrap_servers"],
-                                kconf.get("queue_prefix", "synch"),
-                            )
+                        # _validate_sink'd; shared socket-vs-connector
+                        # dispatch lives in _produce_kafka_events
+                        _produce_kafka_events(events, raw["spark"]["kafka"])
                     elif args.sink == "redis":
                         redis_broker.produce(events)
                     elif args.driver_spool:
@@ -1038,12 +1021,40 @@ def _source_path(raw, name: str, cmd: str) -> str:
     return path
 
 
+def _produce_kafka_events(events, kconf) -> None:
+    """Shared produce dispatch for the engine-JSON kafka sink (both
+    cmd_produce and _emit_to_sink route through here so the transport
+    logic can never diverge between the two entry points):
+    ``spark.kafka.transport: socket`` -> the stdlib wire producer (no
+    connector jar, no kafka-python — the reference's driver-side
+    produce loop shape, right for per-round CDC change batches);
+    default -> the distributed connector writer (the bulk path)."""
+    from synch_spark.broker import produce_to_kafka, produce_to_kafka_socket
+
+    if kconf.get("transport") == "socket":
+        if kconf.get("produce_format") == "debezium-avro":
+            # reject HERE (the shared dispatch) so both entry points
+            # agree: silently falling through to the connector writer
+            # would die on the missing jar with an opaque
+            # ClassNotFound — the exact environment that chose
+            # transport: socket
+            raise SystemExit(
+                "transport: socket supports the engine-JSON produce; "
+                "produce_format=debezium-avro needs the distributed "
+                "connector (binary values)")
+        produce_to_kafka_socket(events, kconf["bootstrap_servers"],
+                                kconf.get("queue_prefix", "synch"))
+    else:
+        produce_to_kafka(events, kconf["bootstrap_servers"],
+                         kconf.get("queue_prefix", "synch"))
+
+
 def _emit_to_sink(spark, raw, events, sink: str, basename: str) -> int:
     """Shared replay emission: one materialization feeds the count and
     the sink write (spool / kafka / redis), mirroring cmd_produce."""
     import os
 
-    from synch_spark.broker import produce_to_kafka, write_event_spool
+    from synch_spark.broker import write_event_spool
 
     events = events.persist()
     try:
@@ -1059,6 +1070,16 @@ def _emit_to_sink(spark, raw, events, sink: str, basename: str) -> int:
                 # URL is configured — from registering each table's
                 # generated envelope schema at produce time (idempotent
                 # server-side, so restarts are free)
+                if kconf.get("transport") == "socket":
+                    # mirror the consume-side rejection: silently
+                    # falling through to the connector writer would
+                    # die on the missing jar with an opaque
+                    # ClassNotFound — the exact environment that chose
+                    # transport: socket
+                    raise SystemExit(
+                        "transport: socket supports the engine-JSON "
+                        "produce; produce_format=debezium-avro needs "
+                        "the distributed connector (binary values)")
                 from pyspark.sql import types as T
 
                 from synch_spark.broker import (
@@ -1105,23 +1126,8 @@ def _emit_to_sink(spark, raw, events, sink: str, basename: str) -> int:
                 payload = kafka_avro_payload(events, vschemas, ids, prefix)
                 kafka_writer_raw(payload,
                                  kconf["bootstrap_servers"]).save()
-            elif kconf.get("transport") == "socket":
-                # spark.kafka.transport: socket — the stdlib wire
-                # producer (no connector jar, no kafka-python): the
-                # reference's driver-side produce loop shape, right for
-                # CDC tail batches; bulk backfills should keep the
-                # distributed connector (default)
-                from synch_spark.broker import produce_to_kafka_socket
-
-                produce_to_kafka_socket(
-                    events, kconf["bootstrap_servers"],
-                    kconf.get("queue_prefix", "synch")
-                )
             else:
-                produce_to_kafka(
-                    events, kconf["bootstrap_servers"],
-                    kconf.get("queue_prefix", "synch")
-                )
+                _produce_kafka_events(events, kconf)
         elif sink == "redis":
             _redis_broker_from_cfg(spark, raw).produce(events)
         else:
@@ -1269,24 +1275,19 @@ def _consume_kafka_socket(spark, raw, cfg, pipe, args) -> int:
             # the wire protocol; no event bytes cross the driver (the
             # old per-partition driver fetch materialized every row in
             # driver memory — wrong shape for a large drain)
+            # flush-policy parity (insert_num, the reference's
+            # maxOffsetsPerTrigger analog): a month-old cursor drains
+            # as bounded batches, not one giant apply whose failure
+            # loses the whole backlog's progress. The loop re-enters
+            # until caught up; --available-now exits only on a
+            # no-movement pass. The plan also clamps a cursor that fell
+            # off the retained log up to earliest (loudly).
             df, ends = read_kafka_socket_distributed(
-                spark, bs, topic, start_offsets=starts)
+                spark, bs, topic, start_offsets=starts,
+                max_per_partition=cfg.insert_num)
             if all(ends.get(p, 0) <= starts.get(p, 0)
                    for p in parts[topic]):
                 continue
-            if any(ends[p] - starts.get(p, 0) > cfg.insert_num
-                   for p in ends):
-                # flush-policy parity (insert_num, the reference's
-                # maxOffsetsPerTrigger analog): a month-old cursor must
-                # drain as bounded batches, not one giant apply whose
-                # failure loses the whole backlog's progress. The loop
-                # re-enters until caught up; --available-now exits only
-                # on a no-movement pass.
-                ends = {p: min(e, starts.get(p, 0) + cfg.insert_num)
-                        for p, e in ends.items()}
-                df, ends = read_kafka_socket_distributed(
-                    spark, bs, topic, start_offsets=starts,
-                    end_offsets=ends)
             frame = raw_from_kafka_values(df, vfmt)
             # epoch = the applied offset ranges, not a process-local
             # counter (see the redis loop): restart-stable, unique per

@@ -283,6 +283,35 @@ def default_committer():
     return _DEFAULT_COMMITTER or PosixCommitter()
 
 
+def _token_provider_from_config(spec) -> "object | None":
+    """Bearer-token provider from config: ``token`` (a static bearer —
+    short-lived; fine for jobs, wrong for daemons) or ``token_url`` (a
+    metadata-server endpoint returning ``{"access_token": ...}`` — the
+    GCE/GKE and Azure IMDS pattern; fetched fresh per commit, so
+    rotation is free). ``token_headers`` rides along (GCE needs
+    ``Metadata-Flavor: Google``, the default; Azure IMDS needs
+    ``Metadata: true``)."""
+    tok = spec.get("token")
+    if tok:
+        return lambda: str(tok)
+    url = spec.get("token_url")
+    if not url:
+        return None
+    headers = dict(spec.get("token_headers")
+                   or {"Metadata-Flavor": "Google"})
+
+    def fetch():
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(url, headers=headers)
+        with urllib.request.urlopen(req, timeout=10) as r:
+            doc = _json.loads(r.read().decode("utf-8"))
+        return doc["access_token"]
+
+    return fetch
+
+
 def committer_from_config(spec) -> "object | None":
     """Build a committer from a `spark.committer` config block:
 
@@ -312,11 +341,14 @@ def committer_from_config(spec) -> "object | None":
     if kind == "gcs":
         return gcs_committer(
             spec["bucket"], prefix_to_strip=strip,
+            token_provider=_token_provider_from_config(spec),
             base_url=spec.get("base_url", "https://storage.googleapis.com"),
             timeout=float(spec.get("timeout", 10.0)))
     if kind == "azure":
         return azure_committer(
             spec["account"], spec["container"], prefix_to_strip=strip,
-            sas=spec.get("sas"), base_url=spec.get("base_url"),
+            sas=spec.get("sas"),
+            token_provider=_token_provider_from_config(spec),
+            base_url=spec.get("base_url"),
             timeout=float(spec.get("timeout", 10.0)))
     raise ValueError(f"unknown committer kind: {kind!r}")

@@ -218,6 +218,12 @@ def decode_record_batches(buf: bytes) -> list[tuple[int, bytes | None,
         if attrs & 0x07:
             raise KafkaWireError(
                 f"compressed batches not supported (codec {attrs & 7})")
+        if attrs & 0x20:
+            # CONTROL batch (transaction commit/abort markers from an
+            # EOS producer): its records are protocol bookkeeping, not
+            # data — surfacing them would dead-letter (raw format) or
+            # corrupt (wal2json/debezium) one row per transaction
+            continue
         # post-CRC layout: attributes h(0) lastOffsetDelta i(2)
         # firstTs q(6) maxTs q(14) producerId q(22) producerEpoch h(30)
         # baseSequence i(32) recordCount i(36) records(40...)
@@ -244,7 +250,6 @@ _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS, _API_METADATA = 0, 1, 2, 3
 _API_API_VERSIONS, _API_CREATE_TOPICS = 18, 19
 _ERR_OFFSET_OUT_OF_RANGE = 1
 _ERR_TOPIC_EXISTS = 36
-_RETRIABLE = {5, 6, 7, 8}  # leader-not-available-class codes
 
 
 class KafkaSocketClient:

@@ -225,13 +225,14 @@ def iter_pgoutput_changes(
     monotone emission counter. ``wire_seq_base`` (an already-packed
     long, e.g. ``min(round_start_lsn, 2^46-1) << 16`` from the live
     tail) rebases the counter for CROSS-ROUND continuity: the stamped
-    value is ``base + min(i, 65535)``, so two transactions committing
-    in the same microsecond that land in DIFFERENT rounds still
-    resolve in wire order (the LSN anchor is monotone across rounds
-    and replay-stable), while a >65535-row round saturates the
-    position — leaving only previously-arbitrary ties arbitrary,
-    never inverted (the wal2json ``offset<<16 | pos`` contract,
-    events.py). ``None`` keeps the plain per-call enumerate. Every row of a transaction shares the
+    value is ``base + i`` (i UNBOUNDED — intra-round order is total at
+    any round size; the next round's base cannot collide because each
+    change consumes >= ~24 WAL bytes, so successive rounds' LSN anchors
+    are spaced far wider than any position count), so two transactions
+    committing in the same microsecond that land in DIFFERENT rounds
+    still resolve in wire order (the LSN anchor is monotone across
+    rounds and replay-stable). ``None`` keeps the plain per-call
+    enumerate. Every row of a transaction shares the
     Begin/Commit timestamp, so two updates to one pk INSIDE a
     transaction tie on (event_unixtime, action_seq) and last-wins picks
     arbitrarily; the counter carries wire order out-of-band (the
@@ -292,8 +293,16 @@ def iter_pgoutput_changes(
                 row[WIRE_SEQ_COL] = i
                 yield row
         else:
+            # UNBOUNDED position on purpose (review r11): saturating at
+            # 65535 would re-tie same-pk updates past the 65536th event
+            # of a round — the intra-round order this column exists to
+            # carry. Overflow into the next round's base cannot happen:
+            # interference needs lsn2 <= lsn1 + n/65536, but every
+            # decoded change consumes >= ~24 WAL BYTES, so the next
+            # round's start LSN exceeds lsn1 + 24n — five orders of
+            # magnitude of headroom.
             for i, row in enumerate(inner):
-                row[WIRE_SEQ_COL] = wire_seq_base + min(i, 0xFFFF)
+                row[WIRE_SEQ_COL] = wire_seq_base + i
                 yield row
         return
 

@@ -229,9 +229,15 @@ class CdcPipeline:
             )
             if bad.limit(1).count() > 0:
                 # drop the optional wire-seq column: the dead-letter
-                # table's schema must not flip with the source format
+                # table's schema must not flip with the source format.
+                # _epoch stamps as STRING always: epoch_id is a long on
+                # the structured-streaming paths but a content-bound
+                # string on the polling loops, and one shared
+                # _synch_dead_letter table must not mix parquet column
+                # types by which consumer dead-lettered first
                 ParquetTable(self.spark, f"{self.warehouse}/_synch_dead_letter").append(
-                    bad.drop(WIRE_SEQ_COL).withColumn("_epoch", F.lit(epoch_id))
+                    bad.drop(WIRE_SEQ_COL).withColumn(
+                        "_epoch", F.lit(str(epoch_id)))
                 )
             batch = batch.filter(
                 F.col("action").isNotNull()

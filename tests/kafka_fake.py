@@ -92,6 +92,12 @@ class FakeKafkaBroker(threading.Thread):
         #: observability for asserts
         self.produce_crc_checked = 0
         self.api_requests: list[tuple[int, int]] = []
+        #: multi-broker simulation: extra (node_id, host, port) rows in
+        #: Metadata, and per-(topic, partition) leader overrides — a
+        #: Produce/Fetch landing on a non-leader answers error 6
+        #: (NOT_LEADER_FOR_PARTITION), like a real cluster
+        self.peers: list[tuple[int, str, int]] = []
+        self.partition_leaders: dict[tuple[str, int], int] = {}
 
     # -- lifecycle ----------------------------------------------------------
     def run(self):
@@ -140,9 +146,12 @@ class FakeKafkaBroker(threading.Thread):
             n = req.i32()
             names = (list(self.topics) if n < 0
                      else [req.string() for _ in range(n)])
-            out = struct.pack(">i", 1)
-            out += (struct.pack(">i", self.node_id) + _s("127.0.0.1")
-                    + struct.pack(">i", self.port) + _s(None))
+            brokers = ([(self.node_id, "127.0.0.1", self.port)]
+                       + list(self.peers))
+            out = struct.pack(">i", len(brokers))
+            for nid, host, port in brokers:
+                out += (struct.pack(">i", nid) + _s(host)
+                        + struct.pack(">i", port) + _s(None))
             out += struct.pack(">i", self.node_id)   # controller
             out += struct.pack(">i", len(names))
             for t in names:
@@ -151,9 +160,11 @@ class FakeKafkaBroker(threading.Thread):
                     out += struct.pack(">h", 0) + _s(t) + b"\x00"
                     out += struct.pack(">i", parts)
                     for p in range(parts):
-                        out += struct.pack(">hii", 0, p, self.node_id)
-                        out += struct.pack(">ii", 1, self.node_id)  # replicas
-                        out += struct.pack(">ii", 1, self.node_id)  # isr
+                        leader = self.partition_leaders.get(
+                            (t, p), self.node_id)
+                        out += struct.pack(">hii", 0, p, leader)
+                        out += struct.pack(">ii", 1, leader)  # replicas
+                        out += struct.pack(">ii", 1, leader)  # isr
                 else:
                     out += struct.pack(">h", 3) + _s(t) + b"\x00"
                     out += struct.pack(">i", 0)
@@ -211,6 +222,11 @@ class FakeKafkaBroker(threading.Thread):
                         if topic not in self.topics:
                             parts += struct.pack(">ihqq", pid, 3, -1, -1)
                             continue
+                        if self.partition_leaders.get(
+                                (topic, pid), self.node_id) != self.node_id:
+                            # leader-only API, like Fetch/Produce
+                            parts += struct.pack(">ihqq", pid, 6, -1, -1)
+                            continue
                         if ts == -2:           # earliest
                             off = self.log_start.get((topic, pid), 0)
                         else:                  # latest
@@ -240,6 +256,9 @@ class FakeKafkaBroker(threading.Thread):
         with self.lock:
             if topic not in self.topics or pid >= self.topics[topic]:
                 return 3, -1                   # UNKNOWN_TOPIC_OR_PARTITION
+            if self.partition_leaders.get((topic, pid),
+                                          self.node_id) != self.node_id:
+                return 6, -1                   # NOT_LEADER_FOR_PARTITION
             if len(batch) < 61 or batch[16] != 2:
                 return 87, -1                  # INVALID_RECORD
             # independent CRC check: crc field covers bytes after it
@@ -276,6 +295,10 @@ class FakeKafkaBroker(threading.Thread):
             if topic not in self.topics or pid >= self.topics[topic]:
                 return struct.pack(">ihqqi", pid, 3, -1, -1, 0) + \
                     struct.pack(">i", -1)
+            if self.partition_leaders.get((topic, pid),
+                                          self.node_id) != self.node_id:
+                return (struct.pack(">ihqqi", pid, 6, -1, -1, 0)
+                        + struct.pack(">i", -1))
             hw = self.log_end.get((topic, pid), 0)
             if (offset < self.log_start.get((topic, pid), 0)
                     or offset > hw):

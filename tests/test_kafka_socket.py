@@ -587,3 +587,136 @@ def test_socket_consume_bounded_batches_insert_num(tmp_path, capsys, spark,
     cur = _json.loads(
         (tmp_path / "wh" / "_kafka_socket_offsets.json").read_text())
     assert cur == {"synch.db/0": 25}
+
+
+# -- round-11 review regressions ----------------------------------------------
+def _control_batch(records):
+    """A transaction-marker batch: attributes bit 0x20 set, CRC
+    recomputed — what an EOS producer's commit/abort marker looks like
+    on the wire."""
+    import struct
+
+    b = bytearray(encode_record_batch(records))
+    attrs = struct.unpack_from(">h", b, 21)[0] | 0x20
+    struct.pack_into(">h", b, 21, attrs)
+    struct.pack_into(">I", b, 17, crc32c(bytes(b[21:])))
+    return bytes(b)
+
+
+def test_control_batches_never_surface_as_data(broker):
+    """Review r11: a transactional producer's control batches (commit/
+    abort markers) are protocol bookkeeping; decoding them as data
+    dead-letters one bogus row per transaction. The decoder skips
+    attribute-bit-0x20 batches; data around them still decodes."""
+    ctl = _control_batch([(b"\x00\x00\x00\x01", b"\x00\x00")])
+    data = encode_record_batch([(b"k", b"v")], base_offset=1)
+    assert decode_record_batches(ctl + data) == [(1, b"k", b"v")]
+
+    # through the broker: interleave a control batch in the log
+    with _client(broker) as c:
+        c.create_topic("tx")
+        c.produce("tx", 0, [(b"k0", b"v0")])
+        with broker.lock:  # a committed transaction's marker lands
+            import struct as _s
+
+            stored = _s.pack(">q", 1) + ctl[8:]
+            broker.logs[("tx", 0)].append(stored)
+            broker.log_end[("tx", 0)] = 2
+        c.produce("tx", 0, [(b"k2", b"v2")])
+        hw, recs = c.fetch("tx", 0, 0)
+        assert hw == 3
+        assert [(o, v) for o, _k, v in recs] == [(0, b"v0"), (2, b"v2")]
+
+
+def test_distributed_read_clamps_truncated_cursor(spark, broker, capsys):
+    """Review r11: a start cursor below the retained log start used to
+    make every executor fetch fail (a permanent stall on restart since
+    the plan reproduced the same offsets). The plan now clamps up to
+    earliest LOUDLY."""
+    from synch_spark.broker import read_kafka_socket_distributed
+
+    with _client(broker) as c:
+        c.create_topic("ret")
+        for i in range(10):
+            c.produce("ret", 0, [(b"k", b"v%d" % i)])
+    broker.truncate_before("ret", 0, 6)
+    df, ends = read_kafka_socket_distributed(
+        spark, f"127.0.0.1:{broker.port}", "ret", start_offsets={0: 2})
+    assert ends == {0: 10}
+    assert [r["offset"] for r in df.orderBy("offset").collect()] == \
+        [6, 7, 8, 9]
+    assert "fell off the retained log" in capsys.readouterr().err
+
+
+def test_distributed_read_routes_to_partition_leader(spark):
+    """Review r11: a multi-broker cluster answers Fetch only on each
+    partition's LEADER (error 6 elsewhere); the plan must route every
+    range to its leader from the metadata it already fetched, not pin
+    everything to the first bootstrap host."""
+    from synch_spark.broker import read_kafka_socket_distributed
+
+    a, b = FakeKafkaBroker(node_id=0), FakeKafkaBroker(node_id=1)
+    a.start(), b.start()
+    try:
+        for srv in (a, b):
+            srv.topics["t2"] = 2
+        # partition 0 led by A, partition 1 led by B — both brokers
+        # agree on the layout (same metadata from either)
+        layout = {("t2", 0): 0, ("t2", 1): 1}
+        a.partition_leaders.update(layout)
+        b.partition_leaders.update(layout)
+        a.peers = [(1, "127.0.0.1", b.port)]
+        b.peers = [(0, "127.0.0.1", a.port)]
+        with KafkaSocketClient("127.0.0.1", a.port) as c:
+            assert c.produce("t2", 0, [(b"k", b"pa")]) == 0
+        with KafkaSocketClient("127.0.0.1", b.port) as c:
+            assert c.produce("t2", 1, [(b"k", b"pb")]) == 0
+
+        # bootstrap = A only; partition 1's fetch must reach B
+        df, ends = read_kafka_socket_distributed(
+            spark, f"127.0.0.1:{a.port}", "t2")
+        got = {(r["partition"], r["value"]) for r in df.collect()}
+        assert got == {(0, "pa"), (1, "pb")} and ends == {0: 1, 1: 1}
+        # and the wrong-broker produce is loudly NOT_LEADER
+        with KafkaSocketClient("127.0.0.1", a.port) as c:
+            with pytest.raises(KafkaWireError, match="error 6"):
+                c.produce("t2", 1, [(b"k", b"x")])
+    finally:
+        a.stop(), b.stop()
+
+
+def test_produce_avro_socket_transport_rejected(tmp_path, spark, broker):
+    """Review r11: produce_format=debezium-avro + transport=socket used
+    to silently route to the connector writer (opaque ClassNotFound in
+    the jar-less environment that chose socket transport); now a clear
+    config rejection, mirroring the consume side."""
+    import yaml
+
+    from synch_spark.cli import main
+    from synch_spark.session import read_table
+
+    src_path = str(tmp_path / "src.parquet")
+    read_table(spark, "/root/testdata/sf0.001", "region") \
+        .write.parquet(src_path)
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "region", "pk": ["r_regionkey"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "source_format": "parquet",
+            "sources": {"db.region": src_path},
+            "value_schemas": {
+                "db.region": spark.read.parquet(src_path).schema.jsonValue()},
+            "kafka": {"bootstrap_servers": f"127.0.0.1:{broker.port}",
+                      "transport": "socket",
+                      "produce_format": "debezium-avro",
+                      "produce_schema_ids": {"db.region": 7}},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    broker.topics["synch.db"] = 1
+    with pytest.raises(SystemExit, match="socket"):
+        main(["--config", str(p), "produce", "--once", "--sink", "kafka"])

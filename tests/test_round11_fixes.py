@@ -219,3 +219,89 @@ def test_mysql_socket_flavor_recorded_beats_sniff(tmp_path, capsys):
     # without --follow is exit 1 (round failure), never the guard's 2
     assert main(["--config", p, "produce",
                  "--source", "mysql-socket", "--once"]) == 1
+
+
+def test_dead_letter_epoch_column_is_string_across_consumers(spark,
+                                                             tmp_path):
+    """Review r11: the dead-letter _epoch column mixed LongType
+    (structured-streaming int epoch ids) with StringType (the polling
+    loops' content-bound epochs) in ONE shared parquet table — the
+    first dead-letter from the second consumer kind broke the table.
+    _epoch now stamps as string regardless of the caller's id type."""
+    from pyspark.sql import types as T
+
+    from synch_spark.config import SyncConfig, TableSpec
+    from synch_spark.sources.table import ParquetTable
+    from synch_spark.streaming.pipeline import CdcPipeline
+
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="t", pk=("id",)))
+    vs = T.StructType([T.StructField("id", T.LongType())])
+    pipe = CdcPipeline(
+        spark=spark, cfg=cfg, warehouse=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ck"), value_schemas={"db.t": vs},
+    )
+    bad = spark.createDataFrame(
+        [("db", "t", None, None, '{"x": 1}', 1)],
+        "schema string, table string, action string, before string, "
+        "after string, event_unixtime long")
+    pipe.apply_batch(bad, 7)                      # streaming-style int
+    pipe.apply_batch(bad, "kafka-socket:t/0:0-1")  # polling-loop string
+    dead = ParquetTable(spark, f"{pipe.warehouse}/_synch_dead_letter").read()
+    assert dead.count() == 2
+    assert dict(dead.dtypes)["_epoch"] == "string"
+    assert {r["_epoch"] for r in dead.collect()} == \
+        {"7", "kafka-socket:t/0:0-1"}
+
+
+def test_committer_config_token_providers(tmp_path):
+    """Review r11: 'kind: gcs' had NO credential knob — every real
+    commit 401'd mid-commit. Config now wires `token` (static bearer)
+    and `token_url` (metadata-server JSON endpoint, custom headers for
+    Azure IMDS) into the conditional-put clients."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from synch_spark.sources.committer import (
+        _token_provider_from_config,
+        committer_from_config,
+    )
+
+    assert _token_provider_from_config({}) is None
+    assert _token_provider_from_config({"token": "abc"})() == "abc"
+
+    seen = {}
+
+    class _Meta(BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen["flavor"] = self.headers.get("Metadata-Flavor")
+            body = _json.dumps({"access_token": "met-tok"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Meta)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/token"
+        prov = _token_provider_from_config({"token_url": url})
+        assert prov() == "met-tok" and seen["flavor"] == "Google"
+        prov2 = _token_provider_from_config(
+            {"token_url": url, "token_headers": {"Metadata": "true"}})
+        assert prov2() == "met-tok" and seen["flavor"] is None
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # the factory threads the provider through to the GCS client: a
+    # conditional put carries the bearer (fake store from
+    # test_committer asserts the header end-to-end; here we pin the
+    # provider is CONSTRUCTED, the 401-at-commit gap)
+    c = committer_from_config({"kind": "gcs", "bucket": "b",
+                               "token": "xyz", "base_url": "http://x"})
+    assert c is not None
