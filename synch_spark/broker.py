@@ -178,14 +178,41 @@ def produce_to_kafka_socket(
 
     payload = kafka_payload(events, queue_prefix)
     n = 0
-    with KafkaSocketClient.from_bootstrap(bootstrap_servers) as c:
-        buf: dict[str, list] = {}
+    first = bootstrap_servers.split(",")[0].strip()
+    bhost, _, bport = first.partition(":")
+    fallback = (bhost, int(bport or 9092))
+    # leader routing (a multi-broker cluster accepts Produce only on
+    # each partition's leader): one Metadata round trip per new topic,
+    # one cached connection per leader. Single-broker clusters resolve
+    # every topic to the same (bootstrap) connection.
+    conns: dict[tuple, KafkaSocketClient] = {}
+    topic_leader: dict[str, tuple] = {}
 
+    def conn_for(topic: str) -> KafkaSocketClient:
+        if topic not in topic_leader:
+            boot = conns.get(fallback)
+            if boot is None:
+                boot = conns[fallback] = KafkaSocketClient(
+                    *fallback).connect()
+            md = boot.metadata([topic])
+            info = md["topics"].get(topic) or {"partitions": {}}
+            node = {b[0]: (b[1], b[2]) for b in md["brokers"]}
+            pinfo = info["partitions"].get(partition)
+            topic_leader[topic] = (node.get(pinfo["leader"], fallback)
+                                   if pinfo else fallback)
+        addr = topic_leader[topic]
+        cli = conns.get(addr)
+        if cli is None:
+            cli = conns[addr] = KafkaSocketClient(*addr).connect()
+        return cli
+
+    buf: dict[str, list] = {}
+    try:
         def flush(topic: str):
             nonlocal n
             recs = buf.pop(topic, [])
             if recs:
-                c.produce(topic, partition, recs)
+                conn_for(topic).produce(topic, partition, recs)
                 n += len(recs)
 
         for row in payload.toLocalIterator():
@@ -195,6 +222,9 @@ def produce_to_kafka_socket(
                 flush(row["topic"])
         for topic in list(buf):
             flush(topic)
+    finally:
+        for cli in conns.values():
+            cli.close()
     return n
 
 

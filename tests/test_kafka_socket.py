@@ -720,3 +720,30 @@ def test_produce_avro_socket_transport_rejected(tmp_path, spark, broker):
     broker.topics["synch.db"] = 1
     with pytest.raises(SystemExit, match="socket"):
         main(["--config", str(p), "produce", "--once", "--sink", "kafka"])
+
+
+def test_socket_produce_routes_to_topic_leader(spark):
+    """produce_to_kafka_socket routes each topic's batch to its
+    partition leader (a multi-broker cluster rejects Produce on a
+    non-leader with error 6): topic synch.db led by broker B while the
+    bootstrap list names only A."""
+    from synch_spark.broker import produce_to_kafka_socket
+    from synch_spark.events import RAW_EVENT_WIRE_SCHEMA
+
+    a, b = FakeKafkaBroker(node_id=0), FakeKafkaBroker(node_id=1)
+    a.start(), b.start()
+    try:
+        for srv in (a, b):
+            srv.topics["synch.db"] = 1
+            srv.partition_leaders[("synch.db", 0)] = 1  # B leads
+        a.peers = [(1, "127.0.0.1", b.port)]
+        b.peers = [(0, "127.0.0.1", a.port)]
+        events = spark.createDataFrame(
+            [("db", "t", "insert", None, '{"id": 1}', 1000, 0)],
+            RAW_EVENT_WIRE_SCHEMA)
+        assert produce_to_kafka_socket(
+            events, f"127.0.0.1:{a.port}") == 1
+        assert b.log_end.get(("synch.db", 0)) == 1  # landed on the leader
+        assert ("synch.db", 0) not in a.log_end
+    finally:
+        a.stop(), b.stop()
