@@ -238,20 +238,39 @@ def consume_from_kafka_socket(
     (key, value, offset), next_offset). The caller persists
     next_offset as its durable cursor — same discipline as the
     binlog/LSN cursors. Driver-side by design; the distributed consume
-    is the spark-sql-kafka source (streaming.pipeline
-    start_kafka_stream), env-blocked in this container."""
-    from synch_spark.sources.kafka_socket import KafkaSocketClient
+    is ``read_kafka_socket_distributed`` / the spark-sql-kafka source.
 
+    Fetches are routed to the partition's LEADER (one Metadata call on
+    the bootstrap host): a multi-broker cluster answers Fetch only on
+    the leader (error 6 elsewhere) — the producer and the distributed
+    read route the same way. Advance uses ``fetch_progress``, so a
+    control-batch-only response (EOS/transactional producer markers)
+    moves the cursor instead of stalling the loop for all
+    ``max_rounds``."""
     import sys
 
-    from synch_spark.sources.kafka_socket import KafkaOffsetOutOfRange
+    from synch_spark.sources.kafka_socket import (
+        KafkaOffsetOutOfRange,
+        KafkaSocketClient,
+    )
 
+    first = bootstrap_servers.split(",")[0].strip()
+    bhost, _, bport = first.partition(":")
+    leader = (bhost, int(bport or 9092))
+    with KafkaSocketClient(*leader) as boot:
+        md = boot.metadata([topic])
+        info = md["topics"].get(topic)
+        if info and not info["error"]:
+            node = {b[0]: (b[1], b[2]) for b in md["brokers"]}
+            pinfo = info["partitions"].get(partition)
+            if pinfo:
+                leader = node.get(pinfo["leader"], leader)
     rows: list = []
-    with KafkaSocketClient.from_bootstrap(bootstrap_servers) as c:
+    with KafkaSocketClient(*leader) as c:
         cur = offset
         for _ in range(max_rounds):
             try:
-                hw, recs = c.fetch(topic, partition, cur)
+                hw, recs, nxt = c.fetch_progress(topic, partition, cur)
             except KafkaOffsetOutOfRange:
                 # retention truncated past the cursor: reseek to the
                 # log start — LOUDLY, the skipped range is data the
@@ -267,8 +286,7 @@ def consume_from_kafka_socket(
             for off, k, v in recs:
                 rows.append((k.decode() if k is not None else None,
                              v.decode() if v is not None else None, off))
-            if recs:
-                cur = rows[-1][2] + 1
+            cur = nxt
             if cur >= hw:
                 break
     df = spark.createDataFrame(
@@ -427,6 +445,8 @@ def read_kafka_socket_distributed(
     start_offsets: dict[int, int] | None = None,
     end_offsets: dict[int, int] | None = None,
     max_per_partition: int | None = None,
+    binary_values: bool = False,
+    fetch_max_bytes: int = 1 << 20,
 ):
     """DISTRIBUTED bounded wire read: one executor task per
     topic-partition, each opening its own socket to the broker and
@@ -443,7 +463,10 @@ def read_kafka_socket_distributed(
     Returns (DataFrame[partition int, offset long, key string,
     value string], end_offsets dict) — feed the frame to
     raw_from_kafka_values and persist end_offsets as the resume
-    cursor."""
+    cursor. ``binary_values=True`` keeps ``value`` as raw bytes
+    (BinaryType) instead of decoding UTF-8 — the shape the
+    Confluent-framed Avro decode needs (the connector source's value
+    column is binary too)."""
     from pyspark.sql import types as T
 
     from synch_spark.sources.kafka_socket import KafkaSocketClient
@@ -500,7 +523,8 @@ def read_kafka_socket_distributed(
         T.StructField("partition", T.IntegerType()),
         T.StructField("offset", T.LongType()),
         T.StructField("key", T.StringType()),
-        T.StructField("value", T.StringType()),
+        T.StructField("value",
+                      T.BinaryType() if binary_values else T.StringType()),
     ])
     if not ranges:
         return spark.createDataFrame([], out_schema), ends
@@ -513,16 +537,17 @@ def read_kafka_socket_distributed(
             KafkaSocketClient as _C,
         )
 
+        cols = ["partition", "offset", "key", "value"]
         for pdf in batches:
             for _, r in pdf.iterrows():
                 pid, lo, hi = int(r["p"]), int(r["lo"]), int(r["hi"])
                 host, port = str(r["host"]), int(r["port"])
-                rows = []
                 with _C(host, port) as cli:
                     cur = lo
                     while cur < hi:
                         try:
-                            _hw, recs = cli.fetch(topic, pid, cur)
+                            hw, recs, nxt = cli.fetch_progress(
+                                topic, pid, cur, max_bytes=fetch_max_bytes)
                         except KafkaOffsetOutOfRange:
                             # retention moved past the pinned start
                             # mid-read: surface loudly — a silent skip
@@ -533,18 +558,31 @@ def read_kafka_socket_distributed(
                                 f"truncated past pinned offset {cur} "
                                 "mid-backfill; restart from a fresh "
                                 "ListOffsets plan") from None
-                        if not recs:
-                            break  # end of log before pinned hi
-                        for off, k, v in recs:
-                            if off >= hi:
-                                break
-                            rows.append((
-                                pid, off,
-                                k.decode() if k is not None else None,
-                                v.decode() if v is not None else None))
-                        cur = recs[-1][0] + 1
-                yield pd.DataFrame(
-                    rows, columns=["partition", "offset", "key", "value"])
+                        if nxt <= cur:
+                            # the pinned [lo, hi) range extends past the
+                            # log (hw shrank: topic recreated?) — the
+                            # driver will persist hi as the committed
+                            # cursor, so skipping the remainder silently
+                            # would be invisible data loss
+                            raise RuntimeError(
+                                f"kafka {topic}/{pid}: no forward "
+                                f"progress at offset {cur} (hw {hw}, "
+                                f"pinned end {hi}) — refusing to skip "
+                                "the remainder of the pinned range; "
+                                "restart from a fresh ListOffsets plan")
+                        # one DataFrame PER FETCH ROUND: per-task memory
+                        # stays O(fetch chunk), not O(range) — a whole-
+                        # partition backfill must not materialize the
+                        # partition in one Python list (verdict r11 #2)
+                        rows = [
+                            (pid, off,
+                             k.decode() if k is not None else None,
+                             (v if binary_values
+                              else v.decode()) if v is not None else None)
+                            for off, k, v in recs if off < hi]
+                        if rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                        cur = nxt
 
     plan = spark.createDataFrame(
         [(p, lo, hi, leaders[p][0], leaders[p][1])

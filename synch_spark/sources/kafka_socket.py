@@ -48,6 +48,7 @@ __all__ = [
     "crc32c",
     "encode_record_batch",
     "decode_record_batches",
+    "decode_record_batches_ex",
 ]
 
 
@@ -77,11 +78,127 @@ def _crc32c_table():
 _CRC32C_TABLE = _crc32c_table()
 
 
-def crc32c(data: bytes) -> int:
-    c = 0xFFFFFFFF
+def _crc32c_pure(data: bytes, crc: int = 0xFFFFFFFF) -> int:
+    """Table-driven byte loop (pure stdlib): the fallback when numpy is
+    absent, the tail path for unaligned bytes, and the reference the
+    vectorized path is tested against. Returns the RUNNING register
+    (caller applies the final xor)."""
     for b in data:
-        c = _CRC32C_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
-    return c ^ 0xFFFFFFFF
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc
+
+
+# Vectorized path (VERDICT r11 #5): the pure-Python loop runs ~5 MB/s,
+# and on the jar-less distributed backfill EVERY task CRC-checks every
+# fetched batch — decode throughput was capped far below the socket.
+# CRC is GF(2)-linear in (init, message), which makes it parallelizable:
+#
+#   raw(M, init) = raw(M, 0) ^ shift_{|M|}(init)          (linearity)
+#   raw(A || B, 0) = shift_{|B|}(raw(A, 0)) ^ raw(B, 0)   (concatenation)
+#
+# where raw() is the register update WITHOUT init/xorout and shift_L()
+# is the linear map "process L zero bytes". So: compute each 8-byte
+# word's raw remainder independently (8 numpy table gathers across ALL
+# words at once — slicing-by-8, every word in parallel), then fold
+# pairs log2(n) times with per-level constant shift tables (4 gathers
+# per fold). ~2n total table lookups, all vectorized. The RFC 3720
+# known-answer pins in tests gate both paths.
+_NP = None            # numpy module (probed once)
+_WORD_TABLES = None   # (8, 256) uint32: U[j][b] = raw of b at word pos j
+_FOLD_TABLES: list = []   # level k: (4, 256) uint32 tables for shift by
+#                           8 * 2**k bytes
+
+
+def _shift_zero_bytes(v: int, n: int) -> int:
+    for _ in range(n):
+        v = _CRC32C_TABLE[v & 0xFF] ^ (v >> 8)
+    return v
+
+
+def _np_setup():
+    global _NP, _WORD_TABLES
+    import numpy as np
+
+    # U[7][b] = raw([b]) = table[b]; U[j] = shift1(U[j+1]) — byte j is
+    # followed by (7-j) more bytes within its word
+    u = np.empty((8, 256), dtype=np.uint32)
+    u[7] = np.array(_CRC32C_TABLE, dtype=np.uint32)
+    tbl = u[7]
+    for j in range(6, -1, -1):
+        u[j] = tbl[u[j + 1] & 0xFF] ^ (u[j + 1] >> np.uint32(8))
+    _WORD_TABLES = u
+    _NP = np
+    # level 0: shift by 8 bytes, from the scalar zero-byte walk
+    f0 = np.empty((4, 256), dtype=np.uint32)
+    for k in range(4):
+        for b in range(256):
+            f0[k, b] = _shift_zero_bytes(b << (8 * k), 8)
+    _FOLD_TABLES.append(f0)
+
+
+def _apply_shift(tables, vals):
+    """shift_L applied elementwise: 4 table gathers on the crc bytes."""
+    return (tables[0][vals & 0xFF]
+            ^ tables[1][(vals >> _NP.uint32(8)) & 0xFF]
+            ^ tables[2][(vals >> _NP.uint32(16)) & 0xFF]
+            ^ tables[3][vals >> _NP.uint32(24)])
+
+
+def _fold_table(level: int):
+    """Tables for shift by 8 * 2**level bytes; built by composing the
+    previous level with itself (shift_2L = shift_L ∘ shift_L)."""
+    while len(_FOLD_TABLES) <= level:
+        prev = _FOLD_TABLES[-1]
+        nxt = _NP.empty((4, 256), dtype=_NP.uint32)
+        for k in range(4):
+            base = (_NP.arange(256, dtype=_NP.uint32)
+                    << _NP.uint32(8 * k))
+            nxt[k] = _apply_shift(prev, _apply_shift(prev, base))
+        _FOLD_TABLES.append(nxt)
+    return _FOLD_TABLES[level]
+
+
+def crc32c(data: bytes) -> int:
+    n = len(data)
+    if n < 256 or _NP is False:
+        return _crc32c_pure(data) ^ 0xFFFFFFFF
+    if _NP is None:
+        try:
+            _np_setup()
+        except ImportError:
+            globals()["_NP"] = False
+            return _crc32c_pure(data) ^ 0xFFFFFFFF
+    np = _NP
+    m8 = (n // 8) * 8
+    words = np.frombuffer(data, dtype=np.uint8, count=m8).reshape(-1, 8)
+    r = _WORD_TABLES[0][words[:, 0]]
+    for j in range(1, 8):
+        r = r ^ _WORD_TABLES[j][words[:, j]]
+    # pad with zero-remainders at the FRONT to a power of two: leading
+    # zero bytes have raw() == 0 and change nothing
+    w = len(r)
+    levels = (w - 1).bit_length()
+    size = 1 << levels
+    if size != w:
+        r = np.concatenate([np.zeros(size - w, dtype=np.uint32), r])
+    for lev in range(levels):
+        tabs = _fold_table(lev)   # right half is 8 * 2**lev bytes long
+        r = _apply_shift(tabs, r[0::2]) ^ r[1::2]
+    raw_prefix = int(r[0])
+    # fold the 0xFFFFFFFF init through the aligned prefix:
+    # raw(prefix, init) = raw(prefix, 0) ^ shift_{m8}(init)
+    c = 0xFFFFFFFF
+    nwords = m8 // 8
+    lev = 0
+    while nwords:
+        if nwords & 1:
+            tabs = _fold_table(lev)
+            c = int(tabs[0][c & 0xFF] ^ tabs[1][(c >> 8) & 0xFF]
+                    ^ tabs[2][(c >> 16) & 0xFF] ^ tabs[3][c >> 24])
+        nwords >>= 1
+        lev += 1
+    c ^= raw_prefix
+    return _crc32c_pure(data[m8:], c) ^ 0xFFFFFFFF
 
 
 # -- primitive codecs --------------------------------------------------------
@@ -167,10 +284,14 @@ class _Reader:
 
 # -- record batch v2 codec ---------------------------------------------------
 def encode_record_batch(records, base_timestamp_ms: int = 0,
-                        base_offset: int = 0) -> bytes:
+                        base_offset: int = 0,
+                        compression: str = "none") -> bytes:
     """``records``: [(key: bytes|None, value: bytes|None)] → one
-    message-format-v2 batch (uncompressed, no producer id — the shape
-    kafka-python's default producer writes)."""
+    message-format-v2 batch (no producer id — the shape kafka-python's
+    default producer writes). ``compression``: "none" | "gzip" (stdlib
+    zlib) | "zstd" (lazy ``zstandard`` import, the binlog
+    TRANSACTION_PAYLOAD precedent) — the records section compresses as
+    one unit per the spec; the 61-byte header stays uncompressed."""
     recs = bytearray()
     for i, (k, v) in enumerate(records):
         body = b"\x00"                       # record attributes
@@ -179,16 +300,37 @@ def encode_record_batch(records, base_timestamp_ms: int = 0,
         body += _vbytes(k) + _vbytes(v)
         body += _zigzag(0)                   # header count
         recs += _zigzag(len(body)) + body
+    rec_bytes = bytes(recs)
+    if compression == "none":
+        codec = _CODEC_NONE
+    elif compression == "gzip":
+        import gzip as _gzip
+
+        codec, rec_bytes = _CODEC_GZIP, _gzip.compress(rec_bytes)
+    elif compression == "zstd":
+        try:
+            import zstandard
+        except ImportError:
+            raise KafkaWireError(
+                "compression='zstd' needs the zstandard package "
+                "(pip install zstandard) — use 'gzip' or 'none'"
+            ) from None
+        codec, rec_bytes = _CODEC_ZSTD, (
+            zstandard.ZstdCompressor().compress(rec_bytes))
+    else:
+        raise ValueError(
+            f"unsupported compression {compression!r} "
+            "(none | gzip | zstd)")
     n = len(records)
     head = struct.pack(
         ">hiqqqhii",
-        0,                                   # attributes (no compression)
+        codec,                               # attributes: codec bits
         n - 1,                               # lastOffsetDelta
         base_timestamp_ms, base_timestamp_ms,
         -1, -1, -1,                          # producerId/Epoch/baseSeq
         n,
     )
-    crc_payload = head + bytes(recs)
+    crc_payload = head + rec_bytes
     after_len = struct.pack(">ibI", -1, 2, crc32c(crc_payload)) + crc_payload
     return struct.pack(">qi", base_offset, len(after_len)) + after_len
 
@@ -198,7 +340,20 @@ def decode_record_batches(buf: bytes) -> list[tuple[int, bytes | None,
     """A fetch response's record_set (possibly several concatenated
     batches, possibly a truncated trailing one — brokers send whole
     log segments' worth) → [(offset, key, value)]. CRC-checked."""
+    return decode_record_batches_ex(buf)[0]
+
+
+def decode_record_batches_ex(buf: bytes) -> tuple[
+        list[tuple[int, bytes | None, bytes | None]], int | None]:
+    """Like :func:`decode_record_batches`, but also returns the NEXT
+    fetch offset implied by the COMPLETE batches in the buffer
+    (``max(baseOffset + lastOffsetDelta + 1)``), or ``None`` when no
+    complete batch decoded. The next offset advances past CONTROL
+    batches (transaction markers) too — a consume loop that only
+    tracked data-record offsets stalls forever on a control-batch-only
+    response from an EOS producer, refetching the same offset."""
     out: list = []
+    next_off: int | None = None
     pos = 0
     while pos + 12 <= len(buf):
         base_offset, batch_len = struct.unpack_from(">qi", buf, pos)
@@ -215,34 +370,78 @@ def decode_record_batches(buf: bytes) -> list[tuple[int, bytes | None,
             raise KafkaWireError(
                 f"record batch CRC32C mismatch at base offset {base_offset}")
         attrs, = struct.unpack_from(">h", payload, 0)
-        if attrs & 0x07:
-            raise KafkaWireError(
-                f"compressed batches not supported (codec {attrs & 7})")
+        last_delta, = struct.unpack_from(">i", payload, 2)
+        batch_next = base_offset + last_delta + 1
+        next_off = batch_next if next_off is None else max(next_off,
+                                                           batch_next)
         if attrs & 0x20:
             # CONTROL batch (transaction commit/abort markers from an
             # EOS producer): its records are protocol bookkeeping, not
             # data — surfacing them would dead-letter (raw format) or
-            # corrupt (wal2json/debezium) one row per transaction
+            # corrupt (wal2json/debezium) one row per transaction.
+            # next_off already advanced past it above.
             continue
         # post-CRC layout: attributes h(0) lastOffsetDelta i(2)
         # firstTs q(6) maxTs q(14) producerId q(22) producerEpoch h(30)
         # baseSequence i(32) recordCount i(36) records(40...)
         count, = struct.unpack_from(">i", payload, 36)
-        rp = 40
+        recdata = _decompress_records(attrs & 0x07, payload[40:],
+                                      base_offset)
+        rp = 0
         for _ in range(count):
-            rec_len, rp = _read_zigzag(payload, rp)
+            rec_len, rp = _read_zigzag(recdata, rp)
             rec_end = rp + rec_len
             rp += 1                                   # attributes
-            _, rp = _read_zigzag(payload, rp)          # timestampDelta
-            off_delta, rp = _read_zigzag(payload, rp)
-            klen, rp = _read_zigzag(payload, rp)
-            key = None if klen < 0 else payload[rp:rp + klen]
+            _, rp = _read_zigzag(recdata, rp)          # timestampDelta
+            off_delta, rp = _read_zigzag(recdata, rp)
+            klen, rp = _read_zigzag(recdata, rp)
+            key = None if klen < 0 else recdata[rp:rp + klen]
             rp += max(klen, 0)
-            vlen, rp = _read_zigzag(payload, rp)
-            val = None if vlen < 0 else payload[rp:rp + vlen]
+            vlen, rp = _read_zigzag(recdata, rp)
+            val = None if vlen < 0 else recdata[rp:rp + vlen]
             rp = rec_end                               # skip headers
             out.append((base_offset + off_delta, key, val))
-    return out
+    return out, next_off
+
+
+#: batch attribute codec ids (Kafka protocol guide)
+_CODEC_NONE, _CODEC_GZIP, _CODEC_SNAPPY, _CODEC_LZ4, _CODEC_ZSTD = range(5)
+
+
+def _decompress_records(codec: int, data: bytes, base_offset: int) -> bytes:
+    """The records section of a batch, decompressed per the attribute
+    codec bits. gzip is stdlib zlib; zstd rides the same lazy-import
+    the binlog TRANSACTION_PAYLOAD decode uses (sources/binlog_file.py);
+    snappy/lz4 are loud refusals naming the codec AND the producer-side
+    remediation — a compressing producer is a config choice the
+    operator can change."""
+    if codec == _CODEC_NONE:
+        return data
+    if codec == _CODEC_GZIP:
+        import zlib
+
+        # wbits=47: auto-detect the gzip wrapper java GZIPOutputStream
+        # writes (also accepts a bare zlib stream)
+        return zlib.decompress(data, 47)
+    if codec == _CODEC_ZSTD:
+        try:
+            import zstandard
+        except ImportError:
+            raise KafkaWireError(
+                f"record batch at offset {base_offset} is zstd-compressed "
+                "and no zstd codec is installed — pip install zstandard, "
+                "or set compression.type=gzip|none on the producer"
+            ) from None
+        # decompressobj: Kafka zstd frames omit the content-size header,
+        # which the one-shot decompress() API refuses
+        return zstandard.ZstdDecompressor().decompressobj().decompress(data)
+    name = {_CODEC_SNAPPY: "snappy", _CODEC_LZ4: "lz4"}.get(
+        codec, f"codec {codec}")
+    raise KafkaWireError(
+        f"record batch at offset {base_offset} is {name}-compressed, "
+        "which this client does not decode — set compression.type="
+        "gzip|zstd|none on the producer (or consume through the "
+        "spark-sql-kafka connector)")
 
 
 # -- the client ---------------------------------------------------------------
@@ -380,7 +579,8 @@ class KafkaSocketClient:
     def produce(self, topic: str, partition: int,
                 records, acks: int = 1,
                 timeout_ms: int = 10_000,
-                base_timestamp_ms: int = 0) -> int:
+                base_timestamp_ms: int = 0,
+                compression: str = "none") -> int:
         """Produce one record batch; returns the broker-assigned base
         offset. ``records``: [(key bytes|None, value bytes|None)].
         acks=1 (leader ack) — the reference's producer default.
@@ -391,7 +591,8 @@ class KafkaSocketClient:
             raise ValueError("acks=0 (no broker response) is not "
                              "supported by the lockstep wire client; "
                              "use acks=1 or -1")
-        batch = encode_record_batch(records, base_timestamp_ms)
+        batch = encode_record_batch(records, base_timestamp_ms,
+                                    compression=compression)
         body = (_str(None)                      # transactional_id
                 + struct.pack(">hi", acks, timeout_ms)
                 + struct.pack(">i", 1) + _str(topic)
@@ -412,11 +613,18 @@ class KafkaSocketClient:
 
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20, max_wait_ms: int = 500
-              ) -> tuple[int, list[tuple[int, bytes | None, bytes | None]]]:
+              ) -> tuple[int, list[tuple[int, bytes | None, bytes | None]],
+                         int | None]:
         """Assign+seek consume (B4): fetch from an explicit offset,
-        return (high_watermark, [(offset, key, value)]). No consumer
-        group — offsets are the caller's durable cursor, exactly like
-        the binlog/LSN cursors every other tail keeps."""
+        return (high_watermark, [(offset, key, value)], next_offset).
+        No consumer group — offsets are the caller's durable cursor,
+        exactly like the binlog/LSN cursors every other tail keeps.
+        ``next_offset`` is the advance implied by every COMPLETE batch
+        in the response (control batches included — see
+        :func:`decode_record_batches_ex`), or None when the response
+        held no complete batch; loops should prefer
+        :func:`fetch_progress`, which turns that contract into
+        guaranteed forward motion."""
         body = (struct.pack(">iiii", -1, max_wait_ms, 1, max_bytes)
                 + struct.pack(">b", 0)          # isolation: read_uncommitted
                 + struct.pack(">i", 1) + _str(topic)
@@ -441,10 +649,56 @@ class KafkaSocketClient:
                     if err:
                         raise KafkaWireError(
                             f"Fetch({topic}/{partition}@{offset}) error {err}")
-                    recs = [x for x in decode_record_batches(record_set)
-                            if x[0] >= offset]
-                    return hw, recs
+                    all_recs, next_off = decode_record_batches_ex(record_set)
+                    recs = [x for x in all_recs if x[0] >= offset]
+                    return hw, recs, next_off
         raise KafkaWireError("Fetch response missing the partition")
+
+    def fetch_progress(self, topic: str, partition: int, offset: int,
+                       max_bytes: int = 1 << 20, max_wait_ms: int = 500,
+                       max_bytes_cap: int = 1 << 26
+                       ) -> tuple[int, list, int]:
+        """Fetch with GUARANTEED forward motion — the primitive every
+        consume loop should build on (found by the round-11 advice: a
+        loop that only advances on data records stalls on control-batch
+        responses, and one that breaks out silently skips the rest of
+        its pinned range):
+
+        - data records → cursor past the last one AND past any control
+          batches the response carried;
+        - control-batches-only → cursor past them (no stall on
+          EOS/transactional producers);
+        - nothing complete with the cursor AT the high watermark →
+          (hw, [], offset): genuine end of log;
+        - nothing complete BELOW the high watermark → the single next
+          batch is larger than ``max_bytes`` (broker truncated the
+          response): double max_bytes up to ``max_bytes_cap``, then
+          raise — NEVER silently skip (silent data loss must be an
+          explicit, visible decision).
+
+        Returns (high_watermark, records, next_cursor) with
+        ``next_cursor > offset`` whenever anything below the high
+        watermark existed."""
+        mb = max_bytes
+        while True:
+            hw, recs, next_off = self.fetch(topic, partition, offset,
+                                            max_bytes=mb,
+                                            max_wait_ms=max_wait_ms)
+            cur = offset
+            if recs:
+                cur = recs[-1][0] + 1
+            if next_off is not None and next_off > cur:
+                cur = next_off                  # past trailing control batches
+            if cur > offset or offset >= hw:
+                return hw, recs, cur
+            if mb >= max_bytes_cap:
+                raise KafkaWireError(
+                    f"Fetch({topic}/{partition}@{offset}): no complete "
+                    f"record batch fits in max_bytes={mb} (cap "
+                    f"{max_bytes_cap}) while the high watermark is {hw} "
+                    "— a single batch larger than the cap; raise "
+                    "max_bytes_cap or re-produce with smaller batches")
+            mb = min(mb * 2, max_bytes_cap)
 
     def list_offsets(self, topic: str, partition: int,
                      timestamp: int = -2) -> int:

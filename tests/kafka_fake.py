@@ -92,6 +92,13 @@ class FakeKafkaBroker(threading.Thread):
         #: observability for asserts
         self.produce_crc_checked = 0
         self.api_requests: list[tuple[int, int]] = []
+        self.fetch_max_bytes: list[int] = []
+        #: True -> truncate the fetch record_set at max_bytes EXACTLY
+        #: (possibly mid-batch, zero complete batches in the response) —
+        #: the pathological shape the client's max_bytes escalation
+        #: exists for. False (default) -> real v3+ behavior: the first
+        #: batch returns whole even when it alone exceeds max_bytes.
+        self.strict_max_bytes = False
         #: multi-broker simulation: extra (node_id, host, port) rows in
         #: Metadata, and per-(topic, partition) leader overrides — a
         #: Produce/Fetch landing on a non-leader answers error 6
@@ -244,8 +251,9 @@ class FakeKafkaBroker(threading.Thread):
                 n_parts = req.i32()
                 parts = b""
                 for _ in range(n_parts):
-                    pid, off, _maxb = req.i32(), req.i64(), req.i32()
-                    parts += self._fetch_one(topic, pid, off)
+                    pid, off, maxb = req.i32(), req.i64(), req.i32()
+                    self.fetch_max_bytes.append(maxb)
+                    parts += self._fetch_one(topic, pid, off, maxb)
                 body += _s(topic) + struct.pack(">i", n_parts) + parts
             return (struct.pack(">i", 0)       # throttle
                     + struct.pack(">i", n_topics) + body)
@@ -290,7 +298,8 @@ class FakeKafkaBroker(threading.Thread):
             self.logs[key] = kept
             self.log_start[key] = offset
 
-    def _fetch_one(self, topic: str, pid: int, offset: int) -> bytes:
+    def _fetch_one(self, topic: str, pid: int, offset: int,
+                   maxb: int = 1 << 20) -> bytes:
         with self.lock:
             if topic not in self.topics or pid >= self.topics[topic]:
                 return struct.pack(">ihqqi", pid, 3, -1, -1, 0) + \
@@ -308,8 +317,28 @@ class FakeKafkaBroker(threading.Thread):
             for b in self.logs.get((topic, pid), []):
                 base = struct.unpack(">q", b[:8])[0]
                 count = struct.unpack_from(">i", b, 57)[0]
-                if base + count > offset:
-                    out += b
+                if base + count <= offset:
+                    continue
+                if out and len(out) + len(b) > maxb:
+                    break  # later batches wait for the next fetch
+                out += b
+            if self.strict_max_bytes:
+                out = out[:maxb]   # may tear the first batch mid-bytes
             return (struct.pack(">ihqq", pid, 0, hw, hw)
                     + struct.pack(">i", 0)     # no aborted txns
                     + struct.pack(">i", len(out)) + out)
+
+    def append_control(self, topic: str, pid: int) -> int:
+        """Append a transaction-marker (CONTROL) batch occupying one
+        offset — what an EOS producer's commit/abort marker looks like
+        in the log. Returns its assigned offset."""
+        from synch_spark.sources.kafka_socket import encode_record_batch
+
+        b = bytearray(encode_record_batch(
+            [(b"\x00\x00\x00\x01", b"\x00\x00")]))
+        attrs = struct.unpack_from(">h", b, 21)[0] | 0x20
+        struct.pack_into(">h", b, 21, attrs)
+        struct.pack_into(">I", b, 17, crc32c_bitwise(bytes(b[21:])))
+        err, base = self._append(topic, pid, bytes(b))
+        assert err == 0, f"append_control: broker error {err}"
+        return base

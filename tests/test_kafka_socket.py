@@ -14,6 +14,7 @@ from synch_spark.sources.kafka_socket import (
     KafkaWireError,
     crc32c,
     decode_record_batches,
+    decode_record_batches_ex,
     encode_record_batch,
 )
 from tests.kafka_fake import FakeKafkaBroker, crc32c_bitwise
@@ -80,12 +81,12 @@ def test_produce_fetch_roundtrip_with_broker_side_crc(broker):
         base1 = c.produce("t", 0, [(None, b"v3")])
         assert (base0, base1) == (0, 3)  # broker assigns contiguous offsets
         assert broker.produce_crc_checked == 2  # independent CRC ran
-        hw, recs = c.fetch("t", 0, 0)
+        hw, recs, _nxt = c.fetch("t", 0, 0)
         assert hw == 4
         assert [(o, v) for o, _k, v in recs] == [
             (0, b"v0"), (1, b"v1"), (2, b"v2"), (3, b"v3")]
         # seek: fetch from a mid-log offset returns only the tail
-        hw, tail = c.fetch("t", 0, 2)
+        hw, tail, _nxt = c.fetch("t", 0, 2)
         assert [o for o, _k, _v in tail] == [2, 3]
 
 
@@ -341,7 +342,7 @@ def test_list_offsets_and_out_of_range_reseek(spark, broker):
         with pytest.raises(KafkaOffsetOutOfRange):
             c.fetch("t", 0, 2)  # below the retained start
         # still valid offsets fetch fine
-        hw, recs = c.fetch("t", 0, 7)
+        hw, recs, _nxt = c.fetch("t", 0, 7)
         assert hw == 10 and [o for o, _k, _v in recs] == [7, 8, 9]
 
     # the consume loop reseeks: cursor 2 -> earliest 6, returns 6..9
@@ -623,7 +624,7 @@ def test_control_batches_never_surface_as_data(broker):
             broker.logs[("tx", 0)].append(stored)
             broker.log_end[("tx", 0)] = 2
         c.produce("tx", 0, [(b"k2", b"v2")])
-        hw, recs = c.fetch("tx", 0, 0)
+        hw, recs, _nxt = c.fetch("tx", 0, 0)
         assert hw == 3
         assert [(o, v) for o, _k, v in recs] == [(0, b"v0"), (2, b"v2")]
 
@@ -747,3 +748,234 @@ def test_socket_produce_routes_to_topic_leader(spark):
         assert ("synch.db", 0) not in a.log_end
     finally:
         a.stop(), b.stop()
+
+
+# -- round-12: progress contract, compression, leader-routed consume ----------
+def test_decode_ex_next_offset_advances_past_control():
+    """decode_record_batches_ex returns the next fetch offset implied by
+    every COMPLETE batch — control batches included, so a consume loop
+    never stalls refetching a transaction marker (ADVICE r11)."""
+    data = encode_record_batch([(b"k", b"v")], base_offset=0)
+    ctl = _control_batch([(b"\x00\x00\x00\x01", b"\x00\x00")])
+    ctl = struct_replace_base(ctl, 1)
+    recs, nxt = decode_record_batches_ex(data + ctl)
+    assert recs == [(0, b"k", b"v")] and nxt == 2
+    # control-only buffer: no data, but the cursor still moves
+    recs, nxt = decode_record_batches_ex(ctl)
+    assert recs == [] and nxt == 2
+    # empty buffer: nothing to go on
+    assert decode_record_batches_ex(b"") == ([], None)
+
+
+def struct_replace_base(batch: bytes, base: int) -> bytes:
+    import struct
+
+    return struct.pack(">q", base) + batch[8:]
+
+
+def test_consume_no_stall_on_control_only_log(spark, broker):
+    """ADVICE r11 (low): a topic fed by an EOS producer can present a
+    control-batch-only window; the consume loop must advance its cursor
+    past the markers, not refetch the same offset for max_rounds and
+    return an unchanged cursor."""
+    from synch_spark.broker import consume_from_kafka_socket
+
+    with _client(broker) as c:
+        c.create_topic("eos")
+    broker.append_control("eos", 0)
+    broker.append_control("eos", 0)
+    df, nxt = consume_from_kafka_socket(
+        spark, f"127.0.0.1:{broker.port}", "eos", max_rounds=5)
+    assert df.count() == 0 and nxt == 2
+    # data then trailing markers: data surfaces, cursor passes the tail
+    with _client(broker) as c:
+        c.produce("eos", 0, [(b"k", b"v")])
+    broker.append_control("eos", 0)
+    df, nxt = consume_from_kafka_socket(
+        spark, f"127.0.0.1:{broker.port}", "eos", offset=2, max_rounds=5)
+    assert [r["value"] for r in df.collect()] == ["v"] and nxt == 4
+
+
+def test_consume_routes_to_partition_leader(spark):
+    """VERDICT r11 #3: consume_from_kafka_socket resolves the partition
+    leader via Metadata (the producer's pattern) instead of fetching on
+    the first bootstrap host — which a multi-broker cluster answers
+    with error 6 (NOT_LEADER)."""
+    from synch_spark.broker import consume_from_kafka_socket
+
+    a, b = FakeKafkaBroker(node_id=0), FakeKafkaBroker(node_id=1)
+    a.start(), b.start()
+    try:
+        for srv in (a, b):
+            srv.topics["led"] = 1
+            srv.partition_leaders[("led", 0)] = 1   # B leads
+        a.peers = [(1, "127.0.0.1", b.port)]
+        b.peers = [(0, "127.0.0.1", a.port)]
+        with KafkaSocketClient("127.0.0.1", b.port) as c:
+            c.produce("led", 0, [(b"k", b"on-leader")])
+        # bootstrap names only A; the fetch must land on B
+        df, nxt = consume_from_kafka_socket(
+            spark, f"127.0.0.1:{a.port}", "led")
+        assert [r["value"] for r in df.collect()] == ["on-leader"]
+        assert nxt == 1
+        # bootstrap-only broker (single node) still works
+        df2, nxt2 = consume_from_kafka_socket(
+            spark, f"127.0.0.1:{b.port}", "led")
+        assert nxt2 == 1 and df2.count() == 1
+    finally:
+        a.stop(), b.stop()
+
+
+def test_distributed_read_trailing_control_batches(spark, broker):
+    """ADVICE r11 (medium): a pinned [lo, hi) range whose tail is
+    control batches used to break out early while the driver persisted
+    hi as the committed cursor — the remainder silently skipped. The
+    task now advances past the markers and completes the range."""
+    from synch_spark.broker import read_kafka_socket_distributed
+
+    with _client(broker) as c:
+        c.create_topic("txr")
+        c.produce("txr", 0, [(b"k", b"d0")])
+    broker.append_control("txr", 0)
+    broker.append_control("txr", 0)
+    df, ends = read_kafka_socket_distributed(
+        spark, f"127.0.0.1:{broker.port}", "txr")
+    assert ends == {0: 3}
+    assert [(r["offset"], r["value"]) for r in df.collect()] == [(0, "d0")]
+
+
+def test_fetch_progress_escalates_max_bytes(broker):
+    """A broker response truncated below one complete batch (oversized
+    batch vs max_bytes) escalates max_bytes instead of treating the
+    empty decode as end-of-log — the silent-skip path the r11 advice
+    flagged."""
+    with _client(broker) as c:
+        c.create_topic("big")
+        c.produce("big", 0, [(b"k", b"v" * 2000)])
+        c.produce("big", 0, [(b"k", b"tail")])
+        broker.strict_max_bytes = True
+        broker.fetch_max_bytes.clear()
+        hw, recs, nxt = c.fetch_progress("big", 0, 0, max_bytes=64)
+        assert hw == 2 and nxt >= 1
+        # the escalated budget surfaces the oversized batch (and possibly
+        # the small trailer too, once the doubled budget fits both)
+        assert [o for o, _k, _v in recs][0] == 0
+        # the wire saw a doubling max_bytes ladder, not a single try
+        assert len(broker.fetch_max_bytes) > 1
+        assert broker.fetch_max_bytes[-1] > broker.fetch_max_bytes[0]
+        # and the cap is a loud refusal, never a silent skip
+        with pytest.raises(KafkaWireError, match="no complete"):
+            c.fetch_progress("big", 0, 0, max_bytes=16, max_bytes_cap=32)
+
+
+def test_compressed_batch_roundtrip_gzip(broker):
+    """VERDICT r11 #2: gzip-compressed batches (stdlib zlib) decode
+    event-for-event identical to their uncompressed twins, through the
+    fake broker (whose CRC check covers the compressed bytes, exactly
+    like a real broker's)."""
+    recs = [(b"k%d" % i, b"payload-%d" % i) for i in range(50)]
+    plain = decode_record_batches(encode_record_batch(recs))
+    gz = encode_record_batch(recs, compression="gzip")
+    assert len(gz) < len(encode_record_batch(recs))  # actually compressed
+    assert decode_record_batches(gz) == plain
+
+    with _client(broker) as c:
+        c.create_topic("gz")
+        c.produce("gz", 0, recs, compression="gzip")
+        hw, got, _n = c.fetch("gz", 0, 0)
+        assert hw == 50
+        assert [(o, k, v) for o, k, v in got] == [
+            (i, k, v) for i, (k, v) in enumerate(recs)]
+    assert broker.produce_crc_checked >= 1
+
+
+def test_compressed_batch_zstd_and_refusals():
+    """zstd rides a lazy import (absent in this container -> loud,
+    remediation-bearing refusal); snappy/lz4 are loud refusals naming
+    the codec and the producer-side fix."""
+    import struct
+
+    try:
+        import zstandard  # noqa: F401
+        have_zstd = True
+    except ImportError:
+        have_zstd = False
+    recs = [(b"k", b"v" * 100)]
+    if have_zstd:
+        z = encode_record_batch(recs, compression="zstd")
+        assert decode_record_batches(z) == decode_record_batches(
+            encode_record_batch(recs))
+    else:
+        with pytest.raises(KafkaWireError, match="zstandard"):
+            encode_record_batch(recs, compression="zstd")
+        # a zstd batch from elsewhere: decode refuses with remediation
+        fake = bytearray(encode_record_batch(recs))
+        attrs = struct.unpack_from(">h", fake, 21)[0] | 4
+        struct.pack_into(">h", fake, 21, attrs)
+        struct.pack_into(">I", fake, 17, crc32c(bytes(fake[21:])))
+        with pytest.raises(KafkaWireError, match="compression.type"):
+            decode_record_batches(bytes(fake))
+    for codec, name in ((2, "snappy"), (3, "lz4")):
+        bad = bytearray(encode_record_batch(recs))
+        attrs = struct.unpack_from(">h", bad, 21)[0] | codec
+        struct.pack_into(">h", bad, 21, attrs)
+        struct.pack_into(">I", bad, 17, crc32c(bytes(bad[21:])))
+        with pytest.raises(KafkaWireError, match=name):
+            decode_record_batches(bytes(bad))
+    with pytest.raises(ValueError, match="unsupported compression"):
+        encode_record_batch(recs, compression="snappy")
+
+
+def test_distributed_read_chunked_fetch_rounds(spark, broker):
+    """VERDICT r11 #4: one large offset range drains as MULTIPLE fetch
+    rounds, each yielded as its own Arrow batch — per-task memory is
+    O(fetch chunk), not O(range). Observed on the wire: the single
+    planned range issues several Fetch requests under a small
+    fetch_max_bytes."""
+    from synch_spark.broker import read_kafka_socket_distributed
+
+    with _client(broker) as c:
+        c.create_topic("bulkc")
+        for i in range(10):
+            c.produce("bulkc", 0, [(b"k", b"v%02d-" % i + b"x" * 400)])
+    broker.fetch_max_bytes.clear()
+    df, ends = read_kafka_socket_distributed(
+        spark, f"127.0.0.1:{broker.port}", "bulkc",
+        fetch_max_bytes=1024)
+    rows = df.collect()
+    assert ends == {0: 10} and len(rows) == 10
+    assert sorted(r["offset"] for r in rows) == list(range(10))
+    # ~500-byte batches against a 1 KiB fetch budget -> >= 4 wire rounds
+    fetches = [b for b in broker.fetch_max_bytes if b == 1024]
+    assert len(fetches) >= 4
+
+
+def test_crc32c_vectorized_equivalence_and_speed():
+    """VERDICT r11 #5: crc32c is numpy-vectorized (slicing-by-8 word
+    remainders + log2 GF(2) shift-folds) above a small threshold, with
+    the pure loop as the tail/fallback path. Equivalence across sizes
+    spanning the threshold, word alignment, and fold-tree padding; the
+    RFC 3720 pins stay in test_crc32c_known_answer_and_independence.
+    Throughput: >= 3x the pure loop at 1 MB (measured ~16x here; the
+    soft bound keeps the assert robust under CI contention)."""
+    import os
+    import random
+    import time
+
+    from synch_spark.sources.kafka_socket import _crc32c_pure
+
+    rnd = random.Random(13)
+    for size in (0, 1, 7, 8, 9, 255, 256, 257, 263, 264, 511, 513,
+                 4096, 4101, 65536, 100001):
+        blob = bytes(rnd.getrandbits(8) for _ in range(size))
+        assert crc32c(blob) == _crc32c_pure(blob) ^ 0xFFFFFFFF, size
+    blob = os.urandom(1 << 20)
+    crc32c(blob)  # warm the fold tables outside the timed section
+    t0 = time.perf_counter()
+    fast = crc32c(blob)
+    t_vec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    slow = _crc32c_pure(blob) ^ 0xFFFFFFFF
+    t_pure = time.perf_counter() - t0
+    assert fast == slow
+    assert t_pure / t_vec >= 3.0, (t_pure, t_vec)
