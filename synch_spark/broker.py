@@ -162,6 +162,7 @@ def kafka_writer_raw(payload: DataFrame, bootstrap_servers: str):
 def produce_to_kafka_socket(
     events: DataFrame, bootstrap_servers: str, queue_prefix: str = "synch",
     partition: int = 0, batch_size: int = 500,
+    security: dict | None = None,
 ) -> int:
     """Driver-side wire produce (sources.kafka_socket) — the
     reference's single-threaded KafkaProducer loop
@@ -173,10 +174,13 @@ def produce_to_kafka_socket(
     connector, one task per partition); this is the CDC tail shape —
     a driver already holds the (small) per-round change batch, exactly
     like the redis producer's toLocalIterator loop. Returns the number
-    of events produced."""
+    of events produced. ``security``: KafkaSocketClient security kwargs
+    (ssl_mode/ssl_ca/sasl_*), applied to EVERY connection — bootstrap
+    and leaders alike (see KafkaSocketClient.security_from_config)."""
     from synch_spark.sources.kafka_socket import KafkaSocketClient
 
     payload = kafka_payload(events, queue_prefix)
+    sec = security or {}
     n = 0
     first = bootstrap_servers.split(",")[0].strip()
     bhost, _, bport = first.partition(":")
@@ -193,7 +197,7 @@ def produce_to_kafka_socket(
             boot = conns.get(fallback)
             if boot is None:
                 boot = conns[fallback] = KafkaSocketClient(
-                    *fallback).connect()
+                    *fallback, **sec).connect()
             md = boot.metadata([topic])
             info = md["topics"].get(topic) or {"partitions": {}}
             node = {b[0]: (b[1], b[2]) for b in md["brokers"]}
@@ -203,7 +207,7 @@ def produce_to_kafka_socket(
         addr = topic_leader[topic]
         cli = conns.get(addr)
         if cli is None:
-            cli = conns[addr] = KafkaSocketClient(*addr).connect()
+            cli = conns[addr] = KafkaSocketClient(*addr, **sec).connect()
         return cli
 
     buf: dict[str, list] = {}
@@ -231,6 +235,7 @@ def produce_to_kafka_socket(
 def consume_from_kafka_socket(
     spark: SparkSession, bootstrap_servers: str, topic: str,
     partition: int = 0, offset: int = 0, max_rounds: int = 100,
+    security: dict | None = None,
 ):
     """Assign+seek wire consume (B4 parity: the reference pins a
     partition and seeks, synch/broker/kafka.py:40-61): fetch from an
@@ -254,10 +259,11 @@ def consume_from_kafka_socket(
         KafkaSocketClient,
     )
 
+    sec = security or {}
     first = bootstrap_servers.split(",")[0].strip()
     bhost, _, bport = first.partition(":")
     leader = (bhost, int(bport or 9092))
-    with KafkaSocketClient(*leader) as boot:
+    with KafkaSocketClient(*leader, **sec) as boot:
         md = boot.metadata([topic])
         info = md["topics"].get(topic)
         if info and not info["error"]:
@@ -266,7 +272,7 @@ def consume_from_kafka_socket(
             if pinfo:
                 leader = node.get(pinfo["leader"], leader)
     rows: list = []
-    with KafkaSocketClient(*leader) as c:
+    with KafkaSocketClient(*leader, **sec) as c:
         cur = offset
         for _ in range(max_rounds):
             try:
@@ -318,6 +324,7 @@ def ensure_topic(
     topic: str,
     num_partitions: int = 1,
     replication_factor: int = 1,
+    security: dict | None = None,
 ) -> bool:
     """B5: idempotent topic provisioning (ref synch/broker/kafka.py:66-73
     — KafkaAdminClient.create_topics, TopicAlreadyExists swallowed).
@@ -333,7 +340,8 @@ def ensure_topic(
     except ImportError:
         from synch_spark.sources.kafka_socket import KafkaSocketClient
 
-        with KafkaSocketClient.from_bootstrap(bootstrap_servers) as c:
+        with KafkaSocketClient.from_bootstrap(bootstrap_servers,
+                                              **(security or {})) as c:
             return c.create_topic(topic, num_partitions=num_partitions,
                                   replication_factor=replication_factor)
     client = KafkaAdminClient(bootstrap_servers=bootstrap_servers)
@@ -447,6 +455,7 @@ def read_kafka_socket_distributed(
     max_per_partition: int | None = None,
     binary_values: bool = False,
     fetch_max_bytes: int = 1 << 20,
+    security: dict | None = None,
 ):
     """DISTRIBUTED bounded wire read: one executor task per
     topic-partition, each opening its own socket to the broker and
@@ -473,7 +482,8 @@ def read_kafka_socket_distributed(
 
     import sys
 
-    with KafkaSocketClient.from_bootstrap(bootstrap_servers) as c:
+    sec = security or {}
+    with KafkaSocketClient.from_bootstrap(bootstrap_servers, **sec) as c:
         md = c.metadata([topic])
         info = md["topics"].get(topic)
         if info is None or info["error"]:
@@ -498,7 +508,7 @@ def read_kafka_socket_distributed(
     # offset planning per LEADER connection: like Fetch, ListOffsets is
     # answered only by each partition's leader on a multi-broker cluster
     for (lhost, lport), plist in by_leader.items():
-        with KafkaSocketClient(lhost, lport) as lc:
+        with KafkaSocketClient(lhost, lport, **sec) as lc:
             for p in plist:
                 earliest = lc.list_offsets(topic, p, -2)
                 if p not in starts:
@@ -542,7 +552,7 @@ def read_kafka_socket_distributed(
             for _, r in pdf.iterrows():
                 pid, lo, hi = int(r["p"]), int(r["lo"]), int(r["hi"])
                 host, port = str(r["host"]), int(r["port"])
-                with _C(host, port) as cli:
+                with _C(host, port, **sec) as cli:
                     cur = lo
                     while cur < hi:
                         try:

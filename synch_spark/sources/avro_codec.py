@@ -859,7 +859,8 @@ def envelope_to_raw(env: dict) -> dict | None:
 def debezium_avro_to_raw(df, schemas: dict, value_col: str = "value",
                          on_error: str = "error",
                          registry_url: str | None = None,
-                         registry_ca: str | None = None):
+                         registry_ca: str | None = None,
+                         order_col: str | None = None):
     """Confluent-framed Avro Debezium values -> RAW_EVENT_SCHEMA rows.
 
     ``schemas``: {schema_id: schema} (pre-parsed via :func:`load_schemas`
@@ -889,19 +890,28 @@ def debezium_avro_to_raw(df, schemas: dict, value_col: str = "value",
     parsed schema registry rides the closure (plain dicts — tiny,
     broadcast once per stage). Null Kafka values (deletion tombstones)
     drop per Debezium semantics.
+
+    ``order_col`` (e.g. the Kafka ``offset``): carried through as
+    events.WIRE_SEQ_COL so same-timestamp events on one pk resolve in
+    WIRE order under last-wins — the same tiebreak the JSON debezium
+    decode takes via its ``order_col`` (an Avro stream without it lost
+    a same-second insert→delete pair's delete, found round 12).
     """
     import pandas as pd  # noqa: F401 — executors need it anyway
 
-    from synch_spark.events import RAW_EVENT_SCHEMA
+    from synch_spark.events import RAW_EVENT_SCHEMA, RAW_EVENT_WIRE_SCHEMA
+    from synch_spark.config import WIRE_SEQ_COL
 
     if on_error not in ("error", "skip"):
         raise ValueError(f"on_error {on_error!r} (error | skip)")
     parsed = {int(sid): (s if isinstance(s, tuple) else parse_schema(s))
               for sid, s in schemas.items()}
-    cols = [f.name for f in RAW_EVENT_SCHEMA.fields]
+    out_schema = RAW_EVENT_WIRE_SCHEMA if order_col else RAW_EVENT_SCHEMA
+    cols = [f.name for f in out_schema.fields]
     strict = on_error == "error"
     reg = registry_url
     reg_ca = registry_ca
+    assert not order_col or cols[-1] == WIRE_SEQ_COL
 
     def decode(batches):
         import pandas as pd
@@ -911,7 +921,8 @@ def debezium_avro_to_raw(df, schemas: dict, value_col: str = "value",
         local = parsed
         for pdf in batches:
             rows = []
-            for buf in pdf[value_col]:
+            ords = pdf[order_col] if order_col else None
+            for i, buf in enumerate(pdf[value_col]):
                 if buf is None:  # tombstone
                     continue
                 try:
@@ -935,7 +946,10 @@ def debezium_avro_to_raw(df, schemas: dict, value_col: str = "value",
                         raise
                     continue
                 if raw is not None:
+                    if ords is not None:
+                        raw[WIRE_SEQ_COL] = int(ords.iloc[i])
                     rows.append(raw)
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(value_col).mapInPandas(decode, RAW_EVENT_SCHEMA)
+    sel = [value_col] + ([order_col] if order_col else [])
+    return df.select(*sel).mapInPandas(decode, out_schema)

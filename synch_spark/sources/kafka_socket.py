@@ -446,21 +446,74 @@ def _decompress_records(codec: int, data: bytes, base_offset: int) -> bytes:
 
 # -- the client ---------------------------------------------------------------
 _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS, _API_METADATA = 0, 1, 2, 3
+_API_SASL_HANDSHAKE = 17
 _API_API_VERSIONS, _API_CREATE_TOPICS = 18, 19
+_API_SASL_AUTHENTICATE = 36
 _ERR_OFFSET_OUT_OF_RANGE = 1
 _ERR_TOPIC_EXISTS = 36
+_ERR_UNSUPPORTED_SASL_MECHANISM = 33
+_ERR_SASL_AUTHENTICATION_FAILED = 58
 
 
 class KafkaSocketClient:
     """One broker connection, request/response in lockstep (the client
     sends one in-flight request — the reference's producer behaves the
-    same with max_in_flight left at default for this workload size)."""
+    same with max_in_flight left at default for this workload size).
+
+    Security (round 12 — real managed clusters are SASL_SSL almost
+    universally, and the MySQL/PG tails already carry full auth+TLS):
+
+    - ``ssl_mode``: the shared sources.tls policy vocabulary
+      (disable | require | verify-ca | verify-full). Kafka TLS is
+      TLS-from-byte-0 (no in-protocol STARTTLS), so any non-disable
+      mode wraps the socket before the first request; a plaintext
+      listener fails the handshake LOUDLY (there is no downgrade).
+    - ``sasl_mechanism``: PLAIN | SCRAM-SHA-256 | SCRAM-SHA-512
+      (SaslHandshake v1 + SaslAuthenticate v0; SCRAM via the shared
+      sources.scram client — stdlib hmac/hashlib). A broker that does
+      not offer the configured mechanism is a loud refusal naming what
+      it DOES offer — never a silent downgrade.
+    - PLAIN sends the password in the clear inside the channel, so it
+      is REFUSED without TLS unless ``allow_plain_without_tls=True``
+      (the SASL_PLAINTEXT escape hatch for trusted networks) — the
+      cleartext-only-over-TLS discipline the MySQL caching_sha2 path
+      follows.
+    """
 
     def __init__(self, host: str, port: int = 9092,
-                 client_id: str = "synch-spark", timeout: float = 10.0):
+                 client_id: str = "synch-spark", timeout: float = 10.0,
+                 ssl_mode: str = "disable", ssl_ca: str | None = None,
+                 sasl_mechanism: str | None = None,
+                 sasl_username: str | None = None,
+                 sasl_password: str | None = None,
+                 allow_plain_without_tls: bool = False):
         self.host, self.port = host, int(port)
         self.client_id = client_id
         self.timeout = timeout
+        self.ssl_mode = ssl_mode or "disable"
+        self.ssl_ca = ssl_ca
+        self.sasl_mechanism = sasl_mechanism
+        self.sasl_username = sasl_username
+        self.sasl_password = sasl_password
+        self.allow_plain_without_tls = bool(allow_plain_without_tls)
+        if sasl_mechanism is not None:
+            if sasl_mechanism not in ("PLAIN", "SCRAM-SHA-256",
+                                      "SCRAM-SHA-512"):
+                raise ValueError(
+                    f"unsupported sasl_mechanism {sasl_mechanism!r} "
+                    "(PLAIN | SCRAM-SHA-256 | SCRAM-SHA-512)")
+            if sasl_username is None or sasl_password is None:
+                raise ValueError(
+                    f"sasl_mechanism={sasl_mechanism} needs sasl_username "
+                    "and sasl_password")
+            if (sasl_mechanism == "PLAIN" and self.ssl_mode == "disable"
+                    and not self.allow_plain_without_tls):
+                raise ValueError(
+                    "SASL PLAIN over a plaintext connection sends the "
+                    "password in the clear — use SCRAM-SHA-256/512, set "
+                    "ssl_mode (require | verify-ca | verify-full), or "
+                    "explicitly opt in with allow_plain_without_tls for "
+                    "a trusted network (SASL_PLAINTEXT)")
         self.sock: socket.socket | None = None
         self._corr = 0
 
@@ -473,10 +526,91 @@ class KafkaSocketClient:
         host, _, port = first.partition(":")
         return cls(host, int(port or 9092), **kw)
 
+    def security_kwargs(self) -> dict:
+        """This connection's security posture, re-appliable to a NEW
+        client (leader routing, executor tasks) — the whole point of a
+        dict is that it rides a closure to the executors unchanged."""
+        return {
+            "ssl_mode": self.ssl_mode, "ssl_ca": self.ssl_ca,
+            "sasl_mechanism": self.sasl_mechanism,
+            "sasl_username": self.sasl_username,
+            "sasl_password": self.sasl_password,
+            "allow_plain_without_tls": self.allow_plain_without_tls,
+        }
+
+    @staticmethod
+    def security_from_config(kconf: dict) -> dict:
+        """spark.kafka.{ssl_mode, ssl_ca, sasl_mechanism, sasl_username,
+        sasl_password, allow_plain_without_tls} → constructor kwargs.
+        Unset keys fall back to the defaults (plaintext, no auth)."""
+        return {
+            "ssl_mode": kconf.get("ssl_mode", "disable"),
+            "ssl_ca": kconf.get("ssl_ca"),
+            "sasl_mechanism": kconf.get("sasl_mechanism"),
+            "sasl_username": kconf.get("sasl_username"),
+            "sasl_password": kconf.get("sasl_password"),
+            "allow_plain_without_tls": bool(
+                kconf.get("allow_plain_without_tls", False)),
+        }
+
     def connect(self) -> "KafkaSocketClient":
         self.sock = socket.create_connection((self.host, self.port),
                                              timeout=self.timeout)
+        if self.ssl_mode != "disable":
+            from synch_spark.sources.tls import make_ssl_context
+
+            ctx = make_ssl_context(self.ssl_mode, self.ssl_ca)
+            self.sock = ctx.wrap_socket(self.sock,
+                                        server_hostname=self.host)
+        if self.sasl_mechanism is not None:
+            self._sasl_authenticate()
         return self
+
+    def _sasl_authenticate(self) -> None:
+        """SaslHandshake v1 (mechanism negotiation) + SaslAuthenticate
+        v0 token exchange. Handshake v1 = auth tokens travel inside
+        SaslAuthenticate requests (the modern framing every broker
+        since 1.0 speaks), not as raw post-handshake frames."""
+        r = self._request(_API_SASL_HANDSHAKE, 1,
+                         _str(self.sasl_mechanism))
+        err = r.i16()
+        offered = [r.string() for _ in range(r.i32())]
+        if err == _ERR_UNSUPPORTED_SASL_MECHANISM:
+            # downgrade refusal: switching mechanisms silently would
+            # e.g. turn a SCRAM config into PLAIN password disclosure
+            raise KafkaWireError(
+                f"broker does not support SASL mechanism "
+                f"{self.sasl_mechanism}; it offers {offered} — fix "
+                "sasl_mechanism (no silent downgrade)")
+        if err:
+            raise KafkaWireError(f"SaslHandshake error {err}")
+        if self.sasl_mechanism == "PLAIN":
+            token = (b"\x00" + self.sasl_username.encode("utf-8")
+                     + b"\x00" + self.sasl_password.encode("utf-8"))
+            self._sasl_round(token)
+            return
+        from synch_spark.sources.scram import ScramClient
+
+        hash_name = ("sha256" if self.sasl_mechanism.endswith("256")
+                     else "sha512")
+        sc = ScramClient(self.sasl_username, self.sasl_password,
+                         hash_name, error_cls=KafkaWireError)
+        server_first = self._sasl_round(sc.first_message())
+        server_final = self._sasl_round(sc.final_message(server_first))
+        sc.verify_final(server_final)
+
+    def _sasl_round(self, token: bytes) -> bytes:
+        r = self._request(_API_SASL_AUTHENTICATE, 0, _bytes32(token))
+        err = r.i16()
+        msg = r.string()
+        auth = r.nbytes()
+        if err:
+            # the broker's message carries no secrets; ours must not
+            # either (no username/password in the error text)
+            raise KafkaWireError(
+                f"SASL authentication failed (error {err}"
+                + (f": {msg}" if msg else "") + ")")
+        return auth or b""
 
     def close(self) -> None:
         if self.sock is not None:

@@ -35,6 +35,8 @@ import socket
 import struct
 from typing import Iterator
 
+from synch_spark.sources.scram import ScramClient
+
 logger = logging.getLogger(__name__)
 
 
@@ -54,44 +56,17 @@ def _md5_password(user: str, password: str, salt: bytes) -> bytes:
     return b"md5" + hashlib.md5(inner.encode() + salt).hexdigest().encode()
 
 
-class _ScramClient:
+class _ScramClient(ScramClient):
     """SCRAM-SHA-256 (RFC 5802/7677) without channel binding — the
-    modern PG default (password_encryption=scram-sha-256)."""
+    modern PG default (password_encryption=scram-sha-256). The exchange
+    math lives in the shared sources.scram client (the Kafka SASL path
+    speaks the same protocol); PG's one quirk is pinned here: the
+    server ignores the SCRAM username field (it authenticated the
+    startup-message user), so ``n=`` stays empty like libpq sends it."""
 
     def __init__(self, user: str, password: str):
-        self.password = password.encode()
-        self.nonce = base64.b64encode(os.urandom(18)).decode()
-        # PG ignores the SCRAM username field (it authenticated the
-        # startup user); n= stays empty like libpq sends it
-        self.client_first_bare = f"n=,r={self.nonce}"
-
-    def first_message(self) -> bytes:
-        return ("n,," + self.client_first_bare).encode()
-
-    def final_message(self, server_first: bytes) -> bytes:
-        parts = dict(p.split("=", 1) for p in server_first.decode().split(","))
-        r, s, i = parts["r"], parts["s"], int(parts["i"])
-        if not r.startswith(self.nonce):
-            raise WalProtocolError("SCRAM server nonce mismatch")
-        salted = hashlib.pbkdf2_hmac("sha256", self.password,
-                                     base64.b64decode(s), i)
-        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
-        stored = hashlib.sha256(client_key).digest()
-        without_proof = f"c={base64.b64encode(b'n,,').decode()},r={r}"
-        auth_msg = ",".join([self.client_first_bare,
-                             server_first.decode(), without_proof]).encode()
-        sig = hmac.new(stored, auth_msg, hashlib.sha256).digest()
-        proof = bytes(a ^ b for a, b in zip(client_key, sig))
-        server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
-        self._server_sig = hmac.new(server_key, auth_msg,
-                                    hashlib.sha256).digest()
-        return (without_proof
-                + ",p=" + base64.b64encode(proof).decode()).encode()
-
-    def verify_final(self, server_final: bytes) -> None:
-        parts = dict(p.split("=", 1) for p in server_final.decode().split(","))
-        if base64.b64decode(parts["v"]) != self._server_sig:
-            raise WalProtocolError("SCRAM server signature mismatch")
+        super().__init__("", password, "sha256",
+                         error_cls=WalProtocolError)
 
 
 def _lsn_str(lsn: int) -> str:

@@ -810,9 +810,14 @@ def raw_from_kafka_values(loaded: DataFrame, value_format: str,
         # Avro layer itself — downstream typing is a PLAIN typed parse,
         # no debezium_types remapping (that knob exists for the JSON
         # converter's string/base64 encodings, which Avro never emits)
-        return debezium_avro_to_raw(loaded, avro_schemas or {},
-                                    registry_url=avro_registry_url,
-                                    registry_ca=avro_registry_ca)
+        return debezium_avro_to_raw(
+            loaded, avro_schemas or {},
+            registry_url=avro_registry_url,
+            registry_ca=avro_registry_ca,
+            # wire order rides the Kafka offset, exactly like the JSON
+            # debezium path below: without it a same-timestamp
+            # insert→delete pair on one pk resolves arbitrarily
+            order_col="offset" if "offset" in loaded.columns else None)
     if value_format == "debezium":
         from synch_spark.events import debezium_to_raw
 

@@ -23,6 +23,10 @@ Semantics implemented the way a real single broker behaves:
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
+import os
 import socket
 import struct
 import threading
@@ -74,12 +78,71 @@ def _s(v: str | None) -> bytes:
     return struct.pack(">h", len(b)) + b
 
 
+class _ScramServer:
+    """Server side of RFC 5802, implemented INDEPENDENTLY of the
+    client's sources/scram.py (the broker-side-CRC discipline): the
+    server recovers the client key from proof XOR signature and checks
+    its hash against the stored key it derived itself."""
+
+    def __init__(self, password: str, hash_name: str):
+        self.password = password.encode()
+        self.h = hash_name
+        self.salt = os.urandom(12)
+        self.iters = 4096
+
+    def first(self, client_first: bytes) -> bytes:
+        gs2, _, bare = client_first.decode().partition(",,")
+        assert gs2 == "n", f"unexpected gs2 header {gs2!r}"
+        self.client_first_bare = bare
+        attrs = dict(p.split("=", 1) for p in bare.split(","))
+        self.username = attrs["n"].replace("=2C", ",").replace("=3D", "=")
+        self.snonce = attrs["r"] + base64.b64encode(os.urandom(9)).decode()
+        self.server_first = (
+            f"r={self.snonce},s={base64.b64encode(self.salt).decode()},"
+            f"i={self.iters}")
+        return self.server_first.encode()
+
+    def final(self, client_final: bytes) -> bytes | None:
+        """server-final message, or None on a bad proof."""
+        text = client_final.decode()
+        attrs = dict(p.split("=", 1) for p in text.split(","))
+        if attrs["r"] != self.snonce:
+            return None
+        without_proof = text[:text.rindex(",p=")]
+        salted = hashlib.pbkdf2_hmac(self.h, self.password,
+                                     self.salt, self.iters)
+        client_key = hmac.new(salted, b"Client Key", self.h).digest()
+        stored = hashlib.new(self.h, client_key).digest()
+        auth_msg = ",".join([self.client_first_bare, self.server_first,
+                             without_proof]).encode()
+        sig = hmac.new(stored, auth_msg, self.h).digest()
+        recovered = bytes(a ^ b
+                          for a, b in zip(base64.b64decode(attrs["p"]), sig))
+        if hashlib.new(self.h, recovered).digest() != stored:
+            return None
+        server_key = hmac.new(salted, b"Server Key", self.h).digest()
+        server_sig = hmac.new(server_key, auth_msg, self.h).digest()
+        return b"v=" + base64.b64encode(server_sig)
+
+
 class FakeKafkaBroker(threading.Thread):
-    def __init__(self, port: int = 0, node_id: int = 0):
+    def __init__(self, port: int = 0, node_id: int = 0, tls_ctx=None,
+                 sasl_users: dict[str, str] | None = None,
+                 sasl_mechanisms: tuple[str, ...] = (
+                     "PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")):
         super().__init__(daemon=True)
         self.srv = socket.create_server(("127.0.0.1", port))
         self.port = self.srv.getsockname()[1]
         self.node_id = node_id
+        #: TLS-from-byte-0 listener when set (like a real SSL listener)
+        self.tls_ctx = tls_ctx
+        #: {username: password}; set -> EVERY connection must SASL-auth
+        #: before any other API (real brokers kill unauthenticated
+        #: requests on a SASL listener)
+        self.sasl_users = sasl_users
+        self.sasl_mechanisms = sasl_mechanisms
+        self.authed_users: list[str] = []
+        self.auth_failures = 0
         self.stop_evt = threading.Event()
         self.lock = threading.Lock()
         #: topic -> num_partitions
@@ -125,7 +188,14 @@ class FakeKafkaBroker(threading.Thread):
 
     def _serve(self, conn):
         try:
+            if self.tls_ctx is not None:
+                try:
+                    conn = self.tls_ctx.wrap_socket(conn, server_side=True)
+                except (OSError, ValueError):
+                    return  # a must-fail TLS test aborts the handshake
             f = conn.makefile("rb")
+            #: per-connection SASL state: {"authed": bool, "scram": srv}
+            state = {"authed": self.sasl_users is None, "scram": None}
             while True:
                 head = f.read(4)
                 if len(head) < 4:
@@ -135,20 +205,55 @@ class FakeKafkaBroker(threading.Thread):
                 api, ver, corr = req.i16(), req.i16(), req.i32()
                 req.string()  # client_id
                 self.api_requests.append((api, ver))
-                body = self._dispatch(api, ver, req)
+                if not state["authed"] and api not in (17, 18, 36):
+                    return  # real SASL listeners kill the connection
+                body = self._dispatch(api, ver, req, state)
                 msg = struct.pack(">i", corr) + body
                 conn.sendall(struct.pack(">i", len(msg)) + msg)
+                if state.pop("close", False):
+                    return  # auth failure: error response sent, then cut
         except OSError:
             pass
+        except (struct.error, IndexError, UnicodeDecodeError):
+            return  # non-Kafka bytes (e.g. a TLS ClientHello hitting a
+            #         plaintext listener): kill the connection quietly,
+            #         like a real broker's frame-parse failure
         finally:
             conn.close()
 
     # -- API handlers ---------------------------------------------------------
-    def _dispatch(self, api: int, ver: int, req: _R) -> bytes:
+    def _dispatch(self, api: int, ver: int, req: _R,
+                  state: dict | None = None) -> bytes:
+        state = state if state is not None else {"authed": True,
+                                                 "scram": None}
         if api == 18:                          # ApiVersions v0
-            rows = [(0, 0, 3), (1, 0, 4), (3, 0, 1), (18, 0, 0), (19, 0, 0)]
+            rows = [(0, 0, 3), (1, 0, 4), (2, 0, 1), (3, 0, 1),
+                    (17, 0, 1), (18, 0, 0), (19, 0, 0), (36, 0, 0)]
             return (struct.pack(">hi", 0, len(rows))
                     + b"".join(struct.pack(">hhh", *r) for r in rows))
+        if api == 17:                          # SaslHandshake v1
+            mech = req.string()
+            offered = (b"".join(_s(m) for m in self.sasl_mechanisms))
+            if self.sasl_users is None or mech not in self.sasl_mechanisms:
+                err = 33                       # UNSUPPORTED_SASL_MECHANISM
+            else:
+                err = 0
+                state["mech"] = mech
+            return (struct.pack(">h", err)
+                    + struct.pack(">i", len(self.sasl_mechanisms))
+                    + offered)
+        if api == 36:                          # SaslAuthenticate v0
+            token = req.nbytes() or b""
+            ok, resp = self._sasl_step(state, token)
+            if not ok:
+                self.auth_failures += 1
+                state["close"] = True
+                return (struct.pack(">h", 58)  # SASL_AUTHENTICATION_FAILED
+                        + _s("Authentication failed: invalid credentials")
+                        + struct.pack(">i", -1))
+            return struct.pack(">h", 0) + _s(None) + (
+                struct.pack(">i", len(resp)) + resp if resp is not None
+                else struct.pack(">i", -1))
         if api == 3:                           # Metadata v1
             n = req.i32()
             names = (list(self.topics) if n < 0
@@ -258,6 +363,48 @@ class FakeKafkaBroker(threading.Thread):
             return (struct.pack(">i", 0)       # throttle
                     + struct.pack(">i", n_topics) + body)
         raise AssertionError(f"fake broker: unsupported api {api} v{ver}")
+
+    # -- SASL -----------------------------------------------------------------
+    def _sasl_step(self, state: dict, token: bytes):
+        """One SaslAuthenticate token → (ok, server_response|None)."""
+        mech = state.get("mech")
+        if mech is None or self.sasl_users is None:
+            return False, None
+        if mech == "PLAIN":
+            parts = token.split(b"\x00")
+            if len(parts) != 3:
+                return False, None
+            _authzid, user, pwd = (p.decode() for p in parts)
+            if self.sasl_users.get(user) != pwd:
+                return False, None
+            state["authed"] = True
+            self.authed_users.append(user)
+            return True, None
+        # SCRAM-SHA-256 / SCRAM-SHA-512
+        hname = "sha256" if mech.endswith("256") else "sha512"
+        if state.get("scram") is None:
+            try:
+                srv = _ScramServer("", hname)
+                first = srv.first(token)
+            except (AssertionError, KeyError, ValueError,
+                    UnicodeDecodeError):
+                return False, None
+            user = srv.username
+            if user not in self.sasl_users:
+                return False, None
+            srv.password = self.sasl_users[user].encode()
+            state["scram"] = srv
+            return True, first
+        srv = state["scram"]
+        try:
+            final = srv.final(token)
+        except (KeyError, ValueError, UnicodeDecodeError):
+            final = None
+        if final is None:
+            return False, None
+        state["authed"] = True
+        self.authed_users.append(srv.username)
+        return True, final
 
     # -- log ------------------------------------------------------------------
     def _append(self, topic: str, pid: int, batch: bytes) -> tuple[int, int]:

@@ -979,3 +979,109 @@ def test_crc32c_vectorized_equivalence_and_speed():
     t_pure = time.perf_counter() - t0
     assert fast == slow
     assert t_pure / t_vec >= 3.0, (t_pure, t_vec)
+
+
+def test_socket_consume_debezium_avro_via_registry(tmp_path, spark, broker):
+    """VERDICT r11 #8: the socket transport consumes Confluent-framed
+    Debezium-AVRO topics too — the distributed wire read returns BINARY
+    values and the executor-side registry fetch decodes them (the exact
+    plumbing the connector stream uses, q135-pinned). Previously a
+    config rejection; the jar-less path now covers the full value
+    format matrix."""
+    import http.server
+    import json as _json
+    import threading
+    from decimal import Decimal
+
+    import yaml
+
+    import synch_spark.sources.avro_codec as A
+    from synch_spark.cli import main
+    from synch_spark.sources.table import ParquetTable
+    from tests.test_avro_codec import ENVELOPE
+
+    hits = []
+
+    class _Registry(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            if self.path == "/schemas/ids/7":
+                body = _json.dumps(
+                    {"schema": _json.dumps(ENVELOPE)}).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    reg = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Registry)
+    threading.Thread(target=reg.serve_forever, daemon=True).start()
+    parsed = A.parse_schema(ENVELOPE)
+
+    def frame(op, image):
+        env = {"before": image if op == "d" else None,
+               "after": None if op == "d" else image,
+               "source": {"db": "db", "table": "orders", "ts_ms": 1000},
+               "op": op, "ts_ms": None}
+        return A.confluent_frame(7, A.avro_encode(env, parsed))
+
+    rows = [frame("c", {"id": i, "price": Decimal("9.99"),
+                        "status": "O"}) for i in (1, 2, 3)]
+    rows.append(frame("d", {"id": 2, "price": Decimal("9.99"),
+                            "status": "O"}))
+    with _client(broker) as c:
+        c.create_topic("dbz.db.orders")
+        c.produce("dbz.db.orders", 0, [(None, f) for f in rows])
+
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "orders", "pk": ["id"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "sources": {},
+            "value_schemas": {"db.orders": {"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "price", "type": "decimal(15,2)",
+                 "nullable": True, "metadata": {}},
+                {"name": "status", "type": "string", "nullable": True,
+                 "metadata": {}}]}},
+            "kafka": {
+                "bootstrap_servers": f"127.0.0.1:{broker.port}",
+                "transport": "socket", "topic": "dbz.db.orders",
+                "value_format": "debezium-avro",
+                "avro_schema_registry":
+                    f"http://127.0.0.1:{reg.server_port}"},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    try:
+        assert main(["--config", str(p), "consume",
+                     "--available-now"]) == 0
+        got = {(r["id"], str(r["price"]), r["status"])
+               for r in ParquetTable(
+                   spark, str(tmp_path / "wh/db/orders")).read().collect()}
+        # 3 inserts, 1 delete -> ids 1 and 3 survive, typed decode exact
+        assert got == {(1, "9.99", "O"), (3, "9.99", "O")}
+        assert any(h == "/schemas/ids/7" for h in hits)
+        cur = _json.loads(
+            (tmp_path / "wh" / "_kafka_socket_offsets.json").read_text())
+        assert cur == {"dbz.db.orders/0": 4}
+        # missing config stays a loud rejection
+        bad = dict(cfg)
+        bad["spark"] = dict(cfg["spark"])
+        bad["spark"]["kafka"] = {
+            k: v for k, v in cfg["spark"]["kafka"].items()
+            if k != "avro_schema_registry"}
+        p.write_text(yaml.dump(bad))
+        with pytest.raises(SystemExit, match="avro_schema"):
+            main(["--config", str(p), "consume", "--available-now"])
+    finally:
+        reg.shutdown()
