@@ -64,6 +64,48 @@ def _calibrate(spark) -> dict:
     return {"spin_s": round(spin, 4), "par32_s": round(par, 4)}
 
 
+def drain_contaminated(calib_pre: dict, calib_post: dict,
+                       idle_spin: float, idle_par32: float,
+                       pre_factor: float = 1.5,
+                       post_factor: float = 2.5) -> bool:
+    """True when the drain window was contaminated by ambient load,
+    judged FROM THE ARTIFACT'S OWN PROBES (VERDICT r11 #6: a 64.9 s
+    contaminated reading stood in for a tree that runs 38.3 s at idle —
+    the artifact carried the evidence; nothing acted on it).
+
+    Thresholds: the PRE probe runs on a quiet, warmed JVM — anything
+    >= 1.5x the pinned idle value means the run STARTED loaded. The
+    POST probe runs inside a warm, GC-settling JVM right after the
+    full-throttle drain and reads 1.3-2x idle even on clean runs
+    (measured across rounds 9-11), so it gates at 2.5x — r11's
+    contaminated drain read 2.6x there while every clean round stayed
+    under 2.1x."""
+    return (calib_pre["spin_s"] >= idle_spin * pre_factor
+            or calib_pre["par32_s"] >= idle_par32 * pre_factor
+            or calib_post["spin_s"] >= idle_spin * post_factor
+            or calib_post["par32_s"] >= idle_par32 * post_factor)
+
+
+def load_idle_pins(pins_path: str, host: str,
+                   fallback: tuple = (0.11, 0.26)) -> tuple:
+    """This host's pinned idle calibration values (spin_s, par32_s)
+    from BENCH_CALIB_PINS.json, or the first-run fallback."""
+    idle_spin, idle_par32 = fallback
+    try:
+        with open(pins_path) as f:
+            doc = json.load(f)
+        if "spin_s" in doc:  # legacy flat form
+            doc = {host: {"spin_s": doc["spin_s"],
+                          "par32_s": doc["par32_s"]}}
+        mine = doc.get(host)
+        if mine:
+            idle_spin = float(mine["spin_s"])
+            idle_par32 = float(mine["par32_s"])
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    return idle_spin, idle_par32
+
+
 def main() -> None:
     # The driver parses stdout as JSON; Spark's JVM (a subprocess that inherits
     # fd 1) and py4j both write progress chatter there.  Save the real stdout,
@@ -187,29 +229,42 @@ def main() -> None:
     stream_warm_s = warm_results.get("stream")
 
     queries = entry_mod.queries()
-    timings: dict[str, float] = {}
 
-    errors: dict[str, str] = {}
+    def drain(items):
+        """One full measured pass over the suite; re-runnable (the
+        noise gate may ask for a second attempt — setup warms and
+        index builds are already amortized by then)."""
+        timings: dict[str, float] = {}
+        errors: dict[str, str] = {}
 
-    def run_one(item):
-        name, fn = item
-        if not serial:
-            # FAIR mode alone is not enough: every job lands in the
-            # "default" pool, and WITHIN a pool the queue is FIFO — a
-            # 1-second query's stages wait behind the heavy queries'
-            # multi-stage drains (observed 1.6s serial → 17.8s
-            # concurrent). One pool per query (undeclared pools get
-            # weight 1) makes the scheduler round-robin ACROSS queries,
-            # so light work flows past heavy work. Local properties are
-            # per-thread; setting at task start covers pool reuse.
-            spark.sparkContext.setLocalProperty(
-                "spark.scheduler.pool", f"q-{name}")
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as e:  # noqa: BLE001 — one bad query must not kill the run
-            errors[name] = str(e).splitlines()[0][:200]
+        def run_one(item):
+            name, fn = item
+            if not serial:
+                # FAIR mode alone is not enough: every job lands in the
+                # "default" pool, and WITHIN a pool the queue is FIFO — a
+                # 1-second query's stages wait behind the heavy queries'
+                # multi-stage drains (observed 1.6s serial → 17.8s
+                # concurrent). One pool per query (undeclared pools get
+                # weight 1) makes the scheduler round-robin ACROSS queries,
+                # so light work flows past heavy work. Local properties are
+                # per-thread; setting at task start covers pool reuse.
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", f"q-{name}")
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).collect()
+                timings[name] = round(time.perf_counter() - t0, 4)
+            except Exception as e:  # noqa: BLE001 — one bad query must not kill the run
+                errors[name] = str(e).splitlines()[0][:200]
+
+        t_start = time.perf_counter()
+        if serial:
+            for item in items:
+                run_one(item)
+        else:
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(run_one, items))
+        return timings, errors, round(time.perf_counter() - t_start, 4)
 
     # longest-processing-time-first: start the known-heavy queries (iterative
     # clustering, fingerprinting, streaming, python-boundary ops) before the
@@ -254,15 +309,40 @@ def main() -> None:
             k for k in queries if k not in HEAVY]
     items = [(k, queries[k]) for k in order]
 
-    t_start = time.perf_counter()
-    if serial:
-        for item in items:
-            run_one(item)
-    else:
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            list(pool.map(run_one, items))
-    total = round(time.perf_counter() - t_start, 4)
+    import platform
+
+    host = platform.node() or "unknown"
+    pins_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_CALIB_PINS.json")
+    _IDLE_SPIN, _IDLE_PAR32 = load_idle_pins(pins_path, host)
+
+    timings, errors, total = drain(items)
     calib_post = _calibrate(spark)  # AFTER the drain: did the host change?
+    calib_pre_used = calib_pre
+    drain_attempts = 1
+    contaminated = drain_contaminated(calib_pre, calib_post,
+                                      _IDLE_SPIN, _IDLE_PAR32)
+    all_pres = [calib_pre]
+    if (contaminated and not serial
+            and os.environ.get("SPARK_GRAFT_BENCH_NO_RERUN") != "1"):
+        # noise gate (VERDICT r11 #6): the probes say this drain ran on
+        # a loaded host — auto-rerun ONCE (warms/index builds are
+        # amortized; a second concurrent drain costs ~40s) and keep the
+        # cleaner attempt. If both attempts are dirty, keep the faster
+        # one and stamp the artifact contaminated so the driver record
+        # is self-describing instead of silently wrong.
+        print("bench noise gate: calibration probes exceed the pinned "
+              "idle band; re-running the drain once", file=sys.stderr)
+        pre2 = _calibrate(spark)
+        all_pres.append(pre2)
+        t2, e2, total2 = drain(items)
+        post2 = _calibrate(spark)
+        drain_attempts = 2
+        cont2 = drain_contaminated(pre2, post2, _IDLE_SPIN, _IDLE_PAR32)
+        if (not cont2) or total2 < total:
+            timings, errors, total = t2, e2, total2
+            calib_pre_used, calib_post = pre2, post2
+            contaminated = cont2
 
     # pruned-ANN timing probe (ADVICE r10): the GRADED q24/q42 entries run
     # at zero pruning (planes=0 / nprobe=num_centroids) so the exact
@@ -313,7 +393,10 @@ def main() -> None:
         payload["stream_warm_s"] = stream_warm_s
     if ann_pruned:
         payload["ann_pruned"] = ann_pruned
-    payload["calib"] = {"pre": calib_pre, "post": calib_post}
+    payload["calib"] = {"pre": calib_pre_used, "post": calib_post}
+    payload["contaminated"] = contaminated
+    if drain_attempts > 1:
+        payload["drain_attempts"] = drain_attempts
     if errors:  # names only on stdout, full messages in the sidecar
         payload["error_queries"] = sorted(errors)[:5]
     if warm_incomplete:
@@ -329,7 +412,10 @@ def main() -> None:
                        "stream_warm_s": stream_warm_s,
                        "ann_pruned": ann_pruned,
                        "warm_incomplete": warm_incomplete,
-                       "calib": {"pre": calib_pre, "post": calib_post},
+                       "calib": {"pre": calib_pre_used,
+                                 "post": calib_post},
+                       "contaminated": contaminated,
+                       "drain_attempts": drain_attempts,
                        "queries": dict(sorted(timings.items())),
                        "errors": errors}, f, indent=1)
     except OSError:
@@ -345,14 +431,9 @@ def main() -> None:
     # out of serial-base promotion (and vice versa). Each host
     # self-calibrates: the min over every probe it has ever run is its
     # best idle estimate, tightening monotonically — a contended run
-    # can never loosen its own gate. Unknown host => hardcoded
-    # first-run fallback until its first probes land.
-    import platform
-
-    _IDLE_SPIN, _IDLE_PAR32 = 0.11, 0.26
-    host = platform.node() or "unknown"
-    pins_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_CALIB_PINS.json")
+    # can never loosen its own gate. (_IDLE_SPIN/_IDLE_PAR32 were
+    # loaded before the drain for the noise gate; this block only
+    # tightens and persists the doc.)
     pins_doc: dict = {}
     try:
         with open(pins_path) as f:
@@ -360,20 +441,17 @@ def main() -> None:
         if "spin_s" in pins_doc:  # legacy flat form: adopt as this host's
             pins_doc = {host: {"spin_s": pins_doc["spin_s"],
                                "par32_s": pins_doc["par32_s"]}}
-        mine = pins_doc.get(host)
-        if mine:  # both keys or neither — never a mixed gate
-            _IDLE_SPIN = float(mine["spin_s"])
-            _IDLE_PAR32 = float(mine["par32_s"])
     except (OSError, ValueError, KeyError, TypeError):
         pins_doc = {}
-    # tighten from PRE probes only: the post probe runs inside a warm,
-    # GC-settling JVM right after ~150s of full-throttle work and is
-    # systematically 1.3-2x the true idle figure — folding it into the
-    # pin is fine (min() ignores it), but GATING it at pre-tightness
-    # made promotion impossible the moment one genuinely idle run
-    # tightened the pin (observed: pin 0.203, every post probe >= 0.26)
-    obs_spin = calib_pre["spin_s"]
-    obs_par32 = calib_pre["par32_s"]
+    # tighten from PRE probes only (every attempt's): the post probe
+    # runs inside a warm, GC-settling JVM right after ~150s of
+    # full-throttle work and is systematically 1.3-2x the true idle
+    # figure — folding it into the pin is fine (min() ignores it), but
+    # GATING it at pre-tightness made promotion impossible the moment
+    # one genuinely idle run tightened the pin (observed: pin 0.203,
+    # every post probe >= 0.26)
+    obs_spin = min(p["spin_s"] for p in all_pres)
+    obs_par32 = min(p["par32_s"] for p in all_pres)
     new_spin = min(_IDLE_SPIN, obs_spin)
     new_par32 = min(_IDLE_PAR32, obs_par32)
     if pins_doc.get(host) != {"spin_s": round(new_spin, 4),

@@ -1222,6 +1222,23 @@ def _consume_redis(spark, raw, cfg, pipe, args) -> int:
             _time.sleep(cfg.insert_interval_s)
 
 
+def _transient_kafka_error(e: BaseException) -> bool:
+    """Broker-restart-shaped failures the supervised socket consume
+    loop may retry; anything else (apply failures, decode errors,
+    config mistakes) propagates. Executor-side wire errors surface
+    through Py4J as generic exceptions, so classification falls back to
+    the KafkaWireError marker in the message text."""
+    from synch_spark.sources.kafka_socket import KafkaWireError
+
+    if isinstance(e, (KafkaWireError, ConnectionError, TimeoutError,
+                      OSError)):
+        return True
+    s = str(e)
+    return any(m in s for m in ("KafkaWireError", "Connection refused",
+                                "Connection reset", "broker closed",
+                                "ConnectionRefusedError"))
+
+
 def _consume_kafka_socket(spark, raw, cfg, pipe, args) -> int:
     """Socket-transport Kafka consume (``spark.kafka.transport:
     socket`` — no connector jar, no kafka-python): per configured
@@ -1264,64 +1281,102 @@ def _consume_kafka_socket(spark, raw, cfg, pipe, args) -> int:
     bs = kconf["bootstrap_servers"]
     sec = KafkaSocketClient.security_from_config(kconf)
     topics = [t.strip() for t in kconf["topic"].split(",") if t.strip()]
-    with KafkaSocketClient.from_bootstrap(bs, **sec) as c:
-        md = c.metadata(topics)
-    parts: dict[str, list[int]] = {}
-    for t in topics:
-        info = md["topics"].get(t)
-        if info is None or info["error"]:
-            raise SystemExit(
-                f"consume transport=socket: topic {t!r} does not exist "
-                "on the broker (create it or fix spark.kafka.topic)")
-        parts[t] = sorted(info["partitions"])
     warehouse = raw["spark"]["warehouse"]
     cur_path = os.path.join(warehouse, "_kafka_socket_offsets.json")
     offsets: dict[str, int] = {}
     if os.path.exists(cur_path):
         with open(cur_path) as f:
             offsets = {k: int(v) for k, v in _json.load(f).items()}
+    # --follow-style supervision (VERDICT r11 #7, the binlog/walsender
+    # tails' discipline): a broker restart / LB idle-kill re-dials with
+    # exponential backoff and resumes from the durable offsets doc —
+    # it must not crash the consumer. Knobs shared with the other
+    # tails' vocabulary (reconnect_base_s / reconnect_max_s). The
+    # continuous loop retries forever; --available-now gives up loudly
+    # after reconnect_max_tries consecutive failures (a drain with a
+    # permanently-down broker must fail, not hang). Config errors
+    # (SystemExit: missing topic, bad value_format) never retry.
+    backoff_base = float(kconf.get("reconnect_base_s", 0.5))
+    backoff_max = float(kconf.get("reconnect_max_s", 30.0))
+    max_tries = int(kconf.get("reconnect_max_tries", 5))
+    backoff = backoff_base
+    failures = 0
+    parts: dict[str, list[int]] | None = None
     while True:
-        moved = 0
-        for topic in topics:
-            starts = {p: offsets.get(f"{topic}/{p}", 0)
-                      for p in parts[topic]}
-            # DISTRIBUTED drain: one executor task per partition over
-            # the wire protocol; no event bytes cross the driver (the
-            # old per-partition driver fetch materialized every row in
-            # driver memory — wrong shape for a large drain)
-            # flush-policy parity (insert_num, the reference's
-            # maxOffsetsPerTrigger analog): a month-old cursor drains
-            # as bounded batches, not one giant apply whose failure
-            # loses the whole backlog's progress. The loop re-enters
-            # until caught up; --available-now exits only on a
-            # no-movement pass. The plan also clamps a cursor that fell
-            # off the retained log up to earliest (loudly).
-            df, ends = read_kafka_socket_distributed(
-                spark, bs, topic, start_offsets=starts,
-                max_per_partition=cfg.insert_num, security=sec,
-                binary_values=(vfmt == "debezium-avro"))
-            if all(ends.get(p, 0) <= starts.get(p, 0)
-                   for p in parts[topic]):
-                continue
-            frame = raw_from_kafka_values(
-                df, vfmt, avro_schemas,
-                kconf.get("avro_schema_registry"),
-                kconf.get("avro_schema_registry_ca"))
-            # epoch = the applied offset ranges, not a process-local
-            # counter (see the redis loop): restart-stable, unique per
-            # range set, dedupes genuine replays of the same ranges
-            rng = ",".join(f"{p}={starts.get(p, 0)}-{ends[p]}"
-                           for p in sorted(ends))
-            pipe.apply_batch(frame, f"kafka-socket:{topic}:{rng}",
-                             debezium_types=(vfmt == "debezium"))
-            for p, e in ends.items():
-                offsets[f"{topic}/{p}"] = e
-            os.makedirs(warehouse, exist_ok=True)
-            tmp = f"{cur_path}.tmp-{_uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as f:
-                _json.dump(offsets, f)
-            os.replace(tmp, cur_path)
-            moved += 1
+        try:
+            if parts is None:
+                # (re-)discover partitions ON the supervised path: the
+                # initial metadata call is just as exposed to a down
+                # broker as the drain rounds, and leaders move across
+                # restarts
+                with KafkaSocketClient.from_bootstrap(bs, **sec) as c:
+                    md = c.metadata(topics)
+                parts = {}
+                for t in topics:
+                    info = md["topics"].get(t)
+                    if info is None or info["error"]:
+                        raise SystemExit(
+                            f"consume transport=socket: topic {t!r} "
+                            "does not exist on the broker (create it "
+                            "or fix spark.kafka.topic)")
+                    parts[t] = sorted(info["partitions"])
+            moved = 0
+            for topic in topics:
+                starts = {p: offsets.get(f"{topic}/{p}", 0)
+                          for p in parts[topic]}
+                # DISTRIBUTED drain: one executor task per partition over
+                # the wire protocol; no event bytes cross the driver (the
+                # old per-partition driver fetch materialized every row in
+                # driver memory — wrong shape for a large drain)
+                # flush-policy parity (insert_num, the reference's
+                # maxOffsetsPerTrigger analog): a month-old cursor drains
+                # as bounded batches, not one giant apply whose failure
+                # loses the whole backlog's progress. The loop re-enters
+                # until caught up; --available-now exits only on a
+                # no-movement pass. The plan also clamps a cursor that fell
+                # off the retained log up to earliest (loudly).
+                df, ends = read_kafka_socket_distributed(
+                    spark, bs, topic, start_offsets=starts,
+                    max_per_partition=cfg.insert_num, security=sec,
+                    binary_values=(vfmt == "debezium-avro"))
+                if all(ends.get(p, 0) <= starts.get(p, 0)
+                       for p in parts[topic]):
+                    continue
+                frame = raw_from_kafka_values(
+                    df, vfmt, avro_schemas,
+                    kconf.get("avro_schema_registry"),
+                    kconf.get("avro_schema_registry_ca"))
+                # epoch = the applied offset ranges, not a process-local
+                # counter (see the redis loop): restart-stable, unique per
+                # range set, dedupes genuine replays of the same ranges
+                rng = ",".join(f"{p}={starts.get(p, 0)}-{ends[p]}"
+                               for p in sorted(ends))
+                pipe.apply_batch(frame, f"kafka-socket:{topic}:{rng}",
+                                 debezium_types=(vfmt == "debezium"))
+                for p, e in ends.items():
+                    offsets[f"{topic}/{p}"] = e
+                os.makedirs(warehouse, exist_ok=True)
+                tmp = f"{cur_path}.tmp-{_uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    _json.dump(offsets, f)
+                os.replace(tmp, cur_path)
+                moved += 1
+        except Exception as e:  # noqa: BLE001 — classified right below
+            if not _transient_kafka_error(e):
+                raise
+            failures += 1
+            parts = None   # full re-discovery on reconnect
+            if args.available_now and failures >= max_tries:
+                raise
+            print(f"kafka socket consume: transient failure "
+                  f"({str(e).splitlines()[0][:160]}); retry in "
+                  f"{backoff:.1f}s (cursor doc {cur_path})",
+                  file=sys.stderr)
+            _time.sleep(backoff)
+            backoff = min(backoff * 2, backoff_max)
+            continue
+        failures = 0
+        backoff = backoff_base  # a clean round resets the re-dial pace
         if moved == 0:
             if args.available_now:
                 return 0

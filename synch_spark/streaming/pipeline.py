@@ -235,7 +235,22 @@ class CdcPipeline:
                 # string on the polling loops, and one shared
                 # _synch_dead_letter table must not mix parquet column
                 # types by which consumer dead-lettered first
-                ParquetTable(self.spark, f"{self.warehouse}/_synch_dead_letter").append(
+                dl = ParquetTable(
+                    self.spark, f"{self.warehouse}/_synch_dead_letter")
+                if dl.exists:
+                    # ADVICE r11: a table created before _epoch became
+                    # string-typed holds LONG parquet columns; appending
+                    # string files into it would mix types in one table
+                    # and break every later read. Migrate ONCE, in
+                    # place, before the first string append.
+                    legacy = next(
+                        (f for f in dl.read().schema.fields
+                         if f.name == "_epoch"
+                         and f.dataType.simpleString() != "string"), None)
+                    if legacy is not None:
+                        dl.overwrite(dl.read().withColumn(
+                            "_epoch", F.col("_epoch").cast("string")))
+                dl.append(
                     bad.drop(WIRE_SEQ_COL).withColumn(
                         "_epoch", F.lit(str(epoch_id)))
                 )

@@ -1,0 +1,70 @@
+"""bench.py noise gate (VERDICT r11 #6): the concurrent headline is
+gated on the artifact's own calibration probes — a drain that ran on a
+loaded host re-runs once and/or stamps the JSON ``contaminated`` so the
+driver record is self-describing. The decision function is pure; the
+synthetic-load cases here are the r11 artifacts themselves."""
+
+from __future__ import annotations
+
+import json
+
+
+def _bench():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+IDLE_SPIN, IDLE_PAR32 = 0.11, 0.176
+
+
+def test_gate_passes_clean_runs():
+    b = _bench()
+    # the r11 idle re-run's actual probes: pre at the pin, post in the
+    # documented warm-JVM band — must NOT trip (no rerun churn)
+    assert not b.drain_contaminated(
+        {"spin_s": 0.110, "par32_s": 0.177},
+        {"spin_s": 0.130, "par32_s": 0.300},
+        IDLE_SPIN, IDLE_PAR32)
+
+
+def test_gate_trips_on_synthetic_load():
+    b = _bench()
+    # the r11 DRIVER run's actual probes (the 64.9s contaminated
+    # headline): pre par32 1.41x, post par32 2.58x the pin — trips on
+    # the post probe
+    assert b.drain_contaminated(
+        {"spin_s": 0.112, "par32_s": 0.249},
+        {"spin_s": 0.140, "par32_s": 0.455},
+        IDLE_SPIN, IDLE_PAR32)
+    # a run that STARTS loaded (pre probe 2x) trips immediately
+    assert b.drain_contaminated(
+        {"spin_s": 0.25, "par32_s": 0.40},
+        {"spin_s": 0.12, "par32_s": 0.30},
+        IDLE_SPIN, IDLE_PAR32)
+    # CPU steal visible on the pure-python spin alone also trips
+    assert b.drain_contaminated(
+        {"spin_s": 0.40, "par32_s": 0.18},
+        {"spin_s": 0.12, "par32_s": 0.30},
+        IDLE_SPIN, IDLE_PAR32)
+
+
+def test_load_idle_pins_host_keyed_and_legacy(tmp_path):
+    b = _bench()
+    p = tmp_path / "pins.json"
+    # missing file -> fallback
+    assert b.load_idle_pins(str(p), "h1") == (0.11, 0.26)
+    p.write_text(json.dumps({"h1": {"spin_s": 0.1, "par32_s": 0.2},
+                             "h2": {"spin_s": 0.3, "par32_s": 0.4}}))
+    assert b.load_idle_pins(str(p), "h1") == (0.1, 0.2)
+    assert b.load_idle_pins(str(p), "h2") == (0.3, 0.4)
+    # unknown host -> fallback; legacy flat form -> adopted
+    assert b.load_idle_pins(str(p), "h3") == (0.11, 0.26)
+    p.write_text(json.dumps({"spin_s": 0.15, "par32_s": 0.25}))
+    assert b.load_idle_pins(str(p), "any") == (0.15, 0.25)

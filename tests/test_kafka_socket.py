@@ -1085,3 +1085,88 @@ def test_socket_consume_debezium_avro_via_registry(tmp_path, spark, broker):
             main(["--config", str(p), "consume", "--available-now"])
     finally:
         reg.shutdown()
+
+
+def test_socket_consume_survives_broker_restart(tmp_path, capsys, spark):
+    """VERDICT r11 #7: the socket consume loop is supervised like the
+    binlog/walsender tails — a dead/restarting broker costs backoff
+    retries, not a consumer crash. The drain starts with the broker
+    DOWN, backs off loudly, and completes from the durable offsets doc
+    once a broker holding the retained log comes back (resume cursor
+    pre-seeded at 5: only events 5.. apply)."""
+    import json as _json
+    import threading
+    import time
+    import yaml
+
+    from synch_spark.broker import produce_to_kafka_socket
+    from synch_spark.cli import main
+    from synch_spark.events import RAW_EVENT_WIRE_SCHEMA
+    from synch_spark.sources.table import ParquetTable
+
+    a = FakeKafkaBroker()
+    a.start()
+    a.topics["synch.db"] = 1
+    events = spark.createDataFrame(
+        [("db", "t", "insert", None,
+          _json.dumps({"k": i, "v": float(i)}), 1000 + i, i)
+         for i in range(25)], RAW_EVENT_WIRE_SCHEMA)
+    assert produce_to_kafka_socket(
+        events, f"127.0.0.1:{a.port}") == 25
+    port = a.port
+    a.stop()
+    time.sleep(0.3)
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    (wh / "_kafka_socket_offsets.json").write_text(
+        _json.dumps({"synch.db/0": 5}))
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["k"]}]}]}],
+        "spark": {
+            "warehouse": str(wh),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "sources": {},
+            "value_schemas": {"db.t": {"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True,
+                 "metadata": {}}]}},
+            "kafka": {"bootstrap_servers": f"127.0.0.1:{port}",
+                      "transport": "socket", "topic": "synch.db",
+                      "reconnect_base_s": 0.2, "reconnect_max_s": 1.0,
+                      "reconnect_max_tries": 100},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+
+    revived = []
+
+    def revive():
+        time.sleep(1.2)
+        b = FakeKafkaBroker(port=port)
+        # the restarted broker retained its log (real logs are on disk)
+        b.topics.update(a.topics)
+        b.logs.update(a.logs)
+        b.log_end.update(a.log_end)
+        b.log_start.update(a.log_start)
+        b.start()
+        revived.append(b)
+
+    threading.Thread(target=revive, daemon=True).start()
+    try:
+        assert main(["--config", str(p), "consume",
+                     "--available-now"]) == 0
+    finally:
+        if revived:
+            revived[0].stop()
+    # backoff was LOUD, and the drain resumed from the cursor
+    assert "transient failure" in capsys.readouterr().err
+    rows = sorted(r["k"] for r in ParquetTable(
+        spark, str(wh / "db" / "t")).read().collect())
+    assert rows == list(range(5, 25))
+    cur = _json.loads((wh / "_kafka_socket_offsets.json").read_text())
+    assert cur == {"synch.db/0": 25}

@@ -1,0 +1,54 @@
+"""Round-12 advice/verdict regressions outside the Kafka wire suite."""
+
+from __future__ import annotations
+
+
+def test_dead_letter_legacy_long_epoch_migrated(spark, tmp_path):
+    """ADVICE r11: _epoch changed long -> string in round 11; a
+    _synch_dead_letter table CREATED by an older version still holds
+    LONG parquet columns, and appending string files into it would mix
+    column types in one table and break every later read. The first
+    append into a legacy-typed table migrates it in place (cast to
+    string), then appends."""
+    from pyspark.sql import types as T
+
+    from synch_spark.config import SyncConfig, TableSpec
+    from synch_spark.sources.table import ParquetTable
+    from synch_spark.streaming.pipeline import CdcPipeline
+
+    wh = str(tmp_path / "wh")
+    # a legacy table: the pre-round-11 shape with a LONG _epoch
+    legacy = spark.createDataFrame(
+        [("db", "t", None, None, '{"x": 0}', 1, 3)],
+        "schema string, table string, action string, before string, "
+        "after string, event_unixtime long, _epoch long")
+    ParquetTable(spark, f"{wh}/_synch_dead_letter").overwrite(legacy)
+    assert dict(ParquetTable(spark, f"{wh}/_synch_dead_letter")
+                .read().dtypes)["_epoch"] == "bigint"
+
+    cfg = SyncConfig()
+    cfg.add_table(TableSpec(schema="db", table="t", pk=("id",)))
+    vs = T.StructType([T.StructField("id", T.LongType())])
+    pipe = CdcPipeline(
+        spark=spark, cfg=cfg, warehouse=wh,
+        checkpoint_dir=str(tmp_path / "ck"), value_schemas={"db.t": vs},
+    )
+    bad = spark.createDataFrame(
+        [("db", "t", None, None, '{"x": 1}', 2)],
+        "schema string, table string, action string, before string, "
+        "after string, event_unixtime long")
+    pipe.apply_batch(bad, "kafka-socket:t/0:0-1")
+
+    dead = ParquetTable(spark, f"{wh}/_synch_dead_letter").read()
+    # both generations readable from ONE table, epochs value-preserved
+    assert dead.count() == 2
+    assert dict(dead.dtypes)["_epoch"] == "string"
+    assert {r["_epoch"] for r in dead.collect()} == \
+        {"3", "kafka-socket:t/0:0-1"}
+
+    # second append: no re-migration needed, still consistent
+    pipe.apply_batch(bad, 9)
+    dead = ParquetTable(spark, f"{wh}/_synch_dead_letter").read()
+    assert dead.count() == 3
+    assert {r["_epoch"] for r in dead.collect()} == \
+        {"3", "kafka-socket:t/0:0-1", "9"}
