@@ -163,6 +163,7 @@ def produce_to_kafka_socket(
     events: DataFrame, bootstrap_servers: str, queue_prefix: str = "synch",
     partition: int = 0, batch_size: int = 500,
     security: dict | None = None,
+    compression: str = "none",
 ) -> int:
     """Driver-side wire produce (sources.kafka_socket) — the
     reference's single-threaded KafkaProducer loop
@@ -176,7 +177,10 @@ def produce_to_kafka_socket(
     like the redis producer's toLocalIterator loop. Returns the number
     of events produced. ``security``: KafkaSocketClient security kwargs
     (ssl_mode/ssl_ca/sasl_*), applied to EVERY connection — bootstrap
-    and leaders alike (see KafkaSocketClient.security_from_config)."""
+    and leaders alike (see KafkaSocketClient.security_from_config).
+    ``compression``: none | gzip | zstd — batch-level wire compression
+    (a CDC tail shipping JSON over a WAN compresses ~10x; the consume
+    side decodes all three)."""
     from synch_spark.sources.kafka_socket import KafkaSocketClient
 
     payload = kafka_payload(events, queue_prefix)
@@ -216,7 +220,8 @@ def produce_to_kafka_socket(
             nonlocal n
             recs = buf.pop(topic, [])
             if recs:
-                conn_for(topic).produce(topic, partition, recs)
+                conn_for(topic).produce(topic, partition, recs,
+                                        compression=compression)
                 n += len(recs)
 
         for row in payload.toLocalIterator():

@@ -1047,7 +1047,8 @@ def _produce_kafka_events(events, kconf) -> None:
         produce_to_kafka_socket(
             events, kconf["bootstrap_servers"],
             kconf.get("queue_prefix", "synch"),
-            security=KafkaSocketClient.security_from_config(kconf))
+            security=KafkaSocketClient.security_from_config(kconf),
+            compression=kconf.get("compression", "none"))
     else:
         produce_to_kafka(events, kconf["bootstrap_servers"],
                          kconf.get("queue_prefix", "synch"))

@@ -107,6 +107,13 @@ _NP = None            # numpy module (probed once)
 _WORD_TABLES = None   # (8, 256) uint32: U[j][b] = raw of b at word pos j
 _FOLD_TABLES: list = []   # level k: (4, 256) uint32 tables for shift by
 #                           8 * 2**k bytes
+import threading as _threading  # noqa: E402 — stdlib, for the table lock
+
+#: guards lazy table construction: crc32c runs on DRIVER THREADS too
+#: (the concurrent bench, supervised consume loops), and an unguarded
+#: list append could land a fold level at the wrong index — silently
+#: wrong CRCs for every later large buffer
+_TABLE_LOCK = _threading.Lock()
 
 
 def _shift_zero_bytes(v: int, n: int) -> int:
@@ -119,6 +126,14 @@ def _np_setup():
     global _NP, _WORD_TABLES
     import numpy as np
 
+    with _TABLE_LOCK:
+        if _NP is not None:        # another thread won the race
+            return
+        _np_setup_locked(np)
+
+
+def _np_setup_locked(np):
+    global _NP, _WORD_TABLES
     # U[7][b] = raw([b]) = table[b]; U[j] = shift1(U[j+1]) — byte j is
     # followed by (7-j) more bytes within its word
     u = np.empty((8, 256), dtype=np.uint32)
@@ -126,14 +141,15 @@ def _np_setup():
     tbl = u[7]
     for j in range(6, -1, -1):
         u[j] = tbl[u[j + 1] & 0xFF] ^ (u[j + 1] >> np.uint32(8))
-    _WORD_TABLES = u
-    _NP = np
     # level 0: shift by 8 bytes, from the scalar zero-byte walk
     f0 = np.empty((4, 256), dtype=np.uint32)
     for k in range(4):
         for b in range(256):
             f0[k, b] = _shift_zero_bytes(b << (8 * k), 8)
     _FOLD_TABLES.append(f0)
+    _WORD_TABLES = u
+    _NP = np   # published LAST: the unlocked fast path in crc32c keys
+    #            on _NP, so every table must be in place before it flips
 
 
 def _apply_shift(tables, vals):
@@ -147,14 +163,16 @@ def _apply_shift(tables, vals):
 def _fold_table(level: int):
     """Tables for shift by 8 * 2**level bytes; built by composing the
     previous level with itself (shift_2L = shift_L ∘ shift_L)."""
-    while len(_FOLD_TABLES) <= level:
-        prev = _FOLD_TABLES[-1]
-        nxt = _NP.empty((4, 256), dtype=_NP.uint32)
-        for k in range(4):
-            base = (_NP.arange(256, dtype=_NP.uint32)
-                    << _NP.uint32(8 * k))
-            nxt[k] = _apply_shift(prev, _apply_shift(prev, base))
-        _FOLD_TABLES.append(nxt)
+    if len(_FOLD_TABLES) <= level:
+        with _TABLE_LOCK:
+            while len(_FOLD_TABLES) <= level:
+                prev = _FOLD_TABLES[-1]
+                nxt = _NP.empty((4, 256), dtype=_NP.uint32)
+                for k in range(4):
+                    base = (_NP.arange(256, dtype=_NP.uint32)
+                            << _NP.uint32(8 * k))
+                    nxt[k] = _apply_shift(prev, _apply_shift(prev, base))
+                _FOLD_TABLES.append(nxt)
     return _FOLD_TABLES[level]
 
 
@@ -525,18 +543,6 @@ class KafkaSocketClient:
         first = bootstrap_servers.split(",")[0].strip()
         host, _, port = first.partition(":")
         return cls(host, int(port or 9092), **kw)
-
-    def security_kwargs(self) -> dict:
-        """This connection's security posture, re-appliable to a NEW
-        client (leader routing, executor tasks) — the whole point of a
-        dict is that it rides a closure to the executors unchanged."""
-        return {
-            "ssl_mode": self.ssl_mode, "ssl_ca": self.ssl_ca,
-            "sasl_mechanism": self.sasl_mechanism,
-            "sasl_username": self.sasl_username,
-            "sasl_password": self.sasl_password,
-            "allow_plain_without_tls": self.allow_plain_without_tls,
-        }
 
     @staticmethod
     def security_from_config(kconf: dict) -> dict:

@@ -35,13 +35,17 @@ class ScramClient:
 
     def __init__(self, username: str, password: str,
                  hash_name: str = "sha256",
-                 error_cls: type[Exception] = ValueError):
+                 error_cls: type[Exception] = ValueError,
+                 nonce: str | None = None):
         if hash_name not in ("sha256", "sha512"):
             raise ValueError(f"unsupported SCRAM hash {hash_name!r}")
         self.hash_name = hash_name
         self.password = password.encode()
         self.error_cls = error_cls
-        self.nonce = base64.b64encode(os.urandom(18)).decode()
+        # nonce injection exists ONLY so tests can pin the exchange to
+        # the RFC 7677 published example values; production always
+        # takes the os.urandom path
+        self.nonce = nonce or base64.b64encode(os.urandom(18)).decode()
         self.client_first_bare = f"n={saslname(username)},r={self.nonce}"
         self._server_sig: bytes | None = None
 

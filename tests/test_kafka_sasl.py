@@ -275,3 +275,62 @@ def test_authed_socket_cdc_loop_e2e(tmp_path, capsys, spark):
         assert out["check"]["db.region"]["target"] == 4
     finally:
         srv.stop()
+
+
+def test_scram_username_escaping_end_to_end():
+    """RFC 5802 saslname escaping ('=' and ',') survives the full
+    client->broker exchange: the fake's independent server-side parser
+    unescapes and matches the stored user."""
+    srv = _mk(users={"we=ird,user": "pw"})
+    try:
+        with KafkaSocketClient(
+                "127.0.0.1", srv.port, sasl_mechanism="SCRAM-SHA-256",
+                sasl_username="we=ird,user", sasl_password="pw") as c:
+            c.create_topic("esc")
+        assert srv.authed_users == ["we=ird,user"]
+    finally:
+        srv.stop()
+
+
+def test_available_now_gives_up_after_retry_budget(tmp_path, capsys,
+                                                   spark):
+    """--available-now against a permanently-down broker retries
+    reconnect_max_tries times with backoff, then raises — a bounded
+    drain must fail loudly, not hang forever."""
+    import socket as _socket
+    import time
+
+    import yaml
+
+    from synch_spark.cli import main
+
+    # grab a port with nothing listening
+    s = _socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    cfg = {
+        "core": {"insert_num": 10, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["k"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "sources": {},
+            "value_schemas": {"db.t": {"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}}]}},
+            "kafka": {"bootstrap_servers": f"127.0.0.1:{port}",
+                      "transport": "socket", "topic": "synch.db",
+                      "reconnect_base_s": 0.05, "reconnect_max_s": 0.1,
+                      "reconnect_max_tries": 3},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    t0 = time.monotonic()
+    with pytest.raises(OSError):
+        main(["--config", str(p), "consume", "--available-now"])
+    assert time.monotonic() - t0 < 30  # bounded, not forever
+    err = capsys.readouterr().err
+    assert err.count("transient failure") == 2  # tries 1..max-1 logged
