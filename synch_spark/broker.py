@@ -241,6 +241,7 @@ def consume_from_kafka_socket(
     spark: SparkSession, bootstrap_servers: str, topic: str,
     partition: int = 0, offset: int = 0, max_rounds: int = 100,
     security: dict | None = None,
+    isolation: str = "read_uncommitted",
 ):
     """Assign+seek wire consume (B4 parity: the reference pins a
     partition and seeks, synch/broker/kafka.py:40-61): fetch from an
@@ -256,7 +257,10 @@ def consume_from_kafka_socket(
     read route the same way. Advance uses ``fetch_progress``, so a
     control-batch-only response (EOS/transactional producer markers)
     moves the cursor instead of stalling the loop for all
-    ``max_rounds``."""
+    ``max_rounds``. ``isolation="read_committed"`` additionally drops
+    records from ABORTED transactions and stops at the last stable
+    offset (KIP-98) — without it a rolled-back EOS transaction's rows
+    surface as phantom data."""
     import sys
 
     from synch_spark.sources.kafka_socket import (
@@ -281,7 +285,8 @@ def consume_from_kafka_socket(
         cur = offset
         for _ in range(max_rounds):
             try:
-                hw, recs, nxt = c.fetch_progress(topic, partition, cur)
+                hw, recs, nxt = c.fetch_progress(topic, partition, cur,
+                                                 isolation=isolation)
             except KafkaOffsetOutOfRange:
                 # retention truncated past the cursor: reseek to the
                 # log start — LOUDLY, the skipped range is data the
@@ -461,6 +466,7 @@ def read_kafka_socket_distributed(
     binary_values: bool = False,
     fetch_max_bytes: int = 1 << 20,
     security: dict | None = None,
+    isolation: str = "read_uncommitted",
 ):
     """DISTRIBUTED bounded wire read: one executor task per
     topic-partition, each opening its own socket to the broker and
@@ -531,6 +537,17 @@ def read_kafka_socket_distributed(
                     starts[p] = earliest
                 if p not in ends:
                     ends[p] = lc.list_offsets(topic, p, -1)
+                if isolation == "read_committed" and ends[p] > starts[p]:
+                    # clamp the pinned end to the LAST STABLE OFFSET:
+                    # ListOffsets v1 knows only the hw, and a range
+                    # pinned past the LSO would make every task stall
+                    # on undecided (open-transaction) data. One tiny
+                    # fetch per partition learns it (fetch returns the
+                    # LSO as the effective watermark in committed mode)
+                    lso = lc.fetch(topic, p, starts[p], max_bytes=64,
+                                   max_wait_ms=0,
+                                   isolation="read_committed")[0]
+                    ends[p] = min(ends[p], max(lso, starts[p]))
                 if max_per_partition is not None:
                     ends[p] = min(ends[p], starts[p] + max_per_partition)
     ranges = [(p, starts[p], ends[p]) for p in pids if ends[p] > starts[p]]
@@ -562,7 +579,8 @@ def read_kafka_socket_distributed(
                     while cur < hi:
                         try:
                             hw, recs, nxt = cli.fetch_progress(
-                                topic, pid, cur, max_bytes=fetch_max_bytes)
+                                topic, pid, cur, max_bytes=fetch_max_bytes,
+                                isolation=isolation)
                         except KafkaOffsetOutOfRange:
                             # retention moved past the pinned start
                             # mid-read: surface loudly — a silent skip

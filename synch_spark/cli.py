@@ -1297,6 +1297,11 @@ def _consume_kafka_socket(spark, raw, cfg, pipe, args) -> int:
     # after reconnect_max_tries consecutive failures (a drain with a
     # permanently-down broker must fail, not hang). Config errors
     # (SystemExit: missing topic, bad value_format) never retry.
+    isolation = kconf.get("isolation", "read_uncommitted")
+    if isolation not in ("read_uncommitted", "read_committed"):
+        raise SystemExit(
+            f"spark.kafka.isolation {isolation!r} must be "
+            "read_uncommitted or read_committed")
     backoff_base = float(kconf.get("reconnect_base_s", 0.5))
     backoff_max = float(kconf.get("reconnect_max_s", 30.0))
     max_tries = int(kconf.get("reconnect_max_tries", 5))
@@ -1339,7 +1344,8 @@ def _consume_kafka_socket(spark, raw, cfg, pipe, args) -> int:
                 df, ends = read_kafka_socket_distributed(
                     spark, bs, topic, start_offsets=starts,
                     max_per_partition=cfg.insert_num, security=sec,
-                    binary_values=(vfmt == "debezium-avro"))
+                    binary_values=(vfmt == "debezium-avro"),
+                    isolation=isolation)
                 if all(ends.get(p, 0) <= starts.get(p, 0)
                        for p in parts[topic]):
                     continue

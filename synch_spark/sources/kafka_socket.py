@@ -49,6 +49,7 @@ __all__ = [
     "encode_record_batch",
     "decode_record_batches",
     "decode_record_batches_ex",
+    "decode_record_batches_committed",
 ]
 
 
@@ -361,17 +362,13 @@ def decode_record_batches(buf: bytes) -> list[tuple[int, bytes | None,
     return decode_record_batches_ex(buf)[0]
 
 
-def decode_record_batches_ex(buf: bytes) -> tuple[
-        list[tuple[int, bytes | None, bytes | None]], int | None]:
-    """Like :func:`decode_record_batches`, but also returns the NEXT
-    fetch offset implied by the COMPLETE batches in the buffer
-    (``max(baseOffset + lastOffsetDelta + 1)``), or ``None`` when no
-    complete batch decoded. The next offset advances past CONTROL
-    batches (transaction markers) too — a consume loop that only
-    tracked data-record offsets stalls forever on a control-batch-only
-    response from an EOS producer, refetching the same offset."""
-    out: list = []
-    next_off: int | None = None
+def _iter_complete_batches(buf: bytes):
+    """CRC-checked walk over the COMPLETE batches in a fetch
+    record_set: yields (base_offset, payload) where payload is the
+    post-CRC region (attributes h(0) lastOffsetDelta i(2) firstTs q(6)
+    maxTs q(14) producerId q(22) producerEpoch h(30) baseSequence
+    i(32) recordCount i(36) records(40...)). A truncated trailing
+    batch is dropped per the broker contract."""
     pos = 0
     while pos + 12 <= len(buf):
         base_offset, batch_len = struct.unpack_from(">qi", buf, pos)
@@ -387,38 +384,114 @@ def decode_record_batches_ex(buf: bytes) -> tuple[
         if crc32c(payload) != crc:
             raise KafkaWireError(
                 f"record batch CRC32C mismatch at base offset {base_offset}")
+        yield base_offset, payload
+
+
+def _parse_records(payload: bytes, base_offset: int, out: list) -> None:
+    """Append the batch's (offset, key, value) records to ``out``."""
+    attrs, = struct.unpack_from(">h", payload, 0)
+    count, = struct.unpack_from(">i", payload, 36)
+    recdata = _decompress_records(attrs & 0x07, payload[40:],
+                                  base_offset)
+    rp = 0
+    for _ in range(count):
+        rec_len, rp = _read_zigzag(recdata, rp)
+        rec_end = rp + rec_len
+        rp += 1                                   # attributes
+        _, rp = _read_zigzag(recdata, rp)          # timestampDelta
+        off_delta, rp = _read_zigzag(recdata, rp)
+        klen, rp = _read_zigzag(recdata, rp)
+        key = None if klen < 0 else recdata[rp:rp + klen]
+        rp += max(klen, 0)
+        vlen, rp = _read_zigzag(recdata, rp)
+        val = None if vlen < 0 else recdata[rp:rp + vlen]
+        rp = rec_end                               # skip headers
+        out.append((base_offset + off_delta, key, val))
+
+
+#: batch attribute bits beyond the codec (Kafka protocol guide)
+_ATTR_TRANSACTIONAL, _ATTR_CONTROL = 0x10, 0x20
+#: control record types (key: version int16, type int16)
+_CTRL_ABORT, _CTRL_COMMIT = 0, 1
+
+
+def _control_type(payload: bytes) -> int | None:
+    """The control-record type of a CONTROL batch (its single record's
+    key is [version int16, type int16]): 0 = ABORT, 1 = COMMIT. None
+    for an unparseable/empty marker (treated as unknown, never
+    crashes the data path)."""
+    try:
+        recdata = payload[40:]
+        _len, rp = _read_zigzag(recdata, 0)
+        rp += 1                                   # record attributes
+        _, rp = _read_zigzag(recdata, rp)          # timestampDelta
+        _, rp = _read_zigzag(recdata, rp)          # offsetDelta
+        klen, rp = _read_zigzag(recdata, rp)
+        if klen < 4:
+            return None
+        _version, ctype = struct.unpack_from(">hh", recdata, rp)
+        return ctype
+    except (IndexError, struct.error):
+        return None
+
+
+def decode_record_batches_ex(buf: bytes) -> tuple[
+        list[tuple[int, bytes | None, bytes | None]], int | None]:
+    """Like :func:`decode_record_batches`, but also returns the NEXT
+    fetch offset implied by the COMPLETE batches in the buffer
+    (``max(baseOffset + lastOffsetDelta + 1)``), or ``None`` when no
+    complete batch decoded. The next offset advances past CONTROL
+    batches (transaction markers) too — a consume loop that only
+    tracked data-record offsets stalls forever on a control-batch-only
+    response from an EOS producer, refetching the same offset."""
+    return decode_record_batches_committed(buf, None)
+
+
+def decode_record_batches_committed(
+    buf: bytes,
+    aborted: "list[tuple[int, int]] | None",
+) -> tuple[list[tuple[int, bytes | None, bytes | None]], int | None]:
+    """Decode with KIP-98 consumer-side aborted-transaction filtering.
+
+    ``aborted``: the fetch response's aborted-transactions list
+    [(producer_id, first_offset)] — ``None`` means read_uncommitted
+    (no filtering; every data record surfaces). With a list (possibly
+    empty), transactional batches whose producer has an aborted
+    transaction covering them are DROPPED, exactly like the Java
+    consumer: walking batches in offset order, a producer enters the
+    aborted set once the batch offset reaches its first_offset, and
+    leaves it at its ABORT control marker. Without this, a rolled-back
+    EOS transaction's records surface as data — phantom rows in a CDC
+    apply that no ClickHouse/JDBC target ever saw committed upstream.
+    next_off accounting is identical to
+    :func:`decode_record_batches_ex` (dropped batches still advance
+    the cursor)."""
+    out: list = []
+    next_off: int | None = None
+    pending = sorted(aborted or [], key=lambda ab: ab[1])
+    aborted_producers: set[int] = set()
+    i = 0
+    for base_offset, payload in _iter_complete_batches(buf):
         attrs, = struct.unpack_from(">h", payload, 0)
         last_delta, = struct.unpack_from(">i", payload, 2)
         batch_next = base_offset + last_delta + 1
         next_off = batch_next if next_off is None else max(next_off,
                                                            batch_next)
-        if attrs & 0x20:
-            # CONTROL batch (transaction commit/abort markers from an
-            # EOS producer): its records are protocol bookkeeping, not
-            # data — surfacing them would dead-letter (raw format) or
-            # corrupt (wal2json/debezium) one row per transaction.
-            # next_off already advanced past it above.
+        producer_id, = struct.unpack_from(">q", payload, 22)
+        while i < len(pending) and base_offset >= pending[i][1]:
+            aborted_producers.add(pending[i][0])
+            i += 1
+        if attrs & _ATTR_CONTROL:
+            # transaction marker: ends this producer's aborted window
+            # on ABORT; never surfaces as data either way
+            if (aborted is not None
+                    and _control_type(payload) == _CTRL_ABORT):
+                aborted_producers.discard(producer_id)
             continue
-        # post-CRC layout: attributes h(0) lastOffsetDelta i(2)
-        # firstTs q(6) maxTs q(14) producerId q(22) producerEpoch h(30)
-        # baseSequence i(32) recordCount i(36) records(40...)
-        count, = struct.unpack_from(">i", payload, 36)
-        recdata = _decompress_records(attrs & 0x07, payload[40:],
-                                      base_offset)
-        rp = 0
-        for _ in range(count):
-            rec_len, rp = _read_zigzag(recdata, rp)
-            rec_end = rp + rec_len
-            rp += 1                                   # attributes
-            _, rp = _read_zigzag(recdata, rp)          # timestampDelta
-            off_delta, rp = _read_zigzag(recdata, rp)
-            klen, rp = _read_zigzag(recdata, rp)
-            key = None if klen < 0 else recdata[rp:rp + klen]
-            rp += max(klen, 0)
-            vlen, rp = _read_zigzag(recdata, rp)
-            val = None if vlen < 0 else recdata[rp:rp + vlen]
-            rp = rec_end                               # skip headers
-            out.append((base_offset + off_delta, key, val))
+        if (aborted is not None and attrs & _ATTR_TRANSACTIONAL
+                and producer_id in aborted_producers):
+            continue  # rolled-back transactional data: drop pre-decode
+        _parse_records(payload, base_offset, out)
     return out, next_off
 
 
@@ -752,7 +825,8 @@ class KafkaSocketClient:
         raise KafkaWireError("Produce response missing the partition")
 
     def fetch(self, topic: str, partition: int, offset: int,
-              max_bytes: int = 1 << 20, max_wait_ms: int = 500
+              max_bytes: int = 1 << 20, max_wait_ms: int = 500,
+              isolation: str = "read_uncommitted"
               ) -> tuple[int, list[tuple[int, bytes | None, bytes | None]],
                          int | None]:
         """Assign+seek consume (B4): fetch from an explicit offset,
@@ -764,9 +838,23 @@ class KafkaSocketClient:
         :func:`decode_record_batches_ex`), or None when the response
         held no complete batch; loops should prefer
         :func:`fetch_progress`, which turns that contract into
-        guaranteed forward motion."""
+        guaranteed forward motion.
+
+        ``isolation="read_committed"``: KIP-98 transactional consume —
+        the returned watermark is the LAST STABLE OFFSET (records past
+        it belong to still-open transactions), and records from
+        ABORTED transactions are filtered out via the response's
+        aborted-transactions list (see
+        :func:`decode_record_batches_committed`). The default
+        read_uncommitted surfaces everything, matching kafka-python's
+        default and the reference's consumer."""
+        if isolation not in ("read_uncommitted", "read_committed"):
+            raise ValueError(
+                f"unsupported isolation {isolation!r} "
+                "(read_uncommitted | read_committed)")
+        committed = isolation == "read_committed"
         body = (struct.pack(">iiii", -1, max_wait_ms, 1, max_bytes)
-                + struct.pack(">b", 0)          # isolation: read_uncommitted
+                + struct.pack(">b", 1 if committed else 0)
                 + struct.pack(">i", 1) + _str(topic)
                 + struct.pack(">i", 1)
                 + struct.pack(">iqi", partition, offset, max_bytes))
@@ -776,9 +864,10 @@ class KafkaSocketClient:
             tname = r.string()
             for _ in range(r.i32()):
                 pid, err, hw = r.i32(), r.i16(), r.i64()
-                r.i64()                          # last_stable_offset
-                for _ in range(r.i32()):         # aborted transactions
-                    r.i64(), r.i64()
+                lso = r.i64()                    # last_stable_offset
+                n_aborted = r.i32()
+                aborted = [(r.i64(), r.i64())
+                           for _ in range(max(n_aborted, 0))]
                 record_set = r.nbytes() or b""
                 if tname == topic and pid == partition:
                     if err == _ERR_OFFSET_OUT_OF_RANGE:
@@ -789,6 +878,19 @@ class KafkaSocketClient:
                     if err:
                         raise KafkaWireError(
                             f"Fetch({topic}/{partition}@{offset}) error {err}")
+                    if committed:
+                        all_recs, next_off = decode_record_batches_committed(
+                            record_set, aborted)
+                        # records at/past the LSO belong to OPEN
+                        # transactions: not yet decided, must not
+                        # surface (the Java consumer buffers them; a
+                        # cursor-driven tail re-fetches once decided)
+                        eff_hw = lso if 0 <= lso <= hw else hw
+                        recs = [x for x in all_recs
+                                if offset <= x[0] < eff_hw]
+                        if next_off is not None:
+                            next_off = min(next_off, eff_hw)
+                        return eff_hw, recs, next_off
                     all_recs, next_off = decode_record_batches_ex(record_set)
                     recs = [x for x in all_recs if x[0] >= offset]
                     return hw, recs, next_off
@@ -796,7 +898,8 @@ class KafkaSocketClient:
 
     def fetch_progress(self, topic: str, partition: int, offset: int,
                        max_bytes: int = 1 << 20, max_wait_ms: int = 500,
-                       max_bytes_cap: int = 1 << 26
+                       max_bytes_cap: int = 1 << 26,
+                       isolation: str = "read_uncommitted"
                        ) -> tuple[int, list, int]:
         """Fetch with GUARANTEED forward motion — the primitive every
         consume loop should build on (found by the round-11 advice: a
@@ -823,7 +926,8 @@ class KafkaSocketClient:
         while True:
             hw, recs, next_off = self.fetch(topic, partition, offset,
                                             max_bytes=mb,
-                                            max_wait_ms=max_wait_ms)
+                                            max_wait_ms=max_wait_ms,
+                                            isolation=isolation)
             cur = offset
             if recs:
                 cur = recs[-1][0] + 1

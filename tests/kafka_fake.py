@@ -152,6 +152,11 @@ class FakeKafkaBroker(threading.Thread):
         self.log_end: dict[tuple[str, int], int] = {}
         #: first retained offset (retention truncation moves it up)
         self.log_start: dict[tuple[str, int], int] = {}
+        #: transactional bookkeeping: open txns {(topic,pid):
+        #: {producer_id: first_offset}}; decided aborts [(producer_id,
+        #: first_offset, marker_offset)]
+        self.open_txn: dict[tuple, dict[int, int]] = {}
+        self.aborted_txns: dict[tuple, list[tuple[int, int, int]]] = {}
         #: observability for asserts
         self.produce_crc_checked = 0
         self.api_requests: list[tuple[int, int]] = []
@@ -348,7 +353,7 @@ class FakeKafkaBroker(threading.Thread):
             return struct.pack(">i", n_topics) + body
         if api == 1:                           # Fetch v4
             req.i32(), req.i32(), req.i32(), req.i32()  # replica/wait/min/max
-            req.i8()                           # isolation
+            iso = req.i8()                     # isolation level
             n_topics = req.i32()
             body = b""
             for _ in range(n_topics):
@@ -358,7 +363,7 @@ class FakeKafkaBroker(threading.Thread):
                 for _ in range(n_parts):
                     pid, off, maxb = req.i32(), req.i64(), req.i32()
                     self.fetch_max_bytes.append(maxb)
-                    parts += self._fetch_one(topic, pid, off, maxb)
+                    parts += self._fetch_one(topic, pid, off, maxb, iso)
                 body += _s(topic) + struct.pack(">i", n_parts) + parts
             return (struct.pack(">i", 0)       # throttle
                     + struct.pack(">i", n_topics) + body)
@@ -446,7 +451,7 @@ class FakeKafkaBroker(threading.Thread):
             self.log_start[key] = offset
 
     def _fetch_one(self, topic: str, pid: int, offset: int,
-                   maxb: int = 1 << 20) -> bytes:
+                   maxb: int = 1 << 20, iso: int = 0) -> bytes:
         with self.lock:
             if topic not in self.topics or pid >= self.topics[topic]:
                 return struct.pack(">ihqqi", pid, 3, -1, -1, 0) + \
@@ -456,23 +461,44 @@ class FakeKafkaBroker(threading.Thread):
                 return (struct.pack(">ihqqi", pid, 6, -1, -1, 0)
                         + struct.pack(">i", -1))
             hw = self.log_end.get((topic, pid), 0)
+            lso = self._lso(topic, pid)
             if (offset < self.log_start.get((topic, pid), 0)
                     or offset > hw):
-                return (struct.pack(">ihqq", pid, 1, hw, hw)  # out of range
+                return (struct.pack(">ihqq", pid, 1, hw, lso)  # out of range
                         + struct.pack(">i", 0) + struct.pack(">i", -1))
             out = b""
+            lo_base = None
+            end = offset
             for b in self.logs.get((topic, pid), []):
                 base = struct.unpack(">q", b[:8])[0]
                 count = struct.unpack_from(">i", b, 57)[0]
                 if base + count <= offset:
                     continue
+                if iso == 1 and base >= lso:
+                    break  # read_committed never sees undecided data
                 if out and len(out) + len(b) > maxb:
                     break  # later batches wait for the next fetch
                 out += b
+                lo_base = base if lo_base is None else lo_base
+                end = base + count
             if self.strict_max_bytes:
                 out = out[:maxb]   # may tear the first batch mid-bytes
-            return (struct.pack(">ihqq", pid, 0, hw, hw)
-                    + struct.pack(">i", 0)     # no aborted txns
+            # aborted-transactions list (read_committed only), limited
+            # to txns OVERLAPPING the returned range [lo_base, end) —
+            # a txn entirely before it would leave its producer stuck
+            # in the client's aborted set (its marker is not in the
+            # response), wrongly dropping that producer's later
+            # committed batches
+            ab = b""
+            n_ab = 0
+            if iso == 1 and lo_base is not None:
+                for prod, first, marker in self.aborted_txns.get(
+                        (topic, pid), []):
+                    if first < end and marker >= lo_base:
+                        ab += struct.pack(">qq", prod, first)
+                        n_ab += 1
+            return (struct.pack(">ihqq", pid, 0, hw, lso)
+                    + struct.pack(">i", n_ab) + ab
                     + struct.pack(">i", len(out)) + out)
 
     def append_control(self, topic: str, pid: int) -> int:
@@ -489,3 +515,58 @@ class FakeKafkaBroker(threading.Thread):
         err, base = self._append(topic, pid, bytes(b))
         assert err == 0, f"append_control: broker error {err}"
         return base
+
+    # -- transactional fixtures ----------------------------------------------
+    #: wire offsets within a stored batch: attributes at 21 (payload 0),
+    #: producerId at 43 (payload 22), crc at 17 covering bytes 21..
+    def _patch_txn(self, b: bytearray, producer_id: int,
+                   extra_attrs: int) -> bytes:
+        attrs = struct.unpack_from(">h", b, 21)[0] | extra_attrs
+        struct.pack_into(">h", b, 21, attrs)
+        struct.pack_into(">q", b, 43, producer_id)
+        struct.pack_into(">I", b, 17, crc32c_bitwise(bytes(b[21:])))
+        return bytes(b)
+
+    def append_txn_batch(self, topic: str, pid: int, records,
+                         producer_id: int) -> int:
+        """Append a TRANSACTIONAL data batch (attrs bit 0x10, real
+        producerId) — the shape an EOS producer writes between
+        beginTransaction and commit/abort. Returns the base offset."""
+        from synch_spark.sources.kafka_socket import encode_record_batch
+
+        b = bytearray(encode_record_batch(records))
+        err, base = self._append(
+            topic, pid, self._patch_txn(b, producer_id, 0x10))
+        assert err == 0, f"append_txn_batch: broker error {err}"
+        with self.lock:
+            self.open_txn.setdefault((topic, pid), {}).setdefault(
+                producer_id, base)
+        return base
+
+    def append_txn_marker(self, topic: str, pid: int, producer_id: int,
+                          commit: bool) -> int:
+        """End producer_id's open transaction with a COMMIT or ABORT
+        control marker; an abort lands the txn in the partition's
+        aborted list (what read_committed fetches report)."""
+        from synch_spark.sources.kafka_socket import encode_record_batch
+
+        ctype = b"\x00\x01" if commit else b"\x00\x00"
+        b = bytearray(encode_record_batch([(b"\x00\x00" + ctype,
+                                            b"\x00\x00")]))
+        err, marker = self._append(
+            topic, pid, self._patch_txn(b, producer_id, 0x30))
+        assert err == 0, f"append_txn_marker: broker error {err}"
+        with self.lock:
+            first = self.open_txn.get((topic, pid), {}).pop(
+                producer_id, None)
+            if not commit and first is not None:
+                self.aborted_txns.setdefault((topic, pid), []).append(
+                    (producer_id, first, marker))
+        return marker
+
+    def _lso(self, topic: str, pid: int) -> int:
+        """Last stable offset: everything below it is decided — the
+        min first-offset of still-open transactions, else the hw."""
+        hw = self.log_end.get((topic, pid), 0)
+        open_firsts = list(self.open_txn.get((topic, pid), {}).values())
+        return min(open_firsts) if open_firsts else hw

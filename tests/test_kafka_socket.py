@@ -1301,3 +1301,174 @@ def test_crc32c_rfc3720_full_vector_table():
         # composed form drives the numpy path over the same content
         big = blob * 64
         assert crc32c(big) == _crc32c_pure(big) ^ 0xFFFFFFFF
+
+
+# -- read_committed isolation (KIP-98 consumer side) --------------------------
+def test_read_committed_filters_aborted_transactions(broker):
+    """A rolled-back EOS transaction's records must NOT surface as
+    data under read_committed — they are phantom rows no upstream
+    commit ever produced. Interleaved producers: P1 aborts, P2
+    commits; read_committed returns only P2's records (plus plain
+    batches), read_uncommitted (the default, kafka-python parity)
+    returns everything."""
+    with _client(broker) as c:
+        c.create_topic("tx")
+        c.produce("tx", 0, [(b"k", b"plain-0")])          # offset 0
+    broker.append_txn_batch("tx", 0, [(b"k", b"p1-a")], producer_id=7)
+    broker.append_txn_batch("tx", 0, [(b"k", b"p2-a")], producer_id=9)
+    broker.append_txn_batch("tx", 0, [(b"k", b"p1-b")], producer_id=7)
+    broker.append_txn_marker("tx", 0, 7, commit=False)    # P1 ABORTS
+    broker.append_txn_marker("tx", 0, 9, commit=True)     # P2 commits
+    with _client(broker) as c:
+        c.produce("tx", 0, [(b"k", b"plain-1")])          # offset 6
+
+    with _client(broker) as c:
+        hw, recs, nxt = c.fetch_progress("tx", 0, 0,
+                                         isolation="read_committed")
+        assert hw == 7 and nxt == 7
+        assert [v for _o, _k, v in recs] == [b"plain-0", b"p2-a",
+                                             b"plain-1"]
+        # default isolation still surfaces the aborted rows
+        _hw, all_recs, _n = c.fetch_progress("tx", 0, 0)
+        assert [v for _o, _k, v in all_recs] == [
+            b"plain-0", b"p1-a", b"p2-a", b"p1-b", b"plain-1"]
+
+
+def test_read_committed_second_txn_of_aborting_producer_survives(broker):
+    """The aborted window CLOSES at the abort marker: the same
+    producer's NEXT (committed) transaction must survive — the reason
+    brokers only report aborted txns overlapping the fetched range."""
+    with _client(broker) as c:
+        c.create_topic("tx2")
+    broker.append_txn_batch("tx2", 0, [(b"k", b"dead")], producer_id=5)
+    broker.append_txn_marker("tx2", 0, 5, commit=False)
+    broker.append_txn_batch("tx2", 0, [(b"k", b"alive")], producer_id=5)
+    broker.append_txn_marker("tx2", 0, 5, commit=True)
+    with _client(broker) as c:
+        _hw, recs, nxt = c.fetch_progress("tx2", 0, 0,
+                                          isolation="read_committed")
+        assert [v for _o, _k, v in recs] == [b"alive"] and nxt == 4
+        # and fetching from PAST the aborted txn works standalone
+        _hw, tail, _n = c.fetch_progress("tx2", 0, 2,
+                                         isolation="read_committed")
+        assert [v for _o, _k, v in tail] == [b"alive"]
+
+
+def test_read_committed_stops_at_lso_without_spinning(broker):
+    """An OPEN transaction holds the last stable offset down: a
+    read_committed consume sees only decided data, exits cleanly at
+    the LSO (no escalation spin, no phantom reads), and picks up the
+    rest once the transaction ends."""
+    with _client(broker) as c:
+        c.create_topic("open")
+        c.produce("open", 0, [(b"k", b"ok-0")])
+    broker.append_txn_batch("open", 0, [(b"k", b"undecided")],
+                            producer_id=3)
+    with _client(broker) as c:
+        hw, recs, nxt = c.fetch_progress("open", 0, 0,
+                                         isolation="read_committed")
+        assert hw == 1                       # LSO, not the real hw (2)
+        assert [v for _o, _k, v in recs] == [b"ok-0"] and nxt == 1
+        # cursor parked at the LSO: the next poll is a clean no-op
+        hw2, recs2, nxt2 = c.fetch_progress("open", 0, 1,
+                                            isolation="read_committed")
+        assert hw2 == 1 and recs2 == [] and nxt2 == 1
+    broker.append_txn_marker("open", 0, 3, commit=True)
+    with _client(broker) as c:
+        hw3, recs3, nxt3 = c.fetch_progress("open", 0, 1,
+                                            isolation="read_committed")
+        assert hw3 == 3 and [v for _o, _k, v in recs3] == [b"undecided"]
+        assert nxt3 == 3
+
+
+def test_distributed_read_read_committed_clamps_to_lso(spark, broker):
+    """The distributed wire read under read_committed: the plan clamps
+    pinned ends to the LSO (a range pinned past it would stall every
+    task on undecided data), aborted records never reach the frame,
+    and the committed cursor resumes cleanly after the txn decides."""
+    from synch_spark.broker import read_kafka_socket_distributed
+
+    with _client(broker) as c:
+        c.create_topic("dtx")
+        c.produce("dtx", 0, [(b"k", b"d0")])
+    broker.append_txn_batch("dtx", 0, [(b"k", b"rolled-back")],
+                            producer_id=11)
+    broker.append_txn_marker("dtx", 0, 11, commit=False)
+    with _client(broker) as c:
+        c.produce("dtx", 0, [(b"k", b"d3")])
+    broker.append_txn_batch("dtx", 0, [(b"k", b"pending")],
+                            producer_id=12)
+
+    df, ends = read_kafka_socket_distributed(
+        spark, f"127.0.0.1:{broker.port}", "dtx",
+        isolation="read_committed")
+    assert ends == {0: 4}                    # LSO: open txn at 4 excluded
+    assert [(r["offset"], r["value"]) for r in
+            df.orderBy("offset").collect()] == [(0, "d0"), (3, "d3")]
+
+    broker.append_txn_marker("dtx", 0, 12, commit=True)
+    df2, ends2 = read_kafka_socket_distributed(
+        spark, f"127.0.0.1:{broker.port}", "dtx", start_offsets=ends,
+        isolation="read_committed")
+    assert ends2 == {0: 6}
+    assert [(r["offset"], r["value"]) for r in df2.collect()] == \
+        [(4, "pending")]
+
+
+def test_cli_consume_isolation_read_committed(tmp_path, spark, broker):
+    """spark.kafka.isolation: read_committed end-to-end: the applied
+    table contains no phantom rows from the aborted transaction, and
+    the cursor still covers the full log (markers included)."""
+    import json as _json
+
+    import yaml
+
+    from synch_spark.cli import main
+    from synch_spark.sources.table import ParquetTable
+
+    bs = f"127.0.0.1:{broker.port}"
+    broker.topics["synch.db"] = 1
+
+    def ev(k):
+        return (None, _json.dumps(
+            {"schema": "db", "table": "t", "action": "insert",
+             "before": None, "after": _json.dumps({"k": k}),
+             "event_unixtime": 1000 + k}).encode())
+
+    with _client(broker) as c:
+        c.produce("synch.db", 0, [ev(0)])
+    broker.append_txn_batch("synch.db", 0, [ev(666)], producer_id=4)
+    broker.append_txn_marker("synch.db", 0, 4, commit=False)
+    with _client(broker) as c:
+        c.produce("synch.db", 0, [ev(1)])
+
+    cfg = {
+        "core": {"insert_num": 1000, "insert_interval": 1},
+        "source_dbs": [{"databases": [{"database": "db", "tables": [
+            {"table": "t", "pk": ["k"]}]}]}],
+        "spark": {
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "sources": {},
+            "value_schemas": {"db.t": {"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}}]}},
+            "kafka": {"bootstrap_servers": bs, "transport": "socket",
+                      "topic": "synch.db",
+                      "isolation": "read_committed"},
+        },
+    }
+    p = tmp_path / "synch.yaml"
+    p.write_text(yaml.dump(cfg))
+    assert main(["--config", str(p), "consume", "--available-now"]) == 0
+    rows = sorted(r["k"] for r in ParquetTable(
+        spark, str(tmp_path / "wh/db/t")).read().collect())
+    assert rows == [0, 1]                     # 666 never applied
+    cur = _json.loads(
+        (tmp_path / "wh" / "_kafka_socket_offsets.json").read_text())
+    assert cur == {"synch.db/0": 4}
+    # a bad isolation value is a config error, not a retry loop
+    cfg["spark"]["kafka"]["isolation"] = "exactly_once"
+    p.write_text(yaml.dump(cfg))
+    with pytest.raises(SystemExit, match="isolation"):
+        main(["--config", str(p), "consume", "--available-now"])
