@@ -136,27 +136,45 @@ def kafka_avro_payload(
     return events.mapInPandas(encode, "key string, value binary, topic string")
 
 
+def kafka_writer_options(bootstrap_servers: str,
+                         security_options: dict | None = None
+                         ) -> dict[str, str]:
+    """The exact option map the connector writers configure — pure, so
+    the contract (bootstrap + kafka.* security client configs) is
+    testable without the jar, like kafka_source_options."""
+    opts = {"kafka.bootstrap.servers": bootstrap_servers}
+    opts.update(security_options or {})
+    return opts
+
+
 def kafka_writer(
     events: DataFrame,
     bootstrap_servers: str,
     queue_prefix: str = "synch",
+    security_options: dict | None = None,
 ):
     """Configured (not yet executed) Kafka batch writer for an event
     frame. Call ``.save()`` to produce; requires the
-    spark-sql-kafka-0-10 connector on the classpath."""
-    return (
-        kafka_payload(events, queue_prefix)
-        .write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-    )
+    spark-sql-kafka-0-10 connector on the classpath.
+    ``security_options``: kafka.* client configs (see
+    streaming.pipeline.kafka_security_options)."""
+    w = kafka_payload(events, queue_prefix).write.format("kafka")
+    for k, v in kafka_writer_options(bootstrap_servers,
+                                     security_options).items():
+        w = w.option(k, v)
+    return w
 
 
-def kafka_writer_raw(payload: DataFrame, bootstrap_servers: str):
+def kafka_writer_raw(payload: DataFrame, bootstrap_servers: str,
+                     security_options: dict | None = None):
     """Kafka batch writer for an ALREADY-SHAPED payload frame (key,
     value, topic) — the debezium-avro produce path, whose value is
     binary, not the engine's JSON."""
-    return (payload.write.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers))
+    w = payload.write.format("kafka")
+    for k, v in kafka_writer_options(bootstrap_servers,
+                                     security_options).items():
+        w = w.option(k, v)
+    return w
 
 
 def produce_to_kafka_socket(
@@ -311,12 +329,14 @@ def consume_from_kafka_socket(
 
 
 def produce_to_kafka(
-    events: DataFrame, bootstrap_servers: str, queue_prefix: str = "synch"
+    events: DataFrame, bootstrap_servers: str, queue_prefix: str = "synch",
+    security_options: dict | None = None,
 ) -> None:
     """Execute the Kafka produce; raise a clear error when the connector
     jar is absent (the baked-in pyspark ships without it)."""
     try:
-        kafka_writer(events, bootstrap_servers, queue_prefix).save()
+        kafka_writer(events, bootstrap_servers, queue_prefix,
+                     security_options).save()
     except Exception as e:  # noqa: BLE001 — translate the classpath failure
         if "kafka" in str(e).lower() and (
             "Failed to find" in str(e) or "ClassNotFound" in str(e)

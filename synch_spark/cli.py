@@ -1021,6 +1021,15 @@ def _source_path(raw, name: str, cmd: str) -> str:
     return path
 
 
+def _kafka_security(kconf) -> dict:
+    """Portable spark.kafka security keys -> connector kafka.* options
+    (streaming.pipeline.kafka_security_options), shared by every
+    connector-path produce/consume entry point."""
+    from synch_spark.streaming.pipeline import kafka_security_options
+
+    return kafka_security_options(kconf)
+
+
 def _produce_kafka_events(events, kconf) -> None:
     """Shared produce dispatch for the engine-JSON kafka sink (both
     cmd_produce and _emit_to_sink route through here so the transport
@@ -1051,7 +1060,8 @@ def _produce_kafka_events(events, kconf) -> None:
             compression=kconf.get("compression", "none"))
     else:
         produce_to_kafka(events, kconf["bootstrap_servers"],
-                         kconf.get("queue_prefix", "synch"))
+                         kconf.get("queue_prefix", "synch"),
+                         security_options=_kafka_security(kconf))
 
 
 def _emit_to_sink(spark, raw, events, sink: str, basename: str) -> int:
@@ -1129,8 +1139,9 @@ def _emit_to_sink(spark, raw, events, sink: str, basename: str) -> int:
                         f"{missing} — set spark.kafka.produce_schema_ids "
                         "or spark.kafka.avro_schema_registry")
                 payload = kafka_avro_payload(events, vschemas, ids, prefix)
-                kafka_writer_raw(payload,
-                                 kconf["bootstrap_servers"]).save()
+                kafka_writer_raw(
+                    payload, kconf["bootstrap_servers"],
+                    security_options=_kafka_security(kconf)).save()
             else:
                 _produce_kafka_events(events, kconf)
         elif sink == "redis":
@@ -1551,6 +1562,9 @@ def cmd_consume(args) -> int:
             # path)
             avro_registry_url=kconf.get("avro_schema_registry"),
             avro_registry_ca=kconf.get("avro_schema_registry_ca"),
+            # portable spark.kafka security keys -> kafka.* client
+            # options (one config vocabulary across both transports)
+            security_options=_kafka_security(kconf),
         )
     else:
         q = pipe.start_file_stream(

@@ -700,8 +700,14 @@ class CdcPipeline:
         avro_schemas: dict | None = None,
         avro_registry_url: str | None = None,
         avro_registry_ca: str | None = None,
+        security_options: dict | None = None,
     ):
         """Kafka consumer (B3/B4 parity): value is the JSON raw event.
+
+        ``security_options``: extra reader options (``kafka.*`` client
+        configs) — build them from the portable spark.kafka security
+        keys with :func:`kafka_security_options` so the connector and
+        socket transports share one config vocabulary.
 
         insert_num -> maxOffsetsPerTrigger; insert_interval ->
         ProcessingTime trigger — the reference's flush policy
@@ -773,6 +779,7 @@ class CdcPipeline:
             max_offsets_per_trigger or self.cfg.insert_num,
             assign_partitions, starting_offsets,
         )
+        opts.update(security_options or {})
         try:
             reader = self.spark.readStream.format("kafka")
             for k, v in opts.items():
@@ -899,6 +906,76 @@ def kafka_source_options(
             if isinstance(starting_offsets, str)
             else _json.dumps(starting_offsets, separators=(",", ":"))
         )
+    return opts
+
+
+def _jaas_quote(v: str) -> str:
+    """A value inside a JAAS config double-quoted string: backslashes
+    and quotes escape; anything else passes through."""
+    return v.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def kafka_security_options(kconf: dict) -> dict[str, str]:
+    """The PORTABLE spark.kafka security keys (ssl_mode / ssl_ca /
+    sasl_mechanism / sasl_username / sasl_password — the vocabulary the
+    socket transport speaks natively) translated to spark-sql-kafka
+    CONNECTOR options, so ONE config block drives both transports
+    against the same SASL_SSL cluster:
+
+    - security.protocol from (sasl?, tls?): SASL_SSL / SASL_PLAINTEXT /
+      SSL / PLAINTEXT.
+    - sasl.mechanism + a Plain/ScramLoginModule jaas.config carrying
+      the credentials (JAAS-quoted).
+    - ssl_ca → a PEM truststore (``ssl.truststore.type: PEM``, the
+      JVM client's native PEM support); ssl_mode require/verify-ca
+      clear ``ssl.endpoint.identification.algorithm`` (the JVM knob
+      only controls HOSTNAME checking — chain verification always
+      runs against the truststore, so 'require' is approximated by
+      verify-ca semantics there; the socket transport honors the
+      exact libpq meaning).
+    - ``spark.kafka.options: {...}``: verbatim passthrough for any
+      other client config (auto-prefixed ``kafka.``), e.g.
+      ssl.keystore.* for mTLS.
+
+    Pure (no jar needed): unit-testable exactly like
+    :func:`kafka_source_options`."""
+    opts: dict[str, str] = {}
+    ssl_mode = kconf.get("ssl_mode", "disable") or "disable"
+    sasl = kconf.get("sasl_mechanism")
+    tls = ssl_mode != "disable"
+    proto = ("SASL_SSL" if sasl and tls
+             else "SASL_PLAINTEXT" if sasl
+             else "SSL" if tls else "PLAINTEXT")
+    if proto != "PLAINTEXT":
+        opts["kafka.security.protocol"] = proto
+    if tls:
+        if ssl_mode in ("require", "verify-ca"):
+            opts["kafka.ssl.endpoint.identification.algorithm"] = ""
+        if kconf.get("ssl_ca"):
+            opts["kafka.ssl.truststore.type"] = "PEM"
+            opts["kafka.ssl.truststore.location"] = str(kconf["ssl_ca"])
+    if sasl:
+        if sasl not in ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"):
+            raise ValueError(
+                f"unsupported sasl_mechanism {sasl!r} "
+                "(PLAIN | SCRAM-SHA-256 | SCRAM-SHA-512)")
+        user = kconf.get("sasl_username")
+        pwd = kconf.get("sasl_password")
+        if user is None or pwd is None:
+            raise ValueError(
+                f"sasl_mechanism={sasl} needs sasl_username and "
+                "sasl_password")
+        module = (
+            "org.apache.kafka.common.security.plain.PlainLoginModule"
+            if sasl == "PLAIN" else
+            "org.apache.kafka.common.security.scram.ScramLoginModule")
+        opts["kafka.sasl.mechanism"] = sasl
+        opts["kafka.sasl.jaas.config"] = (
+            f'{module} required username="{_jaas_quote(user)}" '
+            f'password="{_jaas_quote(pwd)}";')
+    for k, v in (kconf.get("options") or {}).items():
+        key = k if str(k).startswith("kafka.") else f"kafka.{k}"
+        opts[key] = str(v)
     return opts
 
 

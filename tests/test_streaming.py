@@ -734,3 +734,78 @@ def test_file_stream_archive_dir_inside_source_refused(spark, tmp_path,
                                    clean_source="archive",
                                    archive_dir=str(ok_dir))
     q.awaitTermination(60)
+
+
+def test_kafka_security_options_mapping():
+    """The portable spark.kafka security keys (the socket transport's
+    native vocabulary) translate to spark-sql-kafka CONNECTOR client
+    options, so one config block drives both transports — pure,
+    contract-tested without the jar."""
+    import pytest
+
+    from synch_spark.streaming.pipeline import kafka_security_options
+
+    # plaintext, no auth: NO options injected (existing configs inert)
+    assert kafka_security_options({"bootstrap_servers": "b:9092"}) == {}
+    # SASL_SSL SCRAM — the managed-cluster shape
+    opts = kafka_security_options({
+        "ssl_mode": "verify-full", "ssl_ca": "/etc/ca.pem",
+        "sasl_mechanism": "SCRAM-SHA-512",
+        "sasl_username": "cdc", "sasl_password": 'p"w\\d'})
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    assert opts["kafka.sasl.mechanism"] == "SCRAM-SHA-512"
+    assert opts["kafka.ssl.truststore.type"] == "PEM"
+    assert opts["kafka.ssl.truststore.location"] == "/etc/ca.pem"
+    # JAAS quoting: the password's quote and backslash escape
+    assert opts["kafka.sasl.jaas.config"] == (
+        "org.apache.kafka.common.security.scram.ScramLoginModule "
+        'required username="cdc" password="p\\"w\\\\d";')
+    # verify-full keeps hostname checking (no algorithm override)
+    assert "kafka.ssl.endpoint.identification.algorithm" not in opts
+    # require/verify-ca disable hostname checking only
+    opts2 = kafka_security_options({"ssl_mode": "require"})
+    assert opts2["kafka.security.protocol"] == "SSL"
+    assert opts2["kafka.ssl.endpoint.identification.algorithm"] == ""
+    # SASL without TLS -> SASL_PLAINTEXT; PLAIN -> PlainLoginModule
+    opts3 = kafka_security_options({
+        "sasl_mechanism": "PLAIN", "sasl_username": "u",
+        "sasl_password": "p"})
+    assert opts3["kafka.security.protocol"] == "SASL_PLAINTEXT"
+    assert "plain.PlainLoginModule" in opts3["kafka.sasl.jaas.config"]
+    # verbatim passthrough, auto-prefixed
+    opts4 = kafka_security_options({"options": {
+        "ssl.keystore.location": "/etc/client.p12",
+        "kafka.request.timeout.ms": 5000}})
+    assert opts4["kafka.ssl.keystore.location"] == "/etc/client.p12"
+    assert opts4["kafka.request.timeout.ms"] == "5000"
+    # config mistakes are loud
+    with pytest.raises(ValueError, match="sasl_username"):
+        kafka_security_options({"sasl_mechanism": "PLAIN"})
+    with pytest.raises(ValueError, match="unsupported"):
+        kafka_security_options({"sasl_mechanism": "GSSAPI",
+                                "sasl_username": "u",
+                                "sasl_password": "p"})
+
+
+def test_kafka_writer_options_carry_security():
+    """The connector writers configure exactly kafka_writer_options —
+    a pure map, contract-testable without the jar (the
+    kafka_source_options pattern); reader options merge the same
+    security map after the source options."""
+    from synch_spark.broker import kafka_writer_options
+    from synch_spark.streaming.pipeline import (
+        kafka_security_options,
+        kafka_source_options,
+    )
+
+    sec = kafka_security_options({
+        "sasl_mechanism": "SCRAM-SHA-256", "sasl_username": "u",
+        "sasl_password": "p", "ssl_mode": "verify-full"})
+    w = kafka_writer_options("b:9092", sec)
+    assert w["kafka.bootstrap.servers"] == "b:9092"
+    assert w["kafka.security.protocol"] == "SASL_SSL"
+    assert "ScramLoginModule" in w["kafka.sasl.jaas.config"]
+    r = kafka_source_options("b:9092", "t", 100)
+    r.update(sec)
+    assert r["kafka.security.protocol"] == "SASL_SSL"
+    assert r["subscribe"] == "t"
