@@ -538,10 +538,14 @@ def read_kafka_socket_distributed(
         by_leader.setdefault(leaders[p], []).append(p)
     # offset planning per LEADER connection: like Fetch, ListOffsets is
     # answered only by each partition's leader on a multi-broker cluster
+    # plan-time offset discovery is BATCHED per leader connection —
+    # O(leaders) round trips, not O(partitions): a 10k-partition topic
+    # must not pay 20-30k RTTs before the first task launches
     for (lhost, lport), plist in by_leader.items():
         with KafkaSocketClient(lhost, lport, **sec) as lc:
+            earliests = lc.list_offsets_many(topic, plist, -2)
             for p in plist:
-                earliest = lc.list_offsets(topic, p, -2)
+                earliest = earliests[p]
                 if p not in starts:
                     starts[p] = earliest
                 elif starts[p] < earliest:
@@ -555,19 +559,21 @@ def read_kafka_socket_distributed(
                           f"{earliest} ({earliest - starts[p]} offsets "
                           "lost)", file=sys.stderr)
                     starts[p] = earliest
-                if p not in ends:
-                    ends[p] = lc.list_offsets(topic, p, -1)
-                if isolation == "read_committed" and ends[p] > starts[p]:
-                    # clamp the pinned end to the LAST STABLE OFFSET:
-                    # ListOffsets v1 knows only the hw, and a range
-                    # pinned past the LSO would make every task stall
-                    # on undecided (open-transaction) data. One tiny
-                    # fetch per partition learns it (fetch returns the
-                    # LSO as the effective watermark in committed mode)
-                    lso = lc.fetch(topic, p, starts[p], max_bytes=64,
-                                   max_wait_ms=0,
-                                   isolation="read_committed")[0]
-                    ends[p] = min(ends[p], max(lso, starts[p]))
+            need_latest = [p for p in plist if p not in ends]
+            latests = lc.list_offsets_many(topic, need_latest, -1)
+            for p in need_latest:
+                ends[p] = latests[p]
+            if isolation == "read_committed":
+                # clamp the pinned ends to the LAST STABLE OFFSET:
+                # ListOffsets v1 knows only the hw, and a range pinned
+                # past the LSO would make every task stall on undecided
+                # (open-transaction) data — one batched probe fetch per
+                # leader learns them all
+                probe = [p for p in plist if ends[p] > starts[p]]
+                lsos = lc.last_stable_offsets(topic, probe, starts)
+                for p in probe:
+                    ends[p] = min(ends[p], max(lsos[p], starts[p]))
+            for p in plist:
                 if max_per_partition is not None:
                     ends[p] = min(ends[p], starts[p] + max_per_partition)
     ranges = [(p, starts[p], ends[p]) for p in pids if ends[p] > starts[p]]

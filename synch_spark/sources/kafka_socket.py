@@ -950,18 +950,83 @@ class KafkaSocketClient:
         earliest (log start after retention), -1 = latest (next offset
         to be assigned = high watermark). The reseek primitive for a
         cursor that fell off the retained log."""
+        return self.list_offsets_many(topic, [partition],
+                                      timestamp)[partition]
+
+    def list_offsets_many(self, topic: str, partitions, timestamp: int = -2
+                          ) -> dict[int, int]:
+        """Batched ListOffsets: ALL of this leader's partitions in one
+        request — offset planning for a 10k-partition topic must cost
+        O(leaders) round trips, not O(partitions) (the wire protocol
+        batches natively; issuing per-partition requests threw that
+        away)."""
+        partitions = list(partitions)
+        if not partitions:
+            return {}
         body = (struct.pack(">i", -1)            # replica_id
                 + struct.pack(">i", 1) + _str(topic)
-                + struct.pack(">i", 1)
-                + struct.pack(">iq", partition, timestamp))
+                + struct.pack(">i", len(partitions))
+                + b"".join(struct.pack(">iq", p, timestamp)
+                           for p in partitions))
         r = self._request(_API_LIST_OFFSETS, 1, body)
+        out: dict[int, int] = {}
         for _ in range(r.i32()):
             tname = r.string()
             for _ in range(r.i32()):
                 pid, err, _ts, off = r.i32(), r.i16(), r.i64(), r.i64()
-                if tname == topic and pid == partition:
-                    if err:
-                        raise KafkaWireError(
-                            f"ListOffsets({topic}/{partition}) error {err}")
-                    return off
-        raise KafkaWireError("ListOffsets response missing the partition")
+                if tname != topic:
+                    continue
+                if err:
+                    raise KafkaWireError(
+                        f"ListOffsets({topic}/{pid}) error {err}")
+                out[pid] = off
+        missing = set(partitions) - set(out)
+        if missing:
+            raise KafkaWireError(
+                f"ListOffsets response missing partitions {sorted(missing)}")
+        return out
+
+    def last_stable_offsets(self, topic: str, partitions,
+                            offsets: dict[int, int]) -> dict[int, int]:
+        """Each partition's LAST STABLE OFFSET via ONE read_committed
+        Fetch over all of this leader's partitions (tiny max_bytes,
+        zero wait — the record bytes are discarded; only the LSO field
+        matters). The committed-mode end-planning primitive:
+        ListOffsets v1 knows only the high watermark. A partition whose
+        probe offset fell out of range reports its high watermark
+        (planning clamps starts before probing, so this only covers
+        races)."""
+        partitions = list(partitions)
+        if not partitions:
+            return {}
+        body = (struct.pack(">iiii", -1, 0, 1, 64)
+                + struct.pack(">b", 1)           # isolation: read_committed
+                + struct.pack(">i", 1) + _str(topic)
+                + struct.pack(">i", len(partitions))
+                + b"".join(struct.pack(">iqi", p, offsets.get(p, 0), 64)
+                           for p in partitions))
+        r = self._request(_API_FETCH, 4, body)
+        r.i32()                                  # throttle_time_ms
+        out: dict[int, int] = {}
+        for _ in range(r.i32()):
+            tname = r.string()
+            for _ in range(r.i32()):
+                pid, err, hw = r.i32(), r.i16(), r.i64()
+                lso = r.i64()
+                for _ in range(max(r.i32(), 0)):  # aborted txns
+                    r.i64(), r.i64()
+                r.nbytes()                       # record_set: discarded
+                if tname != topic:
+                    continue
+                if err == _ERR_OFFSET_OUT_OF_RANGE:
+                    out[pid] = hw
+                    continue
+                if err:
+                    raise KafkaWireError(
+                        f"Fetch-LSO({topic}/{pid}) error {err}")
+                out[pid] = lso if 0 <= lso <= hw else hw
+        missing = set(partitions) - set(out)
+        if missing:
+            raise KafkaWireError(
+                f"Fetch-LSO response missing partitions {sorted(missing)}")
+        return out

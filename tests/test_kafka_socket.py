@@ -1472,3 +1472,30 @@ def test_cli_consume_isolation_read_committed(tmp_path, spark, broker):
     p.write_text(yaml.dump(cfg))
     with pytest.raises(SystemExit, match="isolation"):
         main(["--config", str(p), "consume", "--available-now"])
+
+
+def test_plan_time_offset_discovery_is_batched(spark, broker):
+    """Plan-time offset discovery costs O(leaders) wire round trips,
+    not O(partitions): one ListOffsets request covers every partition
+    of a leader (earliest), one more the latests, one batched probe
+    fetch the LSOs — a 10k-partition topic must not pay 20-30k RTTs
+    before the first task launches."""
+    from synch_spark.broker import read_kafka_socket_distributed
+
+    with _client(broker) as c:
+        c.create_topic("wide", num_partitions=6)
+        for p in range(6):
+            c.produce("wide", p, [(b"k", b"v%d" % p)])
+    broker.api_requests.clear()
+    df, ends = read_kafka_socket_distributed(
+        spark, f"127.0.0.1:{broker.port}", "wide",
+        isolation="read_committed")
+    assert ends == {p: 1 for p in range(6)}
+    assert df.count() == 6
+    # driver-side planning: 1 metadata + 1 earliest + 1 latest +
+    # 1 LSO probe = 2 ListOffsets and at most 1 plan-time Fetch beyond
+    # the 6 executor-task fetches
+    lo_reqs = [a for a, _v in broker.api_requests if a == 2]
+    assert len(lo_reqs) == 2
+    fetches = [a for a, _v in broker.api_requests if a == 1]
+    assert len(fetches) <= 1 + 6
