@@ -19,7 +19,7 @@ Everything is Column algebra (codegen); no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from synch_spark.operators.text import fingerprint, tokens
 
@@ -174,16 +174,27 @@ def _gram_overlap(df, text_col, id_col, n, probe_filter, symmetric,
     broadcast scalar), so no eager driver action and the same lazy
     DataFrame contract. None disables the guard entirely.
 
-    Plan shape (bounded case): POSTING LISTS, not a self-join. The raw
-    gram TEXT — the widest data in the pipeline — is shuffled twice
-    (frequency prefilter, list build) instead of four times
-    (frequency, sizes, join-left, join-right), pairs explode from each
-    capped list in-row (two-level Generate keeps per-row memory O(cap),
-    never the flattened cap^2), and sizes derive from the compact
-    lists. ~30% faster at sf0.1 and strictly fewer bytes shuffled at
-    scale. max_df=None keeps the self-join form: an unbounded posting
-    list would concentrate a whole-corpus gram into one aggregation
-    buffer — exactly the OOM the cap exists to prevent."""
+    Plan shape (bounded case): POSTING LISTS, not a self-join. The gram
+    relation — the widest data in the pipeline — is computed ONCE and
+    crosses exactly two exchanges (the shingle distinct and the
+    gram-keyed window/list build, which share one partitioning): the
+    per-gram document frequency is a window count over the same
+    gram-keyed exchange that builds the posting lists, so the old
+    count-then-semi-join prefilter (which recomputed the shingle
+    pipeline and shuffled it twice more) disappears. A whole-corpus
+    gram costs the window a large sorted group, which WindowExec spills
+    to disk — unlike a collect_list aggregation buffer, which is the
+    OOM the cap exists to prevent; the capped filter runs BEFORE the
+    list build so no posting buffer ever exceeds max_df ids. Pairs
+    explode from each capped list in-row (two-level Generate keeps
+    per-row memory O(cap), never the flattened cap^2), and sizes derive
+    from the compact lists. The finished posting lists are
+    lazily localCheckpoint-ed: both downstream consumers (intersection
+    counts and the two size-join sides) read the materialized capped
+    lists — bounded, far narrower than the raw grams — instead of each
+    re-running the gram sort/window/aggregate. max_df=None keeps the
+    self-join form: an unbounded posting list would concentrate a
+    whole-corpus gram into one aggregation buffer."""
     sh = shingles(df, text_col, id_col, n)
     pair_pred = ((lambda a, b: a < b) if symmetric
                  else (lambda a, b: a != b))
@@ -200,6 +211,8 @@ def _gram_overlap(df, text_col, id_col, n, probe_filter, symmetric,
             .agg(F.count(F.lit(1)).alias("inter"))
         )
         return sizes, inter
+    by_gram = Window.partitionBy("shingle")
+    cnt = sh.withColumn("_df", F.count(F.lit(1)).over(by_gram))
     if max_df == "auto":
         n_docs = df.select(F.count(F.lit(1)).alias("_ndocs"))
         cap = F.least(
@@ -210,25 +223,16 @@ def _gram_overlap(df, text_col, id_col, n, probe_filter, symmetric,
             ),
             F.lit(int(_AUTO_MAX_DF_CEIL)),
         )
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .crossJoin(F.broadcast(n_docs))
-            .filter(F.col("_df") <= cap)
-            .select("shingle")
-        )
+        shf = (cnt.crossJoin(F.broadcast(n_docs))
+               .filter(F.col("_df") <= cap)
+               .select("id", "shingle"))
     else:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("shingle")
-        )
-    shf = sh.join(rare, "shingle", "left_semi")
+        shf = cnt.filter(F.col("_df") <= max_df).select("id", "shingle")
     # one list per surviving gram; sorted so slice-by-position generates
     # each unordered pair exactly once in the symmetric case
     posts = shf.groupBy("shingle").agg(
         F.array_sort(F.collect_list("id")).alias("ids"))
+    posts = posts.localCheckpoint(eager=False)
     sizes = (posts.select(F.explode("ids").alias("id"))
              .groupBy("id").agg(F.count(F.lit(1)).alias("sz")))
     lvl1 = posts.select(F.posexplode("ids").alias("_i", "a"), F.col("ids"))

@@ -15,10 +15,15 @@ oracle-checkable:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import functions as F
 
 from synch_spark.operators import dedup, similarity, text
 from synch_spark.plans.relational import DEC, _t
+
+
+_SPREAD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _spread(spark, sf_dir, name):
@@ -32,11 +37,22 @@ def _spread(spark, sf_dir, name):
     cluster: an explicit round-robin repartition is a cheap one-time
     shuffle of the raw rows that buys full map parallelism. Skipped when
     the scan already has enough splits.
+
+    The decision (and the resulting LAZY plan) is memoized per session:
+    ``df.rdd.getNumPartitions()`` compiles the scan to an RDD on the
+    driver (~50 ms) and ~60 bench queries would each redo it for the
+    same immutable fixture table. Plan-only reuse — every action still
+    scans the parquet inputs (see ``_t``).
     """
-    df = _t(spark, sf_dir, name)
-    want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        df = df.repartition(want)
+    cache = _SPREAD_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = _t(spark, sf_dir, name)
+        want = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < want:
+            df = df.repartition(want)
+        cache[key] = df
     return df
 
 
@@ -822,6 +838,9 @@ def q103_unigram_surprisal(spark, sf_dir):
         docs.select("doc_id", F.explode(text.tokens("text")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
+        # the compact (doc, token) proxy feeds the LM fold AND the
+        # scoring join — materialize once, lazily (q127's shape)
+        .localCheckpoint(eager=False)
     )
     tf = dtf.groupBy("w").agg(F.sum("c").alias("cnt"))
     total = tf.agg(F.sum("cnt").alias("total"))
@@ -889,28 +908,38 @@ def q127_bigram_surprisal(spark, sf_dir):
     lam = BIGRAM_LAMBDA
     base = docs.select("doc_id", text.tokens("text").alias("_toks"))
     toks = F.col("_toks")
-    bi = F.when(
-        F.size(toks) >= 2,
+    # ONE explode covers both LMs: position i emits (u = token i-1, or
+    # NULL at i = 1; v = token i), so every token occurrence appears
+    # exactly once as v (the unigram stream) and every bigram once as
+    # (u, v) with u non-null. The single (doc, u, v) aggregate is the
+    # compact proxy all three consumers need — the unigram LM folds from
+    # it by v, the bigram LM by (u, v) — so the corpus is scanned and
+    # tokenized ONCE and only one exchange ever carries bigram text
+    # (the old shape paid a second tokenize+explode+exchange for the
+    # unigram branch). Lazily checkpointed: its consumers (uni, c2/ch,
+    # the scoring join) otherwise each re-run the explode+aggregate.
+    pos_pairs = F.when(
+        F.size(toks) >= 1,
         F.transform(
-            F.sequence(F.lit(2), F.size(toks)),
+            F.sequence(F.lit(1), F.size(toks)),
             lambda i: F.struct(
-                F.element_at(toks, i - 1).alias("u"),
+                F.when(i >= 2, F.element_at(toks, i - 1)).alias("u"),
                 F.element_at(toks, i).alias("v"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
-    dbc = (
-        base.select("doc_id", F.explode(bi).alias("_b"))
+    dbc_all = (
+        base.select("doc_id", F.explode(pos_pairs).alias("_b"))
         .select("doc_id", F.col("_b.u").alias("u"), F.col("_b.v").alias("v"))
         .groupBy("doc_id", "u", "v")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
+    dbc = dbc_all.filter(F.col("u").isNotNull())
     c2 = dbc.groupBy("u", "v").agg(F.sum("c").alias("c2"))
     ch = c2.groupBy("u").agg(F.sum("c2").alias("ch"))
-    uni = (
-        base.select("doc_id", F.explode(toks).alias("w"))
-        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    uni = dbc_all.groupBy(F.col("v").alias("w")).agg(
+        F.sum("c").alias("cnt"))
     total = uni.agg(F.sum("cnt").alias("total"))
     p = (F.lit(lam) * (F.col("c2").cast("double") / F.col("ch"))
          + F.lit(1.0 - lam) * (F.col("cnt").cast("double") / F.col("total")))

