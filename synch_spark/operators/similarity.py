@@ -79,11 +79,22 @@ def _safe_div(num, denom, otherwise):
 def _decimal_rescore(cand: DataFrame) -> DataFrame:
     """Exact decimal cosine on (_pv, _cv) candidate rows -> `cosine`.
     Pairs involving a zero vector get cosine NULL (mathematically
-    undefined); NULL sorts last under Spark's desc ordering."""
+    undefined); NULL sorts last under Spark's desc ordering.
+
+    When the caller carries precomputed ``_pn2`` / ``_cn2`` columns
+    (the decimal norm2 of each SIDE, attached before the pair join),
+    they are reused: a norm depends on one vector, not the pair, so
+    computing it per pair multiplies the interpreted decimal fold —
+    the dominant per-row cost — by ~3x on exhaustive candidate sets
+    (n_pairs >> n_rows). Values are identical either way."""
+    pn = (F.col("_pn2") if "_pn2" in cand.columns
+          else _norm2_dec(F.col("_pv")))
+    cn = (F.col("_cn2") if "_cn2" in cand.columns
+          else _norm2_dec(F.col("_cv")))
     return (
         cand.withColumn("_dot", _dot_dec(F.col("_pv"), F.col("_cv")))
-        .withColumn("_pn", _norm2_dec(F.col("_pv")))
-        .withColumn("_cn", _norm2_dec(F.col("_cv")))
+        .withColumn("_pn", pn)
+        .withColumn("_cn", cn)
         .withColumn(
             "cosine",
             _safe_div(
@@ -241,12 +252,19 @@ def ann_topk_lsh(
         .select("probe_id", "neighbor_id")
         .distinct()
     )
+    # decimal norms attached per SIDE before the pair join: one fold per
+    # corpus/probe row instead of one per candidate pair (see
+    # _decimal_rescore — with zero planes the candidate set is the full
+    # cross of bucket mates, so per-pair norms would triple the
+    # dominant decimal work)
     cand = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .withColumn("_cn2", _norm2_dec(F.col("_cv")))
         .join(F.broadcast(cand_ids), "neighbor_id")
         .join(
             F.broadcast(
                 probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"))
+                .withColumn("_pn2", _norm2_dec(F.col("_pv")))
             ),
             "probe_id",
         )
@@ -358,16 +376,22 @@ def ann_topk_ivf(
         from synch_spark.operators.vector_index import ivf_refine
 
         cents = ivf_refine(corpus, cents, vec_col, id_col, iters=refine_iters)
+    # decimal norms attached per SIDE after assignment, before the pair
+    # join: one fold per row instead of one per (probe, neighbor) pair
+    # (at nprobe == num_centroids the join is the full cross — per-pair
+    # norms would triple the dominant decimal work; see _decimal_rescore)
     corpus_b = ivf_assign(
         corpus.filter(_finite_vec(F.col(vec_col)))
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
         cents, "_cv", "neighbor_id", nprobe=1,
-    ).select("neighbor_id", "_cv", "_cid")
+    ).select("neighbor_id", "_cv", "_cid").withColumn(
+        "_cn2", _norm2_dec(F.col("_cv")))
     probes_b = ivf_assign(
         probes.filter(_finite_vec(F.col(vec_col)))
         .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")),
         cents, "_pv", "probe_id", nprobe=nprobe,
-    ).select("probe_id", "_pv", "_cid")
+    ).select("probe_id", "_pv", "_cid").withColumn(
+        "_pn2", _norm2_dec(F.col("_pv")))
     # no distinct(): the corpus side is assigned with nprobe=1, so a
     # (probe, neighbor) pair can share at most ONE _cid — the join emits
     # each pair exactly once, and a distinct here would be a full

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from synch_spark.operators.similarity import (
     _decimal_rescore,
     _dot_int,
+    _norm2_dec,
     _safe_div,
     ivf_assign,
     ivf_centroids,
@@ -411,10 +412,16 @@ class VectorIndex:
                 )
             )
         else:
+            # decimal norms per SIDE before the bucket join: at
+            # nprobe == num_centroids this join is the exhaustive cross,
+            # and per-pair norms would triple the decimal fold work
+            # (see similarity._decimal_rescore)
             cand = (
                 idx.withColumnRenamed("id", "neighbor_id")
                 .withColumnRenamed("v", "_cv")
-                .join(F.broadcast(pb), "_cid")
+                .withColumn("_cn2", _norm2_dec(F.col("_cv")))
+                .join(F.broadcast(pb.withColumn(
+                    "_pn2", _norm2_dec(F.col("_pv")))), "_cid")
                 .filter(F.col("neighbor_id") != F.col("probe_id"))
                 .drop("_cid", "_q")
             )
