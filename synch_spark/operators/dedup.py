@@ -558,7 +558,13 @@ def _cluster_local(edges: DataFrame) -> DataFrame:
             n = parent[n]
         return n
 
-    for r in edges.toLocalIterator():
+    # one collect job, not toLocalIterator: the local path is only
+    # entered under cluster_duplicates' edge-count AND byte gate, so the
+    # materialized list is bounded by construction — while
+    # toLocalIterator fetches partition-by-partition as one sequential
+    # Spark job EACH (32 driver round-trips of scheduling latency for a
+    # frame the gate already proved driver-sized)
+    for r in edges.collect():
         ra, rb = find(r[0]), find(r[1])
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
