@@ -2235,6 +2235,10 @@ def q78_vocab_coverage(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("tf"),
             F.countDistinct("doc_id").cast("bigint").alias("df"),
         )
+        # the vocabulary aggregate (corpus-sublinear) feeds the coverage
+        # total AND the top-k chain — materialize the tokenize+explode
+        # pass once (q103's compact-proxy shape)
+        .localCheckpoint(eager=False)
     )
     total = tf.agg(F.sum("tf").cast("double").alias("_total"))
     # top-k FIRST (distributed TakeOrdered); the cumulative sum over the
@@ -2646,6 +2650,10 @@ def q86_bm25(spark, sf_dir):
         toks.filter(F.col("token").isin(BM25_TERMS))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        # tiny (3-term postings) but its subtree is the full
+        # tokenize+explode pass — materialize once for the df fold and
+        # the scoring join (q103's compact-proxy shape)
+        .localCheckpoint(eager=False)
     )
     stats = base.agg(
         F.count(F.lit(1)).alias("_n"),
