@@ -68,3 +68,20 @@ def test_load_idle_pins_host_keyed_and_legacy(tmp_path):
     assert b.load_idle_pins(str(p), "h3") == (0.11, 0.26)
     p.write_text(json.dumps({"spin_s": 0.15, "par32_s": 0.25}))
     assert b.load_idle_pins(str(p), "any") == (0.15, 0.25)
+
+
+def test_keep_faster_drain_prefers_speed_over_clean_probes():
+    """Probe-clean-but-slower must not replace a faster attempt: ambient
+    steal only inflates, and sparse probes can miss a mid-drain burst
+    (observed: a 0.5 s query at 24 s inside a probe-clean drain)."""
+    from bench import keep_faster_drain
+
+    # second drain slower but probe-clean: keep the first, keep its
+    # contaminated stamp (the number may still be inflated — honest)
+    use2, cont = keep_faster_drain(43.9, True, 67.7, False)
+    assert use2 is False and cont is True
+    # second drain faster: keep it with its own verdict
+    use2, cont = keep_faster_drain(67.7, True, 43.9, False)
+    assert use2 is True and cont is False
+    use2, cont = keep_faster_drain(50.0, True, 45.0, True)
+    assert use2 is True and cont is True
