@@ -3376,6 +3376,12 @@ def q135_debezium_avro_decode(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
 
+    # the hex assembly is built as SQL TEXT and parsed by ONE F.expr():
+    # the Column-builder form of the same tree cost ~500 py4j round
+    # trips (~1.2 s of driver latency INSIDE the per-query timer, and
+    # GIL-serialized in the concurrent drain); the parsed expression is
+    # node-for-node the tree the builders produced, so the synthesized
+    # bytes — hash-gated against the q112 oracle — are unchanged.
     def _varint_hex(zz, max_groups=10):
         # unsigned LEB128-with-msb-continuation varint of a non-negative
         # long, as hex text. Group i emits iff bits remain at/above it.
@@ -3384,64 +3390,63 @@ def q135_debezium_avro_decode(spark, sf_dir):
         # synthesized plan's codegen the dominant cost of the query.
         pieces = []
         for i in range(max_groups):
-            grp = F.shiftrightunsigned(zz, 7 * i)
-            byte = F.when(
-                F.shiftrightunsigned(zz, 7 * (i + 1)) != 0,
-                grp.bitwiseAND(F.lit(0x7F)).bitwiseOR(F.lit(0x80)),
-            ).otherwise(grp.bitwiseAND(F.lit(0x7F)))
-            piece = F.lpad(F.hex(byte), 2, "0")
+            grp = f"shiftrightunsigned({zz}, {7 * i})"
+            byte = (f"(CASE WHEN shiftrightunsigned({zz}, {7 * (i + 1)})"
+                    f" != 0 THEN ({grp} & 127) | 128"
+                    f" ELSE {grp} & 127 END)")
+            piece = f"lpad(hex({byte}), 2, '0')"
             if i:
-                piece = F.when(grp != 0, piece).otherwise(F.lit(""))
+                piece = f"(CASE WHEN {grp} != 0 THEN {piece} ELSE '' END)"
             pieces.append(piece)
-        return F.concat(*pieces)
+        return "concat(" + ", ".join(pieces) + ")"
 
     def _long_hex(col, max_groups=10):  # Avro long: zigzag then varint
         # cast long FIRST: int columns (octet_length) take shift
         # amounts mod 32 in the JVM, so the i>=5 varint groups would
         # read shiftrightunsigned(zz, 35 & 31) and emit phantom bytes
-        col = col.cast("long")
-        zz = F.shiftleft(col, 1).bitwiseXOR(F.shiftright(col, 63))
+        lc = f"CAST({col} AS BIGINT)"
+        zz = f"(shiftleft({lc}, 1) ^ shiftright({lc}, 63))"
         return _varint_hex(zz, max_groups)
 
     def _str_hex(col):  # Avro string: varint byte-length + UTF-8
         # length < 64 for every string here -> single varint group
-        return F.concat(_long_hex(F.octet_length(col), 1), F.hex(col))
+        return f"concat({_long_hex(f'octet_length({col})', 1)}, hex({col}))"
 
     # price as Avro logical decimal: length-prefixed minimal big-endian
     # two's-complement unscaled bytes (same construction q111 pins for
     # the JSON converter's base64 — here the bytes go on the wire raw)
-    unscaled = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
-    h = F.conv(unscaled.cast("string"), 10, 16)
-    h = F.lpad(h, F.length(h) + F.pmod(F.length(h), F.lit(2)), "0")
-    price_hex = F.when(
-        F.substring(h, 1, 1).isin(*"89ABCDEF"), F.concat(F.lit("00"), h)
-    ).otherwise(h)
-    price_field = F.concat(
-        _long_hex((F.length(price_hex) / 2).cast("long"), 1), price_hex)
+    unscaled = "CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)"
+    h0 = f"conv(CAST({unscaled} AS STRING), 10, 16)"
+    h = f"lpad({h0}, length({h0}) + pmod(length({h0}), 2), '0')"
+    price_hex = (f"(CASE WHEN substring({h}, 1, 1) IN "
+                 f"({', '.join(repr(c) for c in '89ABCDEF')}) "
+                 f"THEN concat('00', {h}) ELSE {h} END)")
+    price_field = (
+        f"concat({_long_hex(f'CAST(length({price_hex}) / 2 AS BIGINT)', 1)}"
+        f", {price_hex})")
 
-    value_rec = F.concat(  # Value record: id, price, status — in order
-        _long_hex(F.col("o_orderkey"), 5),  # orderkey < 2^31
-        price_field,
-        _str_hex(F.col("o_orderstatus")),
-    )
-    is_del = F.col("o_orderstatus") == "F"
-    null_branch = F.lit("00")        # union index 0 = null
-    some_branch = F.concat(F.lit("02"), value_rec)  # union index 1
-    ts_ms = (F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
-             * F.lit(86_400_000).cast("long"))
-    env_hex = F.concat(
-        F.lit("00" + "00000007"),  # Confluent frame: magic + schema id 7
-        F.when(is_del, some_branch).otherwise(null_branch),   # before
-        F.when(is_del, null_branch).otherwise(some_branch),   # after
-        _str_hex(F.lit("db")), _str_hex(F.lit("orders")),     # source
+    value_rec = ("concat(" +  # Value record: id, price, status — in order
+                 _long_hex("o_orderkey", 5) +  # orderkey < 2^31
+                 f", {price_field}, {_str_hex('o_orderstatus')})")
+    is_del = "o_orderstatus = 'F'"
+    null_branch = "'00'"             # union index 0 = null
+    some_branch = f"concat('02', {value_rec})"  # union index 1
+    ts_ms = ("(CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)"
+             " * CAST(86400000 AS BIGINT))")
+    env_hex = ", ".join([
+        "'0000000007'",  # Confluent frame: magic + schema id 7
+        f"(CASE WHEN {is_del} THEN {some_branch} ELSE {null_branch} END)",
+        f"(CASE WHEN {is_del} THEN {null_branch} ELSE {some_branch} END)",
+        _str_hex("'db'"), _str_hex("'orders'"),               # source
         _long_hex(ts_ms, 7),  # epoch ms < 2^48: 7 varint groups
-        _str_hex(F.when(is_del, F.lit("d")).otherwise(F.lit("c"))),  # op
-        F.lit("00"),  # envelope ts_ms: null branch
-    )
+        _str_hex(f"(CASE WHEN {is_del} THEN 'd' ELSE 'c' END)"),  # op
+        "'00'",  # envelope ts_ms: null branch
+    ])
     # exchange barrier before the decode: projection collapse would
     # otherwise inline the whole hex-assembly expression tree into the
     # mapInPandas input projection several times over (q111's lesson)
-    values = orders.select(F.unhex(env_hex).alias("value")).repartition(8)
+    values = orders.select(
+        F.expr(f"unhex(concat({env_hex}))").alias("value")).repartition(8)
 
     schemas = load_schemas({7: {
         "type": "record", "name": "Envelope",
