@@ -476,8 +476,11 @@ def cluster_duplicates(
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
         .distinct()
         # materialize once: the pair-generation pipeline upstream (e.g.
-        # MinHash LSH) must not re-execute on every iteration's join
-        .localCheckpoint(eager=True)
+        # MinHash LSH) must not re-execute on every iteration's join.
+        # Lazy: the gate aggregate right below is always the first
+        # consumer, so materialization rides that job instead of paying
+        # a dedicated one
+        .localCheckpoint(eager=False)
     )
     stats = edges.agg(
         F.count(F.lit(1)).alias("_n"),

@@ -600,8 +600,9 @@ def _near_dup_pair_ids(df, threshold, vec_col, id_col, block_col):
     # twice and cluster_duplicates' symmetric edge union doubles it
     # again — without the checkpoint the GEMM applyInPandas stage (the
     # very thing this path makes cheap) executes 4x per collapse
-    # (Spark reuses Exchange subtrees, never Python-UDF stages)
-    pairs = pairs.localCheckpoint(eager=True)
+    # (Spark reuses Exchange subtrees, never Python-UDF stages).
+    # Lazy: materialization rides the first consumer's job.
+    pairs = pairs.localCheckpoint(eager=False)
     certain = pairs.filter(F.col("_fcos") >= threshold + 1e-6)
     band = pairs.filter(F.col("_fcos") < threshold + 1e-6)
     av = base.select(F.col("id").alias("a"), F.col("v").alias("_pv"))
@@ -882,9 +883,11 @@ def semantic_dedup(
        size, and ``len(centroids)`` is the scale lever: size it so
        corpus/num_centroids vectors fit one executor's GEMM tile.
 
-    NOTE: construction is EAGER (the assignment checkpoint and the
-    collapse's edge materialization run Spark jobs when this function
-    is called, not at the first action on the returned frame).
+    NOTE: construction is EAGER (the collapse's edge gate and the
+    connected-components pass run Spark jobs when this function is
+    called, not at the first action on the returned frame; the
+    assignment and pair checkpoints are lazy — they materialize inside
+    the first of those jobs).
     3. **Collapse**: connected components over the pairs + keep the
        highest-``csim`` member per component (ties: lowest id), via
        ``keep_best_representative``. Vectors in no pair survive as
@@ -906,11 +909,17 @@ def assign_to_centroids(
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """semantic_dedup's assignment stage, reusable by the incremental
     index: one row per finite vector — (_id, _v, cid, csim), csim =
-    exact decimal cosine to the winning centroid — eagerly
-    checkpointed (every consumer fans out over it)."""
+    exact decimal cosine to the winning centroid — checkpointed so the
+    fan-out consumers share one materialization (lazy: the FIRST
+    consumer's job runs the subtree; every later consumer reads the
+    materialized partitions). ``materialize=False`` skips the
+    checkpoint for callers that consume the assignment exactly once
+    (ivf_refine's per-iteration mean), where a materialization job is
+    a pure extra barrier."""
     import numpy as np
     import pandas as pd
 
@@ -987,7 +996,14 @@ def assign_to_centroids(
 
     cand = v.mapInPandas(
         assign_gen, f"_id {id_t}, _v {vec_t}, cid {cid_t}")
-    c = centroids.select("cid", "cvec").withColumn(
+    # the rescore side is rebuilt from the ALREADY-COLLECTED centroid
+    # rows (the probe_similarity_pairs move): referencing `centroids`
+    # again here would re-execute its whole upstream plan — for
+    # ivf_refine-produced centroids that is a second full corpus
+    # assignment + mean aggregation per call
+    c = df.sparkSession.createDataFrame(
+        cent_rows, centroids.select("cid", "cvec").schema
+    ).withColumn(
         "_cn2", _norm2_dec(F.col("cvec")))  # K decimal folds, broadcast
     scored = cand.join(F.broadcast(c), "cid").withColumn(
         "csim",
@@ -1001,17 +1017,21 @@ def assign_to_centroids(
         ),
     )
     wa = W.partitionBy("_id").orderBy(F.col("csim").desc(), F.col("cid"))
-    return (
+    out = (
         scored.withColumn("_ar", F.row_number().over(wa))
         .filter(F.col("_ar") == 1)
         .select("_id", "_v", "cid", "csim")
-        # materialize ONCE: the assignment subtree (scan + per-centroid
-        # decimal folds + window) is consumed FOUR times downstream —
-        # the pair kernel, both sides of its rescore join, and the
-        # keep-best label join — and would re-execute for each without
-        # this (4x the decimal work at any scale)
-        .localCheckpoint(eager=True)
     )
+    if not materialize:
+        return out
+    # materialize ONCE: the assignment subtree (scan + per-centroid
+    # decimal folds + window) is consumed FOUR times downstream —
+    # the pair kernel, both sides of its rescore join, and the
+    # keep-best label join — and would re-execute for each without
+    # this (4x the decimal work at any scale). Lazy: the checkpoint
+    # RDD materializes inside the first consumer's job instead of
+    # paying a dedicated materialization job + scheduler barrier.
+    return out.localCheckpoint(eager=False)
 
 
 def collapse_assigned(assigned: DataFrame, threshold: float) -> DataFrame:

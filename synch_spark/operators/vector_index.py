@@ -83,8 +83,11 @@ def ivf_refine(
             # term at bench scale)
             from synch_spark.operators.similarity import assign_to_centroids
 
+            # materialize=False: the assignment is consumed exactly once
+            # (the per-(cid,pos) mean below), so a checkpoint would be a
+            # pure extra materialization job + scheduler barrier
             assigned = assign_to_centroids(
-                sample, centroids, vec_col, id_col
+                sample, centroids, vec_col, id_col, materialize=False
             ).select(F.col("_id").alias("id"), F.col("_v").alias("v"),
                      F.col("cid").alias("_cid"))
         else:
@@ -118,7 +121,16 @@ def ivf_refine(
             )
             .select(F.col("_cid").alias("cid"), "cvec")
         )
-    return centroids
+    # driver-materialize the K refined centroids (bounded: exactly the
+    # centroid count, the same O(K) hop ivf_centroids already makes).
+    # Every consumer references the centroid frame more than once —
+    # ann_topk_ivf broadcasts it in TWO ivf_assign calls, semantic_dedup
+    # both collects it and joins it — and each reference to a lazy
+    # refine plan re-executes the full corpus scan + mean aggregation;
+    # rebuilt from collected rows, the refinement runs exactly once.
+    rows = centroids.collect()
+    rows.sort(key=lambda r: r["cid"])
+    return corpus.sparkSession.createDataFrame(rows, centroids.schema)
 
 
 class VectorIndex:
