@@ -69,6 +69,21 @@ def global_row_number(
             rn_col,
             F.row_number().over(Window.orderBy(*order_cols)).cast("bigint"),
         )
+    return _distributed_row_number(df, order_cols, rn_col, num_partitions)[0]
+
+
+def _distributed_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rn_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """The distributed rank; returns ``(ranked_frame, total_rows)``.
+
+    ``total_rows`` comes free from the per-partition counts the rank
+    already collects — callers that also need COUNT(*) of the ranked
+    frame (global_ntile's bucket boundaries) must NOT run a separate
+    count job over it."""
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(nparts, *order_cols).sortWithinPartitions(
         *order_cols
@@ -76,14 +91,17 @@ def global_row_number(
     with_mid = ordered.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
         "_pid", F.shiftright("_mid", _PARTITION_SHIFT)
     )
-    # materialize ONCE (eager local checkpoint): the per-partition counts
+    # materialize ONCE (local checkpoint): the per-partition counts
     # job and the main job must see the same partition layout
     # (repartitionByRange samples -> nondeterministic bounds across
-    # recomputes). Checkpoint blocks are freed by the ContextCleaner when
-    # the returned frame is garbage collected — unlike session-held
-    # .persist() entries, which would pin a full input copy per call for
-    # the session's lifetime.
-    with_mid = with_mid.localCheckpoint(eager=True)
+    # recomputes). Lazy: the counts collect right below is always the
+    # first consumer, so materialization rides that job instead of
+    # paying a dedicated job + scheduler barrier; every later consumer
+    # reads the pinned blocks. Checkpoint blocks are freed by the
+    # ContextCleaner when the returned frame is garbage collected —
+    # unlike session-held .persist() entries, which would pin a full
+    # input copy per call for the session's lifetime.
+    with_mid = with_mid.localCheckpoint(eager=False)
     counts = (
         with_mid.groupBy("_pid").count().orderBy("_pid").collect()
     )  # |partitions| rows — driver-safe at any data scale
@@ -94,7 +112,7 @@ def global_row_number(
     spark = df.sparkSession
     offsets_df = spark.createDataFrame(rows or [(0, 0)], "_pid bigint, _off bigint")
     local_pos = F.col("_mid") - F.shiftleft("_pid", _PARTITION_SHIFT)
-    return (
+    ranked = (
         with_mid.join(F.broadcast(offsets_df), "_pid", "left")
         .withColumn(
             rn_col,
@@ -102,6 +120,7 @@ def global_row_number(
         )
         .drop("_mid", "_pid", "_off")
     )
+    return ranked, acc
 
 
 def global_ntile(
@@ -126,18 +145,21 @@ def global_ntile(
     distributed path the ranked frame is checkpoint-materialized, so the
     count is pinned to the exact rows the ranks were computed from.
     """
-    ranked = global_row_number(
-        df,
-        order_cols,
-        rn_col="_gnt_rn",
-        num_partitions=num_partitions,
-        small_bytes=small_bytes,
-    )
-    # count the RANKED frame, not the input: on the distributed path it
-    # is localCheckpoint-materialized, so this count is guaranteed
-    # consistent with the ranks (a separate df.count() would re-execute
-    # the input plan — wrong boundaries if that plan is non-deterministic)
-    total = ranked.count()
+    if _estimated_bytes(df) <= small_bytes:
+        ranked = global_row_number(
+            df, order_cols, rn_col="_gnt_rn", small_bytes=small_bytes
+        )
+        # count the RANKED frame, not the input (a separate df.count()
+        # would re-execute the input plan — wrong boundaries if that
+        # plan is non-deterministic)
+        total = ranked.count()
+    else:
+        # distributed path: the rank's per-partition counts already sum
+        # to COUNT(*) of the checkpoint-pinned frame — consistent with
+        # the ranks by construction, and no re-scan job
+        ranked, total = _distributed_row_number(
+            df, order_cols, "_gnt_rn", num_partitions
+        )
     q, r = divmod(total, n)
     big = q + 1  # size of the first r buckets
     cutoff = r * big  # rows 1..cutoff live in the big buckets

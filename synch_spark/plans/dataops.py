@@ -2224,7 +2224,6 @@ def q78_vocab_coverage(spark, sf_dir):
     covers up to that rank. The coverage curve tells you where to cut a
     vocab. One explode + one groupBy(token); the cumulative sum runs
     over the (tiny) ranked vocab, never the corpus."""
-    from synch_spark.operators.ordering import global_row_number
     from synch_spark.operators.text import tokens
 
     docs = _docs(spark, sf_dir)
@@ -2246,13 +2245,20 @@ def q78_vocab_coverage(spark, sf_dir):
     # rank_a), O(k^2)=2500 pairs — equivalent to the running-sum window
     # but with no partition-less WindowExec anywhere in the plan
     top = tf.orderBy(F.col("tf").desc(), "token").limit(VOCAB_TOP)
-    ranked = global_row_number(top, [F.col("tf").desc(), "token"],
-                               rn_col="_rk", small_bytes=0)
-    prefix = ranked.select(F.col("_rk").alias("_rk_b"),
-                           F.col("tf").alias("_tf_b"))
+    # the triangle condition IS the rank comparison: (tf desc, token) is
+    # a strict total order over the grouped tokens, so "b ranks at or
+    # before a" == (tf_b > tf_a) OR (tf_b == tf_a AND token_b <= token_a)
+    # — no rank column needed, which drops the distributed-rank
+    # machinery (range shuffle + checkpoint + counts collect) that a
+    # 50-row frame was paying for
+    prefix = top.select(F.col("tf").alias("_tf_b"),
+                        F.col("token").alias("_tok_b"))
+    at_or_before = (F.col("_tf_b") > F.col("tf")) | (
+        (F.col("_tf_b") == F.col("tf")) & (F.col("_tok_b") <= F.col("token"))
+    )
     cum = (
-        ranked.join(F.broadcast(prefix), F.col("_rk_b") <= F.col("_rk"))
-        .groupBy("token", "tf", "df", "_rk")
+        top.join(F.broadcast(prefix), at_or_before)
+        .groupBy("token", "tf", "df")
         .agg(F.sum("_tf_b").alias("_cum_tf"))
     )
     return (
