@@ -1196,8 +1196,14 @@ def q101_sketch_bounds(spark, sf_dir):
     (|approx-exact|/exact within tolerance) that the oracle asserts as
     literal TRUE — a hash mismatch means the sketch left its accuracy
     envelope. HLL rsd default is 5% (tolerance 15%); percentile_approx
-    at default accuracy is near-exact at these group sizes (5%)."""
-    li = _t(spark, sf_dir, "lineitem")
+    at default accuracy is near-exact at these group sizes (5%).
+    _spread, not _t: the Expand pass and the per-group object
+    aggregates (percentile buffers) are CPU-heavy per scanned row, and
+    the local fixture scans as only 3 splits; the two passes share one
+    round-robin exchange (ReuseExchange) so the spread costs one 11 MB
+    shuffle (measured -12% at sf0.1; skipped when the scan already has
+    enough splits)."""
+    li = _spread(spark, sf_dir, "lineitem")
     # two passes joined on the tiny group key, NOT one agg: combining the
     # Expand-based countDistinct with the object aggregates (percentile,
     # HLL) in a single GroupBy drops the whole plan to a sort-aggregate
@@ -2055,8 +2061,13 @@ def q73_profile(spark, sf_dir):
     ride over the expanded rows too (~1.6x slower measured at sf0.1);
     separated, the basic stats stay a plain one-scan hash aggregate.
     At 100 TB swap countDistinct for approx_count_distinct (no Expand
-    at all) and the split becomes unnecessary."""
-    li = _t(spark, sf_dir, "lineitem")
+    at all) and the split becomes unnecessary. _spread, not _t: the
+    8-way Expand multiplies every scanned row before the partial
+    aggregate, so the map side wants full core parallelism — the local
+    11 MB fixture scans as 3 splits and would run the whole Expand on
+    3 cores (skipped automatically when the scan already has enough
+    splits; measured -12% at sf0.1)."""
+    li = _spread(spark, sf_dir, "lineitem")
     nd_aggs, basic_aggs = [], []
     for c in PROFILE_COLS:
         nd_aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
