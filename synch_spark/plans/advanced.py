@@ -955,15 +955,22 @@ def q83_funnel(spark, sf_dir):
     forced-broadcast OOM. Output is the single funnel
     row a product-analytics dashboard renders."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # v and c are each consumed TWICE (the next level's join + their
+    # own funnel count) — without the lazy checkpoints each reference
+    # re-executes the whole upstream chain, so events was scanned 6x
+    # (1 + 2 + 3) instead of once per stage. The materialized anchors
+    # are user-cardinality (already the join-side size the plan
+    # carries); the checkpoint rides the first consumer's job.
     v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("_vt")
-    )
+    ).localCheckpoint(eager=False)
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") >= F.col("_vt"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("_ct"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

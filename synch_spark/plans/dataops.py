@@ -1079,12 +1079,15 @@ def q129_quality_cutoffs(spark, sf_dir):
     )
     w = (W.partitionBy("source").orderBy(F.col("n_chars").desc())
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    cum = hist.withColumn("_cum", F.sum("_c").over(w))
-    counts = hist.groupBy("source").agg(
-        F.sum("_c").cast("bigint").alias("n_docs"))
+    # per-source total as a whole-partition window over the SAME
+    # source-keyed exchange the cumulative window establishes (guide
+    # §2.4) — the old groupBy(source) aggregate + broadcast join back
+    # re-executed the docs scan + histogram as a second consumer
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "n_docs", F.sum("_c").over(W.partitionBy("source")).cast("bigint"))
     keep = F.ceil(F.col("n_docs") * F.lit(KEEP_RATE)).cast("bigint")
     return (
-        cum.join(F.broadcast(counts), "source")
+        cum
         .withColumn("_keep", keep)
         .filter(F.col("_cum") >= F.col("_keep"))
         .groupBy("source")
