@@ -1014,7 +1014,11 @@ def q128_temperature_mix(spark, sf_dir):
     )
     w = F.floor(F.sqrt(F.col("n_tokens").cast("double"))
                 * F.lit(1e6)).cast("bigint")
-    weighted = per_src.withColumn("_w", w)
+    # the source aggregate feeds the scalar total AND the share join;
+    # without the checkpoint the tokenize pass over the corpus ran
+    # twice (exchange reuse does not fire across the broadcast
+    # boundary). ~20 rows materialized, rides the total's job
+    weighted = per_src.withColumn("_w", w).localCheckpoint(eager=False)
     tot = weighted.agg(F.sum("_w").alias("_tot"))
     share = F.col("_w").cast("double") / F.col("_tot").cast("double")
     return (
@@ -2616,6 +2620,12 @@ def q85_phrase_search(spark, sf_dir):
     postings = (
         docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
         .filter(F.col("token").isin(PHRASE))
+        # "once postings are materialized" — actually materialize them:
+        # each per-term branch below is a separate reference, and
+        # without the checkpoint the tokenize+posexplode corpus pass
+        # re-executed once PER PHRASE TERM (documents scanned 3x). The
+        # stored postings are query-term-only — tiny at any scale
+        .localCheckpoint(eager=False)
     )
     p = [
         postings.filter(F.col("token") == t).select(

@@ -925,7 +925,13 @@ def q89_important_stock(spark, sf_dir):
         * F.col("l_quantity").cast("decimal(4,1)")
     )
     base = li.join(F.broadcast(nsupp), li.l_suppkey == nsupp.s_suppkey, "left_semi")
-    per_part = base.groupBy("l_partkey").agg(val.alias("_v"))
+    # per_part feeds BOTH the threshold scalar and the join side; the
+    # exchange-reuse rule does not fire across the broadcast boundary
+    # (verified in the executed plan: lineitem scanned + aggregated
+    # twice), so materialize the part-cardinality aggregate once — the
+    # checkpoint rides the threshold job
+    per_part = base.groupBy("l_partkey").agg(val.alias("_v")) \
+        .localCheckpoint(eager=False)
     total = per_part.agg(
         (F.sum("_v") * F.lit(0.001).cast("decimal(5,4)")).alias("_thr")
     )
