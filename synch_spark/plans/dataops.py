@@ -1206,10 +1206,11 @@ def q101_sketch_bounds(spark, sf_dir):
     at default accuracy is near-exact at these group sizes (5%).
     _spread, not _t: the Expand pass and the per-group object
     aggregates (percentile buffers) are CPU-heavy per scanned row, and
-    the local fixture scans as only 3 splits; the two passes share one
-    round-robin exchange (ReuseExchange) so the spread costs one 11 MB
-    shuffle (measured -12% at sf0.1; skipped when the scan already has
-    enough splits)."""
+    the local fixture scans as only 3 splits. Each pass spreads its own
+    column-pruned scan (the two references prune to different columns,
+    so exchange reuse can't — and shouldn't — unify them: two 2-column
+    reads beat one materialized wide pass); measured -12% at sf0.1,
+    skipped when the scan already has enough splits."""
     li = _spread(spark, sf_dir, "lineitem")
     # two passes joined on the tiny group key, NOT one agg: combining the
     # Expand-based countDistinct with the object aggregates (percentile,
