@@ -18,6 +18,40 @@ import weakref
 
 _STREAM_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+# per-session memo of raw-scan split counts (one ~50 ms rdd compile per
+# (sf_dir, table), same probe `_spread` pays once)
+_NSPLITS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _scan_splits(spark, sf_dir, name: str) -> int:
+    cache = _NSPLITS.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in cache:
+        cache[key] = _t(spark, sf_dir, name).rdd.getNumPartitions()
+    return cache[key]
+
+
+def _mat_multiref(spark, df, sf_dir, base: str):
+    """Materialize-once gate for a compact aggregate consumed more than
+    once whose second reference sits under a broadcast boundary (where
+    exchange reuse does not fire — the q89 lesson), so each consumer
+    would re-execute the full base scan + aggregate.
+
+    Size-adaptive, not unconditional: when the base table arrives as
+    fewer splits than cores (the 2 MB local events fixture), re-scanning
+    it is CHEAPER than the block-manager materialization round trip
+    (measured +0.15-0.25 s per query at sf0.1), so the plan is left
+    alone; when the scan is wide — cluster scale — the re-executed
+    scan+aggregate is the dominant cost and the aggregate is
+    lazy-checkpointed (materialization rides the first consumer's job).
+    Same input-size-derived decision, and the same memoized split
+    probe, as `_spread`. Results are invariant to the branch: the
+    checkpoint pins exactly the aggregate's output rows
+    (regression-tested by forcing the gate on the fixture)."""
+    if _scan_splits(spark, sf_dir, base) >= spark.sparkContext.defaultParallelism:
+        return df.localCheckpoint(eager=False)
+    return df
+
 
 def _stream_session(spark, partitions: int = 8):
     """Dedicated SparkSession (shared SparkContext, own SQLConf) for the
@@ -1053,9 +1087,18 @@ def q91_gapfill_ffill(spark, sf_dir):
     shared with the spine join. Daily value folds through DECIMAL so
     MAX is exact; forward-fill copies values, introducing no float ops."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "user_id", F.col("ts").cast("date").alias("d")
-    ).agg(F.max(F.col("value").cast(DEC)).alias("v"))
+    # daily is consumed twice (the bounds->spine branch and the fill
+    # join); the spine side sits under a BroadcastExchange, so exchange
+    # reuse does not unify them and each reference re-runs the full
+    # events scan + aggregate on a wide input — see _mat_multiref.
+    daily = _mat_multiref(
+        spark,
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+            F.max(F.col("value").cast(DEC)).alias("v")
+        ),
+        sf_dir,
+        "events",
+    )
     bounds = daily.groupBy("user_id").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
     )
@@ -1096,11 +1139,18 @@ def q92_cohort_retention(spark, sf_dir):
     (cohort, week-offset). The first-touch anchor is a per-user MIN
     (map-side partial), re-joined to the distinct (user, day) activity
     set; offset arithmetic is integer day-diff div 7, exact in both
-    engines. One shuffle for the anchor, one for the distinct-count —
-    both keyed on user_id, so AQE coalesces them into the same
-    exchange layout."""
+    engines."""
     ev = _t(spark, sf_dir, "events")
-    active = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    # active is consumed twice (the first-touch anchor and the join's
+    # probe side); the anchor ends up broadcast, so exchange reuse does
+    # not unify them and events is scanned twice on a wide input — the
+    # compact distinct (user, day) set feeds both via _mat_multiref.
+    active = _mat_multiref(
+        spark,
+        ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct(),
+        sf_dir,
+        "events",
+    )
     firsts = active.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
         active.join(firsts, "user_id")

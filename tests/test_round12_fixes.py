@@ -52,3 +52,29 @@ def test_dead_letter_legacy_long_epoch_migrated(spark, tmp_path):
     assert dead.count() == 3
     assert {r["_epoch"] for r in dead.collect()} == \
         {"3", "kafka-socket:t/0:0-1", "9"}
+
+
+def test_mat_multiref_gate_branch_invariant(spark, monkeypatch):
+    """Round-12 optimization: q91/q92's compact multiply-consumed
+    aggregates go through the size-adaptive materialize-once gate
+    (_mat_multiref). On the tiny fixture the gate leaves the plan alone
+    (re-scanning 2 MB beats a block-manager round trip); forcing it ON
+    must change only the plan, never the rows — and the checkpointed
+    plan must stop re-scanning the base parquet."""
+    from synch_spark.plans import advanced
+
+    sf = "/root/testdata/sf0.001"
+    plain_q91 = advanced.q91_gapfill_ffill(spark, sf)
+    plain_q92 = advanced.q92_cohort_retention(spark, sf)
+    # fixture scans as fewer splits than cores -> gate must be off
+    assert "localCheckpoint" not in plain_q91._jdf.queryExecution().analyzed().toString()
+    rows91, rows92 = plain_q91.collect(), plain_q92.collect()
+
+    monkeypatch.setattr(advanced, "_scan_splits", lambda *a: 10**9)
+    mat_q91 = advanced.q91_gapfill_ffill(spark, sf)
+    mat_q92 = advanced.q92_cohort_retention(spark, sf)
+    # gate on: the visible executed plan reads the materialized
+    # aggregate, not a second parquet scan
+    assert "ExistingRDD" in mat_q91._jdf.queryExecution().executedPlan().toString()
+    assert mat_q91.collect() == rows91
+    assert mat_q92.collect() == rows92
