@@ -20,7 +20,7 @@ import weakref
 from pyspark.sql import functions as F
 
 from synch_spark.operators import dedup, similarity, text
-from synch_spark.plans.relational import DEC, _t
+from synch_spark.plans.relational import DEC, _pin, _t
 
 
 _SPREAD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
@@ -116,7 +116,7 @@ def q18_quality_langid(spark, sf_dir):
         text.stopword_ratio("text").alias("stop_ratio"),
         text.quality_score("text").alias("quality"),
         text.lang_guess("text").alias("lang_pred"),
-    ).orderBy("doc_id")
+    ).transform(_pin).orderBy("doc_id")
 
 
 Q18_SQL = f"""
@@ -421,7 +421,7 @@ def q119_ivf_incremental_exhaustive(spark, sf_dir):
     assigned; history stays in place, partitioned by centroid."""
     idx = _incr_ivf_index(spark, sf_dir)
     probes = _emb(spark, sf_dir).filter(F.col("vec_id") < 10)
-    return idx.search(probes, k=5, nprobe=4).orderBy("probe_id", "rank")
+    return idx.search(probes, k=5, nprobe=4).transform(_pin).orderBy("probe_id", "rank")
 
 
 def q24_ann_lsh(spark, sf_dir):
@@ -529,7 +529,7 @@ def q42_ann_ivf(spark, sf_dir):
     comparable (ADVICE r10)."""
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10)
-    return _ivf_index(spark, sf_dir).search(probes, k=5, nprobe=16).orderBy(
+    return _ivf_index(spark, sf_dir).search(probes, k=5, nprobe=16).transform(_pin).orderBy(
         "probe_id", "rank"
     )
 
@@ -584,7 +584,7 @@ def q41_winnow_fingerprints(spark, sf_dir):
         "doc_id",
         F.size("fps").cast("bigint").alias("n_fp"),
         F.md5(F.concat_ws("|", "fps")).alias("fp_set_hash"),
-    ).orderBy("doc_id")
+    ).transform(_pin).orderBy("doc_id")
 
 
 Q41_SQL = f"""
@@ -628,7 +628,7 @@ def q43_ngram_langid(spark, sf_dir):
         "doc_id",
         F.when(max_s > 0, pred).otherwise(F.lit("unknown")).alias("lang_pred"),
         *[f"s_{lang}" for lang in langs],
-    ).orderBy("doc_id")
+    ).transform(_pin).orderBy("doc_id")
 
 
 def _langid_oracle() -> str:
@@ -720,7 +720,7 @@ def q123_dedup_keep_best(spark, sf_dir):
     kept = dedup.keep_best_representative(docs, pairs, "doc_id", "n_chars")
     return kept.select(
         "doc_id", "cluster_id", "cluster_size", "n_chars"
-    ).orderBy("cluster_id")
+    ).transform(_pin).orderBy("cluster_id")
 
 
 Q123_SQL = f"""
@@ -1175,7 +1175,7 @@ def q100_dedup_cc_chains(spark, sf_dir):
         F.lag("doc_id").over(w2).alias("a"), F.col("doc_id").alias("b")
     ).filter(F.col("a").isNotNull())
     pairs = e1.unionByName(e2).distinct()
-    return dedup.cluster_duplicates(pairs).orderBy("id")
+    return dedup.cluster_duplicates(pairs).transform(_pin).orderBy("id")
 
 
 Q100_SQL = """
@@ -1505,7 +1505,7 @@ def q137_debezium_avro_roundtrip(spark, sf_dir):
         F.col("price").cast(DEC).cast("double").alias("price"),
         "status",
         F.timestamp_micros(F.col("event_unixtime")).cast("date").alias("d"),
-    ).orderBy("id")
+    ).transform(_pin).orderBy("id")
 
 
 def q132_semantic_decontamination(spark, sf_dir):
@@ -3119,7 +3119,7 @@ def q111_debezium_precise_types(spark, sf_dir):
     # the DuckDB side (house rule across the suite)
     return typed.select(
         "id", F.col("amount").cast(DEC).cast("double").alias("amount"), "d", "ts"
-    ).orderBy("id")
+    ).transform(_pin).orderBy("id")
 
 
 Q111_SQL = """
@@ -3170,7 +3170,7 @@ def q112_wal2json_decode(spark, sf_dir):
         F.col("price").cast(DEC).cast("double").alias("price"),
         "status",
         F.timestamp_micros(F.col("event_unixtime")).cast("date").alias("d"),
-    ).orderBy("id")
+    ).transform(_pin).orderBy("id")
 
 
 Q112_SQL = """
@@ -3224,7 +3224,7 @@ def q120_wal2json_v2_decode(spark, sf_dir):
         F.col("price").cast(DEC).cast("double").alias("price"),
         "status",
         F.timestamp_micros(F.col("event_unixtime")).cast("date").alias("d"),
-    ).orderBy("id")
+    ).transform(_pin).orderBy("id")
 
 
 def q133_pgoutput_decode(spark, sf_dir):
@@ -3304,7 +3304,7 @@ def q133_pgoutput_decode(spark, sf_dir):
         F.col("price").cast(DEC).cast("double").alias("price"),
         "status",
         F.timestamp_micros(F.col("event_unixtime")).cast("date").alias("d"),
-    ).orderBy("id")
+    ).transform(_pin).orderBy("id")
 
 
 def q134_pgoutput_streamed_decode(spark, sf_dir):
@@ -3374,7 +3374,7 @@ def q134_pgoutput_streamed_decode(spark, sf_dir):
         F.col("price").cast(DEC).cast("double").alias("price"),
         "status",
         F.timestamp_micros(F.col("event_unixtime")).cast("date").alias("d"),
-    ).orderBy("id")
+    ).transform(_pin).orderBy("id")
 
 
 def q135_debezium_avro_decode(spark, sf_dir):
@@ -3514,7 +3514,7 @@ def q135_debezium_avro_decode(spark, sf_dir):
         F.col("price").cast(DEC).cast("double").alias("price"),
         "status",
         F.timestamp_micros(F.col("event_unixtime")).cast("date").alias("d"),
-    ).orderBy("id")
+    ).transform(_pin).orderBy("id")
 
 
 # --- deterministic stratified sampling (language re-balancing) ------------

@@ -78,3 +78,29 @@ def test_mat_multiref_gate_branch_invariant(spark, monkeypatch):
     assert "ExistingRDD" in mat_q91._jdf.queryExecution().executedPlan().toString()
     assert mat_q91.collect() == rows91
     assert mat_q92.collect() == rows92
+
+
+def test_pin_sort_input_branch_invariant(spark, monkeypatch):
+    """Round-12 optimization: a final global sort's range exchange
+    executes its child fragment twice (bounds sampling + shuffle), so
+    per-row-expensive sort inputs are lazily checkpointed via
+    relational._pin. The pin must change only the pass count, never the
+    rows OR their order; with the pin the executed plan reads the
+    materialized fragment (ExistingRDD) below the range exchange."""
+    from synch_spark.plans import dataops, relational
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (dataops.q41_winnow_fingerprints,
+               dataops.q133_pgoutput_decode):
+        monkeypatch.setattr(relational, "_PIN_SORT", False)
+        plain = fn(spark, sf)
+        assert "localCheckpoint" not in \
+            plain._jdf.queryExecution().analyzed().toString()
+        rows_plain = plain.collect()
+
+        monkeypatch.setattr(relational, "_PIN_SORT", True)
+        pinned = fn(spark, sf)
+        assert "ExistingRDD" in \
+            pinned._jdf.queryExecution().executedPlan().toString()
+        # identical rows in the identical global order
+        assert pinned.collect() == rows_plain
