@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
-from synch_spark.plans.relational import DEC, _t
+from synch_spark.plans.relational import DEC, _pin, _t
 
 # -- streaming session: right-sized state-store parallelism ---------------
 # weak-keyed by the parent session object: id() could be reused after a
@@ -378,7 +378,7 @@ def q27_sessionize(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
             F.max("n").cast("bigint").alias("longest"),
         )
-        .orderBy("user_id")
+        .transform(_pin).orderBy("user_id")
     )
 
 
