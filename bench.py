@@ -120,6 +120,27 @@ def load_idle_pins(pins_path: str, host: str,
     return idle_spin, idle_par32
 
 
+def fold_pin_obs(obs: list, new: float, keep: int = 2) -> tuple:
+    """Fold one pre-probe observation into the ``keep`` smallest ever
+    seen and return (updated_list, pin).
+
+    The pin is the LARGEST of the kept smallest observations — i.e. the
+    second-smallest ever once two exist. A strict min tightens on a
+    single lucky sample (observed: one burst-clocked par32 probe read
+    27% below every idle value five rounds of benching had ever
+    produced, and since post-drain probes legitimately read 1.3-2x
+    idle, the 2.5x post gate then tripped on every subsequent clean
+    run). Requiring a second independent corroborating sample keeps the
+    gate monotone-tightening in spirit while making it robust to
+    one-off turbo/scheduler flukes; a contended run still can never
+    loosen it."""
+    obs = sorted(float(x) for x in (obs or []))[:keep]
+    if new is not None:
+        obs = sorted(obs + [float(new)])[:keep]
+    pin = max(obs) if len(obs) >= keep else (obs[0] if obs else None)
+    return obs, pin
+
+
 def main() -> None:
     # The driver parses stdout as JSON; Spark's JVM (a subprocess that inherits
     # fd 1) and py4j both write progress chatter there.  Save the real stdout,
@@ -461,18 +482,32 @@ def main() -> None:
     # tighten from PRE probes only (every attempt's): the post probe
     # runs inside a warm, GC-settling JVM right after ~150s of
     # full-throttle work and is systematically 1.3-2x the true idle
-    # figure — folding it into the pin is fine (min() ignores it), but
-    # GATING it at pre-tightness made promotion impossible the moment
-    # one genuinely idle run tightened the pin (observed: pin 0.203,
-    # every post probe >= 0.26)
-    obs_spin = min(p["spin_s"] for p in all_pres)
-    obs_par32 = min(p["par32_s"] for p in all_pres)
-    new_spin = min(_IDLE_SPIN, obs_spin)
-    new_par32 = min(_IDLE_PAR32, obs_par32)
-    if pins_doc.get(host) != {"spin_s": round(new_spin, 4),
-                              "par32_s": round(new_par32, 4)}:
-        pins_doc[host] = {"spin_s": round(new_spin, 4),
-                          "par32_s": round(new_par32, 4)}
+    # figure — folding it into the pin is fine (the fold ignores larger
+    # samples), but GATING it at pre-tightness made promotion
+    # impossible the moment one genuinely idle run tightened the pin
+    # (observed: pin 0.203, every post probe >= 0.26). The pin itself
+    # is the SECOND-smallest pre-probe ever seen (fold_pin_obs): a
+    # single lucky sample must be corroborated before it tightens the
+    # gate for every later run.
+    mine = pins_doc.get(host) or {}
+    # legacy single-value pins were min-over-many-rounds — de-facto
+    # corroborated, so they seed BOTH slots (the pin keeps its value
+    # and a single contended post-migration run cannot loosen it)
+    spin_obs = mine.get("spin_obs") or (
+        [mine["spin_s"]] * 2 if "spin_s" in mine else [])
+    par32_obs = mine.get("par32_obs") or (
+        [mine["par32_s"]] * 2 if "par32_s" in mine else [])
+    for p in all_pres:
+        spin_obs, new_spin = fold_pin_obs(spin_obs, p["spin_s"])
+        par32_obs, new_par32 = fold_pin_obs(par32_obs, p["par32_s"])
+    new_spin = new_spin if new_spin is not None else _IDLE_SPIN
+    new_par32 = new_par32 if new_par32 is not None else _IDLE_PAR32
+    entry = {"spin_s": round(new_spin, 4),
+             "par32_s": round(new_par32, 4),
+             "spin_obs": [round(x, 4) for x in spin_obs],
+             "par32_obs": [round(x, 4) for x in par32_obs]}
+    if pins_doc.get(host) != entry:
+        pins_doc[host] = entry
         try:
             with open(pins_path, "w") as f:
                 json.dump(pins_doc, f, indent=1, sort_keys=True)

@@ -70,6 +70,31 @@ def test_load_idle_pins_host_keyed_and_legacy(tmp_path):
     assert b.load_idle_pins(str(p), "any") == (0.15, 0.25)
 
 
+def test_fold_pin_obs_needs_corroboration():
+    """The pin is the SECOND-smallest pre-probe ever seen: one lucky
+    burst-clocked sample (observed: a par32 probe 27% below five
+    rounds of idle history, which then made the 2.5x post gate trip on
+    every clean run) must not tighten the gate until a second
+    independent sample corroborates it; a contended sample must never
+    loosen it."""
+    b = _bench()
+    # legacy corroborated pin 0.14: one lucky 0.10 does NOT move it
+    obs, pin = b.fold_pin_obs([0.14, 0.14], 0.1016)
+    assert pin == 0.14 and obs == [0.1016, 0.14]
+    # a second corroborating sample tightens to the 2nd-smallest
+    obs, pin = b.fold_pin_obs(obs, 0.11)
+    assert pin == 0.11 and obs == [0.1016, 0.11]
+    # a contended sample never loosens
+    obs2, pin2 = b.fold_pin_obs(obs, 0.50)
+    assert pin2 == 0.11 and obs2 == obs
+    # first-ever observation IS the pin (nothing better to gate on)
+    obs, pin = b.fold_pin_obs([], 0.2)
+    assert pin == 0.2 and obs == [0.2]
+    # second observation larger: pin moves to it (2nd-smallest)
+    obs, pin = b.fold_pin_obs(obs, 0.3)
+    assert pin == 0.3 and obs == [0.2, 0.3]
+
+
 def test_keep_faster_drain_prefers_speed_over_clean_probes():
     """Probe-clean-but-slower must not replace a faster attempt: ambient
     steal only inflates, and sparse probes can miss a mid-drain burst
