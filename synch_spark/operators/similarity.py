@@ -287,26 +287,62 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (by cosine).
 
-    centroids: (cid, cvec) — tiny, broadcast. One corpus scan; adds
-    columns (_cid, _crank). nprobe>1 is the query-side recall lever.
+    centroids: (cid, cvec) — tiny by contract (they are broadcast-sized
+    in every caller), so they ride INTO the assignment expression as
+    literals: one corpus scan computes all K similarities per row and
+    picks the top ``nprobe`` with array algebra. The earlier broadcast
+    join + row_number window materialized K rows PER VECTOR and then
+    shuffled the whole corpus (with its vector payload) just to rank K
+    values per id — at 100 TB that exchange is a full-corpus shuffle
+    for a per-row argmax. Zero exchanges now; adds columns
+    (_cid, _crank). nprobe>1 is the query-side recall lever.
+
+    Numeric identity with the join formulation: the per-centroid norm
+    is computed by the SAME JVM double fold (one tiny K-row job), the
+    literal centroid values are the float->double casts the join
+    produced, and ordering ties break on the smaller cid exactly as the
+    (sim desc, cid) window did — struct comparison over (-sim, cid).
     """
-    c = centroids.select(F.col("cid"), F.col("cvec")).withColumn(
-        "_cn", F.sqrt(_dot_double(F.col("cvec"), F.col("cvec")))
-    )
+    # K-row driver hop, same bound as ivf_centroids' collect; norms are
+    # JVM-folded here so the double values are bit-identical to the
+    # per-joined-row computation they replace
+    rows = centroids.select(
+        "cid", "cvec",
+        F.sqrt(_dot_double(F.col("cvec"), F.col("cvec"))).alias("_cn"),
+    ).collect()
+    rows.sort(key=lambda r: r["cid"])
+    cid_t = centroids.schema["cid"].dataType
+    if not rows:
+        # the old cross join with an empty broadcast side emitted no rows
+        return df.select(
+            *df.columns,
+            F.lit(None).cast(cid_t).alias("_cid"),
+            F.lit(None).cast("int").alias("_crank"),
+        ).filter(F.lit(False))
     v = df.withColumn("_vn", F.sqrt(_dot_double(F.col(vec_col), F.col(vec_col))))
-    scored = v.join(F.broadcast(c)).withColumn(
-        "_sim",
-        _safe_div(
-            _dot_double(F.col(vec_col), F.col("cvec")),
-            F.col("_vn") * F.col("_cn"),
-            -2.0,
-        ),
-    )
-    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cid"))
+    # ascending struct order == (sim desc, cid asc): negate the sim
+    cands = F.array(*[
+        F.struct(
+            (-_safe_div(
+                _dot_double(F.col(vec_col), F.lit(list(r["cvec"]))),
+                F.col("_vn") * F.lit(float(r["_cn"])),
+                -2.0,
+            )).alias("_ns"),
+            F.lit(r["cid"]).cast(cid_t).alias("cid"),
+        )
+        for r in rows
+    ])
+    if nprobe == 1:
+        return v.select(
+            *df.columns,
+            F.array_min(cands)["cid"].alias("_cid"),
+            F.lit(1).alias("_crank"),
+        )
+    top = F.slice(F.array_sort(cands), 1, nprobe)
     return (
-        scored.withColumn("_crank", F.row_number().over(w))
-        .filter(F.col("_crank") <= nprobe)
-        .select(*df.columns, F.col("cid").alias("_cid"), "_crank")
+        v.select(*df.columns, F.posexplode(top).alias("_pos", "_s"))
+        .select(*df.columns, F.col("_s")["cid"].alias("_cid"),
+                (F.col("_pos") + 1).cast("int").alias("_crank"))
     )
 
 
@@ -910,16 +946,20 @@ def assign_to_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     materialize: bool = True,
+    need_csim: bool = True,
 ) -> DataFrame:
     """semantic_dedup's assignment stage, reusable by the incremental
     index: one row per finite vector — (_id, _v, cid, csim), csim =
     exact decimal cosine to the winning centroid — checkpointed so the
     fan-out consumers share one materialization (lazy: the FIRST
     consumer's job runs the subtree; every later consumer reads the
-    materialized partitions). ``materialize=False`` skips the
+    materialized partitions). ``materialize=False`` skips the final
     checkpoint for callers that consume the assignment exactly once
     (ivf_refine's per-iteration mean), where a materialization job is
-    a pure extra barrier."""
+    a pure extra barrier. ``need_csim=False`` (same caller) skips the
+    decimal rescore entirely for every vector whose in-band candidate
+    is unique — the argmax is already decided — and emits csim-less
+    rows (_id, _v, cid); only 1e-6 ties pay the decimal adjudication."""
     import numpy as np
     import pandas as pd
 
@@ -962,6 +1002,8 @@ def assign_to_centroids(
     cid_t = centroids.schema["cid"].dataType.simpleString()
     d = C.shape[1]
 
+    K = len(cids_np)
+
     def assign_gen(batches):
         for pdf in batches:
             if not len(pdf):
@@ -970,8 +1012,8 @@ def assign_to_centroids(
             out_frames = []
             bad = pdf[lens != d]
             if len(bad):  # ragged: all K candidates, NULL csim later
-                out_frames.append(bad.loc[bad.index.repeat(len(cids_np))]
-                                  .assign(cid=cids_np * len(bad)))
+                out_frames.append(bad.loc[bad.index.repeat(K)]
+                                  .assign(cid=cids_np * len(bad), _nc=K))
             good = pdf[lens == d]
             if len(good):
                 V = np.stack(good["_v"].to_numpy()).astype(np.float64)
@@ -980,22 +1022,41 @@ def assign_to_centroids(
                 zv = good[~ok]
                 if len(zv):  # zero vectors: all K candidates
                     out_frames.append(
-                        zv.loc[zv.index.repeat(len(cids_np))]
-                        .assign(cid=cids_np * len(zv)))
+                        zv.loc[zv.index.repeat(K)]
+                        .assign(cid=cids_np * len(zv), _nc=K))
                 good = good[ok]
                 if len(good):
                     R = (V[ok] / vn[ok, None]) @ Cn
                     R[:, zero_c] = -np.inf
                     mask = R >= (R.max(axis=1)[:, None] - 1e-6)
+                    nc = mask.sum(axis=1)
                     gi, ci = np.nonzero(mask)
                     out_frames.append(
                         good.iloc[gi].assign(
-                            cid=[cids_np[c_] for c_ in ci]))
+                            cid=[cids_np[c_] for c_ in ci],
+                            _nc=nc[gi]))
             if out_frames:
                 yield pd.concat(out_frames, ignore_index=True)
 
+    # `_nc` = the number of in-band candidates of that row's vector:
+    # when it is 1, the decimal argmax is ALREADY decided (the 1e-6
+    # float band provably contains the decimal winner, so a unique
+    # band member IS it) — no cross-corpus row_number window needed.
+    # Only genuine 1e-6 ties and undefined-cosine vectors (ragged /
+    # zero: all K candidates) go through the decimal adjudication
+    # window. This removes the corpus-wide hashpartitioning(_id)
+    # exchange (+ sort) the single-window formulation paid purely to
+    # rank K candidates per id.
     cand = v.mapInPandas(
-        assign_gen, f"_id {id_t}, _v {vec_t}, cid {cid_t}")
+        assign_gen, f"_id {id_t}, _v {vec_t}, cid {cid_t}, _nc int")
+    # materialize ONCE: singles and ties are two filters over the same
+    # Python stage, and Spark reuses Exchange subtrees, never
+    # Python-UDF stages — without this the kernel (and the corpus scan
+    # under it) would execute once per branch. Lazy: rides the first
+    # consumer's job. No shuffle: blocks are written executor-local.
+    cand = cand.localCheckpoint(eager=False)
+    singles = cand.filter(F.col("_nc") == 1).drop("_nc")
+    ties = cand.filter(F.col("_nc") > 1).drop("_nc")
     # the rescore side is rebuilt from the ALREADY-COLLECTED centroid
     # rows (the probe_similarity_pairs move): referencing `centroids`
     # again here would re-execute its whole upstream plan — for
@@ -1005,32 +1066,44 @@ def assign_to_centroids(
         cent_rows, centroids.select("cid", "cvec").schema
     ).withColumn(
         "_cn2", _norm2_dec(F.col("cvec")))  # K decimal folds, broadcast
-    scored = cand.join(F.broadcast(c), "cid").withColumn(
-        "csim",
-        _safe_div(
-            _dot_dec(F.col("_v"), F.col("cvec")).cast("double"),
-            F.sqrt(
-                _norm2_dec(F.col("_v")).cast("double")
-                * F.col("_cn2").cast("double")
+
+    def rescore(part):
+        return part.join(F.broadcast(c), "cid").withColumn(
+            "csim",
+            _safe_div(
+                _dot_dec(F.col("_v"), F.col("cvec")).cast("double"),
+                F.sqrt(
+                    _norm2_dec(F.col("_v")).cast("double")
+                    * F.col("_cn2").cast("double")
+                ),
+                None,
             ),
-            None,
-        ),
-    )
+        )
+
     wa = W.partitionBy("_id").orderBy(F.col("csim").desc(), F.col("cid"))
-    out = (
-        scored.withColumn("_ar", F.row_number().over(wa))
+    adjudicated = (
+        rescore(ties)
+        .withColumn("_ar", F.row_number().over(wa))
         .filter(F.col("_ar") == 1)
-        .select("_id", "_v", "cid", "csim")
     )
+    if need_csim:
+        out = rescore(singles).select("_id", "_v", "cid", "csim").unionByName(
+            adjudicated.select("_id", "_v", "cid", "csim"))
+    else:
+        # the cosine value is discarded by the caller: singles skip the
+        # n interpreted decimal folds entirely (the dominant per-row
+        # cost of this operator); only the ~empty tie set pays them
+        out = singles.select("_id", "_v", "cid").unionByName(
+            adjudicated.select("_id", "_v", "cid"))
     if not materialize:
         return out
-    # materialize ONCE: the assignment subtree (scan + per-centroid
-    # decimal folds + window) is consumed FOUR times downstream —
-    # the pair kernel, both sides of its rescore join, and the
-    # keep-best label join — and would re-execute for each without
-    # this (4x the decimal work at any scale). Lazy: the checkpoint
-    # RDD materializes inside the first consumer's job instead of
-    # paying a dedicated materialization job + scheduler barrier.
+    # materialize ONCE: the assignment subtree (scan + decimal folds)
+    # is consumed FOUR times downstream — the pair kernel, both sides
+    # of its rescore join, and the keep-best label join — and would
+    # re-execute for each without this (4x the decimal work at any
+    # scale). Lazy: the checkpoint RDD materializes inside the first
+    # consumer's job instead of paying a dedicated materialization job
+    # + scheduler barrier.
     return out.localCheckpoint(eager=False)
 
 

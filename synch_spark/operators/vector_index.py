@@ -70,10 +70,27 @@ def ivf_refine(
     """
     from synch_spark.operators.similarity import DEC
 
+    spark = corpus.sparkSession
     sample = corpus
     if sample_fraction < 1.0:
         sample = corpus.sample(fraction=sample_fraction, seed=7)
+    # the centroid set is driver-sized by contract (ivf_centroids'
+    # collect bound); holding it as ROWS across the loop batches every
+    # per-iteration hop into exactly ONE distributed job — the mean
+    # aggregation's collect — instead of a centroid materialization,
+    # an assignment-side collect AND the mean job each round
+    sch = centroids.select("cid", "cvec").schema
+    rows = centroids.select("cid", "cvec").collect()
+    if not rows:
+        if exact:
+            raise ValueError(
+                "assign_to_centroids: empty centroid set — build centroids "
+                "over a non-empty corpus (ivf_centroids / ivf_refine) first")
+        return spark.createDataFrame(rows, sch)
     for _ in range(iters):
+        rows.sort(key=lambda r: r["cid"])
+        local_cents = spark.createDataFrame(rows, sch)
+        d = max(len(r["cvec"]) for r in rows)
         if exact:
             # reuse semantic_dedup's two-phase assignment (numpy GEMM
             # candidate band + decimal rescore of survivors) — same
@@ -85,52 +102,69 @@ def ivf_refine(
 
             # materialize=False: the assignment is consumed exactly once
             # (the per-(cid,pos) mean below), so a checkpoint would be a
-            # pure extra materialization job + scheduler barrier
+            # pure extra materialization job + scheduler barrier;
+            # need_csim=False: the cosine VALUE is discarded here — only
+            # the argmax cid matters — so the n decimal rescore folds
+            # (the operator's dominant term) are skipped for every
+            # vector whose in-band candidate is unique
             assigned = assign_to_centroids(
-                sample, centroids, vec_col, id_col, materialize=False
+                sample, local_cents, vec_col, id_col, materialize=False,
+                need_csim=False,
             ).select(F.col("_id").alias("id"), F.col("_v").alias("v"),
                      F.col("cid").alias("_cid"))
         else:
             assigned = ivf_assign(
                 sample.select(F.col(id_col).alias("id"),
                               F.col(vec_col).alias("v")),
-                centroids,
+                local_cents,
                 "v",
                 "id",
                 nprobe=1,
             )
-        member_dims = assigned.select(
-            "_cid", F.posexplode("v").alias("pos", "x")
-        )
+        # per-(cid, position) mean as ONE d-column aggregation on the
+        # cid key — the posexplode formulation multiplied the frame to
+        # n·d rows and paid TWO more exchanges ((cid,pos) agg + cid
+        # re-agg with a collect_list rebuild). F.get returns NULL past a
+        # ragged vector's end (never an ANSI error), sum/avg skip NULLs
+        # and the per-position count counts only rows HAVING the
+        # position — exactly the groups posexplode produced. Decimal
+        # accumulate -> double divide in exact mode: order-free, so the
+        # mean is identical on every run and in the DuckDB oracle.
+        aggs = []
+        for i in range(d):
+            x = F.get(F.col("v"), i)
+            if exact:
+                aggs.append(
+                    F.sum(x.cast("double").cast(DEC)).alias(f"_s{i}"))
+                aggs.append(F.count(x).alias(f"_n{i}"))
+            else:
+                aggs.append(F.avg(x).alias(f"_m{i}"))
+        g = assigned.groupBy("_cid").agg(*aggs)
         if exact:
-            # decimal accumulate -> double divide: order-free, so the
-            # mean is identical on every run and in the DuckDB oracle
-            means = member_dims.groupBy("_cid", "pos").agg(
-                (F.sum(F.col("x").cast("double").cast(DEC)).cast("double")
-                 / F.count(F.lit(1))).alias("m"))
+            elems = [
+                F.when(
+                    F.col(f"_n{i}") > 0,
+                    (F.col(f"_s{i}").cast("double") / F.col(f"_n{i}"))
+                    .cast("float"),
+                )
+                for i in range(d)
+            ]
         else:
-            means = member_dims.groupBy("_cid", "pos").agg(
-                F.avg("x").alias("m"))
-        centroids = (
-            means.groupBy("_cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"].cast("float"),
-                ).alias("cvec")
-            )
-            .select(F.col("_cid").alias("cid"), "cvec")
-        )
-    # driver-materialize the K refined centroids (bounded: exactly the
-    # centroid count, the same O(K) hop ivf_centroids already makes).
+            elems = [F.col(f"_m{i}").cast("float") for i in range(d)]
+        # positions no member had (all-shorter ragged group) produced no
+        # (cid,pos) row before: drop their NULL slots from the rebuilt list
+        cvec = F.filter(F.array(*elems), lambda m: m.isNotNull())
+        rows = g.select(F.col("_cid").alias("cid"),
+                        cvec.alias("cvec")).collect()
+    # the K refined centroids stay driver-materialized (bounded: exactly
+    # the centroid count, the same O(K) hop ivf_centroids already makes).
     # Every consumer references the centroid frame more than once —
-    # ann_topk_ivf broadcasts it in TWO ivf_assign calls, semantic_dedup
-    # both collects it and joins it — and each reference to a lazy
-    # refine plan re-executes the full corpus scan + mean aggregation;
+    # ann_topk_ivf uses it in TWO ivf_assign calls, semantic_dedup both
+    # collects it and joins it — and each reference to a lazy refine
+    # plan would re-execute the full corpus scan + mean aggregation;
     # rebuilt from collected rows, the refinement runs exactly once.
-    rows = centroids.collect()
     rows.sort(key=lambda r: r["cid"])
-    return corpus.sparkSession.createDataFrame(rows, centroids.schema)
+    return spark.createDataFrame(rows, sch)
 
 
 class VectorIndex:
@@ -371,11 +405,13 @@ class VectorIndex:
             "probe_id",
             nprobe=nprobe,
         ).select("probe_id", "_pv", "_cid")
-        # eager checkpoint: the probe-assignment plan (centroid broadcast
-        # join + row_number window) is consumed up to three times below
-        # (cids collect, candidate join, finalist join) — materialize it
-        # once, like DedupIndex.check does for its batch signatures
-        pb = pb.localCheckpoint(eager=True)
+        # checkpoint: the probe-assignment plan is consumed up to three
+        # times below (cids collect, candidate join, finalist join) —
+        # materialize it once, like DedupIndex.check does for its batch
+        # signatures. Lazy: the cids collect right below is always the
+        # first consumer, so materialization rides that job instead of
+        # paying a dedicated job + scheduler barrier.
+        pb = pb.localCheckpoint(eager=False)
         # the probed bucket set is tiny -> collect it so the index read
         # prunes to those partitions at plan time
         cids = [r[0] for r in pb.select("_cid").distinct().collect()]

@@ -24,6 +24,7 @@ def _df(spark, rows):
 
 
 # --- 1. epoch survives retention -------------------------------------------
+@pytest.mark.slow
 def test_epoch_marker_survives_log_retention(spark, tmp_path):
     """retain=2, but a marker must stay visible arbitrarily many commits
     later (bounded by _EPOCH_KEEP): a micro-batch with several DDL
@@ -71,6 +72,7 @@ def test_epoch_list_is_bounded(spark, tmp_path):
 
 
 # --- 2. MV sync promotion ----------------------------------------------------
+@pytest.mark.slow
 def test_mv_sync_promotes_doc_durably(spark, tmp_path):
     """After a SUCCESSFUL sync the doc must be promoted (prev==pending,
     token cleared) so _last_synced never regresses even if the token's

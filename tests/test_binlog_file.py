@@ -295,6 +295,7 @@ def test_json_malformed_document_refuses_loudly():
         list(B.iter_binlog_events(b.bytes()))
 
 
+@pytest.mark.slow
 def test_cli_replay_binlog_to_consume(spark, tmp_path):
     """CLI e2e: replay-binlog decodes the archive into the spool, then
     consume --available-now applies it — the offline stand-in for the

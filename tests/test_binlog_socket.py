@@ -999,6 +999,7 @@ def test_connection_reset_mid_dump_is_a_clean_protocol_error():
         srv.srv.close()
 
 
+@pytest.mark.slow
 def test_cli_produce_mysql_socket_follow_reconnects(tmp_path, capsys, spark):
     """`produce --follow`: the master dies after the first round; a
     supervised second invocation finds the port refused, re-dials with

@@ -72,6 +72,7 @@ def _events(spark, rows):
      .withColumn("table", F.lit("t"))
 
 
+@pytest.mark.slow
 def test_interleaved_files_pruned_by_bloom_not_minmax(spark, tmp_path):
     """Two files in one partition with fully OVERLAPPING key ranges
     (evens vs odds): min/max cannot prune either, but the bloom proves
@@ -326,6 +327,7 @@ def test_distributed_bloom_build_matches_driver_build(spark, tmp_path):
                    bloom.might_contain_any(bl2, [probe])
 
 
+@pytest.mark.slow
 def test_string_pk_files_pruned_by_bloom_alone(spark, tmp_path):
     """String pks have no exact min/max stats (BYTE_ARRAY may truncate),
     so the bloom is the only pruning lever — a merge touching keys in
@@ -353,6 +355,7 @@ def test_string_pk_files_pruned_by_bloom_alone(spark, tmp_path):
     assert got["key_a0001"] == 99.0 and len(got) == 200
 
 
+@pytest.mark.slow
 def test_consecutive_merges_bounded_rewrites(spark, tmp_path):
     """Five consecutive micro-batches, each touching 2 keys in a narrow
     range of a pk-clustered + bloomed table: every merge must rewrite a

@@ -83,6 +83,7 @@ def test_produce_to_kafka_reports_missing_connector(spark):
     with pytest.raises(RuntimeError, match="spark-sql-kafka connector"):
         produce_to_kafka(_events(spark, 2, 1), "localhost:9092")
 
+@pytest.mark.slow
 def test_spool_never_overwrites_consumed_paths(spark, tmp_path):
     """FileStreamSource dedups processed files BY PATH: os.replace onto
     an existing spool file makes its new content invisible forever. An

@@ -79,6 +79,7 @@ def run_engine(spark, tmpdir, events, batch_splits):
     events=event_strategy,
     batch_splits=st.lists(st.integers(min_value=1, max_value=29), max_size=3),
 )
+@pytest.mark.slow
 def test_cdc_apply_matches_sequential_replay(spark, tmp_path_factory, events, batch_splits):
     tmpdir = str(tmp_path_factory.mktemp("cdcprop"))
     expected = sequential_replay(events)
@@ -134,6 +135,7 @@ def run_engine_with(spark, tmpdir, engine, events, batch_splits):
     events=event_strategy,
     batch_splits=st.lists(st.integers(min_value=1, max_value=29), max_size=2),
 )
+@pytest.mark.slow
 def test_all_engines_agree_on_valid_sequences(spark, tmp_path_factory, events, batch_splits):
     """The SAME legal change stream through MergeTree (physical deletes),
     Replacing (LWW dedup), and Collapsing (sign cancellation) must yield
@@ -196,6 +198,7 @@ def sequential_replay_composite(events):
     events=composite_event_strategy,
     batch_splits=st.lists(st.integers(min_value=1, max_value=29), max_size=3),
 )
+@pytest.mark.slow
 def test_composite_pk_matches_sequential_replay(
     spark, tmp_path_factory, events, batch_splits
 ):

@@ -7,6 +7,7 @@ import json
 import yaml
 
 from synch_spark.cli import main
+import pytest
 
 
 def _write_cfg(tmp_path, warehouse):
@@ -41,6 +42,7 @@ def _write_cfg(tmp_path, warehouse):
     return str(p)
 
 
+@pytest.mark.slow
 def test_cli_produce_consume_check_loop(tmp_path, capsys, spark):
     """Full binlog-free CDC loop through the CLI: produce (snapshot-diff
     poller) -> consume (stream apply) -> check parity; then mutate the
@@ -110,6 +112,7 @@ def test_cli_etl_then_check(tmp_path, capsys, spark):
     assert out["check"]["db.customer"]["source"] == out["check"]["db.customer"]["target"]
 
 
+@pytest.mark.slow
 def test_cli_optimize_and_repair(tmp_path, capsys, spark):
     """optimize compacts without changing state; repair closes a forced
     source/target divergence, verified by check --checksum."""
@@ -292,6 +295,7 @@ def test_cli_join_mv_create_and_read(tmp_path, capsys, spark):
     assert rows2 == rows
 
 
+@pytest.mark.slow
 def test_cli_redis_broker_produce_consume(tmp_path, capsys, spark, monkeypatch):
     """The reference's DEFAULT broker end-to-end through the CLI:
     produce --sink redis (XADD per-schema stream) -> consume over
@@ -409,6 +413,7 @@ def test_cli_consume_last_msg_id_seeds_offset(tmp_path, capsys, spark, monkeypat
     assert got == {3, 4}
 
 
+@pytest.mark.slow
 def test_cli_restore_clone_changes(tmp_path, capsys, spark):
     """The store-op verbs end-to-end: etl a table, mutate it through a
     produce/consume loop, then audit the delta (changes), roll it back
@@ -479,6 +484,7 @@ def test_cli_restore_clone_changes(tmp_path, capsys, spark):
     assert len(fork) == 4 and fork[0] == "RENAMED"
 
 
+@pytest.mark.slow
 def test_cli_mv_sync_from_change_feed(tmp_path, capsys, spark):
     """`mv sync`: maintain a view from the table's change feed through
     the CLI — create, mutate the source through produce/consume, sync,
@@ -527,6 +533,7 @@ def test_cli_mv_sync_from_change_feed(tmp_path, capsys, spark):
     assert keys == {0, 1, 2, 3}, keys
 
 
+@pytest.mark.slow
 def test_cli_table_to_table_replication_via_change_feed(tmp_path, capsys, spark):
     """The full fan-out loop: warehouse A's table re-emits its deltas as
     standard change events (`changes --sink spool`), a SECOND consumer
@@ -598,6 +605,7 @@ def test_cli_table_to_table_replication_via_change_feed(tmp_path, capsys, spark)
     assert got == want and len(got) == 4
 
 
+@pytest.mark.slow
 def test_cli_index_sync_from_change_feed(tmp_path, capsys, spark):
     """`index sync`: declared indexes follow their source table's change
     feed through the CLI — first sync builds, a merge + second sync
@@ -655,6 +663,7 @@ def test_cli_index_sync_from_change_feed(tmp_path, capsys, spark):
     assert idx.signatures.read().filter("id = 7").count() == 0
 
 
+@pytest.mark.slow
 def test_cli_index_sync_semdedup_kind(tmp_path, capsys, spark):
     """`index sync` drives a SemDedupIndex: first sync builds (fixed
     centroids from centroid_filter), a source merge + second sync
@@ -725,6 +734,7 @@ def test_cli_index_sync_semdedup_kind(tmp_path, capsys, spark):
         one_shot(emb.filter(F.col("vec_id") != 17))
 
 
+@pytest.mark.slow
 def test_cli_index_sync_composite_pk_source(tmp_path, capsys, spark):
     """Composite-pk sources sync correctly: the FULL pk tuple is
     threaded into changes() (keying the feed's full-outer join on the
@@ -789,6 +799,7 @@ def test_cli_index_sync_composite_pk_source(tmp_path, capsys, spark):
     assert idx.signatures.read().filter("id = 8").count() == idx.num_hashes
 
 
+@pytest.mark.slow
 def test_cli_changes_follow_loop(tmp_path, capsys, spark):
     """`changes --follow`: the standing fan-out loop baselines on first
     run, emits exactly the new commits on later runs, checkpoints its
@@ -930,6 +941,7 @@ def test_cli_replay_binlog_follow_ships_on_rotation(tmp_path, capsys, spark):
     assert got == {(1, "a"), (2, "b"), (3, "c")}  # file 3 not shipped yet
 
 
+@pytest.mark.slow
 def test_cli_replay_wal_follow_tails_complete_lines(tmp_path, capsys, spark):
     """`replay-wal --follow`: a torn trailing line waits for its
     newline; completed lines ship exactly once past the byte cursor;
@@ -1040,6 +1052,7 @@ def test_cli_etl_multi_table_and_consume_etl_first(tmp_path, capsys, spark):
         assert got == n, (t, got)
 
 
+@pytest.mark.slow
 def test_cli_collapsing_table_replication_semantics(tmp_path, capsys, spark):
     """Collapsing-engine table-to-table replication: ±sign storage rows
     ship through `changes --follow` with the sign-aware action mapping
@@ -1322,6 +1335,7 @@ def test_cli_replay_binlog_follow_sequence_reset(tmp_path, capsys, spark):
     assert out["events"] == 1
 
 
+@pytest.mark.slow
 def test_cli_status_snapshot(tmp_path, capsys, spark):
     """`status`: after a produce+consume cycle the snapshot reports the
     table's version/layout, the latest producer/consumer monitor rows,
@@ -1385,6 +1399,7 @@ def test_cli_status_snapshot(tmp_path, capsys, spark):
     assert out["spool"]["backlog_bytes"] == extra.stat().st_size
 
 
+@pytest.mark.slow
 def test_consume_infers_missing_value_schema(tmp_path, capsys, spark):
     """An undeclared value schema previously dead-lettered EVERY event
     for the table; consume now infers it from the configured source

@@ -1,6 +1,7 @@
 """Connected-components dedup clustering vs a driver-side union-find oracle."""
 
 from __future__ import annotations
+import pytest
 
 
 def _union_find(pairs):
@@ -21,6 +22,7 @@ def _union_find(pairs):
     return {x: find(x) for x in list(parent)}
 
 
+@pytest.mark.slow
 def test_cluster_duplicates_matches_union_find(spark):
     from synch_spark.operators.dedup import cluster_duplicates
 

@@ -326,6 +326,7 @@ def test_commit_latency_flat_between_checkpoints_at_10k_files(spark, tmp_path):
     assert len(t.snapshot().files) == base_files + len(delta_bytes) + len(ckpt_bytes)
 
 
+@pytest.mark.slow
 def test_unpartitioned_merge_bloom_refines_overlapping_ranges(spark, tmp_path):
     """The unpartitioned CoW path consults Bloom sidecars exactly like
     the partitioned one: two files with fully OVERLAPPING pk min/max

@@ -26,6 +26,7 @@ def test_build_then_check(spark, index):
     assert not any(r[0] == 11 for r in dups)  # novel doc clean
 
 
+@pytest.mark.slow
 def test_ingest_filters_and_indexes(spark, index):
     corpus = spark.createDataFrame([(1, DOC_A)], ["doc_id", "text"])
     index.build(corpus)
@@ -40,6 +41,7 @@ def test_ingest_filters_and_indexes(spark, index):
     assert (20, 11) in dups2
 
 
+@pytest.mark.slow
 def test_signature_store_persists_and_rescoring_filters(spark, index):
     corpus = spark.createDataFrame(
         [(1, DOC_A), (2, DOC_B), (3, DOC_C)], ["doc_id", "text"]
@@ -84,6 +86,7 @@ def test_check_on_empty_index(spark, index):
     assert dups == {(2, 1)}  # in-batch exact dup, no index yet
 
 
+@pytest.mark.slow
 def test_leakage_safe_split_repairs_pair_leakage(spark):
     """After cluster-aware assignment, NO near-dup pair straddles the
     split (the q96 audit's repair); singletons still split ~train_frac."""
@@ -170,6 +173,7 @@ def test_leakage_safe_split_survives_missing_representative(spark):
     assert len({split[101], split[102]}) == 1, "members must still co-locate"
 
 
+@pytest.mark.slow
 def test_remove_unindexes_both_stores(spark, index):
     """remove(): a taken-down doc stops matching its near-dup and its
     rows leave BOTH stores; the remaining corpus is untouched."""
@@ -192,6 +196,7 @@ def test_remove_unindexes_both_stores(spark, index):
     assert admitted.count() == 1
 
 
+@pytest.mark.slow
 def test_apply_changes_update_reshingles_and_is_idempotent(spark, index):
     """An update postimage replaces the doc's signature and bucket rows
     in place (same row counts, new content), and replaying the feed is
@@ -216,6 +221,7 @@ def test_apply_changes_update_reshingles_and_is_idempotent(spark, index):
             for r in index.check(probe_c).collect()} == {(11, 1)}
 
 
+@pytest.mark.slow
 def test_sync_from_change_feed(spark, index, tmp_path):
     """Index follows a CDC-maintained documents table end-to-end:
     initial sync builds, a merge batch (delete + update) syncs
@@ -250,6 +256,7 @@ def test_sync_from_change_feed(spark, index, tmp_path):
             index.table.current_version()) == (sv, bv)
 
 
+@pytest.mark.slow
 def test_apply_changes_per_commit_feed_delete_then_reinsert(spark, index):
     """Per-commit feed with delete@N then re-insert@N+1 of the same doc:
     the apply collapses to the latest change, so the doc stays indexed

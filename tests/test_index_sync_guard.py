@@ -88,6 +88,7 @@ def test_force_rebuild_flag(tmp_path):
     assert calls == ["build"]
 
 
+@pytest.mark.slow
 def test_vector_index_crashed_sync_then_revert_rebuilds(spark, tmp_path,
                                                         monkeypatch):
     """VectorIndex netted-replay e2e: the merge COMMITS, the 'crash'

@@ -310,6 +310,7 @@ def _sequential_replay(events):
 )
 @given(events=_event_strategy,
        batch_splits=st.lists(st.integers(min_value=1, max_value=24), max_size=2))
+@pytest.mark.slow
 def test_jdbc_sink_matches_sequential_replay(spark, tmp_path_factory, events,
                                              batch_splits):
     """Arbitrary event sequences through the JDBC sink (live Derby) must

@@ -202,6 +202,7 @@ def test_security_from_config_mapping():
         "disable"
 
 
+@pytest.mark.slow
 def test_authed_socket_cdc_loop_e2e(tmp_path, capsys, spark):
     """The full produce -> consume -> check CDC loop (the round-11
     socket transport e2e) under SCRAM-SHA-256 auth, config-driven:

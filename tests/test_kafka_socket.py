@@ -220,6 +220,7 @@ def test_cli_produce_kafka_socket_transport_e2e(tmp_path, capsys, spark,
     assert {r["table"] for r in rows} == {"region"}
 
 
+@pytest.mark.slow
 def test_cli_socket_cdc_loop_produce_consume_check(tmp_path, capsys, spark,
                                                    broker):
     """The FULL CDC loop over the wire transport, no connector jar:
@@ -353,6 +354,7 @@ def test_list_offsets_and_out_of_range_reseek(spark, broker):
         [6, 7, 8, 9]
 
 
+@pytest.mark.slow
 def test_polling_consume_restart_epoch_no_collision(tmp_path, capsys, spark,
                                                     broker):
     """Restart-collision regression (found round 11): the polling
@@ -537,6 +539,7 @@ def test_distributed_wire_read_feeds_raw_decode(spark, broker):
     assert all(ids) and len(ids) == 6
 
 
+@pytest.mark.slow
 def test_socket_consume_bounded_batches_insert_num(tmp_path, capsys, spark,
                                                    broker):
     """Flush-policy parity: a deep backlog drains as insert_num-bounded
@@ -1087,6 +1090,7 @@ def test_socket_consume_debezium_avro_via_registry(tmp_path, spark, broker):
         reg.shutdown()
 
 
+@pytest.mark.slow
 def test_socket_consume_survives_broker_restart(tmp_path, capsys, spark):
     """VERDICT r11 #7: the socket consume loop is supervised like the
     binlog/walsender tails — a dead/restarting broker costs backoff

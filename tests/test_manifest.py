@@ -61,6 +61,7 @@ def test_manifest_carries_across_cow_versions(spark, tmp_path):
     assert fresh == len(after) - len(carried)
 
 
+@pytest.mark.slow
 def test_classify_uses_manifest_same_result(spark, tmp_path):
     """Merge outcomes (content + carried-file set) are identical with
     and without refreshed stats; missing stats fall back to footers."""

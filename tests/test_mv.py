@@ -49,6 +49,7 @@ ROWS = [
 
 
 @pytest.mark.parametrize("n_chunks", [1, 2, 3, 7])
+@pytest.mark.slow
 def test_chunked_equals_batch(spark, n_chunks):
     got = _maintain(spark, ROWS, n_chunks)
     # one-shot truth: a nets to 1 row / 5.0, b to 2 rows / 10.0, c cancels
@@ -193,6 +194,7 @@ def _legalize_with_images(events):
     events=mv_event_strategy,
     batch_splits=st.lists(st.integers(min_value=1, max_value=19), max_size=2),
 )
+@pytest.mark.slow
 def test_mv_matches_replay_aggregate(spark, tmp_path_factory, events, batch_splits):
     from pyspark.sql import types as T
 
@@ -535,6 +537,7 @@ def test_hll_full_build_and_reload(spark, tmp_path):
     events=mv_event_strategy,
     batch_splits=st.lists(st.integers(min_value=1, max_value=19), max_size=2),
 )
+@pytest.mark.slow
 def test_join_mv_matches_replay_join_aggregate(
     spark, tmp_path_factory, events, batch_splits
 ):

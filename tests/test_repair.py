@@ -8,6 +8,7 @@ from synch_spark.config import TableSpec
 from synch_spark.pipeline import check, etl_full, repair
 from synch_spark.session import read_table
 from synch_spark.sources.table import ParquetTable
+import pytest
 
 
 def test_repair_restores_parity(spark, tmp_path):
@@ -59,6 +60,7 @@ def test_etl_skip_flags(spark, tmp_path):
     assert etl_full(source, t2, spec, renew=True) is True  # renew forces
 
 
+@pytest.mark.slow
 def test_backfill_missing_fills_holes_not_clobbers(spark, tmp_path):
     """Chunked backfill inserts absent keys only: rows the CDC stream
     already wrote (possibly newer than the snapshot) keep their values;

@@ -155,6 +155,7 @@ def test_cli_history(tmp_path, capsys, spark):
     assert len(h) >= 1 and h[-1]["n_files"] >= 1
 
 
+@pytest.mark.slow
 def test_retention_invariants_property(spark, tmp_path):
     """Hypothesis: any sequence of overwrite/append commits under any
     retain window keeps (a) every listed version readable with the

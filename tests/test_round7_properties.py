@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 from hypothesis import HealthCheck, example, given, settings, strategies as st
+import pytest
 
 
 # --- remove_duplicated_spans vs a direct Python implementation -------------
@@ -40,6 +41,7 @@ _word = st.sampled_from(["aa", "bb", "cc", "dd"])  # tiny alphabet: dups likely
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(st.lists(_word, min_size=0, max_size=12),
                 min_size=1, max_size=6), st.integers(2, 4))
+@pytest.mark.slow
 def test_remove_duplicated_spans_matches_reference(spark, doc_lists, w):
     from synch_spark.plans.hygiene import remove_duplicated_spans
 
@@ -120,6 +122,7 @@ def _ref_semantic_dedup(vecs: dict[int, list[float]],
 @given(st.lists(
     st.lists(st.integers(-3, 3).map(float), min_size=3, max_size=3),
     min_size=3, max_size=10))
+@pytest.mark.slow
 def test_semantic_dedup_matches_reference(spark, raw_vecs):
     from pyspark.sql import functions as F
 

@@ -10,6 +10,7 @@ import math
 
 import numpy as np
 from hypothesis import HealthCheck, given, settings, strategies as st
+import pytest
 
 
 def _exact_cosines(V: np.ndarray) -> np.ndarray:
@@ -35,6 +36,7 @@ def _block(draw):
 @settings(max_examples=200, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_block(), st.floats(min_value=0.0, max_value=0.999))
+@pytest.mark.slow
 def test_quantized_prefilter_admits_every_true_pair(vecs, thr):
     """For random blocks and thresholds, every pair whose TRUE cosine
     clears the threshold is admitted by the quantized candidate kernel

@@ -13,6 +13,7 @@ from synch_spark.sources import avro_codec as A
 from synch_spark.sources import binlog_file as B
 from tests.binlog_builder import BinlogBuilder, JsonDiffs
 from tests.test_avro_codec import ENVELOPE, _ref_encode
+import pytest
 
 _slow = settings(max_examples=60, deadline=None,
                  suppress_health_check=[HealthCheck.too_slow])
@@ -223,6 +224,7 @@ def test_hyperplane_signature_plane_count_validated(spark):
     assert hyperplane_signature(df, "embedding", num_planes=63).count() == 1
 
 
+@pytest.mark.slow
 def test_vector_index_nonfinite_hygiene(spark, tmp_path):
     """VectorIndex was the one similarity consumer missing the finite
     door filter: build/add skip garbage vectors instead of wedging on
@@ -252,6 +254,7 @@ def test_vector_index_nonfinite_hygiene(spark, tmp_path):
     assert {r["probe_id"] for r in got.collect()} == {10}
 
 
+@pytest.mark.slow
 def test_vector_index_same_id_insert_and_delete_deterministic(spark,
                                                               tmp_path):
     """A caller-built feed (no _commit_version) carrying BOTH a delete
@@ -284,6 +287,7 @@ def _docs_df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_dedup_index_short_postimage_removes_stale_rows(spark, tmp_path):
     """An update whose new text has fewer than shingle_n tokens emits
     ZERO new signature/bucket rows — without paired deletes the OLD
@@ -306,6 +310,7 @@ def test_dedup_index_short_postimage_removes_stale_rows(spark, tmp_path):
     assert all(r["dup_of"] != 1 for r in dups)
 
 
+@pytest.mark.slow
 def test_dedup_index_infeed_delete_insert_deterministic(spark, tmp_path):
     """A caller-built feed with BOTH a delete and an insert for one id
     previously tied at (0,0) stamps and resolved by shuffle order; the
@@ -343,6 +348,7 @@ def test_dedup_index_parameter_drift_is_loud(spark, tmp_path):
     assert ok.check(_docs_df(spark, [(2, LONG_B)])).count() > 0
 
 
+@pytest.mark.slow
 def test_dedup_index_short_doc_redelivery_is_noop(spark, tmp_path):
     """Docs below shingle_n produce no bucket rows, so the old
     bucket-derived known-set re-admitted them on every at-least-once
@@ -363,6 +369,7 @@ def test_dedup_index_short_doc_redelivery_is_noop(spark, tmp_path):
     assert {r["doc_id"] for r in third.collect()} == {2}
 
 
+@pytest.mark.slow
 def test_dedup_index_check_caps_hot_buckets(spark, tmp_path):
     """A degenerate bucket over the cap must drop from candidate
     generation (both in-batch and vs-index) instead of fanning out
@@ -398,6 +405,7 @@ def test_lsh_candidate_pairs_band_config_validated(spark):
         lsh_candidate_pairs(df, "text", "doc_id", num_hashes=8, bands=0)
 
 
+@pytest.mark.slow
 def test_cluster_duplicates_nonconvergence_is_loud(spark):
     """A component whose diameter exceeds the propagation budget must
     raise instead of silently splitting one cluster into several."""

@@ -227,6 +227,7 @@ def test_null_ts_ddl_segments_apply_once_and_execute_ddl(spark, tmp_path):
         "the null-ts DDL must still execute"
 
 
+@pytest.mark.slow
 def test_poison_ddl_payload_dead_letters(spark, tmp_path):
     """A 'query' event whose after is NULL (or lacks the 'query' key)
     previously crash-looped the checkpoint on json.loads(None); it must

@@ -51,6 +51,7 @@ def _base_df(spark, start, n=20):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(st.sampled_from(range(len(OPS))), min_size=1, max_size=4))
+@pytest.mark.slow
 def test_metadata_path_read_equals_rewrite_path(spark, tmp_path_factory, ops):
     root = tmp_path_factory.mktemp("sev")
     m = ParquetTable(spark, str(root / "m"))

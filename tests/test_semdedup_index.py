@@ -45,6 +45,7 @@ def _kept(idx):
 THR = 0.9
 
 
+@pytest.mark.slow
 def test_insert_update_delete_converge_to_one_shot(spark, tmp_path, corpus):
     from synch_spark.operators.semdedup_index import SemDedupIndex
 
@@ -90,6 +91,7 @@ def test_insert_update_delete_converge_to_one_shot(spark, tmp_path, corpus):
     assert _kept(idx) == _one_shot(df4, cents, THR)
 
 
+@pytest.mark.slow
 def test_sync_retention_lapse_rebuilds_from_stored_centroids(
         spark, tmp_path, corpus):
     """An index that lags past the source's retention window cannot
@@ -124,6 +126,7 @@ def test_sync_retention_lapse_rebuilds_from_stored_centroids(
                                    cents, THR)
 
 
+@pytest.mark.slow
 def test_crash_between_merges_replay_heals_old_block(spark, tmp_path,
                                                      corpus, monkeypatch):
     """Crash-replay hole: a sync dying BETWEEN the assignments merge
@@ -175,6 +178,7 @@ def test_crash_between_merges_replay_heals_old_block(spark, tmp_path,
     assert not os.path.exists(idx._intent_path())
 
 
+@pytest.mark.slow
 def test_crashed_sync_then_source_revert_takes_full_rebuild(
         spark, tmp_path, corpus, monkeypatch):
     """The netted-replay hole: a sync crashes mid-apply (assignments
@@ -242,6 +246,7 @@ def test_crashed_sync_then_source_revert_takes_full_rebuild(
     assert not os.path.exists(idx._intent_path())
 
 
+@pytest.mark.slow
 def test_sync_from_change_feed(spark, tmp_path, corpus):
     """Cursor-driven sync against a CDC-maintained ParquetTable: build
     at v0, mutate the source (insert + update + delete), sync — the

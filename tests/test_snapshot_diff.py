@@ -37,6 +37,7 @@ def test_diff_classification(spark):
 
 
 from hypothesis import HealthCheck, given, settings, strategies as st
+import pytest
 
 table_strategy = st.dictionaries(
     st.integers(min_value=1, max_value=12),  # pk space forces overlap
@@ -51,6 +52,7 @@ table_strategy = st.dictionaries(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(old_map=table_strategy, new_map=table_strategy)
+@pytest.mark.slow
 def test_diff_apply_closure_property(spark, tmp_path_factory, old_map, new_map):
     """For ARBITRARY old/new states: apply(diff(old,new)) over old == new."""
     to_rows = lambda m: [(k, float(v[0]), v[1]) for k, v in m.items()]  # noqa: E731

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from synch_spark.session import read_table
+import pytest
 
 
 def test_streaming_first_per_key_matches_batch(spark):
@@ -23,6 +24,7 @@ def test_streaming_first_per_key_matches_batch(spark):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_streaming_sessionize_spans_batches(spark, tmp_path):
     """A session crossing a micro-batch boundary is ONE session (state
     carries it), and only provably-closed sessions are emitted."""
@@ -81,6 +83,7 @@ def test_streaming_sessionize_spans_batches(spark, tmp_path):
     assert str(r["session_end"]) == "2024-01-01 00:20:00"
 
 
+@pytest.mark.slow
 def test_streaming_sessionize_late_event_keeps_end(spark, tmp_path):
     """An out-of-order event arriving in a LATER micro-batch that falls
     inside the carried session must not regress session_end below what
@@ -137,6 +140,7 @@ def test_streaming_sessionize_late_event_keeps_end(spark, tmp_path):
     assert str(r["session_end"]) == "2024-01-01 00:30:00"  # NOT 00:10
 
 
+@pytest.mark.slow
 def test_streaming_sessionize_timeout_flushes_tail(spark, tmp_path):
     """With flush_after_s set, an idle key's open tail session is emitted
     by the processing-time timeout (fired by a later batch) and its
@@ -250,6 +254,7 @@ def test_range_join_symmetric_window(spark):
     assert pairs == {(1, 2)}  # 60s inclusive; 61s excluded
 
 
+@pytest.mark.slow
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """A key redelivered in a later micro-batch (inside the watermark
     delay) is suppressed; distinct keys all pass."""
@@ -315,6 +320,7 @@ from hypothesis import HealthCheck as _HC, given as _given, settings as _setting
     ),
     split_at=_st.integers(min_value=1, max_value=29),
 )
+@pytest.mark.slow
 def test_streaming_sessionize_property(spark, tmp_path_factory, data, split_at):
     """For ANY time-ordered event stream and ANY batch split point, the
     emitted closed sessions equal the batch computation minus each key's
@@ -390,6 +396,7 @@ def test_streaming_sessionize_property(spark, tmp_path_factory, data, split_at):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_streaming_sessionize_null_ts_and_early_late_event(spark, tmp_path):
     """(1) NULL timestamps must be ignored, not fabricate a session near
     the int64-min datetime (which crashed emit's to_datetime); (2) a

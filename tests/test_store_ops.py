@@ -166,6 +166,7 @@ def test_restore_carries_bloom_sidecars(spark, tmp_path):
 
 
 # --- clone -----------------------------------------------------------------
+@pytest.mark.slow
 def test_clone_is_equal_and_independent(spark, tmp_path):
     src = ParquetTable(spark, str(tmp_path / "src"), retain=2)
     _clustered(spark, src, n=400, files=4)
@@ -404,6 +405,7 @@ def test_changes_across_metadata_rename_aligns_images(spark, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.slow
 def test_changes_reconstruct_new_state_property(spark, tmp_path, seed):
     """The feed's semantic contract, end-to-end: for ANY retained
     version pair (a, b) of a merge-maintained table,

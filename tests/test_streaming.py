@@ -249,6 +249,7 @@ def test_kafka_source_options_assign_passthrough():
     assert s2["startingOffsets"] == '{"t":{"0":42}}'
 
 
+@pytest.mark.slow
 def test_warm_streaming_idempotent(spark):
     """warm_streaming pays the streaming machinery spin-up once in the
     shared sub-session (bench setup path): first call does real work,
@@ -287,6 +288,7 @@ def test_rocksdb_state_store_backend(spark):
     assert got == base
 
 
+@pytest.mark.slow
 def test_stream_session_bench_knobs(spark):
     """The bench-path knobs — tmpfs checkpoint root and skipping the
     terminal watermark-only micro-batch — change WHERE checkpoints live

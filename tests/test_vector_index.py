@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from synch_spark.operators.similarity import cosine_topk
 from synch_spark.operators.vector_index import VectorIndex
 from synch_spark.session import read_table
+import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -61,6 +62,7 @@ def test_incremental_add_is_searchable(spark, tmp_path):
     assert idx.assignments.count() == n_old + n_new
 
 
+@pytest.mark.slow
 def test_refined_build_full_probe_is_exact(spark, tmp_path):
     """k-means refinement changes the bucketing, never the full-probe
     answer: probing every bucket + exact rescore is bucket-agnostic."""
@@ -130,6 +132,7 @@ def test_remove_drops_only_named_ids(spark, tmp_path):
     assert not (found & set(range(10))), "removed ids still searchable"
 
 
+@pytest.mark.slow
 def test_apply_changes_update_moves_bucket_and_is_idempotent(spark, tmp_path):
     """An update postimage replaces the old assignment even when the new
     vector lands in a DIFFERENT bucket (no duplicate rows), and
@@ -157,6 +160,7 @@ def test_apply_changes_update_moves_bucket_and_is_idempotent(spark, tmp_path):
     assert top[0]["neighbor_id"] == 7
 
 
+@pytest.mark.slow
 def test_sync_from_change_feed(spark, tmp_path):
     """Index follows a CDC-maintained table: build at v0 via sync, merge
     deletes+updates into the table, sync again — the index reflects the
@@ -219,6 +223,7 @@ def test_apply_changes_per_commit_feed_delete_then_reinsert(spark, tmp_path):
     assert idx.assignments.count() == n - 1
 
 
+@pytest.mark.slow
 def test_ivf_refine_exact_mode_is_run_reproducible(spark):
     """exact=True: decimal-accumulated means + decimal-cosine
     assignment — two runs (different partition layouts) produce
